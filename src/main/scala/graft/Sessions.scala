@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Central session tuning so Verify/Bench/tests agree.
+  * Mirrors the reference's one Spark config site (spark_cleaner.py:32-47)
+  * but sized for real parallelism: AQE on (runtime coalesce + skew
+  * handling), shuffle partitions = cores for local mode (200 default is
+  * wrong single-JVM), UTC for oracle parity, nanosAsLong because the
+  * events table carries parquet TIMESTAMP(NANOS).
+  */
+object Sessions {
+  def tune(b: SparkSession.Builder, cpus: String): SparkSession.Builder =
+    b.config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.compression.codec", "snappy")
+      .config("spark.ui.enabled", "false")
+
+  def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
+    val s = tune(SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

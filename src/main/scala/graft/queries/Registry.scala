@@ -1,0 +1,23 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One engine query: the Spark implementation plus (when SQL-expressible)
+  * the equivalent ANSI SQL the driver runs in DuckDB as the correctness
+  * oracle. Keeping both in one value prevents name/semantics drift —
+  * the driver's compare hashes values under sorted column names, so the
+  * Spark aliases and SQL aliases MUST match exactly.
+  *
+  * @param benchmark whether Bench.scala includes it in the headline set
+  */
+case class GQuery(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    benchmark: Boolean = false)
+
+object Registry {
+  /** All registered queries, assembled by module. */
+  def allQueries: Seq[GQuery] =
+    CoreQueries.all ++ TextQueries.all ++ LlmQueries.all ++ StarQueries.all
+}
