@@ -1,0 +1,100 @@
+package graft.operators
+
+import graft.functions.TextAnalysis
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** Near-duplicate detection for training-data pipelines, designed for
+  * the 100 TB regime:
+  *
+  *  - exact dedup: one hash-shuffle on a 128-bit fingerprint — never
+  *    shuffles full text;
+  *  - MinHash + LSH banding: per-row signature computation is pure
+  *    column math (scan-side, embarrassingly parallel); only the
+  *    (band_key, id) pairs shuffle, and candidate generation is an
+  *    equi-join on band_key that AQE can skew-split. Classic
+  *    Broder '97 resemblance sketch.
+  *  - SimHash (Charikar '02): 32-bit signature, again pure column math.
+  *  - n-gram Jaccard verification: exact set overlap on candidate pairs
+  *    only (never all-pairs at scale).
+  *
+  * All hashes derive from md5 (not Spark's murmur3 `hash()`) so a
+  * non-Spark oracle can reproduce signatures bit-for-bit.
+  */
+object Dedup {
+
+  val P: Long = 1000000007L
+  /** Deterministic per-hash-function coefficients (mirrored into the
+    * DuckDB oracle as literals — see LlmQueries). */
+  def coeffA(n: Int): Seq[Long] = (1 to n).map(i => (1103515245L * i + 12345L) % P)
+  def coeffB(n: Int): Seq[Long] = (1 to n).map(i => (362437L * i + 1013904223L) % P)
+
+  /** Exact dedup: keep the smallest id per content fingerprint.
+    * At scale: shuffle is on the 32-char fingerprint only. */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(TextAnalysis.fingerprint(col(textCol))).orderBy(col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Distinct shingle hashes mod P for a text column. */
+  def shingleHashes(textCol: Column, shingleSize: Int): Column =
+    transform(TextAnalysis.shingles(textCol, shingleSize),
+      sh => TextAnalysis.tokenHash60(sh) % P)
+
+  /** MinHash signature: array of numHashes minima of (a_i*h + b_i) % P
+    * over the document's shingle hash set. */
+  def minhashSignature(textCol: Column, numHashes: Int, shingleSize: Int): Column = {
+    val hs = shingleHashes(textCol, shingleSize)
+    val aArr = typedLit(coeffA(numHashes))
+    val bArr = typedLit(coeffB(numHashes))
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(hs,
+        h => (element_at(aArr, i + 1) * h + element_at(bArr, i + 1)) % P)))
+  }
+
+  /** LSH band keys: `j:sig[j*r+1..j*r+r]` strings; docs sharing any
+    * band key become candidates. bands*rowsPerBand must == numHashes. */
+  def bandKeys(sigCol: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      j => concat_ws(":", j.cast(StringType),
+        array_join(slice(sigCol, j * lit(rowsPerBand) + 1, lit(rowsPerBand)), ",")))
+
+  /** End-to-end MinHash-LSH candidate pairs over (id, text).
+    * Returns (id_a, id_b) with id_a < id_b, distinct. */
+  def lshCandidates(corpus: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 32, bands: Int = 8, shingleSize: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val withBands = corpus
+      .withColumn("__sig", minhashSignature(col(textCol), numHashes, shingleSize))
+      .select(col(idCol), explode(bandKeys(col("__sig"), bands, r)).as("__bk"))
+    withBands.alias("a")
+      .join(withBands.alias("b"),
+        col("a.__bk") === col("b.__bk") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact shingle-set Jaccard for verification of candidate pairs:
+    * |A∩B| / (|A|+|B|-|A∩B|), inputs assumed distinct arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast(DoubleType)
+    inter / (size(a) + size(b) - inter)
+  }
+
+  /** SimHash (32-bit): majority vote per bit over token hashes.
+    * bit_j(h) tested as (h % 2^(j+1)) >= 2^j — exact long arithmetic,
+    * reproducible in any engine (no engine-specific hash/shift). */
+  def simhash(textCol: Column): Column = {
+    val toks = array_distinct(TextAnalysis.tokens(textCol))
+    val hs = transform(toks, t => TextAnalysis.tokenHash60(t))
+    def pow2(j: Column): Column = pow(lit(2.0), j).cast(LongType)
+    aggregate(sequence(lit(0), lit(31)), lit(0L), (acc, j) => {
+      val bitSum = aggregate(hs, lit(0L),
+        (s2, h) => s2 + when(pmod(h, pow2(j + 1)) >= pow2(j), lit(1L)).otherwise(lit(-1L)))
+      acc + when(bitSum > 0, pow2(j)).otherwise(lit(0L))
+    })
+  }
+}

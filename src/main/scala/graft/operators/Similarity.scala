@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Two tiers, per the usual ANN playbook:
+  *  - [[bruteForceTopK]]: exact cosine top-k — O(|Q|×|N|) but fully
+  *    distributed (broadcast the query set, scan the corpus once).
+  *    The right tool when |Q| is small; the baseline for recall.
+  *  - [[hyperplaneBuckets]]: random-hyperplane LSH (sign-bit sketch,
+  *    Charikar '02) — deterministic pseudo-random hyperplanes so
+  *    signatures are reproducible across engines/runs. At 100 TB the
+  *    bucket id becomes the shuffle key and candidate generation is an
+  *    equi-join, like MinHash banding for text.
+  *
+  * Vector math is pure column expressions (`zip_with` + `aggregate`,
+  * sequential fold in document order) — deterministic, codegen-friendly,
+  * no UDF.
+  */
+object Similarity {
+
+  /** Elementwise double-cast of a float vector. */
+  def asDouble(v: Column): Column = transform(v, x => x.cast(DoubleType))
+
+  /** Sequential-fold dot product: deterministic accumulation order. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact cosine top-k: for each query vector (small set, broadcast),
+    * scan the corpus, keep k best per query via ranked window. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
+    val c = corpus.select(col("vec_id").as("cid"), asDouble(col("embedding")).as("cv"))
+    val sims = c.join(broadcast(q), col("qid") =!= col("cid"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
+    sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("qid"), col("cid"), round(col("sim"), 4).as("sim"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component w[j][k] in
+    * (-0.5, 0.5): ((j*dim+k)*2654435761 mod 1000003)/1000003 - 0.5.
+    * Knuth multiplicative hash — reproducible anywhere. */
+  def hyperplaneComponent(j: Column, k: Column, dim: Int): Column =
+    (pmod((j * lit(dim.toLong) + k) * lit(2654435761L), lit(1000003L)).cast(DoubleType) /
+      lit(1000003.0)) - lit(0.5)
+
+  /** Sign-bit LSH bucket id over `bits` hyperplanes. */
+  def hyperplaneBuckets(v: Column, dim: Int, bits: Int): Column = {
+    val vd = asDouble(v)
+    def pow2(j: Column): Column = pow(lit(2.0), j).cast(LongType)
+    aggregate(sequence(lit(0), lit(bits - 1)), lit(0L), (acc, j) => {
+      val proj = aggregate(sequence(lit(0), lit(dim - 1)), lit(0.0),
+        (s2, k) => s2 + element_at(vd, k + 1) * hyperplaneComponent(j, k, dim))
+      acc + when(proj > 0, pow2(j)).otherwise(lit(0L))
+    })
+  }
+
+  /** Centroid components per label via posexplode + (label, pos)
+    * aggregation — the scalable elementwise-mean pattern (no
+    * collect_list of whole vectors through the shuffle). */
+  def centroidComponents(df: DataFrame, labelCol: String): DataFrame =
+    df.select(col(labelCol), posexplode(asDouble(col("embedding"))).as(Seq("pos", "x")))
+      .groupBy(col(labelCol), col("pos"))
+      .agg(avg(col("x")).as("avg_x"), count(lit(1)).as("n"))
+}

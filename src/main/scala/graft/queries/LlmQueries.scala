@@ -1,2 +1,220 @@
 package graft.queries
-object LlmQueries { val all: Seq[GQuery] = Seq() }
+
+import graft.Tables
+import graft.operators.{Dedup, Similarity}
+import graft.functions.TextAnalysis
+import org.apache.spark.sql.functions._
+
+/** LLM training-data pipeline operators as driver-verifiable queries:
+  * exact + MinHash-LSH + SimHash + n-gram-Jaccard deduplication over
+  * `documents`, cosine similarity search + LSH bucketing + centroids
+  * over `embeddings`. Every hash is md5-derived so the DuckDB oracle
+  * reproduces signatures bit-for-bit (SURVEY §7.5).
+  */
+object LlmQueries {
+
+  /** Shared SQL fragments so Spark + oracle can't drift. */
+  private val toksSql = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+  private def shinglesSql(toks: String) =
+    s"CASE WHEN len($toks) >= 3 THEN list_distinct(list_transform(range(0, len($toks) - 2), " +
+      s"i -> array_to_string(($toks)[i+1:i+3], ' '))) ELSE [] END"
+  private val h60 = "CAST('0x' || substring(md5(__X__), 1, 15) AS BIGINT)"
+
+  /** Exact-dedup stats: corpus-level duplicate accounting. */
+  val q40DedupExactStats = GQuery(
+    "q40_dedup_exact_stats",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d).agg(
+        count(lit(1)).as("total_docs"),
+        countDistinct(TextAnalysis.fingerprint($"text")).as("unique_docs"),
+        (count(lit(1)) - countDistinct(TextAnalysis.fingerprint($"text"))).as("exact_dups"))
+    },
+    Some("""SELECT count(*) AS total_docs,
+           |  count(DISTINCT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))) AS unique_docs,
+           |  count(*) - count(DISTINCT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))) AS exact_dups
+           |FROM documents""".stripMargin))
+
+  /** Exact dedup keep-min-id (the W3 pattern at corpus scale; shuffle
+    * key is the 128-bit fingerprint, not the text). */
+  val q41DedupExactKeep = GQuery(
+    "q41_dedup_exact_keep",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .groupBy(TextAnalysis.fingerprint($"text").as("fp"))
+        .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+    },
+    Some("""SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+           |  min(doc_id) AS keep_id, count(*) AS n_copies
+           |FROM documents GROUP BY fp""".stripMargin))
+
+  /** MinHash(32) + LSH(8 bands × 4) near-dup detection, verified with
+    * exact shingle-Jaccard ≥ 0.9. The corpus plants one duplicate per
+    * document (doc_id+100000) so the pipeline provably finds them. */
+  val q42MinhashLsh = GQuery(
+    "q42_minhash_lsh",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val corpus = docs.select($"doc_id".as("id"), $"text")
+        .union(docs.select(($"doc_id" + 100000).as("id"), $"text"))
+      val cand = Dedup.lshCandidates(corpus, "id", "text", numHashes = 32, bands = 8)
+      val sh = corpus.select($"id",
+        Dedup.shingleHashes($"text", 3).as("hs"))
+      cand
+        .join(sh.select($"id".as("id_a"), $"hs".as("hs_a")), "id_a")
+        .join(sh.select($"id".as("id_b"), $"hs".as("hs_b")), "id_b")
+        .withColumn("jaccard", round(Dedup.jaccard($"hs_a", $"hs_b"), 4))
+        .filter($"jaccard" >= 0.9)
+        .select($"id_a", $"id_b", $"jaccard")
+    },
+    Some {
+      val aL = Dedup.coeffA(32).mkString("[", ",", "]")
+      val bL = Dedup.coeffB(32).mkString("[", ",", "]")
+      val hs = s"list_transform(${shinglesSql(toksSql)}, sh -> ${h60.replace("__X__", "sh")} % ${Dedup.P})"
+      s"""WITH corpus AS (
+         |  SELECT doc_id AS id, text FROM documents
+         |  UNION ALL SELECT doc_id + 100000 AS id, text FROM documents),
+         |shingled AS (SELECT id, $hs AS hs FROM corpus),
+         |sigs AS (SELECT id,
+         |  list_transform(range(0, 32), i ->
+         |    list_min(list_transform(hs, h -> (($aL)[i+1] * h + ($bL)[i+1]) % ${Dedup.P}))) AS sig
+         |  FROM shingled),
+         |bands AS (SELECT id,
+         |  unnest(list_transform(range(0, 8), j ->
+         |    CAST(j AS VARCHAR) || ':' || array_to_string(sig[j*4+1:j*4+4], ','))) AS bk
+         |  FROM sigs),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM bands a JOIN bands b ON a.bk = b.bk AND a.id < b.id)
+         |SELECT id_a, id_b, jaccard FROM (
+         |  SELECT id_a, id_b,
+         |    round(len(list_filter(sa.hs, x -> list_contains(sb.hs, x))) /
+         |      (len(sa.hs) + len(sb.hs) - len(list_filter(sa.hs, x -> list_contains(sb.hs, x)))), 4) AS jaccard
+         |  FROM cand JOIN shingled sa ON cand.id_a = sa.id
+         |            JOIN shingled sb ON cand.id_b = sb.id)
+         |WHERE jaccard >= 0.9""".stripMargin
+    })
+
+  /** SimHash signatures: 32-bit majority-vote sketch; distinct count per
+    * language (bit arithmetic via %/pow so any engine reproduces it). */
+  val q43Simhash = GQuery(
+    "q43_simhash",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .withColumn("sh", Dedup.simhash($"text"))
+        .groupBy($"lang").agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct($"sh").as("n_distinct_simhash"))
+    },
+    Some {
+      val hs = s"list_transform(list_distinct($toksSql), t -> ${h60.replace("__X__", "t")})"
+      s"""SELECT lang, count(*) AS n_docs, count(DISTINCT sh) AS n_distinct_simhash
+         |FROM (SELECT lang,
+         |  list_sum(list_transform(range(0, 32), j ->
+         |    CASE WHEN list_sum(list_transform($hs, h ->
+         |        CASE WHEN (h % CAST(pow(2, j+1) AS BIGINT)) >= CAST(pow(2, j) AS BIGINT)
+         |             THEN 1 ELSE -1 END)) > 0
+         |    THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)) AS sh
+         |  FROM documents)
+         |GROUP BY lang""".stripMargin
+    })
+
+  /** n-gram Jaccard near-dup scan within source buckets (the exact
+    * variant — at 100 TB this runs on LSH candidates, never all pairs;
+    * bucketing by source keeps the quadratic term bounded). */
+  val q44NgramJaccard = GQuery(
+    "q44_ngram_jaccard",
+    (s, d) => {
+      import s.implicits._
+      val sh = Tables.documents(s, d)
+        .select($"doc_id", $"source", Dedup.shingleHashes($"text", 3).as("hs"))
+      sh.alias("a").join(sh.alias("b"),
+          col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.source").as("source"),
+          Dedup.jaccard(col("a.hs"), col("b.hs")).as("jac"))
+        .groupBy($"source").agg(
+          count(lit(1)).as("n_pairs"),
+          round(avg($"jac"), 4).as("avg_jaccard"),
+          round(max($"jac"), 4).as("max_jaccard"))
+    },
+    Some {
+      val hs = s"list_transform(${shinglesSql(toksSql)}, sh -> ${h60.replace("__X__", "sh")} % ${Dedup.P})"
+      s"""WITH shingled AS (SELECT doc_id, source, $hs AS hs FROM documents)
+         |SELECT source, count(*) AS n_pairs,
+         |  round(avg(jac), 4) AS avg_jaccard, round(max(jac), 4) AS max_jaccard
+         |FROM (
+         |  SELECT a.source AS source,
+         |    len(list_filter(a.hs, x -> list_contains(b.hs, x))) /
+         |      (len(a.hs) + len(b.hs) - len(list_filter(a.hs, x -> list_contains(b.hs, x)))) AS jac
+         |  FROM shingled a JOIN shingled b ON a.source = b.source AND a.doc_id < b.doc_id)
+         |GROUP BY source""".stripMargin
+    })
+
+  /** Brute-force cosine top-5 for 5 query vectors — the exact ANN
+    * baseline (query set broadcast; corpus scanned once). */
+  val q45CosineTopk = GQuery(
+    "q45_cosine_topk",
+    (s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(emb.filter($"vec_id" < 5), emb, 5)
+    },
+    Some("""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+           |           FROM embeddings WHERE vec_id < 5),
+           |c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+           |sims AS (SELECT qid, cid,
+           |  list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*cv[i])) /
+           |  (sqrt(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*qv[i]))) *
+           |   sqrt(list_sum(list_transform(range(1, len(cv)+1), i -> cv[i]*cv[i])))) AS sim
+           |  FROM q JOIN c ON qid <> cid)
+           |SELECT qid, cid, round(sim, 4) AS sim FROM (
+           |  SELECT qid, cid, sim,
+           |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+           |  FROM sims)
+           |WHERE rn <= 5""".stripMargin))
+
+  /** Elementwise centroids per label (first 4 components) — the
+    * scalable posexplode mean, no vector collect. */
+  val q46Centroids = GQuery(
+    "q46_embedding_centroids",
+    (s, d) => {
+      import s.implicits._
+      Similarity.centroidComponents(Tables.embeddings(s, d), "label")
+        .filter($"pos" < 4)
+        .select($"label", $"pos", round($"avg_x", 6).as("avg_x"), $"n")
+    },
+    Some("""SELECT label, CAST(i AS INT) AS pos,
+           |  round(avg(CAST(embedding[i+1] AS DOUBLE)), 6) AS avg_x,
+           |  count(*) AS n
+           |FROM embeddings, range(0, 4) t(i)
+           |GROUP BY label, i""".stripMargin))
+
+  /** Random-hyperplane LSH bucketing (16-bit sign sketch over 64 dims):
+    * bucket histogram stats. The ANN scale path: bucket id = shuffle
+    * key; per-bucket candidate sets replace the all-pairs scan. */
+  val q47LshBuckets = GQuery(
+    "q47_lsh_buckets",
+    (s, d) => {
+      import s.implicits._
+      Tables.embeddings(s, d)
+        .withColumn("bucket", Similarity.hyperplaneBuckets($"embedding", 64, 16))
+        .groupBy($"bucket").agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_buckets"), sum($"n").as("n_vectors"), max($"n").as("max_bucket"))
+    },
+    Some("""SELECT count(*) AS n_buckets, CAST(sum(n) AS BIGINT) AS n_vectors,
+           |  CAST(max(n) AS BIGINT) AS max_bucket
+           |FROM (SELECT bucket, count(*) AS n FROM (
+           |  SELECT list_sum(list_transform(range(0, 16), j ->
+           |    CASE WHEN list_sum(list_transform(range(0, 64), k ->
+           |        CAST(embedding[k+1] AS DOUBLE) *
+           |        (CAST(((j*64 + k) * 2654435761) % 1000003 AS DOUBLE)/1000003.0 - 0.5))) > 0
+           |    THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)) AS bucket
+           |  FROM embeddings)
+           |  GROUP BY bucket)""".stripMargin))
+
+  val all: Seq[GQuery] = Seq(
+    q40DedupExactStats, q41DedupExactKeep, q42MinhashLsh, q43Simhash,
+    q44NgramJaccard, q45CosineTopk, q46Centroids, q47LshBuckets)
+}
