@@ -1,17 +1,27 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import graft.queries.Registry
+
+/** Benchmark main — runs the headline query set (GQuery.benchmark=true:
+  * the heavy scan/join/window/text/dedup representatives) against
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line for the driver.
+  * A tiny warm-up action runs first so JVM/codegen startup isn't
+  * attributed to the first measured query.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    spark.read.parquet(s"$sfDir/region.parquet").count() // warm-up
+    val headline = Registry.allQueries.filter(_.benchmark)
+    val results = headline.map { q =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { q.run(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      q.name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -33,21 +33,29 @@ object Normalize {
       .otherwise(lit(null).cast(BooleanType))
   }
 
-  /** F2 `normalize_numeric` (transformer_data.py:45-78).
-    * EU form `1.234,56` (last ',' after last '.') → strip '.', ','→'.';
-    * US form `1,234.56` → strip ','; plain parse otherwise; null on
-    * failure (pandas errors='coerce' ≈ Spark try_cast).
+  /** F2 `normalize_numeric`, reference-exact (transformer_data.py:63-75):
+    *  - EU `1.234,56`: dots>0 AND exactly one comma AND last ',' after
+    *    last '.' → strip dots, comma→dot;
+    *  - US thousands `1,234`: commas>0 AND no dots → strip commas
+    *    (note: bare "185,22" is treated as thousands → 18522, per the
+    *    reference — NOT as an EU decimal);
+    *  - anything else parses as-is; failure → null (float() ValueError
+    *    ≈ try_cast), so mixed "1,234.56" yields null exactly like the
+    *    reference.
     */
   def numeric(c: Column): Column = {
     val s = trim(c.cast(StringType))
+    val dots   = length(s) - length(regexp_replace(s, "\\.", ""))
+    val commas = length(s) - length(regexp_replace(s, ",", ""))
     // position of last comma/dot: length minus index in reversed string
     val revS = reverse(s)
     val lastComma = when(instr(revS, ",") > 0, length(s) - instr(revS, ",") + 1).otherwise(lit(0))
     val lastDot   = when(instr(revS, ".") > 0, length(s) - instr(revS, ".") + 1).otherwise(lit(0))
-    val euForm = (lastComma > 0) && (lastComma > lastDot)
-    val cleaned = when(euForm,
-        regexp_replace(regexp_replace(s, "\\.", ""), ",", "."))
-      .otherwise(regexp_replace(s, ",", ""))
+    val euForm = (dots > 0) && (commas === 1) && (lastComma > lastDot)
+    val usForm = (commas > 0) && (dots === 0)
+    val cleaned = when(euForm, regexp_replace(regexp_replace(s, "\\.", ""), ",", "."))
+      .when(usForm, regexp_replace(s, ",", ""))
+      .otherwise(s)
     when(s.isNull || s === "", lit(null).cast(DoubleType))
       .otherwise(cleaned.try_cast("double"))
   }

@@ -1,0 +1,113 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Normalize
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Gold-layer star-schema builder — the Spark-first re-expression of
+  * the reference's warehouse loader (loader_NeonDB.py:78-256 DDL +
+  * :682-882 load_all, SURVEY §3 E3): dimensions with deterministic
+  * surrogate keys, facts FK-joined to dims, all as one lazy lineage
+  * graph (no per-row inserts, no driver loops).
+  *
+  * Surrogate keys, two strategies (SURVEY §7.4 hard part #1):
+  *  - [[seqKey]]: row_number over a canonical ordering — compact,
+  *    contiguous, matches the reference's SERIAL semantics. The global
+  *    window is a single-partition exchange, fine for dimension-sized
+  *    inputs (dims ≪ facts by construction).
+  *  - [[hashKey]]: xxhash64 of the natural key — fully parallel, the
+  *    100 TB path when even the dimension is huge; not contiguous.
+  */
+object StarSchema {
+
+  def seqKey(df: DataFrame, orderCol: String, keyName: String): DataFrame =
+    df.withColumn(keyName, row_number().over(Window.orderBy(col(orderCol))))
+
+  def hashKey(df: DataFrame, naturalKey: Seq[String], keyName: String): DataFrame =
+    df.withColumn(keyName, xxhash64(naturalKey.map(col): _*))
+
+  /** dim_fecha from the fact's date domain (J5, loader_NeonDB.py:266-285). */
+  def dimFecha(orders: DataFrame): DataFrame =
+    seqKey(
+      orders.select(col("o_orderdate").cast("date").as("fecha")).distinct(),
+      "fecha", "fecha_id")
+      .withColumn("anio", year(col("fecha")))
+      .withColumn("mes", month(col("fecha")))
+      .withColumn("trimestre", quarter(col("fecha")))
+      .withColumn("dia_semana", Normalize.dayOfWeekMonday0(col("fecha")))
+      .withColumn("es_fin_semana", Normalize.isWeekend(col("fecha")))
+
+  /** dim_customer with nation/region denormalized in (snowflake→star
+    * flattening; both small → broadcast). */
+  def dimCustomer(customer: DataFrame, nation: DataFrame, region: DataFrame): DataFrame =
+    seqKey(
+      customer
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+          col("n_name").as("nation"), col("r_name").as("region")),
+      "c_custkey", "customer_sk")
+
+  def dimPart(part: DataFrame): DataFrame =
+    seqKey(part.select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size")),
+      "p_partkey", "part_sk")
+
+  /** fact_orders: FK surrogate resolution via broadcast lookups (J2).
+    * At 100 TB the fact never shuffles here — both dims broadcast. */
+  def factOrders(orders: DataFrame, dimFecha: DataFrame, dimCustomer: DataFrame): DataFrame =
+    orders
+      .join(broadcast(dimFecha.select(col("fecha"), col("fecha_id"))),
+        orders("o_orderdate").cast("date") === col("fecha"), "left")
+      .join(broadcast(dimCustomer.select(col("c_custkey"), col("customer_sk"))),
+        orders("o_custkey") === col("c_custkey"), "left")
+      .select(col("o_orderkey"), col("fecha_id"), col("customer_sk"),
+        col("o_totalprice"), col("o_orderstatus"))
+
+  /** All star tables in one lineage. */
+  def build(spark: SparkSession, sfDir: String): Map[String, DataFrame] = {
+    val orders = Tables.orders(spark, sfDir)
+    val fecha = dimFecha(orders)
+    val cust = dimCustomer(Tables.customer(spark, sfDir),
+      Tables.nation(spark, sfDir), Tables.region(spark, sfDir))
+    val part = dimPart(Tables.part(spark, sfDir))
+    Map(
+      "dim_fecha" -> fecha,
+      "dim_customer" -> cust,
+      "dim_part" -> part,
+      "fact_orders" -> factOrders(orders, fecha, cust))
+  }
+}
+
+/** Warehouse validation (validator_warehouse.py:31-248, SURVEY §2.4
+  * A11/A12 + §2.3 J3): PK uniqueness, FK orphan counts (anti-joins),
+  * plausibility stats — returned as a tidy (check, n_bad) report
+  * DataFrame so both the driver's oracle and ScalaTest can assert on it.
+  */
+object Validator {
+
+  def uniqueness(df: DataFrame, pk: String, name: String): DataFrame =
+    df.agg((count(lit(1)) - countDistinct(col(pk))).as("n_bad"))
+      .select(lit(name).as("check_name"), col("n_bad"))
+
+  def orphans(fact: DataFrame, fk: String, dim: DataFrame, pk: String, name: String): DataFrame =
+    // rename the dim key: fk and pk often share a name and a bare
+    // col(pk) would ambiguously resolve against the fact side
+    fact.join(dim.select(col(pk).as("__dim_pk")), fact(fk) === col("__dim_pk"), "left_anti")
+      .agg(count(lit(1)).as("n_bad"))
+      .select(lit(name).as("check_name"), col("n_bad"))
+
+  /** Full integrity report over the built star. */
+  def report(star: Map[String, DataFrame]): DataFrame = {
+    val f = star("fact_orders")
+    Seq(
+      uniqueness(star("dim_fecha"), "fecha_id", "uniq_dim_fecha"),
+      uniqueness(star("dim_customer"), "customer_sk", "uniq_dim_customer"),
+      uniqueness(star("dim_part"), "part_sk", "uniq_dim_part"),
+      uniqueness(f, "o_orderkey", "uniq_fact_orders"),
+      orphans(f, "fecha_id", star("dim_fecha"), "fecha_id", "orphan_fact_fecha"),
+      orphans(f, "customer_sk", star("dim_customer"), "customer_sk", "orphan_fact_customer")
+    ).reduce(_ union _)
+  }
+}

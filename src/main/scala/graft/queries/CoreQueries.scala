@@ -248,7 +248,9 @@ object CoreQueries {
            |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
            |GROUP BY o_orderpriority""".stripMargin))
 
-  /** J3 anti-join orphan detection (validator_warehouse.py:110-154). */
+  /** J3 anti-join orphan detection (validator_warehouse.py:110-154).
+    * Single-row count so the result is non-empty even when no orphans
+    * exist (the healthy case). */
   val q15AntiJoin = GQuery(
     "q15_anti_join",
     (s, d) => {
@@ -256,11 +258,12 @@ object CoreQueries {
       Tables.customer(s, d)
         .join(Tables.orders(s, d).select($"o_custkey"),
           col("c_custkey") === col("o_custkey"), "left_anti")
-        .groupBy($"c_mktsegment").agg(count(lit(1)).as("n_customers_no_orders"))
+        .agg(count(lit(1)).as("n_customers_no_orders"),
+          countDistinct($"c_mktsegment").as("n_segments_affected"))
     },
-    Some("""SELECT c_mktsegment, count(*) AS n_customers_no_orders FROM customer
-           |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
-           |GROUP BY c_mktsegment""".stripMargin))
+    Some("""SELECT count(*) AS n_customers_no_orders,
+           |  count(DISTINCT c_mktsegment) AS n_segments_affected
+           |FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin))
 
   /** J2 broadcast dimension lookup join (loader_NeonDB.py:261-264 dict
     * lookup → broadcast hash join; fact side never shuffles). */

@@ -1,2 +1,170 @@
 package graft.queries
-object StarQueries { val all: Seq[GQuery] = Seq() }
+
+import graft.Tables
+import graft.functions.{Classify, TextAnalysis}
+import graft.operators.{Multimodal, StarSchema, Validator}
+import graft.streaming.Streams
+import org.apache.spark.sql.functions._
+
+/** Gold-layer star schema, warehouse validation, multimodal plumbing and
+  * the batch twin of the streaming window agg — the E2/E3 lifecycle of
+  * SURVEY §3 re-expressed as one lazy Spark lineage per query.
+  */
+object StarQueries {
+
+  /** Star dimension with deterministic SERIAL-style surrogate keys
+    * (loader_NeonDB.py:94-117 → row_number over canonical order). */
+  val q32DimCustomer = GQuery(
+    "q32_dim_customer",
+    (s, d) => {
+      import s.implicits._
+      StarSchema.dimCustomer(Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))
+        .select($"customer_sk", $"c_custkey", $"c_name", $"c_mktsegment", $"nation", $"region")
+    },
+    Some("""SELECT CAST(row_number() OVER (ORDER BY c_custkey) AS INT) AS customer_sk,
+           |  c_custkey, c_name, c_mktsegment, n_name AS nation, r_name AS region
+           |FROM customer
+           |JOIN nation ON c_nationkey = n_nationkey
+           |JOIN region ON n_regionkey = r_regionkey""".stripMargin))
+
+  /** Fact table with FK surrogate resolution via broadcast dim lookups
+    * (loader_NeonDB.py:556-605). */
+  val q33FactOrders = GQuery(
+    "q33_fact_orders",
+    (s, d) => {
+      import s.implicits._
+      val star = StarSchema.build(s, d)
+      star("fact_orders")
+    },
+    Some("""WITH dim_fecha AS (
+           |  SELECT fecha, CAST(row_number() OVER (ORDER BY fecha) AS INT) AS fecha_id
+           |  FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS fecha FROM orders)),
+           |dim_customer AS (
+           |  SELECT c_custkey, CAST(row_number() OVER (ORDER BY c_custkey) AS INT) AS customer_sk
+           |  FROM customer)
+           |SELECT o_orderkey, fecha_id, customer_sk, o_totalprice, o_orderstatus
+           |FROM orders
+           |LEFT JOIN dim_fecha ON CAST(o_orderdate AS DATE) = fecha
+           |LEFT JOIN dim_customer ON o_custkey = c_custkey""".stripMargin))
+
+  /** Star-join analytics over the built schema (the gold-layer query
+    * shape the warehouse exists for). */
+  val q34StarAgg = GQuery(
+    "q34_star_agg",
+    (s, d) => {
+      import s.implicits._
+      val star = StarSchema.build(s, d)
+      star("fact_orders")
+        .join(broadcast(star("dim_fecha").select($"fecha_id", $"anio")), "fecha_id")
+        .join(broadcast(star("dim_customer").select($"customer_sk", $"region")), "customer_sk")
+        .groupBy($"anio", $"region")
+        .agg(round(sum($"o_totalprice"), 2).as("revenue"), count(lit(1)).as("n_orders"))
+    },
+    Some("""WITH dim_fecha AS (
+           |  SELECT fecha, CAST(row_number() OVER (ORDER BY fecha) AS INT) AS fecha_id,
+           |         year(fecha) AS anio
+           |  FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS fecha FROM orders)),
+           |dim_customer AS (
+           |  SELECT c_custkey, CAST(row_number() OVER (ORDER BY c_custkey) AS INT) AS customer_sk,
+           |         r_name AS region
+           |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+           |                JOIN region ON n_regionkey = r_regionkey)
+           |SELECT CAST(anio AS INT) AS anio, region,
+           |  round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+           |FROM orders
+           |JOIN dim_fecha ON CAST(o_orderdate AS DATE) = fecha
+           |JOIN dim_customer ON o_custkey = c_custkey
+           |GROUP BY anio, region""".stripMargin),
+    benchmark = true)
+
+  /** Warehouse integrity report: PK uniqueness + FK orphans
+    * (validator_warehouse.py:72-164 promoted to a first-class query). */
+  val q39ValidationReport = GQuery(
+    "q39_validation_report",
+    (s, d) => Validator.report(StarSchema.build(s, d)),
+    Some("""SELECT 'uniq_dim_fecha' AS check_name, CAST(count(DISTINCT CAST(o_orderdate AS DATE)) - count(DISTINCT CAST(o_orderdate AS DATE)) AS BIGINT) AS n_bad FROM orders
+           |UNION ALL SELECT 'uniq_dim_customer', count(*) - count(DISTINCT c_custkey) FROM customer
+           |UNION ALL SELECT 'uniq_dim_part', count(*) - count(DISTINCT p_partkey) FROM part
+           |UNION ALL SELECT 'uniq_fact_orders', count(*) - count(DISTINCT o_orderkey) FROM orders
+           |UNION ALL SELECT 'orphan_fact_fecha', count(*) FILTER (WHERE o_orderdate IS NULL) FROM orders
+           |UNION ALL SELECT 'orphan_fact_customer', count(*) FILTER (WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) FROM orders""".stripMargin))
+
+  /** E2 flagship pipeline (SURVEY §7.2): keyword include/exclude →
+    * content dedup → classify → summary, on the documents corpus. */
+  val q48FlagshipPipeline = GQuery(
+    "q48_flagship_pipeline",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val rules = Seq("stream" -> "Streaming", "window" -> "Windowing",
+        "join" -> "Joins", "group" -> "Aggregation")
+      val filtered = Tables.documents(s, d)
+        .filter(Classify.containsAny($"text", Seq("join", "merge", "group")) &&
+          Classify.containsNone($"text", Seq("batch")))
+      val deduped = filtered
+        .withColumn("fp", TextAnalysis.fingerprint($"text"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"fp").orderBy($"doc_id".asc)))
+        .filter($"rn" === 1)
+      deduped
+        .withColumn("category", Classify.keywordClassifier($"text", rules, "General"))
+        .withColumn("n_tokens", TextAnalysis.tokenCount($"text"))
+        .groupBy($"category")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tokens").as("total_tokens"),
+          round(avg($"n_tokens"), 4).as("avg_tokens"),
+          countDistinct($"lang").as("n_langs"))
+    },
+    Some {
+      val rules = Seq("stream" -> "Streaming", "window" -> "Windowing",
+        "join" -> "Joins", "group" -> "Aggregation")
+      s"""WITH filtered AS (
+         |  SELECT *, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+         |    len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_tokens
+         |  FROM documents
+         |  WHERE regexp_matches(lower(text), 'join|merge|group')
+         |    AND NOT regexp_matches(lower(text), 'batch')),
+         |deduped AS (
+         |  SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+         |                 FROM filtered) WHERE rn = 1)
+         |SELECT ${Classify.keywordClassifierSql("text", rules, "General")} AS category,
+         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |  round(avg(n_tokens), 4) AS avg_tokens, count(DISTINCT lang) AS n_langs
+         |FROM deduped GROUP BY category""".stripMargin
+    },
+    benchmark = true)
+
+  /** Multimodal metadata extraction over binary payloads: byte length,
+    * sha256, deterministic fake decode (width/height) — the Spark-side
+    * plumbing is real, the codec is stubbed (see Multimodal.fakeDecode). */
+  val q50MultimodalMeta = GQuery(
+    "q50_multimodal_meta",
+    (s, d) => {
+      import s.implicits._
+      Multimodal.mediaTable(Tables.documents(s, d), "text")
+        .groupBy(substring($"meta.sha256", 1, 1).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum($"meta.byte_len").as("total_bytes"),
+          sum($"decoded.width".cast("long")).as("width_sum"),
+          sum($"decoded.height".cast("long")).as("height_sum"))
+    },
+    Some("""SELECT substring(sha256(text), 1, 1) AS bucket, count(*) AS n,
+           |  CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,
+           |  CAST(sum(CAST('0x' || substring(sha256(text), 1, 15) AS BIGINT) % 1280 + 32) AS BIGINT) AS width_sum,
+           |  CAST(sum(CAST('0x' || substring(sha256(text), 16, 15) AS BIGINT) % 720 + 32) AS BIGINT) AS height_sum
+           |FROM documents GROUP BY bucket""".stripMargin))
+
+  /** Batch twin of the streaming tumbling-window aggregation
+    * (Streams.tumblingCounts runs unchanged on a stream with watermark). */
+  val q51WindowTumbling = GQuery(
+    "q51_window_tumbling",
+    (s, d) => Streams.tumblingCounts(Tables.events(s, d)),
+    Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           |  event_type, count(*) AS n, round(sum(value), 2) AS total_value
+           |FROM events GROUP BY window_start, event_type""".stripMargin),
+    benchmark = true)
+
+  val all: Seq[GQuery] = Seq(
+    q32DimCustomer, q33FactOrders, q34StarAgg, q39ValidationReport,
+    q48FlagshipPipeline, q50MultimodalMeta, q51WindowTumbling)
+}

@@ -103,22 +103,24 @@ object TextQueries {
            |      FROM documents)
            |GROUP BY lang""".stripMargin))
 
-  /** F2 normalize_numeric, EU-locale branch: build "185,22"-style
-    * strings with printf (identical in both engines), parse back
-    * (transformer_data.py:45-78). */
+  /** F2 normalize_numeric, EU-locale branch: build "9.185,22"-style
+    * mixed strings with printf (identical in both engines), parse back
+    * via the reference's EU rule — strip dots, comma→decimal point
+    * (transformer_data.py:63-75). */
   val q28NormalizeNumeric = GQuery(
     "q28_normalize_numeric",
     (s, d) => {
       import s.implicits._
       Tables.events(s, d)
-        .withColumn("eu_str", regexp_replace(format_string("%.2f", $"value"), "\\.", ","))
+        .withColumn("eu_str",
+          concat(lit("9."), regexp_replace(format_string("%.2f", $"value"), "\\.", ",")))
         .withColumn("parsed", Normalize.numeric($"eu_str"))
         .groupBy($"event_type")
         .agg(round(sum($"parsed"), 2).as("total_value"),
           count(when($"parsed".isNull, 1)).as("n_unparsed"))
     },
     Some("""SELECT event_type,
-           |  round(sum(CAST(replace(replace(printf('%.2f', value), '.', ','), ',', '.') AS DOUBLE)), 2) AS total_value,
+           |  round(sum(CAST(replace(replace('9.' || replace(printf('%.2f', value), '.', ','), '.', ''), ',', '.') AS DOUBLE)), 2) AS total_value,
            |  0::BIGINT AS n_unparsed
            |FROM events GROUP BY event_type""".stripMargin))
 

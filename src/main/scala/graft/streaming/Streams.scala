@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming extensions (SURVEY §2.9: the reference is
+  * batch-only; this is the §7.5 additive module). The transforms are
+  * written against plain DataFrames so the SAME code serves batch and
+  * streaming — the Spark-native way to keep parity between the two.
+  */
+object Streams {
+
+  /** Schema of the events table as ingested by the stream reader
+    * (ts arrives as epoch-nanos long; see Tables.fixNanoTs). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Nanos→timestamp normalization shared by batch and stream paths. */
+  def normalize(df: DataFrame): DataFrame =
+    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Tumbling-window counts per event type — works on a batch OR
+    * streaming DataFrame (watermark applied only when streaming). */
+  def tumblingCounts(events: DataFrame, windowLen: String = "1 hour"): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", "2 hours") else events
+    src.groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"), col("total_value"))
+  }
+
+  /** File-source stream over an events parquet DIRECTORY (the file
+    * stream source pins basePath to the source path internally, so a
+    * bare .parquet file path is rejected — point this at a directory
+    * of event files, the production layout anyway). */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    normalize(spark.readStream.schema(eventSchema).parquet(dir))
+
+  /** Start the windowed aggregation into an in-memory table (tests /
+    * local smoke; swap the sink for kafka/delta in production). */
+  def startTumblingToMemory(spark: SparkSession, dir: String,
+      queryName: String): StreamingQuery =
+    tumblingCounts(readEventStream(spark, dir))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Per-user running session state via mapGroupsWithState: counts
+    * events and carries the last-seen timestamp per user. */
+  case class UserEvent(user_id: Long, event_id: Long, tsMicros: Long)
+  case class UserState(user_id: Long, n_events: Long, last_event_id: Long)
+
+  def sessionize(events: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tsMicros"))
+      .as[UserEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[UserEvent], state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(uid, 0L, -1L))
+          var n = prev.n_events
+          var last = prev.last_event_id
+          var lastTs = Long.MinValue
+          it.foreach { e =>
+            n += 1
+            if (e.tsMicros >= lastTs) { lastTs = e.tsMicros; last = e.event_id }
+          }
+          val next = UserState(uid, n, last)
+          state.update(next)
+          next
+      }
+      .toDF()
+  }
+}

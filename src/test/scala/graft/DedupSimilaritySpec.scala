@@ -1,0 +1,95 @@
+package graft
+
+import graft.functions.TextAnalysis
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+class DedupSimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("shingles: distinct 3-gram windows, short docs -> empty") {
+    val df = Seq("a b c d", "a b").toDF("text")
+      .select(TextAnalysis.shingles($"text", 3).as("sh"))
+    val got = df.collect().map(_.getSeq[String](0).toSeq).toSeq
+    assert(got == Seq(Seq("a b c", "b c d"), Seq()))
+  }
+
+  test("minhash: identical text -> identical signature; near-dup -> mostly equal") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different words about spark catalyst optimizer plans here")
+    ).toDF("id", "text")
+      .select($"id", Dedup.minhashSignature($"text", 32, 3).as("sig"))
+    val sigs = df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+  }
+
+  test("lshCandidates finds planted duplicates") {
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.select($"doc_id".as("id"), $"text")
+      .union(docs.select(($"doc_id" + 100000).as("id"), $"text"))
+    val nDocs = docs.count()
+    val cand = Dedup.lshCandidates(corpus, "id", "text")
+    val planted = cand.filter($"id_b" - $"id_a" === 100000).count()
+    assert(planted == nDocs, s"expected all $nDocs planted dup pairs, got $planted")
+  }
+
+  test("exact dedup keeps min id per content") {
+    val df = Seq((5L, "same text here"), (2L, "same text here"), (9L, "other text"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.exact(df, "text", "doc_id").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 9L))
+  }
+
+  test("jaccard on known sets") {
+    val df = Seq((Seq(1L, 2L, 3L), Seq(2L, 3L, 4L))).toDF("a", "b")
+    val j = df.select(Dedup.jaccard($"a", $"b")).collect()(0).getDouble(0)
+    assert(math.abs(j - 0.5) < 1e-12)
+  }
+
+  test("simhash: identical -> equal, near-dup closer than unrelated (hamming)") {
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (3L, "one two three four five six seven eight nine ten"))
+      .toDF("id", "text").select($"id", Dedup.simhash($"text").as("sh"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ham(m(1L), m(2L)) < ham(m(1L), m(3L)))
+  }
+
+  test("cosine: orthogonal=0, parallel=1") {
+    val df = Seq((Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(2.0, 0.0))).toDF("a", "b", "c")
+    val r = df.select(
+      Similarity.cosine($"a", $"b"), Similarity.cosine($"a", $"c")).collect()(0)
+    assert(math.abs(r.getDouble(0)) < 1e-12 && math.abs(r.getDouble(1) - 1.0) < 1e-12)
+  }
+
+  test("brute-force topk self-consistency: nearest neighbor of a duplicated vector is its twin") {
+    val emb = Tables.embeddings(spark, sf)
+    // plant vec 9999 = copy of vec 0; its top-1 neighbor must be vec 0 with sim 1.0
+    val v0 = emb.filter($"vec_id" === 0)
+    val corpus = emb.union(v0.select(lit(9999L).as("vec_id"), $"embedding", $"label"))
+    val top = Similarity.bruteForceTopK(corpus.filter($"vec_id" === 9999), corpus, 1)
+      .collect()(0)
+    assert(top.getLong(1) == 0L && math.abs(top.getDouble(2) - 1.0) < 1e-9)
+  }
+
+  test("hyperplane buckets: identical vectors share a bucket") {
+    val emb = Tables.embeddings(spark, sf).limit(20)
+    val b1 = emb.select($"vec_id", Similarity.hyperplaneBuckets($"embedding", 64, 16).as("b"))
+    val b2 = emb.select($"vec_id", Similarity.hyperplaneBuckets($"embedding", 64, 16).as("b2"))
+    val joined = b1.join(b2, "vec_id").filter($"b" =!= $"b2").count()
+    assert(joined == 0)
+  }
+
+  test("centroids: mean of components is exact on a tiny set") {
+    val df = Seq((0, Seq(1.0f, 3.0f)), (0, Seq(3.0f, 5.0f))).toDF("label", "embedding")
+    val got = Similarity.centroidComponents(df, "label")
+      .orderBy("pos").collect().map(r => (r.getInt(1), r.getDouble(2))).toSeq
+    assert(got == Seq((0, 2.0), (1, 4.0)))
+  }
+}

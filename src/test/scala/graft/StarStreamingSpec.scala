@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.{Multimodal, StarSchema, Validator}
+import graft.streaming.Streams
+import org.apache.spark.sql.functions._
+
+class StarStreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("star schema: validation report is all-zero (uniqueness + no orphans)") {
+    val star = StarSchema.build(spark, sf)
+    val bad = Validator.report(star).filter($"n_bad" =!= 0L).collect()
+    assert(bad.isEmpty, s"integrity violations: ${bad.mkString(",")}")
+  }
+
+  test("surrogate keys are deterministic across builds") {
+    val a = StarSchema.build(spark, sf)("dim_customer").select("c_custkey", "customer_sk")
+    val b = StarSchema.build(spark, sf)("dim_customer").select("c_custkey", "customer_sk")
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
+  test("hashKey surrogate: stable and collision-free on customer") {
+    val c = Tables.customer(spark, sf)
+    val keyed = StarSchema.hashKey(c, Seq("c_custkey"), "sk")
+    assert(keyed.select(countDistinct($"sk")).collect()(0).getLong(0) == c.count())
+  }
+
+  test("streaming tumbling counts == batch tumbling counts") {
+    val batch = Streams.tumblingCounts(Tables.events(spark, sf))
+    // stream source must be a directory: stage the events file into one
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val q = Streams.startTumblingToMemory(spark, dir.toString, "stream_test")
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("stream_test")
+    assert(streamed.exceptAll(batch).count() == 0 && batch.exceptAll(streamed).count() == 0)
+    assert(batch.count() > 0)
+  }
+
+  test("sessionize mapGroupsWithState: per-user counts match groupBy") {
+    implicit val s = spark
+    val events = Tables.events(spark, sf)
+    val st = Streams.sessionize(events)
+    val expected = events.groupBy($"user_id").agg(count(lit(1)).as("n_events"))
+    val diff = st.select($"user_id", $"n_events")
+      .exceptAll(expected.select($"user_id", $"n_events")).count()
+    assert(diff == 0)
+  }
+
+  test("multimodal: byte_len matches text length, decode is deterministic, histogram sums to len") {
+    val media = Multimodal.mediaTable(Tables.documents(spark, sf).limit(5), "text")
+    val r = media.select(
+      ($"meta.byte_len" === length($"text")).as("len_ok"),
+      ($"decoded.width" >= 32 && $"decoded.width" < 1312).as("w_ok"),
+      aggregate(Multimodal.byteHistogram($"payload"), lit(0), (a, x) => a + x)
+        .as("hist_sum"),
+      length($"text").as("len"))
+    assert(r.filter(!$"len_ok" || !$"w_ok" || $"hist_sum" =!= $"len").count() == 0)
+  }
+}
