@@ -1,0 +1,45 @@
+package graft.app
+
+import graft.{Sessions, Tables}
+import graft.clean.Cleaner
+import graft.io.{Sinks, Volumetry}
+import graft.operators.{StarSchema, Validator}
+
+/** E1/E3 orchestration (SURVEY §3): bronze (read) → silver (clean) →
+  * gold (star schema) → validation + volumetry, one Spark app, one
+  * lazy lineage per phase — no subprocesses, no driver row loops
+  * (main.py:289-373 collapsed to function composition).
+  *
+  * Usage: graft.app.Main <sfDir> <outDir>
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println("usage: graft.app.Main <sfDir> <outDir>")
+      sys.exit(2)
+    }
+    val Array(sfDir, outDir) = args.take(2)
+    val spark = Sessions.local()
+    new java.io.File(outDir).mkdirs()
+
+    // silver: cleaned entities
+    val silverEvents = Cleaner.cleanEvents(Tables.events(spark, sfDir))
+    val silverDocs = Cleaner.cleanDocuments()(Tables.documents(spark, sfDir))
+    Sinks.parquet(silverEvents, s"$outDir/silver/events")
+    Sinks.parquet(silverDocs, s"$outDir/silver/documents")
+
+    // gold: star schema
+    val star = StarSchema.build(spark, sfDir)
+    star.foreach { case (name, df) => Sinks.parquet(df, s"$outDir/gold/$name") }
+
+    // validation + volumetry reports
+    val report = Validator.report(star)
+    Sinks.csv(report, s"$outDir/validation_report")
+    val bad = report.filter(org.apache.spark.sql.functions.col("n_bad") =!= 0L).count()
+    Sinks.jsonReport(Volumetry.reportJson(spark, sfDir), s"$outDir/volumetry_report.json")
+
+    println(s"[graft] pipeline complete: outDir=$outDir integrity_violations=$bad")
+    spark.stop()
+    if (bad > 0) sys.exit(1)
+  }
+}

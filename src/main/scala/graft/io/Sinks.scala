@@ -1,0 +1,57 @@
+package graft.io
+
+import org.apache.spark.sql.DataFrame
+
+/** Sinks (SURVEY §2.1 S7–S12): parquet/CSV/JSON-report writers plus a
+  * JDBC conflict-skip batch sink mirroring the reference's
+  * `execute_values ... ON CONFLICT DO NOTHING` loads
+  * (loader_NeonDB.py:364-371 etc.).
+  */
+object Sinks {
+
+  /** S7: overwrite parquet (bronze/gold persist). */
+  def parquet(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  /** S9: headered CSV export (extract_gaming_data.py:91-93). */
+  def csv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** S11: small JSON report written driver-side (volumetry report;
+    * the aggregation is distributed, only the final object is local). */
+  def jsonReport(json: String, path: String): Unit =
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json)
+
+  /** S12: idempotent JDBC batch insert with conflict-skip. Batched
+    * per-partition statements, `ON CONFLICT (keys) DO NOTHING` so
+    * re-runs are idempotent like the reference loads. Requires a live
+    * PostgreSQL-compatible endpoint (none in this offline environment —
+    * exercised only by its SQL-text unit test).
+    */
+  def jdbcConflictSkip(df: DataFrame, url: String, table: String,
+      keyCols: Seq[String], batchSize: Int = 1000,
+      props: java.util.Properties = new java.util.Properties): Unit = {
+    val cols = df.columns.toSeq
+    val sql = insertSql(table, cols, keyCols)
+    df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      val conn = java.sql.DriverManager.getConnection(url, props)
+      conn.setAutoCommit(false)
+      try {
+        val st = conn.prepareStatement(sql)
+        var n = 0
+        rows.foreach { r =>
+          cols.indices.foreach(i => st.setObject(i + 1, r.get(i)))
+          st.addBatch(); n += 1
+          if (n % batchSize == 0) { st.executeBatch(); conn.commit() }
+        }
+        st.executeBatch(); conn.commit()
+      } finally conn.close()
+    }
+  }
+
+  /** The conflict-skip statement text (unit-testable without a DB). */
+  def insertSql(table: String, cols: Seq[String], keyCols: Seq[String]): String =
+    s"INSERT INTO $table (${cols.mkString(", ")}) VALUES " +
+      s"(${cols.map(_ => "?").mkString(", ")}) " +
+      s"ON CONFLICT (${keyCols.mkString(", ")}) DO NOTHING"
+}

@@ -272,9 +272,27 @@ object TextQueries {
            |  count(DISTINCT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))) AS n_unique
            |FROM documents GROUP BY source""".stripMargin))
 
+  /** F2 again, but through the registered NATIVE Catalyst expression
+    * (NormalizeNumericExpr with doGenCode) — proves the SQL-surface
+    * registration and the codegen path agree with the oracle. */
+  val q49NativeNumeric = GQuery(
+    "q49_native_numeric",
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .withColumn("eu_str",
+          concat(lit("9."), regexp_replace(format_string("%.2f", $"value"), "\\.", ",")))
+        .withColumn("parsed", call_function("normalize_numeric_native", $"eu_str"))
+        .groupBy($"event_type")
+        .agg(round(sum($"parsed"), 2).as("total_value"))
+    },
+    Some("""SELECT event_type,
+           |  round(sum(CAST(replace(replace('9.' || replace(printf('%.2f', value), '.', ','), '.', ''), ',', '.') AS DOUBLE)), 2) AS total_value
+           |FROM events GROUP BY event_type""".stripMargin))
+
   val all: Seq[GQuery] = Seq(
     q23ExplodeWords, q24JsonExtract, q25Classify, q26KeywordFilter,
     q27CleanString, q28NormalizeNumeric, q29NormalizeBoolean,
     q30NullSentinels, q31FillDefaults, q35TokenStats, q36QualityScore,
-    q37LangId, q38Fingerprint)
+    q37LangId, q38Fingerprint, q49NativeNumeric)
 }
