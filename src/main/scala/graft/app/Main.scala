@@ -19,6 +19,14 @@ object Main {
       sys.exit(2)
     }
     val Array(sfDir, outDir) = args.take(2)
+    // P9 existence gating (main.py:30-50): fail fast with a named error
+    // instead of a mid-pipeline scan failure
+    val missing = Seq("events", "documents", "orders", "customer", "nation", "region")
+      .filterNot(t => new java.io.File(s"$sfDir/$t.parquet").exists())
+    if (missing.nonEmpty) {
+      System.err.println(s"[graft] missing bronze tables under $sfDir: ${missing.mkString(", ")}")
+      sys.exit(2)
+    }
     val spark = Sessions.local()
     new java.io.File(outDir).mkdirs()
 

@@ -50,6 +50,21 @@ object StarSchema {
           col("n_name").as("nation"), col("r_name").as("region")),
       "c_custkey", "customer_sk")
 
+  /** Seeded catalog dimension (loader_NeonDB.py:118-132 seeds
+    * dim_videojuego from a literal list): category → genre. 'General'
+    * is deliberately absent so lookups exercise the default path (the
+    * reference's 'Other Gaming' lookup returns null — SURVEY §2.3 J2
+    * note; we coalesce to a real default instead). */
+  val CategoryCatalog: Seq[(String, String)] = Seq(
+    "Streaming" -> "realtime", "Windowing" -> "analytics",
+    "Joins" -> "relational", "Aggregation" -> "analytics",
+    "Sorting" -> "relational", "Filtering" -> "relational")
+
+  def seedCatalog(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    seqKey(CategoryCatalog.toDF("category", "genre"), "category", "catalog_sk")
+  }
+
   def dimPart(part: DataFrame): DataFrame =
     seqKey(part.select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size")),
       "p_partkey", "part_sk")

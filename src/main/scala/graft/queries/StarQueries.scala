@@ -164,7 +164,77 @@ object StarQueries {
            |FROM events GROUP BY window_start, event_type""".stripMargin),
     benchmark = true)
 
+  /** F7/F8-style typed JSON parse: from_json into a struct, field
+    * access, aggregate — the parse-once pattern SURVEY §7.4 #5 calls
+    * for (the reference re-parses JSON strings at ≥6 sites). */
+  val q52NestedJson = GQuery(
+    "q52_nested_json",
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .withColumn("k", from_json($"props", lit("k INT")).getField("k").cast("long"))
+        .withColumn("k_mod", $"k" % 10)
+        .groupBy($"k_mod").agg(count(lit(1)).as("n"), sum($"k").as("k_total"))
+    },
+    Some("""SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+           |  count(*) AS n,
+           |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total
+           |FROM events GROUP BY k_mod""".stripMargin))
+
+  /** F9-style array-of-struct extraction: JSON array → typed structs →
+    * explode → aggregate (the bridge-construction pattern, J4). */
+  val q53NestedExplode = GQuery(
+    "q53_nested_explode",
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .withColumn("arr_json",
+          format_string("""[{"id": %d}, {"id": %d}]""", $"user_id", $"user_id" * 2))
+        .withColumn("item", explode(from_json($"arr_json", lit("array<struct<id: bigint>>"))))
+        .groupBy($"event_type")
+        .agg(sum($"item.id").as("id_total"), count(lit(1)).as("n_items"))
+    },
+    Some("""SELECT event_type, CAST(sum(id) AS BIGINT) AS id_total, count(*) AS n_items
+           |FROM (SELECT event_type,
+           |        unnest(list_transform(
+           |          from_json(printf('[{"id": %d}, {"id": %d}]', user_id, user_id * 2),
+           |                    '[{"id": "BIGINT"}]'),
+           |          x -> x.id)) AS id
+           |      FROM events)
+           |GROUP BY event_type""".stripMargin))
+
+  /** J2 seeded-catalog lookup with default handling: classified docs
+    * left-join the literal catalog dim; missing categories coalesce to
+    * a real default (fixing the reference's null 'Other Gaming' lookup,
+    * loader_NeonDB.py:566). */
+  val q54SeedCatalog = GQuery(
+    "q54_seed_catalog",
+    (s, d) => {
+      import s.implicits._
+      val rules = Seq("stream" -> "Streaming", "window" -> "Windowing",
+        "join" -> "Joins", "group" -> "Aggregation")
+      val docs = Tables.documents(s, d)
+        .withColumn("category", Classify.keywordClassifier($"text", rules, "General"))
+      docs.join(broadcast(StarSchema.seedCatalog(s)), Seq("category"), "left")
+        .groupBy(coalesce($"genre", lit("unknown")).as("genre"))
+        .agg(count(lit(1)).as("n_docs"), countDistinct($"category").as("n_categories"))
+    },
+    Some {
+      val rules = Seq("stream" -> "Streaming", "window" -> "Windowing",
+        "join" -> "Joins", "group" -> "Aggregation")
+      val values = StarSchema.CategoryCatalog
+        .map { case (c, g) => s"('$c', '$g')" }.mkString(", ")
+      s"""WITH cat AS (SELECT * FROM (VALUES $values) t(category, genre)),
+         |docs AS (SELECT ${Classify.keywordClassifierSql("text", rules, "General")} AS category
+         |         FROM documents)
+         |SELECT coalesce(genre, 'unknown') AS genre, count(*) AS n_docs,
+         |  count(DISTINCT category) AS n_categories
+         |FROM docs LEFT JOIN cat USING (category)
+         |GROUP BY 1""".stripMargin
+    })
+
   val all: Seq[GQuery] = Seq(
     q32DimCustomer, q33FactOrders, q34StarAgg, q39ValidationReport,
-    q48FlagshipPipeline, q50MultimodalMeta, q51WindowTumbling)
+    q48FlagshipPipeline, q50MultimodalMeta, q51WindowTumbling,
+    q52NestedJson, q53NestedExplode, q54SeedCatalog)
 }
