@@ -105,4 +105,15 @@ object TextAnalysis {
     * DuckDB twin; md5 does.) */
   def tokenHash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  /** BPE-ish subword segmentation regex (GPT-2-style pre-tokenizer
+    * shape, lookahead-free so Java regex and RE2 agree): contraction
+    * suffixes, space-prefixed letter runs, digit runs, punctuation
+    * runs. Counts approximate BPE pre-token counts — the unit LLM
+    * data budgets are measured in. */
+  val BpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s']+"
+
+  def bpeTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(BpePattern), lit(0)))
 }

@@ -71,4 +71,48 @@ object Similarity {
     df.select(col(labelCol), posexplode(asDouble(col("embedding"))).as(Seq("pos", "x")))
       .groupBy(col(labelCol), col("pos"))
       .agg(avg(col("x")).as("avg_x"), count(lit(1)).as("n"))
+
+  /** Reassembled centroid vectors (cell_id, centroid) — the coarse
+    * quantizer for [[ivfTopK]]. Cells stay small (one per label here;
+    * k-means would slot in identically), so downstream joins broadcast. */
+  def buildCentroids(df: DataFrame, labelCol: String): DataFrame =
+    centroidComponents(df, labelCol)
+      .groupBy(col(labelCol).as("cell_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("avg_x")))),
+        x => x.getField("avg_x")).as("centroid"))
+
+  /** Nearest `nprobe` cells per vector (broadcast the tiny centroid
+    * table; rank by cosine). */
+  private def nearestCells(vecs: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame = {
+    val sims = vecs.crossJoin(broadcast(centroids))
+      .withColumn("__csim", cosine(asDouble(col("embedding")), col("centroid")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("__csim").desc, col("cell_id").asc)
+    sims.withColumn("__crn", row_number().over(w)).filter(col("__crn") <= nprobe)
+      .select(col("vec_id"), col("cell_id"))
+  }
+
+  /** IVF-style ANN (inverted-file over a coarse quantizer): corpus
+    * vectors index into their nearest cell; a query probes only its
+    * `nprobe` nearest cells. At 100 TB the cell id is the shuffle/
+    * partition key and each probe touches 1/cells of the corpus —
+    * the standard recall-vs-cost dial (nprobe = all cells ≡ exact
+    * brute force). */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      k: Int, nprobe: Int): DataFrame = {
+    val indexed = corpus
+      .join(nearestCells(corpus, centroids, 1), "vec_id")
+      .select(col("vec_id").as("cid"), col("cell_id"), asDouble(col("embedding")).as("cv"))
+    val probes = queries
+      .join(nearestCells(queries, centroids, nprobe), "vec_id")
+      .select(col("vec_id").as("qid"), col("cell_id"), asDouble(col("embedding")).as("qv"))
+    val sims = probes.join(indexed, "cell_id")
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
+    sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("qid"), col("cid"), round(col("sim"), 4).as("sim"))
+  }
 }

@@ -214,7 +214,65 @@ object LlmQueries {
            |  FROM embeddings)
            |  GROUP BY bucket)""".stripMargin))
 
+  /** BPE-ish token counting (the unit LLM data budgets are measured
+    * in): subword pre-tokens via a lookahead-free GPT-2-style regex. */
+  val q55BpeTokens = GQuery(
+    "q55_bpe_tokens",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .withColumn("n_bpe", TextAnalysis.bpeTokenCount($"text"))
+        .groupBy($"lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum($"n_bpe").as("total_bpe_tokens"),
+          round(avg($"n_bpe"), 4).as("avg_bpe_tokens"))
+    },
+    Some {
+      val p = TextAnalysis.BpePattern.replace("'", "''")
+      s"""SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(len(regexp_extract_all(text, '$p'))) AS BIGINT) AS total_bpe_tokens,
+         |  round(avg(len(regexp_extract_all(text, '$p'))), 4) AS avg_bpe_tokens
+         |FROM documents GROUP BY lang""".stripMargin
+    })
+
+  /** IVF-style ANN with nprobe = all cells — mathematically identical
+    * to exact brute force, so the q45 oracle verifies the whole IVF
+    * machinery (cell assignment, probe join, ranked merge). Tests
+    * cover the nprobe < cells recall path. */
+  val q56IvfAnn = GQuery(
+    "q56_ivf_ann",
+    (s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val centroids = Similarity.buildCentroids(emb, "label")
+      Similarity.ivfTopK(emb.filter($"vec_id" < 5), emb, centroids, k = 5, nprobe = 1000)
+    },
+    q45CosineTopk.oracle)
+
+  /** Salted join for hot-key skew: same semantics as q16's broadcast
+    * lookup (the oracle is identical) but with the key split
+    * saltFactor-ways — the shape used when the build side is too big
+    * to broadcast AND a few keys dominate (SURVEY §7.4 #6). */
+  val q57SaltedJoin = GQuery(
+    "q57_salted_join",
+    (s, d) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, d)
+        .select($"l_partkey", $"l_extendedprice", $"l_discount")
+      val p = Tables.part(s, d)
+        .select($"p_partkey".as("l_partkey"), $"p_brand")
+      graft.operators.Skew.saltedJoin(li, p, "l_partkey", saltFactor = 8)
+        .groupBy($"p_brand")
+        .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+    Some("""SELECT p_brand, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+           |  count(*) AS n_items
+           |FROM lineitem JOIN part ON l_partkey = p_partkey
+           |GROUP BY p_brand""".stripMargin))
+
   val all: Seq[GQuery] = Seq(
     q40DedupExactStats, q41DedupExactKeep, q42MinhashLsh, q43Simhash,
-    q44NgramJaccard, q45CosineTopk, q46Centroids, q47LshBuckets)
+    q44NgramJaccard, q45CosineTopk, q46Centroids, q47LshBuckets,
+    q55BpeTokens, q56IvfAnn, q57SaltedJoin)
 }

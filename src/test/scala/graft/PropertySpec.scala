@@ -1,0 +1,104 @@
+package graft
+
+import graft.clean.Cleaner
+import graft.functions.{NativeHelpers, Normalize, TextAnalysis}
+import graft.operators.{Dedup, Similarity, Skew, StarSchema, Validator}
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based invariants (SURVEY §5): dedup idempotence,
+  * normalize_numeric round-trips, orphan-free star builds, salted-join
+  * equivalence, IVF exactness at full probe width. Uses scalacheck Gen
+  * with a fixed seed (the scalatestplus bridge isn't on the offline
+  * classpath, so sampling is driven manually).
+  */
+class PropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("normalize_numeric round-trips plain doubles (property)") {
+    for (d <- samples(Gen.chooseNum(-1e6, 1e6), 200)) {
+      val r = NativeHelpers.parse(UTF8String.fromString(d.toString))
+      assert(r != null && math.abs(r - d) < 1e-9, s"failed for $d")
+    }
+  }
+
+  test("normalize_numeric EU mixed form round-trips (property)") {
+    for (d <- samples(Gen.chooseNum(0.0, 1e5), 200)) {
+      val us = "%.2f".format(d)                    // "<int>.<dec>"
+      val eu = "1." + us.replace('.', ',')         // "1.<int>,<dec>" mixed EU form
+      val r = NativeHelpers.parse(UTF8String.fromString(eu))
+      // EU rule strips dots then comma->dot: "1<int>.<dec>"
+      assert(r != null && r == ("1" + us).toDouble, s"$eu -> $r")
+    }
+  }
+
+  test("cleaner dedup is idempotent: clean(clean(df)) == clean(df)") {
+    val df = Tables.events(spark, sf)
+    val once = Cleaner.cleanEvents(df)
+    val twice = Cleaner.cleanEvents(once)
+    assert(once.exceptAll(twice).count() == 0 && twice.exceptAll(once).count() == 0)
+  }
+
+  test("exact dedup is idempotent and fingerprint-unique") {
+    val docs = Tables.documents(spark, sf)
+    val once = Dedup.exact(docs, "text", "doc_id")
+    val twice = Dedup.exact(once, "text", "doc_id")
+    assert(once.count() == twice.count())
+    val fps = once.select(TextAnalysis.fingerprint($"text").as("fp"))
+    assert(fps.distinct().count() == once.count())
+  }
+
+  test("star build is orphan-free for any sf dir (invariant)") {
+    for (dir <- Seq("/root/testdata/sf0.001")) {
+      val bad = Validator.report(StarSchema.build(spark, dir))
+        .filter($"n_bad" =!= 0L).count()
+      assert(bad == 0, s"violations at $dir")
+    }
+  }
+
+  test("salted join == plain join (semantics preserved under salting)") {
+    val li = Tables.lineitem(spark, sf).select($"l_partkey")
+    val p = Tables.part(spark, sf).select($"p_partkey".as("l_partkey"), $"p_brand")
+    val plain = li.join(p, "l_partkey").groupBy("p_brand").count()
+    val salted = Skew.saltedJoin(li, p, "l_partkey", 4).groupBy("p_brand").count()
+    assert(plain.exceptAll(salted).count() == 0 && salted.exceptAll(plain).count() == 0)
+  }
+
+  test("salted count == plain count") {
+    val e = Tables.events(spark, sf)
+    val plain = e.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val salted = Skew.saltedCount(e, "event_type", 4)
+    assert(plain.exceptAll(salted).count() == 0)
+  }
+
+  test("IVF with nprobe >= cells equals brute force exactly") {
+    val emb = Tables.embeddings(spark, sf)
+    val centroids = Similarity.buildCentroids(emb, "label")
+    val brute = Similarity.bruteForceTopK(emb.filter($"vec_id" < 3), emb, 3)
+    val ivf = Similarity.ivfTopK(emb.filter($"vec_id" < 3), emb, centroids, 3, nprobe = 1000)
+    assert(brute.exceptAll(ivf).count() == 0 && ivf.exceptAll(brute).count() == 0)
+  }
+
+  test("IVF with small nprobe returns a subset with no better sims than brute force") {
+    val emb = Tables.embeddings(spark, sf)
+    val centroids = Similarity.buildCentroids(emb, "label")
+    val brute = Similarity.bruteForceTopK(emb.filter($"vec_id" < 3), emb, 1)
+      .select($"qid", $"sim".as("best_sim"))
+    val ivf = Similarity.ivfTopK(emb.filter($"vec_id" < 3), emb, centroids, 1, nprobe = 2)
+    val worse = ivf.join(brute, "qid").filter($"sim" > $"best_sim").count()
+    assert(worse == 0)
+    assert(ivf.count() > 0)
+  }
+
+  test("bpe token count: sane on known strings") {
+    val df = Seq("it's 42 ok!", "hello world").toDF("v")
+      .select(TextAnalysis.bpeTokenCount($"v").as("n"))
+    // "it" + "'s" + " 42" + " ok" + "!" = 5 ; "hello" + " world" = 2
+    assert(df.collect().map(_.getInt(0)).toSeq == Seq(5, 2))
+  }
+}
