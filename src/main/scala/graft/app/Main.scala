@@ -36,9 +36,13 @@ object Main {
     Sinks.parquet(silverEvents, s"$outDir/silver/events")
     Sinks.parquet(silverDocs, s"$outDir/silver/documents")
 
-    // gold: star schema
+    // gold: star schema; the fact partitions by year for pruning
     val star = StarSchema.build(spark, sfDir)
-    star.foreach { case (name, df) => Sinks.parquet(df, s"$outDir/gold/$name") }
+    star.foreach {
+      case ("fact_orders", df) =>
+        df.write.mode("overwrite").partitionBy("anio").parquet(s"$outDir/gold/fact_orders")
+      case (name, df) => Sinks.parquet(df, s"$outDir/gold/$name")
+    }
 
     // validation + volumetry reports
     val report = Validator.report(star)

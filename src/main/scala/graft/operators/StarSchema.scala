@@ -70,15 +70,19 @@ object StarSchema {
       "p_partkey", "part_sk")
 
   /** fact_orders: FK surrogate resolution via broadcast lookups (J2).
-    * At 100 TB the fact never shuffles here — both dims broadcast. */
+    * At 100 TB the fact never shuffles here — both dims broadcast.
+    * Carries `anio` as the physical partition column (facts partitioned
+    * by year → partition pruning for the dominant time-sliced query
+    * shape; the parquet-layout analog of the reference's fecha index,
+    * loader_NeonDB.py:245-246). */
   def factOrders(orders: DataFrame, dimFecha: DataFrame, dimCustomer: DataFrame): DataFrame =
     orders
-      .join(broadcast(dimFecha.select(col("fecha"), col("fecha_id"))),
+      .join(broadcast(dimFecha.select(col("fecha"), col("fecha_id"), col("anio"))),
         orders("o_orderdate").cast("date") === col("fecha"), "left")
       .join(broadcast(dimCustomer.select(col("c_custkey"), col("customer_sk"))),
         orders("o_custkey") === col("c_custkey"), "left")
       .select(col("o_orderkey"), col("fecha_id"), col("customer_sk"),
-        col("o_totalprice"), col("o_orderstatus"))
+        col("o_totalprice"), col("o_orderstatus"), col("anio"))
 
   /** All star tables in one lineage. */
   def build(spark: SparkSession, sfDir: String): Map[String, DataFrame] = {

@@ -409,11 +409,39 @@ object CoreQueries {
     Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
            |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""".stripMargin))
 
+  /** Temporal self-join: hour-over-hour user retention (active users
+    * per hour vs those also active the following hour). The equi-join
+    * key is (user_id, hour) — shuffles once on it; at 100 TB the hour
+    * column doubles as the partition-pruning key. */
+  val q58Retention = GQuery(
+    "q58_retention",
+    (s, d) => {
+      import s.implicits._
+      val perHour = Tables.events(s, d)
+        .select(date_trunc("hour", $"ts").as("h"), $"user_id").distinct()
+      val next = perHour.select(($"h" - expr("INTERVAL 1 HOUR")).as("h"),
+        $"user_id", lit(1).as("came_back"))
+      perHour.join(next, Seq("h", "user_id"), "left")
+        .groupBy($"h")
+        .agg(count(lit(1)).as("active_users"),
+          count(when($"came_back".isNotNull, 1)).as("retained_users"))
+        .select(date_format($"h", "yyyy-MM-dd HH:mm:ss").as("hour"),
+          $"active_users", $"retained_users")
+    },
+    Some("""WITH per_hour AS (
+           |  SELECT DISTINCT date_trunc('hour', ts) AS h, user_id FROM events)
+           |SELECT strftime(a.h, '%Y-%m-%d %H:%M:%S') AS hour,
+           |  count(*) AS active_users,
+           |  count(b.user_id) AS retained_users
+           |FROM per_hour a
+           |LEFT JOIN per_hour b ON b.user_id = a.user_id AND b.h = a.h + INTERVAL 1 HOUR
+           |GROUP BY a.h""".stripMargin))
+
   val all: Seq[GQuery] = Seq(
     q01PricingSummary, q02FilterProject, q03ConditionalAgg, q04GroupCount,
     q05GroupStats, q06TopkGroups, q07PctOfTotal, q08ValueCounts,
     q09DistinctUnion, q10Nunique, q11UniquenessAudit, q12NullSafeTotal,
     q13RowCounts, q14SemiJoin, q15AntiJoin, q16BroadcastLookup,
     q17RegionalRevenue, q18DateDim, q19LatestPerKey, q20FirstSeen,
-    q21ContentDedup, q22Top50)
+    q21ContentDedup, q22Top50, q58Retention)
 }
