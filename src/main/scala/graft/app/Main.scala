@@ -36,12 +36,10 @@ object Main {
     Sinks.parquet(silverEvents, s"$outDir/silver/events")
     Sinks.parquet(silverDocs, s"$outDir/silver/documents")
 
-    // gold: star schema; the fact partitions by year for pruning
+    // gold: star schema; partition layout comes from the table defs
     val star = StarSchema.build(spark, sfDir)
-    star.foreach {
-      case ("fact_orders", df) =>
-        df.write.mode("overwrite").partitionBy("anio").parquet(s"$outDir/gold/fact_orders")
-      case (name, df) => Sinks.parquet(df, s"$outDir/gold/$name")
+    star.foreach { case (name, df) =>
+      Sinks.parquet(df, s"$outDir/gold/$name", StarSchema.partitionSpec(name))
     }
 
     // validation + volumetry reports

@@ -9,9 +9,12 @@ import org.apache.spark.sql.DataFrame
   */
 object Sinks {
 
-  /** S7: overwrite parquet (bronze/gold persist). */
-  def parquet(df: DataFrame, path: String): Unit =
-    df.write.mode("overwrite").parquet(path)
+  /** S7: overwrite parquet (bronze/gold persist), optionally
+    * hive-partitioned by the given columns. */
+  def parquet(df: DataFrame, path: String, partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
+  }
 
   /** S9: headered CSV export (extract_gaming_data.py:91-93). */
   def csv(df: DataFrame, path: String): Unit =

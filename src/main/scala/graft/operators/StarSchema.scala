@@ -74,15 +74,26 @@ object StarSchema {
     * Carries `anio` as the physical partition column (facts partitioned
     * by year → partition pruning for the dominant time-sliced query
     * shape; the parquet-layout analog of the reference's fecha index,
-    * loader_NeonDB.py:245-246). */
+    * loader_NeonDB.py:245-246).
+    *
+    * INNER joins, deliberately: the reference filters facts to
+    * FK-valid rows before load (J1, loader_NeonDB.py:493-500), and a
+    * left join would let a null-date order land in the
+    * __HIVE_DEFAULT_PARTITION__ year, invisible to pruned readers. */
   def factOrders(orders: DataFrame, dimFecha: DataFrame, dimCustomer: DataFrame): DataFrame =
     orders
       .join(broadcast(dimFecha.select(col("fecha"), col("fecha_id"), col("anio"))),
-        orders("o_orderdate").cast("date") === col("fecha"), "left")
+        orders("o_orderdate").cast("date") === col("fecha"))
       .join(broadcast(dimCustomer.select(col("c_custkey"), col("customer_sk"))),
-        orders("o_custkey") === col("c_custkey"), "left")
+        orders("o_custkey") === col("c_custkey"))
       .select(col("o_orderkey"), col("fecha_id"), col("customer_sk"),
         col("o_totalprice"), col("o_orderstatus"), col("anio"))
+
+  /** Physical partition columns per gold table (consumed by the writer
+    * layer; lives here so the layout decision sits next to the table
+    * definition, not in orchestration code). */
+  val partitionSpec: Map[String, Seq[String]] =
+    Map("fact_orders" -> Seq("anio")).withDefaultValue(Nil)
 
   /** All star tables in one lineage. */
   def build(spark: SparkSession, sfDir: String): Map[String, DataFrame] = {

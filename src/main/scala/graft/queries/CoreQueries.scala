@@ -410,9 +410,11 @@ object CoreQueries {
            |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""".stripMargin))
 
   /** Temporal self-join: hour-over-hour user retention (active users
-    * per hour vs those also active the following hour). The equi-join
-    * key is (user_id, hour) — shuffles once on it; at 100 TB the hour
-    * column doubles as the partition-pruning key. */
+    * per hour vs those also active the following hour). Plan shape:
+    * one shuffle for the distinct on (h, user_id), then a second
+    * exchange of the hour-shifted side onto the join key; at 100 TB,
+    * partitioning the events store by time would let each side prune
+    * to adjacent slices. */
   val q58Retention = GQuery(
     "q58_retention",
     (s, d) => {
@@ -424,7 +426,7 @@ object CoreQueries {
       perHour.join(next, Seq("h", "user_id"), "left")
         .groupBy($"h")
         .agg(count(lit(1)).as("active_users"),
-          count(when($"came_back".isNotNull, 1)).as("retained_users"))
+          count($"came_back").as("retained_users"))
         .select(date_format($"h", "yyyy-MM-dd HH:mm:ss").as("hour"),
           $"active_users", $"retained_users")
     },

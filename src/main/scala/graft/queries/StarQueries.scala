@@ -45,8 +45,8 @@ object StarQueries {
            |  FROM customer)
            |SELECT o_orderkey, fecha_id, customer_sk, o_totalprice, o_orderstatus, anio
            |FROM orders
-           |LEFT JOIN dim_fecha ON CAST(o_orderdate AS DATE) = fecha
-           |LEFT JOIN dim_customer ON o_custkey = c_custkey""".stripMargin))
+           |JOIN dim_fecha ON CAST(o_orderdate AS DATE) = fecha
+           |JOIN dim_customer ON o_custkey = c_custkey""".stripMargin))
 
   /** Star-join analytics over the built schema (the gold-layer query
     * shape the warehouse exists for). */
