@@ -439,11 +439,64 @@ object CoreQueries {
            |LEFT JOIN per_hour b ON b.user_id = a.user_id AND b.h = a.h + INTERVAL 1 HOUR
            |GROUP BY a.h""".stripMargin))
 
+  /** ROLLUP hierarchy totals (beyond the reference's flat GROUP BYs —
+    * the multi-grain report its per-level queries approximate).
+    * grouping() flags disambiguate real NULLs from subtotal rows. */
+  val q59Rollup = GQuery(
+    "q59_rollup",
+    (s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .withColumn("anio", year($"o_orderdate"))
+        .rollup($"anio", $"o_orderstatus")
+        .agg(round(sum($"o_totalprice"), 2).as("revenue"), count(lit(1)).as("n_orders"),
+          grouping($"anio").as("g_anio"), grouping($"o_orderstatus").as("g_status"))
+    },
+    Some("""SELECT CAST(year(o_orderdate) AS INT) AS anio, o_orderstatus,
+           |  round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders,
+           |  CAST(grouping(anio) AS TINYINT) AS g_anio,
+           |  CAST(grouping(o_orderstatus) AS TINYINT) AS g_status
+           |FROM orders GROUP BY ROLLUP (anio, o_orderstatus)""".stripMargin))
+
+  /** Sketch-based approximations (the 100 TB variants of A10/median):
+    * HLL distinct counts and quantile sketches have no cross-engine
+    * bit-identical twin, so this is a rows-only entry; accuracy bounds
+    * are asserted in QueriesSpec against the exact values. */
+  val q60ApproxSketches = GQuery(
+    "q60_approx_sketches",
+    (s, d) => {
+      import s.implicits._
+      Tables.orders(s, d).agg(
+        approx_count_distinct($"o_custkey", 0.01).as("approx_customers"),
+        countDistinct($"o_custkey").as("exact_customers"),
+        round(percentile_approx($"o_totalprice", lit(0.5), lit(10000)), 2).as("approx_median"))
+    },
+    None)
+
+  /** Exact interpolated percentiles (median/p95) — both engines use
+    * linear interpolation (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`), verified to hash-match exactly. */
+  val q61Percentiles = GQuery(
+    "q61_percentiles",
+    (s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .groupBy($"o_orderstatus")
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("median"),
+          round(expr("percentile(o_totalprice, 0.95)"), 4).as("p95"))
+    },
+    Some("""SELECT o_orderstatus,
+           |  round(quantile_cont(o_totalprice, 0.5), 4) AS median,
+           |  round(quantile_cont(o_totalprice, 0.95), 4) AS p95
+           |FROM orders GROUP BY o_orderstatus""".stripMargin))
+
   val all: Seq[GQuery] = Seq(
     q01PricingSummary, q02FilterProject, q03ConditionalAgg, q04GroupCount,
     q05GroupStats, q06TopkGroups, q07PctOfTotal, q08ValueCounts,
     q09DistinctUnion, q10Nunique, q11UniquenessAudit, q12NullSafeTotal,
     q13RowCounts, q14SemiJoin, q15AntiJoin, q16BroadcastLookup,
     q17RegionalRevenue, q18DateDim, q19LatestPerKey, q20FirstSeen,
-    q21ContentDedup, q22Top50, q58Retention)
+    q21ContentDedup, q22Top50, q58Retention, q59Rollup, q60ApproxSketches,
+    q61Percentiles)
 }

@@ -16,6 +16,14 @@ class QueriesSpec extends SparkTestBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("approx sketches within tolerance of exact values") {
+    val r = Registry.allQueries.find(_.name == "q60_approx_sketches").get
+      .run(spark, sf).collect()(0)
+    val (approx, exact) = (r.getLong(0), r.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"HLL error >5%: $approx vs $exact")
+  }
+
   test("every query returns rows at sf0.001") {
     val empty = Registry.allQueries.flatMap { q =>
       val n = q.run(spark, sf).count()
