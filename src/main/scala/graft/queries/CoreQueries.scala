@@ -491,6 +491,60 @@ object CoreQueries {
            |  round(quantile_cont(o_totalprice, 0.95), 4) AS p95
            |FROM orders GROUP BY o_orderstatus""".stripMargin))
 
+  /** The SQL entry point: the same engine drives spark.sql over
+    * registered views (users can keep their SQL; Catalyst plans both
+    * surfaces identically). */
+  val q62SqlSurface = GQuery(
+    "q62_sql_surface",
+    (s, d) => {
+      // view names scoped to the data dir: a shared session running
+      // this query against two sfDirs must not cross-wire the views
+      val tag = java.lang.Integer.toHexString(d.hashCode)
+      Tables.orders(s, d).createOrReplaceTempView(s"orders_v_$tag")
+      Tables.customer(s, d).createOrReplaceTempView(s"customer_v_$tag")
+      // broadcast hint keeps the documented plan shape (dim broadcast,
+      // fact never shuffles) independent of autoBroadcastJoinThreshold
+      s.sql(s"""SELECT /*+ BROADCAST(customer_v_$tag) */ c_mktsegment,
+               |  count(*) AS n_orders,
+               |  round(sum(o_totalprice), 2) AS revenue
+               |FROM orders_v_$tag JOIN customer_v_$tag ON o_custkey = c_custkey
+               |GROUP BY c_mktsegment""".stripMargin)
+    },
+    Some("""SELECT c_mktsegment, count(*) AS n_orders,
+           |  round(sum(o_totalprice), 2) AS revenue
+           |FROM orders JOIN customer ON o_custkey = c_custkey
+           |GROUP BY c_mktsegment""".stripMargin))
+
+  /** Frame-spec windows beyond row_number (engine completeness; the
+    * reference never needed them): per-user running total and
+    * previous-event delta. Sequential accumulation over a total order
+    * (ts, event_id) is deterministic in both engines. */
+  val q63WindowFrames = GQuery(
+    "q63_window_frames",
+    (s, d) => {
+      import s.implicits._
+      // asc_nulls_last: DuckDB's ASC default is NULLS LAST while
+      // Spark's is NULLS FIRST — align explicitly
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"ts".asc_nulls_last, $"event_id".asc)
+      Tables.events(s, d)
+        .withColumn("running_value",
+          round(sum($"value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2))
+        .withColumn("prev_value", lag($"value", 1).over(w))
+        .withColumn("rank_in_user", row_number().over(w))
+        .filter($"rank_in_user" <= 5)
+        .select($"user_id", $"event_id", $"rank_in_user", $"running_value", $"prev_value")
+    },
+    Some("""SELECT user_id, event_id, rank_in_user, running_value, prev_value FROM (
+           |  SELECT user_id, event_id,
+           |    row_number() OVER w AS rank_in_user,
+           |    round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value,
+           |    lag(value, 1) OVER w AS prev_value
+           |  FROM events
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+           |WHERE rank_in_user <= 5""".stripMargin))
+
   val all: Seq[GQuery] = Seq(
     q01PricingSummary, q02FilterProject, q03ConditionalAgg, q04GroupCount,
     q05GroupStats, q06TopkGroups, q07PctOfTotal, q08ValueCounts,
@@ -498,5 +552,5 @@ object CoreQueries {
     q13RowCounts, q14SemiJoin, q15AntiJoin, q16BroadcastLookup,
     q17RegionalRevenue, q18DateDim, q19LatestPerKey, q20FirstSeen,
     q21ContentDedup, q22Top50, q58Retention, q59Rollup, q60ApproxSketches,
-    q61Percentiles)
+    q61Percentiles, q62SqlSurface, q63WindowFrames)
 }

@@ -17,11 +17,17 @@ class QueriesSpec extends SparkTestBase {
   }
 
   test("approx sketches within tolerance of exact values") {
+    import org.apache.spark.sql.functions._
     val r = Registry.allQueries.find(_.name == "q60_approx_sketches").get
       .run(spark, sf).collect()(0)
     val (approx, exact) = (r.getLong(0), r.getLong(1))
     assert(math.abs(approx - exact).toDouble / exact < 0.05,
       s"HLL error >5%: $approx vs $exact")
+    val approxMedian = r.getDouble(2)
+    val exactMedian = Tables.orders(spark, sf)
+      .agg(expr("percentile(o_totalprice, 0.5)")).collect()(0).getDouble(0)
+    assert(math.abs(approxMedian - exactMedian) / exactMedian < 0.05,
+      s"approx median off >5%: $approxMedian vs $exactMedian")
   }
 
   test("every query returns rows at sf0.001") {
