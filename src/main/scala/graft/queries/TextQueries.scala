@@ -103,6 +103,23 @@ object TextQueries {
            |      FROM documents)
            |GROUP BY lang""".stripMargin))
 
+  /** P6 word-boundary fallback filter (loader_NeonDB.py:749-781): the
+    * \b-anchored alternation over a concat of text columns — "art" must
+    * NOT match "part"-style substrings, unlike the plain contains
+    * filters of q26. */
+  val q64WordBoundary = GQuery(
+    "q64_word_boundary",
+    (s, d) => {
+      import s.implicits._
+      val pattern = Classify.wordBoundaryPattern(Seq("join", "scan", "sort"))
+      Tables.documents(s, d)
+        .filter(lower(concat_ws(" ", $"lang", $"text")).rlike(pattern))
+        .groupBy($"source").agg(count(lit(1)).as("n_docs"))
+    },
+    Some("""SELECT source, count(*) AS n_docs FROM documents
+           |WHERE regexp_matches(lower(concat_ws(' ', lang, text)), '\b(join|scan|sort)\b')
+           |GROUP BY source""".stripMargin))
+
   /** F2 normalize_numeric, EU-locale branch: build "9.185,22"-style
     * mixed strings with printf (identical in both engines), parse back
     * via the reference's EU rule — strip dots, comma→decimal point
@@ -294,5 +311,5 @@ object TextQueries {
     q23ExplodeWords, q24JsonExtract, q25Classify, q26KeywordFilter,
     q27CleanString, q28NormalizeNumeric, q29NormalizeBoolean,
     q30NullSentinels, q31FillDefaults, q35TokenStats, q36QualityScore,
-    q37LangId, q38Fingerprint, q49NativeNumeric)
+    q37LangId, q38Fingerprint, q49NativeNumeric, q64WordBoundary)
 }

@@ -66,6 +66,31 @@ class IoCleanerSpec extends SparkTestBase {
       && json.contains("top10"))
   }
 
+  test("word-boundary pattern: whole words only, escaped metacharacters") {
+    import graft.functions.Classify
+    val df = Seq("a join here", "conjoined words", "sort-of ok", "nothing").toDF("t")
+    val got = df.filter($"t".rlike(Classify.wordBoundaryPattern(Seq("join", "sort"))))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("a join here", "sort-of ok")) // \b matches at '-'; not inside "conjoined"
+  }
+
+  test("nestedToJsonStrings flattens struct/array columns to JSON text") {
+    val df = Seq((1, Seq("a", "b"))).toDF("id", "tags")
+    val out = Ingest.nestedToJsonStrings(df)
+    assert(out.schema("tags").dataType == StringType)
+    assert(out.collect()(0).getString(1) == """["a","b"]""")
+  }
+
+  test("multimodal fake decode is deterministic and within bounds") {
+    import graft.operators.Multimodal
+    val m1 = Multimodal.mediaTable(Tables.documents(spark, sf).limit(3), "text")
+      .select("decoded.width", "decoded.height", "decoded.n_frames").collect()
+    val m2 = Multimodal.mediaTable(Tables.documents(spark, sf).limit(3), "text")
+      .select("decoded.width", "decoded.height", "decoded.n_frames").collect()
+    assert(m1.toSeq == m2.toSeq)
+    assert(m1.forall(r => r.getInt(0) >= 32 && r.getInt(1) >= 32 && r.getInt(2) >= 1))
+  }
+
   test("native numeric helper: reference rules incl. mixed-format null") {
     def p(s: String): java.lang.Double = NativeHelpers.parse(UTF8String.fromString(s))
     assert(p("1.234,56") == 1234.56)
