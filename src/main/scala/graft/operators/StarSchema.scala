@@ -13,26 +13,70 @@ import org.apache.spark.sql.expressions.Window
   * graph (no per-row inserts, no driver loops).
   *
   * Surrogate keys, two strategies (SURVEY §7.4 hard part #1):
-  *  - [[seqKey]]: row_number over a canonical ordering — compact,
-  *    contiguous, matches the reference's SERIAL semantics. The global
-  *    window is a single-partition exchange, fine for dimension-sized
-  *    inputs (dims ≪ facts by construction).
-  *  - [[hashKey]]: xxhash64 of the natural key — fully parallel, the
-  *    100 TB path when even the dimension is huge; not contiguous.
+  *  - [[seqKey]]: contiguous SERIAL-style keys equal to a global
+  *    `row_number() OVER (ORDER BY orderCol)` — but computed scale-safe:
+  *    range-repartition on the key column, rank *within* each partition,
+  *    then add the cumulative row-count offset of the partitions before
+  *    it. No single-partition exchange (the naive global window moves
+  *    the whole table through one reducer — `WindowExec: No Partition
+  *    Defined`); the only driver-side data is one count per partition.
+  *  - [[hashKey]]: xxhash64 of the natural key — fully parallel with no
+  *    counting pass at all, the path when keys need no contiguity; not
+  *    SERIAL-shaped, so not used where oracles compare key values.
   */
 object StarSchema {
 
-  def seqKey(df: DataFrame, orderCol: String, keyName: String): DataFrame =
-    df.withColumn(keyName, row_number().over(Window.orderBy(col(orderCol))))
+  /** Scalable contiguous surrogate key. `orderCol` must be unique
+    * (dims are distinct on their natural key by construction) — with
+    * ties, rows at a range-partition boundary could swap ranks vs the
+    * single-partition formulation. Runs one small job eagerly (the
+    * per-partition counts); the range-parted input is cached so the
+    * count pass and the consumer share the exchange.
+    */
+  def seqKey(df: DataFrame, orderCol: String, keyName: String): DataFrame = {
+    val nParts = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val parted = df
+      .repartitionByRange(nParts, col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+      .persist()
+    val counts = parted.groupBy(col("__pid")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.map(_._1).zip(counts.scanLeft(0L)(_ + _._2).init)
+    // partition id → rows-before-it, as a literal map expression (≤ nParts entries)
+    val offsetOf =
+      if (offsets.isEmpty) lit(0L)
+      else element_at(
+        map_from_arrays(
+          array(offsets.map(o => lit(o._1)): _*),
+          array(offsets.map(o => lit(o._2)): _*)),
+        col("__pid"))
+    parted
+      .withColumn("__local",
+        row_number().over(Window.partitionBy(col("__pid")).orderBy(col(orderCol))))
+      .withColumn(keyName, (offsetOf + col("__local")).cast("int"))
+      .drop("__pid", "__local")
+  }
 
   def hashKey(df: DataFrame, naturalKey: Seq[String], keyName: String): DataFrame =
     df.withColumn(keyName, xxhash64(naturalKey.map(col): _*))
 
-  /** dim_fecha from the fact's date domain (J5, loader_NeonDB.py:266-285). */
-  def dimFecha(orders: DataFrame): DataFrame =
-    seqKey(
-      orders.select(col("o_orderdate").cast("date").as("fecha")).distinct(),
-      "fecha", "fecha_id")
+  /** The union of every date column that will FK into dim_fecha — the
+    * set-wise form of the reference's get-or-create fecha map
+    * (loader_NeonDB.py:271-293 inserts any date a fact mentions), so no
+    * fact row can be fecha-orphaned. Each (table, column) contributes
+    * its non-null distinct dates.
+    */
+  def dateDomain(sources: (DataFrame, String)*): DataFrame =
+    sources
+      .map { case (df, c) =>
+        df.select(col(c).cast("date").as("fecha")).where(col("fecha").isNotNull)
+      }
+      .reduce(_ union _)
+      .distinct()
+
+  /** dim_fecha from a date-domain frame (J5, loader_NeonDB.py:266-285). */
+  def dimFecha(dates: DataFrame): DataFrame =
+    seqKey(dates, "fecha", "fecha_id")
       .withColumn("anio", year(col("fecha")))
       .withColumn("mes", month(col("fecha")))
       .withColumn("trimestre", quarter(col("fecha")))
@@ -69,6 +113,79 @@ object StarSchema {
     seqKey(part.select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size")),
       "p_partkey", "part_sk")
 
+  /** Tag dimension from exploded distinct values of a delimited column —
+    * the dim_tag_gaming pattern (loader_NeonDB.py:431-455: parse the
+    * events' tags field, collect the distinct set, SERIAL-key it sorted
+    * by name). Here the real array source is p_name's word list; the
+    * explode→trim→distinct→seqKey shape is identical.
+    */
+  def dimTag(part: DataFrame): DataFrame =
+    seqKey(
+      part.select(explode(split(col("p_name"), " ")).as("tag_nombre"))
+        .select(trim(col("tag_nombre")).as("tag_nombre"))
+        .where(col("tag_nombre") =!= "")
+        .distinct(),
+      "tag_nombre", "tag_id")
+
+  /** N:M bridge part↔tag (fact_evento_tag_gaming,
+    * loader_NeonDB.py:519-551): explode the array column into
+    * (natural_id, tag) pairs, resolve the tag surrogate via a broadcast
+    * lookup (the reference's preloaded tag_map), keep distinct pairs
+    * (its UNIQUE (evento_id, tag_id) + ON CONFLICT DO NOTHING).
+    * At scale: only (p_partkey, tag_nombre) pairs shuffle for the
+    * distinct; the dim side broadcasts.
+    */
+  def bridgePartTag(part: DataFrame, dimTag: DataFrame): DataFrame =
+    part.select(col("p_partkey"), explode(split(col("p_name"), " ")).as("tag_nombre"))
+      .select(col("p_partkey"), trim(col("tag_nombre")).as("tag_nombre"))
+      .where(col("tag_nombre") =!= "")
+      .distinct()
+      .join(broadcast(dimTag.select(col("tag_nombre"), col("tag_id"))), Seq("tag_nombre"))
+      .select(col("p_partkey"), col("tag_id"))
+
+  /** N:M bridge order↔part from the genuinely many-to-many lineitem
+    * relation (fact_mercado_evento_gaming, loader_NeonDB.py:457-517):
+    * distinct pairs, then both FKs validated against their dims — the
+    * reference's valid_markets/valid_events set filters become
+    * left-semi joins (the big dim streams through the shuffle, the
+    * small one broadcasts).
+    */
+  def bridgeOrderPart(lineitem: DataFrame, orders: DataFrame, part: DataFrame): DataFrame =
+    lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
+      .join(orders.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .join(broadcast(part.select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .select(col("l_orderkey").as("orderkey"), col("l_partkey").as("partkey"))
+
+  /** Multi-measure metrics fact (fact_metricas_gaming,
+    * loader_NeonDB.py:608-652: market FK + fecha FK + 7 numeric
+    * measures). Carries (orderkey, linenumber) as degenerate keys —
+    * like the reference table it has no natural unique grain (SERIAL PK
+    * only); fecha resolves from the ship date via a broadcast dim
+    * lookup, and the three derived
+    * measures stay raw IEEE products (rounding per-row diverges across
+    * engines). Facts never shuffle here — the only exchange is the
+    * broadcast of dim_fecha.
+    */
+  def factMetricas(lineitem: DataFrame, dimFecha: DataFrame): DataFrame =
+    lineitem
+      .join(broadcast(dimFecha.select(col("fecha"), col("fecha_id"))),
+        lineitem("l_shipdate").cast("date") === col("fecha"))
+      .select(
+        col("l_orderkey").as("orderkey"),
+        col("l_linenumber").as("linenumber"),
+        col("fecha_id"),
+        col("l_partkey").as("partkey"),
+        col("l_quantity").as("cantidad"),
+        col("l_extendedprice").as("precio_ext"),
+        col("l_discount").as("descuento"),
+        col("l_tax").as("impuesto"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("precio_neto"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * (lit(1.0) + col("l_tax"))).as("cargo_total"),
+        (col("l_extendedprice") * col("l_discount")).as("monto_descuento"))
+
   /** fact_orders: FK surrogate resolution via broadcast lookups (J2).
     * At 100 TB the fact never shuffles here — both dims broadcast.
     * Carries `anio` as the physical partition column (facts partitioned
@@ -95,18 +212,50 @@ object StarSchema {
   val partitionSpec: Map[String, Seq[String]] =
     Map("fact_orders" -> Seq("anio")).withDefaultValue(Nil)
 
-  /** All star tables in one lineage. */
+  /** Map whose values materialize on first access. seqKey runs an eager
+    * counting job, so an eager Map would pay that job for every dim on
+    * every build — a consumer touching only fact_orders must not pay
+    * for dim_tag. Thread-safe not required: builds are per-query. */
+  private final class LazyStar(thunks: Seq[(String, () => DataFrame)])
+      extends scala.collection.immutable.AbstractMap[String, DataFrame] {
+    private val byName = thunks.toMap
+    private val memo = scala.collection.mutable.HashMap.empty[String, DataFrame]
+    private def force(k: String): DataFrame = memo.getOrElseUpdate(k, byName(k)())
+    override def get(key: String): Option[DataFrame] = byName.get(key).map(_ => force(key))
+    override def iterator: Iterator[(String, DataFrame)] =
+      thunks.iterator.map { case (k, _) => k -> force(k) }
+    override def removed(key: String): Map[String, DataFrame] = iterator.toMap.removed(key)
+    override def updated[V1 >: DataFrame](key: String, value: V1): Map[String, V1] =
+      iterator.toMap.updated(key, value)
+  }
+
+  /** All star tables in one lineage — the full reference shape
+    * (loader_NeonDB.py:78-256 DDL): date/customer/part/tag dims, the
+    * orders fact, both N:M bridges, and the multi-measure metrics fact.
+    * Entries are lazy (see [[LazyStar]]); the two dims every fact
+    * FK-joins through (fecha, customer) are cached on first touch —
+    * each is consumed up to three times per downstream query (fact
+    * build + validator + rollups) and the seqKey pass has already
+    * materialized their exchange once.
+    */
   def build(spark: SparkSession, sfDir: String): Map[String, DataFrame] = {
     val orders = Tables.orders(spark, sfDir)
-    val fecha = dimFecha(orders)
-    val cust = dimCustomer(Tables.customer(spark, sfDir),
-      Tables.nation(spark, sfDir), Tables.region(spark, sfDir))
-    val part = dimPart(Tables.part(spark, sfDir))
-    Map(
-      "dim_fecha" -> fecha,
-      "dim_customer" -> cust,
-      "dim_part" -> part,
-      "fact_orders" -> factOrders(orders, fecha, cust))
+    val lineitem = Tables.lineitem(spark, sfDir)
+    val partSrc = Tables.part(spark, sfDir)
+    lazy val fecha =
+      dimFecha(dateDomain(orders -> "o_orderdate", lineitem -> "l_shipdate")).cache()
+    lazy val cust = dimCustomer(Tables.customer(spark, sfDir),
+      Tables.nation(spark, sfDir), Tables.region(spark, sfDir)).cache()
+    lazy val tag = dimTag(partSrc)
+    new LazyStar(Seq(
+      "dim_fecha" -> (() => fecha),
+      "dim_customer" -> (() => cust),
+      "dim_part" -> (() => dimPart(partSrc)),
+      "dim_tag" -> (() => tag),
+      "fact_orders" -> (() => factOrders(orders, fecha, cust)),
+      "bridge_order_part" -> (() => bridgeOrderPart(lineitem, orders, partSrc)),
+      "bridge_part_tag" -> (() => bridgePartTag(partSrc, tag)),
+      "fact_metricas" -> (() => factMetricas(lineitem, fecha))))
   }
 }
 
@@ -118,7 +267,12 @@ object StarSchema {
 object Validator {
 
   def uniqueness(df: DataFrame, pk: String, name: String): DataFrame =
-    df.agg((count(lit(1)) - countDistinct(col(pk))).as("n_bad"))
+    uniquenessMulti(df, Seq(pk), name)
+
+  /** Composite-grain uniqueness (the bridges' UNIQUE (a, b) constraints,
+    * loader_NeonDB.py:216,231). */
+  def uniquenessMulti(df: DataFrame, pk: Seq[String], name: String): DataFrame =
+    df.agg((count(lit(1)) - countDistinct(col(pk.head), pk.tail.map(col): _*)).as("n_bad"))
       .select(lit(name).as("check_name"), col("n_bad"))
 
   def orphans(fact: DataFrame, fk: String, dim: DataFrame, pk: String, name: String): DataFrame =
@@ -128,16 +282,32 @@ object Validator {
       .agg(count(lit(1)).as("n_bad"))
       .select(lit(name).as("check_name"), col("n_bad"))
 
-  /** Full integrity report over the built star. */
+  /** Full integrity report over the built star: PK/grain uniqueness for
+    * every dim, fact and bridge, plus FK orphans in both directions
+    * through the bridges (validator_warehouse.py:72-164 extended to the
+    * 9-table shape). */
   def report(star: Map[String, DataFrame]): DataFrame = {
     val f = star("fact_orders")
+    val bop = star("bridge_order_part")
+    val bpt = star("bridge_part_tag")
+    val fm = star("fact_metricas")
+    // no grain-uniqueness check on fact_metricas: the reference table
+    // carries only a SERIAL PK (loader_NeonDB.py:234-246) — duplicate
+    // (mercado, fecha) metric rows are legal there, and here too
     Seq(
       uniqueness(star("dim_fecha"), "fecha_id", "uniq_dim_fecha"),
       uniqueness(star("dim_customer"), "customer_sk", "uniq_dim_customer"),
       uniqueness(star("dim_part"), "part_sk", "uniq_dim_part"),
+      uniqueness(star("dim_tag"), "tag_id", "uniq_dim_tag"),
       uniqueness(f, "o_orderkey", "uniq_fact_orders"),
+      uniquenessMulti(bop, Seq("orderkey", "partkey"), "uniq_bridge_order_part"),
+      uniquenessMulti(bpt, Seq("p_partkey", "tag_id"), "uniq_bridge_part_tag"),
       orphans(f, "fecha_id", star("dim_fecha"), "fecha_id", "orphan_fact_fecha"),
-      orphans(f, "customer_sk", star("dim_customer"), "customer_sk", "orphan_fact_customer")
+      orphans(f, "customer_sk", star("dim_customer"), "customer_sk", "orphan_fact_customer"),
+      orphans(bop, "orderkey", f, "o_orderkey", "orphan_bridge_order"),
+      orphans(bop, "partkey", star("dim_part"), "p_partkey", "orphan_bridge_part"),
+      orphans(bpt, "tag_id", star("dim_tag"), "tag_id", "orphan_bridge_tag"),
+      orphans(fm, "fecha_id", star("dim_fecha"), "fecha_id", "orphan_metricas_fecha")
     ).reduce(_ union _)
   }
 }

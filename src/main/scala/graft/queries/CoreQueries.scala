@@ -323,16 +323,16 @@ object CoreQueries {
     (s, d) => {
       import s.implicits._
       import graft.functions.Normalize
+      import graft.operators.StarSchema
       val dates = Tables.orders(s, d)
         .select($"o_orderdate".cast("date").as("fecha_d")).distinct()
-      dates
+      StarSchema.seqKey(dates, "fecha_d", "fecha_id")
         .withColumn("anio", year($"fecha_d"))
         .withColumn("mes", month($"fecha_d"))
         .withColumn("dia", dayofmonth($"fecha_d"))
         .withColumn("trimestre", quarter($"fecha_d"))
         .withColumn("dia_semana", Normalize.dayOfWeekMonday0($"fecha_d"))
         .withColumn("es_fin_semana", Normalize.isWeekend($"fecha_d"))
-        .withColumn("fecha_id", row_number().over(Window.orderBy($"fecha_d")))
         // ISO string on the wire: date physical types differ across
         // engines/pandas; the string form is unambiguous
         .withColumn("fecha", date_format($"fecha_d", "yyyy-MM-dd"))

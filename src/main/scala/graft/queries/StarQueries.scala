@@ -12,6 +12,37 @@ import org.apache.spark.sql.functions._
   */
 object StarQueries {
 
+  /** dim_fecha's date domain in oracle SQL — the union of every date
+    * column that FKs into it (mirrors StarSchema.dateDomain; the
+    * reference's get-or-create fecha map, loader_NeonDB.py:271-293). */
+  private val DatesCte =
+    """dates AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS fecha FROM orders WHERE o_orderdate IS NOT NULL
+      |  UNION
+      |  SELECT CAST(l_shipdate AS DATE) FROM lineitem WHERE l_shipdate IS NOT NULL)""".stripMargin
+
+  private val DimFechaCte =
+    s"""$DatesCte,
+       |dim_fecha AS (
+       |  SELECT fecha, CAST(row_number() OVER (ORDER BY fecha) AS INT) AS fecha_id,
+       |         CAST(year(fecha) AS INT) AS anio
+       |  FROM dates)""".stripMargin
+
+  /** Tag dim + part↔tag bridge in oracle SQL (mirrors StarSchema.dimTag
+    * / bridgePartTag over p_name's word list). */
+  private val TagCtes =
+    """tags AS (
+      |  SELECT DISTINCT trim(w) AS tag_nombre
+      |  FROM (SELECT unnest(string_split(p_name, ' ')) AS w FROM part) t
+      |  WHERE trim(w) <> ''),
+      |dim_tag AS (
+      |  SELECT tag_nombre, CAST(row_number() OVER (ORDER BY tag_nombre) AS INT) AS tag_id
+      |  FROM tags),
+      |ptag AS (
+      |  SELECT DISTINCT p_partkey, trim(w) AS tag_nombre
+      |  FROM (SELECT p_partkey, unnest(string_split(p_name, ' ')) AS w FROM part) t
+      |  WHERE trim(w) <> '')""".stripMargin
+
   /** Star dimension with deterministic SERIAL-style surrogate keys
     * (loader_NeonDB.py:94-117 → row_number over canonical order). */
   val q32DimCustomer = GQuery(
@@ -36,17 +67,14 @@ object StarQueries {
       val star = StarSchema.build(s, d)
       star("fact_orders")
     },
-    Some("""WITH dim_fecha AS (
-           |  SELECT fecha, CAST(row_number() OVER (ORDER BY fecha) AS INT) AS fecha_id,
-           |         CAST(year(fecha) AS INT) AS anio
-           |  FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS fecha FROM orders)),
-           |dim_customer AS (
-           |  SELECT c_custkey, CAST(row_number() OVER (ORDER BY c_custkey) AS INT) AS customer_sk
-           |  FROM customer)
-           |SELECT o_orderkey, fecha_id, customer_sk, o_totalprice, o_orderstatus, anio
-           |FROM orders
-           |JOIN dim_fecha ON CAST(o_orderdate AS DATE) = fecha
-           |JOIN dim_customer ON o_custkey = c_custkey""".stripMargin))
+    Some(s"""WITH $DimFechaCte,
+            |dim_customer AS (
+            |  SELECT c_custkey, CAST(row_number() OVER (ORDER BY c_custkey) AS INT) AS customer_sk
+            |  FROM customer)
+            |SELECT o_orderkey, fecha_id, customer_sk, o_totalprice, o_orderstatus, anio
+            |FROM orders
+            |JOIN dim_fecha ON CAST(o_orderdate AS DATE) = fecha
+            |JOIN dim_customer ON o_custkey = c_custkey""".stripMargin))
 
   /** Star-join analytics over the built schema (the gold-layer query
     * shape the warehouse exists for). */
@@ -62,21 +90,18 @@ object StarQueries {
         .groupBy($"anio", $"region")
         .agg(round(sum($"o_totalprice"), 2).as("revenue"), count(lit(1)).as("n_orders"))
     },
-    Some("""WITH dim_fecha AS (
-           |  SELECT fecha, CAST(row_number() OVER (ORDER BY fecha) AS INT) AS fecha_id,
-           |         year(fecha) AS anio
-           |  FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS fecha FROM orders)),
-           |dim_customer AS (
-           |  SELECT c_custkey, CAST(row_number() OVER (ORDER BY c_custkey) AS INT) AS customer_sk,
-           |         r_name AS region
-           |  FROM customer JOIN nation ON c_nationkey = n_nationkey
-           |                JOIN region ON n_regionkey = r_regionkey)
-           |SELECT CAST(anio AS INT) AS anio, region,
-           |  round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
-           |FROM orders
-           |JOIN dim_fecha ON CAST(o_orderdate AS DATE) = fecha
-           |JOIN dim_customer ON o_custkey = c_custkey
-           |GROUP BY anio, region""".stripMargin),
+    Some(s"""WITH $DimFechaCte,
+            |dim_customer AS (
+            |  SELECT c_custkey, CAST(row_number() OVER (ORDER BY c_custkey) AS INT) AS customer_sk,
+            |         r_name AS region
+            |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+            |                JOIN region ON n_regionkey = r_regionkey)
+            |SELECT anio, region,
+            |  round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+            |FROM orders
+            |JOIN dim_fecha ON CAST(o_orderdate AS DATE) = fecha
+            |JOIN dim_customer ON o_custkey = c_custkey
+            |GROUP BY anio, region""".stripMargin),
     benchmark = true)
 
   /** Warehouse integrity report: PK uniqueness + FK orphans
@@ -84,12 +109,26 @@ object StarQueries {
   val q39ValidationReport = GQuery(
     "q39_validation_report",
     (s, d) => Validator.report(StarSchema.build(s, d)),
-    Some("""SELECT 'uniq_dim_fecha' AS check_name, CAST(count(DISTINCT CAST(o_orderdate AS DATE)) - count(DISTINCT CAST(o_orderdate AS DATE)) AS BIGINT) AS n_bad FROM orders
-           |UNION ALL SELECT 'uniq_dim_customer', count(*) - count(DISTINCT c_custkey) FROM customer
-           |UNION ALL SELECT 'uniq_dim_part', count(*) - count(DISTINCT p_partkey) FROM part
-           |UNION ALL SELECT 'uniq_fact_orders', count(*) - count(DISTINCT o_orderkey) FROM orders
-           |UNION ALL SELECT 'orphan_fact_fecha', count(*) FILTER (WHERE o_orderdate IS NULL) FROM orders
-           |UNION ALL SELECT 'orphan_fact_customer', count(*) FILTER (WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) FROM orders""".stripMargin))
+    Some(s"""WITH $DatesCte,
+            |$TagCtes,
+            |pairs AS (SELECT DISTINCT l_orderkey AS orderkey, l_partkey AS partkey FROM lineitem),
+            |valid_orders AS (
+            |  SELECT o_orderkey FROM orders
+            |  WHERE o_orderdate IS NOT NULL
+            |    AND o_custkey IN (SELECT c_custkey FROM customer))
+            |SELECT 'uniq_dim_fecha' AS check_name, CAST(count(DISTINCT fecha) - count(DISTINCT fecha) AS BIGINT) AS n_bad FROM dates
+            |UNION ALL SELECT 'uniq_dim_customer', count(*) - count(DISTINCT c_custkey) FROM customer
+            |UNION ALL SELECT 'uniq_dim_part', count(*) - count(DISTINCT p_partkey) FROM part
+            |UNION ALL SELECT 'uniq_dim_tag', count(*) - count(DISTINCT tag_nombre) FROM tags
+            |UNION ALL SELECT 'uniq_fact_orders', count(*) - count(DISTINCT o_orderkey) FROM orders
+            |UNION ALL SELECT 'uniq_bridge_order_part', count(*) - count(DISTINCT (orderkey, partkey)) FROM pairs
+            |UNION ALL SELECT 'uniq_bridge_part_tag', count(*) - count(DISTINCT (p_partkey, tag_nombre)) FROM ptag
+            |UNION ALL SELECT 'orphan_fact_fecha', count(*) FILTER (WHERE o_orderdate IS NULL) FROM orders
+            |UNION ALL SELECT 'orphan_fact_customer', count(*) FILTER (WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) FROM orders
+            |UNION ALL SELECT 'orphan_bridge_order', count(*) FILTER (WHERE orderkey NOT IN (SELECT o_orderkey FROM valid_orders)) FROM pairs
+            |UNION ALL SELECT 'orphan_bridge_part', count(*) FILTER (WHERE partkey NOT IN (SELECT p_partkey FROM part)) FROM pairs
+            |UNION ALL SELECT 'orphan_bridge_tag', count(*) FILTER (WHERE tag_nombre NOT IN (SELECT tag_nombre FROM tags)) FROM ptag
+            |UNION ALL SELECT 'orphan_metricas_fecha', count(*) FILTER (WHERE CAST(l_shipdate AS DATE) NOT IN (SELECT fecha FROM dates)) FROM lineitem""".stripMargin))
 
   /** E2 flagship pipeline (SURVEY §7.2): keyword include/exclude →
     * content dedup → classify → summary, on the documents corpus. */
@@ -235,8 +274,85 @@ object StarQueries {
          |GROUP BY 1""".stripMargin
     })
 
+  /** Tag dimension + bridge resolution: the exploded-values dim keyed
+    * and joined back through the N:M bridge (dim_tag_gaming +
+    * fact_evento_tag_gaming, loader_NeonDB.py:431-455, :519-551). */
+  val q65TagBridge = GQuery(
+    "q65_tag_bridge",
+    (s, d) => {
+      import s.implicits._
+      val star = StarSchema.build(s, d)
+      star("bridge_part_tag")
+        .join(broadcast(star("dim_tag")), Seq("tag_id"))
+        .groupBy($"tag_id", $"tag_nombre")
+        .agg(count(lit(1)).as("n_parts"))
+    },
+    Some(s"""WITH $TagCtes
+            |SELECT tag_id, tag_nombre, count(*) AS n_parts
+            |FROM ptag JOIN dim_tag USING (tag_nombre)
+            |GROUP BY tag_id, tag_nombre""".stripMargin))
+
+  /** The order↔part N:M bridge materialized in full — distinct FK pairs
+    * from the genuinely many-to-many lineitem relation, both sides
+    * validated (fact_mercado_evento_gaming, loader_NeonDB.py:457-517). */
+  val q66BridgeOrderPart = GQuery(
+    "q66_bridge_order_part",
+    (s, d) => StarSchema.build(s, d)("bridge_order_part"),
+    Some("""SELECT DISTINCT l_orderkey AS orderkey, l_partkey AS partkey
+           |FROM lineitem
+           |WHERE l_orderkey IN (SELECT o_orderkey FROM orders)
+           |  AND l_partkey IN (SELECT p_partkey FROM part)""".stripMargin))
+
+  /** The multi-measure metrics fact materialized in full: fecha FK via
+    * broadcast lookup + 7 measures, raw IEEE arithmetic on the derived
+    * three (fact_metricas_gaming, loader_NeonDB.py:608-652). */
+  val q67FactMetricas = GQuery(
+    "q67_fact_metricas",
+    (s, d) => StarSchema.build(s, d)("fact_metricas"),
+    Some(s"""WITH $DimFechaCte
+            |SELECT l_orderkey AS orderkey, l_linenumber AS linenumber, fecha_id,
+            |  l_partkey AS partkey,
+            |  l_quantity AS cantidad, l_extendedprice AS precio_ext,
+            |  l_discount AS descuento, l_tax AS impuesto,
+            |  l_extendedprice * (1.0 - l_discount) AS precio_neto,
+            |  l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS cargo_total,
+            |  l_extendedprice * l_discount AS monto_descuento
+            |FROM lineitem
+            |JOIN dim_fecha ON CAST(l_shipdate AS DATE) = fecha""".stripMargin))
+
+  /** Gold-layer rollup through both bridge hops: metrics fact →
+    * part↔tag bridge → tag dim. The bridge and dim are part-sized →
+    * both broadcast; the fact never shuffles before the aggregate. */
+  val q68TagRevenue = GQuery(
+    "q68_tag_revenue",
+    (s, d) => {
+      import s.implicits._
+      val star = StarSchema.build(s, d)
+      star("fact_metricas")
+        .join(broadcast(star("bridge_part_tag").withColumnRenamed("p_partkey", "partkey")),
+          Seq("partkey"))
+        .join(broadcast(star("dim_tag")), Seq("tag_id"))
+        .groupBy($"tag_nombre")
+        .agg(
+          round(sum($"precio_neto"), 2).as("revenue"),
+          round(sum($"cargo_total"), 2).as("charge"),
+          round(sum($"cantidad"), 2).as("total_qty"),
+          count(lit(1)).as("n_lines"))
+    },
+    Some(s"""WITH $TagCtes
+            |SELECT tag_nombre,
+            |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+            |  round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS charge,
+            |  round(sum(l_quantity), 2) AS total_qty, count(*) AS n_lines
+            |FROM lineitem
+            |JOIN ptag ON l_partkey = p_partkey
+            |JOIN dim_tag USING (tag_nombre)
+            |GROUP BY tag_nombre""".stripMargin),
+    benchmark = true)
+
   val all: Seq[GQuery] = Seq(
     q32DimCustomer, q33FactOrders, q34StarAgg, q39ValidationReport,
     q48FlagshipPipeline, q50MultimodalMeta, q51WindowTumbling,
-    q52NestedJson, q53NestedExplode, q54SeedCatalog)
+    q52NestedJson, q53NestedExplode, q54SeedCatalog,
+    q65TagBridge, q66BridgeOrderPart, q67FactMetricas, q68TagRevenue)
 }
