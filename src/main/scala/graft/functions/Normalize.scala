@@ -109,6 +109,45 @@ object Normalize {
     when(size(cleanedArr) > 0, cleanedArr).otherwise(lit(null).cast(ArrayType(StringType)))
   }
 
+  private def blankToNull(c: Column): Column =
+    when(c === "", lit(null).cast(StringType)).otherwise(c)
+
+  /** F8 tags-as-objects (loader_NeonDB.py:408-429): JSON list of
+    * {label, slug, id} objects → display labels. The 3-way fallback
+    * mirrors Python `or`-truthiness exactly: an empty-STRING label
+    * falls through to slug then id, but a whitespace-only label is
+    * *selected* and then dropped by the post-strip blank check (so
+    * `[{'label': ' ', 'slug': 'x'}]` yields nothing for that item, not
+    * 'x'). Empty list → empty array (the reference returns [], never
+    * None, on this path). Missing keys parse as null struct fields.
+    */
+  def tagObjectLabels(c: Column): Column = {
+    val parsed = from_json(repairJson(trim(c.cast(StringType))),
+      lit("array<struct<label: string, slug: string, id: string>>"))
+    filter(
+      transform(parsed, x =>
+        blankToNull(trim(coalesce(
+          blankToNull(x.getField("label")),
+          blankToNull(x.getField("slug")),
+          blankToNull(x.getField("id")))))),
+      x => x.isNotNull)
+  }
+
+  /** F10 series-id extraction (loader_NeonDB.py:786-807): the field may
+    * hold one {'id': ...} object or a list of them; returns the
+    * non-blank ids (reference collects them into a distinct set — do
+    * that downstream). Non-JSON / blank input → null.
+    */
+  def seriesIds(c: Column): Column = {
+    val repaired = repairJson(trim(c.cast(StringType)))
+    val fromList = transform(
+      from_json(repaired, lit("array<struct<id: string>>")), x => x.getField("id"))
+    val objId = from_json(repaired, lit("struct<id: string>")).getField("id")
+    val ids = when(repaired.startsWith("["), fromList)
+      .otherwise(when(objId.isNotNull, array(objId)))
+    filter(ids, x => x.isNotNull && trim(x) =!= "")
+  }
+
   /** P8 sentinel-null normalization (spark_cleaner.py:54-71). */
   val NullSentinels: Seq[String] =
     Seq("", "none", "null", "n/a", "na", "nan", "nil", "undefined", "-")

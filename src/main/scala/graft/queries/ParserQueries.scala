@@ -1,0 +1,221 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.Normalize
+import org.apache.spark.sql.functions._
+
+/** Oracle coverage for the lenient list/object parsers — F4–F6
+  * (transformer_data.py:102-212) and F8/F10 (loader_NeonDB.py:408-429,
+  * :786-807). Each query synthesizes the same JSON-ish string column in
+  * Spark and in the DuckDB oracle from events-table values (the q52/q53
+  * pattern), so the parser semantics — unparsable-element drop,
+  * empty→null, non-list→null, and the deliberate apostrophe-safety
+  * divergence of [[Normalize.repairJson]] (a string already carrying a
+  * double quote is NOT single-quote-repaired, so `["it's", "2.5"]`
+  * parses here where the reference's unconditional replace corrupts it,
+  * transformer_data.py:115-117) — are hash-compared end-to-end, not
+  * just unit-asserted.
+  *
+  * The DuckDB twin of the repair + parse, shared by all five oracles:
+  * trim → conditional quote replace → json_valid/json_type guard →
+  * from_json. Mirrors exactly what repairJson + Spark from_json do on
+  * these inputs (malformed → null, non-array → null).
+  */
+object ParserQueries {
+
+  /** DuckDB CTE fragment: src(event_id, s) → rep(event_id, s, r) with r
+    * the repaired JSON text. */
+  private def repCte(synthCase: String): String =
+    s"""src AS (
+       |  SELECT event_id, user_id, event_type, $synthCase AS s FROM events),
+       |rep AS (
+       |  SELECT event_id, s,
+       |    CASE WHEN contains(trim(s), '"') THEN trim(s)
+       |         ELSE replace(trim(s), '''', '"') END AS r
+       |  FROM src)""".stripMargin
+
+  private val ParsedStrArr =
+    """CASE WHEN s IS NULL OR NOT json_valid(r) OR json_type(r) <> 'ARRAY' THEN NULL
+      |     ELSE from_json(r, '["VARCHAR"]') END""".stripMargin
+
+  /** F4 normalize_prices end-to-end: numeric coercion, unparsable
+    * elements dropped, non-list → null, empty/all-dropped → null, and
+    * the apostrophe-divergence case. */
+  val q69NormalizePrices = GQuery(
+    "q69_normalize_prices",
+    (s, d) => {
+      import s.implicits._
+      val m = $"event_id" % 6
+      val raw = when(m === 0, format_string("['%d.25', '%d.75']", $"user_id", $"user_id"))
+        .when(m === 1, format_string(" ['%d', 'x', '%d.5'] ", $"user_id", $"event_id"))
+        .when(m === 2, lit("not a list"))
+        .when(m === 3, lit("[]"))
+        .when(m === 4, lit(null).cast("string"))
+        .otherwise(format_string("[\"it's\", \"%d.5\"]", $"user_id"))
+      Tables.events(s, d)
+        .withColumn("prices", Normalize.prices(raw))
+        .select($"event_id", $"prices",
+          Normalize.sizeOrZero($"prices").as("n_prices"))
+    },
+    Some(s"""WITH ${repCte(
+             """CASE CAST(event_id % 6 AS INT)
+               |      WHEN 0 THEN printf('[''%d.25'', ''%d.75'']', user_id, user_id)
+               |      WHEN 1 THEN printf(' [''%d'', ''x'', ''%d.5''] ', user_id, event_id)
+               |      WHEN 2 THEN 'not a list'
+               |      WHEN 3 THEN '[]'
+               |      WHEN 4 THEN NULL
+               |      ELSE printf('["it''s", "%d.5"]', user_id) END""".stripMargin)},
+            |parsed AS (SELECT event_id, $ParsedStrArr AS p FROM rep),
+            |pr AS (SELECT event_id,
+            |  list_filter(list_transform(p, x -> TRY_CAST(x AS DOUBLE)), x -> x IS NOT NULL) AS d
+            |  FROM parsed)
+            |SELECT event_id,
+            |  CASE WHEN len(d) > 0 THEN d ELSE NULL END AS prices,
+            |  CAST(CASE WHEN d IS NULL OR len(d) = 0 THEN 0 ELSE len(d) END AS INT) AS n_prices
+            |FROM pr""".stripMargin))
+
+  /** F5 normalize_outcomes end-to-end: trim+upper, blank elements
+    * dropped, empty → null. */
+  val q70NormalizeOutcomes = GQuery(
+    "q70_normalize_outcomes",
+    (s, d) => {
+      import s.implicits._
+      val m = $"event_id" % 5
+      val raw = when(m === 0, lit("[' yes', 'No ']"))
+        .when(m === 1, format_string("[' %s ', '']", $"event_type"))
+        .when(m === 2, lit("NO_LIST"))
+        .when(m === 3, lit("[]"))
+        .otherwise(lit(null).cast("string"))
+      Tables.events(s, d)
+        .withColumn("outcomes", Normalize.outcomes(raw))
+        .select($"event_id", $"outcomes",
+          Normalize.sizeOrZero($"outcomes").as("n_outcomes"))
+    },
+    Some(s"""WITH ${repCte(
+             """CASE CAST(event_id % 5 AS INT)
+               |      WHEN 0 THEN '['' yes'', ''No '']'
+               |      WHEN 1 THEN printf('['' %s '', '''']', event_type)
+               |      WHEN 2 THEN 'NO_LIST'
+               |      WHEN 3 THEN '[]'
+               |      ELSE NULL END""".stripMargin)},
+            |parsed AS (SELECT event_id, $ParsedStrArr AS p FROM rep),
+            |cl AS (SELECT event_id,
+            |  list_filter(list_transform(p, x -> upper(trim(x))), x -> x IS NOT NULL AND x <> '') AS c
+            |  FROM parsed)
+            |SELECT event_id,
+            |  CASE WHEN len(c) > 0 THEN c ELSE NULL END AS outcomes,
+            |  CAST(CASE WHEN c IS NULL OR len(c) = 0 THEN 0 ELSE len(c) END AS INT) AS n_outcomes
+            |FROM cl""".stripMargin))
+
+  /** F6 parse_tags end-to-end: lower+trim, set-dedup. The reference's
+    * `list(set(...))` order is arbitrary, so both sides sort the array
+    * for the value compare. */
+  val q71ParseTags = GQuery(
+    "q71_parse_tags",
+    (s, d) => {
+      import s.implicits._
+      val m = $"event_id" % 4
+      val raw = when(m === 0,
+          format_string("['Tag%d', 'tag%d', ' TAG%d ']", $"user_id", $"user_id", $"user_id"))
+        .when(m === 1, format_string("['A%d', 'b%d']", $"user_id" % 3, $"event_id" % 7))
+        .when(m === 2, lit("nan"))
+        .otherwise(lit(null).cast("string"))
+      Tables.events(s, d)
+        .withColumn("tags", array_sort(Normalize.tags(raw)))
+        .select($"event_id", $"tags", Normalize.sizeOrZero($"tags").as("n_tags"))
+    },
+    Some(s"""WITH ${repCte(
+             """CASE CAST(event_id % 4 AS INT)
+               |      WHEN 0 THEN printf('[''Tag%d'', ''tag%d'', '' TAG%d '']', user_id, user_id, user_id)
+               |      WHEN 1 THEN printf('[''A%d'', ''b%d'']', user_id % 3, event_id % 7)
+               |      WHEN 2 THEN 'nan'
+               |      ELSE NULL END""".stripMargin)},
+            |parsed AS (SELECT event_id, $ParsedStrArr AS p FROM rep),
+            |cl AS (SELECT event_id,
+            |  list_sort(list_distinct(
+            |    list_filter(list_transform(p, x -> lower(trim(x))), x -> x IS NOT NULL AND x <> ''))) AS c
+            |  FROM parsed)
+            |SELECT event_id,
+            |  CASE WHEN len(c) > 0 THEN c ELSE NULL END AS tags,
+            |  CAST(CASE WHEN c IS NULL OR len(c) = 0 THEN 0 ELSE len(c) END AS INT) AS n_tags
+            |FROM cl""".stripMargin))
+
+  /** F8 tags-as-objects: the 3-way coalesce(label, slug, id) with
+    * Python-truthiness fallthrough — incl. the whitespace-only label
+    * that is selected then dropped (not replaced by the slug). */
+  val q72TagObjects = GQuery(
+    "q72_tag_objects",
+    (s, d) => {
+      import s.implicits._
+      val m = $"event_id" % 4
+      val raw = when(m === 0,
+          format_string("[{'label': 'L%d', 'slug': 's%d'}]", $"user_id" % 5, $"event_id" % 9))
+        .when(m === 1,
+          format_string("[{'slug': 's%d'}, {'id': '%d'}]", $"user_id" % 5, $"event_id"))
+        .when(m === 2, format_string("[{'label': ' '}, {'slug': 's%d'}]", $"user_id" % 5))
+        .otherwise(lit("[]"))
+      Tables.events(s, d)
+        .withColumn("labels", Normalize.tagObjectLabels(raw))
+        .select($"event_id", $"labels", Normalize.sizeOrZero($"labels").as("n_labels"))
+    },
+    Some(s"""WITH ${repCte(
+             """CASE CAST(event_id % 4 AS INT)
+               |      WHEN 0 THEN printf('[{''label'': ''L%d'', ''slug'': ''s%d''}]', user_id % 5, event_id % 9)
+               |      WHEN 1 THEN printf('[{''slug'': ''s%d''}, {''id'': ''%d''}]', user_id % 5, event_id)
+               |      WHEN 2 THEN printf('[{''label'': '' ''}, {''slug'': ''s%d''}]', user_id % 5)
+               |      ELSE '[]' END""".stripMargin)},
+            |parsed AS (SELECT event_id,
+            |  CASE WHEN s IS NULL OR NOT json_valid(r) OR json_type(r) <> 'ARRAY' THEN NULL
+            |       ELSE from_json(r, '[{"label":"VARCHAR","slug":"VARCHAR","id":"VARCHAR"}]') END AS p
+            |  FROM rep)
+            |SELECT event_id,
+            |  list_filter(
+            |    list_transform(p, x -> nullif(trim(coalesce(
+            |      nullif(x.label, ''), nullif(x.slug, ''), nullif(x.id, ''))), '')),
+            |    x -> x IS NOT NULL) AS labels,
+            |  CAST(coalesce(len(list_filter(
+            |    list_transform(p, x -> nullif(trim(coalesce(
+            |      nullif(x.label, ''), nullif(x.slug, ''), nullif(x.id, ''))), '')),
+            |    x -> x IS NOT NULL)), 0) AS INT) AS n_labels
+            |FROM parsed""".stripMargin))
+
+  /** F10 series-id extraction: object-or-list polymorphic field →
+    * distinct id set (here with per-id occurrence counts so the compare
+    * also pins the multiplicity the distinct collapsed). */
+  val q73SeriesIds = GQuery(
+    "q73_series_ids",
+    (s, d) => {
+      import s.implicits._
+      val m = $"event_id" % 5
+      val u20 = $"user_id" % 20
+      val raw = when(m === 0, format_string("{'id': 'ser-%d'}", u20))
+        .when(m === 1,
+          format_string("[{'id': 'ser-%d'}, {'id': 'ser-%d'}]", u20, ($"user_id" + 7) % 20))
+        .when(m === 2, lit("[]"))
+        .when(m === 3, lit("nan"))
+        .otherwise(lit(null).cast("string"))
+      Tables.events(s, d)
+        .select(explode(Normalize.seriesIds(raw)).as("series_id"))
+        .groupBy($"series_id")
+        .agg(count(lit(1)).as("n_events"))
+    },
+    Some(s"""WITH ${repCte(
+             """CASE CAST(event_id % 5 AS INT)
+               |      WHEN 0 THEN printf('{''id'': ''ser-%d''}', user_id % 20)
+               |      WHEN 1 THEN printf('[{''id'': ''ser-%d''}, {''id'': ''ser-%d''}]', user_id % 20, (user_id + 7) % 20)
+               |      WHEN 2 THEN '[]'
+               |      WHEN 3 THEN 'nan'
+               |      ELSE NULL END""".stripMargin)},
+            |ids AS (SELECT event_id,
+            |  CASE WHEN s IS NULL OR NOT json_valid(r) THEN NULL
+            |       WHEN json_type(r) = 'ARRAY' THEN list_transform(from_json(r, '[{"id":"VARCHAR"}]'), x -> x.id)
+            |       WHEN json_type(r) = 'OBJECT' THEN [json_extract_string(r, '$$.id')]
+            |       ELSE NULL END AS sids
+            |  FROM rep)
+            |SELECT sid AS series_id, count(*) AS n_events
+            |FROM (SELECT unnest(list_filter(sids, x -> x IS NOT NULL AND trim(x) <> '')) AS sid FROM ids)
+            |GROUP BY sid""".stripMargin))
+
+  val all: Seq[GQuery] = Seq(
+    q69NormalizePrices, q70NormalizeOutcomes, q71ParseTags, q72TagObjects, q73SeriesIds)
+}

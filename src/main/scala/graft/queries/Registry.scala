@@ -19,5 +19,6 @@ case class GQuery(
 object Registry {
   /** All registered queries, assembled by module. */
   def allQueries: Seq[GQuery] =
-    CoreQueries.all ++ TextQueries.all ++ LlmQueries.all ++ StarQueries.all
+    CoreQueries.all ++ TextQueries.all ++ LlmQueries.all ++ StarQueries.all ++
+      ParserQueries.all
 }

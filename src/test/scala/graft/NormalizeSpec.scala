@@ -82,6 +82,27 @@ class NormalizeSpec extends SparkTestBase {
       Seq((0, false), (5, true), (6, true)))
   }
 
+  test("tagObjectLabels: 3-way coalesce with Python-truthiness fallthrough") {
+    val l = Normalize.tagObjectLabels($"v")
+    // empty-string label falls through to slug; missing keys skip ahead
+    assert(asList(one[Any](l, """[{'label': '', 'slug': 'x'}, {'id': '7'}]""")) == List("x", "7"))
+    // whitespace-only label is SELECTED (truthy in Python) then dropped
+    // post-strip — the slug must NOT rescue the item
+    assert(asList(one[Any](l, """[{'label': ' ', 'slug': 'x'}]""")) == List())
+    assert(asList(one[Any](l, """[{'label': 'a'}, {'slug': 'b'}]""")) == List("a", "b"))
+    assert(asList(one[Any](l, "[]")) == List())   // reference returns [], not None
+    assert(one[Any](l, "nan") == null)
+  }
+
+  test("seriesIds: object-or-list polymorphic field") {
+    val i = Normalize.seriesIds($"v")
+    assert(asList(one[Any](i, """{'id': 'ser-1'}""")) == List("ser-1"))
+    assert(asList(one[Any](i, """[{'id': 'a'}, {'id': 'b'}, {'x': 1}]""")) == List("a", "b"))
+    assert(asList(one[Any](i, """[{'id': ' '}]""")) == List())  // blank id dropped
+    assert(one[Any](i, "nan") == null)
+    assert(oneNull(i) == null)
+  }
+
   test("sizeOrZero: null array -> 0 (not Spark's -1)") {
     val df = Seq(Some(Seq(1, 2)), None).toDF("v")
     assert(df.select(Normalize.sizeOrZero($"v")).collect().map(_.getInt(0)).toSeq == Seq(2, 0))
