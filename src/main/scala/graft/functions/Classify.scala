@@ -56,12 +56,23 @@ object Classify {
     }.map(_.otherwise(lit(default))).getOrElse(lit(default))
   }
 
+  /** Escape a keyword for embedding in a SQL single-quoted literal. */
+  private def sqlLit(s: String): String = s.replace("'", "''")
+
   /** Mirror of keywordClassifier as ANSI SQL (for the DuckDB oracle):
-    * CASE WHEN lower(col) LIKE '%kw%' THEN 'label' ... ELSE default END. */
+    * CASE WHEN contains(lower(col), 'kw') THEN 'label' ... — substring
+    * contains, not LIKE, so a keyword carrying `%`/`_` can never
+    * diverge from the Scala `contains` side. */
   def keywordClassifierSql(col: String, rules: Seq[(String, String)], default: String): String = {
     val whens = rules.map { case (kw, label) =>
-      s"WHEN lower($col) LIKE '%${kw.toLowerCase}%' THEN '$label'"
+      s"WHEN contains(lower($col), '${sqlLit(kw.toLowerCase)}') THEN '${sqlLit(label)}'"
     }.mkString(" ")
-    s"CASE $whens ELSE '$default' END"
+    s"CASE $whens ELSE '${sqlLit(default)}' END"
   }
+
+  /** Mirror of containsAny as ANSI SQL — OR-of-contains, same wildcard
+    * safety rationale as [[keywordClassifierSql]]. */
+  def containsAnySql(col: String, keywords: Seq[String]): String =
+    keywords.map(k => s"contains(lower($col), '${sqlLit(k.toLowerCase)}')")
+      .mkString("(", " OR ", ")")
 }

@@ -107,4 +107,28 @@ class NormalizeSpec extends SparkTestBase {
     val df = Seq(Some(Seq(1, 2)), None).toDF("v")
     assert(df.select(Normalize.sizeOrZero($"v")).collect().map(_.getInt(0)).toSeq == Seq(2, 0))
   }
+
+  test("esports rule tables: ordered first-match incl. reference's rlcs/lcs shadowing") {
+    import graft.functions.EsportsRules
+    val g = EsportsRules.gamingType($"v")
+    assert(one[String](g, "IEM Katowice esports grand final") == "CS:GO") // mapping order beats 'esports'
+    assert(one[String](g, "Rocket League RLCS major") == "League of Legends") // bug-for-bug: 'lcs ' ⊂ 'rlcs '
+    assert(one[String](g, "rocket league grand slam") == "Rocket League")
+    assert(one[String](g, "chess world cup") == "Esports General") // default
+    assert(oneNull(g) == null)
+  }
+
+  test("bet_type decision chain order and compound conditions") {
+    import graft.functions.EsportsRules
+    val b = EsportsRules.betType($"v")
+    assert(one[String](b, "who will win: spread edition") == "Match Winner") // will-win before spread
+    assert(one[String](b, "spread on map 3") == "Spread")                    // spread before map
+    assert(one[String](b, "over 20.5 and under kills") == "Over/Under")
+    assert(one[String](b, "total kills in game") == "Over/Under")            // total+kill branch
+    assert(one[String](b, "first team to win a round") == "First Blood")     // first+win before round
+    assert(one[String](b, "series mvp") == "MVP/Best Player")
+    assert(one[String](b, "round 5 result") == "Round/Map Winner")
+    assert(one[String](b, "handshake at the end?") == "Prop Bet")
+    assert(oneNull(b) == null)
+  }
 }
