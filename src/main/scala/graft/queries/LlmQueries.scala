@@ -121,34 +121,61 @@ object LlmQueries {
          |GROUP BY lang""".stripMargin
     })
 
-  /** n-gram Jaccard near-dup scan within source buckets (the exact
-    * variant — at 100 TB this runs on LSH candidates, never all pairs;
-    * bucketing by source keeps the quadratic term bounded). */
+  /** n-gram Jaccard near-dup verification, composed on MinHash-LSH
+    * candidates — the self-join carries a band-key equi-condition (plus
+    * same-source), never all pairs; the O(n²) within-source scan this
+    * replaced survives only as the small-corpus oracle in
+    * DedupSimilaritySpec. At 100 TB the only shuffled pair key is the
+    * band key; candidate pairs then fetch shingle sets via two
+    * id-equi-joins and verify with exact Jaccard. */
   val q44NgramJaccard = GQuery(
     "q44_ngram_jaccard",
     (s, d) => {
       import s.implicits._
-      val sh = Tables.documents(s, d)
-        .select($"doc_id", $"source", Dedup.shingleHashes($"text", 3).as("hs"))
-      sh.alias("a").join(sh.alias("b"),
-          col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+      val docs = Tables.documents(s, d)
+      val withBands = docs
+        .withColumn("__sig", Dedup.minhashSignature($"text", 32, 3))
+        .select($"doc_id", $"source", explode(Dedup.bandKeys($"__sig", 8, 4)).as("__bk"))
+      val cand = withBands.alias("a").join(withBands.alias("b"),
+          col("a.__bk") === col("b.__bk") && col("a.source") === col("b.source") &&
+            col("a.doc_id") < col("b.doc_id"))
         .select(col("a.source").as("source"),
-          Dedup.jaccard(col("a.hs"), col("b.hs")).as("jac"))
+          col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+      val sh = docs.select($"doc_id", Dedup.shingleHashes($"text", 3).as("hs"))
+      cand
+        .join(sh.select($"doc_id".as("id_a"), $"hs".as("hs_a")), "id_a")
+        .join(sh.select($"doc_id".as("id_b"), $"hs".as("hs_b")), "id_b")
+        .select($"source", Dedup.jaccard($"hs_a", $"hs_b").as("jac"))
         .groupBy($"source").agg(
           count(lit(1)).as("n_pairs"),
           round(avg($"jac"), 4).as("avg_jaccard"),
           round(max($"jac"), 4).as("max_jaccard"))
     },
     Some {
+      val aL = Dedup.coeffA(32).mkString("[", ",", "]")
+      val bL = Dedup.coeffB(32).mkString("[", ",", "]")
       val hs = s"list_transform(${shinglesSql(toksSql)}, sh -> ${h60.replace("__X__", "sh")} % ${Dedup.P})"
-      s"""WITH shingled AS (SELECT doc_id, source, $hs AS hs FROM documents)
+      s"""WITH shingled AS (SELECT doc_id, source, $hs AS hs FROM documents),
+         |sigs AS (SELECT doc_id, source,
+         |  list_transform(range(0, 32), i ->
+         |    list_min(list_transform(hs, h -> (($aL)[i+1] * h + ($bL)[i+1]) % ${Dedup.P}))) AS sig
+         |  FROM shingled),
+         |bands AS (SELECT doc_id, source,
+         |  unnest(list_transform(range(0, 8), j ->
+         |    CAST(j AS VARCHAR) || ':' || array_to_string(sig[j*4+1:j*4+4], ','))) AS bk
+         |  FROM sigs),
+         |cand AS (SELECT DISTINCT a.source AS source, a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |  ON a.bk = b.bk AND a.source = b.source AND a.doc_id < b.doc_id)
          |SELECT source, count(*) AS n_pairs,
          |  round(avg(jac), 4) AS avg_jaccard, round(max(jac), 4) AS max_jaccard
          |FROM (
-         |  SELECT a.source AS source,
+         |  SELECT cand.source AS source,
          |    len(list_filter(a.hs, x -> list_contains(b.hs, x))) /
          |      (len(a.hs) + len(b.hs) - len(list_filter(a.hs, x -> list_contains(b.hs, x)))) AS jac
-         |  FROM shingled a JOIN shingled b ON a.source = b.source AND a.doc_id < b.doc_id)
+         |  FROM cand JOIN shingled a ON cand.id_a = a.doc_id
+         |            JOIN shingled b ON cand.id_b = b.doc_id)
          |GROUP BY source""".stripMargin
     })
 

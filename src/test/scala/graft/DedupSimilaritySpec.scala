@@ -36,6 +36,25 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(planted == nDocs, s"expected all $nDocs planted dup pairs, got $planted")
   }
 
+  test("LSH-candidate jaccard recalls every all-pairs near-dup (small-corpus oracle)") {
+    // The all-pairs within-source scan q44 used to ship is now the TEST
+    // oracle for the candidate-composed path: every pair the exhaustive
+    // scan rates jaccard >= 0.9 must appear among the LSH candidates
+    // (deterministic here: fixed corpus + fixed minhash coefficients).
+    val docs = Tables.documents(spark, sf)
+    val sh = docs.select($"doc_id", $"source", Dedup.shingleHashes($"text", 3).as("hs"))
+    val allPairs = sh.alias("a").join(sh.alias("b"),
+        col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        Dedup.jaccard(col("a.hs"), col("b.hs")).as("jac"))
+      .filter($"jac" >= 0.9)
+    val cand = Dedup.lshCandidates(docs, "doc_id", "text")
+    val missed = allPairs.join(cand, Seq("id_a", "id_b"), "left_anti").count()
+    val nOracle = allPairs.count()
+    assert(nOracle > 0, "oracle found no near-dup pairs — corpus unsuitable")
+    assert(missed == 0, s"$missed of $nOracle all-pairs near-dups missing from LSH candidates")
+  }
+
   test("exact dedup keeps min id per content") {
     val df = Seq((5L, "same text here"), (2L, "same text here"), (9L, "other text"))
       .toDF("doc_id", "text")
