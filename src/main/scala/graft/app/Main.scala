@@ -36,10 +36,13 @@ object Main {
     Sinks.parquet(silverEvents, s"$outDir/silver/events")
     Sinks.parquet(silverDocs, s"$outDir/silver/documents")
 
-    // gold: star schema; partition layout comes from the table defs
+    // gold: star schema; partition layout + merge keys come from the
+    // table defs. Idempotent loads (ON CONFLICT DO NOTHING re-run
+    // semantics): a second run against the same bronze is a no-op.
     val star = StarSchema.build(spark, sfDir)
     star.foreach { case (name, df) =>
-      Sinks.parquet(df, s"$outDir/gold/$name", StarSchema.partitionSpec(name))
+      Sinks.parquetAppendNew(df, s"$outDir/gold/$name",
+        StarSchema.mergeKeys(name), StarSchema.partitionSpec(name))
     }
 
     // validation + volumetry reports

@@ -1,6 +1,7 @@
 package graft.io
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 /** Sinks (SURVEY §2.1 S7–S12): parquet/CSV/JSON-report writers plus a
   * JDBC conflict-skip batch sink mirroring the reference's
@@ -24,6 +25,42 @@ object Sinks {
     * the aggregation is distributed, only the final object is local). */
   def jsonReport(json: String, path: String): Unit =
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json)
+
+  /** The offline MERGE-equivalent of [[jdbcConflictSkip]]: idempotent
+    * parquet append — stage the incoming batch, anti-join its PK
+    * against the keys already on disk, append only the new rows
+    * (`INSERT ... ON CONFLICT (pk) DO NOTHING` re-run semantics,
+    * loader_NeonDB.py:370-645; SURVEY §7.4 #2). Batch-internal key
+    * conflicts collapse first-wins like a single conflict-skip INSERT.
+    *
+    * Scale: the existing side is read PK-columns-only (column-pruned
+    * scan — `ReadSchema` carries just the keys) and the anti-join
+    * shuffles on the PK hash; AQE broadcasts it when the key set is
+    * small. NOT transactional across concurrent writers (parquet has
+    * no multi-job commit protocol; that's Delta's job) — it targets
+    * the reference's re-run idempotence, not concurrent loads.
+    *
+    * Surrogate-key caveat, as in the reference: re-running on the SAME
+    * bronze input is a no-op (same keys regenerate). For INCREMENTAL
+    * loads where new dimension rows must not collide with keys already
+    * assigned, use hashKey surrogates (stable under growth) — seqKey
+    * renumbers from 1 on every rebuild.
+    */
+  def parquetAppendNew(df: DataFrame, path: String, keyCols: Seq[String],
+      partitionCols: Seq[String] = Nil): Unit = {
+    require(keyCols.nonEmpty, "parquetAppendNew needs at least one key column")
+    val spark = df.sparkSession
+    val incoming = df.dropDuplicates(keyCols)
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(hPath)) parquet(incoming, path, partitionCols)
+    else {
+      val existingKeys = spark.read.parquet(path).select(keyCols.map(col): _*)
+      val fresh = incoming.join(existingKeys, keyCols, "left_anti")
+      val w = fresh.write.mode("append")
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
+    }
+  }
 
   /** S12: idempotent JDBC batch insert with conflict-skip. Batched
     * per-partition statements, `ON CONFLICT (keys) DO NOTHING` so

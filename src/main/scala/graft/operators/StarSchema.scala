@@ -212,6 +212,21 @@ object StarSchema {
   val partitionSpec: Map[String, Seq[String]] =
     Map("fact_orders" -> Seq("anio")).withDefaultValue(Nil)
 
+  /** Natural/grain keys per gold table — the ON CONFLICT targets of the
+    * reference DDL (loader_NeonDB.py:94-246 UNIQUE constraints), used
+    * by the idempotent gold load (Sinks.parquetAppendNew). Natural
+    * keys, not surrogates: surrogates renumber per rebuild (see the
+    * seqKey/hashKey note), natural keys are what dedup re-runs. */
+  val mergeKeys: Map[String, Seq[String]] = Map(
+    "dim_fecha" -> Seq("fecha"),
+    "dim_customer" -> Seq("c_custkey"),
+    "dim_part" -> Seq("p_partkey"),
+    "dim_tag" -> Seq("tag_nombre"),
+    "fact_orders" -> Seq("o_orderkey"),
+    "bridge_order_part" -> Seq("orderkey", "partkey"),
+    "bridge_part_tag" -> Seq("p_partkey", "tag_id"),
+    "fact_metricas" -> Seq("orderkey", "linenumber"))
+
   /** Map whose values materialize on first access. seqKey runs an eager
     * counting job, so an eager Map would pay that job for every dim on
     * every build — a consumer touching only fact_orders must not pay

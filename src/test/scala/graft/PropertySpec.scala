@@ -61,6 +61,25 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("gold load idempotence: appendNew twice == once; overlap batch adds only new keys") {
+    import graft.io.Sinks
+    val dir = java.nio.file.Files.createTempDirectory("graft_gold").toString
+    val path = s"$dir/fact_orders"
+    val fact = StarSchema.build(spark, sf)("fact_orders")
+    val n0 = fact.count()
+    Sinks.parquetAppendNew(fact, path, Seq("o_orderkey"))
+    assert(spark.read.parquet(path).count() == n0)
+    // re-run with identical input: must be a no-op (SURVEY §7.4 #2)
+    Sinks.parquetAppendNew(fact, path, Seq("o_orderkey"))
+    assert(spark.read.parquet(path).count() == n0)
+    // overlapping batch: old keys skipped, shifted keys appended
+    val shifted = fact.withColumn("o_orderkey", $"o_orderkey" + 10000000L)
+    Sinks.parquetAppendNew(fact.unionAll(shifted), path, Seq("o_orderkey"))
+    assert(spark.read.parquet(path).count() == 2 * n0)
+    // and the PK stayed unique throughout
+    assert(spark.read.parquet(path).select("o_orderkey").distinct().count() == 2 * n0)
+  }
+
   test("salted join == plain join (semantics preserved under salting)") {
     val li = Tables.lineitem(spark, sf).select($"l_partkey")
     val p = Tables.part(spark, sf).select($"p_partkey".as("l_partkey"), $"p_brand")
