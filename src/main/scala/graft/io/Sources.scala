@@ -16,13 +16,23 @@ trait PagedSource extends Serializable {
   def fetchPage(offset: Long, limit: Int): Seq[String]
 }
 
-/** Reads "pages" from a JSONL file — the offline stand-in used by tests. */
+/** Reads "pages" from a JSONL file — the offline stand-in used by
+  * tests. The file is read once per JVM and memoized (the naive
+  * per-call re-read made ingestion O(pages × file size); a live HTTP
+  * implementation has no equivalent cost — each page is one request).
+  */
 class FileBackedSource(path: String) extends PagedSource {
-  override def fetchPage(offset: Long, limit: Int): Seq[String] = {
-    val src = scala.io.Source.fromFile(path)
-    try src.getLines().slice(offset.toInt, offset.toInt + limit).toList
-    finally src.close()
-  }
+  override def fetchPage(offset: Long, limit: Int): Seq[String] =
+    FileBackedSource.lines(path).slice(offset.toInt, offset.toInt + limit)
+}
+
+object FileBackedSource {
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, Vector[String]]()
+  private def lines(path: String): Vector[String] =
+    cache.computeIfAbsent(path, p => {
+      val src = scala.io.Source.fromFile(p)
+      try src.getLines().toVector finally src.close()
+    })
 }
 
 object Ingest {

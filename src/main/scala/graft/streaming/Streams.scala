@@ -54,6 +54,26 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Append-mode variant: only FINALIZED windows (end < watermark) are
+    * ever emitted, and rows arriving behind the watermark are dropped
+    * before aggregation — the contract the late-data spec pins. */
+  def startTumblingAppendToMemory(spark: SparkSession, dir: String,
+      queryName: String): StreamingQuery =
+    tumblingCounts(readEventStream(spark, dir))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(queryName)
+      .start()
+
+  /** Sessionize stream → memory (Update mode: mapGroupsWithState emits
+    * refreshed per-user state each micro-batch). */
+  def startSessionizeToMemory(spark: SparkSession, dir: String,
+      queryName: String): StreamingQuery =
+    sessionize(readEventStream(spark, dir))(spark)
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Per-user running session state via mapGroupsWithState: counts
     * events and carries the last-seen timestamp per user. */
   case class UserEvent(user_id: Long, event_id: Long, tsMicros: Long)

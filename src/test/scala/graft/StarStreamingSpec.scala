@@ -40,6 +40,53 @@ class StarStreamingSpec extends SparkTestBase {
     assert(batch.count() > 0)
   }
 
+  test("watermark drops late data; append emits each finalized window once") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_late")
+    def writeBatch(name: String, rows: Seq[(Long, Long, Long, String, Double, String)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_late_tmp")
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath, dir.resolve(name))
+    }
+    val H = 3600L * 1000000000L // one hour, in the source's epoch-nanos
+    // batch 1: an hour-0 event plus an hour-10 event -> after the batch
+    // the watermark advances to 08:00 (2h delay), finalizing hour 0
+    writeBatch("b1.parquet", Seq(
+      (1L, 5L, 1L, "click", 1.0, "{}"),
+      (2L, 10 * H + 5, 1L, "click", 1.0, "{}")))
+    val q = Streams.startTumblingAppendToMemory(spark, dir.toString, "late_test")
+    q.processAllAvailable()
+    // batch 2: a LATE hour-0 event (behind the 08:00 watermark — must be
+    // dropped pre-aggregation) and an on-time hour-11 event
+    writeBatch("b2.parquet", Seq(
+      (3L, 10L, 1L, "click", 1.0, "{}"),
+      (4L, 11 * H + 5, 1L, "click", 1.0, "{}")))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("late_test")
+    // exactly one emission: the hour-0 window, counting ONLY event 1 —
+    // the late event 3 neither merged into it nor spawned a duplicate
+    assert(out.count() == 1, s"expected 1 finalized window, got: ${out.collect().mkString(";")}")
+    assert(out.collect()(0).getAs[Long]("n") == 1L, "late row leaked into finalized window")
+  }
+
+  test("sessionize: stream (mapGroupsWithState) == batch, via memory sink") {
+    implicit val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val q = Streams.startSessionizeToMemory(spark, dir.toString, "sess_test")
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sess_test")
+    val batch = Streams.sessionize(Tables.events(spark, sf))
+    assert(streamed.exceptAll(batch).count() == 0 && batch.exceptAll(streamed).count() == 0)
+    assert(batch.count() > 0)
+  }
+
   test("sessionize mapGroupsWithState: per-user counts match groupBy") {
     implicit val s = spark
     val events = Tables.events(spark, sf)
