@@ -22,6 +22,40 @@ class IoCleanerSpec extends SparkTestBase {
     assert(df.agg(sum($"id")).collect()(0).getLong(0) == 325)
   }
 
+  test("DSv2 graft-paged source: partition-per-page, probe, parse parity with Ingest") {
+    val tmp = java.nio.file.Files.createTempFile("graft_dsv2", ".jsonl")
+    val rows = (1 to 103).map(i => s"""{"id": $i, "name": "row$i"}""")
+    java.nio.file.Files.writeString(tmp, rows.mkString("\n"))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+
+    // short-name registration + explicit numPages
+    val raw = spark.read.format("graft-paged")
+      .option("path", tmp.toString).option("pageSize", "10").option("numPages", "11")
+      .load()
+    assert(raw.rdd.getNumPartitions == 11, "one InputPartition per page")
+    val typed = raw.select(from_json($"json", schema).as("r")).select("r.*")
+    assert(typed.count() == 103)
+    assert(typed.agg(sum($"id")).collect()(0).getLong(0) == 103L * 104 / 2)
+
+    // stop-on-empty probe: numPages omitted -> ceil(103/10) = 11 pages
+    val probed = spark.read.format("graft-paged")
+      .option("path", tmp.toString).option("pageSize", "10").load()
+    assert(probed.rdd.getNumPartitions == 11, "probe must find ceil(103/10) pages")
+    assert(probed.count() == 103)
+
+    // parity with the flatMap-based Ingest path
+    val viaIngest = Ingest.ingest(spark, new FileBackedSource(tmp.toString),
+      numPages = 11, pageSize = 10, schema = schema)
+    assert(typed.exceptAll(viaIngest).count() == 0 && viaIngest.exceptAll(typed).count() == 0)
+
+    // probe edge: empty file -> zero partitions, zero rows
+    val empty = java.nio.file.Files.createTempFile("graft_dsv2_empty", ".jsonl")
+    val e = spark.read.format("graft-paged")
+      .option("path", empty.toString).option("pageSize", "10").load()
+    assert(e.count() == 0)
+  }
+
   test("dropAllNullColumns keeps populated, drops empty") {
     val df = Seq((1, Option.empty[String], "x"), (2, Option.empty[String], "y"))
       .toDF("a", "empty", "c")
