@@ -1,0 +1,37 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+/** Dev tool: micro-benchmarks for expression-level choices. Currently:
+  * declarative (zip_with/aggregate) vs native codegen'd cosine over the
+  * full embeddings pair scan — the hot inner loop of the ANN tier.
+  *
+  * Usage: graft.MicroBench <sfDir> [reps]
+  */
+object MicroBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = args.drop(1).headOption.map(_.toInt).getOrElse(3)
+    val spark = Sessions.local()
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+    val q = emb.limit(8).select(col("vec_id").as("qid"), col("v").as("qv"))
+
+    def scan(form: String) = {
+      val sim = form match {
+        case "declarative" => Similarity.cosine(col("qv"), col("v"))
+        case "native"      => Similarity.cosineNative(col("qv"), col("v"))
+      }
+      emb.join(broadcast(q), col("qid") =!= col("vec_id"))
+        .select(sum(sim).as("checksum"))
+    }
+
+    for (form <- Seq("declarative", "native"); r <- 1 to reps) {
+      val t0 = System.nanoTime()
+      val chk = scan(form).collect()(0).getDouble(0)
+      println(f"$form%-12s rep$r: ${(System.nanoTime() - t0) / 1e9}%.3f s (checksum $chk%.6f)")
+    }
+    spark.stop()
+  }
+}

@@ -31,7 +31,17 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Declarative cosine — kept as the readable reference form and the
+    * equivalence-spec twin of [[cosineNative]]. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Codegen'd cosine (CosineSimilarityExpr): bit-identical to
+    * [[cosine]] but stays inside whole-stage codegen — higher-order
+    * functions evaluate via interpreted lambdas, so the declarative
+    * form breaks the codegen span exactly where the ANN scans are
+    * hottest. Used by the scan-side paths below. */
+  def cosineNative(a: Column, b: Column): Column =
+    call_function("cosine_native", a, b)
 
   /** Exact cosine top-k: for each query vector (small set, broadcast),
     * scan the corpus, keep k best per query via ranked window. */
@@ -39,7 +49,7 @@ object Similarity {
     val q = queries.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
     val c = corpus.select(col("vec_id").as("cid"), asDouble(col("embedding")).as("cv"))
     val sims = c.join(broadcast(q), col("qid") =!= col("cid"))
-      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("sim", cosineNative(col("qv"), col("cv")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
     sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
@@ -86,7 +96,7 @@ object Similarity {
     * table; rank by cosine). */
   private def nearestCells(vecs: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame = {
     val sims = vecs.crossJoin(broadcast(centroids))
-      .withColumn("__csim", cosine(asDouble(col("embedding")), col("centroid")))
+      .withColumn("__csim", cosineNative(asDouble(col("embedding")), col("centroid")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("__csim").desc, col("cell_id").asc)
     sims.withColumn("__crn", row_number().over(w)).filter(col("__crn") <= nprobe)
@@ -109,7 +119,7 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("cell_id"), asDouble(col("embedding")).as("qv"))
     val sims = probes.join(indexed, "cell_id")
       .filter(col("qid") =!= col("cid"))
-      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("sim", cosineNative(col("qv"), col("cv")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
     sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)

@@ -80,6 +80,30 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(ham(m(1L), m(2L)) < ham(m(1L), m(3L)))
   }
 
+  test("cosine_native == declarative cosine bit-for-bit on real embeddings + null edges") {
+    val emb = Tables.embeddings(spark, sf).limit(200)
+      .select($"vec_id", Similarity.asDouble($"embedding").as("v"))
+    val pairs = emb.alias("a").join(emb.alias("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(
+        Similarity.cosine(col("a.v"), col("b.v")).as("decl"),
+        Similarity.cosineNative(col("a.v"), col("b.v")).as("nat"))
+    // bit-identical, not approximately equal: same accumulation order
+    assert(pairs.filter($"decl" =!= $"nat").count() == 0)
+    assert(pairs.filter($"decl".isNull =!= $"nat".isNull).count() == 0)
+    assert(pairs.count() > 0)
+    // length mismatch -> null in BOTH forms (zip_with null-padding
+    // poisons the declarative fold; the native mirrors it)
+    val mismatch = Seq((Seq(1.0, 2.0), Seq(1.0))).toDF("a", "b")
+      .select(Similarity.cosine($"a", $"b").as("decl"),
+        Similarity.cosineNative($"a", $"b").as("nat"))
+    assert(mismatch.collect().forall(r => r.isNullAt(0) && r.isNullAt(1)))
+    // zero-norm vector: native degrades to null (documented divergence —
+    // the declarative form under ANSI throws DIVIDE_BY_ZERO)
+    val zero = Seq((Seq(0.0, 0.0), Seq(1.0, 1.0))).toDF("a", "b")
+      .select(Similarity.cosineNative($"a", $"b"))
+    assert(zero.collect()(0).isNullAt(0))
+  }
+
   test("cosine: orthogonal=0, parallel=1") {
     val df = Seq((Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(2.0, 0.0))).toDF("a", "b", "c")
     val r = df.select(
