@@ -4,8 +4,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -85,6 +85,92 @@ object NativeHelpers {
     }
     val denom = math.sqrt(na) * math.sqrt(nb)
     if (denom == 0.0) null else java.lang.Double.valueOf(dot / denom)
+  }
+
+  /** MinHash universe prime and per-hash-function coefficients — the
+    * single source of truth (Dedup and the DuckDB oracle literals both
+    * derive from here). */
+  val MinhashP: Long = 1000000007L
+  def minhashCoeffA(n: Int): Seq[Long] = (1 to n).map(i => (1103515245L * i + 12345L) % MinhashP)
+  def minhashCoeffB(n: Int): Seq[Long] = (1 to n).map(i => (362437L * i + 1013904223L) % MinhashP)
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 60 bits of md5 as a positive long — bit-identical to
+    * `conv(substring(md5(s), 1, 15), 16, 10)`: 15 hex chars = the
+    * digest's first 7.5 bytes = big-endian first-8-bytes >>> 4. */
+  def hash60(s: UTF8String): Long = {
+    val d = md5Local.get()
+    d.reset()
+    val dig = d.digest(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (dig(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  private val Whitespace = java.util.regex.Pattern.compile("\\s+")
+
+  /** Distinct word-n-gram shingle hashes mod P — bit-identical to the
+    * declarative `transform(shingles(text, n), h => tokenHash60(h) % P)`
+    * (tokens = split on \s+ with empties dropped; shingles distinct in
+    * first-occurrence order; < n tokens → empty array). Native because
+    * the declarative form evaluates an interpreted md5 chain per
+    * shingle inside a higher-order lambda — the scan-side hot loop of
+    * the MinHash tier. */
+  def shingleHashes(text: UTF8String, n: Int, p: Long): ArrayData = {
+    if (text == null) return null
+    val raw = Whitespace.split(text.toString, -1)
+    var nTok = 0
+    var i = 0
+    while (i < raw.length) { if (!raw(i).isEmpty) nTok += 1; i += 1 }
+    if (nTok < n) return new GenericArrayData(Array.empty[Any])
+    val toks = new Array[String](nTok)
+    var j = 0; i = 0
+    while (i < raw.length) { if (!raw(i).isEmpty) { toks(j) = raw(i); j += 1 }; i += 1 }
+    val seen = new java.util.LinkedHashSet[String]()
+    i = 0
+    while (i <= nTok - n) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var k = 1
+      while (k < n) { sb.append(' ').append(toks(i + k)); k += 1 }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = hash60(UTF8String.fromString(it.next())) % p; i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** MinHash signature from shingle hashes — bit-identical to
+    * `transform(sequence(0, n-1), i => array_min(transform(hs,
+    * h => (a(i)*h + b(i)) % P)))` incl. the empty-input case
+    * (array_min of empty → null per element). All values < 2^30, so
+    * a*h stays far from long overflow. */
+  def minhash(hs: ArrayData, a: Array[Long], b: Array[Long], p: Long): ArrayData = {
+    if (hs == null) return null
+    val m = hs.numElements()
+    val out = new Array[Any](a.length)
+    var i = 0
+    while (i < a.length) {
+      var min = Long.MaxValue; var found = false
+      var j = 0
+      while (j < m) {
+        if (!hs.isNullAt(j)) {
+          val v = (a(i) * hs.getLong(j) + b(i)) % p
+          if (v < min) { min = v; found = true }
+        }
+        j += 1
+      }
+      out(i) = if (found) java.lang.Long.valueOf(min) else null
+      i += 1
+    }
+    new GenericArrayData(out)
   }
 }
 
@@ -171,6 +257,49 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd distinct shingle-hash array: `shingle_hash_native(text, n)`
+  * — see NativeHelpers.shingleHashes. */
+case class ShingleHashExpr(child: Expression, n: Int, p: Long) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "shingle_hash_native"
+
+  override protected def nullSafeEval(input: Any): Any =
+    NativeHelpers.shingleHashes(input.asInstanceOf[UTF8String], n, p)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.NativeHelpers.shingleHashes($c, $n, ${p}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashExpr =
+    copy(child = newChild)
+}
+
+/** Codegen'd MinHash signature: `minhash_native(array<long>, numHashes)`
+  * — see NativeHelpers.minhash. */
+case class MinhashSignatureExpr(child: Expression, coeffA: Seq[Long], coeffB: Seq[Long],
+    p: Long) extends UnaryExpression {
+  @transient private lazy val aArr = coeffA.toArray
+  @transient private lazy val bArr = coeffB.toArray
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_native"
+
+  override protected def nullSafeEval(input: Any): Any =
+    NativeHelpers.minhash(input.asInstanceOf[ArrayData], aArr, bArr, p)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashCoeffA", aArr, "long[]")
+    val bRef = ctx.addReferenceObj("minhashCoeffB", bArr, "long[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.NativeHelpers.minhash($c, $aRef, $bRef, ${p}L)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSignatureExpr =
+    copy(child = newChild)
+}
+
 /** Session registration so the natives are callable from SQL and via
   * functions.call_function (SURVEY §2.10's "registered in the
   * FunctionRegistry" option). */
@@ -183,5 +312,15 @@ object NativeRegistry {
       (exprs: Seq[Expression]) => RepairJsonExpr(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("cosine_native",
       (exprs: Seq[Expression]) => CosineSimilarityExpr(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("shingle_hash_native",
+      (exprs: Seq[Expression]) => ShingleHashExpr(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue(), NativeHelpers.MinhashP), "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_native",
+      (exprs: Seq[Expression]) => {
+        val n = exprs(1).eval().asInstanceOf[Number].intValue()
+        MinhashSignatureExpr(exprs(0),
+          NativeHelpers.minhashCoeffA(n), NativeHelpers.minhashCoeffB(n),
+          NativeHelpers.MinhashP)
+      }, "scala_udf")
   }
 }

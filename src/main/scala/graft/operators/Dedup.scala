@@ -25,11 +25,12 @@ import org.apache.spark.sql.types._
   */
 object Dedup {
 
-  val P: Long = 1000000007L
-  /** Deterministic per-hash-function coefficients (mirrored into the
-    * DuckDB oracle as literals — see LlmQueries). */
-  def coeffA(n: Int): Seq[Long] = (1 to n).map(i => (1103515245L * i + 12345L) % P)
-  def coeffB(n: Int): Seq[Long] = (1 to n).map(i => (362437L * i + 1013904223L) % P)
+  /** Universe prime + coefficients live in NativeHelpers (shared with
+    * the codegen'd expressions); mirrored into the DuckDB oracle as
+    * literals — see LlmQueries. */
+  val P: Long = graft.functions.NativeHelpers.MinhashP
+  def coeffA(n: Int): Seq[Long] = graft.functions.NativeHelpers.minhashCoeffA(n)
+  def coeffB(n: Int): Seq[Long] = graft.functions.NativeHelpers.minhashCoeffB(n)
 
   /** Exact dedup: keep the smallest id per content fingerprint.
     * At scale: shuffle is on the 32-char fingerprint only. */
@@ -38,15 +39,28 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** Distinct shingle hashes mod P for a text column. */
+  /** Distinct shingle hashes mod P for a text column — codegen'd native
+    * expression (the declarative twin below evaluates an interpreted
+    * md5 chain per shingle inside a HOF lambda; see ShingleHashExpr). */
   def shingleHashes(textCol: Column, shingleSize: Int): Column =
+    call_function("shingle_hash_native", textCol, lit(shingleSize))
+
+  /** Declarative twin of [[shingleHashes]] — the readable reference
+    * form; the equivalence spec asserts exact equality. */
+  def shingleHashesDeclarative(textCol: Column, shingleSize: Int): Column =
     transform(TextAnalysis.shingles(textCol, shingleSize),
       sh => TextAnalysis.tokenHash60(sh) % P)
 
   /** MinHash signature: array of numHashes minima of (a_i*h + b_i) % P
-    * over the document's shingle hash set. */
-  def minhashSignature(textCol: Column, numHashes: Int, shingleSize: Int): Column = {
-    val hs = shingleHashes(textCol, shingleSize)
+    * over the document's shingle hash set — codegen'd native pipeline
+    * (see MinhashSignatureExpr; was the q42 bench hot spot as nested
+    * interpreted HOFs: 32 × |shingles| lambda evals per row). */
+  def minhashSignature(textCol: Column, numHashes: Int, shingleSize: Int): Column =
+    call_function("minhash_native", shingleHashes(textCol, shingleSize), lit(numHashes))
+
+  /** Declarative twin of [[minhashSignature]]. */
+  def minhashSignatureDeclarative(textCol: Column, numHashes: Int, shingleSize: Int): Column = {
+    val hs = shingleHashesDeclarative(textCol, shingleSize)
     val aArr = typedLit(coeffA(numHashes))
     val bArr = typedLit(coeffB(numHashes))
     transform(sequence(lit(0), lit(numHashes - 1)),

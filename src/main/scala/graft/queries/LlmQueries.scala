@@ -94,7 +94,8 @@ object LlmQueries {
          |  FROM cand JOIN shingled sa ON cand.id_a = sa.id
          |            JOIN shingled sb ON cand.id_b = sb.id)
          |WHERE jaccard >= 0.9""".stripMargin
-    })
+    },
+    benchmark = true)
 
   /** SimHash signatures: 32-bit majority-vote sketch; distinct count per
     * language (bit arithmetic via %/pow so any engine reproduces it). */
@@ -274,7 +275,8 @@ object LlmQueries {
       val centroids = Similarity.buildCentroids(emb, "label")
       Similarity.ivfTopK(emb.filter($"vec_id" < 5), emb, centroids, k = 5, nprobe = 1000)
     },
-    q45CosineTopk.oracle)
+    q45CosineTopk.oracle,
+    benchmark = true)
 
   /** Salted join for hot-key skew: same semantics as q16's broadcast
     * lookup (the oracle is identical) but with the key split

@@ -36,6 +36,27 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(planted == nDocs, s"expected all $nDocs planted dup pairs, got $planted")
   }
 
+  test("native shingle-hash + minhash == declarative twins bit-for-bit on the corpus") {
+    val docs = Tables.documents(spark, sf)
+    val cmp = docs.select(
+      Dedup.shingleHashes($"text", 3).as("sh_nat"),
+      Dedup.shingleHashesDeclarative($"text", 3).as("sh_decl"),
+      Dedup.minhashSignature($"text", 32, 3).as("sig_nat"),
+      Dedup.minhashSignatureDeclarative($"text", 32, 3).as("sig_decl"))
+    assert(cmp.filter($"sh_nat" =!= $"sh_decl" || $"sig_nat" =!= $"sig_decl").count() == 0)
+    // whitespace / short-doc edges: < 3 tokens -> empty hashes, all-null signature
+    val edge = Seq("", "  ", "one two", "a  b \t c", "a b c a b c")
+      .toDF("text").select(
+        Dedup.shingleHashes($"text", 3).as("n"),
+        Dedup.shingleHashesDeclarative($"text", 3).as("d"),
+        Dedup.minhashSignature($"text", 4, 3).as("sn"),
+        Dedup.minhashSignatureDeclarative($"text", 4, 3).as("sd"))
+    edge.collect().foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+      assert(r.getSeq[Any](2) == r.getSeq[Any](3))
+    }
+  }
+
   test("LSH-candidate jaccard recalls every all-pairs near-dup (small-corpus oracle)") {
     // The all-pairs within-source scan q44 used to ship is now the TEST
     // oracle for the candidate-composed path: every pair the exhaustive
