@@ -147,6 +147,63 @@ object NativeHelpers {
     new GenericArrayData(out)
   }
 
+  /** SimHash (32-bit majority vote over distinct-token hashes) —
+    * bit-identical to the declarative nested-aggregate form: bit j of
+    * h tested as ((h >>> j) & 1) (== `(h % 2^(j+1)) >= 2^j` for these
+    * positive 60-bit hashes); empty token set → signature 0. */
+  def simhash(text: UTF8String): Long = {
+    if (text == null) return 0L // callers null-guard; matches nullSafeEval contract
+    val raw = Whitespace.split(text.toString, -1)
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i < raw.length) { if (!raw(i).isEmpty) seen.add(raw(i)); i += 1 }
+    val hs = new Array[Long](seen.size)
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { hs(i) = hash60(UTF8String.fromString(it.next())); i += 1 }
+    var sig = 0L
+    var j = 0
+    while (j < 32) {
+      var s = 0L
+      var k = 0
+      while (k < hs.length) {
+        s += (if (((hs(k) >>> j) & 1L) == 1L) 1L else -1L)
+        k += 1
+      }
+      if (s > 0) sig += (1L << j)
+      j += 1
+    }
+    sig
+  }
+
+  /** Random-hyperplane LSH bucket id — bit-identical to the declarative
+    * nested-aggregate form (same Knuth-hash plane components, same
+    * left-to-right accumulation), incl. the null-element case: a null
+    * component null-poisons every projection, so every bit tests false
+    * and the bucket is 0. One defensive divergence: a vector SHORTER
+    * than `dim` yields null here where the declarative form's
+    * out-of-range element_at throws under ANSI. */
+  def hyperplaneBucket(v: ArrayData, dim: Int, bits: Int): java.lang.Long = {
+    if (v == null) return null
+    if (v.numElements() < dim) return null
+    var k = 0
+    while (k < dim) { if (v.isNullAt(k)) return java.lang.Long.valueOf(0L); k += 1 }
+    var acc = 0L
+    var j = 0
+    while (j < bits) {
+      var proj = 0.0
+      k = 0
+      while (k < dim) {
+        val w = ((j.toLong * dim + k) * 2654435761L % 1000003L).toDouble / 1000003.0 - 0.5
+        proj += v.getDouble(k) * w
+        k += 1
+      }
+      if (proj > 0) acc += (1L << j)
+      j += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
+
   /** MinHash signature from shingle hashes — bit-identical to
     * `transform(sequence(0, n-1), i => array_min(transform(hs,
     * h => (a(i)*h + b(i)) % P)))` incl. the empty-input case
@@ -257,6 +314,54 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd SimHash: `simhash_native(text)` — see NativeHelpers.simhash. */
+case class SimhashExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "simhash_native"
+
+  override protected def nullSafeEval(input: Any): Any =
+    NativeHelpers.simhash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NativeHelpers.simhash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimhashExpr =
+    copy(child = newChild)
+}
+
+/** Codegen'd hyperplane-LSH bucket id:
+  * `hyperplane_bucket_native(array<double>, dim, bits)` — see
+  * NativeHelpers.hyperplaneBucket. */
+case class HyperplaneBucketExpr(child: Expression, dim: Int, bits: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "hyperplane_bucket_native"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val r = NativeHelpers.hyperplaneBucket(input.asInstanceOf[ArrayData], dim, bits)
+    if (r == null) null else r.longValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${childGen.code}
+        boolean ${ev.isNull} = true;
+        long ${ev.value} = 0L;
+        if (!${childGen.isNull}) {
+          java.lang.Long r = graft.functions.NativeHelpers.hyperplaneBucket(${childGen.value}, $dim, $bits);
+          if (r != null) { ${ev.isNull} = false; ${ev.value} = r.longValue(); }
+        }
+      """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBucketExpr =
+    copy(child = newChild)
+}
+
 /** Codegen'd distinct shingle-hash array: `shingle_hash_native(text, n)`
   * — see NativeHelpers.shingleHashes. */
 case class ShingleHashExpr(child: Expression, n: Int, p: Long) extends UnaryExpression {
@@ -322,5 +427,11 @@ object NativeRegistry {
           NativeHelpers.minhashCoeffA(n), NativeHelpers.minhashCoeffB(n),
           NativeHelpers.MinhashP)
       }, "scala_udf")
+    reg.createOrReplaceTempFunction("simhash_native",
+      (exprs: Seq[Expression]) => SimhashExpr(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("hyperplane_bucket_native",
+      (exprs: Seq[Expression]) => HyperplaneBucketExpr(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue()), "scala_udf")
   }
 }

@@ -98,10 +98,16 @@ object Dedup {
     inter / (size(a) + size(b) - inter)
   }
 
-  /** SimHash (32-bit): majority vote per bit over token hashes.
-    * bit_j(h) tested as (h % 2^(j+1)) >= 2^j — exact long arithmetic,
-    * reproducible in any engine (no engine-specific hash/shift). */
-  def simhash(textCol: Column): Column = {
+  /** SimHash (32-bit): majority vote per bit over token hashes —
+    * codegen'd native (see SimhashExpr; the declarative twin below runs
+    * 32 × |tokens| interpreted lambda evals per row). */
+  def simhash(textCol: Column): Column =
+    call_function("simhash_native", textCol)
+
+  /** Declarative twin of [[simhash]]: bit_j(h) tested as
+    * (h % 2^(j+1)) >= 2^j — exact long arithmetic, reproducible in any
+    * engine (no engine-specific hash/shift). */
+  def simhashDeclarative(textCol: Column): Column = {
     val toks = array_distinct(TextAnalysis.tokens(textCol))
     val hs = transform(toks, t => TextAnalysis.tokenHash60(t))
     def pow2(j: Column): Column = pow(lit(2.0), j).cast(LongType)

@@ -63,8 +63,14 @@ object Similarity {
     (pmod((j * lit(dim.toLong) + k) * lit(2654435761L), lit(1000003L)).cast(DoubleType) /
       lit(1000003.0)) - lit(0.5)
 
-  /** Sign-bit LSH bucket id over `bits` hyperplanes. */
-  def hyperplaneBuckets(v: Column, dim: Int, bits: Int): Column = {
+  /** Sign-bit LSH bucket id over `bits` hyperplanes — codegen'd native
+    * (see HyperplaneBucketExpr; the declarative twin runs dim × bits
+    * interpreted lambda evals per row). */
+  def hyperplaneBuckets(v: Column, dim: Int, bits: Int): Column =
+    call_function("hyperplane_bucket_native", asDouble(v), lit(dim), lit(bits))
+
+  /** Declarative twin of [[hyperplaneBuckets]]. */
+  def hyperplaneBucketsDeclarative(v: Column, dim: Int, bits: Int): Column = {
     val vd = asDouble(v)
     def pow2(j: Column): Column = pow(lit(2.0), j).cast(LongType)
     aggregate(sequence(lit(0), lit(bits - 1)), lit(0L), (acc, j) => {

@@ -57,6 +57,21 @@ class DedupSimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("native simhash + hyperplane bucket == declarative twins bit-for-bit") {
+    val docs = Tables.documents(spark, sf)
+    assert(docs.select(Dedup.simhash($"text").as("n"), Dedup.simhashDeclarative($"text").as("d"))
+      .filter($"n" =!= $"d").count() == 0)
+    val emb = Tables.embeddings(spark, sf)
+    assert(emb.select(
+        Similarity.hyperplaneBuckets($"embedding", 64, 16).as("n"),
+        Similarity.hyperplaneBucketsDeclarative($"embedding", 64, 16).as("d"))
+      .filter($"n" =!= $"d").count() == 0)
+    // empty text -> simhash 0 in both forms
+    val z = Seq("").toDF("text")
+      .select(Dedup.simhash($"text"), Dedup.simhashDeclarative($"text")).collect()(0)
+    assert(z.getLong(0) == 0L && z.getLong(1) == 0L)
+  }
+
   test("LSH-candidate jaccard recalls every all-pairs near-dup (small-corpus oracle)") {
     // The all-pairs within-source scan q44 used to ship is now the TEST
     // oracle for the candidate-composed path: every pair the exhaustive
