@@ -17,6 +17,20 @@ object Sinks {
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
   }
 
+  /** Bucketed + sorted parquet table (hash-bucketed by join key): the
+    * co-located-join layout for fact↔fact joins too big to broadcast.
+    * Two tables bucketed the same way join with ZERO exchanges — the
+    * shuffle is paid once at write time, then every downstream join of
+    * the bucketed keys is exchange-free (asserted in IoCleanerSpec).
+    * Goes through the session catalog (`saveAsTable`) because bucket
+    * metadata lives there, not in the files. */
+  def parquetBucketed(df: DataFrame, tableName: String, bucketCols: Seq[String],
+      numBuckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(tableName)
+
   /** S9: headered CSV export (extract_gaming_data.py:91-93). */
   def csv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
