@@ -60,17 +60,23 @@ object Sinks {
     * assigned, use hashKey surrogates (stable under growth) — seqKey
     * renumbers from 1 on every rebuild.
     */
+  /** Empty `keyCols` means full-row conflict skip — for SERIAL-PK-only
+    * tables like fact_metricas where duplicate GRAIN rows are legal
+    * data (loader_NeonDB.py:641-645: `ON CONFLICT DO NOTHING` with no
+    * conflict target never fires, so the reference keeps them; its
+    * re-runs actually duplicate rows — full-row skip keeps our re-runs
+    * idempotent while preserving every distinct row). */
   def parquetAppendNew(df: DataFrame, path: String, keyCols: Seq[String],
       partitionCols: Seq[String] = Nil): Unit = {
-    require(keyCols.nonEmpty, "parquetAppendNew needs at least one key column")
+    val keys = if (keyCols.nonEmpty) keyCols else df.columns.toSeq
     val spark = df.sparkSession
-    val incoming = df.dropDuplicates(keyCols)
+    val incoming = df.dropDuplicates(keys)
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(hPath)) parquet(incoming, path, partitionCols)
     else {
-      val existingKeys = spark.read.parquet(path).select(keyCols.map(col): _*)
-      val fresh = incoming.join(existingKeys, keyCols, "left_anti")
+      val existingKeys = spark.read.parquet(path).select(keys.map(col): _*)
+      val fresh = incoming.join(existingKeys, keys, "left_anti")
       val w = fresh.write.mode("append")
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
     }

@@ -60,6 +60,13 @@ object StarSchema {
   def hashKey(df: DataFrame, naturalKey: Seq[String], keyName: String): DataFrame =
     df.withColumn(keyName, xxhash64(naturalKey.map(col): _*))
 
+  /** Surrogate-key strategy a dim builder applies: (df, naturalKeyCol,
+    * keyName) → keyed df. [[seqKey]] is the reference-parity SERIAL
+    * form (renumbers per rebuild); [[hashKeyOf]] is stable under
+    * incremental growth — the continuous-ingestion path. */
+  type KeyFn = (DataFrame, String, String) => DataFrame
+  val hashKeyOf: KeyFn = (df, c, k) => hashKey(df, Seq(c), k)
+
   /** The union of every date column that will FK into dim_fecha — the
     * set-wise form of the reference's get-or-create fecha map
     * (loader_NeonDB.py:271-293 inserts any date a fact mentions), so no
@@ -75,8 +82,8 @@ object StarSchema {
       .distinct()
 
   /** dim_fecha from a date-domain frame (J5, loader_NeonDB.py:266-285). */
-  def dimFecha(dates: DataFrame): DataFrame =
-    seqKey(dates, "fecha", "fecha_id")
+  def dimFecha(dates: DataFrame, key: KeyFn = seqKey): DataFrame =
+    key(dates, "fecha", "fecha_id")
       .withColumn("anio", year(col("fecha")))
       .withColumn("mes", month(col("fecha")))
       .withColumn("trimestre", quarter(col("fecha")))
@@ -85,8 +92,9 @@ object StarSchema {
 
   /** dim_customer with nation/region denormalized in (snowflake→star
     * flattening; both small → broadcast). */
-  def dimCustomer(customer: DataFrame, nation: DataFrame, region: DataFrame): DataFrame =
-    seqKey(
+  def dimCustomer(customer: DataFrame, nation: DataFrame, region: DataFrame,
+      key: KeyFn = seqKey): DataFrame =
+    key(
       customer
         .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
@@ -109,8 +117,8 @@ object StarSchema {
     seqKey(CategoryCatalog.toDF("category", "genre"), "category", "catalog_sk")
   }
 
-  def dimPart(part: DataFrame): DataFrame =
-    seqKey(part.select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size")),
+  def dimPart(part: DataFrame, key: KeyFn = seqKey): DataFrame =
+    key(part.select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size")),
       "p_partkey", "part_sk")
 
   /** Tag dimension from exploded distinct values of a delimited column —
@@ -119,8 +127,8 @@ object StarSchema {
     * by name). Here the real array source is p_name's word list; the
     * explode→trim→distinct→seqKey shape is identical.
     */
-  def dimTag(part: DataFrame): DataFrame =
-    seqKey(
+  def dimTag(part: DataFrame, key: KeyFn = seqKey): DataFrame =
+    key(
       part.select(explode(split(col("p_name"), " ")).as("tag_nombre"))
         .select(trim(col("tag_nombre")).as("tag_nombre"))
         .where(col("tag_nombre") =!= "")
@@ -225,7 +233,9 @@ object StarSchema {
     "fact_orders" -> Seq("o_orderkey"),
     "bridge_order_part" -> Seq("orderkey", "partkey"),
     "bridge_part_tag" -> Seq("p_partkey", "tag_id"),
-    "fact_metricas" -> Seq("orderkey", "linenumber"))
+    // SERIAL-PK-only in the reference: duplicate grain rows are legal
+    // data — empty key list = full-row conflict skip in the sink
+    "fact_metricas" -> Nil)
 
   /** Map whose values materialize on first access. seqKey runs an eager
     * counting job, so an eager Map would pay that job for every dim on
@@ -253,25 +263,43 @@ object StarSchema {
     * build + validator + rollups) and the seqKey pass has already
     * materialized their exchange once.
     */
-  def build(spark: SparkSession, sfDir: String): Map[String, DataFrame] = {
-    val orders = Tables.orders(spark, sfDir)
-    val lineitem = Tables.lineitem(spark, sfDir)
-    val partSrc = Tables.part(spark, sfDir)
+  def build(spark: SparkSession, sfDir: String): Map[String, DataFrame] =
+    buildFrom(Bronze(spark, sfDir), seqKey)
+
+  /** The bronze inputs of one load — injectable so incremental loads
+    * can pass a batch slice instead of the full table set. */
+  case class Bronze(orders: DataFrame, lineitem: DataFrame, part: DataFrame,
+      customer: DataFrame, nation: DataFrame, region: DataFrame)
+  object Bronze {
+    def apply(spark: SparkSession, sfDir: String): Bronze = Bronze(
+      Tables.orders(spark, sfDir), Tables.lineitem(spark, sfDir),
+      Tables.part(spark, sfDir), Tables.customer(spark, sfDir),
+      Tables.nation(spark, sfDir), Tables.region(spark, sfDir))
+  }
+
+  def buildFrom(b: Bronze, key: KeyFn): Map[String, DataFrame] = {
     lazy val fecha =
-      dimFecha(dateDomain(orders -> "o_orderdate", lineitem -> "l_shipdate")).cache()
-    lazy val cust = dimCustomer(Tables.customer(spark, sfDir),
-      Tables.nation(spark, sfDir), Tables.region(spark, sfDir)).cache()
-    lazy val tag = dimTag(partSrc)
+      dimFecha(dateDomain(b.orders -> "o_orderdate", b.lineitem -> "l_shipdate"), key).cache()
+    lazy val cust = dimCustomer(b.customer, b.nation, b.region, key).cache()
+    lazy val tag = dimTag(b.part, key)
     new LazyStar(Seq(
       "dim_fecha" -> (() => fecha),
       "dim_customer" -> (() => cust),
-      "dim_part" -> (() => dimPart(partSrc)),
+      "dim_part" -> (() => dimPart(b.part, key)),
       "dim_tag" -> (() => tag),
-      "fact_orders" -> (() => factOrders(orders, fecha, cust)),
-      "bridge_order_part" -> (() => bridgeOrderPart(lineitem, orders, partSrc)),
-      "bridge_part_tag" -> (() => bridgePartTag(partSrc, tag)),
-      "fact_metricas" -> (() => factMetricas(lineitem, fecha))))
+      "fact_orders" -> (() => factOrders(b.orders, fecha, cust)),
+      "bridge_order_part" -> (() => bridgeOrderPart(b.lineitem, b.orders, b.part)),
+      "bridge_part_tag" -> (() => bridgePartTag(b.part, tag)),
+      "fact_metricas" -> (() => factMetricas(b.lineitem, fecha))))
   }
+
+  /** Incremental-safe star: hashKey surrogates, so a dimension row
+    * keeps its key across growing loads — no renumbering, which is
+    * what makes `Sinks.parquetAppendNew` converge: appending the gold
+    * of batch N over the gold of batch N-1 equals a full rebuild (the
+    * seqKey form cannot offer this; it re-ranks the whole domain every
+    * build). Proven in PropertySpec. */
+  def buildIncremental(b: Bronze): Map[String, DataFrame] = buildFrom(b, hashKeyOf)
 }
 
 /** Warehouse validation (validator_warehouse.py:31-248, SURVEY §2.4

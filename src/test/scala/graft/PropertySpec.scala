@@ -80,6 +80,32 @@ class PropertySpec extends SparkTestBase {
     assert(spark.read.parquet(path).select("o_orderkey").distinct().count() == 2 * n0)
   }
 
+  test("incremental star (hashKey) converges: batch loads == full rebuild") {
+    import graft.io.Sinks
+    val dir = java.nio.file.Files.createTempDirectory("graft_inc").toString
+    val full = StarSchema.Bronze(spark, sf)
+    // batch 1 = two-thirds of the fact sources; dims' own sources are
+    // shared (a growing fact stream over stable entity tables)
+    val b1 = full.copy(
+      orders = full.orders.filter($"o_orderkey" % 3 =!= 0),
+      lineitem = full.lineitem.filter($"l_orderkey" % 3 =!= 0))
+    val tables = Seq("dim_fecha", "dim_customer", "dim_part", "dim_tag",
+      "fact_orders", "bridge_order_part", "bridge_part_tag", "fact_metricas")
+    for (t <- tables)
+      Sinks.parquetAppendNew(StarSchema.buildIncremental(b1)(t), s"$dir/$t",
+        StarSchema.mergeKeys(t))
+    for (t <- tables)
+      Sinks.parquetAppendNew(StarSchema.buildIncremental(full)(t), s"$dir/$t",
+        StarSchema.mergeKeys(t))
+    val want = StarSchema.buildIncremental(full)
+    for (t <- tables) {
+      val w = want(t)
+      val got = spark.read.parquet(s"$dir/$t").select(w.columns.map(col).toSeq: _*)
+      assert(got.exceptAll(w).count() == 0 && w.exceptAll(got).count() == 0,
+        s"incremental gold for $t diverged from full rebuild")
+    }
+  }
+
   test("salted join == plain join (semantics preserved under salting)") {
     val li = Tables.lineitem(spark, sf).select($"l_partkey")
     val p = Tables.part(spark, sf).select($"p_partkey".as("l_partkey"), $"p_brand")
