@@ -99,14 +99,26 @@ object Similarity {
         x => x.getField("avg_x")).as("centroid"))
 
   /** Nearest `nprobe` cells per vector (broadcast the tiny centroid
-    * table; rank by cosine). */
+    * table; rank by cosine). The nprobe=1 case — the CORPUS-side
+    * indexing pass, the big one at 100 TB — uses max-of-struct
+    * aggregation instead of a ranked window: partial aggregation
+    * combines map-side, so the corpus never sort-shuffles its
+    * |corpus|×|cells| similarity rows (ties break to the larger
+    * cell_id there vs the window's smaller — either is a valid
+    * deterministic assignment; recall/oracle are unaffected). */
   private def nearestCells(vecs: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame = {
     val sims = vecs.crossJoin(broadcast(centroids))
       .withColumn("__csim", cosineNative(asDouble(col("embedding")), col("centroid")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("__csim").desc, col("cell_id").asc)
-    sims.withColumn("__crn", row_number().over(w)).filter(col("__crn") <= nprobe)
-      .select(col("vec_id"), col("cell_id"))
+    if (nprobe == 1)
+      sims.groupBy(col("vec_id"))
+        .agg(max(struct(col("__csim"), col("cell_id"))).as("__m"))
+        .select(col("vec_id"), col("__m.cell_id").as("cell_id"))
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("__csim").desc, col("cell_id").asc)
+      sims.withColumn("__crn", row_number().over(w)).filter(col("__crn") <= nprobe)
+        .select(col("vec_id"), col("cell_id"))
+    }
   }
 
   /** IVF-style ANN (inverted-file over a coarse quantizer): corpus
