@@ -60,6 +60,38 @@ object Multimodal {
   private def unhexByte(payload: Column, i: Column): Column =
     conv(hex(substring(payload, i, lit(1))), 16, 10).cast(IntegerType)
 
+  /** Resize plan for a decoded image: fit (width, height) inside a
+    * maxDim bounding box preserving aspect ratio — integer math only
+    * (floor, like most thumbnailers), never upscales. The arithmetic
+    * IS the real operator; only the pixel resample behind it is the
+    * stubbed codec. */
+  def resizePlan(decoded: Column, maxDim: Int): Column = {
+    val w = decoded.getField("width").cast(LongType)
+    val h = decoded.getField("height").cast(LongType)
+    val longest = greatest(w, h)
+    val needs = longest > maxDim
+    struct(
+      when(needs, (w * maxDim / longest).cast(IntegerType))
+        .otherwise(w.cast(IntegerType)).as("out_width"),
+      when(needs, (h * maxDim / longest).cast(IntegerType))
+        .otherwise(h.cast(IntegerType)).as("out_height"),
+      needs.as("resized"))
+  }
+
+  /** Deterministic frame-sample plan for a video payload: `k` frame
+    * indices evenly spaced over [0, n_frames) — `i * n_frames / k`
+    * (integer floor), the standard uniform-temporal-sampling grid.
+    * Fewer frames than k → every frame once. Real decode would seek
+    * these offsets inside mapPartitions; the index arithmetic and the
+    * exploded (item, frame_idx) batch shape are the Spark-side
+    * contract and are exercised for real. */
+  def frameSamplePlan(decoded: Column, k: Int): Column = {
+    val n = decoded.getField("n_frames").cast(LongType)
+    when(n >= k,
+      transform(sequence(lit(0), lit(k - 1)), i => (i.cast(LongType) * n / k).cast(IntegerType)))
+      .otherwise(sequence(lit(0), (n - 1).cast(IntegerType)))
+  }
+
   /** Attach payload + metadata + decoded struct to a text-keyed table
     * (payload faked as the utf-8 bytes of the text column). */
   def mediaTable(df: DataFrame, textCol: String): DataFrame = {

@@ -195,6 +195,46 @@ object StarQueries {
            |  CAST(sum(CAST('0x' || substring(sha256(text), 16, 15) AS BIGINT) % 720 + 32) AS BIGINT) AS height_sum
            |FROM documents GROUP BY bucket""".stripMargin))
 
+  /** Multimodal resize + frame-sample plans: aspect-preserving
+    * bounding-box fit and uniform temporal sampling grid — the
+    * integer/grid arithmetic is the real operator (the pixel resample
+    * behind it is the stubbed codec), verified against a DuckDB twin
+    * of the same formulas. */
+  val q76MultimodalPlans = GQuery(
+    "q76_multimodal_plans",
+    (s, d) => {
+      import s.implicits._
+      Multimodal.mediaTable(Tables.documents(s, d), "text")
+        .withColumn("rp", Multimodal.resizePlan($"decoded", 512))
+        .withColumn("frames", Multimodal.frameSamplePlan($"decoded", 8))
+        .groupBy($"rp.resized".as("resized"))
+        .agg(count(lit(1)).as("n_items"),
+          sum($"rp.out_width").as("w_total"),
+          sum($"rp.out_height").as("h_total"),
+          sum(size($"frames")).as("n_frames_sampled"),
+          sum(aggregate($"frames", lit(0L), (a, x) => a + x)).as("frame_idx_sum"))
+    },
+    Some("""WITH dec AS (
+           |  SELECT CAST('0x' || substring(sha256(text), 1, 15) AS BIGINT) % 1280 + 32 AS w,
+           |         CAST('0x' || substring(sha256(text), 16, 15) AS BIGINT) % 720 + 32 AS h,
+           |         CAST('0x' || substring(sha256(text), 1, 15) AS BIGINT) % 240 + 1 AS nf
+           |  FROM documents),
+           |rp AS (
+           |  SELECT greatest(w, h) > 512 AS resized,
+           |    CASE WHEN greatest(w, h) > 512
+           |         THEN CAST(floor(w * 512.0 / greatest(w, h)) AS BIGINT) ELSE w END AS out_w,
+           |    CASE WHEN greatest(w, h) > 512
+           |         THEN CAST(floor(h * 512.0 / greatest(w, h)) AS BIGINT) ELSE h END AS out_h,
+           |    CASE WHEN nf >= 8 THEN list_transform(range(0, 8), i -> CAST(floor(i * nf * 1.0 / 8) AS BIGINT))
+           |         ELSE range(0, nf) END AS frames
+           |  FROM dec)
+           |SELECT resized, count(*) AS n_items,
+           |  CAST(sum(out_w) AS BIGINT) AS w_total,
+           |  CAST(sum(out_h) AS BIGINT) AS h_total,
+           |  CAST(sum(len(frames)) AS BIGINT) AS n_frames_sampled,
+           |  CAST(sum(list_sum(frames)) AS BIGINT) AS frame_idx_sum
+           |FROM rp GROUP BY resized""".stripMargin))
+
   /** Batch twin of the streaming tumbling-window aggregation
     * (Streams.tumblingCounts runs unchanged on a stream with watermark). */
   val q51WindowTumbling = GQuery(
@@ -354,5 +394,6 @@ object StarQueries {
     q32DimCustomer, q33FactOrders, q34StarAgg, q39ValidationReport,
     q48FlagshipPipeline, q50MultimodalMeta, q51WindowTumbling,
     q52NestedJson, q53NestedExplode, q54SeedCatalog,
-    q65TagBridge, q66BridgeOrderPart, q67FactMetricas, q68TagRevenue)
+    q65TagBridge, q66BridgeOrderPart, q67FactMetricas, q68TagRevenue,
+    q76MultimodalPlans)
 }

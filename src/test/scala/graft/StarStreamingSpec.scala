@@ -107,4 +107,22 @@ class StarStreamingSpec extends SparkTestBase {
       length($"text").as("len"))
     assert(r.filter(!$"len_ok" || !$"w_ok" || $"hist_sum" =!= $"len").count() == 0)
   }
+
+  test("multimodal resize/frame plans: aspect fit, no upscale, short-video grid") {
+    val decoded = Seq((1280, 720, 100), (400, 300, 5), (512, 512, 8), (100, 640, 1))
+      .toDF("width", "height", "n_frames").select(struct($"width", $"height", $"n_frames").as("d"))
+    val r = decoded.select(
+      Multimodal.resizePlan($"d", 512).as("rp"),
+      Multimodal.frameSamplePlan($"d", 8).as("fr"))
+      .collect().map(x => (x.getStruct(0).getInt(0), x.getStruct(0).getInt(1),
+        x.getStruct(0).getBoolean(2), x.getSeq[Int](1).toList))
+    // 1280x720 -> fit long edge to 512, aspect preserved (floor)
+    assert(r(0) == ((512, 288, true, List(0, 12, 25, 37, 50, 62, 75, 87))))
+    // smaller than box -> untouched; 5 frames < k -> every frame once
+    assert(r(1) == ((400, 300, false, List(0, 1, 2, 3, 4))))
+    // exactly at the box edge -> not resized; 8 frames -> identity grid
+    assert(r(2) == ((512, 512, false, List(0, 1, 2, 3, 4, 5, 6, 7))))
+    // portrait: height drives the fit; single frame
+    assert(r(3) == ((80, 512, true, List(0))))
+  }
 }
