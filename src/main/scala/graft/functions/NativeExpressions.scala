@@ -405,6 +405,29 @@ case class MinhashSignatureExpr(child: Expression, coeffA: Seq[Long], coeffB: Se
     copy(child = newChild)
 }
 
+/** Direct Column wrappers over the native expressions — these work on
+  * ANY SparkSession (no FunctionRegistry lookup, so a consumer with a
+  * plain session or `spark.newSession()` isn't coupled to
+  * [[NativeRegistry]]); registration below remains for SQL-text
+  * callers. */
+object Natives {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
+  def normalizeNumeric(c: Column): Column = toCol(NormalizeNumericExpr(toExpr(c)))
+  def repairJson(c: Column): Column = toCol(RepairJsonExpr(toExpr(c)))
+  def cosine(a: Column, b: Column): Column =
+    toCol(CosineSimilarityExpr(toExpr(a), toExpr(b)))
+  def shingleHashes(c: Column, n: Int): Column =
+    toCol(ShingleHashExpr(toExpr(c), n, NativeHelpers.MinhashP))
+  def minhash(hashes: Column, numHashes: Int): Column =
+    toCol(MinhashSignatureExpr(toExpr(hashes),
+      NativeHelpers.minhashCoeffA(numHashes), NativeHelpers.minhashCoeffB(numHashes),
+      NativeHelpers.MinhashP))
+  def simhash(c: Column): Column = toCol(SimhashExpr(toExpr(c)))
+  def hyperplaneBucket(c: Column, dim: Int, bits: Int): Column =
+    toCol(HyperplaneBucketExpr(toExpr(c), dim, bits))
+}
+
 /** Session registration so the natives are callable from SQL and via
   * functions.call_function (SURVEY §2.10's "registered in the
   * FunctionRegistry" option). */

@@ -59,8 +59,8 @@ object Sinks {
     * loads where new dimension rows must not collide with keys already
     * assigned, use hashKey surrogates (stable under growth) — seqKey
     * renumbers from 1 on every rebuild.
-    */
-  /** Empty `keyCols` means full-row conflict skip — for SERIAL-PK-only
+    *
+    * Empty `keyCols` means full-row conflict skip — for SERIAL-PK-only
     * tables like fact_metricas where duplicate GRAIN rows are legal
     * data (loader_NeonDB.py:641-645: `ON CONFLICT DO NOTHING` with no
     * conflict target never fires, so the reference keeps them; its
@@ -75,8 +75,13 @@ object Sinks {
     val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(hPath)) parquet(incoming, path, partitionCols)
     else {
-      val existingKeys = spark.read.parquet(path).select(keys.map(col): _*)
-      val fresh = incoming.join(existingKeys, keys, "left_anti")
+      // null-safe (<=>) key equality: a NULL key value must match its
+      // stored self or the row re-appends on every run, breaking
+      // idempotence (plain = treats NULL as never-equal)
+      val existingKeys = spark.read.parquet(path)
+        .select(keys.map(c => col(c).as(s"__ex_$c")): _*)
+      val cond = keys.map(c => incoming(c) <=> col(s"__ex_$c")).reduce(_ && _)
+      val fresh = incoming.join(existingKeys, cond, "left_anti")
       val w = fresh.write.mode("append")
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
     }

@@ -27,12 +27,18 @@ class FileBackedSource(path: String) extends PagedSource {
 }
 
 object FileBackedSource {
+  // keyed by (path, mtime, size) so a rewritten file is re-read, not
+  // served stale; old versions' entries are abandoned (bounded by the
+  // few fixture files a test JVM touches — this class is the offline
+  // stand-in, not a production source)
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, Vector[String]]()
-  private def lines(path: String): Vector[String] =
-    cache.computeIfAbsent(path, p => {
-      val src = scala.io.Source.fromFile(p)
+  private def lines(path: String): Vector[String] = {
+    val f = new java.io.File(path)
+    cache.computeIfAbsent(s"$path@${f.lastModified}:${f.length}", _ => {
+      val src = scala.io.Source.fromFile(path)
       try src.getLines().toVector finally src.close()
     })
+  }
 }
 
 object Ingest {

@@ -43,7 +43,7 @@ object Dedup {
     * expression (the declarative twin below evaluates an interpreted
     * md5 chain per shingle inside a HOF lambda; see ShingleHashExpr). */
   def shingleHashes(textCol: Column, shingleSize: Int): Column =
-    call_function("shingle_hash_native", textCol, lit(shingleSize))
+    graft.functions.Natives.shingleHashes(textCol, shingleSize)
 
   /** Declarative twin of [[shingleHashes]] — the readable reference
     * form; the equivalence spec asserts exact equality. */
@@ -56,7 +56,7 @@ object Dedup {
     * (see MinhashSignatureExpr; was the q42 bench hot spot as nested
     * interpreted HOFs: 32 × |shingles| lambda evals per row). */
   def minhashSignature(textCol: Column, numHashes: Int, shingleSize: Int): Column =
-    call_function("minhash_native", shingleHashes(textCol, shingleSize), lit(numHashes))
+    graft.functions.Natives.minhash(shingleHashes(textCol, shingleSize), numHashes)
 
   /** Declarative twin of [[minhashSignature]]. */
   def minhashSignatureDeclarative(textCol: Column, numHashes: Int, shingleSize: Int): Column = {
@@ -82,7 +82,15 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val withBands = corpus
-      .withColumn("__sig", minhashSignature(col(textCol), numHashes, shingleSize))
+      .withColumn("__hs", shingleHashes(col(textCol), shingleSize))
+      // docs with no shingles (< shingleSize tokens) can't be near-dups
+      // of anything: drop them BEFORE banding — their all-null
+      // signatures would otherwise share degenerate "j:" band keys and
+      // pair every short doc with every other (the DuckDB oracle drops
+      // them the same way: its all-NULL signatures render NULL band
+      // keys, which the equi-join never matches)
+      .where(size(col("__hs")) > 0)
+      .withColumn("__sig", graft.functions.Natives.minhash(col("__hs"), numHashes))
       .select(col(idCol), explode(bandKeys(col("__sig"), bands, r)).as("__bk"))
     withBands.alias("a")
       .join(withBands.alias("b"),
@@ -102,7 +110,7 @@ object Dedup {
     * codegen'd native (see SimhashExpr; the declarative twin below runs
     * 32 × |tokens| interpreted lambda evals per row). */
   def simhash(textCol: Column): Column =
-    call_function("simhash_native", textCol)
+    graft.functions.Natives.simhash(textCol)
 
   /** Declarative twin of [[simhash]]: bit_j(h) tested as
     * (h % 2^(j+1)) >= 2^j — exact long arithmetic, reproducible in any

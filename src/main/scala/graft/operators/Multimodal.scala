@@ -89,7 +89,10 @@ object Multimodal {
     val n = decoded.getField("n_frames").cast(LongType)
     when(n >= k,
       transform(sequence(lit(0), lit(k - 1)), i => (i.cast(LongType) * n / k).cast(IntegerType)))
-      .otherwise(sequence(lit(0), (n - 1).cast(IntegerType)))
+      .when(n > 0, sequence(lit(0), (n - 1).cast(IntegerType)))
+      // 0-frame/corrupt payloads: sequence(0, -1) would count DOWN to
+      // [0, -1] — a real decoder sees these, so pin the empty grid
+      .otherwise(array().cast(ArrayType(IntegerType)))
   }
 
   /** Attach payload + metadata + decoded struct to a text-keyed table

@@ -41,7 +41,7 @@ object Similarity {
     * form breaks the codegen span exactly where the ANN scans are
     * hottest. Used by the scan-side paths below. */
   def cosineNative(a: Column, b: Column): Column =
-    call_function("cosine_native", a, b)
+    graft.functions.Natives.cosine(a, b)
 
   /** Exact cosine top-k: for each query vector (small set, broadcast),
     * scan the corpus, keep k best per query via ranked window. */
@@ -67,7 +67,7 @@ object Similarity {
     * (see HyperplaneBucketExpr; the declarative twin runs dim × bits
     * interpreted lambda evals per row). */
   def hyperplaneBuckets(v: Column, dim: Int, bits: Int): Column =
-    call_function("hyperplane_bucket_native", asDouble(v), lit(dim), lit(bits))
+    graft.functions.Natives.hyperplaneBucket(asDouble(v), dim, bits)
 
   /** Declarative twin of [[hyperplaneBuckets]]. */
   def hyperplaneBucketsDeclarative(v: Column, dim: Int, bits: Int): Column = {

@@ -30,8 +30,14 @@ object StarSchema {
     * (dims are distinct on their natural key by construction) — with
     * ties, rows at a range-partition boundary could swap ranks vs the
     * single-partition formulation. Runs one small job eagerly (the
-    * per-partition counts); the range-parted input is cached so the
-    * count pass and the consumer share the exchange.
+    * per-partition counts). The range-parted input MUST be persisted:
+    * repartitionByRange SAMPLES its boundaries with a per-RDD-id seed,
+    * so without materialization the counting job and the consumer job
+    * can split ranges differently and the offsets silently mint
+    * duplicate keys (observed: 34 dup fecha_ids). The persist is never
+    * explicitly released — its lifetime is bounded by the session
+    * (star builds are memoized per session; the q18/q54 per-call
+    * entries are dimension-sized).
     */
   def seqKey(df: DataFrame, orderCol: String, keyName: String): DataFrame = {
     val nParts = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
@@ -244,8 +250,12 @@ object StarSchema {
   private final class LazyStar(thunks: Seq[(String, () => DataFrame)])
       extends scala.collection.immutable.AbstractMap[String, DataFrame] {
     private val byName = thunks.toMap
-    private val memo = scala.collection.mutable.HashMap.empty[String, DataFrame]
-    private def force(k: String): DataFrame = memo.getOrElseUpdate(k, byName(k)())
+    // ConcurrentHashMap: one LazyStar per (session, sfDir) is shared
+    // process-wide via buildCache, so concurrent query threads may
+    // force entries at once (the thunks' shared deps are Scala lazy
+    // vals, already synchronized)
+    private val memo = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    private def force(k: String): DataFrame = memo.computeIfAbsent(k, kk => byName(kk)())
     override def get(key: String): Option[DataFrame] = byName.get(key).map(_ => force(key))
     override def iterator: Iterator[(String, DataFrame)] =
       thunks.iterator.map { case (k, _) => k -> force(k) }

@@ -135,7 +135,12 @@ object LlmQueries {
       import s.implicits._
       val docs = Tables.documents(s, d)
       val withBands = docs
-        .withColumn("__sig", Dedup.minhashSignature($"text", 32, 3))
+        .withColumn("__hs", Dedup.shingleHashes($"text", 3))
+        // shingle-less docs can't near-dup: drop pre-banding (matches
+        // the oracle, whose all-NULL signatures render NULL band keys
+        // that the equi-join never matches — see Dedup.lshCandidates)
+        .where(size($"__hs") > 0)
+        .withColumn("__sig", graft.functions.Natives.minhash($"__hs", 32))
         .select($"doc_id", $"source", explode(Dedup.bandKeys($"__sig", 8, 4)).as("__bk"))
       val cand = withBands.alias("a").join(withBands.alias("b"),
           col("a.__bk") === col("b.__bk") && col("a.source") === col("b.source") &&

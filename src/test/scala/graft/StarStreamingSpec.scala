@@ -109,7 +109,8 @@ class StarStreamingSpec extends SparkTestBase {
   }
 
   test("multimodal resize/frame plans: aspect fit, no upscale, short-video grid") {
-    val decoded = Seq((1280, 720, 100), (400, 300, 5), (512, 512, 8), (100, 640, 1))
+    val decoded = Seq((1280, 720, 100), (400, 300, 5), (512, 512, 8), (100, 640, 1),
+        (640, 480, 0))
       .toDF("width", "height", "n_frames").select(struct($"width", $"height", $"n_frames").as("d"))
     val r = decoded.select(
       Multimodal.resizePlan($"d", 512).as("rp"),
@@ -124,5 +125,8 @@ class StarStreamingSpec extends SparkTestBase {
     assert(r(2) == ((512, 512, false, List(0, 1, 2, 3, 4, 5, 6, 7))))
     // portrait: height drives the fit; single frame
     assert(r(3) == ((80, 512, true, List(0))))
+    // 0-frame/corrupt payload: empty grid (NOT sequence's [0, -1]);
+    // 640 long edge still fits down to 512x384
+    assert(r(4) == ((512, 384, true, List())))
   }
 }
