@@ -121,6 +121,34 @@ object Similarity {
     }
   }
 
+  /** Embedding-cosine near-duplicate pairs: hyperplane-LSH bucket as
+    * the blocking key (sign sketch → equi-join, never all-pairs), then
+    * exact cosine ≥ threshold on candidates only. The embedding twin of
+    * `Dedup.lshCandidates`→`jaccard`: at 100 TB the bucket id is the
+    * only shuffled pair key and AQE can skew-split hot buckets. The
+    * threshold compares the 4-dp-rounded similarity so an oracle in
+    * another engine can't diverge on a 1-ulp boundary.
+    *
+    * Input: (vec_id, v: array<double>). Output: (id_a, id_b, sim)
+    * with id_a < id_b. Single-table LSH: a near-dup pair whose sketch
+    * differs in ≥1 of `bits` signs is missed — raise recall with fewer
+    * bits (coarser buckets) or OR-multiple tables, the standard dial. */
+  def nearDupPairs(corpus: DataFrame, dim: Int, bits: Int, threshold: Double): DataFrame = {
+    val b = corpus.select(col("vec_id"), col("v"),
+      graft.functions.Natives.hyperplaneBucket(col("v"), dim, bits).as("__bucket"))
+    b.alias("a").join(b.alias("b"),
+        col("a.__bucket") === col("b.__bucket") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("sim", round(cosineNative(col("a.v"), col("b.v")), 4))
+      .filter(col("sim") >= threshold)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), col("sim"))
+  }
+
+  /** Near-dup dedup keep-set: drop every vector that appears as the
+    * larger id of a qualifying pair (greedy keep-smallest — one hop, no
+    * iterative connected components; the standard first-pass policy). */
+  def nearDupDrops(pairs: DataFrame): DataFrame =
+    pairs.select(col("id_b").as("vec_id")).distinct()
+
   /** IVF-style ANN (inverted-file over a coarse quantizer): corpus
     * vectors index into their nearest cell; a query probes only its
     * `nprobe` nearest cells. At 100 TB the cell id is the shuffle/

@@ -283,6 +283,58 @@ object LlmQueries {
     q45CosineTopk.oracle,
     benchmark = true)
 
+  /** Embedding-cosine near-dup dedup: hyperplane-LSH blocking →
+    * exact-cosine verification ≥ 0.99 on candidates only (the embedding
+    * twin of q42's MinHash-LSH→Jaccard composition). The corpus plants
+    * one deterministically-perturbed copy per vector (vec_id+100000,
+    * component k nudged by ((vec_id*31+k)%7-3)·0.001) so near-dup —
+    * not just exact-dup — pairs provably exist; a planted pair whose
+    * perturbation flips an LSH sign bit is missed by design (single
+    * table; both engines miss identically). */
+  val q77EmbeddingNearDup = GQuery(
+    "q77_embedding_neardup",
+    (s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val base = emb.select($"vec_id", Similarity.asDouble($"embedding").as("v"))
+      // perturb BEFORE renaming vec_id: in a single select both Spark
+      // and DuckDB lateral-resolve the lambda's vec_id to the +100000
+      // alias, shifting the delta by (100000*31) % 7 = 1
+      val perturbed = emb.select($"vec_id",
+          transform(Similarity.asDouble($"embedding"),
+            (x, k) => x + (pmod($"vec_id" * 31 + k, lit(7)).cast("double") - lit(3.0)) * lit(0.001))
+            .as("v"))
+        .select(($"vec_id" + 100000).as("vec_id"), $"v")
+      Similarity.nearDupPairs(base.union(perturbed), dim = 64, bits = 12, threshold = 0.99)
+    },
+    Some {
+      def bucket(v: String) =
+        s"""list_sum(list_transform(range(0, 12), j ->
+           |    CASE WHEN list_sum(list_transform(range(0, 64), k ->
+           |        ($v)[k+1] * (CAST(((j*64 + k) * 2654435761) % 1000003 AS DOUBLE)/1000003.0 - 0.5))) > 0
+           |    THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END))""".stripMargin
+      s"""WITH corpus AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |  UNION ALL
+         |  -- inner alias kept distinct from vec_id: DuckDB lateral alias
+         |  -- resolution would otherwise bind the lambda's vec_id to the
+         |  -- +100000 output column and shift the perturbation
+         |  SELECT vid + 100000 AS vec_id, v FROM (
+         |    SELECT vec_id AS vid,
+         |      list_transform(range(0, 64), k ->
+         |        CAST(embedding[k+1] AS DOUBLE) + (((vec_id*31 + k) % 7) - 3) * 0.001) AS v
+         |    FROM embeddings)),
+         |buck AS (SELECT vec_id, v, ${bucket("v")} AS bucket FROM corpus),
+         |pairs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    round(
+         |      list_sum(list_transform(range(1, 65), i -> a.v[i]*b.v[i])) /
+         |      (sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i]*a.v[i]))) *
+         |       sqrt(list_sum(list_transform(range(1, 65), i -> b.v[i]*b.v[i])))), 4) AS sim
+         |  FROM buck a JOIN buck b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.99""".stripMargin
+    })
+
   /** Salted join for hot-key skew: same semantics as q16's broadcast
     * lookup (the oracle is identical) but with the key split
     * saltFactor-ways — the shape used when the build side is too big
@@ -308,5 +360,5 @@ object LlmQueries {
   val all: Seq[GQuery] = Seq(
     q40DedupExactStats, q41DedupExactKeep, q42MinhashLsh, q43Simhash,
     q44NgramJaccard, q45CosineTopk, q46Centroids, q47LshBuckets,
-    q55BpeTokens, q56IvfAnn, q57SaltedJoin)
+    q55BpeTokens, q56IvfAnn, q57SaltedJoin, q77EmbeddingNearDup)
 }

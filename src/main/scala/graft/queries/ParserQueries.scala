@@ -52,9 +52,13 @@ object ParserQueries {
         .when(m === 3, lit("[]"))
         .when(m === 4, lit(null).cast("string"))
         .otherwise(format_string("[\"it's\", \"%d.5\"]", $"user_id"))
+      // Arrays never cross the compare wire (the driver's pandas sort
+      // can't hash them): join to a '|' string, fixed 2-dp printf on
+      // both sides so double→string reprs can't diverge.
       Tables.events(s, d)
         .withColumn("prices", Normalize.prices(raw))
-        .select($"event_id", $"prices",
+        .select($"event_id",
+          array_join(transform($"prices", x => format_string("%.2f", x)), "|").as("prices"),
           Normalize.sizeOrZero($"prices").as("n_prices"))
     },
     Some(s"""WITH ${repCte(
@@ -70,7 +74,8 @@ object ParserQueries {
             |  list_filter(list_transform(p, x -> TRY_CAST(x AS DOUBLE)), x -> x IS NOT NULL) AS d
             |  FROM parsed)
             |SELECT event_id,
-            |  CASE WHEN len(d) > 0 THEN d ELSE NULL END AS prices,
+            |  array_to_string(list_transform(
+            |    CASE WHEN len(d) > 0 THEN d ELSE NULL END, x -> printf('%.2f', x)), '|') AS prices,
             |  CAST(CASE WHEN d IS NULL OR len(d) = 0 THEN 0 ELSE len(d) END AS INT) AS n_prices
             |FROM pr""".stripMargin))
 
@@ -88,7 +93,7 @@ object ParserQueries {
         .otherwise(lit(null).cast("string"))
       Tables.events(s, d)
         .withColumn("outcomes", Normalize.outcomes(raw))
-        .select($"event_id", $"outcomes",
+        .select($"event_id", array_join($"outcomes", "|").as("outcomes"),
           Normalize.sizeOrZero($"outcomes").as("n_outcomes"))
     },
     Some(s"""WITH ${repCte(
@@ -103,7 +108,7 @@ object ParserQueries {
             |  list_filter(list_transform(p, x -> upper(trim(x))), x -> x IS NOT NULL AND x <> '') AS c
             |  FROM parsed)
             |SELECT event_id,
-            |  CASE WHEN len(c) > 0 THEN c ELSE NULL END AS outcomes,
+            |  array_to_string(CASE WHEN len(c) > 0 THEN c ELSE NULL END, '|') AS outcomes,
             |  CAST(CASE WHEN c IS NULL OR len(c) = 0 THEN 0 ELSE len(c) END AS INT) AS n_outcomes
             |FROM cl""".stripMargin))
 
@@ -122,7 +127,8 @@ object ParserQueries {
         .otherwise(lit(null).cast("string"))
       Tables.events(s, d)
         .withColumn("tags", array_sort(Normalize.tags(raw)))
-        .select($"event_id", $"tags", Normalize.sizeOrZero($"tags").as("n_tags"))
+        .select($"event_id", array_join($"tags", "|").as("tags"),
+          Normalize.sizeOrZero($"tags").as("n_tags"))
     },
     Some(s"""WITH ${repCte(
              """CASE CAST(event_id % 4 AS INT)
@@ -136,7 +142,7 @@ object ParserQueries {
             |    list_filter(list_transform(p, x -> lower(trim(x))), x -> x IS NOT NULL AND x <> ''))) AS c
             |  FROM parsed)
             |SELECT event_id,
-            |  CASE WHEN len(c) > 0 THEN c ELSE NULL END AS tags,
+            |  array_to_string(CASE WHEN len(c) > 0 THEN c ELSE NULL END, '|') AS tags,
             |  CAST(CASE WHEN c IS NULL OR len(c) = 0 THEN 0 ELSE len(c) END AS INT) AS n_tags
             |FROM cl""".stripMargin))
 
@@ -154,9 +160,14 @@ object ParserQueries {
           format_string("[{'slug': 's%d'}, {'id': '%d'}]", $"user_id" % 5, $"event_id"))
         .when(m === 2, format_string("[{'label': ' '}, {'slug': 's%d'}]", $"user_id" % 5))
         .otherwise(lit("[]"))
+      // Empty list → null on the wire (DuckDB's array_to_string maps
+      // empty→NULL where Spark's array_join maps empty→''); the 0-count
+      // is still pinned by n_labels.
       Tables.events(s, d)
         .withColumn("labels", Normalize.tagObjectLabels(raw))
-        .select($"event_id", $"labels", Normalize.sizeOrZero($"labels").as("n_labels"))
+        .select($"event_id",
+          when(size($"labels") > 0, array_join($"labels", "|")).as("labels"),
+          Normalize.sizeOrZero($"labels").as("n_labels"))
     },
     Some(s"""WITH ${repCte(
              """CASE CAST(event_id % 4 AS INT)
@@ -167,17 +178,17 @@ object ParserQueries {
             |parsed AS (SELECT event_id,
             |  CASE WHEN s IS NULL OR NOT json_valid(r) OR json_type(r) <> 'ARRAY' THEN NULL
             |       ELSE from_json(r, '[{"label":"VARCHAR","slug":"VARCHAR","id":"VARCHAR"}]') END AS p
-            |  FROM rep)
-            |SELECT event_id,
+            |  FROM rep),
+            |lab AS (SELECT event_id,
             |  list_filter(
             |    list_transform(p, x -> nullif(trim(coalesce(
             |      nullif(x.label, ''), nullif(x.slug, ''), nullif(x.id, ''))), '')),
-            |    x -> x IS NOT NULL) AS labels,
-            |  CAST(coalesce(len(list_filter(
-            |    list_transform(p, x -> nullif(trim(coalesce(
-            |      nullif(x.label, ''), nullif(x.slug, ''), nullif(x.id, ''))), '')),
-            |    x -> x IS NOT NULL)), 0) AS INT) AS n_labels
-            |FROM parsed""".stripMargin))
+            |    x -> x IS NOT NULL) AS l
+            |  FROM parsed)
+            |SELECT event_id,
+            |  array_to_string(CASE WHEN len(l) > 0 THEN l ELSE NULL END, '|') AS labels,
+            |  CAST(coalesce(len(l), 0) AS INT) AS n_labels
+            |FROM lab""".stripMargin))
 
   /** F10 series-id extraction: object-or-list polymorphic field →
     * distinct id set (here with per-id occurrence counts so the compare
