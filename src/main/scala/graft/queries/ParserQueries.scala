@@ -227,6 +227,99 @@ object ParserQueries {
             |FROM (SELECT unnest(list_filter(sids, x -> x IS NOT NULL AND trim(x) <> '')) AS sid FROM ids)
             |GROUP BY sid""".stripMargin))
 
+  /** F11 lenient timestamp parse end-to-end: ISO datetime, date-only,
+    * 'T'-separated, garbage → null (pandas errors='coerce' ≈ Spark
+    * try_to_timestamp ≈ DuckDB TRY_CAST for these shapes — the three
+    * engines agree on exactly this format family, which is why the
+    * synthesis sticks to it). */
+  val q78TimestampLenient = GQuery(
+    "q78_ts_lenient",
+    (s, d) => {
+      import s.implicits._
+      val m = $"event_id" % 5
+      val tsStr = when(m === 0, date_format($"ts", "yyyy-MM-dd HH:mm:ss"))
+        .when(m === 1, date_format($"ts", "yyyy-MM-dd"))
+        .when(m === 2, date_format($"ts", "yyyy-MM-dd'T'HH:mm:ss"))
+        .when(m === 3, lit("not a timestamp"))
+        .otherwise(lit(null).cast("string"))
+      Tables.events(s, d)
+        .withColumn("s", tsStr)
+        .withColumn("parsed", Normalize.timestampLenient($"s"))
+        .agg(
+          count($"parsed").as("n_parsed"),
+          count(when($"parsed".isNull && $"s".isNotNull, 1)).as("n_failed"),
+          date_format(min($"parsed"), "yyyy-MM-dd HH:mm:ss").as("min_ts"),
+          date_format(max($"parsed"), "yyyy-MM-dd HH:mm:ss").as("max_ts"))
+    },
+    Some("""WITH src AS (SELECT CASE CAST(event_id % 5 AS INT)
+           |    WHEN 0 THEN strftime(ts, '%Y-%m-%d %H:%M:%S')
+           |    WHEN 1 THEN strftime(ts, '%Y-%m-%d')
+           |    WHEN 2 THEN strftime(ts, '%Y-%m-%dT%H:%M:%S')
+           |    WHEN 3 THEN 'not a timestamp'
+           |    ELSE NULL END AS s FROM events),
+           |p AS (SELECT s, TRY_CAST(s AS TIMESTAMP) AS parsed FROM src)
+           |SELECT count(parsed) AS n_parsed,
+           |  count(*) FILTER (WHERE parsed IS NULL AND s IS NOT NULL) AS n_failed,
+           |  strftime(min(parsed), '%Y-%m-%d %H:%M:%S') AS min_ts,
+           |  strftime(max(parsed), '%Y-%m-%d %H:%M:%S') AS max_ts
+           |FROM p""".stripMargin))
+
+  /** The composed silver pipeline (Cleaner.cleanEvents: P3 pk filter →
+    * P8 sentinel nulls → W1 latest-per-key dedup → F15/F16 fills)
+    * oracle-verified end-to-end. The raw events table is clean, so the
+    * query plants its own dirt deterministically: a NEWER duplicate per
+    * event_id%10==0 carrying sentinel event_type/props and a null value
+    * (it must WIN the dedup, proving sentinel→null→default-fill), and a
+    * null-pk row per event_id%17==0 (dropped by the pk filter). */
+  val q79SilverPipeline = GQuery(
+    "q79_silver_pipeline",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val dirtyWin = ev.filter($"event_id" % 10 === 0).select(
+        $"event_id", ($"ts" + expr("INTERVAL 1 HOUR")).as("ts"), $"user_id",
+        lit("NaN").as("event_type"), lit(null).cast("double").as("value"),
+        lit(" ").as("props"))
+      val orphan = ev.filter($"event_id" % 17 === 0).select(
+        lit(null).cast("long").as("event_id"), $"ts", $"user_id",
+        $"event_type", $"value", $"props")
+      val cleaned = graft.clean.Cleaner.cleanEvents(
+        ev.unionByName(dirtyWin).unionByName(orphan))
+      cleaned.agg(
+        count(lit(1)).as("n_rows"),
+        count(when($"event_type" === "unknown", 1)).as("n_unknown"),
+        count(when($"props" === "{}", 1)).as("n_props_default"),
+        round(sum($"value"), 2).as("sum_value"))
+    },
+    Some {
+      val sent = Normalize.NullSentinels.map(x => s"'$x'").mkString(", ")
+      s"""WITH dirty AS (
+         |  SELECT event_id, ts, user_id, event_type, value, props FROM events
+         |  UNION ALL
+         |  SELECT event_id, ts + INTERVAL 1 HOUR, user_id, 'NaN', NULL, ' '
+         |  FROM events WHERE event_id % 10 = 0
+         |  UNION ALL
+         |  SELECT NULL, ts, user_id, event_type, value, props
+         |  FROM events WHERE event_id % 17 = 0),
+         |pk AS (SELECT * FROM dirty WHERE event_id IS NOT NULL),
+         |norm AS (SELECT event_id, ts, value,
+         |    CASE WHEN lower(trim(event_type)) IN ($sent) THEN NULL ELSE event_type END AS event_type,
+         |    CASE WHEN lower(trim(props)) IN ($sent) THEN NULL ELSE props END AS props
+         |  FROM pk),
+         |dedup AS (SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY ts DESC, event_id DESC) AS rn
+         |    FROM norm) WHERE rn = 1),
+         |filled AS (SELECT coalesce(event_type, 'unknown') AS event_type,
+         |    coalesce(props, '{}') AS props, coalesce(value, 0.0) AS value
+         |  FROM dedup)
+         |SELECT count(*) AS n_rows,
+         |  count(*) FILTER (WHERE event_type = 'unknown') AS n_unknown,
+         |  count(*) FILTER (WHERE props = '{}') AS n_props_default,
+         |  round(sum(value), 2) AS sum_value
+         |FROM filled""".stripMargin
+    })
+
   val all: Seq[GQuery] = Seq(
-    q69NormalizePrices, q70NormalizeOutcomes, q71ParseTags, q72TagObjects, q73SeriesIds)
+    q69NormalizePrices, q70NormalizeOutcomes, q71ParseTags, q72TagObjects, q73SeriesIds,
+    q78TimestampLenient, q79SilverPipeline)
 }
