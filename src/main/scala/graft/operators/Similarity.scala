@@ -121,6 +121,50 @@ object Similarity {
     }
   }
 
+  /** Distributed Lloyd's k-means for the IVF coarse quantizer.
+    * Per iteration: assignment = nearest-centroid by cosine (tiny
+    * centroid table broadcast; max-of-struct aggregation, map-side
+    * combinable — the corpus never sort-shuffles), update = posexplode
+    * component mean (one (cell,pos) shuffle of scalars, never whole
+    * vectors through collect_list). Centroids — k×dim doubles, quantizer
+    * metadata — collect to the driver between iterations so the lineage
+    * stays flat at any corpus size (MLlib's KMeans does the same).
+    * Init is deterministic (the k lowest-vec_id vectors); the component
+    * means inherit float-sum order nondeterminism across partitions, so
+    * downstream uses must not depend on exact centroid bits — IVF at
+    * nprobe=cells is exact regardless (q80), and the recall dial only
+    * shifts marginally. An emptied cell keeps its previous centroid. */
+  def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def toDf(cs: Seq[(Int, Seq[Double])]): DataFrame =
+      cs.toDF("cell_id", "centroid")
+    var cents: Seq[(Int, Seq[Double])] =
+      corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .orderBy(col("vec_id")).limit(k).collect()
+        .toSeq.zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }
+    for (_ <- 1 to iters) {
+      val assign = nearestCells(corpus, toDf(cents), 1)
+      val comps = corpus.join(assign, "vec_id")
+        .select(col("cell_id"), posexplode(asDouble(col("embedding"))).as(Seq("pos", "x")))
+        .groupBy(col("cell_id"), col("pos")).agg(avg(col("x")).as("m"))
+        .collect()
+      val updated = comps.groupBy(_.getInt(0)).map { case (cid, rows) =>
+        cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+      }
+      cents = cents.map { case (cid, old) => (cid, updated.getOrElse(cid, old)) }
+    }
+    toDf(cents)
+  }
+
+  /** Mean best-centroid cosine over the corpus — the (cosine-flavored)
+    * inertia twin, for asserting Lloyd's iterations don't regress. */
+  def quantizerScore(corpus: DataFrame, centroids: DataFrame): Double =
+    corpus.crossJoin(broadcast(centroids))
+      .withColumn("__csim", cosineNative(asDouble(col("embedding")), col("centroid")))
+      .groupBy(col("vec_id")).agg(max(col("__csim")).as("best"))
+      .agg(avg(col("best"))).collect()(0).getDouble(0)
+
   /** Embedding-cosine near-duplicate pairs: hyperplane-LSH bucket as
     * the blocking key (sign sketch → equi-join, never all-pairs), then
     * exact cosine ≥ threshold on candidates only. The embedding twin of

@@ -283,6 +283,23 @@ object LlmQueries {
     q45CosineTopk.oracle,
     benchmark = true)
 
+  /** IVF over a LEARNED coarse quantizer (3 Lloyd's iterations from
+    * deterministic seeds) at nprobe = all cells — still mathematically
+    * identical to exact brute force whatever the centroids converge to
+    * (every query probes every cell and cells partition the corpus), so
+    * the q45 oracle pins the whole kmeans→assign→probe→rank pipeline.
+    * The recall-at-nprobe<cells path is spec-asserted instead
+    * (DedupSimilaritySpec) since recall depends on centroid bits. */
+  val q80IvfKmeans = GQuery(
+    "q80_ivf_kmeans",
+    (s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val centroids = Similarity.kmeansCentroids(emb, k = 8, iters = 3)
+      Similarity.ivfTopK(emb.filter($"vec_id" < 5), emb, centroids, k = 5, nprobe = 1000)
+    },
+    q45CosineTopk.oracle)
+
   /** Embedding-cosine near-dup dedup: hyperplane-LSH blocking →
     * exact-cosine verification ≥ 0.99 on candidates only (the embedding
     * twin of q42's MinHash-LSH→Jaccard composition). The corpus plants
@@ -360,5 +377,5 @@ object LlmQueries {
   val all: Seq[GQuery] = Seq(
     q40DedupExactStats, q41DedupExactKeep, q42MinhashLsh, q43Simhash,
     q44NgramJaccard, q45CosineTopk, q46Centroids, q47LshBuckets,
-    q55BpeTokens, q56IvfAnn, q57SaltedJoin, q77EmbeddingNearDup)
+    q55BpeTokens, q56IvfAnn, q57SaltedJoin, q77EmbeddingNearDup, q80IvfKmeans)
 }

@@ -171,4 +171,26 @@ class DedupSimilaritySpec extends SparkTestBase {
       .orderBy("pos").collect().map(r => (r.getInt(1), r.getDouble(2))).toSeq
     assert(got == Seq((0, 2.0), (1, 4.0)))
   }
+
+  test("kmeans quantizer: Lloyd's iterations do not regress the mean best-centroid cosine") {
+    val emb = Tables.embeddings(spark, sf)
+    val init = Similarity.kmeansCentroids(emb, k = 8, iters = 0)
+    val trained = Similarity.kmeansCentroids(emb, k = 8, iters = 3)
+    val s0 = Similarity.quantizerScore(emb, init)
+    val s3 = Similarity.quantizerScore(emb, trained)
+    assert(s3 >= s0 - 1e-9, s"quantizer regressed: $s0 -> $s3")
+    assert(init.count() == 8 && trained.count() == 8)
+  }
+
+  test("ivf with kmeans centroids at moderate nprobe: recall vs brute force") {
+    val emb = Tables.embeddings(spark, sf)
+    val centroids = Similarity.kmeansCentroids(emb, k = 8, iters = 2)
+    val queries = emb.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(queries, emb, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopK(queries, emb, centroids, k = 5, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall below floor (3/8 cells probed)")
+  }
 }
