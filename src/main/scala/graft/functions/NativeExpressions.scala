@@ -430,31 +430,38 @@ object Natives {
 
 /** Session registration so the natives are callable from SQL and via
   * functions.call_function (SURVEY §2.10's "registered in the
-  * FunctionRegistry" option). */
+  * FunctionRegistry" option). The builder table is shared with
+  * `graft.plans.GraftExtensions` (the `spark.sql.extensions` deploy
+  * route) so the two registration paths expose one surface. */
 object NativeRegistry {
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("normalize_numeric_native",
-      (exprs: Seq[Expression]) => NormalizeNumericExpr(exprs.head), "scala_udf")
-    reg.createOrReplaceTempFunction("repair_json_native",
-      (exprs: Seq[Expression]) => RepairJsonExpr(exprs.head), "scala_udf")
-    reg.createOrReplaceTempFunction("cosine_native",
-      (exprs: Seq[Expression]) => CosineSimilarityExpr(exprs(0), exprs(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("shingle_hash_native",
-      (exprs: Seq[Expression]) => ShingleHashExpr(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue(), NativeHelpers.MinhashP), "scala_udf")
-    reg.createOrReplaceTempFunction("minhash_native",
-      (exprs: Seq[Expression]) => {
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "normalize_numeric_native" ->
+      ((exprs: Seq[Expression]) => NormalizeNumericExpr(exprs.head)),
+    "repair_json_native" ->
+      ((exprs: Seq[Expression]) => RepairJsonExpr(exprs.head)),
+    "cosine_native" ->
+      ((exprs: Seq[Expression]) => CosineSimilarityExpr(exprs(0), exprs(1))),
+    "shingle_hash_native" ->
+      ((exprs: Seq[Expression]) => ShingleHashExpr(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue(), NativeHelpers.MinhashP)),
+    "minhash_native" ->
+      ((exprs: Seq[Expression]) => {
         val n = exprs(1).eval().asInstanceOf[Number].intValue()
         MinhashSignatureExpr(exprs(0),
           NativeHelpers.minhashCoeffA(n), NativeHelpers.minhashCoeffB(n),
           NativeHelpers.MinhashP)
-      }, "scala_udf")
-    reg.createOrReplaceTempFunction("simhash_native",
-      (exprs: Seq[Expression]) => SimhashExpr(exprs.head), "scala_udf")
-    reg.createOrReplaceTempFunction("hyperplane_bucket_native",
-      (exprs: Seq[Expression]) => HyperplaneBucketExpr(exprs(0),
+      }),
+    "simhash_native" ->
+      ((exprs: Seq[Expression]) => SimhashExpr(exprs.head)),
+    "hyperplane_bucket_native" ->
+      ((exprs: Seq[Expression]) => HyperplaneBucketExpr(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue(),
-        exprs(2).eval().asInstanceOf[Number].intValue()), "scala_udf")
+        exprs(2).eval().asInstanceOf[Number].intValue())))
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    builders.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
   }
 }

@@ -12,3 +12,16 @@ object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 }
+
+/** Test-only probe into `private[sql]` members of SparkSessionExtensions
+  * so the specs can assert what `GraftExtensions` injected without
+  * building a whole second SparkSession (getOrCreate reuses the test
+  * JVM's shared session, ignoring builder extensions). */
+object GraftExtensionsProbe {
+  def optimizerRules(ext: SparkSessionExtensions, session: SparkSession)
+      : Seq[catalyst.rules.Rule[catalyst.plans.logical.LogicalPlan]] =
+    ext.buildOptimizerRules(session)
+  def registerFunctions(ext: SparkSessionExtensions,
+      reg: catalyst.analysis.FunctionRegistry): catalyst.analysis.FunctionRegistry =
+    ext.registerFunctions(reg)
+}
