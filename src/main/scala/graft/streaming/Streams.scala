@@ -74,6 +74,33 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming exact dedup — the ingest-time twin of `Dedup.exact`:
+    * fingerprint the payload column, then `dropDuplicatesWithinWatermark`
+    * so the dedup STATE is bounded by the watermark horizon (an
+    * unbounded-state dropDuplicates would OOM a 100 TB/day ingest; two
+    * copies arriving more than `wm` apart are both kept — the batch
+    * compaction pass sweeps those). On a batch frame the same call
+    * degrades to plain dropDuplicates for code-sharing parity; batch
+    * keep-policy is arbitrary-first, so equivalence checks compare the
+    * kept fingerprint SET, not row identity. */
+  def dedupByFingerprint(df: DataFrame, payloadCol: String,
+      wm: String = "2 hours"): DataFrame = {
+    val fp = df.withColumn("fp",
+      graft.functions.TextAnalysis.fingerprint(col(payloadCol)))
+    if (fp.isStreaming) fp.withWatermark("ts", wm).dropDuplicatesWithinWatermark("fp")
+    else fp.dropDuplicates("fp")
+  }
+
+  /** Start the dedup stream into an in-memory table (default trigger —
+    * not AvailableNow — so tests can feed multiple micro-batches into a
+    * running query and watch the dedup state work across them). */
+  def startDedupToMemory(spark: SparkSession, dir: String,
+      queryName: String): StreamingQuery =
+    dedupByFingerprint(readEventStream(spark, dir), "props")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(queryName)
+      .start()
+
   /** Per-user running session state via mapGroupsWithState: counts
     * events and carries the last-seen timestamp per user. */
   case class UserEvent(user_id: Long, event_id: Long, tsMicros: Long)

@@ -87,6 +87,49 @@ class StarStreamingSpec extends SparkTestBase {
     assert(batch.count() > 0)
   }
 
+  test("streaming dedup: duplicate payloads within the watermark are dropped across micro-batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup")
+    def writeBatch(name: String, rows: Seq[(Long, Long, Long, String, Double, String)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_dedup_tmp")
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath, dir.resolve(name))
+    }
+    val H = 3600L * 1000000000L // one hour, in the source's epoch-nanos
+    writeBatch("b1.parquet", Seq(
+      (1L, H + 5L, 1L, "click", 1.0, """{"p": 1}"""),
+      (2L, H + 6L, 1L, "click", 1.0, """{"p": 2}""")))
+    val q = Streams.startDedupToMemory(spark, dir.toString, "dedup_stream_test")
+    q.processAllAvailable()
+    // second micro-batch: a payload duplicating event 1 (same watermark
+    // horizon -> state drops it) plus a genuinely new payload
+    writeBatch("b2.parquet", Seq(
+      (3L, H + 7L, 1L, "click", 1.0, """{"p": 1}"""),
+      (4L, H + 8L, 1L, "click", 1.0, """{"p": 3}""")))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("dedup_stream_test")
+    assert(out.count() == 3, s"expected 3 kept rows, got ${out.collect().mkString(";")}")
+    assert(out.filter($"event_id" === 3L).isEmpty, "duplicate payload leaked through")
+  }
+
+  test("streaming dedup == batch dedup on the kept fingerprint set") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_eq")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val q = Streams.startDedupToMemory(spark, dir.toString, "dedup_eq_test")
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("dedup_eq_test").select($"fp").distinct()
+    val batch = Streams.dedupByFingerprint(Tables.events(spark, sf), "props")
+      .select($"fp").distinct()
+    assert(streamed.exceptAll(batch).count() == 0 && batch.exceptAll(streamed).count() == 0)
+    assert(batch.count() > 0)
+  }
+
   test("sessionize mapGroupsWithState: per-user counts match groupBy") {
     implicit val s = spark
     val events = Tables.events(spark, sf)
