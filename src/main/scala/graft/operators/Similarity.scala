@@ -207,7 +207,11 @@ object Similarity {
     val probes = queries
       .join(nearestCells(queries, centroids, nprobe), "vec_id")
       .select(col("vec_id").as("qid"), col("cell_id"), asDouble(col("embedding")).as("qv"))
-    val sims = probes.join(indexed, "cell_id")
+    // broadcast the probe side: |queries|×nprobe rows vs the corpus —
+    // without the hint the static plan sort-merge-joins (shuffling the
+    // ENTIRE indexed corpus); AQE usually rescues it at runtime, but at
+    // 100 TB the static plan should already be the broadcast one
+    val sims = indexed.join(broadcast(probes), "cell_id")
       .filter(col("qid") =!= col("cid"))
       .withColumn("sim", cosineNative(col("qv"), col("cv")))
     val w = org.apache.spark.sql.expressions.Window
