@@ -319,7 +319,36 @@ object ParserQueries {
          |FROM filled""".stripMargin
     })
 
+  /** S1/S2/S3 promoted to oracle-verified: a deterministic JSONL
+    * snapshot of events (sorted, first 500 — driver-side fixture
+    * setup, not an operator) is re-ingested through the DSv2
+    * `graft-paged` source (one InputPartition per page, planning-time
+    * stop-on-empty probe) and parsed via from_json; the oracle
+    * aggregates the same 500 source rows directly. Doubles round-trip
+    * JSON losslessly (shortest-repr write, exact parse). */
+  val q81PagedSource = GQuery(
+    "q81_paged_source",
+    (s, d) => {
+      import s.implicits._
+      val rows = Tables.events(s, d).orderBy($"event_id").limit(500)
+        .select(to_json(struct($"event_id", $"event_type", $"value")).as("j"))
+        .collect().map(_.getString(0))
+      val f = java.nio.file.Files.createTempFile("graft_paged_q81", ".jsonl")
+      java.nio.file.Files.write(f, rows.mkString("\n").getBytes("UTF-8"))
+      s.read.format("graft-paged")
+        .option("path", f.toString).option("pageSize", "64")
+        .load()
+        .select(from_json($"json",
+          lit("event_id bigint, event_type string, value double")).as("r"))
+        .select($"r.*")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total"))
+    },
+    Some("""SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+           |FROM (SELECT * FROM events ORDER BY event_id LIMIT 500)
+           |GROUP BY event_type""".stripMargin))
+
   val all: Seq[GQuery] = Seq(
     q69NormalizePrices, q70NormalizeOutcomes, q71ParseTags, q72TagObjects, q73SeriesIds,
-    q78TimestampLenient, q79SilverPipeline)
+    q78TimestampLenient, q79SilverPipeline, q81PagedSource)
 }
