@@ -350,7 +350,8 @@ object LlmQueries {
          |       sqrt(list_sum(list_transform(range(1, 65), i -> b.v[i]*b.v[i])))), 4) AS sim
          |  FROM buck a JOIN buck b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
          |SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.99""".stripMargin
-    })
+    },
+    benchmark = true)
 
   /** Salted join for hot-key skew: same semantics as q16's broadcast
     * lookup (the oracle is identical) but with the key split
