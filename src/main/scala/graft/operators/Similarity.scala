@@ -193,6 +193,38 @@ object Similarity {
   def nearDupDrops(pairs: DataFrame): DataFrame =
     pairs.select(col("id_b").as("vec_id")).distinct()
 
+  /** Multi-table OR-LSH near-dup: `tables` independent `bits`-plane
+    * sketches, candidates OR-ed across tables — the standard recall
+    * amplifier (a pair is missed only if EVERY table splits it;
+    * P[miss] ≈ (1-p^bits)^tables). One native bucket evaluation
+    * computes all tables*bits sign bits packed in a long; per-table
+    * sub-buckets are shift/mask column math, so the extra recall costs
+    * one explode, not extra projections over the vector. Table 0's
+    * planes are exactly [[nearDupPairs]]'s, so the single-table
+    * candidate set is a subset by construction (spec-pinned). */
+  def nearDupPairsMulti(corpus: DataFrame, dim: Int, bits: Int,
+      threshold: Double, tables: Int): DataFrame = {
+    val total = bits * tables
+    require(total <= 62, s"tables*bits must fit a long, got $total")
+    val mask = (1L << bits) - 1
+    val banded = corpus.select(col("vec_id"),
+        graft.functions.Natives.hyperplaneBucket(col("v"), dim, total).as("__all"),
+        explode(sequence(lit(0), lit(tables - 1))).as("__t"))
+      .select(col("vec_id"), concat_ws(":", col("__t"),
+        expr(s"shiftright(__all, __t * $bits)").bitwiseAND(lit(mask))).as("__bk"))
+    val cand = banded.alias("a").join(banded.alias("b"),
+        col("a.__bk") === col("b.__bk") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    val vecs = corpus.select(col("vec_id"), col("v"))
+    cand
+      .join(vecs.select(col("vec_id").as("id_a"), col("v").as("__va")), "id_a")
+      .join(vecs.select(col("vec_id").as("id_b"), col("v").as("__vb")), "id_b")
+      .withColumn("sim", round(cosineNative(col("__va"), col("__vb")), 4))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
   /** IVF-style ANN (inverted-file over a coarse quantizer): corpus
     * vectors index into their nearest cell; a query probes only its
     * `nprobe` nearest cells. At 100 TB the cell id is the shuffle/

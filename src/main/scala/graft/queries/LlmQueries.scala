@@ -308,40 +308,55 @@ object LlmQueries {
     * not just exact-dup — pairs provably exist; a planted pair whose
     * perturbation flips an LSH sign bit is missed by design (single
     * table; both engines miss identically). */
+  /** (vec_id, v) corpus with one deterministically-perturbed copy per
+    * vector — shared by q77/q82 (and mirrored verbatim in their
+    * oracles' `corpus` CTE). */
+  private def perturbedCorpus(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val base = emb.select($"vec_id", Similarity.asDouble($"embedding").as("v"))
+    // perturb BEFORE renaming vec_id: in a single select both Spark
+    // and DuckDB lateral-resolve the lambda's vec_id to the +100000
+    // alias, shifting the delta by (100000*31) % 7 = 1
+    val perturbed = emb.select($"vec_id",
+        transform(Similarity.asDouble($"embedding"),
+          (x, k) => x + (pmod($"vec_id" * 31 + k, lit(7)).cast("double") - lit(3.0)) * lit(0.001))
+          .as("v"))
+      .select(($"vec_id" + 100000).as("vec_id"), $"v")
+    base.union(perturbed)
+  }
+
+  /** DuckDB twin of [[perturbedCorpus]] as a `corpus(vec_id, v)` CTE
+    * body. */
+  private val PerturbedCorpusSql: String =
+    """SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |  UNION ALL
+      |  -- inner alias kept distinct from vec_id: DuckDB lateral alias
+      |  -- resolution would otherwise bind the lambda's vec_id to the
+      |  -- +100000 output column and shift the perturbation
+      |  SELECT vid + 100000 AS vec_id, v FROM (
+      |    SELECT vec_id AS vid,
+      |      list_transform(range(0, 64), k ->
+      |        CAST(embedding[k+1] AS DOUBLE) + (((vec_id*31 + k) % 7) - 3) * 0.001) AS v
+      |    FROM embeddings)""".stripMargin
+
+  /** DuckDB hyperplane sign-sketch over `bits` planes (q47's formula,
+    * parametrized). */
+  private def bucketSql(v: String, bits: Int): String =
+    s"""list_sum(list_transform(range(0, $bits), j ->
+       |    CASE WHEN list_sum(list_transform(range(0, 64), k ->
+       |        ($v)[k+1] * (CAST(((j*64 + k) * 2654435761) % 1000003 AS DOUBLE)/1000003.0 - 0.5))) > 0
+       |    THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END))""".stripMargin
+
   val q77EmbeddingNearDup = GQuery(
     "q77_embedding_neardup",
-    (s, d) => {
-      import s.implicits._
-      val emb = Tables.embeddings(s, d)
-      val base = emb.select($"vec_id", Similarity.asDouble($"embedding").as("v"))
-      // perturb BEFORE renaming vec_id: in a single select both Spark
-      // and DuckDB lateral-resolve the lambda's vec_id to the +100000
-      // alias, shifting the delta by (100000*31) % 7 = 1
-      val perturbed = emb.select($"vec_id",
-          transform(Similarity.asDouble($"embedding"),
-            (x, k) => x + (pmod($"vec_id" * 31 + k, lit(7)).cast("double") - lit(3.0)) * lit(0.001))
-            .as("v"))
-        .select(($"vec_id" + 100000).as("vec_id"), $"v")
-      Similarity.nearDupPairs(base.union(perturbed), dim = 64, bits = 12, threshold = 0.99)
-    },
+    (s, d) => Similarity.nearDupPairs(
+      perturbedCorpus(s, d), dim = 64, bits = 12, threshold = 0.99),
     Some {
-      def bucket(v: String) =
-        s"""list_sum(list_transform(range(0, 12), j ->
-           |    CASE WHEN list_sum(list_transform(range(0, 64), k ->
-           |        ($v)[k+1] * (CAST(((j*64 + k) * 2654435761) % 1000003 AS DOUBLE)/1000003.0 - 0.5))) > 0
-           |    THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END))""".stripMargin
       s"""WITH corpus AS (
-         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-         |  UNION ALL
-         |  -- inner alias kept distinct from vec_id: DuckDB lateral alias
-         |  -- resolution would otherwise bind the lambda's vec_id to the
-         |  -- +100000 output column and shift the perturbation
-         |  SELECT vid + 100000 AS vec_id, v FROM (
-         |    SELECT vec_id AS vid,
-         |      list_transform(range(0, 64), k ->
-         |        CAST(embedding[k+1] AS DOUBLE) + (((vec_id*31 + k) % 7) - 3) * 0.001) AS v
-         |    FROM embeddings)),
-         |buck AS (SELECT vec_id, v, ${bucket("v")} AS bucket FROM corpus),
+         |  $PerturbedCorpusSql),
+         |buck AS (SELECT vec_id, v, ${bucketSql("v", 12)} AS bucket FROM corpus),
          |pairs AS (
          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |    round(
@@ -352,6 +367,37 @@ object LlmQueries {
          |SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.99""".stripMargin
     },
     benchmark = true)
+
+  /** Multi-table OR-LSH near-dup (q77's recall-amplified variant):
+    * 3 tables × 8 planes from ONE packed 24-bit sketch; a pair is a
+    * candidate if ANY table buckets it together. Table 0's planes are
+    * q77's first 8, so with coarser 8-bit tables and two more of them
+    * the candidate set strictly grows — the recall dial the operator
+    * doc promises, here pinned end-to-end by the oracle. */
+  val q82NearDupMulti = GQuery(
+    "q82_neardup_multi",
+    (s, d) => Similarity.nearDupPairsMulti(
+      perturbedCorpus(s, d), dim = 64, bits = 8, threshold = 0.99, tables = 3),
+    Some {
+      s"""WITH corpus AS (
+         |  $PerturbedCorpusSql),
+         |buck AS (SELECT vec_id, v, ${bucketSql("v", 24)} AS allb FROM corpus),
+         |banded AS (
+         |  SELECT vec_id, CAST(t AS VARCHAR) || ':' ||
+         |    CAST((CAST(allb AS BIGINT) // CAST(pow(2, t*8) AS BIGINT)) % 256 AS VARCHAR) AS bk
+         |  FROM buck, range(0, 3) r(t)),
+         |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM banded a JOIN banded b ON a.bk = b.bk AND a.vec_id < b.vec_id),
+         |pairs AS (
+         |  SELECT id_a, id_b,
+         |    round(
+         |      list_sum(list_transform(range(1, 65), i -> a.v[i]*b.v[i])) /
+         |      (sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i]*a.v[i]))) *
+         |       sqrt(list_sum(list_transform(range(1, 65), i -> b.v[i]*b.v[i])))), 4) AS sim
+         |  FROM cand JOIN buck a ON cand.id_a = a.vec_id
+         |            JOIN buck b ON cand.id_b = b.vec_id)
+         |SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.99""".stripMargin
+    })
 
   /** Salted join for hot-key skew: same semantics as q16's broadcast
     * lookup (the oracle is identical) but with the key split
@@ -378,5 +424,6 @@ object LlmQueries {
   val all: Seq[GQuery] = Seq(
     q40DedupExactStats, q41DedupExactKeep, q42MinhashLsh, q43Simhash,
     q44NgramJaccard, q45CosineTopk, q46Centroids, q47LshBuckets,
-    q55BpeTokens, q56IvfAnn, q57SaltedJoin, q77EmbeddingNearDup, q80IvfKmeans)
+    q55BpeTokens, q56IvfAnn, q57SaltedJoin, q77EmbeddingNearDup, q80IvfKmeans,
+    q82NearDupMulti)
 }

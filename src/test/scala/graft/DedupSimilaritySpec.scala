@@ -182,6 +182,22 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(init.count() == 8 && trained.count() == 8)
   }
 
+  test("multi-table OR-LSH near-dup: tables=1 coarse ⊆ tables=3, and single-table pairs stay verified") {
+    val emb = Tables.embeddings(spark, sf)
+    val corpus = emb.select($"vec_id", Similarity.asDouble($"embedding").as("v"))
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // one 8-bit table == the first 8 planes of the 3x8 packed sketch:
+    // multi's candidate (hence result) set must contain it
+    val single = pairSet(Similarity.nearDupPairsMulti(corpus, 64, 8, 0.5, tables = 1))
+    val multi = pairSet(Similarity.nearDupPairsMulti(corpus, 64, 8, 0.5, tables = 3))
+    assert(single.subsetOf(multi), s"${(single -- multi).size} pairs lost by adding tables")
+    // every emitted pair respects the cosine threshold (verification ran)
+    val sims = Similarity.nearDupPairsMulti(corpus, 64, 8, 0.5, tables = 3)
+      .select($"sim").collect().map(_.getDouble(0))
+    assert(sims.forall(_ >= 0.5))
+  }
+
   test("ivf with kmeans centroids at moderate nprobe: recall vs brute force") {
     val emb = Tables.embeddings(spark, sf)
     val centroids = Similarity.kmeansCentroids(emb, k = 8, iters = 2)
