@@ -106,6 +106,49 @@ object Dedup {
     inter / (size(a) + size(b) - inter)
   }
 
+  /** Transitive duplicate GROUPS from a near-dup pair list: distributed
+    * min-label propagation (each round: one neighbor-min shuffle; a
+    * vertex adopts the smallest label it can see). Converges in
+    * O(component diameter) rounds — near-dup clusters are shallow, so
+    * typically 2–3 — with a driver-side changed-count check, the same
+    * loop shape MLlib/GraphX connected components use. Output:
+    * (id, label) with label = the smallest member id of the component;
+    * vertices are exactly the ids that appear in some pair.
+    *
+    * The greedy one-hop `Similarity.nearDupDrops` under-deletes on
+    * chains (a~b, b~c keeps a, drops b and c only if both pair with a
+    * smaller id); grouping then keeping min-per-component is the exact
+    * policy. */
+  def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b", maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).persist()
+    labels.count()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIters) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("nid")).agg(min(col("label")).as("nlabel"))
+      val updated = labels
+        .join(neighborMin, labels("id") === neighborMin("nid"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .persist()
+      changed = updated
+        .join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = updated
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** SimHash (32-bit): majority vote per bit over token hashes —
     * codegen'd native (see SimhashExpr; the declarative twin below runs
     * 32 × |tokens| interpreted lambda evals per row). */

@@ -399,6 +399,42 @@ object LlmQueries {
          |SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.99""".stripMargin
     })
 
+  /** Transitive near-dup GROUPS over q77's verified pairs: distributed
+    * min-label propagation vs a DuckDB recursive-CTE transitive
+    * closure. Exact group semantics (the greedy one-hop drop policy
+    * under-deletes on chains) — output is (component label = min
+    * member id, member count). */
+  val q83NearDupGroups = GQuery(
+    "q83_neardup_groups",
+    (s, d) => {
+      import s.implicits._
+      val pairs = Similarity.nearDupPairs(perturbedCorpus(s, d), 64, 12, 0.99)
+      Dedup.connectedComponents(pairs)
+        .groupBy($"label").agg(count(lit(1)).as("n_members"))
+    },
+    Some {
+      s"""WITH RECURSIVE corpus AS (
+         |  $PerturbedCorpusSql),
+         |buck AS (SELECT vec_id, v, ${bucketSql("v", 12)} AS bucket FROM corpus),
+         |rawpairs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    round(
+         |      list_sum(list_transform(range(1, 65), i -> a.v[i]*b.v[i])) /
+         |      (sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i]*a.v[i]))) *
+         |       sqrt(list_sum(list_transform(range(1, 65), i -> b.v[i]*b.v[i])))), 4) AS sim
+         |  FROM buck a JOIN buck b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |filt AS (SELECT id_a, id_b FROM rawpairs WHERE sim >= 0.99),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM filt
+         |          UNION SELECT id_b, id_a FROM filt),
+         |reach(a, b) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+         |SELECT lab AS label, count(*) AS n_members FROM (
+         |  SELECT a AS id, least(a, min(b)) AS lab FROM reach GROUP BY a)
+         |GROUP BY lab""".stripMargin
+    })
+
   /** Salted join for hot-key skew: same semantics as q16's broadcast
     * lookup (the oracle is identical) but with the key split
     * saltFactor-ways — the shape used when the build side is too big
@@ -425,5 +461,5 @@ object LlmQueries {
     q40DedupExactStats, q41DedupExactKeep, q42MinhashLsh, q43Simhash,
     q44NgramJaccard, q45CosineTopk, q46Centroids, q47LshBuckets,
     q55BpeTokens, q56IvfAnn, q57SaltedJoin, q77EmbeddingNearDup, q80IvfKmeans,
-    q82NearDupMulti)
+    q82NearDupMulti, q83NearDupGroups)
 }

@@ -182,6 +182,15 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(init.count() == 8 && trained.count() == 8)
   }
 
+  test("connected components: chains merge transitively, islands stay apart") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (6L, 5L), (8L, 9L), (9L, 7L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L, 9L -> 7L))
+  }
+
   test("multi-table OR-LSH near-dup: tables=1 coarse ⊆ tables=3, and single-table pairs stay verified") {
     val emb = Tables.embeddings(spark, sf)
     val corpus = emb.select($"vec_id", Similarity.asDouble($"embedding").as("v"))
