@@ -87,6 +87,33 @@ object Sinks {
     }
   }
 
+  /** Small-files compaction for a parquet directory — the Delta
+    * OPTIMIZE analog for the plain-parquet gold layout. A long-lived
+    * table fed by incremental [[parquetAppendNew]] loads accretes one
+    * file per append; at 100 TB the file-count (NameNode/listing
+    * pressure, per-file open cost, tiny row groups defeating column
+    * statistics) becomes its own bottleneck. Rewrites the directory as
+    * ceil(bytes/targetBytes) files via a staging dir + rename swap
+    * (atomic against READERS on a posix/HDFS rename; like
+    * [[parquetAppendNew]], not a concurrent-WRITER protocol — that's
+    * Delta's job). Returns the new file count. */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetBytes: Long = 128L << 20): Int = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val bytes = fs.getContentSummary(hPath).getLength
+    val parts = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val staged = new org.apache.hadoop.fs.Path(path + "__compact_staged")
+    val retired = new org.apache.hadoop.fs.Path(path + "__compact_retired")
+    spark.read.parquet(path).repartition(parts)
+      .write.mode("overwrite").parquet(staged.toString)
+    fs.delete(retired, true)
+    fs.rename(hPath, retired)
+    fs.rename(staged, hPath)
+    fs.delete(retired, true)
+    fs.listStatus(hPath).count(_.getPath.getName.endsWith(".parquet"))
+  }
+
   /** S12: idempotent JDBC batch insert with conflict-skip. Batched
     * per-partition statements, `ON CONFLICT (keys) DO NOTHING` so
     * re-runs are idempotent like the reference loads. Requires a live
