@@ -154,7 +154,7 @@ object StarSchema {
       .select(col("p_partkey"), trim(col("tag_nombre")).as("tag_nombre"))
       .where(col("tag_nombre") =!= "")
       .distinct()
-      .join(broadcast(dimTag.select(col("tag_nombre"), col("tag_id"))), Seq("tag_nombre"))
+      .join(Joins.maybeBroadcast(dimTag.select(col("tag_nombre"), col("tag_id"))), Seq("tag_nombre"))
       .select(col("p_partkey"), col("tag_id"))
 
   /** N:M bridge order↔part from the genuinely many-to-many lineitem
@@ -168,7 +168,7 @@ object StarSchema {
     lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
       .join(orders.select(col("o_orderkey")),
         col("l_orderkey") === col("o_orderkey"), "left_semi")
-      .join(broadcast(part.select(col("p_partkey"))),
+      .join(Joins.maybeBroadcast(part.select(col("p_partkey"))),
         col("l_partkey") === col("p_partkey"), "left_semi")
       .select(col("l_orderkey").as("orderkey"), col("l_partkey").as("partkey"))
 
@@ -184,7 +184,7 @@ object StarSchema {
     */
   def factMetricas(lineitem: DataFrame, dimFecha: DataFrame): DataFrame =
     lineitem
-      .join(broadcast(dimFecha.select(col("fecha"), col("fecha_id"))),
+      .join(Joins.maybeBroadcast(dimFecha.select(col("fecha"), col("fecha_id"))),
         lineitem("l_shipdate").cast("date") === col("fecha"))
       .select(
         col("l_orderkey").as("orderkey"),
@@ -213,9 +213,9 @@ object StarSchema {
     * __HIVE_DEFAULT_PARTITION__ year, invisible to pruned readers. */
   def factOrders(orders: DataFrame, dimFecha: DataFrame, dimCustomer: DataFrame): DataFrame =
     orders
-      .join(broadcast(dimFecha.select(col("fecha"), col("fecha_id"), col("anio"))),
+      .join(Joins.maybeBroadcast(dimFecha.select(col("fecha"), col("fecha_id"), col("anio"))),
         orders("o_orderdate").cast("date") === col("fecha"))
-      .join(broadcast(dimCustomer.select(col("c_custkey"), col("customer_sk"))),
+      .join(Joins.maybeBroadcast(dimCustomer.select(col("c_custkey"), col("customer_sk"))),
         orders("o_custkey") === col("c_custkey"))
       .select(col("o_orderkey"), col("fecha_id"), col("customer_sk"),
         col("o_totalprice"), col("o_orderstatus"), col("anio"))

@@ -86,7 +86,8 @@ object StarQueries {
       // anio rides on the fact itself (its partition column) — one
       // less dim join than the reference's equivalent rollup
       star("fact_orders")
-        .join(broadcast(star("dim_customer").select($"customer_sk", $"region")), "customer_sk")
+        .join(graft.operators.Joins.maybeBroadcast(
+          star("dim_customer").select($"customer_sk", $"region")), "customer_sk")
         .groupBy($"anio", $"region")
         .agg(round(sum($"o_totalprice"), 2).as("revenue"), count(lit(1)).as("n_orders"))
     },
@@ -323,7 +324,7 @@ object StarQueries {
       import s.implicits._
       val star = StarSchema.build(s, d)
       star("bridge_part_tag")
-        .join(broadcast(star("dim_tag")), Seq("tag_id"))
+        .join(graft.operators.Joins.maybeBroadcast(star("dim_tag")), Seq("tag_id"))
         .groupBy($"tag_id", $"tag_nombre")
         .agg(count(lit(1)).as("n_parts"))
     },
@@ -369,9 +370,10 @@ object StarQueries {
       import s.implicits._
       val star = StarSchema.build(s, d)
       star("fact_metricas")
-        .join(broadcast(star("bridge_part_tag").withColumnRenamed("p_partkey", "partkey")),
+        .join(graft.operators.Joins.maybeBroadcast(
+            star("bridge_part_tag").withColumnRenamed("p_partkey", "partkey")),
           Seq("partkey"))
-        .join(broadcast(star("dim_tag")), Seq("tag_id"))
+        .join(graft.operators.Joins.maybeBroadcast(star("dim_tag")), Seq("tag_id"))
         .groupBy($"tag_nombre")
         .agg(
           round(sum($"precio_neto"), 2).as("revenue"),

@@ -25,6 +25,20 @@ class StarStreamingSpec extends SparkTestBase {
     assert(keyed.select(countDistinct($"sk")).collect()(0).getLong(0) == c.count())
   }
 
+  test("maybeBroadcast: hints dims under the threshold, declines oversized ones") {
+    import graft.operators.Joins
+    val dim = Tables.nation(spark, sf)
+    val fact = Tables.customer(spark, sf).withColumnRenamed("c_nationkey", "n_nationkey")
+    assert(Joins.estimatedBytes(dim) > 0)
+    val hinted = Joins.dimJoin(fact, dim, Seq("n_nationkey"))
+    assert(hinted.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "small dim should carry the broadcast hint")
+    val declined = Joins.dimJoin(fact, dim, Seq("n_nationkey"), maxBytes = 1)
+    assert(!declined.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "oversized dim must not be force-hinted")
+    assert(declined.exceptAll(hinted).count() == 0 && hinted.exceptAll(declined).count() == 0)
+  }
+
   test("streaming tumbling counts == batch tumbling counts") {
     val batch = Streams.tumblingCounts(Tables.events(spark, sf))
     // stream source must be a directory: stage the events file into one
