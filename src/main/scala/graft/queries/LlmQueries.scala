@@ -435,6 +435,33 @@ object LlmQueries {
          |GROUP BY lab""".stripMargin
     })
 
+  /** 90/5/5 split table shared by q84's Spark plan and its oracle SQL
+    * (declared before the query val — object vals initialize in order). */
+  private val SplitWeights = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+
+  /** Deterministic train/val/test splits by key-hash bucketing —
+    * membership is a pure function of doc_id (stable under reruns,
+    * repartitions, and corpus growth, unlike seeded sample()), and the
+    * md5-derived bucket reproduces bit-for-bit in the oracle. The SQL
+    * CASE is generated from the SAME weights table so the cut points
+    * cannot drift. */
+  val q84DatasetSplits = GQuery(
+    "q84_dataset_splits",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .withColumn("split", graft.operators.Sampling.splitAssign($"doc_id", SplitWeights))
+        .groupBy($"split", $"lang").agg(count(lit(1)).as("n_docs"))
+    },
+    Some {
+      val bucket = graft.operators.Sampling.hashBucketSql("doc_id", 10000)
+      val cuts = SplitWeights.scanLeft(0L) { case (a, (_, w)) => a + math.round(w * 10000) }.tail
+      val whens = SplitWeights.map(_._1).zip(cuts)
+        .map { case (name, hi) => s"WHEN $bucket < $hi THEN '$name'" }.mkString(" ")
+      s"""SELECT CASE $whens ELSE NULL END AS split, lang, count(*) AS n_docs
+         |FROM documents GROUP BY 1, 2""".stripMargin
+    })
+
   /** Salted join for hot-key skew: same semantics as q16's broadcast
     * lookup (the oracle is identical) but with the key split
     * saltFactor-ways — the shape used when the build side is too big
@@ -461,5 +488,5 @@ object LlmQueries {
     q40DedupExactStats, q41DedupExactKeep, q42MinhashLsh, q43Simhash,
     q44NgramJaccard, q45CosineTopk, q46Centroids, q47LshBuckets,
     q55BpeTokens, q56IvfAnn, q57SaltedJoin, q77EmbeddingNearDup, q80IvfKmeans,
-    q82NearDupMulti, q83NearDupGroups)
+    q82NearDupMulti, q83NearDupGroups, q84DatasetSplits)
 }

@@ -53,6 +53,27 @@ class PropertySpec extends SparkTestBase {
     assert(fps.distinct().count() == once.count())
   }
 
+  test("hash splits: exhaustive, weight-accurate, and stable under corpus growth") {
+    import graft.operators.Sampling
+    val w = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val docs = Tables.documents(spark, sf)
+    val assigned = docs.select($"doc_id", Sampling.splitAssign($"doc_id", w).as("split"))
+    assert(assigned.filter($"split".isNull).count() == 0, "weights sum to 1 -> no unassigned rows")
+    val n = docs.count().toDouble
+    val frac = assigned.groupBy($"split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1) / n).toMap
+    w.foreach { case (name, expected) =>
+      assert(math.abs(frac(name) - expected) < 0.05,
+        s"$name fraction ${frac(name)} vs $expected") }
+    // membership is a pure key function: the same ids get the same split
+    // when assigned within a larger corpus
+    val grown = docs.union(docs.withColumn("doc_id", $"doc_id" + 1000000))
+      .select($"doc_id", Sampling.splitAssign($"doc_id", w).as("split2"))
+    val changed = assigned.join(grown, "doc_id")
+      .filter($"split" =!= $"split2").count()
+    assert(changed == 0)
+  }
+
   test("star build is orphan-free for any sf dir (invariant)") {
     for (dir <- Seq("/root/testdata/sf0.001")) {
       val bad = Validator.report(StarSchema.build(spark, dir))
