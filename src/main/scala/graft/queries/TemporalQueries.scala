@@ -1,0 +1,115 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Temporal
+import org.apache.spark.sql.functions._
+
+/** Temporal operators as driver-verifiable queries: event-time session
+  * windows (Spark's session_window vs a gaps-and-islands oracle), the
+  * keyed backward as-of join (vs DuckDB's native ASOF JOIN), and the
+  * binned interval join (vs a plain BETWEEN join oracle).
+  */
+object TemporalQueries {
+
+  /** Session windows (30-min gap) per user over events — Spark's
+    * built-in `session_window` merges an event into the open session
+    * iff ts < last_ts + gap, i.e. a new session starts at diff >= gap;
+    * the islands oracle encodes exactly that boundary. Span math uses
+    * whole-second boundary counts (unix_timestamp floor ≡ date_diff
+    * 'second') so fractional-second timestamps cannot diverge. */
+  val q85SessionWindow = GQuery(
+    "q85_session_window",
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy($"user_id", session_window($"ts", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum($"n").as("n_events"),
+          sum(unix_timestamp($"w.end") - unix_timestamp($"w.start") - 1800L)
+            .as("total_span_s"))
+    },
+    Some("""WITH m AS (
+           |  SELECT user_id, ts,
+           |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+           |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+           |         THEN 1 ELSE 0 END AS new_s
+           |  FROM events),
+           |i AS (SELECT user_id, ts,
+           |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+           |  FROM m),
+           |sess AS (SELECT user_id, sid, count(*) AS n,
+           |  date_diff('second', min(ts), max(ts)) AS span
+           |  FROM i GROUP BY user_id, sid)
+           |SELECT user_id, count(*) AS n_sessions, CAST(sum(n) AS BIGINT) AS n_events,
+           |  CAST(sum(span) AS BIGINT) AS total_span_s
+           |FROM sess GROUP BY user_id""".stripMargin))
+
+  /** Keyed backward as-of join: every event picks its user's latest
+    * profile checkpoint at-or-before the event time (checkpoints =
+    * every 10th event, score derived deterministically). Compared
+    * against DuckDB's native ASOF LEFT JOIN; the aggregate pins match
+    * counts, carried scores AND the staleness (event − checkpoint)
+    * seconds, so an off-by-one in the sort order cannot hide. */
+  val q86AsofJoin = GQuery(
+    "q86_asof_join",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val checkpoints = ev.filter($"event_id" % 10 === 0)
+        .groupBy($"user_id", $"ts".as("uts"))
+        .agg(max(($"event_id" % 97).cast("double") / 97.0).as("score"))
+      val joined = Temporal.asofJoinBackward(
+        ev.select($"event_id", $"user_id", $"ts", $"event_type"),
+        checkpoints, "user_id", "ts", "uts", Seq("uts", "score"))
+      joined.groupBy($"event_type").agg(
+        count($"score").as("n_matched"),
+        count(when($"score".isNull, 1)).as("n_unmatched"),
+        round(sum($"score"), 2).as("score_sum"),
+        sum(unix_timestamp($"ts") - unix_timestamp($"uts")).as("lag_s"))
+    },
+    Some("""WITH cp AS (
+           |  SELECT user_id, ts AS uts, max(CAST(event_id % 97 AS DOUBLE) / 97.0) AS score
+           |  FROM events WHERE event_id % 10 = 0 GROUP BY user_id, ts),
+           |j AS (
+           |  SELECT e.event_type, e.ts, cp.uts, cp.score
+           |  FROM events e ASOF LEFT JOIN cp
+           |  ON e.user_id = cp.user_id AND e.ts >= cp.uts)
+           |SELECT event_type,
+           |  count(score) AS n_matched,
+           |  count(*) FILTER (WHERE score IS NULL) AS n_unmatched,
+           |  round(sum(score), 2) AS score_sum,
+           |  CAST(sum(date_diff('second', uts, ts)) AS BIGINT) AS lag_s
+           |FROM j GROUP BY event_type""".stripMargin))
+
+  /** Binned interval join: 50 overlapping 9-day windows (7-day stride
+    * off the corpus' first day) against event timestamps — the Spark
+    * side goes through the bin equi-join (never all-pairs), the oracle
+    * is the plain BETWEEN join. */
+  val q87RangeJoin = GQuery(
+    "q87_range_join",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val anchor = ev.agg(min(date_trunc("day", $"ts"))).collect()(0).getTimestamp(0)
+      val ranges = s.range(0, 50).select($"id".as("range_id"),
+        expr(s"timestamp'$anchor' + make_interval(0, 0, 0, CAST(id * 7 AS INT), 0, 0, 0)").as("w_start"))
+        .withColumn("w_end", expr("w_start + make_interval(0, 0, 0, 9, 0, 0, 0)"))
+      Temporal.rangeJoinBinned(ev.select($"event_id", $"ts", $"value"),
+          ranges, "ts", "w_start", "w_end", binSeconds = 86400L)
+        .groupBy($"range_id")
+        .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("total_value"))
+    },
+    Some("""WITH anchor AS (SELECT date_trunc('day', min(ts)) AS a FROM events),
+           |ranges AS (
+           |  SELECT r AS range_id,
+           |    a + to_days(CAST(r * 7 AS INT)) AS w_start,
+           |    a + to_days(CAST(r * 7 + 9 AS INT)) AS w_end
+           |  FROM range(0, 50) t(r), anchor)
+           |SELECT range_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+           |FROM events JOIN ranges ON ts >= w_start AND ts <= w_end
+           |GROUP BY range_id""".stripMargin))
+
+  val all: Seq[GQuery] = Seq(q85SessionWindow, q86AsofJoin, q87RangeJoin)
+}

@@ -1,0 +1,44 @@
+package graft
+
+import graft.operators.Temporal
+import org.apache.spark.sql.functions._
+
+class TemporalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("asof backward: latest at-or-before wins; no prior -> null; exact tie visible") {
+    val left = Seq(
+      (1L, ts("2021-01-01 10:00:00"), "a"),
+      (1L, ts("2021-01-01 12:00:00"), "b"),
+      (2L, ts("2021-01-01 11:00:00"), "c"),
+      (3L, ts("2021-01-01 08:00:00"), "d"), // no checkpoint at all for key 3
+      (2L, ts("2021-01-01 09:00:00"), "e")  // before key 2's first checkpoint
+    ).toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, ts("2021-01-01 09:00:00"), 0.5),
+      (1L, ts("2021-01-01 12:00:00"), 0.9), // exact tie with left 'b'
+      (2L, ts("2021-01-01 09:30:00"), 0.2)
+    ).toDF("k", "rt", "score")
+    val got = Temporal.asofJoinBackward(left, right, "k", "t", "rt", Seq("score"))
+      .collect().map(r => r.getString(2) -> (if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+    assert(got == Map("a" -> 0.5, "b" -> 0.9, "c" -> 0.2, "d" -> null, "e" -> null))
+  }
+
+  test("binned range join == naive between join, incl. overlapping ranges") {
+    val ev = Tables.events(spark, sf).select($"event_id", $"ts", $"value").limit(2000)
+    val anchor = ev.agg(min(date_trunc("day", $"ts"))).collect()(0).getTimestamp(0)
+    val ranges = spark.range(0, 10).select($"id".as("range_id"),
+      expr(s"timestamp'$anchor' + make_interval(0, 0, 0, CAST(id * 2 AS INT), 0, 0, 0)").as("s"))
+      .withColumn("e", expr("s + make_interval(0, 0, 0, 3, 0, 0, 0)"))
+    val binned = Temporal.rangeJoinBinned(ev, ranges, "ts", "s", "e", 86400L)
+      .select($"event_id", $"range_id")
+    val naive = ev.crossJoin(ranges).filter($"ts" >= $"s" && $"ts" <= $"e")
+      .select($"event_id", $"range_id")
+    assert(binned.exceptAll(naive).count() == 0 && naive.exceptAll(binned).count() == 0)
+    assert(naive.count() > 0, "fixture must produce matches")
+    // overlap sanity: some events match more than one range (stride 2 < len 3)
+    assert(binned.groupBy($"event_id").count().filter($"count" > 1).count() > 0)
+  }
+}
