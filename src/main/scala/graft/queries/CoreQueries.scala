@@ -545,6 +545,69 @@ object CoreQueries {
            |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
            |WHERE rank_in_user <= 5""".stripMargin))
 
+  /** PIVOT: status columns out of status rows (explicit value list so
+    * the plan needs no extra distinct-scan pass; Catalyst compiles it
+    * to one pass of conditional aggregates — exactly the oracle's
+    * FILTER form, which is also why the two engines cannot diverge). */
+  val q88Pivot = GQuery(
+    "q88_pivot",
+    (s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .withColumn("anio", year($"o_orderdate"))
+        .groupBy($"anio")
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(round(sum($"o_totalprice"), 2))
+    },
+    Some("""SELECT CAST(year(o_orderdate) AS INT) AS anio,
+           |  round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2) AS "O",
+           |  round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2) AS "F",
+           |  round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'P'), 2) AS "P"
+           |FROM orders GROUP BY anio""".stripMargin))
+
+  /** CUBE: all four grouping-set grains in one pass (q59's ROLLUP
+    * sibling — completes the grouping-sets surface). */
+  val q89Cube = GQuery(
+    "q89_cube",
+    (s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .withColumn("anio", year($"o_orderdate"))
+        .cube($"anio", $"o_orderstatus")
+        .agg(round(sum($"o_totalprice"), 2).as("revenue"), count(lit(1)).as("n_orders"),
+          grouping($"anio").as("g_anio"), grouping($"o_orderstatus").as("g_status"))
+    },
+    Some("""SELECT CAST(year(o_orderdate) AS INT) AS anio, o_orderstatus,
+           |  round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders,
+           |  CAST(grouping(anio) AS TINYINT) AS g_anio,
+           |  CAST(grouping(o_orderstatus) AS TINYINT) AS g_status
+           |FROM orders GROUP BY CUBE (anio, o_orderstatus)""".stripMargin))
+
+  /** Ranking-window family (ntile/percent_rank/cume_dist/dense_rank) —
+    * the order is made TOTAL with the unique orderkey tiebreak, since
+    * ntile assigns by row position and a tie would be engine-arbitrary. */
+  val q90RankingWindows = GQuery(
+    "q90_ranking_windows",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_orderstatus")
+        .orderBy($"o_totalprice".asc, $"o_orderkey".asc)
+      Tables.orders(s, d)
+        .filter($"o_orderkey" % 100 === 0)
+        .select($"o_orderstatus", $"o_orderkey",
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"),
+          dense_rank().over(w).as("drank"))
+    },
+    Some("""SELECT o_orderstatus, o_orderkey,
+           |  ntile(4) OVER w AS quartile,
+           |  round(percent_rank() OVER w, 6) AS pct_rank,
+           |  round(cume_dist() OVER w, 6) AS cume,
+           |  CAST(dense_rank() OVER w AS BIGINT) AS drank
+           |FROM orders WHERE o_orderkey % 100 = 0
+           |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)""".stripMargin))
+
   val all: Seq[GQuery] = Seq(
     q01PricingSummary, q02FilterProject, q03ConditionalAgg, q04GroupCount,
     q05GroupStats, q06TopkGroups, q07PctOfTotal, q08ValueCounts,
@@ -552,5 +615,6 @@ object CoreQueries {
     q13RowCounts, q14SemiJoin, q15AntiJoin, q16BroadcastLookup,
     q17RegionalRevenue, q18DateDim, q19LatestPerKey, q20FirstSeen,
     q21ContentDedup, q22Top50, q58Retention, q59Rollup, q60ApproxSketches,
-    q61Percentiles, q62SqlSurface, q63WindowFrames)
+    q61Percentiles, q62SqlSurface, q63WindowFrames, q88Pivot, q89Cube,
+    q90RankingWindows)
 }
