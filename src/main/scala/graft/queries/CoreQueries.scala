@@ -608,6 +608,29 @@ object CoreQueries {
            |FROM orders WHERE o_orderkey % 100 = 0
            |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)""".stripMargin))
 
+  /** UNPIVOT (melt): q88's inverse — wide per-year status columns back
+    * to (anio, status, revenue) rows. `unpivot` drops null cells by
+    * contract (Spark and DuckDB agree), so years lacking a status
+    * simply emit no row on either side. */
+  val q91Unpivot = GQuery(
+    "q91_unpivot",
+    (s, d) => {
+      import s.implicits._
+      val wide = Tables.orders(s, d)
+        .withColumn("anio", year($"o_orderdate"))
+        .groupBy($"anio")
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(round(sum($"o_totalprice"), 2))
+      wide.unpivot(Array($"anio"), Array($"O", $"F", $"P"), "status", "revenue")
+    },
+    Some("""WITH wide AS (
+           |  SELECT CAST(year(o_orderdate) AS INT) AS anio,
+           |    round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2) AS "O",
+           |    round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2) AS "F",
+           |    round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'P'), 2) AS "P"
+           |  FROM orders GROUP BY anio)
+           |UNPIVOT wide ON "O", "F", "P" INTO NAME status VALUE revenue""".stripMargin))
+
   val all: Seq[GQuery] = Seq(
     q01PricingSummary, q02FilterProject, q03ConditionalAgg, q04GroupCount,
     q05GroupStats, q06TopkGroups, q07PctOfTotal, q08ValueCounts,
@@ -616,5 +639,5 @@ object CoreQueries {
     q17RegionalRevenue, q18DateDim, q19LatestPerKey, q20FirstSeen,
     q21ContentDedup, q22Top50, q58Retention, q59Rollup, q60ApproxSketches,
     q61Percentiles, q62SqlSurface, q63WindowFrames, q88Pivot, q89Cube,
-    q90RankingWindows)
+    q90RankingWindows, q91Unpivot)
 }
