@@ -9,6 +9,17 @@ import graft.queries.Registry
   * attributed to the first measured query.
   */
 object Bench {
+  /** One noop-format-write timed run of a plan: evaluates every output
+    * column (a count() lets Catalyst prune aggregate arithmetic away),
+    * discards the rows, propagates whatever the plan throws. Shared by
+    * the dev timing tools (TimeQ, ProfileText) so the methodology
+    * cannot drift. */
+  def timeNoop(df: org.apache.spark.sql.DataFrame): Double = {
+    val t0 = System.nanoTime()
+    df.write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local()
@@ -17,22 +28,23 @@ object Bench {
     // Two reps per query, report the min: steady-state timing. Rep 1
     // absorbs codegen compilation, shuffle-file creation and any
     // transient host load; the min is the reproducible cost of the
-    // plan itself (the thing that scales to the cluster).
+    // plan itself (the thing that scales to the cluster). A FAILING
+    // query must not masquerade as a fast one: it reports -1 and is
+    // named in "errors" instead of contributing a near-zero time.
     val results = headline.map { q =>
-      val times = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        // noop-format write: evaluates every output column (a count()
-        // lets Catalyst prune aggregate arithmetic away), discards rows.
-        try { q.run(spark, sfDir).write.format("noop").mode("overwrite").save() }
-        catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).flatMap { _ =>
+        try Some(timeNoop(q.run(spark, sfDir)))
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}"); None }
       }
-      q.name -> times.min
+      q.name -> (if (times.nonEmpty) times.min else -1.0)
     }
+    val (ok, failed) = results.partition(_._2 >= 0)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = failed.map(f => "\"" + f._1 + "\"").mkString("[", ",", "]")
+    val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -93,10 +93,15 @@ object Sinks {
     * file per append; at 100 TB the file-count (NameNode/listing
     * pressure, per-file open cost, tiny row groups defeating column
     * statistics) becomes its own bottleneck. Rewrites the directory as
-    * ceil(bytes/targetBytes) files via a staging dir + rename swap
-    * (atomic against READERS on a posix/HDFS rename; like
-    * [[parquetAppendNew]], not a concurrent-WRITER protocol — that's
-    * Delta's job). Returns the new file count. */
+    * ceil(bytes/targetBytes) files via a staging dir + a two-rename
+    * swap. Each rename is atomic on posix/HDFS but the PAIR is not: a
+    * reader in the gap sees a missing directory, and like
+    * [[parquetAppendNew]] this is not a concurrent-WRITER protocol —
+    * that's Delta's job. Every rename's boolean is CHECKED (Hadoop
+    * FileSystem signals most failures by returning false, not
+    * throwing): on a failed forward swap the original is restored and
+    * the retired copy is never deleted, so no path leads to data loss.
+    * Returns the new file count. */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
       targetBytes: Long = 128L << 20): Int = {
     val hPath = new org.apache.hadoop.fs.Path(path)
@@ -107,10 +112,17 @@ object Sinks {
     val retired = new org.apache.hadoop.fs.Path(path + "__compact_retired")
     spark.read.parquet(path).repartition(parts)
       .write.mode("overwrite").parquet(staged.toString)
-    fs.delete(retired, true)
-    fs.rename(hPath, retired)
-    fs.rename(staged, hPath)
-    fs.delete(retired, true)
+    if (fs.exists(retired) && !fs.delete(retired, true))
+      throw new java.io.IOException(s"compact: cannot clear stale $retired")
+    if (!fs.rename(hPath, retired))
+      throw new java.io.IOException(s"compact: cannot retire $hPath (data untouched)")
+    if (!fs.rename(staged, hPath)) {
+      val restored = fs.rename(retired, hPath)
+      throw new java.io.IOException(
+        s"compact: swap-in of $staged failed; original " +
+          (if (restored) s"restored at $hPath" else s"PRESERVED at $retired"))
+    }
+    fs.delete(retired, true) // best-effort: leftovers are dead data, not loss
     fs.listStatus(hPath).count(_.getPath.getName.endsWith(".parquet"))
   }
 
@@ -149,6 +161,12 @@ object Sinks {
     import org.apache.spark.sql.functions.{min => fmin, max => fmax}
     val aggs = zCols.flatMap(c => Seq(fmin(col(c).cast("double")), fmax(col(c).cast("double"))))
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    // empty input or an all-null clustered column has no min/max: there
+    // is nothing to cluster by — write the data as-is rather than NPE
+    if (zCols.indices.exists(i => row.isNullAt(2 * i) || row.isNullAt(2 * i + 1))) {
+      df.repartition(numFiles).write.mode("overwrite").parquet(path)
+      return
+    }
     val mins = zCols.indices.map(i => row.getDouble(2 * i))
     val maxs = zCols.indices.map(i => row.getDouble(2 * i + 1))
     df.withColumn("__z", zValue(zCols.map(col), mins, maxs, bits))

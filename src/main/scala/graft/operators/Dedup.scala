@@ -146,7 +146,21 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
-    labels
+    // a silent non-converged result would report one component as
+    // several groups — refuse instead (raise maxIters for deep chains)
+    if (changed > 0) {
+      labels.unpersist()
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds " +
+          s"($changed labels still changing) — component diameter exceeds maxIters")
+    }
+    // materialize lineage-free, then release the loop's cache: the
+    // returned frame must not pin a persisted RDD forever (the blocks
+    // behind localCheckpoint are freed by the ContextCleaner once the
+    // result is unreferenced)
+    val out = labels.localCheckpoint(true)
+    labels.unpersist()
+    out
   }
 
   /** SimHash (32-bit): majority vote per bit over token hashes —

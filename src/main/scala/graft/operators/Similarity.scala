@@ -239,11 +239,13 @@ object Similarity {
     val probes = queries
       .join(nearestCells(queries, centroids, nprobe), "vec_id")
       .select(col("vec_id").as("qid"), col("cell_id"), asDouble(col("embedding")).as("qv"))
-    // broadcast the probe side: |queries|×nprobe rows vs the corpus —
-    // without the hint the static plan sort-merge-joins (shuffling the
-    // ENTIRE indexed corpus); AQE usually rescues it at runtime, but at
-    // 100 TB the static plan should already be the broadcast one
-    val sims = indexed.join(broadcast(probes), "cell_id")
+    // broadcast the probe side when its size estimate allows:
+    // |queries|×nprobe rows vs the corpus — without the hint the static
+    // plan sort-merge-joins (shuffling the ENTIRE indexed corpus), but a
+    // HARD hint would force-OOM a corpus-sized query set (kNN-graph
+    // builds); Joins.maybeBroadcast gives the broadcast plan exactly
+    // when it is safe and leaves big probe sets to the planner/AQE
+    val sims = indexed.join(Joins.maybeBroadcast(probes), "cell_id")
       .filter(col("qid") =!= col("cid"))
       .withColumn("sim", cosineNative(col("qv"), col("cv")))
     val w = org.apache.spark.sql.expressions.Window

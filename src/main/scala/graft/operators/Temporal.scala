@@ -30,22 +30,30 @@ object Temporal {
   def asofJoinBackward(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, carryCols: Seq[String]): DataFrame = {
     val lCols = left.columns.toSeq
+    // the carried attributes ride as ONE struct: last(ignoreNulls) must
+    // skip only MISSING right rows, never a matched row whose attribute
+    // is legitimately NULL — per-column carries would both resurrect a
+    // staler value for that column and stitch one left row from
+    // DIFFERENT right rows (row tearing)
+    val carryType = org.apache.spark.sql.types.StructType(
+      carryCols.map(c => org.apache.spark.sql.types.StructField(c, right.schema(c).dataType)))
     val l2 = left.select(
       Seq(col(key).as("__k"), col(leftTs).cast("timestamp").as("__ts"), lit(1).as("__side")) ++
-        lCols.map(c => col(c).as(s"__l_$c")) ++
-        carryCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+        lCols.map(c => col(c).as(s"__l_$c")) :+
+        lit(null).cast(carryType).as("__r"): _*)
     val r2 = right.select(
       Seq(col(key).as("__k"), col(rightTs).cast("timestamp").as("__ts"), lit(0).as("__side")) ++
-        lCols.map(c => lit(null).cast(left.schema(c).dataType).as(s"__l_$c")) ++
-        carryCols.map(col): _*)
+        lCols.map(c => lit(null).cast(left.schema(c).dataType).as(s"__l_$c")) :+
+        struct(carryCols.map(col): _*).as("__r"): _*)
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__ts").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = l2.unionByName(r2)
-      .select(Seq(col("__side")) ++ lCols.map(c => col(s"__l_$c")) ++
-        carryCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+      .select(Seq(col("__side")) ++ lCols.map(c => col(s"__l_$c")) :+
+        last(col("__r"), ignoreNulls = true).over(w).as("__r"): _*)
     carried.filter(col("__side") === 1)
-      .select(lCols.map(c => col(s"__l_$c").as(c)) ++ carryCols.map(col): _*)
+      .select(lCols.map(c => col(s"__l_$c").as(c)) ++
+        carryCols.map(c => col("__r").getField(c).as(c)): _*)
   }
 
   /** Interval (range) join: fact rows whose `tsCol` falls inside a

@@ -334,6 +334,7 @@ object ParserQueries {
         .select(to_json(struct($"event_id", $"event_type", $"value")).as("j"))
         .collect().map(_.getString(0))
       val f = java.nio.file.Files.createTempFile("graft_paged_q81", ".jsonl")
+      f.toFile.deleteOnExit() // dev loops re-run this hundreds of times
       java.nio.file.Files.write(f, rows.mkString("\n").getBytes("UTF-8"))
       s.read.format("graft-paged")
         .option("path", f.toString).option("pageSize", "64")

@@ -16,13 +16,9 @@ object ProfileText {
     import s.implicits._
     val docs = Tables.documents(s, sfDir).cache()
     docs.count()
-    def time(name: String)(df: org.apache.spark.sql.DataFrame): Unit = {
-      for (r <- 1 to 2) {
-        val t0 = System.nanoTime()
-        df.write.format("noop").mode("overwrite").save()
-        println(f"$name rep$r: ${(System.nanoTime()-t0)/1e9}%.3f s")
-      }
-    }
+    def time(name: String)(df: org.apache.spark.sql.DataFrame): Unit =
+      for (r <- 1 to 2)
+        println(f"$name rep$r: ${Bench.timeNoop(df)}%.3f s")
     time("tokenCount      ")(docs.select(TextAnalysis.tokenCount($"text").as("n")))
     time("split-size only ")(docs.select(size(split($"text", "\\s+")).as("n")))
     time("fingerprint     ")(docs.select(TextAnalysis.fingerprint($"text").as("f")))

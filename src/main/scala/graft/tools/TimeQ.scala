@@ -8,11 +8,8 @@ object TimeQ {
     val names = args.drop(1).toSet
     val spark = Sessions.local()
     Registry.allQueries.filter(q => names(q.name)).foreach { q =>
-      for (r <- 1 to 2) {
-        val t0 = System.nanoTime()
-        q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
-        println(f"${q.name} rep$r: ${(System.nanoTime()-t0)/1e9}%.3f s")
-      }
+      for (r <- 1 to 2)
+        println(f"${q.name} rep$r: ${Bench.timeNoop(q.run(spark, sfDir))}%.3f s")
     }
     spark.stop()
   }

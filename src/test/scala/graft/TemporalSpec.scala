@@ -26,6 +26,20 @@ class TemporalSpec extends SparkTestBase {
     assert(got == Map("a" -> 0.5, "b" -> 0.9, "c" -> 0.2, "d" -> null, "e" -> null))
   }
 
+  test("asof backward: a matched row's NULL attribute is carried as NULL, never a staler value; no row tearing") {
+    val left = Seq((1L, ts("2021-01-01 11:00:00"), "x")).toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, ts("2021-01-01 09:00:00"), Option(0.5), Option("old")),
+      (1L, ts("2021-01-01 10:00:00"), Option.empty[Double], Option("new"))
+    ).toDF("k", "rt", "score", "label")
+    val r = Temporal.asofJoinBackward(left, right, "k", "t", "rt", Seq("score", "label"))
+      .collect()(0)
+    // the 10:00 row is the as-of match: its NULL score must NOT be
+    // backfilled from 09:00, and label must come from the SAME row
+    assert(r.isNullAt(3), s"score leaked from a staler row: $r")
+    assert(r.getString(4) == "new", s"row tearing: $r")
+  }
+
   test("binned range join == naive between join, incl. overlapping ranges") {
     val ev = Tables.events(spark, sf).select($"event_id", $"ts", $"value").limit(2000)
     val anchor = ev.agg(min(date_trunc("day", $"ts"))).collect()(0).getTimestamp(0)
