@@ -111,5 +111,30 @@ object TemporalQueries {
            |FROM events JOIN ranges ON ts >= w_start AND ts <= w_end
            |GROUP BY range_id""".stripMargin))
 
-  val all: Seq[GQuery] = Seq(q85SessionWindow, q86AsofJoin, q87RangeJoin)
+  /** Batch twin of the stream-stream attribution join
+    * (Streams.attributionJoin runs unchanged on watermarked streams —
+    * equivalence in StarStreamingSpec): even events trigger, odd events
+    * follow within (t, t+1h], per user. */
+  val q92AttributionJoin = GQuery(
+    "q92_attribution_join",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val joined = graft.streaming.Streams.attributionJoin(
+        ev.filter($"event_id" % 2 === 0), ev.filter($"event_id" % 2 === 1))
+      joined.groupBy(($"user_id" % 10).as("bucket"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct($"t_id").as("n_triggers_matched"),
+          round(sum($"f_value"), 2).as("follow_value"))
+    },
+    Some("""SELECT t.user_id % 10 AS bucket, count(*) AS n_pairs,
+           |  count(DISTINCT t.event_id) AS n_triggers_matched,
+           |  round(sum(f.value), 2) AS follow_value
+           |FROM events t JOIN events f
+           |  ON t.user_id = f.user_id AND t.event_id % 2 = 0 AND f.event_id % 2 = 1
+           |  AND f.ts > t.ts AND f.ts <= t.ts + INTERVAL 1 HOUR
+           |GROUP BY bucket""".stripMargin))
+
+  val all: Seq[GQuery] = Seq(q85SessionWindow, q86AsofJoin, q87RangeJoin,
+    q92AttributionJoin)
 }

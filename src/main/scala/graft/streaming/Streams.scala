@@ -101,6 +101,28 @@ object Streams {
       .format("memory").queryName(queryName)
       .start()
 
+  /** Stream-stream event-time join (click→conversion attribution):
+    * per user, pair each trigger event with the follow events landing
+    * inside (trigger, trigger + horizon]. On streams BOTH sides are
+    * watermarked and the range condition bounds the join state (Spark
+    * expires buffered rows once the watermark passes the horizon); the
+    * same code on batch frames is a plain range self-join, which is
+    * the equivalence oracle. Inner join: matches emit as found, no
+    * watermark wait. */
+  def attributionJoin(triggers: DataFrame, follows: DataFrame,
+      horizon: String = "1 hour", wm: String = "2 hours"): DataFrame = {
+    val t0 = triggers.select(col("user_id").as("t_user"), col("ts").as("t_ts"),
+      col("event_id").as("t_id"))
+    val f0 = follows.select(col("user_id").as("f_user"), col("ts").as("f_ts"),
+      col("event_id").as("f_id"), col("value").as("f_value"))
+    val t = if (t0.isStreaming) t0.withWatermark("t_ts", wm) else t0
+    val f = if (f0.isStreaming) f0.withWatermark("f_ts", wm) else f0
+    t.join(f, expr(
+        s"t_user = f_user AND f_ts > t_ts AND f_ts <= t_ts + INTERVAL $horizon"))
+      .select(col("t_user").as("user_id"), col("t_id"), col("f_id"),
+        col("t_ts"), col("f_ts"), col("f_value"))
+  }
+
   /** Per-user running session state via mapGroupsWithState: counts
     * events and carries the last-seen timestamp per user. */
   case class UserEvent(user_id: Long, event_id: Long, tsMicros: Long)

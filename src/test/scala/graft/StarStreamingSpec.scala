@@ -144,6 +144,27 @@ class StarStreamingSpec extends SparkTestBase {
     assert(batch.count() > 0)
   }
 
+  test("stream-stream attribution join == batch range self-join") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_attr")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val sTrig = Streams.readEventStream(spark, dir.toString).filter($"event_id" % 2 === 0)
+    val sFoll = Streams.readEventStream(spark, dir.toString).filter($"event_id" % 2 === 1)
+    val q = Streams.attributionJoin(sTrig, sFoll)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("attr_stream_test").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("attr_stream_test").select($"t_id", $"f_id")
+    val ev = Tables.events(spark, sf)
+    val batch = Streams.attributionJoin(
+      ev.filter($"event_id" % 2 === 0), ev.filter($"event_id" % 2 === 1))
+      .select($"t_id", $"f_id")
+    assert(streamed.exceptAll(batch).count() == 0 && batch.exceptAll(streamed).count() == 0)
+    assert(batch.count() > 0, "fixture must produce attribution pairs")
+  }
+
   test("sessionize mapGroupsWithState: per-user counts match groupBy") {
     implicit val s = spark
     val events = Tables.events(spark, sf)
