@@ -40,6 +40,15 @@ object Volumetry {
     (stats, top10)
   }
 
+  /** Per-column null profile in ONE aggregation pass (a profiler that
+    * scans once per table, not once per column), unpivoted to
+    * (column_name, n_nulls) rows. */
+  def nullProfile(df: DataFrame): DataFrame = {
+    val aggs = df.columns.map(c => count(when(col(c).isNull, lit(1))).as(c))
+    df.agg(aggs.head, aggs.tail: _*)
+      .unpivot(Array.empty, df.columns.map(col), "column_name", "n_nulls")
+  }
+
   /** The full report as a JSON string (driver-side assembly of small
     * aggregated results only). */
   def reportJson(spark: SparkSession, sfDir: String): String = {

@@ -271,20 +271,38 @@ object ParserQueries {
     * event_id%10==0 carrying sentinel event_type/props and a null value
     * (it must WIN the dedup, proving sentinel→null→default-fill), and a
     * null-pk row per event_id%17==0 (dropped by the pk filter). */
+  /** Deterministically dirtied events corpus shared by q79/q93: a
+    * NEWER sentinel-laden duplicate per event_id%10==0 and a null-pk
+    * row per event_id%17==0 (mirrored verbatim in their oracles). */
+  private def dirtyEvents(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val dirtyWin = ev.filter($"event_id" % 10 === 0).select(
+      $"event_id", ($"ts" + expr("INTERVAL 1 HOUR")).as("ts"), $"user_id",
+      lit("NaN").as("event_type"), lit(null).cast("double").as("value"),
+      lit(" ").as("props"))
+    val orphan = ev.filter($"event_id" % 17 === 0).select(
+      lit(null).cast("long").as("event_id"), $"ts", $"user_id",
+      $"event_type", $"value", $"props")
+    ev.unionByName(dirtyWin).unionByName(orphan)
+  }
+
+  /** The dirty corpus as a DuckDB CTE body. */
+  private val DirtyEventsSql: String =
+    """SELECT event_id, ts, user_id, event_type, value, props FROM events
+      |  UNION ALL
+      |  SELECT event_id, ts + INTERVAL 1 HOUR, user_id, 'NaN', NULL, ' '
+      |  FROM events WHERE event_id % 10 = 0
+      |  UNION ALL
+      |  SELECT NULL, ts, user_id, event_type, value, props
+      |  FROM events WHERE event_id % 17 = 0""".stripMargin
+
   val q79SilverPipeline = GQuery(
     "q79_silver_pipeline",
     (s, d) => {
       import s.implicits._
-      val ev = Tables.events(s, d)
-      val dirtyWin = ev.filter($"event_id" % 10 === 0).select(
-        $"event_id", ($"ts" + expr("INTERVAL 1 HOUR")).as("ts"), $"user_id",
-        lit("NaN").as("event_type"), lit(null).cast("double").as("value"),
-        lit(" ").as("props"))
-      val orphan = ev.filter($"event_id" % 17 === 0).select(
-        lit(null).cast("long").as("event_id"), $"ts", $"user_id",
-        $"event_type", $"value", $"props")
-      val cleaned = graft.clean.Cleaner.cleanEvents(
-        ev.unionByName(dirtyWin).unionByName(orphan))
+      val cleaned = graft.clean.Cleaner.cleanEvents(dirtyEvents(s, d))
       cleaned.agg(
         count(lit(1)).as("n_rows"),
         count(when($"event_type" === "unknown", 1)).as("n_unknown"),
@@ -294,13 +312,7 @@ object ParserQueries {
     Some {
       val sent = Normalize.NullSentinels.map(x => s"'$x'").mkString(", ")
       s"""WITH dirty AS (
-         |  SELECT event_id, ts, user_id, event_type, value, props FROM events
-         |  UNION ALL
-         |  SELECT event_id, ts + INTERVAL 1 HOUR, user_id, 'NaN', NULL, ' '
-         |  FROM events WHERE event_id % 10 = 0
-         |  UNION ALL
-         |  SELECT NULL, ts, user_id, event_type, value, props
-         |  FROM events WHERE event_id % 17 = 0),
+         |  $DirtyEventsSql),
          |pk AS (SELECT * FROM dirty WHERE event_id IS NOT NULL),
          |norm AS (SELECT event_id, ts, value,
          |    CASE WHEN lower(trim(event_type)) IN ($sent) THEN NULL ELSE event_type END AS event_type,
@@ -349,7 +361,22 @@ object ParserQueries {
            |FROM (SELECT * FROM events ORDER BY event_id LIMIT 500)
            |GROUP BY event_type""".stripMargin))
 
+  /** S11-style per-column null profiling (one aggregation pass per
+    * table, unpivoted) over the dirty corpus so the counts are
+    * provably nonzero where dirt was planted and zero elsewhere. */
+  val q93NullProfile = GQuery(
+    "q93_null_profile",
+    (s, d) => graft.io.Volumetry.nullProfile(dirtyEvents(s, d)),
+    Some {
+      val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+      val rows = cols.map(c =>
+        s"SELECT '$c' AS column_name, count(*) FILTER (WHERE $c IS NULL) AS n_nulls FROM dirty")
+      s"""WITH dirty AS (
+         |  $DirtyEventsSql)
+         |${rows.mkString("\n|UNION ALL ")}""".stripMargin
+    })
+
   val all: Seq[GQuery] = Seq(
     q69NormalizePrices, q70NormalizeOutcomes, q71ParseTags, q72TagObjects, q73SeriesIds,
-    q78TimestampLenient, q79SilverPipeline, q81PagedSource)
+    q78TimestampLenient, q79SilverPipeline, q81PagedSource, q93NullProfile)
 }
