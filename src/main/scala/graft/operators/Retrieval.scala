@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.functions.TextAnalysis
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Lexical retrieval over a document corpus: TF-IDF and BM25 scoring
+  * with top-k ranking — the classic "find training examples matching a
+  * probe query" primitive of a data-curation pipeline (the reference
+  * ranks markets by keyword relevance in its filter stage,
+  * transformer_data.py:343-382; this generalizes that to scored
+  * retrieval instead of boolean keep/drop).
+  *
+  * Scale shape: term statistics are one explode + two aggregations —
+  * both shuffle (doc_id, word) pairs, never document text. The query
+  * term set is a literal IN-list pushed into the tf aggregation, so the
+  * scored frame is |terms| × |matching docs|, tiny next to the corpus.
+  * Global N and avgdl are single-row aggregates joined via broadcast
+  * (no driver collect in the plan). Everything downstream of the
+  * explode is integer/double column math — whole-stage codegen'd.
+  */
+object Retrieval {
+
+  /** (id, word, tf) term frequencies, whitespace tokenization (same
+    * tokenizer the dedup/quality stack uses, proven ≡ the DuckDB
+    * oracle's string_split_regex in q23). */
+  def termFrequencies(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs
+      .select(id.as("doc_id"), explode(TextAnalysis.tokens(text)).as("word"))
+      .groupBy("doc_id", "word")
+      .agg(count(lit(1)).as("tf"))
+
+  /** (word, df) document frequencies from a term-frequency frame. */
+  def docFrequencies(tf: DataFrame): DataFrame =
+    tf.groupBy("word").agg(count(lit(1)).as("df"))
+
+  /** Smoothed inverse document frequency: ln((N+1)/(df+1)) + 1 — never
+    * negative, defined for unseen terms. */
+  def idfSmoothed(df: Column, n: Column): Column =
+    log((n.cast("double") + 1.0) / (df.cast("double") + 1.0)) + 1.0
+
+  /** BM25 idf: ln(1 + (N - df + 0.5)/(df + 0.5)). */
+  def idfBm25(df: Column, n: Column): Column =
+    log(lit(1.0) + (n.cast("double") - df.cast("double") + 0.5) /
+      (df.cast("double") + 0.5))
+
+  /** Top-k documents by summed TF-IDF over `terms`. Output:
+    * (doc_id, hits, score) — `hits` = how many query terms matched.
+    * Scores are rounded to 4 dp and the rounded value drives the
+    * ranking, so downstream consumers (and the cross-engine oracle)
+    * see a total, reproducible order (ties → doc_id). */
+  def tfidfTopK(docs: DataFrame, id: Column, text: Column,
+      terms: Seq[String], k: Int): DataFrame = {
+    val tf = termFrequencies(docs, id, text)
+    val df = docFrequencies(tf)
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.where(col("word").isin(terms: _*))
+      .join(broadcast(df), "word")
+      .crossJoin(broadcast(n))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("hits"),
+        round(sum(col("tf").cast("double") *
+          idfSmoothed(col("df"), col("n_docs"))), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** Top-k documents by BM25(k1, b) over `terms`. Output:
+    * (doc_id, hits, score); same rounded-rank determinism contract as
+    * [[tfidfTopK]]. Document length is the whitespace token count;
+    * avgdl is the corpus mean length (broadcast single row). */
+  def bm25TopK(docs: DataFrame, id: Column, text: Column,
+      terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tf = termFrequencies(docs, id, text)
+    val df = docFrequencies(tf)
+    val lens = docs.select(id.as("doc_id"),
+      TextAnalysis.tokenCount(text).cast("double").as("dl"))
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      avg(TextAnalysis.tokenCount(text).cast("double")).as("avgdl"))
+    val tfd = col("tf").cast("double")
+    val score = idfBm25(col("df"), col("n_docs")) *
+      (tfd * (k1 + 1.0)) /
+      (tfd + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl")))
+    tf.where(col("word").isin(terms: _*))
+      .join(broadcast(df), "word")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("hits"), round(sum(score), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+}

@@ -20,5 +20,6 @@ object Registry {
   /** All registered queries, assembled by module. */
   def allQueries: Seq[GQuery] =
     CoreQueries.all ++ TextQueries.all ++ LlmQueries.all ++ StarQueries.all ++
-      ParserQueries.all ++ EsportsQueries.all ++ TemporalQueries.all
+      ParserQueries.all ++ EsportsQueries.all ++ TemporalQueries.all ++
+      RetrievalQueries.all
 }

@@ -1,0 +1,79 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Retrieval
+import org.apache.spark.sql.functions._
+
+/** Lexical retrieval coverage (training-data curation: score-and-rank
+  * documents against probe terms instead of boolean keyword keep/drop —
+  * the scored generalization of the reference's filter stage,
+  * transformer_data.py:343-382). Both queries share one term table so
+  * the Spark plan and the DuckDB oracle cannot drift.
+  */
+object RetrievalQueries {
+
+  /** Probe terms: present in the synthetic corpus with spread
+    * frequencies (common / mid / rare) so idf actually discriminates. */
+  private val Terms = Seq("spark", "join", "window")
+  private val TermsSqlList = Terms.map(t => s"'$t'").mkString("(", ", ", ")")
+  private val K = 15
+
+  /** Shared oracle CTEs: whitespace term frequencies (tokenizer ≡ q23's
+    * proven twin) and document frequencies derived from them. */
+  private val TfDfCtes =
+    """WITH tf AS (
+      |  SELECT doc_id, word, count(*) AS tf FROM (
+      |    SELECT doc_id,
+      |           unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS word
+      |    FROM documents)
+      |  GROUP BY doc_id, word),
+      |df AS (SELECT word, count(*) AS df FROM tf GROUP BY word)""".stripMargin
+
+  /** TF-IDF top-k retrieval: smoothed idf = ln((N+1)/(df+1)) + 1,
+    * score = Σ tf·idf over the probe terms, rounded-4dp score drives
+    * the rank (ties → doc_id) so the order is total and reproducible. */
+  val q94TfidfTopK = GQuery(
+    "q94_tfidf_topk",
+    (s, d) => Retrieval.tfidfTopK(
+      Tables.documents(s, d), col("doc_id"), col("text"), Terms, K),
+    Some(s"""$TfDfCtes,
+            |n AS (SELECT count(*) AS n_docs FROM documents)
+            |SELECT doc_id, count(*) AS hits,
+            |       round(sum(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0)), 4) AS score
+            |FROM tf JOIN df USING (word) CROSS JOIN n
+            |WHERE word IN $TermsSqlList
+            |GROUP BY doc_id
+            |ORDER BY score DESC, doc_id LIMIT $K""".stripMargin),
+    benchmark = false)
+
+  /** BM25(k1=1.2, b=0.75) top-k: idf = ln(1 + (N-df+0.5)/(df+0.5)),
+    * length normalization against the corpus mean token count. Constant
+    * arithmetic is written op-for-op the same on both sides (IEEE adds
+    * fold identically), so only the 4 dp rounding absorbs the
+    * engine-order difference in avg(). */
+  val q95Bm25TopK = GQuery(
+    "q95_bm25_topk",
+    (s, d) => Retrieval.bm25TopK(
+      Tables.documents(s, d), col("doc_id"), col("text"), Terms, K),
+    Some(s"""$TfDfCtes,
+            |lens AS (
+            |  SELECT doc_id,
+            |         CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS DOUBLE) AS dl
+            |  FROM documents),
+            |stats AS (
+            |  SELECT count(*) AS n_docs,
+            |         avg(CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS DOUBLE)) AS avgdl
+            |  FROM documents)
+            |SELECT doc_id, count(*) AS hits,
+            |       round(sum(
+            |         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+            |         (tf * (1.2 + 1.0)) /
+            |         (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 4) AS score
+            |FROM tf JOIN df USING (word) JOIN lens USING (doc_id) CROSS JOIN stats
+            |WHERE word IN $TermsSqlList
+            |GROUP BY doc_id
+            |ORDER BY score DESC, doc_id LIMIT $K""".stripMargin),
+    benchmark = false)
+
+  val all: Seq[GQuery] = Seq(q94TfidfTopK, q95Bm25TopK)
+}
