@@ -1,7 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.broadcast
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.{broadcast, lit}
 
 /** Join-shape helpers for the 100 TB contract.
   *
@@ -38,4 +38,38 @@ object Joins {
   def dimJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
       maxBytes: Long = DefaultBroadcastBytes): DataFrame =
     fact.join(maybeBroadcast(dim, maxBytes), keys)
+
+  /** Bloom-filter semi-join pruning: build a bloom filter over the dim
+    * side's join key and pre-filter the fact side BEFORE its shuffle —
+    * the explicit form of Catalyst's own runtime-filter rewrite
+    * (`InjectRuntimeFilter`), usable where that rule doesn't fire
+    * (non-equi follow-ups, reused prune sets, multi-join pipelines).
+    *
+    * Scale contract: the filter is `numItems`-sized (1 M keys ≈ 1.2 MB
+    * at the default FPP), built by one partial-aggregating job over the
+    * dim and shipped once per executor inside a literal — the fact-side
+    * scan then drops non-joining rows at the source, so the shuffle
+    * carries only rows that can actually join (modulo the bloom FPP;
+    * false positives are removed by the exact join that follows, so
+    * composed results are exact).
+    *
+    * The driver-side `head` is one row of ~MB — the same data movement
+    * a broadcast would do, without forcing the join strategy.
+    */
+  def bloomPrune(fact: DataFrame, factKey: Column, dim: DataFrame,
+      dimKey: Column, numItems: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+    val agg = new BloomFilterAggregate(
+      new XxHash64(Seq(expression(dimKey))), numItems)
+    val bf = dim
+      .select(column(agg.toAggregateExpression()).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    // Empty dim side → null buffer: nothing can join, prune everything.
+    if (bf == null) fact.where(lit(false))
+    else fact.where(column(BloomFilterMightContain(
+      Literal(bf, BinaryType), new XxHash64(Seq(expression(factKey))))))
+  }
 }
