@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.Joins
+import graft.operators.{Joins, Sequencing}
 import org.apache.spark.sql.functions._
 
 /** Scale-pipeline coverage: the operators a 100 TB curation/warehouse
@@ -42,5 +42,109 @@ object PipelineQueries {
            |WHERE o_totalprice > 450000.0
            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
 
-  val all: Seq[GQuery] = Seq(q96BloomPrune)
+  /** Gopher-style repetition quality gate: per-document duplicate-token
+    * fraction (1 − unique/total) and top-token share, flagged against
+    * thresholds and rolled up per source. The per-doc ratios are
+    * int÷int quotients — bit-identical cross-engine, so the flag
+    * comparisons can't straddle engines; only the avg() is rounded.
+    * Scale: one explode + two (doc_id-keyed) aggregations, no text on
+    * the shuffle after tokenization. */
+  val q97RepetitionQuality = GQuery(
+    "q97_repetition_quality",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val per = graft.operators.Retrieval
+        .termFrequencies(docs, $"doc_id", $"text")
+        .groupBy("doc_id")
+        .agg(sum($"tf").as("n_tok"), count(lit(1)).as("n_uniq"),
+          max($"tf").as("top_tf"))
+        .select($"doc_id",
+          (lit(1.0) - $"n_uniq".cast("double") / $"n_tok".cast("double"))
+            .as("dup_frac"),
+          ($"top_tf".cast("double") / $"n_tok".cast("double")).as("top_share"))
+      docs.select($"doc_id", $"source")
+        .join(per, "doc_id")
+        .groupBy($"source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          count(when($"dup_frac" > 0.55 || $"top_share" > 0.15, 1))
+            .as("n_flagged"),
+          round(avg($"dup_frac"), 4).as("avg_dup_frac"),
+          round(avg($"top_share"), 4).as("avg_top_share"))
+        .orderBy($"source")
+    },
+    Some("""WITH tf AS (
+           |  SELECT doc_id, word, count(*) AS tf FROM (
+           |    SELECT doc_id,
+           |           unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS word
+           |    FROM documents)
+           |  GROUP BY doc_id, word),
+           |per AS (
+           |  SELECT doc_id,
+           |         1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(tf) AS DOUBLE) AS dup_frac,
+           |         CAST(max(tf) AS DOUBLE) / CAST(sum(tf) AS DOUBLE) AS top_share
+           |  FROM tf GROUP BY doc_id)
+           |SELECT source, count(*) AS n_docs,
+           |       count(*) FILTER (WHERE dup_frac > 0.55 OR top_share > 0.15) AS n_flagged,
+           |       round(avg(dup_frac), 4) AS avg_dup_frac,
+           |       round(avg(top_share), 4) AS avg_top_share
+           |FROM documents JOIN per USING (doc_id)
+           |GROUP BY source ORDER BY source""".stripMargin))
+
+  /** Context-window chunking: 64-token windows every 48 tokens
+    * (16-token overlap), one row per chunk with its token count and
+    * dedup fingerprint. Spark `sequence`+`slice` ≡ DuckDB
+    * `range`+`list_slice` — both include a start at every stride
+    * offset < len and clamp the final window. */
+  val q98TokenChunks = GQuery(
+    "q98_token_chunks",
+    (s, d) => {
+      import s.implicits._
+      Sequencing.chunk(Tables.documents(s, d), $"text",
+        size = 64, stride = 48, keep = Seq($"doc_id"))
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id,
+           |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+           |  FROM documents),
+           |c AS (
+           |  SELECT doc_id, unnest(range(0, greatest(len(toks), 1), 48)) AS start, toks
+           |  FROM t)
+           |SELECT doc_id, CAST(start // 48 AS INT) AS chunk_id,
+           |       CAST(len(list_slice(toks, start + 1, start + 64)) AS INT) AS n_tok,
+           |       md5(array_to_string(list_slice(toks, start + 1, start + 64), ' ')) AS chunk_fp
+           |FROM c WHERE len(list_slice(toks, start + 1, start + 64)) > 0""".stripMargin))
+
+  /** Token-budget packing: per source (the shard unit), documents in
+    * doc_id order are assigned to 512-token packs by starting offset;
+    * rolled up to pack occupancy. The running sum is windowed WITHIN
+    * source — no global single-partition window. */
+  val q99SequencePacking = GQuery(
+    "q99_sequence_packing",
+    (s, d) => {
+      import s.implicits._
+      Sequencing.packAssign(Tables.documents(s, d), $"text",
+          partCol = $"source", orderCol = $"doc_id", budget = 512L,
+          keep = Seq($"source", $"doc_id"))
+        .groupBy($"source", $"pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum($"n").as("n_tokens"))
+        .orderBy($"source", $"pack_id")
+    },
+    Some("""WITH lens AS (
+           |  SELECT source, doc_id,
+           |         CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n
+           |  FROM documents),
+           |c AS (
+           |  SELECT source, doc_id, n,
+           |         COALESCE(sum(n) OVER (PARTITION BY source ORDER BY doc_id
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+           |  FROM lens)
+           |SELECT source, CAST(cum_before // 512 AS BIGINT) AS pack_id,
+           |       count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens
+           |FROM c GROUP BY source, cum_before // 512
+           |ORDER BY source, pack_id""".stripMargin))
+
+  val all: Seq[GQuery] =
+    Seq(q96BloomPrune, q97RepetitionQuality, q98TokenChunks, q99SequencePacking)
 }
