@@ -76,4 +76,31 @@ object Temporal {
       .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
       .drop("__bin")
   }
+
+  /** SCD Type-2 history build from an event stream: collapse each
+    * key's consecutive runs of the same attribute value into
+    * versioned validity intervals `[valid_from, valid_to)` —
+    * `valid_to` null (and `is_current` true) on the open interval.
+    * The reference loads dims as point-in-time snapshots
+    * (loader_NeonDB.py:370-455); this is the history-preserving
+    * variant a warehouse needs when the same pipeline re-runs daily.
+    *
+    * Distributed shape: two key-partitioned windows over one shuffle
+    * of (key, attr, ts) — no global window, no self-join. `tiebreak`
+    * must make the per-key order total (a monotonic event id), or
+    * run-collapse becomes nondeterministic under equal timestamps.
+    */
+  def scd2(events: DataFrame, key: String, attr: String, ts: String,
+      tiebreak: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(tiebreak))
+    events
+      .select(col(key), col(attr), col(ts), col(tiebreak))
+      .withColumn("__prev", lag(col(attr), 1).over(w))
+      .where(col("__prev").isNull || !(col("__prev") <=> col(attr)))
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_to", lead(col(ts), 1).over(w))
+      .select(col(key), col(attr), col(ts).as("valid_from"),
+        col("valid_to"), col("version"),
+        col("valid_to").isNull.as("is_current"))
+  }
 }

@@ -145,6 +145,37 @@ object PipelineQueries {
            |FROM c GROUP BY source, cum_before // 512
            |ORDER BY source, pack_id""".stripMargin))
 
+  /** SCD Type-2 user-state history: each user's consecutive runs of
+    * the same event_type collapse to versioned validity intervals.
+    * Timestamps cross the compare wire as epoch microseconds (BIGINT
+    * both engines — events.ts is ns-precision parquet, µs is the
+    * shared floor). */
+  val q100Scd2History = GQuery(
+    "q100_scd2_history",
+    (s, d) => {
+      import s.implicits._
+      graft.operators.Temporal
+        .scd2(Tables.events(s, d), "user_id", "event_type", "ts", "event_id")
+        .select($"user_id", $"event_type",
+          unix_micros($"valid_from").as("valid_from_us"),
+          unix_micros($"valid_to").as("valid_to_us"),
+          $"version", $"is_current")
+    },
+    Some("""WITH e AS (
+           |  SELECT user_id, event_type, ts, event_id,
+           |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           |  FROM events),
+           |ch AS (
+           |  SELECT user_id, event_type, ts, event_id FROM e
+           |  WHERE prev IS NULL OR prev <> event_type)
+           |SELECT user_id, event_type,
+           |       epoch_us(ts) AS valid_from_us,
+           |       epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS valid_to_us,
+           |       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS version,
+           |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+           |FROM ch""".stripMargin))
+
   val all: Seq[GQuery] =
-    Seq(q96BloomPrune, q97RepetitionQuality, q98TokenChunks, q99SequencePacking)
+    Seq(q96BloomPrune, q97RepetitionQuality, q98TokenChunks, q99SequencePacking,
+      q100Scd2History)
 }

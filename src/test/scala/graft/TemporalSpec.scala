@@ -55,4 +55,23 @@ class TemporalSpec extends SparkTestBase {
     // overlap sanity: some events match more than one range (stride 2 < len 3)
     assert(binned.groupBy($"event_id").count().filter($"count" > 1).count() > 0)
   }
+
+  test("scd2 collapses runs into versioned intervals with one open row per key") {
+    val ev = Seq(
+      (1L, "A", 10L, 1L), (1L, "A", 20L, 2L), (1L, "B", 30L, 3L),
+      (1L, "A", 40L, 4L), (2L, "X", 10L, 5L)
+    ).toDF("k", "st", "t", "id")
+      .withColumn("t", timestamp_seconds($"t"))
+    val got = Temporal.scd2(ev, "k", "st", "t", "id")
+      .orderBy($"k", $"version")
+      .select($"k", $"st", unix_timestamp($"valid_from"),
+        unix_timestamp($"valid_to"), $"version", $"is_current")
+      .collect()
+    // key 1: A[10,30) v1, B[30,40) v2, A[40,∞) v3 — the repeat at t=20
+    // collapses into v1; the return to A at t=40 is a NEW version.
+    assert(got.map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+      if (r.isNullAt(3)) -1L else r.getLong(3), r.getInt(4), r.getBoolean(5))).toSeq ==
+      Seq((1L, "A", 10L, 30L, 1, false), (1L, "B", 30L, 40L, 2, false),
+        (1L, "A", 40L, -1L, 3, true), (2L, "X", 10L, -1L, 1, true)))
+  }
 }
