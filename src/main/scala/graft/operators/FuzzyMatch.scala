@@ -1,0 +1,30 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Blocked fuzzy-match join for entity resolution: candidate pairs come
+  * from an equi-join on cheap blocking keys (brand, prefix, phonetic
+  * code, LSH bucket…), and the edit-distance predicate only runs inside
+  * each block. The all-pairs O(n²) comparison a naive fuzzy join does is
+  * the canonical non-scalable plan; blocking turns it into a shuffle
+  * join whose cost is Σ|block|², tunable by key choice — the same
+  * candidate-generation pattern as the MinHash/LSH dedup stack
+  * (Dedup.lshCandidates), with edit distance as the verifier instead of
+  * Jaccard.
+  */
+object FuzzyMatch {
+
+  /** probes ⋈ corpus on `blockKey` (equi), refined by
+    * levenshtein(probeText, corpusText) <= maxDist. Both inputs keep
+    * their own columns; the emitted `dist` column carries the distance.
+    * Blocking must be recall-complete for the caller's tolerance (a
+    * pair in no common block is never compared — choose keys so true
+    * matches share one, e.g. char n-gram bucket or phonetic code). */
+  def blockedLevenshtein(probes: DataFrame, corpus: DataFrame,
+      blockKey: String, probeText: Column, corpusText: Column,
+      maxDist: Int): DataFrame =
+    probes.join(corpus, Seq(blockKey))
+      .withColumn("dist", levenshtein(probeText, corpusText))
+      .where(col("dist") <= maxDist)
+}

@@ -175,7 +175,63 @@ object PipelineQueries {
            |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
            |FROM ch""".stripMargin))
 
+  /** Blocked fuzzy-match join (entity resolution): probes are parts
+    * with a one-char corruption of their name; candidates come from a
+    * brand-block equi-join; levenshtein ≤ 2 verifies. Detail rows
+    * (probe, match, distance) go to the oracle — Spark and DuckDB
+    * levenshtein are both plain unit-cost edit distance. */
+  val q101FuzzyMatch = GQuery(
+    "q101_fuzzy_match",
+    (s, d) => {
+      import s.implicits._
+      val parts = Tables.part(s, d).select($"p_partkey", $"p_name", $"p_brand")
+      val probes = parts
+        .where(pmod($"p_partkey", lit(7)) === 0)
+        .select($"p_partkey".as("probe_key"),
+          concat(lit("x"), expr("substring(p_name, 2)")).as("probe_name"),
+          $"p_brand")
+      graft.operators.FuzzyMatch
+        .blockedLevenshtein(probes, parts, "p_brand",
+          $"probe_name", $"p_name", maxDist = 2)
+        .select($"probe_key", $"p_partkey".as("match_key"), $"dist")
+    },
+    Some("""WITH probes AS (
+           |  SELECT p_partkey AS probe_key, 'x' || substr(p_name, 2) AS probe_name, p_brand
+           |  FROM part WHERE p_partkey % 7 = 0)
+           |SELECT probe_key, p.p_partkey AS match_key,
+           |       CAST(levenshtein(probe_name, p.p_name) AS INT) AS dist
+           |FROM probes JOIN part p USING (p_brand)
+           |WHERE levenshtein(probe_name, p.p_name) <= 2""".stripMargin))
+
+  /** Inverted index build: word → document-frequency + sorted posting
+    * list (pipe-joined on the wire — the driver compare can't hash
+    * arrays). The posting list is the retrieval-side dual of q94's
+    * forward tf table. */
+  val q102InvertedIndex = GQuery(
+    "q102_inverted_index",
+    (s, d) => {
+      import s.implicits._
+      graft.operators.Retrieval
+        .termFrequencies(Tables.documents(s, d), $"doc_id", $"text")
+        .groupBy($"word")
+        .agg(
+          count(lit(1)).as("df"),
+          sum($"tf").as("total_tf"),
+          array_join(sort_array(collect_set($"doc_id")).cast("array<string>"), "|")
+            .as("postings"))
+        .orderBy($"word")
+    },
+    Some("""WITH tf AS (
+           |  SELECT doc_id, word, count(*) AS tf FROM (
+           |    SELECT doc_id,
+           |           unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS word
+           |    FROM documents)
+           |  GROUP BY doc_id, word)
+           |SELECT word, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf,
+           |       array_to_string(list_sort(list(doc_id)), '|') AS postings
+           |FROM tf GROUP BY word ORDER BY word""".stripMargin))
+
   val all: Seq[GQuery] =
     Seq(q96BloomPrune, q97RepetitionQuality, q98TokenChunks, q99SequencePacking,
-      q100Scd2History)
+      q100Scd2History, q101FuzzyMatch, q102InvertedIndex)
 }
