@@ -21,5 +21,5 @@ object Registry {
   def allQueries: Seq[GQuery] =
     CoreQueries.all ++ TextQueries.all ++ LlmQueries.all ++ StarQueries.all ++
       ParserQueries.all ++ EsportsQueries.all ++ TemporalQueries.all ++
-      RetrievalQueries.all ++ PipelineQueries.all
+      RetrievalQueries.all ++ PipelineQueries.all ++ StatsQueries.all
 }
