@@ -103,6 +103,80 @@ object StatsQueries {
            |WHERE sd IS NOT NULL AND sd > 0 AND abs((v - mu) / sd) > 2.0
            |ORDER BY event_type, hour""".stripMargin))
 
+  /** PMI token co-occurrence: document-level presence pairs (w1 < w2)
+    * scored by ln(c_xy·N / (c_x·c_y)), restricted to tokens with
+    * df ≥ 50 and pairs seen ≥ 10 times. The self-join is doc-keyed and
+    * vocabulary-pruned — at 100 TB the df floor keeps the pair space
+    * |V|² of the SURVIVING vocabulary, not of the corpus. */
+  val q106PmiCooccurrence = GQuery(
+    "q106_pmi_cooccurrence",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val presence = graft.operators.Retrieval
+        .termFrequencies(docs, $"doc_id", $"text")
+        .select($"doc_id", $"word")
+      val df = presence.groupBy($"word").agg(count(lit(1)).as("df"))
+        .where($"df" >= 50)
+      val kept = presence.join(broadcast(df), "word")
+      val pairs = kept.select($"doc_id", $"word".as("w1"), $"df".as("df1"))
+        .join(kept.select($"doc_id", $"word".as("w2"), $"df".as("df2")), "doc_id")
+        .where($"w1" < $"w2")
+        .groupBy($"w1", $"w2", $"df1", $"df2")
+        .agg(count(lit(1)).as("c_xy"))
+        .where($"c_xy" >= 10)
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      pairs.crossJoin(broadcast(n))
+        .select($"w1", $"w2", $"c_xy",
+          round(log($"c_xy".cast("double") * $"n_docs".cast("double") /
+            ($"df1".cast("double") * $"df2".cast("double"))), 4).as("pmi"))
+        .orderBy($"pmi".desc, $"w1", $"w2")
+        .limit(20)
+    },
+    Some("""WITH presence AS (
+           |  SELECT DISTINCT doc_id, word FROM (
+           |    SELECT doc_id,
+           |           unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS word
+           |    FROM documents)),
+           |df AS (SELECT word, count(*) AS df FROM presence GROUP BY word HAVING count(*) >= 50),
+           |kept AS (SELECT p.doc_id, p.word, df.df FROM presence p JOIN df USING (word)),
+           |pairs AS (
+           |  SELECT a.word AS w1, b.word AS w2, a.df AS df1, b.df AS df2, count(*) AS c_xy
+           |  FROM kept a JOIN kept b ON a.doc_id = b.doc_id AND a.word < b.word
+           |  GROUP BY a.word, b.word, a.df, b.df
+           |  HAVING count(*) >= 10),
+           |n AS (SELECT count(*) AS n_docs FROM documents)
+           |SELECT w1, w2, c_xy,
+           |       round(ln(c_xy * CAST(n_docs AS DOUBLE) / (df1 * CAST(df2 AS DOUBLE))), 4) AS pmi
+           |FROM pairs CROSS JOIN n
+           |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin))
+
+  /** Equi-width histogram of events.value: 20 bins over the global
+    * [min, max], computed from one broadcast stats row. The bin edges
+    * are the SAME IEEE expression in both engines, so bin membership is
+    * bit-deterministic — no rounding needed on the keys. */
+  val q107ValueHistogram = GQuery(
+    "q107_value_histogram",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val stats = ev.agg(min($"value").as("lo"), max($"value").as("hi"))
+      ev.crossJoin(broadcast(stats))
+        .withColumn("w", ($"hi" - $"lo") / 20.0)
+        .withColumn("bin", least(floor(($"value" - $"lo") / $"w"), lit(19.0)).cast("int"))
+        .groupBy($"bin")
+        .agg(count(lit(1)).as("n"), round(min($"lo") + $"bin" * min($"w"), 4).as("bin_lo"))
+        .orderBy($"bin")
+    },
+    Some("""WITH stats AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+           |binned AS (
+           |  SELECT least(floor((value - lo) / ((hi - lo) / 20.0)), 19.0)::INT AS bin,
+           |         lo, (hi - lo) / 20.0 AS w
+           |  FROM events CROSS JOIN stats)
+           |SELECT bin, count(*) AS n, round(min(lo) + bin * min(w), 4) AS bin_lo
+           |FROM binned GROUP BY bin ORDER BY bin""".stripMargin))
+
   val all: Seq[GQuery] =
-    Seq(q103ExactPercentiles, q104RegressionTrend, q105MovingZscore)
+    Seq(q103ExactPercentiles, q104RegressionTrend, q105MovingZscore,
+      q106PmiCooccurrence, q107ValueHistogram)
 }
