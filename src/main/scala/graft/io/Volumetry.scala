@@ -23,9 +23,11 @@ object Volumetry {
   /** Status split + pct-of-total over events (A1/A5). */
   def eventSplit(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.events(spark, sfDir)
-    e.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
-      .withColumn("pct", round(lit(100.0) * col("n") /
-        sum(col("n")).over(org.apache.spark.sql.expressions.Window.partitionBy()), 2))
+    val counts = e.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    counts
+      .crossJoin(broadcast(counts.agg(sum(col("n")).as("__tot"))))
+      .withColumn("pct", round(lit(100.0) * col("n") / col("__tot"), 2))
+      .drop("__tot")
   }
 
   /** Relation stats: groups, avg/max group size, top-10 (A2–A4). */

@@ -132,9 +132,10 @@ object CoreQueries {
     Some("""SELECT o_custkey, count(*) AS n_orders FROM orders
            |GROUP BY o_custkey ORDER BY n_orders DESC, o_custkey LIMIT 10""".stripMargin))
 
-  /** A5 percentage-of-total (extractor_polymarket.py:287-299). Window
-    * over the 3-row aggregate — the exchange-to-one-partition happens
-    * AFTER reduction, so it stays cheap at any input scale. */
+  /** A5 percentage-of-total (extractor_polymarket.py:287-299). The
+    * grand total joins back as a broadcast single-row aggregate — no
+    * global window, so nothing ever funnels through one partition (and
+    * the WindowExec single-partition WARN stays out of scale logs). */
   val q07PctOfTotal = GQuery(
     "q07_pct_of_total",
     (s, d) => {
@@ -142,7 +143,9 @@ object CoreQueries {
       val counts = Tables.orders(s, d)
         .groupBy($"o_orderstatus").agg(count(lit(1)).as("n"))
       counts
-        .withColumn("pct", round(lit(100.0) * $"n" / sum($"n").over(Window.partitionBy()), 2))
+        .crossJoin(broadcast(counts.agg(sum($"n").as("__tot"))))
+        .withColumn("pct", round(lit(100.0) * $"n" / $"__tot", 2))
+        .drop("__tot")
     },
     Some("""SELECT o_orderstatus, count(*) AS n,
            |  round(100.0 * count(*) / sum(count(*)) OVER (), 2) AS pct

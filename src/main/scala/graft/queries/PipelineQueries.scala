@@ -104,6 +104,8 @@ object PipelineQueries {
       Sequencing.chunk(Tables.documents(s, d), $"text",
         size = 64, stride = 48, keep = Seq($"doc_id"))
     },
+    benchmark = true,
+    oracle =
     Some("""WITH t AS (
            |  SELECT doc_id,
            |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks

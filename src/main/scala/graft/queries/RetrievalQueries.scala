@@ -44,7 +44,7 @@ object RetrievalQueries {
             |WHERE word IN $TermsSqlList
             |GROUP BY doc_id
             |ORDER BY score DESC, doc_id LIMIT $K""".stripMargin),
-    benchmark = false)
+    benchmark = true)
 
   /** BM25(k1=1.2, b=0.75) top-k: idf = ln(1 + (N-df+0.5)/(df+0.5)),
     * length normalization against the corpus mean token count. Constant
