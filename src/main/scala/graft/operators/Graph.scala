@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics in the Pregel-lite style the
+  * connected-components dedup already uses (Dedup.connectedComponents):
+  * a fixed number of message-passing rounds, each one shuffle keyed by
+  * destination node. No adjacency is ever collected; the edge list is
+  * the only state, so the cost per round is one join + one aggregation
+  * over |E| rows — the shape that scales linearly with cluster width.
+  */
+object Graph {
+
+  /** PageRank with damping `d` over a directed edge list (src, dst),
+    * `iters` fixed iterations from a uniform start. Dangling mass is
+    * NOT redistributed (nodes with no out-edges leak rank) — callers
+    * wanting the strict random-surfer model should pre-close the edge
+    * set; for ranking use the leak is a uniform scale-down.
+    *
+    * Returns (node, rank). Deterministic up to FP summation order —
+    * round before comparing across engines/runs.
+    */
+  def pagerank(edges: DataFrame, iters: Int, d: Double = 0.85): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct().cache()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().cache()
+    val n = nodes.count().toDouble
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val withDeg = e.join(deg, "src")
+    var rank = nodes.withColumn("rank", lit(1.0 / n))
+    for (_ <- 1 to iters) {
+      val contrib = withDeg
+        .join(rank.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("rank") / col("deg")).as("mass"))
+      rank = nodes
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit((1.0 - d) / n) + lit(d) * coalesce(col("mass"), lit(0.0))).as("rank"))
+    }
+    rank
+  }
+}

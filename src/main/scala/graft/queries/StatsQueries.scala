@@ -176,7 +176,115 @@ object StatsQueries {
            |SELECT bin, count(*) AS n, round(min(lo) + bin * min(w), 4) AS bin_lo
            |FROM binned GROUP BY bin ORDER BY bin""".stripMargin))
 
+  /** PageRank (3 iterations, d=0.85) over the part co-purchase graph
+    * (parts sharing an order, both directions — symmetric, so no
+    * dangling-mass leak). The oracle unrolls the same three rounds as
+    * CTEs; constants are written op-for-op ((1.0 − 0.85)/n, never a
+    * folded 0.15) so both engines produce the same IEEE bits before
+    * the final rounding. Ranks ship ×1000 at 6 dp. */
+  val q108Pagerank = GQuery(
+    "q108_pagerank",
+    (s, d) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, d).select($"l_orderkey", $"l_partkey")
+      val edges = li
+        .join(li.withColumnRenamed("l_partkey", "p2"), "l_orderkey")
+        .where($"l_partkey" =!= $"p2")
+        .select($"l_partkey".as("src"), $"p2".as("dst"))
+      graft.operators.Graph.pagerank(edges, iters = 3)
+        .select($"node".as("part"), round($"rank" * 1000.0, 6).as("rank_pm"))
+        .orderBy($"rank_pm".desc, $"part")
+        .limit(20)
+    },
+    Some("""WITH pairs AS (
+           |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+           |  FROM lineitem a JOIN lineitem b
+           |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+           |nodes AS (SELECT src AS node FROM pairs UNION SELECT dst FROM pairs),
+           |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+           |deg AS (SELECT src, count(*) AS deg FROM pairs GROUP BY src),
+           |r0 AS (SELECT node, 1.0 / n AS rank FROM nodes CROSS JOIN nn),
+           |c1 AS (SELECT dst AS node, sum(rank / deg) AS mass
+           |       FROM pairs JOIN deg USING (src) JOIN r0 ON r0.node = pairs.src GROUP BY dst),
+           |r1 AS (SELECT nodes.node, (1.0 - 0.85) / nn.n + 0.85 * COALESCE(mass, 0.0) AS rank
+           |       FROM nodes CROSS JOIN nn LEFT JOIN c1 ON c1.node = nodes.node),
+           |c2 AS (SELECT dst AS node, sum(rank / deg) AS mass
+           |       FROM pairs JOIN deg USING (src) JOIN r1 ON r1.node = pairs.src GROUP BY dst),
+           |r2 AS (SELECT nodes.node, (1.0 - 0.85) / nn.n + 0.85 * COALESCE(mass, 0.0) AS rank
+           |       FROM nodes CROSS JOIN nn LEFT JOIN c2 ON c2.node = nodes.node),
+           |c3 AS (SELECT dst AS node, sum(rank / deg) AS mass
+           |       FROM pairs JOIN deg USING (src) JOIN r2 ON r2.node = pairs.src GROUP BY dst),
+           |r3 AS (SELECT nodes.node, (1.0 - 0.85) / nn.n + 0.85 * COALESCE(mass, 0.0) AS rank
+           |       FROM nodes CROSS JOIN nn LEFT JOIN c3 ON c3.node = nodes.node)
+           |SELECT node AS part, round(rank * 1000.0, 6) AS rank_pm
+           |FROM r3 ORDER BY rank_pm DESC, part LIMIT 20""".stripMargin))
+
+  /** Ordered conversion funnel view → click → purchase: each stage's
+    * timestamp must strictly follow the previous stage's FIRST
+    * occurrence. Timestamp comparisons are exact (µs), so the stage
+    * sets — not just the counts — agree across engines. */
+  val q109Funnel = GQuery(
+    "q109_funnel",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val v = ev.where($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"ts").as("t1"))
+      val c = ev.where($"event_type" === "click").join(v, "user_id")
+        .where($"ts" > $"t1")
+        .groupBy($"user_id").agg(min($"ts").as("t2"))
+      val p = ev.where($"event_type" === "purchase").join(c, "user_id")
+        .where($"ts" > $"t2")
+        .groupBy($"user_id").agg(min($"ts").as("t3"))
+      v.agg(count(lit(1)).as("n_view")).crossJoin(
+        c.agg(count(lit(1)).as("n_click_after")))
+        .crossJoin(p.agg(count(lit(1)).as("n_purchase_after")))
+    },
+    Some("""WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+           |           WHERE event_type = 'view' GROUP BY user_id),
+           |c AS (SELECT e.user_id, min(ts) AS t2 FROM events e JOIN v USING (user_id)
+           |      WHERE event_type = 'click' AND ts > t1 GROUP BY e.user_id),
+           |p AS (SELECT e.user_id, min(ts) AS t3 FROM events e JOIN c USING (user_id)
+           |      WHERE event_type = 'purchase' AND ts > t2 GROUP BY e.user_id)
+           |SELECT (SELECT count(*) FROM v) AS n_view,
+           |       (SELECT count(*) FROM c) AS n_click_after,
+           |       (SELECT count(*) FROM p) AS n_purchase_after""".stripMargin))
+
+  /** Winsorized robust stats: clamp value to its per-group [p01, p99]
+    * (exact interpolated percentiles, proven bit-compatible in q103)
+    * and compare the raw vs clamped mean — the outlier-robust QA
+    * summary. */
+  val q110WinsorizedStats = GQuery(
+    "q110_winsorized_stats",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val bounds = ev.groupBy($"event_type")
+        .agg(expr("percentile(value, 0.01D)").as("lo"),
+          expr("percentile(value, 0.99D)").as("hi"))
+      ev.join(broadcast(bounds), "event_type")
+        .withColumn("clamped", least(greatest($"value", $"lo"), $"hi"))
+        .groupBy($"event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          round(avg($"value"), 4).as("raw_mean"),
+          round(avg($"clamped"), 4).as("wins_mean"),
+          count(when($"value" < $"lo" || $"value" > $"hi", 1)).as("n_clamped"))
+        .orderBy($"event_type")
+    },
+    Some("""WITH bounds AS (
+           |  SELECT event_type, quantile_cont(value, 0.01) AS lo,
+           |         quantile_cont(value, 0.99) AS hi
+           |  FROM events GROUP BY event_type)
+           |SELECT event_type, count(*) AS n,
+           |       round(avg(value), 4) AS raw_mean,
+           |       round(avg(least(greatest(value, lo), hi)), 4) AS wins_mean,
+           |       count(*) FILTER (WHERE value < lo OR value > hi) AS n_clamped
+           |FROM events JOIN bounds USING (event_type)
+           |GROUP BY event_type ORDER BY event_type""".stripMargin))
+
   val all: Seq[GQuery] =
     Seq(q103ExactPercentiles, q104RegressionTrend, q105MovingZscore,
-      q106PmiCooccurrence, q107ValueHistogram)
+      q106PmiCooccurrence, q107ValueHistogram, q108Pagerank, q109Funnel,
+      q110WinsorizedStats)
 }
