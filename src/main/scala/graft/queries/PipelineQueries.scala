@@ -233,7 +233,68 @@ object PipelineQueries {
            |       array_to_string(list_sort(list(doc_id)), '|') AS postings
            |FROM tf GROUP BY word ORDER BY word""".stripMargin))
 
+  /** Group-median imputation: plant nulls deterministically
+    * (event_id % 11), impute each from its event_type's median of the
+    * SURVIVING values (exact interpolated percentile — bit-compatible
+    * cross-engine per q103), and report the imputed-vs-raw means. */
+  val q111MedianImpute = GQuery(
+    "q111_median_impute",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .withColumn("v", when(pmod($"event_id", lit(11)) === 0, lit(null))
+          .otherwise($"value"))
+      val med = ev.groupBy($"event_type")
+        .agg(expr("percentile(v, 0.5D)").as("med"))
+      ev.join(broadcast(med), "event_type")
+        .withColumn("v_filled", coalesce($"v", $"med"))
+        .groupBy($"event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          count(when($"v".isNull, 1)).as("n_imputed"),
+          round(min($"med"), 4).as("median_used"),
+          round(avg($"v_filled"), 4).as("filled_mean"))
+        .orderBy($"event_type")
+    },
+    Some("""WITH ev AS (
+           |  SELECT event_type, event_id,
+           |         CASE WHEN event_id % 11 = 0 THEN NULL ELSE value END AS v
+           |  FROM events),
+           |med AS (SELECT event_type, quantile_cont(v, 0.5) AS med FROM ev GROUP BY event_type)
+           |SELECT event_type, count(*) AS n,
+           |       count(*) FILTER (WHERE v IS NULL) AS n_imputed,
+           |       round(min(med), 4) AS median_used,
+           |       round(avg(COALESCE(v, med)), 4) AS filled_mean
+           |FROM ev JOIN med USING (event_type)
+           |GROUP BY event_type ORDER BY event_type""".stripMargin))
+
+  /** Per-stratum deterministic sampling: each label keeps a
+    * (label%3+1)·10% rate via the md5 hash-mod bucket the split/dedup
+    * oracles already reproduce bit-for-bit in DuckDB — membership is a
+    * pure function of the key, stable under reruns and appends. */
+  val q112StratifiedSample = GQuery(
+    "q112_stratified_sample",
+    (s, d) => {
+      import s.implicits._
+      val em = Tables.embeddings(s, d)
+      val rate = (pmod($"label", lit(3)) + 1) * 10
+      em.withColumn("bucket", graft.operators.Sampling.hashBucket($"vec_id", 100))
+        .groupBy($"label")
+        .agg(
+          count(lit(1)).as("n_total"),
+          count(when($"bucket" < rate, 1)).as("n_sampled"))
+        .withColumn("rate_pct", ((pmod($"label", lit(3)) + 1) * 10).cast("int"))
+        .orderBy($"label")
+    },
+    Some("""SELECT label, count(*) AS n_total,
+           |       count(*) FILTER (WHERE
+           |         CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT) % 100
+           |           < (label % 3 + 1) * 10) AS n_sampled,
+           |       CAST((label % 3 + 1) * 10 AS INT) AS rate_pct
+           |FROM embeddings GROUP BY label ORDER BY label""".stripMargin))
+
   val all: Seq[GQuery] =
     Seq(q96BloomPrune, q97RepetitionQuality, q98TokenChunks, q99SequencePacking,
-      q100Scd2History, q101FuzzyMatch, q102InvertedIndex)
+      q100Scd2History, q101FuzzyMatch, q102InvertedIndex, q111MedianImpute,
+      q112StratifiedSample)
 }
