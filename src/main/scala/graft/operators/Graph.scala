@@ -22,9 +22,9 @@ object Graph {
     * round before comparing across engines/runs.
     */
   def pagerank(edges: DataFrame, iters: Int, d: Double = 0.85): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).distinct().cache()
+    val e = edges.select(col("src"), col("dst")).distinct().persist()
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().cache()
+      .union(e.select(col("dst").as("node"))).distinct().persist()
     val n = nodes.count().toDouble
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val withDeg = e.join(deg, "src")
@@ -39,6 +39,12 @@ object Graph {
         .select(col("node"),
           (lit((1.0 - d) / n) + lit(d) * coalesce(col("mass"), lit(0.0))).as("rank"))
     }
-    rank
+    // materialize lineage-free, then drop the loop caches — the result
+    // must not pin persisted blocks for the session's lifetime (same
+    // hygiene as Dedup.connectedComponents).
+    val out = rank.localCheckpoint(true)
+    e.unpersist()
+    nodes.unpersist()
+    out
   }
 }

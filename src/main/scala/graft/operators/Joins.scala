@@ -62,6 +62,14 @@ object Joins {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.types.BinaryType
+    // XxHash64 hashes by PHYSICAL type: int 5 and long 5 hash
+    // differently, so a fact/dim key type mismatch would silently turn
+    // the prune into near-total (false-negative) row loss. Refuse it.
+    val (fType, dType) = (fact.select(factKey).schema.head.dataType,
+      dim.select(dimKey).schema.head.dataType)
+    require(fType == dType,
+      s"bloomPrune key types must match exactly (fact: $fType, dim: $dType) — " +
+        "cast one side; XxHash64 is physical-type-sensitive")
     val agg = new BloomFilterAggregate(
       new XxHash64(Seq(expression(dimKey))), numItems)
     val bf = dim

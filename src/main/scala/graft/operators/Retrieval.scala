@@ -77,9 +77,9 @@ object Retrieval {
     val df = docFrequencies(tf)
     val lens = docs.select(id.as("doc_id"),
       TextAnalysis.tokenCount(text).cast("double").as("dl"))
-    val stats = docs.agg(
-      count(lit(1)).as("n_docs"),
-      avg(TextAnalysis.tokenCount(text).cast("double")).as("avgdl"))
+    // corpus stats derive from lens — aggregating the frame that's
+    // already in the plan, not a third tokenization pass over the text
+    val stats = lens.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     val tfd = col("tf").cast("double")
     val score = idfBm25(col("df"), col("n_docs")) *
       (tfd * (k1 + 1.0)) /

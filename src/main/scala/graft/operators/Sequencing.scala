@@ -52,7 +52,10 @@ object Sequencing {
     docs
       .select(keep :+ TextAnalysis.tokenCount(text).cast("long").as("n"): _*)
       .withColumn("cum_before", coalesce(sum(col("n")).over(w), lit(0L)))
-      .withColumn("pack_id", floor(col("cum_before") / lit(budget)))
+      // integral `div`, not floor(a / b): `/` on longs is DOUBLE
+      // division, which misassigns packs once a shard's running total
+      // passes 2^53 (and diverges from the oracle's exact BIGINT `//`)
+      .withColumn("pack_id", expr(s"cum_before div ${budget}L"))
       .drop("cum_before")
   }
 }

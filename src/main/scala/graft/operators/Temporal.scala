@@ -96,7 +96,12 @@ object Temporal {
     events
       .select(col(key), col(attr), col(ts), col(tiebreak))
       .withColumn("__prev", lag(col(attr), 1).over(w))
-      .where(col("__prev").isNull || !(col("__prev") <=> col(attr)))
+      .withColumn("__rn", row_number().over(w))
+      // "first row" is detected by position, NOT by __prev being null —
+      // a null ATTRIBUTE would otherwise look like a run start forever
+      // (runs of nulls must collapse like any other run, null-safely).
+      .where(col("__rn") === 1 || !(col("__prev") <=> col(attr)))
+      .drop("__rn")
       .withColumn("version", row_number().over(w))
       .withColumn("valid_to", lead(col(ts), 1).over(w))
       .select(col(key), col(attr), col(ts).as("valid_from"),

@@ -165,11 +165,12 @@ object PipelineQueries {
     },
     Some("""WITH e AS (
            |  SELECT user_id, event_type, ts, event_id,
-           |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+           |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
            |  FROM events),
            |ch AS (
            |  SELECT user_id, event_type, ts, event_id FROM e
-           |  WHERE prev IS NULL OR prev <> event_type)
+           |  WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
            |SELECT user_id, event_type,
            |       epoch_us(ts) AS valid_from_us,
            |       epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS valid_to_us,
@@ -283,7 +284,7 @@ object PipelineQueries {
         .agg(
           count(lit(1)).as("n_total"),
           count(when($"bucket" < rate, 1)).as("n_sampled"))
-        .withColumn("rate_pct", ((pmod($"label", lit(3)) + 1) * 10).cast("int"))
+        .withColumn("rate_pct", rate.cast("int"))
         .orderBy($"label")
     },
     Some("""SELECT label, count(*) AS n_total,

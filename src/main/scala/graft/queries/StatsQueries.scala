@@ -81,10 +81,13 @@ object StatsQueries {
         .withColumn("mu", avg($"v").over(w))
         .withColumn("sd", stddev_samp($"v").over(w))
         .where($"sd".isNotNull && $"sd" > 0)
-        .withColumn("z", ($"v" - $"mu") / $"sd")
+        // flag on the ROUNDED z: set membership must depend on the 4dp
+        // value both engines ship, not on last-ULP engine-order noise
+        // sitting exactly at the threshold
+        .withColumn("z", round(($"v" - $"mu") / $"sd", 4))
         .where(abs($"z") > 2.0)
         .select($"event_type", date_format($"h", "yyyy-MM-dd HH:mm:ss").as("hour"),
-          round($"z", 4).as("z"))
+          $"z")
         .orderBy($"event_type", $"hour")
     },
     Some("""WITH hourly AS (
@@ -100,7 +103,7 @@ object StatsQueries {
            |SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
            |       round((v - mu) / sd, 4) AS z
            |FROM scored
-           |WHERE sd IS NOT NULL AND sd > 0 AND abs((v - mu) / sd) > 2.0
+           |WHERE sd IS NOT NULL AND sd > 0 AND abs(round((v - mu) / sd, 4)) > 2.0
            |ORDER BY event_type, hour""".stripMargin))
 
   /** PMI token co-occurrence: document-level presence pairs (w1 < w2)
@@ -228,17 +231,20 @@ object StatsQueries {
     (s, d) => {
       import s.implicits._
       val ev = Tables.events(s, d)
+      // each stage frame is cached: v feeds c, p AND the final counts —
+      // without the persist the events scan + view aggregation would
+      // re-run for every downstream branch (6 scans instead of 3)
       val v = ev.where($"event_type" === "view")
-        .groupBy($"user_id").agg(min($"ts").as("t1"))
+        .groupBy($"user_id").agg(min($"ts").as("t1")).cache()
       val c = ev.where($"event_type" === "click").join(v, "user_id")
         .where($"ts" > $"t1")
-        .groupBy($"user_id").agg(min($"ts").as("t2"))
+        .groupBy($"user_id").agg(min($"ts").as("t2")).cache()
       val p = ev.where($"event_type" === "purchase").join(c, "user_id")
         .where($"ts" > $"t2")
         .groupBy($"user_id").agg(min($"ts").as("t3"))
-      v.agg(count(lit(1)).as("n_view")).crossJoin(
-        c.agg(count(lit(1)).as("n_click_after")))
-        .crossJoin(p.agg(count(lit(1)).as("n_purchase_after")))
+      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .agg(count($"t1").as("n_view"), count($"t2").as("n_click_after"),
+          count($"t3").as("n_purchase_after"))
     },
     Some("""WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
            |           WHERE event_type = 'view' GROUP BY user_id),
@@ -262,19 +268,26 @@ object StatsQueries {
       val bounds = ev.groupBy($"event_type")
         .agg(expr("percentile(value, 0.01D)").as("lo"),
           expr("percentile(value, 0.99D)").as("hi"))
+      // bounds are 6dp-quantized before ANY comparison: the two
+      // engines' interpolation formulas can differ by an ULP when the
+      // percentile position is fractional over duplicate values, and an
+      // unrounded `value > hi` at exactly that boundary would flip
+      // n_clamped in one engine only.
       ev.join(broadcast(bounds), "event_type")
-        .withColumn("clamped", least(greatest($"value", $"lo"), $"hi"))
+        .withColumn("lo_q", round($"lo", 6))
+        .withColumn("hi_q", round($"hi", 6))
+        .withColumn("clamped", least(greatest($"value", $"lo_q"), $"hi_q"))
         .groupBy($"event_type")
         .agg(
           count(lit(1)).as("n"),
           round(avg($"value"), 4).as("raw_mean"),
           round(avg($"clamped"), 4).as("wins_mean"),
-          count(when($"value" < $"lo" || $"value" > $"hi", 1)).as("n_clamped"))
+          count(when($"value" < $"lo_q" || $"value" > $"hi_q", 1)).as("n_clamped"))
         .orderBy($"event_type")
     },
     Some("""WITH bounds AS (
-           |  SELECT event_type, quantile_cont(value, 0.01) AS lo,
-           |         quantile_cont(value, 0.99) AS hi
+           |  SELECT event_type, round(quantile_cont(value, 0.01), 6) AS lo,
+           |         round(quantile_cont(value, 0.99), 6) AS hi
            |  FROM events GROUP BY event_type)
            |SELECT event_type, count(*) AS n,
            |       round(avg(value), 4) AS raw_mean,

@@ -74,4 +74,20 @@ class TemporalSpec extends SparkTestBase {
       Seq((1L, "A", 10L, 30L, 1, false), (1L, "B", 30L, 40L, 2, false),
         (1L, "A", 40L, -1L, 3, true), (2L, "X", 10L, -1L, 1, true)))
   }
+
+  test("scd2 collapses runs of NULL attributes like any other run") {
+    val ev = Seq(
+      (1L, Option("A"), 10L, 1L), (1L, None, 20L, 2L), (1L, None, 30L, 3L),
+      (1L, Option("B"), 40L, 4L), (2L, Option.empty[String], 10L, 5L)
+    ).toDF("k", "st", "t", "id")
+      .withColumn("t", timestamp_seconds($"t"))
+    val got = Temporal.scd2(ev, "k", "st", "t", "id")
+      .orderBy($"k", $"version")
+      .select($"k", $"st", $"version").collect()
+    // the two consecutive NULLs are ONE version; a leading NULL (key 2)
+    // still yields its first row
+    assert(got.map(r => (r.getLong(0),
+      if (r.isNullAt(1)) "∅" else r.getString(1), r.getInt(2))).toSeq ==
+      Seq((1L, "A", 1), (1L, "∅", 2), (1L, "B", 3), (2L, "∅", 1)))
+  }
 }
