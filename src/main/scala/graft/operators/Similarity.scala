@@ -239,13 +239,21 @@ object Similarity {
     val probes = queries
       .join(nearestCells(queries, centroids, nprobe), "vec_id")
       .select(col("vec_id").as("qid"), col("cell_id"), asDouble(col("embedding")).as("qv"))
-    // broadcast the probe side when its size estimate allows:
-    // |queries|×nprobe rows vs the corpus — without the hint the static
-    // plan sort-merge-joins (shuffling the ENTIRE indexed corpus), but a
+    // broadcast the probe side when its size allows: |queries|×nprobe
+    // rows vs the corpus — without the hint the static plan
+    // sort-merge-joins (shuffling the ENTIRE indexed corpus), but a
     // HARD hint would force-OOM a corpus-sized query set (kNN-graph
-    // builds); Joins.maybeBroadcast gives the broadcast plan exactly
-    // when it is safe and leaves big probe sets to the planner/AQE
-    val sims = indexed.join(Joins.maybeBroadcast(probes), "cell_id")
+    // builds). The post-join stats estimate is useless here (join
+    // multiplication inflates it past any threshold even for 5 probe
+    // vectors), so the gate sizes the RAW query frame — whose estimate
+    // comes from file stats — times the probed-cell fan-out, capped by
+    // the actual cell count (one tiny count over the centroid frame).
+    val cells = centroids.select(col("cell_id")).distinct().count()
+    val probeBytes = Joins.estimatedBytes(queries) *
+      math.min(nprobe.toLong, math.max(cells, 1L))
+    val probesSide =
+      if (probeBytes <= Joins.DefaultBroadcastBytes) broadcast(probes) else probes
+    val sims = indexed.join(probesSide, "cell_id")
       .filter(col("qid") =!= col("cid"))
       .withColumn("sim", cosineNative(col("qv"), col("cv")))
     val w = org.apache.spark.sql.expressions.Window
