@@ -128,6 +128,68 @@ object Streams {
   case class UserEvent(user_id: Long, event_id: Long, tsMicros: Long)
   case class UserState(user_id: Long, n_events: Long, last_event_id: Long)
 
+  /** Streaming SCD Type-2: per-key attribute run-collapse as a
+    * flatMapGroupsWithState state machine. Each trigger's rows are
+    * sorted in-group by (ts, event_id) — the iterator order within a
+    * micro-batch is not guaranteed — and every attribute CHANGE closes
+    * the open interval, which is emitted immediately (Append-safe: a
+    * closed interval never changes). The open interval lives only in
+    * state, so `scd2Stream` output ≡ the batch `Temporal.scd2` rows
+    * with `is_current = false`, PROVIDED event time never regresses
+    * across triggers for a key (the file-per-time-slice layout the
+    * specs stage; late regressors would need watermark buffering).
+    * State per key is O(1): (attr, version, valid_from) — no event
+    * history is retained. */
+  case class AttrEvent(user_id: Long, attr: String, tsMicros: Long, event_id: Long)
+  case class Scd2State(attr: String, version: Int, validFromMicros: Long)
+  case class Scd2Closed(user_id: Long, attr: String, valid_from_us: Long,
+      valid_to_us: Long, version: Int)
+
+  def scd2Stream(events: DataFrame)(implicit spark: SparkSession)
+      : org.apache.spark.sql.Dataset[Scd2Closed] = {
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("event_type").as("attr"),
+        unix_micros(col("ts")).as("tsMicros"), col("event_id"))
+      .as[AttrEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[AttrEvent], state: GroupState[Scd2State]) =>
+          val sorted = it.toArray.sortBy(e => (e.tsMicros, e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Closed]
+          var st = state.getOption
+          sorted.foreach { e =>
+            st match {
+              case None =>
+                st = Some(Scd2State(e.attr, 1, e.tsMicros))
+              case Some(s) if s.attr != e.attr =>
+                out += Scd2Closed(uid, s.attr, s.validFromMicros, e.tsMicros, s.version)
+                st = Some(Scd2State(e.attr, s.version + 1, e.tsMicros))
+              case _ => () // same attr: the run continues
+            }
+          }
+          st.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  /** Start the SCD2 state machine over an events directory into a
+    * memory sink, one file per trigger so time-sliced files replay in
+    * order (the layout assumption documented on [[scd2Stream]]). */
+  def startScd2ToMemory(spark: SparkSession, dir: String,
+      queryName: String): StreamingQuery = {
+    implicit val s: SparkSession = spark
+    // maxFilesPerTrigger is a SOURCE option: one file per micro-batch,
+    // so time-sliced files replay as ordered triggers
+    val src = normalize(spark.readStream.schema(eventSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dir))
+    scd2Stream(src).toDF()
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   def sessionize(events: DataFrame)(implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     events

@@ -165,6 +165,39 @@ class StarStreamingSpec extends SparkTestBase {
     assert(batch.count() > 0, "fixture must produce attribution pairs")
   }
 
+  test("scd2 stream (flatMapGroupsWithState) == batch closed intervals") {
+    implicit val s = spark
+    // raw read keeps ts as epoch-nanos long (the stream source schema);
+    // split at the median into two time-ordered trigger files so runs
+    // span the micro-batch boundary and exercise cross-trigger state
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val median = raw.selectExpr("percentile_approx(ts, 0.5D, 100000)").head.getLong(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_scd2")
+    def stage(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_scd2_tmp")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath, dir.resolve(name))
+    }
+    stage("b1.parquet", raw.filter($"ts" < median))
+    stage("b2.parquet", raw.filter($"ts" >= median))
+    val q = Streams.startScd2ToMemory(spark, dir.toString, "scd2_stream_test")
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("scd2_stream_test")
+    val batch = graft.operators.Temporal
+      .scd2(Tables.events(spark, sf), "user_id", "event_type", "ts", "event_id")
+      .where(!$"is_current")
+      .select($"user_id", $"event_type".as("attr"),
+        unix_micros($"valid_from").as("valid_from_us"),
+        unix_micros($"valid_to").as("valid_to_us"), $"version")
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0,
+      "streamed closed intervals must equal batch non-current SCD2 rows")
+    assert(batch.count() > 100, "fixture must close many intervals")
+  }
+
   test("sessionize mapGroupsWithState: per-user counts match groupBy") {
     implicit val s = spark
     val events = Tables.events(spark, sf)
