@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.operators.Temporal
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Temporal operators as driver-verifiable queries: event-time session
@@ -135,6 +136,79 @@ object TemporalQueries {
            |  AND f.ts > t.ts AND f.ts <= t.ts + INTERVAL 1 HOUR
            |GROUP BY bucket""".stripMargin))
 
+  /** Calendar gap-fill (resample): densify hourly counts per event
+    * type over the full [min, max] hour span — missing hours emit 0.
+    * The hour spine is `sequence(lo, hi, 1h)` (≡ DuckDB
+    * generate_series) cross-joined with the type dimension; both are
+    * broadcast-sized (hours × types), so the only big-side work is the
+    * original aggregation. */
+  val q113GapFill = GQuery(
+    "q113_gap_fill",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val hourly = ev
+        .groupBy($"event_type", date_trunc("hour", $"ts").as("h"))
+        .agg(count(lit(1)).as("n"))
+      val bounds = ev.agg(
+        date_trunc("hour", min($"ts")).as("lo"),
+        date_trunc("hour", max($"ts")).as("hi"))
+      val spine = bounds
+        .select(explode(sequence($"lo", $"hi", expr("interval 1 hour"))).as("h"))
+      val types = ev.select($"event_type").distinct()
+      spine.crossJoin(types)
+        .join(hourly, Seq("event_type", "h"), "left")
+        .select($"event_type", date_format($"h", "yyyy-MM-dd HH:mm:ss").as("hour"),
+          coalesce($"n", lit(0L)).as("n"))
+        .orderBy($"event_type", $"hour")
+    },
+    Some("""WITH hourly AS (
+           |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+           |  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+           |bounds AS (
+           |  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+           |  FROM events),
+           |spine AS (
+           |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds),
+           |types AS (SELECT DISTINCT event_type FROM events)
+           |SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+           |       COALESCE(n, 0) AS n
+           |FROM spine CROSS JOIN types
+           |LEFT JOIN hourly USING (event_type, h)
+           |ORDER BY event_type, hour""".stripMargin))
+
+  /** Time-weighted average (TWAP): each observation holds until the
+    * user's next event; the weight is that holding duration in µs
+    * (exact integer), so the weighted sum is the only FP accumulation
+    * and 4 dp rounding absorbs engine summation order. Users with a
+    * single event have no held interval and drop out (sum(dur)=0 on
+    * neither side — the row never exists). */
+  val q114TimeWeightedAvg = GQuery(
+    "q114_time_weighted_avg",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables.events(s, d)
+        .withColumn("dur_us", unix_micros(lead($"ts", 1).over(w)) - unix_micros($"ts"))
+        .where($"dur_us".isNotNull)
+        .groupBy($"user_id")
+        .agg(
+          count(lit(1)).as("n_held"),
+          round(sum($"value" * $"dur_us".cast("double")) /
+            sum($"dur_us".cast("double")), 4).as("twap"))
+        .orderBy($"user_id")
+    },
+    Some("""WITH held AS (
+           |  SELECT user_id, value,
+           |         epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+           |           - epoch_us(ts) AS dur_us
+           |  FROM events)
+           |SELECT user_id, count(*) AS n_held,
+           |       round(sum(value * CAST(dur_us AS DOUBLE)) /
+           |             sum(CAST(dur_us AS DOUBLE)), 4) AS twap
+           |FROM held WHERE dur_us IS NOT NULL
+           |GROUP BY user_id ORDER BY user_id""".stripMargin))
+
   val all: Seq[GQuery] = Seq(q85SessionWindow, q86AsofJoin, q87RangeJoin,
-    q92AttributionJoin)
+    q92AttributionJoin, q113GapFill, q114TimeWeightedAvg)
 }
