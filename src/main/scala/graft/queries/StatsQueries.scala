@@ -296,8 +296,92 @@ object StatsQueries {
            |FROM events JOIN bounds USING (event_type)
            |GROUP BY event_type ORDER BY event_type""".stripMargin))
 
+  /** Markov transition matrix over per-user event sequences:
+    * P(next | current) from lead() pairs, user-partitioned windows
+    * only. The probabilities are int÷int quotients — bit-identical
+    * cross-engine before the display rounding. */
+  val q115MarkovTransitions = GQuery(
+    "q115_markov_transitions",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val pairs = Tables.events(s, d)
+        .withColumn("nxt", lead($"event_type", 1).over(w))
+        .where($"nxt".isNotNull)
+        .groupBy($"event_type".as("cur"), $"nxt")
+        .agg(count(lit(1)).as("n"))
+      val totals = pairs.groupBy($"cur").agg(sum($"n").as("n_cur"))
+      pairs.join(broadcast(totals), "cur")
+        .select($"cur", $"nxt", $"n",
+          round($"n".cast("double") / $"n_cur".cast("double"), 6).as("p"))
+        .orderBy($"cur", $"nxt")
+    },
+    Some("""WITH pairs AS (
+           |  SELECT event_type AS cur,
+           |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+           |  FROM events),
+           |counts AS (
+           |  SELECT cur, nxt, count(*) AS n FROM pairs WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+           |totals AS (SELECT cur, CAST(sum(n) AS BIGINT) AS n_cur FROM counts GROUP BY cur)
+           |SELECT cur, nxt, n,
+           |       round(CAST(n AS DOUBLE) / CAST(n_cur AS DOUBLE), 6) AS p
+           |FROM counts JOIN totals USING (cur)
+           |ORDER BY cur, nxt""".stripMargin))
+
+  /** Distribution-drift detection (PSI): value histograms of the first
+    * vs second half of the month per event type, Laplace-smoothed
+    * shares, PSI = Σ (pa−pb)·ln(pa/pb). Bin edges are the q107-style
+    * shared IEEE expression (bit-deterministic membership); smoothing
+    * guarantees no zero shares, so the ln is always defined. */
+  val q116DriftPsi = GQuery(
+    "q116_drift_psi",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val stats = ev.agg(min($"value").as("lo"), max($"value").as("hi"))
+      val binned = ev.crossJoin(broadcast(stats))
+        .withColumn("bin",
+          least(floor(($"value" - $"lo") / (($"hi" - $"lo") / 10.0)), lit(9.0)).cast("int"))
+        .withColumn("half",
+          when($"ts" < lit("2024-01-16").cast("timestamp"), "a").otherwise("b"))
+      val cells = binned.groupBy($"event_type", $"bin", $"half")
+        .agg(count(lit(1)).as("n"))
+      val wide = cells.groupBy($"event_type", $"bin")
+        .agg(sum(when($"half" === "a", $"n").otherwise(0L)).as("na"),
+          sum(when($"half" === "b", $"n").otherwise(0L)).as("nb"))
+      val tot = wide.groupBy($"event_type")
+        .agg(sum($"na").as("ta"), sum($"nb").as("tb"))
+      wide.join(broadcast(tot), "event_type")
+        .withColumn("pa", ($"na".cast("double") + 1.0) / ($"ta".cast("double") + 10.0))
+        .withColumn("pb", ($"nb".cast("double") + 1.0) / ($"tb".cast("double") + 10.0))
+        .groupBy($"event_type")
+        .agg(round(sum(($"pa" - $"pb") * log($"pa" / $"pb")), 6).as("psi"),
+          count(lit(1)).as("n_bins"))
+        .orderBy($"event_type")
+    },
+    Some("""WITH stats AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+           |binned AS (
+           |  SELECT event_type,
+           |         CAST(least(floor((value - lo) / ((hi - lo) / 10.0)), 9.0) AS INT) AS bin,
+           |         CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'a' ELSE 'b' END AS half
+           |  FROM events CROSS JOIN stats),
+           |wide AS (
+           |  SELECT event_type, bin,
+           |         count(*) FILTER (WHERE half = 'a') AS na,
+           |         count(*) FILTER (WHERE half = 'b') AS nb
+           |  FROM binned GROUP BY event_type, bin),
+           |tot AS (
+           |  SELECT event_type, CAST(sum(na) AS BIGINT) AS ta, CAST(sum(nb) AS BIGINT) AS tb
+           |  FROM wide GROUP BY event_type)
+           |SELECT event_type,
+           |       round(sum(((na + 1.0) / (ta + 10.0) - (nb + 1.0) / (tb + 10.0)) *
+           |                 ln(((na + 1.0) / (ta + 10.0)) / ((nb + 1.0) / (tb + 10.0)))), 6) AS psi,
+           |       count(*) AS n_bins
+           |FROM wide JOIN tot USING (event_type)
+           |GROUP BY event_type ORDER BY event_type""".stripMargin))
+
   val all: Seq[GQuery] =
     Seq(q103ExactPercentiles, q104RegressionTrend, q105MovingZscore,
       q106PmiCooccurrence, q107ValueHistogram, q108Pagerank, q109Funnel,
-      q110WinsorizedStats)
+      q110WinsorizedStats, q115MarkovTransitions, q116DriftPsi)
 }
