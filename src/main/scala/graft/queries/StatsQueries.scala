@@ -231,14 +231,17 @@ object StatsQueries {
     (s, d) => {
       import s.implicits._
       val ev = Tables.events(s, d)
-      // each stage frame is cached: v feeds c, p AND the final counts —
-      // without the persist the events scan + view aggregation would
-      // re-run for every downstream branch (6 scans instead of 3)
+      // each stage frame is materialized once (localCheckpoint, not
+      // cache: blocks are released by the ContextCleaner when the
+      // result is dropped, instead of pinning session memory): v feeds
+      // c, p AND the final counts — without materialization the events
+      // scan + view aggregation would re-run for every downstream
+      // branch (6 scans instead of 3)
       val v = ev.where($"event_type" === "view")
-        .groupBy($"user_id").agg(min($"ts").as("t1")).cache()
+        .groupBy($"user_id").agg(min($"ts").as("t1")).localCheckpoint(true)
       val c = ev.where($"event_type" === "click").join(v, "user_id")
         .where($"ts" > $"t1")
-        .groupBy($"user_id").agg(min($"ts").as("t2")).cache()
+        .groupBy($"user_id").agg(min($"ts").as("t2")).localCheckpoint(true)
       val p = ev.where($"event_type" === "purchase").join(c, "user_id")
         .where($"ts" > $"t2")
         .groupBy($"user_id").agg(min($"ts").as("t3"))
