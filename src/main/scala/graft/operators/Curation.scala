@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.functions.TextAnalysis
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, IntegerType, StringType}
+
+/** Corpus-curation primitives a large-scale training-data pipeline
+  * needs beyond document-level dedup: sub-document ("line"-level)
+  * chunking for CCNet-style repeated-passage removal, PII detection /
+  * redaction, and URL→domain normalization. All pure Column
+  * expressions — codegen-friendly, no UDFs — so they ride inside
+  * whole-stage codegen next to the scan.
+  *
+  * Reference parallel: the cleaning layer of `transformer_data.py`
+  * (clean_string :77-100, keyword filters :343-382) stops at document
+  * granularity; these extend the same declarative style below the
+  * document boundary (SURVEY §7.5 north star).
+  */
+object Curation {
+
+  /** Consecutive non-overlapping `width`-token chunk strings — the
+    * "lines" of a corpus whose documents carry no newlines. Only full
+    * chunks are emitted (a trailing partial chunk would hash
+    * differently under padding and break cross-corpus matching).
+    */
+  def chunks(textCol: Column, width: Int): Column = {
+    val t = TextAnalysis.tokens(textCol)
+    // exact for any realistic token count (< 2^52): int/double divide
+    // then floor, because Column `/` on ints is double division
+    val n = floor(size(t) / lit(width.toDouble)).cast(IntegerType)
+    when(n >= 1,
+      transform(sequence(lit(0), n - 1),
+        i => array_join(slice(t, i * width + 1, lit(width)), " ")))
+      .otherwise(array().cast(ArrayType(StringType)))
+  }
+
+  /** PII patterns. RE2-compatible (no lookarounds) so the DuckDB
+    * oracle's regexp engine and Java's agree token-for-token. */
+  val EmailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe: String = "\\b555-\\d{4}\\b"
+  val Ipv4Re: String = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Number of non-overlapping matches of `re` in the column. */
+  def countMatches(c: Column, re: String): Column =
+    size(regexp_extract_all(c, lit(re), lit(0)))
+
+  /** Redact all three PII classes. Email first: its character class
+    * overlaps the IP pattern's digits-and-dots, so the wider pattern
+    * must consume its text before the narrower ones run. */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, lit(EmailRe), lit("<EMAIL>")),
+        lit(PhoneRe), lit("<PHONE>")),
+      lit(Ipv4Re), lit("<IP>"))
+
+  /** Registrable domain of the first http(s) URL in the column (empty
+    * string when none) — the key for per-domain corpus accounting. */
+  def domain(c: Column): Column =
+    regexp_extract(c, "https?://([A-Za-z0-9.-]+)", 1)
+}

@@ -1,0 +1,306 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextAnalysis
+import graft.operators.Curation
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators as driver-verifiable queries: sub-document
+  * chunk dedup (CCNet-style), PII redaction accounting, benchmark
+  * contamination detection, per-domain stats, weighted resampling,
+  * vocabulary coverage, and deterministic training order. Every join /
+  * shuffle key is an md5-derived 60-bit hash (never raw text), so the
+  * DuckDB oracle reproduces each decision bit-for-bit and the 100 TB
+  * plan shuffles 8-byte keys.
+  */
+object CurationQueries {
+
+  /** Shared SQL fragments (same constants as the Scala side so the two
+    * engines cannot drift). */
+  private val toksSql = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+  private val h60 = "CAST('0x' || substring(md5(__X__), 1, 15) AS BIGINT)"
+  private def h60of(x: String) = h60.replace("__X__", x)
+
+  /** q117 — chunk-level ("line"-level) dedup accounting: split every
+    * document into consecutive 10-token chunks, hash each, and measure
+    * per-source how much of the corpus is made of passages repeated in
+    * more than one document — the CCNet signal for boilerplate
+    * removal. The shuffle key is the 60-bit chunk hash; chunk text
+    * never leaves the scan stage.
+    */
+  val q117ChunkDedup = GQuery(
+    "q117_chunk_dedup",
+    (s, d) => {
+      import s.implicits._
+      val ch = Tables.documents(s, d)
+        .select($"doc_id", $"source",
+          explode(Curation.chunks($"text", 10)).as("chunk"))
+        .select($"doc_id", $"source", TextAnalysis.tokenHash60($"chunk").as("ch"))
+      val counts = ch.groupBy($"ch").agg(countDistinct($"doc_id").as("n_docs"))
+      ch.join(counts, "ch")
+        .groupBy($"source")
+        .agg(
+          count(lit(1)).as("n_chunks"),
+          count(when($"n_docs" > 1, 1)).as("n_dup_chunks"),
+          round(count(when($"n_docs" > 1, 1)).cast("double") /
+            count(lit(1)).cast("double"), 4).as("dup_frac"))
+        .orderBy($"source")
+    },
+    Some(s"""WITH toks AS (SELECT doc_id, source, $toksSql AS t FROM documents),
+            |ch AS (
+            |  SELECT doc_id, source, ${h60of("chunk")} AS ch FROM (
+            |    SELECT doc_id, source,
+            |           unnest(CASE WHEN len(t) >= 10
+            |             THEN list_transform(range(0, len(t) // 10),
+            |                    i -> array_to_string(t[i*10+1:i*10+10], ' '))
+            |             ELSE [] END) AS chunk
+            |    FROM toks)),
+            |cd AS (SELECT ch, count(DISTINCT doc_id) AS n_docs FROM ch GROUP BY ch)
+            |SELECT source, count(*) AS n_chunks,
+            |       count(*) FILTER (WHERE n_docs > 1) AS n_dup_chunks,
+            |       round(CAST(count(*) FILTER (WHERE n_docs > 1) AS DOUBLE) /
+            |             CAST(count(*) AS DOUBLE), 4) AS dup_frac
+            |FROM ch JOIN cd USING (ch)
+            |GROUP BY source ORDER BY source""".stripMargin),
+    benchmark = true)
+
+  /** q118 — PII redaction accounting. The corpus carries no PII, so
+    * deterministic synthetic PII is injected by doc_id residue (same
+    * expression in both engines); the query then counts and redacts
+    * emails / phone numbers / IPv4s per source and reports the
+    * character volume removed.
+    */
+  val q118PiiRedaction = GQuery(
+    "q118_pii_redaction",
+    (s, d) => {
+      import s.implicits._
+      val aug = Tables.documents(s, d).withColumn("t2", concat($"text",
+        when($"doc_id" % 7 === 0,
+          concat(lit(" contact user"), $"doc_id".cast("string"), lit("@example.com")))
+          .otherwise(lit("")),
+        when($"doc_id" % 11 === 0, lit(" call 555-0142")).otherwise(lit("")),
+        when($"doc_id" % 13 === 0, lit(" from 10.0.0.7 logged")).otherwise(lit(""))))
+      aug
+        .withColumn("n_email", Curation.countMatches($"t2", Curation.EmailRe))
+        .withColumn("n_phone", Curation.countMatches($"t2", Curation.PhoneRe))
+        .withColumn("n_ip", Curation.countMatches($"t2", Curation.Ipv4Re))
+        .withColumn("removed", length($"t2") - length(Curation.redactPii($"t2")))
+        .groupBy($"source")
+        .agg(
+          sum($"n_email").as("n_email"),
+          sum($"n_phone").as("n_phone"),
+          sum($"n_ip").as("n_ip"),
+          count(when($"n_email" + $"n_phone" + $"n_ip" > 0, 1)).as("n_docs_pii"),
+          sum($"removed").as("chars_removed"))
+        .orderBy($"source")
+    },
+    Some(s"""WITH aug AS (
+            |  SELECT source,
+            |    text ||
+            |    CASE WHEN doc_id % 7 = 0
+            |         THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+            |         ELSE '' END ||
+            |    CASE WHEN doc_id % 11 = 0 THEN ' call 555-0142' ELSE '' END ||
+            |    CASE WHEN doc_id % 13 = 0 THEN ' from 10.0.0.7 logged' ELSE '' END AS t2
+            |  FROM documents),
+            |scored AS (
+            |  SELECT source,
+            |    len(regexp_extract_all(t2, '${Curation.EmailRe}')) AS n_email,
+            |    len(regexp_extract_all(t2, '${Curation.PhoneRe}')) AS n_phone,
+            |    len(regexp_extract_all(t2, '${Curation.Ipv4Re}')) AS n_ip,
+            |    length(t2) - length(
+            |      regexp_replace(regexp_replace(regexp_replace(t2,
+            |        '${Curation.EmailRe}', '<EMAIL>', 'g'),
+            |        '${Curation.PhoneRe}', '<PHONE>', 'g'),
+            |        '${Curation.Ipv4Re}', '<IP>', 'g')) AS removed
+            |  FROM aug)
+            |SELECT source,
+            |       CAST(sum(n_email) AS BIGINT) AS n_email,
+            |       CAST(sum(n_phone) AS BIGINT) AS n_phone,
+            |       CAST(sum(n_ip) AS BIGINT) AS n_ip,
+            |       count(*) FILTER (WHERE n_email + n_phone + n_ip > 0) AS n_docs_pii,
+            |       CAST(sum(removed) AS BIGINT) AS chars_removed
+            |FROM scored GROUP BY source ORDER BY source""".stripMargin))
+
+  /** q119 — benchmark contamination: 8-gram overlap between a held-out
+    * "benchmark" slice (doc_id < 25) and the training slice (the rest
+    * plus planted contaminated copies built from benchmark prefixes).
+    * Grams meet on their 60-bit hashes — an equi-join on longs, never
+    * an all-pairs text comparison.
+    */
+  val q119Contamination = GQuery(
+    "q119_contamination",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val toks = TextAnalysis.tokens($"text")
+      val planted = docs.where($"doc_id" < 25 && $"doc_id" % 5 === 0)
+        .select(($"doc_id" + 200000L).as("doc_id"),
+          concat(array_join(slice(toks, 1, 12), " "),
+            lit(" planted copy segment tail")).as("text"))
+      val train = docs.where($"doc_id" >= 25).select($"doc_id", $"text")
+        .unionByName(planted)
+      def gramHashes(df: DataFrame, id: Column, as: String) =
+        df.select(id.as(as), explode(TextAnalysis.shingles($"text", 8)).as("g"))
+          .select(col(as), TextAnalysis.tokenHash60($"g").as("gh"))
+      val tg = gramHashes(train, $"doc_id", "doc_id")
+      val bg = gramHashes(docs.where($"doc_id" < 25), $"doc_id", "bench_id")
+      tg.join(bg, "gh")
+        .groupBy($"doc_id")
+        .agg(countDistinct($"gh").as("n_shared"),
+          countDistinct($"bench_id").as("n_bench"))
+        .orderBy($"n_shared".desc, $"doc_id")
+        .limit(20)
+    },
+    Some {
+      val gram8 = "CASE WHEN len(t) >= 8 THEN list_distinct(list_transform(" +
+        "range(0, len(t) - 7), i -> array_to_string(t[i+1:i+8], ' '))) ELSE [] END"
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |planted AS (
+         |  SELECT doc_id + 200000 AS doc_id,
+         |         array_to_string(t[1:12], ' ') || ' planted copy segment tail' AS text
+         |  FROM toks WHERE doc_id < 25 AND doc_id % 5 = 0),
+         |train AS (SELECT doc_id, text FROM documents WHERE doc_id >= 25
+         |          UNION ALL SELECT doc_id, text FROM planted),
+         |tg AS (SELECT doc_id, ${h60of("g")} AS gh FROM (
+         |         SELECT doc_id, unnest($gram8) AS g
+         |         FROM (SELECT doc_id, $toksSql AS t FROM train))),
+         |bg AS (SELECT doc_id AS bench_id, ${h60of("g")} AS gh FROM (
+         |         SELECT doc_id, unnest($gram8) AS g
+         |         FROM (SELECT doc_id, $toksSql AS t FROM documents WHERE doc_id < 25)))
+         |SELECT tg.doc_id, count(DISTINCT tg.gh) AS n_shared,
+         |       count(DISTINCT bg.bench_id) AS n_bench
+         |FROM tg JOIN bg USING (gh)
+         |GROUP BY tg.doc_id
+         |ORDER BY n_shared DESC, doc_id LIMIT 20""".stripMargin
+    })
+
+  /** q120 — per-domain corpus accounting over normalized URLs (the
+    * URLs are synthesized from source+doc_id with the same expression
+    * in both engines; the operator under test is extract-and-group).
+    */
+  val q120DomainStats = GQuery(
+    "q120_domain_stats",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .withColumn("t2", concat($"text", lit(" https://"), $"source",
+          lit(".example.com/p/"), $"doc_id".cast("string")))
+        .withColumn("domain", Curation.domain($"t2"))
+        .groupBy($"domain")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg($"n_chars"), 2).as("avg_chars"),
+          countDistinct($"lang").as("n_langs"))
+        .orderBy($"domain")
+    },
+    Some("""WITH aug AS (
+           |  SELECT lang, n_chars,
+           |         regexp_extract(text || ' https://' || source || '.example.com/p/' ||
+           |                        CAST(doc_id AS VARCHAR),
+           |                        'https?://([A-Za-z0-9.-]+)', 1) AS domain
+           |  FROM documents)
+           |SELECT domain, count(*) AS n_docs, round(avg(n_chars), 2) AS avg_chars,
+           |       count(DISTINCT lang) AS n_langs
+           |FROM aug GROUP BY domain ORDER BY domain""".stripMargin))
+
+  /** q121 — deterministic weighted resampling: each source gets an
+    * md5-derived repeat factor in 1..3 and its documents are exploded
+    * that many times — the domain-mixing step of a training-data
+    * recipe, with no RNG so re-runs (and the oracle) agree exactly.
+    */
+  val q121WeightedResample = GQuery(
+    "q121_weighted_resample",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .withColumn("w", (TextAnalysis.tokenHash60($"source") % 3 + 1).cast("int"))
+        .select($"doc_id", $"source", $"w",
+          explode(sequence(lit(1), $"w")).as("rep"))
+        .groupBy($"source")
+        .agg(min($"w").as("weight"),
+          countDistinct($"doc_id").as("n_in"),
+          count(lit(1)).as("n_out"))
+        .orderBy($"source")
+    },
+    Some(s"""WITH wts AS (
+            |  SELECT doc_id, source,
+            |         CAST(${h60of("source")} % 3 + 1 AS INT) AS w
+            |  FROM documents),
+            |rep AS (SELECT doc_id, source, w, unnest(range(1, w + 1)) AS r FROM wts)
+            |SELECT source, min(w) AS weight, count(DISTINCT doc_id) AS n_in,
+            |       count(*) AS n_out
+            |FROM rep GROUP BY source ORDER BY source""".stripMargin))
+
+  /** q122 — vocabulary coverage: global term counts, top-1000 terms by
+    * (count, word), cumulative share of all token occurrences. The
+    * running-sum window runs AFTER the top-K cut, so it orders a
+    * constant ≤1000 rows regardless of corpus size (never a global
+    * window over the vocabulary).
+    */
+  val q122VocabCoverage = GQuery(
+    "q122_vocab_coverage",
+    (s, d) => {
+      import s.implicits._
+      val tf = Tables.documents(s, d)
+        .select(explode(TextAnalysis.tokens($"text")).as("word"))
+        .groupBy($"word").agg(count(lit(1)).as("cnt"))
+      val total = tf.agg(sum($"cnt").as("total"))
+      val top = tf.orderBy($"cnt".desc, $"word").limit(1000)
+      val w = Window.orderBy($"cnt".desc, $"word")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      top.withColumn("cum", sum($"cnt").over(w))
+        .crossJoin(broadcast(total))
+        .select($"word", $"cnt",
+          round($"cum".cast("double") / $"total".cast("double"), 6).as("cum_share"))
+        .orderBy($"cnt".desc, $"word")
+        .limit(30)
+    },
+    Some(s"""WITH tf AS (
+            |  SELECT word, count(*) AS cnt FROM (
+            |    SELECT unnest($toksSql) AS word FROM documents)
+            |  GROUP BY word),
+            |total AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM tf),
+            |top AS (SELECT word, cnt FROM tf ORDER BY cnt DESC, word LIMIT 1000),
+            |c AS (SELECT word, cnt,
+            |        CAST(sum(cnt) OVER (ORDER BY cnt DESC, word
+            |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+            |      FROM top)
+            |SELECT word, cnt, round(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6) AS cum_share
+            |FROM c CROSS JOIN total
+            |ORDER BY cnt DESC, word LIMIT 30""".stripMargin))
+
+  /** q123 — deterministic training order: docs are hashed into 32
+    * shards and ordered within each shard by hash — a reproducible
+    * global shuffle whose windows are shard-partitioned (each shard
+    * sorts 1/32 of the data; no global ordering anywhere).
+    */
+  val q123TrainingOrder = GQuery(
+    "q123_training_order",
+    (s, d) => {
+      import s.implicits._
+      val h = TextAnalysis.tokenHash60($"doc_id".cast("string"))
+      val sharded = Tables.documents(s, d)
+        .select($"doc_id", (h % 32).cast("int").as("shard"), h.as("h"))
+      val w = Window.partitionBy($"shard").orderBy($"h", $"doc_id")
+      sharded.withColumn("rn", row_number().over(w))
+        .groupBy($"shard")
+        .agg(count(lit(1)).as("n_docs"),
+          min(when($"rn" === 1, $"doc_id")).as("first_doc"))
+        .orderBy($"shard")
+    },
+    Some(s"""WITH sh AS (
+            |  SELECT doc_id, CAST(h % 32 AS INT) AS shard, h FROM (
+            |    SELECT doc_id, ${h60of("CAST(doc_id AS VARCHAR)")} AS h FROM documents)),
+            |r AS (SELECT doc_id, shard,
+            |        row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS rn
+            |      FROM sh)
+            |SELECT shard, count(*) AS n_docs,
+            |       min(doc_id) FILTER (WHERE rn = 1) AS first_doc
+            |FROM r GROUP BY shard ORDER BY shard""".stripMargin))
+
+  val all: Seq[GQuery] = Seq(
+    q117ChunkDedup, q118PiiRedaction, q119Contamination, q120DomainStats,
+    q121WeightedResample, q122VocabCoverage, q123TrainingOrder)
+}

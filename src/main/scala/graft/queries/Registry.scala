@@ -21,5 +21,6 @@ object Registry {
   def allQueries: Seq[GQuery] =
     CoreQueries.all ++ TextQueries.all ++ LlmQueries.all ++ StarQueries.all ++
       ParserQueries.all ++ EsportsQueries.all ++ TemporalQueries.all ++
-      RetrievalQueries.all ++ PipelineQueries.all ++ StatsQueries.all
+      RetrievalQueries.all ++ PipelineQueries.all ++ StatsQueries.all ++
+      CurationQueries.all ++ AnalyticsQueries.all
 }
