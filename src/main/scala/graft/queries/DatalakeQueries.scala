@@ -1,0 +1,227 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** Data-lake maintenance operators: CDC snapshot diffing, incremental
+  * aggregate (materialized-view) maintenance, schema-evolution reads,
+  * and privacy operations (k-anonymity audit, GDPR erasure
+  * propagation). These are the table-management half of a lakehouse —
+  * the reference's loader handles them imperatively row-by-row
+  * (loader_NeonDB.py:370-645 upserts); here each is a declarative plan
+  * whose only shuffles are key-hash equi-joins.
+  *
+  * Both engines derive the "mutated" inputs from the same base tables
+  * with identical arithmetic, so every decision (which rows changed,
+  * which groups are unsafe) reproduces bit-for-bit in the oracle.
+  */
+object DatalakeQueries {
+
+  /** q130 — CDC snapshot diff: classify every key across two table
+    * versions as added / deleted / changed / same, with the net price
+    * delta per class. The new snapshot is derived deterministically
+    * (deletes %97, in-place updates %13, inserts %89 re-keyed high).
+    * Scale shape: one full-outer shuffle join on the 8-byte key; the
+    * change test compares columns in place — no row serialization, no
+    * driver involvement.
+    */
+  val q130SnapshotDiff = GQuery(
+    "q130_snapshot_diff",
+    (s, d) => {
+      import s.implicits._
+      val base = Tables.orders(s, d)
+        .select($"o_orderkey".as("k"), $"o_totalprice".as("p"), $"o_orderstatus".as("st"))
+      val next = base.where($"k" % 97 =!= 0)
+        .withColumn("p", when($"k" % 13 === 0, $"p" + 10.0).otherwise($"p"))
+        .unionByName(base.where($"k" % 89 === 0)
+          .select(($"k" + 3000000000L).as("k"), $"p", lit("N").as("st")))
+      val b = base.select($"k".as("bk"), $"p".as("bp"), $"st".as("bs"))
+      val n = next.select($"k".as("nk"), $"p".as("np"), $"st".as("ns"))
+      b.join(n, $"bk" === $"nk", "full_outer")
+        .withColumn("change",
+          when($"bk".isNull, "added")
+            .when($"nk".isNull, "deleted")
+            .when($"np" =!= $"bp" || $"ns" =!= $"bs", "changed")
+            .otherwise("same"))
+        .groupBy($"change")
+        .agg(count(lit(1)).as("n"),
+          round(sum(coalesce($"np", lit(0.0)) - coalesce($"bp", lit(0.0))), 2)
+            .as("price_delta"))
+        .orderBy($"change")
+    },
+    Some("""WITH base AS (
+           |  SELECT o_orderkey AS k, o_totalprice AS p, o_orderstatus AS st FROM orders),
+           |nxt AS (
+           |  SELECT k, CASE WHEN k % 13 = 0 THEN p + 10.0 ELSE p END AS p, st
+           |  FROM base WHERE k % 97 <> 0
+           |  UNION ALL
+           |  SELECT k + 3000000000 AS k, p, 'N' AS st FROM base WHERE k % 89 = 0)
+           |SELECT CASE WHEN b.k IS NULL THEN 'added'
+           |            WHEN n.k IS NULL THEN 'deleted'
+           |            WHEN n.p <> b.p OR n.st <> b.st THEN 'changed'
+           |            ELSE 'same' END AS change,
+           |       count(*) AS n,
+           |       round(sum(COALESCE(n.p, 0.0) - COALESCE(b.p, 0.0)), 2) AS price_delta
+           |FROM base b FULL OUTER JOIN nxt n ON b.k = n.k
+           |GROUP BY change ORDER BY change""".stripMargin))
+
+  /** q131 — incremental aggregate maintenance: a materialized per-
+    * priority aggregate built from a historical partition plus a delta
+    * batch, merged by COMBINING partials (sum+sum, count+count) rather
+    * than rescanning history — the 100 TB refresh pattern where the
+    * delta is a day and the history is years. The oracle recomputes
+    * from scratch, so a green row IS the incremental==full proof.
+    */
+  val q131IncrementalAgg = GQuery(
+    "q131_incremental_agg",
+    (s, d) => {
+      import s.implicits._
+      val cutoff = lit("2000-01-01").cast("date")
+      val orders = Tables.orders(s, d)
+      def part(df: org.apache.spark.sql.DataFrame, tag: String) =
+        df.groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as(s"n_$tag"), sum($"o_totalprice").as(s"s_$tag"))
+      val state = part(orders.where($"o_orderdate".cast("date") < cutoff), "h")
+      val delta = part(orders.where($"o_orderdate".cast("date") >= cutoff), "d")
+      state.join(delta, Seq("o_orderpriority"), "full_outer")
+        .select($"o_orderpriority",
+          (coalesce($"n_h", lit(0L)) + coalesce($"n_d", lit(0L))).as("n_orders"),
+          round(coalesce($"s_h", lit(0.0)) + coalesce($"s_d", lit(0.0)), 2).as("revenue"),
+          round((coalesce($"s_h", lit(0.0)) + coalesce($"s_d", lit(0.0))) /
+            (coalesce($"n_h", lit(0L)) + coalesce($"n_d", lit(0L))), 4).as("avg_price"))
+        .orderBy($"o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n_orders,
+           |       round(sum(o_totalprice), 2) AS revenue,
+           |       round(sum(o_totalprice) / count(*), 4) AS avg_price
+           |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+
+  /** q132 — schema-evolution read: two parquet generations of the same
+    * table (gen=2 grew two columns), written separately and read back
+    * as one DataFrame via mergeSchema + partition discovery — the
+    * lakehouse answer to ALTER TABLE ADD COLUMN with no rewrite of old
+    * files. Missing columns surface as NULLs; the audit counts them
+    * per generation. The oracle reproduces the merged relation
+    * logically (UNION ALL with explicit NULLs).
+    */
+  val q132SchemaEvolution = GQuery(
+    "q132_schema_evolution",
+    (s, d) => {
+      import s.implicits._
+      val tmp = s"/tmp/graft_q132_${math.abs(d.hashCode)}"
+      val orders = Tables.orders(s, d)
+      orders.where($"o_orderkey" % 2 === 0)
+        .select($"o_orderkey", $"o_totalprice")
+        .write.mode("overwrite").parquet(s"$tmp/gen=1")
+      orders.where($"o_orderkey" % 2 =!= 0)
+        .select($"o_orderkey", $"o_totalprice", $"o_orderstatus", $"o_orderpriority")
+        .write.mode("overwrite").parquet(s"$tmp/gen=2")
+      s.read.option("mergeSchema", "true").parquet(tmp)
+        .groupBy($"gen".cast("int").as("gen"))
+        .agg(count(lit(1)).as("n"),
+          count(when($"o_orderstatus".isNull, 1)).as("n_null_status"),
+          count(when($"o_orderpriority".isNull, 1)).as("n_null_priority"),
+          round(sum($"o_totalprice"), 2).as("sum_price"))
+        .orderBy($"gen")
+    },
+    Some("""SELECT gen, count(*) AS n,
+           |       count(*) FILTER (WHERE st IS NULL) AS n_null_status,
+           |       count(*) FILTER (WHERE pr IS NULL) AS n_null_priority,
+           |       round(sum(p), 2) AS sum_price
+           |FROM (
+           |  SELECT 1 AS gen, o_totalprice AS p, NULL AS st, NULL AS pr
+           |  FROM orders WHERE o_orderkey % 2 = 0
+           |  UNION ALL
+           |  SELECT 2, o_totalprice, o_orderstatus, o_orderpriority
+           |  FROM orders WHERE o_orderkey % 2 <> 0)
+           |GROUP BY gen ORDER BY gen""".stripMargin))
+
+  /** q133 — k-anonymity audit over the quasi-identifier (segment,
+    * nation, coarse balance bucket): per segment, the smallest
+    * equivalence class, how many classes and rows fall under k=5, and
+    * the fraction that suppression would remove. One shuffle on the
+    * quasi-identifier, one tiny re-agg per segment.
+    */
+  val q133KAnonymity = GQuery(
+    "q133_k_anonymity",
+    (s, d) => {
+      import s.implicits._
+      Tables.customer(s, d)
+        .withColumn("bal_bucket", floor($"c_acctbal" / 1000.0).cast("int"))
+        .groupBy($"c_mktsegment", $"c_nationkey", $"bal_bucket")
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy($"c_mktsegment")
+        .agg(
+          count(lit(1)).as("n_classes"),
+          min($"cnt").as("k_min"),
+          count(when($"cnt" < 5, 1)).as("classes_lt5"),
+          coalesce(sum(when($"cnt" < 5, $"cnt")), lit(0L)).as("rows_at_risk"),
+          round(coalesce(sum(when($"cnt" < 5, $"cnt")), lit(0L)).cast("double") /
+            sum($"cnt").cast("double"), 4).as("risk_frac"))
+        .orderBy($"c_mktsegment")
+    },
+    Some("""WITH classes AS (
+           |  SELECT c_mktsegment, c_nationkey,
+           |         CAST(floor(c_acctbal / 1000.0) AS INT) AS bal_bucket,
+           |         count(*) AS cnt
+           |  FROM customer GROUP BY 1, 2, 3)
+           |SELECT c_mktsegment, count(*) AS n_classes,
+           |       CAST(min(cnt) AS BIGINT) AS k_min,
+           |       count(*) FILTER (WHERE cnt < 5) AS classes_lt5,
+           |       CAST(COALESCE(sum(cnt) FILTER (WHERE cnt < 5), 0) AS BIGINT) AS rows_at_risk,
+           |       round(CAST(COALESCE(sum(cnt) FILTER (WHERE cnt < 5), 0) AS DOUBLE) /
+           |             CAST(sum(cnt) AS DOUBLE), 4) AS risk_frac
+           |FROM classes GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+
+  /** q134 — GDPR erasure propagation: a small "forget me" key set
+    * cascades customer → orders → lineitem, reporting per-table rows
+    * removed and retained. The deletion sets travel as semi-/anti-join
+    * keys (never materialized to the driver); at 100 TB each hop is
+    * one key-hash join, broadcastable while the forget-set is small.
+    */
+  val q134GdprErasure = GQuery(
+    "q134_gdpr_erasure",
+    (s, d) => {
+      import s.implicits._
+      val cust = Tables.customer(s, d)
+      val orders = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d)
+      val forget = cust.where($"c_custkey" % 101 === 0).select($"c_custkey")
+      val ordersDel = orders.join(forget, $"o_custkey" === $"c_custkey", "left_semi")
+        .select($"o_orderkey")
+      def audit(tbl: String, total: org.apache.spark.sql.DataFrame,
+                removed: org.apache.spark.sql.DataFrame) =
+        total.agg(count(lit(1)).as("rows_before"))
+          .crossJoin(removed.agg(count(lit(1)).as("rows_removed")))
+          .select(lit(tbl).as("tbl"), $"rows_before", $"rows_removed",
+            ($"rows_before" - $"rows_removed").as("rows_after"))
+      audit("customer", cust, forget)
+        .unionByName(audit("orders", orders, ordersDel))
+        .unionByName(audit("lineitem", li,
+          li.join(ordersDel, $"l_orderkey" === $"o_orderkey", "left_semi")))
+        .orderBy($"tbl")
+    },
+    Some("""WITH forget AS (SELECT c_custkey FROM customer WHERE c_custkey % 101 = 0),
+           |odel AS (SELECT o_orderkey FROM orders
+           |         WHERE o_custkey IN (SELECT c_custkey FROM forget))
+           |SELECT 'customer' AS tbl,
+           |       (SELECT count(*) FROM customer) AS rows_before,
+           |       (SELECT count(*) FROM forget) AS rows_removed,
+           |       (SELECT count(*) FROM customer) - (SELECT count(*) FROM forget) AS rows_after
+           |UNION ALL
+           |SELECT 'lineitem',
+           |       (SELECT count(*) FROM lineitem),
+           |       (SELECT count(*) FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM odel)),
+           |       (SELECT count(*) FROM lineitem) -
+           |       (SELECT count(*) FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM odel))
+           |UNION ALL
+           |SELECT 'orders',
+           |       (SELECT count(*) FROM orders),
+           |       (SELECT count(*) FROM odel),
+           |       (SELECT count(*) FROM orders) - (SELECT count(*) FROM odel)
+           |ORDER BY tbl""".stripMargin))
+
+  val all: Seq[GQuery] = Seq(
+    q130SnapshotDiff, q131IncrementalAgg, q132SchemaEvolution,
+    q133KAnonymity, q134GdprErasure)
+}
