@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -260,7 +261,83 @@ object AnalyticsQueries {
            |        CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(tot AS DOUBLE) AS e
            |      FROM obs JOIN rowt USING (pr) JOIN colt USING (st) CROSS JOIN tot)""".stripMargin))
 
+  /** q139 — grid-blocked spatial self-join: customers get deterministic
+    * hash-derived coordinates in a 10°×10° region (lat 40–50), and the
+    * query finds all pairs within 50 km by great-circle (haversine)
+    * distance. Blocking: each point lands in a 1° grid cell (≥71 km
+    * wide at these latitudes, so a 50 km pair is always in the same or
+    * an adjacent cell); one side explodes to its 3×3 cell neighborhood
+    * and pairs meet on an equi-join over the cell id — never an
+    * all-pairs cross join. `ka < kb` dedups (the probe's 9 cells are
+    * distinct, the build point's home cell unique). Distances are
+    * 4dp-quantized before the ≤50 km membership test (libm sin/cos may
+    * differ by an ULP across engines).
+    */
+  val q139SpatialGridJoin = GQuery(
+    "q139_spatial_grid_join",
+    (s, d) => {
+      import s.implicits._
+      import graft.functions.TextAnalysis.tokenHash60
+      val pts = Tables.customer(s, d).select(
+        $"c_custkey".as("k"),
+        (lit(40.0) + (tokenHash60(concat($"c_custkey".cast("string"), lit("-lat")))
+          % 100000) / 10000.0).as("lat"),
+        ((tokenHash60(concat($"c_custkey".cast("string"), lit("-lon")))
+          % 100000) / 10000.0).as("lon"))
+      val cells = pts
+        .withColumn("cx", floor($"lat").cast("long"))
+        .withColumn("cy", floor($"lon").cast("long"))
+      val probe = cells
+        .select($"k".as("ka"), $"lat".as("la1"), $"lon".as("lo1"), $"cx", $"cy",
+          explode(array(lit(-1L), lit(0L), lit(1L))).as("dx"))
+        .select($"ka", $"la1", $"lo1", $"cx", $"cy", $"dx",
+          explode(array(lit(-1L), lit(0L), lit(1L))).as("dy"))
+        .select($"ka", $"la1", $"lo1",
+          ($"cx" + $"dx").as("px"), ($"cy" + $"dy").as("py"))
+      val build = cells.select($"k".as("kb"), $"lat".as("la2"), $"lon".as("lo2"),
+        $"cx", $"cy")
+      def sq(c: Column): Column = c * c
+      val dist = round(lit(2.0) * 6371.0 * asin(sqrt(
+        sq(sin(radians($"la2" - $"la1") / 2.0)) +
+          cos(radians($"la1")) * cos(radians($"la2")) *
+            sq(sin(radians($"lo2" - $"lo1") / 2.0)))), 4)
+      probe.join(build,
+          $"px" === $"cx" && $"py" === $"cy" && $"ka" < $"kb")
+        .withColumn("dist", dist)
+        .where($"dist" <= 50.0)
+        .groupBy(floor($"la1").cast("int").as("band"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(avg($"dist"), 4).as("avg_km"),
+          round(min($"dist"), 4).as("min_km"))
+        .orderBy($"band")
+    },
+    Some("""WITH pts AS (
+           |  SELECT c_custkey AS k,
+           |         40.0 + (CAST('0x' || substring(md5(CAST(c_custkey AS VARCHAR) || '-lat'), 1, 15) AS BIGINT)
+           |                 % 100000) / 10000.0 AS lat,
+           |         (CAST('0x' || substring(md5(CAST(c_custkey AS VARCHAR) || '-lon'), 1, 15) AS BIGINT)
+           |          % 100000) / 10000.0 AS lon
+           |  FROM customer),
+           |cells AS (SELECT k, lat, lon, CAST(floor(lat) AS BIGINT) AS cx,
+           |                 CAST(floor(lon) AS BIGINT) AS cy FROM pts),
+           |probe AS (SELECT k AS ka, lat AS la1, lon AS lo1, cx + dx.dx AS px, cy + dy.dy AS py
+           |          FROM cells,
+           |               (SELECT unnest([-1, 0, 1]) AS dx) dx,
+           |               (SELECT unnest([-1, 0, 1]) AS dy) dy),
+           |cand AS (SELECT ka, b.k AS kb, la1, lo1, b.lat AS la2, b.lon AS lo2
+           |         FROM probe a JOIN cells b ON a.px = b.cx AND a.py = b.cy AND a.ka < b.k),
+           |dd AS (SELECT la1,
+           |         round(2.0 * 6371.0 * asin(sqrt(
+           |           sin(radians(la2 - la1) / 2.0) * sin(radians(la2 - la1) / 2.0) +
+           |           cos(radians(la1)) * cos(radians(la2)) *
+           |           sin(radians(lo2 - lo1) / 2.0) * sin(radians(lo2 - lo1) / 2.0))), 4) AS dist
+           |       FROM cand)
+           |SELECT CAST(floor(la1) AS INT) AS band, count(*) AS n_pairs,
+           |       round(avg(dist), 4) AS avg_km, round(min(dist), 4) AS min_km
+           |FROM dd WHERE dist <= 50.0
+           |GROUP BY band ORDER BY band""".stripMargin))
+
   val all: Seq[GQuery] = Seq(
     q124MaxConcurrency, q125GroupingSets, q126HoppingWindow,
-    q127EntropyMode, q128RfmSegmentation, q129ChiSquare)
+    q127EntropyMode, q128RfmSegmentation, q129ChiSquare, q139SpatialGridJoin)
 }

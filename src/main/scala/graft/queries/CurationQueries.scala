@@ -300,7 +300,68 @@ object CurationQueries {
             |       min(doc_id) FILTER (WHERE rn = 1) AS first_doc
             |FROM r GROUP BY shard ORDER BY shard""".stripMargin))
 
+  /** q135 — bigram language-model quality scoring: corpus-wide bigram
+    * and left-context counts train an add-one-smoothed LM, then each
+    * document is scored by its mean log P(w_i | w_{i−1}) — the
+    * perplexity-style fluency signal of a training-data pipeline
+    * (documents full of never-seen-elsewhere token transitions score
+    * low). Count tables join back on 60-bit hashes, so the hot joins
+    * shuffle 8-byte keys; at 100 TB the bigram-count table is the only
+    * large intermediate and it's pre-aggregated before the join.
+    */
+  val q135BigramLm = GQuery(
+    "q135_bigram_lm",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val toks = docs.select($"doc_id", $"source", TextAnalysis.tokens($"text").as("t"))
+        .where(size($"t") >= 2)
+      val big = toks
+        .select($"doc_id", $"source", $"t",
+          explode(sequence(lit(1), size($"t") - 1)).as("i"))
+        .select($"doc_id", $"source",
+          TextAnalysis.tokenHash60(element_at($"t", $"i")).as("lh"),
+          TextAnalysis.tokenHash60(concat(element_at($"t", $"i"), lit(" "),
+            element_at($"t", $"i" + 1))).as("bh"))
+      val cb = big.groupBy($"bh").agg(count(lit(1)).as("cb"))
+      val cl = big.groupBy($"lh").agg(count(lit(1)).as("cl"))
+      val vocab = docs.select(explode(TextAnalysis.tokens($"text")).as("w"))
+        .agg(countDistinct($"w").as("vocab"))
+      val docScores = big.join(cb, "bh").join(cl, "lh")
+        .crossJoin(broadcast(vocab))
+        .withColumn("lp", log(($"cb".cast("double") + 1.0) /
+          ($"cl".cast("double") + $"vocab".cast("double"))))
+        .groupBy($"source", $"doc_id")
+        .agg(avg($"lp").as("dlp"))
+      docScores.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg($"dlp"), 6).as("avg_logp"),
+          round(min($"dlp"), 6).as("worst_logp"))
+        .orderBy($"source")
+    },
+    Some(s"""WITH toks AS (SELECT doc_id, source, $toksSql AS t FROM documents),
+            |tt AS (SELECT doc_id, source, t FROM toks WHERE len(t) >= 2),
+            |big AS (
+            |  SELECT doc_id, source,
+            |         ${h60of("t[i]")} AS lh,
+            |         ${h60of("t[i] || ' ' || t[i+1]")} AS bh
+            |  FROM (SELECT doc_id, source, t, unnest(range(1, len(t))) AS i FROM tt)),
+            |cb AS (SELECT bh, count(*) AS cb FROM big GROUP BY bh),
+            |cl AS (SELECT lh, count(*) AS cl FROM big GROUP BY lh),
+            |v AS (SELECT count(DISTINCT w) AS vocab FROM
+            |        (SELECT unnest($toksSql) AS w FROM documents)),
+            |ds AS (
+            |  SELECT source, doc_id,
+            |         avg(ln((CAST(cb AS DOUBLE) + 1.0) /
+            |                (CAST(cl AS DOUBLE) + CAST(vocab AS DOUBLE)))) AS dlp
+            |  FROM big JOIN cb USING (bh) JOIN cl USING (lh) CROSS JOIN v
+            |  GROUP BY source, doc_id)
+            |SELECT source, count(*) AS n_docs,
+            |       round(avg(dlp), 6) AS avg_logp,
+            |       round(min(dlp), 6) AS worst_logp
+            |FROM ds GROUP BY source ORDER BY source""".stripMargin))
+
   val all: Seq[GQuery] = Seq(
     q117ChunkDedup, q118PiiRedaction, q119Contamination, q120DomainStats,
-    q121WeightedResample, q122VocabCoverage, q123TrainingOrder)
+    q121WeightedResample, q122VocabCoverage, q123TrainingOrder, q135BigramLm)
 }

@@ -383,8 +383,36 @@ object StatsQueries {
            |FROM wide JOIN tot USING (event_type)
            |GROUP BY event_type ORDER BY event_type""".stripMargin))
 
+  /** q137 — lag-1 autocorrelation of each event type's value series:
+    * Pearson correlation of (value, next value) pairs in time order.
+    * lead() is event_type-partitioned; corr rounds to 6 dp (the q104
+    * recipe — both engines' corr is numerically stable enough at this
+    * scale for 6 digits).
+    */
+  val q137AutocorrLag1 = GQuery(
+    "q137_autocorr_lag1",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"event_type").orderBy($"ts", $"event_id")
+      Tables.events(s, d)
+        .withColumn("nxt", lead($"value", 1).over(w))
+        .where($"nxt".isNotNull)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_pairs"),
+          round(corr($"value", $"nxt"), 6).as("acf1"))
+        .orderBy($"event_type")
+    },
+    Some("""WITH p AS (
+           |  SELECT event_type, value,
+           |         lead(value) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS nxt
+           |  FROM events)
+           |SELECT event_type, count(*) AS n_pairs, round(corr(value, nxt), 6) AS acf1
+           |FROM p WHERE nxt IS NOT NULL
+           |GROUP BY event_type ORDER BY event_type""".stripMargin))
+
   val all: Seq[GQuery] =
     Seq(q103ExactPercentiles, q104RegressionTrend, q105MovingZscore,
       q106PmiCooccurrence, q107ValueHistogram, q108Pagerank, q109Funnel,
-      q110WinsorizedStats, q115MarkovTransitions, q116DriftPsi)
+      q110WinsorizedStats, q115MarkovTransitions, q116DriftPsi,
+      q137AutocorrLag1)
 }

@@ -209,6 +209,72 @@ object TemporalQueries {
            |FROM held WHERE dur_us IS NOT NULL
            |GROUP BY user_id ORDER BY user_id""".stripMargin))
 
+  /** q136 — exponentially-weighted moving average (α=0.3) of each
+    * user's value series, evaluated at the last event. The recursion
+    * s_i = αx_i + (1−α)s_{i−1} is re-expressed as its closed form — a
+    * single weighted sum with weights (1−α)^(n−i) — so it runs as one
+    * partitioned window pass plus a groupBy instead of a sequential
+    * per-row loop; both engines evaluate the identical closed form.
+    * Max events per user ≈ hundreds, so (0.7)^(n−1) never underflows.
+    */
+  val q136Ewma = GQuery(
+    "q136_ewma",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val wAll = Window.partitionBy($"user_id")
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .groupBy($"user_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          round(sum($"value" *
+            when($"rn" === 1, pow(lit(0.7), $"n" - 1))
+              .otherwise(lit(0.3) * pow(lit(0.7), $"n" - $"rn"))), 6).as("ewma"))
+        .orderBy($"user_id")
+    },
+    Some("""WITH r AS (
+           |  SELECT user_id, value,
+           |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+           |         count(*) OVER (PARTITION BY user_id) AS n
+           |  FROM events)
+           |SELECT user_id, count(*) AS n_events,
+           |       round(sum(value * CASE WHEN rn = 1 THEN pow(0.7, n - 1)
+           |                              ELSE 0.3 * pow(0.7, n - rn) END), 6) AS ewma
+           |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin))
+
+  /** q138 — trailing RANGE-frame burst detection: per user, the
+    * maximum total value inside any [t−3600 s, t] window anchored at an
+    * event. The frame is a value-range over integer epoch seconds (not
+    * a row count), so ties and irregular sampling are handled exactly;
+    * the window is user-partitioned — nothing global. Epoch seconds
+    * floor identically in both engines (positive epochs).
+    */
+  val q138TrailingBurst = GQuery(
+    "q138_trailing_burst",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"sec")
+        .rangeBetween(-3600L, 0L)
+      Tables.events(s, d)
+        .withColumn("sec", $"ts".cast("long"))
+        .withColumn("burst", sum($"value").over(w))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_events"),
+          round(max($"burst"), 4).as("max_burst_1h"))
+        .orderBy($"user_id")
+    },
+    Some("""WITH b AS (
+           |  SELECT user_id,
+           |         sum(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
+           |           RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS burst
+           |  FROM events)
+           |SELECT user_id, count(*) AS n_events,
+           |       round(max(burst), 4) AS max_burst_1h
+           |FROM b GROUP BY user_id ORDER BY user_id""".stripMargin))
+
   val all: Seq[GQuery] = Seq(q85SessionWindow, q86AsofJoin, q87RangeJoin,
-    q92AttributionJoin, q113GapFill, q114TimeWeightedAvg)
+    q92AttributionJoin, q113GapFill, q114TimeWeightedAvg, q136Ewma,
+    q138TrailingBurst)
 }
