@@ -359,7 +359,8 @@ object CurationQueries {
             |SELECT source, count(*) AS n_docs,
             |       round(avg(dlp), 6) AS avg_logp,
             |       round(min(dlp), 6) AS worst_logp
-            |FROM ds GROUP BY source ORDER BY source""".stripMargin))
+            |FROM ds GROUP BY source ORDER BY source""".stripMargin),
+    benchmark = true)
 
   val all: Seq[GQuery] = Seq(
     q117ChunkDedup, q118PiiRedaction, q119Contamination, q120DomainStats,

@@ -63,7 +63,8 @@ object DatalakeQueries {
            |       count(*) AS n,
            |       round(sum(COALESCE(n.p, 0.0) - COALESCE(b.p, 0.0)), 2) AS price_delta
            |FROM base b FULL OUTER JOIN nxt n ON b.k = n.k
-           |GROUP BY change ORDER BY change""".stripMargin))
+           |GROUP BY change ORDER BY change""".stripMargin),
+    benchmark = true)
 
   /** q131 — incremental aggregate maintenance: a materialized per-
     * priority aggregate built from a historical partition plus a delta
