@@ -261,4 +261,56 @@ object Similarity {
     sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col("qid"), col("cid"), round(col("sim"), 4).as("sim"))
   }
+
+  /** Per-dimension (lo, hi) bounds of the corpus as two ordered array
+    * columns in a single-row frame — the training pass of a uniform
+    * scalar quantizer (FAISS "SQ8"). posexplode → per-position min/max
+    * → re-assembled via sorted-struct collect (a groupBy shuffle of
+    * dim×2 doubles; never a vector collect to the driver).
+    */
+  def sq8Bounds(corpus: DataFrame, dim: Int): DataFrame =
+    corpus
+      .select(posexplode(asDouble(col("embedding"))).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("lo")))),
+          e => e.getField("lo")).as("los"),
+        transform(array_sort(collect_list(struct(col("pos"), col("hi")))),
+          e => e.getField("hi")).as("his"))
+
+  /** Dequantized SQ8 vector: each component is snapped to the center of
+    * its 256-level uniform cell over [lo, hi]. `floor`/`least` are
+    * exact integer ops, so quantization decisions are bit-reproducible
+    * across engines; components at x == hi clamp into code 255. The
+    * 1-byte codes are never materialized here (dequant(quant(x)) fuses
+    * into one expression) — at 100 TB the codes column is what a real
+    * index would persist, 4× smaller than the float32 vectors.
+    */
+  def sq8Dequantize(v: Column, los: Column, his: Column, dim: Int): Column =
+    transform(sequence(lit(0), lit(dim - 1)), i => {
+      val lo = element_at(los, i + 1)
+      val w = (element_at(his, i + 1) - lo) / 256.0
+      val code = least(floor((element_at(v, i + 1) - lo) / w), lit(255.0))
+      lo + (code + 0.5) * w
+    })
+
+  /** Exact-over-compressed top-k: brute-force cosine of full-precision
+    * queries against the SQ8-dequantized corpus (asymmetric distance —
+    * the standard quality/compression trade). Same shape as
+    * [[bruteForceTopK]]: queries broadcast, corpus scanned once.
+    */
+  def sq8TopK(queries: DataFrame, corpus: DataFrame, dim: Int, k: Int): DataFrame = {
+    val b = sq8Bounds(corpus, dim)
+    val c = corpus.crossJoin(broadcast(b))
+      .select(col("vec_id").as("cid"),
+        sq8Dequantize(asDouble(col("embedding")), col("los"), col("his"), dim).as("cv"))
+    val q = queries.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
+    val sims = c.join(broadcast(q), col("qid") =!= col("cid"))
+      .withColumn("sim", cosineNative(col("qv"), col("cv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
+    sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("qid"), col("cid"), round(col("sim"), 4).as("sim"))
+  }
 }

@@ -484,9 +484,50 @@ object LlmQueries {
            |FROM lineitem JOIN part ON l_partkey = p_partkey
            |GROUP BY p_brand""".stripMargin))
 
+  /** q140 — SQ8 scalar-quantized ANN: the corpus is compressed to
+    * 256-level uniform codes per dimension (4× smaller than float32 —
+    * the memory-bound-scan lever at 100 TB) and queried with
+    * full-precision vectors against the dequantized cell centers
+    * (asymmetric distance). Quantization decisions are exact
+    * floor/least integer ops over bounds both engines derive
+    * identically, so the oracle reproduces the compressed ranking
+    * bit-for-bit — this green row pins quantize→dequantize→rank, not
+    * just the final similarity values.
+    */
+  val q140Sq8Ann = GQuery(
+    "q140_sq8_ann",
+    (s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      Similarity.sq8TopK(emb.filter($"vec_id" < 5), emb, dim = 64, k = 5)
+    },
+    Some("""WITH comp AS (
+           |  SELECT i AS pos, CAST(embedding[i+1] AS DOUBLE) AS x
+           |  FROM embeddings, range(0, 64) t(i)),
+           |st AS (SELECT pos, min(x) AS lo, max(x) AS hi FROM comp GROUP BY pos),
+           |b AS (SELECT list(lo ORDER BY pos) AS los, list(hi ORDER BY pos) AS his FROM st),
+           |dq AS (SELECT vec_id AS cid,
+           |         list_transform(range(0, 64), i ->
+           |           los[i+1] + (least(floor((CAST(embedding[i+1] AS DOUBLE) - los[i+1]) /
+           |             ((his[i+1] - los[i+1]) / 256.0)), 255.0) + 0.5) *
+           |             ((his[i+1] - los[i+1]) / 256.0)) AS cv
+           |       FROM embeddings CROSS JOIN b),
+           |q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+           |      FROM embeddings WHERE vec_id < 5),
+           |sims AS (SELECT qid, cid,
+           |  list_sum(list_transform(range(1, 65), i -> qv[i]*cv[i])) /
+           |  (sqrt(list_sum(list_transform(range(1, 65), i -> qv[i]*qv[i]))) *
+           |   sqrt(list_sum(list_transform(range(1, 65), i -> cv[i]*cv[i])))) AS sim
+           |  FROM q JOIN dq ON qid <> cid)
+           |SELECT qid, cid, round(sim, 4) AS sim FROM (
+           |  SELECT qid, cid, sim,
+           |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+           |  FROM sims)
+           |WHERE rn <= 5""".stripMargin))
+
   val all: Seq[GQuery] = Seq(
     q40DedupExactStats, q41DedupExactKeep, q42MinhashLsh, q43Simhash,
     q44NgramJaccard, q45CosineTopk, q46Centroids, q47LshBuckets,
     q55BpeTokens, q56IvfAnn, q57SaltedJoin, q77EmbeddingNearDup, q80IvfKmeans,
-    q82NearDupMulti, q83NearDupGroups, q84DatasetSplits)
+    q82NearDupMulti, q83NearDupGroups, q84DatasetSplits, q140Sq8Ann)
 }

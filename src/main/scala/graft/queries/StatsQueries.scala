@@ -410,9 +410,61 @@ object StatsQueries {
            |FROM p WHERE nxt IS NOT NULL
            |GROUP BY event_type ORDER BY event_type""".stripMargin))
 
+  /** q141 — triangle counting + global clustering coefficient over a
+    * user co-occurrence graph (users sharing ≥2 (event_type, hour)
+    * buckets form an edge). Edges are id-oriented (ua < ub), so each
+    * triangle materializes exactly once as the two-path a→b→c closed by
+    * the a→c edge — three equi-joins on node keys, the standard
+    * distributed formulation (at 100 TB you'd orient by degree instead
+    * of id to bound the skew of hub two-paths; same plan shape).
+    * Triplet counts are pure integer math (`div` ≡ `//`).
+    */
+  val q141TriangleCount = GQuery(
+    "q141_triangle_count",
+    (s, d) => {
+      import s.implicits._
+      val occ = Tables.events(s, d)
+        .select($"event_type", date_trunc("hour", $"ts").as("h"), $"user_id")
+        .distinct()
+      val edges = occ.select($"event_type", $"h", $"user_id".as("ua"))
+        .join(occ.select($"event_type", $"h", $"user_id".as("ub")),
+          Seq("event_type", "h"))
+        .where($"ua" < $"ub")
+        .groupBy($"ua", $"ub").agg(count(lit(1)).as("w"))
+        .where($"w" >= 2)
+        .select($"ua", $"ub")
+      graft.operators.Graph.triangleStats(edges)
+    },
+    Some("""WITH occ AS (
+           |  SELECT DISTINCT event_type, date_trunc('hour', ts) AS h, user_id FROM events),
+           |edges AS (
+           |  SELECT ua, ub FROM (
+           |    SELECT a.user_id AS ua, b.user_id AS ub, count(*) AS w
+           |    FROM occ a JOIN occ b
+           |      ON a.event_type = b.event_type AND a.h = b.h AND a.user_id < b.user_id
+           |    GROUP BY ua, ub)
+           |  WHERE w >= 2),
+           |tri AS (SELECT count(*) AS n_triangles
+           |        FROM edges e1
+           |        JOIN edges e2 ON e2.ua = e1.ub
+           |        JOIN edges e3 ON e3.ua = e1.ua AND e3.ub = e2.ub),
+           |deg AS (SELECT u, count(*) AS deg FROM (
+           |          SELECT ua AS u FROM edges UNION ALL SELECT ub FROM edges)
+           |        GROUP BY u),
+           |dd AS (SELECT count(*) AS n_nodes,
+           |              COALESCE(CAST(sum((deg * (deg - 1)) // 2) AS BIGINT), 0) AS n_triplets
+           |       FROM deg),
+           |ee AS (SELECT count(*) AS n_edges FROM edges)
+           |SELECT n_nodes, n_edges, n_triangles, n_triplets,
+           |       CASE WHEN n_triplets > 0
+           |            THEN round(3.0 * CAST(n_triangles AS DOUBLE) /
+           |                       CAST(n_triplets AS DOUBLE), 6)
+           |            ELSE 0.0 END AS clustering
+           |FROM dd CROSS JOIN ee CROSS JOIN tri""".stripMargin))
+
   val all: Seq[GQuery] =
     Seq(q103ExactPercentiles, q104RegressionTrend, q105MovingZscore,
       q106PmiCooccurrence, q107ValueHistogram, q108Pagerank, q109Funnel,
       q110WinsorizedStats, q115MarkovTransitions, q116DriftPsi,
-      q137AutocorrLag1)
+      q137AutocorrLag1, q141TriangleCount)
 }

@@ -218,4 +218,24 @@ class DedupSimilaritySpec extends SparkTestBase {
     val recall = (exact intersect approx).size.toDouble / exact.size
     assert(recall >= 0.5, s"recall $recall below floor (3/8 cells probed)")
   }
+
+  test("sq8 quantized top-k: high recall vs exact, sims within cell error") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(queries, emb, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val sq8 = Similarity.sq8TopK(queries, emb, dim = 64, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // 8-bit cells are tiny relative to the data spread: the quantized
+    // ranking should recover nearly all exact neighbors ...
+    val recall = (exact.map(t => (t._1, t._2)).toSet
+      intersect sq8.map(t => (t._1, t._2)).toSet).size.toDouble / exact.size
+    assert(recall >= 0.9, s"sq8 recall $recall below floor")
+    // ... and similarities of shared pairs shift by less than 1%
+    val exactSim = exact.map(t => (t._1, t._2) -> t._3).toMap
+    sq8.foreach { case (q, c, s) =>
+      exactSim.get((q, c)).foreach(e => assert(math.abs(e - s) < 0.01,
+        s"sq8 sim for ($q,$c) drifted: $s vs exact $e"))
+    }
+  }
 }

@@ -24,4 +24,23 @@ class GraphSpec extends SparkTestBase {
     // leaves are symmetric → identical ranks
     assert((2L to 5L).map(r).distinct.size == 1)
   }
+
+  test("triangleStats: K4 has 4 triangles and clustering 1.0") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("ua", "ub")
+    val r = Graph.triangleStats(k4).collect()(0)
+    assert(r.getAs[Long]("n_nodes") == 4)
+    assert(r.getAs[Long]("n_edges") == 6)
+    assert(r.getAs[Long]("n_triangles") == 4)
+    assert(r.getAs[Long]("n_triplets") == 12) // 4 nodes × C(3,2)
+    assert(r.getAs[Double]("clustering") == 1.0)
+  }
+
+  test("triangleStats: a path graph has no triangles") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("ua", "ub")
+    val r = Graph.triangleStats(path).collect()(0)
+    assert(r.getAs[Long]("n_triangles") == 0)
+    assert(r.getAs[Long]("n_triplets") == 2) // middle nodes each close one
+    assert(r.getAs[Double]("clustering") == 0.0)
+  }
 }
