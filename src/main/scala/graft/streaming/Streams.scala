@@ -190,6 +190,56 @@ object Streams {
       .start()
   }
 
+  case class ValueEvent(user_id: Long, value: Double, tsMicros: Long, event_id: Long)
+  case class EwmaOut(user_id: Long, n_events: Long, ewma: Double)
+
+  /** Streaming EWMA (α default 0.3): the recursion s ← αx + (1−α)s
+    * folded in event-time order within each micro-batch, state per key
+    * O(1): (n, s). When triggers replay in time order the fold order is
+    * identical to a batch recursion over the full series, so the final
+    * state is BIT-identical to batch — unlike the closed-form weighted
+    * sum (q136), which is the same value only up to FP re-association.
+    * Emits the running state every trigger (Update mode); the row with
+    * the highest n_events per key is the live smoothed value.
+    */
+  def ewmaStream(events: DataFrame, alpha: Double = 0.3)(implicit spark: SparkSession)
+      : org.apache.spark.sql.Dataset[EwmaOut] = {
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("value"),
+        unix_micros(col("ts")).as("tsMicros"), col("event_id"))
+      .as[ValueEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[ValueEvent], state: GroupState[EwmaOut]) =>
+          val sorted = it.toArray.sortBy(e => (e.tsMicros, e.event_id))
+          var st = state.getOption.getOrElse(EwmaOut(uid, 0L, 0.0))
+          sorted.foreach { e =>
+            st =
+              if (st.n_events == 0L) EwmaOut(uid, 1L, e.value)
+              else EwmaOut(uid, st.n_events + 1,
+                alpha * e.value + (1.0 - alpha) * st.ewma)
+          }
+          state.update(st)
+          st
+      }
+  }
+
+  /** Start the EWMA state machine over an events directory into a
+    * memory sink; one file per trigger so time-sliced files replay as
+    * ordered micro-batches (the layout [[ewmaStream]] documents). */
+  def startEwmaToMemory(spark: SparkSession, dir: String,
+      queryName: String): StreamingQuery = {
+    implicit val s: SparkSession = spark
+    val src = normalize(spark.readStream.schema(eventSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dir))
+    ewmaStream(src).toDF()
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   def sessionize(events: DataFrame)(implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     events

@@ -198,6 +198,46 @@ class StarStreamingSpec extends SparkTestBase {
     assert(batch.count() > 100, "fixture must close many intervals")
   }
 
+  test("ewma stream (mapGroupsWithState) == batch recursion, across triggers") {
+    implicit val s = spark
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val median = raw.selectExpr("percentile_approx(ts, 0.5D, 100000)").head.getLong(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ewma")
+    def stage(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ewma_tmp")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath, dir.resolve(name))
+    }
+    stage("b1.parquet", raw.filter($"ts" < median))
+    stage("b2.parquet", raw.filter($"ts" >= median))
+    val q = Streams.startEwmaToMemory(spark, dir.toString, "ewma_stream_test")
+    q.processAllAvailable()
+    q.stop()
+    // Update mode emits one row per (user, trigger); the live value is
+    // the row with the highest n_events per user
+    val streamed = spark.table("ewma_stream_test")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (u, rows) => u -> rows.maxBy(_._2) }
+    // batch oracle: the literal recursion, folded in the same order —
+    // final states must be BIT-identical (same sequence of FP ops)
+    val batch = Tables.events(spark, sf)
+      .select($"user_id", $"value", unix_micros($"ts").as("tsm"), $"event_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1).map { case (u, evs) =>
+        val xs = evs.sortBy(e => (e._3, e._4)).map(_._2)
+        u -> (xs.length.toLong, xs.tail.foldLeft(xs.head)((s, x) => 0.3 * x + 0.7 * s))
+      }
+    assert(streamed.keySet == batch.keySet)
+    batch.foreach { case (u, (n, v)) =>
+      val (_, sn, sv) = streamed(u)
+      assert(sn == n, s"user $u: event count $sn != $n")
+      assert(sv == v, s"user $u: streamed ewma $sv != batch recursion $v")
+    }
+    assert(batch.size >= 10, "fixture must cover many users")
+  }
+
   test("sessionize mapGroupsWithState: per-user counts match groupBy") {
     implicit val s = spark
     val events = Tables.events(spark, sf)
