@@ -22,5 +22,6 @@ object Registry {
     CoreQueries.all ++ TextQueries.all ++ LlmQueries.all ++ StarQueries.all ++
       ParserQueries.all ++ EsportsQueries.all ++ TemporalQueries.all ++
       RetrievalQueries.all ++ PipelineQueries.all ++ StatsQueries.all ++
-      CurationQueries.all ++ AnalyticsQueries.all ++ DatalakeQueries.all
+      CurationQueries.all ++ AnalyticsQueries.all ++ DatalakeQueries.all ++
+      BasketQueries.all
 }
