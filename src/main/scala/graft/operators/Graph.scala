@@ -59,7 +59,7 @@ object Graph {
     * clustering).
     */
   def triangleStats(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("ua"), col("ub")).cache()
+    val e = edges.select(col("ua"), col("ub")).persist()
     val tri = e.select(col("ua").as("a"), col("ub").as("b"))
       .join(e.select(col("ua").as("b2"), col("ub").as("c")), col("b") === col("b2"))
       .join(e.select(col("ua").as("a3"), col("ub").as("c3")),
@@ -69,11 +69,16 @@ object Graph {
       .groupBy(col("u")).agg(count(lit(1)).as("deg"))
     val nodes = deg.agg(count(lit(1)).as("n_nodes"),
       coalesce(sum(expr("(deg * (deg - 1)) div 2")), lit(0L)).as("n_triplets"))
-    e.agg(count(lit(1)).as("n_edges"))
+    val stats = e.agg(count(lit(1)).as("n_edges"))
       .crossJoin(nodes).crossJoin(tri)
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"), col("n_triplets"),
         when(col("n_triplets") > 0,
           round(lit(3.0) * col("n_triangles").cast("double") /
             col("n_triplets").cast("double"), 6)).otherwise(0.0).as("clustering"))
+    // single-row result: materialize lineage-free, then release the
+    // edge cache (same hygiene as pagerank above)
+    val out = stats.localCheckpoint(true)
+    e.unpersist()
+    out
   }
 }

@@ -268,7 +268,7 @@ object Similarity {
     * → re-assembled via sorted-struct collect (a groupBy shuffle of
     * dim×2 doubles; never a vector collect to the driver).
     */
-  def sq8Bounds(corpus: DataFrame, dim: Int): DataFrame =
+  def sq8Bounds(corpus: DataFrame): DataFrame =
     corpus
       .select(posexplode(asDouble(col("embedding"))).as(Seq("pos", "x")))
       .groupBy(col("pos"))
@@ -301,16 +301,12 @@ object Similarity {
     * [[bruteForceTopK]]: queries broadcast, corpus scanned once.
     */
   def sq8TopK(queries: DataFrame, corpus: DataFrame, dim: Int, k: Int): DataFrame = {
-    val b = sq8Bounds(corpus, dim)
-    val c = corpus.crossJoin(broadcast(b))
-      .select(col("vec_id").as("cid"),
-        sq8Dequantize(asDouble(col("embedding")), col("los"), col("his"), dim).as("cv"))
-    val q = queries.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
-    val sims = c.join(broadcast(q), col("qid") =!= col("cid"))
-      .withColumn("sim", cosineNative(col("qv"), col("cv")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
-    sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
-      .select(col("qid"), col("cid"), round(col("sim"), 4).as("sim"))
+    val dequantized = corpus.crossJoin(broadcast(sq8Bounds(corpus)))
+      .select(col("vec_id"),
+        sq8Dequantize(asDouble(col("embedding")), col("los"), col("his"), dim)
+          .as("embedding"))
+    // scoring/ranking/tie-break is exactly the exact-search path —
+    // asymmetric distance is just brute force over the compressed side
+    bruteForceTopK(queries, dequantized, k)
   }
 }

@@ -17,11 +17,10 @@ import org.apache.spark.sql.functions._
   */
 object CurationQueries {
 
-  /** Shared SQL fragments (same constants as the Scala side so the two
-    * engines cannot drift). */
-  private val toksSql = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
-  private val h60 = "CAST('0x' || substring(md5(__X__), 1, 15) AS BIGINT)"
-  private def h60of(x: String) = h60.replace("__X__", x)
+  /** Shared SQL fragments (one definition repo-wide — see OracleSql —
+    * so the two engines cannot drift). */
+  private val toksSql = OracleSql.toksSql
+  private def h60of(x: String) = OracleSql.h60of(x)
 
   /** q117 — chunk-level ("line"-level) dedup accounting: split every
     * document into consecutive 10-token chunks, hash each, and measure

@@ -109,7 +109,11 @@ object DatalakeQueries {
     "q132_schema_evolution",
     (s, d) => {
       import s.implicits._
-      val tmp = s"/tmp/graft_q132_${math.abs(d.hashCode)}"
+      // staging the two generations is inherently part of this query
+      // (it tests the READ path over evolved files), so the writes run
+      // eagerly here; a fresh per-invocation temp dir keeps concurrent
+      // runs (Verify + a dev loop) from racing on one path
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q132_").toString
       val orders = Tables.orders(s, d)
       orders.where($"o_orderkey" % 2 === 0)
         .select($"o_orderkey", $"o_totalprice")

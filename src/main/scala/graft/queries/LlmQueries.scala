@@ -13,8 +13,9 @@ import org.apache.spark.sql.functions._
   */
 object LlmQueries {
 
-  /** Shared SQL fragments so Spark + oracle can't drift. */
-  private val toksSql = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+  /** Shared SQL fragments so Spark + oracle can't drift (module-wide
+    * ones live in [[OracleSql]]). */
+  private val toksSql = OracleSql.toksSql
   private def shinglesSql(toks: String) =
     s"CASE WHEN len($toks) >= 3 THEN list_distinct(list_transform(range(0, len($toks) - 2), " +
       s"i -> array_to_string(($toks)[i+1:i+3], ' '))) ELSE [] END"

@@ -16,6 +16,20 @@ case class GQuery(
     oracle: Option[String],
     benchmark: Boolean = false)
 
+/** Oracle-SQL fragments shared across query modules. These pair with
+  * fixed Scala twins (`TextAnalysis.tokens` / `tokenHash60`), so they
+  * live in exactly ONE place — a tokenizer or hash-width change edited
+  * here cannot silently leave one module's oracles behind.
+  */
+object OracleSql {
+  /** DuckDB twin of `TextAnalysis.tokens(text)`. */
+  val toksSql = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+
+  /** DuckDB twin of `TextAnalysis.tokenHash60` applied to SQL expr `x`. */
+  def h60of(x: String): String =
+    s"CAST('0x' || substring(md5($x), 1, 15) AS BIGINT)"
+}
+
 object Registry {
   /** All registered queries, assembled by module. */
   def allQueries: Seq[GQuery] =
