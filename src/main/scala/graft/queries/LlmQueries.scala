@@ -526,9 +526,84 @@ object LlmQueries {
            |  FROM sims)
            |WHERE rn <= 5""".stripMargin))
 
+  /** q144 — prefix-filtering set-similarity join (PPJoin-lite,
+    * Xiao et al. '08): the EXACT-threshold complement to MinHash-LSH
+    * (q42, probabilistic recall). Token sets sort rarest-token-first
+    * (by global df); two sets with Jaccard ≥ τ MUST share a token in
+    * their first |s|−⌈τ|s|⌉+1 tokens, so candidates meet on an
+    * equi-join over prefix tokens only — the frequent tokens that
+    * would explode a naive inverted-index join never become join keys.
+    * Exact Jaccard verifies candidates; recall is 1.0 by construction.
+    * Both engines sort by (df, token) and slice with the same
+    * ⌈0.6·n⌉ IEEE arithmetic, so candidates and scores agree
+    * bit-for-bit.
+    */
+  val q144PrefixJoin = GQuery(
+    "q144_prefix_join",
+    (s, d) => {
+      import s.implicits._
+      val toks = Tables.documents(s, d)
+        .select($"doc_id", array_distinct(TextAnalysis.tokens($"text")).as("t"))
+      val tok = toks.select($"doc_id", explode($"t").as("w"))
+      val dfT = tok.groupBy($"w").agg(count(lit(1)).as("df"))
+      val sorted = tok.join(dfT, "w")
+        .groupBy($"doc_id")
+        .agg(
+          transform(array_sort(collect_list(struct($"df", $"w"))),
+            e => e.getField("w")).as("st"),
+          count(lit(1)).as("n"))
+      val pref = sorted.select($"doc_id",
+        explode(slice($"st", lit(1),
+          ($"n" - ceil($"n" * 0.6) + 1).cast("int"))).as("w"))
+      val cand = pref.select($"doc_id".as("da"), $"w")
+        .join(pref.select($"doc_id".as("db"), $"w"), Seq("w"))
+        .where($"da" < $"db")
+        .select($"da", $"db").distinct()
+      cand
+        .join(sorted.select($"doc_id".as("da"), $"st".as("sa"), $"n".as("na")), Seq("da"))
+        .join(sorted.select($"doc_id".as("db"), $"st".as("sb"), $"n".as("nb")), Seq("db"))
+        .withColumn("i", size(array_intersect($"sa", $"sb")).cast("long"))
+        .withColumn("jac", $"i".cast("double") / ($"na" + $"nb" - $"i").cast("double"))
+        .where($"jac" >= 0.6)
+        // the synthetic corpus is template-similar (tens of thousands of
+        // qualifying pairs even at sf0.01), so ship band-level counts:
+        // every pair decision still pins the hash, output stays 5 rows
+        .groupBy((floor($"jac" * 10) / 10).as("band"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct($"da").as("n_left_docs"),
+          round(avg($"jac"), 6).as("avg_jaccard"))
+        .orderBy($"band")
+    },
+    Some(s"""WITH toks AS (
+            |  SELECT doc_id, list_distinct(${OracleSql.toksSql}) AS t FROM documents),
+            |tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
+            |df AS (SELECT w, count(*) AS df FROM tok GROUP BY w),
+            |sorted AS (SELECT doc_id, list(w ORDER BY df, w) AS st, count(*) AS n
+            |           FROM tok JOIN df USING (w) GROUP BY doc_id),
+            |pref AS (SELECT doc_id,
+            |           unnest(st[1 : CAST(n - ceil(n * 0.6) + 1 AS INT)]) AS w
+            |         FROM sorted),
+            |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+            |         FROM pref a JOIN pref b ON a.w = b.w AND a.doc_id < b.doc_id),
+            |ver AS (SELECT da, db,
+            |          CAST(len(list_intersect(sa.st, sb.st)) AS BIGINT) AS i,
+            |          sa.n AS na, sb.n AS nb
+            |        FROM cand
+            |        JOIN sorted sa ON sa.doc_id = da
+            |        JOIN sorted sb ON sb.doc_id = db),
+            |jj AS (SELECT da, db,
+            |         CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) AS jac
+            |       FROM ver
+            |       WHERE CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) >= 0.6)
+            |SELECT floor(jac * 10) / 10 AS band, count(*) AS n_pairs,
+            |       count(DISTINCT da) AS n_left_docs,
+            |       round(avg(jac), 6) AS avg_jaccard
+            |FROM jj GROUP BY band ORDER BY band""".stripMargin))
+
   val all: Seq[GQuery] = Seq(
     q40DedupExactStats, q41DedupExactKeep, q42MinhashLsh, q43Simhash,
     q44NgramJaccard, q45CosineTopk, q46Centroids, q47LshBuckets,
     q55BpeTokens, q56IvfAnn, q57SaltedJoin, q77EmbeddingNearDup, q80IvfKmeans,
-    q82NearDupMulti, q83NearDupGroups, q84DatasetSplits, q140Sq8Ann)
+    q82NearDupMulti, q83NearDupGroups, q84DatasetSplits, q140Sq8Ann,
+    q144PrefixJoin)
 }
