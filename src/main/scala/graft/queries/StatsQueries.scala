@@ -462,9 +462,83 @@ object StatsQueries {
            |            ELSE 0.0 END AS clustering
            |FROM dd CROSS JOIN ee CROSS JOIN tri""".stripMargin))
 
+  /** q145 — equi-DEPTH histogram (quantile-bounded bins), the
+    * complement of q107's equi-width bins: 10 bins per event type whose
+    * edges are the deciles, so bin populations are near-equal. Edges
+    * are 6dp-quantized before any membership comparison (q128 recipe —
+    * cross-engine percentile interpolation differs at the ULP); bin
+    * assignment is then 9 comparisons against broadcast bounds, never
+    * a global ntile sort.
+    */
+  val q145EquiDepthHistogram = GQuery(
+    "q145_equidepth_histogram",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val boundCols = (1 to 9).map(i =>
+        round(expr(s"percentile(value, ${i / 10.0}D)"), 6).as(s"b$i"))
+      val bounds = ev.groupBy($"event_type").agg(boundCols.head, boundCols.tail: _*)
+      val bin = (1 to 9).map(i => ($"value" > col(s"b$i")).cast("int")).reduce(_ + _)
+      ev.join(broadcast(bounds), "event_type")
+        .withColumn("bin", bin)
+        .groupBy($"event_type", $"bin")
+        .agg(count(lit(1)).as("n"),
+          round(min($"value"), 4).as("lo"), round(max($"value"), 4).as("hi"))
+        .orderBy($"event_type", $"bin")
+    },
+    Some("""WITH b AS (
+           |  SELECT event_type,
+           |         round(quantile_cont(value, 0.1), 6) AS b1,
+           |         round(quantile_cont(value, 0.2), 6) AS b2,
+           |         round(quantile_cont(value, 0.3), 6) AS b3,
+           |         round(quantile_cont(value, 0.4), 6) AS b4,
+           |         round(quantile_cont(value, 0.5), 6) AS b5,
+           |         round(quantile_cont(value, 0.6), 6) AS b6,
+           |         round(quantile_cont(value, 0.7), 6) AS b7,
+           |         round(quantile_cont(value, 0.8), 6) AS b8,
+           |         round(quantile_cont(value, 0.9), 6) AS b9
+           |  FROM events GROUP BY event_type)
+           |SELECT e.event_type,
+           |       ((value > b1)::INT + (value > b2)::INT + (value > b3)::INT +
+           |        (value > b4)::INT + (value > b5)::INT + (value > b6)::INT +
+           |        (value > b7)::INT + (value > b8)::INT + (value > b9)::INT) AS bin,
+           |       count(*) AS n,
+           |       round(min(value), 4) AS lo, round(max(value), 4) AS hi
+           |FROM events e JOIN b ON e.event_type = b.event_type
+           |GROUP BY e.event_type, bin ORDER BY e.event_type, bin""".stripMargin))
+
+  /** q146 — correlated-subquery SQL surface: EXISTS / NOT EXISTS with
+    * outer references plus a scalar subquery threshold, run from the
+    * SAME ANSI text in both engines (Spark de-correlates to semi/anti
+    * joins under the hood — `.explain` shows the rewrite). The scalar
+    * avg is rounded post-aggregation before the comparison, so the
+    * threshold both engines apply is the identical double.
+    */
+  private def q146Sql(customer: String, orders: String) =
+    s"""SELECT c_mktsegment, count(*) AS n_whales
+       |FROM $customer c
+       |WHERE EXISTS (
+       |        SELECT 1 FROM $orders o
+       |        WHERE o.o_custkey = c.c_custkey
+       |          AND o.o_totalprice > (SELECT round(avg(o_totalprice), 4) FROM $orders))
+       |  AND NOT EXISTS (
+       |        SELECT 1 FROM $orders o2
+       |        WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'P')
+       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  val q146ExistsSubquery = GQuery(
+    "q146_exists_subquery",
+    (s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("q146_customer")
+      Tables.orders(s, d).createOrReplaceTempView("q146_orders")
+      s.sql(q146Sql("q146_customer", "q146_orders"))
+    },
+    Some(q146Sql("customer", "orders")))
+
   val all: Seq[GQuery] =
     Seq(q103ExactPercentiles, q104RegressionTrend, q105MovingZscore,
       q106PmiCooccurrence, q107ValueHistogram, q108Pagerank, q109Funnel,
       q110WinsorizedStats, q115MarkovTransitions, q116DriftPsi,
-      q137AutocorrLag1, q141TriangleCount)
+      q137AutocorrLag1, q141TriangleCount, q145EquiDepthHistogram,
+      q146ExistsSubquery)
 }
