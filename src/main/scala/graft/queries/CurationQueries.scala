@@ -361,7 +361,131 @@ object CurationQueries {
             |FROM ds GROUP BY source ORDER BY source""".stripMargin),
     benchmark = true)
 
+  /** q150 — sliding duplicated-span detection (the exact-substring
+    * dedup signal of Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better"): every overlapping 8-token window
+    * is hashed, and a position is "duplicated" when its window text
+    * recurs in another document. Unlike q117's disjoint chunks this
+    * catches SHIFTED copies (quote + one-word prefix). Shuffle key is
+    * the 60-bit window hash; window text never leaves the scan stage.
+    * At 100 TB the gram-count table is the one large intermediate and
+    * it's pre-aggregated (countDistinct partial) before the join back.
+    */
+  val q150DupNgrams = GQuery(
+    "q150_dup_ngrams",
+    (s, d) => {
+      import s.implicits._
+      val n = 8
+      val toks = Tables.documents(s, d)
+        .select($"doc_id", $"source", TextAnalysis.tokens($"text").as("t"))
+        .where(size($"t") >= n)
+      val grams = toks.select($"doc_id", $"source",
+        explode(transform(sequence(lit(0), size($"t") - n),
+          i => TextAnalysis.tokenHash60(
+            array_join(slice($"t", i + 1, lit(n)), " ")))).as("gh"))
+      val counts = grams.groupBy($"gh").agg(countDistinct($"doc_id").as("nd"))
+      grams.join(counts, "gh")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_pos"),
+          count(when($"nd" > 1, 1)).as("n_dup_pos"),
+          round(count(when($"nd" > 1, 1)).cast("double") /
+            count(lit(1)).cast("double"), 4).as("dup_frac"))
+        .orderBy($"source")
+    },
+    Some(s"""WITH toks AS (SELECT doc_id, source, $toksSql AS t FROM documents),
+            |tt AS (SELECT doc_id, source, t FROM toks WHERE len(t) >= 8),
+            |g AS (
+            |  SELECT doc_id, source,
+            |         ${h60of("array_to_string(t[i+1:i+8], ' ')")} AS gh
+            |  FROM (SELECT doc_id, source, t, unnest(range(0, len(t) - 7)) AS i FROM tt)),
+            |c AS (SELECT gh, count(DISTINCT doc_id) AS nd FROM g GROUP BY gh)
+            |SELECT source, count(*) AS n_pos,
+            |       count(*) FILTER (WHERE nd > 1) AS n_dup_pos,
+            |       round(CAST(count(*) FILTER (WHERE nd > 1) AS DOUBLE) /
+            |             CAST(count(*) AS DOUBLE), 4) AS dup_frac
+            |FROM g JOIN c USING (gh)
+            |GROUP BY source ORDER BY source""".stripMargin),
+    benchmark = true)
+
+  /** q151 — adaptive per-language quality gate: instead of one global
+    * threshold, each language keeps documents above its OWN 30th
+    * quality percentile — the standard fix for quality filters that
+    * would otherwise starve low-resource languages. Thresholds are a
+    * tiny per-group table (broadcast); quantiles are 6dp-quantized
+    * before the comparison (q145 recipe) so both engines apply the
+    * identical cut.
+    */
+  val q151AdaptiveQuality = GQuery(
+    "q151_adaptive_quality",
+    (s, d) => {
+      import s.implicits._
+      val scored = Tables.documents(s, d)
+        .select($"lang", TextAnalysis.qualityScore($"text").as("q"))
+      val thr = scored.groupBy($"lang")
+        .agg(round(expr("percentile(q, 0.3D)"), 6).as("thr"))
+      scored.join(broadcast(thr), "lang")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when($"q" >= $"thr", 1)).as("n_kept"),
+          round(count(when($"q" >= $"thr", 1)).cast("double") /
+            count(lit(1)).cast("double"), 4).as("kept_frac"),
+          round(avg(when($"q" >= $"thr", $"q")), 4).as("avg_q_kept"))
+        .orderBy($"lang")
+    },
+    Some(s"""WITH scored AS (
+            |  SELECT lang, round(
+            |    0.4 * (len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE))
+            |    + 0.3 * least(5.0 * (len(list_filter(toks, x -> lower(x) IN (${TextAnalysis.Stopwords.map("'" + _ + "'").mkString(",")}))) / CAST(len(toks) AS DOUBLE)), 1.0)
+            |    + 0.3 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0), 4) AS q
+            |  FROM (SELECT lang, $toksSql AS toks FROM documents)),
+            |thr AS (SELECT lang, round(quantile_cont(q, 0.3), 6) AS thr
+            |        FROM scored GROUP BY lang)
+            |SELECT lang, count(*) AS n_docs,
+            |       count(*) FILTER (WHERE q >= thr) AS n_kept,
+            |       round(CAST(count(*) FILTER (WHERE q >= thr) AS DOUBLE) /
+            |             CAST(count(*) AS DOUBLE), 4) AS kept_frac,
+            |       round(avg(q) FILTER (WHERE q >= thr), 4) AS avg_q_kept
+            |FROM scored JOIN thr USING (lang)
+            |GROUP BY lang ORDER BY lang""".stripMargin))
+
+  /** q152 — BPE merge-pair statistics (the counting kernel of
+    * tokenizer TRAINING): lowercase word frequencies, then every
+    * adjacent character pair weighted by its word's corpus frequency;
+    * the top pair is what the next BPE merge would fuse. Two shuffles,
+    * both pre-aggregated map-side (word counts, then pair sums); the
+    * per-word char-pair explode runs on the already-deduplicated word
+    * table, so cost scales with |vocab|, not corpus size. Top-20 is
+    * fully tie-broken (count desc, pair asc) for determinism.
+    */
+  val q152BpePairs = GQuery(
+    "q152_bpe_pairs",
+    (s, d) => {
+      import s.implicits._
+      val words = Tables.documents(s, d)
+        .select(explode(transform(TextAnalysis.tokens($"text"), lower(_))).as("w"))
+        .groupBy($"w").agg(count(lit(1)).as("wc"))
+        .where(length($"w") >= 2)
+      words
+        .select($"wc", explode(transform(sequence(lit(1), length($"w") - 1),
+          i => $"w".substr(i, lit(2)))).as("pair"))
+        .groupBy($"pair").agg(sum($"wc").as("n"))
+        .orderBy($"n".desc, $"pair".asc)
+        .limit(20)
+    },
+    Some(s"""WITH w AS (
+            |  SELECT unnest(list_transform($toksSql, x -> lower(x))) AS w
+            |  FROM documents),
+            |wc AS (SELECT w, count(*) AS wc FROM w GROUP BY w),
+            |p AS (
+            |  SELECT substring(w, i, 2) AS pair, wc
+            |  FROM (SELECT w, wc, unnest(range(1, length(w))) AS i
+            |        FROM wc WHERE length(w) >= 2))
+            |SELECT pair, CAST(sum(wc) AS BIGINT) AS n
+            |FROM p GROUP BY pair
+            |ORDER BY n DESC, pair LIMIT 20""".stripMargin))
+
   val all: Seq[GQuery] = Seq(
     q117ChunkDedup, q118PiiRedaction, q119Contamination, q120DomainStats,
-    q121WeightedResample, q122VocabCoverage, q123TrainingOrder, q135BigramLm)
+    q121WeightedResample, q122VocabCoverage, q123TrainingOrder, q135BigramLm,
+    q150DupNgrams, q151AdaptiveQuality, q152BpePairs)
 }

@@ -226,7 +226,151 @@ object DatalakeQueries {
            |       (SELECT count(*) FROM orders) - (SELECT count(*) FROM odel)
            |ORDER BY tbl""".stripMargin))
 
+  /** q147 — small-file compaction planner: treat each (event_type,
+    * day) slice as a "file" (its size = the byte volume of its rows),
+    * then pack files into target-size compaction bins sequentially in
+    * day order with a cumulative-sum window — the OPTIMIZE planning
+    * step of a lakehouse. At 100 TB this runs over the file CATALOG
+    * (one row per file, ~1e6 rows), not the data: one narrow shuffle
+    * on the partition key, a window inside it, and the plan ships to
+    * executors that each rewrite one bin.
+    */
+  val q147CompactionPlan = GQuery(
+    "q147_compaction_plan",
+    (s, d) => {
+      import s.implicits._
+      val target = 4000L
+      val files = Tables.events(s, d)
+        .withColumn("day", to_date($"ts"))
+        .groupBy($"event_type", $"day")
+        .agg((sum(length($"props")) + lit(64L)).as("bytes"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"event_type").orderBy($"day")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      files
+        .withColumn("bin", (coalesce(sum($"bytes").over(w), lit(0L)) / target)
+          .cast("bigint"))
+        .groupBy($"event_type", $"bin")
+        .agg(count(lit(1)).as("n_files"), sum($"bytes").as("bytes"),
+          date_format(min($"day"), "yyyy-MM-dd").as("d_lo"),
+          date_format(max($"day"), "yyyy-MM-dd").as("d_hi"))
+        .orderBy($"event_type", $"bin")
+    },
+    Some("""WITH files AS (
+           |  SELECT event_type, CAST(ts AS DATE) AS day,
+           |         CAST(sum(length(props)) + 64 AS BIGINT) AS bytes
+           |  FROM events GROUP BY event_type, day),
+           |planned AS (
+           |  SELECT event_type, day, bytes,
+           |         CAST(COALESCE(sum(bytes) OVER (PARTITION BY event_type ORDER BY day
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |           // 4000 AS BIGINT) AS bin
+           |  FROM files)
+           |SELECT event_type, bin, count(*) AS n_files,
+           |       CAST(sum(bytes) AS BIGINT) AS bytes,
+           |       CAST(min(day) AS VARCHAR) AS d_lo,
+           |       CAST(max(day) AS VARCHAR) AS d_hi
+           |FROM planned GROUP BY event_type, bin
+           |ORDER BY event_type, bin""".stripMargin))
+
+  /** q148 — Z-order layout audit: interleave the bits of two join/
+    * filter dimensions (partkey, suppkey) into a Z-value, bucket the
+    * Z-range into files, and report each file's min/max span of BOTH
+    * dimensions — the data-skipping footprint a Z-ordered rewrite
+    * (Delta OPTIMIZE ZORDER) buys. A linear sort clusters only its
+    * leading key; Z-order keeps both spans narrow, so a predicate on
+    * EITHER key prunes most files. The interleave is pure integer
+    * column math generated from one Scala loop for both engines; at
+    * scale the sort becomes repartitionByRange on z (sampled range
+    * exchange — no global single-partition sort).
+    */
+  val q148ZorderLayout = GQuery(
+    "q148_zorder_layout",
+    (s, d) => {
+      import s.implicits._
+      val x = $"l_partkey" % 256
+      val y = $"l_suppkey" % 256
+      // z = sum_i bit_i(x)*4^i + 2*bit_i(y)*4^i  (16-bit Morton code)
+      val z = (0 until 8).map { i =>
+        val p = math.pow(2, i).toLong
+        val q = math.pow(4, i).toLong
+        ((x / p).cast("bigint") % 2) * q + ((y / p).cast("bigint") % 2) * (2 * q)
+      }.reduce(_ + _)
+      Tables.lineitem(s, d)
+        .select(x.as("x"), y.as("y"), (z / 4096).cast("bigint").as("file_id"))
+        .groupBy($"file_id")
+        .agg(count(lit(1)).as("n_rows"),
+          min($"x").as("x_lo"), max($"x").as("x_hi"),
+          min($"y").as("y_lo"), max($"y").as("y_hi"))
+        .orderBy($"file_id")
+    },
+    Some {
+      val terms = (0 until 8).map { i =>
+        val p = math.pow(2, i).toLong
+        val q = math.pow(4, i).toLong
+        s"((x // $p) % 2) * $q + ((y // $p) % 2) * ${2 * q}"
+      }.mkString(" + ")
+      s"""WITH pts AS (
+         |  SELECT l_partkey % 256 AS x, l_suppkey % 256 AS y FROM lineitem),
+         |zed AS (SELECT x, y, ($terms) // 4096 AS file_id FROM pts)
+         |SELECT file_id, count(*) AS n_rows,
+         |       min(x) AS x_lo, max(x) AS x_hi,
+         |       min(y) AS y_lo, max(y) AS y_hi
+         |FROM zed GROUP BY file_id ORDER BY file_id""".stripMargin
+    },
+    benchmark = true)
+
+  /** q149 — one-pass ANALYZE: per-column statistics (distinct count,
+    * nulls, average serialized length, numeric min/max) for the CBO /
+    * data-skipping index, computed in a SINGLE scan with one aggregate
+    * row then unpivoted to long form — never one pass per column.
+    * String min/max are deliberately excluded from the contract
+    * (cross-engine collation); lengths and NDVs are collation-free.
+    */
+  val q149ColumnStats = GQuery(
+    "q149_column_stats",
+    (s, d) => {
+      import s.implicits._
+      val o = Tables.orders(s, d)
+      val stats = o.agg(
+        countDistinct($"o_orderstatus").as("ndv_status"),
+        countDistinct($"o_orderpriority").as("ndv_priority"),
+        countDistinct($"o_custkey").as("ndv_custkey"),
+        countDistinct($"o_totalprice").as("ndv_totalprice"),
+        round(avg(length($"o_orderpriority")), 4).as("len_priority"),
+        round(min($"o_totalprice"), 2).as("min_totalprice"),
+        round(max($"o_totalprice"), 2).as("max_totalprice"),
+        min($"o_custkey").cast("double").as("min_custkey"),
+        max($"o_custkey").cast("double").as("max_custkey"))
+      stats.select(expr(
+        """stack(4,
+          |  'o_custkey',    ndv_custkey,    CAST(NULL AS DOUBLE), min_custkey, max_custkey,
+          |  'o_orderpriority', ndv_priority, len_priority, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+          |  'o_orderstatus', ndv_status,    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+          |  'o_totalprice', ndv_totalprice, CAST(NULL AS DOUBLE), min_totalprice, max_totalprice
+          |) AS (col_name, ndv, avg_len, min_num, max_num)""".stripMargin))
+        .orderBy($"col_name")
+    },
+    Some("""WITH s AS (
+           |  SELECT count(DISTINCT o_orderstatus) AS ndv_status,
+           |         count(DISTINCT o_orderpriority) AS ndv_priority,
+           |         count(DISTINCT o_custkey) AS ndv_custkey,
+           |         count(DISTINCT o_totalprice) AS ndv_totalprice,
+           |         round(avg(length(o_orderpriority)), 4) AS len_priority,
+           |         round(min(o_totalprice), 2) AS min_totalprice,
+           |         round(max(o_totalprice), 2) AS max_totalprice,
+           |         CAST(min(o_custkey) AS DOUBLE) AS min_custkey,
+           |         CAST(max(o_custkey) AS DOUBLE) AS max_custkey
+           |  FROM orders)
+           |SELECT 'o_custkey' AS col_name, ndv_custkey AS ndv,
+           |       CAST(NULL AS DOUBLE) AS avg_len, min_custkey AS min_num, max_custkey AS max_num FROM s
+           |UNION ALL SELECT 'o_orderpriority', ndv_priority, len_priority, NULL, NULL FROM s
+           |UNION ALL SELECT 'o_orderstatus', ndv_status, NULL, NULL, NULL FROM s
+           |UNION ALL SELECT 'o_totalprice', ndv_totalprice, NULL, min_totalprice, max_totalprice FROM s
+           |ORDER BY col_name""".stripMargin))
+
   val all: Seq[GQuery] = Seq(
     q130SnapshotDiff, q131IncrementalAgg, q132SchemaEvolution,
-    q133KAnonymity, q134GdprErasure)
+    q133KAnonymity, q134GdprErasure, q147CompactionPlan,
+    q148ZorderLayout, q149ColumnStats)
 }

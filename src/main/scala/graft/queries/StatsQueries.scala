@@ -535,10 +535,42 @@ object StatsQueries {
     },
     Some(q146Sql("customer", "orders")))
 
+  /** q153 — set-operation SQL surface: INTERSECT (customers with both
+    * open AND finished orders), EXCEPT (open-only), and EXCEPT ALL
+    * (multiplicity-preserving — the bag difference DISTINCT-based
+    * EXCEPT cannot express). One ANSI text runs in both engines
+    * (q146 recipe); Spark plans each as a hash semi/anti join with
+    * partial distinct pushed below the exchange.
+    */
+  private def q153Sql(orders: String) =
+    s"""SELECT 'both_statuses' AS op, count(*) AS n FROM (
+       |  SELECT o_custkey FROM $orders WHERE o_orderstatus = 'O'
+       |  INTERSECT
+       |  SELECT o_custkey FROM $orders WHERE o_orderstatus = 'F') t1
+       |UNION ALL
+       |SELECT 'open_only', count(*) FROM (
+       |  SELECT o_custkey FROM $orders WHERE o_orderstatus = 'O'
+       |  EXCEPT
+       |  SELECT o_custkey FROM $orders WHERE o_orderstatus = 'F') t2
+       |UNION ALL
+       |SELECT 'open_minus_finished_bag', count(*) FROM (
+       |  SELECT o_custkey FROM $orders WHERE o_orderstatus = 'O'
+       |  EXCEPT ALL
+       |  SELECT o_custkey FROM $orders WHERE o_orderstatus = 'F') t3
+       |ORDER BY op""".stripMargin
+
+  val q153SetopsSurface = GQuery(
+    "q153_setops_surface",
+    (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("q153_orders")
+      s.sql(q153Sql("q153_orders"))
+    },
+    Some(q153Sql("orders")))
+
   val all: Seq[GQuery] =
     Seq(q103ExactPercentiles, q104RegressionTrend, q105MovingZscore,
       q106PmiCooccurrence, q107ValueHistogram, q108Pagerank, q109Funnel,
       q110WinsorizedStats, q115MarkovTransitions, q116DriftPsi,
       q137AutocorrLag1, q141TriangleCount, q145EquiDepthHistogram,
-      q146ExistsSubquery)
+      q146ExistsSubquery, q153SetopsSurface)
 }
