@@ -147,6 +147,41 @@ object NativeHelpers {
     new GenericArrayData(out)
   }
 
+  /** POSITIONAL word-n-gram hash60s at the given stride, NON-distinct,
+    * in document order — the positional complement of [[shingleHashes]]
+    * (which dedups for MinHash). stride=1 → every overlapping window
+    * (q150 duplicated-span detection, q135 bigram LM); stride=n →
+    * disjoint chunks (q117 chunk dedup). Bit-identical to the
+    * declarative `transform(sequence(...), i -> tokenHash60(
+    * array_join(slice(tokens, i*stride+1, n), ' ')))`; < n tokens →
+    * empty array. Native because the declarative form runs an
+    * interpreted md5 chain per window inside a HOF lambda — the
+    * scan-side hot loop of the three slowest benchmark queries. */
+  def ngramHashes(text: UTF8String, n: Int, stride: Int): ArrayData = {
+    if (text == null) return null
+    val raw = Whitespace.split(text.toString, -1)
+    var nTok = 0
+    var i = 0
+    while (i < raw.length) { if (!raw(i).isEmpty) nTok += 1; i += 1 }
+    if (nTok < n) return new GenericArrayData(Array.empty[Any])
+    val toks = new Array[String](nTok)
+    var j = 0; i = 0
+    while (i < raw.length) { if (!raw(i).isEmpty) { toks(j) = raw(i); j += 1 }; i += 1 }
+    val m = (nTok - n) / stride + 1
+    val out = new Array[Any](m)
+    var g = 0
+    i = 0
+    while (g < m) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var k = 1
+      while (k < n) { sb.append(' ').append(toks(i + k)); k += 1 }
+      out(g) = hash60(UTF8String.fromString(sb.toString))
+      g += 1
+      i += stride
+    }
+    new GenericArrayData(out)
+  }
+
   /** SimHash (32-bit majority vote over distinct-token hashes) —
     * bit-identical to the declarative nested-aggregate form: bit j of
     * h tested as ((h >>> j) & 1) (== `(h % 2^(j+1)) >= 2^j` for these
@@ -380,6 +415,24 @@ case class ShingleHashExpr(child: Expression, n: Int, p: Long) extends UnaryExpr
     copy(child = newChild)
 }
 
+/** Codegen'd positional n-gram hash array:
+  * `ngram_hash_native(text, n, stride)` — see NativeHelpers.ngramHashes. */
+case class NgramHashExpr(child: Expression, n: Int, stride: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "ngram_hash_native"
+
+  override protected def nullSafeEval(input: Any): Any =
+    NativeHelpers.ngramHashes(input.asInstanceOf[UTF8String], n, stride)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.NativeHelpers.ngramHashes($c, $n, $stride)")
+
+  override protected def withNewChildInternal(newChild: Expression): NgramHashExpr =
+    copy(child = newChild)
+}
+
 /** Codegen'd MinHash signature: `minhash_native(array<long>, numHashes)`
   * — see NativeHelpers.minhash. */
 case class MinhashSignatureExpr(child: Expression, coeffA: Seq[Long], coeffB: Seq[Long],
@@ -419,6 +472,8 @@ object Natives {
     toCol(CosineSimilarityExpr(toExpr(a), toExpr(b)))
   def shingleHashes(c: Column, n: Int): Column =
     toCol(ShingleHashExpr(toExpr(c), n, NativeHelpers.MinhashP))
+  def ngramHashes(c: Column, n: Int, stride: Int = 1): Column =
+    toCol(NgramHashExpr(toExpr(c), n, stride))
   def minhash(hashes: Column, numHashes: Int): Column =
     toCol(MinhashSignatureExpr(toExpr(hashes),
       NativeHelpers.minhashCoeffA(numHashes), NativeHelpers.minhashCoeffB(numHashes),
@@ -453,6 +508,10 @@ object NativeRegistry {
       }),
     "simhash_native" ->
       ((exprs: Seq[Expression]) => SimhashExpr(exprs.head)),
+    "ngram_hash_native" ->
+      ((exprs: Seq[Expression]) => NgramHashExpr(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue())),
     "hyperplane_bucket_native" ->
       ((exprs: Seq[Expression]) => HyperplaneBucketExpr(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue(),

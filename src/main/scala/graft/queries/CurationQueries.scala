@@ -33,10 +33,12 @@ object CurationQueries {
     "q117_chunk_dedup",
     (s, d) => {
       import s.implicits._
+      // native stride-10 window hashes ≡ tokenHash60(Curation.chunks)
+      // bit-for-bit (NgramNativeSpec) — the declarative twin runs an
+      // interpreted md5 chain per chunk inside the HOF lambda
       val ch = Tables.documents(s, d)
         .select($"doc_id", $"source",
-          explode(Curation.chunks($"text", 10)).as("chunk"))
-        .select($"doc_id", $"source", TextAnalysis.tokenHash60($"chunk").as("ch"))
+          explode(graft.functions.Natives.ngramHashes($"text", 10, 10)).as("ch"))
       val counts = ch.groupBy($"ch").agg(countDistinct($"doc_id").as("n_docs"))
       ch.join(counts, "ch")
         .groupBy($"source")
@@ -313,15 +315,21 @@ object CurationQueries {
     (s, d) => {
       import s.implicits._
       val docs = Tables.documents(s, d)
-      val toks = docs.select($"doc_id", $"source", TextAnalysis.tokens($"text").as("t"))
-        .where(size($"t") >= 2)
-      val big = toks
-        .select($"doc_id", $"source", $"t",
-          explode(sequence(lit(1), size($"t") - 1)).as("i"))
+      // native positional hashes: bigram hash bh_i pairs with its
+      // LEFT-context unigram hash lh_i = uni[i] for i = 1..len-1, so
+      // zip bi (len-1 hashes) with uni cut to the same length —
+      // bit-identical to the element_at/tokenHash60 form
+      // (NgramNativeSpec) without the per-position interpreted md5
+      val big = docs
         .select($"doc_id", $"source",
-          TextAnalysis.tokenHash60(element_at($"t", $"i")).as("lh"),
-          TextAnalysis.tokenHash60(concat(element_at($"t", $"i"), lit(" "),
-            element_at($"t", $"i" + 1))).as("bh"))
+          graft.functions.Natives.ngramHashes($"text", 1, 1).as("uni"),
+          graft.functions.Natives.ngramHashes($"text", 2, 1).as("bi"))
+        .where(size($"bi") >= 1)
+        .withColumn("uni_cut", slice($"uni", lit(1), size($"bi")))
+        .select($"doc_id", $"source",
+          explode(arrays_zip($"uni_cut", $"bi")).as("z"))
+        .select($"doc_id", $"source",
+          $"z.uni_cut".as("lh"), $"z.bi".as("bh"))
       val cb = big.groupBy($"bh").agg(count(lit(1)).as("cb"))
       val cl = big.groupBy($"lh").agg(count(lit(1)).as("cl"))
       val vocab = docs.select(explode(TextAnalysis.tokens($"text")).as("w"))
@@ -375,14 +383,12 @@ object CurationQueries {
     "q150_dup_ngrams",
     (s, d) => {
       import s.implicits._
-      val n = 8
-      val toks = Tables.documents(s, d)
-        .select($"doc_id", $"source", TextAnalysis.tokens($"text").as("t"))
-        .where(size($"t") >= n)
-      val grams = toks.select($"doc_id", $"source",
-        explode(transform(sequence(lit(0), size($"t") - n),
-          i => TextAnalysis.tokenHash60(
-            array_join(slice($"t", i + 1, lit(n)), " ")))).as("gh"))
+      // native sliding-window hashes ≡ the declarative
+      // transform(sequence)/tokenHash60 form bit-for-bit
+      // (NgramNativeSpec); docs with < 8 tokens yield an empty array,
+      // which explode drops — same rows as a size(t) >= 8 filter
+      val grams = Tables.documents(s, d).select($"doc_id", $"source",
+        explode(graft.functions.Natives.ngramHashes($"text", 8, 1)).as("gh"))
       val counts = grams.groupBy($"gh").agg(countDistinct($"doc_id").as("nd"))
       grams.join(counts, "gh")
         .groupBy($"source")
