@@ -600,10 +600,125 @@ object LlmQueries {
             |       round(avg(jac), 6) AS avg_jaccard
             |FROM jj GROUP BY band ORDER BY band""".stripMargin))
 
+  /** q154 — ANN quality evaluation harness: recall@10 of the IVF index
+    * against brute-force ground truth at increasing nprobe — the
+    * measurement loop every production ANN deployment runs before
+    * picking its recall-vs-cost operating point. The ground truth and
+    * each probe share one tie-break (sim desc, cid asc), so recall is
+    * deterministic. No SQL oracle (the IVF assignment has no DuckDB
+    * twin) → driver rows-only check; AnnRecallSpec asserts recall is
+    * monotone in nprobe and exactly 1.0 at full probe.
+    */
+  val q154AnnRecall = GQuery(
+    "q154_ann_recall",
+    (s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter($"vec_id" % 97 === 0)
+      val truth = Similarity.bruteForceTopK(queries, emb, 10)
+        .select($"qid", $"cid")
+      val centroids = Similarity.buildCentroids(emb, "label")
+      Seq(1, 2, 4).map { np =>
+        val got = Similarity.ivfTopK(queries, emb, centroids, k = 10, nprobe = np)
+          .select($"qid", $"cid")
+        got.join(truth, Seq("qid", "cid"), "left_semi")
+          .agg(count(lit(1)).as("n_hits"))
+          .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+          .select(lit(np).as("nprobe"), $"n_hits", $"n_truth",
+            round($"n_hits".cast("double") / $"n_truth".cast("double"), 4)
+              .as("recall_at_10"))
+      }.reduce(_ unionByName _).orderBy($"nprobe")
+    },
+    None)
+
+  /** q156 — incremental LSH index maintenance: the corpus arrives in
+    * two batches (80% historical, 20% new + planted cross-batch
+    * copies); each batch computes MinHash band keys INDEPENDENTLY —
+    * the refresh only ever hashes the new batch — and the unioned band
+    * table yields candidates. Because signatures are per-document,
+    * union-then-join ≡ full recompute, and the oracle (which rebuilds
+    * from scratch) proves it: a green row IS the incremental==full
+    * equivalence. Pairs are classified old/new so the cross-batch
+    * planted duplicates are visibly caught (old_new verified > 0).
+    */
+  val q156IncrementalLsh = GQuery(
+    "q156_incremental_lsh",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val old = docs.where($"doc_id" % 10 < 8).select($"doc_id".as("id"), $"text")
+      val fresh = docs.where($"doc_id" % 10 >= 8).select($"doc_id".as("id"), $"text")
+        .unionByName(docs.where($"doc_id" % 10 < 8 && $"doc_id" % 50 === 0)
+          .select(($"doc_id" + 200000).as("id"), $"text"))
+      def bandTable(batch: org.apache.spark.sql.DataFrame) = batch
+        .withColumn("__hs", Dedup.shingleHashes($"text", 3))
+        .where(size($"__hs") > 0)
+        .withColumn("__sig", graft.functions.Natives.minhash($"__hs", 32))
+        .select($"id", explode(Dedup.bandKeys($"__sig", 8, 4)).as("bk"))
+      val bands = bandTable(old).unionByName(bandTable(fresh))
+      val cand = bands.alias("a")
+        .join(bands.alias("b"), $"a.bk" === $"b.bk" && $"a.id" < $"b.id")
+        .select($"a.id".as("id_a"), $"b.id".as("id_b")).distinct()
+      val sh = old.unionByName(fresh)
+        .select($"id", Dedup.shingleHashes($"text", 3).as("hs"))
+      val cls = (c: org.apache.spark.sql.Column) =>
+        when(c >= 200000 || c % 10 >= 8, "new").otherwise("old")
+      cand
+        .join(sh.select($"id".as("id_a"), $"hs".as("hs_a")), "id_a")
+        .join(sh.select($"id".as("id_b"), $"hs".as("hs_b")), "id_b")
+        .withColumn("jaccard", round(Dedup.jaccard($"hs_a", $"hs_b"), 4))
+        .withColumn("pair_class",
+          when(cls($"id_a") === cls($"id_b"),
+            concat(cls($"id_a"), lit("_"), cls($"id_b")))
+            .otherwise("old_new"))
+        .groupBy($"pair_class")
+        .agg(count(lit(1)).as("n_pairs"),
+          count(when($"jaccard" >= 0.9, 1)).as("n_verified"))
+        .orderBy($"pair_class")
+    },
+    Some {
+      val aL = Dedup.coeffA(32).mkString("[", ",", "]")
+      val bL = Dedup.coeffB(32).mkString("[", ",", "]")
+      val hs = s"list_transform(${shinglesSql(toksSql)}, sh -> ${h60.replace("__X__", "sh")} % ${Dedup.P})"
+      s"""WITH corpus AS (
+         |  SELECT doc_id AS id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 200000 AS id, text FROM documents
+         |  WHERE doc_id % 10 < 8 AND doc_id % 50 = 0),
+         |shingled AS (SELECT id, $hs AS hs FROM corpus),
+         |sigs AS (SELECT id,
+         |  list_transform(range(0, 32), i ->
+         |    list_min(list_transform(hs, h -> (($aL)[i+1] * h + ($bL)[i+1]) % ${Dedup.P}))) AS sig
+         |  FROM shingled),
+         |bands AS (SELECT id,
+         |  unnest(list_transform(range(0, 8), j ->
+         |    CAST(j AS VARCHAR) || ':' || array_to_string(sig[j*4+1:j*4+4], ','))) AS bk
+         |  FROM sigs),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM bands a JOIN bands b ON a.bk = b.bk AND a.id < b.id),
+         |verified AS (
+         |  SELECT id_a, id_b,
+         |    round(len(list_filter(sa.hs, x -> list_contains(sb.hs, x))) /
+         |      (len(sa.hs) + len(sb.hs) - len(list_filter(sa.hs, x -> list_contains(sb.hs, x)))), 4) AS jaccard
+         |  FROM cand JOIN shingled sa ON cand.id_a = sa.id
+         |            JOIN shingled sb ON cand.id_b = sb.id),
+         |classed AS (
+         |  SELECT CASE
+         |    WHEN (CASE WHEN id_a >= 200000 OR id_a % 10 >= 8 THEN 'new' ELSE 'old' END) =
+         |         (CASE WHEN id_b >= 200000 OR id_b % 10 >= 8 THEN 'new' ELSE 'old' END)
+         |    THEN (CASE WHEN id_a >= 200000 OR id_a % 10 >= 8 THEN 'new' ELSE 'old' END) || '_' ||
+         |         (CASE WHEN id_b >= 200000 OR id_b % 10 >= 8 THEN 'new' ELSE 'old' END)
+         |    ELSE 'old_new' END AS pair_class, jaccard
+         |  FROM verified)
+         |SELECT pair_class, count(*) AS n_pairs,
+         |       count(*) FILTER (WHERE jaccard >= 0.9) AS n_verified
+         |FROM classed GROUP BY pair_class ORDER BY pair_class""".stripMargin
+    })
+
   val all: Seq[GQuery] = Seq(
     q40DedupExactStats, q41DedupExactKeep, q42MinhashLsh, q43Simhash,
     q44NgramJaccard, q45CosineTopk, q46Centroids, q47LshBuckets,
     q55BpeTokens, q56IvfAnn, q57SaltedJoin, q77EmbeddingNearDup, q80IvfKmeans,
     q82NearDupMulti, q83NearDupGroups, q84DatasetSplits, q140Sq8Ann,
-    q144PrefixJoin)
+    q144PrefixJoin, q154AnnRecall, q156IncrementalLsh)
 }

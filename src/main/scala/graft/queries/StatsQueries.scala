@@ -567,10 +567,54 @@ object StatsQueries {
     },
     Some(q153Sql("orders")))
 
+  /** q155 — robust outlier detection via Median Absolute Deviation:
+    * score = |x − median| / (1.4826·MAD), flag > 3.5 (the classic
+    * Iglewicz–Hoaglin rule). Unlike q105's mean/stddev z-score this
+    * survives heavy-tailed data (the outliers can't inflate their own
+    * threshold). Two tiny per-group median tables broadcast back; both
+    * medians are 6dp-quantized pre-comparison (q145 recipe). A
+    * zero-MAD group (>50% identical values) scores NULL rather than
+    * dividing by zero — ANSI mode would throw.
+    */
+  val q155MadOutliers = GQuery(
+    "q155_mad_outliers",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val med = ev.groupBy($"event_type")
+        .agg(round(expr("percentile(value, 0.5D)"), 6).as("med"))
+      val dev = ev.join(broadcast(med), "event_type")
+        .withColumn("adev", abs($"value" - $"med"))
+      val mad = dev.groupBy($"event_type")
+        .agg(round(expr("percentile(adev, 0.5D)"), 6).as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .withColumn("score",
+          when($"mad" > 0, $"adev" / (lit(1.4826) * $"mad")))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          count(when($"score" > 3.5, 1)).as("n_outliers"),
+          round(max($"score"), 4).as("max_score"))
+        .orderBy($"event_type")
+    },
+    Some("""WITH med AS (SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+           |            FROM events GROUP BY event_type),
+           |dev AS (SELECT e.event_type, value, abs(value - med) AS adev
+           |        FROM events e JOIN med USING (event_type)),
+           |mad AS (SELECT event_type, round(quantile_cont(adev, 0.5), 6) AS mad
+           |        FROM dev GROUP BY event_type),
+           |scored AS (
+           |  SELECT dev.event_type,
+           |         CASE WHEN mad > 0 THEN adev / (1.4826 * mad) END AS score
+           |  FROM dev JOIN mad USING (event_type))
+           |SELECT event_type, count(*) AS n,
+           |       count(*) FILTER (WHERE score > 3.5) AS n_outliers,
+           |       round(max(score), 4) AS max_score
+           |FROM scored GROUP BY event_type ORDER BY event_type""".stripMargin))
+
   val all: Seq[GQuery] =
     Seq(q103ExactPercentiles, q104RegressionTrend, q105MovingZscore,
       q106PmiCooccurrence, q107ValueHistogram, q108Pagerank, q109Funnel,
       q110WinsorizedStats, q115MarkovTransitions, q116DriftPsi,
       q137AutocorrLag1, q141TriangleCount, q145EquiDepthHistogram,
-      q146ExistsSubquery, q153SetopsSurface)
+      q146ExistsSubquery, q153SetopsSurface, q155MadOutliers)
 }
