@@ -715,10 +715,48 @@ object LlmQueries {
          |FROM classed GROUP BY pair_class ORDER BY pair_class""".stripMargin
     })
 
+  /** q157 — corpus drift matrix: pairwise cosine similarity between
+    * per-label embedding centroids — the monitoring signal for "has
+    * source/class X drifted away from Y since the last snapshot".
+    * Centroids are 6dp-quantized per dimension BEFORE the cosine
+    * (q46 recipe), pinning both engines to identical inputs; the
+    * pairwise stage then runs on the tiny centroid table (|labels|²
+    * ≪ corpus), so at 100 TB the only corpus-sized work is the one
+    * posexplode-mean pass q46 already proved.
+    */
+  val q157DriftMatrix = GQuery(
+    "q157_drift_matrix",
+    (s, d) => {
+      import s.implicits._
+      val cent = Similarity.centroidComponents(Tables.embeddings(s, d), "label")
+        .select($"label", $"pos", round($"avg_x", 6).as("x"))
+      val a = cent.select($"label".as("la"), $"pos", $"x".as("xa"))
+      val b = cent.select($"label".as("lb"), $"pos", $"x".as("xb"))
+      a.join(b, "pos").where($"la" < $"lb")
+        .groupBy($"la", $"lb")
+        .agg(sum($"xa" * $"xb").as("dot"),
+          sum($"xa" * $"xa").as("na"), sum($"xb" * $"xb").as("nb"))
+        .select($"la", $"lb",
+          round($"dot" / (sqrt($"na") * sqrt($"nb")), 4).as("cos"))
+        .orderBy($"la", $"lb")
+    },
+    Some("""WITH cc AS (
+           |  SELECT label, i AS pos,
+           |         round(avg(CAST(embedding[i+1] AS DOUBLE)), 6) AS x
+           |  FROM embeddings, range(0, 64) t(i)
+           |  GROUP BY label, i)
+           |SELECT la, lb, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos
+           |FROM (
+           |  SELECT a.label AS la, b.label AS lb,
+           |         sum(a.x * b.x) AS dot, sum(a.x * a.x) AS na, sum(b.x * b.x) AS nb
+           |  FROM cc a JOIN cc b ON a.pos = b.pos AND a.label < b.label
+           |  GROUP BY a.label, b.label)
+           |ORDER BY la, lb""".stripMargin))
+
   val all: Seq[GQuery] = Seq(
     q40DedupExactStats, q41DedupExactKeep, q42MinhashLsh, q43Simhash,
     q44NgramJaccard, q45CosineTopk, q46Centroids, q47LshBuckets,
     q55BpeTokens, q56IvfAnn, q57SaltedJoin, q77EmbeddingNearDup, q80IvfKmeans,
     q82NearDupMulti, q83NearDupGroups, q84DatasetSplits, q140Sq8Ann,
-    q144PrefixJoin, q154AnnRecall, q156IncrementalLsh)
+    q144PrefixJoin, q154AnnRecall, q156IncrementalLsh, q157DriftMatrix)
 }

@@ -611,10 +611,37 @@ object StatsQueries {
            |       round(max(score), 4) AS max_score
            |FROM scored GROUP BY event_type ORDER BY event_type""".stripMargin))
 
+  /** q159 — custom typed Aggregator surface: per-type sample variance
+    * through the Welford/Chan `Aggregator` (functions/Aggregates.scala)
+    * — the UDAF registration path the engine otherwise avoids, proven
+    * against DuckDB's var_samp. The merge step is Chan's pairwise
+    * formula, so the result is stable under Spark's arbitrary
+    * partial-merge order; 4dp rounding absorbs the ≤1e-9-relative
+    * float slack between merge trees. Count and mean ride along from
+    * the same pass.
+    */
+  val q159WelfordVar = GQuery(
+    "q159_welford_var",
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          round(avg($"value"), 4).as("mean_value"),
+          round(graft.functions.Aggregates.welfordVar($"value"), 4)
+            .as("var_value"))
+        .orderBy($"event_type")
+    },
+    Some("""SELECT event_type, count(*) AS n,
+           |       round(avg(value), 4) AS mean_value,
+           |       round(var_samp(value), 4) AS var_value
+           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+
   val all: Seq[GQuery] =
     Seq(q103ExactPercentiles, q104RegressionTrend, q105MovingZscore,
       q106PmiCooccurrence, q107ValueHistogram, q108Pagerank, q109Funnel,
       q110WinsorizedStats, q115MarkovTransitions, q116DriftPsi,
       q137AutocorrLag1, q141TriangleCount, q145EquiDepthHistogram,
-      q146ExistsSubquery, q153SetopsSurface, q155MadOutliers)
+      q146ExistsSubquery, q153SetopsSurface, q155MadOutliers,
+      q159WelfordVar)
 }

@@ -274,7 +274,51 @@ object TemporalQueries {
            |       round(max(burst), 4) AS max_burst_1h
            |FROM b GROUP BY user_id ORDER BY user_id""".stripMargin))
 
+  /** q158 — cohort retention triangle: users are assigned to the
+    * cohort of their FIRST active day; each (cohort, day-offset) cell
+    * reports how many of that cohort were active again offset days
+    * later — the product-analytics complement of q58's hour-over-hour
+    * retention. Three shuffles, all on user_id or the tiny cohort key;
+    * cohort sizes broadcast back. Offsets capped at 7 to bound the
+    * triangle (30-day corpus → ≤ 8 cells per cohort).
+    */
+  val q158CohortRetention = GQuery(
+    "q158_cohort_retention",
+    (s, d) => {
+      import s.implicits._
+      val active = Tables.events(s, d)
+        .select($"user_id", to_date($"ts").as("day")).distinct()
+      val first = active.groupBy($"user_id").agg(min($"day").as("cohort"))
+      val sizes = first.groupBy($"cohort")
+        .agg(count(lit(1)).as("cohort_size"))
+      active.join(first, "user_id")
+        .withColumn("day_offset", datediff($"day", $"cohort"))
+        .where($"day_offset" <= 7)
+        .groupBy($"cohort", $"day_offset")
+        .agg(count(lit(1)).as("n_active"))
+        .join(broadcast(sizes), "cohort")
+        .select(date_format($"cohort", "yyyy-MM-dd").as("cohort"),
+          $"day_offset", $"n_active",
+          round($"n_active".cast("double") / $"cohort_size".cast("double"), 4)
+            .as("retention"))
+        .orderBy($"cohort", $"day_offset")
+    },
+    Some("""WITH active AS (
+           |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+           |fs AS (SELECT user_id, min(day) AS cohort FROM active GROUP BY user_id),
+           |sizes AS (SELECT cohort, count(*) AS cohort_size FROM fs GROUP BY cohort),
+           |cells AS (
+           |  SELECT f.cohort, date_diff('day', f.cohort, a.day) AS day_offset,
+           |         count(*) AS n_active
+           |  FROM active a JOIN fs f USING (user_id)
+           |  WHERE date_diff('day', f.cohort, a.day) <= 7
+           |  GROUP BY f.cohort, day_offset)
+           |SELECT CAST(cohort AS VARCHAR) AS cohort, day_offset, n_active,
+           |       round(CAST(n_active AS DOUBLE) / CAST(cohort_size AS DOUBLE), 4) AS retention
+           |FROM cells JOIN sizes USING (cohort)
+           |ORDER BY cohort, day_offset""".stripMargin))
+
   val all: Seq[GQuery] = Seq(q85SessionWindow, q86AsofJoin, q87RangeJoin,
     q92AttributionJoin, q113GapFill, q114TimeWeightedAvg, q136Ewma,
-    q138TrailingBurst)
+    q138TrailingBurst, q158CohortRetention)
 }
