@@ -17,6 +17,25 @@ import org.apache.spark.sql.functions._
   */
 object DatalakeQueries {
 
+  /** 16-bit Morton (Z-order) code of two 8-bit values, as pure integer
+    * column math: z = Σᵢ bitᵢ(x)·4ⁱ + 2·bitᵢ(y)·4ⁱ. One generator for
+    * the Spark Column form and one for the DuckDB dialect (over columns
+    * named x/y) so q148 and q160 cannot drift. */
+  private def mortonZ(x: org.apache.spark.sql.Column,
+      y: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until 8).map { i =>
+      val p = math.pow(2, i).toLong
+      val q = math.pow(4, i).toLong
+      ((x / p).cast("bigint") % 2) * q + ((y / p).cast("bigint") % 2) * (2 * q)
+    }.reduce(_ + _)
+
+  private def mortonZSql: String =
+    (0 until 8).map { i =>
+      val p = math.pow(2, i).toLong
+      val q = math.pow(4, i).toLong
+      s"((x // $p) % 2) * $q + ((y // $p) % 2) * ${2 * q}"
+    }.mkString(" + ")
+
   /** q130 — CDC snapshot diff: classify every key across two table
     * versions as added / deleted / changed / same, with the net price
     * delta per class. The new snapshot is derived deterministically
@@ -290,12 +309,7 @@ object DatalakeQueries {
       import s.implicits._
       val x = $"l_partkey" % 256
       val y = $"l_suppkey" % 256
-      // z = sum_i bit_i(x)*4^i + 2*bit_i(y)*4^i  (16-bit Morton code)
-      val z = (0 until 8).map { i =>
-        val p = math.pow(2, i).toLong
-        val q = math.pow(4, i).toLong
-        ((x / p).cast("bigint") % 2) * q + ((y / p).cast("bigint") % 2) * (2 * q)
-      }.reduce(_ + _)
+      val z = mortonZ(x, y)
       Tables.lineitem(s, d)
         .select(x.as("x"), y.as("y"), (z / 4096).cast("bigint").as("file_id"))
         .groupBy($"file_id")
@@ -305,11 +319,7 @@ object DatalakeQueries {
         .orderBy($"file_id")
     },
     Some {
-      val terms = (0 until 8).map { i =>
-        val p = math.pow(2, i).toLong
-        val q = math.pow(4, i).toLong
-        s"((x // $p) % 2) * $q + ((y // $p) % 2) * ${2 * q}"
-      }.mkString(" + ")
+      val terms = mortonZSql
       s"""WITH pts AS (
          |  SELECT l_partkey % 256 AS x, l_suppkey % 256 AS y FROM lineitem),
          |zed AS (SELECT x, y, ($terms) // 4096 AS file_id FROM pts)
@@ -369,8 +379,73 @@ object DatalakeQueries {
            |UNION ALL SELECT 'o_totalprice', ndv_totalprice, NULL, min_totalprice, max_totalprice FROM s
            |ORDER BY col_name""".stripMargin))
 
+  /** q160 — data-skipping pruning simulator: the same points laid out
+    * two ways — linear (sorted by x) vs Z-order (q148's Morton code) —
+    * each cut into 16 files carrying min/max stats; a 4-predicate
+    * probe workload (point + range on EACH dimension) then counts
+    * which files a stats-pruning reader must touch. This quantifies
+    * the layout decision: linear prunes ~15/16 on its sort key and
+    * NOTHING on the other dimension; Z-order prunes ~12/16 on both.
+    * The simulation runs on the per-file STATS table (16 rows/layout —
+    * at 100 TB this is the catalog, not the data), crossed with a
+    * broadcast predicate table.
+    */
+  val q160PruningSim = GQuery(
+    "q160_pruning_sim",
+    (s, d) => {
+      import s.implicits._
+      val pts = Tables.lineitem(s, d)
+        .select(($"l_partkey" % 256).as("x"), ($"l_suppkey" % 256).as("y"))
+        .withColumn("z_file", (mortonZ($"x", $"y") / 4096).cast("bigint"))
+        .withColumn("lin_file", ($"x" / 16).cast("bigint"))
+      def stats(fileCol: String, layout: String) = pts
+        .groupBy(col(fileCol).as("file_id"))
+        .agg(min($"x").as("x_lo"), max($"x").as("x_hi"),
+          min($"y").as("y_lo"), max($"y").as("y_hi"))
+        .withColumn("layout", lit(layout))
+      val st = stats("z_file", "zorder").unionByName(stats("lin_file", "linear"))
+      val preds = Seq(
+        ("p1_x_point", "x", 17, 17), ("p2_y_point", "y", 42, 42),
+        ("p3_x_range", "x", 100, 120), ("p4_y_range", "y", 10, 30))
+        .toDF("pred_id", "pcol", "lo", "hi")
+      st.crossJoin(broadcast(preds))
+        .withColumn("must_read",
+          when($"pcol" === "x", !($"x_hi" < $"lo" || $"x_lo" > $"hi"))
+            .otherwise(!($"y_hi" < $"lo" || $"y_lo" > $"hi")))
+        .groupBy($"layout", $"pred_id")
+        .agg(count(lit(1)).as("n_files"),
+          count(when($"must_read", 1)).as("files_read"),
+          round(lit(1.0) - count(when($"must_read", 1)).cast("double") /
+            count(lit(1)).cast("double"), 4).as("prune_frac"))
+        .orderBy($"layout", $"pred_id")
+    },
+    Some(s"""WITH pts AS (
+            |  SELECT l_partkey % 256 AS x, l_suppkey % 256 AS y FROM lineitem),
+            |f AS (SELECT x, y, ($mortonZSql) // 4096 AS z_file, x // 16 AS lin_file
+            |      FROM pts),
+            |st AS (
+            |  SELECT 'zorder' AS layout, min(x) AS x_lo, max(x) AS x_hi,
+            |         min(y) AS y_lo, max(y) AS y_hi
+            |  FROM f GROUP BY z_file
+            |  UNION ALL
+            |  SELECT 'linear', min(x), max(x), min(y), max(y)
+            |  FROM f GROUP BY lin_file),
+            |preds(pred_id, pcol, lo, hi) AS (VALUES
+            |  ('p1_x_point', 'x', 17, 17), ('p2_y_point', 'y', 42, 42),
+            |  ('p3_x_range', 'x', 100, 120), ('p4_y_range', 'y', 10, 30))
+            |SELECT layout, pred_id, count(*) AS n_files,
+            |       count(*) FILTER (WHERE must_read) AS files_read,
+            |       round(1.0 - CAST(count(*) FILTER (WHERE must_read) AS DOUBLE) /
+            |             CAST(count(*) AS DOUBLE), 4) AS prune_frac
+            |FROM (
+            |  SELECT layout, pred_id,
+            |         CASE WHEN pcol = 'x' THEN NOT (x_hi < lo OR x_lo > hi)
+            |              ELSE NOT (y_hi < lo OR y_lo > hi) END AS must_read
+            |  FROM st CROSS JOIN preds)
+            |GROUP BY layout, pred_id ORDER BY layout, pred_id""".stripMargin))
+
   val all: Seq[GQuery] = Seq(
     q130SnapshotDiff, q131IncrementalAgg, q132SchemaEvolution,
     q133KAnonymity, q134GdprErasure, q147CompactionPlan,
-    q148ZorderLayout, q149ColumnStats)
+    q148ZorderLayout, q149ColumnStats, q160PruningSim)
 }
