@@ -637,11 +637,40 @@ object StatsQueries {
            |       round(var_samp(value), 4) AS var_value
            |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
 
+  /** q161 — recursive CTE hierarchy traversal (Spark 4's WITH
+    * RECURSIVE, same ANSI text in both engines): BFS from the root of
+    * a decimal-tree supplier hierarchy (parent = floor(key/10)),
+    * reporting population, key span per level. The self-edge at the
+    * root (0 → 0) is excluded in the join or UNION ALL would recurse
+    * forever — the standard cycle guard for anchor-containing-parent
+    * hierarchies. Spark executes each recursion step as one
+    * distributed join (frontier ⋈ table), the same iterate-until-empty
+    * loop shape as Dedup.connectedComponents.
+    */
+  private def q161Sql(supplier: String) =
+    s"""WITH RECURSIVE h(k, lvl) AS (
+       |  SELECT s_suppkey, 0 FROM $supplier WHERE s_suppkey = 0
+       |  UNION ALL
+       |  SELECT s.s_suppkey, h.lvl + 1
+       |  FROM $supplier s JOIN h
+       |    ON CAST(floor(s.s_suppkey / 10.0) AS BIGINT) = h.k
+       |   AND s.s_suppkey <> h.k)
+       |SELECT lvl, count(*) AS n, min(k) AS min_k, max(k) AS max_k
+       |FROM h GROUP BY lvl ORDER BY lvl""".stripMargin
+
+  val q161RecursiveHierarchy = GQuery(
+    "q161_recursive_hierarchy",
+    (s, d) => {
+      Tables.supplier(s, d).createOrReplaceTempView("q161_supplier")
+      s.sql(q161Sql("q161_supplier"))
+    },
+    Some(q161Sql("supplier")))
+
   val all: Seq[GQuery] =
     Seq(q103ExactPercentiles, q104RegressionTrend, q105MovingZscore,
       q106PmiCooccurrence, q107ValueHistogram, q108Pagerank, q109Funnel,
       q110WinsorizedStats, q115MarkovTransitions, q116DriftPsi,
       q137AutocorrLag1, q141TriangleCount, q145EquiDepthHistogram,
       q146ExistsSubquery, q153SetopsSurface, q155MadOutliers,
-      q159WelfordVar)
+      q159WelfordVar, q161RecursiveHierarchy)
 }
