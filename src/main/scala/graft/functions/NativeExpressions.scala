@@ -415,6 +415,26 @@ case class ShingleHashExpr(child: Expression, n: Int, p: Long) extends UnaryExpr
     copy(child = newChild)
 }
 
+/** Codegen'd 60-bit md5 hash: `hash60_native(str)` — bit-identical to
+  * the declarative `conv(substring(md5(s), 1, 15), 16, 10)::long`
+  * (TextAnalysis.tokenHash60) without materializing the 32-char hex
+  * string or re-parsing 15 chars of it; digest bytes go straight to
+  * the long. NativizeHash60 rewrites the declarative shape here. */
+case class Hash60Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "hash60_native"
+
+  override protected def nullSafeEval(input: Any): Any =
+    NativeHelpers.hash60(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NativeHelpers.hash60($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Hash60Expr =
+    copy(child = newChild)
+}
+
 /** Codegen'd positional n-gram hash array:
   * `ngram_hash_native(text, n, stride)` — see NativeHelpers.ngramHashes. */
 case class NgramHashExpr(child: Expression, n: Int, stride: Int) extends UnaryExpression {
@@ -474,6 +494,7 @@ object Natives {
     toCol(ShingleHashExpr(toExpr(c), n, NativeHelpers.MinhashP))
   def ngramHashes(c: Column, n: Int, stride: Int = 1): Column =
     toCol(NgramHashExpr(toExpr(c), n, stride))
+  def hash60(c: Column): Column = toCol(Hash60Expr(toExpr(c)))
   def minhash(hashes: Column, numHashes: Int): Column =
     toCol(MinhashSignatureExpr(toExpr(hashes),
       NativeHelpers.minhashCoeffA(numHashes), NativeHelpers.minhashCoeffB(numHashes),
@@ -508,6 +529,8 @@ object NativeRegistry {
       }),
     "simhash_native" ->
       ((exprs: Seq[Expression]) => SimhashExpr(exprs.head)),
+    "hash60_native" ->
+      ((exprs: Seq[Expression]) => Hash60Expr(exprs.head)),
     "ngram_hash_native" ->
       ((exprs: Seq[Expression]) => NgramHashExpr(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue(),

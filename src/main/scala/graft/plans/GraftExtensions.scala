@@ -1,12 +1,12 @@
 package graft.plans
 
-import graft.functions.{CosineSimilarityExpr, NativeRegistry}
+import graft.functions.{CosineSimilarityExpr, Hash60Expr, NativeRegistry}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{BinaryType, DoubleType, LongType, StringType}
 
 /** Extractor for the declarative sequential-fold dot product the
   * `Similarity.cosine` column builder emits:
@@ -58,6 +58,34 @@ object NativizeCosine extends Rule[LogicalPlan] {
   }
 }
 
+/** Optimizer rule: rewrite the declarative 60-bit md5 hash shape
+  * `conv(substring(md5(s), 1, 15), 16, 10)::long` — what
+  * `TextAnalysis.tokenHash60` builds, and what a SQL-text user writes
+  * to match the engine's hash contract — into the codegen'd
+  * [[Hash60Expr]], which goes digest-bytes → long without the 32-char
+  * hex string round-trip. Exact-value-preserving on every input
+  * (NgramNativeSpec pins hash60 ≡ the conv form), so unlike
+  * NativizeCosine this rule has no ANSI caveat. The analyzer wraps the
+  * string argument in an implicit cast to binary; both the direct
+  * string child and that cast shape are matched.
+  */
+object NativizeHash60 extends Rule[LogicalPlan] {
+  private object StringToMd5 {
+    def unapply(e: Expression): Option[Expression] = e match {
+      case Md5(Cast(s, BinaryType, _, _)) if s.dataType == StringType => Some(s)
+      case Md5(s) if s.dataType == StringType => Some(s)
+      case _ => None
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case Cast(Conv(Substring(StringToMd5(s), Literal(1, _), Literal(15, _)),
+        Literal(fb, _), Literal(tb, _), _), LongType, _, _)
+      if fb == 16 && tb == 10 =>
+      Hash60Expr(s)
+  }
+}
+
 /** The engine's `SparkSessionExtensions` entry point — the idiomatic
   * deploy-time hookup (`spark.sql.extensions=graft.plans.GraftExtensions`
   * on spark-submit, or `SparkSession.builder.withExtensions(new
@@ -76,5 +104,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft.functions.NativeExpressions", name), builder))
     }
     ext.injectOptimizerRule(_ => NativizeCosine)
+    ext.injectOptimizerRule(_ => NativizeHash60)
   }
 }

@@ -57,6 +57,37 @@ class ExtensionsSpec extends SparkTestBase {
     assert(!hasNativeCosine(plain), "shared session has no extraOptimizations")
   }
 
+  private def hasHash60(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.exists(_.expressions.exists(
+      _.exists(_.isInstanceOf[graft.functions.Hash60Expr])))
+
+  test("NativizeHash60 rewrites declarative tokenHash60 and preserves every value") {
+    val child = spark.newSession()
+    child.experimental.extraOptimizations = Seq(graft.plans.NativizeHash60)
+    val docs = Tables.documents(child, sf).limit(50)
+    val declarative = docs.select(col("doc_id"),
+      graft.functions.TextAnalysis.tokenHash60(col("text")).as("h"))
+    assert(hasHash60(declarative), "optimized plan should carry hash60_native")
+    val expected = docs.select(col("doc_id"),
+      graft.functions.Natives.hash60(col("text")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val got = declarative.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(got == expected)
+    // and without the rule, the declarative form stays declarative
+    assert(!hasHash60(Tables.documents(spark, sf).limit(5).select(
+      graft.functions.TextAnalysis.tokenHash60(col("text")).as("h"))))
+  }
+
+  test("NativizeHash60 leaves non-matching conv/substring shapes alone") {
+    val child = spark.newSession()
+    child.experimental.extraOptimizations = Seq(graft.plans.NativizeHash60)
+    val docs = Tables.documents(child, sf).limit(5)
+    // 14 hex chars, not the contract's 15 — must not rewrite
+    val other = docs.select(conv(substring(md5(col("text")), 1, 14), 16, 10)
+      .cast("long").as("h"))
+    assert(!hasHash60(other))
+  }
+
   test("GraftExtensions injects the full native function surface plus the optimizer rule") {
     val ext = new SparkSessionExtensions
     new GraftExtensions()(ext)
