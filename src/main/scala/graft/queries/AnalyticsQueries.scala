@@ -337,7 +337,47 @@ object AnalyticsQueries {
            |FROM dd WHERE dist <= 50.0
            |GROUP BY band ORDER BY band""".stripMargin))
 
+  /** q162 — map-type + map-HOF surface: per event type, a
+    * bucket→count map built with map_from_entries over a SORTED entry
+    * array (map entry order is construction order — sorting first
+    * makes the serialized form deterministic), then consumed through
+    * the map higher-order functions: map_filter (hot buckets),
+    * aggregate over map_values (total), and map_entries→transform→
+    * array_join (the canonical "no complex types on the compare wire"
+    * serialization). The map never exceeds 10 keys — groupBy first,
+    * collect after, so the collect_list is bounded by the bucket
+    * cardinality, not the row count.
+    */
+  val q162MapFunctions = GQuery(
+    "q162_map_functions",
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .withColumn("bucket", ($"user_id" % 10).cast("int"))
+        .groupBy($"event_type", $"bucket").agg(count(lit(1)).as("n"))
+        .groupBy($"event_type")
+        .agg(map_from_entries(array_sort(collect_list(struct($"bucket", $"n"))))
+          .as("m"))
+        .select($"event_type",
+          size($"m").as("n_keys"),
+          size(map_filter($"m", (_, v) => v > 100)).as("n_hot"),
+          aggregate(map_values($"m"), lit(0L), (a, x) => a + x).as("total"),
+          array_join(transform(map_entries($"m"), e =>
+            concat(e.getField("key").cast("string"), lit(":"),
+              e.getField("value").cast("string"))), "|").as("hist"))
+        .orderBy($"event_type")
+    },
+    Some("""WITH b AS (
+           |  SELECT event_type, CAST(user_id % 10 AS INT) AS bucket, count(*) AS n
+           |  FROM events GROUP BY event_type, bucket)
+           |SELECT event_type, count(*) AS n_keys,
+           |       count(*) FILTER (WHERE n > 100) AS n_hot,
+           |       CAST(sum(n) AS BIGINT) AS total,
+           |       string_agg(bucket || ':' || n, '|' ORDER BY bucket) AS hist
+           |FROM b GROUP BY event_type ORDER BY event_type""".stripMargin))
+
   val all: Seq[GQuery] = Seq(
     q124MaxConcurrency, q125GroupingSets, q126HoppingWindow,
-    q127EntropyMode, q128RfmSegmentation, q129ChiSquare, q139SpatialGridJoin)
+    q127EntropyMode, q128RfmSegmentation, q129ChiSquare, q139SpatialGridJoin,
+    q162MapFunctions)
 }
