@@ -69,7 +69,10 @@ object Dedup {
   }
 
   /** LSH band keys: `j:sig[j*r+1..j*r+r]` strings; docs sharing any
-    * band key become candidates. bands*rowsPerBand must == numHashes. */
+    * band key become candidates. bands*rowsPerBand must == numHashes.
+    * Consumers hash these to 60-bit longs before shuffling (see
+    * [[lshCandidates]]) — the string form is the readable contract the
+    * oracle reproduces, the hash is what travels. */
   def bandKeys(sigCol: Column, bands: Int, rowsPerBand: Int): Column =
     transform(sequence(lit(0), lit(bands - 1)),
       j => concat_ws(":", j.cast(StringType),
@@ -91,7 +94,13 @@ object Dedup {
       // keys, which the equi-join never matches)
       .where(size(col("__hs")) > 0)
       .withColumn("__sig", graft.functions.Natives.minhash(col("__hs"), numHashes))
-      .select(col(idCol), explode(bandKeys(col("__sig"), bands, r)).as("__bk"))
+      // the candidate join shuffles h60(band string) — an 8-byte key
+      // instead of a ~40-byte string, the dominant shuffle of the tier.
+      // A 60-bit collision can only ADD a spurious candidate, which the
+      // downstream exact-Jaccard verification discards; h60(NULL)=NULL
+      // keeps the shingle-less-doc non-matching contract intact.
+      .select(col(idCol), explode(bandKeys(col("__sig"), bands, r)).as("__bks"))
+      .select(col(idCol), graft.functions.Natives.hash60(col("__bks")).as("__bk"))
     withBands.alias("a")
       .join(withBands.alias("b"),
         col("a.__bk") === col("b.__bk") && col(s"a.$idCol") < col(s"b.$idCol"))

@@ -84,7 +84,7 @@ object LlmQueries {
          |  FROM shingled),
          |bands AS (SELECT id,
          |  unnest(list_transform(range(0, 8), j ->
-         |    CAST(j AS VARCHAR) || ':' || array_to_string(sig[j*4+1:j*4+4], ','))) AS bk
+         |    ${h60.replace("__X__", "CAST(j AS VARCHAR) || ':' || array_to_string(sig[j*4+1:j*4+4], ',')")})) AS bk
          |  FROM sigs),
          |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
          |  FROM bands a JOIN bands b ON a.bk = b.bk AND a.id < b.id)
@@ -142,7 +142,9 @@ object LlmQueries {
         // that the equi-join never matches — see Dedup.lshCandidates)
         .where(size($"__hs") > 0)
         .withColumn("__sig", graft.functions.Natives.minhash($"__hs", 32))
-        .select($"doc_id", $"source", explode(Dedup.bandKeys($"__sig", 8, 4)).as("__bk"))
+        .select($"doc_id", $"source", explode(Dedup.bandKeys($"__sig", 8, 4)).as("__bks"))
+        .select($"doc_id", $"source",
+          graft.functions.Natives.hash60($"__bks").as("__bk"))
       val cand = withBands.alias("a").join(withBands.alias("b"),
           col("a.__bk") === col("b.__bk") && col("a.source") === col("b.source") &&
             col("a.doc_id") < col("b.doc_id"))
@@ -170,7 +172,7 @@ object LlmQueries {
          |  FROM shingled),
          |bands AS (SELECT doc_id, source,
          |  unnest(list_transform(range(0, 8), j ->
-         |    CAST(j AS VARCHAR) || ':' || array_to_string(sig[j*4+1:j*4+4], ','))) AS bk
+         |    ${h60.replace("__X__", "CAST(j AS VARCHAR) || ':' || array_to_string(sig[j*4+1:j*4+4], ',')")})) AS bk
          |  FROM sigs),
          |cand AS (SELECT DISTINCT a.source AS source, a.doc_id AS id_a, b.doc_id AS id_b
          |  FROM bands a JOIN bands b
@@ -654,7 +656,8 @@ object LlmQueries {
         .withColumn("__hs", Dedup.shingleHashes($"text", 3))
         .where(size($"__hs") > 0)
         .withColumn("__sig", graft.functions.Natives.minhash($"__hs", 32))
-        .select($"id", explode(Dedup.bandKeys($"__sig", 8, 4)).as("bk"))
+        .select($"id", explode(Dedup.bandKeys($"__sig", 8, 4)).as("bks"))
+        .select($"id", graft.functions.Natives.hash60($"bks").as("bk"))
       val bands = bandTable(old).unionByName(bandTable(fresh))
       val cand = bands.alias("a")
         .join(bands.alias("b"), $"a.bk" === $"b.bk" && $"a.id" < $"b.id")
@@ -692,7 +695,7 @@ object LlmQueries {
          |  FROM shingled),
          |bands AS (SELECT id,
          |  unnest(list_transform(range(0, 8), j ->
-         |    CAST(j AS VARCHAR) || ':' || array_to_string(sig[j*4+1:j*4+4], ','))) AS bk
+         |    ${h60.replace("__X__", "CAST(j AS VARCHAR) || ':' || array_to_string(sig[j*4+1:j*4+4], ',')")})) AS bk
          |  FROM sigs),
          |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
          |  FROM bands a JOIN bands b ON a.bk = b.bk AND a.id < b.id),
