@@ -444,8 +444,63 @@ object DatalakeQueries {
             |  FROM st CROSS JOIN preds)
             |GROUP BY layout, pred_id ORDER BY layout, pred_id""".stripMargin))
 
+  /** q163 — ORC round-trip: the second columnar format of the
+    * lakehouse (cross-team interchange), written and read back in the
+    * query itself (q132 staging recipe: fresh temp dir per
+    * invocation), then audited against the DuckDB oracle reading the
+    * ORIGINAL parquet — a green row proves the format conversion lost
+    * nothing. ORC gets the same predicate/projection pushdown as
+    * parquet in Spark's DSv2 scan.
+    */
+  val q163OrcRoundtrip = GQuery(
+    "q163_orc_roundtrip",
+    (s, d) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q163_").toString
+      Tables.events(s, d)
+        .where($"event_type" === "click")
+        .select($"event_id", $"user_id", $"value")
+        .write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp).agg(
+        count(lit(1)).as("n"),
+        countDistinct($"user_id").as("n_users"),
+        round(sum($"value"), 2).as("sum_value"),
+        min($"event_id").as("min_id"), max($"event_id").as("max_id"))
+    },
+    Some("""SELECT count(*) AS n, count(DISTINCT user_id) AS n_users,
+           |       round(sum(value), 2) AS sum_value,
+           |       min(event_id) AS min_id, max(event_id) AS max_id
+           |FROM events WHERE event_type = 'click'""".stripMargin))
+
+  /** q164 — hive-partitioned write + partition-pruned read: events
+    * land as `event_type=.../part-*.parquet` and the read filters on
+    * the partition column, so the scan's PartitionFilters eliminate
+    * whole directories before any file I/O — the directory-level
+    * complement of q160's file-level stats pruning (PruningSpec
+    * asserts the filter actually lands in the scan's partitionFilters,
+    * not post-scan). Oracle reads the original unpartitioned table.
+    */
+  val q164PartitionPruning = GQuery(
+    "q164_partition_pruning",
+    (s, d) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q164_").toString
+      Tables.events(s, d)
+        .select($"event_id", $"value", $"event_type")
+        .write.partitionBy("event_type").mode("overwrite").parquet(tmp)
+      s.read.parquet(tmp)
+        .where($"event_type".isin("click", "error"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
+        .orderBy($"event_type")
+    },
+    Some("""SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+           |FROM events WHERE event_type IN ('click', 'error')
+           |GROUP BY event_type ORDER BY event_type""".stripMargin))
+
   val all: Seq[GQuery] = Seq(
     q130SnapshotDiff, q131IncrementalAgg, q132SchemaEvolution,
     q133KAnonymity, q134GdprErasure, q147CompactionPlan,
-    q148ZorderLayout, q149ColumnStats, q160PruningSim)
+    q148ZorderLayout, q149ColumnStats, q160PruningSim,
+    q163OrcRoundtrip, q164PartitionPruning)
 }
