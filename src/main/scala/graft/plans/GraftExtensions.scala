@@ -105,5 +105,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     ext.injectOptimizerRule(_ => NativizeCosine)
     ext.injectOptimizerRule(_ => NativizeHash60)
+    ext.injectPlannerStrategy(_ => TopKStrategy)
   }
 }

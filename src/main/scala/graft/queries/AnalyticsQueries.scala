@@ -376,8 +376,32 @@ object AnalyticsQueries {
            |       string_agg(bucket || ':' || n, '|' ORDER BY bucket) AS hist
            |FROM b GROUP BY event_type ORDER BY event_type""".stripMargin))
 
+  /** q165 — top-k per key through the engine's own PHYSICAL operator
+    * (graft.plans.TopKPerKey: custom LogicalPlan + planner Strategy +
+    * exec node with bounded per-key heaps — O(k) memory per key where
+    * the window row_number form sorts every group in full). The oracle
+    * is that window form in DuckDB, so the green row doubles as the
+    * operator==window equivalence proof at data scale;
+    * TopKStrategySpec pins plan shape and the heap's eviction edges.
+    */
+  val q165TopkOperator = GQuery(
+    "q165_topk_operator",
+    (s, d) => {
+      import s.implicits._
+      graft.plans.TopK.perKey(Tables.events(s, d),
+        Seq("event_type"), "value", "event_id", 3)
+        .select($"event_type", $"event_id", $"value")
+        .orderBy($"event_type", $"value".desc, $"event_id")
+    },
+    Some("""SELECT event_type, event_id, value FROM (
+           |  SELECT event_type, event_id, value,
+           |         row_number() OVER (PARTITION BY event_type
+           |                            ORDER BY value DESC, event_id) AS rn
+           |  FROM events) t WHERE rn <= 3
+           |ORDER BY event_type, value DESC, event_id""".stripMargin))
+
   val all: Seq[GQuery] = Seq(
     q124MaxConcurrency, q125GroupingSets, q126HoppingWindow,
     q127EntropyMode, q128RfmSegmentation, q129ChiSquare, q139SpatialGridJoin,
-    q162MapFunctions)
+    q162MapFunctions, q165TopkOperator)
 }

@@ -11,6 +11,17 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** `Dataset.ofRows` is `private[sql]`: the door a custom LogicalPlan
+    * (graft.plans.TopKPerKey) walks through to become a DataFrame. */
+  def ofRows(spark: SparkSession,
+      plan: catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The analyzed logical plan of a DataFrame (for wrapping in a
+    * custom logical node). */
+  def analyzed(df: DataFrame): catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
 }
 
 /** Test-only probe into `private[sql]` members of SparkSessionExtensions

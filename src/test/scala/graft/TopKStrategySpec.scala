@@ -1,0 +1,60 @@
+package graft
+
+import graft.plans.{TopK, TopKPerKeyExec}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The custom whole-operator path (LogicalPlan + Strategy + SparkPlan):
+  * TopKPerKey must equal the declarative window row_number form row for
+  * row, plan through its own exec node behind a Catalyst-inserted hash
+  * exchange, and honor the NULL-order and k≥group-size edges.
+  */
+class TopKStrategySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def windowForm(k: Int) = {
+    val w = Window.partitionBy($"event_type").orderBy($"value".desc, $"event_id".asc)
+    Tables.events(spark, sf)
+      .withColumn("__rn", row_number().over(w)).filter($"__rn" <= k).drop("__rn")
+  }
+
+  private def key(df: org.apache.spark.sql.DataFrame) =
+    df.select($"event_type", $"event_id", $"value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(t => (t._1, -t._3, t._2))
+
+  test("TopKPerKey == window row_number form on events") {
+    val got = TopK.perKey(Tables.events(spark, sf),
+      Seq("event_type"), "value", "event_id", 3)
+    assert(key(got).toSeq == key(windowForm(3)).toSeq)
+  }
+
+  test("plans through TopKPerKeyExec behind a hash exchange") {
+    val df = TopK.perKey(Tables.events(spark, sf),
+      Seq("event_type"), "value", "event_id", 3)
+    df.collect() // materialize so AQE finalizes the plan
+    // AdaptiveSparkPlanExec hides its stages from children-based
+    // traversal — assert on the rendered final plan instead
+    val rendered = df.queryExecution.executedPlan.toString
+    assert(rendered.contains("TopKPerKey"), s"missing TopKPerKeyExec in:\n$rendered")
+    assert(rendered.contains("Exchange hashpartitioning"),
+      s"ClusteredDistribution should have planned a hash shuffle in:\n$rendered")
+  }
+
+  test("k >= group size returns every row; NULL order rows never surface") {
+    val df = Seq[(String, Option[Double], Long)](
+      ("a", Some(1.0), 1L), ("a", Some(2.0), 2L), ("a", None, 3L),
+      ("b", Some(5.0), 4L)).toDF("k", "v", "id")
+    val got = TopK.perKey(df, Seq("k"), "v", "id", 10)
+      .collect().map(r => (r.getString(0), r.getLong(2))).sortBy(identity)
+    assert(got.toSeq == Seq(("a", 1L), ("a", 2L), ("b", 4L)))
+  }
+
+  test("heap keeps the BEST k under adversarial arrival order") {
+    // ascending arrival: every row initially enters the heap, forcing
+    // the evict path on each subsequent better row
+    val df = (1 to 100).map(i => ("g", i.toDouble, i.toLong)).toDF("k", "v", "id")
+    val got = TopK.perKey(df, Seq("k"), "v", "id", 5)
+      .collect().map(_.getLong(2)).sorted
+    assert(got.toSeq == Seq(96L, 97L, 98L, 99L, 100L))
+  }
+}
