@@ -32,6 +32,27 @@ object MicroBench {
       val chk = scan(form).collect()(0).getDouble(0)
       println(f"$form%-12s rep$r: ${(System.nanoTime() - t0) / 1e9}%.3f s (checksum $chk%.6f)")
     }
+
+    // top-k per key: custom bounded-heap physical operator vs the
+    // window row_number form (which sorts every group in full)
+    val events = Tables.events(spark, sfDir)
+    def topkScan(form: String) = {
+      val picked = form match {
+        case "window" =>
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id").asc)
+          events.withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") <= 3).drop("__rn")
+        case "topk_operator" =>
+          graft.plans.TopK.perKey(events, Seq("user_id"), "value", "event_id", 3)
+      }
+      picked.select(sum(col("value")).as("checksum"))
+    }
+    for (form <- Seq("window", "topk_operator"); r <- 1 to reps) {
+      val t0 = System.nanoTime()
+      val chk = topkScan(form).collect()(0).getDouble(0)
+      println(f"$form%-13s rep$r: ${(System.nanoTime() - t0) / 1e9}%.3f s (checksum $chk%.6f)")
+    }
     spark.stop()
   }
 }
