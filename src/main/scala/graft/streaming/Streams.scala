@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
@@ -263,4 +263,26 @@ object Streams {
       }
       .toDF()
   }
+
+  /** Stream → gold-table maintenance: each micro-batch lands in the
+    * gold parquet dir through the SAME idempotent merge the batch
+    * loads use (Sinks.parquetAppendNew: stage + PK anti-join append).
+    * foreachBatch is the streaming↔lakehouse bridge — the sink runs
+    * arbitrary batch writes per micro-batch, and because the merge is
+    * keyed, REPLAYED micro-batches (restart after a failure between
+    * sink-commit and checkpoint-commit — Structured Streaming's
+    * at-least-once window) insert nothing twice: end-to-end
+    * exactly-once lands at the table level without transactions.
+    * StarStreamingSpec proves stream-fed gold == batch recompute and
+    * that re-processing the same input is a no-op.
+    */
+  def startGoldAppend(spark: SparkSession, dir: String, goldPath: String,
+      keyCols: Seq[String]): StreamingQuery =
+    readEventStream(spark, dir)
+      .writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        graft.io.Sinks.parquetAppendNew(batch.toDF(), goldPath, keyCols)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
 }

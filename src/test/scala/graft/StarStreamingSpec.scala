@@ -280,4 +280,29 @@ class StarStreamingSpec extends SparkTestBase {
     // 640 long edge still fits down to 512x384
     assert(r(4) == ((512, 384, true, List())))
   }
+
+  test("foreachBatch gold maintenance: stream-fed gold == batch, replay is a no-op") {
+    import org.apache.spark.sql.functions._
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_gold_src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      srcDir.resolve("events.parquet"))
+    val goldPath = java.nio.file.Files.createTempDirectory("graft_gold_tbl").toString + "/gold"
+
+    val q = Streams.startGoldAppend(spark, srcDir.toString, goldPath, Seq("event_id"))
+    q.awaitTermination()
+
+    val gold = spark.read.parquet(goldPath)
+    val batch = Tables.events(spark, sf)
+    assert(gold.count() == batch.count(), "stream-fed gold != batch row count")
+    assert(gold.agg(sum(col("value"))).collect()(0).getDouble(0) ==
+      batch.agg(sum(col("value"))).collect()(0).getDouble(0))
+
+    // replay the SAME input through a fresh query (fresh checkpoint =
+    // every micro-batch re-delivered): keyed merge must insert nothing
+    val q2 = Streams.startGoldAppend(spark, srcDir.toString, goldPath, Seq("event_id"))
+    q2.awaitTermination()
+    assert(spark.read.parquet(goldPath).count() == batch.count(),
+      "replayed micro-batches must be a no-op on the gold table")
+  }
 }
