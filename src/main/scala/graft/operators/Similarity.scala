@@ -44,15 +44,17 @@ object Similarity {
     graft.functions.Natives.cosine(a, b)
 
   /** Exact cosine top-k: for each query vector (small set, broadcast),
-    * scan the corpus, keep k best per query via ranked window. */
+    * scan the corpus, keep k best per query through the engine's
+    * bounded-heap TopKPerKey operator (O(k) memory per query where the
+    * window row_number form sorts every query's full candidate list;
+    * selection proven row-identical to the window form in
+    * TopKStrategySpec and by the q45/q56 window oracles). */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
     val c = corpus.select(col("vec_id").as("cid"), asDouble(col("embedding")).as("cv"))
     val sims = c.join(broadcast(q), col("qid") =!= col("cid"))
       .withColumn("sim", cosineNative(col("qv"), col("cv")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
-    sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+    graft.plans.TopK.perKey(sims, Seq("qid"), "sim", "cid", k)
       .select(col("qid"), col("cid"), round(col("sim"), 4).as("sim"))
   }
 
@@ -256,9 +258,8 @@ object Similarity {
     val sims = indexed.join(probesSide, "cell_id")
       .filter(col("qid") =!= col("cid"))
       .withColumn("sim", cosineNative(col("qv"), col("cv")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
-    sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+    // bounded-heap top-k per query (see bruteForceTopK note)
+    graft.plans.TopK.perKey(sims, Seq("qid"), "sim", "cid", k)
       .select(col("qid"), col("cid"), round(col("sim"), 4).as("sim"))
   }
 
