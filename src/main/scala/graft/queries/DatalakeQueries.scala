@@ -498,9 +498,37 @@ object DatalakeQueries {
            |FROM events WHERE event_type IN ('click', 'error')
            |GROUP BY event_type ORDER BY event_type""".stripMargin))
 
+  /** q166 — corrupt-file-tolerant scan: a staging dir holds one good
+    * parquet file and one garbage file; the read sets
+    * `ignoreCorruptFiles` so the scan SKIPS the junk instead of
+    * failing the job — the resilience posture of a 100 TB lake where a
+    * truncated upload or torn write must not kill a 1000-executor
+    * query. The oracle reads the ORIGINAL table: a green row proves
+    * the tolerant scan returned exactly the good file's rows, no more,
+    * no fewer.
+    */
+  val q166CorruptTolerance = GQuery(
+    "q166_corrupt_tolerance",
+    (s, d) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q166_")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$d/orders.parquet"),
+        tmp.resolve("good.parquet"))
+      java.nio.file.Files.write(tmp.resolve("junk.parquet"),
+        "this is not a parquet file".getBytes)
+      s.read.option("ignoreCorruptFiles", "true").parquet(tmp.toString)
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("revenue"))
+        .orderBy($"o_orderstatus")
+    },
+    Some("""SELECT o_orderstatus, count(*) AS n,
+           |       round(sum(o_totalprice), 2) AS revenue
+           |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+
   val all: Seq[GQuery] = Seq(
     q130SnapshotDiff, q131IncrementalAgg, q132SchemaEvolution,
     q133KAnonymity, q134GdprErasure, q147CompactionPlan,
     q148ZorderLayout, q149ColumnStats, q160PruningSim,
-    q163OrcRoundtrip, q164PartitionPruning)
+    q163OrcRoundtrip, q164PartitionPruning, q166CorruptTolerance)
 }
