@@ -398,7 +398,8 @@ object AnalyticsQueries {
            |         row_number() OVER (PARTITION BY event_type
            |                            ORDER BY value DESC, event_id) AS rn
            |  FROM events) t WHERE rn <= 3
-           |ORDER BY event_type, value DESC, event_id""".stripMargin))
+           |ORDER BY event_type, value DESC, event_id""".stripMargin),
+    benchmark = true)
 
   val all: Seq[GQuery] = Seq(
     q124MaxConcurrency, q125GroupingSets, q126HoppingWindow,
