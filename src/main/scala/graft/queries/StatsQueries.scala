@@ -666,11 +666,60 @@ object StatsQueries {
     },
     Some(q161Sql("supplier")))
 
+  /** q167 — LATERAL correlated subquery (same ANSI text both
+    * engines): per order, the single best lineitem picked by an
+    * ORDER BY ... LIMIT 1 subquery that references the outer row.
+    * Spark de-correlates this into a ranked join under the hood — the
+    * SQL-surface twin of what TopKPerKey does physically.
+    */
+  private def q167Sql(orders: String, lineitem: String) =
+    s"""SELECT o_orderpriority, count(*) AS n,
+       |       round(sum(best_price), 2) AS sum_best
+       |FROM $orders o,
+       |LATERAL (SELECT l_extendedprice AS best_price FROM $lineitem l
+       |         WHERE l.l_orderkey = o.o_orderkey
+       |         ORDER BY l_extendedprice DESC, l_linenumber LIMIT 1) t
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  val q167LateralJoin = GQuery(
+    "q167_lateral_join",
+    (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("q167_orders")
+      Tables.lineitem(s, d).createOrReplaceTempView("q167_lineitem")
+      s.sql(q167Sql("q167_orders", "q167_lineitem"))
+    },
+    Some(q167Sql("orders", "lineitem")))
+
+  /** q168 — null-safe join surface (IS NOT DISTINCT FROM, same ANSI
+    * text both engines): a join key with real NULLs (every 5th bucket
+    * nullified) must match NULL-to-NULL — the semantics plain `=`
+    * silently drops, and the reason the idempotent merge sink uses
+    * `<=>` on its PK columns. The NULL class appearing in the output
+    * IS the proof the null-keyed rows joined.
+    */
+  private def q168Sql(orders: String) =
+    s"""SELECT COALESCE(CAST(k AS STRING), 'NULL') AS key_class, count(*) AS n
+       |FROM (
+       |  SELECT nullif(a.o_custkey % 5, 0) AS k
+       |  FROM $orders a JOIN $orders b
+       |    ON nullif(a.o_custkey % 5, 0) IS NOT DISTINCT FROM nullif(b.o_custkey % 5, 0)
+       |   AND a.o_orderkey = b.o_orderkey) t
+       |GROUP BY k ORDER BY key_class""".stripMargin
+
+  val q168NullSafeJoin = GQuery(
+    "q168_null_safe_join",
+    (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("q168_orders")
+      s.sql(q168Sql("q168_orders"))
+    },
+    Some(q168Sql("orders")))
+
   val all: Seq[GQuery] =
     Seq(q103ExactPercentiles, q104RegressionTrend, q105MovingZscore,
       q106PmiCooccurrence, q107ValueHistogram, q108Pagerank, q109Funnel,
       q110WinsorizedStats, q115MarkovTransitions, q116DriftPsi,
       q137AutocorrLag1, q141TriangleCount, q145EquiDepthHistogram,
       q146ExistsSubquery, q153SetopsSurface, q155MadOutliers,
-      q159WelfordVar, q161RecursiveHierarchy)
+      q159WelfordVar, q161RecursiveHierarchy, q167LateralJoin,
+      q168NullSafeJoin)
 }
