@@ -490,8 +490,78 @@ object CurationQueries {
             |FROM p GROUP BY pair
             |ORDER BY n DESC, pair LIMIT 20""".stripMargin))
 
+  /** q169 — data mixing to a token budget: the mixture-weights step of
+    * training-data prep. Each source gets a recipe weight (derived
+    * from its name so the recipe survives scale factors), the corpus
+    * budget is 60% of total tokens, and each source's keep-rate is
+    * min(1, target/have) — oversubscribed sources downsample by a
+    * deterministic per-doc hash coin, underfull sources keep
+    * everything (their deficit is the "epochs>1" signal a real recipe
+    * would log). The rate is 6dp-quantized and the hash threshold is
+    * floor(rate·2⁶⁰), so both engines flip identical coins; the audit
+    * reports achieved vs target per source.
+    */
+  val q169DataMixing = GQuery(
+    "q169_data_mixing",
+    (s, d) => {
+      import s.implicits._
+      val two60 = math.pow(2, 60)
+      val docs = Tables.documents(s, d)
+        .select($"doc_id", $"source", TextAnalysis.tokenCount($"text").as("toks"))
+      val w = when(regexp_extract($"source", "[0-9]+", 0).cast("int") % 2 === 0, 1.0)
+        .otherwise(0.3)
+      val have = docs.groupBy($"source")
+        .agg(sum($"toks").as("have")).withColumn("w", w)
+      val scale = have.agg(
+        sum($"w").as("sum_w"), sum($"have").as("total_toks"))
+      val rates = have.crossJoin(broadcast(scale))
+        .withColumn("target",
+          $"w" / $"sum_w" * (lit(0.6) * $"total_toks".cast("double")))
+        .withColumn("rate",
+          round(least(lit(1.0), $"target" / $"have".cast("double")), 6))
+        .select($"source", $"have", $"target", $"rate")
+      docs.join(broadcast(rates), "source")
+        .withColumn("u", TextAnalysis.tokenHash60(
+          concat($"doc_id".cast("string"), lit(":mix"))))
+        .withColumn("kept", $"u" < floor($"rate" * two60).cast("bigint"))
+        .groupBy($"source")
+        .agg(first($"have").as("have_toks"),
+          round(first($"target"), 2).as("target_toks"),
+          count(when($"kept", 1)).as("n_kept"),
+          coalesce(sum(when($"kept", $"toks")), lit(0L)).as("kept_toks"),
+          round(coalesce(sum(when($"kept", $"toks")), lit(0L)).cast("double") /
+            first($"target"), 4).as("achieved_ratio"))
+        .orderBy($"source")
+    },
+    Some(s"""WITH docs AS (
+            |  SELECT doc_id, source, len($toksSql) AS toks FROM documents),
+            |have AS (
+            |  SELECT source, CAST(sum(toks) AS BIGINT) AS have,
+            |         CASE WHEN CAST(regexp_extract(source, '[0-9]+') AS INT) % 2 = 0
+            |              THEN 1.0 ELSE 0.3 END AS w
+            |  FROM docs GROUP BY source),
+            |scale AS (SELECT sum(w) AS sum_w, CAST(sum(have) AS BIGINT) AS total_toks FROM have),
+            |rates AS (
+            |  SELECT source, have,
+            |         w / sum_w * (0.6 * CAST(total_toks AS DOUBLE)) AS target,
+            |         round(least(1.0, (w / sum_w * (0.6 * CAST(total_toks AS DOUBLE)))
+            |               / CAST(have AS DOUBLE)), 6) AS rate
+            |  FROM have CROSS JOIN scale)
+            |SELECT d.source, any_value(have) AS have_toks,
+            |       round(any_value(target), 2) AS target_toks,
+            |       count(*) FILTER (WHERE kept) AS n_kept,
+            |       CAST(COALESCE(sum(toks) FILTER (WHERE kept), 0) AS BIGINT) AS kept_toks,
+            |       round(CAST(COALESCE(sum(toks) FILTER (WHERE kept), 0) AS DOUBLE)
+            |             / any_value(target), 4) AS achieved_ratio
+            |FROM (
+            |  SELECT docs.source, toks, have, target,
+            |         ${h60of("doc_id || ':mix'")} <
+            |           CAST(floor(rate * 1152921504606846976.0) AS BIGINT) AS kept
+            |  FROM docs JOIN rates ON docs.source = rates.source) d
+            |GROUP BY d.source ORDER BY d.source""".stripMargin))
+
   val all: Seq[GQuery] = Seq(
     q117ChunkDedup, q118PiiRedaction, q119Contamination, q120DomainStats,
     q121WeightedResample, q122VocabCoverage, q123TrainingOrder, q135BigramLm,
-    q150DupNgrams, q151AdaptiveQuality, q152BpePairs)
+    q150DupNgrams, q151AdaptiveQuality, q152BpePairs, q169DataMixing)
 }
