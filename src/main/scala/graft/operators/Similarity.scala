@@ -54,6 +54,12 @@ object Similarity {
     val c = corpus.select(col("vec_id").as("cid"), asDouble(col("embedding")).as("cv"))
     val sims = c.join(broadcast(q), col("qid") =!= col("cid"))
       .withColumn("sim", cosineNative(col("qv"), col("cv")))
+      // NULL sims (zero-norm / malformed vectors) are EXCLUDED from
+      // ranking by explicit contract — TopKPerKey never ranks a
+      // NULL-order row, whereas the window form would backfill them
+      // once a query has < k finite candidates; the filter makes the
+      // two forms (and the DuckDB oracle) agree by construction
+      .filter(col("sim").isNotNull)
     graft.plans.TopK.perKey(sims, Seq("qid"), "sim", "cid", k)
       .select(col("qid"), col("cid"), round(col("sim"), 4).as("sim"))
   }
@@ -258,6 +264,7 @@ object Similarity {
     val sims = indexed.join(probesSide, "cell_id")
       .filter(col("qid") =!= col("cid"))
       .withColumn("sim", cosineNative(col("qv"), col("cv")))
+      .filter(col("sim").isNotNull) // see bruteForceTopK NULL contract
     // bounded-heap top-k per query (see bruteForceTopK note)
     graft.plans.TopK.perKey(sims, Seq("qid"), "sim", "cid", k)
       .select(col("qid"), col("cid"), round(col("sim"), 4).as("sim"))

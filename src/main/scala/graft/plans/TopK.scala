@@ -65,14 +65,13 @@ case class TopKPerKeyExec(
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(keys) :: Nil
 
-  private case class Entry(ord: Double, tie: Long, row: UnsafeRow)
-
   override protected def doExecute(): RDD[InternalRow] = {
     val kLocal = k
     val keysLocal = keys
     val ordTieLocal = Seq(order, tie)
     val childOutput = child.output
     child.execute().mapPartitions({ it =>
+      import TopKPerKeyExec.Entry
       val keyProj = UnsafeProjection.create(keysLocal, childOutput)
       val ordProj = UnsafeProjection.create(ordTieLocal, childOutput)
       // dequeue() must surface the WORST held row (smallest order,
@@ -82,10 +81,22 @@ case class TopKPerKeyExec(
       it.foreach { row =>
         val ot = ordProj(row)
         if (!ot.isNullAt(0)) {
-          val e = Entry(ot.getDouble(0), if (ot.isNullAt(1)) Long.MaxValue else ot.getLong(1),
+          // NULL tie = NULLS FIRST under ASC (Long.MinValue = best),
+          // matching the window form's `.asc` tie ordering
+          val e = Entry(ot.getDouble(0),
+            if (ot.isNullAt(1)) Long.MinValue else ot.getLong(1),
             row.asInstanceOf[UnsafeRow].copy())
-          val heap = heaps.getOrElseUpdate(keyProj(row).copy(),
-            mutable.PriorityQueue.empty[Entry](worstFirst))
+          // look up with the TRANSIENT projection result; copy the key
+          // only on the miss path — getOrElseUpdate's eager key arg
+          // would byte-copy the key row once per INPUT row
+          val transientKey = keyProj(row)
+          val heap = heaps.get(transientKey) match {
+            case Some(h) => h
+            case None =>
+              val h = mutable.PriorityQueue.empty[Entry](worstFirst)
+              heaps.put(transientKey.copy(), h)
+              h
+          }
           if (heap.size < kLocal) heap.enqueue(e)
           else if (worstFirst.compare(e, heap.head) < 0) { heap.dequeue(); heap.enqueue(e) }
         }
@@ -96,6 +107,13 @@ case class TopKPerKeyExec(
 
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
     copy(child = newChild)
+}
+
+object TopKPerKeyExec {
+  /** Top-level (NOT an inner class of the exec node): an inner case
+    * class would carry an $outer pointer, making every task closure
+    * serialize the whole physical subtree. */
+  private[plans] case class Entry(ord: Double, tie: Long, row: UnsafeRow)
 }
 
 /** DataFrame-level API over the operator. */

@@ -132,7 +132,7 @@ object DatalakeQueries {
       // (it tests the READ path over evolved files), so the writes run
       // eagerly here; a fresh per-invocation temp dir keeps concurrent
       // runs (Verify + a dev loop) from racing on one path
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q132_").toString
+      val tmp = graft.io.Staging.tempDir("graft_q132_")
       val orders = Tables.orders(s, d)
       orders.where($"o_orderkey" % 2 === 0)
         .select($"o_orderkey", $"o_totalprice")
@@ -456,7 +456,7 @@ object DatalakeQueries {
     "q163_orc_roundtrip",
     (s, d) => {
       import s.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q163_").toString
+      val tmp = graft.io.Staging.tempDir("graft_q163_")
       Tables.events(s, d)
         .where($"event_type" === "click")
         .select($"event_id", $"user_id", $"value")
@@ -484,7 +484,7 @@ object DatalakeQueries {
     "q164_partition_pruning",
     (s, d) => {
       import s.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q164_").toString
+      val tmp = graft.io.Staging.tempDir("graft_q164_")
       Tables.events(s, d)
         .select($"event_id", $"value", $"event_type")
         .write.partitionBy("event_type").mode("overwrite").parquet(tmp)
@@ -511,7 +511,7 @@ object DatalakeQueries {
     "q166_corrupt_tolerance",
     (s, d) => {
       import s.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q166_")
+      val tmp = java.nio.file.Paths.get(graft.io.Staging.tempDir("graft_q166_"))
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$d/orders.parquet"),
         tmp.resolve("good.parquet"))
