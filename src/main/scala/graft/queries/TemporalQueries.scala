@@ -318,7 +318,43 @@ object TemporalQueries {
            |FROM cells JOIN sizes USING (cohort)
            |ORDER BY cohort, day_offset""".stripMargin))
 
+  /** q170 — trailing 7-day distinct actives (WAU): COUNT(DISTINCT)
+    * over a sliding window, which no RANGE frame can express (window
+    * functions can't dedup inside a frame). Scale-safe shape: dedup to
+    * (day, user) first — the only corpus-sized pass — then each pair
+    * CONTRIBUTES to its 7 trailing report days (a 7× fan-out of the
+    * small deduped table, not the events), and one countDistinct per
+    * report day finishes it. Report days are restricted to days that
+    * exist, so the tail beyond the corpus never appears.
+    */
+  val q170TrailingWau = GQuery(
+    "q170_trailing_wau",
+    (s, d) => {
+      import s.implicits._
+      val du = Tables.events(s, d)
+        .select(to_date($"ts").as("day"), $"user_id").distinct()
+      val contrib = du
+        .select(explode(sequence(lit(0), lit(6))).as("off"), $"day", $"user_id")
+        .select(date_add($"day", $"off").as("rday"), $"user_id")
+      val days = du.select($"day").distinct()
+      contrib.join(days, contrib("rday") === days("day"))
+        .groupBy($"rday")
+        .agg(countDistinct($"user_id").as("wau"))
+        .select(date_format($"rday", "yyyy-MM-dd").as("day"), $"wau")
+        .orderBy($"day")
+    },
+    Some("""WITH du AS (
+           |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+           |days AS (SELECT DISTINCT day FROM du),
+           |contrib AS (
+           |  SELECT day + CAST(o AS INT) AS rday, user_id
+           |  FROM du, range(0, 7) t(o))
+           |SELECT CAST(rday AS VARCHAR) AS day,
+           |       count(DISTINCT user_id) AS wau
+           |FROM contrib JOIN days ON contrib.rday = days.day
+           |GROUP BY rday ORDER BY day""".stripMargin))
+
   val all: Seq[GQuery] = Seq(q85SessionWindow, q86AsofJoin, q87RangeJoin,
     q92AttributionJoin, q113GapFill, q114TimeWeightedAvg, q136Ewma,
-    q138TrailingBurst, q158CohortRetention)
+    q138TrailingBurst, q158CohortRetention, q170TrailingWau)
 }
