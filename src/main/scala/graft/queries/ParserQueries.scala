@@ -376,7 +376,51 @@ object ParserQueries {
          |${rows.mkString("\n|UNION ALL ")}""".stripMargin
     })
 
+  /** q171 — try_* ANSI-safety surface: with ANSI mode ON (Spark 4
+    * default) plain division/casts THROW on zero/garbage, so the
+    * try_divide / try_cast / try_add family is how production
+    * pipelines stay total. Inputs are derived deterministically from
+    * events (a zero denominator every 7th row, an unparsable numeric
+    * string every 3rd); the oracle reproduces each null with DuckDB's
+    * TRY_CAST / CASE-guarded division — same nulls, same survivors.
+    */
+  val q171TryFunctions = GQuery(
+    "q171_try_functions",
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .withColumn("den", when($"event_id" % 7 === 0, 0.0).otherwise(2.0))
+        .withColumn("numish",
+          when($"event_id" % 3 === 0, lit("oops")).otherwise($"event_id".cast("string")))
+        .select($"event_type",
+          expr("try_divide(value, den)").as("ratio"),
+          expr("try_cast(numish AS BIGINT)").as("parsed"),
+          expr("try_add(9223372036854775807L, event_id)").as("overflowed"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          count(when($"ratio".isNull, 1)).as("null_ratio"),
+          count(when($"parsed".isNull, 1)).as("null_parsed"),
+          count(when($"overflowed".isNull, 1)).as("null_overflow"),
+          round(sum($"ratio"), 2).as("sum_ratio"))
+        .orderBy($"event_type")
+    },
+    Some("""SELECT event_type, count(*) AS n,
+           |  count(*) FILTER (WHERE ratio IS NULL) AS null_ratio,
+           |  count(*) FILTER (WHERE parsed IS NULL) AS null_parsed,
+           |  count(*) FILTER (WHERE overflowed IS NULL) AS null_overflow,
+           |  round(sum(ratio), 2) AS sum_ratio
+           |FROM (
+           |  SELECT event_type,
+           |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE value / 2.0 END AS ratio,
+           |    TRY_CAST(CASE WHEN event_id % 3 = 0 THEN 'oops'
+           |                  ELSE CAST(event_id AS VARCHAR) END AS BIGINT) AS parsed,
+           |    CASE WHEN event_id > 0 THEN NULL
+           |         ELSE 9223372036854775807 + event_id END AS overflowed
+           |  FROM events)
+           |GROUP BY event_type ORDER BY event_type""".stripMargin))
+
   val all: Seq[GQuery] = Seq(
     q69NormalizePrices, q70NormalizeOutcomes, q71ParseTags, q72TagObjects, q73SeriesIds,
-    q78TimestampLenient, q79SilverPipeline, q81PagedSource, q93NullProfile)
+    q78TimestampLenient, q79SilverPipeline, q81PagedSource, q93NullProfile,
+    q171TryFunctions)
 }
