@@ -560,8 +560,70 @@ object CurationQueries {
             |  FROM docs JOIN rates ON docs.source = rates.source) d
             |GROUP BY d.source ORDER BY d.source""".stripMargin))
 
+  /** q172 — corpus release (the capstone composition): exact dedup
+    * (keep-min-id per fingerprint, Dedup.exact) → adaptive per-language
+    * quality gate (30th-percentile thresholds, q151) → per-source
+    * release accounting (docs surviving each stage + final token
+    * volume). This is the end-to-end shape a training-data release
+    * actually runs; every stage is an operator the registry already
+    * proves in isolation, and the oracle recomputes the whole chain,
+    * so the green row is the COMPOSITION proof. Underfull sources
+    * survive as zero-rows via left joins, not dropped.
+    */
+  val q172CorpusRelease = GQuery(
+    "q172_corpus_release",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val deduped = graft.operators.Dedup.exact(docs, "text", "doc_id")
+      val scored = deduped.withColumn("q", TextAnalysis.qualityScore($"text"))
+        .withColumn("toks", TextAnalysis.tokenCount($"text"))
+      val thr = scored.groupBy($"lang")
+        .agg(round(expr("percentile(q, 0.3D)"), 6).as("thr"))
+      val gated = scored.join(broadcast(thr), "lang").where($"q" >= $"thr")
+      val raw = docs.groupBy($"source").agg(count(lit(1)).as("n_raw"))
+      val dd = deduped.groupBy($"source").agg(count(lit(1)).as("n_dedup"))
+      val fin = gated.groupBy($"source")
+        .agg(count(lit(1)).as("n_final"), sum($"toks").as("tokens_final"))
+      raw.join(dd, Seq("source"), "left").join(fin, Seq("source"), "left")
+        .select($"source", $"n_raw",
+          coalesce($"n_dedup", lit(0L)).as("n_dedup"),
+          coalesce($"n_final", lit(0L)).as("n_final"),
+          coalesce($"tokens_final", lit(0L)).as("tokens_final"))
+        .orderBy($"source")
+    },
+    Some(s"""WITH ranked AS (
+            |  SELECT *, row_number() OVER (
+            |    PARTITION BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+            |    ORDER BY doc_id) AS rn
+            |  FROM documents),
+            |dedup AS (SELECT * FROM ranked WHERE rn = 1),
+            |scored AS (
+            |  SELECT source, lang, len(toks) AS toks, round(
+            |    0.4 * (len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE))
+            |    + 0.3 * least(5.0 * (len(list_filter(toks, x -> lower(x) IN (${TextAnalysis.Stopwords.map("'" + _ + "'").mkString(",")}))) / CAST(len(toks) AS DOUBLE)), 1.0)
+            |    + 0.3 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0), 4) AS q
+            |  FROM (SELECT source, lang, $toksSql AS toks FROM dedup)),
+            |thr AS (SELECT lang, round(quantile_cont(q, 0.3), 6) AS thr
+            |        FROM scored GROUP BY lang),
+            |gated AS (SELECT scored.* FROM scored JOIN thr USING (lang)
+            |          WHERE q >= thr),
+            |raw AS (SELECT source, count(*) AS n_raw FROM documents GROUP BY source),
+            |dd AS (SELECT source, count(*) AS n_dedup FROM dedup GROUP BY source),
+            |fin AS (SELECT source, count(*) AS n_final,
+            |               CAST(sum(toks) AS BIGINT) AS tokens_final
+            |        FROM gated GROUP BY source)
+            |SELECT raw.source, n_raw,
+            |       COALESCE(n_dedup, 0) AS n_dedup,
+            |       COALESCE(n_final, 0) AS n_final,
+            |       COALESCE(tokens_final, 0) AS tokens_final
+            |FROM raw LEFT JOIN dd USING (source) LEFT JOIN fin USING (source)
+            |ORDER BY raw.source""".stripMargin),
+    benchmark = true)
+
   val all: Seq[GQuery] = Seq(
     q117ChunkDedup, q118PiiRedaction, q119Contamination, q120DomainStats,
     q121WeightedResample, q122VocabCoverage, q123TrainingOrder, q135BigramLm,
-    q150DupNgrams, q151AdaptiveQuality, q152BpePairs, q169DataMixing)
+    q150DupNgrams, q151AdaptiveQuality, q152BpePairs, q169DataMixing,
+    q172CorpusRelease)
 }
