@@ -123,6 +123,28 @@ object Streams {
         col("t_ts"), col("f_ts"), col("f_value"))
   }
 
+  /** LEFT OUTER variant of [[attributionJoin]]: triggers that never
+    * see a follow-up inside the horizon are still emitted (null follow
+    * columns) — but only once the watermark proves no future match can
+    * arrive, which is exactly the state-eviction contract that bounds
+    * the join buffer at scale. Batch frames degrade to a plain left
+    * outer join, so one definition serves both engines of the
+    * stream==batch proof. */
+  def attributionJoinOuter(triggers: DataFrame, follows: DataFrame,
+      horizon: String = "1 hour", wm: String = "2 hours"): DataFrame = {
+    val t0 = triggers.select(col("user_id").as("t_user"), col("ts").as("t_ts"),
+      col("event_id").as("t_id"))
+    val f0 = follows.select(col("user_id").as("f_user"), col("ts").as("f_ts"),
+      col("event_id").as("f_id"), col("value").as("f_value"))
+    val t = if (t0.isStreaming) t0.withWatermark("t_ts", wm) else t0
+    val f = if (f0.isStreaming) f0.withWatermark("f_ts", wm) else f0
+    t.join(f, expr(
+        s"t_user = f_user AND f_ts > t_ts AND f_ts <= t_ts + INTERVAL $horizon"),
+        "left_outer")
+      .select(col("t_user").as("user_id"), col("t_id"), col("f_id"),
+        col("t_ts"), col("f_ts"), col("f_value"))
+  }
+
   /** Per-user running session state via mapGroupsWithState: counts
     * events and carries the last-seen timestamp per user. */
   case class UserEvent(user_id: Long, event_id: Long, tsMicros: Long)

@@ -165,6 +165,49 @@ class StarStreamingSpec extends SparkTestBase {
     assert(batch.count() > 0, "fixture must produce attribution pairs")
   }
 
+  test("stream-stream LEFT OUTER attribution: unmatched triggers flush after watermark") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_attr_outer")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("a_events.parquet"))
+    // a far-future flush batch: advances the watermark past every real
+    // trigger + horizon so their unmatched state evicts and emits
+    val flushNanos = 1748736000L * 1000000000L // 2025-06-01 UTC
+    val tmpF = java.nio.file.Files.createTempDirectory("graft_attr_flush")
+    // one flush row per PARITY: each side's watermark only advances on
+    // rows that survive its own filter, and the global watermark is the
+    // MIN of the two — a single-parity flush would strand the last
+    // real window's unmatched triggers forever
+    Seq((9000000L, flushNanos, 1L, "click", 0.0, "{}"),
+        (9000001L, flushNanos, 1L, "click", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(tmpF.toString)
+    val src = java.nio.file.Files.list(tmpF).toArray.map(_.toString)
+      .find(_.endsWith(".parquet")).get
+    java.nio.file.Files.copy(java.nio.file.Paths.get(src), dir.resolve("b_flush.parquet"))
+
+    def readOneFilePerBatch() = Streams.normalize(
+      spark.readStream.schema(Streams.eventSchema)
+        .option("maxFilesPerTrigger", 1).parquet(dir.toString))
+    val q = Streams.attributionJoinOuter(
+      readOneFilePerBatch().filter($"event_id" % 2 === 0),
+      readOneFilePerBatch().filter($"event_id" % 2 === 1))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("attr_outer_test").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("attr_outer_test")
+      .filter($"t_id" < 9000000L).select($"t_id", $"f_id")
+    val ev = Tables.events(spark, sf)
+    val batch = Streams.attributionJoinOuter(
+      ev.filter($"event_id" % 2 === 0), ev.filter($"event_id" % 2 === 1))
+      .select($"t_id", $"f_id")
+    assert(streamed.exceptAll(batch).count() == 0 && batch.exceptAll(streamed).count() == 0,
+      "outer stream join != batch left outer join")
+    assert(batch.filter($"f_id".isNull).count() > 0,
+      "fixture must produce unmatched triggers")
+  }
+
   test("scd2 stream (flatMapGroupsWithState) == batch closed intervals") {
     implicit val s = spark
     // raw read keeps ts as epoch-nanos long (the stream source schema);
