@@ -621,9 +621,55 @@ object CurationQueries {
             |ORDER BY raw.source""".stripMargin),
     benchmark = true)
 
+  /** q173 — lexical overlap matrix: vocabulary Jaccard between every
+    * source pair — the LEXICAL complement of q157's embedding-centroid
+    * drift. Per-source distinct token-hash sets self-join on the
+    * 60-bit hash (the only shuffle key); pair union sizes come from
+    * inclusion-exclusion over broadcast per-source vocab sizes, so
+    * nothing corpus-sized is ever paired. Top-15 most-overlapping
+    * pairs, fully tie-broken.
+    */
+  val q173VocabOverlap = GQuery(
+    "q173_vocab_overlap",
+    (s, d) => {
+      import s.implicits._
+      val st = Tables.documents(s, d)
+        .select($"source", explode(TextAnalysis.tokens($"text")).as("w"))
+        .select($"source", TextAnalysis.tokenHash60($"w").as("th"))
+        .distinct()
+      val sizes = st.groupBy($"source").agg(count(lit(1)).as("vsz"))
+      val inter = st.select($"source".as("sa"), $"th")
+        .join(st.select($"source".as("sb"), $"th"), "th")
+        .where($"sa" < $"sb")
+        .groupBy($"sa", $"sb").agg(count(lit(1)).as("inter"))
+      inter
+        .join(broadcast(sizes.select($"source".as("sa"), $"vsz".as("va"))), "sa")
+        .join(broadcast(sizes.select($"source".as("sb"), $"vsz".as("vb"))), "sb")
+        .select($"sa", $"sb",
+          round($"inter".cast("double") /
+            ($"va" + $"vb" - $"inter").cast("double"), 4).as("jaccard"))
+        .orderBy($"jaccard".desc, $"sa", $"sb")
+        .limit(15)
+    },
+    Some(s"""WITH st AS (
+            |  SELECT DISTINCT source, ${h60of("w")} AS th
+            |  FROM (SELECT source, unnest($toksSql) AS w FROM documents)),
+            |sizes AS (SELECT source, count(*) AS vsz FROM st GROUP BY source),
+            |inter AS (
+            |  SELECT a.source AS sa, b.source AS sb, count(*) AS inter
+            |  FROM st a JOIN st b ON a.th = b.th AND a.source < b.source
+            |  GROUP BY sa, sb)
+            |SELECT sa, sb,
+            |       round(CAST(inter AS DOUBLE) /
+            |             CAST(va.vsz + vb.vsz - inter AS DOUBLE), 4) AS jaccard
+            |FROM inter
+            |JOIN sizes va ON inter.sa = va.source
+            |JOIN sizes vb ON inter.sb = vb.source
+            |ORDER BY jaccard DESC, sa, sb LIMIT 15""".stripMargin))
+
   val all: Seq[GQuery] = Seq(
     q117ChunkDedup, q118PiiRedaction, q119Contamination, q120DomainStats,
     q121WeightedResample, q122VocabCoverage, q123TrainingOrder, q135BigramLm,
     q150DupNgrams, q151AdaptiveQuality, q152BpePairs, q169DataMixing,
-    q172CorpusRelease)
+    q172CorpusRelease, q173VocabOverlap)
 }
