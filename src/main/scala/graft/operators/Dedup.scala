@@ -81,24 +81,43 @@ object Dedup {
   /** End-to-end MinHash-LSH candidate pairs over (id, text).
     * Returns (id_a, id_b) with id_a < id_b, distinct. */
   def lshCandidates(corpus: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 32, bands: Int = 8, shingleSize: Int = 3): DataFrame = {
+      numHashes: Int = 32, bands: Int = 8, shingleSize: Int = 3,
+      dedupSignatures: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val withBands = corpus
-      .withColumn("__hs", shingleHashes(col(textCol), shingleSize))
-      // docs with no shingles (< shingleSize tokens) can't be near-dups
-      // of anything: drop them BEFORE banding — their all-null
-      // signatures would otherwise share degenerate "j:" band keys and
-      // pair every short doc with every other (the DuckDB oracle drops
-      // them the same way: its all-NULL signatures render NULL band
-      // keys, which the equi-join never matches)
-      .where(size(col("__hs")) > 0)
-      .withColumn("__sig", graft.functions.Natives.minhash(col("__hs"), numHashes))
+    // Two signature strategies, measured not guessed:
+    // - direct (default): hash every row's shingles scan-side. No extra
+    //   exchange; wins whenever the corpus is mostly unique (bench: the
+    //   dedupSignatures path REGRESSED q42 1.04s -> 1.45s at sf0.1).
+    // - dedupSignatures: compute the shingle-md5 chain once per
+    //   DISTINCT text (fingerprint-keyed) and join back to ids, paying
+    //   one fp shuffle of (16B fp + 256B sig). Wins when the raw corpus
+    //   carries a high exact-duplicate factor (heavy crawl dumps),
+    //   where hash work divides by that factor.
+    // Shingle-less docs (< shingleSize tokens) can't be near-dups of
+    // anything: dropped before banding on both paths (the DuckDB
+    // oracle drops them the same way: its all-NULL signatures render
+    // NULL band keys, which the equi-join never matches).
+    val sigTable =
+      if (dedupSignatures) {
+        val withFp = corpus.withColumn("__fp", md5(col(textCol)))
+        val uniqSigs = withFp.select(col("__fp"), col(textCol)).dropDuplicates("__fp")
+          .withColumn("__hs", shingleHashes(col(textCol), shingleSize))
+          .where(size(col("__hs")) > 0)
+          .withColumn("__sig", graft.functions.Natives.minhash(col("__hs"), numHashes))
+          .select(col("__fp"), col("__sig"))
+        withFp.join(uniqSigs, "__fp").select(col(idCol), col("__sig"))
+      } else
+        corpus
+          .withColumn("__hs", shingleHashes(col(textCol), shingleSize))
+          .where(size(col("__hs")) > 0)
+          .withColumn("__sig", graft.functions.Natives.minhash(col("__hs"), numHashes))
+          .select(col(idCol), col("__sig"))
+    val withBands = sigTable
       // the candidate join shuffles h60(band string) — an 8-byte key
       // instead of a ~40-byte string, the dominant shuffle of the tier.
       // A 60-bit collision can only ADD a spurious candidate, which the
-      // downstream exact-Jaccard verification discards; h60(NULL)=NULL
-      // keeps the shingle-less-doc non-matching contract intact.
+      // downstream exact-Jaccard verification discards.
       .select(col(idCol), explode(bandKeys(col("__sig"), bands, r)).as("__bks"))
       .select(col(idCol), graft.functions.Natives.hash60(col("__bks")).as("__bk"))
     withBands.alias("a")
