@@ -79,10 +79,32 @@ object Dedup {
         array_join(slice(sigCol, j * lit(rowsPerBand) + 1, lit(rowsPerBand)), ",")))
 
   /** End-to-end MinHash-LSH candidate pairs over (id, text).
-    * Returns (id_a, id_b) with id_a < id_b, distinct. */
+    * Returns (id_a, id_b) with id_a < id_b, distinct.
+    *
+    * HOT-BUCKET GUARD (`maxBucketSize`): the candidate self-join's
+    * output grows QUADRATICALLY in bucket size — on a crawl-dump
+    * corpus with duplicate factor f, every copy of a document lands in
+    * identical buckets and one 1M-member bucket alone emits 5·10¹¹
+    * pairs. AQE skew-split redistributes partitions but cannot shrink
+    * the candidate set, so at 100 TB the valve must cut candidates,
+    * not just rebalance them. With `maxBucketSize` set, band buckets
+    * holding more members are DROPPED before the join (the standard
+    * production policy — such buckets are near-always exact-duplicate
+    * floods, which the documented contract handles upstream: run
+    * [[exact]] dedup FIRST, then LSH on the survivors; the guard is
+    * the backstop for floods that slip through, e.g. near-identical
+    * boilerplate). Dropped buckets are observable via
+    * [[lshDroppedBuckets]] — silent truncation would read as "no
+    * near-dups here". Candidate output is then bounded by
+    * O(bands · n/cap · cap²) = O(bands · n · cap) — linear in corpus
+    * size, never quadratic. Default Int.MaxValue = no guard (exact
+    * parity with the unguarded oracle). Recall note: a dropped
+    * bucket's pairs can still surface through the other bands; only
+    * pairs hot in EVERY band (true floods) are lost. */
   def lshCandidates(corpus: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 32, bands: Int = 8, shingleSize: Int = 3,
-      dedupSignatures: Boolean = false): DataFrame = {
+      dedupSignatures: Boolean = false,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     // Two signature strategies, measured not guessed:
@@ -120,11 +142,48 @@ object Dedup {
       // downstream exact-Jaccard verification discards.
       .select(col(idCol), explode(bandKeys(col("__sig"), bands, r)).as("__bks"))
       .select(col(idCol), graft.functions.Natives.hash60(col("__bks")).as("__bk"))
-    withBands.alias("a")
-      .join(withBands.alias("b"),
+    val guarded = capBuckets(withBands, "__bk", maxBucketSize)
+    guarded.alias("a")
+      .join(guarded.alias("b"),
         col("a.__bk") === col("b.__bk") && col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
+  }
+
+  /** Drop members of buckets larger than `cap` before a candidate
+    * self-join. The hot-key set is BY CONSTRUCTION tiny — at most
+    * rows/cap buckets can exceed cap — so the anti-join's build side
+    * broadcasts under AQE; the main flow pays one extra map-side-
+    * combinable count on the same key it was about to shuffle anyway.
+    * cap = Int.MaxValue short-circuits to the input (no extra stage). */
+  private[operators] def capBuckets(banded: DataFrame, bucketCol: String, cap: Int): DataFrame =
+    if (cap == Int.MaxValue) banded
+    else {
+      val hot = banded.groupBy(col(bucketCol)).agg(count(lit(1)).as("__bsz"))
+        .filter(col("__bsz") > cap).select(col(bucketCol))
+      banded.join(hot, Seq(bucketCol), "left_anti")
+    }
+
+  /** Accounting twin of the [[lshCandidates]] hot-bucket guard: the
+    * band buckets a given `maxBucketSize` WOULD drop, as
+    * (band_key_hash, bucket_size) rows. Aggregate it next to the
+    * candidate output (`dropped_buckets` / `dropped_memberships`) so a
+    * capped run can never silently report "no near-dups" — the valve
+    * leaves a ledger. Same signature pipeline as the candidate path,
+    * so the reported keys are exactly the ones the guard cuts. */
+  def lshDroppedBuckets(corpus: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 32, bands: Int = 8, shingleSize: Int = 3,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    corpus
+      .withColumn("__hs", shingleHashes(col(textCol), shingleSize))
+      .where(size(col("__hs")) > 0)
+      .withColumn("__sig", graft.functions.Natives.minhash(col("__hs"), numHashes))
+      .select(col(idCol), explode(bandKeys(col("__sig"), bands, r)).as("__bks"))
+      .select(graft.functions.Natives.hash60(col("__bks")).as("band_key"))
+      .groupBy(col("band_key")).agg(count(lit(1)).as("bucket_size"))
+      .filter(col("bucket_size") > maxBucketSize)
   }
 
   /** Exact shingle-set Jaccard for verification of candidate pairs:

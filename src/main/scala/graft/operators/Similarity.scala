@@ -184,10 +184,20 @@ object Similarity {
     * Input: (vec_id, v: array<double>). Output: (id_a, id_b, sim)
     * with id_a < id_b. Single-table LSH: a near-dup pair whose sketch
     * differs in ≥1 of `bits` signs is missed — raise recall with fewer
-    * bits (coarser buckets) or OR-multiple tables, the standard dial. */
-  def nearDupPairs(corpus: DataFrame, dim: Int, bits: Int, threshold: Double): DataFrame = {
-    val b = corpus.select(col("vec_id"), col("v"),
+    * bits (coarser buckets) or OR-multiple tables, the standard dial.
+    *
+    * `maxBucketSize` is the hot-bucket guard (see
+    * `Dedup.lshCandidates` for the full contract): buckets larger than
+    * the cap are dropped before the self-join, bounding candidate
+    * output linearly in corpus size where an embedding-duplicate flood
+    * (re-crawled pages, default-value vectors) would otherwise emit
+    * quadratically. Run exact dedup on the vector fingerprint first;
+    * the cap is the backstop. Default = unguarded. */
+  def nearDupPairs(corpus: DataFrame, dim: Int, bits: Int, threshold: Double,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val b0 = corpus.select(col("vec_id"), col("v"),
       graft.functions.Natives.hyperplaneBucket(col("v"), dim, bits).as("__bucket"))
+    val b = Dedup.capBuckets(b0, "__bucket", maxBucketSize)
     b.alias("a").join(b.alias("b"),
         col("a.__bucket") === col("b.__bucket") && col("a.vec_id") < col("b.vec_id"))
       .withColumn("sim", round(cosineNative(col("a.v"), col("b.v")), 4))
@@ -211,15 +221,18 @@ object Similarity {
     * planes are exactly [[nearDupPairs]]'s, so the single-table
     * candidate set is a subset by construction (spec-pinned). */
   def nearDupPairsMulti(corpus: DataFrame, dim: Int, bits: Int,
-      threshold: Double, tables: Int): DataFrame = {
+      threshold: Double, tables: Int,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val total = bits * tables
     require(total <= 62, s"tables*bits must fit a long, got $total")
     val mask = (1L << bits) - 1
-    val banded = corpus.select(col("vec_id"),
+    val banded0 = corpus.select(col("vec_id"),
         graft.functions.Natives.hyperplaneBucket(col("v"), dim, total).as("__all"),
         explode(sequence(lit(0), lit(tables - 1))).as("__t"))
       .select(col("vec_id"), concat_ws(":", col("__t"),
         expr(s"shiftright(__all, __t * $bits)").bitwiseAND(lit(mask))).as("__bk"))
+    // hot-bucket guard, per table-bucket — see nearDupPairs/Dedup.lshCandidates
+    val banded = Dedup.capBuckets(banded0, "__bk", maxBucketSize)
     val cand = banded.alias("a").join(banded.alias("b"),
         col("a.__bk") === col("b.__bk") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))

@@ -756,10 +756,75 @@ object LlmQueries {
            |  GROUP BY a.label, b.label)
            |ORDER BY la, lb""".stripMargin))
 
+  /** q174 — the hot-bucket GUARD of the LSH candidate tier, end-to-end:
+    * a 50-copy flood of one document is planted on top of `documents`;
+    * with `maxBucketSize = 10` every flood bucket (51 members in all 8
+    * bands) is dropped BEFORE the candidate self-join, so the flood
+    * contributes zero candidates while the accounting ledger reports
+    * exactly the dropped buckets and their membership mass. The oracle
+    * recomputes the capped pipeline — bucket census, hot-key cut,
+    * candidate join — from scratch in DuckDB, pinning both the cut and
+    * the ledger. This is the 100 TB valve: candidate output is bounded
+    * O(bands·n·cap) instead of quadratic in the duplicate factor. */
+  val q174LshBucketCap = GQuery(
+    "q174_lsh_bucket_cap",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val seed = docs.filter(length($"text") >= 50).orderBy($"doc_id").limit(1)
+      val flood = seed.select(explode(sequence(lit(0), lit(49))).as("t"), $"text")
+        .select(($"t" + 200000).cast("long").as("id"), $"text")
+      val corpus = docs.select($"doc_id".as("id"), $"text").unionByName(flood)
+      val cand = Dedup.lshCandidates(corpus, "id", "text",
+        numHashes = 32, bands = 8, maxBucketSize = 10)
+      val dropped = Dedup.lshDroppedBuckets(corpus, "id", "text",
+        numHashes = 32, bands = 8, maxBucketSize = 10)
+      cand.agg(
+          count(lit(1)).as("n_candidates"),
+          count(when($"id_a" >= 200000 || $"id_b" >= 200000, 1)).as("flood_candidates"))
+        .crossJoin(dropped.agg(
+          count(lit(1)).as("dropped_buckets"),
+          coalesce(sum($"bucket_size"), lit(0L)).as("dropped_memberships")))
+    },
+    Some {
+      val aL = Dedup.coeffA(32).mkString("[", ",", "]")
+      val bL = Dedup.coeffB(32).mkString("[", ",", "]")
+      val hs = s"list_transform(${shinglesSql(toksSql)}, sh -> ${h60.replace("__X__", "sh")} % ${Dedup.P})"
+      s"""WITH corpus AS (
+         |  SELECT doc_id AS id, text FROM documents
+         |  UNION ALL
+         |  SELECT 200000 + t AS id,
+         |         (SELECT text FROM documents WHERE len(text) >= 50
+         |          ORDER BY doc_id LIMIT 1) AS text
+         |  FROM range(0, 50) r(t)),
+         |shingled0 AS (SELECT id, $hs AS hs FROM corpus),
+         |shingled AS (SELECT id, hs FROM shingled0 WHERE len(hs) > 0),
+         |sigs AS (SELECT id,
+         |  list_transform(range(0, 32), i ->
+         |    list_min(list_transform(hs, h -> (($aL)[i+1] * h + ($bL)[i+1]) % ${Dedup.P}))) AS sig
+         |  FROM shingled),
+         |bands AS (SELECT id,
+         |  unnest(list_transform(range(0, 8), j ->
+         |    ${h60.replace("__X__", "CAST(j AS VARCHAR) || ':' || array_to_string(sig[j*4+1:j*4+4], ',')")})) AS bk
+         |  FROM sigs),
+         |bsize AS (SELECT bk, count(*) AS n FROM bands GROUP BY bk),
+         |keep AS (SELECT id, bk FROM bands
+         |         WHERE bk NOT IN (SELECT bk FROM bsize WHERE n > 10)),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM keep a JOIN keep b ON a.bk = b.bk AND a.id < b.id)
+         |SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM cand
+         |     WHERE id_a >= 200000 OR id_b >= 200000) AS flood_candidates,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM bsize WHERE n > 10) AS dropped_buckets,
+         |  (SELECT CAST(COALESCE(sum(n), 0) AS BIGINT) FROM bsize WHERE n > 10) AS dropped_memberships""".stripMargin
+    })
+
   val all: Seq[GQuery] = Seq(
     q40DedupExactStats, q41DedupExactKeep, q42MinhashLsh, q43Simhash,
     q44NgramJaccard, q45CosineTopk, q46Centroids, q47LshBuckets,
     q55BpeTokens, q56IvfAnn, q57SaltedJoin, q77EmbeddingNearDup, q80IvfKmeans,
     q82NearDupMulti, q83NearDupGroups, q84DatasetSplits, q140Sq8Ann,
-    q144PrefixJoin, q154AnnRecall, q156IncrementalLsh, q157DriftMatrix)
+    q144PrefixJoin, q154AnnRecall, q156IncrementalLsh, q157DriftMatrix,
+    q174LshBucketCap)
 }

@@ -36,6 +36,64 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(planted == nDocs, s"expected all $nDocs planted dup pairs, got $planted")
   }
 
+  test("hot-bucket guard: a 10k-copy flood emits zero candidates, ledger reports the cut") {
+    // 10k exact copies of one document: unguarded, EVERY band puts all
+    // copies in one bucket -> 8 x 10k(10k-1)/2 ~ 4x10^8 candidate pairs
+    // (the quadratic blow-up the guard exists for; never materialized
+    // here). With the cap the flood buckets are dropped whole.
+    // 1 and 2 are EXACT copies: identical signatures share every band
+    // deterministically, so the not-disturbed assertion can't flake on
+    // a near-dup missing all 8 bands under the fixed coefficients
+    val normal = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "totally different content about query planners and shuffles")
+    ).toDF("id", "text")
+    val flood = spark.range(10000).select(($"id" + 1000L).as("id"),
+      lit("the flooded document body repeated verbatim across the crawl").as("text"))
+    val corpus = normal.union(flood)
+    val cap = 20
+    val cand = Dedup.lshCandidates(corpus, "id", "text", maxBucketSize = cap)
+    // flood contributes nothing; docs 1~2 share most shingles and at
+    // least one band, and their buckets are small, so the guard must
+    // NOT disturb them
+    assert(cand.filter($"id_a" >= 1000L || $"id_b" >= 1000L).count() == 0)
+    assert(cand.filter($"id_a" === 1L && $"id_b" === 2L).count() == 1)
+    // ledger: every flood band bucket (8 bands x 10k members) reported
+    val dropped = Dedup.lshDroppedBuckets(corpus, "id", "text", maxBucketSize = cap)
+      .collect()
+    assert(dropped.length == 8, s"expected 8 dropped band buckets, got ${dropped.length}")
+    assert(dropped.forall(_.getLong(1) == 10000L))
+    // unguarded default still finds the flood (sanity that the guard,
+    // not banding, removed it) — count the BUCKET members, not pairs
+    val unguardedLedger = Dedup.lshDroppedBuckets(corpus, "id", "text",
+      maxBucketSize = Int.MaxValue).count()
+    assert(unguardedLedger == 0)
+  }
+
+  test("hot-bucket guard on embedding LSH: flood vectors cut, pairs otherwise intact") {
+    val dim = 8
+    def vec(seed: Int): Seq[Double] =
+      (0 until dim).map(k => math.sin(seed * 31 + k * 7).abs + 0.1)
+    val base = (1 to 30).map(i => (i.toLong, vec(i)))
+    val flood = (0 until 2000).map(t => (5000L + t, vec(999)))
+    val corpus = (base ++ flood).toDF("vec_id", "v")
+    val guarded = Similarity.nearDupPairs(corpus, dim, bits = 4, threshold = 0.5,
+      maxBucketSize = 50)
+    assert(guarded.filter($"id_a" >= 5000L || $"id_b" >= 5000L).count() == 0)
+    // pairs among the 30 base vectors whose bucket stayed under the cap
+    // match the unguarded run restricted to those buckets: guard a
+    // corpus with NO flood -> identical output to unguarded
+    val baseOnly = base.toDF("vec_id", "v")
+    val g = Similarity.nearDupPairs(baseOnly, dim, 4, 0.5, maxBucketSize = 50)
+      .collect().toSet
+    val u = Similarity.nearDupPairs(baseOnly, dim, 4, 0.5).collect().toSet
+    assert(g == u)
+    val multi = Similarity.nearDupPairsMulti(corpus, dim, bits = 4, threshold = 0.5,
+      tables = 2, maxBucketSize = 50)
+    assert(multi.filter($"id_a" >= 5000L || $"id_b" >= 5000L).count() == 0)
+  }
+
   test("native shingle-hash + minhash == declarative twins bit-for-bit on the corpus") {
     val docs = Tables.documents(spark, sf)
     val cmp = docs.select(
