@@ -438,6 +438,11 @@ case class Hash60Expr(child: Expression) extends UnaryExpression {
 /** Codegen'd positional n-gram hash array:
   * `ngram_hash_native(text, n, stride)` — see NativeHelpers.ngramHashes. */
 case class NgramHashExpr(child: Expression, n: Int, stride: Int) extends UnaryExpression {
+  // guard at construction (mirrors TopKPerKey's k > 0): stride = 0 is a
+  // per-row divide-by-zero inside NativeHelpers.ngramHashes and n <= 0
+  // walks past the token array — both must fail at plan time, not task time
+  require(n >= 1, s"ngram_hash_native: n must be >= 1, got $n")
+  require(stride >= 1, s"ngram_hash_native: stride must be >= 1, got $stride")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
   override def prettyName: String = "ngram_hash_native"
@@ -510,6 +515,20 @@ object Natives {
   * `graft.plans.GraftExtensions` (the `spark.sql.extensions` deploy
   * route) so the two registration paths expose one surface. */
 object NativeRegistry {
+  /** Integer-literal argument of a SQL builder: a non-foldable or NULL
+    * argument would NPE at resolution ([[Expression.eval]] with no row)
+    * — fail with the function name and position instead. */
+  private def litInt(fn: String, exprs: Seq[Expression], i: Int): Int = {
+    require(exprs.length > i, s"$fn: expects at least ${i + 1} arguments")
+    val e = exprs(i)
+    require(e.foldable, s"$fn: argument ${i + 1} must be a literal, got $e")
+    e.eval() match {
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} must be a non-null integer literal, got $other")
+    }
+  }
+
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "normalize_numeric_native" ->
       ((exprs: Seq[Expression]) => NormalizeNumericExpr(exprs.head)),
@@ -519,10 +538,10 @@ object NativeRegistry {
       ((exprs: Seq[Expression]) => CosineSimilarityExpr(exprs(0), exprs(1))),
     "shingle_hash_native" ->
       ((exprs: Seq[Expression]) => ShingleHashExpr(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue(), NativeHelpers.MinhashP)),
+        litInt("shingle_hash_native", exprs, 1), NativeHelpers.MinhashP)),
     "minhash_native" ->
       ((exprs: Seq[Expression]) => {
-        val n = exprs(1).eval().asInstanceOf[Number].intValue()
+        val n = litInt("minhash_native", exprs, 1)
         MinhashSignatureExpr(exprs(0),
           NativeHelpers.minhashCoeffA(n), NativeHelpers.minhashCoeffB(n),
           NativeHelpers.MinhashP)
@@ -533,12 +552,12 @@ object NativeRegistry {
       ((exprs: Seq[Expression]) => Hash60Expr(exprs.head)),
     "ngram_hash_native" ->
       ((exprs: Seq[Expression]) => NgramHashExpr(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue(),
-        exprs(2).eval().asInstanceOf[Number].intValue())),
+        litInt("ngram_hash_native", exprs, 1),
+        litInt("ngram_hash_native", exprs, 2))),
     "hyperplane_bucket_native" ->
       ((exprs: Seq[Expression]) => HyperplaneBucketExpr(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue(),
-        exprs(2).eval().asInstanceOf[Number].intValue())))
+        litInt("hyperplane_bucket_native", exprs, 1),
+        litInt("hyperplane_bucket_native", exprs, 2))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

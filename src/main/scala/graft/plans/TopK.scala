@@ -5,7 +5,7 @@ import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge}
 import org.apache.spark.sql.execution.SparkStrategy
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, Cast, Expression, UnsafeProjection, UnsafeRow}
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{ByteType, DoubleType, FloatType, IntegerType, LongType, ShortType}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
@@ -26,13 +26,25 @@ import scala.collection.mutable
   * `order` DESC with `tie` ASC breaking ties — deterministic whenever
   * (order, tie) is unique per key; rows whose order value is NULL are
   * never in the top-k (SQL "NULLS LAST under DESC" semantics).
+  *
+  * MEMORY CONTRACT: per-KEY memory is O(k), but per-PARTITION memory
+  * is O(k × distinct keys in that partition), held in an on-heap map
+  * with no spill path — the operator targets the many-rows-per-key
+  * regime (ANN rankings: thousands of queries × millions of
+  * candidates). For key cardinalities approaching row count the
+  * window row_number form is the right tool (it spills through the
+  * external sorter). `maxKeysPerPartition` (session conf
+  * `spark.graft.topk.maxKeysPerPartition`, default unlimited) is the
+  * guard rail: a partition exceeding it fails fast with an actionable
+  * error instead of slow-burning the executor heap to OOM.
   */
 case class TopKPerKey(
     keys: Seq[Expression],
     order: Expression,
     tie: Expression,
     k: Int,
-    child: LogicalPlan) extends UnaryNode {
+    child: LogicalPlan,
+    maxKeysPerPartition: Int = Int.MaxValue) extends UnaryNode {
   require(k > 0, "k must be positive")
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKey =
@@ -45,8 +57,8 @@ case class TopKPerKey(
   * `spark.experimental.extraStrategies` by [[TopK.perKey]]. */
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKey(keys, order, tie, k, child) =>
-      TopKPerKeyExec(keys, order, tie, k, planLater(child)) :: Nil
+    case TopKPerKey(keys, order, tie, k, child, maxKeys) =>
+      TopKPerKeyExec(keys, order, tie, k, planLater(child), maxKeys) :: Nil
     case _ => Nil
   }
 }
@@ -56,7 +68,8 @@ case class TopKPerKeyExec(
     order: Expression,
     tie: Expression,
     k: Int,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    maxKeysPerPartition: Int = Int.MaxValue) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
@@ -67,6 +80,7 @@ case class TopKPerKeyExec(
 
   override protected def doExecute(): RDD[InternalRow] = {
     val kLocal = k
+    val maxKeysLocal = maxKeysPerPartition
     val keysLocal = keys
     val ordTieLocal = Seq(order, tie)
     val childOutput = child.output
@@ -93,6 +107,12 @@ case class TopKPerKeyExec(
           val heap = heaps.get(transientKey) match {
             case Some(h) => h
             case None =>
+              if (heaps.size >= maxKeysLocal)
+                throw new IllegalStateException(
+                  s"TopKPerKey: partition exceeded $maxKeysLocal distinct keys " +
+                    "(per-partition memory is O(k x distinct keys) with no spill); " +
+                    "use the window row_number form for near-unique keys, or raise " +
+                    "spark.graft.topk.maxKeysPerPartition")
               val h = mutable.PriorityQueue.empty[Entry](worstFirst)
               heaps.put(transientKey.copy(), h)
               h
@@ -131,19 +151,46 @@ object TopK {
   def perKey(df: DataFrame, keyNames: Seq[String], orderName: String,
       tieName: String, k: Int): DataFrame = {
     val spark = df.sparkSession
-    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ TopKStrategy
+    // check-and-append under a lock: extraStrategies is a plain var,
+    // and a racy read-modify-write from two threads sharing a session
+    // could lose a concurrently-added strategy or double-append
+    TopK.synchronized {
+      if (!spark.experimental.extraStrategies.contains(TopKStrategy))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ TopKStrategy
+    }
     val lp = GraftColumnBridge.analyzed(df)
     def attr(name: String): Attribute =
       lp.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
           s"column $name not in ${lp.output.map(_.name).mkString(",")}"))
+    // the exec compares (double, long) internally; a silent Cast from a
+    // non-numeric column would rank NULLs (= drop every row), and a
+    // 64-bit order value would lose precision above 2^53 and diverge
+    // from the window form the operator claims row-identity with —
+    // reject both up front instead
+    val ordAttr = attr(orderName)
+    ordAttr.dataType match {
+      case DoubleType | FloatType | IntegerType | ShortType | ByteType => ()
+      case other => throw new IllegalArgumentException(
+        s"TopK.perKey order column $orderName: $other is not exactly " +
+          "representable as double (needed for heap comparison); cast " +
+          "explicitly or use the window row_number form")
+    }
+    val tieAttr = attr(tieName)
+    tieAttr.dataType match {
+      case LongType | IntegerType | ShortType | ByteType => ()
+      case other => throw new IllegalArgumentException(
+        s"TopK.perKey tie column $tieName: $other is not an integral type")
+    }
+    val maxKeys = spark.conf.getOption("spark.graft.topk.maxKeysPerPartition")
+      .map(_.toInt).getOrElse(Int.MaxValue)
     GraftColumnBridge.ofRows(spark, TopKPerKey(
       keyNames.map(attr),
-      Cast(attr(orderName), DoubleType),
-      Cast(attr(tieName), LongType),
+      Cast(ordAttr, DoubleType),
+      Cast(tieAttr, LongType),
       k,
-      lp))
+      lp,
+      maxKeys))
   }
 }

@@ -388,7 +388,12 @@ object AnalyticsQueries {
     "q165_topk_operator",
     (s, d) => {
       import s.implicits._
-      graft.plans.TopK.perKey(Tables.events(s, d),
+      // explicit NULL-order exclusion on BOTH sides (TopKPerKey never
+      // ranks a NULL-order row; row_number would backfill them in
+      // groups with < k non-null rows) — the operator==window
+      // equivalence is by construction, not by fixture luck
+      graft.plans.TopK.perKey(
+        Tables.events(s, d).filter($"value".isNotNull),
         Seq("event_type"), "value", "event_id", 3)
         .select($"event_type", $"event_id", $"value")
         .orderBy($"event_type", $"value".desc, $"event_id")
@@ -397,7 +402,7 @@ object AnalyticsQueries {
            |  SELECT event_type, event_id, value,
            |         row_number() OVER (PARTITION BY event_type
            |                            ORDER BY value DESC, event_id) AS rn
-           |  FROM events) t WHERE rn <= 3
+           |  FROM events WHERE value IS NOT NULL) t WHERE rn <= 3
            |ORDER BY event_type, value DESC, event_id""".stripMargin),
     benchmark = true)
 

@@ -49,6 +49,38 @@ class TopKStrategySpec extends SparkTestBase {
     assert(got.toSeq == Seq(("a", 1L), ("a", 2L), ("b", 4L)))
   }
 
+  test("order/tie column types are validated up front (no silent lossy casts)") {
+    val df = Seq(("a", "not-a-number", 1L, 2.0, "t")).toDF("k", "s", "l", "d", "st")
+    // non-numeric order would cast to NULL and silently drop every row
+    intercept[IllegalArgumentException] { TopK.perKey(df, Seq("k"), "s", "l", 3) }
+    // long order loses precision above 2^53, diverging from the window form
+    intercept[IllegalArgumentException] { TopK.perKey(df, Seq("k"), "l", "l", 3) }
+    // non-integral tie would collapse ties nondeterministically
+    intercept[IllegalArgumentException] { TopK.perKey(df, Seq("k"), "d", "st", 3) }
+    // the valid combination still plans
+    assert(TopK.perKey(df, Seq("k"), "d", "l", 3).count() == 1)
+  }
+
+  test("maxKeysPerPartition guard fails fast on key-cardinality blowup") {
+    // near-unique keys: the wrong regime for per-key heaps — the guard
+    // must fail with an actionable error instead of creeping toward OOM
+    val df = (1 to 5000).map(i => (i.toLong, i.toDouble, i.toLong)).toDF("k", "v", "id")
+      .repartition(1)
+    spark.conf.set("spark.graft.topk.maxKeysPerPartition", "100")
+    try {
+      val e = intercept[Exception] {
+        TopK.perKey(df, Seq("k"), "v", "id", 3).collect()
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(e).exists(_.getMessage != null) &&
+        causes(e).exists(c => c.getMessage != null &&
+          c.getMessage.contains("distinct keys")), s"unexpected failure: $e")
+    } finally spark.conf.unset("spark.graft.topk.maxKeysPerPartition")
+    // and unlimited (default) handles the same input fine
+    assert(TopK.perKey(df, Seq("k"), "v", "id", 3).count() == 5000)
+  }
+
   test("heap keeps the BEST k under adversarial arrival order") {
     // ascending arrival: every row initially enters the heap, forcing
     // the evict path on each subsequent better row
