@@ -53,6 +53,36 @@ object MicroBench {
       val chk = topkScan(form).collect()(0).getDouble(0)
       println(f"$form%-13s rep$r: ${(System.nanoTime() - t0) / 1e9}%.3f s (checksum $chk%.6f)")
     }
+
+    // SQ8 persisted-codes ANN: rank from the 1-byte codes parquet vs
+    // from the float32 embeddings parquet — the compression must pay
+    // in BYTES SCANNED, not just on paper (VERDICT r4 #2)
+    val embRaw = Tables.embeddings(spark, sfDir)
+    val idxDir = java.nio.file.Files.createTempDirectory("sq8bench").toString
+    Similarity.sq8WriteIndex(embRaw, idxDir)
+    embRaw.write.mode("overwrite").parquet(s"$idxDir/floats")
+    def dirBytes(p: String): Long = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sessionState.newHadoopConf()).getContentSummary(hp).getLength
+    }
+    println(f"sq8 on-disk: codes ${dirBytes(s"$idxDir/codes")}%,d B vs " +
+      f"floats ${dirBytes(s"$idxDir/floats")}%,d B " +
+      f"(${dirBytes(s"$idxDir/floats").toDouble / dirBytes(s"$idxDir/codes")}%.2fx)")
+    val queries = embRaw.limit(8)
+    def sq8Scan(form: String) = form match {
+      case "codes_scan" =>
+        Similarity.sq8TopKFromCodes(queries,
+          spark.read.parquet(s"$idxDir/codes"),
+          spark.read.parquet(s"$idxDir/bounds"), 5)
+      case "float_scan" =>
+        Similarity.sq8TopK(queries, spark.read.parquet(s"$idxDir/floats"), 64, 5)
+    }
+    for (form <- Seq("float_scan", "codes_scan"); r <- 1 to reps) {
+      val t0 = System.nanoTime()
+      val chk = sq8Scan(form).agg(sum(col("sim"))).collect()(0).getDouble(0)
+      println(f"$form%-13s rep$r: ${(System.nanoTime() - t0) / 1e9}%.3f s (checksum $chk%.6f)")
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idxDir))
     spark.stop()
   }
 }

@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, QuaternaryExpression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, LongType, StringType}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -80,6 +80,59 @@ object NativeHelpers {
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = a.getDouble(i); val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) null else java.lang.Double.valueOf(dot / denom)
+  }
+
+  /** SQ8 scalar quantization to 1-byte codes — the arithmetic twin of
+    * `Similarity.sq8Dequantize`'s code computation (w = (hi-lo)/256,
+    * code = min(floor((x-lo)/w), 255), same IEEE ops in the same
+    * order, so encode→decode reproduces the declarative dequantized
+    * values bit-for-bit). Contract: bounds must come from the same
+    * corpus (x ∈ [lo, hi]); codes clamp into [0, 255] regardless so a
+    * drifted input can't wrap the byte. Null element / length
+    * mismatch → null, like [[cosine]]. */
+  def sq8Encode(v: ArrayData, los: ArrayData, his: ArrayData): Array[Byte] = {
+    if (v == null || los == null || his == null) return null
+    val n = v.numElements()
+    if (los.numElements() != n || his.numElements() != n) return null
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i) || los.isNullAt(i) || his.isNullAt(i)) return null
+      val lo = los.getDouble(i)
+      val w = (his.getDouble(i) - lo) / 256.0
+      val code = math.min(math.floor((v.getDouble(i) - lo) / w), 255.0)
+      out(i) = math.max(code, 0.0).toInt.toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Cosine of a full-precision query against an SQ8-coded vector,
+    * dequantizing on the fly (asymmetric distance) — the fused read
+    * path of the persisted-codes index: the scan touches 1 byte per
+    * component instead of 4 (float32) and never materializes the
+    * decoded array. Accumulation order matches [[cosine]] over the
+    * dequantized values exactly, so ranking from codes is
+    * bit-identical to ranking from `sq8Dequantize`d vectors. */
+  def sq8Cosine(q: ArrayData, codes: Array[Byte], los: ArrayData,
+      his: ArrayData): java.lang.Double = {
+    if (q == null || codes == null || los == null || his == null) return null
+    val n = codes.length
+    if (q.numElements() != n || los.numElements() != n || his.numElements() != n)
+      return null
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      if (q.isNullAt(i) || los.isNullAt(i) || his.isNullAt(i)) return null
+      val lo = los.getDouble(i)
+      val w = (his.getDouble(i) - lo) / 256.0
+      val y = lo + ((codes(i) & 0xff) + 0.5) * w
+      val x = q.getDouble(i)
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
@@ -483,6 +536,61 @@ case class MinhashSignatureExpr(child: Expression, coeffA: Seq[Long], coeffB: Se
     copy(child = newChild)
 }
 
+/** Codegen'd SQ8 encode: `sq8_encode_native(vec, los, his)` → binary
+  * (1 byte per component). The write path of the persisted-codes ANN
+  * index — see NativeHelpers.sq8Encode for the arithmetic contract. */
+case class Sq8EncodeExpr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "sq8_encode_native"
+
+  override protected def nullSafeEval(v: Any, lo: Any, hi: Any): Any =
+    NativeHelpers.sq8Encode(v.asInstanceOf[ArrayData],
+      lo.asInstanceOf[ArrayData], hi.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c) =>
+      s"""
+        ${ev.value} = graft.functions.NativeHelpers.sq8Encode($a, $b, $c);
+        if (${ev.value} == null) { ${ev.isNull} = true; }
+      """)
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Sq8EncodeExpr =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** Codegen'd asymmetric SQ8 cosine:
+  * `sq8_cosine_native(query, codes, los, his)` — the fused read path
+  * of the persisted-codes index (dequantize + cosine in one scan-side
+  * loop, no decoded-array materialization). Bit-identical to
+  * cosine_native over `sq8Dequantize`d vectors. */
+case class Sq8CosineExpr(first: Expression, second: Expression,
+    third: Expression, fourth: Expression) extends QuaternaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "sq8_cosine_native"
+
+  override protected def nullSafeEval(q: Any, codes: Any, lo: Any, hi: Any): Any = {
+    val r = NativeHelpers.sq8Cosine(q.asInstanceOf[ArrayData],
+      codes.asInstanceOf[Array[Byte]],
+      lo.asInstanceOf[ArrayData], hi.asInstanceOf[ArrayData])
+    if (r == null) null else r.doubleValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c, d) =>
+      s"""
+        java.lang.Double r = graft.functions.NativeHelpers.sq8Cosine($a, $b, $c, $d);
+        if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.doubleValue(); }
+      """)
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression, newFourth: Expression): Sq8CosineExpr =
+    copy(first = newFirst, second = newSecond, third = newThird, fourth = newFourth)
+}
+
 /** Direct Column wrappers over the native expressions — these work on
   * ANY SparkSession (no FunctionRegistry lookup, so a consumer with a
   * plain session or `spark.newSession()` isn't coupled to
@@ -507,6 +615,10 @@ object Natives {
   def simhash(c: Column): Column = toCol(SimhashExpr(toExpr(c)))
   def hyperplaneBucket(c: Column, dim: Int, bits: Int): Column =
     toCol(HyperplaneBucketExpr(toExpr(c), dim, bits))
+  def sq8Encode(v: Column, los: Column, his: Column): Column =
+    toCol(Sq8EncodeExpr(toExpr(v), toExpr(los), toExpr(his)))
+  def sq8Cosine(q: Column, codes: Column, los: Column, his: Column): Column =
+    toCol(Sq8CosineExpr(toExpr(q), toExpr(codes), toExpr(los), toExpr(his)))
 }
 
 /** Session registration so the natives are callable from SQL and via
@@ -557,7 +669,11 @@ object NativeRegistry {
     "hyperplane_bucket_native" ->
       ((exprs: Seq[Expression]) => HyperplaneBucketExpr(exprs(0),
         litInt("hyperplane_bucket_native", exprs, 1),
-        litInt("hyperplane_bucket_native", exprs, 2))))
+        litInt("hyperplane_bucket_native", exprs, 2))),
+    "sq8_encode_native" ->
+      ((exprs: Seq[Expression]) => Sq8EncodeExpr(exprs(0), exprs(1), exprs(2))),
+    "sq8_cosine_native" ->
+      ((exprs: Seq[Expression]) => Sq8CosineExpr(exprs(0), exprs(1), exprs(2), exprs(3))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

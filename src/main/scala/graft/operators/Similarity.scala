@@ -320,6 +320,9 @@ object Similarity {
     * queries against the SQ8-dequantized corpus (asymmetric distance —
     * the standard quality/compression trade). Same shape as
     * [[bruteForceTopK]]: queries broadcast, corpus scanned once.
+    * This is the dequant-in-query REFERENCE form; the production path
+    * ranks from PERSISTED 1-byte codes ([[sq8WriteIndex]] →
+    * [[sq8TopKFromCodes]]) and is bit-identical (spec-pinned).
     */
   def sq8TopK(queries: DataFrame, corpus: DataFrame, dim: Int, k: Int): DataFrame = {
     val dequantized = corpus.crossJoin(broadcast(sq8Bounds(corpus)))
@@ -329,5 +332,46 @@ object Similarity {
     // scoring/ranking/tie-break is exactly the exact-search path —
     // asymmetric distance is just brute force over the compressed side
     bruteForceTopK(queries, dequantized, k)
+  }
+
+  /** SQ8 codes table (vec_id, codes: binary, 1 byte per component) for
+    * a corpus, against its own [[sq8Bounds]]. This is what a real
+    * index PERSISTS: the codes column is 4× smaller than the float32
+    * embeddings (8× than double), so the ANN scan — the memory-bound
+    * loop at 100 TB — reads a quarter of the bytes. Encoding is
+    * scan-side codegen'd native column math (Sq8EncodeExpr). */
+  def sq8EncodeCorpus(corpus: DataFrame): DataFrame =
+    corpus.crossJoin(broadcast(sq8Bounds(corpus)))
+      .select(col("vec_id"),
+        graft.functions.Natives.sq8Encode(
+          asDouble(col("embedding")), col("los"), col("his")).as("codes"))
+
+  /** Persist the SQ8 index: `<path>/codes` (vec_id, codes binary) and
+    * `<path>/bounds` (single row: los, his). One corpus scan. */
+  def sq8WriteIndex(corpus: DataFrame, path: String): Unit = {
+    val bounds = sq8Bounds(corpus)
+    bounds.write.mode("overwrite").parquet(s"$path/bounds")
+    sq8EncodeCorpus(corpus).write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Rank from persisted codes: asymmetric cosine of full-precision
+    * queries against the coded corpus, dequantizing inside ONE fused
+    * codegen'd expression (Sq8CosineExpr — no decoded-array
+    * materialization, no float column read). Output is bit-identical
+    * to [[sq8TopK]] on the same corpus: same dequantized values, same
+    * accumulation order, same bounded-heap ranking. `queries` must not
+    * appear coded — the standard query-fresh / corpus-compressed
+    * asymmetric setup. */
+  def sq8TopKFromCodes(queries: DataFrame, codes: DataFrame, bounds: DataFrame,
+      k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
+    val sims = codes.crossJoin(broadcast(bounds))
+      .join(broadcast(q), col("qid") =!= col("vec_id"))
+      .withColumn("sim", graft.functions.Natives.sq8Cosine(
+        col("qv"), col("codes"), col("los"), col("his")))
+      .filter(col("sim").isNotNull) // see bruteForceTopK NULL contract
+      .select(col("qid"), col("vec_id").as("cid"), col("sim"))
+    graft.plans.TopK.perKey(sims, Seq("qid"), "sim", "cid", k)
+      .select(col("qid"), col("cid"), round(col("sim"), 4).as("sim"))
   }
 }

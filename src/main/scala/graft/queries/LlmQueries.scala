@@ -820,11 +820,40 @@ object LlmQueries {
          |  (SELECT CAST(COALESCE(sum(n), 0) AS BIGINT) FROM bsize WHERE n > 10) AS dropped_memberships""".stripMargin
     })
 
+  /** q175 — the PERSISTED SQ8 code values themselves, byte for byte:
+    * what [[Similarity.sq8EncodeCorpus]] writes to the index
+    * (q140 pins dequantize→rank; this pins the 1-byte codes a real
+    * deployment stores — the 4×-smaller scan payload at 100 TB). The
+    * binary column is surfaced as pipe-joined decimal bytes (the
+    * compare wire takes no arrays/binary); DuckDB recomputes each code
+    * from the corpus bounds with the same floor/least arithmetic. */
+  val q175Sq8Codes = GQuery(
+    "q175_sq8_codes",
+    (s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val codes = Similarity.sq8EncodeCorpus(emb).filter($"vec_id" < 50)
+      val hexs = hex($"codes")
+      codes.select($"vec_id",
+        array_join(transform(sequence(lit(0), lit(63)),
+          i => conv(hexs.substr(i * 2 + 1, lit(2)), 16, 10)), "|").as("codes_str"))
+    },
+    Some("""WITH comp AS (
+           |  SELECT i AS pos, CAST(embedding[i+1] AS DOUBLE) AS x
+           |  FROM embeddings, range(0, 64) t(i)),
+           |st AS (SELECT pos, min(x) AS lo, max(x) AS hi FROM comp GROUP BY pos),
+           |b AS (SELECT list(lo ORDER BY pos) AS los, list(hi ORDER BY pos) AS his FROM st)
+           |SELECT vec_id,
+           |  array_to_string(list_transform(range(0, 64), i ->
+           |    CAST(CAST(least(floor((CAST(embedding[i+1] AS DOUBLE) - los[i+1]) /
+           |      ((his[i+1] - los[i+1]) / 256.0)), 255.0) AS BIGINT) AS VARCHAR)), '|') AS codes_str
+           |FROM embeddings CROSS JOIN b WHERE vec_id < 50""".stripMargin))
+
   val all: Seq[GQuery] = Seq(
     q40DedupExactStats, q41DedupExactKeep, q42MinhashLsh, q43Simhash,
     q44NgramJaccard, q45CosineTopk, q46Centroids, q47LshBuckets,
     q55BpeTokens, q56IvfAnn, q57SaltedJoin, q77EmbeddingNearDup, q80IvfKmeans,
     q82NearDupMulti, q83NearDupGroups, q84DatasetSplits, q140Sq8Ann,
     q144PrefixJoin, q154AnnRecall, q156IncrementalLsh, q157DriftMatrix,
-    q174LshBucketCap)
+    q174LshBucketCap, q175Sq8Codes)
 }

@@ -296,6 +296,50 @@ class DedupSimilaritySpec extends SparkTestBase {
         s"sq8 sim for ($q,$c) drifted: $s vs exact $e"))
     }
   }
+  test("sq8 persisted codes: fused code-cosine bit-identical to dequantized cosine") {
+    val emb = Tables.embeddings(spark, sf)
+    val bounds = Similarity.sq8Bounds(emb)
+    val withB = emb.crossJoin(broadcast(bounds))
+    // unrounded similarity, both paths, same query vector (vec_id 0)
+    val q = emb.filter($"vec_id" === 0)
+      .select(Similarity.asDouble($"embedding").as("qv"))
+    val cmp = withB.crossJoin(broadcast(q)).select(
+      $"vec_id",
+      graft.functions.Natives.sq8Cosine(
+        $"qv",
+        graft.functions.Natives.sq8Encode(
+          Similarity.asDouble($"embedding"), $"los", $"his"),
+        $"los", $"his").as("fused"),
+      Similarity.cosineNative(
+        $"qv",
+        Similarity.sq8Dequantize(
+          Similarity.asDouble($"embedding"), $"los", $"his", 64)).as("reference"))
+    // EXACT double equality — same IEEE ops in the same order, no 4dp crutch
+    assert(cmp.filter(!($"fused" <=> $"reference")).count() == 0)
+  }
+
+  test("sq8 index round-trips through parquet; rank-from-codes == sq8TopK") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter($"vec_id" < 5)
+    val dir = java.nio.file.Files.createTempDirectory("sq8idx").toString
+    try {
+      Similarity.sq8WriteIndex(emb, dir)
+      val codes = spark.read.parquet(s"$dir/codes")
+      val bounds = spark.read.parquet(s"$dir/bounds")
+      val fromCodes = Similarity.sq8TopKFromCodes(queries, codes, bounds, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val reference = Similarity.sq8TopK(queries, emb, dim = 64, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(fromCodes == reference)
+      // the persisted codes column is 1 byte/component: the scan-size
+      // claim the operator doc makes (binary payload ~dim bytes/row)
+      val sample = codes.limit(1).collect()(0)
+      assert(sample.getAs[Array[Byte]]("codes").length == 64)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("lshCandidates: dedupSignatures path == direct path") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)
