@@ -1,13 +1,95 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+/** REAL pure-JVM image header codec: container signature + dimension
+  * extraction for PNG / JPEG / GIF from raw bytes — no imaging
+  * library, no native code, safe inside an executor task. This is the
+  * honest subset of "decode" a JVM-only 100 TB pipeline can always
+  * run (full pixel decode stays behind the documented mapPartitions
+  * seam where a deployment adds its imaging dependency).
+  *
+  *  - PNG: 8-byte signature, IHDR width/height as big-endian u32 at
+  *    offsets 16/20 (PNG spec §11.2.2).
+  *  - JPEG: segment walk from SOI to the first SOF0-SOF15 frame
+  *    header (skipping DHT/DAC/APPn/fill bytes); height/width are
+  *    big-endian u16 at frame offsets +5/+7 (ITU T.81 §B.2.2).
+  *  - GIF: "GIF87a"/"GIF89a", logical-screen width/height as
+  *    LITTLE-endian u16 at offsets 6/8.
+  *
+  * Anything else (or truncated/corrupt payloads) → None — corrupt
+  * media must surface as NULL rows to filter and account, never as a
+  * task failure. */
+object ImageCodec {
+  private def beU16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+  private def beU32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+  private def leU16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+
+  private val PngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** SOF0–SOF15 minus DHT (C4), JPG (C8), DAC (CC) — the frame
+    * markers that carry dimensions. */
+  private def isSof(m: Int): Boolean =
+    m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+
+  def parseHeader(bytes: Array[Byte]): Option[(String, Int, Int)] = {
+    if (bytes == null || bytes.length < 10) return None
+    // PNG
+    if (bytes.length >= 24 && bytes.take(8).sameElements(PngSig) &&
+        bytes(12) == 'I' && bytes(13) == 'H' && bytes(14) == 'D' && bytes(15) == 'R') {
+      val w = beU32(bytes, 16); val h = beU32(bytes, 20)
+      // spec caps dimensions at 2^31-1; 0 is invalid
+      if (w > 0 && h > 0 && w <= Int.MaxValue && h <= Int.MaxValue)
+        return Some(("png", w.toInt, h.toInt))
+      return None
+    }
+    // GIF
+    if (bytes.length >= 10 && bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' &&
+        bytes(3) == '8' && (bytes(4) == '7' || bytes(4) == '9') && bytes(5) == 'a') {
+      val w = leU16(bytes, 6); val h = leU16(bytes, 8)
+      if (w > 0 && h > 0) return Some(("gif", w, h))
+      return None
+    }
+    // JPEG: walk segments to the first frame header
+    if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) {
+      var i = 2
+      while (i + 3 < bytes.length) {
+        if ((bytes(i) & 0xff) != 0xff) return None // desynced stream
+        val marker = bytes(i + 1) & 0xff
+        if (marker == 0xff) i += 1 // fill byte
+        else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) i += 2 // standalone
+        else if (marker == 0xd9) return None // EOI before any SOF
+        else {
+          val segLen = beU16(bytes, i + 2)
+          if (segLen < 2) return None
+          if (isSof(marker)) {
+            if (i + 8 >= bytes.length) return None
+            val h = beU16(bytes, i + 5); val w = beU16(bytes, i + 7)
+            if (w > 0 && h > 0) return Some(("jpeg", w, h))
+            return None
+          }
+          i += 2 + segLen
+        }
+      }
+      return None
+    }
+    None
+  }
+}
+
 /** Multimodal column plumbing: image/audio/video payloads as opaque
   * `BinaryType` columns plus a typed metadata struct, processed with
-  * ordinary column expressions (schema, partitioning and batch shape
-  * are real; only the codec itself is faked — see [[fakeDecode]]).
+  * ordinary column expressions. The HEADER codec is REAL
+  * ([[ImageCodec]] + [[Multimodal.decodeHeaders]]: PNG/JPEG/GIF
+  * signature + dimension byte-parsing, pure JVM, q176-oracle-pinned);
+  * only full PIXEL decode remains behind [[fakeDecode]]'s documented
+  * seam (imaging libraries are a deploy-time dependency).
   *
   * At 100 TB: binary payloads ride parquet as-is; metadata extraction
   * is scan-side column math; heavy per-item work (real decode, model
@@ -103,4 +185,56 @@ object Multimodal {
       .withColumn("meta", withMeta(payload, "application/octet-stream"))
       .withColumn("decoded", fakeDecode(payload))
   }
+
+  /** REAL header decode over a binary payload column: appends
+    * (img_format, img_width, img_height), NULL for undecodable rows.
+    * Runs [[ImageCodec.parseHeader]] inside `mapPartitions` — the
+    * per-item imperative seam SURVEY §2.10 reserves for genuine
+    * byte-level work; everything around it (schema contract,
+    * partitioning, null accounting) is ordinary Dataset plumbing. At
+    * 100 TB this is one narrow pass over the payload scan with no
+    * shuffle. */
+  def decodeHeaders(df: DataFrame, payloadCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("img_format", StringType),
+      StructField("img_width", IntegerType),
+      StructField("img_height", IntegerType)))
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        ImageCodec.parseHeader(r.getAs[Array[Byte]](idx)) match {
+          case Some((fmt, w, h)) => Row.fromSeq(r.toSeq ++ Seq(fmt, w, h))
+          case None => Row.fromSeq(r.toSeq ++ Seq(null, null, null))
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  // ---- synthetic payload builders (pure column math over hex) ----
+  // These exist so an oracle in ANOTHER engine can pin the decoder:
+  // the payload is built from arithmetic the oracle reproduces, the
+  // decoder must hand the numbers back. Minimal-but-VALID headers.
+
+  private def beHex(v: Column, bytes: Int): Column =
+    lpad(hex(v), bytes * 2, "0")
+  private def leHex16(v: Column): Column =
+    concat(lpad(hex(v.bitwiseAND(lit(255))), 2, "0"),
+      lpad(hex(shiftright(v, 8)), 2, "0"))
+
+  /** PNG signature + IHDR with the given dimensions. */
+  def syntheticPng(w: Column, h: Column): Column =
+    unhex(concat(lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
+      beHex(w, 4), beHex(h, 4), lit("0806000000C0C0C0C0")))
+
+  /** JPEG SOI + (realistically) an APP0 segment, then SOF0 with the
+    * given dimensions — exercises the segment walk, not just offset
+    * math. */
+  def syntheticJpeg(w: Column, h: Column): Column =
+    unhex(concat(
+      lit("FFD8" + "FFE000104A46494600010100000100010000" + "FFC0" + "0011" + "08"),
+      beHex(h, 2), beHex(w, 2), lit("03011100021101031101")))
+
+  /** GIF89a logical screen descriptor (little-endian dims). */
+  def syntheticGif(w: Column, h: Column): Column =
+    unhex(concat(lit("474946383961"), leHex16(w), leHex16(h), lit("F7000000")))
 }
