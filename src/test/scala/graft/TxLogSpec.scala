@@ -1,0 +1,121 @@
+package graft
+
+import graft.io.TxLog
+import org.apache.spark.sql.functions._
+
+/** The transactional commit protocol: snapshot isolation, optimistic
+  * concurrency, idempotent merge, time travel, compaction and vacuum
+  * through the manifest path — the Delta-tier contract the plain
+  * parquet sinks document as out of scope. */
+class TxLogSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmpTable(): String =
+    java.nio.file.Files.createTempDirectory("txlog").toString
+
+  private def cleanup(t: String): Unit =
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(t))
+
+  test("append + idempotent re-run: same batch twice is a no-op at the manifest level") {
+    val t = tmpTable()
+    try {
+      val batch = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      val s1 = TxLog.appendNew(batch, t, Seq("id"))
+      assert(s1.version == 1L)
+      val s2 = TxLog.appendNew(batch, t, Seq("id"))
+      assert(s2.version == 1L, "re-run must not mint a new version")
+      assert(TxLog.read(spark, t).count() == 100)
+    } finally cleanup(t)
+  }
+
+  test("merge semantics: only fresh keys land; overlapping batch appends the delta") {
+    val t = tmpTable()
+    try {
+      TxLog.appendNew((1 to 50).map(i => (i.toLong, "a")).toDF("id", "v"), t, Seq("id"))
+      TxLog.appendNew((26 to 75).map(i => (i.toLong, "b")).toDF("id", "v"), t, Seq("id"))
+      val got = TxLog.read(spark, t)
+      assert(got.count() == 75)
+      // first-writer-wins on the overlap, like ON CONFLICT DO NOTHING
+      assert(got.filter($"id" === 30L).select($"v").collect()(0).getString(0) == "a")
+    } finally cleanup(t)
+  }
+
+  test("concurrent writers: every key lands exactly once across racing commits") {
+    val t = tmpTable()
+    try {
+      // disjoint key ranges racing: each thread must retry through the
+      // version conflicts and neither may clobber the other's files
+      val ranges = Seq((1, 200), (201, 400), (401, 600), (601, 800))
+      val threads = ranges.map { case (lo, hi) =>
+        new Thread(() => {
+          TxLog.appendNew(
+            (lo to hi).map(i => (i.toLong, s"w$lo")).toDF("id", "v"), t, Seq("id"))
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      val got = TxLog.read(spark, t)
+      assert(got.count() == 800)
+      assert(got.select($"id").distinct().count() == 800)
+      assert(TxLog.currentSnapshot(t).version == 4L)
+    } finally cleanup(t)
+  }
+
+  test("concurrent SAME-key writers resolve to exactly-once") {
+    val t = tmpTable()
+    try {
+      val threads = (1 to 4).map { w =>
+        new Thread(() => {
+          TxLog.appendNew((1 to 100).map(i => (i.toLong, s"w$w")).toDF("id", "v"),
+            t, Seq("id"))
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      val got = TxLog.read(spark, t)
+      assert(got.count() == 100, "racing identical batches must not duplicate keys")
+      // all rows came from ONE winner per key is not required (dedup is
+      // per key, not per batch) — but each key exactly once is
+      assert(got.select($"id").distinct().count() == 100)
+    } finally cleanup(t)
+  }
+
+  test("time travel: old versions stay readable; compaction swaps files, not rows") {
+    val t = tmpTable()
+    try {
+      TxLog.appendNew((1 to 100).map(i => (i.toLong, 1)).toDF("id", "b"), t, Seq("id"))
+      TxLog.appendNew((101 to 300).map(i => (i.toLong, 2)).toDF("id", "b"), t, Seq("id"))
+      assert(TxLog.readVersion(spark, t, 1).count() == 100)
+      assert(TxLog.readVersion(spark, t, 2).count() == 300)
+      val before = TxLog.read(spark, t)
+        .agg(sum($"id"), count(lit(1))).collect()(0)
+      val nFiles = TxLog.compact(spark, t, targetBytes = Long.MaxValue)
+      assert(nFiles == 1)
+      val after = TxLog.read(spark, t).agg(sum($"id"), count(lit(1))).collect()(0)
+      assert(before == after, "compaction must preserve content exactly")
+      // pre-compaction version still readable (its files not deleted)
+      assert(TxLog.readVersion(spark, t, 2).count() == 300)
+      // vacuum to head: old files + manifests go, head unaffected
+      val dropped = TxLog.vacuum(t, keepVersions = 1)
+      assert(dropped > 0)
+      assert(TxLog.read(spark, t).count() == 300)
+      intercept[Exception] { TxLog.readVersion(spark, t, 1) }
+    } finally cleanup(t)
+  }
+
+  test("reader never sees staged-but-uncommitted files (snapshot isolation)") {
+    val t = tmpTable()
+    try {
+      TxLog.appendNew((1 to 10).map(i => (i.toLong, "a")).toDF("id", "v"), t, Seq("id"))
+      // plant an orphan data file in the table dir (a crashed writer)
+      (11 to 999).map(i => (i.toLong, "orphan")).toDF("id", "v")
+        .write.mode("overwrite").parquet(s"$t/_staging-crashed")
+      val orphan = new java.io.File(s"$t/_staging-crashed").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(orphan.toPath,
+        java.nio.file.Paths.get(t, "part-orphan.parquet"))
+      assert(TxLog.read(spark, t).count() == 10, "orphan file must be invisible")
+      // vacuum reaps it
+      TxLog.vacuum(t, keepVersions = 1)
+      assert(!new java.io.File(s"$t/part-orphan.parquet").exists())
+    } finally cleanup(t)
+  }
+}
