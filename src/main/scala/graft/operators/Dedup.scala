@@ -194,13 +194,25 @@ object Dedup {
   }
 
   /** Transitive duplicate GROUPS from a near-dup pair list: distributed
-    * min-label propagation (each round: one neighbor-min shuffle; a
-    * vertex adopts the smallest label it can see). Converges in
-    * O(component diameter) rounds — near-dup clusters are shallow, so
-    * typically 2–3 — with a driver-side changed-count check, the same
-    * loop shape MLlib/GraphX connected components use. Output:
-    * (id, label) with label = the smallest member id of the component;
-    * vertices are exactly the ids that appear in some pair.
+    * min-label propagation WITH POINTER JUMPING — each round a vertex
+    * adopts min(own label, neighbor labels, label-of-its-label). The
+    * neighbor step alone converges in O(component diameter) rounds
+    * (fine for shallow near-dup clusters, fatal for a 1000-link chain:
+    * 1000 shuffle rounds); the label-of-label shortcut halves every
+    * vertex's distance-to-root per round, so convergence is
+    * O(log diameter) — a 1k chain closes in ~12 rounds (spec-pinned),
+    * the same contraction large-star/small-star (Kiveris '14) and
+    * GraphX's PregelCC rely on. The jump lookup is sound because
+    * labels are ALWAYS vertex ids (min over ids), so `l(l(v))` is an
+    * equi-join of the label table with itself.
+    *
+    * Each round ends in an EAGER localCheckpoint: the jump self-join
+    * doubles the logical plan per round, so without truncation the
+    * plan tree grows 2^rounds; checkpointing also cuts the recompute
+    * lineage (prior rounds' blocks are freed by the ContextCleaner
+    * once unreferenced). Output: (id, label) with label = smallest
+    * member id of the component; vertices are exactly the ids
+    * appearing in some pair.
     *
     * The greedy one-hop `Similarity.nearDupDrops` under-deletes on
     * chains (a~b, b~c keeps a, drops b and c only if both pair with a
@@ -212,42 +224,39 @@ object Dedup {
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().persist()
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).persist()
-    labels.count()
+      .withColumn("label", col("id")).localCheckpoint(true)
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIters) {
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("nid")).agg(min(col("label")).as("nlabel"))
-      val updated = labels
+      val stepped = labels
         .join(neighborMin, labels("id") === neighborMin("nid"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .persist()
-      changed = updated
+      // pointer jump: follow my label to ITS label (always defined —
+      // labels are vertex ids); left join defends the empty edge case
+      val jumped = stepped.alias("s")
+        .join(stepped.select(col("id").as("__lid"), col("label").as("__llabel")),
+          col("s.label") === col("__lid"), "left")
+        .select(col("s.id").as("id"),
+          least(col("s.label"), coalesce(col("__llabel"), col("s.label"))).as("label"))
+        .localCheckpoint(true)
+      changed = jumped
         .join(labels.withColumnRenamed("label", "old"), "id")
         .filter(col("label") =!= col("old")).count()
-      labels.unpersist()
-      labels = updated
+      labels = jumped
       i += 1
     }
     edges.unpersist()
     // a silent non-converged result would report one component as
     // several groups — refuse instead (raise maxIters for deep chains)
-    if (changed > 0) {
-      labels.unpersist()
+    if (changed > 0)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIters rounds " +
-          s"($changed labels still changing) — component diameter exceeds maxIters")
-    }
-    // materialize lineage-free, then release the loop's cache: the
-    // returned frame must not pin a persisted RDD forever (the blocks
-    // behind localCheckpoint are freed by the ContextCleaner once the
-    // result is unreferenced)
-    val out = labels.localCheckpoint(true)
-    labels.unpersist()
-    out
+          s"($changed labels still changing) — component diameter exceeds 2^$maxIters")
+    labels
   }
 
   /** SimHash (32-bit): majority vote per bit over token hashes —

@@ -30,14 +30,19 @@ object StarSchema {
     * (dims are distinct on their natural key by construction) — with
     * ties, rows at a range-partition boundary could swap ranks vs the
     * single-partition formulation. Runs one small job eagerly (the
-    * per-partition counts). The range-parted input MUST be persisted:
-    * repartitionByRange SAMPLES its boundaries with a per-RDD-id seed,
-    * so without materialization the counting job and the consumer job
-    * can split ranges differently and the offsets silently mint
-    * duplicate keys (observed: 34 dup fecha_ids). The persist is never
-    * explicitly released — its lifetime is bounded by the session
-    * (star builds are memoized per session; the q18/q54 per-call
-    * entries are dimension-sized).
+    * per-partition counts). The range-parted input MUST be persisted
+    * while keys are assigned: repartitionByRange SAMPLES its
+    * boundaries with a per-RDD-id seed, so without materialization the
+    * counting job and the consumer job can split ranges differently
+    * and the offsets silently mint duplicate keys (observed: 34 dup
+    * fecha_ids). The KEYED result is then eagerly localCheckpoint-ed —
+    * keys are frozen in materialized blocks, immune to any later
+    * boundary re-sample — and the range-parted cache is released
+    * immediately instead of pinning executor memory for the session's
+    * lifetime; the checkpoint blocks themselves are freed by the
+    * ContextCleaner when the returned frame goes unreferenced (the
+    * memoized star holds its dims deliberately; per-call q18/q54
+    * frames release with GC).
     */
   def seqKey(df: DataFrame, orderCol: String, keyName: String): DataFrame = {
     val nParts = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
@@ -56,11 +61,14 @@ object StarSchema {
           array(offsets.map(o => lit(o._1)): _*),
           array(offsets.map(o => lit(o._2)): _*)),
         col("__pid"))
-    parted
+    val keyed = parted
       .withColumn("__local",
         row_number().over(Window.partitionBy(col("__pid")).orderBy(col(orderCol))))
       .withColumn(keyName, (offsetOf + col("__local")).cast("int"))
       .drop("__pid", "__local")
+      .localCheckpoint(true)
+    parted.unpersist()
+    keyed
   }
 
   def hashKey(df: DataFrame, naturalKey: Seq[String], keyName: String): DataFrame =

@@ -249,6 +249,23 @@ class DedupSimilaritySpec extends SparkTestBase {
       5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L, 9L -> 7L))
   }
 
+  test("connected components: a 1000-link chain converges in O(log d) rounds") {
+    // worst-case diameter: one path 1-2-...-1000. Plain min-label
+    // propagation needs ~1000 rounds (the pre-hardening behavior would
+    // hit the maxIters refusal); pointer jumping must close it inside
+    // the DEFAULT 20-round budget.
+    val chain = (1L until 1000L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(chain)
+    assert(got.count() == 1000)
+    assert(got.filter($"label" =!= 1L).count() == 0,
+      "every chain vertex must resolve to the minimum id")
+    // and a deep chain PLUS islands: labels stay per-component
+    val mixed = chain.union(Seq((5000L, 5001L), (7000L, 7001L)).toDF("id_a", "id_b"))
+    val labels = Dedup.connectedComponents(mixed)
+      .groupBy($"label").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1000L, 5000L -> 2L, 7000L -> 2L))
+  }
+
   test("multi-table OR-LSH near-dup: tables=1 coarse ⊆ tables=3, and single-table pairs stay verified") {
     val emb = Tables.embeddings(spark, sf)
     val corpus = emb.select($"vec_id", Similarity.asDouble($"embedding").as("v"))
