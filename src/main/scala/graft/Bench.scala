@@ -44,7 +44,24 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = failed.map(f => "\"" + f._1 + "\"").mkString("[", ",", "]")
     val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // end-to-end pipeline wall clock (bronze→silver→gold→validate +
+    // volumetry) — directly comparable to the reference's published
+    // 3–5 min end-to-end figure (README.md:322). Each rep runs on a
+    // FRESH child session into a fresh outDir: StarSchema.build
+    // memoizes per (session, sfDir), and a memo hit would time a
+    // cache lookup, not the pipeline. min-of-2, like the queries.
+    val pipelineSecs = (1 to 2).flatMap { _ =>
+      val out = java.nio.file.Files.createTempDirectory("graft_bench_pipeline").toString
+      try {
+        val t0 = System.nanoTime()
+        graft.app.Main.run(spark.newSession(), sfDir, out)
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] pipeline FAILED: ${e.getMessage}"); None
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    }
+    val pipelineTotal = if (pipelineSecs.nonEmpty) pipelineSecs.min else -1.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"pipeline_total":$pipelineTotal,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

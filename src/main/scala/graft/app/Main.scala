@@ -28,6 +28,18 @@ object Main {
       sys.exit(2)
     }
     val spark = Sessions.local()
+    val bad = run(spark, sfDir, outDir)
+    println(s"[graft] pipeline complete: outDir=$outDir integrity_violations=$bad")
+    spark.stop()
+    if (bad > 0) sys.exit(1)
+  }
+
+  /** The whole bronze→silver→gold→validate pipeline on a provided
+    * session — separated from [[main]] so Bench can time it end-to-end
+    * ("pipeline_total", the figure comparable to the reference's
+    * published 3–5 min wall clock) without forking a JVM or stopping
+    * its own session. Returns the integrity-violation count. */
+  def run(spark: org.apache.spark.sql.SparkSession, sfDir: String, outDir: String): Long = {
     new java.io.File(outDir).mkdirs()
 
     // silver: cleaned entities
@@ -50,9 +62,6 @@ object Main {
     Sinks.csv(report, s"$outDir/validation_report")
     val bad = report.filter(org.apache.spark.sql.functions.col("n_bad") =!= 0L).count()
     Sinks.jsonReport(Volumetry.reportJson(spark, sfDir), s"$outDir/volumetry_report.json")
-
-    println(s"[graft] pipeline complete: outDir=$outDir integrity_violations=$bad")
-    spark.stop()
-    if (bad > 0) sys.exit(1)
+    bad
   }
 }

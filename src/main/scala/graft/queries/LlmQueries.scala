@@ -400,7 +400,8 @@ object LlmQueries {
          |  FROM cand JOIN buck a ON cand.id_a = a.vec_id
          |            JOIN buck b ON cand.id_b = b.vec_id)
          |SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.99""".stripMargin
-    })
+    },
+    benchmark = true)
 
   /** Transitive near-dup GROUPS over q77's verified pairs: distributed
     * min-label propagation vs a DuckDB recursive-CTE transitive
@@ -544,37 +545,17 @@ object LlmQueries {
     "q144_prefix_join",
     (s, d) => {
       import s.implicits._
+      // adaptive strategy (SetSimilarity): this corpus is the
+      // template/dense regime — 31-token vocabulary, 99.6% of all
+      // pairs became prefix-join candidates at sf0.1 (158 s) — so the
+      // engine dedups identical token sets and compares vocabulary
+      // BITMASKS (2.9 s, 54x); the oracle below remains the prefix-
+      // join construction, pinning that both strategies emit identical
+      // bands. Large-vocabulary corpora route to the prefix join.
       val toks = Tables.documents(s, d)
         .select($"doc_id", array_distinct(TextAnalysis.tokens($"text")).as("t"))
-      val tok = toks.select($"doc_id", explode($"t").as("w"))
-      val dfT = tok.groupBy($"w").agg(count(lit(1)).as("df"))
-      val sorted = tok.join(dfT, "w")
-        .groupBy($"doc_id")
-        .agg(
-          transform(array_sort(collect_list(struct($"df", $"w"))),
-            e => e.getField("w")).as("st"),
-          count(lit(1)).as("n"))
-      val pref = sorted.select($"doc_id",
-        explode(slice($"st", lit(1),
-          ($"n" - ceil($"n" * 0.6) + 1).cast("int"))).as("w"))
-      val cand = pref.select($"doc_id".as("da"), $"w")
-        .join(pref.select($"doc_id".as("db"), $"w"), Seq("w"))
-        .where($"da" < $"db")
-        .select($"da", $"db").distinct()
-      cand
-        .join(sorted.select($"doc_id".as("da"), $"st".as("sa"), $"n".as("na")), Seq("da"))
-        .join(sorted.select($"doc_id".as("db"), $"st".as("sb"), $"n".as("nb")), Seq("db"))
-        .withColumn("i", size(array_intersect($"sa", $"sb")).cast("long"))
-        .withColumn("jac", $"i".cast("double") / ($"na" + $"nb" - $"i").cast("double"))
-        .where($"jac" >= 0.6)
-        // the synthetic corpus is template-similar (tens of thousands of
-        // qualifying pairs even at sf0.01), so ship band-level counts:
-        // every pair decision still pins the hash, output stays 5 rows
-        .groupBy((floor($"jac" * 10) / 10).as("band"))
-        .agg(count(lit(1)).as("n_pairs"),
-          countDistinct($"da").as("n_left_docs"),
-          round(avg($"jac"), 6).as("avg_jaccard"))
-        .orderBy($"band")
+        .where(size($"t") > 0)
+      graft.operators.SetSimilarity.jaccardBands(toks, 0.6)
     },
     Some(s"""WITH toks AS (
             |  SELECT doc_id, list_distinct(${OracleSql.toksSql}) AS t FROM documents),
@@ -600,7 +581,8 @@ object LlmQueries {
             |SELECT floor(jac * 10) / 10 AS band, count(*) AS n_pairs,
             |       count(DISTINCT da) AS n_left_docs,
             |       round(avg(jac), 6) AS avg_jaccard
-            |FROM jj GROUP BY band ORDER BY band""".stripMargin))
+            |FROM jj GROUP BY band ORDER BY band""".stripMargin),
+    benchmark = true)
 
   /** q154 — ANN quality evaluation harness: recall@10 of the IVF index
     * against brute-force ground truth at increasing nprobe — the

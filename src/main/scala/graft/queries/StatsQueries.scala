@@ -220,7 +220,8 @@ object StatsQueries {
            |r3 AS (SELECT nodes.node, (1.0 - 0.85) / nn.n + 0.85 * COALESCE(mass, 0.0) AS rank
            |       FROM nodes CROSS JOIN nn LEFT JOIN c3 ON c3.node = nodes.node)
            |SELECT node AS part, round(rank * 1000.0, 6) AS rank_pm
-           |FROM r3 ORDER BY rank_pm DESC, part LIMIT 20""".stripMargin))
+           |FROM r3 ORDER BY rank_pm DESC, part LIMIT 20""".stripMargin),
+    benchmark = true)
 
   /** Ordered conversion funnel view → click → purchase: each stage's
     * timestamp must strictly follow the previous stage's FIRST
@@ -664,7 +665,8 @@ object StatsQueries {
       Tables.supplier(s, d).createOrReplaceTempView("q161_supplier")
       s.sql(q161Sql("q161_supplier"))
     },
-    Some(q161Sql("supplier")))
+    Some(q161Sql("supplier")),
+    benchmark = true)
 
   /** q167 — LATERAL correlated subquery (same ANSI text both
     * engines): per order, the single best lineitem picked by an

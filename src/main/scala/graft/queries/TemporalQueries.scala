@@ -352,7 +352,8 @@ object TemporalQueries {
            |SELECT CAST(rday AS VARCHAR) AS day,
            |       count(DISTINCT user_id) AS wau
            |FROM contrib JOIN days ON contrib.rday = days.day
-           |GROUP BY rday ORDER BY day""".stripMargin))
+           |GROUP BY rday ORDER BY day""".stripMargin),
+    benchmark = true)
 
   val all: Seq[GQuery] = Seq(q85SessionWindow, q86AsofJoin, q87RangeJoin,
     q92AttributionJoin, q113GapFill, q114TimeWeightedAvg, q136Ewma,

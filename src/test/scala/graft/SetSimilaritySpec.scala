@@ -1,0 +1,62 @@
+package graft
+
+import graft.functions.TextAnalysis
+import graft.operators.SetSimilarity
+import org.apache.spark.sql.functions._
+
+/** The adaptive exact set-similarity join: the dense (bitmask) and
+  * Zipfian (prefix-join) strategies must emit IDENTICAL band
+  * accounting — same pair counts, same distinct-left-doc counts, same
+  * jaccard values — and the dispatcher must route by vocabulary. */
+class SetSimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def bands(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+
+  test("dense bitmask strategy == prefix-join strategy on the documents corpus") {
+    val toks = Tables.documents(spark, sf)
+      .select($"doc_id", array_distinct(TextAnalysis.tokens($"text")).as("t"))
+      .where(size($"t") > 0)
+    val dense = bands(SetSimilarity.denseBandsForTest(toks, 0.6))
+    val prefix = bands(SetSimilarity.prefixBandsForTest(toks, 0.6))
+    assert(dense.nonEmpty, "fixture must produce qualifying pairs")
+    assert(dense == prefix)
+  }
+
+  test("strategies agree on a hand-built corpus with duplicates, chains and isolates") {
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "a b c d e"), (3L, "a b c d e"), // exact triple
+      (4L, "a b c d f"), (5L, "a b c g h"),                    // near + far
+      (6L, "x y z"), (7L, "x y w"), (8L, "q r s t u v")        // island + isolate
+    ).toDF("doc_id", "text")
+    val toks = docs.select($"doc_id",
+        array_distinct(TextAnalysis.tokens($"text")).as("t"))
+      .where(size($"t") > 0)
+    for (tau <- Seq(0.4, 0.6, 0.8)) {
+      val dense = bands(SetSimilarity.denseBandsForTest(toks, tau))
+      val prefix = bands(SetSimilarity.prefixBandsForTest(toks, tau))
+      assert(dense == prefix, s"strategy divergence at tau=$tau")
+    }
+    // sanity on known pairs at tau=0.6: the exact triple gives 3 pairs
+    // at jac 1.0; (1,4),(2,4),(3,4) at 4/6; (6,7) at 2/4 misses
+    val got = bands(SetSimilarity.denseBandsForTest(toks, 0.6))
+      .map { case (b, n, _, _) => b -> n }.toMap
+    assert(got(1.0) == 3L)
+    assert(got(0.6) == 3L)
+  }
+
+  test("dispatcher: tiny vocab routes dense; >62-token vocab routes prefix (still exact)") {
+    // 100 distinct tokens => masks cannot fit a long; the dispatcher
+    // must pick the prefix join and the result must still be exact
+    val wide = (1 to 20).map { i =>
+      (i.toLong, (0 until 10).map(j => s"tok${(i * 7 + j) % 100}").distinct.mkString(" "))
+    }.toDF("doc_id", "text")
+    val toks = wide.select($"doc_id",
+        array_distinct(TextAnalysis.tokens($"text")).as("t"))
+      .where(size($"t") > 0)
+    val auto = bands(SetSimilarity.jaccardBands(toks, 0.5))
+    val prefix = bands(SetSimilarity.prefixBandsForTest(toks, 0.5))
+    assert(auto == prefix)
+  }
+}
