@@ -20,11 +20,17 @@ object FuzzyMatch {
     * their own columns; the emitted `dist` column carries the distance.
     * Blocking must be recall-complete for the caller's tolerance (a
     * pair in no common block is never compared — choose keys so true
-    * matches share one, e.g. char n-gram bucket or phonetic code). */
+    * matches share one, e.g. char n-gram bucket or phonetic code).
+    *
+    * `maxBlockSize` is the hot-block guard (same valve as
+    * `Dedup.lshCandidates`): corpus blocks larger than the cap — the
+    * boilerplate floods whose |probe_block|×|corpus_block| output
+    * would dominate — are dropped before the join, bounding per-key
+    * output linearly. Default = unguarded. */
   def blockedLevenshtein(probes: DataFrame, corpus: DataFrame,
       blockKey: String, probeText: Column, corpusText: Column,
-      maxDist: Int): DataFrame =
-    probes.join(corpus, Seq(blockKey))
+      maxDist: Int, maxBlockSize: Int = Int.MaxValue): DataFrame =
+    probes.join(Dedup.capBuckets(corpus, blockKey, maxBlockSize), Seq(blockKey))
       .withColumn("dist", levenshtein(probeText, corpusText))
       .where(col("dist") <= maxDist)
 }

@@ -110,7 +110,9 @@ object SetSimilarity {
       .where(col("da") < col("dmax")).select(col("band"), col("da"))
     val leftDocs = crossDa.unionByName(withinDa)
       .groupBy(col("band")).agg(countDistinct(col("da")).as("n_left_docs"))
-    stats.join(leftDocs, Seq("band"))
+    // band-level frames hold ≤ 10 rows (one per jaccard decile ≥ τ):
+    // broadcast instead of letting the planner sort-merge two exchanges
+    stats.join(broadcast(leftDocs), Seq("band"))
       .select(col("band"), col("n_pairs"), col("n_left_docs"),
         round(col("jac_sum") / col("n_pairs"), 6).as("avg_jaccard"))
       .orderBy(col("band"))
