@@ -334,6 +334,50 @@ object Similarity {
     bruteForceTopK(queries, dequantized, k)
   }
 
+  /** Persist the IVF index as a CELL-PARTITIONED parquet layout:
+    * every corpus vector lands under `cell_id=<its nearest cell>/`.
+    * This turns the IVF promise — "a probe touches 1/cells of the
+    * corpus" — into DIRECTORY-level partition pruning: the probe
+    * read's `cell_id IN (...)` predicate eliminates unprobed cells
+    * before any file listing or I/O (spec-asserted in the scan's
+    * PartitionFilters), exactly how a 100 TB deployment lays an IVF
+    * index out on object storage. */
+  def ivfWriteIndex(corpus: DataFrame, centroids: DataFrame, path: String): Unit =
+    corpus.join(nearestCells(corpus, centroids, 1), "vec_id")
+      .select(col("vec_id").as("cid"), asDouble(col("embedding")).as("cv"),
+        col("cell_id").cast("int").as("cell_id"))
+      .write.partitionBy("cell_id").mode("overwrite").parquet(path)
+
+  /** Rank against the persisted cell-partitioned index. The probed
+    * cell ids collect to the driver (bounded by the cell count —
+    * quantizer metadata, the same class as the driver-held centroids)
+    * and push down as the partition filter; everything after the
+    * pruned scan is [[ivfTopK]]'s plan, and the output is row-identical
+    * to it (same assignment, same vectors, same ranking). */
+  def ivfTopKFromIndex(path: String, queries: DataFrame, centroids: DataFrame,
+      k: Int, nprobe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val probes = queries
+      .join(nearestCells(queries, centroids, nprobe), "vec_id")
+      .select(col("vec_id").as("qid"), col("cell_id").cast("int").as("cell_id"),
+        asDouble(col("embedding")).as("qv"))
+    val probedCells = probes.select(col("cell_id")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val indexed = spark.read.parquet(path)
+      .where(col("cell_id").isin(probedCells: _*))
+    val cells = centroids.select(col("cell_id")).distinct().count()
+    val probeBytes = Joins.estimatedBytes(queries) *
+      math.min(nprobe.toLong, math.max(cells, 1L))
+    val probesSide =
+      if (probeBytes <= Joins.DefaultBroadcastBytes) broadcast(probes) else probes
+    val sims = indexed.join(probesSide, "cell_id")
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("sim", cosineNative(col("qv"), col("cv")))
+      .filter(col("sim").isNotNull)
+    graft.plans.TopK.perKey(sims, Seq("qid"), "sim", "cid", k)
+      .select(col("qid"), col("cid"), round(col("sim"), 4).as("sim"))
+  }
+
   /** SQ8 codes table (vec_id, codes: binary, 1 byte per component) for
     * a corpus, against its own [[sq8Bounds]]. This is what a real
     * index PERSISTS: the codes column is 4× smaller than the float32

@@ -286,6 +286,28 @@ object LlmQueries {
     q45CosineTopk.oracle,
     benchmark = true)
 
+  /** q178 — the PERSISTED IVF index: the corpus is written as a
+    * cell-partitioned parquet layout (cell_id=N/ directories) and the
+    * query ranks against the read-back index with the probed cells
+    * pushed down as a partition filter — at nprobe = all cells the
+    * result is mathematically exact, so q45's brute-force oracle pins
+    * the whole write→prune→probe→rank loop. The nprobe < cells path
+    * (where pruning actually skips directories) is spec-asserted
+    * row-identical to the in-memory ivfTopK, with the predicate's
+    * arrival in the scan's PartitionFilters pinned in IvfIndexSpec. */
+  val q178IvfIndex = GQuery(
+    "q178_ivf_index",
+    (s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val centroids = Similarity.buildCentroids(emb, "label")
+      val idx = graft.io.Staging.tempDir("graft_q178_")
+      Similarity.ivfWriteIndex(emb, centroids, idx)
+      Similarity.ivfTopKFromIndex(idx, emb.filter($"vec_id" < 5), centroids,
+        k = 5, nprobe = 1000)
+    },
+    q45CosineTopk.oracle)
+
   /** IVF over a LEARNED coarse quantizer (3 Lloyd's iterations from
     * deterministic seeds) at nprobe = all cells — still mathematically
     * identical to exact brute force whatever the centroids converge to
@@ -837,5 +859,5 @@ object LlmQueries {
     q55BpeTokens, q56IvfAnn, q57SaltedJoin, q77EmbeddingNearDup, q80IvfKmeans,
     q82NearDupMulti, q83NearDupGroups, q84DatasetSplits, q140Sq8Ann,
     q144PrefixJoin, q154AnnRecall, q156IncrementalLsh, q157DriftMatrix,
-    q174LshBucketCap, q175Sq8Codes)
+    q174LshBucketCap, q175Sq8Codes, q178IvfIndex)
 }
