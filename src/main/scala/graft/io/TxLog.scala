@@ -34,11 +34,22 @@ import scala.jdk.CollectionConverters._
   * only the file-name bookkeeping is local. */
 object TxLog {
 
-  final case class Snapshot(version: Long, files: Seq[String])
+  final case class Snapshot(version: Long, files: Seq[String],
+      schemaJson: Option[String] = None)
 
   private def logDir(table: String): Path = Paths.get(table, "_graft_log")
   private def manifestPath(table: String, v: Long): Path =
     logDir(table).resolve(f"$v%020d.json")
+
+  /** Structural schema equality (column name → type, order- and
+    * nullability-insensitive at the top level): the drift a reader
+    * would corrupt on, without rejecting harmless nullable flips. */
+  private def schemaMatches(aJson: String, bJson: String): Boolean = {
+    import org.apache.spark.sql.types.{DataType, StructType}
+    def norm(j: String) = DataType.fromJson(j).asInstanceOf[StructType]
+      .fields.map(f => (f.name, f.dataType.sql)).sortBy(_._1).toSeq
+    norm(aJson) == norm(bJson)
+  }
 
   /** Directory listing with the stream closed (a long-lived driver
     * must not leak fds across thousands of commits). */
@@ -58,14 +69,15 @@ object TxLog {
     else snapshotAt(table, versions.max)
   }
 
-  /** The snapshot a given manifest version pins (time travel). */
+  /** The snapshot a given manifest version pins (time travel).
+    * Manifest format: header line, `schema=<json>` line, one data-file
+    * name per line — no JSON parser dependency for the file list. */
   def snapshotAt(table: String, version: Long): Snapshot = {
     val p = manifestPath(table, version)
     require(Files.exists(p), s"version $version does not exist under $table")
-    // one file name per line after the version header — no JSON parser
-    // dependency needed for a list of strings
     val lines = Files.readAllLines(p).asScala.toSeq
-    Snapshot(version, lines.drop(1))
+    val schema = lines.lift(1).filter(_.startsWith("schema=")).map(_.stripPrefix("schema="))
+    Snapshot(version, lines.drop(2), schema)
   }
 
   /** Read the latest snapshot (empty-but-typed frame impossible for a
@@ -89,11 +101,13 @@ object TxLog {
     * manifest to a temp name, then hard-link it to the version path —
     * link(2) fails with EEXIST atomically on POSIX; a Hadoop
     * deployment swaps this seam for HDFS rename (same contract). */
-  def tryCommit(table: String, expectedVersion: Long, files: Seq[String]): Boolean = {
+  def tryCommit(table: String, expectedVersion: Long, files: Seq[String],
+      schemaJson: String = ""): Boolean = {
     val ld = logDir(table)
     Files.createDirectories(ld)
     val tmp = ld.resolve(s".tmp-${UUID.randomUUID()}")
-    Files.write(tmp, (s"graft-tx v${expectedVersion + 1}" +: files).asJava)
+    Files.write(tmp,
+      (Seq(s"graft-tx v${expectedVersion + 1}", s"schema=$schemaJson") ++ files).asJava)
     try {
       Files.createLink(manifestPath(table, expectedVersion + 1), tmp)
       true
@@ -135,9 +149,19 @@ object TxLog {
     val keys = if (keyCols.nonEmpty) keyCols else df.columns.toSeq
     val spark = df.sparkSession
     val incoming = df.dropDuplicates(keys)
+    val incomingSchema = incoming.schema.json
     var attempt = 0
     while (attempt < maxRetries) {
       val s = currentSnapshot(table)
+      // schema drift guard: the manifest records the committed schema,
+      // so a batch whose columns/types moved fails HERE with names,
+      // not downstream as a corrupt union of mismatched parquet files
+      s.schemaJson.filter(_.nonEmpty).foreach { committed =>
+        if (!schemaMatches(committed, incomingSchema))
+          throw new IllegalArgumentException(
+            s"appendNew: schema drift on $table — committed $committed, " +
+              s"incoming $incomingSchema")
+      }
       val fresh =
         if (s.files.isEmpty) incoming
         else {
@@ -149,8 +173,8 @@ object TxLog {
         }
       if (s.files.nonEmpty && fresh.isEmpty) return s // idempotent re-run
       val staged = stage(fresh, table)
-      if (tryCommit(table, s.version, s.files ++ staged))
-        return Snapshot(s.version + 1, s.files ++ staged)
+      if (tryCommit(table, s.version, s.files ++ staged, incomingSchema))
+        return Snapshot(s.version + 1, s.files ++ staged, Some(incomingSchema))
       dropStaged(table, staged) // lost the race: unreference and retry
       attempt += 1
     }
@@ -173,7 +197,8 @@ object TxLog {
       val staged = stage(
         spark.read.parquet(s.files.map(f => s"$table/$f"): _*).repartition(parts),
         table)
-      if (tryCommit(table, s.version, staged)) return staged.size
+      if (tryCommit(table, s.version, staged, s.schemaJson.getOrElse("")))
+        return staged.size
       dropStaged(table, staged)
       attempt += 1
     }

@@ -307,4 +307,21 @@ object Streams {
       }
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** [[startGoldAppend]] through the TRANSACTIONAL table format: each
+    * micro-batch commits via TxLog's manifest protocol, so replayed
+    * batches (the at-least-once window) are no-ops AND a concurrent
+    * maintenance job (compaction, another loader) can no longer tear a
+    * reader — snapshot isolation extends the merge sink's table-level
+    * exactly-once to multi-writer safety. */
+  def startGoldAppendTx(spark: SparkSession, dir: String, goldTable: String,
+      keyCols: Seq[String]): StreamingQuery =
+    readEventStream(spark, dir)
+      .writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        graft.io.TxLog.appendNew(batch.toDF(), goldTable, keyCols)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
 }

@@ -101,6 +101,26 @@ class TxLogSpec extends SparkTestBase {
     } finally cleanup(t)
   }
 
+  test("schema drift is rejected at commit time with names, not read time") {
+    val t = tmpTable()
+    try {
+      TxLog.appendNew((1 to 10).map(i => (i.toLong, s"v$i")).toDF("id", "v"), t, Seq("id"))
+      // same column names, different type: must refuse
+      val drifted = (11 to 20).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+      val e = intercept[IllegalArgumentException] {
+        TxLog.appendNew(drifted, t, Seq("id"))
+      }
+      assert(e.getMessage.contains("schema drift"))
+      // column order is NOT drift; nullable flips are NOT drift
+      TxLog.appendNew((11 to 20).map(i => (s"v$i", i.toLong)).toDF("v", "id")
+        .select($"id", $"v"), t, Seq("id"))
+      assert(TxLog.read(spark, t).count() == 20)
+      // compaction carries the schema forward
+      TxLog.compact(spark, t, targetBytes = Long.MaxValue)
+      assert(TxLog.currentSnapshot(t).schemaJson.exists(_.nonEmpty))
+    } finally cleanup(t)
+  }
+
   test("reader never sees staged-but-uncommitted files (snapshot isolation)") {
     val t = tmpTable()
     try {
