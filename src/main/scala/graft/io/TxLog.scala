@@ -171,8 +171,13 @@ object TxLog {
           val cond = keys.map(c => incoming(c) <=> col(s"__ex_$c")).reduce(_ && _)
           incoming.join(existingKeys, cond, "left_anti")
         }
-      if (s.files.nonEmpty && fresh.isEmpty) return s // idempotent re-run
+      // empty batch or idempotent re-run: minting a version for zero
+      // rows would let an empty first micro-batch commit a zero-file
+      // manifest v1 (read() then throws despite version > 0) — return
+      // the current snapshot untouched instead
+      if (fresh.isEmpty) return s
       val staged = stage(fresh, table)
+      if (staged.isEmpty) return s // belt-and-braces: zero part files
       if (tryCommit(table, s.version, s.files ++ staged, incomingSchema))
         return Snapshot(s.version + 1, s.files ++ staged, Some(incomingSchema))
       dropStaged(table, staged) // lost the race: unreference and retry
@@ -208,19 +213,43 @@ object TxLog {
   /** Drop data files no retained manifest references, and manifests
     * older than `keepVersions` behind the head. The time-travel
     * horizon moves forward; current readers are unaffected (their
-    * snapshot's files are always retained). */
-  def vacuum(table: String, keepVersions: Int = 1): Int = {
+    * snapshot's files are always retained).
+    *
+    * `retentionMs` is the concurrent-writer safety window (Delta's
+    * retention-period design): [[stage]] moves data files into the
+    * table root BEFORE [[tryCommit]] publishes the manifest that
+    * references them, so an unreferenced-but-recent .parquet may be a
+    * commit IN FLIGHT — deleting it would permanently break the
+    * winner's manifest. Files younger than the window are therefore
+    * never touched; only run with `retentionMs = 0` when all writers
+    * are known quiesced. Crashed-writer `_staging-<uuid>` directories
+    * past the window are reclaimed under the same rule (a live
+    * stage() both creates and removes its directory well inside any
+    * sane window). */
+  def vacuum(table: String, keepVersions: Int = 1,
+      retentionMs: Long = 60L * 60 * 1000): Int = {
     val head = currentSnapshot(table)
     if (head.version == 0L) return 0
+    val cutoff = System.currentTimeMillis() - retentionMs
+    def oldEnough(p: Path): Boolean =
+      Files.getLastModifiedTime(p).toMillis <= cutoff
     val keepFrom = math.max(1L, head.version - keepVersions + 1)
     val ld = logDir(table)
     val allVersions = listNames(ld).filter(_.endsWith(".json"))
       .map(_.stripSuffix(".json").toLong).sorted
     val (drop, keep) = allVersions.partition(_ < keepFrom)
     val live = keep.flatMap(v => snapshotAt(table, v).files).toSet
-    val dataFiles = listNames(Paths.get(table)).filter(_.endsWith(".parquet"))
-    val dead = dataFiles.filterNot(live)
+    val rootNames = listNames(Paths.get(table))
+    val dead = rootNames.filter(_.endsWith(".parquet"))
+      .filterNot(live)
+      .filter(f => oldEnough(Paths.get(table, f)))
     dead.foreach(f => Files.deleteIfExists(Paths.get(table, f)))
+    // reclaim staging dirs a crashed writer abandoned (stage() only
+    // cleans up its own dir on success)
+    rootNames.filter(_.startsWith("_staging-"))
+      .map(d => Paths.get(table, d))
+      .filter(d => Files.isDirectory(d) && oldEnough(d))
+      .foreach(d => org.apache.commons.io.FileUtils.deleteDirectory(d.toFile))
     drop.foreach(v => Files.deleteIfExists(manifestPath(table, v)))
     dead.size
   }

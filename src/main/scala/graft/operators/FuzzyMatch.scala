@@ -33,4 +33,15 @@ object FuzzyMatch {
     probes.join(Dedup.capBuckets(corpus, blockKey, maxBlockSize), Seq(blockKey))
       .withColumn("dist", levenshtein(probeText, corpusText))
       .where(col("dist") <= maxDist)
+
+  /** Accounting twin of the `maxBlockSize` guard, mirroring
+    * [[Dedup.lshDroppedBuckets]]: the corpus blocks a given cap WOULD
+    * cut, as (blockKey, block_size) rows. Report it next to a capped
+    * match run so "zero matches" can never silently mean "the blocks
+    * holding the matches were dropped" — the valve leaves a ledger. */
+  def droppedBlocks(corpus: DataFrame, blockKey: String,
+      maxBlockSize: Int): DataFrame =
+    corpus.groupBy(col(blockKey))
+      .agg(count(lit(1)).as("block_size"))
+      .filter(col("block_size") > maxBlockSize)
 }

@@ -25,8 +25,11 @@ import org.apache.spark.sql.expressions.Window
   *    `bit_count(a & b)` per pair, multiplicities multiply back into
   *    pair counts. No arrays move, no doc-pair set is materialized.
   *
-  * The strategy picks itself from one tiny measurement (vocabulary
-  * size ≤ 62 → masks fit a long); both paths produce IDENTICAL output
+  * The strategy picks itself from two tiny measurements (vocabulary
+  * size ≤ 62 → masks fit a long; distinct-set count ≤ `maxDenseSets`
+  * → the O(S²) pairing and its broadcast stay executor-sized — vocab
+  * alone does NOT bound S: 2^vocab masks are possible); both paths
+  * produce IDENTICAL output
   * — same jaccard doubles (same int-ratio division), same pair
   * accounting — so the DuckDB oracle (which implements the prefix
   * construction) pins either. */
@@ -36,12 +39,35 @@ object SetSimilarity {
     * (band, n_pairs, n_left_docs, avg_jaccard), where band =
     * floor(jac·10)/10 and `n_left_docs` counts distinct smaller-id
     * members over qualifying pairs. Input: (doc_id, t: array<string>)
-    * with nonempty distinct token arrays. */
-  def jaccardBands(toks: DataFrame, tau: Double): DataFrame = {
-    val vocab = toks.select(explode(col("t")).as("w")).distinct().count()
-    if (vocab <= 62) denseBands(toks, tau)
+    * with nonempty distinct token arrays and unique doc_ids.
+    *
+    * `maxDenseSets` guards the dense path's O(S²) pairing: vocabulary
+    * size bounds MASK WIDTH, not the number of distinct sets (a
+    * 40-token vocab admits 2⁴⁰ masks), so a corpus can satisfy
+    * `vocab ≤ 62` while holding millions of distinct sets — the
+    * broadcast + quadratic pairing would then OOM executors. Above the
+    * cap the prefix join takes over: distributed, recall-1.0, no
+    * broadcast of the set table. Default 20 000 sets ≈ 2·10⁸ cheap
+    * long-ops pairs, comfortably task-sized. */
+  def jaccardBands(toks: DataFrame, tau: Double,
+      maxDenseSets: Long = 20000L): DataFrame =
+    if (denseEligible(toks, maxDenseSets)) denseBands(toks, tau)
     else prefixBands(toks, tau)
+
+  /** The dense gate needs BOTH measurements: masks must fit a long
+    * (vocab ≤ 62) AND the distinct-set table must stay broadcast- and
+    * O(S²)-sized. Short-circuits so the set count is only measured in
+    * the small-vocab regime where the dense path is even a candidate. */
+  private def denseEligible(toks: DataFrame, maxDenseSets: Long): Boolean = {
+    val vocab = toks.select(explode(col("t")).as("w")).distinct().count()
+    vocab <= 62 &&
+      toks.select(array_sort(col("t")).as("st")).distinct().count() <= maxDenseSets
   }
+
+  /** The strategy the adaptive gate would pick — exposed so specs can
+    * pin the guard without inspecting plans. */
+  private[graft] def chosenStrategy(toks: DataFrame, maxDenseSets: Long = 20000L): String =
+    if (denseEligible(toks, maxDenseSets)) "dense" else "prefix"
 
   private def bandOf(jac: Column): Column = floor(jac * 10) / 10
 
@@ -55,31 +81,33 @@ object SetSimilarity {
     * per doc-pair. */
   private def denseBands(toks: DataFrame, tau: Double): DataFrame = {
     val spark = toks.sparkSession
-    val sorted = toks.select(col("doc_id"), array_sort(col("t")).as("t"))
     // vocabulary index: ≤ 62 rows, single-partition window is fine
-    val vocabIdx = sorted.select(explode(col("t")).as("w")).distinct()
+    val vocabIdx = toks.select(explode(col("t")).as("w")).distinct()
       .withColumn("idx", row_number().over(Window.orderBy(col("w"))) - 1)
-    val masked = sorted
-      .select(col("doc_id"), md5(array_join(col("t"), " ")).as("fp"),
-        explode(col("t")).as("w"))
+    // the mask IS the set identity: given the vocab index, mask ↔
+    // token set is a bijection, so grouping and pairing key on it
+    // directly — no string fingerprint, no delimiter-collision risk
+    // for tokens containing whatever join character was chosen
+    val masked = toks
+      .select(col("doc_id"), explode(col("t")).as("w"))
       .join(broadcast(vocabIdx), "w")
-      .groupBy(col("doc_id"), col("fp"))
+      .groupBy(col("doc_id"))
       .agg(sum(expr("shiftleft(1L, CAST(idx AS INT))")).as("mask"))
-    // distinct sets with multiplicity + member list (set counts are
-    // corpus-dependent but bounded by doc count; the frame stays
-    // shuffle-sized, only the PAIRING below broadcasts it)
-    val sets = masked.groupBy(col("fp"))
-      .agg(first(col("mask")).as("mask"), count(lit(1)).as("m"),
+    // distinct sets with multiplicity + member list (set count is
+    // gate-bounded by maxDenseSets; the frame stays shuffle-sized,
+    // only the PAIRING below broadcasts it)
+    val sets = masked.groupBy(col("mask"))
+      .agg(count(lit(1)).as("m"),
         collect_list(col("doc_id")).as("docs"), max(col("doc_id")).as("dmax"))
       .withColumn("n", bit_count(col("mask")).cast("long"))
-    val a = sets.select(col("fp").as("fa"), col("mask").as("ka"), col("m").as("ma"),
+    val a = sets.select(col("mask").as("ka"), col("m").as("ma"),
       col("docs").as("da_docs"), col("dmax").as("amax"), col("n").as("na"))
-    val b = sets.select(col("fp").as("fb"), col("mask").as("kb"), col("m").as("mb"),
+    val b = sets.select(col("mask").as("kb"), col("m").as("mb"),
       col("docs").as("db_docs"), col("dmax").as("bmax"), col("n").as("nb"))
     val inter = bit_count(col("ka").bitwiseAND(col("kb"))).cast("long")
     // cross-set qualifying pairs (identical sets can't appear twice:
-    // fp dedup), jaccard as the SAME int-ratio division as the oracle
-    val crossQ = a.join(broadcast(b), col("fa") < col("fb"))
+    // mask dedup), jaccard as the SAME int-ratio division as the oracle
+    val crossQ = a.join(broadcast(b), col("ka") < col("kb"))
       .withColumn("i", inter)
       .withColumn("jac", col("i").cast("double") /
         (col("na") + col("nb") - col("i")).cast("double"))

@@ -371,4 +371,23 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(direct.count() > 0)
   }
 
+  test("fuzzy-match block guard leaves a ledger: dropped blocks are reported, not silent") {
+    import graft.operators.FuzzyMatch
+    // one flood block (100 corpus rows under key "hot") + one normal
+    val corpus = ((1 to 100).map(i => ("hot", s"flood text $i")) :+
+      ("cold", "unique entry")).toDF("bk", "ctext")
+    val probes = Seq(("hot", "flood text 1"), ("cold", "unique entry"))
+      .toDF("bk", "ptext")
+    val capped = FuzzyMatch.blockedLevenshtein(probes, corpus, "bk",
+      $"ptext", $"ctext", maxDist = 2, maxBlockSize = 10)
+    // the flood block is cut — only the cold match survives
+    assert(capped.select($"bk").collect().map(_.getString(0)).toSeq == Seq("cold"))
+    // …and the cut is observable: the ledger names the block and size
+    val ledger = FuzzyMatch.droppedBlocks(corpus, "bk", maxBlockSize = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(ledger == Seq(("hot", 100L)))
+    // no cap → no ledger rows
+    assert(FuzzyMatch.droppedBlocks(corpus, "bk", Int.MaxValue).count() == 0)
+  }
+
 }

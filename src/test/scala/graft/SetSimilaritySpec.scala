@@ -59,4 +59,38 @@ class SetSimilaritySpec extends SparkTestBase {
     val prefix = bands(SetSimilarity.prefixBandsForTest(toks, 0.5))
     assert(auto == prefix)
   }
+
+  test("guard: tiny vocab but many distinct sets routes prefix (no O(S²) broadcast)") {
+    // vocab of 10 tokens (masks fit a long) but 60 distinct subsets:
+    // vocabulary size does NOT bound the set count (2^vocab masks are
+    // possible), so the dispatcher must also gate on distinct sets
+    val vocabToks = (0 until 10).map(i => s"t$i")
+    // set for doc i = tokens at the set bits of i+1: 60 provably
+    // distinct nonempty subsets of a 10-token vocabulary
+    val many = (0 until 60).map { i =>
+      (i.toLong, (0 until 10).filter(j => (((i + 1) >> j) & 1) == 1).map(vocabToks))
+    }.toDF("doc_id", "t")
+    assert(SetSimilarity.chosenStrategy(many, maxDenseSets = 10L) == "prefix")
+    assert(SetSimilarity.chosenStrategy(many) == "dense",
+      "default cap admits this corpus — only the guard rejects it")
+    // guarded routing must not change the answer
+    val guarded = bands(SetSimilarity.jaccardBands(many, 0.5, maxDenseSets = 10L))
+    val dense = bands(SetSimilarity.denseBandsForTest(many, 0.5))
+    assert(guarded == dense)
+  }
+
+  test("tokens containing the space character do not collide distinct sets") {
+    // regression: an md5(array_join(t, \" \")) fingerprint merged
+    // [\"a b\",\"c\"] with [\"a\",\"b c\"] — distinct sets with zero
+    // overlap — into one, emitting a phantom jac-1.0 within-set pair.
+    // Keying on the vocabulary bitmask makes collision impossible.
+    val toks = Seq(
+      (1L, Seq("a b", "c")),
+      (2L, Seq("a", "b c"))
+    ).toDF("doc_id", "t")
+    assert(SetSimilarity.denseBandsForTest(toks, 0.5).count() == 0,
+      "disjoint sets must produce no qualifying pairs")
+    assert(bands(SetSimilarity.denseBandsForTest(toks, 0.5)) ==
+      bands(SetSimilarity.prefixBandsForTest(toks, 0.5)))
+  }
 }

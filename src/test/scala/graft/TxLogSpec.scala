@@ -94,7 +94,8 @@ class TxLogSpec extends SparkTestBase {
       // pre-compaction version still readable (its files not deleted)
       assert(TxLog.readVersion(spark, t, 2).count() == 300)
       // vacuum to head: old files + manifests go, head unaffected
-      val dropped = TxLog.vacuum(t, keepVersions = 1)
+      // (retentionMs = 0: this test's writers are quiesced)
+      val dropped = TxLog.vacuum(t, keepVersions = 1, retentionMs = 0L)
       assert(dropped > 0)
       assert(TxLog.read(spark, t).count() == 300)
       intercept[Exception] { TxLog.readVersion(spark, t, 1) }
@@ -133,9 +134,53 @@ class TxLogSpec extends SparkTestBase {
       java.nio.file.Files.move(orphan.toPath,
         java.nio.file.Paths.get(t, "part-orphan.parquet"))
       assert(TxLog.read(spark, t).count() == 10, "orphan file must be invisible")
-      // vacuum reaps it
+      // vacuum with the default retention window must NOT reap it —
+      // an unreferenced-but-recent file is indistinguishable from a
+      // commit in flight (stage() publishes data files before the
+      // manifest), and deleting it would break the winner's manifest
       TxLog.vacuum(t, keepVersions = 1)
+      assert(new java.io.File(s"$t/part-orphan.parquet").exists(),
+        "files inside the retention window must survive vacuum")
+      // quiesced-writer vacuum (retention 0) reaps it
+      TxLog.vacuum(t, keepVersions = 1, retentionMs = 0L)
       assert(!new java.io.File(s"$t/part-orphan.parquet").exists())
+    } finally cleanup(t)
+  }
+
+  test("vacuum reclaims crashed-writer staging directories past retention") {
+    val t = tmpTable()
+    try {
+      TxLog.appendNew((1 to 10).map(i => (i.toLong, "a")).toDF("id", "v"), t, Seq("id"))
+      // a writer that died mid-stage leaves its _staging-* dir behind
+      (1 to 50).map(i => (i.toLong, "dead")).toDF("id", "v")
+        .write.mode("overwrite").parquet(s"$t/_staging-deadbeef")
+      // inside the retention window: the dir survives (could be live)
+      TxLog.vacuum(t, keepVersions = 1)
+      assert(new java.io.File(s"$t/_staging-deadbeef").isDirectory)
+      // past the window (retention 0): reclaimed, data unharmed
+      TxLog.vacuum(t, keepVersions = 1, retentionMs = 0L)
+      assert(!new java.io.File(s"$t/_staging-deadbeef").exists())
+      assert(TxLog.read(spark, t).count() == 10)
+    } finally cleanup(t)
+  }
+
+  test("empty batches never mint versions — on an empty or non-empty table") {
+    val t = tmpTable()
+    try {
+      val empty = Seq.empty[(Long, String)].toDF("id", "v")
+      // empty first micro-batch on an empty table: no zero-file v1
+      // (which would make read() throw despite version > 0)
+      val s0 = TxLog.appendNew(empty, t, Seq("id"))
+      assert(s0.version == 0L, "empty batch on empty table must not commit")
+      // real data, then another empty batch: version must not move
+      TxLog.appendNew((1 to 10).map(i => (i.toLong, "a")).toDF("id", "v"), t, Seq("id"))
+      val s2 = TxLog.appendNew(empty, t, Seq("id"))
+      assert(s2.version == 1L, "empty batch must not mint a version")
+      // fully-overlapping batch (all keys already present) — same rule
+      val s3 = TxLog.appendNew((1 to 10).map(i => (i.toLong, "b")).toDF("id", "v"),
+        t, Seq("id"))
+      assert(s3.version == 1L)
+      assert(TxLog.read(spark, t).count() == 10)
     } finally cleanup(t)
   }
 }
