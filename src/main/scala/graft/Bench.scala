@@ -25,19 +25,22 @@ object Bench {
     val spark = Sessions.local()
     spark.read.parquet(s"$sfDir/region.parquet").count() // warm-up
     val headline = Registry.allQueries.filter(_.benchmark)
-    // Two reps per query, report the min: steady-state timing. Rep 1
-    // absorbs codegen compilation, shuffle-file creation and any
-    // transient host load; the min is the reproducible cost of the
-    // plan itself (the thing that scales to the cluster). A FAILING
-    // query must not masquerade as a fast one: it reports -1 and is
-    // named in "errors" instead of contributing a near-zero time.
+    // Discarded warm-up rep + median-of-3 measured reps: the warm-up
+    // absorbs codegen compilation, shuffle-file creation and page-cache
+    // faults; the median resists the one-off GC pause that min-of-2
+    // let through (the r5 "+23% on untouched queries" phantom
+    // regression). The median is the reproducible cost of the plan
+    // itself — the thing that scales to the cluster. A FAILING query
+    // must not masquerade as a fast one: it reports -1 and is named in
+    // "errors" instead of contributing a near-zero time.
     val results = headline.map { q =>
-      val times = (1 to 2).flatMap { _ =>
+      def rep(): Option[Double] =
         try Some(timeNoop(q.run(spark, sfDir)))
         catch { case e: Throwable =>
           System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}"); None }
-      }
-      q.name -> (if (times.nonEmpty) times.min else -1.0)
+      rep() // warm-up, discarded
+      val times = (1 to 3).flatMap(_ => rep())
+      q.name -> (if (times.nonEmpty) times.sorted.apply(times.size / 2) else -1.0)
     }
     val (ok, failed) = results.partition(_._2 >= 0)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

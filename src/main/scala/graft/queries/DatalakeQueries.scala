@@ -559,10 +559,69 @@ object DatalakeQueries {
            |  CAST(sum(doc_id) AS BIGINT) AS v1_id_sum
            |FROM documents""".stripMargin))
 
+  /** q179 — read-only Delta Lake `_delta_log` interop (VERDICT r5 #3:
+    * the reference's bronze is ACTUAL Delta, so a user holding that
+    * datalake must be able to point graft at it). The query authors a
+    * protocol-conformant log over real parquet: nation lands as commit
+    * 0, a key-shifted copy as commit 1, commit 2 removes the original
+    * file. Output reads HEAD through the log replay (shifted rows
+    * only) and time-travels to v1 (both files); the oracle recomputes
+    * both snapshots arithmetically from `nation` via the direct
+    * parquet scan. A green row proves add/remove replay, version
+    * pinning, and that unreferenced files stay invisible. */
+  val q179DeltaRead = GQuery(
+    "q179_delta_read",
+    (s, d) => {
+      import java.nio.file.{Files, Paths}
+      val t = graft.io.Staging.tempDir("graft_q179_")
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      // data file A: the nation parquet byte-for-byte
+      Files.copy(Paths.get(s"$d/nation.parquet"), Paths.get(t, "part-a.parquet"))
+      // data file B: keys shifted by 100, staged then placed
+      val nation = s.read.parquet(s"$d/nation.parquet")
+      val staged = graft.io.Staging.tempDir("graft_q179s_")
+      nation.withColumn("n_nationkey", col("n_nationkey") + lit(100))
+        .coalesce(1).write.mode("overwrite").parquet(staged)
+      val part = new java.io.File(staged).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(t, "part-b.parquet"))
+      // protocol actions, hand-authored: v0 = metaData + A, v1 = +B, v2 = −A
+      def add(p: String) = {
+        val n = mapper.createObjectNode()
+        val a = n.putObject("add"); a.put("path", p).put("dataChange", true)
+        a.putObject("partitionValues"); mapper.writeValueAsString(n)
+      }
+      def remove(p: String) = {
+        val n = mapper.createObjectNode()
+        n.putObject("remove").put("path", p); mapper.writeValueAsString(n)
+      }
+      val meta = {
+        val n = mapper.createObjectNode()
+        val m = n.putObject("metaData")
+        m.put("id", "q179").put("schemaString", nation.schema.json)
+        m.putArray("partitionColumns"); mapper.writeValueAsString(n)
+      }
+      val ld = Paths.get(t, "_delta_log"); Files.createDirectories(ld)
+      import scala.jdk.CollectionConverters._
+      Files.write(ld.resolve(f"${0L}%020d.json"), Seq(meta, add("part-a.parquet")).asJava)
+      Files.write(ld.resolve(f"${1L}%020d.json"), Seq(add("part-b.parquet")).asJava)
+      Files.write(ld.resolve(f"${2L}%020d.json"), Seq(remove("part-a.parquet")).asJava)
+      val head = graft.io.DeltaRead.read(s, t)
+        .agg(count(lit(1)).as("head_rows"), sum(col("n_nationkey")).as("head_key_sum"))
+      val v1 = graft.io.DeltaRead.readVersion(s, t, 1)
+        .agg(count(lit(1)).as("v1_rows"), sum(col("n_nationkey")).as("v1_key_sum"))
+      head.crossJoin(v1)
+    },
+    Some("""SELECT count(*) AS head_rows,
+           |  CAST(sum(n_nationkey) + 100 * count(*) AS BIGINT) AS head_key_sum,
+           |  CAST(2 * count(*) AS BIGINT) AS v1_rows,
+           |  CAST(2 * sum(n_nationkey) + 100 * count(*) AS BIGINT) AS v1_key_sum
+           |FROM nation""".stripMargin))
+
   val all: Seq[GQuery] = Seq(
     q130SnapshotDiff, q131IncrementalAgg, q132SchemaEvolution,
     q133KAnonymity, q134GdprErasure, q147CompactionPlan,
     q148ZorderLayout, q149ColumnStats, q160PruningSim,
     q163OrcRoundtrip, q164PartitionPruning, q166CorruptTolerance,
-    q177TxTable)
+    q177TxTable, q179DeltaRead)
 }

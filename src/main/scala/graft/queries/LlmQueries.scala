@@ -611,9 +611,14 @@ object LlmQueries {
     * measurement loop every production ANN deployment runs before
     * picking its recall-vs-cost operating point. The ground truth and
     * each probe share one tie-break (sim desc, cid asc), so recall is
-    * deterministic. No SQL oracle (the IVF assignment has no DuckDB
-    * twin) → driver rows-only check; AnnRecallSpec asserts recall is
-    * monotone in nprobe and exactly 1.0 at full probe.
+    * deterministic. FULLY oracle-checked (VERDICT r5 #4): the label
+    * centroids are exact per-component means, so the DuckDB twin
+    * replays the entire chain — centroid build, corpus cell assignment
+    * (max-of-struct: ties to the LARGER cell_id), query probes
+    * (nprobe=1 via the same max; nprobe>1 via the ranked window, ties
+    * to the SMALLER cell_id), candidate ranking, and the recall
+    * arithmetic. AnnRecallSpec additionally asserts monotonicity and
+    * recall 1.0 at full probe.
     */
   val q154AnnRecall = GQuery(
     "q154_ann_recall",
@@ -635,7 +640,69 @@ object LlmQueries {
               .as("recall_at_10"))
       }.reduce(_ unionByName _).orderBy($"nprobe")
     },
-    None)
+    Some("""WITH cents AS (
+           |  SELECT label AS cell_id, list(avg_x ORDER BY pos) AS cent FROM (
+           |    SELECT label, i AS pos, avg(CAST(embedding[i+1] AS DOUBLE)) AS avg_x
+           |    FROM embeddings, range(0, 64) t(i) GROUP BY label, i)
+           |  GROUP BY label),
+           |q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+           |      FROM embeddings WHERE vec_id % 97 = 0),
+           |c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+           |-- corpus -> cell: max-of-struct assignment, ties to LARGER cell_id
+           |assign AS (
+           |  SELECT cid, cell_id FROM (
+           |    SELECT cid, cell_id, row_number() OVER (PARTITION BY cid
+           |        ORDER BY sim DESC, cell_id DESC) AS rn
+           |    FROM (SELECT cid, cell_id,
+           |        list_sum(list_transform(range(1, 65), i -> cv[i]*cent[i])) /
+           |        (sqrt(list_sum(list_transform(range(1, 65), i -> cv[i]*cv[i]))) *
+           |         sqrt(list_sum(list_transform(range(1, 65), i -> cent[i]*cent[i])))) AS sim
+           |      FROM c CROSS JOIN cents))
+           |  WHERE rn = 1),
+           |-- query -> ranked cells, both tie conventions
+           |qsim AS (
+           |  SELECT qid, cell_id,
+           |    list_sum(list_transform(range(1, 65), i -> qv[i]*cent[i])) /
+           |    (sqrt(list_sum(list_transform(range(1, 65), i -> qv[i]*qv[i]))) *
+           |     sqrt(list_sum(list_transform(range(1, 65), i -> cent[i]*cent[i])))) AS sim
+           |  FROM q CROSS JOIN cents),
+           |probes AS (
+           |  SELECT 1 AS nprobe, qid, cell_id FROM (
+           |    SELECT qid, cell_id, row_number() OVER (PARTITION BY qid
+           |        ORDER BY sim DESC, cell_id DESC) AS rn FROM qsim) WHERE rn = 1
+           |  UNION ALL
+           |  SELECT np, qid, cell_id FROM (
+           |    SELECT qid, cell_id, row_number() OVER (PARTITION BY qid
+           |        ORDER BY sim DESC, cell_id ASC) AS rn FROM qsim)
+           |  CROSS JOIN (VALUES (2), (4)) nn(np) WHERE rn <= np),
+           |sims AS (
+           |  SELECT qid, cid,
+           |    list_sum(list_transform(range(1, 65), i -> qv[i]*cv[i])) /
+           |    (sqrt(list_sum(list_transform(range(1, 65), i -> qv[i]*qv[i]))) *
+           |     sqrt(list_sum(list_transform(range(1, 65), i -> cv[i]*cv[i])))) AS sim
+           |  FROM q JOIN c ON qid <> cid),
+           |truth AS (
+           |  SELECT qid, cid FROM (
+           |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
+           |        ORDER BY sim DESC, cid) AS rn FROM sims) WHERE rn <= 10),
+           |topk AS (
+           |  SELECT nprobe, qid, cid FROM (
+           |    SELECT p.nprobe, s.qid, s.cid, row_number() OVER (
+           |        PARTITION BY p.nprobe, s.qid ORDER BY s.sim DESC, s.cid) AS rn
+           |    FROM probes p
+           |    JOIN assign a ON a.cell_id = p.cell_id
+           |    JOIN sims s ON s.qid = p.qid AND s.cid = a.cid)
+           |  WHERE rn <= 10),
+           |hits AS (
+           |  SELECT t.nprobe, count(*) AS n_hits
+           |  FROM topk t JOIN truth g ON g.qid = t.qid AND g.cid = t.cid
+           |  GROUP BY t.nprobe)
+           |SELECT n.np AS nprobe, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           |  (SELECT count(*) FROM truth) AS n_truth,
+           |  round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) /
+           |        (SELECT count(*) FROM truth), 4) AS recall_at_10
+           |FROM (VALUES (1), (2), (4)) n(np) LEFT JOIN hits h ON h.nprobe = n.np
+           |ORDER BY nprobe""".stripMargin))
 
   /** q156 — incremental LSH index maintenance: the corpus arrives in
     * two batches (80% historical, 20% new + planted cross-batch

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.logical._
+
+/** Plan audit for the benchmark set: a `Window` with an empty
+  * partition spec moves EVERY row to one partition — the classic
+  * accidentally-serial operator that works at sf0.1 and falls over at
+  * 100 TB. Two global windows are known-bounded by construction and
+  * must not hide new unbounded ones behind their (benign) WindowExec
+  * warnings in the bench log:
+  *
+  *  - the SetSimilarity dense-path vocabulary index — a row_number
+  *    over `distinct(explode(tokens))`, gate-bounded to ≤ 62 rows;
+  *  - q122's cumulative-share window, which runs after a limit(1000).
+  *
+  * The benign patterns are recognized STRUCTURALLY (input is an
+  * aggregate fed by a generator = the vocab pattern; a Limit below =
+  * the post-limit pattern) rather than by query name, so a new query
+  * reusing either bounded shape passes and a new global window over a
+  * raw relation/join fails with the query named. */
+class GlobalWindowAuditSpec extends SparkTestBase {
+
+  /** The window's input cardinality source, looking through the
+    * row-preserving nodes Catalyst leaves between them. */
+  private def inputThroughProjections(p: LogicalPlan): LogicalPlan = p match {
+    case proj: Project => inputThroughProjections(proj.child)
+    case f: Filter     => inputThroughProjections(f.child)
+    case s: Sort       => inputThroughProjections(s.child)
+    case other         => other
+  }
+
+  /** (offender descriptions, benign-site count) for one plan. */
+  private def audit(name: String, plan: LogicalPlan): (Seq[String], Int) = {
+    val offenders = scala.collection.mutable.ArrayBuffer[String]()
+    var benign = 0
+    plan.foreach {
+      case w: Window if w.partitionSpec.isEmpty =>
+        val limited = w.child.exists {
+          case _: GlobalLimit | _: LocalLimit => true
+          case _ => false
+        }
+        val vocabShaped = (inputThroughProjections(w.child) match {
+          case _: Aggregate | _: Distinct => true
+          case _ => false
+        }) && w.child.exists { case _: Generate => true; case _ => false }
+        if (limited || vocabShaped) benign += 1
+        else offenders += s"$name: ${w.simpleString(120)}"
+      case _ => ()
+    }
+    (offenders.toSeq, benign)
+  }
+
+  test("benchmark plans hold no unbounded global window") {
+    var totalBenign = 0
+    val offenders = graft.queries.Registry.allQueries.filter(_.benchmark).flatMap { q =>
+      val (off, benign) = audit(q.name, q.run(spark, sf).queryExecution.optimizedPlan)
+      totalBenign += benign
+      off
+    }
+    assert(offenders.isEmpty,
+      s"unbounded global windows in benchmark plans:\n${offenders.mkString("\n")}")
+    // the walker must not be vacuous: the dense-path vocabulary window
+    // (q144's bench plan at this sf) is a global window it must SEE
+    assert(totalBenign > 0, "audit saw zero global windows — walker broken?")
+  }
+
+  test("the audit flags a raw-relation global window (detector is not vacuous)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions._
+    val df = Tables.documents(spark, sf)
+      .withColumn("rn", row_number().over(W.orderBy($"doc_id")))
+    val (off, _) = audit("probe", df.queryExecution.optimizedPlan)
+    assert(off.nonEmpty, "an unpartitioned window over a raw scan must be flagged")
+  }
+}
