@@ -41,6 +41,98 @@ object FileBackedSource {
   }
 }
 
+/** Live-HTTP implementation of [[PagedSource]] — the last mile the
+  * file-backed stand-in documents (reference
+  * extractor_polymarket.py:59-141 fetches `?offset=N&limit=M` pages
+  * with a requests session). Each Spark task fetches its own pages, so
+  * the page fan-out IS the reference's thread pool, scheduled by the
+  * engine instead of a manual ThreadPoolExecutor.
+  *
+  * Envelope tolerance matches the reference's three observed response
+  * shapes (extractor_polymarket.py:59-91): a bare JSON array, a
+  * `{"data": [...]}` wrapper, or a `{"<endpoint>": [...]}` wrapper.
+  * Transient failures (5xx, socket errors) retry with linear backoff;
+  * 4xx fails fast — a mistyped endpoint must not burn the retry
+  * budget. All state is strings/ints, so the instance ships to
+  * executors; the HttpClient rebuilds lazily per JVM. */
+class HttpPagedSource(baseUrl: String, endpoint: String,
+    offsetParam: String = "offset", limitParam: String = "limit",
+    headers: Map[String, String] = Map.empty,
+    timeoutMs: Long = 30000L, maxRetries: Int = 3,
+    retryBackoffMs: Long = 500L) extends PagedSource {
+
+  @transient private lazy val client: java.net.http.HttpClient =
+    java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofMillis(timeoutMs))
+      .build()
+
+  override def fetchPage(offset: Long, limit: Int): Seq[String] = {
+    val sep = if (baseUrl.endsWith("/")) "" else "/"
+    val uri = java.net.URI.create(
+      s"$baseUrl$sep$endpoint?$offsetParam=$offset&$limitParam=$limit")
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val resp =
+        try {
+          val b = java.net.http.HttpRequest.newBuilder(uri)
+            .timeout(java.time.Duration.ofMillis(timeoutMs)).GET()
+          headers.foreach { case (k, v) => b.header(k, v) }
+          Some(client.send(b.build(),
+            java.net.http.HttpResponse.BodyHandlers.ofString()))
+        } catch { // socket-level failure: transient, retry with backoff
+          case _: java.io.IOException if attempt <= maxRetries =>
+            Thread.sleep(retryBackoffMs * attempt); None
+        }
+      resp.foreach { r =>
+        r.statusCode() match {
+          case ok if ok >= 200 && ok < 300 =>
+            return HttpPagedSource.extractRecords(r.body(), endpoint)
+          case retryable if retryable >= 500 && attempt <= maxRetries =>
+            Thread.sleep(retryBackoffMs * attempt)
+          case other => // 4xx, or 5xx past the retry budget: fail fast
+            throw new java.io.IOException(s"GET $uri returned HTTP $other")
+        }
+      }
+    }
+    Nil // unreachable
+  }
+}
+
+object HttpPagedSource {
+  /** The reference's envelope-tolerant record extraction: bare array |
+    * {"data":[..]} | {"<endpoint>":[..]} → one compact JSON string per
+    * record (the shape [[Ingest.ingest]] parses with from_json). */
+  def extractRecords(body: String, endpoint: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+    val arr =
+      if (root.isArray) root
+      else if (root.has("data") && root.get("data").isArray) root.get("data")
+      else if (root.has(endpoint) && root.get(endpoint).isArray) root.get(endpoint)
+      else throw new IllegalArgumentException(
+        s"unrecognized page envelope (expected array, data:[], or $endpoint:[]): " +
+          body.take(200))
+    arr.elements().asScala.map(_.toString).toSeq
+  }
+}
+
+object PagedSourceConf {
+  /** Config-flag selection of the ingestion seam (VERDICT r5 #6):
+    * `spark.graft.source.mode` = `file` (default; offline parity) or
+    * `http` (live deployment). HTTP settings come from
+    * `spark.graft.source.{url,endpoint,offsetParam,limitParam}`. */
+  def fromConf(spark: SparkSession): PagedSource =
+    spark.conf.get("spark.graft.source.mode", "file") match {
+      case "http" => new HttpPagedSource(
+        baseUrl = spark.conf.get("spark.graft.source.url"),
+        endpoint = spark.conf.get("spark.graft.source.endpoint"),
+        offsetParam = spark.conf.get("spark.graft.source.offsetParam", "offset"),
+        limitParam = spark.conf.get("spark.graft.source.limitParam", "limit"))
+      case _ => new FileBackedSource(spark.conf.get("spark.graft.source.path"))
+    }
+}
+
 object Ingest {
 
   /** Partition-per-page ingestion: `spark.range(numPages)` gives one

@@ -13,31 +13,64 @@ import org.apache.spark.sql.functions._
 object Graph {
 
   /** PageRank with damping `d` over a directed edge list (src, dst),
-    * `iters` fixed iterations from a uniform start. Dangling mass is
-    * NOT redistributed (nodes with no out-edges leak rank) — callers
-    * wanting the strict random-surfer model should pre-close the edge
-    * set; for ranking use the leak is a uniform scale-down.
+    * `iters` fixed iterations from a uniform start.
+    *
+    * `redistributeDangling = false` (default): nodes with no out-edges
+    * leak rank — for ranking use the leak is a uniform scale-down, and
+    * the iteration is one join + one aggregation.
+    * `redistributeDangling = true`: the strict random-surfer model —
+    * each round the dangling nodes' total rank is spread uniformly
+    * over all nodes, so Σrank stays exactly 1. The dangling total is a
+    * one-row aggregate crossJoin-broadcast back into the update (never
+    * a driver collect in the loop), costing one extra anti-join +
+    * scalar aggregate per round.
+    *
+    * Lineage control: each round's plan nests the last, so at high
+    * `iters` analyzer cost and task-binary size grow without bound —
+    * every `checkpointInterval` rounds the rank frame materializes via
+    * eager localCheckpoint (same lifecycle as
+    * Dedup.connectedComponents). In redistribution mode rank feeds
+    * BOTH the contribution join and the dangling aggregate, so the
+    * plan DOUBLES per round (2^interval nodes between checkpoints) —
+    * that mode therefore checkpoints every round, the interval only
+    * governs the linear-growth default mode.
     *
     * Returns (node, rank). Deterministic up to FP summation order —
     * round before comparing across engines/runs.
     */
-  def pagerank(edges: DataFrame, iters: Int, d: Double = 0.85): DataFrame = {
+  def pagerank(edges: DataFrame, iters: Int, d: Double = 0.85,
+      redistributeDangling: Boolean = false,
+      checkpointInterval: Int = 10): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct().persist()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().persist()
     val n = nodes.count().toDouble
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val withDeg = e.join(deg, "src")
+    val outNodes = deg.select(col("src").as("node"))
     var rank = nodes.withColumn("rank", lit(1.0 / n))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = withDeg
         .join(rank.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(col("rank") / col("deg")).as("mass"))
-      rank = nodes
-        .join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          (lit((1.0 - d) / n) + lit(d) * coalesce(col("mass"), lit(0.0))).as("rank"))
+      rank =
+        if (redistributeDangling) {
+          val dangling = rank.join(outNodes, Seq("node"), "left_anti")
+            .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dm"))
+          nodes
+            .join(contrib, Seq("node"), "left")
+            .crossJoin(broadcast(dangling))
+            .select(col("node"),
+              (lit((1.0 - d) / n) + lit(d) *
+                (coalesce(col("mass"), lit(0.0)) + col("__dm") / lit(n))).as("rank"))
+        } else
+          nodes
+            .join(contrib, Seq("node"), "left")
+            .select(col("node"),
+              (lit((1.0 - d) / n) + lit(d) * coalesce(col("mass"), lit(0.0))).as("rank"))
+      if (i < iters && (redistributeDangling || i % checkpointInterval == 0))
+        rank = rank.localCheckpoint(true)
     }
     // materialize lineage-free, then drop the loop caches — the result
     // must not pin persisted blocks for the session's lifetime (same

@@ -56,12 +56,15 @@ object SetSimilarity {
 
   /** The dense gate needs BOTH measurements: masks must fit a long
     * (vocab ≤ 62) AND the distinct-set table must stay broadcast- and
-    * O(S²)-sized. Short-circuits so the set count is only measured in
-    * the small-vocab regime where the dense path is even a candidate. */
+    * O(S²)-sized. Both counts come from ONE pass over the exploded
+    * tokens (the sorted array rides along each token row), so the
+    * gate costs a single scan + aggregate however it decides. */
   private def denseEligible(toks: DataFrame, maxDenseSets: Long): Boolean = {
-    val vocab = toks.select(explode(col("t")).as("w")).distinct().count()
-    vocab <= 62 &&
-      toks.select(array_sort(col("t")).as("st")).distinct().count() <= maxDenseSets
+    val m = toks
+      .select(array_sort(col("t")).as("st"), explode(col("t")).as("w"))
+      .agg(countDistinct(col("w")).as("vocab"), countDistinct(col("st")).as("nsets"))
+      .collect()(0)
+    m.getLong(0) <= 62L && m.getLong(1) <= maxDenseSets
   }
 
   /** The strategy the adaptive gate would pick — exposed so specs can

@@ -27,16 +27,21 @@ import scala.collection.mutable
   * (order, tie) is unique per key; rows whose order value is NULL are
   * never in the top-k (SQL "NULLS LAST under DESC" semantics).
   *
-  * MEMORY CONTRACT: per-KEY memory is O(k), but per-PARTITION memory
-  * is O(k × distinct keys in that partition), held in an on-heap map
-  * with no spill path — the operator targets the many-rows-per-key
-  * regime (ANN rankings: thousands of queries × millions of
-  * candidates). For key cardinalities approaching row count the
-  * window row_number form is the right tool (it spills through the
-  * external sorter). `maxKeysPerPartition` (session conf
-  * `spark.graft.topk.maxKeysPerPartition`, default unlimited) is the
-  * guard rail: a partition exceeding it fails fast with an actionable
-  * error instead of slow-burning the executor heap to OOM.
+  * MEMORY CONTRACT: per-KEY memory is O(k); per-PARTITION memory is
+  * bounded by `maxKeysPerPartition` (session conf
+  * `spark.graft.topk.maxKeysPerPartition`, default unlimited) live
+  * heap entries. When the heap map reaches the cap, the operator
+  * SPILLS: top-k is a monoid (topk(A∪B) = topk(topk(A)∪topk(B))), so
+  * the partial heaps drain to disk as a run SORTED by (key bytes,
+  * order DESC, tie ASC) and the map restarts empty; at input end the
+  * sorted runs k-way merge — rows of each key group arrive best-first
+  * across runs, so the merge emits the first k per group holding one
+  * record per run in memory. With the cap unset nothing changes: the
+  * all-in-memory fast path is byte-identical to before. The operator
+  * targets the many-rows-per-key regime (ANN rankings: thousands of
+  * queries × millions of candidates); for near-unique keys the window
+  * row_number form remains the better plan (no per-key heap churn),
+  * but it is no longer the only correct one.
   */
 case class TopKPerKey(
     keys: Seq[Expression],
@@ -85,13 +90,37 @@ case class TopKPerKeyExec(
     val ordTieLocal = Seq(order, tie)
     val childOutput = child.output
     child.execute().mapPartitions({ it =>
-      import TopKPerKeyExec.Entry
+      import TopKPerKeyExec.{Entry, SpillReader, bestFirstBytes}
       val keyProj = UnsafeProjection.create(keysLocal, childOutput)
       val ordProj = UnsafeProjection.create(ordTieLocal, childOutput)
       // dequeue() must surface the WORST held row (smallest order,
       // then largest tie) so one comparison decides evict-vs-ignore
       val worstFirst: Ordering[Entry] = Ordering.by(e => (-e.ord, e.tie))
       val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[Entry]]
+      val spills = mutable.ArrayBuffer.empty[java.io.File]
+
+      // drain every heap to disk as ONE sorted run (key bytes asc,
+      // order desc, tie asc) and restart the map empty — correctness
+      // from the top-k monoid; see MEMORY CONTRACT in the scaladoc
+      def spillAll(): Unit = {
+        val batch = heaps.iterator.flatMap { case (key, h) =>
+          val kb = key.getBytes
+          h.iterator.map(e => (kb, e))
+        }.toArray
+        java.util.Arrays.sort(batch, bestFirstBytes)
+        val f = java.io.File.createTempFile("graft-topk-spill-", ".run")
+        val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+          new java.io.FileOutputStream(f), 1 << 16))
+        try batch.foreach { case (kb, e) =>
+          out.writeInt(kb.length); out.write(kb)
+          out.writeDouble(e.ord); out.writeLong(e.tie)
+          val rb = e.row.getBytes
+          out.writeInt(rb.length); out.write(rb)
+        } finally out.close()
+        spills += f
+        heaps.clear()
+      }
+
       it.foreach { row =>
         val ot = ordProj(row)
         if (!ot.isNullAt(0)) {
@@ -107,12 +136,7 @@ case class TopKPerKeyExec(
           val heap = heaps.get(transientKey) match {
             case Some(h) => h
             case None =>
-              if (heaps.size >= maxKeysLocal)
-                throw new IllegalStateException(
-                  s"TopKPerKey: partition exceeded $maxKeysLocal distinct keys " +
-                    "(per-partition memory is O(k x distinct keys) with no spill); " +
-                    "use the window row_number form for near-unique keys, or raise " +
-                    "spark.graft.topk.maxKeysPerPartition")
+              if (heaps.size >= maxKeysLocal) spillAll()
               val h = mutable.PriorityQueue.empty[Entry](worstFirst)
               heaps.put(transientKey.copy(), h)
               h
@@ -121,7 +145,16 @@ case class TopKPerKeyExec(
           else if (worstFirst.compare(e, heap.head) < 0) { heap.dequeue(); heap.enqueue(e) }
         }
       }
-      heaps.valuesIterator.flatMap(_.iterator.map(_.row))
+
+      if (spills.isEmpty)
+        heaps.valuesIterator.flatMap(_.iterator.map(_.row))
+      else {
+        if (heaps.nonEmpty) spillAll()
+        val files = spills.toSeq
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => files.foreach(_.delete())))
+        SpillReader.mergeTopK(files, childOutput.length, kLocal)
+      }
     }, preservesPartitioning = true)
   }
 
@@ -134,6 +167,84 @@ object TopKPerKeyExec {
     * class would carry an $outer pointer, making every task closure
     * serialize the whole physical subtree. */
   private[plans] case class Entry(ord: Double, tie: Long, row: UnsafeRow)
+
+  /** Spill-run record order: key bytes ascending (grouping only — the
+    * semantic key order is irrelevant, byte order is consistent), then
+    * order DESC, tie ASC (best row of a key first). */
+  private[plans] val bestFirstBytes: java.util.Comparator[(Array[Byte], Entry)] =
+    (a: (Array[Byte], Entry), b: (Array[Byte], Entry)) => {
+      val c = java.util.Arrays.compareUnsigned(a._1, b._1)
+      if (c != 0) c
+      else {
+        val o = java.lang.Double.compare(b._2.ord, a._2.ord)
+        if (o != 0) o else java.lang.Long.compare(a._2.tie, b._2.tie)
+      }
+    }
+
+  /** Streaming cursor over one sorted spill run. */
+  private[plans] final class SpillReader(file: java.io.File) {
+    private val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+      new java.io.FileInputStream(file), 1 << 16))
+    var key: Array[Byte] = _
+    var ord: Double = _
+    var tie: Long = _
+    var rowBytes: Array[Byte] = _
+    /** Load the next record; false (and closed stream) at EOF. */
+    def advance(): Boolean =
+      try {
+        val kl = in.readInt()
+        key = new Array[Byte](kl); in.readFully(key)
+        ord = in.readDouble(); tie = in.readLong()
+        val rl = in.readInt()
+        rowBytes = new Array[Byte](rl); in.readFully(rowBytes)
+        true
+      } catch { case _: java.io.EOFException => in.close(); false }
+  }
+
+  private[plans] object SpillReader {
+    /** K-way merge of sorted runs → top `k` rows per key group. The
+      * merge order equals the run order, so each group streams
+      * best-first and the first `k` records of the group ARE its
+      * top-k; memory is one record per run. */
+    def mergeTopK(files: Seq[java.io.File], numFields: Int, k: Int): Iterator[InternalRow] = {
+      val cmp: java.util.Comparator[SpillReader] =
+        (a: SpillReader, b: SpillReader) => {
+          val c = java.util.Arrays.compareUnsigned(a.key, b.key)
+          if (c != 0) c
+          else {
+            val o = java.lang.Double.compare(b.ord, a.ord)
+            if (o != 0) o else java.lang.Long.compare(a.tie, b.tie)
+          }
+        }
+      val pq = new java.util.PriorityQueue[SpillReader](math.max(1, files.size), cmp)
+      files.foreach { f => val r = new SpillReader(f); if (r.advance()) pq.add(r) }
+      new Iterator[InternalRow] {
+        private var curKey: Array[Byte] = null
+        private var taken = 0
+        private var nextRow: InternalRow = null
+        private def computeNext(): Unit = {
+          nextRow = null
+          while (nextRow == null && !pq.isEmpty) {
+            val r = pq.poll()
+            val newGroup = curKey == null || !java.util.Arrays.equals(curKey, r.key)
+            if (newGroup) { curKey = r.key.clone(); taken = 0 }
+            if (taken < k) {
+              taken += 1
+              val row = new UnsafeRow(numFields)
+              row.pointTo(r.rowBytes, r.rowBytes.length)
+              nextRow = row
+            }
+            if (r.advance()) pq.add(r)
+          }
+        }
+        computeNext()
+        override def hasNext: Boolean = nextRow != null
+        override def next(): InternalRow = {
+          val out = nextRow; computeNext(); out
+        }
+      }
+    }
+  }
 }
 
 /** DataFrame-level API over the operator. */

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Graph
+import org.apache.spark.sql.functions.sum
 
 class GraphSpec extends SparkTestBase {
   import spark.implicits._
@@ -42,5 +43,34 @@ class GraphSpec extends SparkTestBase {
     assert(r.getAs[Long]("n_triangles") == 0)
     assert(r.getAs[Long]("n_triplets") == 2) // middle nodes each close one
     assert(r.getAs[Double]("clustering") == 0.0)
+  }
+
+  test("pagerank dangling redistribution matches the analytic fixed point, Σrank = 1") {
+    // 1 → 2, node 2 dangling. Strict random-surfer fixed point with
+    // d = 0.85, n = 2: r1 = (1−d)/n + d·r2/n and r1 + r2 = 1, so
+    // r1 = 0.5/1.425 = 0.3508771…, r2 = 0.6491228…
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    // contraction factor ≈ 0.425 per round: 30 rounds ≈ 7e-12 residual
+    val ranks = Graph.pagerank(edges, iters = 30, redistributeDangling = true)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(ranks(1L) - 0.5 / 1.425) < 1e-9)
+    assert(math.abs(ranks(2L) - 0.925 / 1.425) < 1e-9)
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-9,
+      "redistribution must conserve total mass exactly")
+    // default mode on the same graph: mass leaks (sum < 1) — the
+    // documented scale-down, proving the flag changes the model
+    val leaky = Graph.pagerank(edges, iters = 10)
+      .agg(sum($"rank")).collect()(0).getDouble(0)
+    assert(leaky < 0.99)
+  }
+
+  test("pagerank high-iteration run stays flat-lineage via interval checkpoints") {
+    // 25 redistribution iterations double plan growth per round; the
+    // interval localCheckpoint keeps analysis time bounded — this test
+    // is the regression guard (it crawls without checkpoints)
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")
+    val ranks = Graph.pagerank(cyc, iters = 25, redistributeDangling = true,
+      checkpointInterval = 5)
+    assert(math.abs(ranks.agg(sum($"rank")).collect()(0).getDouble(0) - 1.0) < 1e-9)
   }
 }

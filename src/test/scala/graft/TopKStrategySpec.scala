@@ -61,24 +61,28 @@ class TopKStrategySpec extends SparkTestBase {
     assert(TopK.perKey(df, Seq("k"), "d", "l", 3).count() == 1)
   }
 
-  test("maxKeysPerPartition guard fails fast on key-cardinality blowup") {
-    // near-unique keys: the wrong regime for per-key heaps — the guard
-    // must fail with an actionable error instead of creeping toward OOM
-    val df = (1 to 5000).map(i => (i.toLong, i.toDouble, i.toLong)).toDF("k", "v", "id")
-      .repartition(1)
+  test("maxKeysPerPartition triggers the spill path, output identical to window form") {
+    // 5000 distinct keys against a 100-key cap in one partition: the
+    // heap map must spill ~50 sorted runs and the k-way merge must
+    // reproduce the unguarded answer exactly. 3 rows per key with
+    // interleaved arrival so groups straddle spill boundaries.
+    val rows = (1 to 5000).flatMap(kk =>
+      Seq(0, 1, 2).map(r => ((kk % 7919).toLong * 7 + kk, (r * 10 + kk % 13).toDouble,
+        (kk * 3 + r).toLong)))
+    val df = scala.util.Random.shuffle(rows).toDF("k", "v", "id").repartition(1)
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy($"k").orderBy($"v".desc, $"id".asc)
+    val expected = df.withColumn("rn", org.apache.spark.sql.functions.row_number().over(win))
+      .filter($"rn" <= 2).drop("rn")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
     spark.conf.set("spark.graft.topk.maxKeysPerPartition", "100")
     try {
-      val e = intercept[Exception] {
-        TopK.perKey(df, Seq("k"), "v", "id", 3).collect()
-      }
-      def causes(t: Throwable): Seq[Throwable] =
-        if (t == null) Nil else t +: causes(t.getCause)
-      assert(causes(e).exists(_.getMessage != null) &&
-        causes(e).exists(c => c.getMessage != null &&
-          c.getMessage.contains("distinct keys")), s"unexpected failure: $e")
+      val got = TopK.perKey(df, Seq("k"), "v", "id", 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+      assert(got == expected, "spilled run must equal the window form")
     } finally spark.conf.unset("spark.graft.topk.maxKeysPerPartition")
-    // and unlimited (default) handles the same input fine
-    assert(TopK.perKey(df, Seq("k"), "v", "id", 3).count() == 5000)
+    // and unlimited (default) still takes the all-in-memory fast path
+    assert(TopK.perKey(df, Seq("k"), "v", "id", 3).count() == 15000)
   }
 
   test("heap keeps the BEST k under adversarial arrival order") {
