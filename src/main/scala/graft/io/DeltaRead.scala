@@ -34,15 +34,27 @@ import scala.jdk.CollectionConverters._
   * types in `metaData.schemaString` — Delta files do not store
   * partition columns in the parquet itself.
   *
-  * Write support is out of scope by design (graft writes [[TxLog]] /
-  * plain parquet); so are multi-part checkpoints and deletion
-  * vectors (reader-version-3 features the reference's writer does
-  * not emit). */
+  * Write support lives in [[DeltaWrite]] (same public protocol).
+  * Multi-part checkpoints, deletion vectors and column mapping are
+  * NOT supported — and because reading past them silently changes
+  * row visibility / column identity, a table that requires them is
+  * rejected loudly (see `validateSupported`) rather than read
+  * best-effort. */
 object DeltaRead {
 
   final case class FileEntry(path: String, partitionValues: Map[String, String])
   final case class DeltaSnapshot(version: Long, files: Seq[FileEntry],
-      schema: Option[StructType], partitionColumns: Seq[String])
+      schema: Option[StructType], partitionColumns: Seq[String],
+      metaId: Option[String] = None)
+
+  /** Reader features this implementation actually honors. Anything
+    * else (deletionVectors, columnMapping, v2Checkpoint, ...) would
+    * silently change what the data MEANS — deleted rows resurfacing,
+    * columns resolving to the wrong parquet field — so an unsupported
+    * feature is a loud error, never a best-effort read. timestampNtz
+    * is listed because it only widens a type, which the parquet scan
+    * already handles. */
+  private val SupportedReaderFeatures = Set("timestampNtz")
 
   private val mapper = new ObjectMapper()
 
@@ -98,13 +110,48 @@ object DeltaRead {
     val files = new scala.collection.mutable.LinkedHashMap[String, FileEntry]
     var schema: Option[StructType] = None
     var partitionColumns: Seq[String] = Nil
-    def metaData(schemaString: String, partCols: Seq[String]): Unit = {
+    var metaId: Option[String] = None
+    var minReaderVersion: Int = 1
+    var readerFeatures: Set[String] = Set.empty
+    var configuration: Map[String, String] = Map.empty
+    def metaData(schemaString: String, partCols: Seq[String],
+        id: Option[String] = None, conf: Map[String, String] = Map.empty): Unit = {
       schema = Some(DataType.fromJson(schemaString).asInstanceOf[StructType])
       partitionColumns = partCols
+      id.foreach(i => metaId = Some(i))
+      configuration = conf
+    }
+    def protocol(minReader: Int, features: Set[String]): Unit = {
+      minReaderVersion = minReader
+      readerFeatures = features
     }
     def add(e: FileEntry): Unit = files.put(e.path, e)
     def remove(path: String): Unit = files.remove(path)
+
+    /** Refuse any table whose correct interpretation needs a feature
+      * this reader does not implement — the alternative is silently
+      * wrong rows (a deletion-vectored file read in full resurrects
+      * deleted data; a column-mapped schema resolves names to the
+      * wrong parquet fields). */
+    def validateSupported(table: String): Unit = {
+      val mappingMode = configuration.getOrElse("delta.columnMapping.mode", "none")
+      if (mappingMode != "none") throw new UnsupportedOperationException(
+        s"$table uses column mapping mode '$mappingMode' — unsupported; " +
+          "physical parquet names would not match the logical schema")
+      if (minReaderVersion >= 3) {
+        val unsupported = readerFeatures -- SupportedReaderFeatures
+        if (unsupported.nonEmpty) throw new UnsupportedOperationException(
+          s"$table requires reader features ${unsupported.toSeq.sorted.mkString(", ")} — " +
+            "unsupported; reading anyway would return wrong rows")
+      } else if (minReaderVersion > 3) throw new UnsupportedOperationException(
+        s"$table requires minReaderVersion $minReaderVersion — unsupported")
+    }
   }
+
+  private def rejectDeletionVector(table: String, path: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"$table: file $path carries a deletion vector — unsupported; " +
+        "a full-file read would resurrect its deleted rows")
 
   private def applyJsonCommit(table: String, v: Long, r: Replay): Unit = {
     val p = logDir(table).resolve(f"$v%020d.json")
@@ -112,13 +159,26 @@ object DeltaRead {
       s"$table: commit $v missing — log truncated past the last checkpoint")
     Files.readAllLines(p).asScala.filter(_.trim.nonEmpty).foreach { line =>
       val node = mapper.readTree(line)
-      val addN = node.get("add"); val remN = node.get("remove"); val metaN = node.get("metaData")
-      if (addN != null) r.add(fileEntry(addN))
+      val addN = node.get("add"); val remN = node.get("remove")
+      val metaN = node.get("metaData"); val protoN = node.get("protocol")
+      if (addN != null) {
+        val dv = addN.get("deletionVector")
+        if (dv != null && !dv.isNull) rejectDeletionVector(table, addN.get("path").asText())
+        r.add(fileEntry(addN))
+      }
       if (remN != null) r.remove(decodePath(remN.get("path").asText()))
       if (metaN != null) r.metaData(
         metaN.get("schemaString").asText(),
         Option(metaN.get("partitionColumns")).map(_.elements().asScala.map(_.asText()).toSeq)
-          .getOrElse(Nil))
+          .getOrElse(Nil),
+        Option(metaN.get("id")).filterNot(_.isNull).map(_.asText()),
+        Option(metaN.get("configuration")).filterNot(_.isNull).map { c =>
+          c.fieldNames().asScala.map(k => k -> c.get(k).asText()).toMap
+        }.getOrElse(Map.empty))
+      if (protoN != null) r.protocol(
+        Option(protoN.get("minReaderVersion")).map(_.asInt()).getOrElse(1),
+        Option(protoN.get("readerFeatures")).filterNot(_.isNull)
+          .map(_.elements().asScala.map(_.asText()).toSet).getOrElse(Set.empty))
     }
   }
 
@@ -133,20 +193,41 @@ object DeltaRead {
   private def applyCheckpoint(spark: SparkSession, table: String, v: Long, r: Replay): Unit = {
     val cp = spark.read.parquet(logDir(table).resolve(f"$v%020d.checkpoint.parquet").toString)
     val cols = cp.columns.toSet
+    def struct(name: String) = cp.schema(name).dataType.asInstanceOf[StructType]
+    def has(parent: String, field: String) = struct(parent).fieldNames.contains(field)
+    if (cols("protocol")) {
+      cp.where(cp("protocol").isNotNull)
+        .selectExpr("protocol.minReaderVersion",
+          if (has("protocol", "readerFeatures")) "protocol.readerFeatures"
+          else "CAST(NULL AS ARRAY<STRING>) AS readerFeatures")
+        .collect().foreach { row =>
+          r.protocol(if (row.isNullAt(0)) 1 else row.getInt(0),
+            Option(row.getSeq[String](1)).map(_.toSet).getOrElse(Set.empty))
+        }
+    }
     if (cols("metaData")) {
       cp.where(cp("metaData").isNotNull)
-        .select("metaData.schemaString", "metaData.partitionColumns")
+        .selectExpr("metaData.schemaString", "metaData.partitionColumns",
+          if (has("metaData", "id")) "metaData.id" else "CAST(NULL AS STRING) AS id",
+          if (has("metaData", "configuration")) "metaData.configuration"
+          else "CAST(NULL AS MAP<STRING,STRING>) AS configuration")
         .collect().foreach { row =>
           r.metaData(row.getString(0),
-            Option(row.getSeq[String](1)).map(_.toSeq).getOrElse(Nil))
+            Option(row.getSeq[String](1)).map(_.toSeq).getOrElse(Nil),
+            Option(row.getString(2)),
+            Option(row.getMap[String, String](3)).map(_.toMap).getOrElse(Map.empty))
         }
     }
     if (cols("add")) {
       // checkpoint state holds only LIVE adds (tombstoned removes are
       // retained for vacuum only and carry no reader-visible files)
+      val dvExpr =
+        if (has("add", "deletionVector")) "add.deletionVector IS NOT NULL"
+        else "false"
       cp.where(cp("add").isNotNull)
-        .select("add.path", "add.partitionValues")
+        .selectExpr("add.path", "add.partitionValues", s"$dvExpr AS has_dv")
         .collect().foreach { row =>
+          if (row.getBoolean(2)) rejectDeletionVector(table, row.getString(0))
           val pv = Option(row.getMap[String, String](1))
             .map(_.toMap.map { case (k, x) => k -> x }).getOrElse(Map.empty[String, String])
           r.add(FileEntry(decodePath(row.getString(0)), pv))
@@ -160,7 +241,8 @@ object DeltaRead {
     val cp = checkpointAtOrBelow(table, version)
     cp.foreach(v => applyCheckpoint(spark, table, v, r))
     ((cp.map(_ + 1).getOrElse(0L)) to version).foreach(v => applyJsonCommit(table, v, r))
-    DeltaSnapshot(version, r.files.values.toSeq, r.schema, r.partitionColumns)
+    r.validateSupported(table)
+    DeltaSnapshot(version, r.files.values.toSeq, r.schema, r.partitionColumns, r.metaId)
   }
 
   def snapshot(spark: SparkSession, table: String): DeltaSnapshot =

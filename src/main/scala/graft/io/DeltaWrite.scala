@@ -1,0 +1,319 @@
+package graft.io
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.{DataFrame, SparkSession, Row}
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.UUID
+import scala.jdk.CollectionConverters._
+
+/** Delta Lake writer over the PUBLIC commit protocol
+  * (github.com/delta-io/delta PROTOCOL.md) — the write-direction twin
+  * of [[DeltaRead]]. The reference's bronze layer is real Delta
+  * (reference extractor_polymarket.py:208-223), so emitting spec-shaped
+  * `_delta_log` commits means a table graft writes is readable by the
+  * reference's own tooling (delta-rs / Spark+delta), not only by graft:
+  *
+  *  - data files land under the table root (partitioned tables use the
+  *    Hive-style `col=value/` layout with URI-escaped values, the shape
+  *    every Delta writer emits);
+  *  - each commit is one `_delta_log/<v>%020d.json` of newline-joined
+  *    actions — `protocol` + `metaData` at version 0, `add` per file
+  *    (with `partitionValues`, `size`, `modificationTime`, and
+  *    `stats.numRecords` so downstream readers can skip/plan), `remove`
+  *    per replaced file on overwrite, and a `commitInfo` tag;
+  *  - commit publish is the same atomic create-if-absent CAS as
+  *    [[TxLog.tryCommit]]: write to a temp name, hard-link to the
+  *    version path (link(2) EEXIST is atomic on POSIX), retry the
+  *    replay on a lost race — so concurrent appenders serialize
+  *    correctly with no lock service, which is the property that
+  *    matters when 1000 executors' drivers share one table root;
+  *  - [[checkpoint]] materializes the replayed state as the single-file
+  *    `<v>%020d.checkpoint.parquet` + `_last_checkpoint` pointer, so
+  *    readers of a long-lived table scan one parquet instead of
+  *    replaying thousands of JSON commits — at 100 TB the file
+  *    inventory is itself data, and the checkpoint keeps open-table
+  *    cost O(tail) instead of O(history).
+  *
+  * Writer-side protocol is (minReaderVersion 1, minWriterVersion 2) —
+  * the plain-parquet feature floor, readable by every Delta client.
+  * Schema drift on append is rejected with names (same contract as
+  * [[TxLog.appendNew]]); evolving the schema is an explicit
+  * [[overwrite]].
+  */
+object DeltaWrite {
+
+  private val mapper = new ObjectMapper()
+
+  private def logDir(table: String): Path = Paths.get(table, "_delta_log")
+  private def commitPath(table: String, v: Long): Path =
+    logDir(table).resolve(f"$v%020d.json")
+
+  /** Hive null-partition sentinel (what Spark's partitionBy emits). */
+  private val NullPartition = "__HIVE_DEFAULT_PARTITION__"
+
+  /** URI-encode one path segment the way Delta `add.path` expects
+    * (percent escapes; never `+`-as-space). */
+  private def encodeSegment(s: String): String =
+    new java.net.URI(null, null, s, null).toASCIIString
+
+  /** Decode a Hive partition-dir value (Spark escapePathName output). */
+  private def decodeHiveValue(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 3 <= s.length) {
+        try {
+          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } catch { case _: NumberFormatException => sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** One staged data file: table-relative path (raw, un-encoded),
+    * partition values, size, mtime, row count. */
+  private final case class Staged(relPath: String,
+      partitionValues: Map[String, String], size: Long, modTime: Long,
+      numRecords: Option[Long])
+
+  /** Exact per-file row count from the parquet footer — free (no data
+    * scan), and what `stats.numRecords` wants. */
+  private def parquetRowCount(p: Path): Option[Long] =
+    try {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(p.toUri),
+        new org.apache.hadoop.conf.Configuration())
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try Some(r.getRecordCount) finally r.close()
+    } catch { case _: Exception => None }
+
+  /** Write `df` as parquet into a staging dir and move the part files
+    * into the table root (partition dirs preserved). Invisible to any
+    * reader until a commit references them — same stage-then-publish
+    * shape as [[TxLog]]. */
+  private def stage(df: DataFrame, table: String,
+      partitionBy: Seq[String]): Seq[Staged] = {
+    val tmpDir = Paths.get(table, s"_staging-${UUID.randomUUID()}")
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(tmpDir.toString)
+    val staged = scala.collection.mutable.ArrayBuffer.empty[Staged]
+    val st = Files.walk(tmpDir)
+    try {
+      st.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .foreach { p =>
+          val rel = tmpDir.relativize(p) // e.g. lang=es/part-0000-...parquet
+          val pv = rel.iterator().asScala.map(_.toString).toSeq.dropRight(1)
+            .map { seg =>
+              val eq = seg.indexOf('=')
+              require(eq > 0, s"unexpected staged dir segment $seg")
+              val raw = seg.substring(eq + 1)
+              seg.substring(0, eq) ->
+                (if (raw == NullPartition) null else decodeHiveValue(raw))
+            }.toMap
+          val dest = Paths.get(table).resolve(rel)
+          Files.createDirectories(dest.getParent)
+          Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
+          staged += Staged(rel.toString, pv, Files.size(dest),
+            Files.getLastModifiedTime(dest).toMillis, parquetRowCount(dest))
+        }
+    } finally st.close()
+    org.apache.commons.io.FileUtils.deleteDirectory(tmpDir.toFile)
+    staged.toSeq
+  }
+
+  private def dropStaged(table: String, staged: Seq[Staged]): Unit =
+    staged.foreach(s => Files.deleteIfExists(Paths.get(table, s.relPath)))
+
+  private def protocolAction: String =
+    """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+
+  private def metaDataAction(id: String, schemaJson: String,
+      partitionBy: Seq[String], createdTime: Long): String = {
+    val root = mapper.createObjectNode()
+    val m = root.putObject("metaData")
+    m.put("id", id)
+    m.putObject("format").put("provider", "parquet").putObject("options")
+    m.put("schemaString", schemaJson)
+    val pc = m.putArray("partitionColumns")
+    partitionBy.foreach(pc.add)
+    m.putObject("configuration")
+    m.put("createdTime", createdTime)
+    mapper.writeValueAsString(root)
+  }
+
+  private def addAction(s: Staged): String = {
+    val numRecords = s.numRecords
+    val root = mapper.createObjectNode()
+    val a = root.putObject("add")
+    a.put("path", s.relPath.split('/').map(encodeSegment).mkString("/"))
+    val pv = a.putObject("partitionValues")
+    s.partitionValues.foreach { case (k, v) =>
+      if (v == null) pv.putNull(k) else pv.put(k, v)
+    }
+    a.put("size", s.size)
+    a.put("modificationTime", s.modTime)
+    a.put("dataChange", true)
+    numRecords.foreach(n => a.put("stats", s"""{"numRecords":$n}"""))
+    mapper.writeValueAsString(root)
+  }
+
+  private def removeAction(path: String, ts: Long): String = {
+    val root = mapper.createObjectNode()
+    val r = root.putObject("remove")
+    r.put("path", path.split('/').map(encodeSegment).mkString("/"))
+    r.put("deletionTimestamp", ts)
+    r.put("dataChange", true)
+    mapper.writeValueAsString(root)
+  }
+
+  private def commitInfoAction(op: String, ts: Long): String =
+    s"""{"commitInfo":{"timestamp":$ts,"operation":"$op","engineInfo":"graft"}}"""
+
+  /** Atomic create-if-absent publish (see [[TxLog.tryCommit]]). */
+  private def tryPublish(table: String, v: Long, lines: Seq[String]): Boolean = {
+    val ld = logDir(table)
+    Files.createDirectories(ld)
+    val tmp = ld.resolve(s".tmp-${UUID.randomUUID()}")
+    Files.write(tmp, lines.asJava)
+    try { Files.createLink(commitPath(table, v), tmp); true }
+    catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    finally Files.deleteIfExists(tmp)
+  }
+
+  private def tableExists(table: String): Boolean =
+    Files.isDirectory(logDir(table)) && {
+      val st = Files.list(logDir(table))
+      try st.iterator().asScala.exists { p =>
+        val n = p.getFileName.toString
+        n.endsWith(".json") || n.endsWith(".checkpoint.parquet")
+      } finally st.close()
+    }
+
+  /** Order-insensitive field-level schema equality (names + types). */
+  private def schemaMatches(a: StructType, b: StructType): Boolean =
+    a.fields.map(f => f.name -> f.dataType).sortBy(_._1).toSeq ==
+      b.fields.map(f => f.name -> f.dataType).sortBy(_._1).toSeq
+
+  /** Append `df` as a new Delta commit (creating the table at version 0
+    * when absent). Returns the committed version. Fails with names on
+    * schema or partition-column drift. */
+  def append(df: DataFrame, table: String, partitionBy: Seq[String] = Nil): Long =
+    commit(df, table, partitionBy, replaceExisting = false)
+
+  /** Replace the table contents: `remove` every live file of the
+    * current snapshot, `add` the staged batch. Schema MAY change (this
+    * is the explicit evolution path); the new metaData is re-emitted. */
+  def overwrite(df: DataFrame, table: String, partitionBy: Seq[String] = Nil): Long =
+    commit(df, table, partitionBy, replaceExisting = true)
+
+  private def commit(df: DataFrame, table: String, partitionBy: Seq[String],
+      replaceExisting: Boolean, maxRetries: Int = 10): Long = {
+    require(partitionBy.forall(df.columns.contains),
+      s"partitionBy ${partitionBy.mkString(",")} not all present in " +
+        s"DataFrame columns ${df.columns.mkString(",")}")
+    val spark = df.sparkSession
+    val staged = stage(df, table, partitionBy)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val exists = tableExists(table)
+      val now = System.currentTimeMillis()
+      val v = if (exists) DeltaRead.latestVersion(table) + 1 else 0L
+      val snap = if (exists) Some(DeltaRead.snapshotAt(spark, table, v - 1)) else None
+      snap.foreach { s =>
+        require(s.partitionColumns == partitionBy,
+          s"partition-column drift on $table: committed " +
+            s"${s.partitionColumns.mkString(",")}, incoming ${partitionBy.mkString(",")}")
+        if (!replaceExisting) s.schema.foreach { committed =>
+          require(schemaMatches(committed, df.schema),
+            s"append: schema drift on $table — committed ${committed.json}, " +
+              s"incoming ${df.schema.json}")
+        }
+      }
+      val header =
+        if (!exists)
+          Seq(commitInfoAction("WRITE", now), protocolAction,
+            metaDataAction(UUID.randomUUID().toString, df.schema.json, partitionBy, now))
+        else if (replaceExisting)
+          // re-emit metaData: overwrite is the schema-evolution path,
+          // and replaying metaData is idempotent when unchanged
+          Seq(commitInfoAction("OVERWRITE", now),
+            metaDataAction(snap.flatMap(_.metaId).getOrElse(UUID.randomUUID().toString),
+              df.schema.json, partitionBy, now))
+        else Seq(commitInfoAction("APPEND", now))
+      val removes =
+        if (replaceExisting)
+          snap.map(_.files.map(f => removeAction(f.path, now))).getOrElse(Nil)
+        else Nil
+      val adds = staged.map(addAction)
+      if (tryPublish(table, v, header ++ removes ++ adds)) return v
+      attempt += 1 // lost the CAS race: re-resolve version and retry
+    }
+    dropStaged(table, staged)
+    throw new IllegalStateException(
+      s"DeltaWrite: lost the commit race on $table $maxRetries times")
+  }
+
+  /** Checkpoint schema: the action columns [[DeltaRead]] (and any
+    * spec-conformant reader) resolves — protocol / metaData / add. */
+  private val CheckpointSchema = StructType(Seq(
+    StructField("protocol", StructType(Seq(
+      StructField("minReaderVersion", IntegerType),
+      StructField("minWriterVersion", IntegerType)))),
+    StructField("metaData", StructType(Seq(
+      StructField("id", StringType),
+      StructField("format", StructType(Seq(
+        StructField("provider", StringType)))),
+      StructField("schemaString", StringType),
+      StructField("partitionColumns", ArrayType(StringType)),
+      StructField("configuration", MapType(StringType, StringType)),
+      StructField("createdTime", LongType)))),
+    StructField("add", StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType, valueContainsNull = true)),
+      StructField("size", LongType),
+      StructField("modificationTime", LongType),
+      StructField("dataChange", BooleanType))))))
+
+  /** Materialize the latest snapshot as a single-file checkpoint
+    * parquet + `_last_checkpoint` pointer. Returns the checkpointed
+    * version. Readers then resolve checkpoint-then-tail instead of
+    * replaying the full JSON history. */
+  def checkpoint(spark: SparkSession, table: String): Long = {
+    val v = DeltaRead.latestVersion(table)
+    val s = DeltaRead.snapshotAt(spark, table, v)
+    val schemaJson = s.schema.map(_.json).getOrElse(
+      throw new IllegalStateException(s"$table@$v has no metaData to checkpoint"))
+    val protoRow = Row(Row(1, 2), null, null)
+    val metaRow = Row(null,
+      Row(s.metaId.getOrElse("graft"), Row("parquet"), schemaJson,
+        s.partitionColumns, Map.empty[String, String], System.currentTimeMillis()),
+      null)
+    val addRows = s.files.map { f =>
+      val p = Paths.get(table, f.path)
+      val (size, mtime) =
+        if (Files.exists(p)) (Files.size(p), Files.getLastModifiedTime(p).toMillis)
+        else (0L, 0L)
+      Row(null, null, Row(f.path.split('/').map(encodeSegment).mkString("/"),
+        f.partitionValues, size, mtime, true))
+    }
+    val rows = Seq(protoRow, metaRow) ++ addRows
+    val cpDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), CheckpointSchema)
+    val stagedDir = Files.createTempDirectory("graft_deltacp_")
+    cpDf.coalesce(1).write.mode("overwrite").parquet(stagedDir.toString)
+    val part = Files.list(stagedDir).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException("checkpoint write produced no parquet"))
+    val dest = logDir(table).resolve(f"$v%020d.checkpoint.parquet")
+    Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+    org.apache.commons.io.FileUtils.deleteDirectory(stagedDir.toFile)
+    Files.write(logDir(table).resolve("_last_checkpoint"),
+      Seq(s"""{"version":$v,"size":${rows.size}}""").asJava)
+    v
+  }
+}

@@ -618,10 +618,45 @@ object DatalakeQueries {
            |  CAST(2 * sum(n_nationkey) + 100 * count(*) AS BIGINT) AS v1_key_sum
            |FROM nation""".stripMargin))
 
+  /** q180 — full Delta interop LOOP: [[graft.io.DeltaWrite]] writes a
+    * lang-partitioned Delta table (Hive dir layout, protocol/metaData/
+    * add commits, checkpoint + `_last_checkpoint`), [[graft.io.DeltaRead]]
+    * reads it back through the checkpoint, and time travel re-reads
+    * version 0 through JSON replay. Documents land in two appends split
+    * by doc_id parity, so v0 vs HEAD differ arithmetically and the
+    * oracle pins both snapshots (and the partition-column re-attachment:
+    * the per-lang grouping only works if `lang` — stored ONLY in the
+    * log, never in the parquet — comes back correctly typed). */
+  val q180DeltaRoundtrip = GQuery(
+    "q180_delta_roundtrip",
+    (s, d) => {
+      val t = graft.io.Staging.tempDir("graft_q180_")
+      val docs = s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"), col("lang"), length(col("text")).as("n_chars"))
+      graft.io.DeltaWrite.append(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0), t, partitionBy = Seq("lang"))
+      graft.io.DeltaWrite.append(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1), t, partitionBy = Seq("lang"))
+      graft.io.DeltaWrite.checkpoint(s, t)
+      val head = graft.io.DeltaRead.read(s, t)
+        .groupBy(col("lang")).agg(
+          count(lit(1)).as("head_rows"), sum(col("n_chars")).as("head_chars"))
+      val v0 = graft.io.DeltaRead.readVersion(s, t, 0)
+        .groupBy(col("lang")).agg(
+          count(lit(1)).as("v0_rows"), sum(col("n_chars")).as("v0_chars"))
+      head.join(v0, "lang").orderBy(col("lang"))
+    },
+    Some("""SELECT lang,
+           |  count(*) AS head_rows,
+           |  CAST(sum(length(text)) AS BIGINT) AS head_chars,
+           |  count(*) FILTER (WHERE doc_id % 2 = 0) AS v0_rows,
+           |  CAST(sum(length(text)) FILTER (WHERE doc_id % 2 = 0) AS BIGINT) AS v0_chars
+           |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
+
   val all: Seq[GQuery] = Seq(
     q130SnapshotDiff, q131IncrementalAgg, q132SchemaEvolution,
     q133KAnonymity, q134GdprErasure, q147CompactionPlan,
     q148ZorderLayout, q149ColumnStats, q160PruningSim,
     q163OrcRoundtrip, q164PartitionPruning, q166CorruptTolerance,
-    q177TxTable, q179DeltaRead)
+    q177TxTable, q179DeltaRead, q180DeltaRoundtrip)
 }

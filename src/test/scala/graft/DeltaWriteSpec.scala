@@ -1,0 +1,202 @@
+package graft
+
+import graft.io.{DeltaRead, DeltaWrite}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** The Delta writer against its own reader AND against the raw
+  * protocol shape: commit JSON contents (protocol / metaData / add
+  * with stats), Hive-layout partition dirs with URI-escaped values,
+  * append schema-drift rejection, overwrite as remove+add, checkpoint
+  * + `_last_checkpoint` resolution, and the reader's loud rejection of
+  * unsupported reader features (deletion vectors, column mapping). */
+class DeltaWriteSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def newTable(): String =
+    Files.createTempDirectory("deltawrite").toString
+
+  private def cleanup(t: String): Unit =
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(t))
+
+  private def commitLines(t: String, v: Long): Seq[String] =
+    Files.readAllLines(Paths.get(t, "_delta_log", f"$v%020d.json")).asScala.toSeq
+
+  test("unpartitioned roundtrip: append then read is value-identical; v0 carries protocol+metaData") {
+    val t = newTable()
+    try {
+      val df = (1 to 100).map(i => (i.toLong, s"d$i", i % 7)).toDF("id", "txt", "grp")
+      assert(DeltaWrite.append(df, t) == 0L)
+      val got = DeltaRead.read(spark, t)
+      assert(got.columns.sorted.sameElements(Array("grp", "id", "txt")))
+      assert(got.count() == 100 &&
+        got.agg(sum($"id")).collect()(0).getLong(0) == (1 to 100).sum.toLong)
+      // raw protocol shape of the v0 commit
+      val acts = commitLines(t, 0).map(mapper.readTree)
+      val proto = acts.flatMap(n => Option(n.get("protocol"))).head
+      assert(proto.get("minReaderVersion").asInt() == 1 &&
+        proto.get("minWriterVersion").asInt() == 2)
+      val meta = acts.flatMap(n => Option(n.get("metaData"))).head
+      assert(meta.get("format").get("provider").asText() == "parquet")
+      assert(meta.get("schemaString").asText().contains("\"txt\""))
+      val adds = acts.flatMap(n => Option(n.get("add")))
+      assert(adds.nonEmpty && adds.forall(a =>
+        a.get("size").asLong() > 0 && a.get("dataChange").asBoolean()))
+    } finally cleanup(t)
+  }
+
+  test("append accumulates versions; time travel sees each; schema drift is rejected with names") {
+    val t = newTable()
+    try {
+      val a = (1 to 10).map(i => (i.toLong, s"a$i")).toDF("id", "txt")
+      val b = (11 to 30).map(i => (i.toLong, s"b$i")).toDF("id", "txt")
+      assert(DeltaWrite.append(a, t) == 0L)
+      assert(DeltaWrite.append(b, t) == 1L)
+      assert(DeltaRead.read(spark, t).count() == 30)
+      assert(DeltaRead.readVersion(spark, t, 0).count() == 10)
+      val drifted = (1 to 3).map(i => (i.toLong, i * 2.0)).toDF("id", "score")
+      val e = intercept[IllegalArgumentException](DeltaWrite.append(drifted, t))
+      assert(e.getMessage.contains("schema drift") && e.getMessage.contains("score"))
+    } finally cleanup(t)
+  }
+
+  test("overwrite removes every prior live file and may evolve the schema") {
+    val t = newTable()
+    try {
+      val a = (1 to 10).map(i => (i.toLong, s"a$i")).toDF("id", "txt")
+      val b = (1 to 5).map(i => (i.toLong, i * 1.5)).toDF("id", "score")
+      DeltaWrite.append(a, t)
+      assert(DeltaWrite.overwrite(b, t) == 1L)
+      val got = DeltaRead.read(spark, t)
+      assert(got.columns.sorted.sameElements(Array("id", "score")) && got.count() == 5)
+      // old version still replayable (remove+add, not deletion)
+      assert(DeltaRead.readVersion(spark, t, 0).count() == 10)
+      val removes = commitLines(t, 1).map(mapper.readTree)
+        .flatMap(n => Option(n.get("remove")))
+      assert(removes.nonEmpty && removes.forall(_.get("dataChange").asBoolean()))
+    } finally cleanup(t)
+  }
+
+  test("partitioned write: Hive dir layout, null + special-char values roundtrip") {
+    val t = newTable()
+    try {
+      val df = Seq(
+        (1L, "a", "es"), (2L, "b", "es"), (3L, "c", "fr n/k"), (4L, "d", null)
+      ).toDF("id", "txt", "lang")
+      DeltaWrite.append(df, t, partitionBy = Seq("lang"))
+      // data files must NOT contain the partition column (Delta rule)
+      val dataFile = Files.walk(Paths.get(t)).iterator().asScala
+        .find(p => p.toString.endsWith(".parquet") && !p.toString.contains("_delta_log")).get
+      assert(spark.read.parquet(dataFile.toString).columns.toSet == Set("id", "txt"))
+      val got = DeltaRead.read(spark, t)
+      assert(got.count() == 4 && got.columns.toSet == Set("id", "txt", "lang"))
+      val byLang = got.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+      assert(byLang(3L) == "fr n/k", "URI-escaped partition value must decode")
+      assert(byLang(4L) == null, "__HIVE_DEFAULT_PARTITION__ must become NULL")
+      // partition pruning still works through the reader (value filter)
+      assert(got.filter($"lang" === "es").count() == 2)
+    } finally cleanup(t)
+  }
+
+  test("partition typing: int partition col casts back via schemaString") {
+    val t = newTable()
+    try {
+      val df = (1 to 20).map(i => (i.toLong, i % 3)).toDF("id", "bucket")
+      DeltaWrite.append(df, t, partitionBy = Seq("bucket"))
+      val got = DeltaRead.read(spark, t)
+      assert(got.schema("bucket").dataType == org.apache.spark.sql.types.IntegerType)
+      assert(got.groupBy($"bucket").count().count() == 3)
+      // partition-column drift rejected
+      val e = intercept[IllegalArgumentException](
+        DeltaWrite.append(df, t, partitionBy = Nil))
+      assert(e.getMessage.contains("partition-column drift"))
+    } finally cleanup(t)
+  }
+
+  test("checkpoint: reader resolves checkpoint-then-tail with the JSON prefix deleted") {
+    val t = newTable()
+    try {
+      val mk = (lo: Int, hi: Int) => (lo to hi).map(i => (i.toLong, s"x$i")).toDF("id", "txt")
+      DeltaWrite.append(mk(1, 10), t)
+      DeltaWrite.append(mk(11, 20), t)
+      val cpV = DeltaWrite.checkpoint(spark, t)
+      assert(cpV == 1L)
+      DeltaWrite.append(mk(21, 25), t)
+      // destroy replay-from-zero: only the checkpoint path can now work
+      Files.delete(Paths.get(t, "_delta_log", f"${0L}%020d.json"))
+      Files.delete(Paths.get(t, "_delta_log", f"${1L}%020d.json"))
+      val got = DeltaRead.read(spark, t)
+      assert(got.count() == 25 &&
+        got.agg(sum($"id")).collect()(0).getLong(0) == (1 to 25).sum.toLong)
+      // checkpoint is a single FILE at the protocol name (not a dir)
+      assert(Files.isRegularFile(
+        Paths.get(t, "_delta_log", f"${1L}%020d.checkpoint.parquet")))
+    } finally cleanup(t)
+  }
+
+  test("checkpointed PARTITIONED table keeps partition re-attachment") {
+    val t = newTable()
+    try {
+      val df = Seq((1L, "es"), (2L, "es"), (3L, "fr")).toDF("id", "lang")
+      DeltaWrite.append(df, t, partitionBy = Seq("lang"))
+      DeltaWrite.checkpoint(spark, t)
+      Files.delete(Paths.get(t, "_delta_log", f"${0L}%020d.json"))
+      val got = DeltaRead.read(spark, t)
+      assert(got.groupBy($"lang").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap == Map("es" -> 2L, "fr" -> 1L))
+    } finally cleanup(t)
+  }
+
+  test("reader rejects deletion vectors and column mapping loudly") {
+    val t = newTable()
+    try {
+      val df = Seq((1L, "a")).toDF("id", "txt")
+      DeltaWrite.append(df, t)
+      // splice a deletion-vectored add into a new commit
+      val dvAdd = """{"add":{"path":"nope.parquet","partitionValues":{},"size":1,""" +
+        """"modificationTime":1,"dataChange":true,"deletionVector":""" +
+        """{"storageType":"u","pathOrInlineDv":"x","offset":1,"sizeInBytes":1,"cardinality":1}}}"""
+      Files.write(Paths.get(t, "_delta_log", f"${1L}%020d.json"), Seq(dvAdd).asJava)
+      val e1 = intercept[UnsupportedOperationException](DeltaRead.read(spark, t))
+      assert(e1.getMessage.contains("deletion vector"))
+      Files.delete(Paths.get(t, "_delta_log", f"${1L}%020d.json"))
+
+      // a reader-features table demanding deletionVectors support
+      val proto = """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}"""
+      Files.write(Paths.get(t, "_delta_log", f"${1L}%020d.json"), Seq(proto).asJava)
+      val e2 = intercept[UnsupportedOperationException](DeltaRead.read(spark, t))
+      assert(e2.getMessage.contains("deletionVectors"))
+      Files.delete(Paths.get(t, "_delta_log", f"${1L}%020d.json"))
+
+      // column mapping advertised via metaData configuration
+      val cmMeta = """{"metaData":{"id":"x","schemaString":""" +
+        mapper.writeValueAsString(df.schema.json) +
+        ""","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"}}}"""
+      Files.write(Paths.get(t, "_delta_log", f"${1L}%020d.json"), Seq(cmMeta).asJava)
+      val e3 = intercept[UnsupportedOperationException](DeltaRead.read(spark, t))
+      assert(e3.getMessage.contains("column mapping"))
+    } finally cleanup(t)
+  }
+
+  test("concurrent appenders serialize through the commit CAS (no lost updates)") {
+    val t = newTable()
+    try {
+      val seed = Seq((0L, "seed")).toDF("id", "txt")
+      DeltaWrite.append(seed, t)
+      val writers = (1 to 4).map { w =>
+        new Thread(() => {
+          val df = Seq((w.toLong, s"w$w")).toDF("id", "txt")
+          DeltaWrite.append(df, t)
+        })
+      }
+      writers.foreach(_.start()); writers.foreach(_.join())
+      val got = DeltaRead.read(spark, t)
+      assert(got.count() == 5, "every writer's row must survive the race")
+      assert(DeltaRead.latestVersion(t) == 4L)
+    } finally cleanup(t)
+  }
+}
