@@ -106,6 +106,78 @@ object Similarity {
         array_sort(collect_list(struct(col("pos"), col("avg_x")))),
         x => x.getField("avg_x")).as("centroid"))
 
+  /** [[buildCentroids]] with components rounded to `dp` decimals.
+    * Rounding pins the centroid BITS across engines: the component
+    * means inherit float-sum order nondeterminism (partition-order
+    * partial sums), so two engines computing "the same" mean can
+    * differ in the last ulp — harmless for recall, fatal for an
+    * exact-compare oracle whose cell ASSIGNMENT consumes the
+    * centroids. After rounding, both engines argmax over identical
+    * doubles and the assignment is reproducible (given the assignment
+    * margins are above the rounding perturbation — for the synthetic
+    * corpus the min top1−top2 margin is ~3e-5 vs 5e-7 perturbation). */
+  def roundedCentroids(df: DataFrame, labelCol: String, dp: Int = 6): DataFrame =
+    centroidComponents(df, labelCol)
+      .groupBy(col(labelCol).as("cell_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), round(col("avg_x"), dp).as("avg_x")))),
+        x => x.getField("avg_x")).as("centroid"))
+
+  /** SemDeDup (Abbas et al., arXiv:2303.09540) — semantic near-dup
+    * removal at corpus scale: assign every vector to its nearest
+    * coarse-quantizer cell, compare pairs ONLY within a cell, and drop
+    * every vector that has a lower-id neighbor with cosine ≥ `tau`
+    * (greedy keep-lowest-id — deterministic, no transitive-closure
+    * pass). The cell equi-join is what makes this a 100 TB operator:
+    * candidate generation shuffles on the cell id alone (never
+    * all-pairs), and pairing cost is Σ|cell|² — the knob is the cell
+    * count of the quantizer, exactly as in the paper.
+    *
+    * `maxCellSize` is the hot-cell valve (same design as
+    * `Dedup.lshCandidates`' bucket cap): a cell larger than the cap is
+    * excluded from pairing — its members are all KEPT, never silently
+    * dropped — and [[semanticDedupDroppedCells]] is the accounting
+    * twin, so a capped run can never silently report "no duplicates".
+    *
+    * Input: corpus (vec_id, embedding), centroids (cell_id, centroid).
+    * Output: (vec_id, cell_id, removed_by, kept) — `removed_by` is the
+    * smallest-id neighbor that evicted the vector, NULL when kept.
+    * The τ comparison uses the 4-dp-rounded similarity (the
+    * [[nearDupPairs]] convention) so an oracle in another engine
+    * cannot diverge on a 1-ulp boundary. */
+  def semanticDedup(corpus: DataFrame, centroids: DataFrame, tau: Double,
+      maxCellSize: Int = Int.MaxValue): DataFrame = {
+    val assigned = corpus.join(nearestCells(corpus, centroids, 1), "vec_id")
+      .select(col("vec_id"), col("cell_id"), asDouble(col("embedding")).as("__v"))
+    val eligible =
+      if (maxCellSize == Int.MaxValue) assigned
+      else {
+        val hot = assigned.groupBy(col("cell_id")).agg(count(lit(1)).as("__csz"))
+          .filter(col("__csz") > maxCellSize).select(col("cell_id"))
+        assigned.join(hot, Seq("cell_id"), "left_anti")
+      }
+    val a = eligible.select(col("cell_id"), col("vec_id").as("id_a"), col("__v").as("__va"))
+    val b = eligible.select(col("cell_id"), col("vec_id").as("id_b"), col("__v").as("__vb"))
+    val removedBy = a.join(b, Seq("cell_id"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(cosineNative(col("__va"), col("__vb")), 4) >= lit(tau))
+      .groupBy(col("id_b").as("vec_id"))
+      .agg(min(col("id_a")).as("removed_by"))
+    assigned.select(col("vec_id"), col("cell_id"))
+      .join(removedBy, Seq("vec_id"), "left")
+      .withColumn("kept", col("removed_by").isNull)
+  }
+
+  /** Accounting twin of [[semanticDedup]]'s `maxCellSize` valve: the
+    * cells a given cap WOULD exclude from pairing, as
+    * (cell_id, cell_size) rows — the ledger that keeps a capped run
+    * honest (mirrors `Dedup.lshDroppedBuckets`). */
+  def semanticDedupDroppedCells(corpus: DataFrame, centroids: DataFrame,
+      maxCellSize: Int): DataFrame =
+    corpus.join(nearestCells(corpus, centroids, 1), "vec_id")
+      .groupBy(col("cell_id")).agg(count(lit(1)).as("cell_size"))
+      .filter(col("cell_size") > maxCellSize)
+
   /** Nearest `nprobe` cells per vector (broadcast the tiny centroid
     * table; rank by cosine). The nprobe=1 case — the CORPUS-side
     * indexing pass, the big one at 100 TB — uses max-of-struct

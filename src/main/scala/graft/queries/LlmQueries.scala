@@ -920,11 +920,69 @@ object LlmQueries {
            |      ((his[i+1] - los[i+1]) / 256.0)), 255.0) AS BIGINT) AS VARCHAR)), '|') AS codes_str
            |FROM embeddings CROSS JOIN b WHERE vec_id < 50""".stripMargin))
 
+  /** q181 — SemDeDup (cluster-blocked SEMANTIC dedup, the embedding
+    * counterpart of MinHash near-dup removal and a standard LLM-corpus
+    * curation pass): label-mean centroids (rounded to 6 dp so both
+    * engines argmax over identical doubles — see
+    * [[Similarity.roundedCentroids]]), nearest-cell assignment, pairing
+    * ONLY within a cell, and greedy keep-lowest-id eviction at
+    * τ = 0.99. The corpus is [[perturbedCorpus]] (one near-identical
+    * planted copy per vector), so evictions provably exist and land on
+    * the planted pairs (cos ≈ 0.9999) while natural within-cell pairs
+    * (max cos ≈ 0.47) stay. The oracle replays centroid build,
+    * assignment (same larger-cell tie-break as Spark's max-of-struct),
+    * pairing and eviction in SQL — the whole SemDeDup loop is
+    * hash-pinned, not just spec-asserted. */
+  val q181SemanticDedup = GQuery(
+    "q181_semantic_dedup",
+    (s, d) => {
+      import s.implicits._
+      val cents = Similarity.roundedCentroids(Tables.embeddings(s, d), "label", 6)
+      val corpus = perturbedCorpus(s, d).select($"vec_id", $"v".as("embedding"))
+      Similarity.semanticDedup(corpus, cents, tau = 0.99)
+        .groupBy($"cell_id").agg(
+          count(lit(1)).as("n_vecs"),
+          count($"removed_by").as("n_removed"),
+          coalesce(sum(when($"removed_by".isNotNull, $"vec_id")), lit(0L))
+            .as("removed_id_sum"),
+          coalesce(sum($"removed_by"), lit(0L)).as("removed_by_sum"))
+        .orderBy($"cell_id")
+    },
+    Some(s"""WITH corpus AS ($PerturbedCorpusSql),
+           |comp AS (SELECT label, k, round(avg(CAST(embedding[k+1] AS DOUBLE)), 6) AS c
+           |  FROM embeddings, range(0, 64) t(k) GROUP BY label, k),
+           |cent AS (SELECT label AS cell_id, list(c ORDER BY k) AS cv FROM comp GROUP BY label),
+           |sims AS (SELECT corpus.vec_id, cent.cell_id,
+           |    list_sum(list_transform(range(1, 65), i -> v[i]*cv[i])) /
+           |    (sqrt(list_sum(list_transform(range(1, 65), i -> v[i]*v[i]))) *
+           |     sqrt(list_sum(list_transform(range(1, 65), i -> cv[i]*cv[i])))) AS cos
+           |  FROM corpus CROSS JOIN cent),
+           |assign AS (SELECT vec_id, cell_id FROM (
+           |    SELECT vec_id, cell_id,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell_id DESC) AS rn
+           |    FROM sims) WHERE rn = 1),
+           |av AS (SELECT a.vec_id, a.cell_id, c.v FROM assign a JOIN corpus c USING (vec_id)),
+           |rem AS (SELECT id_b AS vec_id, min(id_a) AS removed_by FROM (
+           |    SELECT x.vec_id AS id_a, y.vec_id AS id_b
+           |    FROM av x JOIN av y ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id
+           |    WHERE round(
+           |      list_sum(list_transform(range(1, 65), i -> x.v[i]*y.v[i])) /
+           |      (sqrt(list_sum(list_transform(range(1, 65), i -> x.v[i]*x.v[i]))) *
+           |       sqrt(list_sum(list_transform(range(1, 65), i -> y.v[i]*y.v[i])))), 4) >= 0.99)
+           |  GROUP BY id_b)
+           |SELECT cell_id, count(*) AS n_vecs,
+           |  count(removed_by) AS n_removed,
+           |  CAST(coalesce(sum(CASE WHEN removed_by IS NOT NULL THEN av.vec_id END), 0) AS BIGINT)
+           |    AS removed_id_sum,
+           |  CAST(coalesce(sum(removed_by), 0) AS BIGINT) AS removed_by_sum
+           |FROM av LEFT JOIN rem USING (vec_id)
+           |GROUP BY cell_id ORDER BY cell_id""".stripMargin))
+
   val all: Seq[GQuery] = Seq(
     q40DedupExactStats, q41DedupExactKeep, q42MinhashLsh, q43Simhash,
     q44NgramJaccard, q45CosineTopk, q46Centroids, q47LshBuckets,
     q55BpeTokens, q56IvfAnn, q57SaltedJoin, q77EmbeddingNearDup, q80IvfKmeans,
     q82NearDupMulti, q83NearDupGroups, q84DatasetSplits, q140Sq8Ann,
     q144PrefixJoin, q154AnnRecall, q156IncrementalLsh, q157DriftMatrix,
-    q174LshBucketCap, q175Sq8Codes, q178IvfIndex)
+    q174LshBucketCap, q175Sq8Codes, q178IvfIndex, q181SemanticDedup)
 }

@@ -390,4 +390,48 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(FuzzyMatch.droppedBlocks(corpus, "bk", Int.MaxValue).count() == 0)
   }
 
+  test("semanticDedup: planted near-dups evicted toward the lowest id, cross-cell pairs untouched") {
+    // two well-separated cells on the first two axes; ids 1,2,3 land in
+    // cell A (1≈2≈3), ids 10,11 in cell B (10≈11); id 20 in B but far
+    def vec(x: Double, y: Double, z: Double) = Seq(x, y, z)
+    val corpus = Seq(
+      (1L, vec(1.0, 0.01, 0.0)), (2L, vec(1.0, 0.012, 0.0)), (3L, vec(1.0, 0.011, 0.001)),
+      (10L, vec(0.0, 1.0, 0.01)), (11L, vec(0.0, 1.0, 0.011)),
+      (20L, vec(0.05, 0.9, 0.9))).toDF("vec_id", "embedding")
+    val cents = Seq((0, Seq(1.0, 0.0, 0.0)), (1, Seq(0.0, 1.0, 0.3)))
+      .toDF("cell_id", "centroid")
+    val out = Similarity.semanticDedup(corpus, cents, tau = 0.99)
+      .collect().map(r => r.getLong(0) -> Option(r.get(2)).map(_.asInstanceOf[Long]))
+      .toMap
+    assert(out(1L).isEmpty && out(10L).isEmpty && out(20L).isEmpty,
+      "lowest id per dup group and non-dups are kept")
+    assert(out(2L).contains(1L) && out(3L).contains(1L),
+      "both copies evict toward the LOWEST id, not chained")
+    assert(out(11L).contains(10L))
+    assert(out.size == 6, "every corpus vector appears exactly once in the output")
+  }
+
+  test("semanticDedup hot-cell valve: capped cell keeps ALL members and leaves a ledger") {
+    // 30 near-identical vectors flood cell 0; cell 1 holds one dup pair
+    val flood = (1 to 30).map(i => (i.toLong, Seq(1.0, i * 1e-6, 0.0)))
+    val cold = Seq((100L, Seq(0.0, 1.0, 0.0)), (101L, Seq(0.0, 1.0, 1e-6)))
+    val corpus = (flood ++ cold).toDF("vec_id", "embedding")
+    val cents = Seq((0, Seq(1.0, 0.0, 0.0)), (1, Seq(0.0, 1.0, 0.0)))
+      .toDF("cell_id", "centroid")
+    val out = Similarity.semanticDedup(corpus, cents, tau = 0.99, maxCellSize = 10)
+    // flood cell excluded from pairing: nothing dropped there (KEPT, not lost)
+    assert(out.filter($"cell_id" === 0).count() == 30)
+    assert(out.filter($"cell_id" === 0 && !$"kept").count() == 0)
+    // the cold cell still dedups
+    assert(out.filter($"cell_id" === 1 && !$"kept").select($"vec_id")
+      .collect().map(_.getLong(0)).toSeq == Seq(101L))
+    // and the cut is observable
+    val ledger = Similarity.semanticDedupDroppedCells(corpus, cents, maxCellSize = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(ledger == Seq((0, 30L)))
+    // uncapped run on the same corpus evicts the flood toward id 1
+    val full = Similarity.semanticDedup(corpus, cents, tau = 0.99)
+    assert(full.filter($"cell_id" === 0 && !$"kept").count() == 29)
+  }
+
 }
