@@ -667,9 +667,82 @@ object CurationQueries {
             |JOIN sizes vb ON inter.sb = vb.source
             |ORDER BY jaccard DESC, sa, sb LIMIT 15""".stripMargin))
 
+  /** q182 — CCNet-style perplexity bucketing (Wenzek et al. 2020): the
+    * q135 bigram LM scores every document, then PER-LANGUAGE exact
+    * 33/67-percentile thresholds split the corpus into head / middle /
+    * tail quality bands — the gate a pretraining pipeline actually
+    * applies (keep head, subsample middle, drop tail), not just the
+    * score. Work stays in log space (mean log-prob is monotone in
+    * perplexity, so the buckets are identical and no cross-engine
+    * `exp` parity is risked); per-doc scores are rounded to 6 dp
+    * BEFORE the quantile so both engines interpolate thresholds over
+    * identical doubles. Thresholds broadcast back (10 rows); the only
+    * large intermediates are the pre-aggregated count tables on 8-byte
+    * hash keys, as in q135. */
+  val q182PplBuckets = GQuery(
+    "q182_ppl_buckets",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val big = docs
+        .select($"doc_id", $"lang",
+          graft.functions.Natives.ngramHashes($"text", 1, 1).as("uni"),
+          graft.functions.Natives.ngramHashes($"text", 2, 1).as("bi"))
+        .where(size($"bi") >= 1)
+        .withColumn("uni_cut", slice($"uni", lit(1), size($"bi")))
+        .select($"doc_id", $"lang", explode(arrays_zip($"uni_cut", $"bi")).as("z"))
+        .select($"doc_id", $"lang", $"z.uni_cut".as("lh"), $"z.bi".as("bh"))
+      val cb = big.groupBy($"bh").agg(count(lit(1)).as("cb"))
+      val cl = big.groupBy($"lh").agg(count(lit(1)).as("cl"))
+      val vocab = docs.select(explode(TextAnalysis.tokens($"text")).as("w"))
+        .agg(countDistinct($"w").as("vocab"))
+      val ds = big.join(cb, "bh").join(cl, "lh").crossJoin(broadcast(vocab))
+        .withColumn("lp", log(($"cb".cast("double") + 1.0) /
+          ($"cl".cast("double") + $"vocab".cast("double"))))
+        .groupBy($"lang", $"doc_id")
+        .agg(round(avg($"lp"), 6).as("dlp"))
+      val th = ds.groupBy($"lang").agg(
+        expr("percentile(dlp, 0.33D)").as("t33"),
+        expr("percentile(dlp, 0.67D)").as("t67"))
+      ds.join(broadcast(th), "lang")
+        .withColumn("bucket",
+          when($"dlp" >= $"t67", lit("head"))
+            .when($"dlp" >= $"t33", lit("middle"))
+            .otherwise(lit("tail")))
+        .groupBy($"lang", $"bucket")
+        .agg(count(lit(1)).as("n_docs"), round(avg($"dlp"), 4).as("avg_dlp"))
+        .orderBy($"lang", $"bucket")
+    },
+    Some(s"""WITH toks AS (SELECT doc_id, lang, $toksSql AS t FROM documents),
+            |tt AS (SELECT doc_id, lang, t FROM toks WHERE len(t) >= 2),
+            |big AS (
+            |  SELECT doc_id, lang,
+            |         ${h60of("t[i]")} AS lh,
+            |         ${h60of("t[i] || ' ' || t[i+1]")} AS bh
+            |  FROM (SELECT doc_id, lang, t, unnest(range(1, len(t))) AS i FROM tt)),
+            |cb AS (SELECT bh, count(*) AS cb FROM big GROUP BY bh),
+            |cl AS (SELECT lh, count(*) AS cl FROM big GROUP BY lh),
+            |v AS (SELECT count(DISTINCT w) AS vocab FROM
+            |        (SELECT unnest($toksSql) AS w FROM documents)),
+            |ds AS (
+            |  SELECT lang, doc_id,
+            |         round(avg(ln((CAST(cb AS DOUBLE) + 1.0) /
+            |                      (CAST(cl AS DOUBLE) + CAST(vocab AS DOUBLE)))), 6) AS dlp
+            |  FROM big JOIN cb USING (bh) JOIN cl USING (lh) CROSS JOIN v
+            |  GROUP BY lang, doc_id),
+            |th AS (SELECT lang, quantile_cont(dlp, 0.33) AS t33,
+            |              quantile_cont(dlp, 0.67) AS t67
+            |       FROM ds GROUP BY lang)
+            |SELECT lang,
+            |  CASE WHEN dlp >= t67 THEN 'head'
+            |       WHEN dlp >= t33 THEN 'middle' ELSE 'tail' END AS bucket,
+            |  count(*) AS n_docs, round(avg(dlp), 4) AS avg_dlp
+            |FROM ds JOIN th USING (lang)
+            |GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin))
+
   val all: Seq[GQuery] = Seq(
     q117ChunkDedup, q118PiiRedaction, q119Contamination, q120DomainStats,
     q121WeightedResample, q122VocabCoverage, q123TrainingOrder, q135BigramLm,
     q150DupNgrams, q151AdaptiveQuality, q152BpePairs, q169DataMixing,
-    q172CorpusRelease, q173VocabOverlap)
+    q172CorpusRelease, q173VocabOverlap, q182PplBuckets)
 }
