@@ -258,6 +258,47 @@ object DeltaWrite {
       s"DeltaWrite: lost the commit race on $table $maxRetries times")
   }
 
+  /** Garbage-collect data files no live snapshot references — crashed
+    * writers' staged-then-abandoned part files and files removed by
+    * [[overwrite]]. Same safety contract as [[TxLog.vacuum]]:
+    * `retentionMs` (Delta-style retention window) protects files a
+    * concurrent writer has staged but not yet committed, so only run
+    * with `retentionMs = 0` when all writers are quiesced. Time travel
+    * to versions whose files are vacuumed stops working — that is the
+    * Delta trade too. Returns the number of files deleted. */
+  def vacuum(spark: SparkSession, table: String, retentionMs: Long = 60L * 60 * 1000): Int = {
+    val v = DeltaRead.latestVersion(table)
+    val live = DeltaRead.snapshotAt(spark, table, v).files
+      .map(f => Paths.get(table, f.path).normalize()).toSet
+    val cutoff = System.currentTimeMillis() - retentionMs
+    val root = Paths.get(table)
+    var deleted = 0
+    val st = Files.walk(root)
+    try {
+      st.iterator().asScala
+        .filter(p => Files.isRegularFile(p)
+          && p.getFileName.toString.endsWith(".parquet")
+          && !p.startsWith(root.resolve("_delta_log"))
+          && !p.getFileName.toString.startsWith("_")
+          && !live(p.normalize())
+          && Files.getLastModifiedTime(p).toMillis < cutoff)
+        .toList // materialize before deleting out from under the walk
+        .foreach { p => Files.deleteIfExists(p); deleted += 1 }
+    } finally st.close()
+    // reclaim staging dirs a crashed writer abandoned (stage() removes
+    // its own dir on success), same age guard
+    val ls = Files.list(root)
+    try {
+      ls.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("_staging-")
+          && Files.isDirectory(p)
+          && Files.getLastModifiedTime(p).toMillis < cutoff)
+        .toList
+        .foreach(p => org.apache.commons.io.FileUtils.deleteDirectory(p.toFile))
+    } finally ls.close()
+    deleted
+  }
+
   /** Checkpoint schema: the action columns [[DeltaRead]] (and any
     * spec-conformant reader) resolves — protocol / metaData / add. */
   private val CheckpointSchema = StructType(Seq(

@@ -182,6 +182,55 @@ class DeltaWriteSpec extends SparkTestBase {
     } finally cleanup(t)
   }
 
+  test("vacuum reclaims overwritten + orphaned files but never live or recent ones") {
+    val t = newTable()
+    try {
+      val a = (1 to 10).map(i => (i.toLong, s"a$i")).toDF("id", "txt")
+      val b = (1 to 5).map(i => (i.toLong, s"b$i")).toDF("id", "txt")
+      DeltaWrite.append(a, t)
+      DeltaWrite.overwrite(b, t) // v0's files are now dead
+      // a crashed writer's abandoned staging dir + an orphan part file
+      val stagingDir = Paths.get(t, "_staging-crashed")
+      Files.createDirectories(stagingDir)
+      Files.write(stagingDir.resolve("part-x.parquet"), Array[Byte](1, 2))
+      Files.write(Paths.get(t, "part-orphan.parquet"), Array[Byte](3, 4))
+      // retention window protects everything this fresh
+      assert(DeltaWrite.vacuum(spark, t, retentionMs = 60000) == 0)
+      assert(Files.exists(stagingDir))
+      // quiesced vacuum reclaims dead + orphan, leaves live intact
+      val n = DeltaWrite.vacuum(spark, t, retentionMs = 0)
+      assert(n >= 2, s"expected >=2 reclaimed (dead v0 file + orphan), got $n")
+      assert(!Files.exists(stagingDir), "abandoned staging dir must be reclaimed")
+      assert(!Files.exists(Paths.get(t, "part-orphan.parquet")))
+      val got = DeltaRead.read(spark, t)
+      assert(got.count() == 5, "live snapshot must survive vacuum untouched")
+    } finally cleanup(t)
+  }
+
+  test("partition filter through the reader prunes dead branches to a single file scan") {
+    val t = newTable()
+    try {
+      val df = Seq((1L, "es"), (2L, "es"), (3L, "fr"), (4L, "de")).toDF("id", "lang")
+      DeltaWrite.append(df, t, partitionBy = Seq("lang"))
+      val filtered = DeltaRead.read(spark, t).filter($"lang" === "es")
+      assert(filtered.count() == 2)
+      // the union has one parquet branch per partition; the literal
+      // lang column must constant-fold the fr/de branches away so only
+      // the es file is scanned
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+        case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+        case q: QueryStageExec => allScans(q.plan)
+        case s: FileSourceScanExec => Seq(s)
+        case other => other.children.flatMap(allScans)
+      }
+      val scans = allScans(filtered.queryExecution.executedPlan)
+      assert(scans.size == 1,
+        s"expected the fr/de branches folded away, saw ${scans.size} scans")
+    } finally cleanup(t)
+  }
+
   test("concurrent appenders serialize through the commit CAS (no lost updates)") {
     val t = newTable()
     try {
