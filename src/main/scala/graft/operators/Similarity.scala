@@ -178,6 +178,93 @@ object Similarity {
       .groupBy(col("cell_id")).agg(count(lit(1)).as("cell_size"))
       .filter(col("cell_size") > maxCellSize)
 
+  /** Product-quantization sub-codebooks (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search"): the vector is split
+    * into `m` contiguous subspaces of `dim/m` components; each
+    * subspace gets its own small codebook and a vector encodes as `m`
+    * small codes — 64 dims × 4 bytes becomes `m` bytes, the memory
+    * tier between SQ8 (per-component) and IVF (whole-vector cells).
+    * Codebooks here are per-label subspace means (the deterministic,
+    * cross-engine-reproducible choice, like [[buildCentroids]] —
+    * k-means would slot in identically), components rounded to `dp`
+    * decimals for the same reason as [[roundedCentroids]].
+    * Output: (sub, code, centroid[dim/m]). */
+  def pqCodebooks(corpus: DataFrame, labelCol: String, m: Int, dim: Int,
+      dp: Int = 6): DataFrame = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val subDim = dim / m
+    corpus
+      .select(col(labelCol).as("code"), posexplode(asDouble(col("embedding"))).as(Seq("pos", "x")))
+      .withColumn("sub", (col("pos") / subDim).cast("int"))
+      .withColumn("spos", col("pos") % subDim)
+      .groupBy(col("sub"), col("code"), col("spos"))
+      .agg(round(avg(col("x")), dp).as("c"))
+      .groupBy(col("sub"), col("code"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("spos"), col("c")))),
+        x => x.getField("c")).as("centroid"))
+  }
+
+  /** PQ encoding: per (vector, subspace), the code of the nearest
+    * sub-centroid by L2 (ties to the smaller code via min-of-struct —
+    * map-side combinable, the corpus never sort-shuffles). Output:
+    * (vec_id, codes array[m] ordered by subspace) — the compressed
+    * representation that persists / shuffles in place of the vector. */
+  def pqEncode(corpus: DataFrame, codebooks: DataFrame, m: Int, dim: Int): DataFrame = {
+    val subDim = dim / m
+    corpus
+      .select(col("vec_id"), asDouble(col("embedding")).as("__v"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"))
+      .withColumn("__sv", slice(col("__v"), col("sub") * subDim + 1, lit(subDim)))
+      .join(broadcast(codebooks), "sub")
+      .withColumn("__d", aggregate(
+        zip_with(col("__sv"), col("centroid"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("__d"), col("code"))).as("__m"))
+      .groupBy(col("vec_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("__m.code").as("code")))),
+        x => x.getField("code")).as("codes"))
+  }
+
+  /** PQ top-k by Asymmetric Distance Computation: each query
+    * precomputes an m×`codesPerSub` lookup table of subspace L2
+    * distances to every sub-centroid (tiny — broadcast), and a
+    * document's approximate distance is m ORDERED table lookups summed
+    * sequentially over its codes — never a touch of the original
+    * vector. The fold order is pinned (subspace 0..m−1) so another
+    * engine summing the same LUT entries cannot diverge in the last
+    * ulp and flip a ranking tie. Scale shape: the corpus side scans
+    * (vec_id, codes[m]) only; all per-query state rides the broadcast.
+    * Output: (qid, cid, adist) ranked k-best per query (ascending
+    * distance, id tie-break). */
+  def pqTopK(queries: DataFrame, codes: DataFrame, codebooks: DataFrame,
+      k: Int, m: Int, dim: Int, codesPerSub: Int): DataFrame = {
+    val subDim = dim / m
+    val lut = queries
+      .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("__qv"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"))
+      .withColumn("__qs", slice(col("__qv"), col("sub") * subDim + 1, lit(subDim)))
+      .join(broadcast(codebooks), "sub")
+      .withColumn("__ld", aggregate(
+        zip_with(col("__qs"), col("centroid"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x))
+      .groupBy(col("qid"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("code"), col("__ld").as("ld")))),
+        x => x.getField("ld")).as("__lut"))
+    val scored = codes.crossJoin(broadcast(lut))
+      .withColumn("adist", aggregate(
+        zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+          (c, s) => element_at(col("__lut"), (s * codesPerSub + c + 1).cast("int"))),
+        lit(0.0), (acc, x) => acc + x))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("adist").asc, col("vec_id").asc)
+    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+      .select(col("qid"), col("vec_id").as("cid"), round(col("adist"), 6).as("adist"))
+  }
+
   /** Nearest `nprobe` cells per vector (broadcast the tiny centroid
     * table; rank by cosine). The nprobe=1 case — the CORPUS-side
     * indexing pass, the big one at 100 TB — uses max-of-struct

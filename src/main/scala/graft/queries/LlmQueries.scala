@@ -978,11 +978,61 @@ object LlmQueries {
            |FROM av LEFT JOIN rem USING (vec_id)
            |GROUP BY cell_id ORDER BY cell_id""".stripMargin))
 
+  /** q183 — product-quantization ANN (Jégou et al. 2011): 64-dim
+    * vectors compress to 8 one-byte codes via per-subspace label-mean
+    * codebooks (deterministic, rounded — [[Similarity.pqCodebooks]]),
+    * and queries rank the corpus by Asymmetric Distance Computation —
+    * m ordered LUT lookups per document, the original vectors never
+    * touched after encoding. The oracle replays codebook build, L2
+    * encoding (same smaller-code tie-break), LUT construction and the
+    * SAME subspace-ordered sequential fold in SQL, so the entire
+    * compress→encode→rank loop is hash-pinned. Approximate by design:
+    * ranked by ADC, not exact distance — both engines approximate
+    * identically (recall vs brute force is spec-asserted instead,
+    * DedupSimilaritySpec). */
+  val q183PqAnn = GQuery(
+    "q183_pq_ann",
+    (s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val cb = Similarity.pqCodebooks(emb, "label", m = 8, dim = 64)
+      val codes = Similarity.pqEncode(emb, cb, m = 8, dim = 64)
+      Similarity.pqTopK(emb.filter($"vec_id" < 5), codes, cb,
+        k = 5, m = 8, dim = 64, codesPerSub = 10)
+    },
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |comp AS (SELECT label AS code, CAST(k // 8 AS INT) AS sub, k % 8 AS spos,
+           |         round(avg(CAST(embedding[k+1] AS DOUBLE)), 6) AS c
+           |       FROM embeddings, range(0, 64) t(k) GROUP BY label, sub, spos),
+           |cb AS (SELECT sub, code, list(c ORDER BY spos) AS cv FROM comp GROUP BY sub, code),
+           |sd AS (SELECT e.vec_id, cb.sub, cb.code,
+           |       list_sum(list_transform(range(1, 9), i ->
+           |         (v[sub*8+i]-cv[i])*(v[sub*8+i]-cv[i]))) AS dd
+           |     FROM e CROSS JOIN cb),
+           |enc AS (SELECT vec_id, list(code ORDER BY sub) AS codes FROM (
+           |        SELECT vec_id, sub, code,
+           |          row_number() OVER (PARTITION BY vec_id, sub ORDER BY dd, code) AS rn
+           |        FROM sd) WHERE rn = 1 GROUP BY vec_id),
+           |lut AS (SELECT qid, list(ld ORDER BY sub, code) AS la FROM (
+           |        SELECT q.vec_id AS qid, cb.sub, cb.code,
+           |          list_sum(list_transform(range(1, 9), i ->
+           |            (qv[sub*8+i]-cv[i])*(qv[sub*8+i]-cv[i]))) AS ld
+           |        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS qv
+           |              FROM embeddings WHERE vec_id < 5) q
+           |        CROSS JOIN cb) GROUP BY qid),
+           |ad AS (SELECT qid, vec_id AS cid,
+           |       list_sum(list_transform(range(0, 8), s -> la[s*10 + codes[s+1] + 1])) AS adist
+           |     FROM enc CROSS JOIN lut)
+           |SELECT qid, cid, round(adist, 6) AS adist FROM (
+           |  SELECT qid, cid, adist,
+           |    row_number() OVER (PARTITION BY qid ORDER BY adist, cid) AS rn
+           |  FROM ad) WHERE rn <= 5""".stripMargin))
+
   val all: Seq[GQuery] = Seq(
     q40DedupExactStats, q41DedupExactKeep, q42MinhashLsh, q43Simhash,
     q44NgramJaccard, q45CosineTopk, q46Centroids, q47LshBuckets,
     q55BpeTokens, q56IvfAnn, q57SaltedJoin, q77EmbeddingNearDup, q80IvfKmeans,
     q82NearDupMulti, q83NearDupGroups, q84DatasetSplits, q140Sq8Ann,
     q144PrefixJoin, q154AnnRecall, q156IncrementalLsh, q157DriftMatrix,
-    q174LshBucketCap, q175Sq8Codes, q178IvfIndex, q181SemanticDedup)
+    q174LshBucketCap, q175Sq8Codes, q178IvfIndex, q181SemanticDedup, q183PqAnn)
 }

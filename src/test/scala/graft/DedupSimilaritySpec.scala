@@ -390,6 +390,37 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(FuzzyMatch.droppedBlocks(corpus, "bk", Int.MaxValue).count() == 0)
   }
 
+  test("pq encode recovers planted subspace structure; ADC ranks same-structure docs first") {
+    // dim=8, m=2 subspaces of 4; two prototype atoms per subspace
+    val atomA = Seq(1.0, 0.0, 0.0, 0.0); val atomB = Seq(0.0, 1.0, 0.0, 0.0)
+    val cents = Seq(
+      (0, 0, atomA), (0, 1, atomB), // subspace 0 codebook
+      (1, 0, atomA), (1, 1, atomB)  // subspace 1 codebook
+    ).toDF("sub", "code", "centroid")
+    def v(p0: Seq[Double], p1: Seq[Double], eps: Double) =
+      (p0 ++ p1).map(_ + eps)
+    val corpus = Seq(
+      (1L, v(atomA, atomA, 0.01)), (2L, v(atomA, atomB, 0.01)),
+      (3L, v(atomB, atomA, -0.01)), (4L, v(atomB, atomB, 0.02)),
+      (5L, v(atomA, atomB, 0.0)) // exact prototype of (A,B)
+    ).toDF("vec_id", "embedding")
+    val codes = Similarity.pqEncode(corpus, cents, m = 2, dim = 8)
+    val got = codes.collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    assert(got == Map(1L -> Seq(0, 0), 2L -> Seq(0, 1), 3L -> Seq(1, 0),
+      4L -> Seq(1, 1), 5L -> Seq(0, 1)), s"codes must recover the planted atoms: $got")
+    // query = exact (A,B) prototype: docs 2 and 5 share its codes and
+    // must occupy the top-2 with IDENTICAL adist (same LUT entries,
+    // same fold order), id tie-break
+    val q = Seq((99L, v(atomA, atomB, 0.0))).toDF("vec_id", "embedding")
+    val top = Similarity.pqTopK(q, codes, cents, k = 5, m = 2, dim = 8, codesPerSub = 2)
+      .orderBy($"adist", $"cid").collect()
+      .map(r => (r.getLong(1), r.getDouble(2)))
+    assert(top.take(2).map(_._1).toSeq == Seq(2L, 5L))
+    assert(top(0)._2 == top(1)._2, "identical codes must give bit-identical ADC")
+    assert(top(0)._2 == 0.0, "prototype query to its own atoms has zero ADC distance")
+    assert(top.drop(2).forall(_._2 > 0.0), "different-structure docs rank strictly after")
+  }
+
   test("semanticDedup: planted near-dups evicted toward the lowest id, cross-cell pairs untouched") {
     // two well-separated cells on the first two axes; ids 1,2,3 land in
     // cell A (1≈2≈3), ids 10,11 in cell B (10≈11); id 20 in B but far
