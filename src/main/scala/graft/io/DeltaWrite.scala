@@ -54,7 +54,7 @@ object DeltaWrite {
 
   /** URI-encode one path segment the way Delta `add.path` expects
     * (percent escapes; never `+`-as-space). */
-  private def encodeSegment(s: String): String =
+  private[io] def encodeSegment(s: String): String =
     new java.net.URI(null, null, s, null).toASCIIString
 
   /** Decode a Hive partition-dir value (Spark escapePathName output). */
@@ -75,13 +75,13 @@ object DeltaWrite {
 
   /** One staged data file: table-relative path (raw, un-encoded),
     * partition values, size, mtime, row count. */
-  private final case class Staged(relPath: String,
+  private[io] final case class Staged(relPath: String,
       partitionValues: Map[String, String], size: Long, modTime: Long,
       numRecords: Option[Long])
 
   /** Exact per-file row count from the parquet footer — free (no data
     * scan), and what `stats.numRecords` wants. */
-  private def parquetRowCount(p: Path): Option[Long] =
+  private[io] def parquetRowCount(p: Path): Option[Long] =
     try {
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(p.toUri),
@@ -129,10 +129,10 @@ object DeltaWrite {
   private def dropStaged(table: String, staged: Seq[Staged]): Unit =
     staged.foreach(s => Files.deleteIfExists(Paths.get(table, s.relPath)))
 
-  private def protocolAction: String =
+  private[io] def protocolAction: String =
     """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
 
-  private def metaDataAction(id: String, schemaJson: String,
+  private[io] def metaDataAction(id: String, schemaJson: String,
       partitionBy: Seq[String], createdTime: Long): String = {
     val root = mapper.createObjectNode()
     val m = root.putObject("metaData")
@@ -146,7 +146,7 @@ object DeltaWrite {
     mapper.writeValueAsString(root)
   }
 
-  private def addAction(s: Staged): String = {
+  private[io] def addAction(s: Staged): String = {
     val numRecords = s.numRecords
     val root = mapper.createObjectNode()
     val a = root.putObject("add")
@@ -162,7 +162,7 @@ object DeltaWrite {
     mapper.writeValueAsString(root)
   }
 
-  private def removeAction(path: String, ts: Long): String = {
+  private[io] def removeAction(path: String, ts: Long): String = {
     val root = mapper.createObjectNode()
     val r = root.putObject("remove")
     r.put("path", path.split('/').map(encodeSegment).mkString("/"))
@@ -171,11 +171,11 @@ object DeltaWrite {
     mapper.writeValueAsString(root)
   }
 
-  private def commitInfoAction(op: String, ts: Long): String =
+  private[io] def commitInfoAction(op: String, ts: Long): String =
     s"""{"commitInfo":{"timestamp":$ts,"operation":"$op","engineInfo":"graft"}}"""
 
   /** Atomic create-if-absent publish (see [[TxLog.tryCommit]]). */
-  private def tryPublish(table: String, v: Long, lines: Seq[String]): Boolean = {
+  private[io] def tryPublish(table: String, v: Long, lines: Seq[String]): Boolean = {
     val ld = logDir(table)
     Files.createDirectories(ld)
     val tmp = ld.resolve(s".tmp-${UUID.randomUUID()}")

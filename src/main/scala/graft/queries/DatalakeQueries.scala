@@ -653,10 +653,44 @@ object DatalakeQueries {
            |  CAST(sum(length(text)) FILTER (WHERE doc_id % 2 = 0) AS BIGINT) AS v0_chars
            |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
 
+  /** q184 — zero-copy TxLog→Delta migration ([[graft.io.DeltaBridge]]):
+    * a three-version TxLog history (append, disjoint append, compact)
+    * exports into a fresh Delta table by hard-linking data files and
+    * transcribing manifests into protocol commits — no data rewrite.
+    * Output reads the exported table's HEAD through [[graft.io.DeltaRead]]
+    * and time-travels to Delta v0 (= tx v1); the oracle recomputes both
+    * snapshots arithmetically from `documents`. A green row proves the
+    * diff-based transcription (adds, removes-from-compaction) preserves
+    * every version's exact content across the format boundary. */
+  val q184TxToDelta = GQuery(
+    "q184_tx_to_delta",
+    (s, d) => {
+      import s.implicits._
+      val t = graft.io.Staging.tempDir("graft_q184_")
+      val dl = graft.io.Staging.tempDir("graft_q184d_")
+      new java.io.File(dl).delete() // export wants a fresh path
+      val docs = Tables.documents(s, d).select($"doc_id", $"n_chars")
+      graft.io.TxLog.appendNew(docs, t, Seq("doc_id"))
+      graft.io.TxLog.appendNew(
+        docs.select(($"doc_id" + 500000L).as("doc_id"), $"n_chars"), t, Seq("doc_id"))
+      graft.io.TxLog.compact(s, t, targetBytes = Long.MaxValue)
+      graft.io.DeltaBridge.exportTxLog(s, t, dl)
+      val head = graft.io.DeltaRead.read(s, dl)
+        .agg(count(lit(1)).as("head_rows"), sum($"doc_id").as("head_id_sum"))
+      val v0 = graft.io.DeltaRead.readVersion(s, dl, 0)
+        .agg(count(lit(1)).as("v0_rows"), sum($"doc_id").as("v0_id_sum"))
+      head.crossJoin(v0)
+    },
+    Some("""SELECT CAST(2 * count(*) AS BIGINT) AS head_rows,
+           |  CAST(2 * sum(doc_id) + 500000 * count(*) AS BIGINT) AS head_id_sum,
+           |  count(*) AS v0_rows,
+           |  CAST(sum(doc_id) AS BIGINT) AS v0_id_sum
+           |FROM documents""".stripMargin))
+
   val all: Seq[GQuery] = Seq(
     q130SnapshotDiff, q131IncrementalAgg, q132SchemaEvolution,
     q133KAnonymity, q134GdprErasure, q147CompactionPlan,
     q148ZorderLayout, q149ColumnStats, q160PruningSim,
     q163OrcRoundtrip, q164PartitionPruning, q166CorruptTolerance,
-    q177TxTable, q179DeltaRead, q180DeltaRoundtrip)
+    q177TxTable, q179DeltaRead, q180DeltaRoundtrip, q184TxToDelta)
 }

@@ -231,6 +231,44 @@ class DeltaWriteSpec extends SparkTestBase {
     } finally cleanup(t)
   }
 
+  test("DeltaBridge: TxLog history exports zero-copy with every version replayable") {
+    import graft.io.{DeltaBridge, TxLog}
+    val tx = newTable(); val dl = Files.createTempDirectory("deltabridge").toString
+    try {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dl))
+      val mk = (lo: Int, hi: Int) => (lo to hi).map(i => (i.toLong, s"r$i")).toDF("id", "txt")
+      TxLog.appendNew(mk(1, 10), tx, Seq("id"))   // tx v1
+      TxLog.appendNew(mk(11, 25), tx, Seq("id"))  // tx v2
+      TxLog.compact(spark, tx)                    // tx v3: remove+add rewrite
+      TxLog.appendNew(mk(26, 30), tx, Seq("id"))  // tx v4
+      val nCommits = DeltaBridge.exportTxLog(spark, tx, dl)
+      assert(nCommits == 4)
+      // every TxLog version is visible as the corresponding Delta version
+      (1L to 4L).foreach { v =>
+        val expect = TxLog.readVersion(spark, tx, v)
+          .agg(count(lit(1)), sum($"id")).collect()(0)
+        val got = DeltaRead.readVersion(spark, dl, v - 1)
+          .agg(count(lit(1)), sum($"id")).collect()(0)
+        assert(got == expect, s"tx v$v != delta v${v - 1}")
+      }
+      // zero-copy: every delta data file is a hard link (same inode ⇒
+      // same fileKey) to the txlog original
+      val deltaFiles = DeltaRead.snapshot(spark, dl).files.map(_.path)
+      deltaFiles.foreach { f =>
+        val a = Files.readAttributes(Paths.get(dl, f), classOf[java.nio.file.attribute.BasicFileAttributes])
+        val b = Files.readAttributes(Paths.get(tx, f), classOf[java.nio.file.attribute.BasicFileAttributes])
+        assert(a.fileKey() == b.fileKey(), s"$f was copied, not linked")
+      }
+      // checkpoint written: read resolves after deleting the JSON prefix
+      assert(Files.exists(Paths.get(dl, "_delta_log", "_last_checkpoint")))
+      (0L to 2L).foreach(v => Files.delete(Paths.get(dl, "_delta_log", f"$v%020d.json")))
+      assert(DeltaRead.read(spark, dl).count() == 30)
+      // a second export into the same target must refuse
+      val e = intercept[IllegalArgumentException](DeltaBridge.exportTxLog(spark, tx, dl))
+      assert(e.getMessage.contains("already a Delta table"))
+    } finally { cleanup(tx); cleanup(dl) }
+  }
+
   test("concurrent appenders serialize through the commit CAS (no lost updates)") {
     val t = newTable()
     try {
