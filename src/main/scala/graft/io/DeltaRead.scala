@@ -45,7 +45,7 @@ object DeltaRead {
   final case class FileEntry(path: String, partitionValues: Map[String, String])
   final case class DeltaSnapshot(version: Long, files: Seq[FileEntry],
       schema: Option[StructType], partitionColumns: Seq[String],
-      metaId: Option[String] = None)
+      metaId: Option[String] = None, txns: Map[String, Long] = Map.empty)
 
   /** Reader features this implementation actually honors. Anything
     * else (deletionVectors, columnMapping, v2Checkpoint, ...) would
@@ -114,6 +114,11 @@ object DeltaRead {
     var minReaderVersion: Int = 1
     var readerFeatures: Set[String] = Set.empty
     var configuration: Map[String, String] = Map.empty
+    /** Highest SetTransaction version per appId — the protocol's
+      * exactly-once handle for streaming sinks. */
+    val txns = scala.collection.mutable.HashMap.empty[String, Long]
+    def txn(appId: String, version: Long): Unit =
+      txns.updateWith(appId)(v => Some(v.fold(version)(math.max(_, version))))
     def metaData(schemaString: String, partCols: Seq[String],
         id: Option[String] = None, conf: Map[String, String] = Map.empty): Unit = {
       schema = Some(DataType.fromJson(schemaString).asInstanceOf[StructType])
@@ -179,6 +184,8 @@ object DeltaRead {
         Option(protoN.get("minReaderVersion")).map(_.asInt()).getOrElse(1),
         Option(protoN.get("readerFeatures")).filterNot(_.isNull)
           .map(_.elements().asScala.map(_.asText()).toSet).getOrElse(Set.empty))
+      val txnN = node.get("txn")
+      if (txnN != null) r.txn(txnN.get("appId").asText(), txnN.get("version").asLong())
     }
   }
 
@@ -204,6 +211,11 @@ object DeltaRead {
           r.protocol(if (row.isNullAt(0)) 1 else row.getInt(0),
             Option(row.getSeq[String](1)).map(_.toSet).getOrElse(Set.empty))
         }
+    }
+    if (cols("txn")) {
+      cp.where(cp("txn").isNotNull)
+        .selectExpr("txn.appId", "txn.version")
+        .collect().foreach(row => r.txn(row.getString(0), row.getLong(1)))
     }
     if (cols("metaData")) {
       cp.where(cp("metaData").isNotNull)
@@ -242,7 +254,8 @@ object DeltaRead {
     cp.foreach(v => applyCheckpoint(spark, table, v, r))
     ((cp.map(_ + 1).getOrElse(0L)) to version).foreach(v => applyJsonCommit(table, v, r))
     r.validateSupported(table)
-    DeltaSnapshot(version, r.files.values.toSeq, r.schema, r.partitionColumns, r.metaId)
+    DeltaSnapshot(version, r.files.values.toSeq, r.schema, r.partitionColumns,
+      r.metaId, r.txns.toMap)
   }
 
   def snapshot(spark: SparkSession, table: String): DeltaSnapshot =

@@ -203,20 +203,53 @@ object DeltaWrite {
     * when absent). Returns the committed version. Fails with names on
     * schema or partition-column drift. */
   def append(df: DataFrame, table: String, partitionBy: Seq[String] = Nil): Long =
-    commit(df, table, partitionBy, replaceExisting = false)
+    commit(df, table, partitionBy, replaceExisting = false, txn = None).get
 
   /** Replace the table contents: `remove` every live file of the
     * current snapshot, `add` the staged batch. Schema MAY change (this
     * is the explicit evolution path); the new metaData is re-emitted. */
   def overwrite(df: DataFrame, table: String, partitionBy: Seq[String] = Nil): Long =
-    commit(df, table, partitionBy, replaceExisting = true)
+    commit(df, table, partitionBy, replaceExisting = true, txn = None).get
+
+  /** Exactly-once append via the protocol's SetTransaction action (the
+    * mechanism Delta streaming sinks use for idempotent restarts): the
+    * commit carries `txn {appId, version}`, and an append whose
+    * (appId, version) is already ≤ the table's recorded high-water mark
+    * is SKIPPED — returning None and staging nothing durable. The
+    * check re-runs inside the commit CAS loop against the freshly
+    * resolved snapshot, so two racing replays of the same micro-batch
+    * cannot both land: one wins the version CAS, the other re-reads,
+    * sees the txn mark, and skips. This is what makes a
+    * restart-after-crash of a streaming writer land each batch exactly
+    * once at the TABLE level, whatever the checkpoint said. */
+  def appendOnce(df: DataFrame, table: String, appId: String, version: Long,
+      partitionBy: Seq[String] = Nil): Option[Long] =
+    commit(df, table, partitionBy, replaceExisting = false,
+      txn = Some((appId, version)))
+
+  /** The table's recorded SetTransaction high-water mark for `appId`. */
+  def lastTxnVersion(spark: SparkSession, table: String, appId: String): Option[Long] =
+    if (!tableExists(table)) None
+    else DeltaRead.snapshot(spark, table).txns.get(appId)
+
+  private def txnAction(appId: String, version: Long, ts: Long): String = {
+    val root = mapper.createObjectNode()
+    val t = root.putObject("txn")
+    t.put("appId", appId); t.put("version", version); t.put("lastUpdated", ts)
+    mapper.writeValueAsString(root)
+  }
 
   private def commit(df: DataFrame, table: String, partitionBy: Seq[String],
-      replaceExisting: Boolean, maxRetries: Int = 10): Long = {
+      replaceExisting: Boolean, txn: Option[(String, Long)],
+      maxRetries: Int = 10): Option[Long] = {
     require(partitionBy.forall(df.columns.contains),
       s"partitionBy ${partitionBy.mkString(",")} not all present in " +
         s"DataFrame columns ${df.columns.mkString(",")}")
     val spark = df.sparkSession
+    // cheap pre-check: a replayed batch skips before staging anything
+    txn.foreach { case (appId, ver) =>
+      if (lastTxnVersion(spark, table, appId).exists(_ >= ver)) return None
+    }
     val staged = stage(df, table, partitionBy)
     var attempt = 0
     while (attempt < maxRetries) {
@@ -224,6 +257,14 @@ object DeltaWrite {
       val now = System.currentTimeMillis()
       val v = if (exists) DeltaRead.latestVersion(table) + 1 else 0L
       val snap = if (exists) Some(DeltaRead.snapshotAt(spark, table, v - 1)) else None
+      // race-safe replay guard: re-checked against the snapshot the CAS
+      // will be attempted on, so a concurrent replay of the same batch
+      // cannot double-land
+      txn.foreach { case (appId, ver) =>
+        if (snap.exists(_.txns.get(appId).exists(_ >= ver))) {
+          dropStaged(table, staged); return None
+        }
+      }
       snap.foreach { s =>
         require(s.partitionColumns == partitionBy,
           s"partition-column drift on $table: committed " +
@@ -250,7 +291,8 @@ object DeltaWrite {
           snap.map(_.files.map(f => removeAction(f.path, now))).getOrElse(Nil)
         else Nil
       val adds = staged.map(addAction)
-      if (tryPublish(table, v, header ++ removes ++ adds)) return v
+      val txns = txn.map { case (appId, ver) => txnAction(appId, ver, now) }.toSeq
+      if (tryPublish(table, v, header ++ txns ++ removes ++ adds)) return Some(v)
       attempt += 1 // lost the CAS race: re-resolve version and retry
     }
     dropStaged(table, staged)
@@ -318,7 +360,10 @@ object DeltaWrite {
       StructField("partitionValues", MapType(StringType, StringType, valueContainsNull = true)),
       StructField("size", LongType),
       StructField("modificationTime", LongType),
-      StructField("dataChange", BooleanType))))))
+      StructField("dataChange", BooleanType)))),
+    StructField("txn", StructType(Seq(
+      StructField("appId", StringType),
+      StructField("version", LongType))))))
 
   /** Materialize the latest snapshot as a single-file checkpoint
     * parquet + `_last_checkpoint` pointer. Returns the checkpointed
@@ -329,20 +374,26 @@ object DeltaWrite {
     val s = DeltaRead.snapshotAt(spark, table, v)
     val schemaJson = s.schema.map(_.json).getOrElse(
       throw new IllegalStateException(s"$table@$v has no metaData to checkpoint"))
-    val protoRow = Row(Row(1, 2), null, null)
+    val protoRow = Row(Row(1, 2), null, null, null)
     val metaRow = Row(null,
       Row(s.metaId.getOrElse("graft"), Row("parquet"), schemaJson,
         s.partitionColumns, Map.empty[String, String], System.currentTimeMillis()),
-      null)
+      null, null)
     val addRows = s.files.map { f =>
       val p = Paths.get(table, f.path)
       val (size, mtime) =
         if (Files.exists(p)) (Files.size(p), Files.getLastModifiedTime(p).toMillis)
         else (0L, 0L)
       Row(null, null, Row(f.path.split('/').map(encodeSegment).mkString("/"),
-        f.partitionValues, size, mtime, true))
+        f.partitionValues, size, mtime, true), null)
     }
-    val rows = Seq(protoRow, metaRow) ++ addRows
+    // SetTransaction high-water marks survive checkpointing — a
+    // streaming sink's replay guard must not reset when history is
+    // truncated past the last checkpoint
+    val txnRows = s.txns.toSeq.sortBy(_._1).map { case (appId, ver) =>
+      Row(null, null, null, Row(appId, ver))
+    }
+    val rows = Seq(protoRow, metaRow) ++ addRows ++ txnRows
     val cpDf = spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), CheckpointSchema)
     val stagedDir = Files.createTempDirectory("graft_deltacp_")

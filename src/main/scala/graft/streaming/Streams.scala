@@ -324,4 +324,26 @@ object Streams {
       }
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** [[startGoldAppend]] into a DELTA table with protocol-level
+    * exactly-once: each micro-batch commits through
+    * [[graft.io.DeltaWrite.appendOnce]] carrying `txn {appId, batchId}`
+    * — the SetTransaction mechanism real Delta streaming sinks use.
+    * Unlike the keyed-merge sinks above, idempotence here needs no key
+    * columns at all: a replayed batch (restart in the at-least-once
+    * window, or a rerun against a lost/blown checkpoint directory) is
+    * skipped because the TABLE already records (appId, batchId). Empty
+    * batches never mint a version. The resulting table is readable by
+    * any Delta client, txn marks survive checkpoint truncation. */
+  def startGoldAppendDelta(spark: SparkSession, dir: String, deltaTable: String,
+      appId: String): StreamingQuery =
+    readEventStream(spark, dir)
+      .writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.io.DeltaWrite.appendOnce(batch.toDF(), deltaTable, appId, batchId)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
 }

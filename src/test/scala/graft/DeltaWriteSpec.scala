@@ -231,6 +231,36 @@ class DeltaWriteSpec extends SparkTestBase {
     } finally cleanup(t)
   }
 
+  test("appendOnce: SetTransaction replay guard, racing replays, txn survives checkpoint") {
+    val t = newTable()
+    try {
+      val b0 = (1 to 10).map(i => (i.toLong, s"a$i")).toDF("id", "txt")
+      val b1 = (11 to 15).map(i => (i.toLong, s"b$i")).toDF("id", "txt")
+      assert(DeltaWrite.appendOnce(b0, t, "app", 0L) == Some(0L))
+      assert(DeltaWrite.appendOnce(b0, t, "app", 0L).isEmpty, "replayed batch must skip")
+      assert(DeltaRead.read(spark, t).count() == 10)
+      assert(DeltaWrite.appendOnce(b1, t, "app", 1L) == Some(1L))
+      // a different appId is an independent ledger
+      assert(DeltaWrite.appendOnce(b0, t, "other", 0L).isDefined)
+      assert(DeltaWrite.lastTxnVersion(spark, t, "app") == Some(1L))
+      // racing replays of one batch: exactly one lands
+      val results = new java.util.concurrent.ConcurrentLinkedQueue[Boolean]()
+      val threads = (1 to 4).map(_ => new Thread(() =>
+        results.add(DeltaWrite.appendOnce(b1, t, "race", 7L).isDefined)))
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(results.asScala.count(identity) == 1,
+        s"exactly one racing replay must land, got ${results.asScala.toList}")
+      // txn marks survive checkpoint truncation
+      DeltaWrite.checkpoint(spark, t)
+      val cpV = DeltaRead.latestVersion(t)
+      (0L until cpV).foreach(v =>
+        Files.delete(Paths.get(t, "_delta_log", f"$v%020d.json")))
+      assert(DeltaWrite.lastTxnVersion(spark, t, "app") == Some(1L),
+        "txn high-water mark must survive history truncation")
+      assert(DeltaWrite.appendOnce(b1, t, "app", 1L).isEmpty)
+    } finally cleanup(t)
+  }
+
   test("DeltaBridge: TxLog history exports zero-copy with every version replayable") {
     import graft.io.{DeltaBridge, TxLog}
     val tx = newTable(); val dl = Files.createTempDirectory("deltabridge").toString

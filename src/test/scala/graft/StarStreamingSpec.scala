@@ -377,4 +377,29 @@ class StarStreamingSpec extends SparkTestBase {
       "replayed micro-batches must not mint new manifest versions")
     assert(graft.io.TxLog.read(spark, table).count() == batch.count())
   }
+
+  test("foreachBatch gold maintenance into DELTA: SetTransaction makes checkpoint-less replay a no-op") {
+    import org.apache.spark.sql.functions._
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_golddl_src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      srcDir.resolve("events.parquet"))
+    val table = java.nio.file.Files.createTempDirectory("graft_golddl_tbl").toString + "/gold"
+
+    Streams.startGoldAppendDelta(spark, srcDir.toString, table, appId = "gold-loader")
+      .awaitTermination()
+    val batch = Tables.events(spark, sf)
+    val gold = graft.io.DeltaRead.read(spark, table)
+    assert(gold.count() == batch.count(), "delta stream-fed gold != batch row count")
+    val v = graft.io.DeltaRead.latestVersion(table)
+    assert(graft.io.DeltaWrite.lastTxnVersion(spark, table, "gold-loader").isDefined)
+
+    // fresh checkpoint: every micro-batch re-delivered with the same
+    // batchIds — the txn high-water mark must skip them all, no keys
+    Streams.startGoldAppendDelta(spark, srcDir.toString, table, appId = "gold-loader")
+      .awaitTermination()
+    assert(graft.io.DeltaRead.latestVersion(table) == v,
+      "replayed micro-batches must not mint new Delta versions")
+    assert(graft.io.DeltaRead.read(spark, table).count() == batch.count())
+  }
 }
