@@ -35,11 +35,13 @@ import scala.jdk.CollectionConverters._
   * partition columns in the parquet itself.
   *
   * Write support lives in [[DeltaWrite]] (same public protocol).
-  * Multi-part checkpoints, deletion vectors and column mapping are
-  * NOT supported — and because reading past them silently changes
-  * row visibility / column identity, a table that requires them is
-  * rejected loudly (see `validateSupported`) rather than read
-  * best-effort. */
+  * Multi-part checkpoints read as one scan over the complete part
+  * set (an incomplete set — a writer death mid-checkpoint — is
+  * invisible, falling back to older checkpoints or JSON replay).
+  * Deletion vectors and column mapping are NOT supported — and
+  * because reading past them silently changes row visibility /
+  * column identity, a table that requires them is rejected loudly
+  * (see `validateSupported`) rather than read best-effort. */
 object DeltaRead {
 
   final case class FileEntry(path: String, partitionValues: Map[String, String])
@@ -73,14 +75,39 @@ object DeltaRead {
   private def decodePath(p: String): String =
     try new java.net.URI(p).getPath catch { case _: Exception => p }
 
+  /** `<v>.checkpoint.<part>.<of>.parquet` — what large writers emit
+    * when one checkpoint parquet would be too big. */
+  private val MultiPartRe = """^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$""".r
+
+  /** The checkpoint file set for version `v`: the single-part name, or
+    * the COMPLETE multi-part set — an incomplete set (a writer died
+    * mid-checkpoint) is invisible, never a partial state. */
+  private def checkpointParts(table: String, v: Long): Seq[Path] = {
+    val single = logDir(table).resolve(f"$v%020d.checkpoint.parquet")
+    if (Files.exists(single)) Seq(single)
+    else {
+      val parts = listLog(table).flatMap {
+        case n @ MultiPartRe(ver, i, cnt) if ver.toLong == v =>
+          Some((i.toInt, cnt.toInt, n))
+        case _ => None
+      }
+      parts.headOption.map(_._2) match {
+        case Some(n) if parts.size == n && parts.map(_._1).toSet == (1 to n).toSet =>
+          parts.sortBy(_._1).map(p => logDir(table).resolve(p._3))
+        case _ => Nil
+      }
+    }
+  }
+
   def latestVersion(table: String): Long = {
     val names = listLog(table)
     val jsonVs = names.filter(_.endsWith(".json")).filterNot(_.startsWith("_"))
       .map(_.stripSuffix(".json")).filter(_.forall(_.isDigit)).map(_.toLong)
     val cpVs = names.filter(_.endsWith(".checkpoint.parquet"))
       .map(_.stripSuffix(".checkpoint.parquet")).filter(_.forall(_.isDigit)).map(_.toLong)
-    require(jsonVs.nonEmpty || cpVs.nonEmpty, s"$table: empty _delta_log")
-    (jsonVs ++ cpVs).max
+    val mpVs = names.collect { case MultiPartRe(ver, _, _) => ver.toLong }
+    require(jsonVs.nonEmpty || cpVs.nonEmpty || mpVs.nonEmpty, s"$table: empty _delta_log")
+    (jsonVs ++ cpVs ++ mpVs).max
   }
 
   /** The newest single-part checkpoint version ≤ `target`, preferring
@@ -93,14 +120,18 @@ object DeltaRead {
         if (Files.exists(p)) {
           val node = mapper.readTree(Files.readAllBytes(p))
           Option(node.get("version")).map(_.asLong()).filter(_ <= target)
-            // multi-part checkpoints unsupported: fall back to listing
-            .filter(_ => node.get("parts") == null)
+            // trust the pointer only when the files it names are whole
+            .filter(v => checkpointParts(table, v).nonEmpty)
         } else None
       } catch { case _: Exception => None }
     fromPointer.orElse {
-      listLog(table).filter(_.endsWith(".checkpoint.parquet"))
+      val names = listLog(table)
+      val singles = names.filter(_.endsWith(".checkpoint.parquet"))
         .map(_.stripSuffix(".checkpoint.parquet")).filter(_.forall(_.isDigit))
-        .map(_.toLong).filter(_ <= target).maxOption
+        .map(_.toLong)
+      val multis = names.collect { case MultiPartRe(ver, _, _) => ver.toLong }.distinct
+        .filter(v => checkpointParts(table, v).nonEmpty) // complete sets only
+      (singles ++ multis).filter(_ <= target).maxOption
     }
   }
 
@@ -198,7 +229,9 @@ object DeltaRead {
   }
 
   private def applyCheckpoint(spark: SparkSession, table: String, v: Long, r: Replay): Unit = {
-    val cp = spark.read.parquet(logDir(table).resolve(f"$v%020d.checkpoint.parquet").toString)
+    val parts = checkpointParts(table, v)
+    require(parts.nonEmpty, s"$table: checkpoint $v has no complete file set")
+    val cp = spark.read.parquet(parts.map(_.toString): _*)
     val cols = cp.columns.toSet
     def struct(name: String) = cp.schema(name).dataType.asInstanceOf[StructType]
     def has(parent: String, field: String) = struct(parent).fieldNames.contains(field)

@@ -146,7 +146,7 @@ object DeltaWrite {
     mapper.writeValueAsString(root)
   }
 
-  private[io] def addAction(s: Staged): String = {
+  private[io] def addAction(s: Staged, dataChange: Boolean = true): String = {
     val numRecords = s.numRecords
     val root = mapper.createObjectNode()
     val a = root.putObject("add")
@@ -157,17 +157,17 @@ object DeltaWrite {
     }
     a.put("size", s.size)
     a.put("modificationTime", s.modTime)
-    a.put("dataChange", true)
+    a.put("dataChange", dataChange)
     numRecords.foreach(n => a.put("stats", s"""{"numRecords":$n}"""))
     mapper.writeValueAsString(root)
   }
 
-  private[io] def removeAction(path: String, ts: Long): String = {
+  private[io] def removeAction(path: String, ts: Long, dataChange: Boolean = true): String = {
     val root = mapper.createObjectNode()
     val r = root.putObject("remove")
     r.put("path", path.split('/').map(encodeSegment).mkString("/"))
     r.put("deletionTimestamp", ts)
-    r.put("dataChange", true)
+    r.put("dataChange", dataChange)
     mapper.writeValueAsString(root)
   }
 
@@ -290,7 +290,7 @@ object DeltaWrite {
         if (replaceExisting)
           snap.map(_.files.map(f => removeAction(f.path, now))).getOrElse(Nil)
         else Nil
-      val adds = staged.map(addAction)
+      val adds = staged.map(s => addAction(s))
       val txns = txn.map { case (appId, ver) => txnAction(appId, ver, now) }.toSeq
       if (tryPublish(table, v, header ++ txns ++ removes ++ adds)) return Some(v)
       attempt += 1 // lost the CAS race: re-resolve version and retry
@@ -298,6 +298,66 @@ object DeltaWrite {
     dropStaged(table, staged)
     throw new IllegalStateException(
       s"DeltaWrite: lost the commit race on $table $maxRetries times")
+  }
+
+  /** OPTIMIZE-style small-file compaction: bin-pack each partition's
+    * live files into ~`targetBytes` groups, rewrite every multi-file
+    * group as one file, and publish the remove+add set as ONE commit
+    * with `dataChange = false` — the protocol's signal that the commit
+    * reorganizes bytes without changing rows, so a downstream
+    * change-data consumer ignores it. Readers never tear: until the
+    * CAS lands they see the old files, after it the new — and a lost
+    * race (concurrent append) drops the staged rewrites and replans
+    * against the winner's snapshot. This is the maintenance valve that
+    * keeps a streaming-fed table's file count O(data/targetBytes)
+    * instead of O(micro-batches) — at 100 TB an uncompacted small-file
+    * table spends more time listing than scanning. Returns the number
+    * of files the table shrank by (0 = nothing worth compacting). */
+  def compact(spark: SparkSession, table: String, targetBytes: Long = 128L << 20): Int = {
+    var attempt = 0
+    while (attempt < 10) {
+      val v = DeltaRead.latestVersion(table)
+      val s = DeltaRead.snapshotAt(spark, table, v)
+      require(s.files.nonEmpty, s"nothing to compact under $table")
+      // bin-pack per partition tuple: greedy fill in commit order
+      val groups = s.files.groupBy(_.partitionValues).toSeq.flatMap { case (pv, fs) =>
+        val bins = scala.collection.mutable.ArrayBuffer.empty[
+          (scala.collection.mutable.ArrayBuffer[DeltaRead.FileEntry], Long)]
+        fs.foreach { f =>
+          val sz = Files.size(Paths.get(table, f.path))
+          bins.indexWhere(_._2 + sz <= targetBytes) match {
+            case -1 => bins += ((scala.collection.mutable.ArrayBuffer(f), sz))
+            case i  => bins(i) = ((bins(i)._1 += f, bins(i)._2 + sz))
+          }
+        }
+        bins.map(b => (pv, b._1.toSeq)).filter(_._2.size >= 2) // singletons stay
+      }
+      if (groups.isEmpty) return 0
+      val now = System.currentTimeMillis()
+      val staged = groups.map { case (pv, fs) =>
+        val df = spark.read.parquet(fs.map(f => Paths.get(table, f.path).toString): _*)
+        val tmpDir = Files.createTempDirectory("graft_deltacompact_")
+        df.coalesce(1).write.mode("overwrite").parquet(tmpDir.toString)
+        val part = Files.list(tmpDir).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        val partDir = fs.head.path.split('/').dropRight(1)
+        val relPath = (partDir :+ s"part-${UUID.randomUUID()}.parquet").mkString("/")
+        val dest = Paths.get(table).resolve(relPath)
+        Files.createDirectories(dest.getParent)
+        Files.move(part, dest, StandardCopyOption.ATOMIC_MOVE)
+        org.apache.commons.io.FileUtils.deleteDirectory(tmpDir.toFile)
+        (Staged(relPath, pv, Files.size(dest),
+          Files.getLastModifiedTime(dest).toMillis, parquetRowCount(dest)), fs)
+      }
+      val lines = Seq(commitInfoAction("OPTIMIZE", now)) ++
+        staged.flatMap(_._2).map(f => removeAction(f.path, now, dataChange = false)) ++
+        staged.map(x => addAction(x._1, dataChange = false))
+      if (tryPublish(table, v + 1, lines))
+        return staged.map(_._2.size - 1).sum
+      staged.foreach(x => Files.deleteIfExists(Paths.get(table, x._1.relPath)))
+      attempt += 1 // a writer landed v+1 first: replan on its snapshot
+    }
+    throw new IllegalStateException(s"compact: lost 10 commit races on $table")
   }
 
   /** Garbage-collect data files no live snapshot references — crashed

@@ -231,6 +231,69 @@ class DeltaWriteSpec extends SparkTestBase {
     } finally cleanup(t)
   }
 
+  test("compact bin-packs small files into one commit with dataChange=false; history intact") {
+    val t = newTable()
+    try {
+      val mk = (lo: Int, hi: Int) => (lo to hi).map(i => (i.toLong, s"x$i")).toDF("id", "txt")
+      (0 until 5).foreach(i => DeltaWrite.append(mk(i * 10 + 1, i * 10 + 10), t))
+      val before = DeltaRead.snapshot(spark, t)
+      assert(before.files.size >= 5)
+      val shrunk = DeltaWrite.compact(spark, t)
+      assert(shrunk >= 4, s"5 small files should collapse, shrank by $shrunk")
+      val after = DeltaRead.read(spark, t)
+      assert(after.count() == 50 &&
+        after.agg(sum($"id")).collect()(0).getLong(0) == (1 to 50).sum.toLong,
+        "compaction must not change one row of content")
+      assert(DeltaRead.snapshot(spark, t).files.size < before.files.size)
+      // pre-compaction versions still time travel
+      assert(DeltaRead.readVersion(spark, t, 0).count() == 10)
+      // the OPTIMIZE commit signals dataChange=false on every action
+      val acts = commitLines(t, DeltaRead.latestVersion(t)).map(mapper.readTree)
+      val dcs = acts.flatMap(n => Option(n.get("add")).orElse(Option(n.get("remove"))))
+        .map(_.get("dataChange").asBoolean())
+      assert(dcs.nonEmpty && dcs.forall(_ == false),
+        "OPTIMIZE actions must carry dataChange=false")
+      // idempotent: nothing left to compact
+      assert(DeltaWrite.compact(spark, t) == 0)
+    } finally cleanup(t)
+  }
+
+  test("multi-part checkpoint: complete set reads as one; incomplete set is invisible") {
+    val t = newTable()
+    try {
+      val mk = (lo: Int, hi: Int) => (lo to hi).map(i => (i.toLong, s"x$i")).toDF("id", "txt")
+      DeltaWrite.append(mk(1, 10), t)
+      DeltaWrite.append(mk(11, 20), t)
+      DeltaWrite.checkpoint(spark, t) // single-part at v1
+      // split it into a 2-part checkpoint: row 0 (protocol+meta) | adds
+      val ld = Paths.get(t, "_delta_log")
+      val single = ld.resolve(f"${1L}%020d.checkpoint.parquet")
+      val cp = spark.read.parquet(single.toString)
+      def writeHalf(df: org.apache.spark.sql.DataFrame, part: Int): Unit = {
+        val tmp = Files.createTempDirectory("mp")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val f = Files.list(tmp).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        Files.move(f, ld.resolve(f"${1L}%020d.checkpoint.${part}%010d.${2}%010d.parquet"))
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+      }
+      writeHalf(cp.where(cp("add").isNull), 1)
+      writeHalf(cp.where(cp("add").isNotNull), 2)
+      Files.delete(single)
+      Files.write(ld.resolve("_last_checkpoint"),
+        Seq("""{"version":1,"size":4,"parts":2}""").asJava)
+      // force the checkpoint path: JSON prefix gone
+      Files.delete(ld.resolve(f"${0L}%020d.json"))
+      Files.delete(ld.resolve(f"${1L}%020d.json"))
+      assert(DeltaRead.read(spark, t).agg(sum($"id")).collect()(0).getLong(0) ==
+        (1 to 20).sum.toLong, "complete multi-part checkpoint must read as one")
+      // an INCOMPLETE set must become invisible, not half-read
+      Files.delete(ld.resolve(f"${1L}%020d.checkpoint.${2}%010d.${2}%010d.parquet"))
+      val e = intercept[Exception](DeltaRead.read(spark, t).collect())
+      assert(e != null, "no complete checkpoint and no JSON history: must fail loudly")
+    } finally cleanup(t)
+  }
+
   test("appendOnce: SetTransaction replay guard, racing replays, txn survives checkpoint") {
     val t = newTable()
     try {
