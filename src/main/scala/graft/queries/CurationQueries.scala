@@ -740,9 +740,47 @@ object CurationQueries {
             |FROM ds JOIN th USING (lang)
             |GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin))
 
+  /** q185 — linear classifier quality gate (the "model-based filter"
+    * tier of a CCNet/fastText-style pipeline, complementing q36's
+    * heuristics and q182's LM): score(doc) = mean over tokens of a
+    * hashed weight-table lookup w(token) — exactly how a trained
+    * linear text classifier applies at scale (hash the token, index a
+    * weight vector, average; no vocabulary join). Weights here are the
+    * deterministic md5-derived stand-in (trained weights would load as
+    * a broadcast table into the same plan shape); scores round to 6 dp
+    * before the keep-threshold so both engines gate identical doubles.
+    * Shuffle profile: tokens never leave the scan — the per-doc
+    * aggregation shuffles (doc_id, partial sums) only. */
+  val q185ClassifierGate = GQuery(
+    "q185_classifier_gate",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val scored = docs
+        .select($"doc_id", $"lang", explode(TextAnalysis.tokens($"text")).as("w"))
+        .withColumn("wt",
+          (TextAnalysis.tokenHash60($"w") % 1000003L).cast("double") / 1000003.0 - 0.5)
+        .groupBy($"lang", $"doc_id")
+        .agg(round(avg($"wt"), 6).as("score"))
+      scored.groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg($"score"), 6).as("avg_score"),
+          count(when($"score" >= 0.0, 1)).as("n_kept"))
+        .orderBy($"lang")
+    },
+    Some(s"""WITH toks AS (SELECT doc_id, lang, unnest($toksSql) AS w FROM documents),
+            |ds AS (SELECT lang, doc_id,
+            |         round(avg(CAST(${h60of("w")} % 1000003 AS DOUBLE) / 1000003.0 - 0.5), 6)
+            |           AS score
+            |       FROM toks GROUP BY lang, doc_id)
+            |SELECT lang, count(*) AS n_docs,
+            |       round(avg(score), 6) AS avg_score,
+            |       count(*) FILTER (WHERE score >= 0.0) AS n_kept
+            |FROM ds GROUP BY lang ORDER BY lang""".stripMargin))
+
   val all: Seq[GQuery] = Seq(
     q117ChunkDedup, q118PiiRedaction, q119Contamination, q120DomainStats,
     q121WeightedResample, q122VocabCoverage, q123TrainingOrder, q135BigramLm,
     q150DupNgrams, q151AdaptiveQuality, q152BpePairs, q169DataMixing,
-    q172CorpusRelease, q173VocabOverlap, q182PplBuckets)
+    q172CorpusRelease, q173VocabOverlap, q182PplBuckets, q185ClassifierGate)
 }

@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.operators.{Dedup, Similarity}
 import graft.functions.TextAnalysis
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** LLM training-data pipeline operators as driver-verifiable queries:
@@ -1028,11 +1029,52 @@ object LlmQueries {
            |    row_number() OVER (PARTITION BY qid ORDER BY adist, cid) AS rn
            |  FROM ad) WHERE rn <= 5""".stripMargin))
 
+  /** q186 — hard-negative mining (the contrastive-training data
+    * builder: for each anchor, the most similar vectors of a DIFFERENT
+    * label — the negatives an embedding model learns most from). The
+    * anchor set broadcasts; the corpus scan computes codegen'd cosine
+    * and the per-anchor top-3 ranks with an id tie-break, exactly the
+    * q45 scan shape plus the label-disagreement predicate — at 100 TB
+    * this stays one corpus pass whatever the anchor count. */
+  val q186HardNegatives = GQuery(
+    "q186_hard_negatives",
+    (s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val anchors = emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"label".as("qlabel"),
+          Similarity.asDouble($"embedding").as("qv"))
+      val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"cid".asc)
+      emb.select($"vec_id".as("cid"), $"label".as("clabel"),
+          Similarity.asDouble($"embedding").as("cv"))
+        .join(broadcast(anchors), $"qlabel" =!= $"clabel")
+        .withColumn("sim", Similarity.cosineNative($"qv", $"cv"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+        .select($"qid", $"cid", round($"sim", 4).as("sim"), $"qlabel", $"clabel")
+    },
+    Some("""WITH q AS (SELECT vec_id AS qid, label AS qlabel,
+           |             CAST(embedding AS DOUBLE[]) AS qv
+           |           FROM embeddings WHERE vec_id < 10),
+           |c AS (SELECT vec_id AS cid, label AS clabel,
+           |        CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+           |sims AS (SELECT qid, cid, qlabel, clabel,
+           |  list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*cv[i])) /
+           |  (sqrt(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*qv[i]))) *
+           |   sqrt(list_sum(list_transform(range(1, len(cv)+1), i -> cv[i]*cv[i])))) AS sim
+           |  FROM q JOIN c ON qlabel <> clabel)
+           |SELECT qid, cid, round(sim, 4) AS sim, qlabel, clabel FROM (
+           |  SELECT qid, cid, sim, qlabel, clabel,
+           |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+           |  FROM sims)
+           |WHERE rn <= 3""".stripMargin))
+
   val all: Seq[GQuery] = Seq(
     q40DedupExactStats, q41DedupExactKeep, q42MinhashLsh, q43Simhash,
     q44NgramJaccard, q45CosineTopk, q46Centroids, q47LshBuckets,
     q55BpeTokens, q56IvfAnn, q57SaltedJoin, q77EmbeddingNearDup, q80IvfKmeans,
     q82NearDupMulti, q83NearDupGroups, q84DatasetSplits, q140Sq8Ann,
     q144PrefixJoin, q154AnnRecall, q156IncrementalLsh, q157DriftMatrix,
-    q174LshBucketCap, q175Sq8Codes, q178IvfIndex, q181SemanticDedup, q183PqAnn)
+    q174LshBucketCap, q175Sq8Codes, q178IvfIndex, q181SemanticDedup,
+    q183PqAnn, q186HardNegatives)
 }
