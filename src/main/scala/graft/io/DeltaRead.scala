@@ -2,7 +2,7 @@ package graft.io
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.functions.{broadcast, input_file_name, lit, regexp_replace, url_decode}
 import org.apache.spark.sql.types.{DataType, StructType}
 import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
@@ -298,32 +298,90 @@ object DeltaRead {
   def read(spark: SparkSession, table: String): DataFrame =
     readVersion(spark, table, latestVersion(table))
 
+  /** Above this many distinct partition tuples, [[readVersion]] stops
+    * building one union branch per partition (the branch count is a
+    * DRIVER-side plan cost — 100k branches is an unplannable query)
+    * and switches to one scan + a broadcast file→partition-values
+    * join keyed on `input_file_name()`. The union form is kept below
+    * the threshold because its literal partition columns
+    * constant-fold under partition filters (dead branches vanish from
+    * the plan — spec-pinned); the join form trades that pruning for
+    * O(1) plan size, pre-filtering the FILE LIST instead when the
+    * caller provides partition predicates via [[readVersionWhere]]. */
+  val MaxUnionPartitions = 64
+
   /** Time travel: read the table as of a pinned version. */
-  def readVersion(spark: SparkSession, table: String, version: Long): DataFrame = {
+  def readVersion(spark: SparkSession, table: String, version: Long): DataFrame =
+    assemble(spark, table, snapshotAt(spark, table, version))
+
+  /** [[readVersion]] with partition-level pruning applied to the FILE
+    * LIST before any scan is planned: `keep` sees each file's
+    * partitionValues (column → string value, null for the Hive null
+    * partition). This is how a wide-partition table (above
+    * [[MaxUnionPartitions]]) gets directory-level pruning — the
+    * listing is metadata graft already holds, so filtering it costs
+    * nothing and the skipped files never reach the scan. */
+  def readVersionWhere(spark: SparkSession, table: String, version: Long)(
+      keep: Map[String, String] => Boolean): DataFrame = {
     val s = snapshotAt(spark, table, version)
+    assemble(spark, table, s.copy(files = s.files.filter(f => keep(f.partitionValues))))
+  }
+
+  private def assemble(spark: SparkSession, table: String, s: DeltaSnapshot): DataFrame = {
     def abs(e: FileEntry) = Paths.get(table, e.path).toString
     if (s.files.isEmpty) {
       val sch = s.schema.getOrElse(throw new IllegalStateException(
-        s"$table@$version has no files and no metaData schema"))
+        s"$table@${s.version} has no files and no metaData schema"))
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
     } else if (s.partitionColumns.isEmpty) {
       spark.read.parquet(s.files.map(abs): _*)
     } else {
-      // partition columns live in the log, not the files: one scan per
-      // distinct partition tuple, literal columns re-attached with the
-      // schemaString types, unioned. Group count = partition count —
-      // the same cardinality any partition listing already carries.
+      // partition columns live in the log, not the files
       val colType = s.schema.map(_.fields.map(f => f.name -> f.dataType).toMap)
         .getOrElse(Map.empty)
-      s.files.groupBy(_.partitionValues).toSeq.map { case (pv, fs) =>
-        s.partitionColumns.foldLeft(spark.read.parquet(fs.map(abs): _*)) { (df, c) =>
-          val raw = pv.get(c).orNull match {
-            case null => lit(null)
-            case v    => lit(v)
+      val byPartition = s.files.groupBy(_.partitionValues).toSeq
+      if (byPartition.size <= MaxUnionPartitions) {
+        // one scan per partition tuple, literal columns re-attached
+        // with schemaString types (filters constant-fold dead branches)
+        byPartition.map { case (pv, fs) =>
+          s.partitionColumns.foldLeft(spark.read.parquet(fs.map(abs): _*)) { (df, c) =>
+            val raw = pv.get(c).orNull match {
+              case null => lit(null)
+              case v    => lit(v)
+            }
+            df.withColumn(c, colType.get(c).map(raw.cast).getOrElse(raw))
           }
-          df.withColumn(c, colType.get(c).map(raw.cast).getOrElse(raw))
+        }.reduce(_.unionByName(_))
+      } else {
+        // wide-partition form: ONE scan over every file; partition
+        // values re-attach through a broadcast (path → values) map
+        // joined on input_file_name(). Map size = file count — the
+        // same metadata the log already carries.
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types.{StringType, StructField, StructType}
+        val pvSchema = StructType(StructField("__graft_path", StringType) +:
+          s.partitionColumns.map(c => StructField(c, StringType, nullable = true)))
+        val pvRows = s.files.map { f =>
+          Row.fromSeq(Paths.get(table, f.path).toAbsolutePath.normalize().toString +:
+            s.partitionColumns.map(c => f.partitionValues.get(c).orNull))
         }
-      }.reduce(_.unionByName(_))
+        val pvDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(pvRows, 1), pvSchema)
+        // input_file_name() is the Hadoop Path URI ("file:/…", percent-
+        // encoded): strip the scheme, protect literal '+' (url_decode
+        // is form-decoding), decode the percent escapes back to the
+        // on-disk path
+        val normalized = url_decode(regexp_replace(
+          regexp_replace(input_file_name(), "^[a-zA-Z][a-zA-Z0-9+.-]*:/*", "/"),
+          "\\+", "%2B"))
+        val joined = spark.read.parquet(s.files.map(abs): _*)
+          .withColumn("__graft_path", normalized)
+          .join(broadcast(pvDf), Seq("__graft_path"), "left")
+          .drop("__graft_path")
+        s.partitionColumns.foldLeft(joined) { (df, c) =>
+          df.withColumn(c, colType.get(c).map(df(c).cast).getOrElse(df(c)))
+        }
+      }
     }
   }
 }

@@ -231,6 +231,35 @@ class DeltaWriteSpec extends SparkTestBase {
     } finally cleanup(t)
   }
 
+  test("wide-partition table (> MaxUnionPartitions) reads via the file-map join, values intact") {
+    val t = newTable()
+    try {
+      // 100 distinct partition tuples incl. a spaced value and a null —
+      // far past the union threshold, so the input_file_name join path
+      // must carry the values (and their types) correctly
+      val df = (1 to 400).map { i =>
+        val b = i % 100
+        (i.toLong, if (b == 0) null else if (b == 1) s"v $b" else s"v$b")
+      }.toDF("id", "bucket")
+      DeltaWrite.append(df, t, partitionBy = Seq("bucket"))
+      assert(DeltaRead.snapshot(spark, t).files
+        .map(_.partitionValues).distinct.size > DeltaRead.MaxUnionPartitions)
+      val got = DeltaRead.read(spark, t)
+      assert(got.count() == 400)
+      // every row's partition value round-trips exactly
+      val expect = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      got.collect().foreach { r =>
+        assert(r.getString(1) == expect(r.getLong(0)),
+          s"row ${r.getLong(0)}: got '${r.getString(1)}' want '${expect(r.getLong(0))}'")
+      }
+      // readVersionWhere prunes the FILE LIST before any scan plans
+      val pruned = DeltaRead.readVersionWhere(spark, t, DeltaRead.latestVersion(t))(
+        pv => pv.get("bucket").contains("v7"))
+      assert(pruned.count() == 4 &&
+        pruned.select($"bucket").distinct().collect().map(_.getString(0)).toSeq == Seq("v7"))
+    } finally cleanup(t)
+  }
+
   test("compact bin-packs small files into one commit with dataChange=false; history intact") {
     val t = newTable()
     try {
