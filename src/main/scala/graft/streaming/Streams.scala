@@ -325,6 +325,111 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** One banded document on the LSH wire: 8-byte bucket key, doc id,
+    * full minhash signature (numHashes longs). */
+  case class BandedDoc(band_key: Long, doc_id: Long, sig: Seq[Long])
+
+  /** A streaming near-dup candidate: ids ordered, similarity is the
+    * standard minhash estimate (matching signature components /
+    * numHashes). `band_key` names the bucket that caught it. */
+  case class StreamDupPair(band_key: Long, id_a: Long, id_b: Long, est_sim: Double)
+
+  case class BucketMember(id: Long, sig: Seq[Long])
+  case class BucketState(members: Seq[BucketMember], dormant: Boolean)
+
+  /** Scan-side banding shared by the stream and its batch twin:
+    * shingle → codegen'd minhash → per-band keys hashed to 8 bytes —
+    * exactly `Dedup.lshCandidates`' candidate key, so only the bucket
+    * key and the signature ever shuffle, never text. */
+  def lshBandRows(docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 32, bands: Int = 8, shingleSize: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    import graft.operators.Dedup
+    docs
+      .withColumn("__hs", Dedup.shingleHashes(col(textCol), shingleSize))
+      .where(size(col("__hs")) > 0)
+      .withColumn("sig", graft.functions.Natives.minhash(col("__hs"), numHashes))
+      .select(col(idCol).cast("long").as("doc_id"), col("sig"),
+        explode(Dedup.bandKeys(col("sig"), bands, r)).as("__bks"))
+      .select(graft.functions.Natives.hash60(col("__bks")).as("band_key"),
+        col("doc_id"), col("sig"))
+  }
+
+  /** Streaming near-duplicate detection — the INGEST-TIME edition of
+    * the batch MinHash-LSH tier: each band bucket is a
+    * flatMapGroupsWithState group whose state is the (doc_id,
+    * signature) list seen so far; a newly arriving document compares
+    * against its bucket's members only (never the corpus) and emits a
+    * [[StreamDupPair]] per member whose estimated Jaccard ≥ `tau` —
+    * so a near-dup of ANY earlier document is flagged the moment it
+    * arrives, across micro-batch boundaries. Within a trigger, rows
+    * sort by doc_id (iterator order is not guaranteed); across
+    * triggers, arrival order IS the order.
+    *
+    * State is bounded two ways, because unbounded per-bucket state is
+    * the streaming twin of the quadratic hot bucket: `maxBucketSize`
+    * sends a flooded bucket DORMANT (stops storing AND comparing —
+    * the batch guard's drop semantics, so stream output stays a
+    * subset of an uncapped batch run, never a differently-shaped
+    * one), and the signature list is the only per-member payload.
+    * Emitted pairs are per-bucket candidates: downstream exact
+    * verification (`Dedup.jaccard` on the stored texts) and
+    * cross-band dedup are batch-side concerns, as in the batch tier. */
+  def lshNearDupStream(docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 32, bands: Int = 8, shingleSize: Int = 3,
+      tau: Double = 0.5, maxBucketSize: Int = 64)(
+      implicit spark: SparkSession): Dataset[StreamDupPair] = {
+    import spark.implicits._
+    val nh = numHashes
+    lshBandRows(docs, idCol, textCol, numHashes, bands, shingleSize)
+      .as[BandedDoc]
+      .groupByKey(_.band_key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (key: Long, rows: Iterator[BandedDoc], state: GroupState[BucketState]) => {
+          var st = state.getOption.getOrElse(BucketState(Nil, dormant = false))
+          val out = scala.collection.mutable.ArrayBuffer.empty[StreamDupPair]
+          rows.toSeq.sortBy(_.doc_id).foreach { d =>
+            if (!st.dormant && !st.members.exists(_.id == d.doc_id)) {
+              if (st.members.size >= maxBucketSize) {
+                // flood: go dormant, mirroring the batch guard's
+                // whole-bucket drop (subset semantics, not skew)
+                st = BucketState(Nil, dormant = true)
+              } else {
+                st.members.foreach { m =>
+                  val eq = m.sig.iterator.zip(d.sig.iterator).count { case (a, b) => a == b }
+                  val est = eq.toDouble / nh
+                  if (est >= tau)
+                    out += StreamDupPair(key, math.min(m.id, d.doc_id),
+                      math.max(m.id, d.doc_id), est)
+                }
+                st = st.copy(members = BucketMember(d.doc_id, d.sig) +: st.members)
+              }
+            }
+          }
+          state.update(st)
+          out.iterator
+        })
+  }
+
+  /** Batch twin of [[lshNearDupStream]] for the stream==batch proof:
+    * same banding, same estimate, all-arrivals-at-once semantics
+    * (every within-bucket pair, smaller id first). */
+  def lshNearDupBatch(docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 32, bands: Int = 8, shingleSize: Int = 3,
+      tau: Double = 0.5): DataFrame = {
+    val banded = lshBandRows(docs, idCol, textCol, numHashes, bands, shingleSize)
+    val a = banded.select(col("band_key"), col("doc_id").as("id_a"), col("sig").as("__sa"))
+    val b = banded.select(col("band_key"), col("doc_id").as("id_b"), col("sig").as("__sb"))
+    a.join(b, Seq("band_key")).filter(col("id_a") < col("id_b"))
+      .withColumn("est_sim",
+        aggregate(zip_with(col("__sa"), col("__sb"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / numHashes)
+      .filter(col("est_sim") >= tau)
+      .select(col("band_key"), col("id_a"), col("id_b"), col("est_sim"))
+  }
+
   /** [[startGoldAppend]] into a DELTA table with protocol-level
     * exactly-once: each micro-batch commits through
     * [[graft.io.DeltaWrite.appendOnce]] carrying `txn {appId, batchId}`

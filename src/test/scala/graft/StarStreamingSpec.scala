@@ -378,6 +378,67 @@ class StarStreamingSpec extends SparkTestBase {
     assert(graft.io.TxLog.read(spark, table).count() == batch.count())
   }
 
+  test("streaming LSH near-dup: cross-batch copy flagged on arrival; pairs == batch twin; cap goes dormant") {
+    import org.apache.spark.sql.types._
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val textA = "the quick brown fox jumps over the lazy dog and keeps on running far away"
+    val textB = "completely different content about distributed query engines and shuffle plans"
+    val textC = "yet another unrelated document discussing parquet footers and column statistics"
+    val dir = java.nio.file.Files.createTempDirectory("graft_lshstream")
+    def writeBatch(name: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_lsh_tmp")
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath, dir.resolve(name))
+    }
+    writeBatch("b1.parquet", Seq((10L, textA), (11L, textB)))
+    val schema = StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+    val q = Streams.lshNearDupStream(stream, "doc_id", "text", tau = 0.9)
+      .writeStream.outputMode("append").format("memory").queryName("lsh_stream").start()
+    q.processAllAvailable()
+    assert(spark.table("lsh_stream").count() == 0, "no dups within batch 1")
+    // batch 2: a copy of A arrives — must pair with doc 10 from batch 1's state
+    writeBatch("b2.parquet", Seq((12L, textA), (13L, textC)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("lsh_stream")
+    val pairs = got.select($"id_a", $"id_b").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((10L, 12L)), s"expected the cross-batch copy pair, got $pairs")
+    assert(got.agg(min($"est_sim")).collect()(0).getDouble(0) >= 0.9)
+    // stream output == batch twin on the same corpus, per (band, pair)
+    val batchPairs = Streams.lshNearDupBatch(
+        Seq((10L, textA), (11L, textB), (12L, textA), (13L, textC)).toDF("doc_id", "text"),
+        "doc_id", "text", tau = 0.9)
+      .select($"band_key", $"id_a", $"id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val streamTriples = got.select($"band_key", $"id_a", $"id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamTriples == batchPairs, "stream pairs must equal the batch twin's")
+
+    // hot-bucket dormancy: 5 identical docs, cap 2 — only the pre-cap
+    // pair emits, the flood never produces quadratic output
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_lshflood")
+    val tmp2 = java.nio.file.Files.createTempDirectory("graft_lshflood_tmp")
+    (1 to 5).map(i => (i.toLong, textA)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(tmp2.toString)
+    val p2 = new java.io.File(tmp2.toString).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(p2.toPath, dir2.resolve("b1.parquet"))
+    val q2 = Streams.lshNearDupStream(
+        spark.readStream.schema(schema).parquet(dir2.toString),
+        "doc_id", "text", tau = 0.9, maxBucketSize = 2)
+      .writeStream.outputMode("append").format("memory").queryName("lsh_flood").start()
+    q2.processAllAvailable()
+    q2.stop()
+    val floodPairs = spark.table("lsh_flood").select($"id_a", $"id_b").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(floodPairs == Set((1L, 2L)),
+      s"capped bucket must emit only the pre-cap pair, got $floodPairs")
+  }
+
   test("foreachBatch gold maintenance into DELTA: SetTransaction makes checkpoint-less replay a no-op") {
     import org.apache.spark.sql.functions._
     val srcDir = java.nio.file.Files.createTempDirectory("graft_golddl_src")
