@@ -251,6 +251,16 @@ object DeltaWrite {
       if (lastTxnVersion(spark, table, appId).exists(_ >= ver)) return None
     }
     val staged = stage(df, table, partitionBy)
+    // any rejection below (drift, race exhaustion) must not leak the
+    // staged files into the table root until a vacuum sweeps them
+    try commitStaged(df, table, partitionBy, replaceExisting, txn, staged, maxRetries)
+    catch { case e: Throwable => dropStaged(table, staged); throw e }
+  }
+
+  private def commitStaged(df: DataFrame, table: String, partitionBy: Seq[String],
+      replaceExisting: Boolean, txn: Option[(String, Long)],
+      staged: Seq[Staged], maxRetries: Int): Option[Long] = {
+    val spark = df.sparkSession
     var attempt = 0
     while (attempt < maxRetries) {
       val exists = tableExists(table)
@@ -295,7 +305,7 @@ object DeltaWrite {
       if (tryPublish(table, v, header ++ txns ++ removes ++ adds)) return Some(v)
       attempt += 1 // lost the CAS race: re-resolve version and retry
     }
-    dropStaged(table, staged)
+    // caller (commit) drops the staged files on any throw
     throw new IllegalStateException(
       s"DeltaWrite: lost the commit race on $table $maxRetries times")
   }

@@ -60,6 +60,11 @@ class DeltaWriteSpec extends SparkTestBase {
       val drifted = (1 to 3).map(i => (i.toLong, i * 2.0)).toDF("id", "score")
       val e = intercept[IllegalArgumentException](DeltaWrite.append(drifted, t))
       assert(e.getMessage.contains("schema drift") && e.getMessage.contains("score"))
+      // the rejected batch's staged files must NOT linger in the root
+      val live = DeltaRead.snapshot(spark, t).files.map(_.path).toSet
+      val onDisk = Files.list(Paths.get(t)).iterator().asScala
+        .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSet
+      assert(onDisk == live, s"drift rejection leaked staged files: ${onDisk -- live}")
     } finally cleanup(t)
   }
 
