@@ -778,9 +778,127 @@ object CurationQueries {
             |       count(*) FILTER (WHERE score >= 0.0) AS n_kept
             |FROM ds GROUP BY lang ORDER BY lang""".stripMargin))
 
+  /** q187 — classifier calibration audit (reliability bins + expected
+    * calibration error): q185 GATES on classifier scores; this audits
+    * whether those scores can be trusted as probabilities — the check
+    * a pipeline runs before it lets a model-based filter drop corpus
+    * mass. conf = score + 0.5 maps the linear score to [0,1]; the
+    * reference label is a deterministic hash-noised decision correlated
+    * with the score (a trained classifier's eval labels would load
+    * into the same plan shape). Ten confidence deciles; per-bin mean
+    * confidence vs empirical positive rate, |gap|, and the n-weighted
+    * ECE attached to every row via a 1-row broadcast cross join.
+    * Shuffle profile: per-doc score shuffles (doc_id, partial sums)
+    * off the token scan; bins are a 10-row aggregate; ECE is a
+    * single-row broadcast — nothing wide moves.
+    */
+  val q187Calibration = GQuery(
+    "q187_calibration",
+    (s, d) => {
+      import s.implicits._
+      val scored = Tables.documents(s, d)
+        .select($"doc_id", explode(TextAnalysis.tokens($"text")).as("w"))
+        .withColumn("wt",
+          (TextAnalysis.tokenHash60($"w") % 1000003L).cast("double") / 1000003.0 - 0.5)
+        .groupBy($"doc_id")
+        .agg(round(avg($"wt"), 6).as("score"))
+      val lab = scored
+        .withColumn("conf", $"score" + 0.5)
+        .withColumn("noise",
+          (TextAnalysis.tokenHash60($"doc_id".cast("string")) % 1000003L)
+            .cast("double") / 1000003.0 - 0.5)
+        .withColumn("label", when($"score" + lit(0.3) * $"noise" >= 0, 1).otherwise(0))
+      val bins = lab
+        .withColumn("bin", least(floor($"conf" * 10), lit(9L)))
+        .groupBy($"bin")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg($"conf"), 6).as("avg_conf"),
+          round(avg($"label".cast("double")), 6).as("pos_rate"))
+        .withColumn("gap", round(abs($"avg_conf" - $"pos_rate"), 6))
+      val ece = bins.agg(
+        round(sum($"n_docs" * $"gap") / sum($"n_docs").cast("double"), 6).as("ece"))
+      bins.crossJoin(broadcast(ece))
+        .select($"bin", $"n_docs", $"avg_conf", $"pos_rate", $"gap", $"ece")
+        .orderBy($"bin")
+    },
+    Some(s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
+            |ds AS (SELECT doc_id,
+            |         round(avg(CAST(${h60of("w")} % 1000003 AS DOUBLE) / 1000003.0 - 0.5), 6)
+            |           AS score
+            |       FROM toks GROUP BY doc_id),
+            |lab AS (SELECT doc_id, score + 0.5 AS conf,
+            |          CASE WHEN score + 0.3 *
+            |            (CAST(${h60of("CAST(doc_id AS VARCHAR)")} % 1000003 AS DOUBLE)
+            |             / 1000003.0 - 0.5) >= 0 THEN 1 ELSE 0 END AS label
+            |        FROM ds),
+            |bins AS (SELECT LEAST(CAST(floor(conf * 10) AS BIGINT), 9) AS bin,
+            |                count(*) AS n_docs,
+            |                round(avg(conf), 6) AS avg_conf,
+            |                round(avg(CAST(label AS DOUBLE)), 6) AS pos_rate
+            |         FROM lab GROUP BY 1),
+            |bg AS (SELECT bin, n_docs, avg_conf, pos_rate,
+            |              round(abs(avg_conf - pos_rate), 6) AS gap FROM bins),
+            |e AS (SELECT round(sum(n_docs * gap) / CAST(sum(n_docs) AS DOUBLE), 6) AS ece
+            |      FROM bg)
+            |SELECT bin, n_docs, avg_conf, pos_rate, gap, ece
+            |FROM bg CROSS JOIN e ORDER BY bin""".stripMargin))
+
+  /** q188 — padding-waste audit for length-bucketed batch construction:
+    * the op a training-data pipeline runs when choosing batching
+    * strategy. Documents fall into 64-token length buckets (the
+    * dynamic-batching bucket plan); per bucket, the tokens wasted by
+    * padding every member to the bucket cap, vs the single-row naive
+    * figure (pad everything to the global max — one global batch
+    * shape). Length is computed in the scan stage; only (bucket,
+    * partial count/sum) shuffles, and the global aggregate is a 1-row
+    * broadcast cross join.
+    */
+  val q188PaddingWaste = GQuery(
+    "q188_padding_waste",
+    (s, d) => {
+      import s.implicits._
+      val lens = Tables.documents(s, d)
+        .select($"doc_id", size(TextAnalysis.tokens($"text")).cast("long").as("tok_len"))
+      val bins = lens
+        .withColumn("bucket", floor($"tok_len" / lit(64)))
+        .withColumn("cap", ($"bucket" + 1) * 64)
+        .groupBy($"bucket", $"cap")
+        .agg(count(lit(1)).as("n_docs"), sum($"tok_len").as("sum_tokens"))
+        .withColumn("padded_tokens", $"n_docs" * $"cap")
+        .withColumn("waste_pct",
+          round(($"padded_tokens" - $"sum_tokens").cast("double") /
+            $"padded_tokens".cast("double") * 100, 4))
+      val naive = lens.agg(
+        (count(lit(1)) * max($"tok_len")).as("np"), sum($"tok_len").as("st"))
+        .select(round(($"np" - $"st").cast("double") /
+          $"np".cast("double") * 100, 4).as("naive_waste_pct"))
+      bins.crossJoin(broadcast(naive))
+        .select($"bucket", $"cap", $"n_docs", $"sum_tokens", $"padded_tokens",
+          $"waste_pct", $"naive_waste_pct")
+        .orderBy($"bucket")
+    },
+    Some(s"""WITH lens AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS tok_len
+            |              FROM documents),
+            |bins AS (
+            |  SELECT bucket, cap, count(*) AS n_docs,
+            |         CAST(sum(tok_len) AS BIGINT) AS sum_tokens,
+            |         CAST(count(*) * cap AS BIGINT) AS padded_tokens
+            |  FROM (SELECT tok_len // 64 AS bucket,
+            |               (tok_len // 64 + 1) * 64 AS cap, tok_len FROM lens)
+            |  GROUP BY bucket, cap),
+            |g AS (SELECT round(CAST(count(*) * max(tok_len) - sum(tok_len) AS DOUBLE) /
+            |             CAST(count(*) * max(tok_len) AS DOUBLE) * 100, 4) AS naive_waste_pct
+            |      FROM lens)
+            |SELECT bucket, cap, n_docs, sum_tokens, padded_tokens,
+            |       round(CAST(padded_tokens - sum_tokens AS DOUBLE) /
+            |             CAST(padded_tokens AS DOUBLE) * 100, 4) AS waste_pct,
+            |       naive_waste_pct
+            |FROM bins CROSS JOIN g ORDER BY bucket""".stripMargin))
+
   val all: Seq[GQuery] = Seq(
     q117ChunkDedup, q118PiiRedaction, q119Contamination, q120DomainStats,
     q121WeightedResample, q122VocabCoverage, q123TrainingOrder, q135BigramLm,
     q150DupNgrams, q151AdaptiveQuality, q152BpePairs, q169DataMixing,
-    q172CorpusRelease, q173VocabOverlap, q182PplBuckets, q185ClassifierGate)
+    q172CorpusRelease, q173VocabOverlap, q182PplBuckets, q185ClassifierGate,
+    q187Calibration, q188PaddingWaste)
 }

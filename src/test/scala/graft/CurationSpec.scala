@@ -62,4 +62,51 @@ class CurationSpec extends SparkTestBase {
     assert(r(0) == "news.example.com")
     assert(r(1) == "")
   }
+
+  test("q187 calibration: bins bounded, conf within bin, ECE is the n-weighted gap") {
+    val rows = graft.queries.CurationQueries.q187Calibration.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ece = rows.head.getDouble(5)
+    rows.foreach { r =>
+      val (bin, n, conf, rate, gap) =
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(bin >= 0 && bin <= 9)
+      assert(conf >= bin / 10.0 - 1e-6 && (bin == 9 || conf < (bin + 1) / 10.0 + 1e-6),
+        s"avg_conf $conf outside bin $bin")
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(math.abs(gap - math.abs(conf - rate)) < 1e-6)
+      assert(r.getDouble(5) == ece, "ECE must be identical on every row")
+    }
+    val n = rows.map(_.getLong(1)).sum
+    val expected = rows.map(r => r.getLong(1) * r.getDouble(4)).sum / n
+    assert(math.abs(ece - expected) < 1e-6, s"ECE $ece != weighted gap $expected")
+  }
+
+  test("q188 padding waste: caps cover lengths, totals reconcile, naive >= bucketed") {
+    import graft.functions.TextAnalysis
+    val rows = graft.queries.CurationQueries.q188PaddingWaste.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val naive = rows.head.getDouble(6)
+    rows.foreach { r =>
+      val (bucket, cap, n, sum, padded, waste) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(cap == (bucket + 1) * 64)
+      assert(padded == n * cap)
+      assert(sum <= padded, "bucket cap must cover every member's length")
+      assert(sum > (cap - 64) * n - n, "members must belong in this bucket")
+      assert(waste >= 0.0 && waste < 100.0)
+    }
+    // every token accounted for exactly once across buckets
+    val totalTokens = Tables.documents(spark, sf)
+      .select(size(TextAnalysis.tokens($"text")).cast("long").as("n"))
+      .agg(sum($"n")).collect()(0).getLong(0)
+    assert(rows.map(_.getLong(3)).sum == totalTokens)
+    // padding to the global max cannot beat bucket-local caps
+    val bucketedWaste = {
+      val padded = rows.map(_.getLong(4)).sum.toDouble
+      (padded - totalTokens) / padded * 100
+    }
+    assert(naive >= bucketedWaste - 1e-9,
+      s"naive $naive should be >= bucketed $bucketedWaste")
+  }
 }
