@@ -489,6 +489,91 @@ object LlmQueries {
          |FROM documents GROUP BY 1, 2""".stripMargin
     })
 
+  /** q189 — leakage-guarded dataset split: q84's hash split applied
+    * per-document leaks near-duplicates across train/test (a pair with
+    * one member in each split inflates eval scores). The cluster-aware
+    * variant splits by the near-dup COMPONENT label (q83's transitive
+    * groups; singletons label themselves), so a whole dup-cluster lands
+    * in one split by construction. Output compares both schemes per
+    * split — doc counts plus the straddling-pair audit, which must be
+    * zero for every cluster_aware row (asserted in spec, and the green
+    * oracle row pins the exact straddle counts of the naive scheme).
+    * Scale: labels come from pointer-jumping CC; split membership is a
+    * pure hash of an 8-byte label; the audit joins 8-byte ids only.
+    */
+  val q189LeakageSplit = GQuery(
+    "q189_leakage_split",
+    (s, d) => {
+      import s.implicits._
+      val corpus = perturbedCorpus(s, d)
+      val pairs = Similarity.nearDupPairs(corpus, dim = 64, bits = 12, threshold = 0.99)
+      val cc = Dedup.connectedComponents(pairs)
+      val labeled = corpus.select($"vec_id")
+        .join(cc.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+        .select($"vec_id", coalesce($"label", $"vec_id").as("group_label"))
+      val asg = labeled
+        .select(lit("naive").as("scheme"), $"vec_id",
+          graft.operators.Sampling.splitAssign($"vec_id", SplitWeights).as("split"))
+        .unionByName(labeled.select(lit("cluster_aware").as("scheme"), $"vec_id",
+          graft.operators.Sampling.splitAssign($"group_label", SplitWeights).as("split")))
+      val cnt = asg.groupBy($"scheme", $"split").agg(count(lit(1)).as("n_docs"))
+      val straddle = pairs
+        .join(asg.as("x"), $"id_a" === $"x.vec_id")
+        .join(asg.as("y"), $"id_b" === $"y.vec_id" && $"x.scheme" === $"y.scheme")
+        .filter($"x.split" =!= $"y.split")
+        .select($"x.scheme".as("scheme"), $"x.split".as("split"))
+        .groupBy($"scheme", $"split")
+        .agg(count(lit(1)).as("n_straddling_pairs"))
+      cnt.join(straddle, Seq("scheme", "split"), "left")
+        .select($"scheme", $"split", $"n_docs",
+          coalesce($"n_straddling_pairs", lit(0L)).as("n_straddling_pairs"))
+        .orderBy($"scheme", $"split")
+    },
+    Some {
+      val cuts = SplitWeights.scanLeft(0L) { case (a, (_, w)) => a + math.round(w * 10000) }.tail
+      def whens(keyExpr: String): String = {
+        val bucket = graft.operators.Sampling.hashBucketSql(keyExpr, 10000)
+        SplitWeights.map(_._1).zip(cuts)
+          .map { case (name, hi) => s"WHEN $bucket < $hi THEN '$name'" }.mkString(" ")
+      }
+      s"""WITH RECURSIVE corpus AS (
+         |  $PerturbedCorpusSql),
+         |buck AS (SELECT vec_id, v, ${bucketSql("v", 12)} AS bucket FROM corpus),
+         |rawpairs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    round(
+         |      list_sum(list_transform(range(1, 65), i -> a.v[i]*b.v[i])) /
+         |      (sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i]*a.v[i]))) *
+         |       sqrt(list_sum(list_transform(range(1, 65), i -> b.v[i]*b.v[i])))), 4) AS sim
+         |  FROM buck a JOIN buck b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |filt AS (SELECT id_a, id_b FROM rawpairs WHERE sim >= 0.99),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM filt
+         |          UNION SELECT id_b, id_a FROM filt),
+         |reach(a, b) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+         |labels AS (SELECT a AS id, least(a, min(b)) AS lab FROM reach GROUP BY a),
+         |labeled AS (SELECT c.vec_id, coalesce(l.lab, c.vec_id) AS group_label
+         |            FROM corpus c LEFT JOIN labels l ON c.vec_id = l.id),
+         |asg AS (
+         |  SELECT 'naive' AS scheme, vec_id,
+         |         CASE ${whens("vec_id")} ELSE NULL END AS split FROM labeled
+         |  UNION ALL
+         |  SELECT 'cluster_aware' AS scheme, vec_id,
+         |         CASE ${whens("group_label")} ELSE NULL END AS split FROM labeled),
+         |cnt AS (SELECT scheme, split, count(*) AS n_docs FROM asg GROUP BY 1, 2),
+         |str AS (SELECT x.scheme AS scheme, x.split AS split,
+         |               count(*) AS n_straddling_pairs
+         |        FROM filt p JOIN asg x ON p.id_a = x.vec_id
+         |                    JOIN asg y ON p.id_b = y.vec_id AND y.scheme = x.scheme
+         |        WHERE x.split <> y.split GROUP BY 1, 2)
+         |SELECT c.scheme, c.split, c.n_docs,
+         |       coalesce(s.n_straddling_pairs, 0) AS n_straddling_pairs
+         |FROM cnt c LEFT JOIN str s ON c.scheme = s.scheme AND c.split = s.split
+         |ORDER BY c.scheme, c.split""".stripMargin
+    })
+
   /** Salted join for hot-key skew: same semantics as q16's broadcast
     * lookup (the oracle is identical) but with the key split
     * saltFactor-ways — the shape used when the build side is too big
@@ -1073,7 +1158,8 @@ object LlmQueries {
     q40DedupExactStats, q41DedupExactKeep, q42MinhashLsh, q43Simhash,
     q44NgramJaccard, q45CosineTopk, q46Centroids, q47LshBuckets,
     q55BpeTokens, q56IvfAnn, q57SaltedJoin, q77EmbeddingNearDup, q80IvfKmeans,
-    q82NearDupMulti, q83NearDupGroups, q84DatasetSplits, q140Sq8Ann,
+    q82NearDupMulti, q83NearDupGroups, q84DatasetSplits, q189LeakageSplit,
+    q140Sq8Ann,
     q144PrefixJoin, q154AnnRecall, q156IncrementalLsh, q157DriftMatrix,
     q174LshBucketCap, q175Sq8Codes, q178IvfIndex, q181SemanticDedup,
     q183PqAnn, q186HardNegatives)

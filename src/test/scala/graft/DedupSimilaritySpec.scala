@@ -465,4 +465,17 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(full.filter($"cell_id" === 0 && !$"kept").count() == 29)
   }
 
+  test("q189 cluster-aware split never straddles a near-dup pair") {
+    val rows = graft.queries.LlmQueries.q189LeakageSplit.run(spark, sf).collect()
+    val bySplit = rows.groupBy(_.getString(0))
+    assert(bySplit.keySet == Set("naive", "cluster_aware"))
+    // the guard property: zero leaked pairs under the cluster-aware scheme
+    bySplit("cluster_aware").foreach { r =>
+      assert(r.getLong(3) == 0, s"cluster_aware leaked pairs in split ${r.getString(1)}")
+    }
+    // both schemes partition the same corpus
+    assert(bySplit("naive").map(_.getLong(2)).sum ==
+      bySplit("cluster_aware").map(_.getLong(2)).sum)
+  }
+
 }
