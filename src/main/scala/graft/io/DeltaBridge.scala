@@ -34,7 +34,12 @@ object DeltaBridge {
     val latest = TxLog.currentSnapshot(txTable)
     require(latest.version > 0, s"$txTable has no committed versions to export")
 
-    val snapshots = (1L to latest.version).map(v => TxLog.snapshotAt(txTable, v))
+    // TxLog.vacuum deletes old MANIFESTS as well as data files — skip
+    // versions whose manifest is gone instead of crashing on them
+    val snapshots = (1L to latest.version).flatMap { v =>
+      try Some(TxLog.snapshotAt(txTable, v))
+      catch { case _: IllegalArgumentException => None }
+    }
     // earliest version whose files all survive (vacuum reclaims old ones)
     val intact = snapshots.dropWhile(
       _.files.exists(f => !Files.exists(Paths.get(txTable, f))))

@@ -346,7 +346,9 @@ object DeltaWrite {
       val now = System.currentTimeMillis()
       val staged = groups.map { case (pv, fs) =>
         val df = spark.read.parquet(fs.map(f => Paths.get(table, f.path).toString): _*)
-        val tmpDir = Files.createTempDirectory("graft_deltacompact_")
+        // stage INSIDE the table root (like stage()): a system temp dir
+        // may sit on a different filesystem, where ATOMIC_MOVE throws
+        val tmpDir = Paths.get(table, s"_staging-${UUID.randomUUID()}")
         df.coalesce(1).write.mode("overwrite").parquet(tmpDir.toString)
         val part = Files.list(tmpDir).iterator().asScala
           .find(_.getFileName.toString.endsWith(".parquet")).get
@@ -374,16 +376,22 @@ object DeltaWrite {
     * writers' staged-then-abandoned part files and files removed by
     * [[overwrite]]. Same safety contract as [[TxLog.vacuum]]:
     * `retentionMs` (Delta-style retention window) protects files a
-    * concurrent writer has staged but not yet committed, so only run
-    * with `retentionMs = 0` when all writers are quiesced. Time travel
-    * to versions whose files are vacuumed stops working — that is the
-    * Delta trade too. Returns the number of files deleted. */
+    * concurrent writer has staged but not yet committed, AND — like
+    * real Delta — files whose `remove` action is younger than the
+    * window (measured from the commit's `deletionTimestamp`, not file
+    * mtime, so a reader that resolved a pre-overwrite snapshot keeps
+    * its files for the full window regardless of when they were
+    * written). Only run with `retentionMs = 0` when all writers AND
+    * readers are quiesced. Time travel to versions whose files are
+    * vacuumed stops working — that is the Delta trade too. Returns the
+    * number of files deleted. */
   def vacuum(spark: SparkSession, table: String, retentionMs: Long = 60L * 60 * 1000): Int = {
     val v = DeltaRead.latestVersion(table)
     val live = DeltaRead.snapshotAt(spark, table, v).files
       .map(f => Paths.get(table, f.path).normalize()).toSet
     val cutoff = System.currentTimeMillis() - retentionMs
     val root = Paths.get(table)
+    val recentlyRemoved = recentRemovePaths(table, cutoff)
     var deleted = 0
     val st = Files.walk(root)
     try {
@@ -393,12 +401,45 @@ object DeltaWrite {
           && !p.startsWith(root.resolve("_delta_log"))
           && !p.getFileName.toString.startsWith("_")
           && !live(p.normalize())
+          && !recentlyRemoved(p.normalize())
           && Files.getLastModifiedTime(p).toMillis < cutoff)
         .toList // materialize before deleting out from under the walk
         .foreach { p => Files.deleteIfExists(p); deleted += 1 }
     } finally st.close()
     // reclaim staging dirs a crashed writer abandoned (stage() removes
     // its own dir on success), same age guard
+    reclaimStaging(root, cutoff)
+    deleted
+  }
+
+  /** Paths whose `remove` action committed inside the retention window
+    * (deletionTimestamp >= cutoff, or missing — conservative). Commits
+    * truncated past a checkpoint are fine: their removals predate the
+    * checkpoint and fall back to the mtime guard. */
+  private def recentRemovePaths(table: String, cutoff: Long): Set[Path] = {
+    val ld = logDir(table)
+    if (!Files.isDirectory(ld)) return Set.empty
+    val st = Files.list(ld)
+    try st.iterator().asScala
+      .filter(_.getFileName.toString.matches("""\d{20}\.json"""))
+      .flatMap(p => Files.readAllLines(p).asScala)
+      .flatMap { line =>
+        val r = try mapper.readTree(line).get("remove") catch { case _: Exception => null }
+        if (r == null || r.get("path") == null) None
+        else if (r.get("deletionTimestamp") == null
+          || r.get("deletionTimestamp").asLong() >= cutoff)
+          Some(Paths.get(table, decodeActionPath(r.get("path").asText)).normalize())
+        else None
+      }.toSet
+    finally st.close()
+  }
+
+  /** Decode the per-segment URI encoding [[addAction]]/[[removeAction]]
+    * apply on the wire (DeltaRead.decodePath's twin). */
+  private def decodeActionPath(p: String): String =
+    try new java.net.URI(p).getPath catch { case _: Exception => p }
+
+  private def reclaimStaging(root: Path, cutoff: Long): Unit = {
     val ls = Files.list(root)
     try {
       ls.iterator().asScala
@@ -408,7 +449,6 @@ object DeltaWrite {
         .toList
         .foreach(p => org.apache.commons.io.FileUtils.deleteDirectory(p.toFile))
     } finally ls.close()
-    deleted
   }
 
   /** Checkpoint schema: the action columns [[DeltaRead]] (and any
@@ -466,13 +506,17 @@ object DeltaWrite {
     val rows = Seq(protoRow, metaRow) ++ addRows ++ txnRows
     val cpDf = spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), CheckpointSchema)
-    val stagedDir = Files.createTempDirectory("graft_deltacp_")
+    // stage inside the table root so the final move is an atomic
+    // same-filesystem rename — a cross-fs copy+delete would let a
+    // concurrent reader open a partially-copied checkpoint parquet
+    val stagedDir = Paths.get(table, s"_staging-${UUID.randomUUID()}")
     cpDf.coalesce(1).write.mode("overwrite").parquet(stagedDir.toString)
     val part = Files.list(stagedDir).iterator().asScala
       .find(_.getFileName.toString.endsWith(".parquet"))
       .getOrElse(throw new IllegalStateException("checkpoint write produced no parquet"))
     val dest = logDir(table).resolve(f"$v%020d.checkpoint.parquet")
-    Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+    Files.move(part, dest,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     org.apache.commons.io.FileUtils.deleteDirectory(stagedDir.toFile)
     Files.write(logDir(table).resolve("_last_checkpoint"),
       Seq(s"""{"version":$v,"size":${rows.size}}""").asJava)

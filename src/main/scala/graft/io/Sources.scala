@@ -100,12 +100,17 @@ class HttpPagedSource(baseUrl: String, endpoint: String,
 }
 
 object HttpPagedSource {
+  /** Shared, thread-safe after config (Jackson's documented contract);
+    * per-page construction would churn one of Jackson's most expensive
+    * objects on the executor hot path. */
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
   /** The reference's envelope-tolerant record extraction: bare array |
     * {"data":[..]} | {"<endpoint>":[..]} → one compact JSON string per
     * record (the shape [[Ingest.ingest]] parses with from_json). */
   def extractRecords(body: String, endpoint: String): Seq[String] = {
     import scala.jdk.CollectionConverters._
-    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+    val root = mapper.readTree(body)
     val arr =
       if (root.isArray) root
       else if (root.has("data") && root.get("data").isArray) root.get("data")
@@ -129,7 +134,10 @@ object PagedSourceConf {
         endpoint = spark.conf.get("spark.graft.source.endpoint"),
         offsetParam = spark.conf.get("spark.graft.source.offsetParam", "offset"),
         limitParam = spark.conf.get("spark.graft.source.limitParam", "limit"))
-      case _ => new FileBackedSource(spark.conf.get("spark.graft.source.path"))
+      case "file" => new FileBackedSource(spark.conf.get("spark.graft.source.path"))
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.source.mode=$other — expected 'file' or 'http' " +
+          "(a typo here must not silently ingest local fixtures)")
     }
 }
 

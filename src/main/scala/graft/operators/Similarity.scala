@@ -147,8 +147,13 @@ object Similarity {
     * cannot diverge on a 1-ulp boundary. */
   def semanticDedup(corpus: DataFrame, centroids: DataFrame, tau: Double,
       maxCellSize: Int = Int.MaxValue): DataFrame = {
+    // persisted: the cell assignment (a corpus-scan × centroid
+    // broadcast — the dominant cost at scale) feeds both sides of the
+    // pair join, the hot-cell aggregate, and the output join; without
+    // the cache it would recompute up to four times in one action
     val assigned = corpus.join(nearestCells(corpus, centroids, 1), "vec_id")
       .select(col("vec_id"), col("cell_id"), asDouble(col("embedding")).as("__v"))
+      .persist()
     val eligible =
       if (maxCellSize == Int.MaxValue) assigned
       else {
@@ -242,6 +247,19 @@ object Similarity {
   def pqTopK(queries: DataFrame, codes: DataFrame, codebooks: DataFrame,
       k: Int, m: Int, dim: Int, codesPerSub: Int): DataFrame = {
     val subDim = dim / m
+    // ADC indexes the sorted LUT positionally (s*codesPerSub + c): any
+    // gap, offset, or overflow in the code space reads a NEIGHBORING
+    // subspace's distances and silently corrupts every ranking — the
+    // codebook is tiny, so refuse loudly up front instead
+    val badSubs = codebooks.groupBy(col("sub"))
+      .agg(countDistinct(col("code")).as("__n"),
+        min(col("code")).as("__mn"), max(col("code")).as("__mx"))
+      .filter(col("__n") =!= codesPerSub || col("__mn") =!= 0 ||
+        col("__mx") =!= codesPerSub - 1)
+      .count()
+    require(badSubs == 0,
+      s"pqTopK: every subspace's codes must be the dense set 0..${codesPerSub - 1} " +
+        "(ADC looks distances up by position)")
     val lut = queries
       .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("__qv"),
         explode(sequence(lit(0), lit(m - 1))).as("sub"))

@@ -396,6 +396,52 @@ class DeltaWriteSpec extends SparkTestBase {
     } finally { cleanup(tx); cleanup(dl) }
   }
 
+  test("vacuum retention is measured from the REMOVE commit, not file mtime") {
+    val t = newTable()
+    try {
+      DeltaWrite.append((1 to 10).map(i => (i.toLong, s"a$i")).toDF("id", "txt"), t)
+      val v0Files = DeltaRead.snapshot(spark, t).files.map(_.path)
+      DeltaWrite.overwrite((1 to 5).map(i => (i.toLong, s"b$i")).toDF("id", "txt"), t)
+      // v0's files were WRITTEN long ago (backdated mtime) but removed
+      // seconds ago — a reader holding the v0 snapshot is still inside
+      // its retention window, so they must survive
+      val old = java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 24L * 3600 * 1000)
+      v0Files.foreach(f => Files.setLastModifiedTime(Paths.get(t, f), old))
+      DeltaWrite.vacuum(spark, t, retentionMs = 60000)
+      v0Files.foreach(f => assert(Files.exists(Paths.get(t, f)),
+        s"$f removed 1s ago was vacuumed out from under a v0 reader"))
+      assert(DeltaRead.readVersion(spark, t, 0).count() == 10)
+      // quiesced (retention 0) reclaim still works
+      assert(DeltaWrite.vacuum(spark, t, retentionMs = 0) >= 1)
+    } finally cleanup(t)
+  }
+
+  test("DeltaBridge exports a vacuumed TxLog starting at the surviving version") {
+    import graft.io.{DeltaBridge, TxLog}
+    val tx = newTable(); val dl = Files.createTempDirectory("deltabridge_vac").toString
+    try {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dl))
+      val mk = (lo: Int, hi: Int) => (lo to hi).map(i => (i.toLong, s"r$i")).toDF("id", "txt")
+      TxLog.appendNew(mk(1, 10), tx, Seq("id"))   // tx v1
+      TxLog.appendNew(mk(11, 20), tx, Seq("id"))  // tx v2
+      TxLog.appendNew(mk(21, 30), tx, Seq("id"))  // tx v3
+      // age everything so the retention window does not protect it,
+      // then vacuum down to the latest 2 versions (v1's manifest dies)
+      val old = java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 24L * 3600 * 1000)
+      val walk = Files.walk(Paths.get(tx))
+      try walk.iterator().asScala.filter(Files.isRegularFile(_))
+        .foreach(p => Files.setLastModifiedTime(p, old))
+      finally walk.close()
+      TxLog.vacuum(tx, keepVersions = 2, retentionMs = 0)
+      val nCommits = DeltaBridge.exportTxLog(spark, tx, dl)
+      assert(nCommits == 2, s"expected the 2 surviving versions, got $nCommits")
+      assert(DeltaRead.read(spark, dl).count() == 30)
+      assert(DeltaRead.readVersion(spark, dl, 0).count() == 20) // tx v2
+    } finally { cleanup(tx); cleanup(dl) }
+  }
+
   test("concurrent appenders serialize through the commit CAS (no lost updates)") {
     val t = newTable()
     try {

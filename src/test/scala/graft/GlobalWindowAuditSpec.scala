@@ -35,7 +35,11 @@ class GlobalWindowAuditSpec extends SparkTestBase {
     var benign = 0
     plan.foreach {
       case w: Window if w.partitionSpec.isEmpty =>
-        val limited = w.child.exists {
+        // the Limit must bound the window's DIRECT input (through
+        // row-preserving nodes only) — `exists` over the whole subtree
+        // would bless a window over a join that merely CONTAINS a
+        // limited side, whose output is unbounded again
+        val limited = inputThroughProjections(w.child) match {
           case _: GlobalLimit | _: LocalLimit => true
           case _ => false
         }
@@ -72,5 +76,28 @@ class GlobalWindowAuditSpec extends SparkTestBase {
       .withColumn("rn", row_number().over(W.orderBy($"doc_id")))
     val (off, _) = audit("probe", df.queryExecution.optimizedPlan)
     assert(off.nonEmpty, "an unpartitioned window over a raw scan must be flagged")
+  }
+
+  test("a limit buried inside a join does not bless the window above it") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions._
+    val big = Tables.documents(spark, sf).select($"doc_id", $"lang")
+    val smallSide = Tables.documents(spark, sf).select($"lang").limit(5)
+    val df = big.join(smallSide, "lang")
+      .withColumn("rn", row_number().over(W.orderBy($"doc_id")))
+    val (off, _) = audit("probe", df.queryExecution.optimizedPlan)
+    assert(off.nonEmpty,
+      "a global window over a join output is unbounded even when one join side is limited")
+  }
+
+  test("a window directly over a limit stays benign") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions._
+    val df = Tables.documents(spark, sf).select($"doc_id").limit(100)
+      .withColumn("rn", row_number().over(W.orderBy($"doc_id")))
+    val (off, benign) = audit("probe", df.queryExecution.optimizedPlan)
+    assert(off.isEmpty && benign == 1)
   }
 }
