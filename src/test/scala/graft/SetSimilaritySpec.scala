@@ -46,6 +46,32 @@ class SetSimilaritySpec extends SparkTestBase {
     assert(got(0.6) == 3L)
   }
 
+  test("strategies agree on randomized corpora across vocab sizes and taus (property)") {
+    // deterministic pseudo-random corpora spanning the dense (≤62) and
+    // prefix (>62) regimes, including the boundary — the two paths
+    // share NO code beyond the band formula, so agreement on arbitrary
+    // set families is the strongest exactness evidence available
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 6) {
+      val vocab = Seq(5, 20, 62, 63, 70, 11)(trial)
+      val nDocs = 12 + rnd.nextInt(18)
+      val docs = (1 to nDocs).map { i =>
+        val sz = 1 + rnd.nextInt(math.min(vocab, 8))
+        val toks = Seq.fill(sz)(s"v${rnd.nextInt(vocab)}").distinct
+        (i.toLong, toks.mkString(" "))
+      }.toDF("doc_id", "text")
+      val toks = docs.select($"doc_id",
+          array_distinct(TextAnalysis.tokens($"text")).as("t"))
+        .where(size($"t") > 0)
+      for (tau <- Seq(0.3, 0.5, 0.7)) {
+        val dense = bands(SetSimilarity.denseBandsForTest(toks, tau))
+        val prefix = bands(SetSimilarity.prefixBandsForTest(toks, tau))
+        assert(dense == prefix,
+          s"strategy divergence: trial=$trial vocab=$vocab tau=$tau")
+      }
+    }
+  }
+
   test("dispatcher: tiny vocab routes dense; >62-token vocab routes prefix (still exact)") {
     // 100 distinct tokens => masks cannot fit a long; the dispatcher
     // must pick the prefix join and the result must still be exact
