@@ -507,9 +507,16 @@ object LlmQueries {
       import s.implicits._
       val corpus = perturbedCorpus(s, d)
       val pairs = Similarity.nearDupPairs(corpus, dim = 64, bits = 12, threshold = 0.99)
-      val cc = Dedup.connectedComponents(pairs)
+      // labels cover only docs appearing in a pair and the pair set is
+      // LSH-verify-bounded — both orders of magnitude smaller than the
+      // corpus. CC's output is localCheckpoint'd (no Catalyst size
+      // estimate, so maybeBroadcast can't see it), but it is already
+      // materialized: an exact count decides the hint for free, and a
+      // pathological dup rate degrades to the shuffle join
+      val cc = Dedup.connectedComponents(pairs).withColumnRenamed("id", "vec_id")
+      val ccHinted = if (cc.count() <= 5000000L) broadcast(cc) else cc
       val labeled = corpus.select($"vec_id")
-        .join(cc.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+        .join(ccHinted, Seq("vec_id"), "left")
         .select($"vec_id", coalesce($"label", $"vec_id").as("group_label"))
       val asg = labeled
         .select(lit("naive").as("scheme"), $"vec_id",
@@ -517,7 +524,7 @@ object LlmQueries {
         .unionByName(labeled.select(lit("cluster_aware").as("scheme"), $"vec_id",
           graft.operators.Sampling.splitAssign($"group_label", SplitWeights).as("split")))
       val cnt = asg.groupBy($"scheme", $"split").agg(count(lit(1)).as("n_docs"))
-      val straddle = pairs
+      val straddle = graft.operators.Joins.maybeBroadcast(pairs)
         .join(asg.as("x"), $"id_a" === $"x.vec_id")
         .join(asg.as("y"), $"id_b" === $"y.vec_id" && $"x.scheme" === $"y.scheme")
         .filter($"x.split" =!= $"y.split")
