@@ -895,10 +895,85 @@ object CurationQueries {
             |       naive_waste_pct
             |FROM bins CROSS JOIN g ORDER BY bucket""".stripMargin))
 
+  /** q190 — inter-gate agreement (Cohen's kappa): before a pipeline
+    * swaps its cheap heuristic filter (q36's quality score) for a
+    * model-based one (q185's linear gate), it measures how often the
+    * two agree beyond chance. Per language: observed agreement po,
+    * chance agreement pe from the marginals, kappa = (po−pe)/(1−pe)
+    * (0 when pe = 1 — two constant raters have no chance-corrected
+    * signal). pe is computed from RATIOS, not n² products, so the
+    * arithmetic cannot overflow at corpus scale. Both gate decisions
+    * are scan-side column math; only per-language counts shuffle. */
+  val q190ClassifierKappa = GQuery(
+    "q190_classifier_kappa",
+    (s, d) => {
+      import s.implicits._
+      val tks = TextAnalysis.tokens($"text")
+      val mScore = round(
+        aggregate(
+          transform(tks, w =>
+            (TextAnalysis.tokenHash60(w) % 1000003L).cast("double") / 1000003.0 - 0.5),
+          lit(0.0), (acc, x) => acc + x) / size(tks).cast("double"), 6)
+      val gated = Tables.documents(s, d)
+        .where(size(tks) > 0)
+        .select($"lang",
+          when(TextAnalysis.qualityScore($"text") >= 0.5, 1).otherwise(0).as("h"),
+          when(mScore >= 0, 1).otherwise(0).as("m"))
+      val agg = gated.groupBy($"lang").agg(
+        count(lit(1)).as("n_docs"),
+        count(when($"h" === 1 && $"m" === 1, 1)).as("a11"),
+        count(when($"h" === 0 && $"m" === 0, 1)).as("a00"),
+        count(when($"h" === 1, 1)).as("h1"),
+        count(when($"m" === 1, 1)).as("m1"))
+      val po = ($"a11" + $"a00").cast("double") / $"n_docs"
+      val pe = ($"h1".cast("double") / $"n_docs") * ($"m1".cast("double") / $"n_docs") +
+        (($"n_docs" - $"h1").cast("double") / $"n_docs") *
+          (($"n_docs" - $"m1").cast("double") / $"n_docs")
+      agg.select($"lang", $"n_docs",
+          round(po, 6).as("po"), round(pe, 6).as("pe"),
+          when(pe === 1.0, 0.0).otherwise(round((po - pe) / (lit(1.0) - pe), 6)).as("kappa"))
+        .orderBy($"lang")
+    },
+    Some {
+      val sw = TextAnalysis.Stopwords.map("'" + _ + "'").mkString(",")
+      s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+         |d AS (SELECT lang,
+         |  CASE WHEN round(
+         |    0.4 * (len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE))
+         |    + 0.3 * least(5.0 * (len(list_filter(toks, x -> lower(x) IN ($sw))) / CAST(len(toks) AS DOUBLE)), 1.0)
+         |    + 0.3 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0), 4) >= 0.5
+         |    THEN 1 ELSE 0 END AS h,
+         |  CASE WHEN round(list_sum(list_transform(toks, w ->
+         |      CAST(${h60of("w")} % 1000003 AS DOUBLE) / 1000003.0 - 0.5))
+         |      / CAST(len(toks) AS DOUBLE), 6) >= 0
+         |    THEN 1 ELSE 0 END AS m
+         |  FROM t WHERE len(toks) > 0),
+         |agg AS (SELECT lang, count(*) AS n_docs,
+         |  count(*) FILTER (WHERE h = 1 AND m = 1) AS a11,
+         |  count(*) FILTER (WHERE h = 0 AND m = 0) AS a00,
+         |  count(*) FILTER (WHERE h = 1) AS h1,
+         |  count(*) FILTER (WHERE m = 1) AS m1
+         |  FROM d GROUP BY lang)
+         |SELECT lang, n_docs,
+         |  round((a11 + a00) / CAST(n_docs AS DOUBLE), 6) AS po,
+         |  round((CAST(h1 AS DOUBLE) / n_docs) * (CAST(m1 AS DOUBLE) / n_docs)
+         |      + (CAST(n_docs - h1 AS DOUBLE) / n_docs) * (CAST(n_docs - m1 AS DOUBLE) / n_docs), 6) AS pe,
+         |  CASE WHEN (CAST(h1 AS DOUBLE) / n_docs) * (CAST(m1 AS DOUBLE) / n_docs)
+         |      + (CAST(n_docs - h1 AS DOUBLE) / n_docs) * (CAST(n_docs - m1 AS DOUBLE) / n_docs) = 1.0
+         |    THEN 0.0
+         |    ELSE round(((a11 + a00) / CAST(n_docs AS DOUBLE)
+         |      - ((CAST(h1 AS DOUBLE) / n_docs) * (CAST(m1 AS DOUBLE) / n_docs)
+         |         + (CAST(n_docs - h1 AS DOUBLE) / n_docs) * (CAST(n_docs - m1 AS DOUBLE) / n_docs)))
+         |      / (1.0 - ((CAST(h1 AS DOUBLE) / n_docs) * (CAST(m1 AS DOUBLE) / n_docs)
+         |         + (CAST(n_docs - h1 AS DOUBLE) / n_docs) * (CAST(n_docs - m1 AS DOUBLE) / n_docs))), 6)
+         |  END AS kappa
+         |FROM agg ORDER BY lang""".stripMargin
+    })
+
   val all: Seq[GQuery] = Seq(
     q117ChunkDedup, q118PiiRedaction, q119Contamination, q120DomainStats,
     q121WeightedResample, q122VocabCoverage, q123TrainingOrder, q135BigramLm,
     q150DupNgrams, q151AdaptiveQuality, q152BpePairs, q169DataMixing,
     q172CorpusRelease, q173VocabOverlap, q182PplBuckets, q185ClassifierGate,
-    q187Calibration, q188PaddingWaste)
+    q187Calibration, q188PaddingWaste, q190ClassifierKappa)
 }

@@ -63,6 +63,17 @@ class CurationSpec extends SparkTestBase {
     assert(r(1) == "")
   }
 
+  test("q190 kappa: bounded, zero exactly when agreement is at chance") {
+    val rows = graft.queries.CurationQueries.q190ClassifierKappa.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (po, pe, k) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(po >= 0.0 && po <= 1.0 && pe >= 0.0 && pe <= 1.0)
+      assert(k >= -1.0 && k <= 1.0, s"kappa $k out of range")
+      if (math.abs(po - pe) < 1e-9) assert(math.abs(k) < 1e-6)
+    }
+  }
+
   test("q187 calibration: bins bounded, conf within bin, ECE is the n-weighted gap") {
     val rows = graft.queries.CurationQueries.q187Calibration.run(spark, sf).collect()
     assert(rows.nonEmpty)
