@@ -121,6 +121,36 @@ class DeltaWriteSpec extends SparkTestBase {
     } finally cleanup(t)
   }
 
+  test("partition typing: date, boolean and double partition cols roundtrip") {
+    val t = newTable()
+    try {
+      val df = Seq(
+        (1L, java.sql.Date.valueOf("2024-01-15"), true, 1.5),
+        (2L, java.sql.Date.valueOf("2024-01-15"), false, 1.5),
+        (3L, java.sql.Date.valueOf("2025-12-31"), true, -0.25),
+        (4L, null.asInstanceOf[java.sql.Date], false, 0.0)
+      ).toDF("id", "day", "flag", "weight")
+      DeltaWrite.append(df, t, partitionBy = Seq("day", "flag", "weight"))
+      val got = DeltaRead.read(spark, t)
+      import org.apache.spark.sql.types._
+      assert(got.schema("day").dataType == DateType)
+      assert(got.schema("flag").dataType == BooleanType)
+      assert(got.schema("weight").dataType == DoubleType)
+      val back = got.orderBy($"id")
+        .collect().map(r => (r.getLong(0), Option(r.getDate(1)).map(_.toString),
+          r.getBoolean(2), r.getDouble(3)))
+      assert(back.toSeq == Seq(
+        (1L, Some("2024-01-15"), true, 1.5),
+        (2L, Some("2024-01-15"), false, 1.5),
+        (3L, Some("2025-12-31"), true, -0.25),
+        (4L, None, false, 0.0)))
+      // typed partition pruning still reaches the scan
+      assert(got.filter($"day" === "2024-01-15").count() == 2)
+      assert(got.filter($"flag" && $"weight" > 0).count() == 1) // id 1 only
+      assert(got.filter($"day".isNull).count() == 1)            // id 4
+    } finally cleanup(t)
+  }
+
   test("checkpoint: reader resolves checkpoint-then-tail with the JSON prefix deleted") {
     val t = newTable()
     try {
