@@ -148,6 +148,22 @@ class DeltaWriteSpec extends SparkTestBase {
       assert(got.filter($"day" === "2024-01-15").count() == 2)
       assert(got.filter($"flag" && $"weight" > 0).count() == 1) // id 1 only
       assert(got.filter($"day".isNull).count() == 1)            // id 4
+      // timestamp partition values carry colons → Hive %3A escaping in
+      // the dir name, decoded at stage, cast back via schemaString
+      val t2 = newTable()
+      try {
+        val ts = Seq(
+          (1L, java.sql.Timestamp.valueOf("2024-01-15 10:30:00")),
+          (2L, java.sql.Timestamp.valueOf("2024-01-15 10:30:00")),
+          (3L, java.sql.Timestamp.valueOf("2024-06-01 23:59:59"))
+        ).toDF("id", "hour")
+        DeltaWrite.append(ts, t2, partitionBy = Seq("hour"))
+        val g2 = DeltaRead.read(spark, t2)
+        assert(g2.schema("hour").dataType ==
+          org.apache.spark.sql.types.TimestampType)
+        assert(g2.filter($"hour" === "2024-01-15 10:30:00").count() == 2)
+        assert(g2.select($"hour".cast("string")).distinct().count() == 2)
+      } finally cleanup(t2)
     } finally cleanup(t)
   }
 
