@@ -465,6 +465,20 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(full.filter($"cell_id" === 0 && !$"kept").count() == 29)
   }
 
+  test("pqTopK refuses a non-dense code space (positional ADC would misread the LUT)") {
+    val atomA = Seq(1.0, 0.0, 0.0, 0.0); val atomB = Seq(0.0, 1.0, 0.0, 0.0)
+    // one-based codes: the classic off-by-one a labelCol-derived
+    // codebook can carry — every lookup would shift a subspace
+    val oneBased = Seq(
+      (0, 1, atomA), (0, 2, atomB),
+      (1, 1, atomA), (1, 2, atomB)).toDF("sub", "code", "centroid")
+    val codes = Seq((1L, Seq(1, 2))).toDF("vec_id", "codes")
+    val q = Seq((99L, (atomA ++ atomB))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException](
+      Similarity.pqTopK(q, codes, oneBased, k = 1, m = 2, dim = 8, codesPerSub = 2))
+    assert(e.getMessage.contains("dense set"))
+  }
+
   test("q189 cluster-aware split never straddles a near-dup pair") {
     val rows = graft.queries.LlmQueries.q189LeakageSplit.run(spark, sf).collect()
     val bySplit = rows.groupBy(_.getString(0))
