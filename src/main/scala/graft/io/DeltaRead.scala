@@ -72,7 +72,7 @@ object DeltaRead {
 
   /** Delta `add.path` is a URI-encoded relative path; decode the
     * percent escapes (never `+`-as-space — that is form encoding). */
-  private def decodePath(p: String): String =
+  private[io] def decodePath(p: String): String =
     try new java.net.URI(p).getPath catch { case _: Exception => p }
 
   /** `<v>.checkpoint.<part>.<of>.parquet` — what large writers emit

@@ -350,8 +350,11 @@ object DeltaWrite {
         // may sit on a different filesystem, where ATOMIC_MOVE throws
         val tmpDir = Paths.get(table, s"_staging-${UUID.randomUUID()}")
         df.coalesce(1).write.mode("overwrite").parquet(tmpDir.toString)
-        val part = Files.list(tmpDir).iterator().asScala
-          .find(_.getFileName.toString.endsWith(".parquet")).get
+        val ls = Files.list(tmpDir)
+        val part =
+          try ls.iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet")).get
+          finally ls.close()
         val partDir = fs.head.path.split('/').dropRight(1)
         val relPath = (partDir :+ s"part-${UUID.randomUUID()}.parquet").mkString("/")
         val dest = Paths.get(table).resolve(relPath)
@@ -428,16 +431,14 @@ object DeltaWrite {
         if (r == null || r.get("path") == null) None
         else if (r.get("deletionTimestamp") == null
           || r.get("deletionTimestamp").asLong() >= cutoff)
-          Some(Paths.get(table, decodeActionPath(r.get("path").asText)).normalize())
+          // DeltaRead.decodePath: the SAME decoding the reader applies,
+          // so vacuum's protected set can never diverge from what a
+          // reader resolves
+          Some(Paths.get(table, DeltaRead.decodePath(r.get("path").asText)).normalize())
         else None
       }.toSet
     finally st.close()
   }
-
-  /** Decode the per-segment URI encoding [[addAction]]/[[removeAction]]
-    * apply on the wire (DeltaRead.decodePath's twin). */
-  private def decodeActionPath(p: String): String =
-    try new java.net.URI(p).getPath catch { case _: Exception => p }
 
   private def reclaimStaging(root: Path, cutoff: Long): Unit = {
     val ls = Files.list(root)
@@ -511,9 +512,12 @@ object DeltaWrite {
     // concurrent reader open a partially-copied checkpoint parquet
     val stagedDir = Paths.get(table, s"_staging-${UUID.randomUUID()}")
     cpDf.coalesce(1).write.mode("overwrite").parquet(stagedDir.toString)
-    val part = Files.list(stagedDir).iterator().asScala
-      .find(_.getFileName.toString.endsWith(".parquet"))
-      .getOrElse(throw new IllegalStateException("checkpoint write produced no parquet"))
+    val ls = Files.list(stagedDir)
+    val part =
+      try ls.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException("checkpoint write produced no parquet"))
+      finally ls.close()
     val dest = logDir(table).resolve(f"$v%020d.checkpoint.parquet")
     Files.move(part, dest,
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)

@@ -147,13 +147,17 @@ object Similarity {
     * cannot diverge on a 1-ulp boundary. */
   def semanticDedup(corpus: DataFrame, centroids: DataFrame, tau: Double,
       maxCellSize: Int = Int.MaxValue): DataFrame = {
-    // persisted: the cell assignment (a corpus-scan × centroid
+    // materialized once: the cell assignment (a corpus-scan × centroid
     // broadcast — the dominant cost at scale) feeds both sides of the
     // pair join, the hot-cell aggregate, and the output join; without
-    // the cache it would recompute up to four times in one action
+    // it the scan would recompute up to four times in one action.
+    // localCheckpoint (not persist): its blocks are released by the
+    // ContextCleaner when the frame is GC'd, whereas a CacheManager
+    // entry from persist() pins corpus-sized storage until an explicit
+    // unpersist this API has no hook for.
     val assigned = corpus.join(nearestCells(corpus, centroids, 1), "vec_id")
       .select(col("vec_id"), col("cell_id"), asDouble(col("embedding")).as("__v"))
-      .persist()
+      .localCheckpoint(true)
     val eligible =
       if (maxCellSize == Int.MaxValue) assigned
       else {
@@ -248,18 +252,27 @@ object Similarity {
       k: Int, m: Int, dim: Int, codesPerSub: Int): DataFrame = {
     val subDim = dim / m
     // ADC indexes the sorted LUT positionally (s*codesPerSub + c): any
-    // gap, offset, or overflow in the code space reads a NEIGHBORING
-    // subspace's distances and silently corrupts every ranking — the
-    // codebook is tiny, so refuse loudly up front instead
+    // gap, offset, DUPLICATE, or missing subspace shifts every later
+    // position and silently corrupts the ranking — the codebook is
+    // tiny, so refuse loudly up front instead. count(*) must equal the
+    // distinct count (no duplicate (sub, code) rows), and the subspace
+    // set must be exactly 0..m-1 (a missing sub yields no group row,
+    // which a per-group check alone would never see).
+    val shape = codebooks.agg(
+      countDistinct(col("sub")).as("__nsubs"),
+      min(col("sub")).cast("long").as("__smn"),
+      max(col("sub")).cast("long").as("__smx")).collect()(0)
+    require(shape.getLong(0) == m && shape.getLong(1) == 0L && shape.getLong(2) == m - 1L,
+      s"pqTopK: codebooks must cover exactly subspaces 0..${m - 1}")
     val badSubs = codebooks.groupBy(col("sub"))
-      .agg(countDistinct(col("code")).as("__n"),
+      .agg(count(lit(1)).as("__c"), countDistinct(col("code")).as("__n"),
         min(col("code")).as("__mn"), max(col("code")).as("__mx"))
-      .filter(col("__n") =!= codesPerSub || col("__mn") =!= 0 ||
-        col("__mx") =!= codesPerSub - 1)
+      .filter(col("__c") =!= codesPerSub || col("__n") =!= codesPerSub ||
+        col("__mn") =!= 0 || col("__mx") =!= codesPerSub - 1)
       .count()
     require(badSubs == 0,
       s"pqTopK: every subspace's codes must be the dense set 0..${codesPerSub - 1} " +
-        "(ADC looks distances up by position)")
+        "with no duplicates (ADC looks distances up by position)")
     val lut = queries
       .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("__qv"),
         explode(sequence(lit(0), lit(m - 1))).as("sub"))

@@ -506,15 +506,23 @@ object LlmQueries {
     (s, d) => {
       import s.implicits._
       val corpus = perturbedCorpus(s, d)
+      // materialized once: CC consumes the pair set AND the straddle
+      // audit probes it again — without this the dominant LSH self-join
+      // would run twice in one query
       val pairs = Similarity.nearDupPairs(corpus, dim = 64, bits = 12, threshold = 0.99)
+        .localCheckpoint(true)
       // labels cover only docs appearing in a pair and the pair set is
       // LSH-verify-bounded — both orders of magnitude smaller than the
-      // corpus. CC's output is localCheckpoint'd (no Catalyst size
-      // estimate, so maybeBroadcast can't see it), but it is already
-      // materialized: an exact count decides the hint for free, and a
-      // pathological dup rate degrades to the shuffle join
+      // corpus. localCheckpoint'd frames carry no Catalyst size
+      // estimate (maybeBroadcast can't see them), but they are already
+      // materialized: an exact count decides the hint for free. 1M
+      // (long,long) rows ≈ 16 MB raw — inside the repo's 64 MB
+      // broadcast policy with relation overhead; past it, degrade to
+      // the planner's shuffle join
+      val broadcastRows = 1000000L
+      val nPairs = pairs.count()
       val cc = Dedup.connectedComponents(pairs).withColumnRenamed("id", "vec_id")
-      val ccHinted = if (cc.count() <= 5000000L) broadcast(cc) else cc
+      val ccHinted = if (cc.count() <= broadcastRows) broadcast(cc) else cc
       val labeled = corpus.select($"vec_id")
         .join(ccHinted, Seq("vec_id"), "left")
         .select($"vec_id", coalesce($"label", $"vec_id").as("group_label"))
@@ -524,7 +532,7 @@ object LlmQueries {
         .unionByName(labeled.select(lit("cluster_aware").as("scheme"), $"vec_id",
           graft.operators.Sampling.splitAssign($"group_label", SplitWeights).as("split")))
       val cnt = asg.groupBy($"scheme", $"split").agg(count(lit(1)).as("n_docs"))
-      val straddle = graft.operators.Joins.maybeBroadcast(pairs)
+      val straddle = (if (nPairs <= broadcastRows) broadcast(pairs) else pairs)
         .join(asg.as("x"), $"id_a" === $"x.vec_id")
         .join(asg.as("y"), $"id_b" === $"y.vec_id" && $"x.scheme" === $"y.scheme")
         .filter($"x.split" =!= $"y.split")
