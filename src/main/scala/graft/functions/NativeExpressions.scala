@@ -140,6 +140,38 @@ object NativeHelpers {
     if (denom == 0.0) null else java.lang.Double.valueOf(dot / denom)
   }
 
+  /** PQ Asymmetric Distance Computation: m ordered lookups into a
+    * flattened per-query LUT — lut[s*codesPerSub + codes[s]] summed
+    * sequentially over subspaces s = 0..m-1. Bit-identical to the
+    * declarative `aggregate(zip_with(codes, sequence(0, m-1), (c, s)
+    * => element_at(lut, s*codesPerSub+c+1)), 0.0, _+_)` fold (same
+    * left-to-right accumulation; null input or null element → null).
+    * One defensive divergence (the hyperplaneBucket pattern): an
+    * out-of-range code — impossible past pqTopK's dense-code-space
+    * guard — yields null here where the declarative form's element_at
+    * throws under ANSI. Native because the ADC loop is the scan-side
+    * hot path of the PQ tier: the HOF form evaluates interpreted
+    * lambdas per corpus row, the pattern whose nativization bought
+    * 86× on the MinHash tier. */
+  def adcDistance(codes: ArrayData, lut: ArrayData, codesPerSub: Int,
+      longCodes: Boolean): java.lang.Double = {
+    if (codes == null || lut == null) return null
+    val m = codes.numElements()
+    val n = lut.numElements()
+    var acc = 0.0
+    var s = 0
+    while (s < m) {
+      if (codes.isNullAt(s)) return null
+      val c = if (longCodes) codes.getLong(s).toInt else codes.getInt(s)
+      if (c < 0 || c >= codesPerSub) return null
+      val idx = s * codesPerSub + c
+      if (idx >= n || lut.isNullAt(idx)) return null
+      acc += lut.getDouble(idx)
+      s += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
   /** MinHash universe prime and per-hash-function coefficients — the
     * single source of truth (Dedup and the DuckDB oracle literals both
     * derive from here). */
@@ -591,6 +623,52 @@ case class Sq8CosineExpr(first: Expression, second: Expression,
     copy(first = newFirst, second = newSecond, third = newThird, fourth = newFourth)
 }
 
+/** Codegen'd PQ Asymmetric Distance Computation:
+  * `adc_distance_native(codes array<int|long>, lut array<double>,
+  * codesPerSub)` — the fused scoring loop of the PQ ANN scan (see
+  * NativeHelpers.adcDistance for the arithmetic contract). */
+case class AdcDistanceExpr(left: Expression, right: Expression, codesPerSub: Int)
+    extends BinaryExpression {
+  require(codesPerSub >= 1, s"adc_distance_native: codesPerSub must be >= 1, got $codesPerSub")
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "adc_distance_native"
+
+  // lazy: left.dataType is unresolvable at construction when built
+  // from SQL text (UnresolvedAttribute); by eval/codegen time it is
+  @transient private lazy val longCodes: Boolean = left.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  override protected def nullSafeEval(codes: Any, lut: Any): Any = {
+    val r = NativeHelpers.adcDistance(codes.asInstanceOf[ArrayData],
+      lut.asInstanceOf[ArrayData], codesPerSub, longCodes)
+    if (r == null) null else r.doubleValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aGen = left.genCode(ctx)
+    val bGen = right.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${aGen.code}
+        ${bGen.code}
+        boolean ${ev.isNull} = true;
+        double ${ev.value} = 0.0;
+        if (!${aGen.isNull} && !${bGen.isNull}) {
+          java.lang.Double r = graft.functions.NativeHelpers.adcDistance(
+            ${aGen.value}, ${bGen.value}, $codesPerSub, $longCodes);
+          if (r != null) { ${ev.isNull} = false; ${ev.value} = r.doubleValue(); }
+        }
+      """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): AdcDistanceExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Direct Column wrappers over the native expressions — these work on
   * ANY SparkSession (no FunctionRegistry lookup, so a consumer with a
   * plain session or `spark.newSession()` isn't coupled to
@@ -619,6 +697,8 @@ object Natives {
     toCol(Sq8EncodeExpr(toExpr(v), toExpr(los), toExpr(his)))
   def sq8Cosine(q: Column, codes: Column, los: Column, his: Column): Column =
     toCol(Sq8CosineExpr(toExpr(q), toExpr(codes), toExpr(los), toExpr(his)))
+  def adcDistance(codes: Column, lut: Column, codesPerSub: Int): Column =
+    toCol(AdcDistanceExpr(toExpr(codes), toExpr(lut), codesPerSub))
 }
 
 /** Session registration so the natives are callable from SQL and via
@@ -673,7 +753,10 @@ object NativeRegistry {
     "sq8_encode_native" ->
       ((exprs: Seq[Expression]) => Sq8EncodeExpr(exprs(0), exprs(1), exprs(2))),
     "sq8_cosine_native" ->
-      ((exprs: Seq[Expression]) => Sq8CosineExpr(exprs(0), exprs(1), exprs(2), exprs(3))))
+      ((exprs: Seq[Expression]) => Sq8CosineExpr(exprs(0), exprs(1), exprs(2), exprs(3))),
+    "adc_distance_native" ->
+      ((exprs: Seq[Expression]) => AdcDistanceExpr(exprs(0), exprs(1),
+        litInt("adc_distance_native", exprs, 2))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -26,10 +26,16 @@ import scala.jdk.CollectionConverters._
   *    needn't replay from zero; `_last_checkpoint` names the latest.
   *
   * Resolution is checkpoint-then-tail: start from the newest
-  * single-part checkpoint at or below the target version (read as
-  * parquet — a distributed scan, which is what makes manifest-based
-  * listing beat filesystem listing at 100 TB: the file inventory IS
-  * data), then apply the JSON tail. Partitioned tables re-attach
+  * single-part checkpoint at or below the target version, then apply
+  * the JSON tail. The checkpoint is read as parquet but its actions
+  * COLLECT to the driver: snapshot resolution is O(table file count)
+  * in driver memory — the same class as Spark's own
+  * InMemoryFileIndex, which holds every file status on the driver
+  * anyway, and what manifest listing buys over filesystem listing is
+  * one sequential read instead of a recursive LIST (the win on object
+  * stores); a fully driver-free inventory would need the add-set
+  * joined into the scan plan, which this reader does not do.
+  * Partitioned tables re-attach
   * partition columns from each add's `partitionValues`, cast to the
   * types in `metaData.schemaString` — Delta files do not store
   * partition columns in the parquet itself.

@@ -101,27 +101,30 @@ object DeltaWrite {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(tmpDir.toString)
     val staged = scala.collection.mutable.ArrayBuffer.empty[Staged]
+    // materialize the walk BEFORE moving anything: mutating a directory
+    // tree during lazy Files.walk iteration is unspecified (can skip
+    // entries or throw on some filesystems) — vacuum() does the same
     val st = Files.walk(tmpDir)
-    try {
-      st.iterator().asScala
-        .filter(p => p.getFileName.toString.endsWith(".parquet"))
-        .foreach { p =>
-          val rel = tmpDir.relativize(p) // e.g. lang=es/part-0000-...parquet
-          val pv = rel.iterator().asScala.map(_.toString).toSeq.dropRight(1)
-            .map { seg =>
-              val eq = seg.indexOf('=')
-              require(eq > 0, s"unexpected staged dir segment $seg")
-              val raw = seg.substring(eq + 1)
-              seg.substring(0, eq) ->
-                (if (raw == NullPartition) null else decodeHiveValue(raw))
-            }.toMap
-          val dest = Paths.get(table).resolve(rel)
-          Files.createDirectories(dest.getParent)
-          Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
-          staged += Staged(rel.toString, pv, Files.size(dest),
-            Files.getLastModifiedTime(dest).toMillis, parquetRowCount(dest))
-        }
-    } finally st.close()
+    val parts =
+      try st.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet")).toList
+      finally st.close()
+    parts.foreach { p =>
+      val rel = tmpDir.relativize(p) // e.g. lang=es/part-0000-...parquet
+      val pv = rel.iterator().asScala.map(_.toString).toSeq.dropRight(1)
+        .map { seg =>
+          val eq = seg.indexOf('=')
+          require(eq > 0, s"unexpected staged dir segment $seg")
+          val raw = seg.substring(eq + 1)
+          seg.substring(0, eq) ->
+            (if (raw == NullPartition) null else decodeHiveValue(raw))
+        }.toMap
+      val dest = Paths.get(table).resolve(rel)
+      Files.createDirectories(dest.getParent)
+      Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
+      staged += Staged(rel.toString, pv, Files.size(dest),
+        Files.getLastModifiedTime(dest).toMillis, parquetRowCount(dest))
+    }
     org.apache.commons.io.FileUtils.deleteDirectory(tmpDir.toFile)
     staged.toSeq
   }
@@ -522,8 +525,14 @@ object DeltaWrite {
     Files.move(part, dest,
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     org.apache.commons.io.FileUtils.deleteDirectory(stagedDir.toFile)
-    Files.write(logDir(table).resolve("_last_checkpoint"),
-      Seq(s"""{"version":$v,"size":${rows.size}}""").asJava)
+    // write-then-ATOMIC_MOVE, like the checkpoint parquet above: a
+    // truncate-in-place write would let a concurrent reader observe an
+    // empty/torn pointer (reads degrade to log listing either way, but
+    // the pointer shouldn't be the one torn artifact in the log)
+    val lcTmp = logDir(table).resolve(s"_last_checkpoint.tmp-${UUID.randomUUID()}")
+    Files.write(lcTmp, Seq(s"""{"version":$v,"size":${rows.size}}""").asJava)
+    Files.move(lcTmp, logDir(table).resolve("_last_checkpoint"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     v
   }
 }

@@ -214,6 +214,79 @@ object Similarity {
         x => x.getField("c")).as("centroid"))
   }
 
+  /** TRAINED PQ sub-codebooks: per-subspace Lloyd's k-means under the
+    * L2 metric [[pqEncode]] assigns with — the quality path when no
+    * label column exists or labels don't cluster the subspaces (the
+    * label-mean [[pqCodebooks]] stays as the deterministic,
+    * oracle-friendly variant). All m subspaces train in ONE
+    * distributed frame (vec_id × sub rows, materialized once); the
+    * per-iteration state — m × codesPerSub × (dim/m) doubles,
+    * quantizer metadata — collects to the driver between iterations so
+    * lineage stays flat at any corpus size (the [[kmeansCentroids]]
+    * pattern; at 100 TB you train on a bounded sample, exactly as
+    * FAISS does, then encode the full corpus with the frozen books).
+    * Init is deterministic: the codesPerSub lowest-vec_id DISTINCT
+    * subvectors per subspace (repeating the last when a subspace has
+    * fewer distinct values — the code space stays dense
+    * 0..codesPerSub-1, [[pqTopK]]'s guard requirement, by
+    * construction; an emptied code keeps its previous centroid).
+    * Components round to `dp` decimals at the END so encode decisions
+    * are reproducible (see [[roundedCentroids]]); the component means
+    * still inherit float-sum order nondeterminism across partitions,
+    * so downstream quality is recall-asserted (AnnRecallSpec), never
+    * hash-oracled — the q154 convention. Output: (sub, code,
+    * centroid[dim/m]), drop-in for [[pqEncode]]/[[pqTopK]]. */
+  def pqCodebooksTrained(corpus: DataFrame, m: Int, dim: Int, codesPerSub: Int,
+      iters: Int, dp: Int = 6): DataFrame = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val subDim = dim / m
+    val subs = corpus
+      .select(col("vec_id"), asDouble(col("embedding")).as("__v"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"))
+      .select(col("vec_id"), col("sub"),
+        slice(col("__v"), col("sub") * subDim + 1, lit(subDim)).as("sv"))
+      .localCheckpoint(true)
+    def toDf(cb: Map[(Int, Int), Seq[Double]]): DataFrame =
+      cb.toSeq.map { case ((s2, c), v) => (s2, c, v) }.toDF("sub", "code", "centroid")
+    // deterministic init from a BOUNDED pool: the lowest-vec_id rows
+    // via TakeOrderedAndProject (never a per-sub sort of all distinct
+    // subvectors — that's a corpus-sized shuffle at 100 TB for init
+    // metadata), de-duplicated per subspace in vec_id order on the
+    // driver; a pool with fewer distinct values pads with the last
+    val pool = subs.orderBy(col("vec_id"), col("sub")).limit(codesPerSub * 8 * m)
+      .collect().map(r => (r.getInt(1), r.getLong(0), r.getSeq[Double](2).toSeq))
+    var books: Map[(Int, Int), Seq[Double]] =
+      (0 until m).flatMap { s2 =>
+        val svs = pool.filter(_._1 == s2).sortBy(_._2).map(_._3).distinct
+        require(svs.nonEmpty, s"pqCodebooksTrained: subspace $s2 has no vectors")
+        (0 until codesPerSub).map(c =>
+          (s2, c) -> svs(math.min(c, svs.length - 1))) // pad: dense code space always
+      }.toMap
+    for (_ <- 1 to iters) {
+      val assigned = subs.join(broadcast(toDf(books)), "sub")
+        .withColumn("__dd", aggregate(
+          zip_with(col("sv"), col("centroid"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x))
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(min(struct(col("__dd"), col("code"))).as("__m"))
+        .select(col("vec_id"), col("sub"), col("__m.code").as("code"))
+      val comps = subs.join(assigned, Seq("vec_id", "sub"))
+        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("spos", "x")))
+        .groupBy(col("sub"), col("code"), col("spos"))
+        .agg(avg(col("x")).as("c"))
+        .collect()
+      val updated = comps.groupBy(r => (r.getInt(0), r.getInt(1))).map { case (k2, rows) =>
+        k2 -> rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq
+      }
+      books = books.map { case (k2, old) => k2 -> updated.getOrElse(k2, old) }
+    }
+    toDf(books.map { case (k2, v) =>
+      k2 -> v.map(x => BigDecimal(x).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    })
+  }
+
   /** PQ encoding: per (vector, subspace), the code of the nearest
     * sub-centroid by L2 (ties to the smaller code via min-of-struct —
     * map-side combinable, the corpus never sort-shuffles). Output:
@@ -285,16 +358,30 @@ object Similarity {
       .agg(transform(
         array_sort(collect_list(struct(col("sub"), col("code"), col("__ld").as("ld")))),
         x => x.getField("ld")).as("__lut"))
+    // scoring is the codegen'd AdcDistanceExpr (the declarative HOF
+    // fold — [[adcDistanceDeclarative]] — runs interpreted lambdas per
+    // corpus row; equivalence is spec-pinned bit-identical), and
+    // ranking is the bounded-heap TopKPerKey in ascending mode — the
+    // former window row_number form sorted every query's FULL corpus
+    // candidate list with parallelism = |queries|, the exact shape the
+    // operator was built to kill. adist is never NULL here (dense code
+    // space enforced above + non-null LUT), so perKeyMin's
+    // NULLs-dropped contract cannot diverge from the window form.
     val scored = codes.crossJoin(broadcast(lut))
-      .withColumn("adist", aggregate(
-        zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
-          (c, s) => element_at(col("__lut"), (s * codesPerSub + c + 1).cast("int"))),
-        lit(0.0), (acc, x) => acc + x))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid")).orderBy(col("adist").asc, col("vec_id").asc)
-    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+      .withColumn("adist",
+        graft.functions.Natives.adcDistance(col("codes"), col("__lut"), codesPerSub))
+    graft.plans.TopK.perKeyMin(scored, Seq("qid"), "adist", "vec_id", k)
       .select(col("qid"), col("vec_id").as("cid"), round(col("adist"), 6).as("adist"))
   }
+
+  /** Declarative ADC fold — the readable reference form and the
+    * equivalence-spec twin of the codegen'd `adc_distance_native` used
+    * by [[pqTopK]] (same subspace-ordered sequential accumulation). */
+  def adcDistanceDeclarative(codes: Column, lut: Column, m: Int, codesPerSub: Int): Column =
+    aggregate(
+      zip_with(codes, sequence(lit(0), lit(m - 1)),
+        (c, s) => element_at(lut, (s * codesPerSub + c + 1).cast("int"))),
+      lit(0.0), (acc, x) => acc + x)
 
   /** Nearest `nprobe` cells per vector (broadcast the tiny centroid
     * table; rank by cosine). The nprobe=1 case — the CORPUS-side

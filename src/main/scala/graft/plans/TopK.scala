@@ -304,4 +304,23 @@ object TopK {
       lp,
       maxKeys))
   }
+
+  /** Bottom-k twin of [[perKey]]: k best rows per key by `orderName`
+    * ASCENDING (smallest first), ties by `tieName` ASC — the ranking
+    * the distance-flavored ANN tiers need (ADC / L2: smaller is
+    * better). Implemented by negating the order into a temp double
+    * column and reusing the same physical operator, so the
+    * memory/spill contract is identical. The cast-to-double happens
+    * BEFORE negation (exact for every type [[perKey]] accepts; no
+    * integer-negation overflow edge). NULL-order rows are never
+    * emitted — note this differs from a window `.asc` sort, whose
+    * Spark default is NULLS FIRST: callers with nullable order
+    * columns must filter explicitly (the bruteForceTopK contract). */
+  def perKeyMin(df: DataFrame, keyNames: Seq[String], orderName: String,
+      tieName: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val neg = "__graft_topk_neg"
+    perKey(df.withColumn(neg, -col(orderName).cast(DoubleType)),
+      keyNames, neg, tieName, k).drop(neg)
+  }
 }

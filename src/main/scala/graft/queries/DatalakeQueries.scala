@@ -644,13 +644,22 @@ object DatalakeQueries {
       val v0 = graft.io.DeltaRead.readVersion(s, t, 0)
         .groupBy(col("lang")).agg(
           count(lit(1)).as("v0_rows"), sum(col("n_chars")).as("v0_chars"))
-      head.join(v0, "lang").orderBy(col("lang"))
+      // LEFT join + coalesce: a lang whose doc_ids are all odd has no
+      // v0 (even-parity) rows, and an inner join would drop it where
+      // the oracle's count FILTER emits it with v0_rows = 0 — the
+      // current test data happens to have both parities in every lang,
+      // but the query must not depend on that
+      head.join(v0, Seq("lang"), "left")
+        .withColumn("v0_rows", coalesce(col("v0_rows"), lit(0L)))
+        .withColumn("v0_chars", coalesce(col("v0_chars"), lit(0L)))
+        .orderBy(col("lang"))
     },
     Some("""SELECT lang,
            |  count(*) AS head_rows,
            |  CAST(sum(length(text)) AS BIGINT) AS head_chars,
            |  count(*) FILTER (WHERE doc_id % 2 = 0) AS v0_rows,
-           |  CAST(sum(length(text)) FILTER (WHERE doc_id % 2 = 0) AS BIGINT) AS v0_chars
+           |  coalesce(CAST(sum(length(text)) FILTER (WHERE doc_id % 2 = 0) AS BIGINT), 0)
+           |    AS v0_chars
            |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
 
   /** q184 — zero-copy TxLog→Delta migration ([[graft.io.DeltaBridge]]):

@@ -587,7 +587,8 @@ object LlmQueries {
          |       coalesce(s.n_straddling_pairs, 0) AS n_straddling_pairs
          |FROM cnt c LEFT JOIN str s ON c.scheme = s.scheme AND c.split = s.split
          |ORDER BY c.scheme, c.split""".stripMargin
-    })
+    },
+    benchmark = true)
 
   /** Salted join for hot-key skew: same semantics as q16's broadcast
     * lookup (the oracle is identical) but with the key split
@@ -1077,7 +1078,8 @@ object LlmQueries {
            |    AS removed_id_sum,
            |  CAST(coalesce(sum(removed_by), 0) AS BIGINT) AS removed_by_sum
            |FROM av LEFT JOIN rem USING (vec_id)
-           |GROUP BY cell_id ORDER BY cell_id""".stripMargin))
+           |GROUP BY cell_id ORDER BY cell_id""".stripMargin),
+    benchmark = true)
 
   /** q183 — product-quantization ANN (Jégou et al. 2011): 64-dim
     * vectors compress to 8 one-byte codes via per-subspace label-mean
@@ -1127,7 +1129,8 @@ object LlmQueries {
            |SELECT qid, cid, round(adist, 6) AS adist FROM (
            |  SELECT qid, cid, adist,
            |    row_number() OVER (PARTITION BY qid ORDER BY adist, cid) AS rn
-           |  FROM ad) WHERE rn <= 5""".stripMargin))
+           |  FROM ad) WHERE rn <= 5""".stripMargin),
+    benchmark = true)
 
   /** q186 — hard-negative mining (the contrastive-training data
     * builder: for each anchor, the most similar vectors of a DIFFERENT

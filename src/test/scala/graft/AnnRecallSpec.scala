@@ -26,4 +26,29 @@ class AnnRecallSpec extends SparkTestBase {
     assert(recalls.last == 1.0, s"full-probe recall != 1.0: ${recalls.last}")
     assert(recalls.head > 0.0, "nprobe=1 recall should catch same-cell neighbors")
   }
+
+  test("PQ trained (k-means) codebooks: recall >= planted label-mean codebooks") {
+    // float nondeterminism in the k-means component means blocks a hash
+    // oracle for the trained variant (the q154 convention), so quality
+    // is pinned here instead: Lloyd's iterations minimize exactly the
+    // L2 distortion pqEncode assigns with, so the trained books must
+    // rank at least as well as the label-mean ones against brute-force
+    // ground truth on the same corpus.
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter($"vec_id" < 10)
+    val truth = Similarity.bruteForceTopK(queries, emb, 10).select($"qid", $"cid")
+    val nTruth = truth.count().toDouble
+    def recall(cb: org.apache.spark.sql.DataFrame): Double = {
+      val codes = Similarity.pqEncode(emb, cb, m = 8, dim = 64)
+      Similarity.pqTopK(queries, codes, cb, k = 10, m = 8, dim = 64, codesPerSub = 10)
+        .select($"qid", $"cid")
+        .join(truth, Seq("qid", "cid"), "left_semi").count() / nTruth
+    }
+    val planted = recall(Similarity.pqCodebooks(emb, "label", m = 8, dim = 64))
+    val trained = recall(Similarity.pqCodebooksTrained(
+      emb, m = 8, dim = 64, codesPerSub = 10, iters = 4))
+    assert(trained >= planted,
+      s"trained recall $trained regressed below planted $planted")
+    assert(trained > 0.0, "trained PQ must recover some true neighbors")
+  }
 }

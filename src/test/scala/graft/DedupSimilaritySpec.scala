@@ -465,6 +465,40 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(full.filter($"cell_id" === 0 && !$"kept").count() == 29)
   }
 
+  test("native ADC == declarative ADC bit-identical over real corpus codes") {
+    val emb = Tables.embeddings(spark, sf)
+    val cb = Similarity.pqCodebooks(emb, "label", m = 8, dim = 64)
+    val codes = Similarity.pqEncode(emb, cb, m = 8, dim = 64)
+    // per-row-varying 80-entry LUT (m=8 × codesPerSub=10): exercises
+    // every (sub, code) lookup path with values that differ across rows
+    val withLut = codes.withColumn("lut",
+      transform(sequence(lit(0), lit(79)),
+        i => (i.cast("double") * 0.37 - 3.0) * (pmod(col("vec_id"), lit(7)) + 1)))
+    val cmp = withLut.select(
+      graft.functions.Natives.adcDistance(col("codes"), col("lut"), 10).as("native"),
+      Similarity.adcDistanceDeclarative(col("codes"), col("lut"), m = 8,
+        codesPerSub = 10).as("declarative"))
+    // EXACT double equality — same fold order, same IEEE ops (the
+    // sq8Cosine convention: no rounding crutch)
+    assert(cmp.filter(!(col("native") <=> col("declarative"))).count() == 0)
+    assert(cmp.count() > 0)
+  }
+
+  test("pqTopK plans through TopKPerKeyExec, not a per-query window sort") {
+    val emb = Tables.embeddings(spark, sf)
+    val cb = Similarity.pqCodebooks(emb, "label", m = 8, dim = 64)
+    val codes = Similarity.pqEncode(emb, cb, m = 8, dim = 64)
+    val top = Similarity.pqTopK(emb.filter($"vec_id" < 5), codes, cb,
+      k = 5, m = 8, dim = 64, codesPerSub = 10)
+    val rendered = top.queryExecution.executedPlan.toString
+    assert(rendered.contains("TopKPerKey"), s"missing TopKPerKeyExec in:\n$rendered")
+    assert(!rendered.contains("Window"),
+      s"pqTopK must not rank via a window sort:\n$rendered")
+    // and the ADC scoring is the codegen'd native, not interpreted HOFs
+    assert(rendered.contains("adc_distance_native"),
+      s"missing native ADC expression in:\n$rendered")
+  }
+
   test("pqTopK refuses a non-dense code space (positional ADC would misread the LUT)") {
     val atomA = Seq(1.0, 0.0, 0.0, 0.0); val atomB = Seq(0.0, 1.0, 0.0, 0.0)
     // one-based codes: the classic off-by-one a labelCol-derived
