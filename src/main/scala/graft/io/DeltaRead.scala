@@ -2,7 +2,7 @@ package graft.io
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, input_file_name, lit, regexp_replace, url_decode}
+import org.apache.spark.sql.functions.{broadcast, col, input_file_name, lit, regexp_replace, url_decode}
 import org.apache.spark.sql.types.{DataType, StructType}
 import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
@@ -44,25 +44,30 @@ import scala.jdk.CollectionConverters._
   * Multi-part checkpoints read as one scan over the complete part
   * set (an incomplete set — a writer death mid-checkpoint — is
   * invisible, falling back to older checkpoints or JSON replay).
-  * Deletion vectors and column mapping are NOT supported — and
-  * because reading past them silently changes row visibility /
-  * column identity, a table that requires them is rejected loudly
+  * DELETION VECTORS are read correctly: an add's `deletionVector`
+  * descriptor decodes through [[DeltaDv]] and the flagged row indexes
+  * are masked out of the scan via `_metadata.row_index` + an
+  * anti-join (see `assemble`) — so Databricks-written tables with
+  * row-level deletes open with the right rows. Column mapping is NOT
+  * supported — and because reading past it silently changes column
+  * identity, a table that requires it is rejected loudly
   * (see `validateSupported`) rather than read best-effort. */
 object DeltaRead {
 
-  final case class FileEntry(path: String, partitionValues: Map[String, String])
+  final case class FileEntry(path: String, partitionValues: Map[String, String],
+      dv: Option[DeltaDv.Descriptor] = None)
   final case class DeltaSnapshot(version: Long, files: Seq[FileEntry],
       schema: Option[StructType], partitionColumns: Seq[String],
       metaId: Option[String] = None, txns: Map[String, Long] = Map.empty)
 
   /** Reader features this implementation actually honors. Anything
-    * else (deletionVectors, columnMapping, v2Checkpoint, ...) would
-    * silently change what the data MEANS — deleted rows resurfacing,
-    * columns resolving to the wrong parquet field — so an unsupported
-    * feature is a loud error, never a best-effort read. timestampNtz
-    * is listed because it only widens a type, which the parquet scan
-    * already handles. */
-  private val SupportedReaderFeatures = Set("timestampNtz")
+    * else (columnMapping, v2Checkpoint, ...) would silently change
+    * what the data MEANS — columns resolving to the wrong parquet
+    * field — so an unsupported feature is a loud error, never a
+    * best-effort read. timestampNtz only widens a type (the parquet
+    * scan already handles it); deletionVectors is implemented for
+    * real (descriptor decode + row masking — [[DeltaDv]]). */
+  private val SupportedReaderFeatures = Set("timestampNtz", "deletionVectors")
 
   private val mapper = new ObjectMapper()
 
@@ -190,11 +195,6 @@ object DeltaRead {
     }
   }
 
-  private def rejectDeletionVector(table: String, path: String): Nothing =
-    throw new UnsupportedOperationException(
-      s"$table: file $path carries a deletion vector — unsupported; " +
-        "a full-file read would resurrect its deleted rows")
-
   private def applyJsonCommit(table: String, v: Long, r: Replay): Unit = {
     val p = logDir(table).resolve(f"$v%020d.json")
     require(Files.exists(p),
@@ -203,11 +203,7 @@ object DeltaRead {
       val node = mapper.readTree(line)
       val addN = node.get("add"); val remN = node.get("remove")
       val metaN = node.get("metaData"); val protoN = node.get("protocol")
-      if (addN != null) {
-        val dv = addN.get("deletionVector")
-        if (dv != null && !dv.isNull) rejectDeletionVector(table, addN.get("path").asText())
-        r.add(fileEntry(addN))
-      }
+      if (addN != null) r.add(fileEntry(addN))
       if (remN != null) r.remove(decodePath(remN.get("path").asText()))
       if (metaN != null) r.metaData(
         metaN.get("schemaString").asText(),
@@ -231,7 +227,15 @@ object DeltaRead {
       m.fieldNames().asScala.map(k =>
         k -> (if (m.get(k).isNull) null else m.get(k).asText())).toMap
     }.getOrElse(Map.empty[String, String])
-    FileEntry(decodePath(addN.get("path").asText()), pv)
+    val dv = Option(addN.get("deletionVector")).filterNot(_.isNull).map { d =>
+      DeltaDv.Descriptor(
+        d.get("storageType").asText(),
+        d.get("pathOrInlineDv").asText(),
+        Option(d.get("offset")).filterNot(_.isNull).map(_.asInt()),
+        d.get("sizeInBytes").asInt(),
+        d.get("cardinality").asLong())
+    }
+    FileEntry(decodePath(addN.get("path").asText()), pv, dv)
   }
 
   private def applyCheckpoint(spark: SparkSession, table: String, v: Long, r: Replay): Unit = {
@@ -272,16 +276,25 @@ object DeltaRead {
     if (cols("add")) {
       // checkpoint state holds only LIVE adds (tombstoned removes are
       // retained for vacuum only and carry no reader-visible files)
-      val dvExpr =
-        if (has("add", "deletionVector")) "add.deletionVector IS NOT NULL"
-        else "false"
+      val dvExprs =
+        if (has("add", "deletionVector")) Seq(
+          "add.deletionVector.storageType", "add.deletionVector.pathOrInlineDv",
+          "add.deletionVector.offset", "add.deletionVector.sizeInBytes",
+          "add.deletionVector.cardinality")
+        else Seq("CAST(NULL AS STRING) AS storageType",
+          "CAST(NULL AS STRING) AS pathOrInlineDv", "CAST(NULL AS INT) AS offset",
+          "CAST(NULL AS INT) AS sizeInBytes", "CAST(NULL AS BIGINT) AS cardinality")
       cp.where(cp("add").isNotNull)
-        .selectExpr("add.path", "add.partitionValues", s"$dvExpr AS has_dv")
+        .selectExpr(Seq("add.path", "add.partitionValues") ++ dvExprs: _*)
         .collect().foreach { row =>
-          if (row.getBoolean(2)) rejectDeletionVector(table, row.getString(0))
           val pv = Option(row.getMap[String, String](1))
             .map(_.toMap.map { case (k, x) => k -> x }).getOrElse(Map.empty[String, String])
-          r.add(FileEntry(decodePath(row.getString(0)), pv))
+          val dv = Option(row.getString(2)).map { st =>
+            DeltaDv.Descriptor(st, row.getString(3),
+              if (row.isNullAt(4)) None else Some(row.getInt(4)),
+              row.getInt(5), row.getLong(6))
+          }
+          r.add(FileEntry(decodePath(row.getString(0)), pv, dv))
         }
     }
   }
@@ -333,14 +346,60 @@ object DeltaRead {
     assemble(spark, table, s.copy(files = s.files.filter(f => keep(f.partitionValues))))
   }
 
+  /** A file-source URI column (`input_file_name()`, `_metadata
+    * .file_path`) normalized to the on-disk absolute path: strip the
+    * scheme, protect literal '+' (url_decode is form-decoding), decode
+    * the percent escapes. */
+  private def normalizedUriPath(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    url_decode(regexp_replace(
+      regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:/*", "/"), "\\+", "%2B"))
+
+  /** Hide every (file, row index) a deletion vector flags. `scan` must
+    * already carry `__graft_file` (normalized `_metadata.file_path`)
+    * and `__graft_pos` (`_metadata.row_index`) — zero extra I/O, both
+    * are scan-local metadata. The deleted set arrives by anti-join
+    * from a frame built task-side: one input row per DV'd FILE,
+    * flatMapped through the [[DeltaDv]] decode in EXECUTORS —
+    * descriptor rows are file-count-bounded metadata, but the decoded
+    * row-index sets are NOT (a 100 TB table can hold billions of
+    * deleted rows), so they must never materialize on the driver. */
+  private def maskDeleted(spark: SparkSession, table: String,
+      scan: DataFrame, dvFiles: Seq[FileEntry]): DataFrame = {
+    import spark.implicits._
+    val descRows = dvFiles.map { f =>
+      val d = f.dv.get
+      (Paths.get(table, f.path).toAbsolutePath.normalize().toString,
+        d.storageType, d.pathOrInlineDv, d.offset.getOrElse(-1), d.sizeInBytes,
+        d.cardinality)
+    }
+    val deleted = spark.createDataset(descRows)
+      .flatMap { case (path, st, pid, off, size, card) =>
+        DeltaDv.deletedRows(table,
+          DeltaDv.Descriptor(st, pid, if (off < 0) None else Some(off), size, card))
+          .map(path -> _)
+      }.toDF("__graft_file", "__graft_pos")
+    scan.join(deleted, Seq("__graft_file", "__graft_pos"), "left_anti")
+  }
+
   private def assemble(spark: SparkSession, table: String, s: DeltaSnapshot): DataFrame = {
     def abs(e: FileEntry) = Paths.get(table, e.path).toString
+    // DV masking happens SCAN-SIDE, per branch: `_metadata` columns
+    // resolve only against a file-source relation, so the (file, pos)
+    // capture must attach before any union/join reshapes the plan
+    def masked(df: DataFrame, fs: Seq[FileEntry]): DataFrame = {
+      val dvFiles = fs.filter(_.dv.isDefined)
+      if (dvFiles.isEmpty) df
+      else maskDeleted(spark, table,
+        df.withColumn("__graft_file", normalizedUriPath(col("_metadata.file_path")))
+          .withColumn("__graft_pos", col("_metadata.row_index")),
+        dvFiles).drop("__graft_file", "__graft_pos")
+    }
     if (s.files.isEmpty) {
       val sch = s.schema.getOrElse(throw new IllegalStateException(
         s"$table@${s.version} has no files and no metaData schema"))
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
     } else if (s.partitionColumns.isEmpty) {
-      spark.read.parquet(s.files.map(abs): _*)
+      masked(spark.read.parquet(s.files.map(abs): _*), s.files)
     } else {
       // partition columns live in the log, not the files
       val colType = s.schema.map(_.fields.map(f => f.name -> f.dataType).toMap)
@@ -350,19 +409,22 @@ object DeltaRead {
         // one scan per partition tuple, literal columns re-attached
         // with schemaString types (filters constant-fold dead branches)
         byPartition.map { case (pv, fs) =>
-          s.partitionColumns.foldLeft(spark.read.parquet(fs.map(abs): _*)) { (df, c) =>
-            val raw = pv.get(c).orNull match {
-              case null => lit(null)
-              case v    => lit(v)
-            }
-            df.withColumn(c, colType.get(c).map(raw.cast).getOrElse(raw))
+          s.partitionColumns.foldLeft(masked(spark.read.parquet(fs.map(abs): _*), fs)) {
+            (df, c) =>
+              val raw = pv.get(c).orNull match {
+                case null => lit(null)
+                case v    => lit(v)
+              }
+              df.withColumn(c, colType.get(c).map(raw.cast).getOrElse(raw))
           }
         }.reduce(_.unionByName(_))
       } else {
         // wide-partition form: ONE scan over every file; partition
         // values re-attach through a broadcast (path → values) map
-        // joined on input_file_name(). Map size = file count — the
-        // same metadata the log already carries.
+        // joined on the normalized `_metadata.file_path` (same value
+        // contract as input_file_name, but still resolvable when the
+        // DV mask has to capture scan metadata on the same relation).
+        // Map size = file count — metadata the log already carries.
         import org.apache.spark.sql.Row
         import org.apache.spark.sql.types.{StringType, StructField, StructType}
         val pvSchema = StructType(StructField("__graft_path", StringType) +:
@@ -373,15 +435,10 @@ object DeltaRead {
         }
         val pvDf = spark.createDataFrame(
           spark.sparkContext.parallelize(pvRows, 1), pvSchema)
-        // input_file_name() is the Hadoop Path URI ("file:/…", percent-
-        // encoded): strip the scheme, protect literal '+' (url_decode
-        // is form-decoding), decode the percent escapes back to the
-        // on-disk path
-        val normalized = url_decode(regexp_replace(
-          regexp_replace(input_file_name(), "^[a-zA-Z][a-zA-Z0-9+.-]*:/*", "/"),
-          "\\+", "%2B"))
-        val joined = spark.read.parquet(s.files.map(abs): _*)
-          .withColumn("__graft_path", normalized)
+        val joined = masked(
+          spark.read.parquet(s.files.map(abs): _*)
+            .withColumn("__graft_path", normalizedUriPath(col("_metadata.file_path"))),
+          s.files)
           .join(broadcast(pvDf), Seq("__graft_path"), "left")
           .drop("__graft_path")
         s.partitionColumns.foldLeft(joined) { (df, c) =>

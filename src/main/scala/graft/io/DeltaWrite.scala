@@ -332,6 +332,12 @@ object DeltaWrite {
       val v = DeltaRead.latestVersion(table)
       val s = DeltaRead.snapshotAt(spark, table, v)
       require(s.files.nonEmpty, s"nothing to compact under $table")
+      // a DV'd file read whole resurrects its deleted rows — compacting
+      // would bake them into the rewrite; refuse until this writer
+      // learns to apply DVs during the rewrite
+      if (s.files.exists(_.dv.isDefined)) throw new UnsupportedOperationException(
+        s"compact: $table carries deletion vectors; rewriting without applying " +
+          "them would resurrect deleted rows")
       // bin-pack per partition tuple: greedy fill in commit order
       val groups = s.files.groupBy(_.partitionValues).toSeq.flatMap { case (pv, fs) =>
         val bins = scala.collection.mutable.ArrayBuffer.empty[
@@ -486,6 +492,11 @@ object DeltaWrite {
   def checkpoint(spark: SparkSession, table: String): Long = {
     val v = DeltaRead.latestVersion(table)
     val s = DeltaRead.snapshotAt(spark, table, v)
+    // this writer's checkpoint schema has no deletionVector column —
+    // checkpointing a DV'd snapshot would silently drop the DVs and
+    // resurrect deleted rows for every checkpoint-resolved reader
+    if (s.files.exists(_.dv.isDefined)) throw new UnsupportedOperationException(
+      s"checkpoint: $table carries deletion vectors this writer cannot persist")
     val schemaJson = s.schema.map(_.json).getOrElse(
       throw new IllegalStateException(s"$table@$v has no metaData to checkpoint"))
     val protoRow = Row(Row(1, 2), null, null, null)

@@ -160,4 +160,166 @@ class DeltaReadSpec extends SparkTestBase {
         ((11 to 20) ++ (21 to 25)).sum.toLong)
     } finally cleanup(t)
   }
+
+  // ---------------- deletion vectors ----------------
+
+  private def addActionDv(path: String, d: graft.io.DeltaDv.Descriptor,
+      pv: Map[String, String] = Map.empty): String = {
+    val root = mapper.createObjectNode()
+    val add = root.putObject("add")
+    add.put("path", path).put("dataChange", true)
+    val pvN = add.putObject("partitionValues")
+    pv.foreach { case (k, v) => pvN.put(k, v) }
+    val dv = add.putObject("deletionVector")
+    dv.put("storageType", d.storageType).put("pathOrInlineDv", d.pathOrInlineDv)
+    d.offset.foreach(o => dv.put("offset", o))
+    dv.put("sizeInBytes", d.sizeInBytes).put("cardinality", d.cardinality)
+    mapper.writeValueAsString(root)
+  }
+
+  private def protocolAction(readerFeatures: Seq[String]): String = {
+    val root = mapper.createObjectNode()
+    val p = root.putObject("protocol")
+    p.put("minReaderVersion", 3).put("minWriterVersion", 7)
+    val rf = p.putArray("readerFeatures"); readerFeatures.foreach(rf.add)
+    val wf = p.putArray("writerFeatures"); readerFeatures.foreach(wf.add)
+    mapper.writeValueAsString(root)
+  }
+
+  test("z85 + portable bitmap roundtrip, incl. a >32-bit row index") {
+    import graft.io.DeltaDv
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 20) {
+      val bytes = Array.fill(4 * (1 + rnd.nextInt(12)))(rnd.nextInt().toByte)
+      assert(DeltaDv.z85Decode(DeltaDv.z85Encode(bytes)).toSeq == bytes.toSeq)
+    }
+    // multi-bitmap payload: indexes above 2^32 land in bitmap key 1
+    val rows = Seq(0L, 5L, 4094967296L, (1L << 32) | 7L)
+    val t = newTable()
+    try {
+      val d = DeltaDv.writeDvFile(t, rows)
+      assert(DeltaDv.deletedRows(t, d).toSeq == rows.sorted)
+      val inline = DeltaDv.inlineDescriptor(rows)
+      assert(DeltaDv.deletedRows(t, inline).toSeq == rows.sorted)
+    } finally cleanup(t)
+  }
+
+  test("deletion vector (u, with prefix dir) masks flagged rows; pre-DV version sees all") {
+    import graft.io.DeltaDv
+    val t = newTable()
+    try {
+      val a = (0 to 9).map(i => (i.toLong, s"r$i")).toDF("id", "v")
+      writeDataFile(a, t, "part-a.parquet")
+      writeCommit(t, 0, Seq(protocolAction(Seq("deletionVectors")),
+        metaAction(a.schema.json, Nil), addAction("part-a.parquet")))
+      // DV flags row indexes 1, 3, 7; exercise the prefix-dir form of
+      // the uuid path ("ab" + z85 uuid -> t/ab/deletion_vector_<uuid>.bin)
+      val d0 = DeltaDv.writeDvFile(t, Seq(1L, 3L, 7L))
+      val d = d0.copy(pathOrInlineDv = "ab" + d0.pathOrInlineDv)
+      Files.createDirectories(Paths.get(t, "ab"))
+      Files.move(DeltaDv.dvFile(t, d0), DeltaDv.dvFile(t, d))
+      writeCommit(t, 1, Seq(addActionDv("part-a.parquet", d)))
+      val head = DeltaRead.read(spark, t).select($"id").collect().map(_.getLong(0)).toSet
+      assert(head == Set(0L, 2L, 4L, 5L, 6L, 8L, 9L),
+        s"rows at indexes 1/3/7 must be hidden, got $head")
+      // time travel to the pre-DV commit resurrects nothing wrongly
+      assert(DeltaRead.readVersion(spark, t, 0).count() == 10)
+    } finally cleanup(t)
+  }
+
+  test("inline (i) deletion vector on a partitioned table masks within the right partition") {
+    import graft.io.DeltaDv
+    val t = newTable()
+    try {
+      val es = (0 to 4).map(i => (i.toLong, s"e$i")).toDF("id", "v")
+      val fr = (10 to 14).map(i => (i.toLong, s"f$i")).toDF("id", "v")
+      writeDataFile(es, t, "lang=es/part-es.parquet")
+      writeDataFile(fr, t, "lang=fr/part-fr.parquet")
+      val schema = es.schema.add("lang", org.apache.spark.sql.types.StringType)
+      writeCommit(t, 0, Seq(protocolAction(Seq("deletionVectors")),
+        metaAction(schema.json, Seq("lang")),
+        addAction("lang=es/part-es.parquet", Map("lang" -> "es")),
+        addAction("lang=fr/part-fr.parquet", Map("lang" -> "fr"))))
+      // drop row indexes 0 and 4 of the es file only
+      writeCommit(t, 1, Seq(addActionDv("lang=es/part-es.parquet",
+        DeltaDv.inlineDescriptor(Seq(0L, 4L)), Map("lang" -> "es"))))
+      val got = DeltaRead.read(spark, t)
+        .groupBy($"lang").agg(sum($"id").as("s"), count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got("es") == (1L + 2L + 3L, 3L), s"es must lose ids 0 and 4: $got")
+      assert(got("fr") == ((10 to 14).sum.toLong, 5L), "fr untouched")
+    } finally cleanup(t)
+  }
+
+  test("DV'd add inside a foreign checkpoint decodes and masks") {
+    import graft.io.DeltaDv
+    import org.apache.spark.sql.types._
+    val t = newTable()
+    try {
+      val a = (0 to 9).map(i => (i.toLong, s"r$i")).toDF("id", "v")
+      writeDataFile(a, t, "part-a.parquet")
+      val d = DeltaDv.writeDvFile(t, Seq(2L, 5L))
+      // hand-authored checkpoint parquet whose add row carries the
+      // deletionVector struct (what a Databricks writer checkpoints)
+      val cpSchema = StructType(Seq(
+        StructField("protocol", StructType(Seq(
+          StructField("minReaderVersion", IntegerType),
+          StructField("readerFeatures", ArrayType(StringType))))),
+        StructField("metaData", StructType(Seq(
+          StructField("id", StringType), StructField("schemaString", StringType),
+          StructField("partitionColumns", ArrayType(StringType)),
+          StructField("configuration", MapType(StringType, StringType))))),
+        StructField("add", StructType(Seq(
+          StructField("path", StringType),
+          StructField("partitionValues", MapType(StringType, StringType)),
+          StructField("deletionVector", StructType(Seq(
+            StructField("storageType", StringType),
+            StructField("pathOrInlineDv", StringType),
+            StructField("offset", IntegerType),
+            StructField("sizeInBytes", IntegerType),
+            StructField("cardinality", LongType)))))))))
+      import org.apache.spark.sql.Row
+      val rows = Seq(
+        Row(Row(3, Seq("deletionVectors")), null, null),
+        Row(null, Row("fix", a.schema.json, Seq.empty[String],
+          Map.empty[String, String]), null),
+        Row(null, null, Row("part-a.parquet", Map.empty[String, String],
+          Row(d.storageType, d.pathOrInlineDv, d.offset.get, d.sizeInBytes,
+            d.cardinality))))
+      val cpDf = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), cpSchema)
+      val stagedDir = Files.createTempDirectory("cpdvstage").toString
+      cpDf.coalesce(1).write.mode("overwrite").parquet(stagedDir)
+      val partFile = new java.io.File(stagedDir).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.createDirectories(Paths.get(t, "_delta_log"))
+      Files.move(partFile.toPath,
+        Paths.get(t, "_delta_log", f"${0L}%020d.checkpoint.parquet"))
+      Files.write(Paths.get(t, "_delta_log", "_last_checkpoint"),
+        Seq("""{"version":0,"size":3}""").asJava)
+      val got = DeltaRead.read(spark, t).select($"id").collect().map(_.getLong(0)).toSet
+      assert(got == Set(0L, 1L, 3L, 4L, 6L, 7L, 8L, 9L),
+        s"checkpoint-carried DV must hide indexes 2 and 5, got $got")
+    } finally cleanup(t)
+  }
+
+  test("torn or mismatched DV fails loudly instead of mis-masking") {
+    import graft.io.DeltaDv
+    val t = newTable()
+    try {
+      val d = DeltaDv.writeDvFile(t, Seq(1L, 2L))
+      // corrupt one payload byte: CRC must catch it
+      val f = DeltaDv.dvFile(t, d)
+      val bytes = Files.readAllBytes(f)
+      bytes(7) = (bytes(7) ^ 0x7f).toByte
+      Files.write(f, bytes)
+      val e = intercept[Exception](DeltaDv.deletedRows(t, d))
+      assert(e.getMessage.contains("checksum") || e.getMessage.contains("magic"),
+        s"expected checksum/magic failure, got: ${e.getMessage}")
+      // descriptor lying about cardinality must also fail
+      val d2 = DeltaDv.writeDvFile(t, Seq(1L, 2L))
+      val e2 = intercept[IllegalArgumentException](
+        DeltaDv.deletedRows(t, d2.copy(cardinality = 99)))
+      assert(e2.getMessage.contains("cardinality"))
+    } finally cleanup(t)
+  }
 }

@@ -10,7 +10,9 @@ import scala.jdk.CollectionConverters._
   * with stats), Hive-layout partition dirs with URI-escaped values,
   * append schema-drift rejection, overwrite as remove+add, checkpoint
   * + `_last_checkpoint` resolution, and the reader's loud rejection of
-  * unsupported reader features (deletion vectors, column mapping). */
+  * unsupported reader features (column mapping, v2 checkpoints —
+  * deletion vectors are READ for real, see DeltaReadSpec; this
+  * writer refuses to checkpoint/compact past them). */
 class DeltaWriteSpec extends SparkTestBase {
   import spark.implicits._
 
@@ -201,26 +203,19 @@ class DeltaWriteSpec extends SparkTestBase {
     } finally cleanup(t)
   }
 
-  test("reader rejects deletion vectors and column mapping loudly") {
+  test("reader rejects column mapping and unknown reader features loudly") {
     val t = newTable()
     try {
       val df = Seq((1L, "a")).toDF("id", "txt")
       DeltaWrite.append(df, t)
-      // splice a deletion-vectored add into a new commit
-      val dvAdd = """{"add":{"path":"nope.parquet","partitionValues":{},"size":1,""" +
-        """"modificationTime":1,"dataChange":true,"deletionVector":""" +
-        """{"storageType":"u","pathOrInlineDv":"x","offset":1,"sizeInBytes":1,"cardinality":1}}}"""
-      Files.write(Paths.get(t, "_delta_log", f"${1L}%020d.json"), Seq(dvAdd).asJava)
-      val e1 = intercept[UnsupportedOperationException](DeltaRead.read(spark, t))
-      assert(e1.getMessage.contains("deletion vector"))
-      Files.delete(Paths.get(t, "_delta_log", f"${1L}%020d.json"))
-
-      // a reader-features table demanding deletionVectors support
+      // deletionVectors is IMPLEMENTED now (DeltaReadSpec covers the
+      // read path) — a reader-features table demanding something this
+      // reader genuinely lacks must still fail loudly
       val proto = """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-        """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}"""
+        """"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}"""
       Files.write(Paths.get(t, "_delta_log", f"${1L}%020d.json"), Seq(proto).asJava)
       val e2 = intercept[UnsupportedOperationException](DeltaRead.read(spark, t))
-      assert(e2.getMessage.contains("deletionVectors"))
+      assert(e2.getMessage.contains("v2Checkpoint"))
       Files.delete(Paths.get(t, "_delta_log", f"${1L}%020d.json"))
 
       // column mapping advertised via metaData configuration
@@ -230,6 +225,31 @@ class DeltaWriteSpec extends SparkTestBase {
       Files.write(Paths.get(t, "_delta_log", f"${1L}%020d.json"), Seq(cmMeta).asJava)
       val e3 = intercept[UnsupportedOperationException](DeltaRead.read(spark, t))
       assert(e3.getMessage.contains("column mapping"))
+    } finally cleanup(t)
+  }
+
+  test("checkpoint and compact refuse a DV'd snapshot instead of resurrecting rows") {
+    import graft.io.DeltaDv
+    val t = newTable()
+    try {
+      val df = (0 to 9).map(i => (i.toLong, s"d$i")).toDF("id", "txt")
+      DeltaWrite.append(df, t)
+      val path = DeltaRead.snapshot(spark, t).files.head.path
+      val d = DeltaDv.writeDvFile(t, Seq(0L))
+      val dvAdd = s"""{"add":{"path":"$path","partitionValues":{},"size":1,""" +
+        s""""modificationTime":1,"dataChange":false,"deletionVector":""" +
+        s"""{"storageType":"u","pathOrInlineDv":"${d.pathOrInlineDv}","offset":1,""" +
+        s""""sizeInBytes":${d.sizeInBytes},"cardinality":1}}}"""
+      Files.write(Paths.get(t, "_delta_log", f"${1L}%020d.json"), Seq(dvAdd).asJava)
+      // the read path itself works (row index 0 hidden) ...
+      assert(DeltaRead.read(spark, t).count() == 9)
+      // ... but this writer's checkpoint schema can't carry the DV and
+      // its compactor would read the file whole — both must refuse
+      val e1 = intercept[UnsupportedOperationException](DeltaWrite.checkpoint(spark, t))
+      assert(e1.getMessage.contains("deletion vector"))
+      val e2 = intercept[UnsupportedOperationException](
+        DeltaWrite.compact(spark, t, targetBytes = Long.MaxValue))
+      assert(e2.getMessage.contains("deletion vector"))
     } finally cleanup(t)
   }
 
