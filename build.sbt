@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked run's stdout must reach the real stdout VERBATIM: sbt's
+// default LoggedOutput strategy prefixes every line with "[info] ",
+// which breaks any consumer matching Bench's single JSON metrics line
+// (it expects the line to start with '{').
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

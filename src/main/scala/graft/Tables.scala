@@ -14,7 +14,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Tables {
   def read(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    normalizeTs(spark.read.parquet(s"$sfDir/$name.parquet"))
+
+  /** Pin timestamp semantics regardless of which parquet flavor the
+    * data generator emitted: a tz-less `timestamp[us]` column arrives
+    * as TIMESTAMP_NTZ (Spark 4 infers NTZ from parquet
+    * isAdjustedToUTC=false), which `unix_micros`/epoch casts reject.
+    * Sessions run in UTC, so casting NTZ→TIMESTAMP is wall-clock
+    * identity and every query keeps the one type (LTZ) the engine and
+    * the DuckDB oracle agreed on from the start. */
+  private def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.TimestampNTZType
+    df.schema.fields.filter(_.dataType == TimestampNTZType).foldLeft(df) {
+      (d, f) => d.withColumn(f.name, d(f.name).cast("timestamp"))
+    }
+  }
 
   /** events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
     * reader rejects; sessions set spark.sql.legacy.parquet.nanosAsLong

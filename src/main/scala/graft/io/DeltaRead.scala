@@ -58,16 +58,68 @@ object DeltaRead {
       dv: Option[DeltaDv.Descriptor] = None)
   final case class DeltaSnapshot(version: Long, files: Seq[FileEntry],
       schema: Option[StructType], partitionColumns: Seq[String],
-      metaId: Option[String] = None, txns: Map[String, Long] = Map.empty)
+      metaId: Option[String] = None, txns: Map[String, Long] = Map.empty,
+      configuration: Map[String, String] = Map.empty) {
+    /** `delta.columnMapping.mode` — `none` (default), `name`, or `id`. */
+    def columnMappingMode: String =
+      configuration.getOrElse("delta.columnMapping.mode", "none")
+  }
 
   /** Reader features this implementation actually honors. Anything
-    * else (columnMapping, v2Checkpoint, ...) would silently change
+    * else (v2Checkpoint, ...) would silently change
     * what the data MEANS — columns resolving to the wrong parquet
     * field — so an unsupported feature is a loud error, never a
     * best-effort read. timestampNtz only widens a type (the parquet
     * scan already handles it); deletionVectors is implemented for
-    * real (descriptor decode + row masking — [[DeltaDv]]). */
-  private val SupportedReaderFeatures = Set("timestampNtz", "deletionVectors")
+    * real (descriptor decode + row masking — [[DeltaDv]]);
+    * columnMapping is implemented by scanning under physical names and
+    * renaming back (see [[ColumnMapping]]). */
+  private val SupportedReaderFeatures =
+    Set("timestampNtz", "deletionVectors", "columnMapping")
+
+  /** Column-mapping translation (PROTOCOL.md "Column Mapping"): when
+    * `delta.columnMapping.mode` is `name` or `id`, each logical field
+    * in `metaData.schemaString` carries metadata —
+    * `delta.columnMapping.physicalName` (the name the parquet files
+    * actually store, at EVERY nesting level) and
+    * `delta.columnMapping.id` — and the `partitionValues` keys of
+    * add/remove actions use the physical names too. This reader scans
+    * under an explicit physicalized schema and renames back to the
+    * logical names (nested renames ride a positional struct cast,
+    * exact because physical and logical schemas are structurally
+    * identical). `id` mode resolves through the same physical names:
+    * every Delta writer that enables id mode is required to also
+    * record physicalName and writes files under it, so name-resolution
+    * is correct for Delta-written files; a foreign file carrying ONLY
+    * parquet field ids (no matching physical names) is outside this
+    * reader's support and reads as all-null columns rather than wrong
+    * columns. */
+  private[io] object ColumnMapping {
+    val PhysKey = "delta.columnMapping.physicalName"
+
+    def active(mode: String): Boolean = mode == "name" || mode == "id"
+
+    private def physField(f: org.apache.spark.sql.types.StructField): String =
+      if (f.metadata.contains(PhysKey)) f.metadata.getString(PhysKey) else f.name
+
+    /** The schema as the parquet files store it: physical names at
+      * every level, field metadata stripped (it would be noise in the
+      * scan schema). */
+    def physicalize(dt: DataType): DataType = dt match {
+      case st: StructType => StructType(st.fields.map(f =>
+        org.apache.spark.sql.types.StructField(
+          physField(f), physicalize(f.dataType), f.nullable)))
+      case org.apache.spark.sql.types.ArrayType(et, n) =>
+        org.apache.spark.sql.types.ArrayType(physicalize(et), n)
+      case org.apache.spark.sql.types.MapType(k, v, n) =>
+        org.apache.spark.sql.types.MapType(physicalize(k), physicalize(v), n)
+      case other => other
+    }
+
+    /** logical name → physical name for the TOP level of `schema`. */
+    def physByLogical(schema: StructType): Map[String, String] =
+      schema.fields.map(f => f.name -> physField(f)).toMap
+  }
 
   private val mapper = new ObjectMapper()
 
@@ -182,9 +234,13 @@ object DeltaRead {
       * wrong parquet fields). */
     def validateSupported(table: String): Unit = {
       val mappingMode = configuration.getOrElse("delta.columnMapping.mode", "none")
-      if (mappingMode != "none") throw new UnsupportedOperationException(
-        s"$table uses column mapping mode '$mappingMode' — unsupported; " +
-          "physical parquet names would not match the logical schema")
+      if (mappingMode != "none" && !ColumnMapping.active(mappingMode))
+        throw new UnsupportedOperationException(
+          s"$table uses column mapping mode '$mappingMode' — unsupported; " +
+            "physical parquet names would not match the logical schema")
+      if (ColumnMapping.active(mappingMode))
+        require(schema.nonEmpty,
+          s"$table: column mapping '$mappingMode' with no metaData schema")
       if (minReaderVersion >= 3) {
         val unsupported = readerFeatures -- SupportedReaderFeatures
         if (unsupported.nonEmpty) throw new UnsupportedOperationException(
@@ -299,15 +355,26 @@ object DeltaRead {
     }
   }
 
-  /** The live state at `version`: checkpoint (if any) + JSON tail. */
+  /** The live state at `version`: checkpoint (if any) + JSON tail.
+    * Under column mapping, `partitionValues` keys are translated
+    * physical → logical here, ONCE — every consumer downstream
+    * ([[assemble]]'s partition re-attachment, [[readVersionWhere]]'s
+    * `keep` predicate) sees logical names only. */
   def snapshotAt(spark: SparkSession, table: String, version: Long): DeltaSnapshot = {
     val r = new Replay
     val cp = checkpointAtOrBelow(table, version)
     cp.foreach(v => applyCheckpoint(spark, table, v, r))
     ((cp.map(_ + 1).getOrElse(0L)) to version).foreach(v => applyJsonCommit(table, v, r))
     r.validateSupported(table)
-    DeltaSnapshot(version, r.files.values.toSeq, r.schema, r.partitionColumns,
-      r.metaId, r.txns.toMap)
+    val snap = DeltaSnapshot(version, r.files.values.toSeq, r.schema,
+      r.partitionColumns, r.metaId, r.txns.toMap, r.configuration)
+    if (!ColumnMapping.active(snap.columnMappingMode)) snap
+    else {
+      val logicalByPhys = snap.schema
+        .map(ColumnMapping.physByLogical(_).map(_.swap)).getOrElse(Map.empty)
+      snap.copy(files = snap.files.map(f => f.copy(partitionValues =
+        f.partitionValues.map { case (k, v) => logicalByPhys.getOrElse(k, k) -> v })))
+    }
   }
 
   def snapshot(spark: SparkSession, table: String): DeltaSnapshot =
@@ -383,23 +450,51 @@ object DeltaRead {
 
   private def assemble(spark: SparkSession, table: String, s: DeltaSnapshot): DataFrame = {
     def abs(e: FileEntry) = Paths.get(table, e.path).toString
+    val mapped = ColumnMapping.active(s.columnMappingMode)
+    // data columns only — partition columns live in the log, never the files
+    val dataSchema = s.schema.map(sc => StructType(
+      sc.fields.filterNot(f => s.partitionColumns.contains(f.name))))
+    val physDataSchema = dataSchema.map(d =>
+      ColumnMapping.physicalize(d).asInstanceOf[StructType])
+    // Under column mapping the files store PHYSICAL names: scan with the
+    // explicit physicalized schema (the log schema is authoritative —
+    // a file predating a column add reads the new column as null)...
+    def scan(paths: Seq[String]): DataFrame =
+      if (mapped) spark.read.schema(physDataSchema.get).parquet(paths: _*)
+      else spark.read.parquet(paths: _*)
+    // ...and rename back to logical names right after the scan-side DV
+    // mask: one positional struct cast per top-level column renames
+    // every nesting level at once (physical and logical schemas are
+    // structurally identical), and non-data passthrough columns
+    // (`__graft_path` in the wide-partition form) survive untouched.
+    def relogical(df: DataFrame): DataFrame =
+      if (!mapped) df
+      else {
+        val physByLogical = ColumnMapping.physByLogical(dataSchema.get)
+        val dataCols = dataSchema.get.fields.map(f =>
+          col(physByLogical(f.name)).cast(f.dataType).as(f.name))
+        val extras = df.columns.filterNot(physDataSchema.get.fieldNames.contains)
+          .map(col)
+        df.select(dataCols ++ extras: _*)
+      }
     // DV masking happens SCAN-SIDE, per branch: `_metadata` columns
     // resolve only against a file-source relation, so the (file, pos)
     // capture must attach before any union/join reshapes the plan
     def masked(df: DataFrame, fs: Seq[FileEntry]): DataFrame = {
       val dvFiles = fs.filter(_.dv.isDefined)
-      if (dvFiles.isEmpty) df
+      val m = if (dvFiles.isEmpty) df
       else maskDeleted(spark, table,
         df.withColumn("__graft_file", normalizedUriPath(col("_metadata.file_path")))
           .withColumn("__graft_pos", col("_metadata.row_index")),
         dvFiles).drop("__graft_file", "__graft_pos")
+      relogical(m)
     }
     if (s.files.isEmpty) {
       val sch = s.schema.getOrElse(throw new IllegalStateException(
         s"$table@${s.version} has no files and no metaData schema"))
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
     } else if (s.partitionColumns.isEmpty) {
-      masked(spark.read.parquet(s.files.map(abs): _*), s.files)
+      masked(scan(s.files.map(abs)), s.files)
     } else {
       // partition columns live in the log, not the files
       val colType = s.schema.map(_.fields.map(f => f.name -> f.dataType).toMap)
@@ -409,7 +504,7 @@ object DeltaRead {
         // one scan per partition tuple, literal columns re-attached
         // with schemaString types (filters constant-fold dead branches)
         byPartition.map { case (pv, fs) =>
-          s.partitionColumns.foldLeft(masked(spark.read.parquet(fs.map(abs): _*), fs)) {
+          s.partitionColumns.foldLeft(masked(scan(fs.map(abs)), fs)) {
             (df, c) =>
               val raw = pv.get(c).orNull match {
                 case null => lit(null)
@@ -436,7 +531,7 @@ object DeltaRead {
         val pvDf = spark.createDataFrame(
           spark.sparkContext.parallelize(pvRows, 1), pvSchema)
         val joined = masked(
-          spark.read.parquet(s.files.map(abs): _*)
+          scan(s.files.map(abs))
             .withColumn("__graft_path", normalizedUriPath(col("_metadata.file_path"))),
           s.files)
           .join(broadcast(pvDf), Seq("__graft_path"), "left")

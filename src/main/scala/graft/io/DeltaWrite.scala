@@ -136,7 +136,8 @@ object DeltaWrite {
     """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
 
   private[io] def metaDataAction(id: String, schemaJson: String,
-      partitionBy: Seq[String], createdTime: Long): String = {
+      partitionBy: Seq[String], createdTime: Long,
+      configuration: Map[String, String] = Map.empty): String = {
     val root = mapper.createObjectNode()
     val m = root.putObject("metaData")
     m.put("id", id)
@@ -144,7 +145,8 @@ object DeltaWrite {
     m.put("schemaString", schemaJson)
     val pc = m.putArray("partitionColumns")
     partitionBy.foreach(pc.add)
-    m.putObject("configuration")
+    val conf = m.putObject("configuration")
+    configuration.foreach { case (k, v) => conf.put(k, v) }
     m.put("createdTime", createdTime)
     mapper.writeValueAsString(root)
   }
@@ -279,6 +281,15 @@ object DeltaWrite {
         }
       }
       snap.foreach { s =>
+        // this writer stages files under LOGICAL column names and emits
+        // logical partitionValues keys — landing either in a
+        // column-mapped table would corrupt it (the protocol requires
+        // physical names in both places)
+        if (DeltaRead.ColumnMapping.active(s.columnMappingMode))
+          throw new UnsupportedOperationException(
+            s"DeltaWrite: $table uses column mapping " +
+              s"'${s.columnMappingMode}' — this writer would stage files " +
+              "under logical names and corrupt it")
         require(s.partitionColumns == partitionBy,
           s"partition-column drift on $table: committed " +
             s"${s.partitionColumns.mkString(",")}, incoming ${partitionBy.mkString(",")}")
@@ -295,9 +306,12 @@ object DeltaWrite {
         else if (replaceExisting)
           // re-emit metaData: overwrite is the schema-evolution path,
           // and replaying metaData is idempotent when unchanged
+          // configuration survives the overwrite: schema may evolve,
+          // table properties (appendOnly, retention overrides) do not
           Seq(commitInfoAction("OVERWRITE", now),
             metaDataAction(snap.flatMap(_.metaId).getOrElse(UUID.randomUUID().toString),
-              df.schema.json, partitionBy, now))
+              df.schema.json, partitionBy, now,
+              snap.map(_.configuration).getOrElse(Map.empty)))
         else Seq(commitInfoAction("APPEND", now))
       val removes =
         if (replaceExisting)
@@ -338,6 +352,11 @@ object DeltaWrite {
       if (s.files.exists(_.dv.isDefined)) throw new UnsupportedOperationException(
         s"compact: $table carries deletion vectors; rewriting without applying " +
           "them would resurrect deleted rows")
+      // compacted adds would carry the snapshot's logical-keyed
+      // partitionValues back into the log of a physical-keyed table
+      if (DeltaRead.ColumnMapping.active(s.columnMappingMode))
+        throw new UnsupportedOperationException(
+          s"compact: $table uses column mapping this writer cannot re-stage")
       // bin-pack per partition tuple: greedy fill in commit order
       val groups = s.files.groupBy(_.partitionValues).toSeq.flatMap { case (pv, fs) =>
         val bins = scala.collection.mutable.ArrayBuffer.empty[
@@ -404,6 +423,11 @@ object DeltaWrite {
     val cutoff = System.currentTimeMillis() - retentionMs
     val root = Paths.get(table)
     val recentlyRemoved = recentRemovePaths(table, cutoff)
+    // staging-dir eligibility is decided BEFORE the data-file walk:
+    // deleting a file inside a dir bumps the dir's mtime, so an
+    // after-the-walk mtime check would spare exactly the abandoned
+    // dirs whose contents the walk just reclaimed
+    val staleStaging = eligibleStaging(root, cutoff)
     var deleted = 0
     val st = Files.walk(root)
     try {
@@ -419,8 +443,9 @@ object DeltaWrite {
         .foreach { p => Files.deleteIfExists(p); deleted += 1 }
     } finally st.close()
     // reclaim staging dirs a crashed writer abandoned (stage() removes
-    // its own dir on success), same age guard
-    reclaimStaging(root, cutoff)
+    // its own dir on success)
+    staleStaging.foreach(p =>
+      org.apache.commons.io.FileUtils.deleteDirectory(p.toFile))
     deleted
   }
 
@@ -449,16 +474,16 @@ object DeltaWrite {
     finally st.close()
   }
 
-  private def reclaimStaging(root: Path, cutoff: Long): Unit = {
+  /** Abandoned staging dirs old enough to reclaim (mtime < cutoff,
+    * sampled before anything mutates them). */
+  private def eligibleStaging(root: Path, cutoff: Long): Seq[Path] = {
     val ls = Files.list(root)
-    try {
-      ls.iterator().asScala
-        .filter(p => p.getFileName.toString.startsWith("_staging-")
-          && Files.isDirectory(p)
-          && Files.getLastModifiedTime(p).toMillis < cutoff)
-        .toList
-        .foreach(p => org.apache.commons.io.FileUtils.deleteDirectory(p.toFile))
-    } finally ls.close()
+    try ls.iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("_staging-")
+        && Files.isDirectory(p)
+        && Files.getLastModifiedTime(p).toMillis < cutoff)
+      .toList
+    finally ls.close()
   }
 
   /** Checkpoint schema: the action columns [[DeltaRead]] (and any
@@ -497,12 +522,21 @@ object DeltaWrite {
     // resurrect deleted rows for every checkpoint-resolved reader
     if (s.files.exists(_.dv.isDefined)) throw new UnsupportedOperationException(
       s"checkpoint: $table carries deletion vectors this writer cannot persist")
+    // the snapshot's partitionValues keys were already translated to
+    // LOGICAL names by the reader — persisting them would corrupt a
+    // column-mapped table (the protocol requires physical keys)
+    if (DeltaRead.ColumnMapping.active(s.columnMappingMode))
+      throw new UnsupportedOperationException(
+        s"checkpoint: $table uses column mapping this writer cannot persist")
     val schemaJson = s.schema.map(_.json).getOrElse(
       throw new IllegalStateException(s"$table@$v has no metaData to checkpoint"))
     val protoRow = Row(Row(1, 2), null, null, null)
+    // configuration rides along verbatim — dropping a foreign table's
+    // properties (appendOnly, retention overrides) at checkpoint time
+    // would erase them for every checkpoint-resolved reader
     val metaRow = Row(null,
       Row(s.metaId.getOrElse("graft"), Row("parquet"), schemaJson,
-        s.partitionColumns, Map.empty[String, String], System.currentTimeMillis()),
+        s.partitionColumns, s.configuration, System.currentTimeMillis()),
       null, null)
     val addRows = s.files.map { f =>
       val p = Paths.get(table, f.path)

@@ -13,7 +13,9 @@ import org.apache.spark.sql.types._
 object Streams {
 
   /** Schema of the events table as ingested by the stream reader
-    * (ts arrives as epoch-nanos long; see Tables.fixNanoTs). */
+    * (legacy generator flavor: ts as epoch-nanos long; see
+    * Tables.fixNanoTs). Prefer [[eventIngest]], which sniffs which
+    * flavor a directory actually holds. */
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -25,6 +27,29 @@ object Streams {
   /** Nanos→timestamp normalization shared by batch and stream paths. */
   def normalize(df: DataFrame): DataFrame =
     df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Stream ingestion recipe for an events directory: a file stream
+    * source needs its schema UP FRONT, but the data generator has
+    * shipped `ts` as epoch-nanos int64, tz-less `timestamp[us]`
+    * (TIMESTAMP_NTZ), and tz'd micros across versions — and reading
+    * one flavor under another's schema silently yields 1000×-off
+    * timestamps, not an error. So sniff the flavor from one cheap
+    * batch footer read of the SAME directory, and return the matching
+    * (source schema, normalizer to the canonical TimestampType `ts`)
+    * pair. Sessions run in UTC, so the NTZ→LTZ cast is wall-clock
+    * identity — the same pin as Tables.normalizeTs. */
+  def eventIngest(spark: SparkSession, dir: String): (StructType, DataFrame => DataFrame) = {
+    val tsType = spark.read.parquet(dir).schema
+      .find(_.name == "ts").map(_.dataType).getOrElse(LongType)
+    val schema = StructType(eventSchema.map(f =>
+      if (f.name == "ts") StructField("ts", tsType) else f))
+    val norm: DataFrame => DataFrame = tsType match {
+      case LongType         => normalize         // epoch nanos
+      case TimestampNTZType => _.withColumn("ts", col("ts").cast("timestamp"))
+      case _                => identity          // already TimestampType
+    }
+    (schema, norm)
+  }
 
   /** Tumbling-window counts per event type — works on a batch OR
     * streaming DataFrame (watermark applied only when streaming). */
@@ -41,8 +66,13 @@ object Streams {
     * stream source pins basePath to the source path internally, so a
     * bare .parquet file path is rejected — point this at a directory
     * of event files, the production layout anyway). */
-  def readEventStream(spark: SparkSession, dir: String): DataFrame =
-    normalize(spark.readStream.schema(eventSchema).parquet(dir))
+  def readEventStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val (schema, norm) = eventIngest(spark, dir)
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
+    norm(reader.parquet(dir))
+  }
 
   /** Start the windowed aggregation into an in-memory table (tests /
     * local smoke; swap the sink for kafka/delta in production). */
@@ -203,8 +233,7 @@ object Streams {
     implicit val s: SparkSession = spark
     // maxFilesPerTrigger is a SOURCE option: one file per micro-batch,
     // so time-sliced files replay as ordered triggers
-    val src = normalize(spark.readStream.schema(eventSchema)
-      .option("maxFilesPerTrigger", "1").parquet(dir))
+    val src = readEventStream(spark, dir, maxFilesPerTrigger = Some(1))
     scd2Stream(src).toDF()
       .writeStream.outputMode(OutputMode.Append())
       .format("memory").queryName(queryName)
@@ -253,8 +282,7 @@ object Streams {
   def startEwmaToMemory(spark: SparkSession, dir: String,
       queryName: String): StreamingQuery = {
     implicit val s: SparkSession = spark
-    val src = normalize(spark.readStream.schema(eventSchema)
-      .option("maxFilesPerTrigger", "1").parquet(dir))
+    val src = readEventStream(spark, dir, maxFilesPerTrigger = Some(1))
     ewmaStream(src).toDF()
       .writeStream.outputMode(OutputMode.Update())
       .format("memory").queryName(queryName)

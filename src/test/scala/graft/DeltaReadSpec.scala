@@ -35,12 +35,15 @@ class DeltaReadSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(staged))
   }
 
-  private def metaAction(schemaJson: String, partCols: Seq[String]): String = {
+  private def metaAction(schemaJson: String, partCols: Seq[String],
+      configuration: Map[String, String] = Map.empty): String = {
     val root = mapper.createObjectNode()
     val meta = root.putObject("metaData")
     meta.put("id", "fixture").put("schemaString", schemaJson)
     val pc = meta.putArray("partitionColumns")
     partCols.foreach(pc.add)
+    val conf = meta.putObject("configuration")
+    configuration.foreach { case (k, v) => conf.put(k, v) }
     mapper.writeValueAsString(root)
   }
 
@@ -320,6 +323,91 @@ class DeltaReadSpec extends SparkTestBase {
       val e2 = intercept[IllegalArgumentException](
         DeltaDv.deletedRows(t, d2.copy(cardinality = 99)))
       assert(e2.getMessage.contains("cardinality"))
+    } finally cleanup(t)
+  }
+
+  // ——— column mapping (PROTOCOL.md "Column Mapping") ———
+
+  private def mappingMeta(phys: String, id: Long) =
+    new org.apache.spark.sql.types.MetadataBuilder()
+      .putString("delta.columnMapping.physicalName", phys)
+      .putLong("delta.columnMapping.id", id).build()
+
+  test("name-mode column mapping: physical parquet names resolve to logical, nested included") {
+    import org.apache.spark.sql.types._
+    val t = newTable()
+    try {
+      // files store UUID-ish physical names at BOTH nesting levels
+      val physDf = Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c"))
+        .toDF("c1", "c2", "c3")
+        .select($"c1".as("col-aaa"),
+          struct($"c2".as("col-xx"), $"c3".as("col-yy")).as("col-bbb"))
+      writeDataFile(physDf, t, "f0.parquet")
+      // an older file from before `info` was added: reads as null struct
+      writeDataFile(Seq(Tuple1(9L)).toDF("col-aaa"), t, "f1.parquet")
+      val logical = StructType(Seq(
+        StructField("id", LongType, nullable = true, mappingMeta("col-aaa", 1)),
+        StructField("info", StructType(Seq(
+          StructField("x", LongType, nullable = true, mappingMeta("col-xx", 3)),
+          StructField("y", StringType, nullable = true, mappingMeta("col-yy", 4)))),
+          nullable = true, mappingMeta("col-bbb", 2))))
+      writeCommit(t, 0, Seq(
+        metaAction(logical.json, Nil, Map("delta.columnMapping.mode" -> "name",
+          "delta.columnMapping.maxColumnId" -> "4")),
+        addAction("f0.parquet"), addAction("f1.parquet")))
+      val got = DeltaRead.read(spark, t)
+      assert(got.columns.toSeq == Seq("id", "info"))
+      assert(got.schema("info").dataType.asInstanceOf[StructType]
+        .fieldNames.toSeq == Seq("x", "y"), "nested fields must be renamed too")
+      val rows = got.selectExpr("id", "info.x", "info.y").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1),
+          Option(r.getString(2)).getOrElse("-"))).toSet
+      assert(rows == Set((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c"),
+        (9L, -1L, "-")), "old file must surface the added column as null")
+    } finally cleanup(t)
+  }
+
+  test("id-mode column mapping, partitioned: physical partitionValues keys surface as logical") {
+    import org.apache.spark.sql.types._
+    val t = newTable()
+    try {
+      writeDataFile(Seq(Tuple1(1L), Tuple1(2L)).toDF("col-id"), t, "es/f0.parquet")
+      writeDataFile(Seq(Tuple1(3L)).toDF("col-id"), t, "fr/f1.parquet")
+      val logical = StructType(Seq(
+        StructField("id", LongType, nullable = true, mappingMeta("col-id", 1)),
+        StructField("lang", StringType, nullable = true, mappingMeta("col-lang", 2))))
+      writeCommit(t, 0, Seq(
+        metaAction(logical.json, Seq("lang"), Map("delta.columnMapping.mode" -> "id")),
+        // the protocol keys partitionValues by PHYSICAL name
+        addAction("es/f0.parquet", Map("col-lang" -> "es")),
+        addAction("fr/f1.parquet", Map("col-lang" -> "fr"))))
+      val got = DeltaRead.read(spark, t)
+      assert(got.columns.sorted.toSeq == Seq("id", "lang"))
+      assert(got.groupBy($"lang").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap ==
+        Map("es" -> 2L, "fr" -> 1L))
+      // file-list pruning sees LOGICAL keys (translated once in snapshotAt)
+      val pruned = DeltaRead.readVersionWhere(spark, t, 0L)(
+        pv => pv.get("lang").contains("fr"))
+      assert(pruned.select($"id").collect().map(_.getLong(0)).toSeq == Seq(3L))
+    } finally cleanup(t)
+  }
+
+  test("column mapping + deletion vector compose: mask applies under physical names") {
+    import graft.io.DeltaDv
+    import org.apache.spark.sql.types._
+    val t = newTable()
+    try {
+      writeDataFile((0 to 9).map(i => Tuple1(i.toLong)).toDF("col-v"), t, "f0.parquet")
+      val logical = StructType(Seq(
+        StructField("v", LongType, nullable = true, mappingMeta("col-v", 1))))
+      val d = DeltaDv.writeDvFile(t, Seq(0L, 4L, 9L))
+      writeCommit(t, 0, Seq(
+        protocolAction(Seq("deletionVectors", "columnMapping")),
+        metaAction(logical.json, Nil, Map("delta.columnMapping.mode" -> "name")),
+        addActionDv("f0.parquet", d)))
+      assert(DeltaRead.read(spark, t).select($"v").collect()
+        .map(_.getLong(0)).toSet == (0L to 9L).toSet -- Set(0L, 4L, 9L))
     } finally cleanup(t)
   }
 }

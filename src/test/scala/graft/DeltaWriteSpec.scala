@@ -218,13 +218,63 @@ class DeltaWriteSpec extends SparkTestBase {
       assert(e2.getMessage.contains("v2Checkpoint"))
       Files.delete(Paths.get(t, "_delta_log", f"${1L}%020d.json"))
 
-      // column mapping advertised via metaData configuration
+      // an UNKNOWN column mapping mode still fails loudly (name/id are
+      // implemented — DeltaReadSpec covers the read path; the WRITE
+      // paths to a mapped table are guarded below)
+      val cmMeta = """{"metaData":{"id":"x","schemaString":""" +
+        mapper.writeValueAsString(df.schema.json) +
+        ""","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"weird"}}}"""
+      Files.write(Paths.get(t, "_delta_log", f"${1L}%020d.json"), Seq(cmMeta).asJava)
+      val e3 = intercept[UnsupportedOperationException](DeltaRead.read(spark, t))
+      assert(e3.getMessage.contains("column mapping"))
+    } finally cleanup(t)
+  }
+
+  test("append/overwrite/compact/checkpoint all refuse a column-mapped table") {
+    val t = newTable()
+    try {
+      val df = Seq((1L, "a")).toDF("id", "txt")
+      DeltaWrite.append(df, t)
       val cmMeta = """{"metaData":{"id":"x","schemaString":""" +
         mapper.writeValueAsString(df.schema.json) +
         ""","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"}}}"""
       Files.write(Paths.get(t, "_delta_log", f"${1L}%020d.json"), Seq(cmMeta).asJava)
-      val e3 = intercept[UnsupportedOperationException](DeltaRead.read(spark, t))
+      // the reader opens it (mapping metadata absent → physical names
+      // fall back to logical; DeltaReadSpec proves real renames) ...
+      assert(DeltaRead.read(spark, t).count() == 1L)
+      // ... but every writer entry point refuses: graft stages files and
+      // partitionValues under LOGICAL names, which would corrupt a
+      // physical-keyed table
+      val e1 = intercept[UnsupportedOperationException](DeltaWrite.append(df, t))
+      assert(e1.getMessage.contains("column mapping"))
+      val e2 = intercept[UnsupportedOperationException](DeltaWrite.overwrite(df, t))
+      assert(e2.getMessage.contains("column mapping"))
+      val e3 = intercept[UnsupportedOperationException](DeltaWrite.compact(spark, t))
       assert(e3.getMessage.contains("column mapping"))
+      val e4 = intercept[UnsupportedOperationException](DeltaWrite.checkpoint(spark, t))
+      assert(e4.getMessage.contains("column mapping"))
+    } finally cleanup(t)
+  }
+
+  test("checkpoint preserves a foreign table's configuration verbatim") {
+    val t = newTable()
+    try {
+      val df = Seq((1L, "a"), (2L, "b")).toDF("id", "txt")
+      DeltaWrite.append(df, t)
+      // a foreign writer set table properties this writer must not drop
+      val conf = """{"delta.appendOnly":"true","custom.owner":"team-x"}"""
+      val meta = """{"metaData":{"id":"x","schemaString":""" +
+        mapper.writeValueAsString(df.schema.json) +
+        s""","partitionColumns":[],"configuration":$conf}}"""
+      Files.write(Paths.get(t, "_delta_log", f"${1L}%020d.json"), Seq(meta).asJava)
+      DeltaWrite.checkpoint(spark, t)
+      // drop the JSON history: resolution must come from the checkpoint
+      Files.delete(Paths.get(t, "_delta_log", f"${0L}%020d.json"))
+      Files.delete(Paths.get(t, "_delta_log", f"${1L}%020d.json"))
+      val s = DeltaRead.snapshot(spark, t)
+      assert(s.configuration == Map(
+        "delta.appendOnly" -> "true", "custom.owner" -> "team-x"))
+      assert(DeltaRead.read(spark, t).count() == 2L)
     } finally cleanup(t)
   }
 

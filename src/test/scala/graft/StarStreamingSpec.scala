@@ -177,18 +177,23 @@ class StarStreamingSpec extends SparkTestBase {
     // one flush row per PARITY: each side's watermark only advances on
     // rows that survive its own filter, and the global watermark is the
     // MIN of the two — a single-parity flush would strand the last
-    // real window's unmatched triggers forever
+    // real window's unmatched triggers forever. The flush file must
+    // carry the SAME ts flavor as the staged sf file (the stream
+    // source has one schema for the whole directory).
+    val sfTsType = spark.read.parquet(s"$sf/events.parquet").schema("ts").dataType
     Seq((9000000L, flushNanos, 1L, "click", 0.0, "{}"),
         (9000001L, flushNanos, 1L, "click", 0.0, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts",
+        if (sfTsType == org.apache.spark.sql.types.LongType) $"ts"
+        else expr("timestamp_micros(ts div 1000)").cast(sfTsType))
       .coalesce(1).write.mode("overwrite").parquet(tmpF.toString)
     val src = java.nio.file.Files.list(tmpF).toArray.map(_.toString)
       .find(_.endsWith(".parquet")).get
     java.nio.file.Files.copy(java.nio.file.Paths.get(src), dir.resolve("b_flush.parquet"))
 
-    def readOneFilePerBatch() = Streams.normalize(
-      spark.readStream.schema(Streams.eventSchema)
-        .option("maxFilesPerTrigger", 1).parquet(dir.toString))
+    def readOneFilePerBatch() =
+      Streams.readEventStream(spark, dir.toString, maxFilesPerTrigger = Some(1))
     val q = Streams.attributionJoinOuter(
       readOneFilePerBatch().filter($"event_id" % 2 === 0),
       readOneFilePerBatch().filter($"event_id" % 2 === 1))
@@ -210,11 +215,11 @@ class StarStreamingSpec extends SparkTestBase {
 
   test("scd2 stream (flatMapGroupsWithState) == batch closed intervals") {
     implicit val s = spark
-    // raw read keeps ts as epoch-nanos long (the stream source schema);
-    // split at the median into two time-ordered trigger files so runs
-    // span the micro-batch boundary and exercise cross-trigger state
-    val raw = spark.read.parquet(s"$sf/events.parquet")
-    val median = raw.selectExpr("percentile_approx(ts, 0.5D, 100000)").head.getLong(0)
+    // canonical (flavor-normalized) read; split at the median into two
+    // time-ordered trigger files so runs span the micro-batch boundary
+    // and exercise cross-trigger state
+    val raw = Tables.events(spark, sf).withColumn("__us", unix_micros($"ts"))
+    val median = raw.selectExpr("percentile_approx(__us, 0.5D, 100000)").head.getLong(0)
     val dir = java.nio.file.Files.createTempDirectory("graft_scd2")
     def stage(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
       val tmp = java.nio.file.Files.createTempDirectory("graft_scd2_tmp")
@@ -223,8 +228,8 @@ class StarStreamingSpec extends SparkTestBase {
         .filter(_.getName.endsWith(".parquet")).head
       java.nio.file.Files.move(part.toPath, dir.resolve(name))
     }
-    stage("b1.parquet", raw.filter($"ts" < median))
-    stage("b2.parquet", raw.filter($"ts" >= median))
+    stage("b1.parquet", raw.filter($"__us" < median).drop("__us"))
+    stage("b2.parquet", raw.filter($"__us" >= median).drop("__us"))
     val q = Streams.startScd2ToMemory(spark, dir.toString, "scd2_stream_test")
     q.processAllAvailable()
     q.stop()
@@ -243,8 +248,8 @@ class StarStreamingSpec extends SparkTestBase {
 
   test("ewma stream (mapGroupsWithState) == batch recursion, across triggers") {
     implicit val s = spark
-    val raw = spark.read.parquet(s"$sf/events.parquet")
-    val median = raw.selectExpr("percentile_approx(ts, 0.5D, 100000)").head.getLong(0)
+    val raw = Tables.events(spark, sf).withColumn("__us", unix_micros($"ts"))
+    val median = raw.selectExpr("percentile_approx(__us, 0.5D, 100000)").head.getLong(0)
     val dir = java.nio.file.Files.createTempDirectory("graft_ewma")
     def stage(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
       val tmp = java.nio.file.Files.createTempDirectory("graft_ewma_tmp")
@@ -253,8 +258,8 @@ class StarStreamingSpec extends SparkTestBase {
         .filter(_.getName.endsWith(".parquet")).head
       java.nio.file.Files.move(part.toPath, dir.resolve(name))
     }
-    stage("b1.parquet", raw.filter($"ts" < median))
-    stage("b2.parquet", raw.filter($"ts" >= median))
+    stage("b1.parquet", raw.filter($"__us" < median).drop("__us"))
+    stage("b2.parquet", raw.filter($"__us" >= median).drop("__us"))
     val q = Streams.startEwmaToMemory(spark, dir.toString, "ewma_stream_test")
     q.processAllAvailable()
     q.stop()

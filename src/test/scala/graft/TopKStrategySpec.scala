@@ -93,4 +93,42 @@ class TopKStrategySpec extends SparkTestBase {
       .collect().map(_.getLong(2)).sorted
     assert(got.toSeq == Seq(96L, 97L, 98L, 99L, 100L))
   }
+
+  test("ANN ranking through the spill path: many-query bruteForceTopK unchanged under a tiny key cap") {
+    // The tier that MOTIVATES the spill: ANN qids are the TopKPerKey
+    // keys, and a many-query batch (every corpus vector also a query)
+    // overflows a small per-partition key cap. The spilled answer must
+    // be bit-identical to the unguarded one.
+    import graft.operators.Similarity
+    val vecs = (1 to 400).map { i =>
+      (i.toLong, Array.tabulate(8)(d => ((i * 31 + d * 17) % 97).toFloat / 97f))
+    }.toDF("vec_id", "embedding")
+    val unguarded = Similarity.bruteForceTopK(vecs, vecs, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    spark.conf.set("spark.graft.topk.maxKeysPerPartition", "25")
+    try {
+      val spilled = Similarity.bruteForceTopK(vecs, vecs, 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(spilled == unguarded, "spill path must not change ANN rankings")
+    } finally spark.conf.unset("spark.graft.topk.maxKeysPerPartition")
+  }
+
+  test("perKeyMin (distance ranking) spills identically to the ascending window form") {
+    // pqTopK/sq8 rank ASCENDING by distance through perKeyMin; prove
+    // the negate-and-reuse path honors the same spill contract.
+    val rows = (1 to 3000).map { i =>
+      (("q" + (i % 150)), (i % 53).toDouble + (i % 7) * 0.1, i.toLong)
+    }
+    val df = scala.util.Random.shuffle(rows).toDF("qid", "dist", "cid").repartition(1)
+    val win = Window.partitionBy($"qid").orderBy($"dist".asc, $"cid".asc)
+    val expected = df.withColumn("rn", row_number().over(win))
+      .filter($"rn" <= 4).drop("rn")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    spark.conf.set("spark.graft.topk.maxKeysPerPartition", "20")
+    try {
+      val got = TopK.perKeyMin(df, Seq("qid"), "dist", "cid", 4)
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+      assert(got == expected)
+    } finally spark.conf.unset("spark.graft.topk.maxKeysPerPartition")
+  }
 }
