@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.functions.Natives
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DSIR-style data selection via importance resampling (Xie et al.
+  * 2023, "Data Selection for Language Models via Importance
+  * Resampling"): score every raw document by how much more likely its
+  * hashed bag-of-ngram features are under a small TARGET corpus than
+  * under the raw pool, then sample without replacement proportionally
+  * to the importance weight via the Gumbel-top-k trick.
+  *
+  * The reference pipeline filters by keyword lists
+  * (`transformer_data.py` keyword tables); this is the
+  * distribution-matching upgrade a training-data pipeline uses when
+  * "looks like Wikipedia" can't be spelled as keywords.
+  *
+  * Scale shape (the 100 TB plan):
+  *  - Features are 60-bit token hashes folded into `buckets` buckets —
+  *    the exploded feature stream is (8-byte doc_id, 8-byte bucket)
+  *    pairs, never token text.
+  *  - Both n-gram distributions partially aggregate map-side down to
+  *    ≤ `buckets` rows; the log-ratio table is broadcast (a few KB),
+  *    so scoring is a scan-side join + per-doc partial sum — ONE
+  *    shuffle of per-doc partials keyed by doc_id.
+  *  - Selection is a global top-k (TakeOrderedAndProject), not a sort.
+  *  - Determinism: the Gumbel noise is derived from a salted 60-bit
+  *    hash of doc_id, so reruns (and the DuckDB oracle) pick the same
+  *    sample bit-for-bit.
+  */
+object ImportanceSampling {
+
+  /** Exploded hashed features of each document: unigram + bigram
+    * 60-bit hashes folded into `buckets` buckets. One output row per
+    * n-gram OCCURRENCE (counts matter — the bag-of-ngrams model is
+    * multinomial, not Bernoulli). */
+  def features(docs: DataFrame, buckets: Int): DataFrame =
+    docs
+      .select(col("doc_id"), col("source"),
+        explode(concat(
+          Natives.ngramHashes(col("text"), 1, 1),
+          Natives.ngramHashes(col("text"), 2, 1))).as("h"))
+      // h is an unsigned 60-bit value, so % is already non-negative
+      .select(col("doc_id"), col("source"), (col("h") % buckets).as("b"))
+
+  /** Per-bucket add-one-smoothed log( p_target(b) / p_raw(b) ), one
+    * row per bucket OBSERVED IN THE RAW POOL (raw docs can only ever
+    * hit those buckets). ≤ `buckets` rows — broadcastable by
+    * construction. The ratio is rounded to 6 dp so both engines sum
+    * identical summands. */
+  def logRatios(feats: DataFrame, isTarget: Column, buckets: Int): DataFrame = {
+    val t = feats.where(isTarget).groupBy("b").agg(count(lit(1)).as("tn"))
+    val r = feats.where(!isTarget).groupBy("b").agg(count(lit(1)).as("rn"))
+    val tTot = t.agg(sum(col("tn")).as("ttot")) // 1 row
+    val rTot = r.agg(sum(col("rn")).as("rtot")) // 1 row
+    r.join(t, Seq("b"), "left")
+      .crossJoin(broadcast(tTot))
+      .crossJoin(broadcast(rTot))
+      .select(col("b"), round(
+        log((coalesce(col("tn"), lit(0L)).cast("double") + 1.0) /
+          (col("ttot").cast("double") + buckets)) -
+          log((col("rn").cast("double") + 1.0) /
+            (col("rtot").cast("double") + buckets)), 6).as("lr"))
+  }
+
+  /** Per-raw-document log importance weight: the sum of its feature
+    * occurrences' log ratios. Docs with zero features carry no
+    * evidence and are dropped (both engines). */
+  def logWeights(feats: DataFrame, isTarget: Column, ratios: DataFrame): DataFrame =
+    feats.where(!isTarget)
+      .join(broadcast(ratios), "b")
+      .groupBy(col("doc_id"))
+      .agg(first(col("source")).as("source"), sum(col("lr")).as("logw"))
+
+  /** Deterministic standard-Gumbel noise per document: u is the salted
+    * 60-bit doc hash mapped into (0,1) — the +0.5 shift keeps u off
+    * both endpoints — and g = −ln(−ln u). */
+  def gumbel(docId: Column, salt: String): Column = {
+    val u = (Natives.hash60(concat(docId.cast("string"), lit(salt)))
+      .cast("double") + 0.5) / 1152921504606846976.0 // 2^60
+    -log(-log(u))
+  }
+
+  /** Gumbel-top-k selection: the k raw docs with the largest
+    * logw + Gumbel — a without-replacement sample ∝ importance weight.
+    * Global top-k, so the plan is TakeOrderedAndProject (bounded
+    * driver result), never a full sort. */
+  def select(weights: DataFrame, k: Int, salt: String = ":dsir"): DataFrame =
+    weights
+      .withColumn("sel_key", round(col("logw") + gumbel(col("doc_id"), salt), 6))
+      .orderBy(col("sel_key").desc, col("doc_id"))
+      .limit(k)
+}

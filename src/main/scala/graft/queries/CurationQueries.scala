@@ -970,10 +970,106 @@ object CurationQueries {
          |FROM agg ORDER BY lang""".stripMargin
     })
 
+  /** q191 — DSIR importance resampling (Xie et al. 2023): treat src0
+    * as the curated TARGET corpus and resample 50 docs from the raw
+    * pool (every other source) proportionally to how target-like their
+    * hashed bag-of-{uni,bi}gram distribution is. Weights are bucketed
+    * add-one-smoothed log ratios summed per doc; selection is
+    * Gumbel-top-k with hash-derived (deterministic) noise. The
+    * log-ratio table is ≤ 512 rows (broadcast); the only data-sized
+    * shuffle carries per-doc partial sums keyed by doc_id; the final
+    * cut is TakeOrderedAndProject, not a sort.
+    */
+  val q191DsirSelection = GQuery(
+    "q191_dsir_selection",
+    (s, d) => {
+      import s.implicits._
+      val B = 512
+      val feats = graft.operators.ImportanceSampling
+        .features(Tables.documents(s, d), B)
+      val isTarget = $"source" === "src0"
+      val ratios = graft.operators.ImportanceSampling.logRatios(feats, isTarget, B)
+      val w = graft.operators.ImportanceSampling.logWeights(feats, isTarget, ratios)
+      graft.operators.ImportanceSampling.select(w, 50)
+        .select($"doc_id", $"source", round($"logw", 4).as("logw"), $"sel_key")
+    },
+    Some(s"""WITH toks AS (SELECT doc_id, source, $toksSql AS t FROM documents),
+            |uni AS (SELECT doc_id, source, ${h60of("t[i]")} % 512 AS b
+            |        FROM (SELECT doc_id, source, t,
+            |                unnest(range(1, len(t) + 1)) AS i FROM toks)),
+            |bi AS (SELECT doc_id, source, ${h60of("t[i] || ' ' || t[i+1]")} % 512 AS b
+            |       FROM (SELECT doc_id, source, t,
+            |               unnest(range(1, len(t))) AS i FROM toks)),
+            |f AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+            |tc AS (SELECT b, count(*) AS tn FROM f WHERE source = 'src0' GROUP BY b),
+            |rc AS (SELECT b, count(*) AS rn FROM f WHERE source <> 'src0' GROUP BY b),
+            |tt AS (SELECT sum(tn) AS ttot FROM tc),
+            |rt AS (SELECT sum(rn) AS rtot FROM rc),
+            |lr AS (SELECT b, round(ln((COALESCE(tn, 0) + 1.0) / (ttot + 512))
+            |                     - ln((rn + 1.0) / (rtot + 512)), 6) AS lr
+            |       FROM rc LEFT JOIN tc USING (b) CROSS JOIN tt CROSS JOIN rt),
+            |w AS (SELECT doc_id, any_value(source) AS source, sum(lr) AS logw
+            |      FROM f JOIN lr USING (b) WHERE source <> 'src0' GROUP BY doc_id)
+            |SELECT doc_id, source, round(logw, 4) AS logw,
+            |       round(logw - ln(-ln(
+            |         (${h60of("CAST(doc_id AS VARCHAR) || ':dsir'")} + 0.5)
+            |           / 1152921504606846976.0)), 6) AS sel_key
+            |FROM w ORDER BY sel_key DESC, doc_id LIMIT 50""".stripMargin),
+    benchmark = true)
+
+  /** q192 — tokenizer fertility / byte economics per language: how
+    * many bytes and characters each language pays per token, plus the
+    * whitespace overhead — the stats that size a tokenizer's vocab
+    * budget and predict context-window cost per language. Pure
+    * scan-side column math; only per-language sums shuffle.
+    */
+  val q192TokenFertility = GQuery(
+    "q192_token_fertility",
+    (s, d) => {
+      import s.implicits._
+      val t = TextAnalysis.tokens($"text")
+      val tokChars = aggregate(transform(t, w => length(w).cast("long")),
+        lit(0L), (acc, x) => acc + x)
+      Tables.documents(s, d)
+        .select($"lang", length($"text").cast("long").as("chars"),
+          octet_length($"text").cast("long").as("bytes"),
+          size(t).cast("long").as("toks"), tokChars.as("tok_chars"))
+        .where($"toks" > 0)
+        .groupBy($"lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"toks").as("n_tokens"),
+          sum($"bytes").as("n_bytes"),
+          round(sum($"bytes").cast("double") / sum($"toks").cast("double"), 4)
+            .as("bytes_per_tok"),
+          round(sum($"tok_chars").cast("double") / sum($"toks").cast("double"), 4)
+            .as("avg_tok_len"),
+          round((sum($"chars") - sum($"tok_chars")).cast("double") /
+            sum($"chars").cast("double"), 4).as("ws_frac"))
+        .orderBy($"lang")
+    },
+    Some(s"""WITH t AS (
+            |  SELECT lang, CAST(length(text) AS BIGINT) AS chars,
+            |         CAST(strlen(text) AS BIGINT) AS bytes,
+            |         CAST(len($toksSql) AS BIGINT) AS toks,
+            |         CAST(COALESCE(list_sum(list_transform($toksSql,
+            |           x -> length(x))), 0) AS BIGINT) AS tok_chars
+            |  FROM documents)
+            |SELECT lang, count(*) AS n_docs,
+            |       CAST(sum(toks) AS BIGINT) AS n_tokens,
+            |       CAST(sum(bytes) AS BIGINT) AS n_bytes,
+            |       round(CAST(sum(bytes) AS DOUBLE) / sum(toks), 4) AS bytes_per_tok,
+            |       round(CAST(sum(tok_chars) AS DOUBLE) / sum(toks), 4) AS avg_tok_len,
+            |       round(CAST(sum(chars) - sum(tok_chars) AS DOUBLE) / sum(chars), 4)
+            |         AS ws_frac
+            |FROM t WHERE toks > 0
+            |GROUP BY lang ORDER BY lang""".stripMargin))
+
   val all: Seq[GQuery] = Seq(
     q117ChunkDedup, q118PiiRedaction, q119Contamination, q120DomainStats,
     q121WeightedResample, q122VocabCoverage, q123TrainingOrder, q135BigramLm,
     q150DupNgrams, q151AdaptiveQuality, q152BpePairs, q169DataMixing,
     q172CorpusRelease, q173VocabOverlap, q182PplBuckets, q185ClassifierGate,
-    q187Calibration, q188PaddingWaste, q190ClassifierKappa)
+    q187Calibration, q188PaddingWaste, q190ClassifierKappa, q191DsirSelection,
+    q192TokenFertility)
 }
