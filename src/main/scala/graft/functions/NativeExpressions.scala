@@ -756,7 +756,12 @@ object NativeRegistry {
       ((exprs: Seq[Expression]) => Sq8CosineExpr(exprs(0), exprs(1), exprs(2), exprs(3))),
     "adc_distance_native" ->
       ((exprs: Seq[Expression]) => AdcDistanceExpr(exprs(0), exprs(1),
-        litInt("adc_distance_native", exprs, 2))))
+        litInt("adc_distance_native", exprs, 2))),
+    // aggregate: the analyzer wraps a bare AggregateFunction returned
+    // by a registry builder in a Complete AggregateExpression itself
+    "misra_gries" ->
+      ((exprs: Seq[Expression]) => MisraGriesAgg(exprs(0),
+        litInt("misra_gries", exprs, 1))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

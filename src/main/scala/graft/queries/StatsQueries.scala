@@ -716,6 +716,39 @@ object StatsQueries {
     },
     Some(q168Sql("orders")))
 
+  /** q193 — Misra–Gries heavy hitters per source: top-5 tokens via the
+    * native mergeable-summary aggregate ([[graft.functions.MisraGriesAgg]]).
+    * k=1024 exceeds the corpus vocabulary, so every estimate is exact
+    * and the DuckDB value_counts oracle matches bit-for-bit; the
+    * approximation bound under eviction (small k, adversarial skew) is
+    * property-tested in HeavyHittersSpec. At 100 TB this shuffles at
+    * most k counters per partition — never the distinct-key universe —
+    * and the top-5 cut is an array slice of the already-sorted summary,
+    * no window.
+    */
+  val q193HeavyHitters = GQuery(
+    "q193_heavy_hitters",
+    (s, d) => {
+      import s.implicits._
+      val toks = Tables.documents(s, d)
+        .select($"source", explode(graft.functions.TextAnalysis.tokens($"text")).as("w"))
+      toks.groupBy($"source")
+        .agg(graft.functions.HeavyHitters.misraGries($"w", 1024).as("hh"))
+        .select($"source", posexplode(slice($"hh", 1, 5)))
+        .select($"source", ($"pos" + 1).as("rank"),
+          $"col.item".as("item"), $"col.est".as("est"))
+        .orderBy($"source", $"rank")
+    },
+    Some(s"""WITH w AS (SELECT source, unnest(${OracleSql.toksSql}) AS item
+            |           FROM documents),
+            |c AS (SELECT source, item, count(*) AS est
+            |      FROM w GROUP BY source, item),
+            |r AS (SELECT source, item, est, row_number() OVER (
+            |        PARTITION BY source ORDER BY est DESC, item) AS rank
+            |      FROM c)
+            |SELECT source, rank, item, est FROM r WHERE rank <= 5
+            |ORDER BY source, rank""".stripMargin))
+
   val all: Seq[GQuery] =
     Seq(q103ExactPercentiles, q104RegressionTrend, q105MovingZscore,
       q106PmiCooccurrence, q107ValueHistogram, q108Pagerank, q109Funnel,
@@ -723,5 +756,5 @@ object StatsQueries {
       q137AutocorrLag1, q141TriangleCount, q145EquiDepthHistogram,
       q146ExistsSubquery, q153SetopsSurface, q155MadOutliers,
       q159WelfordVar, q161RecursiveHierarchy, q167LateralJoin,
-      q168NullSafeJoin)
+      q168NullSafeJoin, q193HeavyHitters)
 }
