@@ -59,7 +59,10 @@ object DeltaRead {
   final case class DeltaSnapshot(version: Long, files: Seq[FileEntry],
       schema: Option[StructType], partitionColumns: Seq[String],
       metaId: Option[String] = None, txns: Map[String, Long] = Map.empty,
-      configuration: Map[String, String] = Map.empty) {
+      configuration: Map[String, String] = Map.empty,
+      minReaderVersion: Int = 1, minWriterVersion: Int = 2,
+      readerFeatures: Set[String] = Set.empty,
+      writerFeatures: Set[String] = Set.empty) {
     /** `delta.columnMapping.mode` — `none` (default), `name`, or `id`. */
     def columnMappingMode: String =
       configuration.getOrElse("delta.columnMapping.mode", "none")
@@ -206,7 +209,9 @@ object DeltaRead {
     var partitionColumns: Seq[String] = Nil
     var metaId: Option[String] = None
     var minReaderVersion: Int = 1
+    var minWriterVersion: Int = 2
     var readerFeatures: Set[String] = Set.empty
+    var writerFeatures: Set[String] = Set.empty
     var configuration: Map[String, String] = Map.empty
     /** Highest SetTransaction version per appId — the protocol's
       * exactly-once handle for streaming sinks. */
@@ -220,9 +225,12 @@ object DeltaRead {
       id.foreach(i => metaId = Some(i))
       configuration = conf
     }
-    def protocol(minReader: Int, features: Set[String]): Unit = {
+    def protocol(minReader: Int, features: Set[String],
+        minWriter: Int = 2, wFeatures: Set[String] = Set.empty): Unit = {
       minReaderVersion = minReader
       readerFeatures = features
+      minWriterVersion = minWriter
+      writerFeatures = wFeatures
     }
     def add(e: FileEntry): Unit = files.put(e.path, e)
     def remove(path: String): Unit = files.remove(path)
@@ -272,6 +280,9 @@ object DeltaRead {
       if (protoN != null) r.protocol(
         Option(protoN.get("minReaderVersion")).map(_.asInt()).getOrElse(1),
         Option(protoN.get("readerFeatures")).filterNot(_.isNull)
+          .map(_.elements().asScala.map(_.asText()).toSet).getOrElse(Set.empty),
+        Option(protoN.get("minWriterVersion")).map(_.asInt()).getOrElse(2),
+        Option(protoN.get("writerFeatures")).filterNot(_.isNull)
           .map(_.elements().asScala.map(_.asText()).toSet).getOrElse(Set.empty))
       val txnN = node.get("txn")
       if (txnN != null) r.txn(txnN.get("appId").asText(), txnN.get("version").asLong())
@@ -305,10 +316,16 @@ object DeltaRead {
       cp.where(cp("protocol").isNotNull)
         .selectExpr("protocol.minReaderVersion",
           if (has("protocol", "readerFeatures")) "protocol.readerFeatures"
-          else "CAST(NULL AS ARRAY<STRING>) AS readerFeatures")
+          else "CAST(NULL AS ARRAY<STRING>) AS readerFeatures",
+          if (has("protocol", "minWriterVersion")) "protocol.minWriterVersion"
+          else "CAST(NULL AS INT) AS minWriterVersion",
+          if (has("protocol", "writerFeatures")) "protocol.writerFeatures"
+          else "CAST(NULL AS ARRAY<STRING>) AS writerFeatures")
         .collect().foreach { row =>
           r.protocol(if (row.isNullAt(0)) 1 else row.getInt(0),
-            Option(row.getSeq[String](1)).map(_.toSet).getOrElse(Set.empty))
+            Option(row.getSeq[String](1)).map(_.toSet).getOrElse(Set.empty),
+            if (row.isNullAt(2)) 2 else row.getInt(2),
+            Option(row.getSeq[String](3)).map(_.toSet).getOrElse(Set.empty))
         }
     }
     if (cols("txn")) {
@@ -367,7 +384,8 @@ object DeltaRead {
     ((cp.map(_ + 1).getOrElse(0L)) to version).foreach(v => applyJsonCommit(table, v, r))
     r.validateSupported(table)
     val snap = DeltaSnapshot(version, r.files.values.toSeq, r.schema,
-      r.partitionColumns, r.metaId, r.txns.toMap, r.configuration)
+      r.partitionColumns, r.metaId, r.txns.toMap, r.configuration,
+      r.minReaderVersion, r.minWriterVersion, r.readerFeatures, r.writerFeatures)
     if (!ColumnMapping.active(snap.columnMappingMode)) snap
     else {
       val logicalByPhys = snap.schema

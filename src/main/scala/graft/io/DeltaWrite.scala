@@ -132,8 +132,104 @@ object DeltaWrite {
   private def dropStaged(table: String, staged: Seq[Staged]): Unit =
     staged.foreach(s => Files.deleteIfExists(Paths.get(table, s.relPath)))
 
-  private[io] def protocolAction: String =
-    """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+  private[io] def protocolAction: String = protocolActionFor(1, 2)
+  private[io] def protocolActionFor(r: Int, w: Int): String =
+    s"""{"protocol":{"minReaderVersion":$r,"minWriterVersion":$w}}"""
+
+  /** Column-mapping WRITE support (PROTOCOL.md "Column Mapping", the
+    * write-direction twin of [[DeltaRead.ColumnMapping]]): a mapped
+    * table's parquet files store PHYSICAL field names at every nesting
+    * level and its add/remove `partitionValues` use physical keys,
+    * while `metaData.schemaString` keeps the logical names plus
+    * per-field `delta.columnMapping.{id,physicalName}` metadata. So a
+    * mapped batch is staged from a PHYSICALIZED frame (logical→physical
+    * renames via positional struct casts — the reader's trick in
+    * reverse), and schema evolution carries committed ids/physical
+    * names forward by logical name, assigning `col-<uuid>` + the next
+    * free id to new fields (delta.columnMapping.maxColumnId tracks the
+    * high-water mark, as the protocol requires).
+    */
+  private[io] object WriteMapping {
+    import DeltaRead.ColumnMapping
+    private val IdKey = "delta.columnMapping.id"
+    private[io] val ModeKey = "delta.columnMapping.mode"
+    private[io] val MaxIdKey = "delta.columnMapping.maxColumnId"
+
+    /** (mode, logical schema WITH mapping metadata, new maxColumnId)
+      * resolved before staging. */
+    final case class Ctx(mode: String, schema: StructType, maxColumnId: Long) {
+      def physByLogical: Map[String, String] = ColumnMapping.physByLogical(schema)
+    }
+
+    private final class Counter(var next: Long) {
+      def take(): Long = { val v = next; next += 1; v }
+    }
+
+    private def oldMeta(f: StructField): Option[(Long, String)] =
+      if (f.metadata.contains(IdKey) && f.metadata.contains(ColumnMapping.PhysKey))
+        Some((f.metadata.getLong(IdKey), f.metadata.getString(ColumnMapping.PhysKey)))
+      else None
+
+    private def mergeType(incoming: DataType, old: Option[DataType], c: Counter): DataType =
+      (incoming, old) match {
+        case (si: StructType, so) =>
+          val oldFields = so match {
+            case Some(s: StructType) => s.fields.map(f => f.name -> f).toMap
+            case _ => Map.empty[String, StructField]
+          }
+          StructType(si.fields.map { f =>
+            val prev = oldFields.get(f.name)
+            val dt = mergeType(f.dataType, prev.map(_.dataType), c)
+            val (id, phys) = prev.flatMap(oldMeta)
+              .getOrElse((c.take(), s"col-${UUID.randomUUID()}"))
+            val meta = new MetadataBuilder().withMetadata(f.metadata)
+              .putLong(IdKey, id).putString(ColumnMapping.PhysKey, phys).build()
+            f.copy(dataType = dt, metadata = meta)
+          })
+        case (ArrayType(et, n), o) =>
+          ArrayType(mergeType(et, o.collect { case ArrayType(oe, _) => oe }, c), n)
+        case (MapType(k, v, n), o) =>
+          MapType(mergeType(k, o.collect { case MapType(ok, _, _) => ok }, c),
+            mergeType(v, o.collect { case MapType(_, ov, _) => ov }, c), n)
+        case (other, _) => other
+      }
+
+    /** Incoming logical schema with mapping metadata attached:
+      * same-logical-name fields keep the committed id/physicalName
+      * (recursively), new fields get fresh ones. Returns the mapped
+      * schema and the new maxColumnId. */
+    def mergeSchema(incoming: StructType, old: Option[StructType],
+        startMaxId: Long): (StructType, Long) = {
+      val c = new Counter(startMaxId + 1)
+      val s = mergeType(incoming, old, c).asInstanceOf[StructType]
+      (s, c.next - 1)
+    }
+
+    /** Highest mapping id anywhere in `dt` (fallback when a foreign
+      * table omits maxColumnId from its configuration). */
+    def maxId(dt: DataType): Long = dt match {
+      case s: StructType => (0L +: s.fields.toSeq.map(f =>
+        math.max(if (f.metadata.contains(IdKey)) f.metadata.getLong(IdKey) else 0L,
+          maxId(f.dataType)))).max
+      case ArrayType(et, _) => maxId(et)
+      case MapType(k, v, _) => math.max(maxId(k), maxId(v))
+      case _ => 0L
+    }
+
+    /** `df` under physical names at every level, in `mappedSchema`
+      * field order. A field with no physicalName metadata keeps its
+      * logical name — the reader resolves it the same way, so the two
+      * directions stay consistent on degenerate foreign tables. */
+    def physicalizeDf(df: DataFrame, mappedSchema: StructType): DataFrame = {
+      import org.apache.spark.sql.functions.col
+      val cols = mappedSchema.fields.toSeq.map { f =>
+        val phys = if (f.metadata.contains(ColumnMapping.PhysKey))
+          f.metadata.getString(ColumnMapping.PhysKey) else f.name
+        col(f.name).cast(ColumnMapping.physicalize(f.dataType)).as(phys)
+      }
+      df.select(cols: _*)
+    }
+  }
 
   private[io] def metaDataAction(id: String, schemaJson: String,
       partitionBy: Seq[String], createdTime: Long,
@@ -199,10 +295,19 @@ object DeltaWrite {
       } finally st.close()
     }
 
-  /** Order-insensitive field-level schema equality (names + types). */
+  /** Order-insensitive field-level schema equality (names + types).
+    * Metadata is stripped at every level — a mapped table's committed
+    * schema carries columnMapping metadata an incoming frame won't. */
+  private def stripMeta(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      StructField(f.name, stripMeta(f.dataType), f.nullable)))
+    case ArrayType(et, n) => ArrayType(stripMeta(et), n)
+    case MapType(k, v, n) => MapType(stripMeta(k), stripMeta(v), n)
+    case other => other
+  }
   private def schemaMatches(a: StructType, b: StructType): Boolean =
-    a.fields.map(f => f.name -> f.dataType).sortBy(_._1).toSeq ==
-      b.fields.map(f => f.name -> f.dataType).sortBy(_._1).toSeq
+    a.fields.map(f => f.name -> stripMeta(f.dataType)).sortBy(_._1).toSeq ==
+      b.fields.map(f => f.name -> stripMeta(f.dataType)).sortBy(_._1).toSeq
 
   /** Append `df` as a new Delta commit (creating the table at version 0
     * when absent). Returns the committed version. Fails with names on
@@ -215,6 +320,21 @@ object DeltaWrite {
     * is the explicit evolution path); the new metaData is re-emitted. */
   def overwrite(df: DataFrame, table: String, partitionBy: Seq[String] = Nil): Long =
     commit(df, table, partitionBy, replaceExisting = true, txn = None).get
+
+  /** Create `table` at version 0 WITH column mapping enabled
+    * (`delta.columnMapping.mode` = `name` or `id`): every field at
+    * every nesting level gets a `col-<uuid>` physical name and a
+    * unique id, data files are staged under physical names, and the
+    * protocol is (2, 5) as the feature requires. Subsequent
+    * [[append]]/[[overwrite]]/[[appendOnce]]/[[compact]]/[[checkpoint]]
+    * calls detect the mapping from the snapshot and stay physical.
+    * The point of the mode: renaming or dropping a logical column
+    * becomes a metaData-only commit — no data rewrite — which at
+    * 100 TB is the difference between a schema change and a re-ingest. */
+  def createColumnMapped(df: DataFrame, table: String,
+      partitionBy: Seq[String] = Nil, mode: String = "name"): Long =
+    commit(df, table, partitionBy, replaceExisting = false, txn = None,
+      createMapping = Some(mode)).get
 
   /** Exactly-once append via the protocol's SetTransaction action (the
     * mechanism Delta streaming sinks use for idempotent restarts): the
@@ -246,7 +366,7 @@ object DeltaWrite {
 
   private def commit(df: DataFrame, table: String, partitionBy: Seq[String],
       replaceExisting: Boolean, txn: Option[(String, Long)],
-      maxRetries: Int = 10): Option[Long] = {
+      maxRetries: Int = 10, createMapping: Option[String] = None): Option[Long] = {
     require(partitionBy.forall(df.columns.contains),
       s"partitionBy ${partitionBy.mkString(",")} not all present in " +
         s"DataFrame columns ${df.columns.mkString(",")}")
@@ -255,16 +375,50 @@ object DeltaWrite {
     txn.foreach { case (appId, ver) =>
       if (lastTxnVersion(spark, table, appId).exists(_ >= ver)) return None
     }
-    val staged = stage(df, table, partitionBy)
+    // resolve the mapping context ONCE, before staging: a mapped
+    // table's data files and partition dirs must use PHYSICAL names,
+    // so the frame is physicalized before it ever touches disk
+    val exists = tableExists(table)
+    createMapping.foreach { m =>
+      require(m == "name" || m == "id", s"createColumnMapped: unknown mode '$m'")
+      require(!exists, s"createColumnMapped: $table already exists")
+    }
+    val mapCtx: Option[WriteMapping.Ctx] =
+      if (exists) {
+        val s = DeltaRead.snapshot(spark, table)
+        if (!DeltaRead.ColumnMapping.active(s.columnMappingMode)) None
+        else {
+          val old = s.schema.getOrElse(throw new IllegalStateException(
+            s"$table: column mapping with no metaData schema"))
+          val startMax = s.configuration.get(WriteMapping.MaxIdKey)
+            .flatMap(_.toLongOption).getOrElse(WriteMapping.maxId(old))
+          if (replaceExisting) {
+            // overwrite is the schema-evolution path: carry committed
+            // ids/physical names forward, assign fresh ones to new fields
+            val (merged, newMax) = WriteMapping.mergeSchema(df.schema, Some(old), startMax)
+            Some(WriteMapping.Ctx(s.columnMappingMode, merged, newMax))
+          } else Some(WriteMapping.Ctx(s.columnMappingMode, old, startMax))
+        }
+      } else createMapping.map { m =>
+        val (mappedSchema, maxIdV) = WriteMapping.mergeSchema(df.schema, None, 0L)
+        WriteMapping.Ctx(m, mappedSchema, maxIdV)
+      }
+    val stagedDf = mapCtx.map(c => WriteMapping.physicalizeDf(df, c.schema)).getOrElse(df)
+    val stagedPartitionBy = mapCtx.map(c => partitionBy.map(c.physByLogical))
+      .getOrElse(partitionBy)
+    val staged = stage(stagedDf, table, stagedPartitionBy)
     // any rejection below (drift, race exhaustion) must not leak the
     // staged files into the table root until a vacuum sweeps them
-    try commitStaged(df, table, partitionBy, replaceExisting, txn, staged, maxRetries)
+    try commitStaged(df, table, partitionBy, replaceExisting, txn, staged,
+      maxRetries, mapCtx, createMapping)
     catch { case e: Throwable => dropStaged(table, staged); throw e }
   }
 
   private def commitStaged(df: DataFrame, table: String, partitionBy: Seq[String],
       replaceExisting: Boolean, txn: Option[(String, Long)],
-      staged: Seq[Staged], maxRetries: Int): Option[Long] = {
+      staged: Seq[Staged], maxRetries: Int,
+      mapCtx: Option[WriteMapping.Ctx] = None,
+      createMapping: Option[String] = None): Option[Long] = {
     val spark = df.sparkSession
     var attempt = 0
     while (attempt < maxRetries) {
@@ -281,15 +435,28 @@ object DeltaWrite {
         }
       }
       snap.foreach { s =>
-        // this writer stages files under LOGICAL column names and emits
-        // logical partitionValues keys — landing either in a
-        // column-mapped table would corrupt it (the protocol requires
-        // physical names in both places)
-        if (DeltaRead.ColumnMapping.active(s.columnMappingMode))
-          throw new UnsupportedOperationException(
-            s"DeltaWrite: $table uses column mapping " +
-              s"'${s.columnMappingMode}' — this writer would stage files " +
-              "under logical names and corrupt it")
+        // the staged bytes were laid down under the mapping context
+        // resolved BEFORE staging; the table the CAS will land on must
+        // still agree — files staged under the wrong name regime would
+        // corrupt the table
+        mapCtx match {
+          case None =>
+            if (DeltaRead.ColumnMapping.active(s.columnMappingMode))
+              throw new IllegalStateException(
+                s"DeltaWrite: $table became column-mapped " +
+                  s"('${s.columnMappingMode}') while committing — staged " +
+                  "files use logical names")
+          case Some(ctx) =>
+            require(s.columnMappingMode == ctx.mode,
+              s"mapping-mode drift on $table: staged for '${ctx.mode}', " +
+                s"table now '${s.columnMappingMode}'")
+            val livePhys = s.schema.map(DeltaRead.ColumnMapping.physByLogical)
+              .getOrElse(Map.empty)
+            val conflict = ctx.physByLogical.collect {
+              case (k, p) if livePhys.get(k).exists(_ != p) => k }
+            require(conflict.isEmpty,
+              s"physical-name drift on $table for ${conflict.mkString(",")}")
+        }
         require(s.partitionColumns == partitionBy,
           s"partition-column drift on $table: committed " +
             s"${s.partitionColumns.mkString(",")}, incoming ${partitionBy.mkString(",")}")
@@ -299,10 +466,21 @@ object DeltaWrite {
               s"incoming ${df.schema.json}")
         }
       }
+      // a mapped commit's schemaString carries the mapping metadata and
+      // its configuration the mode + maxColumnId high-water mark
+      val schemaJson = mapCtx.map(_.schema.json).getOrElse(df.schema.json)
+      def mappedConf(base: Map[String, String]): Map[String, String] =
+        mapCtx.map(ctx => base +
+          (WriteMapping.ModeKey -> ctx.mode) +
+          (WriteMapping.MaxIdKey -> ctx.maxColumnId.toString)).getOrElse(base)
       val header =
         if (!exists)
-          Seq(commitInfoAction("WRITE", now), protocolAction,
-            metaDataAction(UUID.randomUUID().toString, df.schema.json, partitionBy, now))
+          Seq(commitInfoAction("WRITE", now),
+            // column mapping requires protocol (2, 5); plain tables
+            // stay at the (1, 2) feature floor every client reads
+            if (createMapping.isDefined) protocolActionFor(2, 5) else protocolAction,
+            metaDataAction(UUID.randomUUID().toString, schemaJson, partitionBy, now,
+              mappedConf(Map.empty)))
         else if (replaceExisting)
           // re-emit metaData: overwrite is the schema-evolution path,
           // and replaying metaData is idempotent when unchanged
@@ -310,8 +488,8 @@ object DeltaWrite {
           // table properties (appendOnly, retention overrides) do not
           Seq(commitInfoAction("OVERWRITE", now),
             metaDataAction(snap.flatMap(_.metaId).getOrElse(UUID.randomUUID().toString),
-              df.schema.json, partitionBy, now,
-              snap.map(_.configuration).getOrElse(Map.empty)))
+              schemaJson, partitionBy, now,
+              mappedConf(snap.map(_.configuration).getOrElse(Map.empty))))
         else Seq(commitInfoAction("APPEND", now))
       val removes =
         if (replaceExisting)
@@ -352,11 +530,14 @@ object DeltaWrite {
       if (s.files.exists(_.dv.isDefined)) throw new UnsupportedOperationException(
         s"compact: $table carries deletion vectors; rewriting without applying " +
           "them would resurrect deleted rows")
-      // compacted adds would carry the snapshot's logical-keyed
-      // partitionValues back into the log of a physical-keyed table
-      if (DeltaRead.ColumnMapping.active(s.columnMappingMode))
-        throw new UnsupportedOperationException(
-          s"compact: $table uses column mapping this writer cannot re-stage")
+      // the reader translated partitionValues keys to LOGICAL names;
+      // a mapped table's add actions must carry PHYSICAL keys, so
+      // translate back at emission (file contents already store
+      // physical names — the raw-parquet rewrite preserves them)
+      val physBy: Map[String, String] =
+        if (DeltaRead.ColumnMapping.active(s.columnMappingMode))
+          s.schema.map(DeltaRead.ColumnMapping.physByLogical).getOrElse(Map.empty)
+        else Map.empty
       // bin-pack per partition tuple: greedy fill in commit order
       val groups = s.files.groupBy(_.partitionValues).toSeq.flatMap { case (pv, fs) =>
         val bins = scala.collection.mutable.ArrayBuffer.empty[
@@ -389,7 +570,8 @@ object DeltaWrite {
         Files.createDirectories(dest.getParent)
         Files.move(part, dest, StandardCopyOption.ATOMIC_MOVE)
         org.apache.commons.io.FileUtils.deleteDirectory(tmpDir.toFile)
-        (Staged(relPath, pv, Files.size(dest),
+        (Staged(relPath, pv.map { case (k, x) => physBy.getOrElse(k, k) -> x },
+          Files.size(dest),
           Files.getLastModifiedTime(dest).toMillis, parquetRowCount(dest)), fs)
       }
       val lines = Seq(commitInfoAction("OPTIMIZE", now)) ++
@@ -522,15 +704,27 @@ object DeltaWrite {
     // resurrect deleted rows for every checkpoint-resolved reader
     if (s.files.exists(_.dv.isDefined)) throw new UnsupportedOperationException(
       s"checkpoint: $table carries deletion vectors this writer cannot persist")
-    // the snapshot's partitionValues keys were already translated to
-    // LOGICAL names by the reader — persisting them would corrupt a
-    // column-mapped table (the protocol requires physical keys)
-    if (DeltaRead.ColumnMapping.active(s.columnMappingMode))
+    // this checkpoint schema has no readerFeatures/writerFeatures
+    // columns — persisting a feature-listed protocol would silently
+    // drop the lists and let a feature-unaware client write the table
+    if (s.readerFeatures.nonEmpty || s.writerFeatures.nonEmpty)
       throw new UnsupportedOperationException(
-        s"checkpoint: $table uses column mapping this writer cannot persist")
+        s"checkpoint: $table declares protocol feature lists " +
+          s"(${(s.readerFeatures ++ s.writerFeatures).toSeq.sorted.mkString(", ")}) " +
+          "this checkpoint schema cannot carry")
+    // the snapshot's partitionValues keys were translated to LOGICAL
+    // names by the reader; a mapped table's checkpoint must persist
+    // PHYSICAL keys, so translate back at emission
+    val physBy: Map[String, String] =
+      if (DeltaRead.ColumnMapping.active(s.columnMappingMode))
+        s.schema.map(DeltaRead.ColumnMapping.physByLogical).getOrElse(Map.empty)
+      else Map.empty
     val schemaJson = s.schema.map(_.json).getOrElse(
       throw new IllegalStateException(s"$table@$v has no metaData to checkpoint"))
-    val protoRow = Row(Row(1, 2), null, null, null)
+    // protocol rides through verbatim — writing the (1, 2) floor into
+    // a mapped table's checkpoint would downgrade it for every
+    // checkpoint-resolved client
+    val protoRow = Row(Row(s.minReaderVersion, s.minWriterVersion), null, null, null)
     // configuration rides along verbatim — dropping a foreign table's
     // properties (appendOnly, retention overrides) at checkpoint time
     // would erase them for every checkpoint-resolved reader
@@ -544,7 +738,8 @@ object DeltaWrite {
         if (Files.exists(p)) (Files.size(p), Files.getLastModifiedTime(p).toMillis)
         else (0L, 0L)
       Row(null, null, Row(f.path.split('/').map(encodeSegment).mkString("/"),
-        f.partitionValues, size, mtime, true), null)
+        f.partitionValues.map { case (k, x) => physBy.getOrElse(k, k) -> x },
+        size, mtime, true), null)
     }
     // SetTransaction high-water marks survive checkpointing — a
     // streaming sink's replay guard must not reset when history is

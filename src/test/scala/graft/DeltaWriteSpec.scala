@@ -230,29 +230,87 @@ class DeltaWriteSpec extends SparkTestBase {
     } finally cleanup(t)
   }
 
-  test("append/overwrite/compact/checkpoint all refuse a column-mapped table") {
+  test("column-mapped create/append/read roundtrip: physical files, logical surface") {
     val t = newTable()
     try {
-      val df = Seq((1L, "a")).toDF("id", "txt")
-      DeltaWrite.append(df, t)
-      val cmMeta = """{"metaData":{"id":"x","schemaString":""" +
-        mapper.writeValueAsString(df.schema.json) +
-        ""","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"}}}"""
-      Files.write(Paths.get(t, "_delta_log", f"${1L}%020d.json"), Seq(cmMeta).asJava)
-      // the reader opens it (mapping metadata absent → physical names
-      // fall back to logical; DeltaReadSpec proves real renames) ...
-      assert(DeltaRead.read(spark, t).count() == 1L)
-      // ... but every writer entry point refuses: graft stages files and
-      // partitionValues under LOGICAL names, which would corrupt a
-      // physical-keyed table
-      val e1 = intercept[UnsupportedOperationException](DeltaWrite.append(df, t))
-      assert(e1.getMessage.contains("column mapping"))
-      val e2 = intercept[UnsupportedOperationException](DeltaWrite.overwrite(df, t))
-      assert(e2.getMessage.contains("column mapping"))
-      val e3 = intercept[UnsupportedOperationException](DeltaWrite.compact(spark, t))
-      assert(e3.getMessage.contains("column mapping"))
-      val e4 = intercept[UnsupportedOperationException](DeltaWrite.checkpoint(spark, t))
-      assert(e4.getMessage.contains("column mapping"))
+      val df = Seq((1L, "a", "es"), (2L, "b", "fr")).toDF("id", "txt", "lang")
+      val v0 = DeltaWrite.createColumnMapped(df, t, partitionBy = Seq("lang"))
+      assert(v0 == 0L)
+      // protocol is (2, 5) as the feature requires
+      val log0 = Files.readAllLines(
+        Paths.get(t, "_delta_log", f"${0L}%020d.json")).asScala.mkString("\n")
+      assert(log0.contains(""""minReaderVersion":2""") &&
+        log0.contains(""""minWriterVersion":5"""))
+      // data files and partition dirs live under PHYSICAL names
+      val dataDirs = Files.list(Paths.get(t)).iterator().asScala
+        .filter(Files.isDirectory(_)).map(_.getFileName.toString)
+        .filterNot(n => n == "_delta_log" || n.startsWith("_staging")).toList
+      assert(dataDirs.nonEmpty && dataDirs.forall(_.startsWith("col-")),
+        s"expected col-<uuid>= partition dirs, got $dataDirs")
+      // the reader surfaces logical names and values
+      val got = DeltaRead.read(spark, t)
+      assert(got.columns.sorted.toSeq == Seq("id", "lang", "txt"))
+      assert(got.select($"id", $"txt", $"lang").as[(Long, String, String)]
+        .collect().toSet == Set((1L, "a", "es"), (2L, "b", "fr")))
+      // append detects the mapping from the snapshot and stays physical
+      DeltaWrite.append(Seq((3L, "c", "es")).toDF("id", "txt", "lang"), t,
+        partitionBy = Seq("lang"))
+      assert(DeltaRead.read(spark, t).count() == 3L)
+      // appended file also landed under a physical partition dir
+      assert(Files.list(Paths.get(t)).iterator().asScala
+        .filter(Files.isDirectory(_)).map(_.getFileName.toString)
+        .filterNot(n => n == "_delta_log" || n.startsWith("_staging"))
+        .forall(_.startsWith("col-")))
+    } finally cleanup(t)
+  }
+
+  test("column-mapped evolution: overwrite keeps physical names, compact+checkpoint stay physical") {
+    val t = newTable()
+    try {
+      import org.apache.spark.sql.functions.col
+      val df = Seq((1L, "a", "es"), (2L, "b", "fr")).toDF("id", "txt", "lang")
+      DeltaWrite.createColumnMapped(df, t, partitionBy = Seq("lang"))
+      val phys0 = DeltaRead.snapshot(spark, t).schema.get.fields
+        .map(f => f.name -> f.metadata.getString("delta.columnMapping.physicalName"))
+        .toMap
+      // overwrite with a NEW column: carried fields keep their physical
+      // names, the new field gets a fresh one and maxColumnId advances
+      val df2 = df.withColumn("score", col("id") * 10)
+      DeltaWrite.overwrite(df2, t, partitionBy = Seq("lang"))
+      val s2 = DeltaRead.snapshot(spark, t)
+      val phys2 = s2.schema.get.fields
+        .map(f => f.name -> f.metadata.getString("delta.columnMapping.physicalName"))
+        .toMap
+      assert(phys0.forall { case (k, p) => phys2(k) == p })
+      assert(phys2.keySet == Set("id", "txt", "lang", "score"))
+      assert(s2.configuration("delta.columnMapping.maxColumnId").toLong >= 4L)
+      assert(DeltaRead.read(spark, t).select($"id", $"score").as[(Long, Long)]
+        .collect().toSet == Set((1L, 10L), (2L, 20L)))
+      // small-file buildup, then compact: physical partitionValues keys
+      // must survive the rewrite commit
+      DeltaWrite.append(Seq((3L, "c", "es", 30L)).toDF("id", "txt", "lang", "score"), t,
+        partitionBy = Seq("lang"))
+      DeltaWrite.append(Seq((4L, "d", "es", 40L)).toDF("id", "txt", "lang", "score"), t,
+        partitionBy = Seq("lang"))
+      assert(DeltaWrite.compact(spark, t) >= 1)
+      assert(DeltaRead.read(spark, t).count() == 4L)
+      // checkpoint persists physical keys + the (2, 5) protocol; the
+      // checkpoint-resolved read still surfaces logical names
+      DeltaWrite.checkpoint(spark, t)
+      val cp = spark.read.parquet(
+        Paths.get(t, "_delta_log").toFile.listFiles()
+          .filter(_.getName.endsWith(".checkpoint.parquet")).map(_.toString): _*)
+      val protoRows = cp.where(cp("protocol").isNotNull)
+        .selectExpr("protocol.minReaderVersion", "protocol.minWriterVersion")
+        .as[(Int, Int)].collect().toSet
+      assert(protoRows == Set((2, 5)))
+      val cpPvKeys = cp.where(cp("add").isNotNull)
+        .selectExpr("map_keys(add.partitionValues)").as[Seq[String]]
+        .collect().flatten.toSet
+      assert(cpPvKeys.nonEmpty && cpPvKeys.forall(_.startsWith("col-")), s"$cpPvKeys")
+      val after = DeltaRead.read(spark, t)
+      assert(after.columns.sorted.toSeq == Seq("id", "lang", "score", "txt"))
+      assert(after.where($"lang" === "es").count() == 3L)
     } finally cleanup(t)
   }
 
