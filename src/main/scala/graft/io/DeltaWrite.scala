@@ -505,6 +505,66 @@ object DeltaWrite {
       s"DeltaWrite: lost the commit race on $table $maxRetries times")
   }
 
+  /** Logical column rename on a column-mapped table — the operation
+    * the mapping mode exists for: a metaData-only commit that touches
+    * ZERO data files (the physical name every parquet file stores is
+    * unchanged; only the logical surface moves). Partition columns
+    * rename cleanly too, because add.partitionValues keys are
+    * physical. On a plain table this would require rewriting every
+    * file, so it's refused with a pointer to [[createColumnMapped]].
+    * At 100 TB: a rename is one JSON line, not a re-ingest. */
+  def renameColumn(spark: SparkSession, table: String, from: String, to: String): Long =
+    alterMappedSchema(spark, table, s"RENAME COLUMN $from TO $to") { s =>
+      require(s.schema.exists(_.fieldNames.contains(from)),
+        s"renameColumn: $table has no column '$from'")
+      require(!s.schema.exists(_.fieldNames.contains(to)),
+        s"renameColumn: $table already has a column '$to'")
+      val schema = StructType(s.schema.get.fields.map(f =>
+        if (f.name == from) f.copy(name = to) else f))
+      (schema, s.partitionColumns.map(c => if (c == from) to else c))
+    }
+
+  /** Logical column drop on a column-mapped table — metaData-only,
+    * like [[renameColumn]]: the bytes stay in the files (readers stop
+    * projecting them; a later vacuum-style rewrite could reclaim).
+    * Partition columns cannot be dropped (their values exist ONLY in
+    * the log's partitionValues). */
+  def dropColumn(spark: SparkSession, table: String, name: String): Long =
+    alterMappedSchema(spark, table, s"DROP COLUMN $name") { s =>
+      require(s.schema.exists(_.fieldNames.contains(name)),
+        s"dropColumn: $table has no column '$name'")
+      require(!s.partitionColumns.contains(name),
+        s"dropColumn: '$name' is a partition column of $table")
+      val remaining = s.schema.get.fields.filterNot(_.name == name)
+      require(remaining.nonEmpty, s"dropColumn: cannot drop the last column of $table")
+      (StructType(remaining), s.partitionColumns)
+    }
+
+  /** Shared CAS loop for metaData-only schema commits on mapped
+    * tables: resolve the head snapshot, derive the new (schema,
+    * partitionColumns), publish; on a lost race re-derive against the
+    * winner. */
+  private def alterMappedSchema(spark: SparkSession, table: String, op: String)(
+      derive: DeltaRead.DeltaSnapshot => (StructType, Seq[String])): Long = {
+    var attempt = 0
+    while (attempt < 10) {
+      val v = DeltaRead.latestVersion(table)
+      val s = DeltaRead.snapshotAt(spark, table, v)
+      require(DeltaRead.ColumnMapping.active(s.columnMappingMode),
+        s"$op: $table is not column-mapped — a logical schema change " +
+          "on a plain table would require rewriting every data file " +
+          "(create the table via createColumnMapped to get O(1) renames)")
+      val (schema, partCols) = derive(s)
+      val now = System.currentTimeMillis()
+      val lines = Seq(commitInfoAction(op.takeWhile(_ != ' ') + " COLUMN", now),
+        metaDataAction(s.metaId.getOrElse(UUID.randomUUID().toString),
+          schema.json, partCols, now, s.configuration))
+      if (tryPublish(table, v + 1, lines)) return v + 1
+      attempt += 1
+    }
+    throw new IllegalStateException(s"$op: lost 10 commit races on $table")
+  }
+
   /** OPTIMIZE-style small-file compaction: bin-pack each partition's
     * live files into ~`targetBytes` groups, rewrite every multi-file
     * group as one file, and publish the remove+add set as ONE commit

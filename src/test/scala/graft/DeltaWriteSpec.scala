@@ -264,6 +264,49 @@ class DeltaWriteSpec extends SparkTestBase {
     } finally cleanup(t)
   }
 
+  test("column rename/drop on a mapped table are metaData-only commits; plain tables refuse") {
+    val t = newTable()
+    try {
+      val df = Seq((1L, "a", "es"), (2L, "b", "fr")).toDF("id", "txt", "lang")
+      DeltaWrite.createColumnMapped(df, t, partitionBy = Seq("lang"))
+      def dataFiles() = Files.walk(Paths.get(t)).iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet")
+          && !p.toString.contains("_delta_log")).map(_.toString).toSet
+      val before = dataFiles()
+      // rename a data column AND the partition column: zero new files
+      DeltaWrite.renameColumn(spark, t, "txt", "body")
+      DeltaWrite.renameColumn(spark, t, "lang", "language")
+      assert(dataFiles() == before, "rename must not touch data files")
+      val got = DeltaRead.read(spark, t)
+      assert(got.columns.sorted.toSeq == Seq("body", "id", "language"))
+      assert(got.select($"id", $"body", $"language").as[(Long, String, String)]
+        .collect().toSet == Set((1L, "a", "es"), (2L, "b", "fr")))
+      // partition pruning works under the NEW logical name
+      assert(got.where($"language" === "es").count() == 1L)
+      // appends under the new logical surface map back to the same
+      // physical names
+      DeltaWrite.append(Seq((3L, "c", "es")).toDF("id", "body", "language"), t,
+        partitionBy = Seq("language"))
+      assert(DeltaRead.read(spark, t).where($"language" === "es").count() == 2L)
+      // drop: column disappears from the surface, bytes stay put
+      val filesPreDrop = dataFiles()
+      DeltaWrite.dropColumn(spark, t, "body")
+      assert(dataFiles() == filesPreDrop)
+      assert(DeltaRead.read(spark, t).columns.sorted.toSeq == Seq("id", "language"))
+      // guard rails
+      intercept[IllegalArgumentException](DeltaWrite.dropColumn(spark, t, "language"))
+      intercept[IllegalArgumentException](DeltaWrite.renameColumn(spark, t, "nope", "x"))
+      // plain (unmapped) tables refuse with a pointer to the fix
+      val plain = newTable()
+      try {
+        DeltaWrite.append(Seq((1L, "a")).toDF("id", "txt"), plain)
+        val e = intercept[IllegalArgumentException](
+          DeltaWrite.renameColumn(spark, plain, "txt", "body"))
+        assert(e.getMessage.contains("createColumnMapped"))
+      } finally cleanup(plain)
+    } finally cleanup(t)
+  }
+
   test("column-mapped evolution: overwrite keeps physical names, compact+checkpoint stay physical") {
     val t = newTable()
     try {
