@@ -69,7 +69,7 @@ object DeltaBridge {
       val adds = added.map { f =>
         val p = Paths.get(deltaTable, f)
         DeltaWrite.addAction(DeltaWrite.Staged(f, Map.empty, Files.size(p),
-          Files.getLastModifiedTime(p).toMillis, DeltaWrite.parquetRowCount(p)))
+          Files.getLastModifiedTime(p).toMillis, DeltaWrite.parquetStats(p)))
       }
       val removes = removed.map(f => DeltaWrite.removeAction(f, now))
       require(DeltaWrite.tryPublish(deltaTable, deltaV, header ++ removes ++ adds),

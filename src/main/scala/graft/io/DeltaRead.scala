@@ -55,7 +55,7 @@ import scala.jdk.CollectionConverters._
 object DeltaRead {
 
   final case class FileEntry(path: String, partitionValues: Map[String, String],
-      dv: Option[DeltaDv.Descriptor] = None)
+      dv: Option[DeltaDv.Descriptor] = None, stats: Option[String] = None)
   final case class DeltaSnapshot(version: Long, files: Seq[FileEntry],
       schema: Option[StructType], partitionColumns: Seq[String],
       metaId: Option[String] = None, txns: Map[String, Long] = Map.empty,
@@ -302,8 +302,29 @@ object DeltaRead {
         d.get("sizeInBytes").asInt(),
         d.get("cardinality").asLong())
     }
-    FileEntry(decodePath(addN.get("path").asText()), pv, dv)
+    val stats = Option(addN.get("stats")).filterNot(_.isNull).map(_.asText())
+    FileEntry(decodePath(addN.get("path").asText()), pv, dv, stats)
   }
+
+  /** Rewrite the top-level column keys of a stats JSON's minValues /
+    * maxValues / nullCount sections (physical ⇄ logical under column
+    * mapping). Unparseable stats pass through untouched. */
+  private[io] def renameStatsKeys(statsJson: String, rename: Map[String, String]): String =
+    try {
+      import com.fasterxml.jackson.databind.node.ObjectNode
+      mapper.readTree(statsJson) match {
+        case obj: ObjectNode =>
+          Seq("minValues", "maxValues", "nullCount").foreach { sec =>
+            Option(obj.get(sec)).collect { case o: ObjectNode =>
+              val entries = o.fieldNames().asScala.toList.map(k => k -> o.get(k))
+              o.removeAll()
+              entries.foreach { case (k, v) => o.set[ObjectNode](rename.getOrElse(k, k), v) }
+            }
+          }
+          mapper.writeValueAsString(obj)
+        case _ => statsJson
+      }
+    } catch { case _: Exception => statsJson }
 
   private def applyCheckpoint(spark: SparkSession, table: String, v: Long, r: Replay): Unit = {
     val parts = checkpointParts(table, v)
@@ -357,8 +378,10 @@ object DeltaRead {
         else Seq("CAST(NULL AS STRING) AS storageType",
           "CAST(NULL AS STRING) AS pathOrInlineDv", "CAST(NULL AS INT) AS offset",
           "CAST(NULL AS INT) AS sizeInBytes", "CAST(NULL AS BIGINT) AS cardinality")
+      val statsExpr =
+        if (has("add", "stats")) "add.stats" else "CAST(NULL AS STRING) AS stats"
       cp.where(cp("add").isNotNull)
-        .selectExpr(Seq("add.path", "add.partitionValues") ++ dvExprs: _*)
+        .selectExpr(Seq("add.path", "add.partitionValues") ++ dvExprs :+ statsExpr: _*)
         .collect().foreach { row =>
           val pv = Option(row.getMap[String, String](1))
             .map(_.toMap.map { case (k, x) => k -> x }).getOrElse(Map.empty[String, String])
@@ -367,7 +390,8 @@ object DeltaRead {
               if (row.isNullAt(4)) None else Some(row.getInt(4)),
               row.getInt(5), row.getLong(6))
           }
-          r.add(FileEntry(decodePath(row.getString(0)), pv, dv))
+          r.add(FileEntry(decodePath(row.getString(0)), pv, dv,
+            Option(row.getString(7))))
         }
     }
   }
@@ -390,8 +414,10 @@ object DeltaRead {
     else {
       val logicalByPhys = snap.schema
         .map(ColumnMapping.physByLogical(_).map(_.swap)).getOrElse(Map.empty)
-      snap.copy(files = snap.files.map(f => f.copy(partitionValues =
-        f.partitionValues.map { case (k, v) => logicalByPhys.getOrElse(k, k) -> v })))
+      snap.copy(files = snap.files.map(f => f.copy(
+        partitionValues =
+          f.partitionValues.map { case (k, v) => logicalByPhys.getOrElse(k, k) -> v },
+        stats = f.stats.map(renameStatsKeys(_, logicalByPhys)))))
     }
   }
 
@@ -430,6 +456,82 @@ object DeltaRead {
     val s = snapshotAt(spark, table, version)
     assemble(spark, table, s.copy(files = s.files.filter(f => keep(f.partitionValues))))
   }
+
+  /** One conjunct of a data-skipping predicate: `col` ∈ [lo, hi]
+    * (inclusive; None = unbounded on that side). Bound values may be
+    * Int / Long / Double / BigDecimal (compared numerically), String,
+    * Boolean, or java.time.LocalDate (compared as its ISO string — the
+    * stats encoding for dates). */
+  final case class StatRange(col: String, lo: Option[Any] = None, hi: Option[Any] = None)
+  object StatRange {
+    def eq(col: String, v: Any): StatRange = StatRange(col, Some(v), Some(v))
+    def atLeast(col: String, v: Any): StatRange = StatRange(col, Some(v), None)
+    def atMost(col: String, v: Any): StatRange = StatRange(col, None, Some(v))
+  }
+
+  /** File-level DATA SKIPPING from `add.stats`: the snapshot's files
+    * minus those whose per-column min/max prove NO row can satisfy the
+    * conjunction of `preds`. Strictly best-effort and sound: a file
+    * with no stats, no bounds for the column, or a type mismatch is
+    * kept. This is the log-as-index move that matters at 100 TB — the
+    * pruning runs on metadata the driver already holds, so a selective
+    * range predicate skips whole files before any scan task exists
+    * (the complement of partition pruning: it works on columns the
+    * table is NOT partitioned by, e.g. a sorted/Z-ordered key). */
+  def filesAfterSkipping(spark: SparkSession, table: String, version: Long,
+      preds: Seq[StatRange]): Seq[FileEntry] =
+    snapshotAt(spark, table, version).files.filter(statsAdmit(_, preds))
+
+  /** [[readVersion]] with [[filesAfterSkipping]] applied to the file
+    * list. The caller still applies its row-level filter — skipping
+    * only removes files PROVEN empty of matches. */
+  def readVersionWhereStats(spark: SparkSession, table: String, version: Long,
+      preds: Seq[StatRange]): DataFrame = {
+    val s = snapshotAt(spark, table, version)
+    assemble(spark, table, s.copy(files = s.files.filter(statsAdmit(_, preds))))
+  }
+
+  /** Can any row of `f` satisfy every conjunct? Missing evidence ⇒ yes. */
+  private def statsAdmit(f: FileEntry, preds: Seq[StatRange]): Boolean =
+    f.stats.forall { js =>
+      val node = try mapper.readTree(js) catch { case _: Exception => return true }
+      val minN = Option(node.get("minValues"))
+      val maxN = Option(node.get("maxValues"))
+      preds.forall { p =>
+        val mn = minN.flatMap(m => Option(m.get(p.col))).filterNot(_.isNull)
+        val mx = maxN.flatMap(m => Option(m.get(p.col))).filterNot(_.isNull)
+        (mn, mx) match {
+          case (Some(lo0), Some(hi0)) =>
+            val loOk = p.hi.forall(b => compareBound(lo0, b).forall(_ <= 0))
+            val hiOk = p.lo.forall(b => compareBound(hi0, b).forall(_ >= 0))
+            loOk && hiOk
+          case _ => true // no bounds recorded — cannot prove exclusion
+        }
+      }
+    }
+
+  /** compare(statsValue, bound): Some(sign), or None when the kinds
+    * don't line up (⇒ admit). */
+  private def compareBound(v: JsonNode, bound: Any): Option[Int] = (bound match {
+    case n @ (_: Int | _: Long | _: Double | _: java.math.BigDecimal | _: BigDecimal) =>
+      if (!v.isNumber) None
+      else {
+        val b = n match {
+          case i: Int => BigDecimal(i)
+          case l: Long => BigDecimal(l)
+          case d: Double => BigDecimal(d)
+          case bd: java.math.BigDecimal => BigDecimal(bd)
+          case bd: BigDecimal => bd
+        }
+        Some(BigDecimal(v.decimalValue()).compare(b))
+      }
+    case s: String => if (v.isTextual) Some(v.asText().compareTo(s)) else None
+    case d: java.time.LocalDate =>
+      if (v.isTextual) Some(v.asText().compareTo(d.toString)) else None
+    case b: Boolean =>
+      if (v.isBoolean) Some(java.lang.Boolean.compare(v.asBoolean(), b)) else None
+    case _ => None
+  })
 
   /** A file-source URI column (`input_file_name()`, `_metadata
     * .file_path`) normalized to the on-disk absolute path: strip the

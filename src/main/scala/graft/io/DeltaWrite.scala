@@ -74,20 +74,106 @@ object DeltaWrite {
   }
 
   /** One staged data file: table-relative path (raw, un-encoded),
-    * partition values, size, mtime, row count. */
+    * partition values, size, mtime, and the `add.stats` JSON. */
   private[io] final case class Staged(relPath: String,
       partitionValues: Map[String, String], size: Long, modTime: Long,
-      numRecords: Option[Long])
+      stats: Option[String])
 
-  /** Exact per-file row count from the parquet footer — free (no data
-    * scan), and what `stats.numRecords` wants. */
-  private[io] def parquetRowCount(p: Path): Option[Long] =
+  /** Per-file `add.stats` JSON straight from the parquet footer — free
+    * (no data scan): exact `numRecords` plus per-top-level-column
+    * `minValues` / `maxValues` / `nullCount` for the types whose Delta
+    * stats encoding is emitted faithfully (ints, longs, doubles,
+    * floats, booleans, UTF8 strings, dates as ISO strings). Timestamp
+    * columns contribute nullCount only — their stats encoding is
+    * format-sensitive and a wrong bound would make data skipping DROP
+    * matching files. This is what turns the log into an index: at
+    * 100 TB, [[DeltaRead.readVersionWhereStats]] prunes files from
+    * footer facts the writer already had, before any scan is planned. */
+  private[io] def parquetStats(p: Path): Option[String] =
     try {
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(p.toUri),
         new org.apache.hadoop.conf.Configuration())
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try Some(r.getRecordCount) finally r.close()
+      try {
+        val md = r.getFooter
+        val blocks = md.getBlocks.asScala.toSeq
+        val root = mapper.createObjectNode()
+        root.put("numRecords", r.getRecordCount)
+        val minV = mapper.createObjectNode()
+        val maxV = mapper.createObjectNode()
+        val nullC = mapper.createObjectNode()
+        import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+        import org.apache.parquet.schema.LogicalTypeAnnotation
+        md.getFileMetaData.getSchema.getFields.asScala
+          .filter(_.isPrimitive).foreach { f =>
+            val name = f.getName
+            val prim = f.asPrimitiveType()
+            val chunks = blocks.flatMap(
+              _.getColumns.asScala.find(_.getPath.toDotString == name))
+            val sts = chunks.map(_.getStatistics)
+            if (sts.nonEmpty && sts.forall(s => s != null && s.isNumNullsSet))
+              nullC.put(name, sts.map(_.getNumNulls).sum)
+            // file-level bounds are sound only when EVERY chunk accounts
+            // for itself: either it reports min/max, or its stats prove
+            // it is all-null (contributing no values). One chunk with
+            // stats disabled poisons the whole column — emitting bounds
+            // anyway would let data skipping drop matching files.
+            val allAccounted = sts.nonEmpty && chunks.zip(sts).forall { case (c, s) =>
+              s != null && (s.hasNonNullValue ||
+                (s.isNumNullsSet && s.getNumNulls == c.getValueCount))
+            }
+            val withVals = sts.filter(s => s != null && s.hasNonNullValue)
+            if (allAccounted && withVals.nonEmpty) {
+              def putMinMax[T](vals: Seq[(T, T)], put: (com.fasterxml.jackson.databind.node.ObjectNode, String, T) => Unit)(implicit ord: Ordering[T]): Unit = {
+                put(minV, name, vals.map(_._1).min)
+                put(maxV, name, vals.map(_._2).max)
+              }
+              val logical = prim.getLogicalTypeAnnotation
+              prim.getPrimitiveTypeName match {
+                case INT32 if logical.isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation] =>
+                  val vs = withVals.map(s => (
+                    s.genericGetMin.asInstanceOf[Number].intValue(),
+                    s.genericGetMax.asInstanceOf[Number].intValue()))
+                  minV.put(name, java.time.LocalDate.ofEpochDay(vs.map(_._1).min.toLong).toString)
+                  maxV.put(name, java.time.LocalDate.ofEpochDay(vs.map(_._2).max.toLong).toString)
+                case INT32 if logical == null ||
+                    logical.isInstanceOf[LogicalTypeAnnotation.IntLogicalTypeAnnotation] =>
+                  putMinMax[Int](withVals.map(s => (
+                    s.genericGetMin.asInstanceOf[Number].intValue(),
+                    s.genericGetMax.asInstanceOf[Number].intValue())),
+                    (o, n, v) => o.put(n, v))
+                case INT64 if logical == null ||
+                    logical.isInstanceOf[LogicalTypeAnnotation.IntLogicalTypeAnnotation] =>
+                  putMinMax[Long](withVals.map(s => (
+                    s.genericGetMin.asInstanceOf[Number].longValue(),
+                    s.genericGetMax.asInstanceOf[Number].longValue())),
+                    (o, n, v) => o.put(n, v))
+                case DOUBLE | FLOAT =>
+                  val vs = withVals.map(s => (
+                    s.genericGetMin.asInstanceOf[Number].doubleValue(),
+                    s.genericGetMax.asInstanceOf[Number].doubleValue()))
+                  if (!vs.exists(v => v._1.isNaN || v._2.isNaN))
+                    putMinMax[Double](vs, (o, n, v) => o.put(n, v))
+                case BOOLEAN =>
+                  putMinMax[Boolean](withVals.map(s => (
+                    s.genericGetMin.asInstanceOf[Boolean].booleanValue(),
+                    s.genericGetMax.asInstanceOf[Boolean].booleanValue())),
+                    (o, n, v) => o.put(n, v))
+                case BINARY if logical.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+                  putMinMax[String](withVals.map(s => (
+                    s.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8,
+                    s.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8)),
+                    (o, n, v) => o.put(n, v))
+                case _ => // timestamps, decimals, raw binary: nullCount only
+              }
+            }
+          }
+        if (minV.size() > 0) root.set("minValues", minV)
+        if (maxV.size() > 0) root.set("maxValues", maxV)
+        if (nullC.size() > 0) root.set("nullCount", nullC)
+        Some(mapper.writeValueAsString(root))
+      } finally r.close()
     } catch { case _: Exception => None }
 
   /** Write `df` as parquet into a staging dir and move the part files
@@ -123,7 +209,7 @@ object DeltaWrite {
       Files.createDirectories(dest.getParent)
       Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
       staged += Staged(rel.toString, pv, Files.size(dest),
-        Files.getLastModifiedTime(dest).toMillis, parquetRowCount(dest))
+        Files.getLastModifiedTime(dest).toMillis, parquetStats(dest))
     }
     org.apache.commons.io.FileUtils.deleteDirectory(tmpDir.toFile)
     staged.toSeq
@@ -248,7 +334,6 @@ object DeltaWrite {
   }
 
   private[io] def addAction(s: Staged, dataChange: Boolean = true): String = {
-    val numRecords = s.numRecords
     val root = mapper.createObjectNode()
     val a = root.putObject("add")
     a.put("path", s.relPath.split('/').map(encodeSegment).mkString("/"))
@@ -259,7 +344,7 @@ object DeltaWrite {
     a.put("size", s.size)
     a.put("modificationTime", s.modTime)
     a.put("dataChange", dataChange)
-    numRecords.foreach(n => a.put("stats", s"""{"numRecords":$n}"""))
+    s.stats.foreach(st => a.put("stats", st))
     mapper.writeValueAsString(root)
   }
 
@@ -632,7 +717,7 @@ object DeltaWrite {
         org.apache.commons.io.FileUtils.deleteDirectory(tmpDir.toFile)
         (Staged(relPath, pv.map { case (k, x) => physBy.getOrElse(k, k) -> x },
           Files.size(dest),
-          Files.getLastModifiedTime(dest).toMillis, parquetRowCount(dest)), fs)
+          Files.getLastModifiedTime(dest).toMillis, parquetStats(dest)), fs)
       }
       val lines = Seq(commitInfoAction("OPTIMIZE", now)) ++
         staged.flatMap(_._2).map(f => removeAction(f.path, now, dataChange = false)) ++
@@ -747,7 +832,8 @@ object DeltaWrite {
       StructField("partitionValues", MapType(StringType, StringType, valueContainsNull = true)),
       StructField("size", LongType),
       StructField("modificationTime", LongType),
-      StructField("dataChange", BooleanType)))),
+      StructField("dataChange", BooleanType),
+      StructField("stats", StringType)))),
     StructField("txn", StructType(Seq(
       StructField("appId", StringType),
       StructField("version", LongType))))))
@@ -797,9 +883,12 @@ object DeltaWrite {
       val (size, mtime) =
         if (Files.exists(p)) (Files.size(p), Files.getLastModifiedTime(p).toMillis)
         else (0L, 0L)
+      // stats keys were translated to logical at snapshot resolution;
+      // the persisted form must be physical again, like partitionValues
       Row(null, null, Row(f.path.split('/').map(encodeSegment).mkString("/"),
         f.partitionValues.map { case (k, x) => physBy.getOrElse(k, k) -> x },
-        size, mtime, true), null)
+        size, mtime, true,
+        f.stats.map(DeltaRead.renameStatsKeys(_, physBy)).orNull), null)
     }
     // SetTransaction high-water marks survive checkpointing — a
     // streaming sink's replay guard must not reset when history is
