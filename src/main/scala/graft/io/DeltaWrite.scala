@@ -590,6 +590,35 @@ object DeltaWrite {
       s"DeltaWrite: lost the commit race on $table $maxRetries times")
   }
 
+  /** Z-order clustered append (Delta `OPTIMIZE ZORDER BY` analog, on
+    * ingest): lay the batch out along the interleaved-bit key
+    * ([[Sinks.zValue]]) before committing, so each add covers a compact
+    * block of the multi-dimensional space and its footer-derived
+    * `add.stats` bounds are TIGHT on every clustered column. Combined
+    * with [[DeltaRead.readVersionWhereStats]] this is the full
+    * data-skipping loop: a predicate on ANY clustered column prunes
+    * most files from log metadata alone — the layout lever for
+    * multi-predicate scans at 100 TB, where a linear sort only skips
+    * on its leading column. */
+  def appendZOrdered(df: DataFrame, table: String, zCols: Seq[String],
+      numFiles: Int, bits: Int = 16): Long = {
+    import org.apache.spark.sql.functions.{col, min => fmin, max => fmax}
+    val aggs = zCols.flatMap(c => Seq(fmin(col(c).cast("double")), fmax(col(c).cast("double"))))
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val laid =
+      if (zCols.indices.exists(i => row.isNullAt(2 * i) || row.isNullAt(2 * i + 1)))
+        df.repartition(numFiles) // nothing to cluster by (empty / all-null)
+      else {
+        val mins = zCols.indices.map(i => row.getDouble(2 * i))
+        val maxs = zCols.indices.map(i => row.getDouble(2 * i + 1))
+        df.withColumn("__z", Sinks.zValue(zCols.map(col), mins, maxs, bits))
+          .repartitionByRange(numFiles, col("__z"))
+          .sortWithinPartitions("__z")
+          .drop("__z")
+      }
+    append(laid, table)
+  }
+
   /** Logical column rename on a column-mapped table — the operation
     * the mapping mode exists for: a metaData-only commit that touches
     * ZERO data files (the physical name every parquet file stores is

@@ -123,6 +123,33 @@ class DeltaStatsSpec extends SparkTestBase {
     } finally cleanup(t)
   }
 
+  test("Z-ordered append: stats skipping prunes on EVERY clustered column, linear sort only on its leading one") {
+    import graft.io.DeltaRead.StatRange
+    val grid = for (x <- 0 until 64; y <- 0 until 64)
+      yield (x.toLong, y.toLong, x * 64L + y)
+    val df = grid.toDF("x", "y", "payload")
+    val zt = newTable(); val lt = newTable()
+    try {
+      DeltaWrite.appendZOrdered(df, zt, Seq("x", "y"), numFiles = 16)
+      DeltaWrite.append(df.repartitionByRange(16, $"x").sortWithinPartitions($"x"), lt)
+      def hits(t: String, preds: Seq[StatRange]) =
+        DeltaRead.filesAfterSkipping(spark, t, 0L, preds).size
+      val box = Seq(StatRange("x", Some(10L), Some(13L)),
+        StatRange("y", Some(10L), Some(13L)))
+      // the 2-D box prunes hard under Z-order…
+      assert(hits(zt, box) <= 4, s"z-order box hit ${hits(zt, box)} of 16 files")
+      // …and a y-only predicate (the NON-leading column of the linear
+      // layout) skips nothing there but plenty under Z-order
+      val yOnly = Seq(StatRange("y", Some(0L), Some(7L)))
+      assert(hits(lt, yOnly) == 16, "linear layout cannot skip on y")
+      assert(hits(zt, yOnly) <= 8, s"z-order y-slice hit ${hits(zt, yOnly)}")
+      // identical rows either way
+      val got = DeltaRead.readVersionWhereStats(spark, zt, 0L, box)
+        .where($"x".between(10, 13) && $"y".between(10, 13))
+      assert(got.count() == 16L)
+    } finally { cleanup(zt); cleanup(lt) }
+  }
+
   test("timestamp columns emit no min/max (format-sensitive) — skipping stays sound") {
     val t = newTable()
     try {
