@@ -357,6 +357,41 @@ class DeltaWriteSpec extends SparkTestBase {
     } finally cleanup(t)
   }
 
+  test("changesBetween tails appended rows, ignores OPTIMIZE rewrites, refuses deletes") {
+    val t = newTable()
+    try {
+      DeltaWrite.append(Seq((1L, "a"), (2L, "b")).toDF("id", "txt").coalesce(1), t) // v0
+      DeltaWrite.append(Seq((3L, "c")).toDF("id", "txt").coalesce(1), t)            // v1
+      DeltaWrite.append(Seq((4L, "d")).toDF("id", "txt").coalesce(1), t)            // v2
+      def ids(since: Long, until: Long) =
+        DeltaRead.changesBetween(spark, t, since, until)
+          .select($"id").as[Long].collect().sorted.toSeq
+      assert(ids(-1L, 2L) == Seq(1L, 2L, 3L, 4L)) // bootstrap from before v0
+      assert(ids(0L, 2L) == Seq(3L, 4L))          // resume past v0
+      assert(ids(1L, 1L) == Nil)                  // empty range
+      // OPTIMIZE reorganizes bytes with dataChange=false: not new data
+      assert(DeltaWrite.compact(spark, t, targetBytes = 1L << 30) >= 1) // v3
+      assert(ids(2L, 3L) == Nil)
+      DeltaWrite.append(Seq((5L, "e")).toDF("id", "txt").coalesce(1), t) // v4
+      assert(ids(3L, 4L) == Seq(5L))
+      // overwrite removes data — an append-only feed must refuse, loudly
+      DeltaWrite.overwrite(Seq((9L, "z")).toDF("id", "txt"), t) // v5
+      val e = intercept[UnsupportedOperationException](ids(4L, 5L))
+      assert(e.getMessage.contains("removes data"))
+      // a mapped partitioned table surfaces logical partition values
+      val mt = newTable()
+      try {
+        DeltaWrite.createColumnMapped(
+          Seq((1L, "es"), (2L, "fr")).toDF("id", "lang"), mt, partitionBy = Seq("lang"))
+        DeltaWrite.append(Seq((3L, "es")).toDF("id", "lang"), mt,
+          partitionBy = Seq("lang"))
+        val got = DeltaRead.changesBetween(spark, mt, 0L, 1L)
+        assert(got.select($"id", $"lang").as[(Long, String)].collect().toSet ==
+          Set((3L, "es")))
+      } finally cleanup(mt)
+    } finally cleanup(t)
+  }
+
   test("checkpoint preserves a foreign table's configuration verbatim") {
     val t = newTable()
     try {
