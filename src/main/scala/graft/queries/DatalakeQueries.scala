@@ -696,10 +696,44 @@ object DatalakeQueries {
            |  CAST(sum(doc_id) AS BIGINT) AS v0_id_sum
            |FROM documents""".stripMargin))
 
+  /** q194 — incremental ingest through the append-only Delta change
+    * feed ([[graft.io.DeltaRead.changesBetween]]): orders land in
+    * three append commits (keyed o_orderkey % 3), an OPTIMIZE rewrite
+    * lands after them, and a consumer tails each version's delta
+    * SEPARATELY — including the compaction, whose dataChange=false
+    * rewrite must surface zero rows. The union of the tailed
+    * increments must equal the direct full-table aggregate, which the
+    * oracle recomputes from `orders`: a green row proves the feed
+    * neither drops nor duplicates rows across commits and ignores
+    * byte reorganization. */
+  val q194DeltaChangefeed = GQuery(
+    "q194_delta_changefeed",
+    (s, d) => {
+      val t = graft.io.Staging.tempDir("graft_q194_")
+      val orders = s.read.parquet(s"$d/orders.parquet")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      (0 to 2).foreach { i =>
+        graft.io.DeltaWrite.append(
+          orders.filter(pmod(col("o_orderkey"), lit(3)) === i).repartition(4), t)
+      }
+      // 12 small files → one OPTIMIZE commit (v3) the feed must ignore
+      require(graft.io.DeltaWrite.compact(s, t) > 0, "q194 expects a compaction commit")
+      val incr = (0L to 3L).map(v => graft.io.DeltaRead.changesBetween(s, t, v - 1, v))
+        .reduce(_ unionByName _)
+      incr.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy(col("o_orderstatus"))
+    },
+    Some("""SELECT o_orderstatus, count(*) AS n_orders,
+           |       round(sum(o_totalprice), 2) AS revenue
+           |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+
   val all: Seq[GQuery] = Seq(
     q130SnapshotDiff, q131IncrementalAgg, q132SchemaEvolution,
     q133KAnonymity, q134GdprErasure, q147CompactionPlan,
     q148ZorderLayout, q149ColumnStats, q160PruningSim,
     q163OrcRoundtrip, q164PartitionPruning, q166CorruptTolerance,
-    q177TxTable, q179DeltaRead, q180DeltaRoundtrip, q184TxToDelta)
+    q177TxTable, q179DeltaRead, q180DeltaRoundtrip, q184TxToDelta,
+    q194DeltaChangefeed)
 }
