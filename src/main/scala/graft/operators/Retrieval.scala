@@ -93,4 +93,49 @@ object Retrieval {
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
   }
+
+  /** Hard-negative mining for retrieval training (the "dense
+    * retrievers need BM25 negatives" recipe — Karpukhin et al. 2020,
+    * DPR): every PROBE document queries the corpus with its own
+    * distinct terms, and its top-k BM25 hits OUTSIDE its own source
+    * (and itself) are emitted as hard negatives — lexically close,
+    * provenance-disjoint. Query terms weigh 1 each (classic
+    * query-side BM25); only terms with df ≤ N·dfCapFrac participate —
+    * the WAND-style posting-list cap that keeps the candidate join
+    * bounded by |probe terms| · N·dfCapFrac instead of
+    * |probes| × |corpus| when a stopword would otherwise fan out.
+    * Ranking runs through the bounded-heap TopKPerKey operator — no
+    * per-probe sort, no single-partition window.
+    */
+  def hardNegatives(docs: DataFrame, id: Column, text: Column, source: Column,
+      probe: Column, k: Int, dfCapFrac: Double = 0.1,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val base = docs.select(id.as("doc_id"), source.as("src"),
+      probe.as("is_probe"), text.as("__text"))
+    val tf = termFrequencies(base, col("doc_id"), col("__text"))
+    val dfr = docFrequencies(tf)
+    val lens = base.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("__text")).cast("double").as("dl"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val qWords = tf
+      .join(base.where(col("is_probe"))
+        .select(col("doc_id").as("qid"), col("src").as("qsrc")),
+        tf("doc_id") === col("qid"))
+      .select(col("qid"), col("qsrc"), col("word"))
+    val postings = tf.join(base.select(col("doc_id"), col("src")), "doc_id")
+    val tfd = col("tf").cast("double")
+    val scoreTerm = idfBm25(col("df"), col("n_docs")) * (tfd * (k1 + 1.0)) /
+      (tfd + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl")))
+    val scored = qWords
+      .join(broadcast(dfr), "word")
+      .crossJoin(broadcast(stats))
+      .where(col("df").cast("double") <= col("n_docs").cast("double") * dfCapFrac)
+      .join(postings, "word")
+      .where(col("doc_id") =!= col("qid") && col("src") =!= col("qsrc"))
+      .join(lens, "doc_id")
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(count(lit(1)).as("hits"), round(sum(scoreTerm), 4).as("score"))
+    graft.plans.TopK.perKey(scored, Seq("qid"), "score", "doc_id", k)
+      .orderBy(col("qid"), col("score").desc, col("doc_id"))
+  }
 }

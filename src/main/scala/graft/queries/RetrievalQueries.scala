@@ -75,5 +75,52 @@ object RetrievalQueries {
             |ORDER BY score DESC, doc_id LIMIT $K""".stripMargin),
     benchmark = false)
 
-  val all: Seq[GQuery] = Seq(q94TfidfTopK, q95Bm25TopK)
+  /** q195 — hard-negative mining ([[Retrieval.hardNegatives]]): probe
+    * docs (doc_id % 97 = 0) each retrieve their top-5 BM25 hits from
+    * OTHER sources using their rare-ish terms (df ≤ N/10) — the DPR
+    * negative-sampling recipe as one query. The rounded score drives
+    * the rank in both engines (ties → doc_id) and the ranking runs
+    * through the bounded-heap TopKPerKey operator.
+    */
+  val q195HardNegatives = GQuery(
+    "q195_hard_negatives",
+    (s, d) => Retrieval.hardNegatives(
+      Tables.documents(s, d), col("doc_id"), col("text"), col("source"),
+      pmod(col("doc_id"), lit(97)) === 0, k = 5),
+    Some(s"""$TfDfCtes,
+            |lens AS (
+            |  SELECT doc_id,
+            |         CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS DOUBLE) AS dl
+            |  FROM documents),
+            |stats AS (
+            |  SELECT count(*) AS n_docs,
+            |         avg(CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS DOUBLE)) AS avgdl
+            |  FROM documents),
+            |q AS (SELECT doc_id AS qid, source AS qsrc FROM documents
+            |      WHERE doc_id % 97 = 0),
+            |qw AS (SELECT DISTINCT q.qid, q.qsrc, tf.word
+            |       FROM tf JOIN q ON tf.doc_id = q.qid),
+            |cand AS (
+            |  SELECT qw.qid, tf.doc_id,
+            |         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+            |         (tf.tf * (1.2 + 1.0)) /
+            |         (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS s
+            |  FROM qw
+            |  JOIN df USING (word)
+            |  CROSS JOIN stats
+            |  JOIN tf USING (word)
+            |  JOIN documents src ON src.doc_id = tf.doc_id
+            |  JOIN lens ON lens.doc_id = tf.doc_id
+            |  WHERE df <= n_docs * 0.1
+            |    AND tf.doc_id <> qw.qid AND src.source <> qw.qsrc),
+            |scored AS (
+            |  SELECT qid, doc_id, count(*) AS hits, round(sum(s), 4) AS score
+            |  FROM cand GROUP BY qid, doc_id),
+            |r AS (SELECT *, row_number() OVER (
+            |        PARTITION BY qid ORDER BY score DESC, doc_id) AS rn
+            |      FROM scored)
+            |SELECT qid, doc_id, hits, score FROM r WHERE rn <= 5
+            |ORDER BY qid, score DESC, doc_id""".stripMargin))
+
+  val all: Seq[GQuery] = Seq(q94TfidfTopK, q95Bm25TopK, q195HardNegatives)
 }
