@@ -66,12 +66,18 @@ object ImportanceSampling {
 
   /** Per-raw-document log importance weight: the sum of its feature
     * occurrences' log ratios. Docs with zero features carry no
-    * evidence and are dropped (both engines). */
+    * evidence and are dropped (both engines). The summands are 6 dp —
+    * exact in micro-units — so they are summed as LONGS: a double sum
+    * is order-dependent in its last bits, and at corpus scale some
+    * document's total WILL land on a rounding boundary and flip
+    * between engines (seen at sf0.1); the integer sum is
+    * order-independent and bit-identical everywhere. */
   def logWeights(feats: DataFrame, isTarget: Column, ratios: DataFrame): DataFrame =
     feats.where(!isTarget)
       .join(broadcast(ratios), "b")
       .groupBy(col("doc_id"))
-      .agg(first(col("source")).as("source"), sum(col("lr")).as("logw"))
+      .agg(first(col("source")).as("source"),
+        (sum(round(col("lr") * 1e6).cast("long")).cast("double") / 1e6).as("logw"))
 
   /** Deterministic standard-Gumbel noise per document: u is the salted
     * 60-bit doc hash mapped into (0,1) — the +0.5 shift keeps u off

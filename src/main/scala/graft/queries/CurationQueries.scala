@@ -1008,7 +1008,9 @@ object CurationQueries {
             |lr AS (SELECT b, round(ln((COALESCE(tn, 0) + 1.0) / (ttot + 512))
             |                     - ln((rn + 1.0) / (rtot + 512)), 6) AS lr
             |       FROM rc LEFT JOIN tc USING (b) CROSS JOIN tt CROSS JOIN rt),
-            |w AS (SELECT doc_id, any_value(source) AS source, sum(lr) AS logw
+            |w AS (SELECT doc_id, any_value(source) AS source,
+            |             CAST(sum(CAST(round(lr * 1000000.0) AS BIGINT)) AS DOUBLE)
+            |               / 1000000.0 AS logw
             |      FROM f JOIN lr USING (b) WHERE source <> 'src0' GROUP BY doc_id)
             |SELECT doc_id, source, round(logw, 4) AS logw,
             |       round(logw - ln(-ln(
