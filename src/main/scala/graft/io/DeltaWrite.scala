@@ -305,13 +305,21 @@ object DeltaWrite {
     /** `df` under physical names at every level, in `mappedSchema`
       * field order. A field with no physicalName metadata keeps its
       * logical name — the reader resolves it the same way, so the two
-      * directions stay consistent on degenerate foreign tables. */
+      * directions stay consistent on degenerate foreign tables.
+      * Each top-level column also carries its mapping id as
+      * `parquet.field.id`, which Spark's parquet writer persists into
+      * the file schema — what an id-mode foreign reader resolves by
+      * (PROTOCOL.md: id mode matches on parquet field ids). */
     def physicalizeDf(df: DataFrame, mappedSchema: StructType): DataFrame = {
       import org.apache.spark.sql.functions.col
       val cols = mappedSchema.fields.toSeq.map { f =>
         val phys = if (f.metadata.contains(ColumnMapping.PhysKey))
           f.metadata.getString(ColumnMapping.PhysKey) else f.name
-        col(f.name).cast(ColumnMapping.physicalize(f.dataType)).as(phys)
+        val c = col(f.name).cast(ColumnMapping.physicalize(f.dataType))
+        if (f.metadata.contains(IdKey))
+          c.as(phys, new MetadataBuilder()
+            .putLong("parquet.field.id", f.metadata.getLong(IdKey)).build())
+        else c.as(phys)
       }
       df.select(cols: _*)
     }

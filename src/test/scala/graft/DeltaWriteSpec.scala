@@ -264,6 +264,33 @@ class DeltaWriteSpec extends SparkTestBase {
     } finally cleanup(t)
   }
 
+  test("mapped data files carry parquet field ids matching the mapping ids") {
+    val t = newTable()
+    try {
+      DeltaWrite.createColumnMapped(
+        Seq((1L, "a"), (2L, "b")).toDF("id", "txt").coalesce(1), t, mode = "id")
+      val s = DeltaRead.snapshot(spark, t)
+      val wantIds = s.schema.get.fields.map(f =>
+        f.metadata.getString("delta.columnMapping.physicalName") ->
+          f.metadata.getLong("delta.columnMapping.id")).toMap
+      val dataFile = Files.walk(Paths.get(t)).iterator().asScala
+        .find(p => p.getFileName.toString.endsWith(".parquet")
+          && !p.toString.contains("_delta_log")).get
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(dataFile.toUri),
+        new org.apache.hadoop.conf.Configuration())
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      val gotIds = try r.getFooter.getFileMetaData.getSchema.getFields.asScala
+        .map(f => f.getName -> Option(f.getId).map(_.intValue().toLong))
+        .toMap finally r.close()
+      assert(gotIds.keySet == wantIds.keySet)
+      wantIds.foreach { case (phys, id) =>
+        assert(gotIds(phys).contains(id),
+          s"field $phys: parquet id ${gotIds(phys)} != mapping id $id")
+      }
+    } finally cleanup(t)
+  }
+
   test("column rename/drop on a mapped table are metaData-only commits; plain tables refuse") {
     val t = newTable()
     try {
