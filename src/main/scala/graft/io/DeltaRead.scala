@@ -557,6 +557,19 @@ object DeltaRead {
       }
     }
 
+  /** Unsigned UTF-8 byte order — the order parquet footer stats are
+    * computed in (parquet-format: UNSIGNED sort order for BYTE_ARRAY /
+    * UTF8). Java's String.compareTo orders by UTF-16 code units, which
+    * DISAGREES for supplementary-plane characters (U+FFFF sorts above
+    * any surrogate-pair emoji in UTF-16, below it in UTF-8 bytes) — a
+    * skipping decision made in the wrong order can prune a file that
+    * contains matching rows, so every string bound comparison routes
+    * through this. */
+  private[io] def utf8Compare(a: String, b: String): Int =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
   /** compare(statsValue, bound): Some(sign), or None when the kinds
     * don't line up (⇒ admit). */
   private def compareBound(v: JsonNode, bound: Any): Option[Int] = (bound match {
@@ -572,9 +585,9 @@ object DeltaRead {
         }
         Some(BigDecimal(v.decimalValue()).compare(b))
       }
-    case s: String => if (v.isTextual) Some(v.asText().compareTo(s)) else None
+    case s: String => if (v.isTextual) Some(utf8Compare(v.asText(), s)) else None
     case d: java.time.LocalDate =>
-      if (v.isTextual) Some(v.asText().compareTo(d.toString)) else None
+      if (v.isTextual) Some(utf8Compare(v.asText(), d.toString)) else None
     case b: Boolean =>
       if (v.isBoolean) Some(java.lang.Boolean.compare(v.asBoolean(), b)) else None
     case _ => None
@@ -634,12 +647,25 @@ object DeltaRead {
     // every nesting level at once (physical and logical schemas are
     // structurally identical), and non-data passthrough columns
     // (`__graft_path` in the wide-partition form) survive untouched.
+    // the scan relation is all-nullable (parquet carries no NOT NULL),
+    // so the rename cast's target must be too — a committed schema with
+    // required nested fields would otherwise refuse to analyze
+    def relaxNullable(dt: DataType): DataType = dt match {
+      case st: StructType => StructType(st.fields.map(f =>
+        f.copy(dataType = relaxNullable(f.dataType), nullable = true)))
+      case org.apache.spark.sql.types.ArrayType(et, _) =>
+        org.apache.spark.sql.types.ArrayType(relaxNullable(et), containsNull = true)
+      case org.apache.spark.sql.types.MapType(k, v, _) =>
+        org.apache.spark.sql.types.MapType(relaxNullable(k), relaxNullable(v),
+          valueContainsNull = true)
+      case other => other
+    }
     def relogical(df: DataFrame): DataFrame =
       if (!mapped) df
       else {
         val physByLogical = ColumnMapping.physByLogical(dataSchema.get)
         val dataCols = dataSchema.get.fields.map(f =>
-          col(physByLogical(f.name)).cast(f.dataType).as(f.name))
+          col(physByLogical(f.name)).cast(relaxNullable(f.dataType)).as(f.name))
         val extras = df.columns.filterNot(physDataSchema.get.fieldNames.contains)
           .map(col)
         df.select(dataCols ++ extras: _*)

@@ -161,6 +161,14 @@ object DeltaWrite {
                     s.genericGetMax.asInstanceOf[Boolean].booleanValue())),
                     (o, n, v) => o.put(n, v))
                 case BINARY if logical.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+                  // merge per-row-group bounds in unsigned UTF-8 byte
+                  // order — the order the footer stats themselves obey
+                  // (parquet UNSIGNED sort); Ordering[String] is UTF-16
+                  // code-unit order and disagrees past the BMP, which
+                  // would publish a too-narrow file bound and let data
+                  // skipping drop matching rows
+                  implicit val utf8Ord: Ordering[String] =
+                    (a: String, b: String) => DeltaRead.utf8Compare(a, b)
                   putMinMax[String](withVals.map(s => (
                     s.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8,
                     s.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8)),
@@ -217,6 +225,65 @@ object DeltaWrite {
 
   private def dropStaged(table: String, staged: Seq[Staged]): Unit =
     staged.foreach(s => Files.deleteIfExists(Paths.get(table, s.relPath)))
+
+  /** Writer features this writer actually implements. `appendOnly` and
+    * `invariants` are honored by USAGE check below: a table that merely
+    * lists them (every legacy-upgraded table does — minWriterVersion 2
+    * implied both) is writable, a table that actually declares an
+    * invariant or delta.appendOnly is gated. Anything else
+    * (checkConstraints, generatedColumns, changeDataFeed as a WRITER
+    * obligation, identity columns, row tracking) would require this
+    * writer to uphold semantics it does not implement, so committing to
+    * such a table is refused — the protocol forbids a writer from
+    * touching a table whose writer features it does not support. */
+  private val SupportedWriterFeatures =
+    Set("appendOnly", "invariants", "columnMapping", "deletionVectors")
+
+  /** Does any field at any nesting level of `dt` carry metadata `key`? */
+  private def fieldMetaHas(dt: DataType, key: String): Boolean = dt match {
+    case st: StructType => st.fields.exists(f =>
+      f.metadata.contains(key) || fieldMetaHas(f.dataType, key))
+    case ArrayType(et, _) => fieldMetaHas(et, key)
+    case MapType(k, v, _) => fieldMetaHas(k, key) || fieldMetaHas(v, key)
+    case _ => false
+  }
+
+  /** Refuse to commit to a table whose protocol or metadata demands
+    * writer behavior this writer does not implement — the write-side
+    * mirror of [[DeltaRead]]'s `validateSupported`. Committing anyway
+    * would let graft violate constraints other writers rely on (a
+    * CHECK constraint silently unenforced, a generated column left
+    * stale, a change feed with missing entries). `removesData` marks
+    * operations that delete or replace rows, which `delta.appendOnly`
+    * forbids. */
+  private[io] def validateWriterSupport(table: String, s: DeltaRead.DeltaSnapshot,
+      removesData: Boolean): Unit = {
+    if (s.minWriterVersion >= 7) {
+      val unsupported = s.writerFeatures -- SupportedWriterFeatures
+      if (unsupported.nonEmpty) throw new UnsupportedOperationException(
+        s"$table requires writer features ${unsupported.toSeq.sorted.mkString(", ")} — " +
+          "this writer does not implement them; committing anyway would " +
+          "break the table's contract")
+    }
+    if (removesData &&
+        s.configuration.get("delta.appendOnly").exists(_.equalsIgnoreCase("true")))
+      throw new UnsupportedOperationException(
+        s"$table is delta.appendOnly — removing or replacing rows is forbidden")
+    if (s.configuration.keys.exists(_.startsWith("delta.constraints.")))
+      throw new UnsupportedOperationException(
+        s"$table declares CHECK constraints this writer cannot enforce")
+    if (s.configuration.get("delta.enableChangeDataFeed").exists(_.equalsIgnoreCase("true")))
+      throw new UnsupportedOperationException(
+        s"$table enables change data feed — this writer does not emit _change_data files")
+    s.schema.foreach { sc =>
+      if (fieldMetaHas(sc, "delta.invariants"))
+        throw new UnsupportedOperationException(
+          s"$table declares column invariants this writer cannot enforce")
+      if (fieldMetaHas(sc, "delta.generationExpression"))
+        throw new UnsupportedOperationException(
+          s"$table declares generated columns this writer cannot maintain")
+    }
+  }
 
   private[io] def protocolAction: String = protocolActionFor(1, 2)
   private[io] def protocolActionFor(r: Int, w: Int): String =
@@ -302,11 +369,31 @@ object DeltaWrite {
       case _ => 0L
     }
 
+    /** The physical type of `dt` with `parquet.field.id` metadata
+      * rebuilt from the mapping id at EVERY nesting level — the
+      * protocol's id mode expects field ids on nested fields too, and
+      * Spark's parquet writer persists `parquet.field.id` from nested
+      * StructField metadata (the cast target's StructType carries the
+      * metadata through to the written schema). */
+    private[io] def physTypeWithIds(dt: DataType): DataType = dt match {
+      case st: StructType => StructType(st.fields.map { f =>
+        val phys = if (f.metadata.contains(ColumnMapping.PhysKey))
+          f.metadata.getString(ColumnMapping.PhysKey) else f.name
+        val mb = new MetadataBuilder()
+        if (f.metadata.contains(IdKey))
+          mb.putLong("parquet.field.id", f.metadata.getLong(IdKey))
+        StructField(phys, physTypeWithIds(f.dataType), f.nullable, mb.build())
+      })
+      case ArrayType(et, n) => ArrayType(physTypeWithIds(et), n)
+      case MapType(k, v, n) => MapType(physTypeWithIds(k), physTypeWithIds(v), n)
+      case other => other
+    }
+
     /** `df` under physical names at every level, in `mappedSchema`
       * field order. A field with no physicalName metadata keeps its
       * logical name — the reader resolves it the same way, so the two
       * directions stay consistent on degenerate foreign tables.
-      * Each top-level column also carries its mapping id as
+      * Every field at every nesting level carries its mapping id as
       * `parquet.field.id`, which Spark's parquet writer persists into
       * the file schema — what an id-mode foreign reader resolves by
       * (PROTOCOL.md: id mode matches on parquet field ids). */
@@ -315,13 +402,47 @@ object DeltaWrite {
       val cols = mappedSchema.fields.toSeq.map { f =>
         val phys = if (f.metadata.contains(ColumnMapping.PhysKey))
           f.metadata.getString(ColumnMapping.PhysKey) else f.name
-        val c = col(f.name).cast(ColumnMapping.physicalize(f.dataType))
+        val c = col(f.name).cast(physTypeWithIds(f.dataType))
         if (f.metadata.contains(IdKey))
           c.as(phys, new MetadataBuilder()
             .putLong("parquet.field.id", f.metadata.getLong(IdKey)).build())
         else c.as(phys)
       }
       df.select(cols: _*)
+    }
+
+    /** Re-stamp `parquet.field.id` metadata onto a frame read back RAW
+      * from a mapped table's parquet files (a plain read→write
+      * roundtrip drops the ids — `spark.sql.parquet.fieldId.read
+      * .enabled` defaults to false), keyed by PHYSICAL column name
+      * against the committed snapshot schema. Used by [[compact]] so
+      * compacted files of an id-mode table keep the ids foreign id-mode
+      * readers resolve by. */
+    def restampFieldIds(df: DataFrame, committed: StructType): DataFrame = {
+      import org.apache.spark.sql.functions.col
+      // the raw read-back schema is all-nullable (parquet has no
+      // NOT NULL); cast targets must match or analysis refuses the
+      // nullable→required narrowing
+      def relax(dt: DataType): DataType = dt match {
+        case st: StructType => StructType(st.fields.map(f =>
+          f.copy(dataType = relax(f.dataType), nullable = true)))
+        case ArrayType(et, _) => ArrayType(relax(et), containsNull = true)
+        case MapType(k, v, _) => MapType(relax(k), relax(v), valueContainsNull = true)
+        case other => other
+      }
+      val byPhys = committed.fields.map { f =>
+        val phys = if (f.metadata.contains(ColumnMapping.PhysKey))
+          f.metadata.getString(ColumnMapping.PhysKey) else f.name
+        phys -> f
+      }.toMap
+      df.select(df.columns.toSeq.map { c =>
+        byPhys.get(c) match {
+          case Some(f) if f.metadata.contains(IdKey) =>
+            col(c).cast(relax(physTypeWithIds(f.dataType))).as(c, new MetadataBuilder()
+              .putLong("parquet.field.id", f.metadata.getLong(IdKey)).build())
+          case _ => col(c)
+        }
+      }: _*)
     }
   }
 
@@ -528,6 +649,7 @@ object DeltaWrite {
         }
       }
       snap.foreach { s =>
+        validateWriterSupport(table, s, removesData = replaceExisting)
         // the staged bytes were laid down under the mapping context
         // resolved BEFORE staging; the table the CAS will land on must
         // still agree — files staged under the wrong name regime would
@@ -610,6 +732,7 @@ object DeltaWrite {
     * on its leading column. */
   def appendZOrdered(df: DataFrame, table: String, zCols: Seq[String],
       numFiles: Int, bits: Int = 16): Long = {
+    require(zCols.nonEmpty, "appendZOrdered: zCols must be non-empty")
     import org.apache.spark.sql.functions.{col, min => fmin, max => fmax}
     val aggs = zCols.flatMap(c => Seq(fmin(col(c).cast("double")), fmax(col(c).cast("double"))))
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
@@ -672,6 +795,7 @@ object DeltaWrite {
     while (attempt < 10) {
       val v = DeltaRead.latestVersion(table)
       val s = DeltaRead.snapshotAt(spark, table, v)
+      validateWriterSupport(table, s, removesData = false)
       require(DeltaRead.ColumnMapping.active(s.columnMappingMode),
         s"$op: $table is not column-mapped — a logical schema change " +
           "on a plain table would require rewriting every data file " +
@@ -706,6 +830,9 @@ object DeltaWrite {
       val v = DeltaRead.latestVersion(table)
       val s = DeltaRead.snapshotAt(spark, table, v)
       require(s.files.nonEmpty, s"nothing to compact under $table")
+      // dataChange=false reorganization still COMMITS — a table whose
+      // writer features we don't implement must not be touched
+      validateWriterSupport(table, s, removesData = false)
       // a DV'd file read whole resurrects its deleted rows — compacting
       // would bake them into the rewrite; refuse until this writer
       // learns to apply DVs during the rewrite
@@ -736,7 +863,12 @@ object DeltaWrite {
       if (groups.isEmpty) return 0
       val now = System.currentTimeMillis()
       val staged = groups.map { case (pv, fs) =>
-        val df = spark.read.parquet(fs.map(f => Paths.get(table, f.path).toString): _*)
+        val raw = spark.read.parquet(fs.map(f => Paths.get(table, f.path).toString): _*)
+        // a raw parquet roundtrip drops parquet field ids; a mapped
+        // table's rewrites must keep them for foreign id-mode readers
+        val df =
+          if (physBy.isEmpty) raw
+          else WriteMapping.restampFieldIds(raw, s.schema.get)
         // stage INSIDE the table root (like stage()): a system temp dir
         // may sit on a different filesystem, where ATOMIC_MOVE throws
         val tmpDir = Paths.get(table, s"_staging-${UUID.randomUUID()}")

@@ -150,6 +150,32 @@ class DeltaStatsSpec extends SparkTestBase {
     } finally { cleanup(zt); cleanup(lt) }
   }
 
+  test("string bounds compare in unsigned UTF-8 byte order — supplementary-plane rows are never falsely pruned") {
+    val t = newTable()
+    try {
+      // U+FFFF sorts ABOVE the emoji in UTF-16 code units but BELOW it
+      // in UTF-8 bytes (EF BF BF < F0 9F 98 80) — and UTF-8 byte order
+      // is both parquet's footer-stats order and the engines' string
+      // comparison order (Spark UTF8String, DuckDB), so skipping must
+      // use it too
+      val bmp = "\uFFFF"; val emoji = new String(Character.toChars(0x1F600))
+      DeltaWrite.append(Seq((1L, bmp)).toDF("id", "s"), t)
+      DeltaWrite.append(Seq((2L, emoji)).toDF("id", "s"), t)
+      // s >= U+FFFF semantically matches the emoji row; UTF-16
+      // comparison would prune its file (surrogate 0xD83D < 0xFFFF)
+      val admitted = DeltaRead.filesAfterSkipping(spark, t, 1L,
+        Seq(StatRange.atLeast("s", bmp)))
+      assert(admitted.size == 2, "emoji file was falsely pruned")
+      val got = DeltaRead.readVersionWhereStats(spark, t, 1L,
+        Seq(StatRange.atLeast("s", bmp))).where($"s" >= bmp)
+      assert(got.count() == 2L)
+      // and the pruning direction still works: s <= U+FFFF excludes
+      // the emoji file under byte order
+      assert(DeltaRead.filesAfterSkipping(spark, t, 1L,
+        Seq(StatRange.atMost("s", bmp))).size == 1)
+    } finally cleanup(t)
+  }
+
   test("timestamp columns emit no min/max (format-sensitive) — skipping stays sound") {
     val t = newTable()
     try {

@@ -721,6 +721,87 @@ class DeltaWriteSpec extends SparkTestBase {
     } finally { cleanup(tx); cleanup(dl) }
   }
 
+  test("writer refuses tables declaring writer features or properties it does not honor") {
+    val t = newTable()
+    try {
+      DeltaWrite.append(Seq((1L, "a")).toDF("id", "txt"), t)
+      // a foreign engine upgrades the table to a feature-listed
+      // protocol with a feature graft cannot uphold
+      Files.write(Paths.get(t, "_delta_log", f"${1L}%020d.json"), Seq(
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["checkConstraints"]}}""").asJava)
+      val e = intercept[UnsupportedOperationException](
+        DeltaWrite.append(Seq((2L, "b")).toDF("id", "txt"), t))
+      assert(e.getMessage.contains("checkConstraints"))
+      // merely-listed legacy-implied features are fine
+      Files.write(Paths.get(t, "_delta_log", f"${1L}%020d.json"), Seq(
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["appendOnly","invariants"]}}""").asJava)
+      assert(DeltaWrite.append(Seq((2L, "b")).toDF("id", "txt"), t) == 2L)
+      assert(DeltaRead.read(spark, t).count() == 2L)
+    } finally cleanup(t)
+  }
+
+  test("delta.appendOnly gates row removal but not appends; CHECK constraints gate everything") {
+    val t = newTable()
+    try {
+      DeltaWrite.append(Seq((1L, "a")).toDF("id", "txt"), t)
+      val meta = commitLines(t, 0).map(mapper.readTree)
+        .find(_.has("metaData")).get.get("metaData")
+      def metaWith(conf: String): String =
+        s"""{"metaData":{"id":"${meta.get("id").asText()}","format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":${mapper.writeValueAsString(meta.get("schemaString").asText())},""" +
+          s""""partitionColumns":[],"configuration":$conf,"createdTime":1}}"""
+      Files.write(Paths.get(t, "_delta_log", f"${1L}%020d.json"),
+        Seq(metaWith("""{"delta.appendOnly":"true"}""")).asJava)
+      assert(DeltaWrite.append(Seq((2L, "b")).toDF("id", "txt"), t) == 2L)
+      val e = intercept[UnsupportedOperationException](
+        DeltaWrite.overwrite(Seq((9L, "x")).toDF("id", "txt"), t))
+      assert(e.getMessage.contains("appendOnly"))
+      Files.write(Paths.get(t, "_delta_log", f"${3L}%020d.json"),
+        Seq(metaWith("""{"delta.constraints.pos":"id > 0"}""")).asJava)
+      val e2 = intercept[UnsupportedOperationException](
+        DeltaWrite.append(Seq((3L, "c")).toDF("id", "txt"), t))
+      assert(e2.getMessage.contains("CHECK constraints"))
+    } finally cleanup(t)
+  }
+
+  test("id-mode mapping persists parquet field ids at NESTED levels, and compact keeps them") {
+    val t = newTable()
+    try {
+      val df = Seq((1L, ("x1", 10)), (2L, ("x2", 20))).toDF("id", "nest")
+      DeltaWrite.createColumnMapped(df.repartition(2), t, mode = "id")
+      def footerFields(p: java.nio.file.Path) = {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(p.toUri),
+          new org.apache.hadoop.conf.Configuration())
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getFooter.getFileMetaData.getSchema finally r.close()
+      }
+      def dataFiles() = Files.walk(Paths.get(t)).iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet")
+          && !p.startsWith(Paths.get(t, "_delta_log"))).toList
+      dataFiles().foreach { p =>
+        val sch = footerFields(p)
+        // every top-level field carries an id…
+        sch.getFields.asScala.foreach(f =>
+          assert(f.getId != null, s"missing field id on ${f.getName} in $p"))
+        // …and so does every field of the nested struct
+        val nested = sch.getFields.asScala.find(!_.isPrimitive).get.asGroupType()
+        nested.getFields.asScala.foreach(f =>
+          assert(f.getId != null, s"missing NESTED field id on ${f.getName} in $p"))
+      }
+      // compaction rewrites files — ids must survive the roundtrip
+      assert(DeltaWrite.compact(spark, t, targetBytes = Long.MaxValue) > 0)
+      dataFiles().foreach { p =>
+        val sch = footerFields(p)
+        sch.getFields.asScala.foreach(f =>
+          assert(f.getId != null, s"compact dropped field id on ${f.getName}"))
+      }
+      // and the table still reads correctly after the rewrite
+      assert(DeltaRead.read(spark, t).selectExpr("sum(nest._2)")
+        .collect()(0).getLong(0) == 30L)
+    } finally cleanup(t)
+  }
+
   test("concurrent appenders serialize through the commit CAS (no lost updates)") {
     val t = newTable()
     try {
