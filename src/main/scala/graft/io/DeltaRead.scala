@@ -99,6 +99,7 @@ object DeltaRead {
     * columns. */
   private[io] object ColumnMapping {
     val PhysKey = "delta.columnMapping.physicalName"
+    val IdKey = "delta.columnMapping.id"
 
     def active(mode: String): Boolean = mode == "name" || mode == "id"
 
@@ -122,6 +123,43 @@ object DeltaRead {
     /** logical name → physical name for the TOP level of `schema`. */
     def physByLogical(schema: StructType): Map[String, String] =
       schema.fields.map(f => f.name -> physField(f)).toMap
+
+    /** ID-MODE name resolution against an actual parquet footer
+      * (PROTOCOL.md: id mode matches columns on parquet FIELD IDS, not
+      * names): for each logical field carrying a mapping id, find the
+      * footer field with that id and scan under ITS stored name — so a
+      * table whose physical names were rewritten by another id-mode
+      * engine (ids preserved, `col-*` names regenerated) still opens
+      * with the right columns instead of all-nulls. Fields the footer
+      * doesn't carry (added after this file was written) fall back to
+      * the log's physical name and read as null, as schema evolution
+      * requires. Struct nesting resolves recursively; array/map
+      * ELEMENT structs keep the log's physical names (their parquet
+      * wrapper groups don't round-trip ids portably). */
+    def resolveByFieldId(logical: StructType,
+        footer: org.apache.parquet.schema.GroupType): StructType = {
+      def resolveStruct(st: StructType, g: org.apache.parquet.schema.GroupType): StructType =
+        StructType(st.fields.map { f =>
+          val byId =
+            if (!f.metadata.contains(IdKey)) None
+            else {
+              val id = f.metadata.getLong(IdKey)
+              g.getFields.asScala.find(t => t.getId != null && t.getId.intValue() == id)
+            }
+          val name = byId.map(_.getName).getOrElse(physField(f))
+          val dt = (f.dataType, byId) match {
+            case (nested: StructType, Some(t)) if !t.isPrimitive =>
+              resolveStruct(nested, t.asGroupType())
+            case (nested: StructType, None) =>
+              g.getFields.asScala.find(t => t.getName == name && !t.isPrimitive)
+                .map(t => resolveStruct(nested, t.asGroupType()))
+                .getOrElse(physicalize(nested).asInstanceOf[StructType])
+            case (other, _) => physicalize(other)
+          }
+          org.apache.spark.sql.types.StructField(name, dt, f.nullable)
+        })
+      resolveStruct(logical, footer)
+    }
   }
 
   private val mapper = new ObjectMapper()
@@ -424,18 +462,42 @@ object DeltaRead {
   def snapshot(spark: SparkSession, table: String): DeltaSnapshot =
     snapshotAt(spark, table, latestVersion(table))
 
-  /** Incremental consumption: the rows ADDED by commits in
-    * `(sinceVersion, untilVersion]` — the append-only slice of change
-    * data capture, and the primitive a downstream incremental job
-    * tails a table with (resume from the last version it processed
-    * instead of re-scanning the table). Respects the protocol's
-    * `dataChange` flag: files rewritten by OPTIMIZE/compaction carry
-    * `dataChange = false` and are NOT surfaced — reorganized bytes are
-    * not new data. Commits containing row REMOVALS (overwrite,
-    * deletion vectors) are refused loudly: silently dropping the
-    * delete half of a change stream would corrupt any downstream
-    * mirror. At 100 TB this is the difference between tailing a feed
-    * and re-reading a lake; the JSON commits are the feed. */
+  /** The change-feed metadata column: `insert` or `delete`. */
+  val ChangeTypeCol = "_change_type"
+  /** The change-feed metadata column carrying the commit version each
+    * change landed in. */
+  val CommitVersionCol = "_commit_version"
+
+  /** CHANGE DATA FEED: every row-level change committed in
+    * `(sinceVersion, untilVersion]`, each tagged [[ChangeTypeCol]]
+    * (`insert` / `delete`) and [[CommitVersionCol]] — the primitive a
+    * downstream incremental job tails a table with (resume from the
+    * last version processed instead of re-scanning the lake; fold
+    * inserts minus deletes to mirror the table). Semantics, derived
+    * purely from the commit log — no `_change_data` files needed:
+    *
+    *  - `add` of a new path (dataChange) → its VISIBLE rows as
+    *    `insert` (any birth DV already masked);
+    *  - `remove` of a path with no same-commit re-add (dataChange) →
+    *    the rows visible at removal time as `delete` — so an
+    *    overwrite surfaces delete-all + insert-all, and a rewrite
+    *    style DELETE surfaces exactly the erased rows;
+    *  - a DV TRANSITION (remove + re-add of one path with a changed
+    *    deletion vector — [[DeltaWrite.deleteWhere]]'s shape) →
+    *    `newDv ∖ oldDv` as `delete` and `oldDv ∖ newDv` as `insert`
+    *    (restores), computed executor-side from the bitmaps;
+    *  - `dataChange = false` actions (OPTIMIZE/compaction) surface
+    *    NOTHING — reorganized bytes are not changes — but still
+    *    advance the internal file state so a later DV diff resolves
+    *    against the right predecessor.
+    *
+    * Update semantics: a MERGE rewrite reports an updated row as
+    * delete(old) + insert(new) under the same commit version — the
+    * lossless decomposition every CDC consumer can fold.
+    *
+    * At 100 TB this is the difference between tailing a feed and
+    * re-reading a lake: the JSON commits are the feed, and per-commit
+    * work is bounded by that commit's touched files. */
   def changesBetween(spark: SparkSession, table: String,
       sinceVersion: Long, untilVersion: Long): DataFrame = {
     require(sinceVersion <= untilVersion,
@@ -443,32 +505,74 @@ object DeltaRead {
     val snap = snapshotAt(spark, table, untilVersion) // schema + mapping context
     val logicalByPhys = snap.schema.filter(_ => ColumnMapping.active(snap.columnMappingMode))
       .map(ColumnMapping.physByLogical(_).map(_.swap)).getOrElse(Map.empty)
-    val adds = scala.collection.mutable.ArrayBuffer.empty[FileEntry]
+    // live file state rolled forward from `since`, so each commit's
+    // removes and DV transitions resolve against their predecessor
+    val state = scala.collection.mutable.LinkedHashMap.empty[String, FileEntry]
+    if (sinceVersion >= 0)
+      snapshotAt(spark, table, sinceVersion).files.foreach(f => state.put(f.path, f))
+    val frames = Seq.newBuilder[DataFrame]
     ((sinceVersion + 1) to untilVersion).foreach { v =>
       val p = logDir(table).resolve(f"$v%020d.json")
       require(Files.exists(p),
         s"changesBetween: $table commit $v is gone (vacuumed/checkpointed past) — " +
           "an incremental consumer this far behind must re-bootstrap from a snapshot")
+      val adds = scala.collection.mutable.LinkedHashMap.empty[String, (FileEntry, Boolean)]
+      val removes = scala.collection.mutable.LinkedHashMap.empty[String, Boolean]
       Files.readAllLines(p).asScala.filter(_.trim.nonEmpty).foreach { line =>
         val node = mapper.readTree(line)
         val addN = node.get("add"); val remN = node.get("remove")
-        if (remN != null &&
+        if (addN != null) {
+          val e0 = fileEntry(addN)
+          val e = e0.copy(partitionValues =
+            e0.partitionValues.map { case (k, x) => logicalByPhys.getOrElse(k, k) -> x })
+          adds.put(e.path, (e, Option(addN.get("dataChange")).forall(_.asBoolean(true))))
+        }
+        if (remN != null)
+          removes.put(decodePath(remN.get("path").asText()),
             Option(remN.get("dataChange")).forall(_.asBoolean(true)))
-          throw new UnsupportedOperationException(
-            s"changesBetween: $table commit $v removes data " +
-              s"(${decodePath(remN.get("path").asText())}) — this append-only " +
-              "change feed cannot represent deletes")
-        if (addN != null && Option(addN.get("dataChange")).forall(_.asBoolean(true))) {
-          val e = fileEntry(addN)
-          if (e.dv.isDefined) throw new UnsupportedOperationException(
-            s"changesBetween: $table commit $v adds a deletion-vectored file — " +
-              "the masked rows are a delete this append-only feed cannot represent")
-          adds += e.copy(partitionValues =
-            e.partitionValues.map { case (k, x) => logicalByPhys.getOrElse(k, k) -> x })
+      }
+      val fullInserts = Seq.newBuilder[FileEntry]
+      val fullDeletes = Seq.newBuilder[FileEntry]
+      // (entry whose dv is the SELECT set, dv to SUBTRACT, change type)
+      val diffSel = scala.collection.mutable.ArrayBuffer
+        .empty[(FileEntry, Option[DeltaDv.Descriptor], String)]
+      removes.foreach { case (path, dc) =>
+        if (dc && !adds.contains(path))
+          state.get(path).foreach(prior => fullDeletes += prior)
+      }
+      adds.foreach { case (path, (e, dc)) =>
+        if (dc) state.get(path) match {
+          case None => fullInserts += e
+          case Some(prior) => (prior.dv, e.dv) match {
+            case (None, None) => () // same content re-added: no change
+            case (o, Some(n)) =>
+              diffSel += ((e.copy(dv = Some(n)), o, "delete"))
+              o.foreach(od => diffSel += ((e.copy(dv = Some(od)), Some(n), "insert")))
+            case (Some(o), None) => // un-delete: previously-masked rows return
+              diffSel += ((e.copy(dv = Some(o)), None, "insert"))
+          }
         }
       }
+      // roll state forward with EVERY action, dataChange or not — an
+      // OPTIMIZE rewrite must still re-key later DV diffs
+      removes.keys.foreach(state.remove)
+      adds.foreach { case (path, (e, _)) => state.put(path, e) }
+      def tag(df: DataFrame, ct: String): DataFrame =
+        df.withColumn(ChangeTypeCol, lit(ct)).withColumn(CommitVersionCol, lit(v))
+      val dels = fullDeletes.result(); val ins = fullInserts.result()
+      if (dels.nonEmpty) frames += tag(assemble(spark, table, snap.copy(files = dels)), "delete")
+      if (ins.nonEmpty) frames += tag(assemble(spark, table, snap.copy(files = ins)), "insert")
+      diffSel.groupBy(_._3).toSeq.sortBy(_._1).foreach { case (ct, group) =>
+        val oldBy = group.map(x => (x._1.path, x._2)).toMap
+        frames += tag(assemble(spark, table,
+          snap.copy(files = group.map(_._1).toSeq), dvSelect = Some(oldBy)), ct)
+      }
     }
-    assemble(spark, table, snap.copy(files = adds.toSeq))
+    frames.result().reduceOption(_ unionByName _).getOrElse {
+      assemble(spark, table, snap.copy(files = Nil))
+        .withColumn(ChangeTypeCol, lit(null).cast(org.apache.spark.sql.types.StringType))
+        .withColumn(CommitVersionCol, lit(null).cast(org.apache.spark.sql.types.LongType))
+    }
   }
 
   /** Read the latest snapshot as a DataFrame. */
@@ -490,6 +594,36 @@ object DeltaRead {
   /** Time travel: read the table as of a pinned version. */
   def readVersion(spark: SparkSession, table: String, version: Long): DataFrame =
     assemble(spark, table, snapshotAt(spark, table, version))
+
+  /** Name of the lineage column carrying each row's normalized absolute
+    * data-file path (see [[readVersionWithLineage]]). */
+  val LineageFile = "__graft_file"
+  /** Name of the lineage column carrying each row's index within its
+    * data file. */
+  val LineagePos = "__graft_pos"
+
+  /** [[readVersion]] plus ROW LINEAGE: every row carries
+    * [[LineageFile]] (the normalized absolute path of the parquet file
+    * it lives in) and [[LineagePos]] (its row index within that file).
+    * Both come from scan-local `_metadata` columns — zero extra I/O —
+    * and deletion-vector masking still applies, so the (file, pos)
+    * pairs identify exactly the LIVE rows. This is the primitive
+    * row-level DELETE (deletion-vector writes) and MERGE build on:
+    * "which files hold matching rows, and at which indexes" without
+    * any content-based re-identification. */
+  def readVersionWithLineage(spark: SparkSession, table: String, version: Long): DataFrame =
+    assemble(spark, table, snapshotAt(spark, table, version), keepLineage = true)
+
+  /** [[readVersionWithLineage]] restricted to the files whose
+    * table-relative paths are in `relPaths` — the second half of the
+    * touch-then-rewrite pattern (MERGE): once the touched file set is
+    * known, the rewrite scan must cost O(touched), not O(table). */
+  def readFilesWithLineage(spark: SparkSession, table: String, version: Long,
+      relPaths: Set[String]): DataFrame = {
+    val s = snapshotAt(spark, table, version)
+    assemble(spark, table, s.copy(files = s.files.filter(f => relPaths(f.path))),
+      keepLineage = true)
+  }
 
   /** [[readVersion]] with partition-level pruning applied to the FILE
     * LIST before any scan is planned: `keep` sees each file's
@@ -601,34 +735,69 @@ object DeltaRead {
     url_decode(regexp_replace(
       regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:/*", "/"), "\\+", "%2B"))
 
-  /** Hide every (file, row index) a deletion vector flags. `scan` must
-    * already carry `__graft_file` (normalized `_metadata.file_path`)
-    * and `__graft_pos` (`_metadata.row_index`) — zero extra I/O, both
-    * are scan-local metadata. The deleted set arrives by anti-join
-    * from a frame built task-side: one input row per DV'd FILE,
-    * flatMapped through the [[DeltaDv]] decode in EXECUTORS —
-    * descriptor rows are file-count-bounded metadata, but the decoded
-    * row-index sets are NOT (a 100 TB table can hold billions of
-    * deleted rows), so they must never materialize on the driver. */
-  private def maskDeleted(spark: SparkSession, table: String,
-      scan: DataFrame, dvFiles: Seq[FileEntry]): DataFrame = {
+  /** The (file, row-index) set `dv ∖ subtract` for each spec, decoded
+    * in EXECUTORS: one input row per FILE (metadata-sized), flatMapped
+    * through the [[DeltaDv]] decode task-side — decoded row-index sets
+    * are data-sized (a 100 TB table can hold billions of deleted rows)
+    * and must never materialize on the driver. The `subtract` slot is
+    * what lets the change feed express a DV TRANSITION (rows newly
+    * deleted = newDv ∖ oldDv) with the same machinery the plain read
+    * path masks with. */
+  private def dvRowsFrame(spark: SparkSession, table: String,
+      specs: Seq[(String, DeltaDv.Descriptor, Option[DeltaDv.Descriptor])]): DataFrame = {
     import spark.implicits._
-    val descRows = dvFiles.map { f =>
-      val d = f.dv.get
-      (Paths.get(table, f.path).toAbsolutePath.normalize().toString,
-        d.storageType, d.pathOrInlineDv, d.offset.getOrElse(-1), d.sizeInBytes,
-        d.cardinality)
+    val deser = specs.map { case (path, n, o) =>
+      def t(d: DeltaDv.Descriptor) =
+        (d.storageType, d.pathOrInlineDv, d.offset.getOrElse(-1), d.sizeInBytes, d.cardinality)
+      (path, t(n), o.map(t))
     }
-    val deleted = spark.createDataset(descRows)
-      .flatMap { case (path, st, pid, off, size, card) =>
-        DeltaDv.deletedRows(table,
-          DeltaDv.Descriptor(st, pid, if (off < 0) None else Some(off), size, card))
-          .map(path -> _)
-      }.toDF("__graft_file", "__graft_pos")
-    scan.join(deleted, Seq("__graft_file", "__graft_pos"), "left_anti")
+    spark.createDataset(deser)
+      .flatMap { case (path, n, o) =>
+        def d(x: (String, String, Int, Int, Long)) =
+          DeltaDv.Descriptor(x._1, x._2, if (x._3 < 0) None else Some(x._3), x._4, x._5)
+        val excl = o.map(x => DeltaDv.deletedRows(table, d(x)).toSet)
+          .getOrElse(Set.empty[Long])
+        DeltaDv.deletedRows(table, d(n)).iterator.filterNot(excl).map(path -> _)
+      }.toDF(LineageFile, LineagePos)
   }
 
-  private def assemble(spark: SparkSession, table: String, s: DeltaSnapshot): DataFrame = {
+  /** RAW physical scan of `files` with deletion-vector rows hidden —
+    * no partition re-attachment, no logical renames: exactly the bytes
+    * a rewrite (OPTIMIZE purge) should carry forward. Columns come out
+    * under the files' stored (physical) names. */
+  private[io] def maskedRawScan(spark: SparkSession, table: String,
+      files: Seq[FileEntry]): DataFrame = {
+    val scan = spark.read.parquet(files.map(f => Paths.get(table, f.path).toString): _*)
+    val dvFiles = files.filter(_.dv.isDefined)
+    if (dvFiles.isEmpty) scan
+    else maskDeleted(spark, table,
+      scan.withColumn(LineageFile, normalizedUriPath(col("_metadata.file_path")))
+        .withColumn(LineagePos, col("_metadata.row_index")),
+      dvFiles).drop(LineageFile, LineagePos)
+  }
+
+  /** Hide every (file, row index) a deletion vector flags. `scan` must
+    * already carry [[LineageFile]] (normalized `_metadata.file_path`)
+    * and [[LineagePos]] (`_metadata.row_index`) — zero extra I/O, both
+    * are scan-local metadata. The deleted set arrives by anti-join
+    * from [[dvRowsFrame]]. */
+  private def maskDeleted(spark: SparkSession, table: String,
+      scan: DataFrame, dvFiles: Seq[FileEntry]): DataFrame = {
+    val specs = dvFiles.map { f =>
+      (Paths.get(table, f.path).toAbsolutePath.normalize().toString, f.dv.get,
+        Option.empty[DeltaDv.Descriptor])
+    }
+    scan.join(dvRowsFrame(spark, table, specs), Seq(LineageFile, LineagePos), "left_anti")
+  }
+
+  /** @param dvSelect when set, INVERTS the DV mask into a selector:
+    *   every file in the snapshot must carry a dv, and the output is
+    *   exactly the rows in `file.dv ∖ dvSelect(file.path)` — the
+    *   change feed's "rows newly deleted by this DV transition". When
+    *   None (every normal read), DV rows are hidden as usual. */
+  private def assemble(spark: SparkSession, table: String, s: DeltaSnapshot,
+      keepLineage: Boolean = false,
+      dvSelect: Option[Map[String, Option[DeltaDv.Descriptor]]] = None): DataFrame = {
     def abs(e: FileEntry) = Paths.get(table, e.path).toString
     val mapped = ColumnMapping.active(s.columnMappingMode)
     // data columns only — partition columns live in the log, never the files
@@ -636,11 +805,37 @@ object DeltaRead {
       sc.fields.filterNot(f => s.partitionColumns.contains(f.name))))
     val physDataSchema = dataSchema.map(d =>
       ColumnMapping.physicalize(d).asInstanceOf[StructType])
+    // id-mode tables resolve columns by PARQUET FIELD ID when the
+    // files' stored names differ from the log's physical names (a
+    // foreign engine may regenerate names but must preserve ids): one
+    // footer read decides; files are assumed name-uniform within a
+    // table, which every single-engine rewrite satisfies
+    val idResolved: Option[StructType] =
+      if (!(mapped && s.columnMappingMode == "id" && s.files.nonEmpty)) None
+      else try {
+        val first = Paths.get(table, s.files.head.path)
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(first.toUri),
+          new org.apache.hadoop.conf.Configuration())
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        val footer = try r.getFooter.getFileMetaData.getSchema finally r.close()
+        val resolved = ColumnMapping.resolveByFieldId(dataSchema.get, footer)
+        if (resolved == physDataSchema.get) None else Some(resolved)
+      } catch { case _: Exception => None }
+    val scanSchema = idResolved.orElse(physDataSchema)
+    // logical name → the name the SCAN will carry (footer-resolved for
+    // id mode, the log's physical name otherwise)
+    val scanNameByLogical: Map[String, String] = dataSchema.map { d =>
+      idResolved match {
+        case Some(res) => d.fieldNames.zip(res.fieldNames).toMap
+        case None => ColumnMapping.physByLogical(d)
+      }
+    }.getOrElse(Map.empty)
     // Under column mapping the files store PHYSICAL names: scan with the
     // explicit physicalized schema (the log schema is authoritative —
     // a file predating a column add reads the new column as null)...
     def scan(paths: Seq[String]): DataFrame =
-      if (mapped) spark.read.schema(physDataSchema.get).parquet(paths: _*)
+      if (mapped) spark.read.schema(scanSchema.get).parquet(paths: _*)
       else spark.read.parquet(paths: _*)
     // ...and rename back to logical names right after the scan-side DV
     // mask: one positional struct cast per top-level column renames
@@ -663,28 +858,51 @@ object DeltaRead {
     def relogical(df: DataFrame): DataFrame =
       if (!mapped) df
       else {
-        val physByLogical = ColumnMapping.physByLogical(dataSchema.get)
         val dataCols = dataSchema.get.fields.map(f =>
-          col(physByLogical(f.name)).cast(relaxNullable(f.dataType)).as(f.name))
-        val extras = df.columns.filterNot(physDataSchema.get.fieldNames.contains)
+          col(scanNameByLogical(f.name)).cast(relaxNullable(f.dataType)).as(f.name))
+        val extras = df.columns.filterNot(scanSchema.get.fieldNames.contains)
           .map(col)
         df.select(dataCols ++ extras: _*)
       }
     // DV masking happens SCAN-SIDE, per branch: `_metadata` columns
     // resolve only against a file-source relation, so the (file, pos)
     // capture must attach before any union/join reshapes the plan
-    def masked(df: DataFrame, fs: Seq[FileEntry]): DataFrame = {
-      val dvFiles = fs.filter(_.dv.isDefined)
-      val m = if (dvFiles.isEmpty) df
-      else maskDeleted(spark, table,
-        df.withColumn("__graft_file", normalizedUriPath(col("_metadata.file_path")))
-          .withColumn("__graft_pos", col("_metadata.row_index")),
-        dvFiles).drop("__graft_file", "__graft_pos")
-      relogical(m)
+    def masked(df: DataFrame, fs: Seq[FileEntry]): DataFrame = dvSelect match {
+      case Some(oldBy) =>
+        // selector mode: keep ONLY the rows each file's dv flags,
+        // minus the previous dv's rows — same scan-side (file, pos)
+        // capture, but a SEMI join against the diff set
+        val withMeta = df
+          .withColumn(LineageFile, normalizedUriPath(col("_metadata.file_path")))
+          .withColumn(LineagePos, col("_metadata.row_index"))
+        val specs = fs.map { f =>
+          require(f.dv.isDefined, s"dvSelect: ${f.path} carries no deletion vector")
+          (Paths.get(table, f.path).toAbsolutePath.normalize().toString, f.dv.get,
+            oldBy.getOrElse(f.path, None))
+        }
+        relogical(withMeta
+          .join(dvRowsFrame(spark, table, specs), Seq(LineageFile, LineagePos), "left_semi")
+          .drop(LineageFile, LineagePos))
+      case None =>
+        val dvFiles = fs.filter(_.dv.isDefined)
+        val withMeta =
+          if (dvFiles.isEmpty && !keepLineage) df
+          else df.withColumn(LineageFile, normalizedUriPath(col("_metadata.file_path")))
+            .withColumn(LineagePos, col("_metadata.row_index"))
+        val m = if (dvFiles.isEmpty) withMeta
+          else maskDeleted(spark, table, withMeta, dvFiles)
+        val m2 = if (keepLineage || dvFiles.isEmpty) m
+          else m.drop(LineageFile, LineagePos)
+        relogical(m2)
     }
     if (s.files.isEmpty) {
-      val sch = s.schema.getOrElse(throw new IllegalStateException(
+      val sch0 = s.schema.getOrElse(throw new IllegalStateException(
         s"$table@${s.version} has no files and no metaData schema"))
+      val sch = if (!keepLineage) sch0 else StructType(sch0.fields ++ Seq(
+        org.apache.spark.sql.types.StructField(LineageFile,
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField(LineagePos,
+          org.apache.spark.sql.types.LongType)))
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
     } else if (s.partitionColumns.isEmpty) {
       masked(scan(s.files.map(abs)), s.files)

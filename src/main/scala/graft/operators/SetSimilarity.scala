@@ -96,17 +96,28 @@ object SetSimilarity {
       .join(broadcast(vocabIdx), "w")
       .groupBy(col("doc_id"))
       .agg(sum(expr("shiftleft(1L, CAST(idx AS INT))")).as("mask"))
-    // distinct sets with multiplicity + member list (set count is
-    // gate-bounded by maxDenseSets; the frame stays shuffle-sized,
-    // only the PAIRING below broadcasts it)
+    // distinct sets with multiplicity + member list, MATERIALIZED once
+    // (lazy localCheckpoint; gate-bounded ≤ maxDenseSets rows, so the
+    // checkpoint is tiny at any corpus scale). Five consumers derive
+    // from this frame (a/b pairing, within-set stats, two doc
+    // join-backs): without the checkpoint each re-ran the corpus scan
+    // → tokenize → mask chain — ReuseExchange does not bridge the five
+    // differing projection parents, and the recompute measured 2.8 s
+    // vs 1.1 s warm at sf0.1. Like the q181/q189 checkpoints, this
+    // hides the sub-plan from logical audits (the ≤62-row vocab window
+    // below is bounded by the same gate that bounds this frame).
     val sets = masked.groupBy(col("mask"))
       .agg(count(lit(1)).as("m"),
         collect_list(col("doc_id")).as("docs"), max(col("doc_id")).as("dmax"))
       .withColumn("n", bit_count(col("mask")).cast("long"))
+      .localCheckpoint(false)
+    // the O(S²) pairing ships ONLY scalars (mask, multiplicity, max
+    // doc id, popcount) — doc lists would otherwise ride through every
+    // candidate pair; they join back onto the qualifying pairs below
     val a = sets.select(col("mask").as("ka"), col("m").as("ma"),
-      col("docs").as("da_docs"), col("dmax").as("amax"), col("n").as("na"))
+      col("dmax").as("amax"), col("n").as("na"))
     val b = sets.select(col("mask").as("kb"), col("m").as("mb"),
-      col("docs").as("db_docs"), col("dmax").as("bmax"), col("n").as("nb"))
+      col("dmax").as("bmax"), col("n").as("nb"))
     val inter = bit_count(col("ka").bitwiseAND(col("kb"))).cast("long")
     // cross-set qualifying pairs (identical sets can't appear twice:
     // mask dedup), jaccard as the SAME int-ratio division as the oracle
@@ -129,12 +140,20 @@ object SetSimilarity {
       .agg(sum(col("w")).as("n_pairs"), sum(col("jac") * col("w")).as("jac_sum"))
     // distinct smaller-id members: for a cross pair set {a∈A, b∈B},
     // min(a,b) ranges over exactly the members below the OTHER set's
-    // max — Σ(ma+mb) rows, not ma·mb
-    val crossDa = crossQ.select(bandOf(col("jac")).as("band"),
-        explode(col("da_docs")).as("da"), col("bmax"))
+    // max — Σ(ma+mb) rows, not ma·mb. Doc lists re-attach onto the
+    // QUALIFYING pairs only, via a broadcast lookup on the
+    // checkpointed set table; explode + where stays whole-stage
+    // codegen (an array-filter HOF here would run an interpreted
+    // lambda per pair — measured 2.7× slower on this corpus)
+    val aDocs = broadcast(sets.select(col("mask").as("ka"), col("docs").as("da_docs")))
+    val bDocs = broadcast(sets.select(col("mask").as("kb"), col("docs").as("db_docs")))
+    val crossDa = crossQ.join(aDocs, Seq("ka"))
+        .select(bandOf(col("jac")).as("band"),
+          explode(col("da_docs")).as("da"), col("bmax"))
         .where(col("da") < col("bmax")).select(col("band"), col("da"))
-      .unionByName(crossQ.select(bandOf(col("jac")).as("band"),
-        explode(col("db_docs")).as("da"), col("amax"))
+      .unionByName(crossQ.join(bDocs, Seq("kb"))
+        .select(bandOf(col("jac")).as("band"),
+          explode(col("db_docs")).as("da"), col("amax"))
         .where(col("da") < col("amax")).select(col("band"), col("da")))
     val withinDa = withinQ.select(lit(1.0).as("band"),
       explode(col("docs")).as("da"), col("dmax"))

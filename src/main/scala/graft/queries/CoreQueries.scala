@@ -463,18 +463,31 @@ object CoreQueries {
 
   /** Sketch-based approximations (the 100 TB variants of A10/median):
     * HLL distinct counts and quantile sketches have no cross-engine
-    * bit-identical twin, so this is a rows-only entry; accuracy bounds
-    * are asserted in QueriesSpec against the exact values. */
+    * bit-identical twin — so the TOLERANCE CHECK runs inside the query
+    * as boolean columns both engines can hash-match (the oracle knows
+    * the checks must hold; Spark proves its sketches actually do).
+    * approx_count_distinct at rsd=0.01 must land within 5% of the
+    * exact count; percentile_approx at accuracy=10000 must land within
+    * 1% of the exact interpolated median. The exact count rides along
+    * so the row still pins real values, not just booleans. */
   val q60ApproxSketches = GQuery(
     "q60_approx_sketches",
     (s, d) => {
       import s.implicits._
       Tables.orders(s, d).agg(
-        approx_count_distinct($"o_custkey", 0.01).as("approx_customers"),
+        approx_count_distinct($"o_custkey", 0.01).as("approx_cd"),
         countDistinct($"o_custkey").as("exact_customers"),
-        round(percentile_approx($"o_totalprice", lit(0.5), lit(10000)), 2).as("approx_median"))
+        percentile_approx($"o_totalprice", lit(0.5), lit(10000)).as("approx_med"),
+        expr("percentile(o_totalprice, 0.5)").as("exact_med"))
+        .select($"exact_customers",
+          (abs($"approx_cd" - $"exact_customers") <=
+            $"exact_customers" * 0.05).as("approx_distinct_ok"),
+          (abs($"approx_med" - $"exact_med") <= $"exact_med" * 0.01)
+            .as("approx_median_ok"))
     },
-    None)
+    Some("""SELECT count(DISTINCT o_custkey) AS exact_customers,
+           |  true AS approx_distinct_ok, true AS approx_median_ok
+           |FROM orders""".stripMargin))
 
   /** Exact interpolated percentiles (median/p95) — both engines use
     * linear interpolation (Spark `percentile` ≡ DuckDB

@@ -696,16 +696,17 @@ object DatalakeQueries {
            |  CAST(sum(doc_id) AS BIGINT) AS v0_id_sum
            |FROM documents""".stripMargin))
 
-  /** q194 — incremental ingest through the append-only Delta change
-    * feed ([[graft.io.DeltaRead.changesBetween]]): orders land in
-    * three append commits (keyed o_orderkey % 3), an OPTIMIZE rewrite
-    * lands after them, and a consumer tails each version's delta
-    * SEPARATELY — including the compaction, whose dataChange=false
-    * rewrite must surface zero rows. The union of the tailed
-    * increments must equal the direct full-table aggregate, which the
-    * oracle recomputes from `orders`: a green row proves the feed
-    * neither drops nor duplicates rows across commits and ignores
-    * byte reorganization. */
+  /** q194 — incremental ingest through the Delta change feed
+    * ([[graft.io.DeltaRead.changesBetween]]), append-side semantics:
+    * orders land in three append commits (keyed o_orderkey % 3), an
+    * OPTIMIZE rewrite lands after them, and a consumer tails each
+    * version's delta SEPARATELY — including the compaction, whose
+    * dataChange=false rewrite must surface zero rows. The union of the
+    * tailed increments must equal the direct full-table aggregate,
+    * which the oracle recomputes from `orders`: a green row proves the
+    * feed neither drops nor duplicates rows across commits and ignores
+    * byte reorganization. (The delete/upsert half of the feed is
+    * q196's territory.) */
   val q194DeltaChangefeed = GQuery(
     "q194_delta_changefeed",
     (s, d) => {
@@ -729,11 +730,195 @@ object DatalakeQueries {
            |       round(sum(o_totalprice), 2) AS revenue
            |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
 
+  /** q196 — FULL change data feed with deletes
+    * ([[graft.io.DeltaRead.changesBetween]] + the round-9 DV write /
+    * MERGE paths): a history containing two appends, an OPTIMIZE (must
+    * surface nothing), a deletion-vector erasure
+    * ([[graft.io.DeltaWrite.deleteWhere]] — the q134 GDPR story
+    * without rewriting a byte), and a MERGE upsert (updates + inserts)
+    * is tailed from scratch; folding the feed (+1 per insert, −1 per
+    * delete, keep net=1 rows) must reproduce the live snapshot
+    * EXACTLY. The output emits the per-lang aggregate BOTH ways —
+    * folded feed and direct snapshot — and the oracle computes the
+    * expected final state arithmetically from `documents`, so a green
+    * row pins insert/delete completeness, DV-diff correctness, and
+    * OPTIMIZE invisibility in one hash. */
+  val q196CdfFold = GQuery(
+    "q196_cdf_fold",
+    (s, d) => {
+      import s.implicits._
+      val t = graft.io.Staging.tempDir("graft_q196_")
+      val docs = Tables.documents(s, d).select($"doc_id", $"lang", $"n_chars")
+      graft.io.DeltaWrite.append(
+        docs.filter(pmod($"doc_id", lit(2)) === 0).repartition(2), t) // v0
+      graft.io.DeltaWrite.append(
+        docs.filter(pmod($"doc_id", lit(2)) === 1).repartition(2), t) // v1
+      require(graft.io.DeltaWrite.compact(s, t) > 0,
+        "q196 expects an OPTIMIZE commit")                            // v2
+      graft.io.DeltaWrite.deleteWhere(s, t, pmod($"doc_id", lit(10)) === 3) // v3
+      val src = docs.filter(pmod($"doc_id", lit(10)) === 4)
+        .withColumn("n_chars", $"n_chars" + 1000L)
+        .unionByName(docs.filter(pmod($"doc_id", lit(10)) === 7)
+          .withColumn("doc_id", $"doc_id" + 1000000L))
+      graft.io.DeltaWrite.merge(s, t, src, Seq("doc_id"))             // v4
+      val feed = graft.io.DeltaRead.changesBetween(
+        s, t, -1L, graft.io.DeltaRead.latestVersion(t))
+      val folded = feed.groupBy($"doc_id", $"lang", $"n_chars")
+        .agg(sum(when($"_change_type" === "insert", 1).otherwise(-1)).as("net"))
+        .where($"net" === 1)
+      val viaFeed = folded.groupBy($"lang").agg(
+        count(lit(1)).as("feed_docs"), sum($"n_chars").as("feed_chars"),
+        sum($"doc_id").as("feed_id_sum"))
+      val direct = graft.io.DeltaRead.read(s, t).groupBy($"lang").agg(
+        count(lit(1)).as("live_docs"), sum($"n_chars").as("live_chars"),
+        sum($"doc_id").as("live_id_sum"))
+      viaFeed.join(direct, Seq("lang")).orderBy($"lang")
+    },
+    Some("""WITH fin AS (
+           |  SELECT doc_id, lang,
+           |    CASE WHEN doc_id % 10 = 4 THEN n_chars + 1000 ELSE n_chars END AS nc
+           |  FROM documents WHERE doc_id % 10 <> 3
+           |  UNION ALL
+           |  SELECT doc_id + 1000000, lang, n_chars FROM documents WHERE doc_id % 10 = 7),
+           |agg AS (SELECT lang, count(*) AS n, CAST(sum(nc) AS BIGINT) AS ch,
+           |               CAST(sum(doc_id) AS BIGINT) AS ids
+           |        FROM fin GROUP BY lang)
+           |SELECT lang, n AS feed_docs, ch AS feed_chars, ids AS feed_id_sum,
+           |       n AS live_docs, ch AS live_chars, ids AS live_id_sum
+           |FROM agg ORDER BY lang""".stripMargin))
+
+  /** q197 — Delta MERGE upsert ([[graft.io.DeltaWrite.merge]]):
+    * completes the reference's `ON CONFLICT` story past insert-only
+    * (loader_NeonDB.py:364-371 is DO NOTHING; [[graft.io.Sinks]]
+    * mirrors that) — re-ingesting a batch where some rows CHANGED must
+    * update them in place and insert the genuinely new ones, and
+    * re-running the SAME merge must converge (idempotent). The query
+    * runs the merge TWICE and aggregates the final state; the oracle
+    * recomputes it arithmetically from `orders`, so a green row pins
+    * update semantics, insert semantics, and idempotence at once.
+    * Revenue sums as integer cents (order-independent, bit-identical
+    * across engines). */
+  val q197MergeUpsert = GQuery(
+    "q197_merge_upsert",
+    (s, d) => {
+      import s.implicits._
+      val t = graft.io.Staging.tempDir("graft_q197_")
+      val orders = s.read.parquet(s"$d/orders.parquet")
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      graft.io.DeltaWrite.append(
+        orders.filter(pmod($"o_orderkey", lit(2)) === 0).repartition(4), t) // v0
+      val batch = orders.filter(pmod($"o_orderkey", lit(4)) === 0)
+        .withColumn("o_totalprice", $"o_totalprice" + lit(1.0))
+        .unionByName(orders.filter(
+          pmod($"o_orderkey", lit(2)) === 1 && pmod($"o_orderkey", lit(3)) === 0))
+      graft.io.DeltaWrite.merge(s, t, batch, Seq("o_orderkey")) // v1: upsert
+      graft.io.DeltaWrite.merge(s, t, batch, Seq("o_orderkey")) // v2: re-run converges
+      graft.io.DeltaRead.read(s, t)
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          (sum(round($"o_totalprice" * 100).cast("long")) / 100.0).as("revenue"))
+        .orderBy($"o_orderstatus")
+    },
+    Some("""WITH fin AS (
+           |  SELECT o_orderkey, o_orderstatus,
+           |    CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice + 1.0
+           |         ELSE o_totalprice END AS p
+           |  FROM orders WHERE o_orderkey % 2 = 0
+           |  UNION ALL
+           |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+           |  WHERE o_orderkey % 2 = 1 AND o_orderkey % 3 = 0)
+           |SELECT o_orderstatus, count(*) AS n_orders,
+           |  CAST(sum(CAST(round(p * 100) AS BIGINT)) AS BIGINT) / 100.0 AS revenue
+           |FROM fin GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+
+  /** q198 — q134's GDPR erasure re-run the MODERN-WRITER way: the
+    * forget-list (customers with `c_custkey % 101 = 0`) erases from a
+    * Delta orders table via DELETION VECTORS
+    * ([[graft.io.DeltaWrite.deleteIn]] — kilobytes of bitmap, zero
+    * data-file rewrites), then an OPTIMIZE pass PURGES the bitmaps
+    * (rewrites only visible rows, dataChange=false). The output pins
+    * all three states — pre-erasure (time travel), post-DV, and
+    * post-purge — plus booleans proving DVs existed and were purged;
+    * the oracle recomputes the counts from `orders`/`customer`. */
+  val q198DvErasure = GQuery(
+    "q198_dv_erasure",
+    (s, d) => {
+      import s.implicits._
+      val t = graft.io.Staging.tempDir("graft_q198_")
+      val orders = s.read.parquet(s"$d/orders.parquet")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      graft.io.DeltaWrite.append(orders.repartition(4), t) // v0
+      val forget = Tables.customer(s, d)
+        .where(pmod($"c_custkey", lit(101)) === 0)
+        .select($"c_custkey".as("o_custkey"))
+      graft.io.DeltaWrite.deleteIn(s, t, Seq("o_custkey"), forget) // v1: DVs
+      val hadDvs = graft.io.DeltaRead.snapshot(s, t).files.exists(_.dv.isDefined)
+      graft.io.DeltaWrite.compact(s, t, targetBytes = Long.MaxValue) // v2: purge
+      val purged = graft.io.DeltaRead.snapshot(s, t).files.forall(_.dv.isEmpty)
+      val before = graft.io.DeltaRead.readVersion(s, t, 0)
+        .agg(count(lit(1)).as("rows_before"))
+      val afterDv = graft.io.DeltaRead.readVersion(s, t, 1)
+        .agg(count(lit(1)).as("rows_after_dv"))
+      val afterPurge = graft.io.DeltaRead.read(s, t)
+        .agg(count(lit(1)).as("rows_after_purge"))
+      before.crossJoin(afterDv).crossJoin(afterPurge)
+        .withColumn("had_dvs", lit(hadDvs))
+        .withColumn("purged", lit(purged))
+    },
+    Some("""SELECT count(*) AS rows_before,
+           |  count(*) FILTER (WHERE o_custkey % 101 <> 0) AS rows_after_dv,
+           |  count(*) FILTER (WHERE o_custkey % 101 <> 0) AS rows_after_purge,
+           |  true AS had_dvs, true AS purged
+           |FROM orders""".stripMargin))
+
+  /** q199 — the change feed consumed as MICRO-BATCHES
+    * ([[graft.streaming.DeltaTail.mirror]]): a source table accumulates
+    * appends, a DV erasure and a MERGE upsert; the mirror folds one
+    * commit per batch (deletes via `deleteIn`, inserts via `appendOnce`
+    * carrying the SetTransaction mark) and the output aggregates the
+    * MIRROR — so a green row proves the tailed copy converged to the
+    * source state the oracle recomputes arithmetically. The streaming
+    * CDC story end to end: tail, fold, exactly-once. */
+  val q199CdfMirror = GQuery(
+    "q199_cdf_mirror",
+    (s, d) => {
+      import s.implicits._
+      val src = graft.io.Staging.tempDir("graft_q199s_")
+      val dst = graft.io.Staging.tempDir("graft_q199d_")
+      val docs = Tables.documents(s, d).select($"doc_id", $"lang", $"n_chars")
+      graft.io.DeltaWrite.append(
+        docs.filter(pmod($"doc_id", lit(2)) === 0).repartition(2), src) // v0
+      graft.io.DeltaWrite.append(
+        docs.filter(pmod($"doc_id", lit(2)) === 1).repartition(2), src) // v1
+      graft.io.DeltaWrite.deleteWhere(s, src, pmod($"doc_id", lit(7)) === 2) // v2
+      val upd = docs.filter(pmod($"doc_id", lit(7)) === 3)
+        .withColumn("n_chars", $"n_chars" + 500L)
+        .unionByName(docs.filter(pmod($"doc_id", lit(7)) === 5)
+          .withColumn("doc_id", $"doc_id" + 2000000L))
+      graft.io.DeltaWrite.merge(s, src, upd, Seq("doc_id")) // v3
+      graft.streaming.DeltaTail.mirror(s, src, dst, Seq("doc_id"))
+      graft.io.DeltaRead.read(s, dst)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"),
+          sum($"doc_id").as("sum_ids"))
+        .orderBy($"lang")
+    },
+    Some("""WITH fin AS (
+           |  SELECT doc_id, lang,
+           |    CASE WHEN doc_id % 7 = 3 THEN n_chars + 500 ELSE n_chars END AS nc
+           |  FROM documents WHERE doc_id % 7 <> 2
+           |  UNION ALL
+           |  SELECT doc_id + 2000000, lang, n_chars FROM documents WHERE doc_id % 7 = 5)
+           |SELECT lang, count(*) AS n_docs, CAST(sum(nc) AS BIGINT) AS sum_chars,
+           |       CAST(sum(doc_id) AS BIGINT) AS sum_ids
+           |FROM fin GROUP BY lang ORDER BY lang""".stripMargin))
+
   val all: Seq[GQuery] = Seq(
     q130SnapshotDiff, q131IncrementalAgg, q132SchemaEvolution,
     q133KAnonymity, q134GdprErasure, q147CompactionPlan,
     q148ZorderLayout, q149ColumnStats, q160PruningSim,
     q163OrcRoundtrip, q164PartitionPruning, q166CorruptTolerance,
     q177TxTable, q179DeltaRead, q180DeltaRoundtrip, q184TxToDelta,
-    q194DeltaChangefeed)
+    q194DeltaChangefeed, q196CdfFold, q197MergeUpsert,
+    q198DvErasure, q199CdfMirror)
 }

@@ -9,10 +9,11 @@ import scala.jdk.CollectionConverters._
   * protocol shape: commit JSON contents (protocol / metaData / add
   * with stats), Hive-layout partition dirs with URI-escaped values,
   * append schema-drift rejection, overwrite as remove+add, checkpoint
-  * + `_last_checkpoint` resolution, and the reader's loud rejection of
-  * unsupported reader features (column mapping, v2 checkpoints —
-  * deletion vectors are READ for real, see DeltaReadSpec; this
-  * writer refuses to checkpoint/compact past them). */
+  * + `_last_checkpoint` resolution (deletion vectors and feature-listed
+  * protocols persist through checkpoints; compaction purges DVs), the
+  * DV write path (deleteWhere/deleteIn), the full change data feed,
+  * and the reader's loud rejection of genuinely unsupported features
+  * (v2 checkpoints, unknown reader features). */
 class DeltaWriteSpec extends SparkTestBase {
   import spark.implicits._
 
@@ -384,7 +385,58 @@ class DeltaWriteSpec extends SparkTestBase {
     } finally cleanup(t)
   }
 
-  test("changesBetween tails appended rows, ignores OPTIMIZE rewrites, refuses deletes") {
+  test("change feed: DV transitions surface exactly the newly-deleted rows, and the fold equals the snapshot") {
+    val t = newTable()
+    try {
+      val a = (0 until 100).map(i => (i.toLong, s"d$i")).toDF("id", "txt")
+      val b = (100 until 150).map(i => (i.toLong, s"d$i")).toDF("id", "txt")
+      DeltaWrite.append(a.repartitionByRange(2, $"id"), t) // v0
+      DeltaWrite.append(b.coalesce(1), t)                  // v1
+      DeltaWrite.deleteWhere(spark, t, $"id" % 10 === 3)   // v2: DV transition
+      DeltaWrite.deleteWhere(spark, t, $"id" < 20)         // v3: MERGED bitmaps
+      def feed(s0: Long, u: Long) = DeltaRead.changesBetween(spark, t, s0, u)
+      // v2 surfaces exactly the %10==3 rows as deletes, nothing else
+      val d2 = feed(1L, 2L)
+      assert(d2.select($"_change_type").distinct().as[String].collect().toSeq == Seq("delete"))
+      assert(d2.select($"id").as[Long].collect().sorted.toSeq ==
+        (0L until 150L).filter(_ % 10 == 3))
+      // v3 surfaces only the NEWLY deleted rows — the merged bitmap's
+      // %10==3 entries must not re-report
+      assert(feed(2L, 3L).select($"id").as[Long].collect().sorted.toSeq ==
+        (0L until 20L).filterNot(_ % 10 == 3))
+      // folding the whole feed reproduces the live snapshot exactly
+      val all = feed(-1L, 3L)
+      val folded = all.groupBy($"id", $"txt")
+        .agg(sum(when($"_change_type" === "insert", 1).otherwise(-1)).as("net"))
+      assert(folded.where($"net" < 0 || $"net" > 1).count() == 0L)
+      val foldedIds = folded.where($"net" === 1).select($"id").as[Long].collect().sorted.toSeq
+      val liveIds = DeltaRead.read(spark, t).select($"id").as[Long].collect().sorted.toSeq
+      assert(foldedIds == liveIds)
+    } finally cleanup(t)
+  }
+
+  test("change feed state rolls through OPTIMIZE so later DV diffs resolve against compacted files") {
+    val t = newTable()
+    try {
+      DeltaWrite.append((0 until 50).map(i => (i.toLong, s"x$i")).toDF("id", "txt")
+        .repartition(4), t)                                 // v0
+      DeltaWrite.append((50 until 100).map(i => (i.toLong, s"x$i")).toDF("id", "txt")
+        .repartition(4), t)                                 // v1
+      assert(DeltaWrite.compact(spark, t) > 0)              // v2: dataChange=false
+      DeltaWrite.deleteWhere(spark, t, $"id" % 2 === 0)     // v3: DV on the COMPACTED file
+      assert(DeltaRead.changesBetween(spark, t, 1L, 2L).count() == 0L,
+        "OPTIMIZE must surface nothing")
+      assert(DeltaRead.changesBetween(spark, t, 2L, 3L)
+        .select($"id").as[Long].collect().sorted.toSeq == (0L until 100L).filter(_ % 2 == 0))
+      // full-range fold still reproduces the snapshot
+      val all = DeltaRead.changesBetween(spark, t, -1L, 3L)
+      val net = all.groupBy($"id")
+        .agg(sum(when($"_change_type" === "insert", 1).otherwise(-1)).as("net"))
+      assert(net.where($"net" === 1).count() == 50L && net.where($"net" =!= 1 && $"net" =!= 0).count() == 0L)
+    } finally cleanup(t)
+  }
+
+  test("changesBetween tails appended rows, ignores OPTIMIZE rewrites, decomposes overwrites") {
     val t = newTable()
     try {
       DeltaWrite.append(Seq((1L, "a"), (2L, "b")).toDF("id", "txt").coalesce(1), t) // v0
@@ -401,10 +453,14 @@ class DeltaWriteSpec extends SparkTestBase {
       assert(ids(2L, 3L) == Nil)
       DeltaWrite.append(Seq((5L, "e")).toDF("id", "txt").coalesce(1), t) // v4
       assert(ids(3L, 4L) == Seq(5L))
-      // overwrite removes data — an append-only feed must refuse, loudly
+      // overwrite surfaces as delete-all + insert-all under one version
       DeltaWrite.overwrite(Seq((9L, "z")).toDF("id", "txt"), t) // v5
-      val e = intercept[UnsupportedOperationException](ids(4L, 5L))
-      assert(e.getMessage.contains("removes data"))
+      val ch = DeltaRead.changesBetween(spark, t, 4L, 5L)
+      assert(ch.where($"_change_type" === "delete")
+        .select($"id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+      assert(ch.where($"_change_type" === "insert")
+        .select($"id").as[Long].collect().toSeq == Seq(9L))
+      assert(ch.select($"_commit_version").distinct().as[Long].collect().toSeq == Seq(5L))
       // a mapped partitioned table surfaces logical partition values
       val mt = newTable()
       try {
@@ -441,28 +497,47 @@ class DeltaWriteSpec extends SparkTestBase {
     } finally cleanup(t)
   }
 
-  test("checkpoint and compact refuse a DV'd snapshot instead of resurrecting rows") {
-    import graft.io.DeltaDv
+  test("checkpoint persists deletion vectors and protocol feature lists — rows stay masked past log truncation") {
     val t = newTable()
     try {
-      val df = (0 to 9).map(i => (i.toLong, s"d$i")).toDF("id", "txt")
-      DeltaWrite.append(df, t)
-      val path = DeltaRead.snapshot(spark, t).files.head.path
-      val d = DeltaDv.writeDvFile(t, Seq(0L))
-      val dvAdd = s"""{"add":{"path":"$path","partitionValues":{},"size":1,""" +
-        s""""modificationTime":1,"dataChange":false,"deletionVector":""" +
-        s"""{"storageType":"u","pathOrInlineDv":"${d.pathOrInlineDv}","offset":1,""" +
-        s""""sizeInBytes":${d.sizeInBytes},"cardinality":1}}}"""
-      Files.write(Paths.get(t, "_delta_log", f"${1L}%020d.json"), Seq(dvAdd).asJava)
-      // the read path itself works (row index 0 hidden) ...
-      assert(DeltaRead.read(spark, t).count() == 9)
-      // ... but this writer's checkpoint schema can't carry the DV and
-      // its compactor would read the file whole — both must refuse
-      val e1 = intercept[UnsupportedOperationException](DeltaWrite.checkpoint(spark, t))
-      assert(e1.getMessage.contains("deletion vector"))
-      val e2 = intercept[UnsupportedOperationException](
-        DeltaWrite.compact(spark, t, targetBytes = Long.MaxValue))
-      assert(e2.getMessage.contains("deletion vector"))
+      val df = (0 until 40).map(i => (i.toLong, s"d$i")).toDF("id", "txt")
+      DeltaWrite.append(df.repartitionByRange(2, $"id"), t)
+      DeltaWrite.deleteWhere(spark, t, $"id" % 4 === 0) // v1: protocol (3,7) + DVs
+      val cpv = DeltaWrite.checkpoint(spark, t)
+      // force checkpoint-only resolution
+      (0L to cpv).foreach(v =>
+        Files.deleteIfExists(Paths.get(t, "_delta_log", f"$v%020d.json")))
+      val got = DeltaRead.read(spark, t)
+      assert(got.count() == 30L && got.where($"id" % 4 === 0).count() == 0L,
+        "checkpoint must carry the DVs — masked rows resurrected")
+      val s = DeltaRead.snapshot(spark, t)
+      assert(s.minReaderVersion == 3 && s.readerFeatures.contains("deletionVectors"),
+        "checkpoint must carry the feature-listed protocol")
+      assert(s.writerFeatures.contains("deletionVectors"))
+    } finally cleanup(t)
+  }
+
+  test("compact purges deletion vectors: visible rows survive, bitmaps and masked rows do not") {
+    val t = newTable()
+    try {
+      val df = (0 until 60).map(i => (i.toLong, s"d$i")).toDF("id", "txt")
+      DeltaWrite.append(df.repartitionByRange(3, $"id"), t)
+      DeltaWrite.deleteWhere(spark, t, $"id" % 3 === 0)
+      assert(DeltaRead.snapshot(spark, t).files.exists(_.dv.isDefined))
+      DeltaWrite.compact(spark, t, targetBytes = Long.MaxValue)
+      val s = DeltaRead.snapshot(spark, t)
+      assert(s.files.forall(_.dv.isEmpty), "purge must drop every bitmap")
+      val got = DeltaRead.read(spark, t)
+      assert(got.count() == 40L && got.where($"id" % 3 === 0).count() == 0L)
+      // the purge was dataChange=false: the change feed surfaces nothing
+      val v = DeltaRead.latestVersion(t)
+      assert(DeltaRead.changesBetween(spark, t, v - 1, v).count() == 0L)
+      // a SOLO DV'd file still purges (no second file needed)
+      DeltaWrite.deleteWhere(spark, t, $"id" === 1L)
+      DeltaWrite.compact(spark, t, targetBytes = Long.MaxValue)
+      val s2 = DeltaRead.snapshot(spark, t)
+      assert(s2.files.forall(_.dv.isEmpty))
+      assert(DeltaRead.read(spark, t).count() == 39L)
     } finally cleanup(t)
   }
 
@@ -799,6 +874,109 @@ class DeltaWriteSpec extends SparkTestBase {
       // and the table still reads correctly after the rewrite
       assert(DeltaRead.read(spark, t).selectExpr("sum(nest._2)")
         .collect()(0).getLong(0) == 30L)
+    } finally cleanup(t)
+  }
+
+  test("deleteWhere writes deletion vectors: rows vanish, bytes stay, history time-travels") {
+    val t = newTable()
+    try {
+      val df = (0 until 300).map(i => (i.toLong, s"d$i")).toDF("id", "txt")
+      DeltaWrite.append(df.repartitionByRange(3, $"id"), t)
+      def dataFiles() = Files.walk(Paths.get(t)).iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet")
+          && !p.startsWith(Paths.get(t, "_delta_log")))
+        .map(p => p.toString -> Files.getLastModifiedTime(p).toMillis).toMap
+      val before = dataFiles()
+      assert(DeltaWrite.deleteWhere(spark, t, $"id" % 3 === 0) == 1L)
+      // rows are gone...
+      val got = DeltaRead.read(spark, t)
+      assert(got.count() == 200L && got.where($"id" % 3 === 0).count() == 0L)
+      // ...but no data file was rewritten (same paths, same mtimes)
+      assert(dataFiles() == before, "deleteWhere must not touch data-file bytes")
+      // time travel still sees every row
+      assert(DeltaRead.readVersion(spark, t, 0).count() == 300L)
+      // protocol upgraded to the deletionVectors feature
+      val snap = DeltaRead.snapshot(spark, t)
+      assert(snap.minReaderVersion == 3 &&
+        snap.readerFeatures.contains("deletionVectors"))
+      // a second, overlapping delete merges bitmaps (union semantics)
+      assert(DeltaWrite.deleteWhere(spark, t, $"id" < 100) == 2L)
+      val after2 = DeltaRead.read(spark, t)
+      assert(after2.count() == (100 until 300).count(_ % 3 != 0).toLong)
+      assert(after2.where($"id" < 100 || $"id" % 3 === 0).count() == 0L)
+      // no-match delete is a version no-op
+      assert(DeltaWrite.deleteWhere(spark, t, $"id" > 9999) == 2L)
+      // stats on DV'd adds are flagged wide, not dropped
+      val dvAdds = DeltaRead.snapshot(spark, t).files.filter(_.dv.isDefined)
+      assert(dvAdds.nonEmpty && dvAdds.forall(f =>
+        f.stats.exists(s => mapper.readTree(s).get("tightBounds").asBoolean() == false)))
+      // vacuum(0) reclaims the superseded first-round DV bitmaps but
+      // keeps the live ones
+      val liveDvNames = dvAdds.map(f =>
+        graft.io.DeltaDv.dvFile(t, f.dv.get).getFileName.toString).toSet
+      DeltaWrite.vacuum(spark, t, retentionMs = 0)
+      val bins = Files.list(Paths.get(t)).iterator().asScala
+        .map(_.getFileName.toString).filter(_.endsWith(".bin")).toSet
+      assert(bins == liveDvNames, s"vacuum left $bins, wanted $liveDvNames")
+      assert(DeltaRead.read(spark, t).count() ==
+        (100 until 300).count(_ % 3 != 0).toLong)
+    } finally cleanup(t)
+  }
+
+  test("deleteWhere drops a file whose every row is deleted instead of fully masking it") {
+    val t = newTable()
+    try {
+      // two disjoint-range files; erase one range completely
+      val df = (0 until 200).map(i => (i.toLong, i % 2 == 0)).toDF("id", "even")
+      DeltaWrite.append(df.repartitionByRange(2, $"id"), t)
+      DeltaWrite.deleteWhere(spark, t, $"id" < 100)
+      val snap = DeltaRead.snapshot(spark, t)
+      assert(snap.files.size == 1, "the fully-deleted file must be removed")
+      assert(snap.files.forall(_.dv.isEmpty), "surviving file needs no DV")
+      assert(DeltaRead.read(spark, t).agg(min($"id")).collect()(0).getLong(0) == 100L)
+    } finally cleanup(t)
+  }
+
+  test("deleteWhere on a partitioned table masks only the predicate's partition rows") {
+    val t = newTable()
+    try {
+      val df = (0 until 100).map(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
+        .toDF("id", "grp")
+      DeltaWrite.append(df, t, partitionBy = Seq("grp"))
+      DeltaWrite.deleteWhere(spark, t, $"grp" === "a" && $"id" < 50)
+      val got = DeltaRead.read(spark, t)
+      assert(got.where($"grp" === "a").count() == (0 until 100)
+        .count(i => i % 2 == 0 && i >= 50).toLong)
+      assert(got.where($"grp" === "b").count() == 50L)
+    } finally cleanup(t)
+  }
+
+  test("id-mode reader resolves columns by parquet field id when the log's physical names drift") {
+    val t = newTable()
+    try {
+      val df = (0 until 20).map(i => (i.toLong, s"v$i", (s"n$i", i)))
+        .toDF("id", "txt", "nest")
+      DeltaWrite.createColumnMapped(df, t, mode = "id")
+      // a foreign id-mode engine rewrote the LOG's physical names
+      // (field ids preserved — the protocol's identity in id mode);
+      // the parquet files still carry the ORIGINAL names + ids, so
+      // name-based resolution would read every column as null
+      val logPath = Paths.get(t, "_delta_log", f"${0L}%020d.json")
+      val text = new String(Files.readAllBytes(logPath), "UTF-8")
+      val colRe = """col-[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}""".r
+      val renames = colRe.findAllIn(text).toSeq.distinct.zipWithIndex
+        .map { case (c, i) => c -> s"foreign-$i" }.toMap
+      val scrambled = renames.foldLeft(text) { case (acc, (from, to)) =>
+        acc.replace(from, to) }
+      Files.write(logPath, scrambled.getBytes("UTF-8"))
+      val got = DeltaRead.read(spark, t)
+      assert(got.columns.sorted.toSeq == Seq("id", "nest", "txt"))
+      assert(got.count() == 20L)
+      assert(got.agg(sum($"id")).collect()(0).getLong(0) == (0 until 20).sum.toLong)
+      assert(got.where($"id" === 3L).select($"txt").as[String].collect().toSeq == Seq("v3"))
+      // nested struct fields resolve by id too
+      assert(got.selectExpr("sum(nest._2)").collect()(0).getLong(0) ==
+        (0 until 20).sum.toLong)
     } finally cleanup(t)
   }
 

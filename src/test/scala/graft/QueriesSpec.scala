@@ -17,17 +17,13 @@ class QueriesSpec extends SparkTestBase {
   }
 
   test("approx sketches within tolerance of exact values") {
-    import org.apache.spark.sql.functions._
+    // the tolerance checks now run INSIDE the query as boolean columns
+    // (oracle-hashable); here we assert they actually hold
     val r = Registry.allQueries.find(_.name == "q60_approx_sketches").get
       .run(spark, sf).collect()(0)
-    val (approx, exact) = (r.getLong(0), r.getLong(1))
-    assert(math.abs(approx - exact).toDouble / exact < 0.05,
-      s"HLL error >5%: $approx vs $exact")
-    val approxMedian = r.getDouble(2)
-    val exactMedian = Tables.orders(spark, sf)
-      .agg(expr("percentile(o_totalprice, 0.5)")).collect()(0).getDouble(0)
-    assert(math.abs(approxMedian - exactMedian) / exactMedian < 0.05,
-      s"approx median off >5%: $approxMedian vs $exactMedian")
+    assert(r.getLong(0) > 0, "exact distinct count must be positive")
+    assert(r.getBoolean(1), "HLL distinct estimate outside 5% tolerance")
+    assert(r.getBoolean(2), "approx median outside 1% tolerance")
   }
 
   test("every query returns rows at sf0.001") {
