@@ -759,6 +759,80 @@ object DeltaWrite {
     append(laid, table)
   }
 
+  /** RESTORE the table to an earlier version — time travel made
+    * durable (Delta's `RESTORE TABLE ... TO VERSION AS OF`): one
+    * commit removes every file the head holds that the target snapshot
+    * doesn't and re-adds every target file the head lost, so HEAD
+    * becomes content-identical to `version` while HISTORY stays intact
+    * (the bad commits remain time-travelable; the feed sees the
+    * restore as ordinary delete+insert changes, so downstream mirrors
+    * converge too). The target's metaData is re-emitted when schema /
+    * partitioning / configuration drifted after it — restore undoes
+    * schema evolution the same way it undoes data.
+    *
+    * Zero data movement: only log entries are written. Refused loudly
+    * when a needed data file or DV bitmap was vacuumed away — a
+    * partial restore would silently drop rows. Returns the committed
+    * version. */
+  def restore(spark: SparkSession, table: String, version: Long): Long = {
+    var attempt = 0
+    while (attempt < 10) {
+      val head = DeltaRead.latestVersion(table)
+      require(version <= head, s"restore: version $version is ahead of head $head")
+      if (version == head) return head
+      val target = DeltaRead.snapshotAt(spark, table, version)
+      val cur = DeltaRead.snapshotAt(spark, table, head)
+      validateWriterSupport(table, cur, removesData = true)
+      // identity of a live entry = path + DV generation: a DV
+      // transition restores as remove(new entry) + add(old entry)
+      def key(f: DeltaRead.FileEntry) = (f.path, f.dv.map(_.pathOrInlineDv))
+      val targetKeys = target.files.map(key).toSet
+      val curKeys = cur.files.map(key).toSet
+      val removes = cur.files.filterNot(f => targetKeys(key(f)))
+      val adds = target.files.filterNot(f => curKeys(key(f)))
+      adds.foreach { f =>
+        require(Files.exists(Paths.get(table, f.path)),
+          s"restore: data file ${f.path} was vacuumed — version $version " +
+            "is no longer restorable")
+        f.dv.filter(d => d.storageType == "u" || d.storageType == "p").foreach(d =>
+          require(Files.exists(DeltaDv.dvFile(table, d)),
+            s"restore: deletion vector of ${f.path} was vacuumed — version " +
+              s"$version is no longer restorable"))
+      }
+      // the adds' partitionValues/stats were logical-translated at
+      // snapshot resolution; the log wants physical keys again, under
+      // the TARGET metadata (which this commit reinstates)
+      val physBy: Map[String, String] =
+        if (DeltaRead.ColumnMapping.active(target.columnMappingMode))
+          target.schema.map(DeltaRead.ColumnMapping.physByLogical).getOrElse(Map.empty)
+        else Map.empty
+      val now = System.currentTimeMillis()
+      val metaChanged = target.schema != cur.schema ||
+        target.partitionColumns != cur.partitionColumns ||
+        target.configuration != cur.configuration
+      val metaLine =
+        if (!metaChanged) Nil
+        else Seq(metaDataAction(
+          cur.metaId.orElse(target.metaId).getOrElse(UUID.randomUUID().toString),
+          target.schema.map(_.json).getOrElse(
+            throw new IllegalStateException(s"restore: $table@$version has no schema")),
+          target.partitionColumns, now, target.configuration))
+      val lines = Seq(commitInfoAction("RESTORE", now)) ++ metaLine ++
+        removes.map(f => removeAction(f.path, now)) ++
+        adds.map { f =>
+          val p = Paths.get(table, f.path)
+          val staged = Staged(f.path,
+            f.partitionValues.map { case (k, x) => physBy.getOrElse(k, k) -> x },
+            Files.size(p), Files.getLastModifiedTime(p).toMillis,
+            f.stats.map(DeltaRead.renameStatsKeys(_, physBy)))
+          addAction(staged, dataChange = true, dv = f.dv)
+        }
+      if (tryPublish(table, head + 1, lines)) return head + 1
+      attempt += 1
+    }
+    throw new IllegalStateException(s"restore: lost 10 commit races on $table")
+  }
+
   /** Mark a stats JSON as carrying wide (possibly stale) bounds — the
     * protocol's `tightBounds: false` flag for files whose deletion
     * vector may have removed the extreme rows. The bounds stay valid
@@ -919,8 +993,22 @@ object DeltaWrite {
     * vectors on touched files are honored: masked rows do not
     * resurrect into the rewrite. Returns the committed version, or the
     * current version unchanged when the merge is a no-op. */
+  /** Optional MERGE clause conditions, Delta's three-clause surface:
+    * `WHEN MATCHED [AND updateWhen] UPDATE SET *`, `WHEN MATCHED AND
+    * deleteWhen DELETE`, `WHEN NOT MATCHED [AND insertWhen] INSERT *`.
+    * Conditions are evaluated over the SOURCE row's columns (the CDC
+    * shape: a `_change_type` column decides each row's fate — see
+    * [[applyChanges]]); `deleteWhen` wins over update, a matched row
+    * whose source row satisfies neither is left untouched. A `None`
+    * condition means "always" for update/insert, "never" for delete. */
+  final case class MergeClauses(
+      updateWhen: Option[org.apache.spark.sql.Column] = None,
+      deleteWhen: Option[org.apache.spark.sql.Column] = None,
+      insertWhen: Option[org.apache.spark.sql.Column] = None)
+
   def merge(spark: SparkSession, table: String, source: DataFrame,
-      keys: Seq[String], maxRetries: Int = 10): Long = {
+      keys: Seq[String], maxRetries: Int = 10,
+      clauses: MergeClauses = MergeClauses()): Long = {
     import org.apache.spark.sql.functions.{col, count => fcount, lit}
     require(keys.nonEmpty, "merge: keys must be non-empty")
     require(keys.forall(source.columns.contains),
@@ -938,9 +1026,16 @@ object DeltaWrite {
       validateWriterSupport(table, snap, removesData = true)
       val committed = snap.schema.getOrElse(throw new IllegalStateException(
         s"merge: $table has no committed schema"))
-      require(schemaMatches(committed, source.schema),
-        s"merge: source schema must match the table (UPDATE SET * semantics) — " +
-          s"committed ${committed.json}, incoming ${source.schema.json}")
+      // SET-*/INSERT-* semantics need every table column in the source;
+      // EXTRA source columns are allowed as clause-condition carriers
+      // (the CDC `_change_type`) and never reach the table
+      val dataOnly = StructType(source.schema.fields
+        .filter(f => committed.fieldNames.contains(f.name)))
+      require(schemaMatches(committed, dataOnly) &&
+          committed.fieldNames.forall(source.columns.contains),
+        s"merge: source must carry every table column with matching types " +
+          s"(UPDATE SET * semantics) — committed ${committed.json}, " +
+          s"incoming ${source.schema.json}")
       val mapCtx =
         if (!DeltaRead.ColumnMapping.active(snap.columnMappingMode)) None
         else {
@@ -949,21 +1044,32 @@ object DeltaWrite {
           Some(WriteMapping.Ctx(snap.columnMappingMode, committed, startMax))
         }
       val outCols = committed.fields.toSeq.map(f => col(f.name))
-      // pass 1: key-only scan — matched keys' files + the global key set
+      // per-source-row clause flags (evaluated once, over source cols)
+      val act = source
+        .withColumn("__m_del", clauses.deleteWhen.getOrElse(lit(false)))
+        .withColumn("__m_upd", clauses.updateWhen.getOrElse(lit(true)))
+        .withColumn("__m_ins", clauses.insertWhen.getOrElse(lit(true)))
+      // only delete- or update-active keys can change a target file; a
+      // matched row satisfying neither clause is left untouched and
+      // must not drag its file into the rewrite
+      val activeKeys = act.where(col("__m_del") || col("__m_upd"))
+        .select(keys.map(col): _*).distinct()
+      // pass 1: key-only scan — active keys' files + the global key set
       val targetKeys = DeltaRead.readVersionWithLineage(spark, table, v)
         .select(keys.map(col) :+ col(DeltaRead.LineageFile): _*)
-      val srcKeys = source.select(keys.map(col): _*).distinct()
-      val touchedAbs = targetKeys.join(srcKeys, keys, "left_semi")
+      val touchedAbs = targetKeys.join(activeKeys, keys, "left_semi")
         .select(col(DeltaRead.LineageFile)).distinct()
         .collect().map(_.getString(0)).toSet // one path per touched file
       val byAbs = snap.files.map(f =>
         (Paths.get(table, f.path).toAbsolutePath.normalize().toString, f)).toMap
       val touched = touchedAbs.toSeq.sorted.map(a => byAbs.getOrElse(a,
         throw new IllegalStateException(s"merge: lineage path $a not in snapshot")))
-      val inserts = source
+      val inserts = act.where(col("__m_ins"))
         .join(targetKeys.drop(DeltaRead.LineageFile).distinct(), keys, "left_anti")
         .select(outCols: _*)
-      // pass 2: rewrite ONLY the touched files
+      // pass 2: rewrite ONLY the touched files — kept rows (unmatched
+      // or matched-but-no-clause), updated rows (source values, per
+      // matched target row), while delete-marked rows simply vanish
       val batch =
         if (touched.isEmpty) {
           if (inserts.isEmpty) return v // nothing matched, nothing new
@@ -971,10 +1077,10 @@ object DeltaWrite {
         } else {
           val tTouched = DeltaRead.readFilesWithLineage(spark, table, v,
             touched.map(_.path).toSet)
-          val keep = tTouched.join(srcKeys, keys, "left_anti").select(outCols: _*)
-          val replaced = tTouched.join(srcKeys, keys, "left_semi")
+          val keep = tTouched.join(activeKeys, keys, "left_anti").select(outCols: _*)
+          val replaced = tTouched.join(activeKeys, keys, "left_semi")
             .select(keys.map(col): _*)
-            .join(source, keys, "inner")
+            .join(act.where(!col("__m_del") && col("__m_upd")), keys, "inner")
             .select(outCols: _*)
           keep.unionByName(replaced).unionByName(inserts)
         }
@@ -992,6 +1098,33 @@ object DeltaWrite {
       attempt += 1 // lost the CAS race: replan against the winner
     }
     throw new IllegalStateException(s"merge: lost $maxRetries commit races on $table")
+  }
+
+  /** Apply one change-data-feed batch ([[DeltaRead.changesBetween]]
+    * output: table columns + `_change_type`) to a mirror table as a
+    * SINGLE merge commit — updates arrive as delete(old)+insert(new)
+    * pairs, which collapse per key into an upsert; keys with only a
+    * delete half fall through to `WHEN MATCHED DELETE`. `keys` must
+    * uniquely identify rows (the CDC primary-key contract). The
+    * one-commit alternative to [[graft.streaming.DeltaTail.mirror]]'s
+    * deleteIn+append pair when SetTransaction resume isn't needed. */
+  def applyChanges(spark: SparkSession, table: String, changes: DataFrame,
+      keys: Seq[String]): Long = {
+    import org.apache.spark.sql.functions.col
+    val ct = col(DeltaRead.ChangeTypeCol)
+    val base =
+      if (changes.columns.contains(DeltaRead.CommitVersionCol))
+        changes.drop(DeltaRead.CommitVersionCol)
+      else changes
+    val ins = base.where(ct === "insert")
+    val delOnly = base.where(ct === "delete")
+      .join(ins.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      .dropDuplicates(keys)
+    merge(spark, table, ins.unionByName(delOnly), keys,
+      clauses = MergeClauses(
+        updateWhen = Some(ct === "insert"),
+        deleteWhen = Some(ct === "delete"),
+        insertWhen = Some(ct === "insert")))
   }
 
   /** Logical column rename on a column-mapped table — the operation
@@ -1274,11 +1407,17 @@ object DeltaWrite {
       StructField("appId", StringType),
       StructField("version", LongType))))))
 
-  /** Materialize the latest snapshot as a single-file checkpoint
-    * parquet + `_last_checkpoint` pointer. Returns the checkpointed
-    * version. Readers then resolve checkpoint-then-tail instead of
-    * replaying the full JSON history. */
-  def checkpoint(spark: SparkSession, table: String): Long = {
+  /** Materialize the latest snapshot as a checkpoint — one parquet by
+    * default, or a MULTI-PART set (`<v>.checkpoint.<i>.<n>.parquet`,
+    * what large writers emit when one checkpoint file would be too
+    * big; [[DeltaRead]] already resolves complete part sets and treats
+    * incomplete ones — a writer death mid-checkpoint — as invisible).
+    * Actions split contiguously across parts; the `_last_checkpoint`
+    * pointer records `parts`. Returns the checkpointed version.
+    * Readers then resolve checkpoint-then-tail instead of replaying
+    * the full JSON history. */
+  def checkpoint(spark: SparkSession, table: String, parts: Int = 1): Long = {
+    require(parts >= 1, s"checkpoint: parts must be >= 1, got $parts")
     val v = DeltaRead.latestVersion(table)
     val s = DeltaRead.snapshotAt(spark, table, v)
     // the snapshot's partitionValues keys were translated to LOGICAL
@@ -1328,29 +1467,44 @@ object DeltaWrite {
       Row(null, null, null, Row(appId, ver))
     }
     val rows = Seq(protoRow, metaRow) ++ addRows ++ txnRows
-    val cpDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), CheckpointSchema)
-    // stage inside the table root so the final move is an atomic
-    // same-filesystem rename — a cross-fs copy+delete would let a
-    // concurrent reader open a partially-copied checkpoint parquet
-    val stagedDir = Paths.get(table, s"_staging-${UUID.randomUUID()}")
-    cpDf.coalesce(1).write.mode("overwrite").parquet(stagedDir.toString)
-    val ls = Files.list(stagedDir)
-    val part =
-      try ls.iterator().asScala
-        .find(_.getFileName.toString.endsWith(".parquet"))
-        .getOrElse(throw new IllegalStateException("checkpoint write produced no parquet"))
-      finally ls.close()
-    val dest = logDir(table).resolve(f"$v%020d.checkpoint.parquet")
-    Files.move(part, dest,
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    org.apache.commons.io.FileUtils.deleteDirectory(stagedDir.toFile)
+    // contiguous split across parts; every part non-empty when the
+    // action count allows it
+    val n = math.min(parts, rows.size)
+    val chunks: Seq[Seq[Row]] =
+      if (n == 1) Seq(rows)
+      else rows.grouped((rows.size + n - 1) / n).toSeq
+    def destFor(i: Int): Path =
+      if (chunks.size == 1) logDir(table).resolve(f"$v%020d.checkpoint.parquet")
+      else logDir(table).resolve(
+        f"$v%020d.checkpoint.${i + 1}%010d.${chunks.size}%010d.parquet")
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      val cpDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(chunk, 1), CheckpointSchema)
+      // stage inside the table root so the final move is an atomic
+      // same-filesystem rename — a cross-fs copy+delete would let a
+      // concurrent reader open a partially-copied checkpoint parquet.
+      // Parts land in ascending order, so a reader listing mid-write
+      // sees an INCOMPLETE set and ignores it (checkpointParts)
+      val stagedDir = Paths.get(table, s"_staging-${UUID.randomUUID()}")
+      cpDf.coalesce(1).write.mode("overwrite").parquet(stagedDir.toString)
+      val ls = Files.list(stagedDir)
+      val part =
+        try ls.iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException("checkpoint write produced no parquet"))
+        finally ls.close()
+      Files.move(part, destFor(i),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      org.apache.commons.io.FileUtils.deleteDirectory(stagedDir.toFile)
+    }
     // write-then-ATOMIC_MOVE, like the checkpoint parquet above: a
     // truncate-in-place write would let a concurrent reader observe an
     // empty/torn pointer (reads degrade to log listing either way, but
     // the pointer shouldn't be the one torn artifact in the log)
     val lcTmp = logDir(table).resolve(s"_last_checkpoint.tmp-${UUID.randomUUID()}")
-    Files.write(lcTmp, Seq(s"""{"version":$v,"size":${rows.size}}""").asJava)
+    val partsField = if (chunks.size == 1) "" else s""","parts":${chunks.size}"""
+    Files.write(lcTmp,
+      Seq(s"""{"version":$v,"size":${rows.size}$partsField}""").asJava)
     Files.move(lcTmp, logDir(table).resolve("_last_checkpoint"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     v

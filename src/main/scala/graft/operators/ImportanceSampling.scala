@@ -91,7 +91,12 @@ object ImportanceSampling {
   /** Gumbel-top-k selection: the k raw docs with the largest
     * logw + Gumbel — a without-replacement sample ∝ importance weight.
     * Global top-k, so the plan is TakeOrderedAndProject (bounded
-    * driver result), never a full sort. */
+    * driver result), never a full sort. SCALE CAVEAT: the selected k
+    * rows land on the driver before re-distributing, which is right
+    * for evaluation-sized samples but not for k in the millions — a
+    * corpus-sized selection should instead compute the k-th sel_key
+    * via approxQuantile and FILTER on it (fully distributed, same
+    * sample up to quantile precision). */
   def select(weights: DataFrame, k: Int, salt: String = ":dsir"): DataFrame =
     weights
       .withColumn("sel_key", round(col("logw") + gumbel(col("doc_id"), salt), 6))

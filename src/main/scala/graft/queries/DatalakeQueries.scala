@@ -913,6 +913,50 @@ object DatalakeQueries {
            |       CAST(sum(doc_id) AS BIGINT) AS sum_ids
            |FROM fin GROUP BY lang ORDER BY lang""".stripMargin))
 
+  /** q200 — RESTORE as the bad-deploy undo
+    * ([[graft.io.DeltaWrite.restore]]): a good load is followed by a
+    * corrupting overwrite and a wrong erasure; one RESTORE commit
+    * rewinds HEAD to the good version with zero data movement while
+    * the bad versions stay time-travelable — and because the restore
+    * surfaces through the change feed as ordinary delete+insert
+    * changes, a folding consumer converges to the restored state too.
+    * The output aggregates the restored table BOTH ways (direct read
+    * and feed fold); the oracle is simply the original `orders`
+    * aggregate, so a green row pins content-exact restoration AND
+    * CDC consistency across it. Revenue sums as integer cents. */
+  val q200Restore = GQuery(
+    "q200_restore",
+    (s, d) => {
+      import s.implicits._
+      val t = graft.io.Staging.tempDir("graft_q200_")
+      val orders = s.read.parquet(s"$d/orders.parquet")
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      graft.io.DeltaWrite.append(orders.repartition(4), t) // v0: the good load
+      graft.io.DeltaWrite.overwrite( // v1: corrupting re-load (prices shifted)
+        orders.withColumn("o_totalprice", $"o_totalprice" + lit(10.0)), t)
+      graft.io.DeltaWrite.deleteWhere(s, t, pmod($"o_orderkey", lit(5)) === 0) // v2
+      val rv = graft.io.DeltaWrite.restore(s, t, 0L) // v3: undo everything
+      def agg(df: org.apache.spark.sql.DataFrame, n: String, r: String) =
+        df.groupBy($"o_orderstatus")
+          .agg(count(lit(1)).as(n),
+            (sum(round($"o_totalprice" * 100).cast("long")) / 100.0).as(r))
+      val live = agg(graft.io.DeltaRead.read(s, t), "n_live", "rev_live")
+      val folded = graft.io.DeltaRead.changesBetween(s, t, -1L, rv)
+        .groupBy($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+        .agg(sum(when($"_change_type" === "insert", 1).otherwise(-1)).as("net"))
+        .where($"net" === 1)
+      val viaFeed = agg(folded, "n_fold", "rev_fold")
+      live.join(viaFeed, Seq("o_orderstatus")).orderBy($"o_orderstatus")
+    },
+    Some("""SELECT o_orderstatus,
+           |  count(*) AS n_live,
+           |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+           |    AS rev_live,
+           |  count(*) AS n_fold,
+           |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+           |    AS rev_fold
+           |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+
   val all: Seq[GQuery] = Seq(
     q130SnapshotDiff, q131IncrementalAgg, q132SchemaEvolution,
     q133KAnonymity, q134GdprErasure, q147CompactionPlan,
@@ -920,5 +964,5 @@ object DatalakeQueries {
     q163OrcRoundtrip, q164PartitionPruning, q166CorruptTolerance,
     q177TxTable, q179DeltaRead, q180DeltaRoundtrip, q184TxToDelta,
     q194DeltaChangefeed, q196CdfFold, q197MergeUpsert,
-    q198DvErasure, q199CdfMirror)
+    q198DvErasure, q199CdfMirror, q200Restore)
 }

@@ -891,6 +891,88 @@ object LlmQueries {
          |FROM classed GROUP BY pair_class ORDER BY pair_class""".stripMargin
     })
 
+  /** q201 — the lakehouse-CDC × dedup composition: the corpus LIVES in
+    * a Delta table (two appends planting cross-batch near-copies, then
+    * a DV erasure retiring ids), and the MinHash-LSH band index is
+    * maintained purely from the CHANGE FEED — each arriving document
+    * is hashed exactly once (at its insert event), each deleted id is
+    * retired from the band table by anti-join, and NO full-corpus
+    * re-hash ever runs. The candidate stats over that incrementally-
+    * built index must equal the oracle's from-scratch rebuild over the
+    * final corpus — the equivalence that lets a 100 TB dedup index
+    * ride a table's commit log instead of re-reading the lake. */
+  val q201CdfDedup = GQuery(
+    "q201_cdf_dedup",
+    (s, d) => {
+      import s.implicits._
+      val t = graft.io.Staging.tempDir("graft_q201_")
+      val docs = Tables.documents(s, d).select($"doc_id", $"text")
+      graft.io.DeltaWrite.append(docs.where($"doc_id" % 10 < 8), t) // v0
+      graft.io.DeltaWrite.append(
+        docs.where($"doc_id" % 10 >= 8)
+          .unionByName(docs.where($"doc_id" % 10 < 8 && $"doc_id" % 50 === 0)
+            .withColumn("doc_id", $"doc_id" + 200000L)), t)         // v1
+      graft.io.DeltaWrite.deleteWhere(s, t, pmod($"doc_id", lit(20)) === 1) // v2
+      val feed = graft.io.DeltaRead.changesBetween(s, t, -1L,
+        graft.io.DeltaRead.latestVersion(t))
+      val ins = feed.where($"_change_type" === "insert")
+        .select($"doc_id".as("id"), $"text")
+      val dels = feed.where($"_change_type" === "delete")
+        .select($"doc_id".as("id")).distinct()
+      val bands = ins
+        .withColumn("__hs", Dedup.shingleHashes($"text", 3))
+        .where(size($"__hs") > 0)
+        .withColumn("__sig", graft.functions.Natives.minhash($"__hs", 32))
+        .select($"id", explode(Dedup.bandKeys($"__sig", 8, 4)).as("bks"))
+        .select($"id", graft.functions.Natives.hash60($"bks").as("bk"))
+        .join(dels, Seq("id"), "left_anti")
+      val cand = bands.alias("a")
+        .join(bands.alias("b"), $"a.bk" === $"b.bk" && $"a.id" < $"b.id")
+        .select($"a.id".as("id_a"), $"b.id".as("id_b")).distinct()
+      val live = graft.io.DeltaRead.read(s, t)
+        .select($"doc_id".as("id"), Dedup.shingleHashes($"text", 3).as("hs"))
+      cand
+        .join(live.select($"id".as("id_a"), $"hs".as("hs_a")), "id_a")
+        .join(live.select($"id".as("id_b"), $"hs".as("hs_b")), "id_b")
+        .agg(count(lit(1)).as("n_candidates"),
+          count(when(round(Dedup.jaccard($"hs_a", $"hs_b"), 4) >= 0.9, 1))
+            .as("n_verified"),
+          count(when($"id_b" >= 200000L, 1)).as("n_planted_pairs"))
+    },
+    Some {
+      val aL = Dedup.coeffA(32).mkString("[", ",", "]")
+      val bL = Dedup.coeffB(32).mkString("[", ",", "]")
+      val hs = s"list_transform(${shinglesSql(toksSql)}, sh -> ${h60.replace("__X__", "sh")} % ${Dedup.P})"
+      s"""WITH corpus AS (
+         |  SELECT doc_id AS id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 200000 AS id, text FROM documents
+         |  WHERE doc_id % 10 < 8 AND doc_id % 50 = 0),
+         |live AS (SELECT * FROM corpus WHERE id % 20 <> 1),
+         |shingled AS (SELECT id, $hs AS hs FROM live),
+         |nonempty AS (SELECT * FROM shingled WHERE len(hs) > 0),
+         |sigs AS (SELECT id,
+         |  list_transform(range(0, 32), i ->
+         |    list_min(list_transform(hs, h -> (($aL)[i+1] * h + ($bL)[i+1]) % ${Dedup.P}))) AS sig
+         |  FROM nonempty),
+         |bands AS (SELECT id,
+         |  unnest(list_transform(range(0, 8), j ->
+         |    ${h60.replace("__X__", "CAST(j AS VARCHAR) || ':' || array_to_string(sig[j*4+1:j*4+4], ',')")})) AS bk
+         |  FROM sigs),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM bands a JOIN bands b ON a.bk = b.bk AND a.id < b.id),
+         |verified AS (
+         |  SELECT id_a, id_b,
+         |    round(len(list_filter(sa.hs, x -> list_contains(sb.hs, x))) /
+         |      (len(sa.hs) + len(sb.hs) - len(list_filter(sa.hs, x -> list_contains(sb.hs, x)))), 4) AS jaccard
+         |  FROM cand JOIN shingled sa ON cand.id_a = sa.id
+         |            JOIN shingled sb ON cand.id_b = sb.id)
+         |SELECT count(*) AS n_candidates,
+         |       count(*) FILTER (WHERE jaccard >= 0.9) AS n_verified,
+         |       count(*) FILTER (WHERE id_b >= 200000) AS n_planted_pairs
+         |FROM verified""".stripMargin
+    })
+
   /** q157 — corpus drift matrix: pairwise cosine similarity between
     * per-label embedding centroids — the monitoring signal for "has
     * source/class X drifted away from Y since the last snapshot".
@@ -1180,5 +1262,5 @@ object LlmQueries {
     q140Sq8Ann,
     q144PrefixJoin, q154AnnRecall, q156IncrementalLsh, q157DriftMatrix,
     q174LshBucketCap, q175Sq8Codes, q178IvfIndex, q181SemanticDedup,
-    q183PqAnn, q186HardNegatives)
+    q183PqAnn, q186HardNegatives, q201CdfDedup)
 }

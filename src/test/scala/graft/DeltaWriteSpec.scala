@@ -980,6 +980,85 @@ class DeltaWriteSpec extends SparkTestBase {
     } finally cleanup(t)
   }
 
+  test("restore rewinds HEAD to an old version: content identical, history intact, feed folds across it") {
+    val t = newTable()
+    try {
+      val v0Data = (0 until 50).map(i => (i.toLong, s"v$i")).toDF("id", "txt")
+      DeltaWrite.append(v0Data.repartition(2), t)                     // v0
+      DeltaWrite.overwrite((100 until 120).map(i => (i.toLong, "bad")).toDF("id", "txt"), t) // v1
+      DeltaWrite.deleteWhere(spark, t, $"id" % 2 === 0)               // v2
+      val rv = DeltaWrite.restore(spark, t, 0L)                       // v3
+      assert(rv == 3L)
+      // HEAD == v0 content, zero data movement
+      assert(DeltaRead.read(spark, t).orderBy($"id").as[(Long, String)].collect().toSeq ==
+        DeltaRead.readVersion(spark, t, 0).orderBy($"id").as[(Long, String)].collect().toSeq)
+      assert(DeltaRead.read(spark, t).count() == 50L)
+      // the bad versions stay time-travelable
+      assert(DeltaRead.readVersion(spark, t, 1).count() == 20L)
+      assert(DeltaRead.readVersion(spark, t, 2).count() == 10L)
+      // the change feed folds to the restored snapshot
+      val all = DeltaRead.changesBetween(spark, t, -1L, 3L)
+      val net = all.groupBy($"id", $"txt")
+        .agg(sum(when($"_change_type" === "insert", 1).otherwise(-1)).as("net"))
+      assert(net.where($"net" === 1).count() == 50L)
+      assert(net.where($"net" =!= 0 && $"net" =!= 1).count() == 0L)
+    } finally cleanup(t)
+  }
+
+  test("restore reinstates deletion vectors and old schemas; vacuumed targets are refused") {
+    val t = newTable()
+    try {
+      DeltaWrite.append((0 until 30).map(i => (i.toLong, s"v$i")).toDF("id", "txt"), t) // v0
+      DeltaWrite.deleteWhere(spark, t, $"id" < 10)                    // v1: DV'd state
+      DeltaWrite.overwrite((0 until 5).map(i => (i.toLong, i * 1.5)).toDF("id", "score"), t) // v2: schema change
+      DeltaWrite.restore(spark, t, 1L)                                // v3
+      val got = DeltaRead.read(spark, t)
+      assert(got.columns.sorted.toSeq == Seq("id", "txt"), "old schema must return")
+      assert(got.count() == 20L && got.where($"id" < 10).count() == 0L,
+        "the DV'd state must reinstate exactly")
+      assert(DeltaRead.snapshot(spark, t).files.exists(_.dv.isDefined))
+      // a vacuumed target refuses instead of restoring partially
+      val t2 = newTable()
+      try {
+        DeltaWrite.append(Seq((1L, "a")).toDF("id", "txt"), t2)
+        DeltaWrite.overwrite(Seq((2L, "b")).toDF("id", "txt"), t2)
+        DeltaWrite.vacuum(spark, t2, retentionMs = 0)
+        val e = intercept[IllegalArgumentException](DeltaWrite.restore(spark, t2, 0L))
+        assert(e.getMessage.contains("vacuumed"))
+      } finally cleanup(t2)
+    } finally cleanup(t)
+  }
+
+  test("multi-part checkpoints write the spec'd part-set shape and resolve like single files") {
+    val t = newTable()
+    try {
+      (0 until 6).foreach(i => DeltaWrite.append(
+        Seq((i.toLong, s"v$i")).toDF("id", "txt").coalesce(1), t))
+      val v = DeltaWrite.checkpoint(spark, t, parts = 3)
+      val names = Files.list(Paths.get(t, "_delta_log")).iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(x => x.contains("checkpoint") && x.endsWith(".parquet")).toList.sorted
+      assert(names == (1 to 3).map(i =>
+        f"$v%020d.checkpoint.$i%010d.${3}%010d.parquet").toList, s"got $names")
+      val lc = new String(Files.readAllBytes(
+        Paths.get(t, "_delta_log", "_last_checkpoint")), "UTF-8")
+      assert(lc.contains("\"parts\":3"))
+      // resolution works with the whole JSON prefix gone
+      (0L to v).foreach(x =>
+        Files.delete(Paths.get(t, "_delta_log", f"$x%020d.json")))
+      assert(DeltaRead.read(spark, t).count() == 6L)
+      assert(DeltaRead.read(spark, t).agg(sum($"id")).collect()(0).getLong(0) == 15L)
+      // an INCOMPLETE part set is invisible: with one part gone and the
+      // JSON history truncated, resolution must fail loudly, never
+      // return a partial table
+      Files.delete(Paths.get(t, "_delta_log",
+        f"$v%020d.checkpoint.${2}%010d.${3}%010d.parquet"))
+      val e = intercept[Exception](DeltaRead.read(spark, t).count())
+      assert(e.getMessage.contains("missing") || e.getMessage.contains("truncated"),
+        s"wanted a loud truncation error, got: ${e.getMessage}")
+    } finally cleanup(t)
+  }
+
   test("concurrent appenders serialize through the commit CAS (no lost updates)") {
     val t = newTable()
     try {

@@ -84,7 +84,7 @@ class MergeSpec extends SparkTestBase {
       val drift = Seq((1L, 2.0)).toDF("id", "score")
       val e2 = intercept[IllegalArgumentException](
         DeltaWrite.merge(spark, t, drift, Seq("id")))
-      assert(e2.getMessage.contains("schema"))
+      assert(e2.getMessage.contains("every table column"))
     } finally cleanup(t)
   }
 
@@ -159,6 +159,55 @@ class MergeSpec extends SparkTestBase {
           .collect().toSeq == Seq(100L + w), s"racer $w's update lost")
       }
     } finally cleanup(t)
+  }
+
+  test("conditional clauses: WHEN MATCHED DELETE, gated UPDATE, gated INSERT — untouched no-op rows stay put") {
+    import graft.io.DeltaWrite.MergeClauses
+    val t = newTable()
+    try {
+      DeltaWrite.append((0 until 40).map(i => (i.toLong, s"v$i", "keep"))
+        .toDF("id", "txt", "tag").repartitionByRange(2, $"id"), t)
+      // source carries an EXTRA op column steering each row's clause
+      val src = Seq(
+        (3L, "upd3", "x", "update"),   // matched + update
+        (5L, "ignored", "x", "noop"),  // matched, no clause applies
+        (7L, "ignored", "x", "drop"),  // matched + delete
+        (50L, "new50", "x", "update"), // unmatched + insert allowed
+        (60L, "never", "x", "drop")    // unmatched delete row: no insert
+      ).toDF("id", "txt", "tag", "op")
+      DeltaWrite.merge(spark, t, src, Seq("id"), clauses = MergeClauses(
+        updateWhen = Some($"op" === "update"),
+        deleteWhen = Some($"op" === "drop"),
+        insertWhen = Some($"op" =!= "drop")))
+      val got = DeltaRead.read(spark, t)
+      assert(got.count() == 40L) // 40 - 1 delete + 1 insert
+      assert(got.where($"id" === 3L).select($"txt").as[String].collect().toSeq == Seq("upd3"))
+      assert(got.where($"id" === 5L).select($"txt").as[String].collect().toSeq == Seq("v5"),
+        "a matched row satisfying no clause must stay untouched")
+      assert(got.where($"id" === 7L).count() == 0L, "WHEN MATCHED DELETE must drop")
+      assert(got.where($"id" === 50L).count() == 1L)
+      assert(got.where($"id" === 60L).count() == 0L,
+        "an unmatched delete-marked row must not insert")
+      // the extra op column never reaches the table
+      assert(got.columns.sorted.toSeq == Seq("id", "tag", "txt"))
+    } finally cleanup(t)
+  }
+
+  test("applyChanges replays a feed batch as one merge: fold(source changes) lands in the mirror") {
+    val src = newTable(); val dst = newTable()
+    try {
+      val base = (0 until 30).map(i => (i.toLong, s"v$i")).toDF("id", "txt")
+      DeltaWrite.append(base, src)                         // v0
+      DeltaWrite.append(base, dst)                         // mirror starts equal
+      DeltaWrite.deleteWhere(spark, src, $"id" % 5 === 0)  // v1
+      DeltaWrite.merge(spark, src,
+        Seq((1L, "upd"), (99L, "new")).toDF("id", "txt"), Seq("id")) // v2
+      val feed = DeltaRead.changesBetween(spark, src, 0L, 2L)
+      DeltaWrite.applyChanges(spark, dst, feed, Seq("id"))
+      val a = DeltaRead.read(spark, src).orderBy($"id").as[(Long, String)].collect().toSeq
+      val b = DeltaRead.read(spark, dst).orderBy($"id").as[(Long, String)].collect().toSeq
+      assert(a == b, "applyChanges(feed) must converge the mirror to the source")
+    } finally { cleanup(src); cleanup(dst) }
   }
 
   test("the change feed decomposes a merge into delete(old) + insert(new)") {
