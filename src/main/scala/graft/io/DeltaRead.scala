@@ -595,6 +595,71 @@ object DeltaRead {
   def readVersion(spark: SparkSession, table: String, version: Long): DataFrame =
     assemble(spark, table, snapshotAt(spark, table, version))
 
+  /** The commit timestamp of version `v`: the `commitInfo.timestamp`
+    * when the commit records one, else the commit file's mtime — the
+    * same fallback order Delta uses. None when the JSON is gone
+    * (checkpoint-truncated history). */
+  private def commitTimestamp(table: String, v: Long): Option[Long] = {
+    val p = logDir(table).resolve(f"$v%020d.json")
+    if (!Files.exists(p)) None
+    else {
+      val fromInfo = Files.readAllLines(p).asScala.iterator
+        .map(l => try mapper.readTree(l) catch { case _: Exception => null })
+        .filter(n => n != null && n.has("commitInfo"))
+        .flatMap(n => Option(n.get("commitInfo").get("timestamp")).map(_.asLong()))
+        .nextOption()
+      fromInfo.orElse(Some(Files.getLastModifiedTime(p).toMillis))
+    }
+  }
+
+  /** TIMESTAMP AS OF resolution: the newest version whose commit
+    * landed at or before `tsMillis`. Only versions whose JSON commit
+    * survives are resolvable — a checkpoint-truncated prefix bounds
+    * how far back timestamp travel reaches (version travel through the
+    * checkpoint still works). Non-monotonic wall clocks resolve to the
+    * HIGHEST eligible version, matching Delta's adjusted-timestamp
+    * behavior. */
+  def versionAtTime(spark: SparkSession, table: String, tsMillis: Long): Long = {
+    val known = (0L to latestVersion(table)).flatMap(v =>
+      commitTimestamp(table, v).map(v -> _))
+    require(known.nonEmpty,
+      s"$table: no surviving JSON commits to resolve a timestamp against")
+    val eligible = known.filter(_._2 <= tsMillis)
+    require(eligible.nonEmpty,
+      s"$table: timestamp $tsMillis predates the oldest surviving commit " +
+        s"(${known.map(_._2).min})")
+    eligible.map(_._1).max
+  }
+
+  /** Time travel by wall clock: read the table as of `tsMillis`. */
+  def readAsOf(spark: SparkSession, table: String, tsMillis: Long): DataFrame =
+    readVersion(spark, table, versionAtTime(spark, table, tsMillis))
+
+  /** DESCRIBE HISTORY: one row per surviving commit — (version,
+    * timestamp, operation) from the commitInfo actions. Metadata-sized
+    * by construction (one row per commit, parsed driver-side from the
+    * log the driver already lists). */
+  def history(spark: SparkSession, table: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField}
+    val rows = (0L to latestVersion(table)).flatMap { v =>
+      val p = logDir(table).resolve(f"$v%020d.json")
+      if (!Files.exists(p)) None
+      else {
+        val op = Files.readAllLines(p).asScala.iterator
+          .map(l => try mapper.readTree(l) catch { case _: Exception => null })
+          .filter(n => n != null && n.has("commitInfo"))
+          .flatMap(n => Option(n.get("commitInfo").get("operation")).map(_.asText()))
+          .nextOption()
+        Some(org.apache.spark.sql.Row(v, commitTimestamp(table, v).getOrElse(0L),
+          op.orNull))
+      }
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(StructField("version", LongType),
+        StructField("timestamp", LongType),
+        StructField("operation", StringType, nullable = true))))
+  }
+
   /** Name of the lineage column carrying each row's normalized absolute
     * data-file path (see [[readVersionWithLineage]]). */
   val LineageFile = "__graft_file"

@@ -759,6 +759,71 @@ object DeltaWrite {
     append(laid, table)
   }
 
+  /** Full protocol action for a snapshot, feature lists included —
+    * [[protocolActionFor]] only covers the legacy two-int form. */
+  private def protocolActionFull(s: DeltaRead.DeltaSnapshot): String = {
+    val root = mapper.createObjectNode()
+    val p = root.putObject("protocol")
+    p.put("minReaderVersion", s.minReaderVersion)
+    p.put("minWriterVersion", s.minWriterVersion)
+    if (s.readerFeatures.nonEmpty) {
+      val a = p.putArray("readerFeatures"); s.readerFeatures.toSeq.sorted.foreach(a.add)
+    }
+    if (s.writerFeatures.nonEmpty) {
+      val a = p.putArray("writerFeatures"); s.writerFeatures.toSeq.sorted.foreach(a.add)
+    }
+    mapper.writeValueAsString(root)
+  }
+
+  /** Zero-copy CLONE: materialize `source`'s head snapshot as a brand
+    * new table at `dest` version 0 by HARD-LINKING every live data
+    * file and deletion-vector bitmap — no bytes copied, the clone owns
+    * independent link entries so the source can be overwritten or even
+    * vacuumed without touching the clone's data (and vice versa:
+    * writes to the clone never reach the source, because every
+    * mutation in this writer adds NEW files rather than editing old
+    * ones). Schema, partitioning, configuration (column mapping
+    * included) and the protocol carry over verbatim; the clone gets a
+    * fresh table id. Same-filesystem only (hard links). The Delta
+    * `SHALLOW CLONE` story with TxLog-bridge mechanics
+    * ([[DeltaBridge]] pioneered the hard-link transcription). */
+  def clone(spark: SparkSession, source: String, dest: String): Long = {
+    val s = DeltaRead.snapshot(spark, source)
+    require(!tableExists(dest), s"clone: $dest is already a table")
+    Files.createDirectories(Paths.get(dest))
+    val physBy: Map[String, String] =
+      if (DeltaRead.ColumnMapping.active(s.columnMappingMode))
+        s.schema.map(DeltaRead.ColumnMapping.physByLogical).getOrElse(Map.empty)
+      else Map.empty
+    s.files.foreach { f =>
+      val from = Paths.get(source, f.path)
+      val to = Paths.get(dest, f.path)
+      Files.createDirectories(to.getParent)
+      Files.createLink(to, from)
+      f.dv.filter(d => d.storageType == "u").foreach { d =>
+        val dvTo = DeltaDv.dvFile(dest, d)
+        Option(dvTo.getParent).foreach(Files.createDirectories(_))
+        Files.createLink(dvTo, DeltaDv.dvFile(source, d))
+      }
+    }
+    val now = System.currentTimeMillis()
+    val schemaJson = s.schema.map(_.json).getOrElse(
+      throw new IllegalStateException(s"clone: $source has no metaData schema"))
+    val adds = s.files.map { f =>
+      val p = Paths.get(dest, f.path)
+      val staged = Staged(f.path,
+        f.partitionValues.map { case (k, x) => physBy.getOrElse(k, k) -> x },
+        Files.size(p), Files.getLastModifiedTime(p).toMillis,
+        f.stats.map(DeltaRead.renameStatsKeys(_, physBy)))
+      addAction(staged, dataChange = true, dv = f.dv)
+    }
+    val lines = Seq(commitInfoAction("CLONE", now), protocolActionFull(s),
+      metaDataAction(UUID.randomUUID().toString, schemaJson, s.partitionColumns,
+        now, s.configuration)) ++ adds
+    require(tryPublish(dest, 0L, lines), s"clone: $dest version 0 already exists")
+    0L
+  }
+
   /** RESTORE the table to an earlier version — time travel made
     * durable (Delta's `RESTORE TABLE ... TO VERSION AS OF`): one
     * commit removes every file the head holds that the target snapshot

@@ -1059,6 +1059,67 @@ class DeltaWriteSpec extends SparkTestBase {
     } finally cleanup(t)
   }
 
+  test("timestamp time travel and DESCRIBE HISTORY resolve from the commits' recorded clocks") {
+    val t = newTable()
+    try {
+      DeltaWrite.append(Seq((1L, "a")).toDF("id", "txt"), t); Thread.sleep(15)
+      DeltaWrite.append(Seq((2L, "b")).toDF("id", "txt"), t); Thread.sleep(15)
+      DeltaWrite.overwrite(Seq((9L, "z")).toDF("id", "txt"), t)
+      val h = DeltaRead.history(spark, t).orderBy($"version")
+        .as[(Long, Long, String)].collect().toSeq
+      assert(h.map(_._1) == Seq(0L, 1L, 2L))
+      assert(h.map(_._3) == Seq("WRITE", "APPEND", "OVERWRITE"))
+      assert(h.map(_._2) == h.map(_._2).sorted, "timestamps must be non-decreasing")
+      // as-of the middle commit's clock → exactly versions 0+1
+      assert(DeltaRead.readAsOf(spark, t, h(1)._2).count() == 2L)
+      // far future → head; before the first commit → loud refusal
+      assert(DeltaRead.readAsOf(spark, t, h(2)._2 + 3600000L).count() == 1L)
+      val e = intercept[IllegalArgumentException](
+        DeltaRead.readAsOf(spark, t, h(0)._2 - 1000L))
+      assert(e.getMessage.contains("predates"))
+      // truncated prefixes bound timestamp travel but not version travel
+      DeltaWrite.checkpoint(spark, t)
+      Files.delete(Paths.get(t, "_delta_log", f"${0L}%020d.json"))
+      assert(DeltaRead.readVersion(spark, t, 2).count() == 1L)
+      val e2 = intercept[IllegalArgumentException](
+        DeltaRead.readAsOf(spark, t, h(0)._2))
+      assert(e2.getMessage.contains("predates"))
+    } finally cleanup(t)
+  }
+
+  test("clone hard-links a snapshot into an independent table: no copies, no coupling") {
+    val src = newTable(); val dst = newTable()
+    new java.io.File(dst).delete()
+    try {
+      val df = (0 until 60).map(i => (i.toLong, s"v$i", if (i % 2 == 0) "a" else "b"))
+        .toDF("id", "txt", "grp")
+      DeltaWrite.append(df, src, partitionBy = Seq("grp"))
+      DeltaWrite.deleteWhere(spark, src, $"id" % 3 === 0) // DV'd source
+      DeltaWrite.clone(spark, src, dst)
+      // content-identical, DVs included
+      assert(DeltaRead.read(spark, dst).orderBy($"id").as[(Long, String, String)]
+        .collect().toSeq ==
+        DeltaRead.read(spark, src).orderBy($"id").as[(Long, String, String)]
+        .collect().toSeq)
+      // writes to the clone never reach the source
+      DeltaWrite.deleteWhere(spark, dst, $"grp" === "a")
+      assert(DeltaRead.read(spark, dst).where($"grp" === "a").count() == 0L)
+      assert(DeltaRead.read(spark, src).where($"grp" === "a").count() > 0L)
+      // overwrite + vacuum the SOURCE: the clone's hard links keep the
+      // shared inodes alive, so the clone still reads in full
+      val cloneRows = DeltaRead.read(spark, dst).count()
+      DeltaWrite.overwrite(Seq((999L, "x", "a")).toDF("id", "txt", "grp"), src,
+        partitionBy = Seq("grp"))
+      DeltaWrite.vacuum(spark, src, retentionMs = 0)
+      assert(DeltaRead.read(spark, dst).count() == cloneRows,
+        "vacuuming the source must not break the clone")
+      // protocol and configuration carried over; fresh table id
+      val ss = DeltaRead.snapshot(spark, src); val ds = DeltaRead.snapshot(spark, dst)
+      assert(ds.readerFeatures.contains("deletionVectors"))
+      assert(ss.metaId != ds.metaId)
+    } finally { cleanup(src); cleanup(dst) }
+  }
+
   test("concurrent appenders serialize through the commit CAS (no lost updates)") {
     val t = newTable()
     try {
