@@ -237,7 +237,29 @@ object DeltaWrite {
     * such a table is refused — the protocol forbids a writer from
     * touching a table whose writer features it does not support. */
   private val SupportedWriterFeatures =
-    Set("appendOnly", "invariants", "columnMapping", "deletionVectors")
+    Set("appendOnly", "invariants", "columnMapping", "deletionVectors",
+      "checkConstraints")
+
+  /** Enforce the table's CHECK constraints (`delta.constraints.<name>`
+    * configuration entries, writer feature `checkConstraints`) on an
+    * incoming batch — SQL-standard semantics: a row violates only when
+    * the expression evaluates to FALSE (NULL passes). A constraint
+    * referencing columns the batch can't resolve fails analysis, which
+    * is the right outcome: a constraint this writer cannot evaluate
+    * must not be silently skipped. One limit(1) job per constraint, on
+    * the logical (pre-physicalized) frame. */
+  private def enforceConstraints(df: DataFrame, conf: Map[String, String],
+      table: String): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    conf.toSeq.collect {
+      case (k, cond) if k.startsWith("delta.constraints.") =>
+        (k.stripPrefix("delta.constraints."), cond)
+    }.sortBy(_._1).foreach { case (name, cond) =>
+      val bad = df.where(not(coalesce(expr(cond), lit(true)))).limit(1).count()
+      if (bad > 0) throw new IllegalStateException(
+        s"$table: CHECK constraint '$name' ($cond) violated by the incoming batch")
+    }
+  }
 
   /** Does any field at any nesting level of `dt` carry metadata `key`? */
   private def fieldMetaHas(dt: DataType, key: String): Boolean = dt match {
@@ -251,11 +273,12 @@ object DeltaWrite {
   /** Refuse to commit to a table whose protocol or metadata demands
     * writer behavior this writer does not implement — the write-side
     * mirror of [[DeltaRead]]'s `validateSupported`. Committing anyway
-    * would let graft violate constraints other writers rely on (a
-    * CHECK constraint silently unenforced, a generated column left
-    * stale, a change feed with missing entries). `removesData` marks
-    * operations that delete or replace rows, which `delta.appendOnly`
-    * forbids. */
+    * would let graft violate guarantees other writers rely on (a
+    * generated column left stale, a change feed with missing entries).
+    * CHECK constraints are NOT gated here — they are enforced for real
+    * on every row-adding commit (`enforceConstraints`). `removesData`
+    * marks operations that delete or replace rows, which
+    * `delta.appendOnly` forbids. */
   private[io] def validateWriterSupport(table: String, s: DeltaRead.DeltaSnapshot,
       removesData: Boolean): Unit = {
     if (s.minWriterVersion >= 7) {
@@ -269,9 +292,6 @@ object DeltaWrite {
         s.configuration.get("delta.appendOnly").exists(_.equalsIgnoreCase("true")))
       throw new UnsupportedOperationException(
         s"$table is delta.appendOnly — removing or replacing rows is forbidden")
-    if (s.configuration.keys.exists(_.startsWith("delta.constraints.")))
-      throw new UnsupportedOperationException(
-        s"$table declares CHECK constraints this writer cannot enforce")
     if (s.configuration.get("delta.enableChangeDataFeed").exists(_.equalsIgnoreCase("true")))
       throw new UnsupportedOperationException(
         s"$table enables change data feed — this writer does not emit _change_data files")
@@ -659,6 +679,7 @@ object DeltaWrite {
       }
       snap.foreach { s =>
         validateWriterSupport(table, s, removesData = replaceExisting)
+        enforceConstraints(df, s.configuration, table)
         // the staged bytes were laid down under the mapping context
         // resolved BEFORE staging; the table the CAS will land on must
         // still agree — files staged under the wrong name regime would
@@ -1149,6 +1170,7 @@ object DeltaWrite {
             .select(outCols: _*)
           keep.unionByName(replaced).unionByName(inserts)
         }
+      enforceConstraints(batch, snap.configuration, table)
       val stagedDf = mapCtx.map(c => WriteMapping.physicalizeDf(batch, c.schema))
         .getOrElse(batch)
       val stagedPartitionBy = mapCtx.map(c => snap.partitionColumns.map(c.physByLogical))
@@ -1190,6 +1212,72 @@ object DeltaWrite {
         updateWhen = Some(ct === "insert"),
         deleteWhen = Some(ct === "delete"),
         insertWhen = Some(ct === "insert")))
+  }
+
+  /** ALTER TABLE ADD CONSTRAINT: record a CHECK constraint
+    * (`delta.constraints.<name>` = a SQL boolean expression over the
+    * logical columns) that every future append/overwrite/merge batch
+    * must satisfy — [[validateWriterSupport]] admits constraint-bearing
+    * tables because this writer now ENFORCES them (see
+    * `enforceConstraints`). Existing rows are validated first, as
+    * Delta's own ADD CONSTRAINT does — a constraint the current data
+    * violates is refused, not recorded. Legacy protocols bump to
+    * writer version 3 (the checkConstraints floor); feature-listed
+    * protocols gain the feature name. */
+  def addCheckConstraint(spark: SparkSession, table: String, name: String,
+      cond: String): Long = {
+    require(name.nonEmpty && !name.contains("."),
+      s"addCheckConstraint: bad constraint name '$name'")
+    var attempt = 0
+    while (attempt < 10) {
+      val v = DeltaRead.latestVersion(table)
+      val s = DeltaRead.snapshotAt(spark, table, v)
+      validateWriterSupport(table, s, removesData = false)
+      val key = s"delta.constraints.$name"
+      require(!s.configuration.contains(key),
+        s"addCheckConstraint: '$name' already exists on $table")
+      enforceConstraints(DeltaRead.readVersion(spark, table, v),
+        Map(key -> cond), table)
+      val now = System.currentTimeMillis()
+      val protoLine =
+        if (s.minWriterVersion >= 7) {
+          if (s.writerFeatures.contains("checkConstraints")) Nil
+          else Seq(protocolActionFull(
+            s.copy(writerFeatures = s.writerFeatures + "checkConstraints")))
+        } else if (s.minWriterVersion < 3)
+          Seq(protocolActionFor(s.minReaderVersion, 3))
+        else Nil
+      val lines = Seq(commitInfoAction("ADD CONSTRAINT", now)) ++ protoLine ++
+        Seq(metaDataAction(s.metaId.getOrElse(UUID.randomUUID().toString),
+          s.schema.map(_.json).getOrElse(throw new IllegalStateException(
+            s"addCheckConstraint: $table has no schema")),
+          s.partitionColumns, now, s.configuration + (key -> cond)))
+      if (tryPublish(table, v + 1, lines)) return v + 1
+      attempt += 1
+    }
+    throw new IllegalStateException(s"addCheckConstraint: lost 10 races on $table")
+  }
+
+  /** ALTER TABLE DROP CONSTRAINT — metaData-only commit removing the
+    * `delta.constraints.<name>` entry. */
+  def dropCheckConstraint(spark: SparkSession, table: String, name: String): Long = {
+    var attempt = 0
+    while (attempt < 10) {
+      val v = DeltaRead.latestVersion(table)
+      val s = DeltaRead.snapshotAt(spark, table, v)
+      val key = s"delta.constraints.$name"
+      require(s.configuration.contains(key),
+        s"dropCheckConstraint: no constraint '$name' on $table")
+      val now = System.currentTimeMillis()
+      val lines = Seq(commitInfoAction("DROP CONSTRAINT", now),
+        metaDataAction(s.metaId.getOrElse(UUID.randomUUID().toString),
+          s.schema.map(_.json).getOrElse(throw new IllegalStateException(
+            s"dropCheckConstraint: $table has no schema")),
+          s.partitionColumns, now, s.configuration - key))
+      if (tryPublish(table, v + 1, lines)) return v + 1
+      attempt += 1
+    }
+    throw new IllegalStateException(s"dropCheckConstraint: lost 10 races on $table")
   }
 
   /** Logical column rename on a column-mapped table — the operation

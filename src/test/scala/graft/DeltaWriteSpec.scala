@@ -803,10 +803,10 @@ class DeltaWriteSpec extends SparkTestBase {
       // a foreign engine upgrades the table to a feature-listed
       // protocol with a feature graft cannot uphold
       Files.write(Paths.get(t, "_delta_log", f"${1L}%020d.json"), Seq(
-        """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["checkConstraints"]}}""").asJava)
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["generatedColumns"]}}""").asJava)
       val e = intercept[UnsupportedOperationException](
         DeltaWrite.append(Seq((2L, "b")).toDF("id", "txt"), t))
-      assert(e.getMessage.contains("checkConstraints"))
+      assert(e.getMessage.contains("generatedColumns"))
       // merely-listed legacy-implied features are fine
       Files.write(Paths.get(t, "_delta_log", f"${1L}%020d.json"), Seq(
         """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["appendOnly","invariants"]}}""").asJava)
@@ -815,7 +815,7 @@ class DeltaWriteSpec extends SparkTestBase {
     } finally cleanup(t)
   }
 
-  test("delta.appendOnly gates row removal but not appends; CHECK constraints gate everything") {
+  test("delta.appendOnly gates row removal but not appends; CHECK constraints enforce per batch") {
     val t = newTable()
     try {
       DeltaWrite.append(Seq((1L, "a")).toDF("id", "txt"), t)
@@ -831,11 +831,41 @@ class DeltaWriteSpec extends SparkTestBase {
       val e = intercept[UnsupportedOperationException](
         DeltaWrite.overwrite(Seq((9L, "x")).toDF("id", "txt"), t))
       assert(e.getMessage.contains("appendOnly"))
+      // a FOREIGN writer's constraint is honored: conforming batches
+      // land, violating batches are refused with the constraint named
       Files.write(Paths.get(t, "_delta_log", f"${3L}%020d.json"),
         Seq(metaWith("""{"delta.constraints.pos":"id > 0"}""")).asJava)
-      val e2 = intercept[UnsupportedOperationException](
-        DeltaWrite.append(Seq((3L, "c")).toDF("id", "txt"), t))
-      assert(e2.getMessage.contains("CHECK constraints"))
+      assert(DeltaWrite.append(Seq((3L, "c")).toDF("id", "txt"), t) == 4L)
+      val e2 = intercept[IllegalStateException](
+        DeltaWrite.append(Seq((-1L, "bad")).toDF("id", "txt"), t))
+      assert(e2.getMessage.contains("CHECK constraint 'pos'"))
+    } finally cleanup(t)
+  }
+
+  test("ADD CONSTRAINT validates existing data, then gates appends and merges until dropped") {
+    val t = newTable()
+    try {
+      DeltaWrite.append((1 to 20).map(i => (i.toLong, i * 2.0)).toDF("id", "score"), t)
+      // a constraint current data violates is refused, not recorded
+      val e0 = intercept[IllegalStateException](
+        DeltaWrite.addCheckConstraint(spark, t, "big", "score > 100"))
+      assert(e0.getMessage.contains("'big'"))
+      assert(DeltaWrite.addCheckConstraint(spark, t, "pos", "score > 0") == 1L)
+      val s = DeltaRead.snapshot(spark, t)
+      assert(s.configuration("delta.constraints.pos") == "score > 0")
+      assert(s.minWriterVersion >= 3, "checkConstraints needs writer version 3")
+      // appends and merges both enforce; NULL passes (SQL semantics)
+      assert(DeltaWrite.append(Seq((21L, Some(1.5)), (22L, None))
+        .toDF("id", "score"), t) == 2L)
+      val e1 = intercept[IllegalStateException](
+        DeltaWrite.append(Seq((23L, -4.0)).toDF("id", "score"), t))
+      assert(e1.getMessage.contains("CHECK constraint 'pos'"))
+      val e2 = intercept[IllegalStateException](
+        DeltaWrite.merge(spark, t, Seq((1L, -9.0)).toDF("id", "score"), Seq("id")))
+      assert(e2.getMessage.contains("CHECK constraint 'pos'"))
+      // dropped constraint stops gating
+      DeltaWrite.dropCheckConstraint(spark, t, "pos")
+      assert(DeltaWrite.append(Seq((23L, -4.0)).toDF("id", "score"), t) > 0L)
     } finally cleanup(t)
   }
 
