@@ -238,7 +238,44 @@ object DeltaWrite {
     * touching a table whose writer features it does not support. */
   private val SupportedWriterFeatures =
     Set("appendOnly", "invariants", "columnMapping", "deletionVectors",
-      "checkConstraints")
+      "checkConstraints", "generatedColumns")
+
+  private val GenKey = "delta.generationExpression"
+
+  /** Compute `sqlExpr` as column `name` AND mark it GENERATED ALWAYS
+    * AS — the creation story for generated columns: append a frame
+    * through this once and every later append may omit the column
+    * (the writer recomputes it) or provide it (the writer validates
+    * it). The canonical use is a derived partition key:
+    * `withGenerationExpr(df, "day", "date_trunc('day', ts)")` then
+    * `append(..., partitionBy = Seq("day"))`. */
+  def withGenerationExpr(df: DataFrame, name: String, sqlExpr: String): DataFrame =
+    df.withColumn(name, org.apache.spark.sql.functions.expr(sqlExpr))
+      .withColumn(name, org.apache.spark.sql.functions.col(name)
+        .as(name, new MetadataBuilder().putString(GenKey, sqlExpr).build()))
+
+  /** Uphold GENERATED ALWAYS AS columns on an incoming batch: a
+    * missing generated column is COMPUTED from its expression; a
+    * provided one is VALIDATED against it (null-safe equality) — a
+    * writer that let mismatched values through would silently break
+    * the derivation every reader relies on (the protocol's writer
+    * obligation for the generatedColumns feature). */
+  private def applyGeneratedColumns(df: DataFrame, schema: StructType,
+      table: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, not}
+    schema.fields.filter(_.metadata.contains(GenKey)).foldLeft(df) { (d, f) =>
+      val gen = f.metadata.getString(GenKey)
+      if (!d.columns.contains(f.name))
+        d.withColumn(f.name, expr(gen).cast(f.dataType))
+      else {
+        val bad = d.where(not(col(f.name) <=> expr(gen).cast(f.dataType)))
+          .limit(1).count()
+        if (bad > 0) throw new IllegalStateException(
+          s"$table: generated column '${f.name}' violates GENERATED ALWAYS AS ($gen)")
+        d
+      }
+    }
+  }
 
   /** Enforce the table's CHECK constraints (`delta.constraints.<name>`
     * configuration entries, writer feature `checkConstraints`) on an
@@ -299,9 +336,8 @@ object DeltaWrite {
       if (fieldMetaHas(sc, "delta.invariants"))
         throw new UnsupportedOperationException(
           s"$table declares column invariants this writer cannot enforce")
-      if (fieldMetaHas(sc, "delta.generationExpression"))
-        throw new UnsupportedOperationException(
-          s"$table declares generated columns this writer cannot maintain")
+      // generated columns are NOT gated: applyGeneratedColumns
+      // computes missing ones and validates provided ones per batch
     }
   }
 
@@ -607,13 +643,10 @@ object DeltaWrite {
     mapper.writeValueAsString(root)
   }
 
-  private def commit(df: DataFrame, table: String, partitionBy: Seq[String],
+  private def commit(df0: DataFrame, table: String, partitionBy: Seq[String],
       replaceExisting: Boolean, txn: Option[(String, Long)],
       maxRetries: Int = 10, createMapping: Option[String] = None): Option[Long] = {
-    require(partitionBy.forall(df.columns.contains),
-      s"partitionBy ${partitionBy.mkString(",")} not all present in " +
-        s"DataFrame columns ${df.columns.mkString(",")}")
-    val spark = df.sparkSession
+    val spark = df0.sparkSession
     // cheap pre-check: a replayed batch skips before staging anything
     txn.foreach { case (appId, ver) =>
       if (lastTxnVersion(spark, table, appId).exists(_ >= ver)) return None
@@ -626,9 +659,24 @@ object DeltaWrite {
       require(m == "name" || m == "id", s"createColumnMapped: unknown mode '$m'")
       require(!exists, s"createColumnMapped: $table already exists")
     }
+    val preSnap = if (exists) Some(DeltaRead.snapshot(spark, table)) else None
+    // generated columns resolve against the COMMITTED schema when the
+    // table exists (appends may omit them — the writer recomputes),
+    // the incoming schema at creation (authored via withGenerationExpr)
+    val df = applyGeneratedColumns(df0,
+      preSnap.flatMap(_.schema).getOrElse(df0.schema), table)
+    // a caller omitting partitionBy on an EXISTING table inherits the
+    // committed partitioning (appends never re-state it — Delta's own
+    // contract); an explicit mismatch still fails as drift
+    val partBy =
+      if (partitionBy.isEmpty) preSnap.map(_.partitionColumns).getOrElse(Nil)
+      else partitionBy
+    require(partBy.forall(df.columns.contains),
+      s"partitionBy ${partBy.mkString(",")} not all present in " +
+        s"DataFrame columns ${df.columns.mkString(",")}")
     val mapCtx: Option[WriteMapping.Ctx] =
       if (exists) {
-        val s = DeltaRead.snapshot(spark, table)
+        val s = preSnap.get
         if (!DeltaRead.ColumnMapping.active(s.columnMappingMode)) None
         else {
           val old = s.schema.getOrElse(throw new IllegalStateException(
@@ -647,12 +695,12 @@ object DeltaWrite {
         WriteMapping.Ctx(m, mappedSchema, maxIdV)
       }
     val stagedDf = mapCtx.map(c => WriteMapping.physicalizeDf(df, c.schema)).getOrElse(df)
-    val stagedPartitionBy = mapCtx.map(c => partitionBy.map(c.physByLogical))
-      .getOrElse(partitionBy)
+    val stagedPartitionBy = mapCtx.map(c => partBy.map(c.physByLogical))
+      .getOrElse(partBy)
     val staged = stage(stagedDf, table, stagedPartitionBy)
     // any rejection below (drift, race exhaustion) must not leak the
     // staged files into the table root until a vacuum sweeps them
-    try commitStaged(df, table, partitionBy, replaceExisting, txn, staged,
+    try commitStaged(df, table, partBy, replaceExisting, txn, staged,
       maxRetries, mapCtx, createMapping)
     catch { case e: Throwable => dropStaged(table, staged); throw e }
   }
@@ -721,9 +769,12 @@ object DeltaWrite {
       val header =
         if (!exists)
           Seq(commitInfoAction("WRITE", now),
-            // column mapping requires protocol (2, 5); plain tables
-            // stay at the (1, 2) feature floor every client reads
-            if (createMapping.isDefined) protocolActionFor(2, 5) else protocolAction,
+            // column mapping requires protocol (2, 5); generated
+            // columns require writer version 4; plain tables stay at
+            // the (1, 2) feature floor every client reads
+            if (createMapping.isDefined) protocolActionFor(2, 5)
+            else if (fieldMetaHas(df.schema, GenKey)) protocolActionFor(1, 4)
+            else protocolAction,
             metaDataAction(UUID.randomUUID().toString, schemaJson, partitionBy, now,
               mappedConf(Map.empty)))
         else if (replaceExisting)
@@ -1171,6 +1222,9 @@ object DeltaWrite {
           keep.unionByName(replaced).unionByName(inserts)
         }
       enforceConstraints(batch, snap.configuration, table)
+      // merge batches always carry every column: generated ones are
+      // validated (never recomputed — the kept rows already conform)
+      applyGeneratedColumns(batch, committed, table)
       val stagedDf = mapCtx.map(c => WriteMapping.physicalizeDf(batch, c.schema))
         .getOrElse(batch)
       val stagedPartitionBy = mapCtx.map(c => snap.partitionColumns.map(c.physByLogical))

@@ -117,9 +117,13 @@ class DeltaWriteSpec extends SparkTestBase {
       val got = DeltaRead.read(spark, t)
       assert(got.schema("bucket").dataType == org.apache.spark.sql.types.IntegerType)
       assert(got.groupBy($"bucket").count().count() == 3)
-      // partition-column drift rejected
+      // omitted partitionBy INHERITS the committed partitioning...
+      assert(DeltaWrite.append(df, t) == 1L)
+      assert(DeltaRead.read(spark, t).count() == 40L)
+      assert(DeltaRead.snapshot(spark, t).partitionColumns == Seq("bucket"))
+      // ...while an explicit MISMATCH is still drift
       val e = intercept[IllegalArgumentException](
-        DeltaWrite.append(df, t, partitionBy = Nil))
+        DeltaWrite.append(df, t, partitionBy = Seq("id")))
       assert(e.getMessage.contains("partition-column drift"))
     } finally cleanup(t)
   }
@@ -803,10 +807,10 @@ class DeltaWriteSpec extends SparkTestBase {
       // a foreign engine upgrades the table to a feature-listed
       // protocol with a feature graft cannot uphold
       Files.write(Paths.get(t, "_delta_log", f"${1L}%020d.json"), Seq(
-        """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["generatedColumns"]}}""").asJava)
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["rowTracking"]}}""").asJava)
       val e = intercept[UnsupportedOperationException](
         DeltaWrite.append(Seq((2L, "b")).toDF("id", "txt"), t))
-      assert(e.getMessage.contains("generatedColumns"))
+      assert(e.getMessage.contains("rowTracking"))
       // merely-listed legacy-implied features are fine
       Files.write(Paths.get(t, "_delta_log", f"${1L}%020d.json"), Seq(
         """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["appendOnly","invariants"]}}""").asJava)
@@ -1148,6 +1152,46 @@ class DeltaWriteSpec extends SparkTestBase {
       assert(ds.readerFeatures.contains("deletionVectors"))
       assert(ss.metaId != ds.metaId)
     } finally { cleanup(src); cleanup(dst) }
+  }
+
+  test("generated columns: computed when omitted, validated when provided, protocol v4") {
+    val t = newTable()
+    try {
+      val base = Seq((1L, 10.0), (2L, 20.0)).toDF("id", "x")
+      DeltaWrite.append(DeltaWrite.withGenerationExpr(base, "x2", "x * 2"), t)
+      assert(DeltaRead.snapshot(spark, t).minWriterVersion == 4)
+      // append OMITTING the generated column → the writer computes it
+      DeltaWrite.append(Seq((3L, 30.0)).toDF("id", "x"), t)
+      assert(DeltaRead.read(spark, t).orderBy($"id")
+        .select($"x2").as[Double].collect().toSeq == Seq(20.0, 40.0, 60.0))
+      // wrong provided values → refused with the column named
+      val e = intercept[IllegalStateException](DeltaWrite.append(
+        Seq((4L, 40.0, 99.0)).toDF("id", "x", "x2"), t))
+      assert(e.getMessage.contains("generated column 'x2'"))
+      // conforming provided values pass; merge validates too
+      DeltaWrite.append(Seq((4L, 40.0, 80.0)).toDF("id", "x", "x2"), t)
+      assert(DeltaRead.read(spark, t).count() == 4L)
+      val e2 = intercept[IllegalStateException](DeltaWrite.merge(spark, t,
+        Seq((1L, 1.0, 5.0)).toDF("id", "x", "x2"), Seq("id")))
+      assert(e2.getMessage.contains("generated column 'x2'"))
+    } finally cleanup(t)
+  }
+
+  test("a generated PARTITION key derives at write time — the date-partition pattern") {
+    val t = newTable()
+    try {
+      val df = (0 until 30).map(i => (i.toLong, s"v$i")).toDF("id", "txt")
+      DeltaWrite.append(DeltaWrite.withGenerationExpr(df, "bucket", "id % 3"), t,
+        partitionBy = Seq("bucket"))
+      // later appends never mention the partition key at all
+      DeltaWrite.append(Seq((100L, "new")).toDF("id", "txt"), t)
+      val got = DeltaRead.read(spark, t)
+      assert(got.count() == 31L)
+      assert(got.where($"bucket" === 1L).count() ==
+        (0 until 30).count(_ % 3 == 1) + 1L) // 100 % 3 == 1
+      // the Hive layout really is keyed by the derived value
+      assert(Files.isDirectory(Paths.get(t, "bucket=2")))
+    } finally cleanup(t)
   }
 
   test("concurrent appenders serialize through the commit CAS (no lost updates)") {
