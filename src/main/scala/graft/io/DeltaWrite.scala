@@ -226,21 +226,49 @@ object DeltaWrite {
   private def dropStaged(table: String, staged: Seq[Staged]): Unit =
     staged.foreach(s => Files.deleteIfExists(Paths.get(table, s.relPath)))
 
-  /** Writer features this writer actually implements. `appendOnly` and
-    * `invariants` are honored by USAGE check below: a table that merely
-    * lists them (every legacy-upgraded table does — minWriterVersion 2
-    * implied both) is writable, a table that actually declares an
-    * invariant or delta.appendOnly is gated. Anything else
-    * (checkConstraints, generatedColumns, changeDataFeed as a WRITER
-    * obligation, identity columns, row tracking) would require this
-    * writer to uphold semantics it does not implement, so committing to
-    * such a table is refused — the protocol forbids a writer from
-    * touching a table whose writer features it does not support. */
+  /** Writer features this writer actually implements — all honored for
+    * real: appendOnly gates removals, invariants and CHECK constraints
+    * enforce per batch, generated columns recompute/validate, mapping
+    * and deletion vectors have full read+write paths. Anything else
+    * (changeDataFeed as a WRITER obligation, identity columns, row
+    * tracking) would require semantics this writer does not implement,
+    * so committing to such a table is refused — the protocol forbids a
+    * writer from touching a table whose writer features it does not
+    * support. */
   private val SupportedWriterFeatures =
     Set("appendOnly", "invariants", "columnMapping", "deletionVectors",
       "checkConstraints", "generatedColumns")
 
   private val GenKey = "delta.generationExpression"
+  private val InvKey = "delta.invariants"
+
+  /** Enforce legacy COLUMN INVARIANTS (`delta.invariants` field
+    * metadata, writer feature `invariants` — the pre-constraints
+    * mechanism foreign tables still carry): the recorded expression
+    * must evaluate TRUE for every row; unlike CHECK constraints, a
+    * NULL result VIOLATES (Delta's invariant checker is strict). The
+    * metadata value is the documented
+    * `{"expression":{"expression":"<sql>"}}` wrapper; an invariant
+    * this writer cannot parse is refused rather than skipped. */
+  private def enforceInvariants(df: DataFrame, schema: StructType,
+      table: String): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    schema.fields.filter(_.metadata.contains(InvKey)).foreach { f =>
+      val js = f.metadata.getString(InvKey)
+      val cond =
+        try {
+          val n = mapper.readTree(js).path("expression").path("expression")
+          if (n.isTextual) n.asText() else null
+        } catch { case _: Exception => null }
+      if (cond == null) throw new UnsupportedOperationException(
+        s"$table: column '${f.name}' carries an invariant this writer " +
+          s"cannot parse ($js) — refusing rather than ignoring it")
+      val bad = df.where(not(coalesce(expr(cond), lit(false)))).limit(1).count()
+      if (bad > 0) throw new IllegalStateException(
+        s"$table: invariant on column '${f.name}' ($cond) violated by the " +
+          "incoming batch")
+    }
+  }
 
   /** Compute `sqlExpr` as column `name` AND mark it GENERATED ALWAYS
     * AS — the creation story for generated columns: append a frame
@@ -332,13 +360,8 @@ object DeltaWrite {
     if (s.configuration.get("delta.enableChangeDataFeed").exists(_.equalsIgnoreCase("true")))
       throw new UnsupportedOperationException(
         s"$table enables change data feed — this writer does not emit _change_data files")
-    s.schema.foreach { sc =>
-      if (fieldMetaHas(sc, "delta.invariants"))
-        throw new UnsupportedOperationException(
-          s"$table declares column invariants this writer cannot enforce")
-      // generated columns are NOT gated: applyGeneratedColumns
-      // computes missing ones and validates provided ones per batch
-    }
+    // invariants and generated columns are NOT gated here: both are
+    // upheld per batch (enforceInvariants / applyGeneratedColumns)
   }
 
   private[io] def protocolAction: String = protocolActionFor(1, 2)
@@ -728,6 +751,7 @@ object DeltaWrite {
       snap.foreach { s =>
         validateWriterSupport(table, s, removesData = replaceExisting)
         enforceConstraints(df, s.configuration, table)
+        s.schema.foreach(enforceInvariants(df, _, table))
         // the staged bytes were laid down under the mapping context
         // resolved BEFORE staging; the table the CAS will land on must
         // still agree — files staged under the wrong name regime would
@@ -1222,6 +1246,7 @@ object DeltaWrite {
           keep.unionByName(replaced).unionByName(inserts)
         }
       enforceConstraints(batch, snap.configuration, table)
+      enforceInvariants(batch, committed, table)
       // merge batches always carry every column: generated ones are
       // validated (never recomputed — the kept rows already conform)
       applyGeneratedColumns(batch, committed, table)

@@ -1154,6 +1154,51 @@ class DeltaWriteSpec extends SparkTestBase {
     } finally { cleanup(src); cleanup(dst) }
   }
 
+  test("legacy column invariants are ENFORCED strictly (null violates), not refused") {
+    val t = newTable()
+    try {
+      DeltaWrite.append(Seq((1L, 5.0)).toDF("id", "x"), t)
+      // a foreign writer recorded a legacy invariant on x
+      val meta0 = commitLines(t, 0).map(mapper.readTree)
+        .find(_.has("metaData")).get.get("metaData")
+      val invSchema = new org.apache.spark.sql.types.StructType()
+        .add("id", org.apache.spark.sql.types.LongType)
+        .add("x", org.apache.spark.sql.types.DoubleType, nullable = true,
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putString("delta.invariants",
+              """{"expression":{"expression":"x > 0"}}""").build())
+      val metaLine =
+        s"""{"metaData":{"id":"${meta0.get("id").asText()}","format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":${mapper.writeValueAsString(invSchema.json)},""" +
+          s""""partitionColumns":[],"configuration":{},"createdTime":1}}"""
+      Files.write(Paths.get(t, "_delta_log", f"${1L}%020d.json"), Seq(metaLine).asJava)
+      // conforming rows land
+      assert(DeltaWrite.append(Seq((2L, 1.5)).toDF("id", "x"), t) == 2L)
+      // a violating value refuses with the column named
+      val e = intercept[IllegalStateException](
+        DeltaWrite.append(Seq((3L, -1.0)).toDF("id", "x"), t))
+      assert(e.getMessage.contains("invariant on column 'x'"))
+      // NULL violates too — invariants are strict, unlike CHECK
+      val e2 = intercept[IllegalStateException](DeltaWrite.append(
+        Seq((3L, Option.empty[Double])).toDF("id", "x"), t))
+      assert(e2.getMessage.contains("invariant on column 'x'"))
+      // an unparseable invariant is refused, never silently skipped
+      val badSchema = new org.apache.spark.sql.types.StructType()
+        .add("id", org.apache.spark.sql.types.LongType)
+        .add("x", org.apache.spark.sql.types.DoubleType, nullable = true,
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putString("delta.invariants", """{"weird":1}""").build())
+      val badLine = metaLine.replace(
+        mapper.writeValueAsString(invSchema.json),
+        mapper.writeValueAsString(badSchema.json))
+      assert(badLine != metaLine, "replacement must hit")
+      Files.write(Paths.get(t, "_delta_log", f"${3L}%020d.json"), Seq(badLine).asJava)
+      val e3 = intercept[UnsupportedOperationException](
+        DeltaWrite.append(Seq((4L, 2.0)).toDF("id", "x"), t))
+      assert(e3.getMessage.contains("cannot parse"))
+    } finally cleanup(t)
+  }
+
   test("generated columns: computed when omitted, validated when provided, protocol v4") {
     val t = newTable()
     try {
