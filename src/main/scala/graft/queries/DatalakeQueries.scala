@@ -957,6 +957,56 @@ object DatalakeQueries {
            |    AS rev_fold
            |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
 
+  /** q202 — the governed-table story in one loop: a Delta table is
+    * created with a GENERATED partition key
+    * ([[graft.io.DeltaWrite.withGenerationExpr]] — the derived
+    * date/band-partition pattern) and a CHECK constraint
+    * ([[graft.io.DeltaWrite.addCheckConstraint]], validated against
+    * existing rows first); a second batch appends OMITTING the
+    * generated key (the writer recomputes it), and a violating batch
+    * is refused without corrupting anything. The output aggregates the
+    * final table per derived band plus a boolean recording that the
+    * bad batch bounced; the oracle recomputes bands and totals from
+    * `orders` directly — a green row pins generation arithmetic,
+    * partition re-attachment of a DERIVED key, constraint enforcement,
+    * and rejection atomicity (no partial batch) in one hash. */
+  val q202TableFeatures = GQuery(
+    "q202_table_features",
+    (s, d) => {
+      import s.implicits._
+      val t = graft.io.Staging.tempDir("graft_q202_")
+      val orders = s.read.parquet(s"$d/orders.parquet")
+        .select($"o_orderkey", $"o_totalprice")
+      val evens = orders.filter(pmod($"o_orderkey", lit(2)) === 0)
+      graft.io.DeltaWrite.append(
+        graft.io.DeltaWrite.withGenerationExpr(evens, "price_band",
+          "CAST(floor(o_totalprice / 50000) AS BIGINT)"),
+        t, partitionBy = Seq("price_band"))                       // v0
+      graft.io.DeltaWrite.addCheckConstraint(s, t, "pos",
+        "o_totalprice > 0")                                       // v1
+      // the second batch never mentions the derived key
+      graft.io.DeltaWrite.append(
+        orders.filter(pmod($"o_orderkey", lit(2)) === 1), t)      // v2
+      val rejected =
+        try {
+          graft.io.DeltaWrite.append(
+            Seq((9999999L, -5.0)).toDF("o_orderkey", "o_totalprice"), t)
+          false
+        } catch { case _: IllegalStateException => true }
+      graft.io.DeltaRead.read(s, t)
+        .groupBy($"price_band")
+        .agg(count(lit(1)).as("n_orders"),
+          (sum(round($"o_totalprice" * 100).cast("long")) / 100.0).as("revenue"))
+        .withColumn("rejected_bad_batch", lit(rejected))
+        .orderBy($"price_band")
+    },
+    Some("""SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS price_band,
+           |  count(*) AS n_orders,
+           |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+           |    AS revenue,
+           |  true AS rejected_bad_batch
+           |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[GQuery] = Seq(
     q130SnapshotDiff, q131IncrementalAgg, q132SchemaEvolution,
     q133KAnonymity, q134GdprErasure, q147CompactionPlan,
@@ -964,5 +1014,5 @@ object DatalakeQueries {
     q163OrcRoundtrip, q164PartitionPruning, q166CorruptTolerance,
     q177TxTable, q179DeltaRead, q180DeltaRoundtrip, q184TxToDelta,
     q194DeltaChangefeed, q196CdfFold, q197MergeUpsert,
-    q198DvErasure, q199CdfMirror, q200Restore)
+    q198DvErasure, q199CdfMirror, q200Restore, q202TableFeatures)
 }
