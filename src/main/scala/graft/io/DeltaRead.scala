@@ -595,10 +595,12 @@ object DeltaRead {
   def readVersion(spark: SparkSession, table: String, version: Long): DataFrame =
     assemble(spark, table, snapshotAt(spark, table, version))
 
-  /** The commit timestamp of version `v`: the `commitInfo.timestamp`
-    * when the commit records one, else the commit file's mtime — the
-    * same fallback order Delta uses. None when the JSON is gone
-    * (checkpoint-truncated history). */
+  /** The commit timestamp of version `v`:
+    * `commitInfo.inCommitTimestamp` when present (the ICT writer
+    * feature — monotonic by protocol guarantee, immune to file-copy
+    * clock damage), else `commitInfo.timestamp`, else the commit
+    * file's mtime — the same fallback order Delta uses. None when the
+    * JSON is gone (checkpoint-truncated history). */
   private def commitTimestamp(table: String, v: Long): Option[Long] = {
     val p = logDir(table).resolve(f"$v%020d.json")
     if (!Files.exists(p)) None
@@ -606,7 +608,11 @@ object DeltaRead {
       val fromInfo = Files.readAllLines(p).asScala.iterator
         .map(l => try mapper.readTree(l) catch { case _: Exception => null })
         .filter(n => n != null && n.has("commitInfo"))
-        .flatMap(n => Option(n.get("commitInfo").get("timestamp")).map(_.asLong()))
+        .flatMap { n =>
+          val ci = n.get("commitInfo")
+          Option(ci.get("inCommitTimestamp")).filterNot(_.isNull).map(_.asLong())
+            .orElse(Option(ci.get("timestamp")).filterNot(_.isNull).map(_.asLong()))
+        }
         .nextOption()
       fromInfo.orElse(Some(Files.getLastModifiedTime(p).toMillis))
     }

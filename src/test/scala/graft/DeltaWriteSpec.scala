@@ -1239,6 +1239,23 @@ class DeltaWriteSpec extends SparkTestBase {
     } finally cleanup(t)
   }
 
+  test("in-commit timestamps take precedence over wall-clock commitInfo for time travel") {
+    val t = newTable()
+    try {
+      DeltaWrite.append(Seq((1L, "a")).toDF("id", "txt"), t)
+      val now = System.currentTimeMillis()
+      // a foreign ICT writer's commit: wall-clock field is damaged
+      // (file copy reset it to 1) but inCommitTimestamp is authoritative
+      Files.write(Paths.get(t, "_delta_log", f"${1L}%020d.json"), Seq(
+        s"""{"commitInfo":{"timestamp":1,"inCommitTimestamp":${now + 500000},"operation":"APPEND"}}""").asJava)
+      val h = DeltaRead.history(spark, t).orderBy($"version")
+        .as[(Long, Long, String)].collect().toSeq
+      assert(h(1)._2 == now + 500000, "history must surface the ICT clock")
+      // as-of NOW resolves to v0 — v1's effective clock is in the future
+      assert(DeltaRead.versionAtTime(spark, t, now) == 0L)
+    } finally cleanup(t)
+  }
+
   test("concurrent appenders serialize through the commit CAS (no lost updates)") {
     val t = newTable()
     try {
