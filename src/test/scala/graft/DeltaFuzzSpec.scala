@@ -1,0 +1,84 @@
+package graft
+
+import graft.io.{DeltaRead, DeltaWrite}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Interaction fuzz over the whole Delta write surface: a seeded
+  * random sequence of appends, DV deletes, merges, compactions and
+  * restores must keep the two system-level invariants that every
+  * feature was proven to hold in ISOLATION:
+  *
+  *  1. folding the change feed from genesis reproduces the live
+  *     snapshot exactly (insert/delete completeness across every
+  *     operation INTERLEAVING, not just per-op);
+  *  2. a mirror tailed one commit at a time converges to the same
+  *     state.
+  *
+  * The seed is fixed, so a failure replays deterministically. */
+class DeltaFuzzSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def newTable(): String = Files.createTempDirectory("deltafuzz").toString
+  private def cleanup(t: String): Unit =
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(t))
+
+  private def foldEqualsSnapshot(t: String): Unit = {
+    val head = DeltaRead.latestVersion(t)
+    val feed = DeltaRead.changesBetween(spark, t, -1L, head)
+    val folded = feed.groupBy($"id", $"v")
+      .agg(sum(when($"_change_type" === "insert", 1).otherwise(-1)).as("net"))
+    val weird = folded.where($"net" =!= 0 && $"net" =!= 1).count()
+    assert(weird == 0L, s"net counts outside {0,1} at version $head")
+    val foldRows = folded.where($"net" === 1)
+      .select($"id", $"v").as[(Long, Long)].collect().sorted.toSeq
+    val liveRows = DeltaRead.read(spark, t)
+      .select($"id", $"v").as[(Long, Long)].collect().sorted.toSeq
+    assert(foldRows == liveRows, s"feed fold diverged from snapshot at version $head")
+  }
+
+  test("seeded op-sequence fuzz: fold == snapshot throughout; mirror converges") {
+    val rnd = new scala.util.Random(20260814L)
+    val t = newTable(); val m = newTable()
+    new java.io.File(m).delete()
+    try {
+      var nextId = 0L
+      def batch(n: Int) = {
+        val rows = (0 until n).map(i => (nextId + i, rnd.nextInt(1000).toLong))
+        nextId += n
+        rows.toDF("id", "v")
+      }
+      DeltaWrite.append(batch(50).repartition(3), t) // genesis
+      (1 to 16).foreach { step =>
+        rnd.nextInt(10) match {
+          case 0 | 1 | 2 | 3 =>
+            DeltaWrite.append(batch(30 + rnd.nextInt(30)).repartition(2), t)
+          case 4 | 5 =>
+            val k = 3 + rnd.nextInt(5)
+            DeltaWrite.deleteWhere(spark, t, $"id" % k === rnd.nextInt(k))
+          case 6 | 7 =>
+            // merge: update a slice of possibly-existing ids + insert new
+            val updates = (0 until 10)
+              .map(_ => (rnd.nextLong().abs % math.max(nextId, 1L), 7777L))
+              .distinct.toDF("id", "v")
+            val src = updates.unionByName(batch(5))
+            DeltaWrite.merge(spark, t, src.dropDuplicates("id"), Seq("id"))
+          case 8 =>
+            DeltaWrite.compact(spark, t, targetBytes = 1L << 22)
+          case 9 =>
+            val head = DeltaRead.latestVersion(t)
+            if (head >= 2) DeltaWrite.restore(spark, t, head - 1 - rnd.nextInt(2))
+        }
+        if (step % 4 == 0) foldEqualsSnapshot(t)
+      }
+      foldEqualsSnapshot(t)
+      // the tailer mirrors the whole history, one commit per batch
+      graft.streaming.DeltaTail.mirror(spark, t, m, Seq("id"))
+      val a = DeltaRead.read(spark, t).orderBy($"id", $"v")
+        .as[(Long, Long)].collect().toSeq
+      val b = DeltaRead.read(spark, m).orderBy($"id", $"v")
+        .as[(Long, Long)].collect().toSeq
+      assert(a == b, "mirror diverged from the fuzzed source")
+    } finally { cleanup(t); cleanup(m) }
+  }
+}
