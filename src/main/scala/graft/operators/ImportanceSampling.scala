@@ -93,13 +93,39 @@ object ImportanceSampling {
     * Global top-k, so the plan is TakeOrderedAndProject (bounded
     * driver result), never a full sort. SCALE CAVEAT: the selected k
     * rows land on the driver before re-distributing, which is right
-    * for evaluation-sized samples but not for k in the millions — a
-    * corpus-sized selection should instead compute the k-th sel_key
-    * via approxQuantile and FILTER on it (fully distributed, same
-    * sample up to quantile precision). */
+    * for evaluation-sized samples but not for k in the millions —
+    * corpus-sized selection is [[selectByThreshold]]. */
   def select(weights: DataFrame, k: Int, salt: String = ":dsir"): DataFrame =
     weights
       .withColumn("sel_key", round(col("logw") + gumbel(col("doc_id"), salt), 6))
       .orderBy(col("sel_key").desc, col("doc_id"))
       .limit(k)
+
+  /** Distributed Gumbel-top-k selection by QUANTILE THRESHOLD — the
+    * corpus-scale path [[select]] cannot take: its
+    * TakeOrderedAndProject lands the k selected rows on the driver,
+    * right for eval-sized samples, wrong for k in the millions. Here
+    * the only driver-resident value is ONE scalar — the (1 − k/n)
+    * quantile of sel_key from approxQuantile's distributed
+    * Greenwald–Khanna sketch — and selection is then a plain FILTER,
+    * so the result stays distributed end to end and can flow straight
+    * into a sink. Membership agrees with the exact top-k up to the
+    * sketch's rank guarantee (the returned value's rank is within
+    * relErr·n of the requested one): |result Δ top-k| ≤
+    * 2·ceil(relErr·n) plus sel_key ties at the boundary —
+    * ImportanceSamplingSpec pins the bound, q204 oracle-checks it.
+    * Deterministic for fixed input + salt (hash-derived noise;
+    * deterministic sketch merge). */
+  def selectByThreshold(weights: DataFrame, k: Int, salt: String = ":dsir",
+      relErr: Double = 0.001): DataFrame = {
+    val keyed = weights
+      .withColumn("sel_key", round(col("logw") + gumbel(col("doc_id"), salt), 6))
+    val n = keyed.count()
+    if (n <= k) keyed
+    else {
+      val t = keyed.stat
+        .approxQuantile("sel_key", Array(1.0 - k.toDouble / n), relErr).head
+      keyed.where(col("sel_key") >= t)
+    }
+  }
 }

@@ -1067,11 +1067,50 @@ object CurationQueries {
             |FROM t WHERE toks > 0
             |GROUP BY lang ORDER BY lang""".stripMargin))
 
+  /** q204 — DSIR selection at corpus scale
+    * ([[graft.operators.ImportanceSampling.selectByThreshold]]): the
+    * same Gumbel-top-k sample as q191 but selected by a DISTRIBUTED
+    * quantile threshold — one scalar on the driver, then a filter —
+    * instead of TakeOrderedAndProject's driver-bounded k. The query
+    * runs BOTH paths and oracle-checks the agreement contract:
+    * `size_ok` pins |threshold set| ∈ k ± 2·ceil(relErr·n), and
+    * `overlap_ok` pins that at most that tolerance of the exact top-k
+    * is missing — the approxQuantile rank guarantee, measured on real
+    * data. (The booleans are the honest output: the threshold set's
+    * exact membership depends on the sketch's internal merge order,
+    * which no other engine reproduces — same pattern as q60's sketch
+    * tolerances.) */
+  val q204DsirThreshold = GQuery(
+    "q204_dsir_threshold",
+    (s, d) => {
+      import s.implicits._
+      val B = 512
+      val feats = graft.operators.ImportanceSampling
+        .features(Tables.documents(s, d), B)
+      val isTarget = $"source" === "src0"
+      val ratios = graft.operators.ImportanceSampling.logRatios(feats, isTarget, B)
+      val w = graft.operators.ImportanceSampling
+        .logWeights(feats, isTarget, ratios).cache()
+      try {
+        val k = 50; val relErr = 0.005
+        val n = w.count()
+        val tol = math.ceil(2 * relErr * n).toLong
+        val exact = graft.operators.ImportanceSampling.select(w, k).select($"doc_id")
+        val thr = graft.operators.ImportanceSampling
+          .selectByThreshold(w, k, relErr = relErr)
+        val bSize = thr.count()
+        val overlap = thr.join(exact, Seq("doc_id"), "left_semi").count()
+        Seq((k, bSize >= k - tol && bSize <= k + tol, overlap >= k - tol))
+          .toDF("k", "size_ok", "overlap_ok")
+      } finally { w.unpersist(); () }
+    },
+    Some("SELECT 50 AS k, true AS size_ok, true AS overlap_ok"))
+
   val all: Seq[GQuery] = Seq(
     q117ChunkDedup, q118PiiRedaction, q119Contamination, q120DomainStats,
     q121WeightedResample, q122VocabCoverage, q123TrainingOrder, q135BigramLm,
     q150DupNgrams, q151AdaptiveQuality, q152BpePairs, q169DataMixing,
     q172CorpusRelease, q173VocabOverlap, q182PplBuckets, q185ClassifierGate,
     q187Calibration, q188PaddingWaste, q190ClassifierKappa, q191DsirSelection,
-    q192TokenFertility)
+    q192TokenFertility, q204DsirThreshold)
 }

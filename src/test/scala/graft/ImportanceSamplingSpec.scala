@@ -77,4 +77,37 @@ class ImportanceSamplingSpec extends AnyFunSuite {
       .select($"doc_id").as[Long].collect().toSeq
     assert(s1 != s2, "independent Gumbel draws should reorder the sample")
   }
+
+  test("threshold selection == exact top-k within the quantile rank tolerance") {
+    val feats = ImportanceSampling.features(docs, B)
+    val ratios = ImportanceSampling.logRatios(feats, isTarget, B)
+    val weights = ImportanceSampling.logWeights(feats, isTarget, ratios).cache()
+    try {
+      val n = weights.count()
+      val k = 40
+      val relErr = 0.01
+      val tol = math.ceil(2 * relErr * n).toInt
+      val exact = ImportanceSampling.select(weights, k)
+        .select($"doc_id").as[Long].collect().toSet
+      val thr = ImportanceSampling.selectByThreshold(weights, k, relErr = relErr)
+      val got = thr.select($"doc_id").as[Long].collect().toSet
+      assert(got.size >= k - tol && got.size <= k + tol,
+        s"|threshold set| = ${got.size}, want $k ± $tol (n = $n)")
+      assert((exact -- got).size <= tol,
+        s"threshold path missing ${(exact -- got).size} of the exact top-$k (tol $tol)")
+      // the filter result is EXACTLY the upper tail: every selected
+      // sel_key ≥ every unselected one (no rank inversions)
+      val minSel = thr.agg(min($"sel_key")).as[Double].head()
+      val maxUnsel = weights
+        .join(thr.select($"doc_id"), Seq("doc_id"), "left_anti") // NOT selected
+        .select($"doc_id").as[Long].collect().toSet
+      val keyed = ImportanceSampling.select(weights, n.toInt) // all rows, keyed
+        .select($"doc_id", $"sel_key").as[(Long, Double)].collect().toMap
+      val maxUnselKey = maxUnsel.map(keyed).maxOption.getOrElse(Double.NegativeInfinity)
+      assert(minSel >= maxUnselKey,
+        s"rank inversion: selected min $minSel < unselected max $maxUnselKey")
+      // k larger than the pool degrades to select-all
+      assert(ImportanceSampling.selectByThreshold(weights, n.toInt + 10).count() == n)
+    } finally { weights.unpersist(); () }
+  }
 }
