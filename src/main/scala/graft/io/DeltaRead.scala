@@ -497,9 +497,22 @@ object DeltaRead {
     *
     * At 100 TB this is the difference between tailing a feed and
     * re-reading a lake: the JSON commits are the feed, and per-commit
-    * work is bounded by that commit's touched files. */
+    * work is bounded by that commit's touched files.
+    *
+    * When a commit carries `cdc` actions (a CDF-obligated writer —
+    * [[DeltaWrite]] when `delta.enableChangeDataFeed` is set — recorded
+    * the exact change rows in `_change_data/` files), those are
+    * PREFERRED over reconstruction, as the protocol requires: the cdc
+    * files are exact (a MERGE's kept rows never surface as spurious
+    * delete+insert pairs) and cheaper (no DV bitmap diffing). The
+    * spec's four-type cdc surface folds onto this feed's two types:
+    * `update_preimage` reads as `delete`, `update_postimage` as
+    * `insert` — the same lossless decomposition reconstruction emits.
+    * `useCdc = false` forces reconstruction everywhere (the
+    * equivalence of the two paths is spec-tested). */
   def changesBetween(spark: SparkSession, table: String,
-      sinceVersion: Long, untilVersion: Long): DataFrame = {
+      sinceVersion: Long, untilVersion: Long,
+      useCdc: Boolean = true): DataFrame = {
     require(sinceVersion <= untilVersion,
       s"changesBetween: since $sinceVersion > until $untilVersion")
     val snap = snapshotAt(spark, table, untilVersion) // schema + mapping context
@@ -518,6 +531,7 @@ object DeltaRead {
           "an incremental consumer this far behind must re-bootstrap from a snapshot")
       val adds = scala.collection.mutable.LinkedHashMap.empty[String, (FileEntry, Boolean)]
       val removes = scala.collection.mutable.LinkedHashMap.empty[String, Boolean]
+      val cdcs = scala.collection.mutable.ArrayBuffer.empty[(String, Map[String, String])]
       Files.readAllLines(p).asScala.filter(_.trim.nonEmpty).foreach { line =>
         val node = mapper.readTree(line)
         val addN = node.get("add"); val remN = node.get("remove")
@@ -530,49 +544,116 @@ object DeltaRead {
         if (remN != null)
           removes.put(decodePath(remN.get("path").asText()),
             Option(remN.get("dataChange")).forall(_.asBoolean(true)))
+        val cdcN = node.get("cdc")
+        if (cdcN != null) {
+          val pv = Option(cdcN.get("partitionValues")).map { m =>
+            m.fieldNames().asScala.map(k =>
+              k -> (if (m.get(k).isNull) null else m.get(k).asText())).toMap
+          }.getOrElse(Map.empty[String, String])
+          cdcs += ((decodePath(cdcN.get("path").asText()),
+            pv.map { case (k, x) => logicalByPhys.getOrElse(k, k) -> x }))
+        }
       }
-      val fullInserts = Seq.newBuilder[FileEntry]
-      val fullDeletes = Seq.newBuilder[FileEntry]
-      // (entry whose dv is the SELECT set, dv to SUBTRACT, change type)
-      val diffSel = scala.collection.mutable.ArrayBuffer
-        .empty[(FileEntry, Option[DeltaDv.Descriptor], String)]
-      removes.foreach { case (path, dc) =>
-        if (dc && !adds.contains(path))
-          state.get(path).foreach(prior => fullDeletes += prior)
-      }
-      adds.foreach { case (path, (e, dc)) =>
-        if (dc) state.get(path) match {
-          case None => fullInserts += e
-          case Some(prior) => (prior.dv, e.dv) match {
-            case (None, None) => () // same content re-added: no change
-            case (o, Some(n)) =>
-              diffSel += ((e.copy(dv = Some(n)), o, "delete"))
-              o.foreach(od => diffSel += ((e.copy(dv = Some(od)), Some(n), "insert")))
-            case (Some(o), None) => // un-delete: previously-masked rows return
-              diffSel += ((e.copy(dv = Some(o)), None, "insert"))
+      def tag(df: DataFrame, ct: String): DataFrame =
+        df.withColumn(ChangeTypeCol, lit(ct)).withColumn(CommitVersionCol, lit(v))
+      if (cdcs.nonEmpty && useCdc) {
+        // the writer recorded this commit's exact change rows — read
+        // them instead of reconstructing from add/remove/DV diffs
+        frames += readCdc(spark, table, snap, cdcs.toSeq, v)
+      } else {
+        val fullInserts = Seq.newBuilder[FileEntry]
+        val fullDeletes = Seq.newBuilder[FileEntry]
+        // (entry whose dv is the SELECT set, dv to SUBTRACT, change type)
+        val diffSel = scala.collection.mutable.ArrayBuffer
+          .empty[(FileEntry, Option[DeltaDv.Descriptor], String)]
+        removes.foreach { case (path, dc) =>
+          if (dc && !adds.contains(path))
+            state.get(path).foreach(prior => fullDeletes += prior)
+        }
+        adds.foreach { case (path, (e, dc)) =>
+          if (dc) state.get(path) match {
+            case None => fullInserts += e
+            case Some(prior) => (prior.dv, e.dv) match {
+              case (None, None) => () // same content re-added: no change
+              case (o, Some(n)) =>
+                diffSel += ((e.copy(dv = Some(n)), o, "delete"))
+                o.foreach(od => diffSel += ((e.copy(dv = Some(od)), Some(n), "insert")))
+              case (Some(o), None) => // un-delete: previously-masked rows return
+                diffSel += ((e.copy(dv = Some(o)), None, "insert"))
+            }
           }
+        }
+        val dels = fullDeletes.result(); val ins = fullInserts.result()
+        if (dels.nonEmpty) frames += tag(assemble(spark, table, snap.copy(files = dels)), "delete")
+        if (ins.nonEmpty) frames += tag(assemble(spark, table, snap.copy(files = ins)), "insert")
+        diffSel.groupBy(_._3).toSeq.sortBy(_._1).foreach { case (ct, group) =>
+          val oldBy = group.map(x => (x._1.path, x._2)).toMap
+          frames += tag(assemble(spark, table,
+            snap.copy(files = group.map(_._1).toSeq), dvSelect = Some(oldBy)), ct)
         }
       }
       // roll state forward with EVERY action, dataChange or not — an
       // OPTIMIZE rewrite must still re-key later DV diffs
       removes.keys.foreach(state.remove)
       adds.foreach { case (path, (e, _)) => state.put(path, e) }
-      def tag(df: DataFrame, ct: String): DataFrame =
-        df.withColumn(ChangeTypeCol, lit(ct)).withColumn(CommitVersionCol, lit(v))
-      val dels = fullDeletes.result(); val ins = fullInserts.result()
-      if (dels.nonEmpty) frames += tag(assemble(spark, table, snap.copy(files = dels)), "delete")
-      if (ins.nonEmpty) frames += tag(assemble(spark, table, snap.copy(files = ins)), "insert")
-      diffSel.groupBy(_._3).toSeq.sortBy(_._1).foreach { case (ct, group) =>
-        val oldBy = group.map(x => (x._1.path, x._2)).toMap
-        frames += tag(assemble(spark, table,
-          snap.copy(files = group.map(_._1).toSeq), dvSelect = Some(oldBy)), ct)
-      }
     }
     frames.result().reduceOption(_ unionByName _).getOrElse {
       assemble(spark, table, snap.copy(files = Nil))
         .withColumn(ChangeTypeCol, lit(null).cast(org.apache.spark.sql.types.StringType))
         .withColumn(CommitVersionCol, lit(null).cast(org.apache.spark.sql.types.LongType))
     }
+  }
+
+  /** Read one commit's `cdc` files as a change frame: the files store
+    * the table's DATA columns (physical names under column mapping)
+    * plus a literal [[ChangeTypeCol]]; partition columns re-attach from
+    * the cdc action's `partitionValues` exactly as adds do. The
+    * four-type spec surface (insert / delete / update_preimage /
+    * update_postimage) folds onto this feed's two types: preimage is
+    * the row's old content (a delete), postimage its new content (an
+    * insert) — the decomposition every fold-style consumer already
+    * handles. Per-partition-tuple union branches: a commit's cdc set
+    * is commit-sized, never table-sized. */
+  private def readCdc(spark: SparkSession, table: String, snap: DeltaSnapshot,
+      entries: Seq[(String, Map[String, String])], v: Long): DataFrame = {
+    import org.apache.spark.sql.functions.when
+    val mapped = ColumnMapping.active(snap.columnMappingMode)
+    val schema = snap.schema.getOrElse(throw new IllegalStateException(
+      s"$table: cdc actions with no metaData schema"))
+    val dataSchema = StructType(
+      schema.fields.filterNot(f => snap.partitionColumns.contains(f.name)))
+    val scanSchema = StructType(
+      (if (mapped) ColumnMapping.physicalize(dataSchema).asInstanceOf[StructType]
+       else StructType(dataSchema.map(f =>
+         f.copy(dataType = relaxNullable(f.dataType), nullable = true)))).fields :+
+        org.apache.spark.sql.types.StructField(ChangeTypeCol,
+          org.apache.spark.sql.types.StringType))
+    val colType = schema.fields.map(f => f.name -> f.dataType).toMap
+    val physByLogical = ColumnMapping.physByLogical(dataSchema)
+    val out = entries.groupBy(_._2).toSeq.map { case (pv, es) =>
+      val scan = spark.read.schema(scanSchema)
+        .parquet(es.map(e => Paths.get(table, e._1).toString): _*)
+      val renamed =
+        if (!mapped) scan
+        else scan.select(dataSchema.fields.toSeq.map(f =>
+          col(physByLogical(f.name)).cast(relaxNullable(f.dataType)).as(f.name)) :+
+          col(ChangeTypeCol): _*)
+      snap.partitionColumns.foldLeft(renamed) { (df, c) =>
+        val raw = pv.get(c).orNull match {
+          case null => lit(null)
+          case x    => lit(x)
+        }
+        df.withColumn(c, colType.get(c).map(raw.cast).getOrElse(raw))
+      }
+    }.reduce(_ unionByName _)
+    out
+      .withColumn(ChangeTypeCol,
+        when(col(ChangeTypeCol) === "update_preimage", "delete")
+          .when(col(ChangeTypeCol) === "update_postimage", "insert")
+          .otherwise(col(ChangeTypeCol)))
+      .withColumn(CommitVersionCol, lit(v))
+      .select(schema.fieldNames.toSeq.map(col) :+
+        col(ChangeTypeCol) :+ col(CommitVersionCol): _*)
   }
 
   /** Read the latest snapshot as a DataFrame. */
@@ -601,7 +682,7 @@ object DeltaRead {
     * clock damage), else `commitInfo.timestamp`, else the commit
     * file's mtime — the same fallback order Delta uses. None when the
     * JSON is gone (checkpoint-truncated history). */
-  private def commitTimestamp(table: String, v: Long): Option[Long] = {
+  private[io] def commitTimestamp(table: String, v: Long): Option[Long] = {
     val p = logDir(table).resolve(f"$v%020d.json")
     if (!Files.exists(p)) None
     else {
@@ -664,6 +745,38 @@ object DeltaRead {
       StructType(Seq(StructField("version", LongType),
         StructField("timestamp", LongType),
         StructField("operation", StringType, nullable = true))))
+  }
+
+  /** Every deletion-vector FILE referenced by any snapshot at or after
+    * the boundary of the retention window — the DV analogue of
+    * [[DeltaWrite.vacuum]]'s `recentRemovePaths` guard: a bitmap
+    * written long ago but superseded by a commit INSIDE the window
+    * (second deleteWhere, merge, DV-purging compact) is still needed
+    * by time travel / restore() to the pre-supersession versions, so
+    * vacuum must not reclaim it. The boundary is one version BELOW the
+    * oldest in-window commit: that snapshot is the newest state a
+    * reader resolved before the window opened and must stay whole.
+    * ONE incremental replay (checkpoint + stepped JSON commits), not
+    * one replay per version — O(history), never O(history²). */
+  private[io] def dvFilesInWindow(spark: SparkSession, table: String,
+      cutoffTs: Long): Set[Path] = {
+    val head = latestVersion(table)
+    (0L to head).find(v => commitTimestamp(table, v).exists(_ >= cutoffTs)) match {
+      case None => Set.empty
+      case Some(vMin) =>
+        val start = math.max(0L, vMin - 1)
+        val out = scala.collection.mutable.HashSet.empty[Path]
+        val r = new Replay
+        val cp = checkpointAtOrBelow(table, start)
+        cp.foreach(v => applyCheckpoint(spark, table, v, r))
+        ((cp.map(_ + 1).getOrElse(0L)) to start).foreach(v => applyJsonCommit(table, v, r))
+        def collect(): Unit = r.files.values.foreach(_.dv
+          .filter(d => d.storageType == "u" || d.storageType == "p")
+          .foreach(d => out += DeltaDv.dvFile(table, d).normalize()))
+        collect()
+        ((start + 1) to head).foreach { v => applyJsonCommit(table, v, r); collect() }
+        out.toSet
+    }
   }
 
   /** Name of the lineage column carrying each row's normalized absolute
@@ -798,6 +911,38 @@ object DeltaRead {
     case _ => None
   })
 
+  /** `dt` with every nesting level made nullable — the scan relation
+    * is all-nullable (parquet carries no NOT NULL), so any cast whose
+    * target came from a committed schema with required fields must
+    * relax first or analysis refuses the nullable→required narrowing. */
+  private def relaxNullable(dt: DataType): DataType = dt match {
+    case st: StructType => StructType(st.fields.map(f =>
+      f.copy(dataType = relaxNullable(f.dataType), nullable = true)))
+    case org.apache.spark.sql.types.ArrayType(et, _) =>
+      org.apache.spark.sql.types.ArrayType(relaxNullable(et), containsNull = true)
+    case org.apache.spark.sql.types.MapType(k, v, _) =>
+      org.apache.spark.sql.types.MapType(relaxNullable(k), relaxNullable(v),
+        valueContainsNull = true)
+    case other => other
+  }
+
+  /** The visible rows of exactly `files`, under `snap`'s metadata —
+    * DV masking, partition re-attachment and mapping renames included.
+    * The writer's cdc emission ([[DeltaWrite]]) builds its full-file
+    * delete/insert change rows from this. */
+  private[io] def readEntriesRows(spark: SparkSession, table: String,
+      snap: DeltaSnapshot, files: Seq[FileEntry]): DataFrame =
+    assemble(spark, table, snap.copy(files = files))
+
+  /** The rows each entry's deletion vector SELECTS, minus the rows of
+    * `subtractByPath(path)` — the "rows newly deleted by this DV
+    * transition" primitive the change feed and the writer's cdc
+    * emission share. Every entry in `files` must carry a dv. */
+  private[io] def readDvDiffRows(spark: SparkSession, table: String,
+      snap: DeltaSnapshot, files: Seq[FileEntry],
+      subtractByPath: Map[String, Option[DeltaDv.Descriptor]]): DataFrame =
+    assemble(spark, table, snap.copy(files = files), dvSelect = Some(subtractByPath))
+
   /** A file-source URI column (`input_file_name()`, `_metadata
     * .file_path`) normalized to the on-disk absolute path: strip the
     * scheme, protect literal '+' (url_decode is form-decoding), decode
@@ -913,19 +1058,6 @@ object DeltaRead {
     // every nesting level at once (physical and logical schemas are
     // structurally identical), and non-data passthrough columns
     // (`__graft_path` in the wide-partition form) survive untouched.
-    // the scan relation is all-nullable (parquet carries no NOT NULL),
-    // so the rename cast's target must be too — a committed schema with
-    // required nested fields would otherwise refuse to analyze
-    def relaxNullable(dt: DataType): DataType = dt match {
-      case st: StructType => StructType(st.fields.map(f =>
-        f.copy(dataType = relaxNullable(f.dataType), nullable = true)))
-      case org.apache.spark.sql.types.ArrayType(et, _) =>
-        org.apache.spark.sql.types.ArrayType(relaxNullable(et), containsNull = true)
-      case org.apache.spark.sql.types.MapType(k, v, _) =>
-        org.apache.spark.sql.types.MapType(relaxNullable(k), relaxNullable(v),
-          valueContainsNull = true)
-      case other => other
-    }
     def relogical(df: DataFrame): DataFrame =
       if (!mapped) df
       else {

@@ -189,7 +189,7 @@ object DeltaWrite {
     * reader until a commit references them — same stage-then-publish
     * shape as [[TxLog]]. */
   private def stage(df: DataFrame, table: String,
-      partitionBy: Seq[String]): Seq[Staged] = {
+      partitionBy: Seq[String], destPrefix: String = ""): Seq[Staged] = {
     val tmpDir = Paths.get(table, s"_staging-${UUID.randomUUID()}")
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
@@ -213,14 +213,61 @@ object DeltaWrite {
           seg.substring(0, eq) ->
             (if (raw == NullPartition) null else decodeHiveValue(raw))
         }.toMap
-      val dest = Paths.get(table).resolve(rel)
+      val relPath = if (destPrefix.isEmpty) rel.toString
+        else s"$destPrefix/${rel.toString}"
+      val dest = Paths.get(table).resolve(relPath)
       Files.createDirectories(dest.getParent)
       Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
-      staged += Staged(rel.toString, pv, Files.size(dest),
+      staged += Staged(relPath, pv, Files.size(dest),
         Files.getLastModifiedTime(dest).toMillis, parquetStats(dest))
     }
     org.apache.commons.io.FileUtils.deleteDirectory(tmpDir.toFile)
     staged.toSeq
+  }
+
+  /** Directory cdc files land under (PROTOCOL.md "Add CDC File"). */
+  private[io] val CdcDir = "_change_data"
+
+  /** Is the table under a change-data-feed WRITER obligation? */
+  private[io] def cdcEnabled(conf: Map[String, String]): Boolean =
+    conf.get("delta.enableChangeDataFeed").exists(_.equalsIgnoreCase("true"))
+
+  /** The `cdc` action for a staged `_change_data` file — always
+    * `dataChange: false` (the protocol's marker that cdc files
+    * describe changes rather than being table data themselves). */
+  private[io] def cdcAction(s: Staged): String = {
+    val root = mapper.createObjectNode()
+    val a = root.putObject("cdc")
+    a.put("path", s.relPath.split('/').map(encodeSegment).mkString("/"))
+    val pv = a.putObject("partitionValues")
+    s.partitionValues.foreach { case (k, v) =>
+      if (v == null) pv.putNull(k) else pv.put(k, v)
+    }
+    a.put("size", s.size)
+    a.put("dataChange", false)
+    mapper.writeValueAsString(root)
+  }
+
+  /** Stage `changes` (table columns + `_change_type`) as cdc parquet
+    * under `_change_data/`, partition-dir layout matching the table's.
+    * Column-mapped tables stage under physical names; `_change_type`
+    * always keeps its literal name — it is feed metadata, not a mapped
+    * table column. Returns the staged entries for [[cdcAction]]
+    * emission; a lost commit CAS must drop them like data files. */
+  private def stageCdc(changes: DataFrame, table: String,
+      snap: DeltaRead.DeltaSnapshot): Seq[Staged] = {
+    val mapped = DeltaRead.ColumnMapping.active(snap.columnMappingMode)
+    val physBy =
+      if (mapped) snap.schema.map(DeltaRead.ColumnMapping.physByLogical)
+        .getOrElse(Map.empty[String, String])
+      else Map.empty[String, String]
+    val staged =
+      if (!mapped) changes
+      else WriteMapping.physicalizeDf(changes, snap.schema.get,
+        passthrough = Seq(DeltaRead.ChangeTypeCol))
+    stage(staged, table,
+      snap.partitionColumns.map(c => physBy.getOrElse(c, c)),
+      destPrefix = CdcDir)
   }
 
   private def dropStaged(table: String, staged: Seq[Staged]): Unit =
@@ -229,18 +276,124 @@ object DeltaWrite {
   /** Writer features this writer actually implements — all honored for
     * real: appendOnly gates removals, invariants and CHECK constraints
     * enforce per batch, generated columns recompute/validate, mapping
-    * and deletion vectors have full read+write paths. Anything else
-    * (changeDataFeed as a WRITER obligation, identity columns, row
-    * tracking) would require semantics this writer does not implement,
-    * so committing to such a table is refused — the protocol forbids a
-    * writer from touching a table whose writer features it does not
-    * support. */
+    * and deletion vectors have full read+write paths, and
+    * changeDataFeed emits `_change_data` cdc files on every
+    * row-changing commit that add/remove actions alone cannot
+    * represent (see `cdcEnabled` call sites). Anything else (row
+    * tracking, ...) would require semantics this writer does not
+    * implement, so committing to such a table is refused — the
+    * protocol forbids a writer from touching a table whose writer
+    * features it does not support. */
   private val SupportedWriterFeatures =
     Set("appendOnly", "invariants", "columnMapping", "deletionVectors",
-      "checkConstraints", "generatedColumns")
+      "checkConstraints", "generatedColumns", "changeDataFeed",
+      "identityColumns")
 
   private val GenKey = "delta.generationExpression"
   private val InvKey = "delta.invariants"
+
+  /** IDENTITY COLUMN field-metadata keys (PROTOCOL.md "Identity
+    * Columns"): `start`/`step` define the sequence,
+    * `highWaterMark` records the furthest value ever allocated (in
+    * step direction), `allowExplicitInsert` = GENERATED BY DEFAULT
+    * (true) vs GENERATED ALWAYS (false). */
+  private[io] val IdStartKey = "delta.identity.start"
+  private[io] val IdStepKey = "delta.identity.step"
+  private[io] val IdHwmKey = "delta.identity.highWaterMark"
+  private[io] val IdAllowKey = "delta.identity.allowExplicitInsert"
+
+  /** Uphold IDENTITY COLUMNS on an incoming batch — the writer
+    * obligation behind legacy minWriterVersion 6 / the
+    * `identityColumns` feature: a batch that OMITS an identity column
+    * gets fresh values past the recorded high-water mark (one
+    * contiguous per-commit range, allocated by a zipWithIndex pass —
+    * the one genuinely imperative per-row step, so the one RDD hop;
+    * contiguity isn't required by the protocol but costs nothing
+    * here and keeps reruns reproducible); a batch that PROVIDES it is
+    * refused under GENERATED ALWAYS and otherwise advances the mark
+    * past the provided extreme. Returns the (possibly augmented)
+    * batch plus, when any mark moved, the schema whose field metadata
+    * carries the new marks — the caller must commit that schema in
+    * the same metaData action, or a foreign writer would re-allocate
+    * the same range. */
+  private def allocateIdentity(df0: DataFrame, schema: StructType,
+      table: String): (DataFrame, Option[StructType]) = {
+    import org.apache.spark.sql.functions.{col, max => fmax, min => fmin}
+    val idFields = schema.fields.filter(_.metadata.contains(IdStartKey))
+    if (idFields.isEmpty) return (df0, None)
+    var df = df0
+    var changed = false
+    val newHwms = scala.collection.mutable.HashMap.empty[String, Long]
+    idFields.foreach { f =>
+      val start = f.metadata.getLong(IdStartKey)
+      val step = f.metadata.getLong(IdStepKey)
+      require(step != 0, s"$table: identity column '${f.name}' has step 0")
+      val hwm: Option[Long] =
+        if (f.metadata.contains(IdHwmKey)) Some(f.metadata.getLong(IdHwmKey)) else None
+      if (df.columns.contains(f.name)) {
+        val allow = f.metadata.contains(IdAllowKey) && f.metadata.getBoolean(IdAllowKey)
+        if (!allow) throw new UnsupportedOperationException(
+          s"$table: identity column '${f.name}' is GENERATED ALWAYS — " +
+            "explicit values are refused; omit the column and let the " +
+            "writer allocate")
+        val agg = df.agg(
+          (if (step > 0) fmax(col(f.name)) else fmin(col(f.name))).cast("long"))
+          .collect()(0)
+        if (!agg.isNullAt(0)) {
+          val ext = agg.getLong(0)
+          val next = hwm match {
+            case Some(h) => if (step > 0) math.max(h, ext) else math.min(h, ext)
+            case None => ext
+          }
+          if (!hwm.contains(next)) { newHwms(f.name) = next; changed = true }
+        }
+      } else {
+        val base = hwm.getOrElse(start - step)
+        val n = df.count()
+        val spark = df.sparkSession
+        val withIdSchema = StructType(df.schema.fields :+
+          StructField(f.name, LongType, nullable = false))
+        val rdd = df.rdd.zipWithIndex().map { case (row, i) =>
+          Row.fromSeq(row.toSeq :+ (base + step * (i + 1)))
+        }
+        df = spark.createDataFrame(rdd, withIdSchema)
+        if (n > 0) { newHwms(f.name) = base + step * n; changed = true }
+      }
+    }
+    if (!changed) (df, None)
+    else {
+      val updated = StructType(schema.fields.map { f =>
+        newHwms.get(f.name) match {
+          case Some(h) => f.copy(metadata = new MetadataBuilder()
+            .withMetadata(f.metadata).putLong(IdHwmKey, h).build())
+          case None => f
+        }
+      })
+      (df, Some(updated))
+    }
+  }
+
+  /** Create `table` at version 0 with a fresh IDENTITY column `name`
+    * (GENERATED ALWAYS unless `allowExplicitInsert`): `df` must NOT
+    * contain the column — the writer allocates `start, start+step, …`
+    * and records the high-water mark in the committed field metadata,
+    * so any spec-compliant writer (this one included) continues the
+    * sequence without overlap. Protocol lands at legacy writer
+    * version 6, the identity floor. */
+  def createWithIdentity(df: DataFrame, table: String, name: String,
+      start: Long, step: Long = 1L, allowExplicitInsert: Boolean = false,
+      partitionBy: Seq[String] = Nil): Long = {
+    require(step != 0, "createWithIdentity: step must be non-zero")
+    require(!df.columns.contains(name),
+      s"createWithIdentity: df already has a column '$name' — identity " +
+        "values are writer-allocated")
+    require(!tableExists(table), s"createWithIdentity: $table already exists")
+    val meta = new MetadataBuilder()
+      .putLong(IdStartKey, start).putLong(IdStepKey, step)
+      .putBoolean(IdAllowKey, allowExplicitInsert).build()
+    commit(df, table, partitionBy, replaceExisting = false, txn = None,
+      identitySeed = Some(StructField(name, LongType, nullable = false, meta))).get
+  }
 
   /** Enforce legacy COLUMN INVARIANTS (`delta.invariants` field
     * metadata, writer feature `invariants` — the pre-constraints
@@ -353,15 +506,24 @@ object DeltaWrite {
           "this writer does not implement them; committing anyway would " +
           "break the table's contract")
     }
+    // legacy two-int protocols imply obligations without naming them;
+    // all are honored: column mapping (v5) via the mapping context,
+    // identity columns (v6, or delta.identity.* field metadata at any
+    // version) via allocateIdentity's per-commit range allocation +
+    // high-water-mark metaData update, everything at or below v4 per
+    // batch. Operations that CANNOT honor identity semantics (merge's
+    // SET-* explicit values, identity × column mapping) refuse at
+    // their own call sites.
     if (removesData &&
         s.configuration.get("delta.appendOnly").exists(_.equalsIgnoreCase("true")))
       throw new UnsupportedOperationException(
         s"$table is delta.appendOnly — removing or replacing rows is forbidden")
-    if (s.configuration.get("delta.enableChangeDataFeed").exists(_.equalsIgnoreCase("true")))
-      throw new UnsupportedOperationException(
-        s"$table enables change data feed — this writer does not emit _change_data files")
-    // invariants and generated columns are NOT gated here: both are
-    // upheld per batch (enforceInvariants / applyGeneratedColumns)
+    // invariants, generated columns and the change data feed are NOT
+    // gated here: the first two are upheld per batch
+    // (enforceInvariants / applyGeneratedColumns), and CDF-obligated
+    // tables get `_change_data` cdc files on every commit whose
+    // add/remove actions alone cannot represent the change set
+    // (deleteWhere / merge / restore — see their cdc emission)
   }
 
   private[io] def protocolAction: String = protocolActionFor(1, 2)
@@ -476,7 +638,8 @@ object DeltaWrite {
       * `parquet.field.id`, which Spark's parquet writer persists into
       * the file schema — what an id-mode foreign reader resolves by
       * (PROTOCOL.md: id mode matches on parquet field ids). */
-    def physicalizeDf(df: DataFrame, mappedSchema: StructType): DataFrame = {
+    def physicalizeDf(df: DataFrame, mappedSchema: StructType,
+        passthrough: Seq[String] = Nil): DataFrame = {
       import org.apache.spark.sql.functions.col
       val cols = mappedSchema.fields.toSeq.map { f =>
         val phys = if (f.metadata.contains(ColumnMapping.PhysKey))
@@ -487,7 +650,7 @@ object DeltaWrite {
             .putLong("parquet.field.id", f.metadata.getLong(IdKey)).build())
         else c.as(phys)
       }
-      df.select(cols: _*)
+      df.select(cols ++ passthrough.map(col): _*)
     }
 
     /** Re-stamp `parquet.field.id` metadata onto a frame read back RAW
@@ -668,7 +831,8 @@ object DeltaWrite {
 
   private def commit(df0: DataFrame, table: String, partitionBy: Seq[String],
       replaceExisting: Boolean, txn: Option[(String, Long)],
-      maxRetries: Int = 10, createMapping: Option[String] = None): Option[Long] = {
+      maxRetries: Int = 10, createMapping: Option[String] = None,
+      identitySeed: Option[StructField] = None): Option[Long] = {
     val spark = df0.sparkSession
     // cheap pre-check: a replayed batch skips before staging anything
     txn.foreach { case (appId, ver) =>
@@ -686,8 +850,33 @@ object DeltaWrite {
     // generated columns resolve against the COMMITTED schema when the
     // table exists (appends may omit them — the writer recomputes),
     // the incoming schema at creation (authored via withGenerationExpr)
-    val df = applyGeneratedColumns(df0,
+    val df1 = applyGeneratedColumns(df0,
       preSnap.flatMap(_.schema).getOrElse(df0.schema), table)
+    // identity columns allocate BEFORE staging (the values live in the
+    // data files). The authoritative identity schema is the committed
+    // one for existing tables, the seeded one at creation. Identity ×
+    // column mapping is refused — allocating under physical names is
+    // untested territory this writer will not silently enter.
+    val idAuthority: Option[StructType] = identitySeed match {
+      case Some(f) => Some(StructType(df1.schema.fields :+ f))
+      case None => preSnap.flatMap(_.schema)
+        .filter(_.fields.exists(_.metadata.contains(IdStartKey)))
+    }
+    val (df, idSchema): (DataFrame, Option[StructType]) = idAuthority match {
+      case None => (df1, None)
+      case Some(auth) =>
+        if (createMapping.isDefined ||
+            preSnap.exists(s => DeltaRead.ColumnMapping.active(s.columnMappingMode)))
+          throw new UnsupportedOperationException(
+            s"$table: identity columns combined with column mapping are " +
+              "not supported by this writer")
+        val (d, upd) = allocateIdentity(df1, auth, table)
+        // even an unchanged mark must keep the identity schema at
+        // creation (the metadata IS the feature)
+        (d, upd.orElse(identitySeed.map(_ => auth)))
+    }
+    val identityMeta: Option[(Option[String], StructType)] =
+      idSchema.map(ns => (preSnap.flatMap(_.schema).map(_.json), ns))
     // a caller omitting partitionBy on an EXISTING table inherits the
     // committed partitioning (appends never re-state it — Delta's own
     // contract); an explicit mismatch still fails as drift
@@ -724,7 +913,7 @@ object DeltaWrite {
     // any rejection below (drift, race exhaustion) must not leak the
     // staged files into the table root until a vacuum sweeps them
     try commitStaged(df, table, partBy, replaceExisting, txn, staged,
-      maxRetries, mapCtx, createMapping)
+      maxRetries, mapCtx, createMapping, identityMeta)
     catch { case e: Throwable => dropStaged(table, staged); throw e }
   }
 
@@ -732,7 +921,8 @@ object DeltaWrite {
       replaceExisting: Boolean, txn: Option[(String, Long)],
       staged: Seq[Staged], maxRetries: Int,
       mapCtx: Option[WriteMapping.Ctx] = None,
-      createMapping: Option[String] = None): Option[Long] = {
+      createMapping: Option[String] = None,
+      identityMeta: Option[(Option[String], StructType)] = None): Option[Long] = {
     val spark = df.sparkSession
     var attempt = 0
     while (attempt < maxRetries) {
@@ -782,10 +972,24 @@ object DeltaWrite {
             s"append: schema drift on $table — committed ${committed.json}, " +
               s"incoming ${df.schema.json}")
         }
+        // identity values were allocated against a specific committed
+        // high-water mark; a table that moved underneath (concurrent
+        // identity append) could make the staged values collide — the
+        // CAS loop cannot fix that by retrying, so abort loudly
+        identityMeta.foreach { case (expected, _) =>
+          expected.foreach { ej =>
+            if (!s.schema.map(_.json).contains(ej))
+              throw new IllegalStateException(
+                s"DeltaWrite: $table identity metadata drifted while " +
+                  "committing — allocated values may collide; retry the write")
+          }
+        }
       }
       // a mapped commit's schemaString carries the mapping metadata and
-      // its configuration the mode + maxColumnId high-water mark
-      val schemaJson = mapCtx.map(_.schema.json).getOrElse(df.schema.json)
+      // its configuration the mode + maxColumnId high-water mark; an
+      // identity commit's carries the advanced high-water marks
+      val schemaJson = identityMeta.map(_._2.json)
+        .orElse(mapCtx.map(_.schema.json)).getOrElse(df.schema.json)
       def mappedConf(base: Map[String, String]): Map[String, String] =
         mapCtx.map(ctx => base +
           (WriteMapping.ModeKey -> ctx.mode) +
@@ -793,10 +997,12 @@ object DeltaWrite {
       val header =
         if (!exists)
           Seq(commitInfoAction("WRITE", now),
-            // column mapping requires protocol (2, 5); generated
-            // columns require writer version 4; plain tables stay at
-            // the (1, 2) feature floor every client reads
+            // column mapping requires protocol (2, 5); identity
+            // columns writer version 6; generated columns writer
+            // version 4; plain tables stay at the (1, 2) feature
+            // floor every client reads
             if (createMapping.isDefined) protocolActionFor(2, 5)
+            else if (identityMeta.isDefined) protocolActionFor(1, 6)
             else if (fieldMetaHas(df.schema, GenKey)) protocolActionFor(1, 4)
             else protocolAction,
             metaDataAction(UUID.randomUUID().toString, schemaJson, partitionBy, now,
@@ -810,7 +1016,15 @@ object DeltaWrite {
             metaDataAction(snap.flatMap(_.metaId).getOrElse(UUID.randomUUID().toString),
               schemaJson, partitionBy, now,
               mappedConf(snap.map(_.configuration).getOrElse(Map.empty))))
-        else Seq(commitInfoAction("APPEND", now))
+        else Seq(commitInfoAction("APPEND", now)) ++
+          // an identity append must publish the advanced high-water
+          // mark in the SAME commit, or a spec-compliant foreign
+          // writer would re-allocate the same range
+          identityMeta.map { case (_, ns) =>
+            metaDataAction(snap.flatMap(_.metaId).getOrElse(UUID.randomUUID().toString),
+              ns.json, partitionBy, now,
+              snap.map(_.configuration).getOrElse(Map.empty))
+          }.toSeq
       val removes =
         if (replaceExisting)
           snap.map(_.files.map(f => removeAction(f.path, now))).getOrElse(Nil)
@@ -853,6 +1067,53 @@ object DeltaWrite {
           .drop("__z")
       }
     append(laid, table)
+  }
+
+  /** The writer features a LEGACY protocol version implies (PROTOCOL.md
+    * upgrade rule: moving a table to the feature form must list every
+    * obligation its previous two-int version carried — dropping one
+    * would let feature-unaware writers skip enforcement other writers
+    * rely on). */
+  private[io] def legacyWriterFeatures(minWriterVersion: Int): Set[String] =
+    Seq(2 -> Set("appendOnly", "invariants"),
+      3 -> Set("checkConstraints"),
+      4 -> Set("changeDataFeed", "generatedColumns"),
+      5 -> Set("columnMapping"),
+      6 -> Set("identityColumns"))
+      .filter(_._1 <= minWriterVersion).flatMap(_._2).toSet
+
+  /** The reader features a legacy minReaderVersion implies. */
+  private[io] def legacyReaderFeatures(minReaderVersion: Int): Set[String] =
+    if (minReaderVersion >= 2) Set("columnMapping") else Set.empty
+
+  /** Protocol action upgrading snapshot `s` to the feature form (3, 7)
+    * with `extraReader`/`extraWriter` features added. Existing feature
+    * lists AND the features the previous legacy versions implied are
+    * UNIONED in — never overwritten: a table at minWriterVersion 3
+    * (checkConstraints) or 4 (generatedColumns) must keep those
+    * obligations listed after the upgrade, or spec-compliant foreign
+    * writers stop enforcing them. Refuses when an implied feature is
+    * one this writer does not implement — upgrading would commit graft
+    * to obligations it cannot honor. */
+  private[io] def upgradeProtocolAction(table: String, s: DeltaRead.DeltaSnapshot,
+      extraReader: Set[String], extraWriter: Set[String]): String = {
+    val writerF = s.writerFeatures ++
+      (if (s.minWriterVersion >= 7) Set.empty
+       else legacyWriterFeatures(s.minWriterVersion)) ++ extraWriter
+    val readerF = s.readerFeatures ++
+      (if (s.minReaderVersion >= 3) Set.empty
+       else legacyReaderFeatures(s.minReaderVersion)) ++ extraReader
+    val unsupported = writerF -- SupportedWriterFeatures
+    if (unsupported.nonEmpty) throw new UnsupportedOperationException(
+      s"$table: protocol upgrade would imply writer features " +
+        s"${unsupported.toSeq.sorted.mkString(", ")} this writer does not implement")
+    val root = mapper.createObjectNode()
+    val p = root.putObject("protocol")
+    p.put("minReaderVersion", 3)
+    p.put("minWriterVersion", 7)
+    val ra = p.putArray("readerFeatures"); readerF.toSeq.sorted.foreach(ra.add)
+    val wa = p.putArray("writerFeatures"); writerF.toSeq.sorted.foreach(wa.add)
+    mapper.writeValueAsString(root)
   }
 
   /** Full protocol action for a snapshot, feature lists included —
@@ -967,6 +1228,54 @@ object DeltaWrite {
         if (DeltaRead.ColumnMapping.active(target.columnMappingMode))
           target.schema.map(DeltaRead.ColumnMapping.physByLogical).getOrElse(Map.empty)
         else Map.empty
+      // CDF-obligated tables record the restore's row-level delta as
+      // cdc — a folding consumer then converges to the restored state
+      // exactly as it would from reconstruction, but via the exact
+      // change set. Requires head and target to agree on schema and
+      // partitioning: a cross-schema restore has no single change-row
+      // shape, so it is refused rather than emitted wrong.
+      val wantCdc = cdcEnabled(cur.configuration) || cdcEnabled(target.configuration)
+      if (wantCdc && (target.schema != cur.schema ||
+          target.partitionColumns != cur.partitionColumns))
+        throw new UnsupportedOperationException(
+          s"restore: $table enables change data feed and version $version " +
+            "has a different schema/partitioning — cdc rows for a " +
+            "cross-schema restore are unrepresentable")
+      val cdcStaged: Seq[Staged] =
+        if (!wantCdc) Nil
+        else {
+          import org.apache.spark.sql.functions.lit
+          val ctCol = DeltaRead.ChangeTypeCol
+          val remPaths = removes.map(_.path).toSet
+          val addPaths = adds.map(_.path).toSet
+          val remByPath = removes.map(f => f.path -> f).toMap
+          val pureRemoves = removes.filterNot(f => addPaths(f.path))
+          val pureAdds = adds.filterNot(f => remPaths(f.path))
+          val trans = adds.filter(f => remPaths(f.path)) // DV transitions
+          val frames = Seq.newBuilder[DataFrame]
+          if (pureRemoves.nonEmpty)
+            frames += DeltaRead.readEntriesRows(spark, table, cur, pureRemoves)
+              .withColumn(ctCol, lit("delete"))
+          if (pureAdds.nonEmpty)
+            frames += DeltaRead.readEntriesRows(spark, table, target, pureAdds)
+              .withColumn(ctCol, lit("insert"))
+          // head → target on a shared path is a DV transition: rows in
+          // targetDv ∖ headDv disappear, rows in headDv ∖ targetDv return
+          val newlyDeleted = trans.filter(_.dv.isDefined)
+          if (newlyDeleted.nonEmpty)
+            frames += DeltaRead.readDvDiffRows(spark, table, target, newlyDeleted,
+              newlyDeleted.map(f => f.path -> remByPath(f.path).dv).toMap)
+              .withColumn(ctCol, lit("delete"))
+          val restoredRows = trans.filter(f => remByPath(f.path).dv.isDefined)
+            .map(f => f.copy(dv = remByPath(f.path).dv))
+          if (restoredRows.nonEmpty)
+            frames += DeltaRead.readDvDiffRows(spark, table, target, restoredRows,
+              trans.filter(f => remByPath(f.path).dv.isDefined)
+                .map(f => f.path -> f.dv).toMap)
+              .withColumn(ctCol, lit("insert"))
+          frames.result().reduceOption(_ unionByName _)
+            .map(stageCdc(_, table, target)).getOrElse(Nil)
+        }
       val now = System.currentTimeMillis()
       val metaChanged = target.schema != cur.schema ||
         target.partitionColumns != cur.partitionColumns ||
@@ -987,8 +1296,10 @@ object DeltaWrite {
             Files.size(p), Files.getLastModifiedTime(p).toMillis,
             f.stats.map(DeltaRead.renameStatsKeys(_, physBy)))
           addAction(staged, dataChange = true, dv = f.dv)
-        }
+        } ++
+        cdcStaged.map(cdcAction)
       if (tryPublish(table, head + 1, lines)) return head + 1
+      dropStaged(table, cdcStaged)
       attempt += 1
     }
     throw new IllegalStateException(s"restore: lost 10 commit races on $table")
@@ -1060,16 +1371,19 @@ object DeltaWrite {
       val v = DeltaRead.latestVersion(table)
       val snap = DeltaRead.snapshotAt(spark, table, v)
       validateWriterSupport(table, snap, removesData = true)
-      if (DeltaRead.ColumnMapping.active(snap.columnMappingMode))
-        throw new UnsupportedOperationException(
-          s"deleteWhere: $table is column-mapped — its writer-version-7 " +
-            "upgrade would imply features this writer does not implement; " +
-            "delete by overwrite instead")
+      // mapped tables delete fine: the lineage read resolves logical
+      // names, and the re-added entries translate partitionValues /
+      // stats keys back to PHYSICAL (the log's regime) on emission
+      val physBy: Map[String, String] =
+        if (DeltaRead.ColumnMapping.active(snap.columnMappingMode))
+          snap.schema.map(DeltaRead.ColumnMapping.physByLogical).getOrElse(Map.empty)
+        else Map.empty
       val byAbs = snap.files.map(f =>
         (Paths.get(table, f.path).toAbsolutePath.normalize().toString, f)).toMap
       val oldDvByAbs: Map[String, DeltaDv.Descriptor] =
         byAbs.collect { case (p, f) if f.dv.isDefined => (p, f.dv.get) }
-      val matched = select(DeltaRead.readVersionWithLineage(spark, table, v))
+      val doomed = select(DeltaRead.readVersionWithLineage(spark, table, v))
+      val matched = doomed
         .select(org.apache.spark.sql.functions.col(DeltaRead.LineageFile).as[String],
           org.apache.spark.sql.functions.col(DeltaRead.LineagePos).as[Long])
       // one DV file per touched parquet file, written TASK-side; the
@@ -1086,14 +1400,28 @@ object DeltaWrite {
       if (descs.isEmpty) return v
       def dvOf(pid: String, off: Int, size: Int, card: Long) =
         DeltaDv.Descriptor("u", pid, if (off < 0) None else Some(off), size, card)
+      // CDF-obligated tables record the erased rows as `_change_data`
+      // cdc files: the DV transition alone is not a change
+      // representation a feature-unaware CDC reader can interpret
+      val cdcStaged =
+        if (!cdcEnabled(snap.configuration)) Nil
+        else stageCdc(
+          doomed.drop(DeltaRead.LineageFile, DeltaRead.LineagePos)
+            .withColumn(DeltaRead.ChangeTypeCol,
+              org.apache.spark.sql.functions.lit("delete")),
+          table, snap)
       val now = System.currentTimeMillis()
       val needsUpgrade = !(snap.minReaderVersion >= 3 &&
         snap.readerFeatures.contains("deletionVectors"))
+      // the upgrade UNIONS the snapshot's feature list plus everything
+      // its legacy versions implied with deletionVectors — a table at
+      // writer version 3/4 must not lose checkConstraints /
+      // generatedColumns from its obligations on upgrade
       val protoLine =
         if (!needsUpgrade) Nil
-        else Seq("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-          """"readerFeatures":["deletionVectors"],""" +
-          """"writerFeatures":["appendOnly","invariants","deletionVectors"]}}""")
+        else Seq(upgradeProtocolAction(table, snap,
+          extraReader = Set("deletionVectors"),
+          extraWriter = Set("deletionVectors")))
       val fileLines = descs.toSeq.flatMap { case (abs, pid, off, size, card) =>
         val f = byAbs(abs)
         val d = dvOf(pid, off, size, card)
@@ -1107,17 +1435,23 @@ object DeltaWrite {
           Files.deleteIfExists(DeltaDv.dvFile(table, d))
           Seq(removeAction(f.path, now))
         } else {
-          val staged = Staged(f.path, f.partitionValues, Files.size(p),
-            Files.getLastModifiedTime(p).toMillis, f.stats.map(wideBounds))
+          // snapshot partitionValues/stats keys are LOGICAL (the reader
+          // translated once); the log stores physical keys
+          val staged = Staged(f.path,
+            f.partitionValues.map { case (k, x) => physBy.getOrElse(k, k) -> x },
+            Files.size(p), Files.getLastModifiedTime(p).toMillis,
+            f.stats.map(s => DeltaRead.renameStatsKeys(wideBounds(s), physBy)))
           Seq(removeAction(f.path, now), addAction(staged, dataChange = true, dv = Some(d)))
         }
       }
-      val lines = Seq(commitInfoAction("DELETE", now)) ++ protoLine ++ fileLines
+      val lines = Seq(commitInfoAction("DELETE", now)) ++ protoLine ++
+        fileLines ++ cdcStaged.map(cdcAction)
       if (tryPublish(table, v + 1, lines)) return v + 1
-      // lost the CAS race: reclaim this attempt's DV files and replan
+      // lost the CAS race: reclaim this attempt's DV + cdc files, replan
       descs.foreach { case (_, pid, off, size, card) =>
         Files.deleteIfExists(DeltaDv.dvFile(table, dvOf(pid, off, size, card)))
       }
+      dropStaged(table, cdcStaged)
       attempt += 1
     }
     throw new IllegalStateException(s"deleteWhere: lost 10 commit races on $table")
@@ -1187,6 +1521,13 @@ object DeltaWrite {
       validateWriterSupport(table, snap, removesData = true)
       val committed = snap.schema.getOrElse(throw new IllegalStateException(
         s"merge: $table has no committed schema"))
+      // identity tables refuse MERGE: SET-*/INSERT-* semantics would
+      // write caller-chosen identity values without advancing the
+      // high-water mark — a quieter corruption than any refusal
+      if (committed.fields.exists(_.metadata.contains(IdStartKey)))
+        throw new UnsupportedOperationException(
+          s"merge: $table carries identity columns — use append " +
+            "(writer-allocated values) and deleteWhere instead")
       // SET-*/INSERT-* semantics need every table column in the source;
       // EXTRA source columns are allowed as clause-condition carriers
       // (the CDC `_change_type`) and never reach the table
@@ -1230,20 +1571,42 @@ object DeltaWrite {
         .select(outCols: _*)
       // pass 2: rewrite ONLY the touched files — kept rows (unmatched
       // or matched-but-no-clause), updated rows (source values, per
-      // matched target row), while delete-marked rows simply vanish
-      val batch =
+      // matched target row), while delete-marked rows simply vanish.
+      // CDF-obligated tables also record the EXACT change rows as cdc:
+      // reconstruction from this commit's add/remove would mis-report
+      // every kept row as a spurious delete+insert pair
+      val wantCdc = cdcEnabled(snap.configuration)
+      val ctCol = DeltaRead.ChangeTypeCol
+      def tagged(df: DataFrame, ct: String): DataFrame =
+        df.withColumn(ctCol, lit(ct))
+      val (batch, cdcRows: Option[DataFrame]) =
         if (touched.isEmpty) {
           if (inserts.isEmpty) return v // nothing matched, nothing new
-          inserts
+          (inserts, if (wantCdc) Some(tagged(inserts, "insert")) else None)
         } else {
           val tTouched = DeltaRead.readFilesWithLineage(spark, table, v,
             touched.map(_.path).toSet)
           val keep = tTouched.join(activeKeys, keys, "left_anti").select(outCols: _*)
+          val updKeys = act.where(!col("__m_del") && col("__m_upd"))
           val replaced = tTouched.join(activeKeys, keys, "left_semi")
             .select(keys.map(col): _*)
-            .join(act.where(!col("__m_del") && col("__m_upd")), keys, "inner")
+            .join(updKeys, keys, "inner")
             .select(outCols: _*)
-          keep.unionByName(replaced).unionByName(inserts)
+          val cdc =
+            if (!wantCdc) None
+            else {
+              val tRows = tTouched.select(outCols: _*)
+              val deleted = tRows.join(
+                act.where(col("__m_del")).select(keys.map(col): _*).distinct(),
+                keys, "left_semi")
+              val pre = tRows.join(
+                updKeys.select(keys.map(col): _*).distinct(), keys, "left_semi")
+              Some(tagged(deleted, "delete")
+                .unionByName(tagged(pre, "update_preimage"))
+                .unionByName(tagged(replaced, "update_postimage"))
+                .unionByName(tagged(inserts, "insert")))
+            }
+          (keep.unionByName(replaced).unionByName(inserts), cdc)
         }
       enforceConstraints(batch, snap.configuration, table)
       enforceInvariants(batch, committed, table)
@@ -1255,12 +1618,15 @@ object DeltaWrite {
       val stagedPartitionBy = mapCtx.map(c => snap.partitionColumns.map(c.physByLogical))
         .getOrElse(snap.partitionColumns)
       val staged = stage(stagedDf, table, stagedPartitionBy)
+      val cdcStaged = cdcRows.map(stageCdc(_, table, snap)).getOrElse(Nil)
       val now = System.currentTimeMillis()
       val lines = Seq(commitInfoAction("MERGE", now)) ++
         touched.map(f => removeAction(f.path, now)) ++
-        staged.map(s => addAction(s))
+        staged.map(s => addAction(s)) ++
+        cdcStaged.map(cdcAction)
       if (tryPublish(table, v + 1, lines)) return v + 1
       dropStaged(table, staged)
+      dropStaged(table, cdcStaged)
       attempt += 1 // lost the CAS race: replan against the winner
     }
     throw new IllegalStateException(s"merge: lost $maxRetries commit races on $table")
@@ -1276,12 +1642,24 @@ object DeltaWrite {
     * deleteIn+append pair when SetTransaction resume isn't needed. */
   def applyChanges(spark: SparkSession, table: String, changes: DataFrame,
       keys: Seq[String]): Long = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, max => fmax}
     val ct = col(DeltaRead.ChangeTypeCol)
+    // a feed spanning several versions must resolve each key to its
+    // LATEST change before the halves split: a key inserted in v1 and
+    // deleted in v2 nets to a DELETE — naively anti-joining the delete
+    // half against all inserts would resurrect it as an upsert. Keep
+    // only each key's max-version rows (within one version a
+    // delete+insert pair is an update, which the clause split below
+    // already resolves insert-first).
     val base =
-      if (changes.columns.contains(DeltaRead.CommitVersionCol))
-        changes.drop(DeltaRead.CommitVersionCol)
-      else changes
+      if (changes.columns.contains(DeltaRead.CommitVersionCol)) {
+        val latest = changes
+          .groupBy(keys.map(col): _*)
+          .agg(fmax(col(DeltaRead.CommitVersionCol)).as("__graft_max_v"))
+        changes.join(latest, keys)
+          .where(col(DeltaRead.CommitVersionCol) === col("__graft_max_v"))
+          .drop("__graft_max_v", DeltaRead.CommitVersionCol)
+      } else changes
     val ins = base.where(ct === "insert")
     val delOnly = base.where(ct === "delete")
       .join(ins.select(keys.map(col): _*).distinct(), keys, "left_anti")
@@ -1335,6 +1713,45 @@ object DeltaWrite {
       attempt += 1
     }
     throw new IllegalStateException(s"addCheckConstraint: lost 10 races on $table")
+  }
+
+  /** ALTER TABLE SET TBLPROPERTIES: merge `props` into the table's
+    * configuration as a metaData-only commit. Enabling
+    * `delta.enableChangeDataFeed` is the canonical use — from the
+    * committed version on, every row-changing deleteWhere / merge /
+    * restore also records its exact change rows as `_change_data` cdc
+    * files (appends and overwrites stay cdc-free: their add/remove
+    * actions already represent the change set exactly, as the
+    * protocol allows). The protocol advances as the feature requires:
+    * legacy tables below writer version 4 bump to (reader, 4);
+    * feature-form tables gain the `changeDataFeed` writer feature. */
+  def setProperties(spark: SparkSession, table: String,
+      props: Map[String, String]): Long = {
+    var attempt = 0
+    while (attempt < 10) {
+      val v = DeltaRead.latestVersion(table)
+      val s = DeltaRead.snapshotAt(spark, table, v)
+      validateWriterSupport(table, s, removesData = false)
+      val newConf = s.configuration ++ props
+      val protoLine =
+        if (!(cdcEnabled(newConf) && !cdcEnabled(s.configuration))) Nil
+        else if (s.minWriterVersion >= 7) {
+          if (s.writerFeatures.contains("changeDataFeed")) Nil
+          else Seq(protocolActionFull(
+            s.copy(writerFeatures = s.writerFeatures + "changeDataFeed")))
+        } else if (s.minWriterVersion < 4)
+          Seq(protocolActionFor(s.minReaderVersion, 4))
+        else Nil
+      val now = System.currentTimeMillis()
+      val lines = Seq(commitInfoAction("SET TBLPROPERTIES", now)) ++ protoLine ++
+        Seq(metaDataAction(s.metaId.getOrElse(UUID.randomUUID().toString),
+          s.schema.map(_.json).getOrElse(throw new IllegalStateException(
+            s"setProperties: $table has no schema")),
+          s.partitionColumns, now, newConf))
+      if (tryPublish(table, v + 1, lines)) return v + 1
+      attempt += 1
+    }
+    throw new IllegalStateException(s"setProperties: lost 10 races on $table")
   }
 
   /** ALTER TABLE DROP CONSTRAINT — metaData-only commit removing the
@@ -1531,12 +1948,17 @@ object DeltaWrite {
     val v = DeltaRead.latestVersion(table)
     val headFiles = DeltaRead.snapshotAt(spark, table, v).files
     val live = headFiles.map(f => Paths.get(table, f.path).normalize()).toSet
-    // deletion-vector bitmaps superseded by a later DELETE (or whose
-    // file was dropped) are garbage too — same retention contract
-    val liveDvs = headFiles.flatMap(_.dv)
-      .filter(d => d.storageType == "u" || d.storageType == "p")
-      .map(d => DeltaDv.dvFile(table, d).normalize()).toSet
     val cutoff = System.currentTimeMillis() - retentionMs
+    // deletion-vector bitmaps superseded by a later DELETE (or whose
+    // file was dropped) are garbage too — same retention contract as
+    // parquet: a bitmap still referenced by any snapshot INSIDE the
+    // retention window (superseded by a second deleteWhere, a merge,
+    // or a DV-purging compact committed after the cutoff) must
+    // survive, or time travel / restore() to those versions breaks
+    val liveDvs = (headFiles.flatMap(_.dv)
+      .filter(d => d.storageType == "u" || d.storageType == "p")
+      .map(d => DeltaDv.dvFile(table, d).normalize()).toSet) ++
+      DeltaRead.dvFilesInWindow(spark, table, cutoff)
     val root = Paths.get(table)
     val recentlyRemoved = recentRemovePaths(table, cutoff)
     // staging-dir eligibility is decided BEFORE the data-file walk:
@@ -1552,6 +1974,11 @@ object DeltaWrite {
           val n = p.getFileName.toString
           Files.isRegularFile(p) &&
             !p.startsWith(root.resolve("_delta_log")) &&
+            // cdc files share the JSON log's lifetime (changesBetween
+            // refuses once the commit JSON is gone, and this writer
+            // never truncates surviving commits), so they are not
+            // vacuum's to reclaim
+            !p.startsWith(root.resolve(CdcDir)) &&
             !n.startsWith("_") &&
             ((n.endsWith(".parquet") && !live(p.normalize()) &&
               !recentlyRemoved(p.normalize())) ||

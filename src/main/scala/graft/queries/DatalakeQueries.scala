@@ -1007,6 +1007,81 @@ object DatalakeQueries {
            |  true AS rejected_bad_batch
            |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** q203 — WRITE-side Change Data Feed
+    * ([[graft.io.DeltaWrite.setProperties]] +
+    * the cdc emission in deleteWhere / merge): a table is put under
+    * `delta.enableChangeDataFeed = true`, then mutated by an append
+    * (cdc-free — add actions are the exact change set), a
+    * deletion-vector erasure, and a MERGE upsert (both obligated to
+    * record `_change_data` cdc files). The feed is consumed BOTH ways —
+    * cdc-preferred and forced reconstruction
+    * ([[graft.io.DeltaRead.changesBetween]] `useCdc = false`) — and
+    * each fold must equal the live snapshot; `wrote_cdc` pins that the
+    * cdc actions actually landed (this isn't reconstruction twice),
+    * and `cdc_exact` pins the cdc stream of the merge commit at
+    * exactly changed-rows size (no spurious kept-row pairs). The
+    * oracle recomputes the final state arithmetically from
+    * `documents`. This retires the writer's last commonly-hit refusal:
+    * graft can now commit to CDF-obligated lakehouse tables. */
+  val q203CdfWrite = GQuery(
+    "q203_cdf_write",
+    (s, d) => {
+      import s.implicits._
+      val t = graft.io.Staging.tempDir("graft_q203_")
+      val docs = Tables.documents(s, d).select($"doc_id", $"lang", $"n_chars")
+      graft.io.DeltaWrite.append(
+        docs.filter(pmod($"doc_id", lit(2)) === 0).repartition(2), t)  // v0
+      graft.io.DeltaWrite.setProperties(s, t,
+        Map("delta.enableChangeDataFeed" -> "true"))                   // v1
+      graft.io.DeltaWrite.append(
+        docs.filter(pmod($"doc_id", lit(2)) === 1).repartition(2), t)  // v2
+      graft.io.DeltaWrite.deleteWhere(s, t, pmod($"doc_id", lit(10)) === 6) // v3
+      val src = docs.filter(pmod($"doc_id", lit(10)) === 1)
+        .withColumn("n_chars", $"n_chars" + 2000L)
+        .unionByName(docs.filter(pmod($"doc_id", lit(10)) === 8)
+          .withColumn("doc_id", $"doc_id" + 3000000L))
+      val mv = graft.io.DeltaWrite.merge(s, t, src, Seq("doc_id"))     // v4
+      val wroteCdc = Seq(3L, 4L).forall(v =>
+        java.nio.file.Files.readAllLines(java.nio.file.Paths.get(
+          t, "_delta_log", f"$v%020d.json")).stream()
+          .anyMatch(_.contains("\"cdc\"")))
+      // merge touched-keys: |%10==1 updates| * 2 (pre+post) + |new inserts|
+      val nUpd = docs.filter(pmod($"doc_id", lit(10)) === 1).count()
+      val nNew = docs.filter(pmod($"doc_id", lit(10)) === 8).count()
+      val cdcExact = graft.io.DeltaRead.changesBetween(s, t, mv - 1, mv)
+        .count() == 2 * nUpd + nNew
+      def foldAgg(changes: org.apache.spark.sql.DataFrame) = changes
+        .groupBy($"doc_id", $"lang", $"n_chars")
+        .agg(sum(when($"_change_type" === "insert", 1).otherwise(-1)).as("net"))
+        .where($"net" === 1)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"),
+          sum($"doc_id").as("sum_ids"))
+      val viaCdc = foldAgg(graft.io.DeltaRead.changesBetween(s, t, -1L, mv))
+      val viaRecon = foldAgg(
+        graft.io.DeltaRead.changesBetween(s, t, -1L, mv, useCdc = false))
+        .withColumnRenamed("n_docs", "r_docs")
+        .withColumnRenamed("sum_chars", "r_chars")
+        .withColumnRenamed("sum_ids", "r_ids")
+      viaCdc.join(viaRecon, Seq("lang"))
+        .withColumn("wrote_cdc", lit(wroteCdc))
+        .withColumn("cdc_exact", lit(cdcExact))
+        .orderBy($"lang")
+    },
+    Some("""WITH fin AS (
+           |  SELECT doc_id, lang,
+           |    CASE WHEN doc_id % 10 = 1 THEN n_chars + 2000 ELSE n_chars END AS nc
+           |  FROM documents WHERE doc_id % 10 <> 6
+           |  UNION ALL
+           |  SELECT doc_id + 3000000, lang, n_chars FROM documents WHERE doc_id % 10 = 8),
+           |agg AS (SELECT lang, count(*) AS n, CAST(sum(nc) AS BIGINT) AS ch,
+           |               CAST(sum(doc_id) AS BIGINT) AS ids
+           |        FROM fin GROUP BY lang)
+           |SELECT lang, n AS n_docs, ch AS sum_chars, ids AS sum_ids,
+           |       n AS r_docs, ch AS r_chars, ids AS r_ids,
+           |       true AS wrote_cdc, true AS cdc_exact
+           |FROM agg ORDER BY lang""".stripMargin))
+
   val all: Seq[GQuery] = Seq(
     q130SnapshotDiff, q131IncrementalAgg, q132SchemaEvolution,
     q133KAnonymity, q134GdprErasure, q147CompactionPlan,
@@ -1014,5 +1089,6 @@ object DatalakeQueries {
     q163OrcRoundtrip, q164PartitionPruning, q166CorruptTolerance,
     q177TxTable, q179DeltaRead, q180DeltaRoundtrip, q184TxToDelta,
     q194DeltaChangefeed, q196CdfFold, q197MergeUpsert,
-    q198DvErasure, q199CdfMirror, q200Restore, q202TableFeatures)
+    q198DvErasure, q199CdfMirror, q200Restore, q202TableFeatures,
+    q203CdfWrite)
 }

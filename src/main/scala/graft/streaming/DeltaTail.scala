@@ -47,7 +47,9 @@ object DeltaTail {
     * no rewrite), then the insert half lands via `appendOnce` carrying
     * the version mark. `keys` must uniquely identify rows in `source`
     * (the usual CDC primary-key contract) — the delete half arrives as
-    * keys, and a duplicate key would over-delete.
+    * keys. The contract is ENFORCED per batch: a version whose insert
+    * half carries duplicate keys is refused loudly (see below) rather
+    * than silently over-deleting on a later fold.
     *
     * Exactly-once across crashes and re-runs: a version whose mark the
     * sink already records is skipped whole; a crash between the delete
@@ -62,6 +64,18 @@ object DeltaTail {
         .select(keys.map(col): _*)
       val ins = changes.where(col(DeltaRead.ChangeTypeCol) === "insert")
         .drop(DeltaRead.ChangeTypeCol, DeltaRead.CommitVersionCol)
+      // the CDC primary-key contract is CHECKED, not trusted: a source
+      // version inserting two rows under one key would silently
+      // over-delete on the next fold (the delete half applies by key) —
+      // refuse loudly instead, one limit(1) job per batch
+      val dup = ins.groupBy(keys.map(col): _*)
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("__n"))
+        .where(col("__n") > 1).limit(1).count()
+      require(dup == 0L,
+        s"mirror: source $source version $v inserts duplicate rows under " +
+          s"keys ${keys.mkString(",")} — not a valid CDC key; mirroring " +
+          "would over-delete on a later fold")
       if (graft.io.DeltaWrite.lastTxnVersion(spark, sink, appId).forall(_ < v)) {
         // sink may not exist yet — create it with the first insert
         // batch; deletes against a non-existent sink cannot match

@@ -1,0 +1,127 @@
+package graft
+
+import graft.io.{DeltaDv, DeltaRead, DeltaWrite}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+import java.nio.file.attribute.FileTime
+
+/** Hardening of the Delta maintenance surface: protocol upgrades UNION
+  * existing + legacy-implied feature lists (never overwrite them),
+  * vacuum's retention window protects deletion vectors superseded
+  * inside it (time travel / restore stay whole), applyChanges resolves
+  * a multi-version feed to each key's latest change, and the CDC
+  * mirror enforces its primary-key contract loudly instead of
+  * silently over-deleting. */
+class DeltaMaintenanceSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def newTable(): String =
+    Files.createTempDirectory("deltamaint").toString
+
+  private def cleanup(t: String): Unit =
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(t))
+
+  test("first-DV protocol upgrade unions legacy-implied + existing features") {
+    val t = newTable()
+    try {
+      DeltaWrite.append((1 to 40).map(i => (i.toLong, s"x$i")).toDF("id", "txt"), t)
+      DeltaWrite.addCheckConstraint(spark, t, "pos", "id > 0") // legacy writer v3
+      assert(DeltaRead.snapshot(spark, t).minWriterVersion == 3)
+      DeltaWrite.deleteWhere(spark, t, $"id" % 5 === 0)
+      val s = DeltaRead.snapshot(spark, t)
+      assert(s.minReaderVersion == 3 && s.minWriterVersion == 7)
+      assert(Set("appendOnly", "invariants", "checkConstraints", "deletionVectors")
+        .subsetOf(s.writerFeatures),
+        s"legacy-implied features must survive the upgrade: ${s.writerFeatures}")
+      assert(s.readerFeatures.contains("deletionVectors"))
+      // the v3-implied constraint still ENFORCES after the upgrade
+      intercept[IllegalStateException](
+        DeltaWrite.append(Seq((-1L, "bad")).toDF("id", "txt"), t))
+      assert(DeltaRead.read(spark, t).count() == 32)
+    } finally cleanup(t)
+  }
+
+  test("vacuum spares a DV superseded inside the retention window; restore stays whole") {
+    val t = newTable()
+    try {
+      DeltaWrite.append((1 to 60).map(i => (i.toLong, s"x$i")).toDF("id", "txt"), t) // v0
+      DeltaWrite.deleteWhere(spark, t, $"id" % 3 === 0) // v1: DV d1
+      val d1 = DeltaRead.snapshot(spark, t).files.flatMap(_.dv)
+        .map(d => DeltaDv.dvFile(t, d))
+      assert(d1.nonEmpty)
+      DeltaWrite.deleteWhere(spark, t, $"id" % 7 === 0) // v2: d1 merged into d2
+      val headDvs = DeltaRead.snapshot(spark, t).files.flatMap(_.dv)
+        .map(d => DeltaDv.dvFile(t, d)).toSet
+      assert(d1.forall(!headDvs.contains(_)), "v2 must supersede v1's bitmap")
+      // age the superseded bitmap far past any mtime guard — only the
+      // in-window commit protection can save it now
+      d1.foreach(p => Files.setLastModifiedTime(p, FileTime.fromMillis(1000L)))
+      DeltaWrite.vacuum(spark, t, retentionMs = 60000)
+      d1.foreach(p => assert(Files.exists(p),
+        s"DV superseded inside the retention window was reclaimed: $p"))
+      assert(DeltaRead.readVersion(spark, t, 1).count() == 40) // time travel intact
+      // quiesced vacuum (window already closed) reclaims it; restore
+      // to the dependent version then refuses loudly, never partially
+      DeltaWrite.vacuum(spark, t, retentionMs = -60000)
+      d1.foreach(p => assert(!Files.exists(p)))
+      val e = intercept[IllegalArgumentException](DeltaWrite.restore(spark, t, 1))
+      assert(e.getMessage.contains("deletion vector"))
+    } finally cleanup(t)
+  }
+
+  test("applyChanges nets a later delete over an earlier insert across versions") {
+    val src = newTable(); val dst = newTable()
+    try {
+      val base = (1 to 5).map(i => (i.toLong, s"v$i")).toDF("id", "txt")
+      DeltaWrite.append(base, src)                                          // v0
+      DeltaWrite.append(Seq((6L, "v6"), (7L, "v7")).toDF("id", "txt"), src) // v1
+      DeltaWrite.deleteWhere(spark, src, $"id".isin(1L, 6L))                // v2
+      DeltaWrite.append(base, dst) // mirror seeded at the v0 state
+      DeltaWrite.applyChanges(spark, dst,
+        DeltaRead.changesBetween(spark, src, 0L, 2L), Seq("id"))
+      val got = DeltaRead.read(spark, dst).select($"id").as[Long].collect().sorted
+      assert(got.sameElements(Array(2L, 3L, 4L, 5L, 7L)),
+        s"key 6 (inserted v1, deleted v2) must net to a delete: ${got.mkString(",")}")
+      // and the single-version shape (update pairs) still upserts
+      DeltaWrite.merge(spark, src,
+        Seq((2L, "v2x"), (8L, "v8")).toDF("id", "txt"), Seq("id"))          // v3
+      DeltaWrite.applyChanges(spark, dst,
+        DeltaRead.changesBetween(spark, src, 2L, 3L), Seq("id"))
+      val after = DeltaRead.read(spark, dst).orderBy($"id")
+        .as[(Long, String)].collect()
+      assert(after.toSeq == Seq((2L, "v2x"), (3L, "v3"), (4L, "v4"),
+        (5L, "v5"), (7L, "v7"), (8L, "v8")))
+    } finally { cleanup(src); cleanup(dst) }
+  }
+
+  test("mirror refuses a source version whose insert half duplicates a key") {
+    val src = newTable(); val dst = newTable()
+    try {
+      DeltaWrite.append(Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("id", "txt"), src)
+      val e = intercept[IllegalArgumentException](
+        graft.streaming.DeltaTail.mirror(spark, src, dst, Seq("id")))
+      assert(e.getMessage.contains("duplicate"))
+    } finally { cleanup(src); cleanup(dst) }
+  }
+
+  test("deleteWhere works on a column-mapped table (physical keys re-emitted)") {
+    val t = newTable()
+    try {
+      val df = (1 to 40).map(i => (i.toLong, s"x$i", if (i % 2 == 0) "a" else "b"))
+        .toDF("id", "txt", "grp")
+      DeltaWrite.createColumnMapped(df, t, partitionBy = Seq("grp"))
+      DeltaWrite.deleteWhere(spark, t, $"id" % 4 === 0)
+      val got = DeltaRead.read(spark, t)
+      assert(got.count() == 30)
+      assert(got.where($"id" % 4 === 0).count() == 0)
+      // partitionValues keys in the head snapshot stay consistent
+      // (logical after translation), and the re-added entries carry DVs
+      val s = DeltaRead.snapshot(spark, t)
+      assert(s.files.exists(_.dv.isDefined))
+      assert(s.files.forall(_.partitionValues.keySet == Set("grp")))
+      assert(s.minWriterVersion == 7 &&
+        s.writerFeatures.contains("columnMapping") &&
+        s.writerFeatures.contains("deletionVectors"))
+    } finally cleanup(t)
+  }
+}
