@@ -69,16 +69,17 @@ object DeltaRead {
   }
 
   /** Reader features this implementation actually honors. Anything
-    * else (v2Checkpoint, ...) would silently change
-    * what the data MEANS — columns resolving to the wrong parquet
-    * field — so an unsupported feature is a loud error, never a
-    * best-effort read. timestampNtz only widens a type (the parquet
-    * scan already handles it); deletionVectors is implemented for
-    * real (descriptor decode + row masking — [[DeltaDv]]);
-    * columnMapping is implemented by scanning under physical names and
-    * renaming back (see [[ColumnMapping]]). */
+    * else would silently change what the data MEANS — columns
+    * resolving to the wrong parquet field — so an unsupported feature
+    * is a loud error, never a best-effort read. timestampNtz only
+    * widens a type (the parquet scan already handles it);
+    * deletionVectors is implemented for real (descriptor decode + row
+    * masking — [[DeltaDv]]); columnMapping is implemented by scanning
+    * under physical names and renaming back (see [[ColumnMapping]]);
+    * v2Checkpoint resolves the UUID-manifest + sidecar layout current
+    * Delta releases write by default (see `applyV2Checkpoint`). */
   private val SupportedReaderFeatures =
-    Set("timestampNtz", "deletionVectors", "columnMapping")
+    Set("timestampNtz", "deletionVectors", "columnMapping", "v2Checkpoint")
 
   /** Column-mapping translation (PROTOCOL.md "Column Mapping"): when
     * `delta.columnMapping.mode` is `name` or `id`, each logical field
@@ -183,22 +184,44 @@ object DeltaRead {
     * when one checkpoint parquet would be too big. */
   private val MultiPartRe = """^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$""".r
 
-  /** The checkpoint file set for version `v`: the single-part name, or
-    * the COMPLETE multi-part set — an incomplete set (a writer died
-    * mid-checkpoint) is invisible, never a partial state. */
-  private def checkpointParts(table: String, v: Long): Seq[Path] = {
+  /** `<v>.checkpoint.<uuid>.{parquet,json}` — a V2 CHECKPOINT
+    * (PROTOCOL.md "V2 spec checkpoints"): a UUID-named MANIFEST
+    * holding the non-file actions plus `sidecar` pointers to parquet
+    * files under `_delta_log/_sidecars/` that carry the add actions.
+    * The default layout current Delta releases write. */
+  private val V2Re =
+    """^(\d{20})\.checkpoint\.([0-9a-fA-F-]{36})\.(parquet|json)$""".r
+
+  /** A resolvable checkpoint at one version: the classic single/multi
+    * part set, or a v2 manifest. */
+  private sealed trait CheckpointRef
+  private final case class ClassicCp(parts: Seq[Path]) extends CheckpointRef
+  private final case class V2Cp(manifest: Path) extends CheckpointRef
+
+  /** The checkpoint for version `v`, if whole: classic single-part,
+    * COMPLETE multi-part set (an incomplete set — a writer death
+    * mid-checkpoint — is invisible, never a partial state), or a v2
+    * manifest. Classic wins when both exist (graft writes classic;
+    * either resolves to the same state). */
+  private def checkpointRef(table: String, v: Long): Option[CheckpointRef] = {
     val single = logDir(table).resolve(f"$v%020d.checkpoint.parquet")
-    if (Files.exists(single)) Seq(single)
+    if (Files.exists(single)) Some(ClassicCp(Seq(single)))
     else {
-      val parts = listLog(table).flatMap {
+      val names = listLog(table)
+      val parts = names.flatMap {
         case n @ MultiPartRe(ver, i, cnt) if ver.toLong == v =>
           Some((i.toInt, cnt.toInt, n))
         case _ => None
       }
-      parts.headOption.map(_._2) match {
+      val multi = parts.headOption.map(_._2) match {
         case Some(n) if parts.size == n && parts.map(_._1).toSet == (1 to n).toSet =>
-          parts.sortBy(_._1).map(p => logDir(table).resolve(p._3))
-        case _ => Nil
+          Some(ClassicCp(parts.sortBy(_._1).map(p => logDir(table).resolve(p._3))))
+        case _ => None
+      }
+      multi.orElse {
+        names.collect { case n @ V2Re(ver, _, _) if ver.toLong == v => n }
+          .sorted.headOption // deterministic pick among racing writers
+          .map(n => V2Cp(logDir(table).resolve(n)))
       }
     }
   }
@@ -210,13 +233,15 @@ object DeltaRead {
     val cpVs = names.filter(_.endsWith(".checkpoint.parquet"))
       .map(_.stripSuffix(".checkpoint.parquet")).filter(_.forall(_.isDigit)).map(_.toLong)
     val mpVs = names.collect { case MultiPartRe(ver, _, _) => ver.toLong }
-    require(jsonVs.nonEmpty || cpVs.nonEmpty || mpVs.nonEmpty, s"$table: empty _delta_log")
-    (jsonVs ++ cpVs ++ mpVs).max
+    val v2Vs = names.collect { case V2Re(ver, _, _) => ver.toLong }
+    require(jsonVs.nonEmpty || cpVs.nonEmpty || mpVs.nonEmpty || v2Vs.nonEmpty,
+      s"$table: empty _delta_log")
+    (jsonVs ++ cpVs ++ mpVs ++ v2Vs).max
   }
 
-  /** The newest single-part checkpoint version ≤ `target`, preferring
-    * the `_last_checkpoint` pointer (one read instead of a listing)
-    * when it is present and in range. */
+  /** The newest whole checkpoint version ≤ `target`, preferring the
+    * `_last_checkpoint` pointer (one read instead of a listing) when
+    * it is present and in range. */
   private def checkpointAtOrBelow(table: String, target: Long): Option[Long] = {
     val fromPointer =
       try {
@@ -225,7 +250,7 @@ object DeltaRead {
           val node = mapper.readTree(Files.readAllBytes(p))
           Option(node.get("version")).map(_.asLong()).filter(_ <= target)
             // trust the pointer only when the files it names are whole
-            .filter(v => checkpointParts(table, v).nonEmpty)
+            .filter(v => checkpointRef(table, v).isDefined)
         } else None
       } catch { case _: Exception => None }
     fromPointer.orElse {
@@ -233,9 +258,11 @@ object DeltaRead {
       val singles = names.filter(_.endsWith(".checkpoint.parquet"))
         .map(_.stripSuffix(".checkpoint.parquet")).filter(_.forall(_.isDigit))
         .map(_.toLong)
-      val multis = names.collect { case MultiPartRe(ver, _, _) => ver.toLong }.distinct
-        .filter(v => checkpointParts(table, v).nonEmpty) // complete sets only
-      (singles ++ multis).filter(_ <= target).maxOption
+      val others = names.collect {
+        case MultiPartRe(ver, _, _) => ver.toLong
+        case V2Re(ver, _, _) => ver.toLong
+      }.distinct.filter(v => checkpointRef(table, v).isDefined) // whole only
+      (singles ++ others).filter(_ <= target).maxOption
     }
   }
 
@@ -364,10 +391,71 @@ object DeltaRead {
       }
     } catch { case _: Exception => statsJson }
 
-  private def applyCheckpoint(spark: SparkSession, table: String, v: Long, r: Replay): Unit = {
-    val parts = checkpointParts(table, v)
-    require(parts.nonEmpty, s"$table: checkpoint $v has no complete file set")
-    val cp = spark.read.parquet(parts.map(_.toString): _*)
+  private def applyCheckpoint(spark: SparkSession, table: String, v: Long, r: Replay): Unit =
+    checkpointRef(table, v) match {
+      case Some(ClassicCp(parts)) =>
+        applyActionFrame(spark.read.parquet(parts.map(_.toString): _*), r)
+      case Some(V2Cp(manifest)) => applyV2Checkpoint(spark, table, manifest, r)
+      case None => throw new IllegalArgumentException(
+        s"$table: checkpoint $v has no complete file set")
+    }
+
+  /** A V2 CHECKPOINT: the manifest (parquet, or newline-JSON actions)
+    * carries protocol / metaData / txn — and possibly inline adds —
+    * plus `sidecar` actions naming the `_delta_log/_sidecars/`
+    * parquet files that hold the file actions. Sidecar `remove` rows are
+    * vacuum tombstones, not reader-visible state (same as classic
+    * checkpoints, which simply omit them from graft's writer). */
+  private def applyV2Checkpoint(spark: SparkSession, table: String,
+      manifest: Path, r: Replay): Unit = {
+    val sidecarDir = logDir(table).resolve("_sidecars")
+    def sidecarPath(p: String): Path = {
+      val dp = decodePath(p)
+      if (dp.startsWith("/")) Paths.get(dp) else sidecarDir.resolve(dp)
+    }
+    val sidecars = scala.collection.mutable.ArrayBuffer.empty[Path]
+    if (manifest.getFileName.toString.endsWith(".json")) {
+      Files.readAllLines(manifest).asScala.filter(_.trim.nonEmpty).foreach { line =>
+        val node = mapper.readTree(line)
+        val addN = node.get("add"); val metaN = node.get("metaData")
+        val protoN = node.get("protocol"); val txnN = node.get("txn")
+        val sideN = node.get("sidecar")
+        if (addN != null) r.add(fileEntry(addN))
+        if (metaN != null) r.metaData(
+          metaN.get("schemaString").asText(),
+          Option(metaN.get("partitionColumns"))
+            .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil),
+          Option(metaN.get("id")).filterNot(_.isNull).map(_.asText()),
+          Option(metaN.get("configuration")).filterNot(_.isNull).map { c =>
+            c.fieldNames().asScala.map(k => k -> c.get(k).asText()).toMap
+          }.getOrElse(Map.empty))
+        if (protoN != null) r.protocol(
+          Option(protoN.get("minReaderVersion")).map(_.asInt()).getOrElse(1),
+          Option(protoN.get("readerFeatures")).filterNot(_.isNull)
+            .map(_.elements().asScala.map(_.asText()).toSet).getOrElse(Set.empty),
+          Option(protoN.get("minWriterVersion")).map(_.asInt()).getOrElse(2),
+          Option(protoN.get("writerFeatures")).filterNot(_.isNull)
+            .map(_.elements().asScala.map(_.asText()).toSet).getOrElse(Set.empty))
+        if (txnN != null) r.txn(txnN.get("appId").asText(), txnN.get("version").asLong())
+        if (sideN != null) sidecars += sidecarPath(sideN.get("path").asText())
+      }
+    } else {
+      val cp = spark.read.parquet(manifest.toString)
+      applyActionFrame(cp, r)
+      if (cp.columns.contains("sidecar"))
+        cp.where(cp("sidecar").isNotNull).selectExpr("sidecar.path")
+          .collect().foreach(row => sidecars += sidecarPath(row.getString(0)))
+    }
+    sidecars.foreach { sc =>
+      require(Files.exists(sc),
+        s"$table: v2 checkpoint sidecar $sc is missing — checkpoint unusable")
+      applyActionFrame(spark.read.parquet(sc.toString), r)
+    }
+  }
+
+  /** Apply one checkpoint-shaped action frame (protocol / txn /
+    * metaData / add columns, any subset) to the replay. */
+  private def applyActionFrame(cp: DataFrame, r: Replay): Unit = {
     val cols = cp.columns.toSet
     def struct(name: String) = cp.schema(name).dataType.asInstanceOf[StructType]
     def has(parent: String, field: String) = struct(parent).fieldNames.contains(field)

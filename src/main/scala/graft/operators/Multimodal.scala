@@ -83,13 +83,214 @@ object ImageCodec {
   }
 }
 
+/** REAL pure-JVM PNG PIXEL codec — the decode seam closed: IDAT
+  * inflate via `java.util.zip.Inflater` plus the five PNG scanline
+  * filters (None/Sub/Up/Average/Paeth, PNG spec §9), no imaging
+  * library. Supports the non-interlaced 8-bit-depth color types
+  * (gray, gray+alpha, RGB, RGBA) — the overwhelming majority of real
+  * PNGs; anything else (16-bit, palette, Adam7) and any corruption
+  * (bad signature, chunk CRC mismatch, truncated IDAT, wrong
+  * inflated size) decodes to None → a NULL row, never a task
+  * failure. The matching [[encode]] (filter-0 scanlines, CRC'd
+  * chunks) exists so tests and oracles can build REAL byte-exact
+  * PNGs from arithmetic another engine reproduces. */
+object PngCodec {
+  import java.util.zip.{CRC32, Deflater, Inflater}
+
+  /** Decoded 8-bit image: row-major samples, `channels` per pixel. */
+  final case class Pixels(width: Int, height: Int, channels: Int, data: Array[Byte])
+
+  private val Sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  private def beU32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+
+  private def channelsOf(colorType: Int): Option[Int] = colorType match {
+    case 0 => Some(1) // grayscale
+    case 2 => Some(3) // RGB
+    case 4 => Some(2) // gray + alpha
+    case 6 => Some(4) // RGBA
+    case _ => None    // palette (3) and exotica: out of scope, None
+  }
+
+  /** Full pixel decode. None on anything malformed — the corrupt→NULL
+    * contract [[ImageCodec.parseHeader]] established. */
+  def decode(bytes: Array[Byte]): Option[Pixels] = {
+    try {
+      if (bytes == null || bytes.length < 45) return None
+      if (!bytes.take(8).sameElements(Sig)) return None
+      var i = 8
+      var w = 0; var h = 0; var channels = 0
+      var seenIhdr = false
+      val idat = new java.io.ByteArrayOutputStream()
+      while (i + 8 <= bytes.length) {
+        val len = beU32(bytes, i)
+        if (len > Int.MaxValue - 12 || i + 12 + len > bytes.length) return None
+        val typ = new String(bytes, i + 4, 4, "US-ASCII")
+        // chunk CRC covers type + data — a flipped byte must not
+        // silently decode into wrong pixels
+        val crc = new CRC32()
+        crc.update(bytes, i + 4, 4 + len.toInt)
+        if (crc.getValue != beU32(bytes, i + 8 + len.toInt)) return None
+        typ match {
+          case "IHDR" =>
+            if (len != 13) return None
+            w = beU32(bytes, i + 8).toInt; h = beU32(bytes, i + 12).toInt
+            val bitDepth = bytes(i + 16) & 0xff
+            val colorType = bytes(i + 17) & 0xff
+            val compression = bytes(i + 18) & 0xff
+            val filterMethod = bytes(i + 19) & 0xff
+            val interlace = bytes(i + 20) & 0xff
+            if (w <= 0 || h <= 0 || bitDepth != 8 || compression != 0 ||
+                filterMethod != 0 || interlace != 0) return None
+            channels = channelsOf(colorType).getOrElse(return None)
+            seenIhdr = true
+          case "IDAT" => idat.write(bytes, i + 8, len.toInt)
+          case "IEND" =>
+            if (!seenIhdr) return None
+            return inflateAndUnfilter(idat.toByteArray, w, h, channels)
+          case _ => () // ancillary chunks pass through
+        }
+        i += 12 + len.toInt
+      }
+      None // no IEND: truncated stream
+    } catch { case _: Exception => None }
+  }
+
+  private def inflateAndUnfilter(compressed: Array[Byte], w: Int, h: Int,
+      ch: Int): Option[Pixels] = {
+    val stride = w * ch
+    val expect = h.toLong * (stride + 1)
+    if (expect > Int.MaxValue / 2) return None // decompression-bomb guard
+    val raw = new Array[Byte](expect.toInt)
+    val inf = new Inflater()
+    try {
+      inf.setInput(compressed)
+      var off = 0
+      while (off < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, off, raw.length - off)
+        if (n == 0 && inf.needsInput()) return None // truncated IDAT
+        off += n
+      }
+      if (off != raw.length) return None
+    } catch { case _: Exception => return None }
+    finally inf.end()
+    val out = new Array[Byte](h * stride)
+    var y = 0
+    while (y < h) {
+      val f = raw(y * (stride + 1)) & 0xff
+      val src = y * (stride + 1) + 1
+      val dst = y * stride
+      var x = 0
+      while (x < stride) {
+        val a = if (x >= ch) out(dst + x - ch) & 0xff else 0          // left
+        val b = if (y > 0) out(dst - stride + x) & 0xff else 0        // up
+        val c = if (y > 0 && x >= ch) out(dst - stride + x - ch) & 0xff else 0 // up-left
+        val v = raw(src + x) & 0xff
+        val recon = f match {
+          case 0 => v
+          case 1 => v + a
+          case 2 => v + b
+          case 3 => v + ((a + b) >> 1)
+          case 4 => // Paeth predictor (PNG spec §9.4)
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            v + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+          case _ => return None
+        }
+        out(dst + x) = (recon & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Some(Pixels(w, h, ch, out))
+  }
+
+  /** One CRC'd chunk. Package-visible so specs can hand-build streams
+    * (including deliberately filtered scanlines). */
+  private[graft] def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def be32(v: Long): Unit = {
+      out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+      out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+    }
+    be32(data.length.toLong)
+    val tb = typ.getBytes("US-ASCII")
+    out.write(tb); out.write(data)
+    val crc = new CRC32(); crc.update(tb); crc.update(data)
+    be32(crc.getValue)
+    out.toByteArray
+  }
+
+  private[graft] def ihdr(w: Int, h: Int, colorType: Int): Array[Byte] = {
+    val d = new Array[Byte](13)
+    d(0) = ((w >> 24) & 0xff).toByte; d(1) = ((w >> 16) & 0xff).toByte
+    d(2) = ((w >> 8) & 0xff).toByte; d(3) = (w & 0xff).toByte
+    d(4) = ((h >> 24) & 0xff).toByte; d(5) = ((h >> 16) & 0xff).toByte
+    d(6) = ((h >> 8) & 0xff).toByte; d(7) = (h & 0xff).toByte
+    d(8) = 8 // bit depth
+    d(9) = colorType.toByte
+    d
+  }
+
+  private[graft] def deflate(raw: Array[Byte]): Array[Byte] = {
+    val d = new Deflater()
+    d.setInput(raw); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  /** Encode 8-bit samples as a real PNG (filter-0 scanlines). */
+  def encode(width: Int, height: Int, channels: Int, data: Array[Byte]): Array[Byte] = {
+    val colorType = channels match {
+      case 1 => 0; case 2 => 4; case 3 => 2; case 4 => 6
+      case n => throw new IllegalArgumentException(s"encode: $n channels")
+    }
+    require(data.length == width * height * channels,
+      s"encode: ${data.length} bytes for ${width}x$height x$channels")
+    val stride = width * channels
+    val raw = new Array[Byte](height * (stride + 1))
+    var y = 0
+    while (y < height) {
+      raw(y * (stride + 1)) = 0 // filter: None
+      System.arraycopy(data, y * stride, raw, y * (stride + 1) + 1, stride)
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Sig)
+    out.write(chunk("IHDR", ihdr(width, height, colorType)))
+    out.write(chunk("IDAT", deflate(raw)))
+    out.write(chunk("IEND", Array.empty[Byte]))
+    out.toByteArray
+  }
+
+  /** Per-channel unsigned sums — exact integers, the oracle-friendly
+    * aggregate (means are sums over w·h, derived downstream). */
+  def channelSums(p: Pixels): Array[Long] = {
+    val sums = new Array[Long](p.channels)
+    var i = 0
+    while (i < p.data.length) {
+      sums(i % p.channels) += p.data(i) & 0xff
+      i += 1
+    }
+    sums
+  }
+}
+
 /** Multimodal column plumbing: image/audio/video payloads as opaque
   * `BinaryType` columns plus a typed metadata struct, processed with
   * ordinary column expressions. The HEADER codec is REAL
   * ([[ImageCodec]] + [[Multimodal.decodeHeaders]]: PNG/JPEG/GIF
-  * signature + dimension byte-parsing, pure JVM, q176-oracle-pinned);
-  * only full PIXEL decode remains behind [[fakeDecode]]'s documented
-  * seam (imaging libraries are a deploy-time dependency).
+  * signature + dimension byte-parsing, pure JVM, q176-oracle-pinned),
+  * and so is PNG PIXEL decode ([[PngCodec]] +
+  * [[Multimodal.decodePixels]]: IDAT inflate + all five scanline
+  * filters, q205-oracle-pinned); only JPEG/GIF pixel decode remains
+  * behind [[fakeDecode]]'s documented seam (their entropy coders are
+  * a deploy-time imaging dependency).
   *
   * At 100 TB: binary payloads ride parquet as-is; metadata extraction
   * is scan-side column math; heavy per-item work (real decode, model
@@ -184,6 +385,39 @@ object Multimodal {
     df.withColumn("payload", payload)
       .withColumn("meta", withMeta(payload, "application/octet-stream"))
       .withColumn("decoded", fakeDecode(payload))
+  }
+
+  /** REAL pixel decode over a binary payload column ([[PngCodec]]):
+    * appends (px_width, px_height, px_channels, px_sum0..px_sum3) —
+    * dimensions, channel count and EXACT per-channel byte sums
+    * (integer, oracle-reproducible; means derive downstream as
+    * sum / (w·h)) — with NULL columns for undecodable payloads. Same
+    * mapPartitions seam as [[decodeHeaders]]: one narrow pass over
+    * the payload scan, no shuffle, corrupt rows surface as NULLs to
+    * filter and account. */
+  def decodePixels(df: DataFrame, payloadCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("px_width", IntegerType),
+      StructField("px_height", IntegerType),
+      StructField("px_channels", IntegerType),
+      StructField("px_sum0", LongType),
+      StructField("px_sum1", LongType),
+      StructField("px_sum2", LongType),
+      StructField("px_sum3", LongType)))
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        PngCodec.decode(r.getAs[Array[Byte]](idx)) match {
+          case Some(p) =>
+            val s = PngCodec.channelSums(p)
+            def sumAt(c: Int): Any = if (c < p.channels) s(c) else null
+            Row.fromSeq(r.toSeq ++ Seq(p.width, p.height, p.channels,
+              sumAt(0), sumAt(1), sumAt(2), sumAt(3)))
+          case None =>
+            Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, null, null, null))
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   /** REAL header decode over a binary payload column: appends

@@ -271,6 +271,64 @@ object StarQueries {
            |       ELSE CAST(doc_id % 1079 + 1 AS INT) END AS img_height
            |FROM documents""".stripMargin))
 
+  /** q205 — REAL PNG PIXEL decode
+    * ([[graft.operators.PngCodec]] + `Multimodal.decodePixels`): the
+    * last simulated codec seam closed for PNG. Per selected document
+    * a REAL PNG is encoded executor-side (gradient pixels from
+    * doc_id arithmetic, filter-0 scanlines, zlib-deflated IDAT,
+    * CRC'd chunks); one in three payloads is truncated. decodePixels
+    * then inflates + unfilters each payload and emits EXACT
+    * per-channel byte sums. The oracle never sees a byte of PNG: it
+    * recomputes every pixel value from the same arithmetic
+    * (unnest(range) grids) — a green row proves inflate, unfilter,
+    * channel packing and corrupt→NULL accounting are all exact. */
+  val q205PngPixels = GQuery(
+    "q205_png_pixels",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).select($"doc_id", $"lang")
+        .where(pmod($"doc_id", lit(7)) === 0)
+      val media = docs.as[(Long, String)].map { case (id, lang) =>
+        val w = (id % 13).toInt + 4; val h = (id % 9).toInt + 3
+        val data = Array.tabulate(w * h * 3) { i =>
+          val px = i / 3; val c = i % 3
+          val x = px % w; val y = px / w
+          ((x * 7 + y * 13 + c * 31 + id) % 256).toByte
+        }
+        val png = graft.operators.PngCodec.encode(w, h, 3, data)
+        (id, lang, if (id % 3 == 0) png.take(20) else png)
+      }.toDF("doc_id", "lang", "payload")
+      Multimodal.decodePixels(media, "payload")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_imgs"),
+          count($"px_width").as("n_decoded"),
+          sum($"px_width").cast("long").as("sum_w"),
+          sum($"px_height").cast("long").as("sum_h"),
+          sum($"px_sum0").as("s0"),
+          sum($"px_sum1").as("s1"),
+          sum($"px_sum2").as("s2"))
+        .orderBy($"lang")
+    },
+    Some("""WITH docs AS (
+           |  SELECT doc_id, lang, (doc_id % 13) + 4 AS w, (doc_id % 9) + 3 AS h
+           |  FROM documents WHERE doc_id % 7 = 0),
+           |base AS (
+           |  SELECT lang, count(*) AS n_imgs,
+           |         count(*) FILTER (WHERE doc_id % 3 <> 0) AS n_decoded,
+           |         CAST(sum(w) FILTER (WHERE doc_id % 3 <> 0) AS BIGINT) AS sum_w,
+           |         CAST(sum(h) FILTER (WHERE doc_id % 3 <> 0) AS BIGINT) AS sum_h
+           |  FROM docs GROUP BY lang),
+           |xs AS (SELECT doc_id, lang, h, unnest(range(w)) AS x
+           |       FROM docs WHERE doc_id % 3 <> 0),
+           |xy AS (SELECT doc_id, lang, x, unnest(range(h)) AS y FROM xs),
+           |px AS (SELECT lang,
+           |         CAST(sum((x*7 + y*13 + doc_id) % 256) AS BIGINT) AS s0,
+           |         CAST(sum((x*7 + y*13 + 31 + doc_id) % 256) AS BIGINT) AS s1,
+           |         CAST(sum((x*7 + y*13 + 62 + doc_id) % 256) AS BIGINT) AS s2
+           |       FROM xy GROUP BY lang)
+           |SELECT lang, n_imgs, n_decoded, sum_w, sum_h, s0, s1, s2
+           |FROM base LEFT JOIN px USING (lang) ORDER BY lang""".stripMargin))
+
   /** Batch twin of the streaming tumbling-window aggregation
     * (Streams.tumblingCounts runs unchanged on a stream with watermark). */
   val q51WindowTumbling = GQuery(
@@ -432,5 +490,5 @@ object StarQueries {
     q48FlagshipPipeline, q50MultimodalMeta, q51WindowTumbling,
     q52NestedJson, q53NestedExplode, q54SeedCatalog,
     q65TagBridge, q66BridgeOrderPart, q67FactMetricas, q68TagRevenue,
-    q76MultimodalPlans, q176ImageHeaders)
+    q76MultimodalPlans, q176ImageHeaders, q205PngPixels)
 }

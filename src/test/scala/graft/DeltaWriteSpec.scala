@@ -213,14 +213,16 @@ class DeltaWriteSpec extends SparkTestBase {
     try {
       val df = Seq((1L, "a")).toDF("id", "txt")
       DeltaWrite.append(df, t)
-      // deletionVectors is IMPLEMENTED now (DeltaReadSpec covers the
-      // read path) — a reader-features table demanding something this
-      // reader genuinely lacks must still fail loudly
+      // deletionVectors and v2Checkpoint are IMPLEMENTED now
+      // (DeltaReadSpec / V2CheckpointSpec cover the read paths) — a
+      // reader-features table demanding something this reader
+      // genuinely lacks (typeWidening changes what column bytes MEAN)
+      // must still fail loudly
       val proto = """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-        """"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}"""
+        """"readerFeatures":["typeWidening"],"writerFeatures":["typeWidening"]}}"""
       Files.write(Paths.get(t, "_delta_log", f"${1L}%020d.json"), Seq(proto).asJava)
       val e2 = intercept[UnsupportedOperationException](DeltaRead.read(spark, t))
-      assert(e2.getMessage.contains("v2Checkpoint"))
+      assert(e2.getMessage.contains("typeWidening"))
       Files.delete(Paths.get(t, "_delta_log", f"${1L}%020d.json"))
 
       // an UNKNOWN column mapping mode still fails loudly (name/id are

@@ -81,4 +81,114 @@ class ImageCodecSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.get(1), r.get(2), r.get(3))).toSet
     assert(out == Set((1L, "png", 10, 20), (2L, "gif", 7, 9), (3L, null, null, null)))
   }
+
+  // ---- PNG PIXEL decode (PngCodec): inflate + all five filters ----
+  import graft.operators.PngCodec
+
+  private def gradient(w: Int, h: Int, ch: Int): Array[Byte] =
+    Array.tabulate(w * h * ch) { i =>
+      val px = i / ch; val c = i % ch
+      val x = px % w; val y = px / w
+      ((x * 7 + y * 13 + c * 31) % 256).toByte
+    }
+
+  test("PNG pixels: encode→decode roundtrip for gray/gray-alpha/RGB/RGBA") {
+    for (ch <- Seq(1, 2, 3, 4)) {
+      val (w, h) = (13, 9)
+      val data = gradient(w, h, ch)
+      val png = PngCodec.encode(w, h, ch, data)
+      // the header tier agrees with the pixel tier
+      assert(ImageCodec.parseHeader(png).contains(("png", w, h)))
+      val p = PngCodec.decode(png).getOrElse(fail(s"decode failed for ch=$ch"))
+      assert(p.width == w && p.height == h && p.channels == ch)
+      assert(p.data.sameElements(data), s"pixel bytes differ for ch=$ch")
+      val sums = PngCodec.channelSums(p)
+      val expect = (0 until ch).map(c =>
+        data.indices.filter(_ % ch == c).map(data(_) & 0xff).map(_.toLong).sum)
+      assert(sums.toSeq == expect)
+    }
+  }
+
+  test("PNG pixels: all five scanline filters reconstruct exactly") {
+    val (w, h, ch) = (6, 5, 3)
+    val data = gradient(w, h, ch)
+    val stride = w * ch
+    // reference FILTER pass (the encoder side of PNG spec §9): line y
+    // uses filter type y % 5, so every filter is exercised
+    val raw = new Array[Byte](h * (stride + 1))
+    for (y <- 0 until h) {
+      val f = y % 5
+      raw(y * (stride + 1)) = f.toByte
+      for (x <- 0 until stride) {
+        val cur = data(y * stride + x) & 0xff
+        val a = if (x >= ch) data(y * stride + x - ch) & 0xff else 0
+        val b = if (y > 0) data((y - 1) * stride + x) & 0xff else 0
+        val c = if (y > 0 && x >= ch) data((y - 1) * stride + x - ch) & 0xff else 0
+        val paeth = {
+          val p = a + b - c
+          val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+          if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+        }
+        val filtered = f match {
+          case 0 => cur
+          case 1 => cur - a
+          case 2 => cur - b
+          case 3 => cur - ((a + b) >> 1)
+          case 4 => cur - paeth
+        }
+        raw(y * (stride + 1) + 1 + x) = (filtered & 0xff).toByte
+      }
+    }
+    val png = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(hexBytes("89504E470D0A1A0A"))
+      out.write(PngCodec.chunk("IHDR", PngCodec.ihdr(w, h, 2)))
+      out.write(PngCodec.chunk("IDAT", PngCodec.deflate(raw)))
+      out.write(PngCodec.chunk("IEND", Array.empty[Byte]))
+      out.toByteArray
+    }
+    val p = PngCodec.decode(png).getOrElse(fail("filtered stream must decode"))
+    assert(p.data.sameElements(data), "unfiltering must reconstruct the exact pixels")
+  }
+
+  test("PNG pixels: corruption decodes to None, never wrong pixels or a throw") {
+    val png = PngCodec.encode(8, 8, 3, gradient(8, 8, 3))
+    assert(PngCodec.decode(png).isDefined)
+    // truncated stream (no IEND)
+    assert(PngCodec.decode(png.take(png.length - 20)).isEmpty)
+    // a flipped byte inside IDAT breaks the chunk CRC
+    val flipped = png.clone()
+    flipped(45) = (flipped(45) ^ 0x55).toByte
+    assert(PngCodec.decode(flipped).isEmpty)
+    // non-PNG and null-ish inputs
+    assert(PngCodec.decode("not a png at all, just text bytes....".getBytes).isEmpty)
+    assert(PngCodec.decode(Array.empty[Byte]).isEmpty)
+    // 16-bit depth is out of scope → None (not wrong pixels)
+    val deep = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(hexBytes("89504E470D0A1A0A"))
+      val ih = PngCodec.ihdr(4, 4, 2); ih(8) = 16
+      out.write(PngCodec.chunk("IHDR", ih))
+      out.write(PngCodec.chunk("IDAT", PngCodec.deflate(new Array[Byte](4 * (4 * 3 * 2 + 1)))))
+      out.write(PngCodec.chunk("IEND", Array.empty[Byte]))
+      out.toByteArray
+    }
+    assert(PngCodec.decode(deep).isEmpty)
+  }
+
+  test("decodePixels appends exact channel sums; corrupt rows come back NULL") {
+    val w = 5; val h = 4
+    val good = PngCodec.encode(w, h, 3, gradient(w, h, 3))
+    val df = Seq((1L, good), (2L, good.take(30)), (3L, "junk".getBytes))
+      .toDF("id", "payload")
+    val out = Multimodal.decodePixels(df, "payload")
+    val rows = out.select($"id", $"px_width", $"px_channels", $"px_sum0", $"px_sum3")
+      .collect().map(r => (r.getLong(0), r.get(1), r.get(2), r.get(3), r.get(4))).toSet
+    val data = gradient(w, h, 3)
+    val sum0 = data.indices.filter(_ % 3 == 0).map(data(_) & 0xff).map(_.toLong).sum
+    assert(rows == Set(
+      (1L, w, 3, sum0, null), // 3-channel image: sum3 is NULL
+      (2L, null, null, null, null),
+      (3L, null, null, null, null)))
+  }
 }
