@@ -47,10 +47,19 @@ object SetSimilarity {
     * `vocab ≤ 62` while holding millions of distinct sets — the
     * broadcast + quadratic pairing would then OOM executors. Above the
     * cap the prefix join takes over: distributed, recall-1.0, no
-    * broadcast of the set table. Default 20 000 sets ≈ 2·10⁸ cheap
-    * long-ops pairs, comfortably task-sized. */
+    * broadcast of the set table. Default 50 000 sets ≈ 2.5·10⁹
+    * candidate pairs — fine because the LENGTH FILTER in the pair
+    * join condition (τ·na ≤ nb ≤ na/τ, the classic recall-exact size
+    * bound: J ≥ τ forces max(n)·τ ≤ min(n)) short-circuits most pairs
+    * on two long comparisons before any bit_count runs, and the
+    * broadcast is 4 scalars × 50k rows ≈ 2 MB. Mind the cliff on the
+    * other side: past the cap, a TEMPLATE corpus (tiny vocab, dense
+    * similarity graph) makes the prefix join quadratic WITH
+    * array-shipping overhead — measured 45 min on a 50k-doc template
+    * corpus at sf1 — so prefer raising this cap over falling through
+    * when vocab ≤ 62 and executors have the few-MB broadcast room. */
   def jaccardBands(toks: DataFrame, tau: Double,
-      maxDenseSets: Long = 20000L): DataFrame =
+      maxDenseSets: Long = 50000L): DataFrame =
     if (denseEligible(toks, maxDenseSets)) denseBands(toks, tau)
     else prefixBands(toks, tau)
 
@@ -69,7 +78,7 @@ object SetSimilarity {
 
   /** The strategy the adaptive gate would pick — exposed so specs can
     * pin the guard without inspecting plans. */
-  private[graft] def chosenStrategy(toks: DataFrame, maxDenseSets: Long = 20000L): String =
+  private[graft] def chosenStrategy(toks: DataFrame, maxDenseSets: Long = 50000L): String =
     if (denseEligible(toks, maxDenseSets)) "dense" else "prefix"
 
   private def bandOf(jac: Column): Column = floor(jac * 10) / 10
@@ -120,8 +129,15 @@ object SetSimilarity {
       col("dmax").as("bmax"), col("n").as("nb"))
     val inter = bit_count(col("ka").bitwiseAND(col("kb"))).cast("long")
     // cross-set qualifying pairs (identical sets can't appear twice:
-    // mask dedup), jaccard as the SAME int-ratio division as the oracle
-    val crossQ = a.join(broadcast(b), col("ka") < col("kb"))
+    // mask dedup), jaccard as the SAME int-ratio division as the
+    // oracle. The LENGTH FILTER rides in the join condition: J ≥ τ
+    // forces τ·na ≤ nb ≤ na/τ (i ≤ min(na,nb) bounds J by the size
+    // ratio), so most of the S² candidate pairs die on two long
+    // comparisons before the popcount — recall stays exactly 1.0.
+    val crossQ = a.join(broadcast(b),
+        col("ka") < col("kb") &&
+          col("nb").cast("double") * tau <= col("na").cast("double") &&
+          col("na").cast("double") * tau <= col("nb").cast("double"))
       .withColumn("i", inter)
       .withColumn("jac", col("i").cast("double") /
         (col("na") + col("nb") - col("i")).cast("double"))

@@ -23,18 +23,19 @@ class DeltaFuzzSpec extends SparkTestBase {
   private def cleanup(t: String): Unit =
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(t))
 
-  private def foldEqualsSnapshot(t: String): Unit = {
+  private def foldEqualsSnapshot(t: String, useCdc: Boolean = true): Unit = {
     val head = DeltaRead.latestVersion(t)
-    val feed = DeltaRead.changesBetween(spark, t, -1L, head)
+    val feed = DeltaRead.changesBetween(spark, t, -1L, head, useCdc = useCdc)
     val folded = feed.groupBy($"id", $"v")
       .agg(sum(when($"_change_type" === "insert", 1).otherwise(-1)).as("net"))
     val weird = folded.where($"net" =!= 0 && $"net" =!= 1).count()
-    assert(weird == 0L, s"net counts outside {0,1} at version $head")
+    assert(weird == 0L, s"net counts outside {0,1} at version $head (useCdc=$useCdc)")
     val foldRows = folded.where($"net" === 1)
       .select($"id", $"v").as[(Long, Long)].collect().sorted.toSeq
     val liveRows = DeltaRead.read(spark, t)
       .select($"id", $"v").as[(Long, Long)].collect().sorted.toSeq
-    assert(foldRows == liveRows, s"feed fold diverged from snapshot at version $head")
+    assert(foldRows == liveRows,
+      s"feed fold diverged from snapshot at version $head (useCdc=$useCdc)")
   }
 
   test("seeded op-sequence fuzz: fold == snapshot throughout; mirror converges") {
@@ -80,5 +81,81 @@ class DeltaFuzzSpec extends SparkTestBase {
         .as[(Long, Long)].collect().toSeq
       assert(a == b, "mirror diverged from the fuzzed source")
     } finally { cleanup(t); cleanup(m) }
+  }
+
+  test("seeded fuzz under CHANGE DATA FEED: cdc fold == reconstruction fold == snapshot") {
+    val rnd = new scala.util.Random(20260815L)
+    val t = newTable()
+    try {
+      var nextId = 0L
+      def batch(n: Int) = {
+        val rows = (0 until n).map(i => (nextId + i, rnd.nextInt(1000).toLong))
+        nextId += n
+        rows.toDF("id", "v")
+      }
+      DeltaWrite.append(batch(40).repartition(2), t)
+      DeltaWrite.setProperties(spark, t, Map("delta.enableChangeDataFeed" -> "true"))
+      var sawCdc = false
+      (1 to 12).foreach { step =>
+        rnd.nextInt(8) match {
+          case 0 | 1 | 2 =>
+            DeltaWrite.append(batch(20 + rnd.nextInt(20)).repartition(2), t)
+          case 3 | 4 =>
+            val k = 3 + rnd.nextInt(4)
+            DeltaWrite.deleteWhere(spark, t, $"id" % k === rnd.nextInt(k))
+          case 5 | 6 =>
+            val updates = (0 until 8)
+              .map(_ => (rnd.nextLong().abs % math.max(nextId, 1L), 8888L))
+              .distinct.toDF("id", "v")
+            DeltaWrite.merge(spark, t,
+              updates.unionByName(batch(4)).dropDuplicates("id"), Seq("id"))
+          case 7 =>
+            DeltaWrite.compact(spark, t, targetBytes = 1L << 22)
+        }
+        if (step % 3 == 0) {
+          foldEqualsSnapshot(t, useCdc = true)
+          foldEqualsSnapshot(t, useCdc = false)
+        }
+      }
+      val head = DeltaRead.latestVersion(t)
+      val r = DeltaWrite.restore(spark, t, head - 2) // restore emits cdc too
+      foldEqualsSnapshot(t, useCdc = true)
+      foldEqualsSnapshot(t, useCdc = false)
+      // prove cdc actions actually landed somewhere in this history
+      (1L to r).foreach { v =>
+        val p = java.nio.file.Paths.get(t, "_delta_log", f"$v%020d.json")
+        if (java.nio.file.Files.readAllLines(p).toString.contains("\"cdc\""))
+          sawCdc = true
+      }
+      assert(sawCdc, "fuzz history never exercised a cdc-writing commit")
+    } finally cleanup(t)
+  }
+
+  test("seeded fuzz on an identity table: ids stay unique and the mark only advances") {
+    val rnd = new scala.util.Random(20260816L)
+    val t = newTable()
+    try {
+      def batch(n: Int) = (0 until n).map(i => s"r${rnd.nextInt(100000)}").toDF("txt")
+      DeltaWrite.createWithIdentity(batch(30), t, "id", start = 10L, step = 3L)
+      var lastHwm = DeltaRead.snapshot(spark, t).schema.get("id")
+        .metadata.getLong("delta.identity.highWaterMark")
+      (1 to 10).foreach { _ =>
+        rnd.nextInt(4) match {
+          case 0 | 1 => DeltaWrite.append(batch(10 + rnd.nextInt(20)), t)
+          case 2 =>
+            val k = 2 + rnd.nextInt(4)
+            DeltaWrite.deleteWhere(spark, t, $"id" % k === 0)
+          case 3 => DeltaWrite.compact(spark, t, targetBytes = 1L << 22)
+        }
+        val s = DeltaRead.snapshot(spark, t)
+        val hwm = s.schema.get("id").metadata.getLong("delta.identity.highWaterMark")
+        assert(hwm >= lastHwm, s"high-water mark regressed: $lastHwm -> $hwm")
+        lastHwm = hwm
+        val ids = DeltaRead.read(spark, t).select($"id").as[Long].collect()
+        assert(ids.distinct.length == ids.length, "identity values collided")
+        assert(ids.forall(v => v >= 10L && (v - 10L) % 3L == 0L),
+          "identity values off the start/step lattice")
+      }
+    } finally cleanup(t)
   }
 }
