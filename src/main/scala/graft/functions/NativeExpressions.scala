@@ -296,8 +296,38 @@ object NativeHelpers {
     sig
   }
 
+  /** Hyperplane weight tables, built once per (dim, bits) per JVM —
+    * the weights are pure functions of the plane/component index, so
+    * recomputing two mods + a divide per (row × plane × component) in
+    * the hot loop would only burn cycles. */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Double]]()
+
+  /** Deterministic pseudo-random plane component w[i] in (-0.5, 0.5)
+    * for flat index i = j*dim + k: a = (i*2654435761) mod 1000003,
+    * w = (a² mod 1000003)/1000003 - 0.5. The SQUARE is what makes the
+    * planes independent: the plain Knuth multiplicative hash is an
+    * arithmetic progression mod p, so consecutive components — and
+    * whole planes, which are the same progression shifted by dim·s —
+    * were strongly correlated. On clustered vectors that meant buckets
+    * hundreds deep of mutually-DISSIMILAR vectors (sf1: 11.2M candidate
+    * pairs where truly random planes give 0.6M). Squaring after the mod
+    * makes the step between consecutive components depend on the value
+    * itself (2aδ+δ² mod p), matching random-plane behavior. Integer
+    * arithmetic only (a ≤ 1e6 so a² fits a long), reproducible in any
+    * engine. */
+  def planeWeight(i: Long): Double = {
+    val a = i * 2654435761L % 1000003L
+    (a * a % 1000003L).toDouble / 1000003.0 - 0.5
+  }
+
+  private def planes(dim: Int, bits: Int): Array[Double] =
+    planeCache.computeIfAbsent((dim, bits), { case (d, b) =>
+      Array.tabulate(b * d)(i => planeWeight(i.toLong))
+    })
+
   /** Random-hyperplane LSH bucket id — bit-identical to the declarative
-    * nested-aggregate form (same Knuth-hash plane components, same
+    * nested-aggregate form (same quadratic-hash plane components, same
     * left-to-right accumulation), incl. the null-element case: a null
     * component null-poisons every projection, so every bit tests false
     * and the bucket is 0. One defensive divergence: a vector SHORTER
@@ -308,14 +338,14 @@ object NativeHelpers {
     if (v.numElements() < dim) return null
     var k = 0
     while (k < dim) { if (v.isNullAt(k)) return java.lang.Long.valueOf(0L); k += 1 }
+    val w = planes(dim, bits)
     var acc = 0L
     var j = 0
     while (j < bits) {
       var proj = 0.0
       k = 0
       while (k < dim) {
-        val w = ((j.toLong * dim + k) * 2654435761L % 1000003L).toDouble / 1000003.0 - 0.5
-        proj += v.getDouble(k) * w
+        proj += v.getDouble(k) * w(j * dim + k)
         k += 1
       }
       if (proj > 0) acc += (1L << j)

@@ -25,6 +25,32 @@ object Similarity {
   /** Elementwise double-cast of a float vector. */
   def asDouble(v: Column): Column = transform(v, x => x.cast(DoubleType))
 
+  /** LSH geometry auto-tuning: smallest plane count `b >= minBits` with
+    * expected bucket occupancy `n / 2^b <= targetOccupancy`. Pinned LSH
+    * geometry is the classic scale cliff — fixed buckets mean occupancy
+    * grows with n and in-bucket candidate pairs grow with n², so a 10×
+    * corpus costs 100×. Growing `bits` with log2(n) keeps occupancy (and
+    * therefore pairs-per-bucket) constant: candidate volume scales
+    * linearly with the corpus. Integer arithmetic only (no floating
+    * log2) so an oracle in another engine computes the identical value
+    * from the identical count. */
+  def adaptiveBits(n: Long, targetOccupancy: Int, minBits: Int = 8): Int = {
+    require(targetOccupancy > 0 && minBits >= 1 && minBits <= 62)
+    var b = minBits
+    while (b < 62 && (targetOccupancy.toLong << b) < n) b += 1
+    b
+  }
+
+  /** Coarse-quantizer sizing for [[semanticDedup]]-style cell blocking:
+    * shards per natural cell so total cells grow linearly with the
+    * corpus (ceil(n / perCellBudget)). SemDeDup's pairing cost is
+    * Σ|cell|²; the paper's remedy is k ∝ n — with cells fixed, 10× data
+    * is 100× pairs. Integer ceiling division, oracle-reproducible. */
+  def adaptiveShards(n: Long, perCellBudget: Long): Long = {
+    require(perCellBudget > 0)
+    math.max(1L, (n + perCellBudget - 1) / perCellBudget)
+  }
+
   /** Sequential-fold dot product: deterministic accumulation order. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
@@ -65,11 +91,14 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane component w[j][k] in
-    * (-0.5, 0.5): ((j*dim+k)*2654435761 mod 1000003)/1000003 - 0.5.
-    * Knuth multiplicative hash — reproducible anywhere. */
-  def hyperplaneComponent(j: Column, k: Column, dim: Int): Column =
-    (pmod((j * lit(dim.toLong) + k) * lit(2654435761L), lit(1000003L)).cast(DoubleType) /
-      lit(1000003.0)) - lit(0.5)
+    * (-0.5, 0.5): a = ((j*dim+k)*2654435761) mod 1000003, then
+    * (a² mod 1000003)/1000003 - 0.5 — the square decorrelates planes
+    * (see NativeHelpers.planeWeight for why the plain Knuth hash was a
+    * correlated arithmetic progression). Reproducible anywhere. */
+  def hyperplaneComponent(j: Column, k: Column, dim: Int): Column = {
+    val a = pmod((j * lit(dim.toLong) + k) * lit(2654435761L), lit(1000003L))
+    ((a * a % lit(1000003L)).cast(DoubleType) / lit(1000003.0)) - lit(0.5)
+  }
 
   /** Sign-bit LSH bucket id over `bits` hyperplanes — codegen'd native
     * (see HyperplaneBucketExpr; the declarative twin runs dim × bits

@@ -246,7 +246,9 @@ object LlmQueries {
            |  SELECT list_sum(list_transform(range(0, 16), j ->
            |    CASE WHEN list_sum(list_transform(range(0, 64), k ->
            |        CAST(embedding[k+1] AS DOUBLE) *
-           |        (CAST(((j*64 + k) * 2654435761) % 1000003 AS DOUBLE)/1000003.0 - 0.5))) > 0
+           |        (CAST((((j*64 + k) * 2654435761) % 1000003) *
+           |              (((j*64 + k) * 2654435761) % 1000003) % 1000003
+           |            AS DOUBLE)/1000003.0 - 0.5))) > 0
            |    THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)) AS bucket
            |  FROM embeddings)
            |  GROUP BY bucket)""".stripMargin))
@@ -368,11 +370,14 @@ object LlmQueries {
       |    FROM embeddings)""".stripMargin
 
   /** DuckDB hyperplane sign-sketch over `bits` planes (q47's formula,
-    * parametrized). */
+    * parametrized): weight = (a² mod p)/p - 0.5 with a the Knuth-hashed
+    * flat index — same quadratic rehash as NativeHelpers.planeWeight. */
   private def bucketSql(v: String, bits: Int): String =
     s"""list_sum(list_transform(range(0, $bits), j ->
        |    CASE WHEN list_sum(list_transform(range(0, 64), k ->
-       |        ($v)[k+1] * (CAST(((j*64 + k) * 2654435761) % 1000003 AS DOUBLE)/1000003.0 - 0.5))) > 0
+       |        ($v)[k+1] * (CAST((((j*64 + k) * 2654435761) % 1000003) *
+       |                         (((j*64 + k) * 2654435761) % 1000003) % 1000003
+       |                       AS DOUBLE)/1000003.0 - 0.5))) > 0
        |    THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END))""".stripMargin
 
   val q77EmbeddingNearDup = GQuery(
@@ -395,23 +400,52 @@ object LlmQueries {
     benchmark = true)
 
   /** Multi-table OR-LSH near-dup (q77's recall-amplified variant):
-    * 3 tables × 8 planes from ONE packed 24-bit sketch; a pair is a
-    * candidate if ANY table buckets it together. Table 0's planes are
-    * q77's first 8, so with coarser 8-bit tables and two more of them
-    * the candidate set strictly grows — the recall dial the operator
-    * doc promises, here pinned end-to-end by the oracle. */
+    * 3 tables × `bits` planes from ONE packed sketch; a pair is a
+    * candidate if ANY table buckets it together — the recall dial the
+    * operator doc promises, here pinned end-to-end by the oracle.
+    *
+    * `bits` is NOT pinned: it auto-tunes from the corpus size
+    * ([[Similarity.adaptiveBits]], target occupancy 16/bucket, capped
+    * at 20 so 3 tables still pack one long) and the ORACLE COMPUTES THE
+    * SAME FORMULA from the same count(*) — integer shift/pow arithmetic
+    * in both engines, no floating log2 to diverge on. At the sf0.01
+    * correctness gate the formula yields the historical 8; the round-10
+    * sf1 scale point is why it exists: pinned 8-bit geometry put 156
+    * vectors in a bucket at n=40k and candidate pairs grew ~n² (the
+    * 0.70 s → 34.8 s cliff). Constant occupancy makes candidate volume
+    * linear in n — the 100 TB shape. */
   val q82NearDupMulti = GQuery(
     "q82_neardup_multi",
-    (s, d) => Similarity.nearDupPairsMulti(
-      perturbedCorpus(s, d), dim = 64, bits = 8, threshold = 0.99, tables = 3),
+    (s, d) => {
+      val corpus = perturbedCorpus(s, d)
+      // count(*) on the parquet footer, not a data scan; ×2 for the
+      // planted copies the corpus CTE unions in
+      val n = Tables.embeddings(s, d).count() * 2
+      val bits = math.min(20, Similarity.adaptiveBits(n, targetOccupancy = 16))
+      Similarity.nearDupPairsMulti(corpus, dim = 64, bits = bits,
+        threshold = 0.99, tables = 3)
+    },
     Some {
       s"""WITH corpus AS (
          |  $PerturbedCorpusSql),
-         |buck AS (SELECT vec_id, v, ${bucketSql("v", 24)} AS allb FROM corpus),
+         |-- same auto-tuned geometry as Similarity.adaptiveBits: smallest
+         |-- b >= 8 with 2^b * 16 >= n, capped at 20 (3 tables pack a long)
+         |prm AS (SELECT CAST(least(20, min(b)) AS INT) AS bits
+         |        FROM range(8, 63) t(b), (SELECT count(*) AS n FROM corpus) c
+         |        WHERE pow(2, b) * 16 >= n),
+         |buck AS (SELECT vec_id, v,
+         |  list_sum(list_transform(range(0, bits*3), j ->
+         |    CASE WHEN list_sum(list_transform(range(0, 64), k ->
+         |        v[k+1] * (CAST((((j*64 + k) * 2654435761) % 1000003) *
+         |                       (((j*64 + k) * 2654435761) % 1000003) % 1000003
+         |                     AS DOUBLE)/1000003.0 - 0.5))) > 0
+         |    THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)) AS allb
+         |  FROM corpus, prm),
          |banded AS (
          |  SELECT vec_id, CAST(t AS VARCHAR) || ':' ||
-         |    CAST((CAST(allb AS BIGINT) // CAST(pow(2, t*8) AS BIGINT)) % 256 AS VARCHAR) AS bk
-         |  FROM buck, range(0, 3) r(t)),
+         |    CAST((CAST(allb AS BIGINT) // CAST(pow(2, t*bits) AS BIGINT))
+         |         % CAST(pow(2, bits) AS BIGINT) AS VARCHAR) AS bk
+         |  FROM buck, prm, range(0, 3) r(t)),
          |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
          |  FROM banded a JOIN banded b ON a.bk = b.bk AND a.vec_id < b.vec_id),
          |pairs AS (
@@ -1106,9 +1140,11 @@ object LlmQueries {
 
   /** q181 — SemDeDup (cluster-blocked SEMANTIC dedup, the embedding
     * counterpart of MinHash near-dup removal and a standard LLM-corpus
-    * curation pass): label-mean centroids (rounded to 6 dp so both
-    * engines argmax over identical doubles — see
-    * [[Similarity.roundedCentroids]]), nearest-cell assignment, pairing
+    * curation pass): id-sharded label-mean centroids (cell count grows
+    * with the corpus — m = ceil(n/1000) shards per label, m = 1 at the
+    * gate SF; components rounded to 6 dp so both engines argmax over
+    * identical doubles — see [[Similarity.roundedCentroids]] /
+    * [[Similarity.adaptiveShards]]), nearest-cell assignment, pairing
     * ONLY within a cell, and greedy keep-lowest-id eviction at
     * τ = 0.99. The corpus is [[perturbedCorpus]] (one near-identical
     * planted copy per vector), so evictions provably exist and land on
@@ -1121,7 +1157,21 @@ object LlmQueries {
     "q181_semantic_dedup",
     (s, d) => {
       import s.implicits._
-      val cents = Similarity.roundedCentroids(Tables.embeddings(s, d), "label", 6)
+      val emb = Tables.embeddings(s, d)
+      // Quantizer sized to the corpus (SemDeDup's own k ∝ n remedy —
+      // pairing is Σ|cell|², so FIXED cells meant 10× data cost 100×
+      // pairs: the round-10 sf1 cliff, 0.68 s → 22.5 s). Each label
+      // splits into m = ceil(n/1000) id-sharded sub-cells (~100
+      // vectors/cell at 10 labels); the shard means differ by sampling
+      // noise, so nearest-cell assignment spreads a label's vectors
+      // across its shards and occupancy stays bounded. The oracle
+      // computes the SAME m from the same count(*) (integer ceiling
+      // division both sides); at the sf0.01 gate m = 1 and the sharded
+      // quantizer degenerates to the historical per-label one.
+      val m = Similarity.adaptiveShards(emb.count() * 2, perCellBudget = 1000)
+      val sharded = emb.withColumn("cell",
+        $"label".cast("long") * m + pmod($"vec_id", lit(m)))
+      val cents = Similarity.roundedCentroids(sharded, "cell", 6)
       val corpus = perturbedCorpus(s, d).select($"vec_id", $"v".as("embedding"))
       Similarity.semanticDedup(corpus, cents, tau = 0.99)
         .groupBy($"cell_id").agg(
@@ -1133,9 +1183,14 @@ object LlmQueries {
         .orderBy($"cell_id")
     },
     Some(s"""WITH corpus AS ($PerturbedCorpusSql),
-           |comp AS (SELECT label, k, round(avg(CAST(embedding[k+1] AS DOUBLE)), 6) AS c
-           |  FROM embeddings, range(0, 64) t(k) GROUP BY label, k),
-           |cent AS (SELECT label AS cell_id, list(c ORDER BY k) AS cv FROM comp GROUP BY label),
+           |-- same corpus-sized quantizer as Similarity.adaptiveShards:
+           |-- m = ceil(n/1000) id-shards per label (m = 1 at the gate SF)
+           |prm AS (SELECT (n + 999) // 1000 AS m
+           |        FROM (SELECT count(*) AS n FROM corpus)),
+           |comp AS (SELECT CAST(label AS BIGINT) * m + (vec_id % m) AS cell, k,
+           |    round(avg(CAST(embedding[k+1] AS DOUBLE)), 6) AS c
+           |  FROM embeddings, prm, range(0, 64) t(k) GROUP BY cell, k),
+           |cent AS (SELECT cell AS cell_id, list(c ORDER BY k) AS cv FROM comp GROUP BY cell),
            |sims AS (SELECT corpus.vec_id, cent.cell_id,
            |    list_sum(list_transform(range(1, 65), i -> v[i]*cv[i])) /
            |    (sqrt(list_sum(list_transform(range(1, 65), i -> v[i]*v[i]))) *
