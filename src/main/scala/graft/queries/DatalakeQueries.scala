@@ -1082,6 +1082,66 @@ object DatalakeQueries {
            |       true AS wrote_cdc, true AS cdc_exact
            |FROM agg ORDER BY lang""".stripMargin))
 
+  /** q206 — the change feed as a REAL `readStream` source
+    * ([[graft.streaming.DeltaCdfStreamProvider]], format
+    * `graft-delta-cdf`): the same append/append/DV-erasure/MERGE
+    * history as q199, but tailed through Spark's streaming machinery —
+    * `maxVersionsPerTrigger = 1` paces one commit per micro-batch
+    * (`paced` pins 4 row-bearing batches for 4 row-bearing versions,
+    * read off the query's progress metrics), a memory sink collects
+    * the feed, and the fold of the STREAMED rows must equal the source
+    * state the oracle recomputes arithmetically. q199 proved the
+    * driver-paced loop; this proves the identical feed surfaces
+    * through `readStream` — triggers, offset checkpointing and
+    * progress metrics included — because `getBatch` reuses the whole
+    * `changesBetween` read path. */
+  val q206CdfReadStream = GQuery(
+    "q206_cdf_readstream",
+    (s, d) => {
+      import s.implicits._
+      val src = graft.io.Staging.tempDir("graft_q206_")
+      val docs = Tables.documents(s, d).select($"doc_id", $"lang", $"n_chars")
+      graft.io.DeltaWrite.append(
+        docs.filter(pmod($"doc_id", lit(2)) === 0).repartition(2), src) // v0
+      graft.io.DeltaWrite.append(
+        docs.filter(pmod($"doc_id", lit(2)) === 1).repartition(2), src) // v1
+      graft.io.DeltaWrite.deleteWhere(s, src, pmod($"doc_id", lit(7)) === 2) // v2
+      val upd = docs.filter(pmod($"doc_id", lit(7)) === 3)
+        .withColumn("n_chars", $"n_chars" + 500L)
+        .unionByName(docs.filter(pmod($"doc_id", lit(7)) === 5)
+          .withColumn("doc_id", $"doc_id" + 2000000L))
+      graft.io.DeltaWrite.merge(s, src, upd, Seq("doc_id")) // v3
+      val sink = "q206_feed_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = s.readStream.format("graft-delta-cdf")
+        .option("maxVersionsPerTrigger", "1").load(src)
+        .writeStream.format("memory").queryName(sink).start()
+      q.processAllAvailable()
+      val paced = q.recentProgress.count(_.numInputRows > 0) == 4
+      q.stop()
+      val out = s.table(sink)
+        .groupBy($"doc_id", $"lang", $"n_chars")
+        .agg(sum(when($"_change_type" === "insert", 1).otherwise(-1)).as("net"))
+        .where($"net" === 1)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"),
+          sum($"doc_id").as("sum_ids"))
+        .withColumn("paced", lit(paced))
+        .orderBy($"lang")
+      // materialize before dropping the memory sink the plan reads from
+      val rows = out.collect().toSeq
+      s.catalog.dropTempView(sink)
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
+    },
+    Some("""WITH fin AS (
+           |  SELECT doc_id, lang,
+           |    CASE WHEN doc_id % 7 = 3 THEN n_chars + 500 ELSE n_chars END AS nc
+           |  FROM documents WHERE doc_id % 7 <> 2
+           |  UNION ALL
+           |  SELECT doc_id + 2000000, lang, n_chars FROM documents WHERE doc_id % 7 = 5)
+           |SELECT lang, count(*) AS n_docs, CAST(sum(nc) AS BIGINT) AS sum_chars,
+           |       CAST(sum(doc_id) AS BIGINT) AS sum_ids, true AS paced
+           |FROM fin GROUP BY lang ORDER BY lang""".stripMargin))
+
   val all: Seq[GQuery] = Seq(
     q130SnapshotDiff, q131IncrementalAgg, q132SchemaEvolution,
     q133KAnonymity, q134GdprErasure, q147CompactionPlan,
@@ -1090,5 +1150,5 @@ object DatalakeQueries {
     q177TxTable, q179DeltaRead, q180DeltaRoundtrip, q184TxToDelta,
     q194DeltaChangefeed, q196CdfFold, q197MergeUpsert,
     q198DvErasure, q199CdfMirror, q200Restore, q202TableFeatures,
-    q203CdfWrite)
+    q203CdfWrite, q206CdfReadStream)
 }

@@ -13,13 +13,17 @@ import org.apache.spark.sql.functions.col
   * file-stream sinks — see [[Streams.startGoldAppendDelta]]).
   *
   * This is deliberately a driver-paced micro-batch loop, not a DSv2
-  * `readStream` source: a custom streaming source would have to
-  * re-implement the parquet scan inside its PartitionReader, while the
-  * loop reuses the full change-feed read path (DV diffs, column
-  * mapping, partition re-attachment) and the exactly-once commit path
-  * unchanged. Each version's work is bounded by that commit's touched
-  * files, so tailing cost is O(new data), never O(table) — the
-  * property that makes incremental mirroring viable at 100 TB.
+  * `readStream` source: a DSv2 source would have to re-implement the
+  * parquet scan inside its PartitionReader, while the loop reuses the
+  * full change-feed read path (DV diffs, column mapping, partition
+  * re-attachment) and the exactly-once commit path unchanged. Each
+  * version's work is bounded by that commit's touched files, so
+  * tailing cost is O(new data), never O(table) — the property that
+  * makes incremental mirroring viable at 100 TB. For Spark's own
+  * trigger/checkpoint/metrics machinery over the same feed, use the
+  * `readStream` wrapper [[DeltaCdfStreamProvider]] (format
+  * `graft-delta-cdf`), whose DSv1 `getBatch` returns a DataFrame and
+  * therefore shares this same read path.
   */
 object DeltaTail {
 
