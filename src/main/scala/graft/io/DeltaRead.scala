@@ -2,7 +2,7 @@ package graft.io
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col, input_file_name, lit, regexp_replace, url_decode}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, input_file_name, lit, regexp_replace, url_decode}
 import org.apache.spark.sql.types.{DataType, StructType}
 import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
@@ -55,17 +55,26 @@ import scala.jdk.CollectionConverters._
 object DeltaRead {
 
   final case class FileEntry(path: String, partitionValues: Map[String, String],
-      dv: Option[DeltaDv.Descriptor] = None, stats: Option[String] = None)
+      dv: Option[DeltaDv.Descriptor] = None, stats: Option[String] = None,
+      baseRowId: Option[Long] = None, defaultRowCommitVersion: Option[Long] = None)
   final case class DeltaSnapshot(version: Long, files: Seq[FileEntry],
       schema: Option[StructType], partitionColumns: Seq[String],
       metaId: Option[String] = None, txns: Map[String, Long] = Map.empty,
       configuration: Map[String, String] = Map.empty,
       minReaderVersion: Int = 1, minWriterVersion: Int = 2,
       readerFeatures: Set[String] = Set.empty,
-      writerFeatures: Set[String] = Set.empty) {
+      writerFeatures: Set[String] = Set.empty,
+      domains: Map[String, (String, Boolean)] = Map.empty) {
     /** `delta.columnMapping.mode` — `none` (default), `name`, or `id`. */
     def columnMappingMode: String =
       configuration.getOrElse("delta.columnMapping.mode", "none")
+    /** Live (non-removed) DOMAIN METADATA: domain → configuration JSON
+      * (PROTOCOL.md "Domain Metadata" — per-domain system state like
+      * `delta.rowTracking`'s row-id high-water mark). Removed-domain
+      * tombstones stay in `domains` (checkpoints must retain them) but
+      * are invisible here. */
+    def liveDomains: Map[String, String] =
+      domains.collect { case (d, (conf, false)) => d -> conf }
   }
 
   /** Reader features this implementation actually honors. Anything
@@ -79,7 +88,8 @@ object DeltaRead {
     * v2Checkpoint resolves the UUID-manifest + sidecar layout current
     * Delta releases write by default (see `applyV2Checkpoint`). */
   private val SupportedReaderFeatures =
-    Set("timestampNtz", "deletionVectors", "columnMapping", "v2Checkpoint")
+    Set("timestampNtz", "deletionVectors", "columnMapping", "v2Checkpoint",
+      "vacuumProtocolCheck")
 
   /** Column-mapping translation (PROTOCOL.md "Column Mapping"): when
     * `delta.columnMapping.mode` is `name` or `id`, each logical field
@@ -283,6 +293,11 @@ object DeltaRead {
     val txns = scala.collection.mutable.HashMap.empty[String, Long]
     def txn(appId: String, version: Long): Unit =
       txns.updateWith(appId)(v => Some(v.fold(version)(math.max(_, version))))
+    /** Domain metadata: latest action per domain wins (replay order);
+      * removed=true tombstones are kept — checkpoints retain them. */
+    val domains = new scala.collection.mutable.LinkedHashMap[String, (String, Boolean)]
+    def domain(name: String, conf: String, removed: Boolean): Unit =
+      domains.put(name, (conf, removed))
     def metaData(schemaString: String, partCols: Seq[String],
         id: Option[String] = None, conf: Map[String, String] = Map.empty): Unit = {
       schema = Some(DataType.fromJson(schemaString).asInstanceOf[StructType])
@@ -351,6 +366,11 @@ object DeltaRead {
           .map(_.elements().asScala.map(_.asText()).toSet).getOrElse(Set.empty))
       val txnN = node.get("txn")
       if (txnN != null) r.txn(txnN.get("appId").asText(), txnN.get("version").asLong())
+      val domN = node.get("domainMetadata")
+      if (domN != null) r.domain(domN.get("domain").asText(),
+        Option(domN.get("configuration")).filterNot(_.isNull)
+          .map(_.asText()).getOrElse(""),
+        Option(domN.get("removed")).exists(_.asBoolean()))
     }
   }
 
@@ -368,7 +388,9 @@ object DeltaRead {
         d.get("cardinality").asLong())
     }
     val stats = Option(addN.get("stats")).filterNot(_.isNull).map(_.asText())
-    FileEntry(decodePath(addN.get("path").asText()), pv, dv, stats)
+    FileEntry(decodePath(addN.get("path").asText()), pv, dv, stats,
+      Option(addN.get("baseRowId")).filterNot(_.isNull).map(_.asLong()),
+      Option(addN.get("defaultRowCommitVersion")).filterNot(_.isNull).map(_.asLong()))
   }
 
   /** Rewrite the top-level column keys of a stats JSON's minValues /
@@ -437,6 +459,11 @@ object DeltaRead {
           Option(protoN.get("writerFeatures")).filterNot(_.isNull)
             .map(_.elements().asScala.map(_.asText()).toSet).getOrElse(Set.empty))
         if (txnN != null) r.txn(txnN.get("appId").asText(), txnN.get("version").asLong())
+        val domN = node.get("domainMetadata")
+        if (domN != null) r.domain(domN.get("domain").asText(),
+          Option(domN.get("configuration")).filterNot(_.isNull)
+            .map(_.asText()).getOrElse(""),
+          Option(domN.get("removed")).exists(_.asBoolean()))
         if (sideN != null) sidecars += sidecarPath(sideN.get("path").asText())
       }
     } else {
@@ -480,6 +507,15 @@ object DeltaRead {
         .selectExpr("txn.appId", "txn.version")
         .collect().foreach(row => r.txn(row.getString(0), row.getLong(1)))
     }
+    if (cols("domainMetadata")) {
+      cp.where(cp("domainMetadata").isNotNull)
+        .selectExpr("domainMetadata.domain", "domainMetadata.configuration",
+          if (has("domainMetadata", "removed")) "domainMetadata.removed"
+          else "CAST(false AS BOOLEAN) AS removed")
+        .collect().foreach(row => r.domain(row.getString(0),
+          Option(row.getString(1)).getOrElse(""),
+          !row.isNullAt(2) && row.getBoolean(2)))
+    }
     if (cols("metaData")) {
       cp.where(cp("metaData").isNotNull)
         .selectExpr("metaData.schemaString", "metaData.partitionColumns",
@@ -506,8 +542,14 @@ object DeltaRead {
           "CAST(NULL AS INT) AS sizeInBytes", "CAST(NULL AS BIGINT) AS cardinality")
       val statsExpr =
         if (has("add", "stats")) "add.stats" else "CAST(NULL AS STRING) AS stats"
+      val rowIdExprs = Seq(
+        if (has("add", "baseRowId")) "add.baseRowId"
+        else "CAST(NULL AS BIGINT) AS baseRowId",
+        if (has("add", "defaultRowCommitVersion")) "add.defaultRowCommitVersion"
+        else "CAST(NULL AS BIGINT) AS defaultRowCommitVersion")
       cp.where(cp("add").isNotNull)
-        .selectExpr(Seq("add.path", "add.partitionValues") ++ dvExprs :+ statsExpr: _*)
+        .selectExpr(Seq("add.path", "add.partitionValues") ++ dvExprs ++
+          (statsExpr +: rowIdExprs): _*)
         .collect().foreach { row =>
           val pv = Option(row.getMap[String, String](1))
             .map(_.toMap.map { case (k, x) => k -> x }).getOrElse(Map.empty[String, String])
@@ -517,7 +559,9 @@ object DeltaRead {
               row.getInt(5), row.getLong(6))
           }
           r.add(FileEntry(decodePath(row.getString(0)), pv, dv,
-            Option(row.getString(7))))
+            Option(row.getString(7)),
+            if (row.isNullAt(8)) None else Some(row.getLong(8)),
+            if (row.isNullAt(9)) None else Some(row.getLong(9))))
         }
     }
   }
@@ -535,7 +579,8 @@ object DeltaRead {
     r.validateSupported(table)
     val snap = DeltaSnapshot(version, r.files.values.toSeq, r.schema,
       r.partitionColumns, r.metaId, r.txns.toMap, r.configuration,
-      r.minReaderVersion, r.minWriterVersion, r.readerFeatures, r.writerFeatures)
+      r.minReaderVersion, r.minWriterVersion, r.readerFeatures, r.writerFeatures,
+      r.domains.toMap)
     if (!ColumnMapping.active(snap.columnMappingMode)) snap
     else {
       val logicalByPhys = snap.schema
@@ -897,6 +942,125 @@ object DeltaRead {
       keepLineage = true)
   }
 
+  // --- ROW TRACKING reads (PROTOCOL.md "Row Tracking"; write half in
+  // [[DeltaWrite]]) ---
+
+  /** Stable row-id column names [[readWithRowIds]] appends. */
+  val RowIdCol = "_row_id"
+  val RowCommitVersionCol = "_row_commit_version"
+  private val RtBase = "__rt_base"
+  private val RtRcv = "__rt_rcv"
+
+  /** Per-file (LineageFile-keyed) frame of `baseRowId` /
+    * `defaultRowCommitVersion` — file-count-sized metadata the log
+    * already holds, so it broadcasts. */
+  private def fileIdFrame(spark: SparkSession, table: String,
+      files: Seq[FileEntry]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField}
+    val sch = StructType(Seq(StructField(LineageFile, StringType),
+      StructField(RtBase, LongType), StructField(RtRcv, LongType)))
+    val rows = files.map { f =>
+      Row(Paths.get(table, f.path).toAbsolutePath.normalize().toString,
+        f.baseRowId.getOrElse(throw new IllegalStateException(
+          s"$table: ${f.path} carries no baseRowId — row tracking not (fully) enabled")),
+        f.defaultRowCommitVersion.getOrElse(throw new IllegalStateException(
+          s"$table: ${f.path} carries no defaultRowCommitVersion")))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), sch)
+  }
+
+  /** The two materialized-column names a row-tracking table records in
+    * its config (throws when row tracking was never enabled). */
+  private def matColNames(table: String, s: DeltaSnapshot): (String, String) =
+    (s.configuration.getOrElse(DeltaWrite.MatRowIdKey,
+      throw new IllegalStateException(
+        s"$table: no ${DeltaWrite.MatRowIdKey} — row tracking not enabled")),
+      s.configuration.getOrElse(DeltaWrite.MatRcvKey,
+        throw new IllegalStateException(
+          s"$table: no ${DeltaWrite.MatRcvKey} — row tracking not enabled")))
+
+  /** The table's rows with their STABLE row-tracking identity
+    * attached as [[RowIdCol]] / [[RowCommitVersionCol]]: each row's id
+    * is `coalesce(materialized value, add.baseRowId + row_index)` —
+    * fresh rows resolve positionally against their file's id block,
+    * rewritten rows (OPTIMIZE, MERGE) through the materialized columns
+    * the rewriting writer preserved. The id a row gets here is the one
+    * it keeps for life: dedup ledgers, CDC joins, and incremental
+    * indexes can key on it across arbitrary table maintenance. */
+  def readWithRowIds(spark: SparkSession, table: String): DataFrame =
+    readVersionWithRowIds(spark, table, latestVersion(table))
+
+  def readVersionWithRowIds(spark: SparkSession, table: String,
+      version: Long): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField}
+    val s = snapshotAt(spark, table, version)
+    val (matId, matRcv) = matColNames(table, s)
+    val extras = Seq(StructField(matId, LongType), StructField(matRcv, LongType))
+    val df = assemble(spark, table, s, keepLineage = true,
+      extraDataFields = extras)
+    if (s.files.isEmpty)
+      return df.withColumn(RowIdCol, lit(null).cast("long"))
+        .withColumn(RowCommitVersionCol, lit(null).cast("long"))
+        .drop(LineageFile, LineagePos, matId, matRcv)
+    df.join(broadcast(fileIdFrame(spark, table, s.files)), Seq(LineageFile), "left")
+      .withColumn(RowIdCol, coalesce(col(matId), col(RtBase) + col(LineagePos)))
+      .withColumn(RowCommitVersionCol, coalesce(col(matRcv), col(RtRcv)))
+      .drop(LineageFile, LineagePos, RtBase, RtRcv, matId, matRcv)
+  }
+
+  /** The rewrite-path read ([[DeltaWrite.merge]] on a row-tracking
+    * table): the requested files' rows with their stable ids filled
+    * INTO the materialized columns (config-named), ready to be carried
+    * through a rewrite so the new files preserve them. Lineage columns
+    * ride along for the caller's own bookkeeping and must be dropped
+    * before staging. */
+  private[io] def readFilesForRewrite(spark: SparkSession, table: String,
+      version: Long, relPaths: Set[String]): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField}
+    val s = snapshotAt(spark, table, version)
+    val files = s.files.filter(f => relPaths(f.path))
+    val (matId, matRcv) = matColNames(table, s)
+    val extras = Seq(StructField(matId, LongType), StructField(matRcv, LongType))
+    val df = assemble(spark, table, s.copy(files = files), keepLineage = true,
+      extraDataFields = extras)
+    if (files.isEmpty) return df.drop(LineageFile, LineagePos)
+    df.join(broadcast(fileIdFrame(spark, table, files)), Seq(LineageFile), "left")
+      .withColumn(matId, coalesce(col(matId), col(RtBase) + col(LineagePos)))
+      .withColumn(matRcv, coalesce(col(matRcv), col(RtRcv)))
+      .drop(LineageFile, LineagePos, RtBase, RtRcv)
+  }
+
+  /** [[maskedRawScan]] with the stable ids materialized — the
+    * compaction rewrite on a row-tracking table. Raw in the same sense
+    * (no partition-column re-attachment: the output goes straight back
+    * into files), but the scan runs under the LOG schema + the two
+    * materialized columns so mixed inputs (some already materialized,
+    * some not) resolve uniformly. Row-tracking tables are never
+    * column-mapped (the writer refuses the combination), so raw names
+    * are logical names. */
+  private[io] def maskedRawScanWithRowIds(spark: SparkSession, table: String,
+      s: DeltaSnapshot, files: Seq[FileEntry]): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField}
+    val (matId, matRcv) = matColNames(table, s)
+    val dataFields = s.schema.getOrElse(throw new IllegalStateException(
+      s"$table: no schema")).fields
+      .filterNot(f => s.partitionColumns.contains(f.name))
+    val sch = StructType(dataFields ++
+      Seq(StructField(matId, LongType), StructField(matRcv, LongType)))
+    val scan = spark.read.schema(sch)
+      .parquet(files.map(f => Paths.get(table, f.path).toString): _*)
+      .withColumn(LineageFile, normalizedUriPath(col("_metadata.file_path")))
+      .withColumn(LineagePos, col("_metadata.row_index"))
+    val dvFiles = files.filter(_.dv.isDefined)
+    val masked = if (dvFiles.isEmpty) scan
+      else maskDeleted(spark, table, scan, dvFiles)
+    masked.join(broadcast(fileIdFrame(spark, table, files)), Seq(LineageFile), "left")
+      .withColumn(matId, coalesce(col(matId), col(RtBase) + col(LineagePos)))
+      .withColumn(matRcv, coalesce(col(matRcv), col(RtRcv)))
+      .drop(LineageFile, LineagePos, RtBase, RtRcv)
+  }
+
   /** [[readVersion]] with partition-level pruning applied to the FILE
     * LIST before any scan is planned: `keep` sees each file's
     * partitionValues (column → string value, null for the Hive null
@@ -1101,7 +1265,8 @@ object DeltaRead {
     *   None (every normal read), DV rows are hidden as usual. */
   private def assemble(spark: SparkSession, table: String, s: DeltaSnapshot,
       keepLineage: Boolean = false,
-      dvSelect: Option[Map[String, Option[DeltaDv.Descriptor]]] = None): DataFrame = {
+      dvSelect: Option[Map[String, Option[DeltaDv.Descriptor]]] = None,
+      extraDataFields: Seq[org.apache.spark.sql.types.StructField] = Nil): DataFrame = {
     def abs(e: FileEntry) = Paths.get(table, e.path).toString
     val mapped = ColumnMapping.active(s.columnMappingMode)
     // data columns only — partition columns live in the log, never the files
@@ -1126,7 +1291,9 @@ object DeltaRead {
         val resolved = ColumnMapping.resolveByFieldId(dataSchema.get, footer)
         if (resolved == physDataSchema.get) None else Some(resolved)
       } catch { case _: Exception => None }
-    val scanSchema = idResolved.orElse(physDataSchema)
+    val coreScanSchema = idResolved.orElse(physDataSchema)
+    val scanSchema = coreScanSchema.map(c =>
+      StructType(c.fields ++ extraDataFields))
     // logical name → the name the SCAN will carry (footer-resolved for
     // id mode, the log's physical name otherwise)
     val scanNameByLogical: Map[String, String] = dataSchema.map { d =>
@@ -1135,12 +1302,16 @@ object DeltaRead {
         case None => ColumnMapping.physByLogical(d)
       }
     }.getOrElse(Map.empty)
-    // Under column mapping the files store PHYSICAL names: scan with the
-    // explicit physicalized schema (the log schema is authoritative —
-    // a file predating a column add reads the new column as null)...
-    def scan(paths: Seq[String]): DataFrame =
-      if (mapped) spark.read.schema(scanSchema.get).parquet(paths: _*)
-      else spark.read.parquet(paths: _*)
+    // The files store PHYSICAL names under column mapping; either way
+    // the scan uses the LOG's schema explicitly — schemaString is
+    // authoritative (a file predating a column add reads the new
+    // column as null), and physical-only passenger columns a rewrite
+    // materialized (row-tracking ids) stay invisible unless requested
+    // via extraDataFields
+    def scan(paths: Seq[String]): DataFrame = scanSchema match {
+      case Some(sch) => spark.read.schema(sch).parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
     // ...and rename back to logical names right after the scan-side DV
     // mask: one positional struct cast per top-level column renames
     // every nesting level at once (physical and logical schemas are
@@ -1151,7 +1322,9 @@ object DeltaRead {
       else {
         val dataCols = dataSchema.get.fields.map(f =>
           col(scanNameByLogical(f.name)).cast(relaxNullable(f.dataType)).as(f.name))
-        val extras = df.columns.filterNot(scanSchema.get.fieldNames.contains)
+        // extraDataFields and non-scan passthrough columns (lineage)
+        // both survive the rename untouched
+        val extras = df.columns.filterNot(coreScanSchema.get.fieldNames.contains)
           .map(col)
         df.select(dataCols ++ extras: _*)
       }

@@ -287,7 +287,291 @@ object DeltaWrite {
   private val SupportedWriterFeatures =
     Set("appendOnly", "invariants", "columnMapping", "deletionVectors",
       "checkConstraints", "generatedColumns", "changeDataFeed",
-      "identityColumns")
+      "identityColumns", "domainMetadata", "rowTracking",
+      "inCommitTimestamp", "vacuumProtocolCheck", "timestampNtz")
+
+  // --- DOMAIN METADATA (PROTOCOL.md "Domain Metadata") ---
+  // Per-domain system state carried in the log: the latest
+  // `domainMetadata` action per domain wins on replay, and checkpoints
+  // retain removed-domain tombstones. Row tracking stores its row-id
+  // high-water mark in the `delta.rowTracking` domain.
+
+  private[io] def domainMetadataAction(domain: String, conf: String,
+      removed: Boolean): String = {
+    val root = mapper.createObjectNode()
+    val d = root.putObject("domainMetadata")
+    d.put("domain", domain)
+    d.put("configuration", conf)
+    d.put("removed", removed)
+    mapper.writeValueAsString(root)
+  }
+
+  /** Set a USER domain's metadata (system `delta.*` domains are
+    * maintained by their owning features — [[enableRowTracking]] — and
+    * refused here). Upgrades the protocol to list `domainMetadata` on
+    * first use. Returns the committed version. */
+  def setDomainMetadata(spark: SparkSession, table: String, domain: String,
+      conf: String): Long =
+    commitDomain(spark, table, domain, conf, removed = false)
+
+  /** Tombstone a user domain — replay keeps the tombstone (checkpoints
+    * must retain it) but [[DeltaRead.DeltaSnapshot.liveDomains]] hides
+    * it. */
+  def removeDomainMetadata(spark: SparkSession, table: String,
+      domain: String): Long =
+    commitDomain(spark, table, domain, "", removed = true)
+
+  private def commitDomain(spark: SparkSession, table: String, domain: String,
+      conf: String, removed: Boolean): Long = {
+    require(!domain.startsWith("delta."),
+      s"domain '$domain' is system-controlled — owned by its feature, " +
+        "not settable directly")
+    var attempt = 0
+    while (attempt < 10) {
+      val v = DeltaRead.latestVersion(table)
+      val s = DeltaRead.snapshotAt(spark, table, v)
+      validateWriterSupport(table, s, removesData = false)
+      val now = System.currentTimeMillis()
+      val proto =
+        if (s.minWriterVersion >= 7 && s.writerFeatures.contains("domainMetadata")) Nil
+        else Seq(upgradeProtocolAction(table, s, Set.empty, Set("domainMetadata")))
+      val lines = Seq(commitInfoAction(
+        if (removed) "REMOVE DOMAIN METADATA" else "SET DOMAIN METADATA", now)) ++
+        proto :+ domainMetadataAction(domain, conf, removed)
+      if (publish(table, Some(s), v + 1, lines)) return v + 1
+      attempt += 1
+    }
+    throw new IllegalStateException(s"domainMetadata: lost 10 commit races on $table")
+  }
+
+  // --- ROW TRACKING (PROTOCOL.md "Row Tracking") ---
+  // Every add action on a row-tracking table carries `baseRowId` (the
+  // first of a fresh contiguous block of row ids, one per PHYSICAL row
+  // of the file, deleted-or-not) and `defaultRowCommitVersion`; the
+  // furthest id ever allocated lives in the `delta.rowTracking`
+  // domain's `rowIdHighWaterMark`. A row's STABLE id survives rewrites
+  // through the materialized columns (names in the table config):
+  // rewritten files store each surviving row's original id/commit
+  // version there, and a reader resolves
+  // `coalesce(materialized, baseRowId + row_index)` —
+  // [[DeltaRead.readWithRowIds]].
+
+  private[io] val RowTrackingDomain = "delta.rowTracking"
+  private[io] val RowTrackingEnabledKey = "delta.enableRowTracking"
+  private[io] val MatRowIdKey = "delta.rowTracking.materializedRowIdColumnName"
+  private[io] val MatRcvKey =
+    "delta.rowTracking.materializedRowCommitVersionColumnName"
+
+  private[io] def rowTrackingOn(s: DeltaRead.DeltaSnapshot): Boolean =
+    s.writerFeatures.contains("rowTracking") ||
+      s.configuration.get(RowTrackingEnabledKey).contains("true")
+
+  private[io] def rowIdHighWaterMark(s: DeltaRead.DeltaSnapshot): Long =
+    s.liveDomains.get(RowTrackingDomain).flatMap { c =>
+      try Option(mapper.readTree(c).get("rowIdHighWaterMark")).map(_.asLong())
+      catch { case _: Exception => None }
+    }.getOrElse(-1L)
+
+  private def numRecordsOfStats(stats: String, ctx: String): Long =
+    (try Option(mapper.readTree(stats).get("numRecords")).map(_.asLong())
+     catch { case _: Exception => None })
+      .getOrElse(throw new IllegalStateException(
+        s"$ctx: add.stats carries no numRecords — cannot allocate row ids"))
+
+  /** Post-process a commit's action lines for a row-tracking table:
+    * every `add` gets `baseRowId`/`defaultRowCommitVersion` — the
+    * PREVIOUS values when the path is already live (a DV transition or
+    * restore re-add must not re-id its rows), a fresh contiguous block
+    * past the high-water mark otherwise — and the advanced mark lands
+    * in the same commit's `delta.rowTracking` domain action, as the
+    * protocol requires (a foreign writer seeing a stale mark would
+    * re-allocate the same ids). No-op on non-row-tracking tables. */
+  private[io] def stampRowTracking(table: String, s: DeltaRead.DeltaSnapshot,
+      v: Long, lines: Seq[String],
+      extraKnown: Map[String, (Long, Long)] = Map.empty): Seq[String] = {
+    if (!rowTrackingOn(s)) return lines
+    val known: Map[String, (Long, Long)] =
+      s.files.flatMap(f => f.baseRowId.zip(f.defaultRowCommitVersion)
+        .map(f.path -> _)).toMap ++ extraKnown
+    val hwm0 = rowIdHighWaterMark(s)
+    var hwm = hwm0
+    val out = lines.map { line =>
+      val node = mapper.readTree(line)
+      node.get("add") match {
+        case null => line
+        case addN =>
+          val a = addN.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          if (a.hasNonNull("baseRowId")) line // caller pre-assigned
+          else {
+            val path = DeltaRead.decodePath(a.get("path").asText())
+            known.get(path) match {
+              case Some((base, rcv)) =>
+                a.put("baseRowId", base); a.put("defaultRowCommitVersion", rcv)
+              case None =>
+                val n = numRecordsOfStats(
+                  Option(a.get("stats")).filterNot(_.isNull).map(_.asText())
+                    .getOrElse(throw new IllegalStateException(
+                      s"$table: add $path has no stats — row tracking needs numRecords")),
+                  s"$table $path")
+                a.put("baseRowId", hwm + 1)
+                a.put("defaultRowCommitVersion", v)
+                hwm += n
+            }
+            mapper.writeValueAsString(node)
+          }
+      }
+    }
+    if (hwm == hwm0) out
+    else out :+ domainMetadataAction(RowTrackingDomain,
+      s"""{"rowIdHighWaterMark":$hwm}""", removed = false)
+  }
+
+  /** Turn ROW TRACKING on: one commit upgrades the protocol
+    * (`rowTracking` + `domainMetadata` writer features), records the
+    * enablement + materialized-column names in the table config,
+    * re-adds every live file with a freshly allocated `baseRowId`
+    * block (dataChange=false — byte-identical content), and publishes
+    * the high-water mark. Idempotent. Column-mapped tables are
+    * refused: the rewrite paths materialize preserved ids under
+    * physical-only column names this writer does not also map. */
+  def enableRowTracking(spark: SparkSession, table: String): Long = {
+    var attempt = 0
+    while (attempt < 10) {
+      val v = DeltaRead.latestVersion(table)
+      val s = DeltaRead.snapshotAt(spark, table, v)
+      validateWriterSupport(table, s, removesData = false)
+      if (DeltaRead.ColumnMapping.active(s.columnMappingMode))
+        throw new UnsupportedOperationException(
+          s"enableRowTracking: $table is column-mapped — unsupported combination")
+      if (rowTrackingOn(s) && s.files.forall(_.baseRowId.isDefined)) return v
+      val now = System.currentTimeMillis()
+      var hwm = rowIdHighWaterMark(s)
+      val reAdds = s.files.filterNot(_.baseRowId.isDefined).map { f =>
+        val p = Paths.get(table, f.path)
+        val staged = Staged(f.path, f.partitionValues, Files.size(p),
+          Files.getLastModifiedTime(p).toMillis, f.stats)
+        val n = numRecordsOfStats(f.stats.getOrElse(throw new IllegalStateException(
+          s"enableRowTracking: ${f.path} has no stats — cannot count its rows")),
+          s"$table ${f.path}")
+        val line = addAction(staged, dataChange = false, dv = f.dv,
+          rowIds = Some((hwm + 1, v + 1)))
+        hwm += n
+        line
+      }
+      val conf2 = s.configuration +
+        (RowTrackingEnabledKey -> "true") +
+        (MatRowIdKey -> s.configuration.getOrElse(MatRowIdKey,
+          s"_row-id-col-${UUID.randomUUID()}")) +
+        (MatRcvKey -> s.configuration.getOrElse(MatRcvKey,
+          s"_row-commit-version-col-${UUID.randomUUID()}"))
+      val schemaJson = s.schema.map(_.json).getOrElse(throw new IllegalStateException(
+        s"enableRowTracking: $table has no metaData schema"))
+      val lines = Seq(
+        commitInfoAction("ENABLE ROW TRACKING", now),
+        upgradeProtocolAction(table, s, Set.empty,
+          Set("rowTracking", "domainMetadata")),
+        metaDataAction(s.metaId.getOrElse(UUID.randomUUID().toString), schemaJson,
+          s.partitionColumns, now, conf2)) ++
+        reAdds :+
+        domainMetadataAction(RowTrackingDomain,
+          s"""{"rowIdHighWaterMark":$hwm}""", removed = false)
+      if (publish(table, Some(s), v + 1, lines)) return v + 1
+      attempt += 1
+    }
+    throw new IllegalStateException(s"enableRowTracking: lost 10 commit races on $table")
+  }
+
+  // --- IN-COMMIT TIMESTAMPS (PROTOCOL.md "In-Commit Timestamps") ---
+  // File modification times are not a reliable commit clock (copies,
+  // restores and storage migrations rewrite them); the feature moves
+  // the clock INTO the commit: every commit's commitInfo (required
+  // first action) carries a monotonically increasing
+  // `inCommitTimestamp`, and time travel / history resolve against it
+  // ([[DeltaRead.commitTimestamp]] already prefers it on read).
+
+  private[io] val IctEnabledKey = "delta.enableInCommitTimestamps"
+  private[io] val IctVersionKey = "delta.inCommitTimestampEnablementVersion"
+  private[io] val IctTimestampKey = "delta.inCommitTimestampEnablementTimestamp"
+
+  private[io] def ictEnabled(conf: Map[String, String]): Boolean =
+    conf.get(IctEnabledKey).exists(_.equalsIgnoreCase("true"))
+
+  /** Stamp `inCommitTimestamp` into the commit's commitInfo —
+    * `max(previous commit's timestamp + 1, now)` keeps the in-commit
+    * clock strictly monotonic even under wall-clock regression. The
+    * commitInfo action must be FIRST; every graft commit already leads
+    * with one, and a caller-assembled commit without one gains it. */
+  private[io] def stampIct(table: String, s: DeltaRead.DeltaSnapshot,
+      v: Long, lines: Seq[String]): Seq[String] = {
+    if (!ictEnabled(s.configuration)) return lines
+    val prev = if (v == 0L) -1L
+      else DeltaRead.commitTimestamp(table, v - 1).getOrElse(-1L)
+    val ict = math.max(prev + 1, System.currentTimeMillis())
+    val headIsInfo = lines.headOption.exists { l =>
+      try mapper.readTree(l).has("commitInfo") catch { case _: Exception => false }
+    }
+    if (headIsInfo) {
+      val node = mapper.readTree(lines.head)
+      node.get("commitInfo").asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        .put("inCommitTimestamp", ict)
+      mapper.writeValueAsString(node) +: lines.tail
+    } else {
+      val root = mapper.createObjectNode()
+      val ci = root.putObject("commitInfo")
+      ci.put("inCommitTimestamp", ict)
+      ci.put("timestamp", ict)
+      ci.put("operation", "COMMIT")
+      ci.put("engineInfo", "graft")
+      mapper.writeValueAsString(root) +: lines
+    }
+  }
+
+  /** Turn IN-COMMIT TIMESTAMPS on: protocol gains the
+    * `inCommitTimestamp` writer feature, the config records enablement
+    * plus its provenance (version + timestamp, as the spec requires so
+    * readers know where the in-commit clock begins), and every later
+    * commit carries the monotonic timestamp. */
+  def enableInCommitTimestamps(spark: SparkSession, table: String): Long = {
+    var attempt = 0
+    while (attempt < 10) {
+      val v = DeltaRead.latestVersion(table)
+      val s = DeltaRead.snapshotAt(spark, table, v)
+      validateWriterSupport(table, s, removesData = false)
+      if (ictEnabled(s.configuration)) return v
+      val now = System.currentTimeMillis()
+      val prev = DeltaRead.commitTimestamp(table, v).getOrElse(-1L)
+      val ict = math.max(prev + 1, now)
+      val conf2 = s.configuration +
+        (IctEnabledKey -> "true") +
+        (IctVersionKey -> (v + 1).toString) +
+        (IctTimestampKey -> ict.toString)
+      val schemaJson = s.schema.map(_.json).getOrElse(throw new IllegalStateException(
+        s"enableInCommitTimestamps: $table has no metaData schema"))
+      val info = mapper.readTree(commitInfoAction("ENABLE ICT", now))
+      info.get("commitInfo").asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        .put("inCommitTimestamp", ict)
+      val lines = Seq(
+        mapper.writeValueAsString(info),
+        upgradeProtocolAction(table, s, Set.empty, Set("inCommitTimestamp")),
+        metaDataAction(s.metaId.getOrElse(UUID.randomUUID().toString), schemaJson,
+          s.partitionColumns, now, conf2))
+      if (publish(table, Some(s), v + 1, lines)) return v + 1
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"enableInCommitTimestamps: lost 10 commit races on $table")
+  }
+
+  /** One gate for every commit: row-tracking stamping + in-commit
+    * timestamp + CAS publish. `s` is the snapshot the commit was
+    * planned against (None at table creation — nothing to stamp). */
+  private[io] def publish(table: String, s: Option[DeltaRead.DeltaSnapshot],
+      v: Long, lines: Seq[String],
+      rowIdKnown: Map[String, (Long, Long)] = Map.empty): Boolean = {
+    val l1 = s.map(stampRowTracking(table, _, v, lines, rowIdKnown)).getOrElse(lines)
+    val l2 = s.map(stampIct(table, _, v, l1)).getOrElse(l1)
+    tryPublish(table, v, l2)
+  }
 
   private val GenKey = "delta.generationExpression"
   private val InvKey = "delta.invariants"
@@ -518,12 +802,40 @@ object DeltaWrite {
         s.configuration.get("delta.appendOnly").exists(_.equalsIgnoreCase("true")))
       throw new UnsupportedOperationException(
         s"$table is delta.appendOnly — removing or replacing rows is forbidden")
+    // row tracking under column mapping would require materializing
+    // preserved ids under MAPPED physical names on every rewrite —
+    // untested territory this writer refuses rather than silently
+    // mis-materializes (same posture as identity × mapping)
+    if (rowTrackingOn(s) && DeltaRead.ColumnMapping.active(s.columnMappingMode))
+      throw new UnsupportedOperationException(
+        s"$table combines row tracking with column mapping — unsupported " +
+          "combination; this writer will not touch the table")
     // invariants, generated columns and the change data feed are NOT
     // gated here: the first two are upheld per batch
     // (enforceInvariants / applyGeneratedColumns), and CDF-obligated
     // tables get `_change_data` cdc files on every commit whose
     // add/remove actions alone cannot represent the change set
     // (deleteWhere / merge / restore — see their cdc emission)
+  }
+
+  private[io] def containsTimestampNtz(dt: DataType): Boolean = dt match {
+    case TimestampNTZType => true
+    case st: StructType => st.fields.exists(f => containsTimestampNtz(f.dataType))
+    case ArrayType(et, _) => containsTimestampNtz(et)
+    case MapType(k, v, _) => containsTimestampNtz(k) || containsTimestampNtz(v)
+    case _ => false
+  }
+
+  /** Feature-form (3, 7) protocol with explicit lists. */
+  private[io] def protocolFeatureAction(readerF: Set[String],
+      writerF: Set[String]): String = {
+    val root = mapper.createObjectNode()
+    val p = root.putObject("protocol")
+    p.put("minReaderVersion", 3)
+    p.put("minWriterVersion", 7)
+    val ra = p.putArray("readerFeatures"); readerF.toSeq.sorted.foreach(ra.add)
+    val wa = p.putArray("writerFeatures"); writerF.toSeq.sorted.foreach(wa.add)
+    mapper.writeValueAsString(root)
   }
 
   private[io] def protocolAction: String = protocolActionFor(1, 2)
@@ -705,10 +1017,14 @@ object DeltaWrite {
   }
 
   private[io] def addAction(s: Staged, dataChange: Boolean = true,
-      dv: Option[DeltaDv.Descriptor] = None): String = {
+      dv: Option[DeltaDv.Descriptor] = None,
+      rowIds: Option[(Long, Long)] = None): String = {
     val root = mapper.createObjectNode()
     val a = root.putObject("add")
     a.put("path", s.relPath.split('/').map(encodeSegment).mkString("/"))
+    rowIds.foreach { case (base, rcv) =>
+      a.put("baseRowId", base); a.put("defaultRowCommitVersion", rcv)
+    }
     val pv = a.putObject("partitionValues")
     s.partitionValues.foreach { case (k, v) =>
       if (v == null) pv.putNull(k) else pv.put(k, v)
@@ -994,14 +1310,30 @@ object DeltaWrite {
         mapCtx.map(ctx => base +
           (WriteMapping.ModeKey -> ctx.mode) +
           (WriteMapping.MaxIdKey -> ctx.maxColumnId.toString)).getOrElse(base)
+      // TIMESTAMP_NTZ is a FEATURE-gated type (PROTOCOL.md
+      // "timestampNtz"): a schema carrying it must announce the
+      // feature on BOTH protocol lists, or feature-unaware clients
+      // would misread the values as zoned timestamps
+      val ntz = containsTimestampNtz(df.schema)
       val header =
         if (!exists)
           Seq(commitInfoAction("WRITE", now),
             // column mapping requires protocol (2, 5); identity
             // columns writer version 6; generated columns writer
-            // version 4; plain tables stay at the (1, 2) feature
+            // version 4; timestampNtz anywhere forces the (3, 7)
+            // feature form; plain tables stay at the (1, 2) feature
             // floor every client reads
-            if (createMapping.isDefined) protocolActionFor(2, 5)
+            if (ntz) {
+              val wf = Set("timestampNtz", "appendOnly", "invariants") ++
+                (if (createMapping.isDefined) Set("columnMapping") else Set.empty) ++
+                (if (identityMeta.isDefined) Set("identityColumns") else Set.empty) ++
+                (if (fieldMetaHas(df.schema, GenKey)) Set("generatedColumns")
+                 else Set.empty)
+              val rf = Set("timestampNtz") ++
+                (if (createMapping.isDefined) Set("columnMapping") else Set.empty)
+              protocolFeatureAction(rf, wf)
+            }
+            else if (createMapping.isDefined) protocolActionFor(2, 5)
             else if (identityMeta.isDefined) protocolActionFor(1, 6)
             else if (fieldMetaHas(df.schema, GenKey)) protocolActionFor(1, 4)
             else protocolAction,
@@ -1011,9 +1343,15 @@ object DeltaWrite {
           // re-emit metaData: overwrite is the schema-evolution path,
           // and replaying metaData is idempotent when unchanged
           // configuration survives the overwrite: schema may evolve,
-          // table properties (appendOnly, retention overrides) do not
-          Seq(commitInfoAction("OVERWRITE", now),
-            metaDataAction(snap.flatMap(_.metaId).getOrElse(UUID.randomUUID().toString),
+          // table properties (appendOnly, retention overrides) do not.
+          // A schema evolving INTO timestampNtz upgrades the protocol
+          // in the same commit.
+          Seq(commitInfoAction("OVERWRITE", now)) ++
+          (if (ntz && !snap.exists(_.writerFeatures.contains("timestampNtz")))
+            snap.toSeq.map(s0 => upgradeProtocolAction(table, s0,
+              Set("timestampNtz"), Set("timestampNtz")))
+           else Nil) ++
+          Seq(metaDataAction(snap.flatMap(_.metaId).getOrElse(UUID.randomUUID().toString),
               schemaJson, partitionBy, now,
               mappedConf(snap.map(_.configuration).getOrElse(Map.empty))))
         else Seq(commitInfoAction("APPEND", now)) ++
@@ -1031,7 +1369,8 @@ object DeltaWrite {
         else Nil
       val adds = staged.map(s => addAction(s))
       val txns = txn.map { case (appId, ver) => txnAction(appId, ver, now) }.toSeq
-      if (tryPublish(table, v, header ++ txns ++ removes ++ adds)) return Some(v)
+      val allLines = header ++ txns ++ removes ++ adds
+      if (publish(table, snap, v, allLines)) return Some(v)
       attempt += 1 // lost the CAS race: re-resolve version and retry
     }
     // caller (commit) drops the staged files on any throw
@@ -1172,12 +1511,20 @@ object DeltaWrite {
         f.partitionValues.map { case (k, x) => physBy.getOrElse(k, k) -> x },
         Files.size(p), Files.getLastModifiedTime(p).toMillis,
         f.stats.map(DeltaRead.renameStatsKeys(_, physBy)))
-      addAction(staged, dataChange = true, dv = f.dv)
+      // row ids ride through VERBATIM: a clone's rows keep the ids the
+      // source assigned (the copied high-water mark keeps future
+      // allocations disjoint)
+      addAction(staged, dataChange = true, dv = f.dv,
+        rowIds = f.baseRowId.zip(f.defaultRowCommitVersion))
+    }
+    val domainLines = s.liveDomains.toSeq.sortBy(_._1).map { case (d, c) =>
+      domainMetadataAction(d, c, removed = false)
     }
     val lines = Seq(commitInfoAction("CLONE", now), protocolActionFull(s),
       metaDataAction(UUID.randomUUID().toString, schemaJson, s.partitionColumns,
-        now, s.configuration)) ++ adds
-    require(tryPublish(dest, 0L, lines), s"clone: $dest version 0 already exists")
+        now, s.configuration)) ++ adds ++ domainLines
+    require(publish(dest, Some(s), 0L, lines),
+      s"clone: $dest version 0 already exists")
     0L
   }
 
@@ -1298,7 +1645,12 @@ object DeltaWrite {
           addAction(staged, dataChange = true, dv = f.dv)
         } ++
         cdcStaged.map(cdcAction)
-      if (tryPublish(table, head + 1, lines)) return head + 1
+      // a restore re-add keeps the ids the rows had at the TARGET
+      // version; rows tracked only after `version` get fresh blocks
+      val targetKnown = target.files.flatMap(f =>
+        f.baseRowId.zip(f.defaultRowCommitVersion).map(f.path -> _)).toMap
+      if (publish(table, Some(cur), head + 1, lines, targetKnown))
+        return head + 1
       dropStaged(table, cdcStaged)
       attempt += 1
     }
@@ -1446,7 +1798,7 @@ object DeltaWrite {
       }
       val lines = Seq(commitInfoAction("DELETE", now)) ++ protoLine ++
         fileLines ++ cdcStaged.map(cdcAction)
-      if (tryPublish(table, v + 1, lines)) return v + 1
+      if (publish(table, Some(snap), v + 1, lines)) return v + 1
       // lost the CAS race: reclaim this attempt's DV + cdc files, replan
       descs.foreach { case (_, pid, off, size, card) =>
         Files.deleteIfExists(DeltaDv.dvFile(table, dvOf(pid, off, size, card)))
@@ -1566,9 +1918,21 @@ object DeltaWrite {
         (Paths.get(table, f.path).toAbsolutePath.normalize().toString, f)).toMap
       val touched = touchedAbs.toSeq.sorted.map(a => byAbs.getOrElse(a,
         throw new IllegalStateException(s"merge: lineage path $a not in snapshot")))
-      val inserts = act.where(col("__m_ins"))
+      // a row-tracking table's rewrite must PRESERVE the stable ids of
+      // kept/updated rows (materialized columns); inserted rows carry
+      // null and resolve positionally against their new file's block
+      val matPair: Option[(String, String)] =
+        if (rowTrackingOn(snap))
+          snap.configuration.get(MatRowIdKey).zip(snap.configuration.get(MatRcvKey))
+        else None
+      val matSel = matPair.toSeq.flatMap { case (a, b) => Seq(col(a), col(b)) }
+      val inserts0 = act.where(col("__m_ins"))
         .join(targetKeys.drop(DeltaRead.LineageFile).distinct(), keys, "left_anti")
         .select(outCols: _*)
+      val inserts = matPair.fold(inserts0) { case (a, b) =>
+        inserts0.withColumn(a, lit(null).cast("long"))
+          .withColumn(b, lit(null).cast("long"))
+      }
       // pass 2: rewrite ONLY the touched files — kept rows (unmatched
       // or matched-but-no-clause), updated rows (source values, per
       // matched target row), while delete-marked rows simply vanish.
@@ -1581,17 +1945,22 @@ object DeltaWrite {
         df.withColumn(ctCol, lit(ct))
       val (batch, cdcRows: Option[DataFrame]) =
         if (touched.isEmpty) {
-          if (inserts.isEmpty) return v // nothing matched, nothing new
-          (inserts, if (wantCdc) Some(tagged(inserts, "insert")) else None)
+          if (inserts0.isEmpty) return v // nothing matched, nothing new
+          (inserts, if (wantCdc) Some(tagged(inserts0, "insert")) else None)
         } else {
-          val tTouched = DeltaRead.readFilesWithLineage(spark, table, v,
-            touched.map(_.path).toSet)
-          val keep = tTouched.join(activeKeys, keys, "left_anti").select(outCols: _*)
+          val tTouched = matPair match {
+            case Some(_) => DeltaRead.readFilesForRewrite(spark, table, v,
+              touched.map(_.path).toSet)
+            case None => DeltaRead.readFilesWithLineage(spark, table, v,
+              touched.map(_.path).toSet)
+          }
+          val keep = tTouched.join(activeKeys, keys, "left_anti")
+            .select(outCols ++ matSel: _*)
           val updKeys = act.where(!col("__m_del") && col("__m_upd"))
           val replaced = tTouched.join(activeKeys, keys, "left_semi")
-            .select(keys.map(col): _*)
+            .select(keys.map(col) ++ matSel: _*)
             .join(updKeys, keys, "inner")
-            .select(outCols: _*)
+            .select(outCols ++ matSel: _*)
           val cdc =
             if (!wantCdc) None
             else {
@@ -1603,8 +1972,8 @@ object DeltaWrite {
                 updKeys.select(keys.map(col): _*).distinct(), keys, "left_semi")
               Some(tagged(deleted, "delete")
                 .unionByName(tagged(pre, "update_preimage"))
-                .unionByName(tagged(replaced, "update_postimage"))
-                .unionByName(tagged(inserts, "insert")))
+                .unionByName(tagged(replaced.select(outCols: _*), "update_postimage"))
+                .unionByName(tagged(inserts0, "insert")))
             }
           (keep.unionByName(replaced).unionByName(inserts), cdc)
         }
@@ -1624,7 +1993,7 @@ object DeltaWrite {
         touched.map(f => removeAction(f.path, now)) ++
         staged.map(s => addAction(s)) ++
         cdcStaged.map(cdcAction)
-      if (tryPublish(table, v + 1, lines)) return v + 1
+      if (publish(table, Some(snap), v + 1, lines)) return v + 1
       dropStaged(table, staged)
       dropStaged(table, cdcStaged)
       attempt += 1 // lost the CAS race: replan against the winner
@@ -1709,7 +2078,7 @@ object DeltaWrite {
           s.schema.map(_.json).getOrElse(throw new IllegalStateException(
             s"addCheckConstraint: $table has no schema")),
           s.partitionColumns, now, s.configuration + (key -> cond)))
-      if (tryPublish(table, v + 1, lines)) return v + 1
+      if (publish(table, Some(s), v + 1, lines)) return v + 1
       attempt += 1
     }
     throw new IllegalStateException(s"addCheckConstraint: lost 10 races on $table")
@@ -1748,7 +2117,7 @@ object DeltaWrite {
           s.schema.map(_.json).getOrElse(throw new IllegalStateException(
             s"setProperties: $table has no schema")),
           s.partitionColumns, now, newConf))
-      if (tryPublish(table, v + 1, lines)) return v + 1
+      if (publish(table, Some(s), v + 1, lines)) return v + 1
       attempt += 1
     }
     throw new IllegalStateException(s"setProperties: lost 10 races on $table")
@@ -1770,7 +2139,7 @@ object DeltaWrite {
           s.schema.map(_.json).getOrElse(throw new IllegalStateException(
             s"dropCheckConstraint: $table has no schema")),
           s.partitionColumns, now, s.configuration - key))
-      if (tryPublish(table, v + 1, lines)) return v + 1
+      if (publish(table, Some(s), v + 1, lines)) return v + 1
       attempt += 1
     }
     throw new IllegalStateException(s"dropCheckConstraint: lost 10 races on $table")
@@ -1831,7 +2200,7 @@ object DeltaWrite {
       val lines = Seq(commitInfoAction(op.takeWhile(_ != ' ') + " COLUMN", now),
         metaDataAction(s.metaId.getOrElse(UUID.randomUUID().toString),
           schema.json, partCols, now, s.configuration))
-      if (tryPublish(table, v + 1, lines)) return v + 1
+      if (publish(table, Some(s), v + 1, lines)) return v + 1
       attempt += 1
     }
     throw new IllegalStateException(s"$op: lost 10 commit races on $table")
@@ -1895,7 +2264,13 @@ object DeltaWrite {
       if (groups.isEmpty) return 0
       val now = System.currentTimeMillis()
       val staged = groups.map { case (pv, fs) =>
-        val raw = DeltaRead.maskedRawScan(spark, table, fs)
+        // row-tracking tables preserve each surviving row's stable id
+        // through the rewrite by MATERIALIZING it (the config-named
+        // columns) — without this, compaction would re-id every row
+        val raw =
+          if (rowTrackingOn(s) && s.configuration.contains(MatRowIdKey))
+            DeltaRead.maskedRawScanWithRowIds(spark, table, s, fs)
+          else DeltaRead.maskedRawScan(spark, table, fs)
         // a raw parquet roundtrip drops parquet field ids; a mapped
         // table's rewrites must keep them for foreign id-mode readers
         val df =
@@ -1923,7 +2298,7 @@ object DeltaWrite {
       val lines = Seq(commitInfoAction("OPTIMIZE", now)) ++
         staged.flatMap(_._2).map(f => removeAction(f.path, now, dataChange = false)) ++
         staged.map(x => addAction(x._1, dataChange = false))
-      if (tryPublish(table, v + 1, lines))
+      if (publish(table, Some(s), v + 1, lines))
         return staged.map(_._2.size - 1).sum
       staged.foreach(x => Files.deleteIfExists(Paths.get(table, x._1.relPath)))
       attempt += 1 // a writer landed v+1 first: replan on its snapshot
@@ -1946,7 +2321,13 @@ object DeltaWrite {
     * number of files deleted. */
   def vacuum(spark: SparkSession, table: String, retentionMs: Long = 60L * 60 * 1000): Int = {
     val v = DeltaRead.latestVersion(table)
-    val headFiles = DeltaRead.snapshotAt(spark, table, v).files
+    val headSnap = DeltaRead.snapshotAt(spark, table, v)
+    // the vacuumProtocolCheck feature's entire contract: VACUUM must
+    // validate protocol support before touching files (an
+    // implementation unaware of, say, deletion vectors would reclaim
+    // bitmaps it cannot see as referenced)
+    validateWriterSupport(table, headSnap, removesData = false)
+    val headFiles = headSnap.files
     val live = headFiles.map(f => Paths.get(table, f.path).normalize()).toSet
     val cutoff = System.currentTimeMillis() - retentionMs
     // deletion-vector bitmaps superseded by a later DELETE (or whose
@@ -2061,10 +2442,16 @@ object DeltaWrite {
         StructField("pathOrInlineDv", StringType),
         StructField("offset", IntegerType),
         StructField("sizeInBytes", IntegerType),
-        StructField("cardinality", LongType))))))),
+        StructField("cardinality", LongType)))),
+      StructField("baseRowId", LongType),
+      StructField("defaultRowCommitVersion", LongType)))),
     StructField("txn", StructType(Seq(
       StructField("appId", StringType),
-      StructField("version", LongType))))))
+      StructField("version", LongType)))),
+    StructField("domainMetadata", StructType(Seq(
+      StructField("domain", StringType),
+      StructField("configuration", StringType),
+      StructField("removed", BooleanType))))))
 
   /** Materialize the latest snapshot as a checkpoint — one parquet by
     * default, or a MULTI-PART set (`<v>.checkpoint.<i>.<n>.parquet`,
@@ -2075,10 +2462,14 @@ object DeltaWrite {
     * pointer records `parts`. Returns the checkpointed version.
     * Readers then resolve checkpoint-then-tail instead of replaying
     * the full JSON history. */
-  def checkpoint(spark: SparkSession, table: String, parts: Int = 1): Long = {
-    require(parts >= 1, s"checkpoint: parts must be >= 1, got $parts")
-    val v = DeltaRead.latestVersion(table)
-    val s = DeltaRead.snapshotAt(spark, table, v)
+  /** The snapshot's full action state as [[CheckpointSchema]]-shaped
+    * rows: protocol first (feature lists verbatim), metaData
+    * (configuration verbatim), every live add (deletion vectors, stats
+    * and row-tracking ids included), SetTransaction high-water marks,
+    * and domain metadata (removed tombstones retained, as the protocol
+    * requires). Shared by the classic and v2 checkpoint writers. */
+  private def checkpointStateRows(table: String,
+      s: DeltaRead.DeltaSnapshot): Seq[Row] = {
     // the snapshot's partitionValues keys were translated to LOGICAL
     // names by the reader; a mapped table's checkpoint must persist
     // PHYSICAL keys, so translate back at emission
@@ -2087,7 +2478,8 @@ object DeltaWrite {
         s.schema.map(DeltaRead.ColumnMapping.physByLogical).getOrElse(Map.empty)
       else Map.empty
     val schemaJson = s.schema.map(_.json).getOrElse(
-      throw new IllegalStateException(s"$table@$v has no metaData to checkpoint"))
+      throw new IllegalStateException(
+        s"$table@${s.version} has no metaData to checkpoint"))
     // protocol rides through verbatim, FEATURE LISTS INCLUDED —
     // writing the (1, 2) floor (or dropping a feature list) into a
     // checkpoint would downgrade the table for every
@@ -2095,14 +2487,14 @@ object DeltaWrite {
     val protoRow = Row(Row(s.minReaderVersion, s.minWriterVersion,
       if (s.readerFeatures.isEmpty) null else s.readerFeatures.toSeq.sorted,
       if (s.writerFeatures.isEmpty) null else s.writerFeatures.toSeq.sorted),
-      null, null, null)
+      null, null, null, null)
     // configuration rides along verbatim — dropping a foreign table's
     // properties (appendOnly, retention overrides) at checkpoint time
     // would erase them for every checkpoint-resolved reader
     val metaRow = Row(null,
       Row(s.metaId.getOrElse("graft"), Row("parquet"), schemaJson,
         s.partitionColumns, s.configuration, System.currentTimeMillis()),
-      null, null)
+      null, null, null)
     val addRows = s.files.map { f =>
       val p = Paths.get(table, f.path)
       val (size, mtime) =
@@ -2117,15 +2509,34 @@ object DeltaWrite {
       Row(null, null, Row(f.path.split('/').map(encodeSegment).mkString("/"),
         f.partitionValues.map { case (k, x) => physBy.getOrElse(k, k) -> x },
         size, mtime, true,
-        f.stats.map(DeltaRead.renameStatsKeys(_, physBy)).orNull, dvRow), null)
+        f.stats.map(DeltaRead.renameStatsKeys(_, physBy)).orNull, dvRow,
+        f.baseRowId.map(java.lang.Long.valueOf).orNull,
+        f.defaultRowCommitVersion.map(java.lang.Long.valueOf).orNull), null, null)
     }
     // SetTransaction high-water marks survive checkpointing — a
     // streaming sink's replay guard must not reset when history is
     // truncated past the last checkpoint
     val txnRows = s.txns.toSeq.sortBy(_._1).map { case (appId, ver) =>
-      Row(null, null, null, Row(appId, ver))
+      Row(null, null, null, Row(appId, ver), null)
     }
-    val rows = Seq(protoRow, metaRow) ++ addRows ++ txnRows
+    // domain metadata persists through checkpoints — REMOVED
+    // tombstones included, as the protocol requires (a foreign writer
+    // replaying from this checkpoint must still see the removal)
+    val domainRows = s.domains.toSeq.sortBy(_._1).map { case (d, (conf, rm)) =>
+      Row(null, null, null, null, Row(d, conf, rm))
+    }
+    Seq(protoRow, metaRow) ++ addRows ++ txnRows ++ domainRows
+  }
+
+  def checkpoint(spark: SparkSession, table: String, parts: Int = 1): Long = {
+    require(parts >= 1, s"checkpoint: parts must be >= 1, got $parts")
+    val v = DeltaRead.latestVersion(table)
+    val s = DeltaRead.snapshotAt(spark, table, v)
+    // a table whose checkpoint policy is v2 gets the v2 layout — a
+    // classic checkpoint would violate the policy foreign writers set
+    if (s.configuration.get("delta.checkpointPolicy").contains("v2"))
+      return checkpointV2(spark, table)
+    val rows = checkpointStateRows(table, s)
     // contiguous split across parts; every part non-empty when the
     // action count allows it
     val n = math.min(parts, rows.size)
@@ -2164,6 +2575,71 @@ object DeltaWrite {
     val partsField = if (chunks.size == 1) "" else s""","parts":${chunks.size}"""
     Files.write(lcTmp,
       Seq(s"""{"version":$v,"size":${rows.size}$partsField}""").asJava)
+    Files.move(lcTmp, logDir(table).resolve("_last_checkpoint"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    v
+  }
+
+  /** Write one parquet of `rows` under `schema` and atomically move it
+    * to `dest` (same-filesystem staging inside the table root, like
+    * the classic checkpoint writer). */
+  private def writeActionParquet(spark: SparkSession, table: String,
+      rows: Seq[Row], schema: StructType, dest: Path): Unit = {
+    val stagedDir = Paths.get(table, s"_staging-${UUID.randomUUID()}")
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      .coalesce(1).write.mode("overwrite").parquet(stagedDir.toString)
+    val ls = Files.list(stagedDir)
+    val part =
+      try ls.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(
+          "checkpoint write produced no parquet"))
+      finally ls.close()
+    Files.createDirectories(dest.getParent)
+    Files.move(part, dest,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    org.apache.commons.io.FileUtils.deleteDirectory(stagedDir.toFile)
+  }
+
+  /** V2 CHECKPOINT writer (PROTOCOL.md "V2 spec checkpoints") — the
+    * UUID-manifest + sidecar layout current Delta releases default to:
+    * the file actions land in a parquet SIDECAR under
+    * `_delta_log/_sidecars/`, and the manifest
+    * (`<v>.checkpoint.<uuid>.parquet`) carries the non-file actions, a
+    * `checkpointMetadata` stamp, and a `sidecar` pointer per sidecar
+    * file. Both halves are written-then-atomically-moved, sidecars
+    * FIRST — a reader listing mid-write sees either no manifest (no
+    * checkpoint) or a complete one. [[checkpoint]] dispatches here
+    * when `delta.checkpointPolicy=v2`; tables written by graft default
+    * to classic (either resolves identically through [[DeltaRead]]). */
+  def checkpointV2(spark: SparkSession, table: String): Long = {
+    val v = DeltaRead.latestVersion(table)
+    val s = DeltaRead.snapshotAt(spark, table, v)
+    val state = checkpointStateRows(table, s)
+    val (addRows, otherRows) = state.partition(r => !r.isNullAt(2))
+    val sidecarName = s"${UUID.randomUUID()}.parquet"
+    val sidecarDest = logDir(table).resolve("_sidecars").resolve(sidecarName)
+    writeActionParquet(spark, table, addRows, CheckpointSchema, sidecarDest)
+    val manifestSchema = StructType(CheckpointSchema.fields ++ Seq(
+      StructField("sidecar", StructType(Seq(
+        StructField("path", StringType),
+        StructField("sizeInBytes", LongType),
+        StructField("modificationTime", LongType)))),
+      StructField("checkpointMetadata", StructType(Seq(
+        StructField("version", LongType))))))
+    val pad = otherRows.map(r => Row.fromSeq(r.toSeq ++ Seq(null, null)))
+    val nulls5 = Seq(null, null, null, null, null)
+    val sidecarRow = Row.fromSeq(nulls5 ++ Seq(
+      Row(sidecarName, Files.size(sidecarDest),
+        Files.getLastModifiedTime(sidecarDest).toMillis), null))
+    val cpMetaRow = Row.fromSeq(nulls5 ++ Seq(null, Row(v)))
+    val manifestDest = logDir(table)
+      .resolve(f"$v%020d.checkpoint.${UUID.randomUUID()}.parquet")
+    writeActionParquet(spark, table, pad ++ Seq(sidecarRow, cpMetaRow),
+      manifestSchema, manifestDest)
+    val lcTmp = logDir(table).resolve(s"_last_checkpoint.tmp-${UUID.randomUUID()}")
+    Files.write(lcTmp,
+      Seq(s"""{"version":$v,"size":${state.size + 2}}""").asJava)
     Files.move(lcTmp, logDir(table).resolve("_last_checkpoint"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     v

@@ -1082,6 +1082,71 @@ object DatalakeQueries {
            |       true AS wrote_cdc, true AS cdc_exact
            |FROM agg ORDER BY lang""".stripMargin))
 
+  /** q207 — ROW TRACKING end to end
+    * ([[graft.io.DeltaWrite.enableRowTracking]] /
+    * [[graft.io.DeltaRead.readWithRowIds]]): a documents table gets
+    * stable row ids, then survives the full maintenance gauntlet — a
+    * second append (fresh id block), a DV erasure, an OPTIMIZE rewrite
+    * (ids preserved via the MATERIALIZED columns), and a MERGE upsert
+    * (updated rows keep their ids, inserts allocate past the
+    * high-water mark). The output carries the per-lang data aggregates
+    * (oracle recomputes them arithmetically) plus three booleans the
+    * query itself proves — every surviving row kept the id it held
+    * before the maintenance (`ids_stable`), ids are globally distinct
+    * (`ids_unique`), and every fresh row's id clears the pre-merge
+    * maximum (`fresh_past_hwm`). The stable-id column is what makes
+    * dedup ledgers and CDC joins keyable across arbitrary table
+    * maintenance at 100 TB — no content hash needed. */
+  val q207RowTracking = GQuery(
+    "q207_row_tracking",
+    (s, d) => {
+      import s.implicits._
+      val t = graft.io.Staging.tempDir("graft_q207_")
+      val docs = Tables.documents(s, d).select($"doc_id", $"lang", $"n_chars")
+      graft.io.DeltaWrite.append(
+        docs.filter(pmod($"doc_id", lit(2)) === 0).repartition(3), t)  // v0
+      graft.io.DeltaWrite.enableRowTracking(s, t)                      // v1
+      graft.io.DeltaWrite.append(
+        docs.filter(pmod($"doc_id", lit(2)) === 1).repartition(2), t)  // v2
+      val vBoth = graft.io.DeltaRead.latestVersion(t)
+      graft.io.DeltaWrite.deleteWhere(s, t, pmod($"doc_id", lit(10)) === 3)
+      require(graft.io.DeltaWrite.compact(s, t) > 0,
+        "q207 expects an OPTIMIZE rewrite")
+      val src = docs.filter(pmod($"doc_id", lit(10)) === 4)
+        .withColumn("n_chars", $"n_chars" + 500L)
+        .unionByName(docs.filter(pmod($"doc_id", lit(10)) === 7)
+          .withColumn("doc_id", $"doc_id" + 9000000L))
+      graft.io.DeltaWrite.merge(s, t, src, Seq("doc_id"))
+      val rid = graft.io.DeltaRead.RowIdCol
+      val early = graft.io.DeltaRead.readVersionWithRowIds(s, t, vBoth)
+        .select($"doc_id", col(rid).as("rid_early"))
+      val maxEarly = early.agg(max($"rid_early")).first().getLong(0)
+      val head = graft.io.DeltaRead.readWithRowIds(s, t)
+      val globallyUnique = {
+        val r = head.agg(count(lit(1)), countDistinct(col(rid))).first()
+        r.getLong(0) == r.getLong(1)
+      }
+      head.join(early, Seq("doc_id"), "left")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_chars").cast("long").as("sum_chars"),
+          min(coalesce($"rid_early" === col(rid), lit(true))).as("ids_stable"),
+          (count(lit(1)) === countDistinct(col(rid)) && lit(globallyUnique))
+            .as("ids_unique"),
+          min(when($"rid_early".isNull, col(rid) > lit(maxEarly))
+            .otherwise(lit(true))).as("fresh_past_hwm"))
+        .orderBy($"lang")
+    },
+    Some("""WITH fin AS (
+           |  SELECT doc_id, lang,
+           |    CASE WHEN doc_id % 10 = 4 THEN n_chars + 500 ELSE n_chars END AS nc
+           |  FROM documents WHERE doc_id % 10 <> 3
+           |  UNION ALL
+           |  SELECT doc_id + 9000000, lang, n_chars FROM documents WHERE doc_id % 10 = 7)
+           |SELECT lang, count(*) AS n_docs, CAST(sum(nc) AS BIGINT) AS sum_chars,
+           |       true AS ids_stable, true AS ids_unique, true AS fresh_past_hwm
+           |FROM fin GROUP BY lang ORDER BY lang""".stripMargin))
+
   /** q206 — the change feed as a REAL `readStream` source
     * ([[graft.streaming.DeltaCdfStreamProvider]], format
     * `graft-delta-cdf`): the same append/append/DV-erasure/MERGE
@@ -1150,5 +1215,5 @@ object DatalakeQueries {
     q177TxTable, q179DeltaRead, q180DeltaRoundtrip, q184TxToDelta,
     q194DeltaChangefeed, q196CdfFold, q197MergeUpsert,
     q198DvErasure, q199CdfMirror, q200Restore, q202TableFeatures,
-    q203CdfWrite, q206CdfReadStream)
+    q203CdfWrite, q206CdfReadStream, q207RowTracking)
 }

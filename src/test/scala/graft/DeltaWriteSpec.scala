@@ -809,10 +809,10 @@ class DeltaWriteSpec extends SparkTestBase {
       // a foreign engine upgrades the table to a feature-listed
       // protocol with a feature graft cannot uphold
       Files.write(Paths.get(t, "_delta_log", f"${1L}%020d.json"), Seq(
-        """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["rowTracking"]}}""").asJava)
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["icebergCompatV2"]}}""").asJava)
       val e = intercept[UnsupportedOperationException](
         DeltaWrite.append(Seq((2L, "b")).toDF("id", "txt"), t))
-      assert(e.getMessage.contains("rowTracking"))
+      assert(e.getMessage.contains("icebergCompatV2"))
       // merely-listed legacy-implied features are fine
       Files.write(Paths.get(t, "_delta_log", f"${1L}%020d.json"), Seq(
         """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["appendOnly","invariants"]}}""").asJava)

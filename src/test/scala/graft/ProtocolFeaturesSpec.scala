@@ -1,0 +1,169 @@
+package graft
+
+import graft.io.{DeltaRead, DeltaWrite}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** The round-10 protocol-feature closers: IN-COMMIT TIMESTAMPS (the
+  * commit clock moves into commitInfo and stays strictly monotonic —
+  * file mtimes stop mattering for time travel), TIMESTAMP_NTZ write
+  * gating (a schema carrying the type must announce the feature on
+  * both protocol lists), and vacuumProtocolCheck (vacuum validates
+  * protocol support before reclaiming anything). */
+class ProtocolFeaturesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def newTable(): String =
+    Files.createTempDirectory("protofeat").toString
+
+  private def cleanup(t: String): Unit =
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(t))
+
+  private def commitJson(t: String, v: Long): Seq[com.fasterxml.jackson.databind.JsonNode] =
+    Files.readAllLines(Paths.get(t, "_delta_log", f"$v%020d.json")).asScala.toSeq
+      .filter(_.trim.nonEmpty).map(mapper.readTree)
+
+  test("ICT: every post-enable commit carries a strictly increasing inCommitTimestamp") {
+    val t = newTable()
+    try {
+      DeltaWrite.append((1L to 10L).map(i => (i, i)).toDF("id", "v"), t) // v0
+      val ev = DeltaWrite.enableInCommitTimestamps(spark, t)             // v1
+      val s = DeltaRead.snapshot(spark, t)
+      assert(s.writerFeatures.contains("inCommitTimestamp"))
+      assert(s.configuration.get("delta.inCommitTimestampEnablementVersion")
+        .contains(ev.toString))
+      DeltaWrite.append((11L to 15L).map(i => (i, i)).toDF("id", "v"), t) // v2
+      DeltaWrite.deleteWhere(spark, t, $"id" === 3L)                      // v3
+      DeltaWrite.setProperties(spark, t, Map("custom.x" -> "1"))          // v4
+      DeltaWrite.compact(spark, t)                                        // v5
+      val icts = (ev to DeltaRead.latestVersion(t)).map { v =>
+        val ci = commitJson(t, v).flatMap(n => Option(n.get("commitInfo"))).head
+        val ict = ci.get("inCommitTimestamp")
+        assert(ict != null && !ict.isNull, s"commit $v lacks inCommitTimestamp")
+        ict.asLong()
+      }
+      assert(icts == icts.sorted && icts.distinct == icts,
+        s"in-commit timestamps not strictly increasing: $icts")
+    } finally cleanup(t)
+  }
+
+  test("ICT: time travel resolves against the in-commit clock, not file mtimes") {
+    val t = newTable()
+    try {
+      DeltaWrite.append(Seq((1L, "a")).toDF("id", "s"), t)
+      DeltaWrite.enableInCommitTimestamps(spark, t)
+      DeltaWrite.append(Seq((2L, "b")).toDF("id", "s"), t)
+      val v2 = DeltaRead.latestVersion(t)
+      val ictAtV2 = commitJson(t, v2)
+        .flatMap(n => Option(n.get("commitInfo"))).head
+        .get("inCommitTimestamp").asLong()
+      // sabotage the mtimes: a storage migration touches every log file
+      (0L to v2).foreach { v =>
+        Files.setLastModifiedTime(Paths.get(t, "_delta_log", f"$v%020d.json"),
+          java.nio.file.attribute.FileTime.fromMillis(10_000L))
+      }
+      assert(DeltaRead.versionAtTime(spark, t, ictAtV2) == v2)
+      assert(DeltaRead.versionAtTime(spark, t, ictAtV2 - 1) == v2 - 1)
+    } finally cleanup(t)
+  }
+
+  test("timestampNtz: creation announces the feature on both lists; roundtrip reads back") {
+    val t = newTable()
+    try {
+      val df = Seq((1L, java.time.LocalDateTime.of(2024, 5, 17, 10, 30)),
+        (2L, java.time.LocalDateTime.of(2023, 1, 2, 3, 4)))
+        .toDF("id", "ts_ntz")
+      assert(df.schema("ts_ntz").dataType ==
+        org.apache.spark.sql.types.TimestampNTZType)
+      DeltaWrite.append(df, t)
+      val s = DeltaRead.snapshot(spark, t)
+      assert(s.minReaderVersion == 3 && s.minWriterVersion == 7)
+      assert(s.readerFeatures.contains("timestampNtz") &&
+        s.writerFeatures.contains("timestampNtz"))
+      val got = DeltaRead.read(spark, t).orderBy($"id")
+        .select($"ts_ntz".cast("string")).as[String].collect()
+      assert(got.head.startsWith("2024-05-17 10:30"))
+      // append to the feature-listed table still works (the gate
+      // admits features this writer implements)
+      DeltaWrite.append(df.withColumn("id", $"id" + 10), t)
+      assert(DeltaRead.read(spark, t).count() == 4)
+    } finally cleanup(t)
+  }
+
+  test("timestampNtz: overwrite evolving INTO the type upgrades the protocol in-commit") {
+    val t = newTable()
+    try {
+      DeltaWrite.append(Seq((1L, "x")).toDF("id", "s"), t)
+      assert(DeltaRead.snapshot(spark, t).minReaderVersion == 1)
+      DeltaWrite.overwrite(
+        Seq((1L, java.time.LocalDateTime.of(2024, 1, 1, 0, 0)))
+          .toDF("id", "ts"), t)
+      val s = DeltaRead.snapshot(spark, t)
+      assert(s.readerFeatures.contains("timestampNtz") &&
+        s.writerFeatures.contains("timestampNtz"))
+    } finally cleanup(t)
+  }
+
+  test("checkpointV2 writes manifest+sidecar; replay from it reproduces the snapshot exactly") {
+    val t = newTable()
+    try {
+      val df = (1L to 40L).map(i => (i, s"p${i % 3}", i * 2)).toDF("id", "part", "v")
+      DeltaWrite.append(df, t, partitionBy = Seq("part"))
+      DeltaWrite.enableRowTracking(spark, t)
+      DeltaWrite.deleteWhere(spark, t, $"id" % 7 === 0)
+      DeltaWrite.setDomainMetadata(spark, t, "app.cursor", """{"at":7}""")
+      val before = DeltaRead.snapshot(spark, t)
+      val beforeIds = DeltaRead.readWithRowIds(spark, t)
+        .select($"id", col(DeltaRead.RowIdCol))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // policy dispatch: checkpoint() routes to the v2 layout
+      DeltaWrite.setProperties(spark, t, Map("delta.checkpointPolicy" -> "v2"))
+      val cv = DeltaWrite.checkpoint(spark, t)
+      val logFiles = Files.list(Paths.get(t, "_delta_log")).iterator().asScala
+        .map(_.getFileName.toString).toSeq
+      assert(logFiles.exists(n => n.matches(f"$cv%020d\\.checkpoint\\.[0-9a-f-]{36}\\.parquet")),
+        s"no v2 manifest in $logFiles")
+      assert(!logFiles.contains(f"$cv%020d.checkpoint.parquet"), "classic written despite v2 policy")
+      assert(Files.list(Paths.get(t, "_delta_log", "_sidecars")).iterator().asScala.nonEmpty)
+      // replay must come from the v2 checkpoint alone
+      (0L to cv).foreach(v =>
+        Files.deleteIfExists(Paths.get(t, "_delta_log", f"$v%020d.json")))
+      val after = DeltaRead.snapshot(spark, t)
+      assert(after.files.map(_.path).toSet == before.files.map(_.path).toSet)
+      assert(after.files.forall(_.baseRowId.isDefined))
+      assert(after.liveDomains.get("app.cursor").exists(_.contains("\"at\":7")))
+      assert(after.liveDomains.contains("delta.rowTracking"))
+      assert(after.writerFeatures == before.writerFeatures)
+      val afterIds = DeltaRead.readWithRowIds(spark, t)
+        .select($"id", col(DeltaRead.RowIdCol))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(afterIds == beforeIds)
+    } finally cleanup(t)
+  }
+
+  test("vacuumProtocolCheck: listed feature is honored; unknown features still refuse vacuum") {
+    val t = newTable()
+    try {
+      DeltaWrite.append(Seq((1L, "a")).toDF("id", "s"), t)
+      val v = DeltaRead.latestVersion(t)
+      // foreign upgrade to (3,7) listing vacuumProtocolCheck on both sides
+      Files.write(Paths.get(t, "_delta_log", f"${v + 1}%020d.json"), Seq(
+        """{"commitInfo":{"timestamp":0,"operation":"UPGRADE"}}""",
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+          """"readerFeatures":["vacuumProtocolCheck"],""" +
+          """"writerFeatures":["vacuumProtocolCheck","appendOnly","invariants"]}}""").asJava)
+      assert(DeltaRead.read(spark, t).count() == 1)
+      DeltaWrite.vacuum(spark, t) // must not throw — feature is supported
+      // an unknown writer feature makes vacuum refuse loudly
+      Files.write(Paths.get(t, "_delta_log", f"${v + 2}%020d.json"), Seq(
+        """{"commitInfo":{"timestamp":0,"operation":"UPGRADE"}}""",
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+          """"readerFeatures":["vacuumProtocolCheck"],""" +
+          """"writerFeatures":["vacuumProtocolCheck","someFutureFeature"]}}""").asJava)
+      intercept[UnsupportedOperationException] { DeltaWrite.vacuum(spark, t) }
+    } finally cleanup(t)
+  }
+}
