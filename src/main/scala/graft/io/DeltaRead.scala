@@ -86,10 +86,22 @@ object DeltaRead {
     * masking — [[DeltaDv]]); columnMapping is implemented by scanning
     * under physical names and renaming back (see [[ColumnMapping]]);
     * v2Checkpoint resolves the UUID-manifest + sidecar layout current
-    * Delta releases write by default (see `applyV2Checkpoint`). */
+    * Delta releases write by default (see `applyV2Checkpoint`);
+    * typeWidening is honored because every scan runs under the LOG's
+    * explicit schema and Spark's parquet reader performs the
+    * protocol's whole widening matrix physically (int→long,
+    * byte/short→int, int→double, float→double, date→timestamp_ntz,
+    * integer→decimal, decimal precision/scale increases — probed, and
+    * pinned by TypeWideningSpec); variantType reads natively (Spark's
+    * VariantType IS the parquet layout the feature names; shredded
+    * variants are `variantShredding`, which stays refused);
+    * vacuumProtocolCheck's reader half requires nothing of a reader —
+    * it exists to gate legacy VACUUM implementations, and graft's
+    * vacuum checks the protocol first. */
   private val SupportedReaderFeatures =
     Set("timestampNtz", "deletionVectors", "columnMapping", "v2Checkpoint",
-      "vacuumProtocolCheck")
+      "vacuumProtocolCheck", "typeWidening", "typeWidening-preview",
+      "variantType")
 
   /** Column-mapping translation (PROTOCOL.md "Column Mapping"): when
     * `delta.columnMapping.mode` is `name` or `id`, each logical field

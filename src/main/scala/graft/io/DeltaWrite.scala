@@ -288,7 +288,8 @@ object DeltaWrite {
     Set("appendOnly", "invariants", "columnMapping", "deletionVectors",
       "checkConstraints", "generatedColumns", "changeDataFeed",
       "identityColumns", "domainMetadata", "rowTracking",
-      "inCommitTimestamp", "vacuumProtocolCheck", "timestampNtz")
+      "inCommitTimestamp", "vacuumProtocolCheck", "timestampNtz",
+      "typeWidening", "typeWidening-preview", "variantType", "clustering")
 
   // --- DOMAIN METADATA (PROTOCOL.md "Domain Metadata") ---
   // Per-domain system state carried in the log: the latest
@@ -479,6 +480,80 @@ object DeltaWrite {
       attempt += 1
     }
     throw new IllegalStateException(s"enableRowTracking: lost 10 commit races on $table")
+  }
+
+  // --- CLUSTERED TABLES (PROTOCOL.md "Clustered Table" — liquid
+  // clustering). The clustering columns live in the `delta.clustering`
+  // domain ({"clusteringColumns":[["c1"],["c2"]]}); the writer
+  // obligation is to maintain that domain, with data clustering
+  // best-effort. graft makes the effort real: [[appendClustered]]
+  // Z-orders every batch along the declared columns (the same
+  // interleaved-bit layout as [[appendZOrdered]]), so add.stats bounds
+  // stay tight on every clustered column and log-metadata data
+  // skipping keeps working as the table grows — the layout lever for
+  // multi-predicate scans at 100 TB.
+
+  private[io] val ClusteringDomain = "delta.clustering"
+
+  /** The clustering columns the table declares (empty → not a
+    * clustered table). Top-level columns only — a nested clustering
+    * path is refused rather than silently ignored. */
+  def clusteringColumns(s: DeltaRead.DeltaSnapshot): Seq[String] =
+    s.liveDomains.get(ClusteringDomain).toSeq.flatMap { c =>
+      Option(mapper.readTree(c).get("clusteringColumns")).toSeq.flatMap { n =>
+        n.elements().asScala.map { path =>
+          val parts = path.elements().asScala.map(_.asText()).toSeq
+          require(parts.size == 1,
+            s"clustering column ${parts.mkString(".")} is nested — unsupported")
+          parts.head
+        }.toSeq
+      }
+    }
+
+  /** ALTER TABLE ... CLUSTER BY: declare (or re-declare) the
+    * clustering columns — one commit sets the `delta.clustering`
+    * domain and upgrades the protocol to list `clustering` +
+    * `domainMetadata`. Data already written stays where it is (Delta's
+    * own contract: clustering is a layout property enforced on future
+    * writes and OPTIMIZE, not a rewrite trigger). */
+  def clusterBy(spark: SparkSession, table: String, cols: Seq[String]): Long = {
+    require(cols.nonEmpty, "clusterBy: cols must be non-empty")
+    var attempt = 0
+    while (attempt < 10) {
+      val v = DeltaRead.latestVersion(table)
+      val s = DeltaRead.snapshotAt(spark, table, v)
+      validateWriterSupport(table, s, removesData = false)
+      val schema = s.schema.getOrElse(throw new IllegalStateException(
+        s"clusterBy: $table has no metaData schema"))
+      cols.foreach(c => require(schema.fieldNames.contains(c),
+        s"clusterBy: no column '$c' in ${schema.fieldNames.mkString(",")}"))
+      cols.foreach(c => require(!s.partitionColumns.contains(c),
+        s"clusterBy: '$c' is a partition column"))
+      val now = System.currentTimeMillis()
+      val proto =
+        if (s.minWriterVersion >= 7 && s.writerFeatures.contains("clustering")) Nil
+        else Seq(upgradeProtocolAction(table, s, Set.empty,
+          Set("clustering", "domainMetadata")))
+      val conf = cols.map(c => s"""[${mapper.writeValueAsString(c)}]""")
+        .mkString("""{"clusteringColumns":[""", ",", "]}")
+      val lines = Seq(commitInfoAction("CLUSTER BY", now)) ++ proto :+
+        domainMetadataAction(ClusteringDomain, conf, removed = false)
+      if (publish(table, Some(s), v + 1, lines)) return v + 1
+      attempt += 1
+    }
+    throw new IllegalStateException(s"clusterBy: lost 10 commit races on $table")
+  }
+
+  /** Append a batch honoring the table's declared clustering: the
+    * rows are laid out along the interleaved-bit Z-key of the
+    * `delta.clustering` columns before committing (tight per-file
+    * stats bounds on every clustered column). Falls back to a plain
+    * append when the table declares no clustering. */
+  def appendClustered(df: DataFrame, table: String, numFiles: Int = 8): Long = {
+    val s = DeltaRead.snapshot(df.sparkSession, table)
+    val cols = clusteringColumns(s)
+    if (cols.isEmpty) append(df, table)
+    else appendZOrdered(df, table, cols, numFiles)
   }
 
   // --- IN-COMMIT TIMESTAMPS (PROTOCOL.md "In-Commit Timestamps") ---
@@ -824,6 +899,101 @@ object DeltaWrite {
     case ArrayType(et, _) => containsTimestampNtz(et)
     case MapType(k, v, _) => containsTimestampNtz(k) || containsTimestampNtz(v)
     case _ => false
+  }
+
+  private[io] def containsVariant(dt: DataType): Boolean = dt match {
+    case VariantType => true
+    case st: StructType => st.fields.exists(f => containsVariant(f.dataType))
+    case ArrayType(et, _) => containsVariant(et)
+    case MapType(k, v, _) => containsVariant(k) || containsVariant(v)
+    case _ => false
+  }
+
+  /** Is `from` → `to` in the protocol's TYPE WIDENING matrix
+    * (PROTOCOL.md "Type Widening")? Every admitted conversion is also
+    * one Spark's parquet reader performs physically when scanning a
+    * narrow file under the wide schema — probed and spec-pinned
+    * (TypeWideningSpec), which is what makes the read side free. */
+  private[io] def wideningOk(from: DataType, to: DataType): Boolean = {
+    def intDigits(dt: DataType): Option[Int] = dt match {
+      case ByteType => Some(3); case ShortType => Some(5)
+      case IntegerType => Some(10); case LongType => Some(20); case _ => None
+    }
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      // long → double is LOSSY past 2^53 and excluded by the spec
+      case (ByteType | ShortType | IntegerType, DoubleType) => true
+      case (FloatType, DoubleType) => true
+      case (DateType, TimestampNTZType) => true
+      case (f: DecimalType, t: DecimalType) =>
+        t != f && t.scale >= f.scale &&
+          t.precision - t.scale >= f.precision - f.scale
+      case (f, t: DecimalType) =>
+        intDigits(f).exists(d => t.precision - t.scale >= d)
+      case _ => false
+    }
+  }
+
+  private def protoTypeName(dt: DataType): String = dt match {
+    case d: DecimalType => s"decimal(${d.precision},${d.scale})"
+    case other => other.typeName
+  }
+
+  /** ALTER TABLE ... ALTER COLUMN ... TYPE — widening only
+    * (PROTOCOL.md "Type Widening"): one log-only commit re-emits the
+    * schema with the column's wider type, records the change in the
+    * field's `delta.typeChanges` metadata (fromType / toType /
+    * tableVersion, as the spec requires so readers can reason about
+    * old files), and upgrades the protocol to list `typeWidening` on
+    * both sides. Existing files stay untouched — every reader scan
+    * runs under the log schema, and the parquet layer upcasts the
+    * narrow physical values. Partition columns refuse (their values
+    * live as strings in the log and re-type at read). */
+  def widenColumnType(spark: SparkSession, table: String, column: String,
+      to: DataType): Long = {
+    var attempt = 0
+    while (attempt < 10) {
+      val v = DeltaRead.latestVersion(table)
+      val s = DeltaRead.snapshotAt(spark, table, v)
+      validateWriterSupport(table, s, removesData = false)
+      val schema = s.schema.getOrElse(throw new IllegalStateException(
+        s"widenColumnType: $table has no metaData schema"))
+      require(schema.fieldNames.contains(column),
+        s"widenColumnType: no column '$column' in ${schema.fieldNames.mkString(",")}")
+      require(!s.partitionColumns.contains(column),
+        s"widenColumnType: '$column' is a partition column — partition values " +
+          "are log strings and do not widen")
+      val idx = schema.fieldIndex(column)
+      val f = schema(idx)
+      require(wideningOk(f.dataType, to),
+        s"widenColumnType: ${f.dataType.simpleString} -> ${to.simpleString} " +
+          "is not a supported widening")
+      val metaNode = mapper.readTree(f.metadata.json)
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      val arr = Option(metaNode.get("delta.typeChanges")).collect {
+        case a: com.fasterxml.jackson.databind.node.ArrayNode => a
+      }.getOrElse(metaNode.putArray("delta.typeChanges"))
+      val e = arr.addObject()
+      e.put("fromType", protoTypeName(f.dataType))
+      e.put("toType", protoTypeName(to))
+      e.put("tableVersion", v + 1)
+      val newField = f.copy(dataType = to,
+        metadata = Metadata.fromJson(mapper.writeValueAsString(metaNode)))
+      val newSchema = StructType(schema.fields.updated(idx, newField))
+      val now = System.currentTimeMillis()
+      val proto =
+        if (s.minWriterVersion >= 7 && s.writerFeatures.contains("typeWidening")) Nil
+        else Seq(upgradeProtocolAction(table, s,
+          Set("typeWidening"), Set("typeWidening")))
+      val lines = Seq(commitInfoAction("WIDEN COLUMN", now)) ++ proto :+
+        metaDataAction(s.metaId.getOrElse(UUID.randomUUID().toString),
+          newSchema.json, s.partitionColumns, now, s.configuration)
+      if (publish(table, Some(s), v + 1, lines)) return v + 1
+      attempt += 1
+    }
+    throw new IllegalStateException(s"widenColumnType: lost 10 commit races on $table")
   }
 
   /** Feature-form (3, 7) protocol with explicit lists. */
@@ -1310,26 +1480,28 @@ object DeltaWrite {
         mapCtx.map(ctx => base +
           (WriteMapping.ModeKey -> ctx.mode) +
           (WriteMapping.MaxIdKey -> ctx.maxColumnId.toString)).getOrElse(base)
-      // TIMESTAMP_NTZ is a FEATURE-gated type (PROTOCOL.md
-      // "timestampNtz"): a schema carrying it must announce the
-      // feature on BOTH protocol lists, or feature-unaware clients
-      // would misread the values as zoned timestamps
-      val ntz = containsTimestampNtz(df.schema)
+      // TIMESTAMP_NTZ and VARIANT are FEATURE-gated types (PROTOCOL.md
+      // "timestampNtz" / "variantType"): a schema carrying either must
+      // announce the feature on BOTH protocol lists, or feature-unaware
+      // clients would misread the values
+      val typeFeatures =
+        (if (containsTimestampNtz(df.schema)) Set("timestampNtz") else Set.empty[String]) ++
+          (if (containsVariant(df.schema)) Set("variantType") else Set.empty[String])
       val header =
         if (!exists)
           Seq(commitInfoAction("WRITE", now),
             // column mapping requires protocol (2, 5); identity
             // columns writer version 6; generated columns writer
-            // version 4; timestampNtz anywhere forces the (3, 7)
-            // feature form; plain tables stay at the (1, 2) feature
-            // floor every client reads
-            if (ntz) {
-              val wf = Set("timestampNtz", "appendOnly", "invariants") ++
+            // version 4; a feature-gated type anywhere forces the
+            // (3, 7) feature form; plain tables stay at the (1, 2)
+            // feature floor every client reads
+            if (typeFeatures.nonEmpty) {
+              val wf = typeFeatures ++ Set("appendOnly", "invariants") ++
                 (if (createMapping.isDefined) Set("columnMapping") else Set.empty) ++
                 (if (identityMeta.isDefined) Set("identityColumns") else Set.empty) ++
                 (if (fieldMetaHas(df.schema, GenKey)) Set("generatedColumns")
                  else Set.empty)
-              val rf = Set("timestampNtz") ++
+              val rf = typeFeatures ++
                 (if (createMapping.isDefined) Set("columnMapping") else Set.empty)
               protocolFeatureAction(rf, wf)
             }
@@ -1344,13 +1516,14 @@ object DeltaWrite {
           // and replaying metaData is idempotent when unchanged
           // configuration survives the overwrite: schema may evolve,
           // table properties (appendOnly, retention overrides) do not.
-          // A schema evolving INTO timestampNtz upgrades the protocol
-          // in the same commit.
+          // A schema evolving INTO a feature-gated type upgrades the
+          // protocol in the same commit.
           Seq(commitInfoAction("OVERWRITE", now)) ++
-          (if (ntz && !snap.exists(_.writerFeatures.contains("timestampNtz")))
-            snap.toSeq.map(s0 => upgradeProtocolAction(table, s0,
-              Set("timestampNtz"), Set("timestampNtz")))
-           else Nil) ++
+          (snap.toSeq.flatMap { s0 =>
+            val missing = typeFeatures -- s0.writerFeatures
+            if (missing.isEmpty) Nil
+            else Seq(upgradeProtocolAction(table, s0, missing, missing))
+          }) ++
           Seq(metaDataAction(snap.flatMap(_.metaId).getOrElse(UUID.randomUUID().toString),
               schemaJson, partitionBy, now,
               mappedConf(snap.map(_.configuration).getOrElse(Map.empty))))

@@ -1147,6 +1147,79 @@ object DatalakeQueries {
            |       true AS ids_stable, true AS ids_unique, true AS fresh_past_hwm
            |FROM fin GROUP BY lang ORDER BY lang""".stripMargin))
 
+  /** q208 — TYPE WIDENING end to end
+    * ([[graft.io.DeltaWrite.widenColumnType]]): an orders table lands
+    * with INT key and INT cents, widens to LONG and DECIMAL(20,0) in
+    * two log-only commits (zero bytes rewritten — the narrow files
+    * stay), then a second batch appends values past Int.MaxValue; the
+    * per-status aggregate must read BOTH generations uniformly under
+    * the log schema (Spark's parquet layer upcasts the old files —
+    * the read-side contract of the `typeWidening` feature). The
+    * oracle recomputes the mixed-width arithmetic directly. */
+  val q208TypeWidening = GQuery(
+    "q208_type_widening",
+    (s, d) => {
+      import s.implicits._
+      val t = graft.io.Staging.tempDir("graft_q208_")
+      val orders = s.read.parquet(s"$d/orders.parquet")
+        .selectExpr("o_orderstatus",
+          "CAST(o_orderkey AS INT) AS k",
+          "CAST(round(o_totalprice * 100) AS INT) AS cents")
+      graft.io.DeltaWrite.append(orders, t)                           // v0: narrow
+      graft.io.DeltaWrite.widenColumnType(s, t, "k",
+        org.apache.spark.sql.types.LongType)                          // v1
+      graft.io.DeltaWrite.widenColumnType(s, t, "cents",
+        org.apache.spark.sql.types.DecimalType(20, 0))                // v2
+      graft.io.DeltaWrite.append(
+        orders.selectExpr("o_orderstatus",
+          "CAST(k AS LONG) + 5000000000 AS k",
+          "CAST(cents AS DECIMAL(20,0)) AS cents"), t)                // v3: wide
+      graft.io.DeltaRead.read(s, t)
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum($"k").as("sum_k"),
+          sum($"cents").cast("long").as("sum_cents"))
+        .orderBy($"o_orderstatus")
+    },
+    Some("""WITH base AS (SELECT o_orderstatus, o_orderkey AS k,
+           |                     CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           |              FROM orders),
+           |fin AS (SELECT * FROM base
+           |        UNION ALL
+           |        SELECT o_orderstatus, k + 5000000000, cents FROM base)
+           |SELECT o_orderstatus, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+           |       CAST(sum(cents) AS BIGINT) AS sum_cents
+           |FROM fin GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+
+  /** q209 — VARIANT columns through the Delta writer (`variantType`
+    * feature): per-document semi-structured metadata lands as a real
+    * VariantType column (parse_json at ingest — the open-schema
+    * pattern for crawl/telemetry payloads), the table creates at the
+    * (3,7) feature form, and the readback extracts typed fields with
+    * `variant_get` and aggregates per lang. The oracle mirrors the
+    * extraction with DuckDB's JSON functions over the same documents
+    * — a green row proves the variant payload survives the
+    * write/read roundtrip value-exactly. */
+  val q209Variant = GQuery(
+    "q209_variant",
+    (s, d) => {
+      import s.implicits._
+      val t = graft.io.Staging.tempDir("graft_q209_")
+      val docs = Tables.documents(s, d).selectExpr("doc_id", "lang",
+        """parse_json(concat('{"len":', n_chars, ',"src":"', source, '"}')) AS meta""")
+      graft.io.DeltaWrite.append(docs, t)
+      graft.io.DeltaRead.read(s, t)
+        .selectExpr("lang",
+          "variant_get(meta, '$.len', 'long') AS len",
+          "variant_get(meta, '$.src', 'string') AS src")
+        .groupBy($"lang", $"src")
+        .agg(count(lit(1)).as("n"), sum($"len").as("sum_len"))
+        .orderBy($"lang", $"src")
+    },
+    Some("""SELECT lang, source AS src, count(*) AS n,
+           |       CAST(sum(n_chars) AS BIGINT) AS sum_len
+           |FROM documents GROUP BY lang, source ORDER BY lang, src""".stripMargin))
+
   /** q206 — the change feed as a REAL `readStream` source
     * ([[graft.streaming.DeltaCdfStreamProvider]], format
     * `graft-delta-cdf`): the same append/append/DV-erasure/MERGE
@@ -1215,5 +1288,6 @@ object DatalakeQueries {
     q177TxTable, q179DeltaRead, q180DeltaRoundtrip, q184TxToDelta,
     q194DeltaChangefeed, q196CdfFold, q197MergeUpsert,
     q198DvErasure, q199CdfMirror, q200Restore, q202TableFeatures,
-    q203CdfWrite, q206CdfReadStream, q207RowTracking)
+    q203CdfWrite, q206CdfReadStream, q207RowTracking, q208TypeWidening,
+    q209Variant)
 }

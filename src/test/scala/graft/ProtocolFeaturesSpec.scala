@@ -144,6 +144,67 @@ class ProtocolFeaturesSpec extends SparkTestBase {
     } finally cleanup(t)
   }
 
+  test("clustered table: clusterBy declares the domain, appendClustered lays batches out Z-ordered") {
+    val t = newTable()
+    try {
+      DeltaWrite.append(Seq((0L, 0L, "seed")).toDF("x", "y", "tag"), t)
+      DeltaWrite.clusterBy(spark, t, Seq("x", "y"))
+      val s0 = DeltaRead.snapshot(spark, t)
+      assert(s0.writerFeatures.contains("clustering") &&
+        s0.writerFeatures.contains("domainMetadata"))
+      assert(DeltaWrite.clusteringColumns(s0) == Seq("x", "y"))
+      // one clustered batch: 4 files, each covering a COMPACT block of
+      // the (x, y) space → an equality predicate prunes to few files
+      // from log stats alone
+      val batch = (1L to 4000L).map(i => (i % 64, (i / 64) % 64, s"r$i"))
+        .toDF("x", "y", "tag")
+      DeltaWrite.appendClustered(batch, t, numFiles = 4)
+      val admits = DeltaRead.filesAfterSkipping(spark, t,
+        DeltaRead.latestVersion(t),
+        Seq(DeltaRead.StatRange.eq("x", 5L), DeltaRead.StatRange.eq("y", 5L)))
+        .filterNot(_.stats.exists(_.contains("\"numRecords\":1"))) // ignore seed
+      assert(admits.size <= 2,
+        s"clustered layout should prune to <=2 of 4 files, admitted ${admits.size}")
+      // the domain survives checkpoint truncation and rides through clone
+      val cv = DeltaWrite.checkpoint(spark, t)
+      (0L to cv).foreach(v =>
+        Files.deleteIfExists(Paths.get(t, "_delta_log", f"$v%020d.json")))
+      assert(DeltaWrite.clusteringColumns(DeltaRead.snapshot(spark, t)) == Seq("x", "y"))
+      val c = Files.createTempDirectory("clusclone").resolve("t").toString
+      DeltaWrite.clone(spark, t, c)
+      assert(DeltaWrite.clusteringColumns(DeltaRead.snapshot(spark, c)) == Seq("x", "y"))
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        Paths.get(c).getParent.toFile)
+    } finally cleanup(t)
+  }
+
+  test("foreign clustered table: declared domain honored, nested clustering path refuses") {
+    val t = newTable()
+    try {
+      DeltaWrite.append((1L to 10L).map(i => (i, i * 2)).toDF("a", "b"), t)
+      val v = DeltaRead.latestVersion(t)
+      Files.write(Paths.get(t, "_delta_log", f"${v + 1}%020d.json"), Seq(
+        """{"commitInfo":{"timestamp":0,"operation":"FOREIGN CLUSTER"}}""",
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,""" +
+          """"writerFeatures":["clustering","domainMetadata","appendOnly","invariants"]}}""",
+        """{"domainMetadata":{"domain":"delta.clustering",""" +
+          """"configuration":"{\"clusteringColumns\":[[\"b\"]]}","removed":false}}""").asJava)
+      val s = DeltaRead.snapshot(spark, t)
+      assert(DeltaWrite.clusteringColumns(s) == Seq("b"))
+      DeltaWrite.appendClustered((11L to 20L).map(i => (i, i * 2)).toDF("a", "b"), t)
+      assert(DeltaRead.read(spark, t).count() == 20)
+      // nested path → loud refusal, not silent ignore
+      Files.write(Paths.get(t, "_delta_log",
+        f"${DeltaRead.latestVersion(t) + 1}%020d.json"), Seq(
+        """{"commitInfo":{"timestamp":0,"operation":"FOREIGN"}}""",
+        """{"domainMetadata":{"domain":"delta.clustering",""" +
+          """"configuration":"{\"clusteringColumns\":[[\"nested\",\"leaf\"]]}","removed":false}}""").asJava)
+      intercept[IllegalArgumentException] {
+        DeltaWrite.clusteringColumns(DeltaRead.snapshot(spark, t))
+      }
+    } finally cleanup(t)
+  }
+
   test("vacuumProtocolCheck: listed feature is honored; unknown features still refuse vacuum") {
     val t = newTable()
     try {
