@@ -101,7 +101,7 @@ object DeltaRead {
   private val SupportedReaderFeatures =
     Set("timestampNtz", "deletionVectors", "columnMapping", "v2Checkpoint",
       "vacuumProtocolCheck", "typeWidening", "typeWidening-preview",
-      "variantType")
+      "variantType", "checkpointProtection")
 
   /** Column-mapping translation (PROTOCOL.md "Column Mapping"): when
     * `delta.columnMapping.mode` is `name` or `id`, each logical field

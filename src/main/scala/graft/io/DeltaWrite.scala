@@ -289,7 +289,15 @@ object DeltaWrite {
       "checkConstraints", "generatedColumns", "changeDataFeed",
       "identityColumns", "domainMetadata", "rowTracking",
       "inCommitTimestamp", "vacuumProtocolCheck", "timestampNtz",
-      "typeWidening", "typeWidening-preview", "variantType", "clustering")
+      "typeWidening", "typeWidening-preview", "variantType", "clustering",
+      // allowColumnDefaults: honored for real — appends lacking a
+      // defaulted column get the CURRENT_DEFAULT expression evaluated
+      // per batch (applyColumnDefaults). checkpointProtection: its
+      // whole obligation is "do not delete protected checkpoints /
+      // commits during metadata cleanup" — this writer performs no log
+      // cleanup at all (vacuum never touches _delta_log), so the
+      // obligation holds vacuously and listing it is honest.
+      "allowColumnDefaults", "checkpointProtection")
 
   // --- DOMAIN METADATA (PROTOCOL.md "Domain Metadata") ---
   // Per-domain system state carried in the log: the latest
@@ -996,6 +1004,66 @@ object DeltaWrite {
     throw new IllegalStateException(s"widenColumnType: lost 10 commit races on $table")
   }
 
+  // --- COLUMN DEFAULTS (PROTOCOL.md "Default Columns" /
+  // allowColumnDefaults): a field's CURRENT_DEFAULT metadata holds a
+  // SQL expression inserts may omit the column in favor of; the writer
+  // obligation is to evaluate it per batch. Delta forbids ADD COLUMN
+  // with a default (no EXISTS_DEFAULT read semantics to honor), so the
+  // read side stays plain null-filling for pre-column files.
+
+  private[io] val DefaultKey = "CURRENT_DEFAULT"
+
+  /** Fill every committed column the batch omits from its
+    * CURRENT_DEFAULT expression (evaluated against the batch — a
+    * literal or deterministic SQL expression, the spec's contract). */
+  private def applyColumnDefaults(df: DataFrame, schema: StructType): DataFrame =
+    schema.fields.foldLeft(df) { (d, f) =>
+      if (d.columns.contains(f.name) || !f.metadata.contains(DefaultKey)) d
+      else d.withColumn(f.name,
+        org.apache.spark.sql.functions.expr(f.metadata.getString(DefaultKey))
+          .cast(f.dataType))
+    }
+
+  /** ALTER TABLE ... ALTER COLUMN ... SET DEFAULT: record the
+    * expression in the field's CURRENT_DEFAULT metadata and list
+    * `allowColumnDefaults`; later appends may omit the column.
+    * `defaultSql = null` clears the default (DROP DEFAULT). */
+  def setColumnDefault(spark: SparkSession, table: String, column: String,
+      defaultSql: String): Long = {
+    var attempt = 0
+    while (attempt < 10) {
+      val v = DeltaRead.latestVersion(table)
+      val s = DeltaRead.snapshotAt(spark, table, v)
+      validateWriterSupport(table, s, removesData = false)
+      val schema = s.schema.getOrElse(throw new IllegalStateException(
+        s"setColumnDefault: $table has no metaData schema"))
+      require(schema.fieldNames.contains(column),
+        s"setColumnDefault: no column '$column' in ${schema.fieldNames.mkString(",")}")
+      val idx = schema.fieldIndex(column)
+      val f = schema(idx)
+      val mb = new MetadataBuilder().withMetadata(f.metadata)
+      val newMeta =
+        if (defaultSql == null) mb.remove(DefaultKey).build()
+        else mb.putString(DefaultKey, defaultSql).build()
+      val newSchema = StructType(schema.fields.updated(idx,
+        f.copy(metadata = newMeta)))
+      val now = System.currentTimeMillis()
+      val proto =
+        if (defaultSql == null ||
+            (s.minWriterVersion >= 7 &&
+              s.writerFeatures.contains("allowColumnDefaults"))) Nil
+        else Seq(upgradeProtocolAction(table, s, Set.empty,
+          Set("allowColumnDefaults")))
+      val lines = Seq(commitInfoAction(
+        if (defaultSql == null) "DROP DEFAULT" else "SET DEFAULT", now)) ++ proto :+
+        metaDataAction(s.metaId.getOrElse(UUID.randomUUID().toString),
+          newSchema.json, s.partitionColumns, now, s.configuration)
+      if (publish(table, Some(s), v + 1, lines)) return v + 1
+      attempt += 1
+    }
+    throw new IllegalStateException(s"setColumnDefault: lost 10 commit races on $table")
+  }
+
   /** Feature-form (3, 7) protocol with explicit lists. */
   private[io] def protocolFeatureAction(readerF: Set[String],
       writerF: Set[String]): String = {
@@ -1336,8 +1404,13 @@ object DeltaWrite {
     // generated columns resolve against the COMMITTED schema when the
     // table exists (appends may omit them — the writer recomputes),
     // the incoming schema at creation (authored via withGenerationExpr)
-    val df1 = applyGeneratedColumns(df0,
+    val df1g = applyGeneratedColumns(df0,
       preSnap.flatMap(_.schema).getOrElse(df0.schema), table)
+    // CURRENT_DEFAULT columns the batch omits fill from their default
+    // expression (allowColumnDefaults) — BEFORE the schema-drift check
+    // measures the batch against the committed schema
+    val df1 = preSnap.flatMap(_.schema)
+      .map(applyColumnDefaults(df1g, _)).getOrElse(df1g)
     // identity columns allocate BEFORE staging (the values live in the
     // data files). The authoritative identity schema is the committed
     // one for existing tables, the seeded one at creation. Identity ×
@@ -1487,6 +1560,10 @@ object DeltaWrite {
       val typeFeatures =
         (if (containsTimestampNtz(df.schema)) Set("timestampNtz") else Set.empty[String]) ++
           (if (containsVariant(df.schema)) Set("variantType") else Set.empty[String])
+      // writer-only feature a defaulted schema demands at creation
+      val defaultsFeature: Set[String] =
+        if (fieldMetaHas(df.schema, DefaultKey)) Set("allowColumnDefaults")
+        else Set.empty
       val header =
         if (!exists)
           Seq(commitInfoAction("WRITE", now),
@@ -1495,8 +1572,9 @@ object DeltaWrite {
             // version 4; a feature-gated type anywhere forces the
             // (3, 7) feature form; plain tables stay at the (1, 2)
             // feature floor every client reads
-            if (typeFeatures.nonEmpty) {
-              val wf = typeFeatures ++ Set("appendOnly", "invariants") ++
+            if ((typeFeatures ++ defaultsFeature).nonEmpty) {
+              val wf = typeFeatures ++ defaultsFeature ++
+                Set("appendOnly", "invariants") ++
                 (if (createMapping.isDefined) Set("columnMapping") else Set.empty) ++
                 (if (identityMeta.isDefined) Set("identityColumns") else Set.empty) ++
                 (if (fieldMetaHas(df.schema, GenKey)) Set("generatedColumns")

@@ -1220,6 +1220,53 @@ object DatalakeQueries {
            |       CAST(sum(n_chars) AS BIGINT) AS sum_len
            |FROM documents GROUP BY lang, source ORDER BY lang, src""".stripMargin))
 
+  /** q210 — CLUSTERED TABLE data skipping
+    * ([[graft.io.DeltaWrite.clusterBy]] /
+    * [[graft.io.DeltaWrite.appendClustered]] /
+    * [[graft.io.DeltaRead.readVersionWhereStats]]): lineitem lands in
+    * a Delta table whose `delta.clustering` domain declares
+    * (l_partkey, l_suppkey), the batch lays out along their Z-key into
+    * 8 files, and a 2-D range predicate then resolves through
+    * LOG-METADATA skipping — only files whose stats admit the range
+    * are scanned. The output is the predicate's aggregate computed
+    * FROM THE PRUNED READ (the oracle recomputes it from raw parquet —
+    * equality proves skipping dropped no matching rows) plus a
+    * `pruned` boolean asserting the clustered layout actually skipped
+    * files (admitted < total). The 100 TB story in one row: layout +
+    * footer stats turn a full scan into a few-file scan with zero
+    * index infrastructure. */
+  val q210ClusteredSkip = GQuery(
+    "q210_clustered_skipping",
+    (s, d) => {
+      import s.implicits._
+      val t = graft.io.Staging.tempDir("graft_q210_")
+      val li = Tables.lineitem(s, d)
+        .select($"l_orderkey", $"l_partkey", $"l_suppkey", $"l_quantity")
+      graft.io.DeltaWrite.append(li.limit(0), t)                      // v0: schema
+      graft.io.DeltaWrite.clusterBy(s, t, Seq("l_partkey", "l_suppkey")) // v1
+      graft.io.DeltaWrite.appendClustered(li, t, numFiles = 8)        // v2
+      val v = graft.io.DeltaRead.latestVersion(t)
+      val preds = Seq(
+        graft.io.DeltaRead.StatRange("l_partkey", Some(100L), Some(180L)),
+        graft.io.DeltaRead.StatRange("l_suppkey", Some(10L), Some(60L)))
+      val total = graft.io.DeltaRead.snapshotAt(s, t, v).files
+        .count(_.stats.exists(!_.contains("\"numRecords\":0")))
+      val admitted = graft.io.DeltaRead.filesAfterSkipping(s, t, v, preds).size
+      graft.io.DeltaRead.readVersionWhereStats(s, t, v, preds)
+        .where($"l_partkey".between(100L, 180L) &&
+          $"l_suppkey".between(10L, 60L))
+        .agg(count(lit(1)).as("n"),
+          sum($"l_orderkey").as("sum_okey"),
+          sum($"l_quantity").cast("long").as("sum_qty"))
+        .withColumn("pruned", lit(admitted < total))
+    },
+    Some("""SELECT count(*) AS n, CAST(sum(l_orderkey) AS BIGINT) AS sum_okey,
+           |       CAST(CAST(sum(l_quantity) AS BIGINT) AS BIGINT) AS sum_qty,
+           |       true AS pruned
+           |FROM lineitem
+           |WHERE l_partkey BETWEEN 100 AND 180
+           |  AND l_suppkey BETWEEN 10 AND 60""".stripMargin))
+
   /** q206 — the change feed as a REAL `readStream` source
     * ([[graft.streaming.DeltaCdfStreamProvider]], format
     * `graft-delta-cdf`): the same append/append/DV-erasure/MERGE
@@ -1289,5 +1336,5 @@ object DatalakeQueries {
     q194DeltaChangefeed, q196CdfFold, q197MergeUpsert,
     q198DvErasure, q199CdfMirror, q200Restore, q202TableFeatures,
     q203CdfWrite, q206CdfReadStream, q207RowTracking, q208TypeWidening,
-    q209Variant)
+    q209Variant, q210ClusteredSkip)
 }

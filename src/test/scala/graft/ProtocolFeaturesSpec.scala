@@ -205,6 +205,54 @@ class ProtocolFeaturesSpec extends SparkTestBase {
     } finally cleanup(t)
   }
 
+  test("column defaults: SET DEFAULT lets appends omit the column; DROP DEFAULT re-requires it") {
+    val t = newTable()
+    try {
+      DeltaWrite.append(Seq((1L, "us", 10L)).toDF("id", "region", "qty"), t)
+      DeltaWrite.setColumnDefault(spark, t, "region", "'unknown'")
+      DeltaWrite.setColumnDefault(spark, t, "qty", "CAST(0 AS BIGINT)")
+      val s = DeltaRead.snapshot(spark, t)
+      assert(s.writerFeatures.contains("allowColumnDefaults"))
+      // batch omits BOTH defaulted columns
+      DeltaWrite.append(Seq(2L, 3L).toDF("id"), t)
+      // batch provides one of them
+      DeltaWrite.append(Seq((4L, "fr")).toDF("id", "region"), t)
+      val got = DeltaRead.read(spark, t).orderBy($"id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      assert(got.toSeq == Seq((1L, "us", 10L), (2L, "unknown", 0L),
+        (3L, "unknown", 0L), (4L, "fr", 0L)))
+      // DROP DEFAULT: omitting the column is schema drift again
+      DeltaWrite.setColumnDefault(spark, t, "region", null)
+      intercept[IllegalArgumentException] {
+        DeltaWrite.append(Seq(9L).toDF("id"), t)
+      }
+      // a non-defaulted missing column was never fillable
+      intercept[IllegalArgumentException] {
+        DeltaWrite.append(Seq("x").toDF("region"), t)
+      }
+    } finally cleanup(t)
+  }
+
+  test("column defaults at creation: authored field metadata gates the protocol") {
+    val t = newTable()
+    try {
+      import org.apache.spark.sql.types._
+      val meta = new MetadataBuilder().putString("CURRENT_DEFAULT", "42").build()
+      val df0 = Seq((1L, 5L)).toDF("id", "score")
+      val authored = spark.createDataFrame(df0.rdd,
+        StructType(Seq(StructField("id", LongType),
+          StructField("score", LongType, nullable = true, meta))))
+      DeltaWrite.append(authored, t)
+      val s = DeltaRead.snapshot(spark, t)
+      assert(s.minWriterVersion == 7 &&
+        s.writerFeatures.contains("allowColumnDefaults"))
+      DeltaWrite.append(Seq(2L).toDF("id"), t)
+      val got = DeltaRead.read(spark, t).orderBy($"id")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.toSeq == Seq((1L, 5L), (2L, 42L)))
+    } finally cleanup(t)
+  }
+
   test("vacuumProtocolCheck: listed feature is honored; unknown features still refuse vacuum") {
     val t = newTable()
     try {
