@@ -281,6 +281,364 @@ object PngCodec {
   }
 }
 
+/** REAL pure-JVM GIF PIXEL codec — the second half of the decode seam
+  * closed: GIF's entropy coder is LZW (GIF89a spec appendix F), which
+  * needs no imaging library — a 12-bit-capped variable-width code
+  * reader and a prefix-chain dictionary. Decodes the FIRST frame of a
+  * GIF87a/GIF89a stream to RGB through the active (local-over-global)
+  * color table, de-interlacing the four-pass row order when the frame
+  * declares it; transparency and later frames are out of scope
+  * (the first frame's palette colors are the pixels). Any corruption
+  * — bad signature, missing color table, truncated sub-blocks, codes
+  * past the dictionary — decodes to None → a NULL row, never a task
+  * failure. The matching [[encode]] emits a valid uncompressed-style
+  * LZW stream (periodic CLEAR codes pin the code width) so tests and
+  * oracles can build real byte-exact GIFs from arithmetic. */
+object GifCodec {
+  import PngCodec.Pixels
+
+  private def leU16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+
+  /** First-frame decode to 3-channel RGB. None on anything malformed. */
+  def decode(bytes: Array[Byte]): Option[Pixels] = {
+    try {
+      if (bytes == null || bytes.length < 14) return None
+      val sig = new String(bytes, 0, 6, "US-ASCII")
+      if (sig != "GIF87a" && sig != "GIF89a") return None
+      var i = 6
+      // logical screen descriptor
+      val packed = bytes(i + 4) & 0xff
+      i += 7
+      var globalTable: Array[Byte] = null
+      if ((packed & 0x80) != 0) {
+        val n = 3 * (1 << ((packed & 7) + 1))
+        if (i + n > bytes.length) return None
+        globalTable = java.util.Arrays.copyOfRange(bytes, i, i + n)
+        i += n
+      }
+      while (i < bytes.length) {
+        (bytes(i) & 0xff) match {
+          case 0x21 => // extension: label + sub-blocks
+            i += 2
+            while (i < bytes.length && (bytes(i) & 0xff) != 0)
+              i += 1 + (bytes(i) & 0xff)
+            if (i >= bytes.length) return None
+            i += 1 // block terminator
+          case 0x2c => // image descriptor — the frame we decode
+            if (i + 10 > bytes.length) return None
+            val w = leU16(bytes, i + 5); val h = leU16(bytes, i + 7)
+            val ip = bytes(i + 9) & 0xff
+            i += 10
+            var table = globalTable
+            if ((ip & 0x80) != 0) {
+              val n = 3 * (1 << ((ip & 7) + 1))
+              if (i + n > bytes.length) return None
+              table = java.util.Arrays.copyOfRange(bytes, i, i + n)
+              i += n
+            }
+            if (table == null || w <= 0 || h <= 0 ||
+                w.toLong * h > (1L << 26)) return None
+            if (i >= bytes.length) return None
+            val minCodeSize = bytes(i) & 0xff
+            if (minCodeSize < 2 || minCodeSize > 8) return None
+            i += 1
+            // concatenate the data sub-blocks
+            val data = new java.io.ByteArrayOutputStream()
+            while (i < bytes.length && (bytes(i) & 0xff) != 0) {
+              val n = bytes(i) & 0xff
+              if (i + 1 + n > bytes.length) return None
+              data.write(bytes, i + 1, n)
+              i += 1 + n
+            }
+            if (i >= bytes.length) return None
+            val indexes = lzwDecode(minCodeSize, data.toByteArray, w * h)
+              .getOrElse(return None)
+            val ordered =
+              if ((ip & 0x40) == 0) indexes else deinterlace(indexes, w, h)
+            val nColors = table.length / 3
+            val out = new Array[Byte](w * h * 3)
+            var p = 0
+            while (p < w * h) {
+              val idx = ordered(p) & 0xff
+              if (idx >= nColors) return None
+              out(p * 3) = table(idx * 3)
+              out(p * 3 + 1) = table(idx * 3 + 1)
+              out(p * 3 + 2) = table(idx * 3 + 2)
+              p += 1
+            }
+            return Some(Pixels(w, h, 3, out))
+          case 0x3b => return None // trailer before any frame
+          case _ => return None    // desynced stream
+        }
+      }
+      None
+    } catch { case _: Exception => None }
+  }
+
+  /** GIF's four-pass interlace order → sequential rows. */
+  private def deinterlace(src: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](src.length)
+    var srcRow = 0
+    for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2))) {
+      var y = start
+      while (y < h) {
+        System.arraycopy(src, srcRow * w, out, y * w, w)
+        srcRow += 1; y += step
+      }
+    }
+    out
+  }
+
+  /** Variable-width LSB-first LZW (GIF flavor: CLEAR/EOI codes, dict
+    * capped at 4096, code width grows as the dict fills, 12 bits max). */
+  private def lzwDecode(minCodeSize: Int, data: Array[Byte],
+      expected: Int): Option[Array[Byte]] = {
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    val MaxCodes = 4096
+    val prefix = new Array[Int](MaxCodes)
+    val suffix = new Array[Byte](MaxCodes)
+    val stack = new Array[Byte](MaxCodes)
+    var codeSize = minCodeSize + 1
+    var nextCode = eoi + 1
+    var prevCode = -1
+    val out = new Array[Byte](expected)
+    var outPos = 0
+    var bitPos = 0
+    val totalBits = data.length * 8
+    def readCode(): Int = {
+      if (bitPos + codeSize > totalBits) return -1
+      var v = 0; var k = 0
+      while (k < codeSize) {
+        val bp = bitPos + k
+        v |= ((data(bp >> 3) >> (bp & 7)) & 1) << k
+        k += 1
+      }
+      bitPos += codeSize
+      v
+    }
+    // expand `code` through the prefix chain; returns first byte, or -1
+    def emit(code: Int): Int = {
+      var c = code; var sp = 0
+      while (c >= clear) {
+        if (sp >= MaxCodes || c >= nextCode) return -1
+        stack(sp) = suffix(c); sp += 1; c = prefix(c)
+      }
+      val first = c
+      if (outPos + sp + 1 > expected) return -1
+      out(outPos) = c.toByte; outPos += 1
+      while (sp > 0) { sp -= 1; out(outPos) = stack(sp); outPos += 1 }
+      first
+    }
+    while (outPos < expected) {
+      val code = readCode()
+      if (code < 0) return None
+      if (code == clear) {
+        codeSize = minCodeSize + 1; nextCode = eoi + 1; prevCode = -1
+      } else if (code == eoi) {
+        return if (outPos == expected) Some(out) else None
+      } else if (prevCode < 0) {
+        if (code >= clear) return None
+        out(outPos) = code.toByte; outPos += 1
+        prevCode = code
+      } else {
+        var first = -1
+        if (code < nextCode) first = emit(code)
+        else if (code == nextCode && nextCode < MaxCodes) {
+          // the KwKwK case: the code being defined right now expands
+          // to expand(prev) + firstByte(prev)
+          val f = emit(prevCode)
+          if (f < 0 || outPos >= expected) return None
+          out(outPos) = f.toByte; outPos += 1
+          first = f
+        } else return None
+        if (first < 0) return None
+        if (nextCode < MaxCodes) {
+          prefix(nextCode) = prevCode
+          suffix(nextCode) = first.toByte
+          nextCode += 1
+          if (nextCode == (1 << codeSize) && codeSize < 12) codeSize += 1
+        }
+        prevCode = code
+      }
+    }
+    Some(out)
+  }
+
+  /** A REAL GIF89a byte stream for `indexes` over `palette`
+    * (rgb-triples): global color table, one non-interlaced full-frame
+    * image, LZW stream in the uncompressed style — a CLEAR code every
+    * `2^minCodeSize - 2` symbols pins the code width, which every
+    * conformant decoder accepts. Deterministic: same pixels, same
+    * bytes. */
+  def encode(width: Int, height: Int, palette: Array[Byte],
+      indexes: Array[Byte]): Array[Byte] = {
+    require(palette.length % 3 == 0 && palette.length > 0,
+      "palette must be rgb triples")
+    val nColors = palette.length / 3
+    var tableBits = 1
+    while ((1 << tableBits) < nColors) tableBits += 1
+    tableBits = math.max(tableBits, 1)
+    val tableSize = 1 << tableBits
+    val minCodeSize = math.max(tableBits, 2)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    out.write(width & 0xff); out.write((width >> 8) & 0xff)
+    out.write(height & 0xff); out.write((height >> 8) & 0xff)
+    out.write(0x80 | (tableBits - 1)) // global table, 2^tableBits entries
+    out.write(0); out.write(0)        // bg index, aspect
+    out.write(palette, 0, palette.length)
+    (nColors until tableSize).foreach(_ => { out.write(0); out.write(0); out.write(0) })
+    out.write(0x2c)                   // image descriptor
+    out.write(0); out.write(0); out.write(0); out.write(0) // left, top
+    out.write(width & 0xff); out.write((width >> 8) & 0xff)
+    out.write(height & 0xff); out.write((height >> 8) & 0xff)
+    out.write(0)                      // no local table, not interlaced
+    out.write(minCodeSize)
+    // LZW: CLEAR, then literal codes, re-CLEAR before the dict would
+    // force a code-width bump
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    val codeSize = minCodeSize + 1
+    val bits = new java.io.ByteArrayOutputStream()
+    var acc = 0L; var nBits = 0
+    def emitCode(c: Int): Unit = {
+      acc |= c.toLong << nBits; nBits += codeSize
+      while (nBits >= 8) { bits.write((acc & 0xff).toInt); acc >>= 8; nBits -= 8 }
+    }
+    emitCode(clear)
+    var count = 0
+    indexes.foreach { px =>
+      if (count == clear - 2) { emitCode(clear); count = 0 }
+      emitCode(px & 0xff); count += 1
+    }
+    emitCode(eoi)
+    if (nBits > 0) bits.write((acc & 0xff).toInt)
+    val stream = bits.toByteArray
+    var off = 0
+    while (off < stream.length) {
+      val n = math.min(255, stream.length - off)
+      out.write(n)
+      out.write(stream, off, n)
+      off += n
+    }
+    out.write(0)    // block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+}
+
+/** REAL pure-JVM WAV (RIFF/PCM) codec — the audio seam closed for the
+  * one container that needs no entropy coder at all: RIFF chunk walk
+  * ("fmt " + "data", unknown chunks skipped with even-byte padding),
+  * integer PCM at 8 (unsigned), 16 and 24 bits (signed
+  * little-endian), interleaved channels. Compressed codecs (MP3, AAC,
+  * float WAV) stay a deploy-time dependency — parseable containers
+  * decode, anything else is None → a NULL row. The matching [[encode]]
+  * builds byte-exact files from arithmetic for specs and oracles. */
+object WavCodec {
+
+  /** Decoded PCM: interleaved per-frame samples widened to Int
+    * (8-bit: 0..255 as stored; 16/24-bit: signed). */
+  final case class Samples(sampleRate: Int, channels: Int,
+      bitsPerSample: Int, frames: Int, data: Array[Int])
+
+  private def leU16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def leU32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+
+  def decode(bytes: Array[Byte]): Option[Samples] = {
+    try {
+      if (bytes == null || bytes.length < 44) return None
+      if (new String(bytes, 0, 4, "US-ASCII") != "RIFF" ||
+          new String(bytes, 8, 4, "US-ASCII") != "WAVE") return None
+      var i = 12
+      var channels = 0; var rate = 0; var bits = 0; var fmtSeen = false
+      while (i + 8 <= bytes.length) {
+        val id = new String(bytes, i, 4, "US-ASCII")
+        val len = leU32(bytes, i + 4)
+        if (len > Int.MaxValue - 8 || i + 8 + len > bytes.length) return None
+        id match {
+          case "fmt " =>
+            if (len < 16) return None
+            val audioFormat = leU16(bytes, i + 8)
+            if (audioFormat != 1) return None // integer PCM only
+            channels = leU16(bytes, i + 10)
+            rate = leU32(bytes, i + 12).toInt
+            bits = leU16(bytes, i + 22)
+            if (channels < 1 || channels > 8 || rate <= 0 ||
+                !Seq(8, 16, 24).contains(bits)) return None
+            fmtSeen = true
+          case "data" =>
+            if (!fmtSeen) return None
+            val bytesPerSample = bits / 8
+            val n = len.toInt / bytesPerSample
+            if (n % channels != 0) return None
+            val out = new Array[Int](n)
+            var s = 0; var p = i + 8
+            while (s < n) {
+              out(s) = bits match {
+                case 8 => bytes(p) & 0xff
+                case 16 => (leU16(bytes, p) << 16) >> 16 // sign-extend
+                case 24 =>
+                  (((bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8) |
+                    ((bytes(p + 2) & 0xff) << 16)) << 8) >> 8
+              }
+              p += bytesPerSample; s += 1
+            }
+            return Some(Samples(rate, channels, bits, n / channels, out))
+          case _ => () // LIST/fact/cue: skip
+        }
+        i += 8 + len.toInt + (len.toInt & 1) // chunks pad to even
+      }
+      None // no data chunk
+    } catch { case _: Exception => None }
+  }
+
+  /** A REAL RIFF/WAVE byte stream for interleaved integer `samples`
+    * (8-bit callers pass 0..255; 16/24-bit signed). Deterministic:
+    * same samples, same bytes. */
+  def encode(sampleRate: Int, channels: Int, bitsPerSample: Int,
+      samples: Array[Int]): Array[Byte] = {
+    require(Seq(8, 16, 24).contains(bitsPerSample), "8/16/24-bit only")
+    require(samples.length % channels == 0, "ragged final frame")
+    val bps = bitsPerSample / 8
+    val dataLen = samples.length * bps
+    val out = new java.io.ByteArrayOutputStream(44 + dataLen)
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >>> 16) & 0xffff) }
+    out.write("RIFF".getBytes("US-ASCII")); w32(36 + dataLen)
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII")); w32(16)
+    w16(1); w16(channels); w32(sampleRate)
+    w32(sampleRate * channels * bps); w16(channels * bps); w16(bitsPerSample)
+    out.write("data".getBytes("US-ASCII")); w32(dataLen)
+    samples.foreach { v =>
+      out.write(v & 0xff)
+      if (bps > 1) out.write((v >> 8) & 0xff)
+      if (bps > 2) out.write((v >> 16) & 0xff)
+    }
+    out.toByteArray
+  }
+
+  /** Per-channel (sum, sum-of-squares) — exact integers, the
+    * oracle-friendly aggregates (mean and RMS derive downstream). */
+  def channelStats(s: Samples): Array[(Long, Long)] = {
+    val acc = Array.fill(s.channels)((0L, 0L))
+    var i = 0
+    while (i < s.data.length) {
+      val c = i % s.channels
+      val v = s.data(i).toLong
+      acc(c) = (acc(c)._1 + v, acc(c)._2 + v * v)
+      i += 1
+    }
+    acc
+  }
+}
+
 /** Multimodal column plumbing: image/audio/video payloads as opaque
   * `BinaryType` columns plus a typed metadata struct, processed with
   * ordinary column expressions. The HEADER codec is REAL
@@ -407,7 +765,10 @@ object Multimodal {
     val idx = df.schema.fieldIndex(payloadCol)
     df.mapPartitions { it =>
       it.map { r =>
-        PngCodec.decode(r.getAs[Array[Byte]](idx)) match {
+        val payload = r.getAs[Array[Byte]](idx)
+        // format dispatch by signature: PNG first, then GIF — both
+        // pure-JVM codecs with the same corrupt→NULL contract
+        PngCodec.decode(payload).orElse(GifCodec.decode(payload)) match {
           case Some(p) =>
             val s = PngCodec.channelSums(p)
             def sumAt(c: Int): Any = if (c < p.channels) s(c) else null
@@ -415,6 +776,43 @@ object Multimodal {
               sumAt(0), sumAt(1), sumAt(2), sumAt(3)))
           case None =>
             Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, null, null, null))
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** REAL audio decode over a binary payload column ([[WavCodec]]):
+    * appends (au_rate, au_channels, au_bits, au_frames, au_sum0,
+    * au_sumsq0, au_sum1, au_sumsq1) — format facts plus EXACT
+    * per-channel sample sums and sums-of-squares for the first two
+    * channels (integer, oracle-reproducible; mean and RMS derive
+    * downstream), NULL columns for undecodable payloads. Same
+    * mapPartitions seam as [[decodePixels]]: one narrow pass, no
+    * shuffle, corrupt rows surface as NULLs. */
+  def decodeAudio(df: DataFrame, payloadCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("au_rate", IntegerType),
+      StructField("au_channels", IntegerType),
+      StructField("au_bits", IntegerType),
+      StructField("au_frames", IntegerType),
+      StructField("au_sum0", LongType),
+      StructField("au_sumsq0", LongType),
+      StructField("au_sum1", LongType),
+      StructField("au_sumsq1", LongType)))
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        WavCodec.decode(r.getAs[Array[Byte]](idx)) match {
+          case Some(s) =>
+            val st = WavCodec.channelStats(s)
+            def at(c: Int, f: ((Long, Long)) => Long): Any =
+              if (c < s.channels) f(st(c)) else null
+            Row.fromSeq(r.toSeq ++ Seq(s.sampleRate, s.channels,
+              s.bitsPerSample, s.frames,
+              at(0, _._1), at(0, _._2), at(1, _._1), at(1, _._2)))
+          case None =>
+            Row.fromSeq(r.toSeq ++
+              Seq(null, null, null, null, null, null, null, null))
         }
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))

@@ -329,6 +329,121 @@ object StarQueries {
            |SELECT lang, n_imgs, n_decoded, sum_w, sum_h, s0, s1, s2
            |FROM base LEFT JOIN px USING (lang) ORDER BY lang""".stripMargin))
 
+  /** q211 — GIF pixel decode, REAL ([[graft.operators.GifCodec]] +
+    * [[Multimodal.decodePixels]]): the q205 pattern with the OTHER
+    * pure-JVM codec — per-document GIF payloads built from arithmetic
+    * (16-color palette, cycling pixel indexes), actually LZW-encoded
+    * and re-decoded through the palette; every 3rd payload truncated
+    * to prove corrupt→NULL. The oracle reproduces the per-channel
+    * byte sums from the same arithmetic, so a green row pins the LZW
+    * round trip, palette resolution and the null accounting in one
+    * hash. With this, PNG and GIF pixels both decode for real;
+    * only JPEG's DCT entropy tier remains a deploy-time seam. */
+  val q211GifPixels = GQuery(
+    "q211_gif_pixels",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).select($"doc_id", $"lang")
+        .where(pmod($"doc_id", lit(7)) === 0)
+      val pal = Array.tabulate(16 * 3) { j =>
+        val i = j / 3
+        (j % 3 match {
+          case 0 => i * 7 % 256
+          case 1 => i * 31 % 256
+          case 2 => 255 - i
+        }).toByte
+      }
+      val media = docs.as[(Long, String)].map { case (id, lang) =>
+        val w = (id % 11).toInt + 3; val h = (id % 6).toInt + 2
+        val idxs = Array.tabulate(w * h)(p => ((p + id) % 16).toByte)
+        val gif = graft.operators.GifCodec.encode(w, h, pal, idxs)
+        (id, lang, if (id % 3 == 0) gif.take(15) else gif)
+      }.toDF("doc_id", "lang", "payload")
+      Multimodal.decodePixels(media, "payload")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_imgs"),
+          count($"px_width").as("n_decoded"),
+          sum($"px_width").cast("long").as("sum_w"),
+          sum($"px_sum0").as("s0"),
+          sum($"px_sum1").as("s1"),
+          sum($"px_sum2").as("s2"))
+        .orderBy($"lang")
+    },
+    Some("""WITH docs AS (
+           |  SELECT doc_id, lang, (doc_id % 11) + 3 AS w, (doc_id % 6) + 2 AS h
+           |  FROM documents WHERE doc_id % 7 = 0),
+           |base AS (
+           |  SELECT lang, count(*) AS n_imgs,
+           |         count(*) FILTER (WHERE doc_id % 3 <> 0) AS n_decoded,
+           |         CAST(sum(w) FILTER (WHERE doc_id % 3 <> 0) AS BIGINT) AS sum_w
+           |  FROM docs GROUP BY lang),
+           |xs AS (SELECT doc_id, lang, unnest(range(w * h)) AS p
+           |       FROM docs WHERE doc_id % 3 <> 0),
+           |px AS (SELECT lang,
+           |         CAST(sum(((p + doc_id) % 16) * 7 % 256) AS BIGINT) AS s0,
+           |         CAST(sum(((p + doc_id) % 16) * 31 % 256) AS BIGINT) AS s1,
+           |         CAST(sum(255 - ((p + doc_id) % 16)) AS BIGINT) AS s2
+           |       FROM xs GROUP BY lang)
+           |SELECT lang, n_imgs, n_decoded, sum_w, s0, s1, s2
+           |FROM base LEFT JOIN px USING (lang) ORDER BY lang""".stripMargin))
+
+  /** q212 — WAV audio decode, REAL ([[graft.operators.WavCodec]] +
+    * [[Multimodal.decodeAudio]]): per-document stereo 16-bit PCM
+    * payloads built from arithmetic, RIFF-encoded and decoded back;
+    * every 4th payload truncated to prove corrupt→NULL. The output
+    * aggregates format facts plus EXACT per-channel sample sums and
+    * sums-of-squares (the mean/RMS primitives) per lang, and the
+    * oracle reproduces all of it arithmetically — audio joins images
+    * as a modality whose bytes graft actually decodes, not just
+    * carries. */
+  val q212WavAudio = GQuery(
+    "q212_wav_audio",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).select($"doc_id", $"lang")
+        .where(pmod($"doc_id", lit(5)) === 0)
+      val media = docs.as[(Long, String)].map { case (id, lang) =>
+        val frames = (id % 50).toInt + 20
+        val samples = Array.tabulate(frames * 2) { i =>
+          val t = i / 2; val c = i % 2
+          ((t * 13 + c * 7 + id) % 2001).toInt - 1000
+        }
+        val wav = graft.operators.WavCodec.encode(16000, 2, 16, samples)
+        (id, lang, if (id % 4 == 0) wav.take(30) else wav)
+      }.toDF("doc_id", "lang", "payload")
+      Multimodal.decodeAudio(media, "payload")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_clips"),
+          count($"au_rate").as("n_decoded"),
+          sum($"au_frames").cast("long").as("sum_frames"),
+          sum($"au_sum0").as("s0"),
+          sum($"au_sumsq0").as("sq0"),
+          sum($"au_sum1").as("s1"),
+          sum($"au_sumsq1").as("sq1"))
+        .orderBy($"lang")
+    },
+    Some("""WITH docs AS (
+           |  SELECT doc_id, lang, (doc_id % 50) + 20 AS frames
+           |  FROM documents WHERE doc_id % 5 = 0),
+           |base AS (
+           |  SELECT lang, count(*) AS n_clips,
+           |         count(*) FILTER (WHERE doc_id % 4 <> 0) AS n_decoded,
+           |         CAST(sum(frames) FILTER (WHERE doc_id % 4 <> 0) AS BIGINT)
+           |           AS sum_frames
+           |  FROM docs GROUP BY lang),
+           |ts AS (SELECT doc_id, lang, unnest(range(frames)) AS t
+           |       FROM docs WHERE doc_id % 4 <> 0),
+           |vals AS (SELECT lang,
+           |           (t * 13 + doc_id) % 2001 - 1000 AS v0,
+           |           (t * 13 + 7 + doc_id) % 2001 - 1000 AS v1
+           |         FROM ts),
+           |px AS (SELECT lang,
+           |         CAST(sum(v0) AS BIGINT) AS s0, CAST(sum(v0 * v0) AS BIGINT) AS sq0,
+           |         CAST(sum(v1) AS BIGINT) AS s1, CAST(sum(v1 * v1) AS BIGINT) AS sq1
+           |       FROM vals GROUP BY lang)
+           |SELECT lang, n_clips, n_decoded, sum_frames, s0, sq0, s1, sq1
+           |FROM base LEFT JOIN px USING (lang) ORDER BY lang""".stripMargin))
+
   /** Batch twin of the streaming tumbling-window aggregation
     * (Streams.tumblingCounts runs unchanged on a stream with watermark). */
   val q51WindowTumbling = GQuery(
@@ -490,5 +605,6 @@ object StarQueries {
     q48FlagshipPipeline, q50MultimodalMeta, q51WindowTumbling,
     q52NestedJson, q53NestedExplode, q54SeedCatalog,
     q65TagBridge, q66BridgeOrderPart, q67FactMetricas, q68TagRevenue,
-    q76MultimodalPlans, q176ImageHeaders, q205PngPixels)
+    q76MultimodalPlans, q176ImageHeaders, q205PngPixels, q211GifPixels,
+    q212WavAudio)
 }

@@ -83,7 +83,7 @@ class ImageCodecSpec extends SparkTestBase {
   }
 
   // ---- PNG PIXEL decode (PngCodec): inflate + all five filters ----
-  import graft.operators.PngCodec
+  import graft.operators.{GifCodec, PngCodec}
 
   private def gradient(w: Int, h: Int, ch: Int): Array[Byte] =
     Array.tabulate(w * h * ch) { i =>
@@ -190,5 +190,116 @@ class ImageCodecSpec extends SparkTestBase {
       (1L, w, 3, sum0, null), // 3-channel image: sum3 is NULL
       (2L, null, null, null, null),
       (3L, null, null, null, null)))
+  }
+
+  private def gifPalette(n: Int): Array[Byte] = {
+    val p = new Array[Byte](n * 3)
+    (0 until n).foreach { i =>
+      p(i * 3) = (i * 7 % 256).toByte
+      p(i * 3 + 1) = (i * 31 % 256).toByte
+      p(i * 3 + 2) = (255 - i % 256).toByte
+    }
+    p
+  }
+
+  test("GIF pixels: encode→decode roundtrip (LZW), palette lookup exact") {
+    for (nColors <- Seq(2, 4, 16, 256)) {
+      val (w, h) = (17, 11)
+      val pal = gifPalette(nColors)
+      val idxs = Array.tabulate(w * h)(i => (i % nColors).toByte)
+      val gif = GifCodec.encode(w, h, pal, idxs)
+      assert(ImageCodec.parseHeader(gif).contains(("gif", w, h)))
+      val p = GifCodec.decode(gif).getOrElse(fail(s"decode failed for n=$nColors"))
+      assert(p.width == w && p.height == h && p.channels == 3)
+      val expect = idxs.flatMap { ix =>
+        val i = (ix & 0xff) * 3
+        Seq(pal(i), pal(i + 1), pal(i + 2))
+      }
+      assert(p.data.sameElements(expect), s"pixels differ for n=$nColors")
+    }
+  }
+
+  test("GIF pixels: real compressed LZW streams (dictionary growth + KwKwK) decode") {
+    // repetitive pixels force the dictionary to actually grow; the
+    // aaa...a prefix exercises the KwKwK (code == nextCode) case.
+    // Encode via java's own GIF writer? Not available — instead craft
+    // the canonical KwKwK stream by hand: minCodeSize 2,
+    // codes CLEAR,1,6,EOI over palette index 1 = "aaaaa" (a=1):
+    // 6 == nextCode at read time → expand(prev)+first = 1,1 then 1,1,1?
+    // Simpler canon: CLEAR(4),1,6(KwKwK→"11"),EOI gives pixels 1,1,1.
+    val pal = gifPalette(4)
+    def bitsLsb(codes: Seq[Int], codeSize: Int): Array[Byte] = {
+      var acc = 0L; var n = 0
+      val out = new java.io.ByteArrayOutputStream()
+      codes.foreach { c =>
+        acc |= c.toLong << n; n += codeSize
+        while (n >= 8) { out.write((acc & 0xff).toInt); acc >>= 8; n -= 8 }
+      }
+      if (n > 0) out.write((acc & 0xff).toInt)
+      out.toByteArray
+    }
+    val lzw = bitsLsb(Seq(4, 1, 6, 5), 3) // CLEAR, 1, KwKwK, EOI
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    out.write(Array[Byte](3, 0, 1, 0)) // 3x1
+    out.write(0x81); out.write(0); out.write(0) // global table 4 entries
+    out.write(gifPalette(4), 0, 12)
+    out.write(0x2c)
+    out.write(Array[Byte](0, 0, 0, 0, 3, 0, 1, 0, 0))
+    out.write(2) // min code size
+    out.write(lzw.length); out.write(lzw, 0, lzw.length); out.write(0)
+    out.write(0x3b)
+    val p = GifCodec.decode(out.toByteArray).getOrElse(fail("KwKwK decode failed"))
+    assert(p.width == 3 && p.height == 1)
+    val c1 = Seq(pal(3), pal(4), pal(5))
+    assert(p.data.toSeq == c1 ++ c1 ++ c1)
+  }
+
+  test("GIF pixels: interlaced frames de-interlace to row order") {
+    val (w, h) = (5, 13)
+    val pal = gifPalette(16)
+    val rows = Array.tabulate(h)(y => Array.fill(w)((y % 16).toByte))
+    // interlace pass order: rows 0,8 / 4,12 / 2,6,10 / 1,3,5,7,9,11
+    val passOrder = Seq(0, 8) ++ Seq(4, 12) ++ Seq(2, 6, 10) ++
+      (1 until h by 2)
+    val shuffled = passOrder.flatMap(rows(_)).toArray
+    val plain = GifCodec.encode(w, h, pal, shuffled)
+    // flip the interlace bit in the image descriptor (offset: 6 header
+    // + 7 lsd + 48 palette + 1 sep + 8 geom = byte 70 is the packed field)
+    val buf = plain.clone()
+    val packedOff = 6 + 7 + 16 * 3 + 1 + 8
+    assert(buf(packedOff) == 0)
+    buf(packedOff) = 0x40.toByte
+    val p = GifCodec.decode(buf).getOrElse(fail("interlaced decode failed"))
+    (0 until h).foreach { y =>
+      val got = p.data.slice(y * w * 3, y * w * 3 + 3)
+      val i = (y % 16) * 3
+      assert(got.toSeq == Seq(pal(i), pal(i + 1), pal(i + 2)), s"row $y wrong")
+    }
+  }
+
+  test("GIF pixels: extensions are skipped; corruption decodes to None") {
+    val pal = gifPalette(4)
+    val idxs = Array.tabulate(12)(i => (i % 4).toByte)
+    val gif = GifCodec.encode(4, 3, pal, idxs)
+    // splice a graphic-control extension between LSD+table and the frame
+    val head = 6 + 7 + 4 * 3
+    val ext = Array[Byte](0x21, 0xf9.toByte, 4, 0, 0, 0, 0, 0)
+    val spliced = gif.take(head) ++ ext ++ gif.drop(head)
+    assert(GifCodec.decode(spliced).isDefined)
+    // corruption: truncated sub-block, bad signature, out-of-palette index
+    assert(GifCodec.decode(gif.take(gif.length - 6)).isEmpty)
+    val badSig = gif.clone(); badSig(0) = 'X'.toByte
+    assert(GifCodec.decode(badSig).isEmpty)
+    assert(GifCodec.decode(null).isEmpty)
+    assert(GifCodec.decode(Array[Byte](0x47, 0x49)).isEmpty)
+    // decodePixels dispatches GIF alongside PNG in one pass
+    import spark.implicits._
+    val df = Seq((1L, gif), (2L, "junk".getBytes)).toDF("id", "payload")
+    val out = Multimodal.decodePixels(df, "payload")
+    val got = out.select($"id", $"px_width", $"px_channels", $"px_sum0")
+      .collect().map(r => (r.getLong(0), r.get(1), r.get(2), r.get(3))).toSet
+    val sumR = idxs.map(ix => pal((ix & 0xff) * 3) & 0xff).map(_.toLong).sum
+    assert(got == Set((1L, 4, 3, sumR), (2L, null, null, null)))
   }
 }
