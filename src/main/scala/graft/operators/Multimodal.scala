@@ -6,10 +6,10 @@ import org.apache.spark.sql.types._
 
 /** REAL pure-JVM image header codec: container signature + dimension
   * extraction for PNG / JPEG / GIF from raw bytes — no imaging
-  * library, no native code, safe inside an executor task. This is the
-  * honest subset of "decode" a JVM-only 100 TB pipeline can always
-  * run (full pixel decode stays behind the documented mapPartitions
-  * seam where a deployment adds its imaging dependency).
+  * library, no native code, safe inside an executor task — the cheap
+  * tier a metadata-only pass runs before any pixel work. Full PIXEL
+  * decode is ALSO real for all three formats now ([[PngCodec]],
+  * [[GifCodec]], [[JpegCodec]]) plus WAV audio ([[WavCodec]]).
   *
   *  - PNG: 8-byte signature, IHDR width/height as big-endian u32 at
   *    offsets 16/20 (PNG spec §11.2.2).
@@ -644,11 +644,13 @@ object WavCodec {
   * ordinary column expressions. The HEADER codec is REAL
   * ([[ImageCodec]] + [[Multimodal.decodeHeaders]]: PNG/JPEG/GIF
   * signature + dimension byte-parsing, pure JVM, q176-oracle-pinned),
-  * and so is PNG PIXEL decode ([[PngCodec]] +
-  * [[Multimodal.decodePixels]]: IDAT inflate + all five scanline
-  * filters, q205-oracle-pinned); only JPEG/GIF pixel decode remains
-  * behind [[fakeDecode]]'s documented seam (their entropy coders are
-  * a deploy-time imaging dependency).
+  * and so is PIXEL decode for ALL THREE image formats —
+  * [[PngCodec]] (IDAT inflate + five scanline filters,
+  * q205-oracle-pinned), [[GifCodec]] (LZW + palette + de-interlace,
+  * q211), [[JpegCodec]] (baseline Huffman + IDCT + YCbCr, q213) —
+  * plus [[WavCodec]] PCM audio (q212). [[fakeDecode]] stays as the
+  * documented stand-in for genuinely library-bound work (video
+  * frames, learned featurizers).
   *
   * At 100 TB: binary payloads ride parquet as-is; metadata extraction
   * is scan-side column math; heavy per-item work (real decode, model
@@ -766,9 +768,10 @@ object Multimodal {
     df.mapPartitions { it =>
       it.map { r =>
         val payload = r.getAs[Array[Byte]](idx)
-        // format dispatch by signature: PNG first, then GIF — both
-        // pure-JVM codecs with the same corrupt→NULL contract
-        PngCodec.decode(payload).orElse(GifCodec.decode(payload)) match {
+        // format dispatch by signature: PNG, GIF, then baseline JPEG —
+        // all pure-JVM codecs with the same corrupt→NULL contract
+        PngCodec.decode(payload).orElse(GifCodec.decode(payload))
+          .orElse(JpegCodec.decode(payload)) match {
           case Some(p) =>
             val s = PngCodec.channelSums(p)
             def sumAt(c: Int): Any = if (c < p.channels) s(c) else null

@@ -337,8 +337,8 @@ object StarQueries {
     * to prove corrupt→NULL. The oracle reproduces the per-channel
     * byte sums from the same arithmetic, so a green row pins the LZW
     * round trip, palette resolution and the null accounting in one
-    * hash. With this, PNG and GIF pixels both decode for real;
-    * only JPEG's DCT entropy tier remains a deploy-time seam. */
+    * hash. (q213 then closed the JPEG tier too — all three image
+    * formats decode for real.) */
   val q211GifPixels = GQuery(
     "q211_gif_pixels",
     (s, d) => {
@@ -385,6 +385,60 @@ object StarQueries {
            |         CAST(sum(255 - ((p + doc_id) % 16)) AS BIGINT) AS s2
            |       FROM xs GROUP BY lang)
            |SELECT lang, n_imgs, n_decoded, sum_w, s0, s1, s2
+           |FROM base LEFT JOIN px USING (lang) ORDER BY lang""".stripMargin))
+
+  /** q213 — baseline JPEG pixel decode, REAL
+    * ([[graft.operators.JpegCodec]]): the LAST image seam closed —
+    * per-document grayscale JPEGs of constant 8×8 blocks (values from
+    * arithmetic), actually FDCT-quantized, Annex-K-Huffman-entropy-
+    * coded, and decoded back through the full baseline pipeline
+    * (marker walk, Huffman, dequantize, IDCT). Constant blocks carry
+    * exactly one integer DC coefficient under all-ones quantization,
+    * so the LOSSY pipeline is bit-exact for them and the oracle can
+    * recompute every pixel sum arithmetically; every 3rd payload is
+    * truncated to pin corrupt→NULL. With q205 (PNG) and q211 (GIF),
+    * all three image formats now decode for real. */
+  val q213JpegPixels = GQuery(
+    "q213_jpeg_pixels",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).select($"doc_id", $"lang")
+        .where(pmod($"doc_id", lit(6)) === 0)
+      val media = docs.as[(Long, String)].map { case (id, lang) =>
+        val bw = (id % 4).toInt + 2; val bh = (id % 3).toInt + 1
+        val w = bw * 8; val h = bh * 8
+        val g = new Array[Byte](w * h)
+        for (by <- 0 until bh; bx <- 0 until bw; y <- 0 until 8; x <- 0 until 8)
+          g((by * 8 + y) * w + bx * 8 + x) =
+            ((bx * 37 + by * 91 + id) % 256).toByte
+        val jpg = graft.operators.JpegCodec.encodeGray(w, h, g)
+        (id, lang, if (id % 3 == 0) jpg.take(25) else jpg)
+      }.toDF("doc_id", "lang", "payload")
+      Multimodal.decodePixels(media, "payload")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_imgs"),
+          count($"px_width").as("n_decoded"),
+          sum($"px_width").cast("long").as("sum_w"),
+          sum($"px_height").cast("long").as("sum_h"),
+          sum($"px_sum0").as("s0"))
+        .orderBy($"lang")
+    },
+    Some("""WITH docs AS (
+           |  SELECT doc_id, lang, (doc_id % 4) + 2 AS bw, (doc_id % 3) + 1 AS bh
+           |  FROM documents WHERE doc_id % 6 = 0),
+           |base AS (
+           |  SELECT lang, count(*) AS n_imgs,
+           |         count(*) FILTER (WHERE doc_id % 3 <> 0) AS n_decoded,
+           |         CAST(sum(bw * 8) FILTER (WHERE doc_id % 3 <> 0) AS BIGINT) AS sum_w,
+           |         CAST(sum(bh * 8) FILTER (WHERE doc_id % 3 <> 0) AS BIGINT) AS sum_h
+           |  FROM docs GROUP BY lang),
+           |bs AS (SELECT doc_id, lang, bh, unnest(range(bw)) AS bx
+           |       FROM docs WHERE doc_id % 3 <> 0),
+           |bxy AS (SELECT doc_id, lang, bx, unnest(range(bh)) AS by FROM bs),
+           |px AS (SELECT lang,
+           |         CAST(sum(64 * ((bx * 37 + by * 91 + doc_id) % 256)) AS BIGINT) AS s0
+           |       FROM bxy GROUP BY lang)
+           |SELECT lang, n_imgs, n_decoded, sum_w, sum_h, s0
            |FROM base LEFT JOIN px USING (lang) ORDER BY lang""".stripMargin))
 
   /** q212 — WAV audio decode, REAL ([[graft.operators.WavCodec]] +
@@ -606,5 +660,5 @@ object StarQueries {
     q52NestedJson, q53NestedExplode, q54SeedCatalog,
     q65TagBridge, q66BridgeOrderPart, q67FactMetricas, q68TagRevenue,
     q76MultimodalPlans, q176ImageHeaders, q205PngPixels, q211GifPixels,
-    q212WavAudio)
+    q212WavAudio, q213JpegPixels)
 }
