@@ -821,6 +821,35 @@ object Multimodal {
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
+  /** REAL video-container decode over a binary payload column
+    * ([[Mp4Meta]]): appends (vid_brand, vid_duration_ms,
+    * vid_n_video, vid_n_audio, vid_width, vid_height) from the ISO
+    * BMFF box structure — the metadata tier a curation pass filters
+    * on (duration caps, resolution floors, track accounting) with no
+    * media library; frame decode stays behind the documented seam.
+    * NULL columns for anything that is not a parseable MP4. */
+  def decodeVideoMeta(df: DataFrame, payloadCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("vid_brand", StringType),
+      StructField("vid_duration_ms", LongType),
+      StructField("vid_n_video", IntegerType),
+      StructField("vid_n_audio", IntegerType),
+      StructField("vid_width", IntegerType),
+      StructField("vid_height", IntegerType)))
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        Mp4Meta.parse(r.getAs[Array[Byte]](idx)) match {
+          case Some(m) =>
+            Row.fromSeq(r.toSeq ++ Seq(m.brand, m.durationMs,
+              m.nVideoTracks, m.nAudioTracks, m.width, m.height))
+          case None =>
+            Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, null, null))
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   /** REAL header decode over a binary payload column: appends
     * (img_format, img_width, img_height), NULL for undecodable rows.
     * Runs [[ImageCodec.parseHeader]] inside `mapPartitions` — the

@@ -387,6 +387,55 @@ object StarQueries {
            |SELECT lang, n_imgs, n_decoded, sum_w, s0, s1, s2
            |FROM base LEFT JOIN px USING (lang) ORDER BY lang""".stripMargin))
 
+  /** q214 — MP4 container metadata, REAL ([[graft.operators.Mp4Meta]]
+    * + [[Multimodal.decodeVideoMeta]]): the video modality's
+    * curation-tier facts parsed straight from ISO BMFF boxes —
+    * per-document MP4s built from arithmetic (timescale, duration,
+    * track layout, 16.16 pixel dims), box-walked back, every 5th
+    * payload truncated to pin corrupt→NULL. The oracle recomputes
+    * duration-ms scaling, resolution sums and track counts; a green
+    * row is what a duration-cap / resolution-floor curation filter
+    * needs to trust the parser at 100 TB. Frame decode stays the one
+    * documented media seam. */
+  val q214VideoMeta = GQuery(
+    "q214_video_meta",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).select($"doc_id", $"lang")
+        .where(pmod($"doc_id", lit(8)) === 0)
+      val media = docs.as[(Long, String)].map { case (id, lang) =>
+        val k = (id % 5).toInt + 1
+        val mp4 = graft.operators.Mp4Meta.build(
+          brand = if (id % 2 == 0) "mp42" else "isom",
+          timescale = 90000L,
+          duration = ((id % 300) + 30) * 90000L,
+          videoDims = Seq((k * 320, k * 180)),
+          audioTracks = (id % 3).toInt)
+        (id, lang, if (id % 5 == 0) mp4.take(40) else mp4)
+      }.toDF("doc_id", "lang", "payload")
+      Multimodal.decodeVideoMeta(media, "payload")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_vids"),
+          count($"vid_brand").as("n_parsed"),
+          sum($"vid_duration_ms").as("sum_ms"),
+          sum($"vid_width").cast("long").as("sum_w"),
+          sum($"vid_n_audio").cast("long").as("sum_audio"),
+          sum(when($"vid_brand" === "mp42", 1).otherwise(0)).as("n_mp42"))
+        .orderBy($"lang")
+    },
+    Some("""WITH docs AS (
+           |  SELECT doc_id, lang, (doc_id % 5) + 1 AS k,
+           |         ((doc_id % 300) + 30) * 1000 AS ms, doc_id % 3 AS naud
+           |  FROM documents WHERE doc_id % 8 = 0)
+           |SELECT lang, count(*) AS n_vids,
+           |       count(*) FILTER (WHERE doc_id % 5 <> 0) AS n_parsed,
+           |       CAST(sum(ms) FILTER (WHERE doc_id % 5 <> 0) AS BIGINT) AS sum_ms,
+           |       CAST(sum(k * 320) FILTER (WHERE doc_id % 5 <> 0) AS BIGINT) AS sum_w,
+           |       CAST(sum(naud) FILTER (WHERE doc_id % 5 <> 0) AS BIGINT) AS sum_audio,
+           |       CAST(count(*) FILTER (WHERE doc_id % 5 <> 0 AND doc_id % 2 = 0) AS BIGINT)
+           |         AS n_mp42
+           |FROM docs GROUP BY lang ORDER BY lang""".stripMargin))
+
   /** q213 — baseline JPEG pixel decode, REAL
     * ([[graft.operators.JpegCodec]]): the LAST image seam closed —
     * per-document grayscale JPEGs of constant 8×8 blocks (values from
@@ -660,5 +709,5 @@ object StarQueries {
     q52NestedJson, q53NestedExplode, q54SeedCatalog,
     q65TagBridge, q66BridgeOrderPart, q67FactMetricas, q68TagRevenue,
     q76MultimodalPlans, q176ImageHeaders, q205PngPixels, q211GifPixels,
-    q212WavAudio, q213JpegPixels)
+    q212WavAudio, q213JpegPixels, q214VideoMeta)
 }
