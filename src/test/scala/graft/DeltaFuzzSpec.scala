@@ -158,4 +158,61 @@ class DeltaFuzzSpec extends SparkTestBase {
       }
     } finally cleanup(t)
   }
+
+  test("seeded fuzz on a row-tracking table: stable ids survive every op interleaving") {
+    val rnd = new scala.util.Random(20260817L)
+    val t = newTable()
+    try {
+      var nextKey = 0L
+      def batch(n: Int) = {
+        val rows = (0 until n).map(i => (nextKey + i, rnd.nextInt(1000).toLong))
+        nextKey += n
+        rows.toDF("id", "v")
+      }
+      def idsByKey(): Map[Long, Long] =
+        DeltaRead.readWithRowIds(spark, t)
+          .select($"id", col(DeltaRead.RowIdCol))
+          .as[(Long, Long)].collect().toMap
+      DeltaWrite.append(batch(40).repartition(3), t)
+      DeltaWrite.enableRowTracking(spark, t)
+      var known = idsByKey()
+      (1 to 12).foreach { step =>
+        rnd.nextInt(8) match {
+          case 0 | 1 | 2 => DeltaWrite.append(batch(10 + rnd.nextInt(20)), t)
+          case 3 | 4 =>
+            val k = 3 + rnd.nextInt(4)
+            DeltaWrite.deleteWhere(spark, t, $"id" % k === rnd.nextInt(k))
+          case 5 =>
+            // upsert: half updates of live keys, half fresh inserts
+            val src = batch(8).unionByName(
+              (0 until 6).map(_ => (rnd.nextLong(math.max(nextKey, 1)),
+                rnd.nextInt(1000).toLong)).toDF("id", "v"))
+              .dropDuplicates("id")
+            DeltaWrite.merge(spark, t, src, Seq("id"))
+          case 6 => DeltaWrite.compact(spark, t, targetBytes = 1L << 22)
+          case 7 => DeltaWrite.checkpoint(spark, t)
+        }
+        val now = idsByKey()
+        // 1. no row re-identified: a key live across the step keeps its
+        // row id (a key deleted earlier and re-INSERTED later is a new
+        // row and legitimately gets a fresh id, so the ledger tracks
+        // only continuously-live keys — it resets to `now` below)
+        now.foreach { case (k, rid) =>
+          known.get(k).foreach(prev => assert(prev == rid,
+            s"step $step: key $k re-identified $prev -> $rid"))
+        }
+        // 2. ids globally distinct
+        assert(now.values.toSeq.distinct.size == now.size,
+          s"step $step: duplicate row ids")
+        // 3. the high-water mark bounds every live id
+        val s = DeltaRead.snapshot(spark, t)
+        val hwm = """"rowIdHighWaterMark"\s*:\s*(\d+)""".r
+          .findFirstMatchIn(s.liveDomains("delta.rowTracking"))
+          .map(_.group(1).toLong).getOrElse(fail("no high-water mark domain"))
+        assert(now.values.forall(_ <= hwm),
+          s"step $step: live id exceeds high-water mark $hwm")
+        known = now // continuously-live keys only
+      }
+    } finally cleanup(t)
+  }
 }
