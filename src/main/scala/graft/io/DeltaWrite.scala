@@ -2496,25 +2496,54 @@ object DeltaWrite {
         if (DeltaRead.ColumnMapping.active(s.columnMappingMode))
           s.schema.map(DeltaRead.ColumnMapping.physByLogical).getOrElse(Map.empty)
         else Map.empty
-      // bin-pack per partition tuple: greedy fill in commit order
-      val groups = s.files.groupBy(_.partitionValues).toSeq.flatMap { case (pv, fs) =>
-        val bins = scala.collection.mutable.ArrayBuffer.empty[
-          (scala.collection.mutable.ArrayBuffer[DeltaRead.FileEntry], Long)]
-        fs.foreach { f =>
-          val sz = Files.size(Paths.get(table, f.path))
-          bins.indexWhere(_._2 + sz <= targetBytes) match {
-            case -1 => bins += ((scala.collection.mutable.ArrayBuffer(f), sz))
-            case i  => bins(i) = ((bins(i)._1 += f, bins(i)._2 + sz))
+      // a CLUSTERED table's OPTIMIZE must RE-cluster, not just
+      // bin-pack: groups form over the file list SORTED by each
+      // file's stats-min on the leading clustering column (so bins
+      // cover contiguous key ranges instead of commit-order
+      // interleavings), and each merged group re-sorts along the full
+      // Z-key below — per-file stats bounds stay tight after
+      // maintenance, which is what keeps log-metadata skipping sharp
+      val clusterCols = clusteringColumns(s)
+        .filter(c => s.schema.exists(_.fieldNames.contains(c)))
+      def statsMin(f: DeltaRead.FileEntry): Double =
+        clusterCols.headOption.flatMap { c =>
+          f.stats.flatMap { js =>
+            try Option(mapper.readTree(js).get("minValues")).flatMap(m =>
+              Option(m.get(c))).filterNot(_.isNull).map(_.asDouble())
+            catch { case _: Exception => None }
           }
+        }.getOrElse(Double.MaxValue)
+      // bin-pack per partition tuple: greedy fill in commit order.
+      // CLUSTERED tables instead take the WHOLE tuple as one rewrite
+      // unit — the re-cluster below range-splits it back into
+      // target-sized files along the Z-key (pre-splitting into bins
+      // would pin each bin to one output file and the split would
+      // never engage)
+      val groups = s.files.groupBy(_.partitionValues).toSeq.flatMap { case (pv, fs0) =>
+        if (clusterCols.nonEmpty) {
+          if (fs0.size >= 2 || fs0.exists(_.dv.isDefined))
+            Seq((pv, fs0.sortBy(statsMin))) else Nil
+        } else {
+          val fs = fs0
+          val bins = scala.collection.mutable.ArrayBuffer.empty[
+            (scala.collection.mutable.ArrayBuffer[DeltaRead.FileEntry], Long)]
+          fs.foreach { f =>
+            val sz = Files.size(Paths.get(table, f.path))
+            bins.indexWhere(_._2 + sz <= targetBytes) match {
+              case -1 => bins += ((scala.collection.mutable.ArrayBuffer(f), sz))
+              case i  => bins(i) = ((bins(i)._1 += f, bins(i)._2 + sz))
+            }
+          }
+          // singletons stay — unless they carry a DV, in which case the
+          // solo rewrite IS the point (purge the bitmap)
+          bins.map(b => (pv, b._1.toSeq))
+            .filter(g => g._2.size >= 2 || g._2.exists(_.dv.isDefined))
         }
-        // singletons stay — unless they carry a DV, in which case the
-        // solo rewrite IS the point (purge the bitmap)
-        bins.map(b => (pv, b._1.toSeq))
-          .filter(g => g._2.size >= 2 || g._2.exists(_.dv.isDefined))
       }
       if (groups.isEmpty) return 0
       val now = System.currentTimeMillis()
-      val staged = groups.map { case (pv, fs) =>
+      val staged: Seq[(Seq[Staged], Seq[DeltaRead.FileEntry])] = groups.map {
+        case (pv, fs) =>
         // row-tracking tables preserve each surviving row's stable id
         // through the rewrite by MATERIALIZING it (the config-named
         // columns) — without this, compaction would re-id every row
@@ -2527,31 +2556,60 @@ object DeltaWrite {
         val df =
           if (physBy.isEmpty) raw
           else WriteMapping.restampFieldIds(raw, s.schema.get)
+        // one output file per group — except CLUSTERED tables, whose
+        // OPTIMIZE re-clusters: the merged group RANGE-partitions
+        // along the Z-key of the declared clustering columns into
+        // target-sized files, each covering a CONTIGUOUS slice of the
+        // key space, so per-file stats bounds come out TIGHT and
+        // log-metadata skipping stays sharp after maintenance
+        val laid =
+          if (clusterCols.isEmpty) df.coalesce(1)
+          else {
+            import org.apache.spark.sql.functions.{col, min => fmin, max => fmax}
+            val aggs = clusterCols.flatMap(c =>
+              Seq(fmin(col(c).cast("double")), fmax(col(c).cast("double"))))
+            val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+            val totalBytes = fs.map(f => Files.size(Paths.get(table, f.path))).sum
+            val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+            if (clusterCols.indices.exists(i =>
+                row.isNullAt(2 * i) || row.isNullAt(2 * i + 1)))
+              df.coalesce(1) // nothing to cluster by (empty / all-null)
+            else df.withColumn("__z", Sinks.zValue(clusterCols.map(col),
+                clusterCols.indices.map(i => row.getDouble(2 * i)),
+                clusterCols.indices.map(i => row.getDouble(2 * i + 1))))
+              .repartitionByRange(n, col("__z"))
+              .sortWithinPartitions("__z").drop("__z")
+          }
         // stage INSIDE the table root (like stage()): a system temp dir
         // may sit on a different filesystem, where ATOMIC_MOVE throws
         val tmpDir = Paths.get(table, s"_staging-${UUID.randomUUID()}")
-        df.coalesce(1).write.mode("overwrite").parquet(tmpDir.toString)
+        laid.write.mode("overwrite").parquet(tmpDir.toString)
         val ls = Files.list(tmpDir)
-        val part =
+        val parts =
           try ls.iterator().asScala
-            .find(_.getFileName.toString.endsWith(".parquet")).get
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .toList.sortBy(_.getFileName.toString)
           finally ls.close()
         val partDir = fs.head.path.split('/').dropRight(1)
-        val relPath = (partDir :+ s"part-${UUID.randomUUID()}.parquet").mkString("/")
-        val dest = Paths.get(table).resolve(relPath)
-        Files.createDirectories(dest.getParent)
-        Files.move(part, dest, StandardCopyOption.ATOMIC_MOVE)
+        val outs = parts.map { part =>
+          val relPath = (partDir :+ s"part-${UUID.randomUUID()}.parquet").mkString("/")
+          val dest = Paths.get(table).resolve(relPath)
+          Files.createDirectories(dest.getParent)
+          Files.move(part, dest, StandardCopyOption.ATOMIC_MOVE)
+          Staged(relPath, pv.map { case (k, x) => physBy.getOrElse(k, k) -> x },
+            Files.size(dest),
+            Files.getLastModifiedTime(dest).toMillis, parquetStats(dest))
+        }
         org.apache.commons.io.FileUtils.deleteDirectory(tmpDir.toFile)
-        (Staged(relPath, pv.map { case (k, x) => physBy.getOrElse(k, k) -> x },
-          Files.size(dest),
-          Files.getLastModifiedTime(dest).toMillis, parquetStats(dest)), fs)
+        (outs, fs)
       }
       val lines = Seq(commitInfoAction("OPTIMIZE", now)) ++
         staged.flatMap(_._2).map(f => removeAction(f.path, now, dataChange = false)) ++
-        staged.map(x => addAction(x._1, dataChange = false))
+        staged.flatMap(_._1).map(st => addAction(st, dataChange = false))
       if (publish(table, Some(s), v + 1, lines))
-        return staged.map(_._2.size - 1).sum
-      staged.foreach(x => Files.deleteIfExists(Paths.get(table, x._1.relPath)))
+        return staged.map(x => x._2.size - x._1.size).sum
+      staged.flatMap(_._1).foreach(x =>
+        Files.deleteIfExists(Paths.get(table, x.relPath)))
       attempt += 1 // a writer landed v+1 first: replan on its snapshot
     }
     throw new IllegalStateException(s"compact: lost 10 commit races on $table")

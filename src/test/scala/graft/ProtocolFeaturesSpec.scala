@@ -178,6 +178,39 @@ class ProtocolFeaturesSpec extends SparkTestBase {
     } finally cleanup(t)
   }
 
+  test("OPTIMIZE on a clustered table RE-clusters: skipping stays sharp after compaction") {
+    val t = newTable()
+    try {
+      DeltaWrite.append(Seq((0L, 0L, "seed")).toDF("x", "y", "tag"), t)
+      DeltaWrite.clusterBy(spark, t, Seq("x", "y"))
+      // six small appends in INTERLEAVED key order — each covers the
+      // whole key space, so pre-compaction per-file bounds are wide
+      (0 until 6).foreach { i =>
+        val rows = (0L until 400L).map(j => ((j * 7 + i) % 64, (j * 11 + i) % 64,
+          s"b$i-$j")).toDF("x", "y", "tag")
+        DeltaWrite.append(rows, t)
+      }
+      val vPre = DeltaRead.latestVersion(t)
+      val preds = Seq(DeltaRead.StatRange("x", Some(3L), Some(6L)),
+        DeltaRead.StatRange("y", Some(3L), Some(6L)))
+      val preAdmit = DeltaRead.filesAfterSkipping(spark, t, vPre, preds).size
+      val preTotal = DeltaRead.snapshotAt(spark, t, vPre).files.size
+      assert(preAdmit >= preTotal - 1, "interleaved appends should defeat skipping")
+      // compact with a small target → several output files, each now
+      // covering a CONTIGUOUS slice of the clustered key space
+      assert(DeltaWrite.compact(spark, t, targetBytes = 16L << 10) > 0)
+      val vPost = DeltaRead.latestVersion(t)
+      val postTotal = DeltaRead.snapshotAt(spark, t, vPost).files.size
+      val postAdmit = DeltaRead.filesAfterSkipping(spark, t, vPost, preds).size
+      assert(postTotal >= 2, s"expected a multi-file layout, got $postTotal")
+      assert(postAdmit < postTotal,
+        s"reclustered OPTIMIZE should prune: $postAdmit of $postTotal admitted")
+      // content unchanged by the reorganization
+      val n = DeltaRead.read(spark, t).count()
+      assert(n == 1 + 6 * 400)
+    } finally cleanup(t)
+  }
+
   test("foreign clustered table: declared domain honored, nested clustering path refuses") {
     val t = newTable()
     try {
