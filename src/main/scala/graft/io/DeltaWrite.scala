@@ -2090,7 +2090,12 @@ object DeltaWrite {
     * update to the one source row (multiplicity preserved). Deletion
     * vectors on touched files are honored: masked rows do not
     * resurrect into the rewrite. Returns the committed version, or the
-    * current version unchanged when the merge is a no-op. */
+    * current version unchanged when the merge is a no-op. An optional
+    * `txn` (appId, version) pair rides in the SAME commit as a
+    * SetTransaction action and makes the merge exactly-once under
+    * replay, appendOnce-style: a pair at or below the table's recorded
+    * mark skips the merge entirely — the primitive incremental view
+    * maintenance ([[graft.views.IncrementalView]]) resumes on. */
   /** Optional MERGE clause conditions, Delta's three-clause surface:
     * `WHEN MATCHED [AND updateWhen] UPDATE SET *`, `WHEN MATCHED AND
     * deleteWhen DELETE`, `WHEN NOT MATCHED [AND insertWhen] INSERT *`.
@@ -2106,7 +2111,8 @@ object DeltaWrite {
 
   def merge(spark: SparkSession, table: String, source: DataFrame,
       keys: Seq[String], maxRetries: Int = 10,
-      clauses: MergeClauses = MergeClauses()): Long = {
+      clauses: MergeClauses = MergeClauses(),
+      txn: Option[(String, Long)] = None): Long = {
     import org.apache.spark.sql.functions.{col, count => fcount, lit}
     require(keys.nonEmpty, "merge: keys must be non-empty")
     require(keys.forall(source.columns.contains),
@@ -2121,6 +2127,14 @@ object DeltaWrite {
     while (attempt < maxRetries) {
       val v = DeltaRead.latestVersion(table)
       val snap = DeltaRead.snapshotAt(spark, table, v)
+      // exactly-once replay guard (same contract as appendOnce): a
+      // (appId, version) already at or below the table's recorded
+      // SetTransaction mark means this batch landed — skip BEFORE
+      // staging anything, re-checked on every CAS retry so two racing
+      // replays cannot both commit
+      txn.foreach { case (appId, ver) =>
+        if (snap.txns.get(appId).exists(_ >= ver)) return v
+      }
       validateWriterSupport(table, snap, removesData = true)
       val committed = snap.schema.getOrElse(throw new IllegalStateException(
         s"merge: $table has no committed schema"))
@@ -2241,6 +2255,7 @@ object DeltaWrite {
       val cdcStaged = cdcRows.map(stageCdc(_, table, snap)).getOrElse(Nil)
       val now = System.currentTimeMillis()
       val lines = Seq(commitInfoAction("MERGE", now)) ++
+        txn.map { case (appId, ver) => txnAction(appId, ver, now) } ++
         touched.map(f => removeAction(f.path, now)) ++
         staged.map(s => addAction(s)) ++
         cdcStaged.map(cdcAction)

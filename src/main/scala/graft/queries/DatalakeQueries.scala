@@ -1327,6 +1327,62 @@ object DatalakeQueries {
            |       CAST(sum(doc_id) AS BIGINT) AS sum_ids, true AS paced
            |FROM fin GROUP BY lang ORDER BY lang""".stripMargin))
 
+  /** q215 — INCREMENTAL MATERIALIZED VIEW maintenance
+    * ([[graft.views.IncrementalView]]): a per-lang aggregate view
+    * (count / sum / min / max of n_chars) over a Delta base is built
+    * once, then maintained purely from the change feed across an
+    * append, a DV delete (which evicts per-group extremes — the
+    * partial min/max recompute path), and a MERGE update, each folded
+    * as ONE SetTransaction-marked merge commit. `folded_ok` pins each
+    * refresh to the exact base version it folded; `replay_noop` proves
+    * a fourth refresh with nothing new short-circuits (exactly-once).
+    * The oracle recomputes the final aggregate from `documents`
+    * arithmetically — the maintained view must equal a from-scratch
+    * recompute while having done only delta-bounded work. At 100 TB
+    * this is the difference between a nightly full-scan rebuild of
+    * every gold table and a minutely fold of one commit's files
+    * (reference gold loads: loader_NeonDB.py:682-882 recompute). */
+  val q215IncrementalView = GQuery(
+    "q215_incremental_view",
+    (s, d) => {
+      import s.implicits._
+      val base = graft.io.Staging.tempDir("graft_q215b_")
+      val view = graft.io.Staging.tempDir("graft_q215v_")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(view))
+      val docs = Tables.documents(s, d).select($"doc_id", $"lang", $"n_chars")
+      val spec = graft.views.IncrementalView.ViewSpec(
+        Seq("lang"), sums = Seq("n_chars"), minMaxes = Seq("n_chars"))
+      graft.io.DeltaWrite.append(
+        docs.filter(pmod($"doc_id", lit(2)) === 0).repartition(2), base) // v0
+      graft.views.IncrementalView.build(s, base, view, spec)
+      graft.io.DeltaWrite.append(
+        docs.filter(pmod($"doc_id", lit(2)) === 1).repartition(2), base) // v1
+      val r1 = graft.views.IncrementalView.refresh(s, base, view, spec)
+      graft.io.DeltaWrite.deleteWhere(s, base,
+        pmod($"doc_id", lit(10)) === 3)                                  // v2
+      val r2 = graft.views.IncrementalView.refresh(s, base, view, spec)
+      graft.io.DeltaWrite.merge(s, base,
+        docs.filter(pmod($"doc_id", lit(10)) === 4)
+          .withColumn("n_chars", $"n_chars" + 1000L), Seq("doc_id"))     // v3
+      val r3 = graft.views.IncrementalView.refresh(s, base, view, spec)
+      val replayNoop = graft.views.IncrementalView.refresh(s, base, view, spec).isEmpty
+      graft.io.DeltaRead.read(s, view)
+        .select($"lang", $"cnt", $"sum_n_chars", $"min_n_chars", $"max_n_chars")
+        .withColumn("folded_ok",
+          lit(r1.contains(1L) && r2.contains(2L) && r3.contains(3L)))
+        .withColumn("replay_noop", lit(replayNoop))
+        .orderBy($"lang")
+    },
+    Some("""WITH fin AS (
+           |  SELECT lang,
+           |    CASE WHEN doc_id % 10 = 4 THEN n_chars + 1000 ELSE n_chars END AS nc
+           |  FROM documents WHERE doc_id % 10 <> 3)
+           |SELECT lang, count(*) AS cnt, CAST(sum(nc) AS BIGINT) AS sum_n_chars,
+           |       CAST(min(nc) AS BIGINT) AS min_n_chars,
+           |       CAST(max(nc) AS BIGINT) AS max_n_chars,
+           |       true AS folded_ok, true AS replay_noop
+           |FROM fin GROUP BY lang ORDER BY lang""".stripMargin))
+
   val all: Seq[GQuery] = Seq(
     q130SnapshotDiff, q131IncrementalAgg, q132SchemaEvolution,
     q133KAnonymity, q134GdprErasure, q147CompactionPlan,
@@ -1336,5 +1392,5 @@ object DatalakeQueries {
     q194DeltaChangefeed, q196CdfFold, q197MergeUpsert,
     q198DvErasure, q199CdfMirror, q200Restore, q202TableFeatures,
     q203CdfWrite, q206CdfReadStream, q207RowTracking, q208TypeWidening,
-    q209Variant, q210ClusteredSkip)
+    q209Variant, q210ClusteredSkip, q215IncrementalView)
 }

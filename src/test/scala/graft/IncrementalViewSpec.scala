@@ -1,0 +1,155 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.io.{DeltaRead, DeltaWrite}
+import graft.views.IncrementalView
+import graft.views.IncrementalView.ViewSpec
+
+/** Incremental materialized aggregate views: every refresh must leave
+  * the view EQUAL to a from-scratch recompute of the base head —
+  * across appends, DV deletes, merges, and maintenance — while doing
+  * only delta-bounded work, exactly once under replay. */
+class IncrementalViewSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def newDir(tag: String): String =
+    Files.createTempDirectory(tag).toString
+  private def cleanup(ts: String*): Unit = ts.foreach(t =>
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(t)))
+
+  private val vspec =
+    ViewSpec(keys = Seq("k"), sums = Seq("v"), minMaxes = Seq("v"))
+
+  private def recompute(base: String): DataFrame =
+    DeltaRead.read(spark, base).groupBy("k")
+      .agg(count(lit(1)).as("cnt"), sum($"v").as("sum_v"),
+        min($"v").as("min_v"), max($"v").as("max_v"))
+
+  private def assertViewMatches(base: String, view: String): Unit = {
+    val got = DeltaRead.read(spark, view)
+      .select($"k", $"cnt", $"sum_v", $"min_v", $"max_v")
+      .orderBy($"k").collect().toSeq
+    val want = recompute(base).orderBy($"k").collect().toSeq
+    assert(got == want, s"view diverged:\n got=$got\nwant=$want")
+  }
+
+  test("build == full recompute; refresh folds appends, deletes, merges") {
+    val base = newDir("ivbase"); val view = newDir("ivview")
+    cleanup(view) // build requires absence
+    try {
+      DeltaWrite.append(Seq(("a", 1L), ("a", 5L), ("b", 10L)).toDF("k", "v"), base)
+      IncrementalView.build(spark, base, view, vspec)
+      assertViewMatches(base, view)
+      // append: new key + growth of an existing one
+      DeltaWrite.append(Seq(("b", 2L), ("c", 7L), ("c", 7L)).toDF("k", "v"), base)
+      assert(IncrementalView.refresh(spark, base, view, vspec).isDefined)
+      assertViewMatches(base, view)
+      // DV delete evicting a's MAX (5) — min/max must recompute
+      DeltaWrite.deleteWhere(spark, base, $"k" === "a" && $"v" === 5L)
+      assert(IncrementalView.refresh(spark, base, view, vspec).isDefined)
+      assertViewMatches(base, view)
+      // merge: update b's 10 → 3 (delete+insert in the feed), insert d
+      DeltaWrite.merge(spark, base,
+        Seq(("b", 10L, 3L), ("d", 4L, 4L)).toDF("k", "v", "nv")
+          .select($"k", $"nv".as("v")),
+        keys = Seq("k"))
+      assert(IncrementalView.refresh(spark, base, view, vspec).isDefined)
+      // b had rows (10, 2) — merge on k rewrites BOTH matched rows to
+      // v=3, so the recompute comparison also covers multiplicity
+      assertViewMatches(base, view)
+    } finally cleanup(base, view)
+  }
+
+  test("a key deleted to zero rows leaves the view (no ghost groups)") {
+    val base = newDir("ivbase"); val view = newDir("ivview")
+    cleanup(view)
+    try {
+      DeltaWrite.append(Seq(("a", 1L), ("b", 2L)).toDF("k", "v"), base)
+      IncrementalView.build(spark, base, view, vspec)
+      DeltaWrite.deleteWhere(spark, base, $"k" === "a")
+      IncrementalView.refresh(spark, base, view, vspec)
+      assert(DeltaRead.read(spark, view).select($"k").as[String]
+        .collect().toSeq == Seq("b"))
+      assertViewMatches(base, view)
+      // and a key born+killed INSIDE one refresh window never appears
+      DeltaWrite.append(Seq(("e", 9L)).toDF("k", "v"), base)
+      DeltaWrite.deleteWhere(spark, base, $"k" === "e")
+      IncrementalView.refresh(spark, base, view, vspec)
+      assert(!DeltaRead.read(spark, view).where($"k" === "e").collect().nonEmpty)
+      assertViewMatches(base, view)
+    } finally cleanup(base, view)
+  }
+
+  test("refresh is exactly-once: replay no-ops, crash-replay cannot double-fold") {
+    val base = newDir("ivbase"); val view = newDir("ivview")
+    cleanup(view)
+    try {
+      DeltaWrite.append(Seq(("a", 1L)).toDF("k", "v"), base)
+      IncrementalView.build(spark, base, view, vspec)
+      DeltaWrite.append(Seq(("a", 2L)).toDF("k", "v"), base)
+      assert(IncrementalView.refresh(spark, base, view, vspec).contains(1L))
+      // already-current: short-circuits before any work
+      assert(IncrementalView.refresh(spark, base, view, vspec).isEmpty)
+      // simulate the crash-replay: call merge AGAIN with the same
+      // delta and the same txn mark — the mark must make it a no-op
+      val dup = DeltaRead.read(spark, view)
+        .withColumn("cnt", $"cnt" + 100L) // poison: would corrupt if applied
+      val vBefore = DeltaRead.latestVersion(view)
+      DeltaWrite.merge(spark, view, dup, Seq("k"),
+        txn = Some(("graft-iview:" +
+          java.nio.file.Paths.get(base).toAbsolutePath.normalize.toString, 1L)))
+      assert(DeltaRead.latestVersion(view) == vBefore, "replayed merge must skip")
+      assertViewMatches(base, view)
+    } finally cleanup(base, view)
+  }
+
+  test("OPTIMIZE on the base surfaces no changes; sums stay null-correct") {
+    val base = newDir("ivbase"); val view = newDir("ivview")
+    cleanup(view)
+    try {
+      val rows = Seq(("a", Some(1L)), ("a", None), ("n", None))
+        .toDF("k", "v")
+      DeltaWrite.append(rows, base)
+      DeltaWrite.append(Seq(("a", 3L)).toDF("k", "v"), base)
+      IncrementalView.build(spark, base, view, vspec)
+      // all-null group: SUM/MIN/MAX null, cnt counts rows
+      assertViewMatches(base, view)
+      DeltaWrite.compact(spark, base)
+      val r = IncrementalView.refresh(spark, base, view, vspec)
+      // compaction is dataChange=false: feed empty, but the mark still
+      // advances so the next refresh doesn't re-walk the commit
+      assert(r.isDefined)
+      assertViewMatches(base, view)
+    } finally cleanup(base, view)
+  }
+
+  test("null group keys refuse loudly; out-of-band view edits refuse on fold") {
+    val base = newDir("ivbase"); val view = newDir("ivview")
+    cleanup(view)
+    try {
+      DeltaWrite.append(Seq((Option.empty[String], 1L)).toDF("k", "v"), base)
+      val e = intercept[IllegalArgumentException] {
+        IncrementalView.build(spark, base, view, vspec)
+      }
+      assert(e.getMessage.contains("null group key"))
+    } finally cleanup(base, view)
+    val base2 = newDir("ivbase"); val view2 = newDir("ivview")
+    cleanup(view2)
+    try {
+      DeltaWrite.append(Seq(("a", 1L), ("b", 2L)).toDF("k", "v"), base2)
+      IncrementalView.build(spark, base2, view2, vspec)
+      // sabotage: delete a's view row out-of-band, then delete a's base
+      // row — the fold would drive cnt to -1; must refuse, not write
+      DeltaWrite.deleteWhere(spark, view2, $"k" === "a")
+      DeltaWrite.deleteWhere(spark, base2, $"k" === "a")
+      val e2 = intercept[IllegalArgumentException] {
+        IncrementalView.refresh(spark, base2, view2, vspec)
+      }
+      assert(e2.getMessage.contains("out of sync"))
+    } finally cleanup(base2, view2)
+  }
+}
