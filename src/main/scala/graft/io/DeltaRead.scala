@@ -214,6 +214,34 @@ object DeltaRead {
   private val V2Re =
     """^(\d{20})\.checkpoint\.([0-9a-fA-F-]{36})\.(parquet|json)$""".r
 
+  /** `<x>.<y>.compacted.json` — a MINOR LOG COMPACTION (PROTOCOL.md
+    * "Log Compaction Files"): the reconciled actions of commits x..y
+    * in one newline-JSON file, readable in place of the per-commit
+    * files it spans. Invisible to every version listing (the dotted
+    * stem fails the all-digits filters). */
+  private val CompactedRe = """^(\d{20})\.(\d{20})\.compacted\.json$""".r
+
+  /** Available minor compactions keyed by start version; each start
+    * keeps ALL its spans so a resolution targeting a mid-range version
+    * can still take a shorter one that fits. */
+  private def compactedRanges(table: String): Map[Long, Seq[(Long, Path)]] = {
+    val ld = logDir(table)
+    if (!Files.isDirectory(ld)) return Map.empty
+    val st = Files.list(ld)
+    val all =
+      try st.iterator().asScala.flatMap { p =>
+        p.getFileName.toString match {
+          case CompactedRe(a, b) if a.toLong <= b.toLong =>
+            Some((a.toLong, b.toLong, p))
+          case _ => None
+        }
+      }.toList
+      finally st.close()
+    all.groupBy(_._1).map { case (a, xs) =>
+      a -> xs.map(x => (x._2, x._3)).sortBy(-_._1)
+    }
+  }
+
   /** A resolvable checkpoint at one version: the classic single/multi
     * part set, or a v2 manifest. */
   private sealed trait CheckpointRef
@@ -355,6 +383,12 @@ object DeltaRead {
     val p = logDir(table).resolve(f"$v%020d.json")
     require(Files.exists(p),
       s"$table: commit $v missing — log truncated past the last checkpoint")
+    applyActionsFile(p, r)
+  }
+
+  /** Replay every action line of a newline-JSON log file (a commit or
+    * a `{x}.{y}.compacted.json` minor compaction) into `r`. */
+  private def applyActionsFile(p: Path, r: Replay): Unit = {
     Files.readAllLines(p).asScala.filter(_.trim.nonEmpty).foreach { line =>
       val node = mapper.readTree(line)
       val addN = node.get("add"); val remN = node.get("remove")
@@ -587,7 +621,22 @@ object DeltaRead {
     val r = new Replay
     val cp = checkpointAtOrBelow(table, version)
     cp.foreach(v => applyCheckpoint(spark, table, v, r))
-    ((cp.map(_ + 1).getOrElse(0L)) to version).foreach(v => applyJsonCommit(table, v, r))
+    // tail replay prefers minor log compactions ({x}.{y}.compacted.json,
+    // the protocol's reconciled form of commits x..y): one file read
+    // replaces y−x+1 — on a long-lived table the log tail is thousands
+    // of commits and this is what keeps snapshot resolution O(files
+    // touched), not O(table age). A compaction is only taken when it
+    // starts exactly at the next version needed and ends at or before
+    // the target (mid-range time travel falls back to the per-commit
+    // files, which compaction never removes).
+    val compacted = compactedRanges(table)
+    var tv = cp.map(_ + 1).getOrElse(0L)
+    while (tv <= version) {
+      compacted.getOrElse(tv, Nil).find(_._1 <= version) match {
+        case Some((end, p)) => applyActionsFile(p, r); tv = end + 1
+        case None => applyJsonCommit(table, tv, r); tv += 1
+      }
+    }
     r.validateSupported(table)
     val snap = DeltaSnapshot(version, r.files.values.toSeq, r.schema,
       r.partitionColumns, r.metaId, r.txns.toMap, r.configuration,

@@ -2852,6 +2852,69 @@ object DeltaWrite {
     Seq(protoRow, metaRow) ++ addRows ++ txnRows ++ domainRows
   }
 
+  /** MINOR LOG COMPACTION (PROTOCOL.md "Log Compaction Files"): write
+    * `{start}.{end}.compacted.json` holding the RECONCILED actions of
+    * commits start..end, which [[DeltaRead.snapshotAt]] reads in place
+    * of the per-commit files it spans — one file read instead of
+    * end−start+1. Cheaper than a checkpoint (no parquet, no full state
+    * materialization — only the touched range is replayed) and
+    * complementary to it: checkpoints bound replay depth, compactions
+    * thin the tail between checkpoints. On a table taking a commit a
+    * minute, an hourly compaction keeps cold-start snapshot resolution
+    * at ~60× fewer log reads without waiting for the next checkpoint.
+    *
+    * Reconciliation: last file action per path wins (an add superseded
+    * within the range vanishes; an add-then-remove nets to the remove
+    * TOMBSTONE, kept for vacuum semantics), latest metaData and
+    * protocol win whole, SetTransaction marks keep the latest per
+    * appId, domainMetadata the latest per domain. `commitInfo` and
+    * `cdc` actions are dropped: both are PER-COMMIT facts (timestamps,
+    * change files) whose consumers ([[DeltaRead.changesBetween]],
+    * timestamp travel) read the per-commit files — which compaction
+    * never deletes. The output is staged and atomically moved, so a
+    * concurrent reader sees either no compaction or a whole one, and
+    * the dotted stem is invisible to every version listing. */
+  def compactLog(table: String, startV: Long, endV: Long): java.nio.file.Path = {
+    require(0 <= startV && startV <= endV,
+      s"compactLog: bad range [$startV, $endV]")
+    require(endV <= DeltaRead.latestVersion(table),
+      s"compactLog: $table has no version $endV")
+    val ld = logDir(table)
+    var proto: Option[String] = None
+    var meta: Option[String] = None
+    val txns = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val domains = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val fileActs = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def pathKey(s: String): String =
+      try new java.net.URI(s).getPath catch { case _: Exception => s }
+    (startV to endV).foreach { v =>
+      val p = ld.resolve(f"$v%020d.json")
+      require(Files.exists(p),
+        s"compactLog: $table commit $v is gone — compact a surviving range")
+      Files.readAllLines(p).asScala.filter(_.trim.nonEmpty).foreach { line =>
+        val n = mapper.readTree(line)
+        if (n.has("protocol")) proto = Some(line)
+        else if (n.has("metaData")) meta = Some(line)
+        else if (n.has("txn"))
+          txns.put(n.get("txn").get("appId").asText(), line)
+        else if (n.has("domainMetadata"))
+          domains.put(n.get("domainMetadata").get("domain").asText(), line)
+        else if (n.has("add"))
+          fileActs.put(pathKey(n.get("add").get("path").asText()), line)
+        else if (n.has("remove"))
+          fileActs.put(pathKey(n.get("remove").get("path").asText()), line)
+      }
+    }
+    val out = (proto.toSeq ++ meta.toSeq ++ txns.values ++ domains.values ++
+      fileActs.values).mkString("", "\n", "\n")
+    val tmp = Files.createTempFile(ld, s".compacting-$startV-$endV-", ".tmp")
+    Files.write(tmp, out.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val dest = ld.resolve(f"$startV%020d.$endV%020d.compacted.json")
+    Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    dest
+  }
+
   def checkpoint(spark: SparkSession, table: String, parts: Int = 1): Long = {
     require(parts >= 1, s"checkpoint: parts must be >= 1, got $parts")
     val v = DeltaRead.latestVersion(table)

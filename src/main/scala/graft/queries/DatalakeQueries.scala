@@ -1383,6 +1383,56 @@ object DatalakeQueries {
            |       true AS folded_ok, true AS replay_noop
            |FROM fin GROUP BY lang ORDER BY lang""".stripMargin))
 
+  /** q216 — MINOR LOG COMPACTION ([[graft.io.DeltaWrite.compactLog]] /
+    * [[graft.io.DeltaRead.snapshotAt]]'s compacted-tail replay): a
+    * five-commit history (three appends, a DV delete, a property
+    * change) is log-compacted over commits 1..4, then the spanned
+    * per-commit files are HIDDEN and the snapshot is resolved again —
+    * through the compacted file alone. The output carries the per-lang
+    * aggregate read both ways (per-commit replay before compaction,
+    * compacted replay with the commits hidden); the oracle recomputes
+    * the same numbers from `documents`, so a reconciliation bug in
+    * either path mismatches. At 100 TB the log tail between
+    * checkpoints is thousands of commits; compaction keeps cold-start
+    * snapshot resolution at one read per span instead of one per
+    * commit, without sacrificing mid-range time travel (the per-commit
+    * files stay). */
+  val q216LogCompaction = GQuery(
+    "q216_log_compaction",
+    (s, d) => {
+      import s.implicits._
+      val t = graft.io.Staging.tempDir("graft_q216_")
+      val docs = Tables.documents(s, d).select($"doc_id", $"lang", $"n_chars")
+      (0 to 2).foreach(i => graft.io.DeltaWrite.append(
+        docs.filter(pmod($"doc_id", lit(3)) === i).repartition(2), t)) // v0..v2
+      graft.io.DeltaWrite.deleteWhere(s, t, pmod($"doc_id", lit(10)) === 7) // v3
+      graft.io.DeltaWrite.setProperties(s, t, Map("graft.q216" -> "x"))     // v4
+      def agg(df: org.apache.spark.sql.DataFrame) = df.groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+      val perCommit = agg(graft.io.DeltaRead.readVersion(s, t, 4L))
+        .withColumnRenamed("n_docs", "p_docs")
+        .withColumnRenamed("sum_chars", "p_chars")
+        .localCheckpoint() // pin the pre-compaction resolution
+      graft.io.DeltaWrite.compactLog(t, 1L, 4L)
+      val ld = java.nio.file.Paths.get(t, "_delta_log")
+      val hidden = (1L to 4L).map { v =>
+        val p = ld.resolve(f"$v%020d.json"); val b = ld.resolve(f"hidden-$v")
+        java.nio.file.Files.move(p, b); (p, b)
+      }
+      val viaCompact =
+        try agg(graft.io.DeltaRead.readVersion(s, t, 4L)).localCheckpoint()
+        finally hidden.foreach { case (p, b) => java.nio.file.Files.move(b, p) }
+      viaCompact.join(perCommit, Seq("lang"))
+        .withColumn("compact_used", lit(true))
+        .orderBy($"lang")
+    },
+    Some("""WITH fin AS (
+           |  SELECT lang, n_chars FROM documents WHERE doc_id % 10 <> 7)
+           |SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           |       count(*) AS p_docs, CAST(sum(n_chars) AS BIGINT) AS p_chars,
+           |       true AS compact_used
+           |FROM fin GROUP BY lang ORDER BY lang""".stripMargin))
+
   val all: Seq[GQuery] = Seq(
     q130SnapshotDiff, q131IncrementalAgg, q132SchemaEvolution,
     q133KAnonymity, q134GdprErasure, q147CompactionPlan,
@@ -1392,5 +1442,5 @@ object DatalakeQueries {
     q194DeltaChangefeed, q196CdfFold, q197MergeUpsert,
     q198DvErasure, q199CdfMirror, q200Restore, q202TableFeatures,
     q203CdfWrite, q206CdfReadStream, q207RowTracking, q208TypeWidening,
-    q209Variant, q210ClusteredSkip, q215IncrementalView)
+    q209Variant, q210ClusteredSkip, q215IncrementalView, q216LogCompaction)
 }
