@@ -653,8 +653,29 @@ object DeltaWrite {
       rowIdKnown: Map[String, (Long, Long)] = Map.empty): Boolean = {
     val l1 = s.map(stampRowTracking(table, _, v, lines, rowIdKnown)).getOrElse(lines)
     val l2 = s.map(stampIct(table, _, v, l1)).getOrElse(l1)
-    tryPublish(table, v, l2)
+    val ok = tryPublish(table, v, l2)
+    if (ok) maybeAutoCompactLog(table, s, v)
+    ok
   }
+
+  /** Opt-in AUTOMATIC minor log compaction: a table carrying
+    * `graft.logCompaction.interval = N` (N ≥ 2) gets a
+    * `{v−N+1}.{v}.compacted.json` written after every Nth commit, so
+    * long-lived high-commit-rate tables keep snapshot resolution flat
+    * with no scheduled maintenance at all. Post-commit and
+    * best-effort: the data commit is already durable when this runs,
+    * and a compaction failure (or a racing writer having already
+    * written the same span — REPLACE_EXISTING makes that idempotent)
+    * never fails the write. */
+  private val LogCompactIntervalKey = "graft.logCompaction.interval"
+  private def maybeAutoCompactLog(table: String,
+      s: Option[DeltaRead.DeltaSnapshot], v: Long): Unit =
+    s.flatMap(_.configuration.get(LogCompactIntervalKey)).flatMap(_.toLongOption)
+      .filter(_ >= 2).foreach { n =>
+        if ((v + 1) % n == 0 && v + 1 >= n)
+          try compactLog(table, v + 1 - n, v)
+          catch { case scala.util.control.NonFatal(_) => () }
+      }
 
   private val GenKey = "delta.generationExpression"
   private val InvKey = "delta.invariants"

@@ -146,4 +146,29 @@ class LogCompactionSpec extends SparkTestBase {
       finally hidden.foreach { case (p, bak) => Files.move(bak, p) }
     } finally cleanup(t)
   }
+
+  test("graft.logCompaction.interval auto-compacts every Nth commit") {
+    val t = newTable()
+    try {
+      DeltaWrite.append(Seq((0L, "z")).toDF("id", "s"), t)              // v0
+      DeltaWrite.setProperties(spark, t,
+        Map("graft.logCompaction.interval" -> "4"))                     // v1
+      (1 to 6).foreach(i =>
+        DeltaWrite.append(Seq((i.toLong, s"r$i")).toDF("id", "s"), t))  // v2..v7
+      val ld = Paths.get(t, "_delta_log")
+      assert(Files.exists(ld.resolve(
+        "00000000000000000000.00000000000000000003.compacted.json")))
+      assert(Files.exists(ld.resolve(
+        "00000000000000000004.00000000000000000007.compacted.json")))
+      // the two spans chain: resolution works with EVERY commit hidden
+      val want = DeltaRead.read(spark, t).orderBy($"id").collect().toSeq
+      val hidden = (0L to 7L).map { v =>
+        val p = ld.resolve(f"$v%020d.json"); val b = ld.resolve(f"hidden-$v")
+        Files.move(p, b); (p, b)
+      }
+      try assert(DeltaRead.readVersion(spark, t, 7L)
+        .orderBy($"id").collect().toSeq == want)
+      finally hidden.foreach { case (p, b) => Files.move(b, p) }
+    } finally cleanup(t)
+  }
 }
