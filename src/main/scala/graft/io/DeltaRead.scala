@@ -93,15 +93,18 @@ object DeltaRead {
     * byte/short→int, int→double, float→double, date→timestamp_ntz,
     * integer→decimal, decimal precision/scale increases — probed, and
     * pinned by TypeWideningSpec); variantType reads natively (Spark's
-    * VariantType IS the parquet layout the feature names; shredded
-    * variants are `variantShredding`, which stays refused);
-    * vacuumProtocolCheck's reader half requires nothing of a reader —
-    * it exists to gate legacy VACUUM implementations, and graft's
-    * vacuum checks the protocol first. */
+    * VariantType IS the parquet layout the feature names); SHREDDED
+    * variants (`variantShredding`, typed_value groups per the parquet
+    * variant shredding spec) reassemble inside Spark's parquet row
+    * converter — `spark.sql.variant.allowReadingShredded` defaults
+    * true and VariantShreddingSpec pins the roundtrip, so the feature
+    * is honored, not waved through; vacuumProtocolCheck's reader half
+    * requires nothing of a reader — it exists to gate legacy VACUUM
+    * implementations, and graft's vacuum checks the protocol first. */
   private val SupportedReaderFeatures =
     Set("timestampNtz", "deletionVectors", "columnMapping", "v2Checkpoint",
       "vacuumProtocolCheck", "typeWidening", "typeWidening-preview",
-      "variantType", "checkpointProtection")
+      "variantType", "variantShredding", "checkpointProtection")
 
   /** Column-mapping translation (PROTOCOL.md "Column Mapping"): when
     * `delta.columnMapping.mode` is `name` or `id`, each logical field

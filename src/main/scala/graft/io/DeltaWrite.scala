@@ -289,7 +289,12 @@ object DeltaWrite {
       "checkConstraints", "generatedColumns", "changeDataFeed",
       "identityColumns", "domainMetadata", "rowTracking",
       "inCommitTimestamp", "vacuumProtocolCheck", "timestampNtz",
-      "typeWidening", "typeWidening-preview", "variantType", "clustering",
+      // variantShredding: writing shredded files is a capability this
+      // writer has (appendShredded — Spark's shredded parquet writer),
+      // and UNSHREDDED files remain legal in a shredding-declared
+      // table, so plain appends to foreign shredded tables are sound
+      "typeWidening", "typeWidening-preview", "variantType",
+      "variantShredding", "clustering",
       // allowColumnDefaults: honored for real — appends lacking a
       // defaulted column get the CURRENT_DEFAULT expression evaluated
       // per batch (applyColumnDefaults). checkpointProtection: its
@@ -1489,7 +1494,9 @@ object DeltaWrite {
     val stagedDf = mapCtx.map(c => WriteMapping.physicalizeDf(df, c.schema)).getOrElse(df)
     val stagedPartitionBy = mapCtx.map(c => partBy.map(c.physByLogical))
       .getOrElse(partBy)
-    val staged = stage(stagedDf, table, stagedPartitionBy)
+    val staged = shredGuard(spark,
+      if (replaceExisting) None else preSnap, stagedDf.schema)(
+      stage(stagedDf, table, stagedPartitionBy))
     // any rejection below (drift, race exhaustion) must not leak the
     // staged files into the table root until a vacuum sweeps them
     try commitStaged(df, table, partBy, replaceExisting, txn, staged,
@@ -1580,7 +1587,13 @@ object DeltaWrite {
       // clients would misread the values
       val typeFeatures =
         (if (containsTimestampNtz(df.schema)) Set("timestampNtz") else Set.empty[String]) ++
-          (if (containsVariant(df.schema)) Set("variantType") else Set.empty[String])
+          (if (containsVariant(df.schema)) Set("variantType") else Set.empty[String]) ++
+          // staging with Spark's variant shredding ON writes files
+          // whose variant columns are typed_value groups — a layout
+          // only shredding-aware readers reassemble, so the feature
+          // must ride the SAME commit that creates the table
+          (if (containsVariant(df.schema) && shreddedWritesOn(spark))
+            Set("variantShredding") else Set.empty[String])
       // writer-only feature a defaulted schema demands at creation
       val defaultsFeature: Set[String] =
         if (fieldMetaHas(df.schema, DefaultKey)) Set("allowColumnDefaults")
@@ -1678,6 +1691,89 @@ object DeltaWrite {
           .drop("__z")
       }
     append(laid, table)
+  }
+
+  private val ShredWriteKey = "spark.sql.variant.writeShredding.enabled"
+  private val ShredInferKey = "spark.sql.variant.inferShreddingSchema"
+  private def shreddedWritesOn(spark: SparkSession): Boolean =
+    spark.conf.getOption(ShredWriteKey).exists(_.equalsIgnoreCase("true"))
+
+  /** Stage bytes matching the table's DECLARED protocol: Spark 4
+    * shreds variant writes BY DEFAULT, but a table whose protocol does
+    * not list `variantShredding` promises its readers unshredded
+    * variant binaries — so any write into such a table (append, merge
+    * rewrite, compaction) runs under a forced-off shredding conf.
+    * Fresh tables and overwrites pass `s = None`: both declare the
+    * feature in the same commit that makes shredded bytes visible.
+    * [[appendShredded]] is the explicit upgrade path for appends. */
+  private def shredGuard[T](spark: SparkSession,
+      s: Option[DeltaRead.DeltaSnapshot], schema: StructType)(f: => T): T = {
+    val mustUnshred = containsVariant(schema) && shreddedWritesOn(spark) &&
+      s.exists(sn => !sn.writerFeatures.contains("variantShredding"))
+    if (!mustUnshred) f
+    else {
+      val old = spark.conf.getOption(ShredWriteKey)
+      spark.conf.set(ShredWriteKey, "false")
+      try f
+      finally old.fold(spark.conf.unset(ShredWriteKey))(
+        spark.conf.set(ShredWriteKey, _))
+    }
+  }
+
+  /** Declare the `variantShredding` reader+writer feature on an
+    * existing table (protocol-only commit; no-op when already
+    * declared) — the prerequisite for landing SHREDDED variant files,
+    * whose typed_value layout a shredding-unaware reader would
+    * misread. [[appendShredded]] calls this before its first shredded
+    * byte lands; fresh tables get the feature in their creation commit
+    * instead. */
+  def enableVariantShredding(spark: SparkSession, table: String): Long = {
+    var attempt = 0
+    while (attempt < 10) {
+      val v = DeltaRead.latestVersion(table)
+      val s = DeltaRead.snapshotAt(spark, table, v)
+      validateWriterSupport(table, s, removesData = false)
+      if (s.readerFeatures.contains("variantShredding") &&
+          s.writerFeatures.contains("variantShredding")) return v
+      require(s.schema.exists(containsVariant),
+        s"enableVariantShredding: $table has no variant column")
+      val lines = Seq(commitInfoAction("UPGRADE PROTOCOL", System.currentTimeMillis()),
+        upgradeProtocolAction(table, s,
+          Set("variantType", "variantShredding"),
+          Set("variantType", "variantShredding")))
+      if (publish(table, Some(s), v + 1, lines)) return v + 1
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"enableVariantShredding: lost 10 commit races on $table")
+  }
+
+  /** Append with Spark's VARIANT SHREDDING enabled for the staged
+    * files: each variant column lands as a `typed_value` group (the
+    * parquet variant shredding layout), which lets the scan read
+    * shredded paths as plain typed columns — at 100 TB the difference
+    * between decoding every variant binary per row and column-pruned
+    * typed reads. The table's protocol carries `variantShredding` on
+    * both sides BEFORE any shredded byte is visible (creation commit
+    * for fresh tables, a protocol upgrade first for existing ones);
+    * shredded and unshredded files mix freely afterwards, per spec.
+    * The shredding schema is INFERRED per batch by Spark from the
+    * values themselves. */
+  def appendShredded(df: DataFrame, table: String,
+      partitionBy: Seq[String] = Nil): Long = {
+    require(containsVariant(df.schema),
+      "appendShredded: no variant column in the batch")
+    val spark = df.sparkSession
+    if (Files.isDirectory(logDir(table))) enableVariantShredding(spark, table)
+    val oldW = spark.conf.getOption(ShredWriteKey)
+    val oldI = spark.conf.getOption(ShredInferKey)
+    spark.conf.set(ShredWriteKey, "true")
+    spark.conf.set(ShredInferKey, "true")
+    try append(df, table, partitionBy)
+    finally {
+      oldW.fold(spark.conf.unset(ShredWriteKey))(spark.conf.set(ShredWriteKey, _))
+      oldI.fold(spark.conf.unset(ShredInferKey))(spark.conf.set(ShredInferKey, _))
+    }
   }
 
   /** The writer features a LEGACY protocol version implies (PROTOCOL.md
@@ -2272,8 +2368,10 @@ object DeltaWrite {
         .getOrElse(batch)
       val stagedPartitionBy = mapCtx.map(c => snap.partitionColumns.map(c.physByLogical))
         .getOrElse(snap.partitionColumns)
-      val staged = stage(stagedDf, table, stagedPartitionBy)
-      val cdcStaged = cdcRows.map(stageCdc(_, table, snap)).getOrElse(Nil)
+      val staged = shredGuard(spark, Some(snap), stagedDf.schema)(
+        stage(stagedDf, table, stagedPartitionBy))
+      val cdcStaged = shredGuard(spark, Some(snap), stagedDf.schema)(
+        cdcRows.map(stageCdc(_, table, snap)).getOrElse(Nil))
       val now = System.currentTimeMillis()
       val lines = Seq(commitInfoAction("MERGE", now)) ++
         txn.map { case (appId, ver) => txnAction(appId, ver, now) } ++
@@ -2619,7 +2717,8 @@ object DeltaWrite {
         // stage INSIDE the table root (like stage()): a system temp dir
         // may sit on a different filesystem, where ATOMIC_MOVE throws
         val tmpDir = Paths.get(table, s"_staging-${UUID.randomUUID()}")
-        laid.write.mode("overwrite").parquet(tmpDir.toString)
+        shredGuard(spark, Some(s), laid.schema)(
+          laid.write.mode("overwrite").parquet(tmpDir.toString))
         val ls = Files.list(tmpDir)
         val parts =
           try ls.iterator().asScala

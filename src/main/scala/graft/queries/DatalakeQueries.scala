@@ -1433,6 +1433,55 @@ object DatalakeQueries {
            |       true AS compact_used
            |FROM fin GROUP BY lang ORDER BY lang""".stripMargin))
 
+  /** q217 — SHREDDED VARIANT columns
+    * ([[graft.io.DeltaWrite.appendShredded]] /
+    * [[graft.io.DeltaRead]]'s `variantShredding` support): document
+    * metadata lands as a variant column written in the parquet variant
+    * SHREDDING layout (typed_value groups — Spark's default writer
+    * form), the table protocol carries `variantShredding` on both
+    * sides from its creation commit, and an unshredded append then
+    * mixes in. The aggregate reads `variant_get` paths across BOTH
+    * layouts; `shredded_files`/`plain_files` prove the two layouts are
+    * really both present (footer bytes), so the equality with the
+    * oracle pins Spark's shredded reassembly, not just the happy
+    * path. Shredding is the scale form of semi-structured columns:
+    * typed subcolumn reads instead of per-row binary decoding. */
+  val q217ShreddedVariant = GQuery(
+    "q217_shredded_variant",
+    (s, d) => {
+      import s.implicits._
+      val t = graft.io.Staging.tempDir("graft_q217_")
+      val docs = Tables.documents(s, d).selectExpr("doc_id",
+        """parse_json(concat('{"lang":"', lang, '","len":', n_chars,
+          |',"src":"', source, '"}')) AS meta""".stripMargin)
+      graft.io.DeltaWrite.appendShredded(
+        docs.filter(pmod($"doc_id", lit(2)) === 0).repartition(2), t)  // v0
+      val offKey = "spark.sql.variant.writeShredding.enabled"
+      s.conf.set(offKey, "false")
+      try graft.io.DeltaWrite.append(
+        docs.filter(pmod($"doc_id", lit(2)) === 1).repartition(2), t)  // v1
+      finally s.conf.unset(offKey)
+      val snap = graft.io.DeltaRead.snapshot(s, t)
+      def shredded(p: String): Boolean = new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(t, p)),
+        "ISO-8859-1").contains("typed_value")
+      val nShred = snap.files.count(f => shredded(f.path))
+      val nPlain = snap.files.size - nShred
+      graft.io.DeltaRead.read(s, t)
+        .selectExpr("variant_get(meta, '$.lang', 'string') AS lang",
+          "variant_get(meta, '$.len', 'long') AS len",
+          "variant_get(meta, '$.src', 'string') AS src")
+        .groupBy($"lang", $"src")
+        .agg(count(lit(1)).as("n"), sum($"len").as("sum_len"))
+        .withColumn("shredded_files", lit(nShred >= 2))
+        .withColumn("plain_files", lit(nPlain >= 2))
+        .orderBy($"lang", $"src")
+    },
+    Some("""SELECT lang, source AS src, count(*) AS n,
+           |       CAST(sum(n_chars) AS BIGINT) AS sum_len,
+           |       true AS shredded_files, true AS plain_files
+           |FROM documents GROUP BY lang, source ORDER BY lang, src""".stripMargin))
+
   val all: Seq[GQuery] = Seq(
     q130SnapshotDiff, q131IncrementalAgg, q132SchemaEvolution,
     q133KAnonymity, q134GdprErasure, q147CompactionPlan,
@@ -1442,5 +1491,6 @@ object DatalakeQueries {
     q194DeltaChangefeed, q196CdfFold, q197MergeUpsert,
     q198DvErasure, q199CdfMirror, q200Restore, q202TableFeatures,
     q203CdfWrite, q206CdfReadStream, q207RowTracking, q208TypeWidening,
-    q209Variant, q210ClusteredSkip, q215IncrementalView, q216LogCompaction)
+    q209Variant, q210ClusteredSkip, q215IncrementalView, q216LogCompaction,
+    q217ShreddedVariant)
 }

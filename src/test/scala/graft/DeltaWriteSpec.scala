@@ -213,16 +213,16 @@ class DeltaWriteSpec extends SparkTestBase {
     try {
       val df = Seq((1L, "a")).toDF("id", "txt")
       DeltaWrite.append(df, t)
-      // deletionVectors, v2Checkpoint and typeWidening are IMPLEMENTED
-      // now (DeltaReadSpec / TypeWideningSpec cover the read paths) — a
-      // reader-features table demanding something this reader
-      // genuinely lacks (shredded variants change what column bytes
-      // MEAN) must still fail loudly
+      // deletionVectors, v2Checkpoint, typeWidening AND variantShredding
+      // are IMPLEMENTED now (DeltaReadSpec / TypeWideningSpec /
+      // VariantShreddingSpec cover the read paths) — a reader-features
+      // table demanding something this reader genuinely lacks (an
+      // unknown future feature) must still fail loudly
       val proto = """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-        """"readerFeatures":["variantShredding"],"writerFeatures":["variantShredding"]}}"""
+        """"readerFeatures":["futureColumnCipher"],"writerFeatures":["futureColumnCipher"]}}"""
       Files.write(Paths.get(t, "_delta_log", f"${1L}%020d.json"), Seq(proto).asJava)
       val e2 = intercept[UnsupportedOperationException](DeltaRead.read(spark, t))
-      assert(e2.getMessage.contains("variantShredding"))
+      assert(e2.getMessage.contains("futureColumnCipher"))
       Files.delete(Paths.get(t, "_delta_log", f"${1L}%020d.json"))
 
       // an UNKNOWN column mapping mode still fails loudly (name/id are
