@@ -658,10 +658,72 @@ object DeltaWrite {
       rowIdKnown: Map[String, (Long, Long)] = Map.empty): Boolean = {
     val l1 = s.map(stampRowTracking(table, _, v, lines, rowIdKnown)).getOrElse(lines)
     val l2 = s.map(stampIct(table, _, v, l1)).getOrElse(l1)
-    val ok = tryPublish(table, v, l2)
-    if (ok) maybeAutoCompactLog(table, s, v)
+    val l3 = s.map(trimStatsForIndexedCols(_, l2)).getOrElse(l2)
+    val ok = tryPublish(table, v, l3)
+    if (ok) { maybeAutoCompactLog(table, s, v); maybeAutoCheckpoint(table, s, v) }
     ok
   }
+
+  /** Honor `delta.dataSkippingNumIndexedCols = N`: per-file stats keep
+    * min/max/nullCount for only the first N schema columns (−1 =
+    * everything, Delta's own semantics). The point at 100 TB: stats
+    * strings ride EVERY add action through every snapshot resolution
+    * and checkpoint — a 500-column table indexing all of them pays
+    * metadata weight for columns nobody filters on. Dropping stats is
+    * always SOUND for skipping (missing evidence admits the file);
+    * `numRecords` always survives. Applied at publish so every write
+    * path (append, merge, OPTIMIZE) honors it uniformly. */
+  private def trimStatsForIndexedCols(s: DeltaRead.DeltaSnapshot,
+      lines: Seq[String]): Seq[String] = {
+    val n = s.configuration.get("delta.dataSkippingNumIndexedCols")
+      .flatMap(_.toIntOption).getOrElse(-1)
+    if (n < 0 || s.schema.isEmpty) return lines
+    val logical = s.schema.get.fieldNames.take(n)
+    val allowed: Set[String] =
+      (if (!DeltaRead.ColumnMapping.active(s.columnMappingMode)) logical.toSeq
+       else {
+         val phys = DeltaRead.ColumnMapping.physByLogical(s.schema.get)
+         logical.toSeq.map(l => phys.getOrElse(l, l))
+       }).toSet
+    lines.map { line =>
+      if (!line.contains("\"add\"")) line
+      else {
+        val node = mapper.readTree(line)
+        val addN = node.get("add")
+        val statsN = if (addN == null) null else addN.get("stats")
+        if (statsN == null || statsN.isNull) line
+        else {
+          val st = mapper.readTree(statsN.asText())
+            .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          Seq("minValues", "maxValues", "nullCount").foreach { sec =>
+            Option(st.get(sec)).collect {
+              case o: com.fasterxml.jackson.databind.node.ObjectNode => o
+            }.foreach { o =>
+              o.fieldNames().asScala.toList
+                .filterNot(allowed).foreach(o.remove)
+            }
+          }
+          addN.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+            .put("stats", mapper.writeValueAsString(st))
+          mapper.writeValueAsString(node)
+        }
+      }
+    }
+  }
+
+  /** Honor `delta.checkpointInterval = N`: a checkpoint lands after
+    * every Nth commit, the cadence Delta's own writers keep. Honored
+    * when SET (graft does not impose the ecosystem default of 10 on
+    * tables that never asked — explicit maintenance stays the norm);
+    * post-commit and best-effort like the log compaction above. */
+  private def maybeAutoCheckpoint(table: String,
+      s: Option[DeltaRead.DeltaSnapshot], v: Long): Unit =
+    s.flatMap(_.configuration.get("delta.checkpointInterval"))
+      .flatMap(_.toLongOption).filter(_ >= 1).foreach { n =>
+        if ((v + 1) % n == 0)
+          try checkpoint(org.apache.spark.sql.SparkSession.active, table)
+          catch { case scala.util.control.NonFatal(_) => () }
+      }
 
   /** Opt-in AUTOMATIC minor log compaction: a table carrying
     * `graft.logCompaction.interval = N` (N ≥ 2) gets a

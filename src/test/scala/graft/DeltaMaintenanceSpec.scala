@@ -124,4 +124,51 @@ class DeltaMaintenanceSpec extends SparkTestBase {
         s.writerFeatures.contains("deletionVectors"))
     } finally cleanup(t)
   }
+
+  test("delta.checkpointInterval auto-checkpoints every Nth commit") {
+    val t = newTable()
+    try {
+      DeltaWrite.append(Seq((0L, "z")).toDF("id", "s"), t)               // v0
+      DeltaWrite.setProperties(spark, t,
+        Map("delta.checkpointInterval" -> "3"))                          // v1
+      (1 to 5).foreach(i =>
+        DeltaWrite.append(Seq((i.toLong, s"r$i")).toDF("id", "s"), t))   // v2..v6
+      val ld = java.nio.file.Paths.get(t, "_delta_log")
+      // Nth commits are v2 and v5 ((v+1) % 3 == 0)
+      assert(Files.exists(ld.resolve(f"${2L}%020d.checkpoint.parquet")))
+      assert(Files.exists(ld.resolve(f"${5L}%020d.checkpoint.parquet")))
+      assert(Files.exists(ld.resolve("_last_checkpoint")))
+      // the auto-checkpoint is REAL: truncate the log below it and read
+      (0L to 4L).foreach(v => Files.delete(ld.resolve(f"$v%020d.json")))
+      assert(DeltaRead.read(spark, t).count() == 6)
+    } finally cleanup(t)
+  }
+
+  test("delta.dataSkippingNumIndexedCols trims stats to the first N columns, soundly") {
+    val t = newTable()
+    try {
+      DeltaWrite.append(Seq((1L, 10L, "a")).toDF("a", "b", "c"), t)      // v0: full stats
+      DeltaWrite.setProperties(spark, t,
+        Map("delta.dataSkippingNumIndexedCols" -> "1"))                  // v1
+      DeltaWrite.append(Seq((5L, 50L, "z")).toDF("a", "b", "c"), t)      // v2: trimmed
+      val ld = java.nio.file.Paths.get(t, "_delta_log")
+      val addLine = Files.readAllLines(ld.resolve(f"${2L}%020d.json"))
+        .toArray.map(_.toString).find(_.contains("\"add\"")).get
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val st = om.readTree(om.readTree(addLine).get("add").get("stats").asText())
+      assert(st.get("numRecords").asLong() == 1L)
+      assert(st.get("minValues").has("a") && !st.get("minValues").has("b") &&
+        !st.get("minValues").has("c"), s"trim failed: $st")
+      assert(!st.get("nullCount").has("b"))
+      // soundness: a predicate on the UNINDEXED column admits the
+      // trimmed file (no evidence) but still prunes the full-stats one
+      val admitted = DeltaRead.filesAfterSkipping(spark, t, 2L,
+        Seq(DeltaRead.StatRange("b", Some(100L), Some(200L))))
+      assert(admitted.size == 1, "v0 file (b=10) pruned, v2 file admitted")
+      // the indexed column still prunes both ways
+      val byA = DeltaRead.filesAfterSkipping(spark, t, 2L,
+        Seq(DeltaRead.StatRange("a", Some(4L), Some(9L))))
+      assert(byA.size == 1, "a-bounds survive the trim on both files")
+    } finally cleanup(t)
+  }
 }
