@@ -215,4 +215,90 @@ class DeltaFuzzSpec extends SparkTestBase {
       }
     } finally cleanup(t)
   }
+
+  test("seeded fuzz under auto-maintenance properties: view, fold and skipping stay exact") {
+    import graft.views.IncrementalView
+    val rnd = new scala.util.Random(20260816L)
+    val t = newTable()
+    val vw = newTable(); new java.io.File(vw).delete()
+    try {
+      var nextId = 0L
+      def batch(n: Int) = {
+        val rows = (0 until n).map { i =>
+          val id = nextId + i; (id, id % 7, rnd.nextInt(1000).toLong)
+        }
+        nextId += n
+        rows.toDF("id", "g", "v")
+      }
+      DeltaWrite.append(batch(40).repartition(2), t)                     // v0
+      // every maintenance automation ON at once: auto log compaction,
+      // auto checkpoints, trimmed stats — the fuzz proves they compose
+      DeltaWrite.setProperties(spark, t, Map(
+        "graft.logCompaction.interval" -> "4",
+        "delta.checkpointInterval" -> "5",
+        "delta.dataSkippingNumIndexedCols" -> "2"))                      // v1
+      val spec = IncrementalView.ViewSpec(Seq("g"),
+        sums = Seq("v"), minMaxes = Seq("v"))
+      IncrementalView.build(spark, t, vw, spec)
+      (1 to 14).foreach { step =>
+        rnd.nextInt(8) match {
+          case 0 | 1 | 2 =>
+            DeltaWrite.append(batch(20 + rnd.nextInt(20)).repartition(2), t)
+          case 3 | 4 =>
+            val k = 3 + rnd.nextInt(4)
+            DeltaWrite.deleteWhere(spark, t, $"id" % k === rnd.nextInt(k))
+          case 5 | 6 =>
+            val updates = (0 until 8)
+              .map(_ => rnd.nextLong().abs % math.max(nextId, 1L))
+              .distinct.map(id => (id, id % 7, 8888L)).toDF("id", "g", "v")
+            DeltaWrite.merge(spark, t,
+              updates.unionByName(batch(4)).dropDuplicates("id"), Seq("id"))
+          case 7 =>
+            DeltaWrite.compact(spark, t, targetBytes = 1L << 22)
+        }
+        IncrementalView.refresh(spark, t, vw, spec)
+        val got = DeltaRead.read(spark, vw)
+          .select($"g", $"cnt", $"sum_v", $"min_v", $"max_v")
+          .orderBy($"g").collect().toSeq
+        val want = DeltaRead.read(spark, t).groupBy($"g")
+          .agg(count(lit(1)).as("cnt"), sum($"v").as("sum_v"),
+            min($"v").as("min_v"), max($"v").as("max_v"))
+          .orderBy($"g").collect().toSeq
+        assert(got == want, s"step $step: incremental view diverged")
+        // data skipping stays SOUND under trimmed stats (v is the 3rd
+        // column — its per-file stats vanished at v1; id keeps stats)
+        val head = DeltaRead.latestVersion(t)
+        val lo = rnd.nextInt(500).toLong; val hi = lo + 200
+        val pruned = DeltaRead.readVersionWhereStats(spark, t, head,
+          Seq(DeltaRead.StatRange("id", Some(lo), Some(hi))))
+          .where($"id".between(lo, hi)).count()
+        val full = DeltaRead.read(spark, t)
+          .where($"id".between(lo, hi)).count()
+        assert(pruned == full, s"step $step: skipping dropped matching rows")
+      }
+      foldEqualsSnapshotIdV(t)
+      // auto-maintenance artifacts really appeared
+      val ld = java.nio.file.Paths.get(t, "_delta_log")
+      val names = Files.list(ld).iterator()
+      val listed = new scala.collection.mutable.ArrayBuffer[String]
+      while (names.hasNext) listed += names.next().getFileName.toString
+      assert(listed.exists(_.endsWith(".compacted.json")),
+        "auto log compaction never fired")
+      assert(listed.exists(_.contains(".checkpoint.")),
+        "auto checkpoint never fired")
+    } finally { cleanup(t); cleanup(vw) }
+  }
+
+  /** [[foldEqualsSnapshot]] for the 3-column (id, g, v) fuzz table. */
+  private def foldEqualsSnapshotIdV(t: String): Unit = {
+    val head = DeltaRead.latestVersion(t)
+    val feed = DeltaRead.changesBetween(spark, t, -1L, head)
+    val folded = feed.groupBy($"id", $"g", $"v")
+      .agg(sum(when($"_change_type" === "insert", 1).otherwise(-1)).as("net"))
+    val foldRows = folded.where($"net" === 1)
+      .select($"id", $"g", $"v").as[(Long, Long, Long)].collect().sorted.toSeq
+    val liveRows = DeltaRead.read(spark, t)
+      .select($"id", $"g", $"v").as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(foldRows == liveRows, s"feed fold diverged at version $head")
+  }
 }
