@@ -245,6 +245,38 @@ object DeltaRead {
     }
   }
 
+  /** The checkpoint version a MULTIPART or V2-MANIFEST log file name
+    * encodes (classic single-part names are handled by their plain
+    * suffix at call sites). */
+  private[io] def checkpointVersionOf(name: String): Option[Long] = name match {
+    case MultiPartRe(v, _, _) => Some(v.toLong)
+    case V2Re(v, _, _) => Some(v.toLong)
+    case _ => None
+  }
+
+  /** The sidecar FILE NAMES a v2 manifest references (empty for
+    * anything else — classic checkpoints carry no sidecars). Metadata
+    * cleanup uses this to spare shared sidecars that a surviving
+    * checkpoint still needs. */
+  private[io] def sidecarsOfManifest(spark: SparkSession, table: String,
+      p: Path): Seq[String] = p.getFileName.toString match {
+    case V2Re(_, _, kind) =>
+      val raw: Seq[String] =
+        if (kind == "json")
+          Files.readAllLines(p).asScala.filter(_.trim.nonEmpty).flatMap { line =>
+            Option(mapper.readTree(line).get("sidecar")).filterNot(_.isNull)
+              .map(s => s.get("path").asText())
+          }.toSeq
+        else {
+          val cp = spark.read.parquet(p.toString)
+          if (!cp.columns.contains("sidecar")) Nil
+          else cp.where(cp("sidecar").isNotNull).selectExpr("sidecar.path")
+            .collect().map(_.getString(0)).toSeq
+        }
+      raw.map(sp => Paths.get(decodePath(sp)).getFileName.toString)
+    case _ => Nil
+  }
+
   /** A resolvable checkpoint at one version: the classic single/multi
     * part set, or a v2 manifest. */
   private sealed trait CheckpointRef

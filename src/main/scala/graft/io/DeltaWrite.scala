@@ -298,10 +298,9 @@ object DeltaWrite {
       // allowColumnDefaults: honored for real — appends lacking a
       // defaulted column get the CURRENT_DEFAULT expression evaluated
       // per batch (applyColumnDefaults). checkpointProtection: its
-      // whole obligation is "do not delete protected checkpoints /
-      // commits during metadata cleanup" — this writer performs no log
-      // cleanup at all (vacuum never touches _delta_log), so the
-      // obligation holds vacuously and listing it is honest.
+      // obligation — "no partial metadata cleanup below the protected
+      // version" — is enforced for real in cleanMetadata (the only log
+      // cleanup this writer performs; vacuum never touches _delta_log).
       "allowColumnDefaults", "checkpointProtection")
 
   // --- DOMAIN METADATA (PROTOCOL.md "Domain Metadata") ---
@@ -2825,6 +2824,114 @@ object DeltaWrite {
     * readers are quiesced. Time travel to versions whose files are
     * vacuumed stops working — that is the Delta trade too. Returns the
     * number of files deleted. */
+  /** Parse Delta's interval-string properties (`interval 30 days`).
+    * Returns milliseconds; unknown shapes refuse loudly rather than
+    * silently defaulting (a mis-parsed retention deletes history). */
+  private[io] def parseInterval(s: String): Long = {
+    val m = """(?i)^\s*interval\s+(\d+)\s+(week|day|hour|minute|second)s?\s*$""".r
+    s match {
+      case m(n, unit) =>
+        val one = unit.toLowerCase match {
+          case "week" => 7L * 24 * 3600 * 1000
+          case "day" => 24L * 3600 * 1000
+          case "hour" => 3600L * 1000
+          case "minute" => 60L * 1000
+          case "second" => 1000L
+        }
+        n.toLong * one
+      case _ => throw new IllegalArgumentException(
+        s"unparseable interval '$s' — expected e.g. 'interval 30 days'")
+    }
+  }
+
+  /** METADATA CLEANUP (the log-side counterpart of [[vacuum]]):
+    * delete per-commit JSON files, checkpoints, and minor compactions
+    * older than `delta.logRetentionDuration` (default 30 days) that
+    * sit BELOW a surviving checkpoint boundary, exactly as Delta's own
+    * writers expire their logs. The boundary B is the newest
+    * checkpoint whose commit is older than the retention window; every
+    * log file of version < B goes, B itself and everything after
+    * stays. Time travel and `changesBetween` below B refuse loudly
+    * afterwards — the documented Delta trade.
+    *
+    * `checkpointProtection` is honored FOR REAL here (not vacuously):
+    * when the table sets `delta.requireCheckpointProtectionBeforeVersion`
+    * = V, no log file below V is touched unless the cleanup boundary
+    * clears V in one sweep (B ≥ V) — the feature's whole contract.
+    *
+    * V2-checkpoint sidecars may be SHARED between checkpoints per the
+    * protocol, so `_sidecars/` files are deleted only when no
+    * SURVIVING manifest references them. Returns the number of log
+    * files deleted. */
+  def cleanMetadata(spark: SparkSession, table: String): Int = {
+    val head = DeltaRead.latestVersion(table)
+    val s = DeltaRead.snapshotAt(spark, table, head)
+    validateWriterSupport(table, s, removesData = false)
+    val retention = s.configuration.get("delta.logRetentionDuration")
+      .map(parseInterval).getOrElse(30L * 24 * 3600 * 1000)
+    val cutoff = System.currentTimeMillis() - retention
+    val ld = logDir(table)
+    val names = Files.list(ld)
+    val all =
+      try names.iterator().asScala.map(_.getFileName.toString).toList
+      finally names.close()
+    // checkpoint versions present (classic single, complete multipart
+    // sets are the caller's concern — any checkpoint file at v anchors)
+    val cpVersions = all.flatMap { n =>
+      if (n.endsWith(".checkpoint.parquet") &&
+          n.stripSuffix(".checkpoint.parquet").forall(_.isDigit))
+        Some(n.stripSuffix(".checkpoint.parquet").toLong)
+      else DeltaRead.checkpointVersionOf(n)
+    }.distinct.sorted
+    // boundary: newest checkpoint whose own commit json is older than
+    // the window (mtime, like vacuum — ICT tables age the same way)
+    val boundary = cpVersions.reverse.find { v =>
+      val p = ld.resolve(f"$v%020d.json")
+      !Files.exists(p) || Files.getLastModifiedTime(p).toMillis < cutoff
+    }
+    val b = boundary.getOrElse(return 0)
+    // checkpointProtection: nothing below V moves unless we clear V
+    val protectV = s.configuration
+      .get("delta.requireCheckpointProtectionBeforeVersion")
+      .flatMap(_.toLongOption).getOrElse(0L)
+    if (b < protectV) return 0
+    var deleted = 0
+    def ver(n: String): Option[Long] = {
+      val stem = n.takeWhile(_ != '.')
+      if (stem.nonEmpty && stem.forall(_.isDigit)) Some(stem.toLong) else None
+    }
+    val doomed = all.filter { n =>
+      ver(n) match {
+        case Some(v) if n.endsWith(".json") && !n.contains(".compacted.") =>
+          v < b
+        case Some(v) if n.contains(".checkpoint.") => v < b
+        case Some(_) if n.endsWith(".compacted.json") =>
+          // a compaction survives only if its WHOLE span survives
+          n.split('.') match {
+            case Array(a0, b0, _, _) => b0.toLong < b && a0.toLong < b
+            case _ => false
+          }
+        case _ => false
+      }
+    }
+    doomed.foreach { n => Files.deleteIfExists(ld.resolve(n)); deleted += 1 }
+    // sidecars: keep any file a SURVIVING v2 manifest still references
+    val sidecarDir = ld.resolve("_sidecars")
+    if (Files.isDirectory(sidecarDir)) {
+      val survivors = all.filterNot(doomed.toSet)
+        .filter(n => DeltaRead.checkpointVersionOf(n).isDefined)
+      val referenced = survivors.flatMap(n =>
+        DeltaRead.sidecarsOfManifest(spark, table, ld.resolve(n))).toSet
+      val sc = Files.list(sidecarDir)
+      val orphans =
+        try sc.iterator().asScala
+          .filter(p => !referenced(p.getFileName.toString)).toList
+        finally sc.close()
+      orphans.foreach { p => Files.deleteIfExists(p); deleted += 1 }
+    }
+    deleted
+  }
+
   def vacuum(spark: SparkSession, table: String, retentionMs: Long = 60L * 60 * 1000): Int = {
     val v = DeltaRead.latestVersion(table)
     val headSnap = DeltaRead.snapshotAt(spark, table, v)
