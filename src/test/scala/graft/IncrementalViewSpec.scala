@@ -127,6 +127,36 @@ class IncrementalViewSpec extends SparkTestBase {
     } finally cleanup(base, view)
   }
 
+  test("streaming-triggered maintenance: a readStream drives refresh to convergence") {
+    val base = newDir("ivbase"); val view = newDir("ivview"); cleanup(view)
+    val ckpt = newDir("ivckpt"); cleanup(ckpt)
+    try {
+      DeltaWrite.append(Seq(("a", 1L), ("b", 2L)).toDF("k", "v"), base)
+      IncrementalView.build(spark, base, view, vspec)
+      DeltaWrite.append(Seq(("a", 5L), ("c", 7L)).toDF("k", "v"), base)
+      DeltaWrite.deleteWhere(spark, base, $"k" === "b")
+      // the CDF stream is the TRIGGER; refresh() reads the
+      // authoritative feed itself and its SetTransaction mark makes
+      // re-triggers (including checkpoint replays) idempotent
+      def run(): Unit = {
+        val q = spark.readStream.format("graft-delta-cdf").load(base)
+          .writeStream
+          .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) =>
+            IncrementalView.refresh(spark, base, view, vspec); ()
+          }
+          .option("checkpointLocation", ckpt).start()
+        q.processAllAvailable(); q.stop()
+      }
+      run()
+      assertViewMatches(base, view)
+      // commits while the query is down; a RESTART folds only them
+      DeltaWrite.merge(spark, base, Seq(("a", 9L)).toDF("k", "v"), Seq("k"))
+      DeltaWrite.append(Seq(("d", 3L)).toDF("k", "v"), base)
+      run()
+      assertViewMatches(base, view)
+    } finally cleanup(base, view, ckpt)
+  }
+
   test("null group keys refuse loudly; out-of-band view edits refuse on fold") {
     val base = newDir("ivbase"); val view = newDir("ivview")
     cleanup(view)
