@@ -289,6 +289,70 @@ class DeltaFuzzSpec extends SparkTestBase {
     } finally { cleanup(t); cleanup(vw) }
   }
 
+  test("concurrent writers: disjoint-range appends, merges, deletes and maintenance linearize") {
+    val t = newTable()
+    try {
+      DeltaWrite.append(Seq((-1L, 0L)).toDF("id", "v"), t) // genesis
+      def retry[A](what: String)(op: => A): A = {
+        var attempts = 0
+        while (true) {
+          try return op
+          catch {
+            case e: IllegalStateException if attempts < 8 &&
+                e.getMessage.contains("race") => attempts += 1
+          }
+        }
+        sys.error(s"$what: unreachable")
+      }
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val writers = (0 until 4).map { k =>
+        new Thread(() => try {
+          val base = k * 1000L
+          // three exactly-once appends, disjoint id ranges per writer
+          (0 until 3).foreach { b =>
+            val rows = (0 until 20)
+              .map(i => (base + b * 20 + i, (b + 1).toLong)).toDF("id", "v")
+            retry(s"w$k append$b")(
+              DeltaWrite.appendOnce(rows, t, s"writer-$k", b.toLong))
+          }
+          // update the first ten own keys, then erase ids 50..59
+          val upd = (0 until 10).map(i => (base + i, 100L)).toDF("id", "v")
+          retry(s"w$k merge")(DeltaWrite.merge(spark, t, upd, Seq("id")))
+          retry(s"w$k delete")(DeltaWrite.deleteWhere(spark, t,
+            $"id" >= base + 50 && $"id" <= base + 59))
+        } catch { case e: Throwable => failures.add(e) })
+      }
+      val maintenance = new Thread(() => try {
+        (0 until 3).foreach { _ =>
+          try DeltaWrite.compact(spark, t, targetBytes = 1L << 22)
+          catch { case _: IllegalStateException => () } // lost-race: fine
+          try DeltaWrite.checkpoint(spark, t)
+          catch { case scala.util.control.NonFatal(_) => () }
+          Thread.sleep(30)
+        }
+      } catch { case e: Throwable => failures.add(e) })
+      (writers :+ maintenance).foreach(_.start())
+      (writers :+ maintenance).foreach(_.join(120000))
+      assert(failures.isEmpty, s"writer died: ${Option(failures.peek())}")
+      // the final state is schedule-independent: per writer, keys 0..9
+      // carry the merge value, 10..49 their append values, 50..59 gone
+      val expected = (Seq((-1L, 0L)) ++ (0 until 4).flatMap { k =>
+        val base = k * 1000L
+        (0 until 10).map(i => (base + i, 100L)) ++
+          (10 until 20).map(i => (base + i, 1L)) ++
+          (20 until 40).map(i => (base + i, 2L)) ++
+          (40 until 50).map(i => (base + i, 3L))
+      }).sorted
+      val got = DeltaRead.read(spark, t).select($"id", $"v")
+        .as[(Long, Long)].collect().sorted.toSeq
+      assert(got == expected, "concurrent history did not linearize")
+      // every exactly-once ledger closed at its last batch
+      val txns = DeltaRead.snapshot(spark, t).txns
+      (0 until 4).foreach(k => assert(txns.get(s"writer-$k").contains(2L)))
+      foldEqualsSnapshot(t)
+    } finally cleanup(t)
+  }
+
   /** [[foldEqualsSnapshot]] for the 3-column (id, g, v) fuzz table. */
   private def foldEqualsSnapshotIdV(t: String): Unit = {
     val head = DeltaRead.latestVersion(t)
