@@ -1191,9 +1191,23 @@ object DeltaRead {
     * range predicate skips whole files before any scan task exists
     * (the complement of partition pruning: it works on columns the
     * table is NOT partitioned by, e.g. a sorted/Z-ordered key). */
+  /** A COLLATED string column's min/max bounds cannot be compared in
+    * binary order (UTF8_LCASE's "apple" vs "Apple" invert), so any
+    * StatRange on one is dropped before skipping — the file is
+    * admitted, which is always sound. Top-level fields only, matching
+    * the stats writer. */
+  private[io] def collatedCols(schema: Option[StructType]): Set[String] =
+    schema.map(_.fields.collect {
+      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.StringType] &&
+        f.dataType != org.apache.spark.sql.types.StringType => f.name
+    }.toSet).getOrElse(Set.empty)
+
   def filesAfterSkipping(spark: SparkSession, table: String, version: Long,
-      preds: Seq[StatRange]): Seq[FileEntry] =
-    snapshotAt(spark, table, version).files.filter(statsAdmit(_, preds))
+      preds: Seq[StatRange]): Seq[FileEntry] = {
+    val s = snapshotAt(spark, table, version)
+    val skip = collatedCols(s.schema)
+    s.files.filter(statsAdmit(_, preds.filterNot(p => skip(p.col))))
+  }
 
   /** [[readVersion]] with [[filesAfterSkipping]] applied to the file
     * list. The caller still applies its row-level filter — skipping
@@ -1201,7 +1215,9 @@ object DeltaRead {
   def readVersionWhereStats(spark: SparkSession, table: String, version: Long,
       preds: Seq[StatRange]): DataFrame = {
     val s = snapshotAt(spark, table, version)
-    assemble(spark, table, s.copy(files = s.files.filter(statsAdmit(_, preds))))
+    val skip = collatedCols(s.schema)
+    assemble(spark, table, s.copy(files =
+      s.files.filter(statsAdmit(_, preds.filterNot(p => skip(p.col))))))
   }
 
   /** Can any row of `f` satisfy every conjunct? Missing evidence ⇒ yes. */

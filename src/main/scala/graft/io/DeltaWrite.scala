@@ -295,6 +295,13 @@ object DeltaWrite {
       // table, so plain appends to foreign shredded tables are sound
       "typeWidening", "typeWidening-preview", "variantType",
       "variantShredding", "clustering",
+      // collations (+ the preview alias current engines emit): strings
+      // are stored as plain UTF-8 whatever their collation — the
+      // writer obligations are preserving the __COLLATIONS schema
+      // metadata through commits (schemaString round-trips it) and
+      // never emitting binary-ordered min/max bounds for collated
+      // columns (applyStatsPolicy strips them)
+      "collations", "collations-preview",
       // allowColumnDefaults: honored for real — appends lacking a
       // defaulted column get the CURRENT_DEFAULT expression evaluated
       // per batch (applyColumnDefaults). checkpointProtection: its
@@ -657,33 +664,54 @@ object DeltaWrite {
       rowIdKnown: Map[String, (Long, Long)] = Map.empty): Boolean = {
     val l1 = s.map(stampRowTracking(table, _, v, lines, rowIdKnown)).getOrElse(lines)
     val l2 = s.map(stampIct(table, _, v, l1)).getOrElse(l1)
-    val l3 = s.map(trimStatsForIndexedCols(_, l2)).getOrElse(l2)
+    val l3 = applyStatsPolicy(s, l2)
     val ok = tryPublish(table, v, l3)
     if (ok) { maybeAutoCompactLog(table, s, v); maybeAutoCheckpoint(table, s, v) }
     ok
   }
 
-  /** Honor `delta.dataSkippingNumIndexedCols = N`: per-file stats keep
-    * min/max/nullCount for only the first N schema columns (−1 =
-    * everything, Delta's own semantics). The point at 100 TB: stats
-    * strings ride EVERY add action through every snapshot resolution
-    * and checkpoint — a 500-column table indexing all of them pays
-    * metadata weight for columns nobody filters on. Dropping stats is
-    * always SOUND for skipping (missing evidence admits the file);
-    * `numRecords` always survives. Applied at publish so every write
-    * path (append, merge, OPTIMIZE) honors it uniformly. */
-  private def trimStatsForIndexedCols(s: DeltaRead.DeltaSnapshot,
+  /** Publish-time stats policy, applied so EVERY write path (append,
+    * merge, OPTIMIZE) honors it uniformly:
+    *
+    *  - `delta.dataSkippingNumIndexedCols = N`: min/max/nullCount kept
+    *    for only the first N schema columns (−1 = everything, Delta's
+    *    own semantics). At 100 TB stats strings ride every add action
+    *    through every snapshot resolution and checkpoint — a
+    *    500-column table indexing all of them pays metadata weight for
+    *    columns nobody filters on.
+    *  - COLLATED string columns lose min/max (never nullCount): their
+    *    parquet bounds are binary-ordered, and a collation-aware
+    *    reader comparing them under UTF8_LCASE or an ICU collation
+    *    would skip files that match — the `collations` feature's
+    *    writer obligation.
+    *
+    * Dropping stats is always SOUND (missing evidence admits the
+    * file); `numRecords` always survives. The schema comes from the
+    * commit's own metaData when present (creation, overwrite), else
+    * the snapshot. */
+  private def applyStatsPolicy(s: Option[DeltaRead.DeltaSnapshot],
       lines: Seq[String]): Seq[String] = {
-    val n = s.configuration.get("delta.dataSkippingNumIndexedCols")
+    val schema: Option[StructType] =
+      lines.find(_.contains("\"metaData\"")).flatMap { line =>
+        Option(mapper.readTree(line).get("metaData"))
+          .flatMap(m => Option(m.get("schemaString"))).map(sj =>
+            org.apache.spark.sql.types.DataType.fromJson(sj.asText())
+              .asInstanceOf[StructType])
+      }.orElse(s.flatMap(_.schema))
+    if (schema.isEmpty) return lines
+    val n = s.flatMap(_.configuration.get("delta.dataSkippingNumIndexedCols"))
       .flatMap(_.toIntOption).getOrElse(-1)
-    if (n < 0 || s.schema.isEmpty) return lines
-    val logical = s.schema.get.fieldNames.take(n)
-    val allowed: Set[String] =
-      (if (!DeltaRead.ColumnMapping.active(s.columnMappingMode)) logical.toSeq
-       else {
-         val phys = DeltaRead.ColumnMapping.physByLogical(s.schema.get)
-         logical.toSeq.map(l => phys.getOrElse(l, l))
-       }).toSet
+    val mapped = s.exists(sn => DeltaRead.ColumnMapping.active(sn.columnMappingMode))
+    def phys(names: Seq[String]): Set[String] =
+      if (!mapped) names.toSet
+      else {
+        val p = DeltaRead.ColumnMapping.physByLogical(schema.get)
+        names.map(l => p.getOrElse(l, l)).toSet
+      }
+    val indexed: Option[Set[String]] =
+      if (n < 0) None else Some(phys(schema.get.fieldNames.take(n).toSeq))
+    val collated = phys(DeltaRead.collatedCols(schema).toSeq)
+    if (indexed.isEmpty && collated.isEmpty) return lines
     lines.map { line =>
       if (!line.contains("\"add\"")) line
       else {
@@ -698,8 +726,10 @@ object DeltaWrite {
             Option(st.get(sec)).collect {
               case o: com.fasterxml.jackson.databind.node.ObjectNode => o
             }.foreach { o =>
-              o.fieldNames().asScala.toList
-                .filterNot(allowed).foreach(o.remove)
+              o.fieldNames().asScala.toList.filter { k =>
+                indexed.exists(!_.contains(k)) ||
+                  (sec != "nullCount" && collated(k))
+              }.foreach(o.remove)
             }
           }
           addN.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
@@ -1156,9 +1186,14 @@ object DeltaWrite {
       writerF: Set[String]): String = {
     val root = mapper.createObjectNode()
     val p = root.putObject("protocol")
-    p.put("minReaderVersion", 3)
+    // writer-only feature sets keep minReaderVersion 1 (Delta's own
+    // shape): bumping to 3 with an empty readerFeatures list would
+    // lock out every v1/v2 reader for nothing
+    p.put("minReaderVersion", if (readerF.isEmpty) 1 else 3)
     p.put("minWriterVersion", 7)
-    val ra = p.putArray("readerFeatures"); readerF.toSeq.sorted.foreach(ra.add)
+    if (readerF.nonEmpty) {
+      val ra = p.putArray("readerFeatures"); readerF.toSeq.sorted.foreach(ra.add)
+    }
     val wa = p.putArray("writerFeatures"); writerF.toSeq.sorted.foreach(wa.add)
     mapper.writeValueAsString(root)
   }
@@ -1654,7 +1689,11 @@ object DeltaWrite {
           // only shredding-aware readers reassemble, so the feature
           // must ride the SAME commit that creates the table
           (if (containsVariant(df.schema) && shreddedWritesOn(spark))
-            Set("variantShredding") else Set.empty[String])
+            Set("variantShredding") else Set.empty[String]) ++
+          // a collated string column obliges every future writer to
+          // keep its __COLLATIONS metadata and stats discipline
+          (if (DeltaRead.collatedCols(Some(df.schema)).nonEmpty)
+            Set("collations") else Set.empty[String])
       // writer-only feature a defaulted schema demands at creation
       val defaultsFeature: Set[String] =
         if (fieldMetaHas(df.schema, DefaultKey)) Set("allowColumnDefaults")
@@ -1674,7 +1713,11 @@ object DeltaWrite {
                 (if (identityMeta.isDefined) Set("identityColumns") else Set.empty) ++
                 (if (fieldMetaHas(df.schema, GenKey)) Set("generatedColumns")
                  else Set.empty)
-              val rf = typeFeatures ++
+              // collations is WRITER-only: a reader unaware of it
+              // still reads correct rows (strings are plain UTF-8) —
+              // listing it reader-side would lock the table away from
+              // every current client for nothing
+              val rf = typeFeatures - "collations" ++
                 (if (createMapping.isDefined) Set("columnMapping") else Set.empty)
               protocolFeatureAction(rf, wf)
             }
@@ -1695,7 +1738,8 @@ object DeltaWrite {
           (snap.toSeq.flatMap { s0 =>
             val missing = typeFeatures -- s0.writerFeatures
             if (missing.isEmpty) Nil
-            else Seq(upgradeProtocolAction(table, s0, missing, missing))
+            else Seq(upgradeProtocolAction(table, s0,
+              missing - "collations", missing)) // collations: writer-only
           }) ++
           Seq(metaDataAction(snap.flatMap(_.metaId).getOrElse(UUID.randomUUID().toString),
               schemaJson, partitionBy, now,

@@ -1482,6 +1482,50 @@ object DatalakeQueries {
            |       true AS shredded_files, true AS plain_files
            |FROM documents GROUP BY lang, source ORDER BY lang, src""".stripMargin))
 
+  /** q218 — COLLATED string columns (the Delta `collations` writer
+    * feature): document sources are mixed-cased deterministically,
+    * stored in a Delta table under a UTF8_LCASE collation, and grouped
+    * CASE-INSENSITIVELY straight off the collated column after the
+    * schemaString round-trip — no lower() in the aggregation path.
+    * `feature_ok` pins the writer-only protocol declaration
+    * (writerFeatures yes, readerFeatures no, minReaderVersion still
+    * 1); `stats_ok` pins the writer obligation that no binary-ordered
+    * min/max bounds were emitted for the collated column. The oracle
+    * normalizes with lower(), which equals UTF8_LCASE grouping for
+    * this corpus. */
+  val q218Collations = GQuery(
+    "q218_collations",
+    (s, d) => {
+      import s.implicits._
+      val t = graft.io.Staging.tempDir("graft_q218_")
+      val docs = Tables.documents(s, d)
+        .withColumn("src_mixed",
+          when(pmod($"doc_id", lit(2)) === 1, initcap($"source"))
+            .otherwise($"source"))
+        .select($"doc_id", $"n_chars",
+          collate($"src_mixed", "UTF8_LCASE").as("src"))
+      graft.io.DeltaWrite.append(docs.repartition(2), t)
+      val snap = graft.io.DeltaRead.snapshot(s, t)
+      val featureOk = snap.writerFeatures.contains("collations") &&
+        !snap.readerFeatures.contains("collations") && snap.minReaderVersion == 1
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val statsOk = snap.files.forall(_.stats.exists { js =>
+        val st = om.readTree(js)
+        !st.get("minValues").has("src") && !st.get("maxValues").has("src")
+      })
+      graft.io.DeltaRead.read(s, t)
+        .groupBy($"src")
+        .agg(count(lit(1)).as("n"), sum($"n_chars").as("sum_chars"))
+        .select(lower($"src").as("src_l"), $"n", $"sum_chars")
+        .withColumn("feature_ok", lit(featureOk))
+        .withColumn("stats_ok", lit(statsOk))
+        .orderBy($"src_l")
+    },
+    Some("""SELECT lower(source) AS src_l, count(*) AS n,
+           |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           |       true AS feature_ok, true AS stats_ok
+           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[GQuery] = Seq(
     q130SnapshotDiff, q131IncrementalAgg, q132SchemaEvolution,
     q133KAnonymity, q134GdprErasure, q147CompactionPlan,
@@ -1492,5 +1536,5 @@ object DatalakeQueries {
     q198DvErasure, q199CdfMirror, q200Restore, q202TableFeatures,
     q203CdfWrite, q206CdfReadStream, q207RowTracking, q208TypeWidening,
     q209Variant, q210ClusteredSkip, q215IncrementalView, q216LogCompaction,
-    q217ShreddedVariant)
+    q217ShreddedVariant, q218Collations)
 }
