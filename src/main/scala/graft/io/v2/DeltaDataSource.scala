@@ -1,0 +1,136 @@
+package graft.io.v2
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Row, SQLContext}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+
+import graft.io.DeltaRead
+
+/** `spark.read.format("graft-delta")` — the SQL-facing door to the
+  * graft Delta reader, so `CREATE TEMPORARY VIEW ... USING
+  * graft-delta OPTIONS (path '...')` and plain `spark.sql` work
+  * against graft-written (or foreign) Delta tables without touching
+  * the Scala API. Options: `path` (required), `versionAsOf` /
+  * `timestampAsOf` (time travel, millis or ISO date-time).
+  *
+  * Implemented as a v1 `PrunedFilteredScan` deliberately: the heavy
+  * machinery (snapshot resolution, DV masking, column mapping, stats
+  * pruning, parquet scanning) already lives behind
+  * [[DeltaRead.readVersion]], and the v1 contract lets this relation
+  * delegate to that DataFrame wholesale. Pushed filters do double
+  * duty — comparable literal conjuncts become [[DeltaRead.StatRange]]
+  * file pruning BEFORE any scan is planned (log-metadata skipping),
+  * and every translatable filter is re-applied INSIDE the delegate so
+  * it reaches the parquet readers as a real pushed predicate. Spark
+  * re-evaluates all filters above this relation (the v1 default), so
+  * partial translation is always sound. */
+class DeltaDataSource extends RelationProvider with DataSourceRegister {
+  override def shortName(): String = "graft-delta"
+
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft-delta: 'path' option is required"))
+    val spark = sqlContext.sparkSession
+    val version = parameters.get("versionAsOf").map(_.toLong)
+      .orElse(parameters.get("timestampAsOf").map { ts =>
+        val millis = ts.toLongOption.getOrElse(
+          java.time.Instant.parse(
+            if (ts.contains("T")) ts else ts.replace(' ', 'T') + "Z").toEpochMilli)
+        DeltaRead.versionAtTime(spark, path, millis)
+      })
+      .getOrElse(DeltaRead.latestVersion(path))
+    new DeltaRelation(sqlContext, path, version)
+  }
+}
+
+private[v2] class DeltaRelation(ctx: SQLContext, table: String, version: Long)
+    extends BaseRelation with PrunedFilteredScan {
+  override def sqlContext: SQLContext = ctx
+  override val schema: StructType =
+    DeltaRead.readVersion(ctx.sparkSession, table, version).schema
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[Filter]): RDD[Row] = {
+    val spark = ctx.sparkSession
+    val preds = DeltaRelation.toStatRanges(filters)
+    val base =
+      if (preds.isEmpty) DeltaRead.readVersion(spark, table, version)
+      else DeltaRead.readVersionWhereStats(spark, table, version, preds)
+    val filtered = filters.foldLeft(base) { (df, f) =>
+      DeltaRelation.toColumn(f).map(df.where).getOrElse(df)
+    }
+    val projected =
+      if (requiredColumns.isEmpty) filtered.select()
+      else filtered.select(requiredColumns.map(col): _*)
+    projected.rdd
+  }
+}
+
+private[graft] object DeltaRelation {
+  /** Comparable-literal conjuncts → per-column [lo, hi] ranges for
+    * log-metadata file skipping. Only shapes whose range semantics
+    * are exact translate; everything else simply skips no files. */
+  private[graft] def toStatRanges(filters: Array[Filter]): Seq[DeltaRead.StatRange] = {
+    val byCol = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Option[Any], Option[Any])]
+    def tighten(c: String, lo: Option[Any], hi: Option[Any]): Unit = {
+      val (l0, h0) = byCol.getOrElse(c, (None, None))
+      // two bounds on one column: keep the TIGHTER one; mixed-type
+      // writes are the stats reader's concern (it compares soundly)
+      def pick(a: Option[Any], b: Option[Any], wantMax: Boolean): Option[Any] =
+        (a, b) match {
+          case (Some(x), Some(y)) => (x, y) match {
+            case (x: Comparable[_], y: Any) if x.getClass == y.getClass =>
+              val cmp = x.asInstanceOf[Comparable[Any]].compareTo(y)
+              Some(if ((cmp >= 0) == wantMax) x else y)
+            case _ => Some(x) // incomparable: keep first, still sound
+          }
+          case _ => a.orElse(b)
+        }
+      byCol(c) = (pick(lo, l0, wantMax = true), pick(hi, h0, wantMax = false))
+    }
+    filters.foreach {
+      case EqualTo(c, v) if v != null => tighten(c, Some(v), Some(v))
+      case GreaterThan(c, v) if v != null => tighten(c, Some(v), None)
+      case GreaterThanOrEqual(c, v) if v != null => tighten(c, Some(v), None)
+      case LessThan(c, v) if v != null => tighten(c, None, Some(v))
+      case LessThanOrEqual(c, v) if v != null => tighten(c, None, Some(v))
+      case In(c, vs) if vs.nonEmpty && !vs.contains(null) =>
+        val sorted = vs.toSeq.sortWith {
+          case (x: Comparable[_], y) if x.getClass == y.getClass =>
+            x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+          case _ => false
+        }
+        tighten(c, sorted.headOption, sorted.lastOption)
+      case _ => () // unsupported shape: no pruning from it
+    }
+    byCol.toSeq.collect { case (c, (lo, hi)) if lo.isDefined || hi.isDefined =>
+      DeltaRead.StatRange(c, lo, hi)
+    }
+  }
+
+  /** v1 filters → Catalyst columns, re-applied inside the delegate so
+    * they reach the parquet scan as pushed predicates. Unknown shapes
+    * return None — Spark re-applies everything above the relation. */
+  private[graft] def toColumn(f: Filter): Option[org.apache.spark.sql.Column] = f match {
+    case EqualTo(c, v) => Some(col(c) === lit(v))
+    case EqualNullSafe(c, v) => Some(col(c) <=> lit(v))
+    case GreaterThan(c, v) => Some(col(c) > lit(v))
+    case GreaterThanOrEqual(c, v) => Some(col(c) >= lit(v))
+    case LessThan(c, v) => Some(col(c) < lit(v))
+    case LessThanOrEqual(c, v) => Some(col(c) <= lit(v))
+    case In(c, vs) => Some(col(c).isin(vs.toSeq: _*))
+    case IsNull(c) => Some(col(c).isNull)
+    case IsNotNull(c) => Some(col(c).isNotNull)
+    case StringStartsWith(c, p) => Some(col(c).startsWith(p))
+    case StringEndsWith(c, p) => Some(col(c).endsWith(p))
+    case StringContains(c, p) => Some(col(c).contains(p))
+    case And(l, r) => for (a <- toColumn(l); b <- toColumn(r)) yield a && b
+    case Or(l, r) => for (a <- toColumn(l); b <- toColumn(r)) yield a || b
+    case Not(x) => toColumn(x).map(!_)
+    case _ => None
+  }
+}

@@ -1526,6 +1526,35 @@ object DatalakeQueries {
            |       true AS feature_ok, true AS stats_ok
            |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** q219 — the `graft-delta` SQL-facing format
+    * ([[graft.io.v2.DeltaDataSource]]): a Delta table with a DV
+    * erasure is registered as `CREATE TEMPORARY VIEW ... USING
+    * graft-delta` and queried with plain `spark.sql` — no Scala API in
+    * the query path. The WHERE conjuncts travel the v1 pushdown
+    * contract: comparable literals become log-metadata StatRanges
+    * (file skipping before any scan is planned) and re-applied scan
+    * predicates; the DV mask rides the delegate. The oracle recomputes
+    * from raw parquet, so a translation bug in either direction
+    * (over-pruning or a dropped filter) mismatches. */
+  val q219SqlDatasource = GQuery(
+    "q219_sql_datasource",
+    (s, d) => {
+      import s.implicits._
+      val t = graft.io.Staging.tempDir("graft_q219_")
+      val docs = Tables.documents(s, d).select($"doc_id", $"lang", $"n_chars")
+      graft.io.DeltaWrite.append(docs.repartition(2), t)                // v0
+      graft.io.DeltaWrite.deleteWhere(s, t, pmod($"doc_id", lit(10)) === 2) // v1
+      s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW gd_q219
+        USING `graft-delta` OPTIONS (path '$t')""")
+      s.sql("""SELECT lang, count(*) AS n, sum(n_chars) AS sum_chars
+              |FROM gd_q219 WHERE doc_id > 100 AND lang IS NOT NULL
+              |GROUP BY lang ORDER BY lang""".stripMargin)
+    },
+    Some("""SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+           |FROM documents
+           |WHERE doc_id % 10 <> 2 AND doc_id > 100 AND lang IS NOT NULL
+           |GROUP BY lang ORDER BY lang""".stripMargin))
+
   val all: Seq[GQuery] = Seq(
     q130SnapshotDiff, q131IncrementalAgg, q132SchemaEvolution,
     q133KAnonymity, q134GdprErasure, q147CompactionPlan,
@@ -1536,5 +1565,5 @@ object DatalakeQueries {
     q198DvErasure, q199CdfMirror, q200Restore, q202TableFeatures,
     q203CdfWrite, q206CdfReadStream, q207RowTracking, q208TypeWidening,
     q209Variant, q210ClusteredSkip, q215IncrementalView, q216LogCompaction,
-    q217ShreddedVariant, q218Collations)
+    q217ShreddedVariant, q218Collations, q219SqlDatasource)
 }

@@ -1,0 +1,76 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources._
+
+import graft.io.{DeltaRead, DeltaWrite}
+import graft.io.v2.DeltaRelation
+
+/** The `graft-delta` SQL-facing format: spark.read.format /
+  * CREATE TEMPORARY VIEW ... USING must read exactly what the Scala
+  * API reads (DV masking included), honor time travel options, and
+  * translate pushed filters into both file skipping and scan
+  * predicates. */
+class DeltaDataSourceSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def newTable(): String = {
+    val d = Files.createTempDirectory("gdeltads")
+    org.apache.commons.io.FileUtils.deleteDirectory(d.toFile)
+    d.toString
+  }
+  private def cleanup(t: String): Unit =
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(t))
+
+  test("format read == Scala API read, DVs and time travel included") {
+    val t = newTable()
+    try {
+      DeltaWrite.append((1 to 50).map(i => (i.toLong, s"r$i")).toDF("id", "txt"), t)
+      DeltaWrite.append((51 to 80).map(i => (i.toLong, s"r$i")).toDF("id", "txt"), t)
+      DeltaWrite.deleteWhere(spark, t, $"id" % 7 === 0) // DV mask
+      val api = DeltaRead.read(spark, t).orderBy($"id")
+        .as[(Long, String)].collect().toSeq
+      val fmt = spark.read.format("graft-delta").load(t).orderBy($"id")
+        .as[(Long, String)].collect().toSeq
+      assert(fmt == api && fmt.size == 80 - (80 / 7))
+      // versionAsOf re-opens the pre-delete state
+      val v1 = spark.read.format("graft-delta")
+        .option("versionAsOf", "1").load(t).count()
+      assert(v1 == 80)
+      // SQL DDL path: a temp view over the format, queried with sql()
+      spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW gd_docs
+        USING `graft-delta` OPTIONS (path '$t')""")
+      val n = spark.sql("SELECT count(*) AS n FROM gd_docs WHERE id <= 10")
+        .as[Long].head()
+      assert(n == 10 - 1) // id 7 deleted
+    } finally cleanup(t)
+  }
+
+  test("pushed filters become StatRanges (file skipping) and scan predicates") {
+    // translation unit: conjuncts tighten, unsupported shapes drop out
+    val ranges = DeltaRelation.toStatRanges(Array(
+      GreaterThan("id", 10L), LessThanOrEqual("id", 100L),
+      GreaterThanOrEqual("id", 25L), EqualTo("lang", "es"),
+      In("k", Array(5L, 2L, 9L)), IsNotNull("txt"),
+      StringStartsWith("txt", "a")))
+    val byCol = ranges.map(r => r.col -> ((r.lo, r.hi))).toMap
+    assert(byCol("id") == ((Some(25L), Some(100L))), s"got $byCol")
+    assert(byCol("lang") == ((Some("es"), Some("es"))))
+    assert(byCol("k") == ((Some(2L), Some(9L))))
+    assert(!byCol.contains("txt"), "non-range shapes must not produce ranges")
+    // end-to-end: a range query through the format equals a plain scan
+    val t = newTable()
+    try {
+      DeltaWrite.append((1 to 40).map(i => (i.toLong, i % 5L)).toDF("id", "g")
+        .coalesce(1), t)
+      DeltaWrite.append((41 to 90).map(i => (i.toLong, i % 5L)).toDF("id", "g")
+        .coalesce(1), t)
+      val got = spark.read.format("graft-delta").load(t)
+        .where($"id" > 50L && $"g" === 2L).agg(sum($"id")).as[Long].head()
+      val want = (51 to 90).filter(_ % 5 == 2).map(_.toLong).sum
+      assert(got == want)
+    } finally cleanup(t)
+  }
+}
