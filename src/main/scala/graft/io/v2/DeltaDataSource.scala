@@ -26,8 +26,37 @@ import graft.io.DeltaRead
   * it reaches the parquet readers as a real pushed predicate. Spark
   * re-evaluates all filters above this relation (the v1 default), so
   * partial translation is always sound. */
-class DeltaDataSource extends RelationProvider with DataSourceRegister {
+class DeltaDataSource extends RelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
   override def shortName(): String = "graft-delta"
+
+  /** `df.write.format("graft-delta").mode(...).save(path)`:
+    * Append/Overwrite delegate to the transactional writer (commit
+    * CAS, stats, feature gating — everything a Scala-API write gets);
+    * ErrorIfExists/Ignore honor their SaveMode contracts against the
+    * table's existence. */
+  override def createRelation(sqlContext: SQLContext,
+      mode: org.apache.spark.sql.SaveMode, parameters: Map[String, String],
+      data: org.apache.spark.sql.DataFrame): BaseRelation = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft-delta: 'path' option is required"))
+    val partitionBy = parameters.get("partitionBy")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val exists = java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(path, "_delta_log"))
+    import org.apache.spark.sql.SaveMode._
+    mode match {
+      case Append => graft.io.DeltaWrite.append(data, path, partitionBy)
+      case Overwrite => graft.io.DeltaWrite.overwrite(data, path, partitionBy)
+      case ErrorIfExists if exists =>
+        throw new IllegalStateException(
+          s"graft-delta: $path already exists (SaveMode.ErrorIfExists)")
+      case ErrorIfExists => graft.io.DeltaWrite.append(data, path, partitionBy)
+      case Ignore if exists => ()
+      case Ignore => graft.io.DeltaWrite.append(data, path, partitionBy)
+    }
+    createRelation(sqlContext, parameters)
+  }
 
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
@@ -47,10 +76,19 @@ class DeltaDataSource extends RelationProvider with DataSourceRegister {
 }
 
 private[v2] class DeltaRelation(ctx: SQLContext, table: String, version: Long)
-    extends BaseRelation with PrunedFilteredScan {
+    extends BaseRelation with PrunedFilteredScan with InsertableRelation {
   override def sqlContext: SQLContext = ctx
   override val schema: StructType =
     DeltaRead.readVersion(ctx.sparkSession, table, version).schema
+
+  /** SQL `INSERT INTO` / `INSERT OVERWRITE` on a graft-delta view —
+    * the transactional append/overwrite, same as the Scala API.
+    * NOTE: the relation keeps serving its RESOLVED version; re-create
+    * the view (or re-read) to see the insert, like any v1 relation. */
+  override def insert(data: org.apache.spark.sql.DataFrame,
+      overwrite: Boolean): Unit =
+    if (overwrite) graft.io.DeltaWrite.overwrite(data, table)
+    else graft.io.DeltaWrite.append(data, table)
 
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter]): RDD[Row] = {

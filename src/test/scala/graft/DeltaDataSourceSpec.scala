@@ -73,4 +73,30 @@ class DeltaDataSourceSpec extends SparkTestBase {
       assert(got == want)
     } finally cleanup(t)
   }
+
+  test("write side: save modes and SQL INSERT INTO go through the transactional writer") {
+    val t = newTable()
+    try {
+      val mk = (lo: Int, hi: Int) => (lo to hi).map(i => (i.toLong, s"r$i")).toDF("id", "txt")
+      mk(1, 10).write.format("graft-delta").option("path", t).save() // creates
+      mk(11, 15).write.format("graft-delta").mode("append").option("path", t).save()
+      assert(DeltaRead.read(spark, t).count() == 15)
+      assert(DeltaRead.latestVersion(t) == 1L, "two real commits")
+      intercept[IllegalStateException] {
+        mk(1, 1).write.format("graft-delta").option("path", t).save() // ErrorIfExists
+      }
+      mk(99, 99).write.format("graft-delta").mode("ignore").option("path", t).save()
+      assert(DeltaRead.read(spark, t).count() == 15, "ignore must be a no-op")
+      // SQL INSERT INTO via the view
+      spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW gd_w
+        USING `graft-delta` OPTIONS (path '$t')""")
+      spark.sql("INSERT INTO gd_w VALUES (100, 'sql'), (101, 'sql2')")
+      assert(DeltaRead.read(spark, t).count() == 17)
+      mk(1, 3).write.format("graft-delta").mode("overwrite").option("path", t).save()
+      assert(DeltaRead.read(spark, t).count() == 3)
+      // the whole history is ordinary Delta: time travel still works
+      assert(spark.read.format("graft-delta").option("versionAsOf", "2")
+        .load(t).count() == 17)
+    } finally cleanup(t)
+  }
 }
