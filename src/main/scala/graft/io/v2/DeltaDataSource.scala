@@ -27,8 +27,52 @@ import graft.io.DeltaRead
   * re-evaluates all filters above this relation (the v1 default), so
   * partial translation is always sound. */
 class DeltaDataSource extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider
+    with DataSourceRegister {
   override def shortName(): String = "graft-delta"
+
+  /** `writeStream.format("graft-delta")` — an EXACTLY-ONCE streaming
+    * Delta sink: every micro-batch lands via `appendOnce` carrying a
+    * SetTransaction (appId, batchId), so a restarted query whose
+    * checkpoint replays a batch skips it at the TABLE level, whatever
+    * the checkpoint said. The appId comes from the `txnAppId` option
+    * when given (several queries may then share one target table),
+    * else from the checkpoint location — the stable identity of a
+    * restartable query. Pairs with the `graft-delta-cdf` SOURCE for an
+    * end-to-end exactly-once Delta→Delta pipeline through nothing but
+    * standard writeStream/readStream APIs. */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft-delta: 'path' option is required"))
+    val appId = parameters.get("txnAppId")
+      .orElse(parameters.get("checkpointLocation").map("graft-delta-sink:" + _))
+      .getOrElse("graft-delta-sink:" + path)
+    new org.apache.spark.sql.execution.streaming.Sink {
+      override def addBatch(batchId: Long,
+          data: org.apache.spark.sql.DataFrame): Unit = {
+        // a Sink's input frame cannot be re-planned (.rdd throws on
+        // streaming lineage) — decode its InternalRows explicitly and
+        // rebuild a batch frame, the standard v1-sink idiom
+        val schema = data.schema
+        val enc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(
+          org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema))
+          .resolveAndBind()
+        val rows = data.queryExecution.toRdd.mapPartitions { it =>
+          val deser = enc.createDeserializer()
+          it.map(ir => deser(ir.copy()))
+        }
+        val batchDf = data.sparkSession.createDataFrame(rows, schema)
+        graft.io.DeltaWrite.appendOnce(batchDf, path, appId, batchId,
+          partitionColumns)
+        ()
+      }
+      override def toString: String = s"GraftDeltaSink[$path]"
+    }
+  }
 
   /** `df.write.format("graft-delta").mode(...).save(path)`:
     * Append/Overwrite delegate to the transactional writer (commit
