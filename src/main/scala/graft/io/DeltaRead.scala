@@ -288,6 +288,9 @@ object DeltaRead {
     * mid-checkpoint — is invisible, never a partial state), or a v2
     * manifest. Classic wins when both exist (graft writes classic;
     * either resolves to the same state). */
+  private[io] def isWholeCheckpoint(table: String, v: Long): Boolean =
+    checkpointRef(table, v).isDefined
+
   private def checkpointRef(table: String, v: Long): Option[CheckpointRef] = {
     val single = logDir(table).resolve(f"$v%020d.checkpoint.parquet")
     if (Files.exists(single)) Some(ClassicCp(Seq(single)))

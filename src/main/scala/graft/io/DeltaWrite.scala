@@ -691,17 +691,28 @@ object DeltaWrite {
     * the snapshot. */
   private def applyStatsPolicy(s: Option[DeltaRead.DeltaSnapshot],
       lines: Seq[String]): Seq[String] = {
-    val schema: Option[StructType] =
-      lines.find(_.contains("\"metaData\"")).flatMap { line =>
-        Option(mapper.readTree(line).get("metaData"))
-          .flatMap(m => Option(m.get("schemaString"))).map(sj =>
-            org.apache.spark.sql.types.DataType.fromJson(sj.asText())
-              .asInstanceOf[StructType])
-      }.orElse(s.flatMap(_.schema))
+    // the commit's OWN metaData wins over the pre-commit snapshot: a
+    // creation or overwrite commit carries the schema, mapping mode
+    // and properties its adds were staged under — the snapshot lags
+    // one commit behind exactly when it matters (e.g. a column-mapped
+    // collated table's creation, whose stats are keyed by the PHYSICAL
+    // names only the new metaData knows)
+    val metaN = lines.find(_.contains("\"metaData\""))
+      .flatMap(line => Option(mapper.readTree(line).get("metaData")))
+    val schema: Option[StructType] = metaN
+      .flatMap(m => Option(m.get("schemaString"))).map(sj =>
+        org.apache.spark.sql.types.DataType.fromJson(sj.asText())
+          .asInstanceOf[StructType])
+      .orElse(s.flatMap(_.schema))
     if (schema.isEmpty) return lines
-    val n = s.flatMap(_.configuration.get("delta.dataSkippingNumIndexedCols"))
+    val conf: Map[String, String] = metaN
+      .flatMap(m => Option(m.get("configuration")).filterNot(_.isNull))
+      .map(c => c.fieldNames().asScala.map(k => k -> c.get(k).asText()).toMap)
+      .orElse(s.map(_.configuration)).getOrElse(Map.empty)
+    val n = conf.get("delta.dataSkippingNumIndexedCols")
       .flatMap(_.toIntOption).getOrElse(-1)
-    val mapped = s.exists(sn => DeltaRead.ColumnMapping.active(sn.columnMappingMode))
+    val mapped = DeltaRead.ColumnMapping.active(
+      conf.getOrElse("delta.columnMapping.mode", "none"))
     def phys(names: Seq[String]): Set[String] =
       if (!mapped) names.toSet
       else {
@@ -1811,12 +1822,21 @@ object DeltaWrite {
     * Fresh tables and overwrites pass `s = None`: both declare the
     * feature in the same commit that makes shredded bytes visible.
     * [[appendShredded]] is the explicit upgrade path for appends. */
+  /** The session conf is GLOBAL to every thread writing through one
+    * SparkSession, so any toggle-write-restore of the shredding conf
+    * must serialize against the others — two concurrent variant
+    * writers racing the flag could land shredded bytes in an
+    * undeclared table or restore the wrong prior value. Variant
+    * staging is the only path that takes this lock; everything else
+    * stays fully concurrent. */
+  private val shredConfLock = new Object
+
   private def shredGuard[T](spark: SparkSession,
       s: Option[DeltaRead.DeltaSnapshot], schema: StructType)(f: => T): T = {
     val mustUnshred = containsVariant(schema) && shreddedWritesOn(spark) &&
       s.exists(sn => !sn.writerFeatures.contains("variantShredding"))
     if (!mustUnshred) f
-    else {
+    else shredConfLock.synchronized {
       val old = spark.conf.getOption(ShredWriteKey)
       spark.conf.set(ShredWriteKey, "false")
       try f
@@ -1870,14 +1890,16 @@ object DeltaWrite {
       "appendShredded: no variant column in the batch")
     val spark = df.sparkSession
     if (Files.isDirectory(logDir(table))) enableVariantShredding(spark, table)
-    val oldW = spark.conf.getOption(ShredWriteKey)
-    val oldI = spark.conf.getOption(ShredInferKey)
-    spark.conf.set(ShredWriteKey, "true")
-    spark.conf.set(ShredInferKey, "true")
-    try append(df, table, partitionBy)
-    finally {
-      oldW.fold(spark.conf.unset(ShredWriteKey))(spark.conf.set(ShredWriteKey, _))
-      oldI.fold(spark.conf.unset(ShredInferKey))(spark.conf.set(ShredInferKey, _))
+    shredConfLock.synchronized {
+      val oldW = spark.conf.getOption(ShredWriteKey)
+      val oldI = spark.conf.getOption(ShredInferKey)
+      spark.conf.set(ShredWriteKey, "true")
+      spark.conf.set(ShredInferKey, "true")
+      try append(df, table, partitionBy)
+      finally {
+        oldW.fold(spark.conf.unset(ShredWriteKey))(spark.conf.set(ShredWriteKey, _))
+        oldI.fold(spark.conf.unset(ShredInferKey))(spark.conf.set(ShredInferKey, _))
+      }
     }
   }
 
@@ -2710,9 +2732,15 @@ object DeltaWrite {
     * table spends more time listing than scanning. Deletion-vectored
     * files are PURGED in the same pass: their rewrite scans only the
     * visible rows and drops the bitmap (a DV'd file compacts even
-    * solo). Returns the number of files the table shrank by — 0 means
-    * nothing was worth compacting UNLESS a purge-only rewrite
-    * committed (same file count, bitmaps gone). */
+    * solo). Returns the NET file-count reduction — 0 means nothing was
+    * worth compacting UNLESS a purge-only rewrite committed (same file
+    * count, bitmaps gone), and a CLUSTERED re-cluster that
+    * range-splits a few big files into target-sized slices may
+    * legitimately return ≤ 0 while still having done useful work
+    * (check the committed version for that case). A clustered
+    * partition already covering disjoint key ranges at the minimal
+    * file count is recognized and skipped, so repeated OPTIMIZE
+    * converges instead of rewriting the table every call. */
   def compact(spark: SparkSession, table: String, targetBytes: Long = 128L << 20): Int = {
     var attempt = 0
     while (attempt < 10) {
@@ -2744,14 +2772,30 @@ object DeltaWrite {
       // maintenance, which is what keeps log-metadata skipping sharp
       val clusterCols = clusteringColumns(s)
         .filter(c => s.schema.exists(_.fieldNames.contains(c)))
-      def statsMin(f: DeltaRead.FileEntry): Double =
+      def statsBound(f: DeltaRead.FileEntry, section: String): Option[Double] =
         clusterCols.headOption.flatMap { c =>
           f.stats.flatMap { js =>
-            try Option(mapper.readTree(js).get("minValues")).flatMap(m =>
+            try Option(mapper.readTree(js).get(section)).flatMap(m =>
               Option(m.get(c))).filterNot(_.isNull).map(_.asDouble())
             catch { case _: Exception => None }
           }
-        }.getOrElse(Double.MaxValue)
+        }
+      def statsMin(f: DeltaRead.FileEntry): Double =
+        statsBound(f, "minValues").getOrElse(Double.MaxValue)
+      // CONVERGENCE: a clustered partition whose files already cover
+      // pairwise-disjoint leading-key ranges, carry no DVs, and sit at
+      // (or under) the minimal file count for the target is DONE — a
+      // second OPTIMIZE must be a no-op, not an O(partition) rewrite.
+      // Missing stats read as overlapping (rewrite — conservative).
+      def alreadyClustered(fs: Seq[DeltaRead.FileEntry], totalBytes: Long): Boolean = {
+        if (fs.exists(_.dv.isDefined)) return false
+        if (fs.size > math.max(1,
+            math.ceil(totalBytes.toDouble / targetBytes).toInt) + 1) return false
+        val bounds = fs.map(f => (statsBound(f, "minValues"), statsBound(f, "maxValues")))
+        if (bounds.exists(b => b._1.isEmpty || b._2.isEmpty)) return false
+        val sorted = bounds.map(b => (b._1.get, b._2.get)).sortBy(_._1)
+        sorted.zip(sorted.drop(1)).forall { case ((_, hi), (lo, _)) => hi <= lo }
+      }
       // bin-pack per partition tuple: greedy fill in commit order.
       // CLUSTERED tables instead take the WHOLE tuple as one rewrite
       // unit — the re-cluster below range-splits it back into
@@ -2760,7 +2804,9 @@ object DeltaWrite {
       // never engage)
       val groups = s.files.groupBy(_.partitionValues).toSeq.flatMap { case (pv, fs0) =>
         if (clusterCols.nonEmpty) {
-          if (fs0.size >= 2 || fs0.exists(_.dv.isDefined))
+          val totalBytes = fs0.map(f => Files.size(Paths.get(table, f.path))).sum
+          if ((fs0.size >= 2 || fs0.exists(_.dv.isDefined)) &&
+              !alreadyClustered(fs0, totalBytes))
             Seq((pv, fs0.sortBy(statsMin))) else Nil
         } else {
           val fs = fs0
@@ -2797,27 +2843,26 @@ object DeltaWrite {
           else WriteMapping.restampFieldIds(raw, s.schema.get)
         // one output file per group — except CLUSTERED tables, whose
         // OPTIMIZE re-clusters: the merged group RANGE-partitions
-        // along the Z-key of the declared clustering columns into
+        // LEXICOGRAPHICALLY on the declared clustering columns into
         // target-sized files, each covering a CONTIGUOUS slice of the
-        // key space, so per-file stats bounds come out TIGHT and
-        // log-metadata skipping stays sharp after maintenance
+        // leading key (and hierarchically of the rest), so per-file
+        // stats bounds come out TIGHT, log-metadata skipping stays
+        // sharp after maintenance, AND a second OPTIMIZE recognizes
+        // the disjoint leading-key ranges and no-ops (the Z-curve
+        // alternative scatters leading-key values across every slice,
+        // which defeats exactly that convergence check). Works for any
+        // column count and type — no numeric z-encoding involved.
         val laid =
           if (clusterCols.isEmpty) df.coalesce(1)
           else {
-            import org.apache.spark.sql.functions.{col, min => fmin, max => fmax}
-            val aggs = clusterCols.flatMap(c =>
-              Seq(fmin(col(c).cast("double")), fmax(col(c).cast("double"))))
-            val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+            import org.apache.spark.sql.functions.col
+            // df is the RAW rewrite frame — a mapped table's columns
+            // carry PHYSICAL names, so the cluster columns must too
+            val dataCols = clusterCols.map(c => physBy.getOrElse(c, c))
             val totalBytes = fs.map(f => Files.size(Paths.get(table, f.path))).sum
             val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-            if (clusterCols.indices.exists(i =>
-                row.isNullAt(2 * i) || row.isNullAt(2 * i + 1)))
-              df.coalesce(1) // nothing to cluster by (empty / all-null)
-            else df.withColumn("__z", Sinks.zValue(clusterCols.map(col),
-                clusterCols.indices.map(i => row.getDouble(2 * i)),
-                clusterCols.indices.map(i => row.getDouble(2 * i + 1))))
-              .repartitionByRange(n, col("__z"))
-              .sortWithinPartitions("__z").drop("__z")
+            df.repartitionByRange(n, dataCols.map(col): _*)
+              .sortWithinPartitions(dataCols.map(col): _*)
           }
         // stage INSIDE the table root (like stage()): a system temp dir
         // may sit on a different filesystem, where ATOMIC_MOVE throws
@@ -2919,14 +2964,16 @@ object DeltaWrite {
     val all =
       try names.iterator().asScala.map(_.getFileName.toString).toList
       finally names.close()
-    // checkpoint versions present (classic single, complete multipart
-    // sets are the caller's concern — any checkpoint file at v anchors)
+    // only WHOLE checkpoints may anchor the boundary: a crashed
+    // multipart/v2 writer leaves files that name a version but cannot
+    // resolve it — deleting history below such a ghost would strand
+    // the table with no resolvable state at all
     val cpVersions = all.flatMap { n =>
       if (n.endsWith(".checkpoint.parquet") &&
           n.stripSuffix(".checkpoint.parquet").forall(_.isDigit))
         Some(n.stripSuffix(".checkpoint.parquet").toLong)
       else DeltaRead.checkpointVersionOf(n)
-    }.distinct.sorted
+    }.distinct.sorted.filter(DeltaRead.isWholeCheckpoint(table, _))
     // boundary: newest checkpoint whose own commit json is older than
     // the window (mtime, like vacuum — ICT tables age the same way)
     val boundary = cpVersions.reverse.find { v =>
@@ -2969,7 +3016,12 @@ object DeltaWrite {
       val sc = Files.list(sidecarDir)
       val orphans =
         try sc.iterator().asScala
-          .filter(p => !referenced(p.getFileName.toString)).toList
+          .filter(p => !referenced(p.getFileName.toString) &&
+            // a v2 writer stages sidecars BEFORE its manifest — an
+            // unreferenced-but-YOUNG sidecar may belong to an
+            // in-flight checkpoint, so only out-of-retention orphans
+            // are reclaimed (the same grace vacuum gives data files)
+            Files.getLastModifiedTime(p).toMillis < cutoff).toList
         finally sc.close()
       orphans.foreach { p => Files.deleteIfExists(p); deleted += 1 }
     }

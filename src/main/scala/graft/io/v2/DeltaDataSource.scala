@@ -48,6 +48,13 @@ class DeltaDataSource extends RelationProvider
       : org.apache.spark.sql.execution.streaming.Sink = {
     val path = parameters.getOrElse("path",
       throw new IllegalArgumentException("graft-delta: 'path' option is required"))
+    // each micro-batch APPENDS — Complete mode re-emits the whole
+    // result every trigger and Update re-emits changed rows, both of
+    // which an append-only sink would duplicate; refuse rather than
+    // silently multiply (Delta's own sink does the same)
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"graft-delta sink supports Append output mode only, got $outputMode — " +
+        "Complete/Update would duplicate rows on every trigger")
     val appId = parameters.get("txnAppId")
       .orElse(parameters.get("checkpointLocation").map("graft-delta-sink:" + _))
       .getOrElse("graft-delta-sink:" + path)
@@ -109,14 +116,37 @@ class DeltaDataSource extends RelationProvider
     val spark = sqlContext.sparkSession
     val version = parameters.get("versionAsOf").map(_.toLong)
       .orElse(parameters.get("timestampAsOf").map { ts =>
-        val millis = ts.toLongOption.getOrElse(
-          java.time.Instant.parse(
-            if (ts.contains("T")) ts else ts.replace(' ', 'T') + "Z").toEpochMilli)
-        DeltaRead.versionAtTime(spark, path, millis)
+        DeltaRead.versionAtTime(spark, path, parseTimestampOption(ts))
       })
       .getOrElse(DeltaRead.latestVersion(path))
     new DeltaRelation(sqlContext, path, version)
   }
+
+  /** `timestampAsOf` accepts epoch millis, a zoned instant
+    * (`...T12:00:00Z`), a LOCAL date-time with `T` or space (read as
+    * UTC), or a bare date (UTC midnight) — refusing loudly on anything
+    * else rather than time-traveling somewhere surprising. */
+  private def parseTimestampOption(ts: String): Long =
+    ts.toLongOption.getOrElse {
+      val norm = ts.trim.replace(' ', 'T')
+      try java.time.Instant.parse(norm).toEpochMilli
+      catch {
+        case _: java.time.format.DateTimeParseException =>
+          try java.time.LocalDateTime.parse(norm)
+            .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+          catch {
+            case _: java.time.format.DateTimeParseException =>
+              try java.time.LocalDate.parse(norm).atStartOfDay()
+                .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+              catch {
+                case _: java.time.format.DateTimeParseException =>
+                  throw new IllegalArgumentException(
+                    s"graft-delta: unparseable timestampAsOf '$ts' — use epoch " +
+                      "millis, 'yyyy-MM-dd[ HH:mm:ss]' (UTC), or an ISO instant")
+              }
+          }
+      }
+    }
 }
 
 private[v2] class DeltaRelation(ctx: SQLContext, table: String, version: Long)

@@ -134,12 +134,16 @@ object IncrementalView {
           spec.minMaxes.flatMap(c => Seq(col(s"min_$c").as(s"__cur_min_$c"),
             col(s"max_$c").as(s"__cur_max_$c"))) ++
           spec.keys.map(col)): _*)
-    // a delete may have evicted a key's min/max — recompute exactly
-    // those keys from the base head, semi-join pruned (partition and
-    // stats pruning apply to the pushed key filter where the layout
-    // allows; the scan is bounded by the dirty keys' files, never the
-    // full lake)
-    val needRecompute = spec.minMaxes.nonEmpty
+    // a delete may have evicted a key's min/max, and can also drive a
+    // SUM back to "all remaining values null" — a state the signed
+    // delta cannot represent (5 + (−5) = 0, but SQL SUM over the
+    // survivors is NULL). So delete-touched keys recompute their sums
+    // AND extremes exactly from the base head, semi-join pruned
+    // (partition and stats pruning apply to the pushed key filter
+    // where the layout allows; the scan is bounded by the dirty keys'
+    // files, never the full lake). Counts stay incremental — they are
+    // exact by algebra alone.
+    val needRecompute = spec.minMaxes.nonEmpty || spec.sums.nonEmpty
     val recomputed =
       if (!needRecompute) None
       else {
@@ -150,9 +154,11 @@ object IncrementalView {
             // no broadcast hint: the dirty set is usually tiny (AQE
             // will broadcast it) but a mass-delete could make it huge
             .join(dirty, spec.keys, "left_semi"), spec)
-          .select(spec.keys.map(col) ++ spec.minMaxes.flatMap(c =>
-            Seq(col(s"min_$c").as(s"__r_min_$c"),
-              col(s"max_$c").as(s"__r_max_$c"))): _*))
+          .select(spec.keys.map(col) ++
+            spec.sums.map(c => col(s"sum_$c").as(s"__r_sum_$c")) ++
+            spec.minMaxes.flatMap(c =>
+              Seq(col(s"min_$c").as(s"__r_min_$c"),
+                col(s"max_$c").as(s"__r_max_$c"))): _*))
       }
     val joined0 = delta.join(cur, spec.keys, "left")
     val joined = recomputed.fold(joined0)(r => joined0.join(r, spec.keys, "left"))
@@ -160,11 +166,13 @@ object IncrementalView {
     val outCols: Seq[Column] = spec.keys.map(col) ++
       Seq((coalesce(col("__cur_cnt"), lit(0L)) + col("__dcnt")).as("cnt")) ++
       spec.sums.map(c =>
-        // three-way null algebra, matching SQL SUM: both-null stays
-        // null, otherwise nulls read as the additive identity
-        when(col(s"__cur_sum_$c").isNull && col(s"__dsum_$c").isNull, lit(null))
-          .otherwise(coalesce(col(s"__cur_sum_$c"), lit(0L).cast("long")) +
-            coalesce(col(s"__dsum_$c"), lit(0L).cast("long"))).as(s"sum_$c")) ++
+        // dirty keys take the exact recompute; clean keys fold the
+        // three-way null algebra of SQL SUM: both-null stays null,
+        // otherwise nulls read as the additive identity
+        when(dirtyFlag, col(s"__r_sum_$c")).otherwise(
+          when(col(s"__cur_sum_$c").isNull && col(s"__dsum_$c").isNull, lit(null))
+            .otherwise(coalesce(col(s"__cur_sum_$c"), lit(0L).cast("long")) +
+              coalesce(col(s"__dsum_$c"), lit(0L).cast("long")))).as(s"sum_$c")) ++
       spec.minMaxes.flatMap { c =>
         Seq(
           when(dirtyFlag, col(s"__r_min_$c"))

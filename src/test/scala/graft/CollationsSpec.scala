@@ -75,6 +75,31 @@ class CollationsSpec extends SparkTestBase {
     } finally cleanup(t)
   }
 
+  test("a COLUMN-MAPPED collated creation still strips bounds (physical stats keys)") {
+    val t = newTable()
+    try {
+      // creation commit: mapping context + collated column in ONE
+      // commit — the stats are keyed by col-<uuid> physical names that
+      // only the commit's own metaData (not the pre-commit snapshot,
+      // which doesn't exist yet) can resolve
+      DeltaWrite.createColumnMapped(
+        collatedDf(Seq((1L, "Zebra"), (2L, "apple"))).coalesce(1), t)
+      val s = DeltaRead.snapshot(spark, t)
+      assert(s.columnMappingMode == "name")
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      s.files.foreach { f =>
+        val st = om.readTree(f.stats.get)
+        val minKeys = st.get("minValues").fieldNames().asScala.toSet
+        // snapshot stats are logical-renamed: id bounds survive, the
+        // collated column's must be gone
+        assert(minKeys.contains("id") && !minKeys.contains("name"),
+          s"mapped collated bounds leaked: $st")
+      }
+      val groups = DeltaRead.read(spark, t).groupBy($"name").count().count()
+      assert(groups == 2)
+    } finally cleanup(t)
+  }
+
   test("a foreign table declaring collations-preview accepts plain appends") {
     val t = newTable()
     try {

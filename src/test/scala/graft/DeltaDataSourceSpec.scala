@@ -100,6 +100,39 @@ class DeltaDataSourceSpec extends SparkTestBase {
     } finally cleanup(t)
   }
 
+  test("timestampAsOf parses every documented form; sink refuses non-Append modes") {
+    val t = newTable()
+    try {
+      DeltaWrite.append(Seq((1L, "a")).toDF("id", "txt"), t)
+      DeltaWrite.append(Seq((2L, "b")).toDF("id", "txt"), t)
+      // bare date, local datetime with space and with T, epoch millis —
+      // all far-future, all resolving to the head version
+      Seq("2999-01-01", "2999-01-01 12:00:00", "2999-01-01T12:00:00",
+        (System.currentTimeMillis() + 86400000L).toString).foreach { ts =>
+        assert(spark.read.format("graft-delta")
+          .option("timestampAsOf", ts).load(t).count() == 2, s"form '$ts'")
+      }
+      val bad = intercept[IllegalArgumentException] {
+        spark.read.format("graft-delta")
+          .option("timestampAsOf", "next tuesday").load(t)
+      }
+      assert(bad.getMessage.contains("unparseable"))
+      // Complete mode would duplicate the aggregate on every trigger
+      val e = intercept[Exception] {
+        spark.readStream.format("graft-delta-cdf").load(t)
+          .groupBy($"id").count()
+          .writeStream.format("graft-delta")
+          .outputMode("complete")
+          .option("path", newTable())
+          .option("checkpointLocation",
+            Files.createTempDirectory("gdbad").toString)
+          .start()
+      }
+      assert(e.getMessage.contains("Append") ||
+        Option(e.getCause).exists(_.getMessage.contains("Append")))
+    } finally cleanup(t)
+  }
+
   test("streaming sink: Delta→Delta through readStream+writeStream is exactly-once") {
     val src = newTable(); val dst = newTable()
     val ckpt = Files.createTempDirectory("gdsink_ckpt").toString

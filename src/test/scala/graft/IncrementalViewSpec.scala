@@ -127,6 +127,24 @@ class IncrementalViewSpec extends SparkTestBase {
     } finally cleanup(base, view)
   }
 
+  test("deleting the last non-null value returns the sum to NULL, not 0") {
+    val base = newDir("ivbase"); val view = newDir("ivview"); cleanup(view)
+    try {
+      DeltaWrite.append(Seq(("a", Option(5L)), ("a", None), ("a", None))
+        .toDF("k", "v"), base)
+      IncrementalView.build(spark, base, view, vspec)
+      DeltaWrite.deleteWhere(spark, base, $"v" === 5L)
+      IncrementalView.refresh(spark, base, view, vspec)
+      // survivors are two all-null rows: SUM is NULL (a signed delta
+      // alone would leave 0 — the recompute path must win)
+      val r = DeltaRead.read(spark, view).where($"k" === "a")
+        .select($"cnt", $"sum_v", $"min_v", $"max_v").collect()(0)
+      assert(r.getLong(0) == 2L && r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3),
+        s"expected (2, null, null, null), got $r")
+      assertViewMatches(base, view)
+    } finally cleanup(base, view)
+  }
+
   test("streaming-triggered maintenance: a readStream drives refresh to convergence") {
     val base = newDir("ivbase"); val view = newDir("ivview"); cleanup(view)
     val ckpt = newDir("ivckpt"); cleanup(ckpt)

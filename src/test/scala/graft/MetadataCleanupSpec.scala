@@ -86,6 +86,30 @@ class MetadataCleanupSpec extends SparkTestBase {
     } finally cleanup(t)
   }
 
+  test("an INCOMPLETE multipart checkpoint never anchors the deletion boundary") {
+    val t = newTable()
+    try {
+      (0 to 2).foreach(i =>
+        DeltaWrite.append(Seq((i.toLong, s"r$i")).toDF("id", "s"), t))  // v0..v2
+      DeltaWrite.checkpoint(spark, t)                                    // whole cp@2
+      DeltaWrite.append(Seq((3L, "x")).toDF("id", "s"), t)               // v3
+      DeltaWrite.append(Seq((4L, "y")).toDF("id", "s"), t)               // v4
+      DeltaWrite.setProperties(spark, t,
+        Map("delta.logRetentionDuration" -> "interval 0 seconds"))       // v5
+      // a crashed multipart writer left PART 1 OF 2 at v4 — a ghost
+      // that names a version but resolves nothing
+      Files.write(Paths.get(t, "_delta_log",
+        f"${4L}%020d.checkpoint.${1}%010d.${2}%010d.parquet"), Array[Byte](1))
+      val n = DeltaWrite.cleanMetadata(spark, t)
+      // boundary anchored at the WHOLE cp@2, never the ghost: commits
+      // 2..5 survive and every read still resolves
+      assert(Files.exists(Paths.get(t, "_delta_log", f"${2L}%020d.json")))
+      assert(Files.exists(Paths.get(t, "_delta_log", f"${3L}%020d.json")))
+      assert(DeltaRead.read(spark, t).count() == 5)
+      assert(n >= 0) // v0, v1 may go — that is fine
+    } finally cleanup(t)
+  }
+
   test("v2 sidecars survive while any surviving manifest references them") {
     val t = newTable()
     try {

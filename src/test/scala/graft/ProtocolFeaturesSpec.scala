@@ -308,4 +308,55 @@ class ProtocolFeaturesSpec extends SparkTestBase {
       intercept[UnsupportedOperationException] { DeltaWrite.vacuum(spark, t) }
     } finally cleanup(t)
   }
+
+  test("clustered OPTIMIZE converges: a re-clustered partition is not rewritten again") {
+    val t = newTable()
+    try {
+      DeltaWrite.append(Seq((0L, 0L, "seed")).toDF("x", "y", "tag"), t)
+      DeltaWrite.clusterBy(spark, t, Seq("x", "y"))
+      (0 until 4).foreach { i =>
+        DeltaWrite.append((0L until 300L).map(j =>
+          ((j * 7 + i) % 64, (j * 11 + i) % 64, s"b$i-$j")).toDF("x", "y", "tag"), t)
+      }
+      DeltaWrite.compact(spark, t, targetBytes = 16L << 10)
+      val vAfter = DeltaRead.latestVersion(t)
+      // second OPTIMIZE: already contiguous, no DVs, minimal count —
+      // must be a NO-OP (no new version), not an O(partition) rewrite
+      assert(DeltaWrite.compact(spark, t, targetBytes = 16L << 10) == 0)
+      assert(DeltaRead.latestVersion(t) == vAfter, "no-op must not commit")
+      assert(DeltaRead.read(spark, t).count() == 1 + 4 * 300)
+    } finally cleanup(t)
+  }
+
+  test("OPTIMIZE handles 4 clustering columns (z-bits scale down) and mapped tables") {
+    val t = newTable()
+    try {
+      DeltaWrite.append((0L until 200L).map(j =>
+        (j % 16, (j * 3) % 16, (j * 5) % 16, (j * 7) % 16, s"r$j"))
+        .toDF("a", "b", "c", "d", "tag"), t)
+      DeltaWrite.clusterBy(spark, t, Seq("a", "b", "c", "d"))
+      DeltaWrite.append((0L until 200L).map(j =>
+        ((j * 11) % 16, (j * 13) % 16, j % 16, (j * 3) % 16, s"s$j"))
+        .toDF("a", "b", "c", "d", "tag"), t)
+      // 4 cols × 16 bits would overflow the 62-bit Z-key — compact
+      // must scale bits down, not throw
+      DeltaWrite.compact(spark, t, targetBytes = 16L << 10)
+      assert(DeltaRead.read(spark, t).count() == 400)
+    } finally cleanup(t)
+    val m = newTable()
+    try {
+      // COLUMN-MAPPED clustered table: the rewrite frame carries
+      // PHYSICAL names, so the re-cluster must translate
+      DeltaWrite.createColumnMapped((0L until 300L).map(j =>
+        ((j * 7) % 64, (j * 11) % 64, s"m$j")).toDF("x", "y", "tag"), m)
+      DeltaWrite.clusterBy(spark, m, Seq("x", "y"))
+      DeltaWrite.append((0L until 300L).map(j =>
+        ((j * 13) % 64, (j * 17) % 64, s"n$j")).toDF("x", "y", "tag"), m)
+      DeltaWrite.compact(spark, m, targetBytes = 16L << 10)
+      assert(DeltaRead.read(spark, m).count() == 600)
+      assert(DeltaRead.read(spark, m).where($"x" === 7L).count() ==
+        (0L until 300L).count(j => (j * 7) % 64 == 7) +
+          (0L until 300L).count(j => (j * 13) % 64 == 7))
+    } finally cleanup(m)
+  }
 }
