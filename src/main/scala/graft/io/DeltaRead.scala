@@ -1224,12 +1224,25 @@ object DeltaRead {
   }
 
   /** Can any row of `f` satisfy every conjunct? Missing evidence ⇒ yes. */
-  private def statsAdmit(f: FileEntry, preds: Seq[StatRange]): Boolean =
-    f.stats.forall { js =>
-      val node = try mapper.readTree(js) catch { case _: Exception => return true }
-      val minN = Option(node.get("minValues"))
-      val maxN = Option(node.get("maxValues"))
-      preds.forall { p =>
+  private def statsAdmit(f: FileEntry, preds: Seq[StatRange]): Boolean = {
+    lazy val node = f.stats.flatMap(js =>
+      try Some(mapper.readTree(js)) catch { case _: Exception => None })
+    lazy val minN = node.flatMap(n => Option(n.get("minValues")))
+    lazy val maxN = node.flatMap(n => Option(n.get("maxValues")))
+    preds.forall { p =>
+      // a PARTITION column's value is exact evidence (min == max) —
+      // data files carry no stats for it, but the add action does
+      if (f.partitionValues.contains(p.col)) {
+        val v = f.partitionValues(p.col)
+        // SQL range comparisons never match NULL, so a null-partition
+        // file is provably empty of matches whenever a bound exists
+        if (v == null) p.lo.isEmpty && p.hi.isEmpty
+        else {
+          val loOk = p.hi.forall(b => comparePartitionValue(v, b).forall(_ <= 0))
+          val hiOk = p.lo.forall(b => comparePartitionValue(v, b).forall(_ >= 0))
+          loOk && hiOk
+        }
+      } else {
         val mn = minN.flatMap(m => Option(m.get(p.col))).filterNot(_.isNull)
         val mx = maxN.flatMap(m => Option(m.get(p.col))).filterNot(_.isNull)
         (mn, mx) match {
@@ -1241,6 +1254,26 @@ object DeltaRead {
         }
       }
     }
+  }
+
+  /** Compare a Hive-encoded partition value string against a typed
+    * predicate bound. None (incomparable / unparseable) ADMITS — only
+    * provable exclusion may skip. Numerics compare as BigDecimal,
+    * dates as their ISO strings (lexicographic == chronological),
+    * strings in unsigned UTF-8 order like every other string bound. */
+  private def comparePartitionValue(v: String, b: Any): Option[Int] = b match {
+    case _: Byte | _: Short | _: Int | _: Long | _: Float | _: Double =>
+      try Some(BigDecimal(v).compare(BigDecimal(b.toString)))
+      catch { case _: NumberFormatException => None }
+    case bd: java.math.BigDecimal =>
+      try Some(BigDecimal(v).compare(BigDecimal(bd)))
+      catch { case _: NumberFormatException => None }
+    case s: String => Some(utf8Compare(v, s))
+    case d: java.sql.Date => Some(utf8Compare(v, d.toString))
+    case d: java.time.LocalDate => Some(utf8Compare(v, d.toString))
+    case bb: Boolean => v.toBooleanOption.map(_.compareTo(bb))
+    case _ => None
+  }
 
   /** Unsigned UTF-8 byte order — the order parquet footer stats are
     * computed in (parquet-format: UNSIGNED sort order for BYTE_ARRAY /

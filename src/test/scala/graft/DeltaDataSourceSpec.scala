@@ -100,6 +100,30 @@ class DeltaDataSourceSpec extends SparkTestBase {
     } finally cleanup(t)
   }
 
+  test("partition-column predicates prune files through StatRanges (and the format)") {
+    val t = newTable()
+    try {
+      val df = (1 to 60).map(i => (i.toLong, s"p${i % 3}", s"r$i")).toDF("id", "part", "txt")
+      DeltaWrite.append(df, t, partitionBy = Seq("part"))
+      val head = DeltaRead.latestVersion(t)
+      val total = DeltaRead.snapshotAt(spark, t, head).files.size
+      val oneP = DeltaRead.filesAfterSkipping(spark, t, head,
+        Seq(DeltaRead.StatRange("part", Some("p1"), Some("p1"))))
+      assert(oneP.nonEmpty && oneP.size < total,
+        s"partition equality must prune: ${oneP.size} of $total")
+      assert(oneP.forall(_.partitionValues("part") == "p1"))
+      // combined partition + data-column pruning composes
+      val both = DeltaRead.filesAfterSkipping(spark, t, head,
+        Seq(DeltaRead.StatRange("part", Some("p2"), Some("p2")),
+          DeltaRead.StatRange("id", Some(1000L), None)))
+      assert(both.isEmpty, "no file holds part=p2 AND id>=1000")
+      // and the format's pushed filter path returns the right rows
+      val got = spark.read.format("graft-delta").load(t)
+        .where($"part" === "p1").count()
+      assert(got == (1 to 60).count(_ % 3 == 1))
+    } finally cleanup(t)
+  }
+
   test("timestampAsOf parses every documented form; sink refuses non-Append modes") {
     val t = newTable()
     try {
