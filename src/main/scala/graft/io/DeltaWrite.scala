@@ -2772,16 +2772,25 @@ object DeltaWrite {
       // maintenance, which is what keeps log-metadata skipping sharp
       val clusterCols = clusteringColumns(s)
         .filter(c => s.schema.exists(_.fieldNames.contains(c)))
-      def statsBound(f: DeltaRead.FileEntry, section: String): Option[Double] =
+      // leading-cluster-key bound as a TYPE-AWARE sort key: numerics
+      // order numerically, strings lexicographically (asDouble on a
+      // text node silently reads 0.0 — that would collapse every
+      // string bound to one point and mis-detect convergence). The
+      // ordering only steers LAYOUT decisions; skipping correctness
+      // always re-reads the real stats.
+      def statsBound(f: DeltaRead.FileEntry,
+          section: String): Option[(Int, Double, String)] =
         clusterCols.headOption.flatMap { c =>
           f.stats.flatMap { js =>
             try Option(mapper.readTree(js).get(section)).flatMap(m =>
-              Option(m.get(c))).filterNot(_.isNull).map(_.asDouble())
+              Option(m.get(c))).filterNot(_.isNull).map(n =>
+                if (n.isNumber) (0, n.asDouble(), "")
+                else (1, 0.0, n.asText()))
             catch { case _: Exception => None }
           }
         }
-      def statsMin(f: DeltaRead.FileEntry): Double =
-        statsBound(f, "minValues").getOrElse(Double.MaxValue)
+      def statsMin(f: DeltaRead.FileEntry): (Int, Double, String) =
+        statsBound(f, "minValues").getOrElse((2, Double.MaxValue, ""))
       // CONVERGENCE: a clustered partition whose files already cover
       // pairwise-disjoint leading-key ranges, carry no DVs, and sit at
       // (or under) the minimal file count for the target is DONE — a
@@ -2793,8 +2802,10 @@ object DeltaWrite {
             math.ceil(totalBytes.toDouble / targetBytes).toInt) + 1) return false
         val bounds = fs.map(f => (statsBound(f, "minValues"), statsBound(f, "maxValues")))
         if (bounds.exists(b => b._1.isEmpty || b._2.isEmpty)) return false
-        val sorted = bounds.map(b => (b._1.get, b._2.get)).sortBy(_._1)
-        sorted.zip(sorted.drop(1)).forall { case ((_, hi), (lo, _)) => hi <= lo }
+        val ord = implicitly[Ordering[(Int, Double, String)]]
+        val sorted = bounds.map(b => (b._1.get, b._2.get)).sortBy(_._1)(ord)
+        sorted.zip(sorted.drop(1)).forall { case ((_, hi), (lo, _)) =>
+          ord.lteq(hi, lo) }
       }
       // bin-pack per partition tuple: greedy fill in commit order.
       // CLUSTERED tables instead take the WHOLE tuple as one rewrite

@@ -328,6 +328,43 @@ class ProtocolFeaturesSpec extends SparkTestBase {
     } finally cleanup(t)
   }
 
+  test("STRING clustering keys re-cluster and converge (type-aware bounds)") {
+    val t = newTable()
+    try {
+      DeltaWrite.append(Seq((0L, "seed")).toDF("id", "k"), t)
+      DeltaWrite.clusterBy(spark, t, Seq("k"))
+      val rnd = new scala.util.Random(7)
+      (0 until 4).foreach { i =>
+        DeltaWrite.append((0L until 1000L).map(j =>
+          (j, f"key-${(j * 7 + i) % 90}%02d-${rnd.nextLong()}%016x"))
+          .toDF("id", "k"), t)
+      }
+      // re-compression after the sorted rewrite can shrink the data
+      // below the target multiple, earning one more LEGITIMATE merge
+      // pass — but the loop must then reach a FIXED POINT quickly (a
+      // 0.0-collapsed double read of string bounds would either skip
+      // real work forever or redo it forever)
+      var vPrev = DeltaRead.latestVersion(t)
+      var passes = 0
+      var moving = true
+      while (moving && passes < 4) {
+        DeltaWrite.compact(spark, t, targetBytes = 8L << 10)
+        val vNow = DeltaRead.latestVersion(t)
+        moving = vNow != vPrev; vPrev = vNow; passes += 1
+      }
+      assert(!moving, s"string re-cluster failed to converge in $passes passes")
+      assert(DeltaWrite.compact(spark, t, targetBytes = 8L << 10) == 0)
+      assert(DeltaRead.latestVersion(t) == vPrev, "no-op must not commit")
+      assert(DeltaRead.read(spark, t).count() == 1 + 4 * 1000)
+      // and string-key skipping prunes post-maintenance
+      val head = DeltaRead.latestVersion(t)
+      val all = DeltaRead.snapshotAt(spark, t, head).files.size
+      val some = DeltaRead.filesAfterSkipping(spark, t, head,
+        Seq(DeltaRead.StatRange("k", Some("key-10"), Some("key-20")))).size
+      assert(some < all, s"string range must prune: $some of $all")
+    } finally cleanup(t)
+  }
+
   test("OPTIMIZE handles 4 clustering columns (z-bits scale down) and mapped tables") {
     val t = newTable()
     try {
