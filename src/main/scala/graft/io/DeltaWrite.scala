@@ -1832,18 +1832,25 @@ object DeltaWrite {
   private val shredConfLock = new Object
 
   private def shredGuard[T](spark: SparkSession,
-      s: Option[DeltaRead.DeltaSnapshot], schema: StructType)(f: => T): T = {
-    val mustUnshred = containsVariant(schema) && shreddedWritesOn(spark) &&
-      s.exists(sn => !sn.writerFeatures.contains("variantShredding"))
-    if (!mustUnshred) f
+      s: Option[DeltaRead.DeltaSnapshot], schema: StructType)(f: => T): T =
+    if (!containsVariant(schema)) f // the conf is irrelevant: no lock
     else shredConfLock.synchronized {
-      val old = spark.conf.getOption(ShredWriteKey)
-      spark.conf.set(ShredWriteKey, "false")
-      try f
-      finally old.fold(spark.conf.unset(ShredWriteKey))(
-        spark.conf.set(ShredWriteKey, _))
+      // conf READ and staging both run under the lock — a fast path
+      // that only locked the toggle would let a concurrent
+      // appendShredded flip the flag mid-stage and land shredded
+      // bytes in an undeclared table (TOCTOU). Variant staging is the
+      // only serialized path; everything else stays concurrent.
+      val mustUnshred = shreddedWritesOn(spark) &&
+        s.exists(sn => !sn.writerFeatures.contains("variantShredding"))
+      if (!mustUnshred) f
+      else {
+        val old = spark.conf.getOption(ShredWriteKey)
+        spark.conf.set(ShredWriteKey, "false")
+        try f
+        finally old.fold(spark.conf.unset(ShredWriteKey))(
+          spark.conf.set(ShredWriteKey, _))
+      }
     }
-  }
 
   /** Declare the `variantShredding` reader+writer feature on an
     * existing table (protocol-only commit; no-op when already
@@ -2791,21 +2798,38 @@ object DeltaWrite {
         }
       def statsMin(f: DeltaRead.FileEntry): (Int, Double, String) =
         statsBound(f, "minValues").getOrElse((2, Double.MaxValue, ""))
+      // string bounds AND Spark's range layout order in unsigned UTF-8
+      // (UTF8String binary order); Java's default String ordering is
+      // UTF-16 and disagrees for supplementary-plane keys — comparing
+      // in a different order than the layout would read disjoint files
+      // as overlapping and rewrite them forever
+      val boundOrd: Ordering[(Int, Double, String)] =
+        new Ordering[(Int, Double, String)] {
+          def compare(a: (Int, Double, String), b: (Int, Double, String)): Int = {
+            val c1 = java.lang.Integer.compare(a._1, b._1)
+            if (c1 != 0) return c1
+            val c2 = java.lang.Double.compare(a._2, b._2)
+            if (c2 != 0) return c2
+            DeltaRead.utf8Compare(a._3, b._3)
+          }
+        }
       // CONVERGENCE: a clustered partition whose files already cover
       // pairwise-disjoint leading-key ranges, carry no DVs, and sit at
       // (or under) the minimal file count for the target is DONE — a
       // second OPTIMIZE must be a no-op, not an O(partition) rewrite.
-      // Missing stats read as overlapping (rewrite — conservative).
+      // A leading key that records NO bounds (decimal/timestamp/binary
+      // stats, or bounds stripped by the stats policy) converges on
+      // file count alone: rewriting it again could never improve the
+      // observable stats, so looping forever would be pure waste.
       def alreadyClustered(fs: Seq[DeltaRead.FileEntry], totalBytes: Long): Boolean = {
         if (fs.exists(_.dv.isDefined)) return false
         if (fs.size > math.max(1,
             math.ceil(totalBytes.toDouble / targetBytes).toInt) + 1) return false
         val bounds = fs.map(f => (statsBound(f, "minValues"), statsBound(f, "maxValues")))
-        if (bounds.exists(b => b._1.isEmpty || b._2.isEmpty)) return false
-        val ord = implicitly[Ordering[(Int, Double, String)]]
-        val sorted = bounds.map(b => (b._1.get, b._2.get)).sortBy(_._1)(ord)
+        if (bounds.exists(b => b._1.isEmpty || b._2.isEmpty)) return true
+        val sorted = bounds.map(b => (b._1.get, b._2.get)).sortBy(_._1)(boundOrd)
         sorted.zip(sorted.drop(1)).forall { case ((_, hi), (lo, _)) =>
-          ord.lteq(hi, lo) }
+          boundOrd.lteq(hi, lo) }
       }
       // bin-pack per partition tuple: greedy fill in commit order.
       // CLUSTERED tables instead take the WHOLE tuple as one rewrite
@@ -2815,10 +2839,12 @@ object DeltaWrite {
       // never engage)
       val groups = s.files.groupBy(_.partitionValues).toSeq.flatMap { case (pv, fs0) =>
         if (clusterCols.nonEmpty) {
-          val totalBytes = fs0.map(f => Files.size(Paths.get(table, f.path))).sum
-          if ((fs0.size >= 2 || fs0.exists(_.dv.isDefined)) &&
-              !alreadyClustered(fs0, totalBytes))
-            Seq((pv, fs0.sortBy(statsMin))) else Nil
+          if (fs0.size < 2 && !fs0.exists(_.dv.isDefined)) Nil
+          else {
+            val totalBytes = fs0.map(f => Files.size(Paths.get(table, f.path))).sum
+            if (alreadyClustered(fs0, totalBytes)) Nil
+            else Seq((pv, fs0.sortBy(statsMin)(boundOrd), totalBytes))
+          }
         } else {
           val fs = fs0
           val bins = scala.collection.mutable.ArrayBuffer.empty[
@@ -2832,14 +2858,14 @@ object DeltaWrite {
           }
           // singletons stay — unless they carry a DV, in which case the
           // solo rewrite IS the point (purge the bitmap)
-          bins.map(b => (pv, b._1.toSeq))
+          bins.map(b => (pv, b._1.toSeq, b._2))
             .filter(g => g._2.size >= 2 || g._2.exists(_.dv.isDefined))
         }
       }
       if (groups.isEmpty) return 0
       val now = System.currentTimeMillis()
       val staged: Seq[(Seq[Staged], Seq[DeltaRead.FileEntry])] = groups.map {
-        case (pv, fs) =>
+        case (pv, fs, groupBytes) =>
         // row-tracking tables preserve each surviving row's stable id
         // through the rewrite by MATERIALIZING it (the config-named
         // columns) — without this, compaction would re-id every row
@@ -2870,8 +2896,7 @@ object DeltaWrite {
             // df is the RAW rewrite frame — a mapped table's columns
             // carry PHYSICAL names, so the cluster columns must too
             val dataCols = clusterCols.map(c => physBy.getOrElse(c, c))
-            val totalBytes = fs.map(f => Files.size(Paths.get(table, f.path))).sum
-            val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+            val n = math.max(1, math.ceil(groupBytes.toDouble / targetBytes).toInt)
             df.repartitionByRange(n, dataCols.map(col): _*)
               .sortWithinPartitions(dataCols.map(col): _*)
           }
@@ -2978,7 +3003,9 @@ object DeltaWrite {
     // only WHOLE checkpoints may anchor the boundary: a crashed
     // multipart/v2 writer leaves files that name a version but cannot
     // resolve it — deleting history below such a ghost would strand
-    // the table with no resolvable state at all
+    // the table with no resolvable state at all. isWholeCheckpoint
+    // re-lists the log per candidate; fine for this rare maintenance
+    // call, revisit if cleanup ever runs against object-store LISTs
     val cpVersions = all.flatMap { n =>
       if (n.endsWith(".checkpoint.parquet") &&
           n.stripSuffix(".checkpoint.parquet").forall(_.isDigit))

@@ -143,7 +143,12 @@ object IncrementalView {
     // where the layout allows; the scan is bounded by the dirty keys'
     // files, never the full lake). Counts stay incremental — they are
     // exact by algebra alone.
-    val needRecompute = spec.minMaxes.nonEmpty || spec.sums.nonEmpty
+    // the recompute machinery only engages when the range actually
+    // CONTAINS a delete — the common append-only refresh of a
+    // sum-only view must not plan a base-head join at all (the dirty
+    // probe is one small aggregation over the already-grouped delta)
+    val needRecompute = (spec.minMaxes.nonEmpty || spec.sums.nonEmpty) &&
+      !delta.where(col("__hasdel") === 1).isEmpty
     val recomputed =
       if (!needRecompute) None
       else {
@@ -163,21 +168,26 @@ object IncrementalView {
     val joined0 = delta.join(cur, spec.keys, "left")
     val joined = recomputed.fold(joined0)(r => joined0.join(r, spec.keys, "left"))
     val dirtyFlag = col("__hasdel") === 1
+    // when no delete exists in the range the recompute frame (and its
+    // __r_* columns) was never built; dirtyFlag is then false on every
+    // row, so the dirty branch may reference a typed null instead
+    def rCol(name: String): Column =
+      if (recomputed.isDefined) col(name) else lit(null)
     val outCols: Seq[Column] = spec.keys.map(col) ++
       Seq((coalesce(col("__cur_cnt"), lit(0L)) + col("__dcnt")).as("cnt")) ++
       spec.sums.map(c =>
         // dirty keys take the exact recompute; clean keys fold the
         // three-way null algebra of SQL SUM: both-null stays null,
         // otherwise nulls read as the additive identity
-        when(dirtyFlag, col(s"__r_sum_$c")).otherwise(
+        when(dirtyFlag, rCol(s"__r_sum_$c")).otherwise(
           when(col(s"__cur_sum_$c").isNull && col(s"__dsum_$c").isNull, lit(null))
             .otherwise(coalesce(col(s"__cur_sum_$c"), lit(0L).cast("long")) +
               coalesce(col(s"__dsum_$c"), lit(0L).cast("long")))).as(s"sum_$c")) ++
       spec.minMaxes.flatMap { c =>
         Seq(
-          when(dirtyFlag, col(s"__r_min_$c"))
+          when(dirtyFlag, rCol(s"__r_min_$c"))
             .otherwise(least(col(s"__cur_min_$c"), col(s"__imin_$c"))).as(s"min_$c"),
-          when(dirtyFlag, col(s"__r_max_$c"))
+          when(dirtyFlag, rCol(s"__r_max_$c"))
             .otherwise(greatest(col(s"__cur_max_$c"), col(s"__imax_$c"))).as(s"max_$c"))
       }
     val next = joined.select(outCols: _*)
