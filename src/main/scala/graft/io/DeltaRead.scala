@@ -354,6 +354,30 @@ object DeltaRead {
     }
   }
 
+  /** The oldest version a replay can still resolve: 0 while the full
+    * JSON history survives, else the oldest surviving WHOLE checkpoint
+    * ([[DeltaWrite.cleanMetadata]] deletes the contiguous prefix below
+    * its boundary checkpoint, so everything at or above that
+    * checkpoint is replayable and nothing below it is). Consumers that
+    * walk history (vacuum's DV-window guard) must clamp their start
+    * here — asking for anything older hits `applyJsonCommit`'s
+    * missing-file require. */
+  private[io] def oldestResolvableVersion(table: String): Long = {
+    if (Files.exists(logDir(table).resolve(f"${0L}%020d.json"))) 0L
+    else {
+      val names = listLog(table)
+      val singles = names.filter(_.endsWith(".checkpoint.parquet"))
+        .map(_.stripSuffix(".checkpoint.parquet")).filter(_.forall(_.isDigit))
+        .map(_.toLong)
+      val others = names.collect {
+        case MultiPartRe(ver, _, _) => ver.toLong
+        case V2Re(ver, _, _) => ver.toLong
+      }.distinct
+      (singles ++ others).filter(isWholeCheckpoint(table, _)).minOption
+        .getOrElse(0L)
+    }
+  }
+
   /** Replay state: insertion-ordered so output file order is the
     * commit order (deterministic reads). */
   private final class Replay {
@@ -996,7 +1020,13 @@ object DeltaRead {
     (0L to head).find(v => commitTimestamp(table, v).exists(_ >= cutoffTs)) match {
       case None => Set.empty
       case Some(vMin) =>
-        val start = math.max(0L, vMin - 1)
+        // clamp to the oldest version cleanMetadata left resolvable: a
+        // vacuum whose retention exceeds delta.logRetentionDuration can
+        // otherwise land start below the log-cleanup boundary, where no
+        // checkpoint or JSONs survive and the replay's require throws.
+        // Versions older than the boundary are unreachable by time
+        // travel anyway, so they are outside the protectable window.
+        val start = math.max(oldestResolvableVersion(table), vMin - 1)
         val out = scala.collection.mutable.HashSet.empty[Path]
         val r = new Replay
         val cp = checkpointAtOrBelow(table, start)

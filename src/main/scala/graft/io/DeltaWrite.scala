@@ -279,11 +279,15 @@ object DeltaWrite {
     * and deletion vectors have full read+write paths, and
     * changeDataFeed emits `_change_data` cdc files on every
     * row-changing commit that add/remove actions alone cannot
-    * represent (see `cdcEnabled` call sites). Anything else (row
-    * tracking, ...) would require semantics this writer does not
-    * implement, so committing to such a table is refused — the
-    * protocol forbids a writer from touching a table whose writer
-    * features it does not support. */
+    * represent (see `cdcEnabled` call sites); row tracking, identity
+    * columns, in-commit timestamps, type widening, variant/shredding,
+    * clustering, collations, column defaults and checkpointProtection
+    * each carry their obligation for real at their call sites (listed
+    * inline below). Any feature NOT in this set would require
+    * semantics this writer does not implement, so committing to such
+    * a table is refused — the protocol forbids a writer from touching
+    * a table whose writer features it does not support (the one named
+    * refusal is icebergCompat; see COVERAGE.md). */
   private val SupportedWriterFeatures =
     Set("appendOnly", "invariants", "columnMapping", "deletionVectors",
       "checkConstraints", "generatedColumns", "changeDataFeed",
@@ -3043,7 +3047,25 @@ object DeltaWrite {
         case _ => false
       }
     }
+    // a doomed commit's `_change_data` cdc files die WITH its JSON:
+    // changesBetween refuses below the cleanup boundary regardless, and
+    // vacuum deliberately never touches CdcDir — without this sweep the
+    // cdc parquet of expired commits would be orphaned forever (an
+    // unbounded leak on long-lived CDF tables). Safe to collect from
+    // doomed JSONs alone: stage() names every cdc file with a fresh
+    // UUID, so no surviving commit can reference the same path.
+    val doomedCdc = doomed.filter(_.endsWith(".json")).flatMap { n =>
+      Files.readAllLines(ld.resolve(n)).asScala
+        .filter(_.trim.nonEmpty).flatMap { line =>
+          val cdcN = mapper.readTree(line).get("cdc")
+          if (cdcN == null) Nil
+          else Seq(DeltaRead.decodePath(cdcN.get("path").asText()))
+        }
+    }.distinct
     doomed.foreach { n => Files.deleteIfExists(ld.resolve(n)); deleted += 1 }
+    doomedCdc.foreach { rel =>
+      if (Files.deleteIfExists(Paths.get(table, rel))) deleted += 1
+    }
     // sidecars: keep any file a SURVIVING v2 manifest still references
     val sidecarDir = ld.resolve("_sidecars")
     if (Files.isDirectory(sidecarDir)) {
@@ -3105,7 +3127,8 @@ object DeltaWrite {
             // cdc files share the JSON log's lifetime (changesBetween
             // refuses once the commit JSON is gone, and this writer
             // never truncates surviving commits), so they are not
-            // vacuum's to reclaim
+            // vacuum's to reclaim — cleanMetadata deletes them in the
+            // same sweep that expires their commit JSON
             !p.startsWith(root.resolve(CdcDir)) &&
             !n.startsWith("_") &&
             ((n.endsWith(".parquet") && !live(p.normalize()) &&

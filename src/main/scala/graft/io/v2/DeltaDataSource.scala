@@ -39,7 +39,15 @@ class DeltaDataSource extends RelationProvider
     * the checkpoint said. The appId comes from the `txnAppId` option
     * when given (several queries may then share one target table),
     * else from the checkpoint location — the stable identity of a
-    * restartable query. Pairs with the `graft-delta-cdf` SOURCE for an
+    * restartable query. There is deliberately NO path-based fallback:
+    * two independent queries writing the same table would share one
+    * SetTransaction appId, and their overlapping batchIds (both start
+    * at 0) would be silently skipped by the appendOnce replay guard —
+    * silent data loss. A checkpoint resolved only from the
+    * `spark.sql.streaming.checkpointLocation` conf never reaches this
+    * options map, so that configuration must pass `txnAppId` (or an
+    * explicit per-query `checkpointLocation` option) instead.
+    * Pairs with the `graft-delta-cdf` SOURCE for an
     * end-to-end exactly-once Delta→Delta pipeline through nothing but
     * standard writeStream/readStream APIs. */
   override def createSink(sqlContext: SQLContext,
@@ -57,7 +65,14 @@ class DeltaDataSource extends RelationProvider
         "Complete/Update would duplicate rows on every trigger")
     val appId = parameters.get("txnAppId")
       .orElse(parameters.get("checkpointLocation").map("graft-delta-sink:" + _))
-      .getOrElse("graft-delta-sink:" + path)
+      .getOrElse(throw new IllegalArgumentException(
+        "graft-delta sink: set option 'txnAppId' (or a per-query " +
+          "'checkpointLocation' option) — without a per-query identity, " +
+          "two queries writing the same table would share one " +
+          "SetTransaction appId and overlapping batchIds would be " +
+          "silently deduplicated (data loss). A checkpoint taken from " +
+          "the spark.sql.streaming.checkpointLocation conf does not " +
+          "reach the sink's options, so it cannot serve as identity."))
     new org.apache.spark.sql.execution.streaming.Sink {
       override def addBatch(batchId: Long,
           data: org.apache.spark.sql.DataFrame): Unit = {

@@ -186,4 +186,17 @@ class DeltaDataSourceSpec extends SparkTestBase {
         .exists(_.startsWith("graft-delta-sink:")), "ledger must be recorded")
     } finally { cleanup(src); cleanup(dst); cleanup(ckpt) }
   }
+
+  test("streaming sink refuses to start without a per-query identity") {
+    // with no txnAppId and no checkpointLocation OPTION there is no
+    // per-query identity: a path-derived appId would be shared by every
+    // query writing the table, and their overlapping batchIds would be
+    // silently deduplicated by the appendOnce replay guard (data loss)
+    val e = intercept[IllegalArgumentException] {
+      new graft.io.v2.DeltaDataSource().createSink(spark.sqlContext,
+        Map("path" -> newTable()), Nil,
+        org.apache.spark.sql.streaming.OutputMode.Append())
+    }
+    assert(e.getMessage.contains("txnAppId"))
+  }
 }

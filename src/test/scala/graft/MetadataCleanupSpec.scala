@@ -143,4 +143,63 @@ class MetadataCleanupSpec extends SparkTestBase {
       assert(DeltaRead.read(spark, t).count() == 3)
     } finally cleanup(t)
   }
+
+  private def cdcPathsOf(t: String, v: Long): Seq[String] =
+    Files.readAllLines(Paths.get(t, "_delta_log", f"$v%020d.json")).asScala
+      .filter(_.contains("\"cdc\"")).map { l =>
+        """"path":"([^"]+)"""".r.findFirstMatchIn(l).get.group(1)
+      }.toSeq
+
+  test("cleanMetadata reclaims the cdc files of expired commits, keeps the rest") {
+    val t = newTable()
+    try {
+      DeltaWrite.append((1 to 60).map(i => (i.toLong, s"x$i")).toDF("id", "s"), t) // v0
+      DeltaWrite.setProperties(spark, t,
+        Map("delta.enableChangeDataFeed" -> "true"))                       // v1
+      DeltaWrite.deleteWhere(spark, t, col("id") % 3 === 0)                // v2 cdc
+      DeltaWrite.setProperties(spark, t,
+        Map("delta.logRetentionDuration" -> "interval 0 seconds"))         // v3
+      DeltaWrite.checkpoint(spark, t)                                      // cp@3
+      DeltaWrite.deleteWhere(spark, t, col("id") % 7 === 0)                // v4 cdc
+      val doomedCdc = cdcPathsOf(t, 2L)
+      val keptCdc = cdcPathsOf(t, 4L)
+      assert(doomedCdc.nonEmpty && keptCdc.nonEmpty)
+      assert(DeltaWrite.cleanMetadata(spark, t) > 0)
+      // the expired commit's cdc parquet died WITH its JSON — without
+      // this, vacuum (which never touches _change_data) would leave it
+      // orphaned forever
+      doomedCdc.foreach(p => assert(!Files.exists(Paths.get(t, p)),
+        s"cdc file $p of expired commit 2 must be reclaimed"))
+      keptCdc.foreach(p => assert(Files.exists(Paths.get(t, p)),
+        s"cdc file $p of surviving commit 4 must stay"))
+      // the surviving change feed still reads via its cdc files
+      val tail = DeltaRead.changesBetween(spark, t, 3L, 4L)
+      assert(tail.where(col(DeltaRead.ChangeTypeCol) === "delete").count() > 0)
+      assert(DeltaRead.read(spark, t).count() ==
+        60 - 20 - (1 to 60).count(i => i % 7 == 0 && i % 3 != 0))
+    } finally cleanup(t)
+  }
+
+  test("vacuum with retention past the cleaned log boundary clamps, not throws") {
+    val t = newTable()
+    try {
+      DeltaWrite.append((1 to 40).map(i => (i.toLong, s"x$i")).toDF("id", "s"), t) // v0
+      DeltaWrite.append(Seq((100L, "y")).toDF("id", "s"), t)               // v1
+      DeltaWrite.deleteWhere(spark, t, col("id") % 4 === 0)                // v2 (DV)
+      DeltaWrite.checkpoint(spark, t)                                      // cp@2
+      DeltaWrite.setProperties(spark, t,
+        Map("delta.logRetentionDuration" -> "interval 0 seconds"))         // v3
+      DeltaWrite.checkpoint(spark, t)                                      // cp@3
+      DeltaWrite.append(Seq((200L, "z")).toDF("id", "s"), t)               // v4
+      assert(DeltaWrite.cleanMetadata(spark, t) > 0)                       // kills <3
+      // a DV-protecting vacuum whose retention exceeds the log
+      // retention lands its window start below the cleanup boundary,
+      // where no checkpoint or JSONs survive — the replay must clamp to
+      // the oldest resolvable version instead of throwing
+      val n = DeltaWrite.vacuum(spark, t, retentionMs = 7L * 24 * 3600 * 1000)
+      assert(n >= 0)
+      // 40 base − 10 (id%4) − id=100 (also %4) + the two appends
+      assert(DeltaRead.read(spark, t).count() == 40 - 10 - 1 + 2)
+    } finally cleanup(t)
+  }
 }
