@@ -20,7 +20,12 @@ object Sessions {
       .config("spark.ui.enabled", "false")
 
   def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
-    val s = tune(SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
+    // withExtensions applies only when THIS call creates the session
+    // (getOrCreate ignores it on reuse) — Verify/Bench/tests all build
+    // through here first, so SQL DML on graft-delta works everywhere;
+    // a foreign session opts in via spark.sql.extensions
+    val s = tune(SparkSession.builder().master(s"local[$cpus]")
+      .withExtensions(new graft.plans.GraftExtensions), cpus).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     graft.functions.NativeRegistry.register(s)
     s

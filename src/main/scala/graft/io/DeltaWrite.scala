@@ -1477,6 +1477,31 @@ object DeltaWrite {
   def overwrite(df: DataFrame, table: String, partitionBy: Seq[String] = Nil): Long =
     commit(df, table, partitionBy, replaceExisting = true, txn = None).get
 
+  /** CREATE TABLE — commit the table's schema (and optional partition
+    * columns / table properties) at version 0 with NO data, the shape
+    * `CREATE TABLE ... USING graft-delta` needs. Rides the normal
+    * commit path with an empty batch, so feature-gated schemas
+    * (variant, TIMESTAMP_NTZ, collations, column defaults, generated
+    * columns) announce their protocol obligations exactly as a
+    * data-bearing creation would. Properties land as a second,
+    * metaData-only commit via [[setProperties]] — reusing its protocol
+    * bookkeeping (e.g. `delta.enableChangeDataFeed` advancing the
+    * writer version) instead of duplicating it here. Identity-bearing
+    * schemas are refused: [[createWithIdentity]] is the door that
+    * seeds the high-water mark correctly. */
+  def createEmpty(spark: SparkSession, table: String, schema: StructType,
+      partitionBy: Seq[String] = Nil,
+      properties: Map[String, String] = Map.empty): Long = {
+    require(!tableExists(table), s"createEmpty: $table already exists")
+    require(!schema.fields.exists(_.metadata.contains(IdStartKey)),
+      s"createEmpty: $table schema carries identity columns — use " +
+        "createWithIdentity, which seeds the identity high-water mark")
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    val v0 = append(empty, table, partitionBy)
+    if (properties.nonEmpty) setProperties(spark, table, properties) else v0
+  }
+
   /** Create `table` at version 0 WITH column mapping enabled
     * (`delta.columnMapping.mode` = `name` or `id`): every field at
     * every nesting level gets a `col-<uuid>` physical name and a
@@ -2563,6 +2588,142 @@ object DeltaWrite {
         insertWhen = Some(ct === "insert")))
   }
 
+  /** Row-level UPDATE — SQL `UPDATE t SET c = expr, ... WHERE cond` as
+    * a COPY-ON-WRITE rewrite of only the touched files, the merge
+    * two-pass shape without a join: pass 1 scans with lineage and
+    * collects the file set holding any row matching `predicate`
+    * (metadata-sized — one path per touched file); pass 2 re-reads ONLY
+    * those files, splits rows into kept (predicate false/null — an
+    * UPDATE must not touch a row whose condition is unknown) and
+    * updated (every assignment evaluated simultaneously over the
+    * PRE-image, the SQL contract — `SET a = b, b = a` swaps), and
+    * stages kept ∪ updated. The commit removes the touched files and
+    * adds the staged batch — cost O(touched), never O(table).
+    *
+    * `predicate` and assignment values must be deterministic (they are
+    * evaluated in both passes). Assignments naming identity columns are
+    * refused (caller-chosen values would bypass the high-water mark);
+    * generated columns are refused directly and validated indirectly —
+    * updating a generation-source column fails validation unless the
+    * generated column is recomputed consistently, which this writer
+    * does not do silently. Deletion vectors on touched files are
+    * honored (masked rows neither update nor resurrect); row-tracking
+    * tables preserve stable row ids through the rewrite; CDF-obligated
+    * tables record exact `update_preimage`/`update_postimage` cdc rows.
+    * Returns the committed version — or the current version unchanged
+    * when no row matches. */
+  def updateWhere(spark: SparkSession, table: String,
+      predicate: org.apache.spark.sql.Column,
+      assignments: Seq[(String, org.apache.spark.sql.Column)],
+      maxRetries: Int = 10): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    require(assignments.nonEmpty, "updateWhere: no assignments")
+    val dup = assignments.groupBy(_._1.toLowerCase).collect {
+      case (n, as) if as.size > 1 => n }
+    require(dup.isEmpty,
+      s"updateWhere: duplicate assignment targets ${dup.mkString(",")}")
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val v = DeltaRead.latestVersion(table)
+      val snap = DeltaRead.snapshotAt(spark, table, v)
+      validateWriterSupport(table, snap, removesData = true)
+      val committed = snap.schema.getOrElse(throw new IllegalStateException(
+        s"updateWhere: $table has no committed schema"))
+      // resolve targets case-insensitively against the committed schema
+      val byLower = committed.fieldNames.map(n => n.toLowerCase -> n).toMap
+      val assigns: Map[String, org.apache.spark.sql.Column] =
+        assignments.map { case (n, c) =>
+          byLower.getOrElse(n.toLowerCase, throw new IllegalArgumentException(
+            s"updateWhere: no column '$n' in $table " +
+              s"(${committed.fieldNames.mkString(",")})")) -> c
+        }.toMap
+      assigns.keys.foreach { n =>
+        val f = committed(n)
+        if (f.metadata.contains(IdStartKey))
+          throw new UnsupportedOperationException(
+            s"updateWhere: '$n' is an identity column of $table — " +
+              "caller-chosen values would bypass the high-water mark")
+        if (f.metadata.contains(GenKey))
+          throw new UnsupportedOperationException(
+            s"updateWhere: '$n' is a generated column of $table — its " +
+              "value derives from the generation expression")
+      }
+      val mapCtx =
+        if (!DeltaRead.ColumnMapping.active(snap.columnMappingMode)) None
+        else {
+          val startMax = snap.configuration.get(WriteMapping.MaxIdKey)
+            .flatMap(_.toLongOption).getOrElse(WriteMapping.maxId(committed))
+          Some(WriteMapping.Ctx(snap.columnMappingMode, committed, startMax))
+        }
+      val outCols = committed.fields.toSeq.map(f => col(f.name))
+      // the SQL three-valued contract in two-valued form: TRUE updates,
+      // FALSE and NULL keep
+      val hit = coalesce(predicate, lit(false))
+      // pass 1: lineage scan — the touched-file set only
+      val touchedAbs = DeltaRead.readVersionWithLineage(spark, table, v)
+        .where(hit).select(col(DeltaRead.LineageFile)).distinct()
+        .collect().map(_.getString(0)).toSet
+      if (touchedAbs.isEmpty) return v // no row matches: no empty commit
+      val byAbs = snap.files.map(f =>
+        (Paths.get(table, f.path).toAbsolutePath.normalize().toString, f)).toMap
+      val touched = touchedAbs.toSeq.sorted.map(a => byAbs.getOrElse(a,
+        throw new IllegalStateException(
+          s"updateWhere: lineage path $a not in snapshot")))
+      val matPair: Option[(String, String)] =
+        if (rowTrackingOn(snap))
+          snap.configuration.get(MatRowIdKey).zip(snap.configuration.get(MatRcvKey))
+        else None
+      val matSel = matPair.toSeq.flatMap { case (a, b) => Seq(col(a), col(b)) }
+      // pass 2: re-read ONLY the touched files
+      val tTouched = matPair match {
+        case Some(_) => DeltaRead.readFilesForRewrite(spark, table, v,
+          touched.map(_.path).toSet)
+        case None => DeltaRead.readFilesWithLineage(spark, table, v,
+          touched.map(_.path).toSet)
+      }
+      // every assignment sees the PRE-image: one simultaneous select
+      val postCols = committed.fields.toSeq.map(f =>
+        assigns.getOrElse(f.name, col(f.name)).as(f.name))
+      val kept = tTouched.where(!hit).select(outCols ++ matSel: _*)
+      val pre = tTouched.where(hit)
+      val updated = pre.select(postCols ++ matSel: _*)
+      val batch = kept.unionByName(updated)
+      val wantCdc = cdcEnabled(snap.configuration)
+      val ctCol = DeltaRead.ChangeTypeCol
+      val cdcRows: Option[DataFrame] =
+        if (!wantCdc) None
+        else Some(pre.select(outCols: _*)
+          .withColumn(ctCol, lit("update_preimage"))
+          .unionByName(pre.select(postCols: _*)
+            .withColumn(ctCol, lit("update_postimage"))))
+      enforceConstraints(batch, snap.configuration, table)
+      enforceInvariants(batch, committed, table)
+      // generated columns are validated, never silently recomputed: an
+      // update that breaks source↔generated consistency is refused
+      applyGeneratedColumns(batch, committed, table)
+      val stagedDf = mapCtx.map(c => WriteMapping.physicalizeDf(batch, c.schema))
+        .getOrElse(batch)
+      val stagedPartitionBy = mapCtx
+        .map(c => snap.partitionColumns.map(c.physByLogical))
+        .getOrElse(snap.partitionColumns)
+      val staged = shredGuard(spark, Some(snap), stagedDf.schema)(
+        stage(stagedDf, table, stagedPartitionBy))
+      val cdcStaged = shredGuard(spark, Some(snap), stagedDf.schema)(
+        cdcRows.map(stageCdc(_, table, snap)).getOrElse(Nil))
+      val now = System.currentTimeMillis()
+      val lines = Seq(commitInfoAction("UPDATE", now)) ++
+        touched.map(f => removeAction(f.path, now)) ++
+        staged.map(s => addAction(s)) ++
+        cdcStaged.map(cdcAction)
+      if (publish(table, Some(snap), v + 1, lines)) return v + 1
+      dropStaged(table, staged)
+      dropStaged(table, cdcStaged)
+      attempt += 1 // lost the CAS race: replan against the winner
+    }
+    throw new IllegalStateException(
+      s"updateWhere: lost $maxRetries commit races on $table")
+  }
+
   /** ALTER TABLE ADD CONSTRAINT: record a CHECK constraint
     * (`delta.constraints.<name>` = a SQL boolean expression over the
     * logical columns) that every future append/overwrite/merge batch
@@ -2644,6 +2805,35 @@ object DeltaWrite {
       attempt += 1
     }
     throw new IllegalStateException(s"setProperties: lost 10 races on $table")
+  }
+
+  /** ALTER TABLE UNSET TBLPROPERTIES — metaData-only commit dropping
+    * the named configuration keys. Feature-OBLIGATION keys refuse to
+    * unset this way: removing `delta.enableChangeDataFeed` is legal
+    * (future commits simply stop writing cdc), but constraint keys ride
+    * [[dropCheckConstraint]] so existing-data validation stays in one
+    * place. Unknown keys are ignored (idempotent), matching SQL's
+    * `IF EXISTS` leniency. */
+  def unsetProperties(spark: SparkSession, table: String,
+      keys: Seq[String]): Long = {
+    require(keys.forall(!_.startsWith("delta.constraints.")),
+      "unsetProperties: CHECK constraints are dropped via dropCheckConstraint")
+    var attempt = 0
+    while (attempt < 10) {
+      val v = DeltaRead.latestVersion(table)
+      val s = DeltaRead.snapshotAt(spark, table, v)
+      validateWriterSupport(table, s, removesData = false)
+      if (!keys.exists(s.configuration.contains)) return v // nothing to drop
+      val now = System.currentTimeMillis()
+      val lines = Seq(commitInfoAction("UNSET TBLPROPERTIES", now),
+        metaDataAction(s.metaId.getOrElse(UUID.randomUUID().toString),
+          s.schema.map(_.json).getOrElse(throw new IllegalStateException(
+            s"unsetProperties: $table has no schema")),
+          s.partitionColumns, now, s.configuration -- keys))
+      if (publish(table, Some(s), v + 1, lines)) return v + 1
+      attempt += 1
+    }
+    throw new IllegalStateException(s"unsetProperties: lost 10 races on $table")
   }
 
   /** ALTER TABLE DROP CONSTRAINT — metaData-only commit removing the

@@ -129,12 +129,12 @@ class DeltaDataSource extends RelationProvider
     val path = parameters.getOrElse("path",
       throw new IllegalArgumentException("graft-delta: 'path' option is required"))
     val spark = sqlContext.sparkSession
-    val version = parameters.get("versionAsOf").map(_.toLong)
+    val pinned = parameters.get("versionAsOf").map(_.toLong)
       .orElse(parameters.get("timestampAsOf").map { ts =>
         DeltaRead.versionAtTime(spark, path, parseTimestampOption(ts))
       })
-      .getOrElse(DeltaRead.latestVersion(path))
-    new DeltaRelation(sqlContext, path, version)
+    val version = pinned.getOrElse(DeltaRead.latestVersion(path))
+    new DeltaRelation(sqlContext, path, version, pinned = pinned.isDefined)
   }
 
   /** `timestampAsOf` accepts epoch millis, a zoned instant
@@ -164,7 +164,8 @@ class DeltaDataSource extends RelationProvider
     }
 }
 
-private[v2] class DeltaRelation(ctx: SQLContext, table: String, version: Long)
+private[graft] class DeltaRelation(ctx: SQLContext, val table: String,
+    val version: Long, val pinned: Boolean = false)
     extends BaseRelation with PrunedFilteredScan with InsertableRelation {
   override def sqlContext: SQLContext = ctx
   override val schema: StructType =

@@ -1,0 +1,424 @@
+package graft.io.v2
+
+import java.nio.file.{Files, Path, Paths}
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.expressions.filter.{AlwaysFalse, AlwaysTrue, And => V2And, Not => V2Not, Or => V2Or, Predicate => V2Predicate}
+import org.apache.spark.sql.connector.expressions.{FieldReference, Literal => V2Literal, NamedReference}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext}
+
+import graft.io.{DeltaRead, DeltaWrite}
+
+/** A DSv2 `TableCatalog` over a directory of graft-delta tables — the
+  * catalog-resolved SQL door to the lakehouse layer:
+  *
+  * {{{
+  * spark.sql.catalog.graft          = graft.io.v2.GraftCatalog
+  * spark.sql.catalog.graft.warehouse = /data/warehouse
+  *
+  * CREATE TABLE graft.db.events (id BIGINT, ts TIMESTAMP) USING graft-delta
+  * INSERT INTO graft.db.events SELECT ...
+  * SELECT * FROM graft.db.events VERSION AS OF 3
+  * DELETE FROM graft.db.events WHERE id < 0     -- via GraftSqlDml
+  * }}}
+  *
+  * An identifier `db.t` maps to `<warehouse>/db/t`; `LOCATION` creates
+  * an external table at an explicit path. Reads and writes delegate to
+  * the existing transactional reader/writer through the V1 fallback
+  * interfaces ([[V1Scan]]/[[V1Write]]) — the battle-tested
+  * [[DeltaRelation]] scan (stats pruning + parquet pushdown) and
+  * [[DeltaWrite.append]]/[[DeltaWrite.overwrite]] serve catalog tables
+  * byte-identically to path-options tables, so the two doors cannot
+  * drift. Time travel resolves through the `loadTable(ident, version)` /
+  * `loadTable(ident, timestampMicros)` catalog hooks (Spark routes
+  * `VERSION AS OF` / `TIMESTAMP AS OF` there).
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+  private var catalogName: String = _
+  private var warehouse: Path = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val w = options.get("warehouse")
+    require(w != null && w.nonEmpty,
+      s"GraftCatalog '$name': set spark.sql.catalog.$name.warehouse to the " +
+        "directory that holds (or will hold) the catalog's tables")
+    warehouse = Paths.get(w).toAbsolutePath.normalize()
+  }
+
+  override def name(): String = catalogName
+
+  /** `db.t` → `<warehouse>/db/t`, refusing identifier segments that
+    * could escape the warehouse root (path traversal via a crafted
+    * table name is a correctness AND security hole). */
+  private def tableDir(ident: Identifier): Path = {
+    val segs = ident.namespace().toSeq :+ ident.name()
+    segs.foreach(s => require(
+      s.nonEmpty && !s.contains("/") && !s.contains("\\") && s != "." && s != "..",
+      s"GraftCatalog: illegal identifier segment '$s'"))
+    segs.foldLeft(warehouse)(_.resolve(_))
+  }
+
+  private def isTable(dir: Path): Boolean =
+    Files.isDirectory(dir.resolve("_delta_log"))
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def tableExists(ident: Identifier): Boolean = isTable(tableDir(ident))
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    new GraftTable(dir.toString, fullName(ident), None)
+  }
+
+  /** `VERSION AS OF <v>` — also accepts a timestamp string, mirroring
+    * the `versionAsOf` path option's leniency. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val v = version.toLongOption.getOrElse(throw new IllegalArgumentException(
+      s"GraftCatalog: VERSION AS OF wants a commit number, got '$version'"))
+    new GraftTable(dir.toString, fullName(ident), Some(v))
+  }
+
+  /** `TIMESTAMP AS OF <ts>` — Spark hands MICROseconds since epoch. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val v = DeltaRead.versionAtTime(spark, dir.toString, timestampMicros / 1000L)
+    new GraftTable(dir.toString, fullName(ident), Some(v))
+  }
+
+  private def fullName(ident: Identifier): String =
+    (Seq(catalogName) ++ ident.namespace().toSeq :+ ident.name()).mkString(".")
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val props = properties.asScala.toMap
+    props.get(TableCatalog.PROP_PROVIDER).foreach { p =>
+      require(p.equalsIgnoreCase("graft-delta"),
+        s"GraftCatalog serves graft-delta tables only, got USING $p")
+    }
+    // LOCATION makes the table external: data lives (and stays) there
+    val dir = props.get(TableCatalog.PROP_LOCATION)
+      .map(l => Paths.get(l).toAbsolutePath.normalize())
+      .getOrElse(tableDir(ident))
+    val partitionBy = partitions.toSeq.map {
+      case t if t.name == "identity" && t.references().length == 1 =>
+        t.references()(0).fieldNames().mkString(".")
+      case other => throw new UnsupportedOperationException(
+        s"GraftCatalog: only PARTITIONED BY (col) is supported, got $other")
+    }
+    // reserved/engine keys are Spark bookkeeping, not table properties
+    val reserved = Set(TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION,
+      TableCatalog.PROP_OWNER, TableCatalog.PROP_EXTERNAL,
+      TableCatalog.PROP_IS_MANAGED_LOCATION, TableCatalog.PROP_TABLE_TYPE,
+      "option.path", "path")
+    val tblProps = props.filterNot { case (k, _) =>
+      reserved.contains(k) || k.startsWith(TableCatalog.OPTION_PREFIX)
+    }
+    DeltaWrite.createEmpty(spark, dir.toString, schema, partitionBy, tblProps)
+    new GraftTable(dir.toString, fullName(ident), None)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val sets = changes.collect { case s: TableChange.SetProperty =>
+      s.property() -> s.value() }
+    val unsets = changes.collect { case r: TableChange.RemoveProperty => r.property() }
+    val other = changes.filterNot(c => c.isInstanceOf[TableChange.SetProperty] ||
+      c.isInstanceOf[TableChange.RemoveProperty])
+    if (other.nonEmpty) throw new UnsupportedOperationException(
+      s"GraftCatalog: ALTER TABLE supports SET/UNSET TBLPROPERTIES; for " +
+        s"schema changes use the Scala writer APIs. Got: ${other.mkString(", ")}")
+    if (sets.nonEmpty) DeltaWrite.setProperties(spark, dir.toString, sets.toMap)
+    if (unsets.nonEmpty) DeltaWrite.unsetProperties(spark, dir.toString, unsets)
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) return false
+    org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    true
+  }
+
+  override def renameTable(from: Identifier, to: Identifier): Unit = {
+    val src = tableDir(from)
+    if (!isTable(src)) throw new NoSuchTableException(from)
+    if (tableExists(to)) throw new TableAlreadyExistsException(to)
+    val dst = tableDir(to)
+    Files.createDirectories(dst.getParent)
+    Files.move(src, dst)
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = namespace.foldLeft(warehouse)(_.resolve(_))
+    if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(namespace)
+    val st = Files.list(dir)
+    try st.iterator().asScala
+      .filter(p => isTable(p))
+      .map(p => Identifier.of(namespace, p.getFileName.toString))
+      .toArray
+    finally st.close()
+  }
+
+  // --- namespaces: directories under the warehouse root ---
+
+  override def listNamespaces(): Array[Array[String]] = {
+    if (!Files.isDirectory(warehouse)) return Array.empty
+    val st = Files.list(warehouse)
+    try st.iterator().asScala
+      .filter(p => Files.isDirectory(p) && !isTable(p))
+      .map(p => Array(p.getFileName.toString))
+      .toArray
+    finally st.close()
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) return listNamespaces()
+    val dir = namespace.foldLeft(warehouse)(_.resolve(_))
+    if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(namespace)
+    val st = Files.list(dir)
+    try st.iterator().asScala
+      .filter(p => Files.isDirectory(p) && !isTable(p))
+      .map(p => namespace :+ p.getFileName.toString)
+      .toArray
+    finally st.close()
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || Files.isDirectory(namespace.foldLeft(warehouse)(_.resolve(_)))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    new util.HashMap[String, String]()
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    namespace.foreach(s => require(
+      s.nonEmpty && !s.contains("/") && !s.contains("\\") && s != "." && s != "..",
+      s"GraftCatalog: illegal namespace segment '$s'"))
+    Files.createDirectories(namespace.foldLeft(warehouse)(_.resolve(_)))
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "GraftCatalog: namespaces carry no metadata to alter")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val dir = namespace.foldLeft(warehouse)(_.resolve(_))
+    if (!Files.isDirectory(dir)) return false
+    if (!cascade) {
+      val st = Files.list(dir)
+      val empty = try !st.iterator().hasNext finally st.close()
+      require(empty, s"GraftCatalog: namespace ${namespace.mkString(".")} is " +
+        "not empty — use DROP NAMESPACE ... CASCADE")
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    true
+  }
+}
+
+/** A catalog-resolved graft-delta table. Reads ride [[V1Scan]] into the
+  * existing [[DeltaRelation]] (stats pruning, DV masking, column
+  * mapping, parquet pushdown); writes ride [[V1Write]] into
+  * [[DeltaWrite.append]]/[[DeltaWrite.overwrite]]. `SupportsDeleteV2`
+  * lets simple `DELETE FROM` predicates run even on sessions WITHOUT
+  * [[graft.plans.GraftExtensions]] (Spark's own metadata-delete path);
+  * arbitrary DELETE / UPDATE / MERGE route through the extension rule.
+  * `pinnedVersion` carries `VERSION AS OF` — a pinned table refuses
+  * writes (time travel is a read concept). */
+class GraftTable(val path: String, ident: String,
+    val pinnedVersion: Option[Long]) extends Table
+    with SupportsRead with SupportsWrite with SupportsDeleteV2 {
+  private def spark: SparkSession = SparkSession.active
+
+  /** Reads resolve the head lazily per scan; a pinned table stays put. */
+  private def versionForRead: Long =
+    pinnedVersion.getOrElse(DeltaRead.latestVersion(path))
+
+  override def name(): String =
+    ident + pinnedVersion.map(v => s" VERSION AS OF $v").getOrElse("")
+
+  override lazy val schema: StructType =
+    DeltaRead.readVersion(spark, path, versionForRead).schema
+
+  override def partitioning(): Array[Transform] =
+    DeltaRead.snapshotAt(spark, path, versionForRead)
+      .partitionColumns.map(Expressions.identity).toArray
+
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    DeltaRead.snapshotAt(spark, path, versionForRead)
+      .configuration.foreach { case (k, v) => m.put(k, v) }
+    m.put("provider", "graft-delta")
+    m
+  }
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(path, versionForRead, schema)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(pinnedVersion.isEmpty,
+      s"$ident: cannot write to a time-travelled table (VERSION AS OF " +
+        s"${pinnedVersion.get})")
+    new GraftWriteBuilder(path)
+  }
+
+  // --- SupportsDeleteV2: the no-extensions DELETE door ---
+
+  override def canDeleteWhere(predicates: Array[V2Predicate]): Boolean =
+    pinnedVersion.isEmpty &&
+      predicates.forall(p => GraftTable.predicateToColumn(p).isDefined)
+
+  override def deleteWhere(predicates: Array[V2Predicate]): Unit = {
+    require(pinnedVersion.isEmpty,
+      s"$ident: cannot DELETE from a time-travelled table")
+    val conds = predicates.toSeq.map(p => GraftTable.predicateToColumn(p)
+      .getOrElse(throw new UnsupportedOperationException(
+        s"$ident: cannot translate DELETE predicate ${p.describe()} — " +
+          "register graft.plans.GraftExtensions for arbitrary-predicate DML")))
+    val cond = conds.reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    DeltaWrite.deleteWhere(spark, path, cond)
+  }
+}
+
+private[graft] object GraftTable {
+  import org.apache.spark.sql.functions.{col, lit, not}
+
+  /** Connector `Predicate` → `Column`, for the SupportsDeleteV2 door.
+    * Only shapes with exact Column equivalents translate; anything else
+    * returns None and the caller refuses (never a silent partial
+    * delete). */
+  def predicateToColumn(p: V2Predicate): Option[Column] = {
+    def ref(e: org.apache.spark.sql.connector.expressions.Expression): Option[Column] =
+      e match {
+        case n: NamedReference => Some(col(n.fieldNames().mkString(".")))
+        case l: V2Literal[_] =>
+          Some(org.apache.spark.sql.GraftColumnBridge.column(
+            org.apache.spark.sql.catalyst.expressions.Literal(l.value(), l.dataType())))
+        case _ => None
+      }
+    def bin(f: (Column, Column) => Column): Option[Column] = {
+      val ch = p.children()
+      if (ch.length != 2) None
+      else for (a <- ref(ch(0)); b <- ref(ch(1))) yield f(a, b)
+    }
+    p match {
+      case _: AlwaysTrue => Some(lit(true))
+      case _: AlwaysFalse => Some(lit(false))
+      case a: V2And =>
+        for (l <- predicateToColumn(a.left()); r <- predicateToColumn(a.right()))
+          yield l && r
+      case o: V2Or =>
+        for (l <- predicateToColumn(o.left()); r <- predicateToColumn(o.right()))
+          yield l || r
+      case n: V2Not => predicateToColumn(n.child()).map(not)
+      case _ => p.name() match {
+        case "=" => bin(_ === _)
+        case "<=>" => bin(_ <=> _)
+        case "<>" | "!=" => bin(_ =!= _)
+        case ">" => bin(_ > _)
+        case ">=" => bin(_ >= _)
+        case "<" => bin(_ < _)
+        case "<=" => bin(_ <= _)
+        case "IS_NULL" =>
+          p.children() match { case Array(c) => ref(c).map(_.isNull); case _ => None }
+        case "IS_NOT_NULL" =>
+          p.children() match { case Array(c) => ref(c).map(_.isNotNull); case _ => None }
+        case "IN" =>
+          val ch = p.children()
+          if (ch.length < 2) None
+          else for {
+            c <- ref(ch(0))
+            vs <- ch.tail.foldLeft(Option(Seq.empty[Column])) { (acc, e) =>
+              acc.flatMap(s => ref(e).map(s :+ _))
+            }
+          } yield c.isin(vs: _*)
+        case _ => None
+      }
+    }
+  }
+}
+
+/** Column-pruning + filter-collecting scan builder whose built scan is
+  * a [[V1Scan]] over the existing [[DeltaRelation]] machinery. All
+  * filters are returned as post-scan (Spark re-applies them — the v1
+  * contract), while the translatable subset ALSO drives log-metadata
+  * file pruning and reaches the parquet readers as pushed predicates
+  * inside the delegate. */
+private[v2] class GraftScanBuilder(path: String, version: Long,
+    tableSchema: StructType) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  private var required: StructType = tableSchema
+  private var filters: Array[Filter] = Array.empty
+
+  override def pushFilters(fs: Array[Filter]): Array[Filter] = {
+    filters = fs
+    fs // all re-applied above the scan; double-application is sound
+  }
+  override def pushedFilters(): Array[Filter] =
+    filters.filter(f => DeltaRelation.toColumn(f).isDefined)
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new V1Scan {
+    override def readSchema(): StructType = required
+    override def toV1TableScan[T <: BaseRelation with TableScan](
+        context: SQLContext): T = {
+      val cols = required.fieldNames
+      val fs = filters
+      val rel = new DeltaRelation(context, path, version)
+      new BaseRelation with TableScan {
+        override def sqlContext: SQLContext = context
+        override def schema: StructType = required
+        override def buildScan(): org.apache.spark.rdd.RDD[Row] =
+          rel.buildScan(cols, fs)
+      }.asInstanceOf[T]
+    }
+  }
+}
+
+/** INSERT INTO → transactional append; INSERT OVERWRITE / TRUNCATE →
+  * transactional overwrite. The V1 fallback hands a fully-materialized
+  * batch DataFrame to the same writer entry points the Scala API uses. */
+private[v2] class GraftWriteBuilder(path: String) extends WriteBuilder
+    with SupportsTruncate {
+  private var overwrite = false
+
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation = {
+      val ow = overwrite
+      new InsertableRelation {
+        override def insert(data: DataFrame, overwriteFlag: Boolean): Unit =
+          if (ow || overwriteFlag) DeltaWrite.overwrite(data, path)
+          else DeltaWrite.append(data, path)
+      }
+    }
+  }
+}

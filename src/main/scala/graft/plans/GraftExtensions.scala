@@ -106,5 +106,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => NativizeCosine)
     ext.injectOptimizerRule(_ => NativizeHash60)
     ext.injectPlannerStrategy(_ => TopKStrategy)
+    // SQL DELETE/UPDATE/MERGE on graft-delta relations → the
+    // transactional writer (see GraftSqlDmlRule). Resolution-batch
+    // placement rewrites the row-level plans before Spark's own
+    // SupportsRowLevelOperations machinery would reject them.
+    ext.injectResolutionRule(session => GraftSqlDmlRule(session))
   }
 }

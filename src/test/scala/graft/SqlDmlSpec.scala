@@ -1,0 +1,205 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+
+/** The SQL-facing lakehouse surface: a DSv2 `TableCatalog`
+  * (CREATE/INSERT/SELECT/time-travel on catalog identifiers) and SQL
+  * DML (DELETE/UPDATE/MERGE routed to the transactional writer). The
+  * identical-logs test is the core contract: the SQL door and the
+  * Scala door must commit indistinguishable tables. */
+class SqlDmlSpec extends SparkTestBase {
+
+  private var n = 0
+  /** A fresh catalog per test: CatalogManager caches instances by
+    * name, so each test registers its own name + warehouse. */
+  private def freshCatalog(): String = synchronized {
+    n += 1
+    val name = s"gtest$n"
+    val wh = graft.io.Staging.tempDir(s"graft_cat_$n")
+    spark.conf.set(s"spark.sql.catalog.$name",
+      classOf[graft.io.v2.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+    name
+  }
+
+  /** The per-commit `operation` strings of a table's log — the probe
+    * the identical-logs test compares. */
+  private def operations(table: String): Seq[String] = {
+    val log = Paths.get(table, "_delta_log")
+    val st = Files.list(log)
+    val commits = try st.iterator().asScala
+      .filter(_.getFileName.toString.matches("\\d{20}\\.json")).toSeq.sortBy(_.toString)
+      finally st.close()
+    commits.map { p =>
+      val lines = Files.readAllLines(p).asScala
+      lines.collectFirst {
+        case l if l.contains("\"commitInfo\"") =>
+          "\"operation\":\"([^\"]+)\"".r.findFirstMatchIn(l).map(_.group(1)).getOrElse("?")
+      }.getOrElse("?")
+    }
+  }
+
+  test("catalog: create / insert / select / time travel / overwrite / drop") {
+    val c = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $c.db")
+    spark.sql(s"CREATE TABLE $c.db.t (id BIGINT, s STRING) USING `graft-delta`")
+    spark.sql(s"INSERT INTO $c.db.t VALUES (1, 'a'), (2, 'b')")
+    spark.sql(s"INSERT INTO $c.db.t VALUES (3, 'c')")
+    assert(spark.sql(s"SELECT count(*) FROM $c.db.t").head.getLong(0) == 3)
+    assert(spark.sql(s"SELECT s FROM $c.db.t WHERE id = 2").head.getString(0) == "b")
+    // v0 CREATE, v1/v2 inserts — time travel through the catalog hook
+    assert(spark.sql(s"SELECT count(*) FROM $c.db.t VERSION AS OF 0").head.getLong(0) == 0)
+    assert(spark.sql(s"SELECT count(*) FROM $c.db.t VERSION AS OF 1").head.getLong(0) == 2)
+    spark.sql(s"INSERT OVERWRITE $c.db.t VALUES (CAST(9 AS BIGINT), 'z')")
+    assert(spark.sql(s"SELECT count(*) FROM $c.db.t").head.getLong(0) == 1)
+    assert(spark.sql(s"SHOW TABLES IN $c.db").collect().map(_.getString(1)).contains("t"))
+    spark.sql(s"DROP TABLE $c.db.t")
+    assert(spark.sql(s"SHOW TABLES IN $c.db").collect().isEmpty)
+  }
+
+  test("catalog: CTAS, partitioned create, tblproperties round-trip") {
+    val c = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $c.db")
+    spark.sql(s"CREATE TABLE $c.db.src USING `graft-delta` AS " +
+      "SELECT CAST(id AS BIGINT) AS id, CAST(id % 3 AS STRING) AS part " +
+      "FROM range(30)")
+    assert(spark.sql(s"SELECT count(*) FROM $c.db.src").head.getLong(0) == 30)
+    spark.sql(s"CREATE TABLE $c.db.p (id BIGINT, part STRING) USING `graft-delta` " +
+      "PARTITIONED BY (part) TBLPROPERTIES ('graft.owner' = 'spec')")
+    spark.sql(s"INSERT INTO $c.db.p SELECT id, part FROM $c.db.src")
+    assert(spark.sql(s"SELECT count(*) FROM $c.db.p WHERE part = '1'").head.getLong(0) == 10)
+    val props = spark.sql(s"SHOW TBLPROPERTIES $c.db.p").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("graft.owner").contains("spec"))
+    spark.sql(s"ALTER TABLE $c.db.p SET TBLPROPERTIES ('graft.tier' = 'gold')")
+    spark.sql(s"ALTER TABLE $c.db.p UNSET TBLPROPERTIES ('graft.owner')")
+    val props2 = spark.sql(s"SHOW TBLPROPERTIES $c.db.p").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props2.get("graft.tier").contains("gold") && !props2.contains("graft.owner"))
+  }
+
+  test("SQL DELETE: arbitrary predicate, DV path, head semantics") {
+    val c = freshCatalog()
+    spark.sql(s"CREATE TABLE $c.t (id BIGINT, s STRING) USING `graft-delta`")
+    spark.sql(s"INSERT INTO $c.t SELECT CAST(id AS BIGINT), " +
+      "CAST(id % 4 AS STRING) FROM range(100)")
+    spark.sql(s"DELETE FROM $c.t WHERE id % 2 = 0 AND length(s) > 0")
+    assert(spark.sql(s"SELECT count(*) FROM $c.t").head.getLong(0) == 50)
+    assert(spark.sql(s"SELECT min(id) FROM $c.t").head.getLong(0) == 1)
+    // unconditional DELETE empties the table
+    spark.sql(s"DELETE FROM $c.t")
+    assert(spark.sql(s"SELECT count(*) FROM $c.t").head.getLong(0) == 0)
+  }
+
+  test("SQL UPDATE: simultaneous assignment over the pre-image") {
+    val c = freshCatalog()
+    spark.sql(s"CREATE TABLE $c.u (a BIGINT, b BIGINT, s STRING) USING `graft-delta`")
+    spark.sql(s"INSERT INTO $c.u SELECT CAST(id AS BIGINT), " +
+      "CAST(id * 10 AS BIGINT), CAST(id AS STRING) FROM range(20)")
+    // SET a = b, b = a must SWAP (both RHS see the pre-image)
+    spark.sql(s"UPDATE $c.u SET a = b, b = a WHERE a < 5")
+    val swapped = spark.sql(s"SELECT a, b FROM $c.u WHERE s = '3'").head
+    assert(swapped.getLong(0) == 30 && swapped.getLong(1) == 3)
+    // untouched rows keep their values; NULL-condition rows are kept
+    val kept = spark.sql(s"SELECT a, b FROM $c.u WHERE s = '7'").head
+    assert(kept.getLong(0) == 7 && kept.getLong(1) == 70)
+    // after the swap, a>=30 holds only for swapped rows 3 (a=30) and 4 (a=40)
+    spark.sql(s"UPDATE $c.u SET s = concat(s, '!') WHERE a >= 30")
+    assert(spark.sql(s"SELECT count(*) FROM $c.u WHERE s LIKE '%!'").head.getLong(0) == 2)
+  }
+
+  test("SQL MERGE: upsert, conditional clauses, delete clause") {
+    val c = freshCatalog()
+    spark.sql(s"CREATE TABLE $c.m (id BIGINT, v BIGINT) USING `graft-delta`")
+    spark.sql(s"INSERT INTO $c.m SELECT CAST(id AS BIGINT), " +
+      "CAST(id AS BIGINT) FROM range(10)")
+    // upsert: update 0..9 where even, insert 10..14
+    spark.sql(
+      s"""MERGE INTO $c.m t
+         |USING (SELECT CAST(id AS BIGINT) AS id, CAST(id * 100 AS BIGINT) AS v
+         |       FROM range(15)) s
+         |ON t.id = s.id
+         |WHEN MATCHED AND s.v % 200 = 0 THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val m = spark.sql(s"SELECT id, v FROM $c.m ORDER BY id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(2) == 200 && m(3) == 3 && m(12) == 1200 && m.size == 15)
+    // delete clause wins per first-match-wins ordering
+    spark.sql(
+      s"""MERGE INTO $c.m t
+         |USING (SELECT CAST(id AS BIGINT) AS id, CAST(0 AS BIGINT) AS v
+         |       FROM range(5)) s
+         |ON t.id = s.id
+         |WHEN MATCHED AND s.id < 3 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    val after = spark.sql(s"SELECT id, v FROM $c.m ORDER BY id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!after.contains(0) && !after.contains(2) && after(3) == 0 &&
+      after(4) == 0 && after(5) == 5 && after.size == 12)
+  }
+
+  test("SQL and Scala DML commit identical tables and logs") {
+    import spark.implicits._
+    val c = freshCatalog()
+    val scalaT = graft.io.Staging.tempDir("graft_dml_scala_")
+    val seed = spark.range(0, 50).select($"id",
+      ($"id" * 7).as("v"), concat(lit("r"), $"id").as("s"))
+    spark.sql(s"CREATE TABLE $c.twin (id BIGINT, v BIGINT, s STRING) USING `graft-delta`")
+    spark.sql(s"INSERT INTO $c.twin SELECT id, id * 7, concat('r', id) FROM range(50)")
+    graft.io.DeltaWrite.createEmpty(spark, scalaT,
+      seed.schema, Nil, Map.empty)
+    graft.io.DeltaWrite.append(seed, scalaT)
+
+    spark.sql(s"DELETE FROM $c.twin WHERE id % 5 = 0")
+    graft.io.DeltaWrite.deleteWhere(spark, scalaT, pmod($"id", lit(5)) === 0)
+
+    spark.sql(s"UPDATE $c.twin SET v = v + 1, s = upper(s) WHERE id < 10")
+    graft.io.DeltaWrite.updateWhere(spark, scalaT, $"id" < 10,
+      Seq("v" -> ($"v" + 1), "s" -> upper($"s")))
+
+    val src = spark.range(45, 55).select($"id",
+      lit(-1L).as("v"), lit("merged").as("s"))
+    src.createOrReplaceTempView("dml_twin_src")
+    spark.sql(
+      s"""MERGE INTO $c.twin t USING dml_twin_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    graft.io.DeltaWrite.merge(spark, scalaT, src, Seq("id"))
+
+    // identical contents…
+    val whT = spark.conf.get(s"spark.sql.catalog.$c.warehouse") + "/twin"
+    val sqlDf = graft.io.DeltaRead.read(spark, whT).orderBy($"id")
+    val scalaDf = graft.io.DeltaRead.read(spark, scalaT).orderBy($"id")
+    assert(sqlDf.collect().toSeq == scalaDf.collect().toSeq)
+    // …and identical log shapes: same version count, same operations
+    assert(operations(whT).drop(2) == operations(scalaT).drop(2),
+      s"sql=${operations(whT)} scala=${operations(scalaT)}")
+    assert(operations(whT).size == operations(scalaT).size)
+  }
+
+  test("refusals: time travel DML, partial merge SET, schema changes") {
+    val c = freshCatalog()
+    spark.sql(s"CREATE TABLE $c.r (id BIGINT, v BIGINT) USING `graft-delta`")
+    spark.sql(s"INSERT INTO $c.r VALUES (CAST(1 AS BIGINT), CAST(1 AS BIGINT))")
+    val e1 = intercept[Exception] {
+      spark.sql(s"DELETE FROM $c.r VERSION AS OF 0 WHERE id = 1")
+    }
+    assert(e1.getMessage != null)
+    val e2 = intercept[UnsupportedOperationException] {
+      spark.sql(
+        s"""MERGE INTO $c.r t
+           |USING (SELECT CAST(1 AS BIGINT) AS id, CAST(9 AS BIGINT) AS v) s
+           |ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+    }
+    assert(e2.getMessage.contains("SET *"))
+    val e3 = intercept[UnsupportedOperationException] {
+      spark.sql(s"ALTER TABLE $c.r ADD COLUMN extra STRING")
+    }
+    assert(e3.getMessage.contains("SET/UNSET TBLPROPERTIES"))
+  }
+}
