@@ -1555,6 +1555,108 @@ object DatalakeQueries {
            |WHERE doc_id % 10 <> 2 AND doc_id > 100 AND lang IS NOT NULL
            |GROUP BY lang ORDER BY lang""".stripMargin))
 
+  /** Register a throwaway [[graft.io.v2.GraftCatalog]] for one query
+    * run. CatalogManager caches instances by name, so each run gets a
+    * unique name + fresh warehouse — results never depend on either. */
+  private def freshCatalog(s: org.apache.spark.sql.SparkSession,
+      tag: String): String = {
+    val name = tag + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    s.conf.set(s"spark.sql.catalog.$name",
+      "graft.io.v2.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$name.warehouse",
+      graft.io.Staging.tempDir(s"graft_${tag}_"))
+    name
+  }
+
+  /** q220 — SQL DML end-to-end ([[graft.plans.GraftSqlDmlRule]] +
+    * [[graft.io.DeltaWrite.updateWhere]]): a pure-`spark.sql` history —
+    * CREATE TABLE, INSERT, DELETE FROM (deletion vectors), UPDATE
+    * (copy-on-write rewrite), and a three-clause MERGE INTO
+    * (first-match-wins DELETE / UPDATE SET * / INSERT *) — on a
+    * catalog-resolved graft-delta table; no Scala writer API anywhere
+    * in the query path. This is the reference's warehouse surface
+    * (loader_NeonDB.py:364-371 `ON CONFLICT`,
+    * validator_warehouse.py:31-248 all-SQL checks) served by the
+    * lakehouse layer. The oracle recomputes the final state
+    * arithmetically from `orders`; revenue compares as integer cents
+    * (order-independent, bit-identical across engines). */
+  val q220SqlDml = GQuery(
+    "q220_sql_dml",
+    (s, d) => {
+      val cat = freshCatalog(s, "q220")
+      s.read.parquet(s"$d/orders.parquet")
+        .selectExpr("CAST(o_orderkey AS BIGINT) AS o_orderkey",
+          "o_orderstatus", "CAST(o_totalprice AS DOUBLE) AS o_totalprice")
+        .createOrReplaceTempView("q220_src")
+      s.sql(s"""CREATE TABLE $cat.dml (o_orderkey BIGINT,
+        o_orderstatus STRING, o_totalprice DOUBLE) USING `graft-delta`""")
+      s.sql(s"INSERT INTO $cat.dml SELECT * FROM q220_src")
+      s.sql(s"DELETE FROM $cat.dml WHERE o_orderkey % 7 = 0")
+      s.sql(s"""UPDATE $cat.dml SET o_totalprice = o_totalprice + 10.0
+        WHERE o_orderkey % 5 = 0""")
+      s.sql(s"""MERGE INTO $cat.dml t
+        USING (SELECT o_orderkey, o_orderstatus,
+               o_totalprice + 5.0 AS o_totalprice
+               FROM q220_src WHERE o_orderkey % 3 = 0) s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED AND s.o_orderkey % 6 = 0 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""")
+      s.sql(s"""SELECT o_orderstatus, count(*) AS n_orders,
+        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM $cat.dml GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    },
+    Some("""WITH fin AS (
+           |  SELECT o_orderstatus,
+           |    CASE
+           |      WHEN o_orderkey % 3 = 0 AND o_orderkey % 7 <> 0
+           |           AND o_orderkey % 6 = 0 THEN NULL
+           |      WHEN o_orderkey % 3 = 0 THEN o_totalprice + 5.0
+           |      WHEN o_orderkey % 7 = 0 THEN NULL
+           |      WHEN o_orderkey % 5 = 0 THEN o_totalprice + 10.0
+           |      ELSE o_totalprice END AS p
+           |  FROM orders)
+           |SELECT o_orderstatus, count(*) AS n_orders,
+           |  CAST(sum(CAST(round(p * 100) AS BIGINT)) AS BIGINT) AS cents
+           |FROM fin WHERE p IS NOT NULL
+           |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+
+  /** q221 — the DSv2 `TableCatalog` lakehouse door
+    * ([[graft.io.v2.GraftCatalog]]): CREATE NAMESPACE, CTAS, INSERT and
+    * `VERSION AS OF` time travel all on CATALOG IDENTIFIERS — zero
+    * `option("path")`, zero temp views over the table. CTAS commits
+    * v0 (CREATE) + v1 (the SELECT's rows), the later INSERT is v2, so
+    * `VERSION AS OF 1` pins the post-CTAS state; the head/as-of counts
+    * join in one result and the oracle recomputes both from
+    * `customer`. */
+  val q221CatalogSql = GQuery(
+    "q221_catalog_sql",
+    (s, d) => {
+      val cat = freshCatalog(s, "q221")
+      s.read.parquet(s"$d/customer.parquet")
+        .createOrReplaceTempView("q221_cust")
+      s.sql(s"CREATE NAMESPACE $cat.lake")
+      s.sql(s"""CREATE TABLE $cat.lake.c USING `graft-delta` AS
+        SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_mktsegment
+        FROM q221_cust""")
+      s.sql(s"""INSERT INTO $cat.lake.c
+        SELECT CAST(c_custkey + 1000000 AS BIGINT), c_mktsegment
+        FROM q221_cust WHERE c_custkey % 4 = 0""")
+      s.sql(s"""SELECT h.c_mktsegment, h.n AS head_n, a.n AS asof_n
+        FROM (SELECT c_mktsegment, count(*) AS n FROM $cat.lake.c
+              GROUP BY c_mktsegment) h
+        JOIN (SELECT c_mktsegment, count(*) AS n
+              FROM $cat.lake.c VERSION AS OF 1
+              GROUP BY c_mktsegment) a
+        ON h.c_mktsegment = a.c_mktsegment
+        ORDER BY h.c_mktsegment""")
+    },
+    Some("""SELECT c_mktsegment,
+           |  CAST(count(*) + count(*) FILTER (WHERE c_custkey % 4 = 0)
+           |       AS BIGINT) AS head_n,
+           |  CAST(count(*) AS BIGINT) AS asof_n
+           |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+
   val all: Seq[GQuery] = Seq(
     q130SnapshotDiff, q131IncrementalAgg, q132SchemaEvolution,
     q133KAnonymity, q134GdprErasure, q147CompactionPlan,
@@ -1565,5 +1667,6 @@ object DatalakeQueries {
     q198DvErasure, q199CdfMirror, q200Restore, q202TableFeatures,
     q203CdfWrite, q206CdfReadStream, q207RowTracking, q208TypeWidening,
     q209Variant, q210ClusteredSkip, q215IncrementalView, q216LogCompaction,
-    q217ShreddedVariant, q218Collations, q219SqlDatasource)
+    q217ShreddedVariant, q218Collations, q219SqlDatasource,
+    q220SqlDml, q221CatalogSql)
 }
