@@ -482,6 +482,35 @@ object DeltaRead {
     }
   }
 
+  /** One commit's FILE-level data changes, for tailing consumers (the
+    * `graft-delta` streaming source): the table-relative paths of this
+    * commit's `dataChange=true` adds (sorted — a stable order the
+    * source's file-granular offsets index into), plus whether the
+    * commit also REMOVED data (`dataChange=true` removes — an
+    * update/delete/overwrite, which an append-tail must refuse or
+    * skip, never silently misread as inserts). Maintenance commits
+    * (OPTIMIZE / compaction, `dataChange=false` on both sides)
+    * contribute nothing on either channel. */
+  def commitAdds(table: String, version: Long): (Seq[String], Boolean) = {
+    val p = logDir(table).resolve(f"$version%020d.json")
+    require(Files.exists(p),
+      s"commitAdds: $table commit $version is gone (expired/vacuumed) — " +
+        "a consumer this far behind must re-bootstrap from a snapshot")
+    val adds = Seq.newBuilder[String]
+    var removesData = false
+    Files.readAllLines(p).asScala.filter(_.trim.nonEmpty).foreach { line =>
+      val node = mapper.readTree(line)
+      val addN = node.get("add"); val remN = node.get("remove")
+      if (addN != null &&
+          Option(addN.get("dataChange")).forall(_.asBoolean(true)))
+        adds += decodePath(addN.get("path").asText())
+      if (remN != null &&
+          Option(remN.get("dataChange")).forall(_.asBoolean(true)))
+        removesData = true
+    }
+    (adds.result().sorted, removesData)
+  }
+
   private def fileEntry(addN: JsonNode): FileEntry = {
     val pv = Option(addN.get("partitionValues")).map { m =>
       m.fieldNames().asScala.map(k =>

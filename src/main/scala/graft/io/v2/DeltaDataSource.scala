@@ -29,8 +29,40 @@ import graft.io.DeltaRead
 class DeltaDataSource extends RelationProvider
     with CreatableRelationProvider
     with org.apache.spark.sql.sources.StreamSinkProvider
+    with org.apache.spark.sql.sources.StreamSourceProvider
     with DataSourceRegister {
   override def shortName(): String = "graft-delta"
+
+  /** `readStream.format("graft-delta")` — tail a PLAIN table: initial
+    * snapshot + per-commit adds, file-granular `maxFilesPerTrigger`
+    * rate limiting. See [[graft.streaming.DeltaTableSource]]. */
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[org.apache.spark.sql.types.StructType],
+      providerName: String, parameters: Map[String, String])
+      : (String, org.apache.spark.sql.types.StructType) = {
+    require(schema.isEmpty,
+      "graft-delta source: user-specified schemas are not supported — " +
+        "the stream's schema is the table's schema")
+    val path = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-delta source: .load(path) is required — the Delta table root"))
+    val v = parameters.get("startingVersion").map(x => math.max(x.toLong, 0L))
+      .getOrElse(DeltaRead.latestVersion(path))
+    (shortName(), DeltaRead.readVersion(sqlContext.sparkSession, path, v).schema)
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[org.apache.spark.sql.types.StructType],
+      providerName: String, parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source = {
+    val path = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-delta source: .load(path) is required — the Delta table root"))
+    val maxFiles = parameters.get("maxFilesPerTrigger").map(_.toInt)
+    require(maxFiles.forall(_ > 0), "maxFilesPerTrigger must be positive")
+    new graft.streaming.DeltaTableSource(sqlContext.sparkSession, path,
+      metadataPath, parameters.get("startingVersion").map(_.toLong), maxFiles,
+      skipChangeCommits = parameters.get("skipChangeCommits")
+        .exists(_.equalsIgnoreCase("true")))
+  }
 
   /** `writeStream.format("graft-delta")` — an EXACTLY-ONCE streaming
     * Delta sink: every micro-batch lands via `appendOnce` carrying a

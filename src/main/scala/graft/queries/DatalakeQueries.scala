@@ -1657,6 +1657,54 @@ object DatalakeQueries {
            |  CAST(count(*) AS BIGINT) AS asof_n
            |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
 
+  /** q223 — a PLAIN Delta table as a `readStream` source
+    * ([[graft.streaming.DeltaTableSource]], format `graft-delta`): the
+    * non-CDF tail every downstream lakehouse job starts from — initial
+    * snapshot + per-commit adds, with an OPTIMIZE in the middle of the
+    * history that must stay invisible (`dataChange=false` adds never
+    * enter the stream — a duplicate here would double-count every
+    * compacted row). `maxFilesPerTrigger=2` paces the multi-file
+    * history across micro-batches (`paced` pins >= 3 row-bearing
+    * batches off the progress metrics); the streamed rows aggregate to
+    * the head table state, which the oracle recomputes from
+    * `documents`. Complements q206 (the CDF source) — together the two
+    * formats cover both Delta streaming shapes. */
+  val q223TableReadStream = GQuery(
+    "q223_table_readstream",
+    (s, d) => {
+      import s.implicits._
+      val src = graft.io.Staging.tempDir("graft_q223_")
+      val docs = Tables.documents(s, d).select($"doc_id", $"lang", $"n_chars")
+      graft.io.DeltaWrite.append(
+        docs.filter(pmod($"doc_id", lit(3)) === 0).repartition(2), src) // v0
+      graft.io.DeltaWrite.append(
+        docs.filter(pmod($"doc_id", lit(3)) === 1).repartition(2), src) // v1
+      graft.io.DeltaWrite.compact(s, src, targetBytes = Long.MaxValue)  // v2: invisible
+      graft.io.DeltaWrite.append(
+        docs.filter(pmod($"doc_id", lit(3)) === 2).repartition(2), src) // v3
+      val sink = "q223_tail_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = s.readStream.format("graft-delta")
+        .option("startingVersion", "0").option("maxFilesPerTrigger", "2")
+        .load(src)
+        .writeStream.format("memory").queryName(sink).start()
+      q.processAllAvailable()
+      val paced = q.recentProgress.count(_.numInputRows > 0) >= 3
+      q.stop()
+      val out = s.table(sink)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"),
+          sum($"doc_id").as("sum_ids"))
+        .withColumn("paced", lit(paced))
+        .orderBy($"lang")
+      // materialize before dropping the memory sink the plan reads from
+      val rows = out.collect().toSeq
+      s.catalog.dropTempView(sink)
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
+    },
+    Some("""SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           |       CAST(sum(doc_id) AS BIGINT) AS sum_ids, true AS paced
+           |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
+
   val all: Seq[GQuery] = Seq(
     q130SnapshotDiff, q131IncrementalAgg, q132SchemaEvolution,
     q133KAnonymity, q134GdprErasure, q147CompactionPlan,
@@ -1668,5 +1716,5 @@ object DatalakeQueries {
     q203CdfWrite, q206CdfReadStream, q207RowTracking, q208TypeWidening,
     q209Variant, q210ClusteredSkip, q215IncrementalView, q216LogCompaction,
     q217ShreddedVariant, q218Collations, q219SqlDatasource,
-    q220SqlDml, q221CatalogSql)
+    q220SqlDml, q221CatalogSql, q223TableReadStream)
 }

@@ -1,0 +1,162 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import graft.io.DeltaRead
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.SerializedOffset
+import org.apache.spark.sql.types.StructType
+
+/** `readStream.format("graft-delta")` — a PLAIN Delta table as a
+  * streaming source (the shape every downstream lakehouse job starts
+  * from): an initial snapshot of the table, then each commit's
+  * `dataChange` adds as they land, complementing the change-feed
+  * source ([[DeltaCdfStreamProvider]]) for tables that never enabled
+  * CDF.
+  *
+  * {{{
+  *   spark.readStream.format("graft-delta")
+  *     .option("maxFilesPerTrigger", "4")   // optional rate limit
+  *     .option("startingVersion", "0")      // optional: no snapshot,
+  *                                          //   adds from v0 on
+  *     .option("skipChangeCommits", "true") // optional: see below
+  *     .load(tablePath)
+  * }}}
+  *
+  * Offsets are FILE-GRANULAR — `{"version": v, "index": i}` = "the
+  * first `i` files of version v's file list (and everything before)
+  * have been surfaced", where a version's file list is the base
+  * snapshot's live files for the base version and the commit's sorted
+  * `dataChange=true` adds after it. File granularity is what makes
+  * `maxFilesPerTrigger` a real rate limit THROUGH the initial
+  * snapshot: a 100 TB table's bootstrap paces file-by-file instead of
+  * one giant batch. Each batch reads ONLY its offset-range files
+  * ([[DeltaRead.readFilesWithLineage]]) — per-trigger cost is bounded
+  * by the new files, never O(table).
+  *
+  * The BASE version (whose full snapshot seeds the stream) is resolved
+  * once at first start and persisted under the checkpoint's source
+  * metadata directory, so a restarted query keeps indexing the SAME
+  * file lists — the head having moved cannot shift offsets already in
+  * the checkpoint log.
+  *
+  * Maintenance commits (OPTIMIZE / compaction: `dataChange=false`) are
+  * invisible by construction — their adds never enter any file list.
+  * Commits that REMOVE data (deletes/updates/overwrites) cannot be
+  * represented in an append-only stream: the source REFUSES them
+  * loudly by default; `skipChangeCommits=true` opts into skipping such
+  * commits entirely (their adds included — rewritten old rows must not
+  * resurface as inserts), Delta's own documented semantics for that
+  * option. */
+class DeltaTableSource(spark: SparkSession, table: String,
+    metadataPath: String, startingVersion: Option[Long],
+    maxFilesPerTrigger: Option[Int], skipChangeCommits: Boolean)
+    extends Source {
+
+  /** (base version, whether the base contributes its full snapshot) —
+    * resolved once per CHECKPOINT, not per source instance. */
+  private val (base: Long, baseIsSnapshot: Boolean) = {
+    val f = Paths.get(metadataPath, "graft-table-source")
+    if (Files.exists(f)) {
+      val Array(b, snap) =
+        new String(Files.readAllBytes(f), StandardCharsets.UTF_8).trim.split(",")
+      (b.toLong, snap.toBoolean)
+    } else {
+      val resolved = startingVersion match {
+        // startingVersion v = adds from v on, no snapshot: encode as an
+        // empty base at v-1 so the walk naturally starts at v
+        case Some(v) => (v - 1, false)
+        case None => (DeltaRead.latestVersion(table), true)
+      }
+      Files.createDirectories(f.getParent)
+      Files.write(f, s"${resolved._1},${resolved._2}".getBytes(StandardCharsets.UTF_8))
+      resolved
+    }
+  }
+
+  override val schema: StructType =
+    DeltaRead.readVersion(spark, table, math.max(base, 0L)).schema
+
+  /** A version's surfaceable file paths, in the stable order the
+    * offsets index. Cached: lists are re-enumerated on every
+    * getOffset/getBatch walk and commit JSONs are immutable. */
+  private val listCache = scala.collection.mutable.HashMap.empty[Long, Seq[String]]
+  private def fileList(v: Long): Seq[String] = listCache.getOrElseUpdate(v, {
+    if (v == base) {
+      if (!baseIsSnapshot) Nil
+      else DeltaRead.snapshotAt(spark, table, base).files.map(_.path).sorted
+    } else {
+      val (adds, removesData) = DeltaRead.commitAdds(table, v)
+      if (removesData && !skipChangeCommits)
+        throw new IllegalStateException(
+          s"graft-delta source: $table version $v removes data " +
+            "(delete/update/overwrite) — an append-only stream cannot " +
+            "represent it. Use the graft-delta-cdf source for the full " +
+            "change feed, or option skipChangeCommits=true to skip such " +
+            "commits entirely.")
+      if (removesData) Nil else adds
+    }
+  })
+
+  private def parse(o: Offset): (Long, Int) = {
+    val json = o match {
+      case s: SerializedOffset => s.json
+      case other => other.json
+    }
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    (node.get("version").asLong(), node.get("index").asInt())
+  }
+  private def offsetOf(v: Long, i: Int): Offset = new Offset {
+    override val json: String = s"""{"version":$v,"index":$i}"""
+  }
+
+  /** Latest position already handed to getOffset/getBatch — the rate
+    * limit advances from here; recovery replays re-teach it. */
+  @volatile private var surfaced: (Long, Int) = (base, 0)
+
+  override def getOffset: Option[Offset] = {
+    val head = DeltaRead.latestVersion(table)
+    var (v, i) = surfaced
+    var budget = maxFilesPerTrigger.map(_.toLong).getOrElse(Long.MaxValue)
+    var taken = 0L
+    var exhausted = false
+    while (budget > 0 && !exhausted) {
+      val remaining = fileList(v).size - i
+      if (remaining > 0) {
+        val take = math.min(budget, remaining.toLong).toInt
+        i += take; budget -= take; taken += take
+      }
+      if (budget > 0) {
+        if (v < head) { v += 1; i = 0 } else exhausted = true
+      }
+    }
+    if (taken == 0) None // nothing new (empty/maintenance commits rewalk cheaply)
+    else { surfaced = (v, i); Some(offsetOf(v, i)) }
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val (sv, si) = start.map(parse).getOrElse((base, 0))
+    val (ev, ei) = parse(end)
+    if (surfaced._1 < ev || (surfaced._1 == ev && surfaced._2 < ei))
+      surfaced = (ev, ei)
+    val frames = (sv to ev).flatMap { v =>
+      val list = fileList(v)
+      val from = if (v == sv) si else 0
+      val until = if (v == ev) ei else list.size
+      val slice = list.slice(from, until)
+      if (slice.isEmpty) None
+      else Some(DeltaRead.readFilesWithLineage(spark, table, v, slice.toSet)
+        .drop(DeltaRead.LineageFile, DeltaRead.LineagePos))
+    }
+    val batch = frames.reduceOption(_ unionByName _).getOrElse(
+      DeltaRead.readFilesWithLineage(spark, table, math.max(base, 0L), Set.empty)
+        .drop(DeltaRead.LineageFile, DeltaRead.LineagePos))
+    org.apache.spark.sql.graft.StreamingFrames.asStreaming(batch)
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+  override def toString: String = s"DeltaTableSource[$table]"
+}

@@ -1,0 +1,130 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.io.{DeltaRead, DeltaWrite}
+import org.apache.spark.sql.functions._
+
+/** `readStream.format("graft-delta")` — the plain-table streaming
+  * source ([[graft.streaming.DeltaTableSource]]): stream == batch over
+  * an append+OPTIMIZE history (maintenance invisible), file-granular
+  * rate limiting, checkpoint restart without replays, and loud refusal
+  * (or opt-in skipping) of data-removing commits. */
+class DeltaTableStreamSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def newDir(tag: String): String =
+    Files.createTempDirectory(tag).toString
+  private def cleanup(dirs: String*): Unit = dirs.foreach(d =>
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, String)] =
+    df.select($"id", $"txt").as[(Long, String)].collect().toSeq.sorted
+
+  test("stream == batch over an append + OPTIMIZE history") {
+    val src = newDir("gdstream")
+    try {
+      DeltaWrite.append((0 until 20).map(i => (i.toLong, s"a$i")).toDF("id", "txt")
+        .repartition(2), src)                                         // v0
+      DeltaWrite.append((20 until 30).map(i => (i.toLong, s"b$i")).toDF("id", "txt"), src) // v1
+      DeltaWrite.compact(spark, src, targetBytes = Long.MaxValue)     // v2: dataChange=false
+      DeltaWrite.append((30 until 35).map(i => (i.toLong, s"c$i")).toDF("id", "txt"), src) // v3
+      val q = spark.readStream.format("graft-delta")
+        .option("startingVersion", "0").load(src)
+        .writeStream.format("memory").queryName("gd_all").start()
+      q.processAllAvailable(); q.stop()
+      val streamed = rows(spark.table("gd_all"))
+      assert(streamed == rows(DeltaRead.read(spark, src)),
+        "startingVersion=0 stream must equal the head table — OPTIMIZE's " +
+          "dataChange=false rewrite must be invisible (no duplicates)")
+      assert(streamed.size == 35)
+    } finally cleanup(src)
+  }
+
+  test("default start surfaces the initial snapshot, then tails new commits") {
+    val src = newDir("gdstream_snap")
+    try {
+      DeltaWrite.append((0 until 10).map(i => (i.toLong, s"a$i")).toDF("id", "txt"), src)
+      DeltaWrite.deleteWhere(spark, src, $"id" % 3 === 0) // pre-stream DV delete
+      val q = spark.readStream.format("graft-delta").load(src)
+        .writeStream.format("memory").queryName("gd_snap").start()
+      q.processAllAvailable()
+      // snapshot honors the DV mask at the base version
+      assert(rows(spark.table("gd_snap")) ==
+        rows(DeltaRead.read(spark, src)))
+      // appends made while running are tailed per-commit
+      DeltaWrite.append(Seq((100L, "late")).toDF("id", "txt"), src)
+      q.processAllAvailable(); q.stop()
+      assert(rows(spark.table("gd_snap")).exists(_._1 == 100L))
+      assert(rows(spark.table("gd_snap")) == rows(DeltaRead.read(spark, src)))
+    } finally cleanup(src)
+  }
+
+  test("maxFilesPerTrigger paces the initial snapshot file-by-file") {
+    val src = newDir("gdstream_rate")
+    try {
+      DeltaWrite.append((0 until 40).map(i => (i.toLong, s"a$i")).toDF("id", "txt")
+        .repartition(8), src) // 8 files
+      val q = spark.readStream.format("graft-delta")
+        .option("maxFilesPerTrigger", "2").load(src)
+        .writeStream.format("memory").queryName("gd_rate").start()
+      q.processAllAvailable(); q.stop()
+      assert(rows(spark.table("gd_rate")).size == 40)
+      val nonEmpty = q.recentProgress.count(_.numInputRows > 0)
+      assert(nonEmpty >= 4,
+        s"8 files at 2 per trigger must take >= 4 batches, got $nonEmpty")
+    } finally cleanup(src)
+  }
+
+  test("checkpoint restart resumes without replaying surfaced files") {
+    val src = newDir("gdstream_resume")
+    val ckpt = newDir("gdstream_ckpt")
+    val out = newDir("gdstream_out")
+    try {
+      DeltaWrite.append((0 until 10).map(i => (i.toLong, s"a$i")).toDF("id", "txt"), src)
+      def run(): Unit = {
+        val q = spark.readStream.format("graft-delta")
+          .option("startingVersion", "0").load(src)
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt).start()
+        q.processAllAvailable(); q.stop()
+      }
+      run()
+      assert(spark.read.parquet(out).count() == 10)
+      DeltaWrite.append((10 until 15).map(i => (i.toLong, s"b$i")).toDF("id", "txt"), src)
+      DeltaWrite.compact(spark, src, targetBytes = Long.MaxValue) // invisible
+      DeltaWrite.append(Seq((99L, "last")).toDF("id", "txt"), src)
+      run()
+      val resumed = rows(spark.read.parquet(out))
+      assert(resumed == rows(DeltaRead.read(spark, src)),
+        "restart must append exactly the new commits: a duplicate means " +
+          "a replay, a gap means a skipped commit")
+    } finally cleanup(src, ckpt, out)
+  }
+
+  test("data-removing commits refuse loudly; skipChangeCommits opts into skipping") {
+    val src = newDir("gdstream_chg")
+    try {
+      DeltaWrite.append((0 until 10).map(i => (i.toLong, s"a$i")).toDF("id", "txt"), src) // v0
+      DeltaWrite.deleteWhere(spark, src, $"id" === 1L)                                    // v1
+      DeltaWrite.append(Seq((50L, "post")).toDF("id", "txt"), src)                        // v2
+      val q1 = spark.readStream.format("graft-delta")
+        .option("startingVersion", "0").load(src)
+        .writeStream.format("memory").queryName("gd_refuse").start()
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q1.processAllAvailable()
+      }
+      q1.stop()
+      assert(e.getMessage.contains("removes data") ||
+        Option(e.getCause).exists(_.getMessage.contains("removes data")))
+      val q2 = spark.readStream.format("graft-delta")
+        .option("startingVersion", "0").option("skipChangeCommits", "true").load(src)
+        .writeStream.format("memory").queryName("gd_skip").start()
+      q2.processAllAvailable(); q2.stop()
+      // v1's delete (and its DV re-add) skipped entirely: the stream is
+      // v0's rows + v2's insert; the deleted row is still present
+      val got = rows(spark.table("gd_skip"))
+      assert(got.size == 11 && got.exists(_._1 == 1L) && got.exists(_._1 == 50L))
+    } finally cleanup(src)
+  }
+}
