@@ -1657,6 +1657,53 @@ object DatalakeQueries {
            |  CAST(count(*) AS BIGINT) AS asof_n
            |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
 
+  /** q222 — SKETCH-FOLD incremental views
+    * ([[graft.views.IncrementalView]] `approxDistincts`): the 100 TB
+    * daily-uniques materialization — a per-lang HLL sketch column is
+    * BUILT once, FOLDED from the change feed across an append
+    * (`hll_union` of the batch sketch, O(changed rows)), and dirtied
+    * into a semi-join-pruned recompute by a DV delete (HLL cannot
+    * subtract). `matches_direct` pins the lossless-union property: the
+    * incrementally-maintained sketch's estimate EQUALS a from-scratch
+    * sketch of the head (register-max union); `within_tol` pins the
+    * estimate against the exact distinct count (q60's pattern —
+    * booleans travel to the oracle, engine-specific estimates don't). */
+  val q222HllView = GQuery(
+    "q222_hll_view",
+    (s, d) => {
+      import s.implicits._
+      val base = graft.io.Staging.tempDir("graft_q222b_")
+      val view = base + "_view"
+      val docs = Tables.documents(s, d).select($"doc_id", $"lang", $"n_chars")
+      graft.io.DeltaWrite.append(
+        docs.filter(pmod($"doc_id", lit(2)) === 0).repartition(2), base) // v0
+      val spec = graft.views.IncrementalView.ViewSpec(
+        keys = Seq("lang"), approxDistincts = Seq("doc_id"))
+      graft.views.IncrementalView.build(s, base, view, spec)
+      graft.io.DeltaWrite.append(
+        docs.filter(pmod($"doc_id", lit(2)) === 1).repartition(2), base) // v1
+      graft.views.IncrementalView.refresh(s, base, view, spec) // union fold
+      graft.io.DeltaWrite.deleteWhere(s, base, pmod($"doc_id", lit(11)) === 3) // v2
+      graft.views.IncrementalView.refresh(s, base, view, spec) // dirty recompute
+      val head = graft.io.DeltaRead.read(s, base)
+      val direct = head.groupBy($"lang").agg(
+        countDistinct($"doc_id").as("exact"),
+        hll_sketch_estimate(hll_sketch_agg($"doc_id")).as("direct_est"))
+      graft.io.DeltaRead.read(s, view)
+        .select($"lang", $"cnt",
+          hll_sketch_estimate($"hll_doc_id").as("est"))
+        .join(direct, Seq("lang"))
+        .select($"lang", $"cnt",
+          (abs($"est" - $"exact") <=
+            greatest($"exact" * 0.05, lit(2.0))).as("within_tol"),
+          ($"est" === $"direct_est").as("matches_direct"))
+        .orderBy($"lang")
+    },
+    Some("""SELECT lang, CAST(count(*) AS BIGINT) AS cnt,
+           |       true AS within_tol, true AS matches_direct
+           |FROM documents WHERE doc_id % 11 <> 3
+           |GROUP BY lang ORDER BY lang""".stripMargin))
+
   /** q223 — a PLAIN Delta table as a `readStream` source
     * ([[graft.streaming.DeltaTableSource]], format `graft-delta`): the
     * non-CDF tail every downstream lakehouse job starts from — initial
@@ -1716,5 +1763,5 @@ object DatalakeQueries {
     q203CdfWrite, q206CdfReadStream, q207RowTracking, q208TypeWidening,
     q209Variant, q210ClusteredSkip, q215IncrementalView, q216LogCompaction,
     q217ShreddedVariant, q218Collations, q219SqlDatasource,
-    q220SqlDml, q221CatalogSql, q223TableReadStream)
+    q220SqlDml, q221CatalogSql, q222HllView, q223TableReadStream)
 }

@@ -53,16 +53,28 @@ import graft.io.DeltaWrite.MergeClauses
 object IncrementalView {
 
   /** The view definition: group keys + the aggregated columns.
-    * `sums` and `minMaxes` name BASE columns; the view materializes
-    * them as `sum_<c>`, `min_<c>`, `max_<c>` alongside `cnt`. */
+    * `sums`, `minMaxes` and `approxDistincts` name BASE columns; the
+    * view materializes them as `sum_<c>`, `min_<c>`/`max_<c>` and
+    * `hll_<c>` alongside `cnt`.
+    *
+    * `approxDistincts` columns store a Datasketches HLL sketch
+    * (`hll_sketch_agg`) per group — the canonical 100 TB daily-uniques
+    * materialization: INSERTS fold losslessly (`hll_union` takes the
+    * elementwise register max, so a union of per-batch sketches equals
+    * the sketch of the union), while DELETES cannot be subtracted from
+    * an HLL and mark the key dirty for a semi-join-pruned recompute,
+    * exactly like min/max. Read estimates off the view with
+    * `hll_sketch_estimate(hll_<c>)`. */
   final case class ViewSpec(keys: Seq[String], sums: Seq[String] = Nil,
-      minMaxes: Seq[String] = Nil) {
+      minMaxes: Seq[String] = Nil, approxDistincts: Seq[String] = Nil) {
     require(keys.nonEmpty, "ViewSpec: keys must be non-empty")
     require(sums.distinct.size == sums.size &&
-      minMaxes.distinct.size == minMaxes.size && keys.distinct.size == keys.size,
+      minMaxes.distinct.size == minMaxes.size && keys.distinct.size == keys.size &&
+      approxDistincts.distinct.size == approxDistincts.size,
       "ViewSpec: duplicate column within a list")
     private val made = "cnt" +: (sums.map("sum_" + _) ++
-      minMaxes.flatMap(c => Seq("min_" + c, "max_" + c)))
+      minMaxes.flatMap(c => Seq("min_" + c, "max_" + c)) ++
+      approxDistincts.map("hll_" + _))
     require(keys.intersect(made).isEmpty && made.distinct.size == made.size,
       "ViewSpec: a key collides with a generated view column name")
   }
@@ -76,7 +88,8 @@ object IncrementalView {
     val aggs = Seq(count(lit(1)).as("cnt")) ++
       spec.sums.map(c => sum(col(c)).as(s"sum_$c")) ++
       spec.minMaxes.flatMap(c =>
-        Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+        Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) ++
+      spec.approxDistincts.map(c => hll_sketch_agg(col(c)).as(s"hll_$c"))
     df.groupBy(spec.keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -125,6 +138,10 @@ object IncrementalView {
         .as(s"__dsum_$c")) ++
       spec.minMaxes.map(c => min(when(ct === "insert", col(c))).as(s"__imin_$c")) ++
       spec.minMaxes.map(c => max(when(ct === "insert", col(c))).as(s"__imax_$c")) ++
+      // the range's inserted values as one sketch per key (nulls and
+      // delete rows contribute nothing, like every aggregate here)
+      spec.approxDistincts.map(c =>
+        hll_sketch_agg(when(ct === "insert", col(c))).as(s"__ihll_$c")) ++
       Seq(max(when(ct === "delete", 1).otherwise(0)).as("__hasdel"))
     val delta = changes.groupBy(spec.keys.map(col): _*)
       .agg(deltaAggs.head, deltaAggs.tail: _*)
@@ -133,6 +150,7 @@ object IncrementalView {
         (spec.sums.map(c => col(s"sum_$c").as(s"__cur_sum_$c")) ++
           spec.minMaxes.flatMap(c => Seq(col(s"min_$c").as(s"__cur_min_$c"),
             col(s"max_$c").as(s"__cur_max_$c"))) ++
+          spec.approxDistincts.map(c => col(s"hll_$c").as(s"__cur_hll_$c")) ++
           spec.keys.map(col)): _*)
     // a delete may have evicted a key's min/max, and can also drive a
     // SUM back to "all remaining values null" — a state the signed
@@ -147,7 +165,8 @@ object IncrementalView {
     // CONTAINS a delete — the common append-only refresh of a
     // sum-only view must not plan a base-head join at all (the dirty
     // probe is one small aggregation over the already-grouped delta)
-    val needRecompute = (spec.minMaxes.nonEmpty || spec.sums.nonEmpty) &&
+    val needRecompute = (spec.minMaxes.nonEmpty || spec.sums.nonEmpty ||
+      spec.approxDistincts.nonEmpty) &&
       !delta.where(col("__hasdel") === 1).isEmpty
     val recomputed =
       if (!needRecompute) None
@@ -163,7 +182,8 @@ object IncrementalView {
             spec.sums.map(c => col(s"sum_$c").as(s"__r_sum_$c")) ++
             spec.minMaxes.flatMap(c =>
               Seq(col(s"min_$c").as(s"__r_min_$c"),
-                col(s"max_$c").as(s"__r_max_$c"))): _*))
+                col(s"max_$c").as(s"__r_max_$c"))) ++
+            spec.approxDistincts.map(c => col(s"hll_$c").as(s"__r_hll_$c")): _*))
       }
     val joined0 = delta.join(cur, spec.keys, "left")
     val joined = recomputed.fold(joined0)(r => joined0.join(r, spec.keys, "left"))
@@ -189,6 +209,14 @@ object IncrementalView {
             .otherwise(least(col(s"__cur_min_$c"), col(s"__imin_$c"))).as(s"min_$c"),
           when(dirtyFlag, rCol(s"__r_max_$c"))
             .otherwise(greatest(col(s"__cur_max_$c"), col(s"__imax_$c"))).as(s"max_$c"))
+      } ++
+      spec.approxDistincts.map { c =>
+        val cur = col(s"__cur_hll_$c"); val ins = col(s"__ihll_$c")
+        // inserts union losslessly (register max); either side absent
+        // falls back to the other — hll_union itself nulls on one null
+        when(dirtyFlag, rCol(s"__r_hll_$c").cast("binary")).otherwise(
+          when(cur.isNull, ins).otherwise(
+            when(ins.isNull, cur).otherwise(hll_union(cur, ins)))).as(s"hll_$c")
       }
     val next = joined.select(outCols: _*)
     // the view trusting its own arithmetic is the failure mode: a key

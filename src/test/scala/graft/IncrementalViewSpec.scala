@@ -200,4 +200,60 @@ class IncrementalViewSpec extends SparkTestBase {
       assert(e2.getMessage.contains("out of sync"))
     } finally cleanup(base2, view2)
   }
+
+  // --- approxDistincts: HLL sketch columns ---
+
+  private val hspec = ViewSpec(keys = Seq("k"), approxDistincts = Seq("u"))
+
+  /** Estimates off the view vs a from-scratch sketch of the base head.
+    * Equality is EXACT: hll_union takes the elementwise register max,
+    * so a union of per-batch sketches carries the same registers as
+    * one sketch over all the data. */
+  private def assertHllMatches(base: String, view: String): Unit = {
+    val got = DeltaRead.read(spark, view)
+      .select($"k", hll_sketch_estimate($"hll_u").as("est"))
+      .orderBy($"k").collect().toSeq
+    val want = DeltaRead.read(spark, base).groupBy($"k")
+      .agg(hll_sketch_estimate(hll_sketch_agg($"u")).as("est"))
+      .orderBy($"k").collect().toSeq
+    assert(got == want, s"hll view diverged:\n got=$got\nwant=$want")
+  }
+
+  test("approxDistincts: inserts fold via hll_union, lossless vs recompute") {
+    val base = newDir("ivhbase"); val view = newDir("ivhview")
+    cleanup(view)
+    try {
+      DeltaWrite.append((0 until 500).map(i => (s"k${i % 3}", i.toLong % 200))
+        .toDF("k", "u"), base)
+      IncrementalView.build(spark, base, view, hspec)
+      assertHllMatches(base, view)
+      // overlapping + new values, plus a brand-new key
+      DeltaWrite.append(((150 until 700).map(i => (s"k${i % 3}", i.toLong)) ++
+        Seq(("fresh", 1L), ("fresh", 1L), ("fresh", 2L))).toDF("k", "u"), base)
+      assert(IncrementalView.refresh(spark, base, view, hspec).isDefined)
+      assertHllMatches(base, view)
+      // the estimate is sane in absolute terms too: "fresh" has 2 uniques
+      val freshEst = DeltaRead.read(spark, view).where($"k" === "fresh")
+        .select(hll_sketch_estimate($"hll_u")).head.getLong(0)
+      assert(freshEst == 2L)
+    } finally cleanup(base, view)
+  }
+
+  test("approxDistincts: a delete marks the key dirty and recomputes its sketch") {
+    val base = newDir("ivhdbase"); val view = newDir("ivhdview")
+    cleanup(view)
+    try {
+      DeltaWrite.append((0 until 300).map(i => (s"k${i % 2}", i.toLong))
+        .toDF("k", "u"), base)
+      IncrementalView.build(spark, base, view, hspec)
+      // delete most of k0's values: an HLL cannot subtract, so the key
+      // must recompute — its estimate must DROP, and k1 stays folded
+      DeltaWrite.deleteWhere(spark, base, $"k" === "k0" && $"u" >= 20L)
+      assert(IncrementalView.refresh(spark, base, view, hspec).isDefined)
+      assertHllMatches(base, view)
+      val k0Est = DeltaRead.read(spark, view).where($"k" === "k0")
+        .select(hll_sketch_estimate($"hll_u")).head.getLong(0)
+      assert(k0Est == 10L, s"k0 kept u in {0,2,..,18}: 10 uniques, got $k0Est")
+    } finally cleanup(base, view)
+  }
 }
