@@ -35,24 +35,45 @@ object Bench {
       // Long and ANSI mode (Spark 4 default) throws on overflow
       .selectExpr("bit_xor(id * 2654435761 + 17) as s"))
 
-  /** max/min spread of the sentinel samples, and whether it crosses
-    * the contention threshold (1.5×: far above same-machine run-to-run
-    * noise, far below the 1.7× uniform inflation the r10 driver
-    * window showed). A flagged record means per-query comparisons
-    * against history are unreliable for THIS run — re-measure on an
-    * idle machine before calling anything a regression. */
+  /** One sentinel SAMPLE = min of two consecutive runs. A fresh JVM
+    * keeps JIT-warming across the whole bench, so a single early run
+    * reads high for reasons that are not machine load (observed
+    * 0.38/0.30/0.25 s across one idle run — a phantom 1.5× "spread");
+    * min-of-2 at each sample point measures the machine, not the JIT. */
+  def sentinelSample(spark: org.apache.spark.sql.SparkSession): Double =
+    math.min(sentinelOnce(spark), sentinelOnce(spark))
+
+  /** FORWARD spread of the sentinel samples — max(samples(j) /
+    * samples(i)) over i < j — and whether it crosses the contention
+    * threshold (1.5×: far above same-machine run-to-run noise, far
+    * below the 1.7× uniform inflation the r10 driver window showed).
+    * Forward-only is deliberate: on an idle machine a fresh JVM only
+    * ever gets FASTER across the bench (JIT tiering — measured
+    * 0.24/0.15/0.10 s start/mid/end), so a later sample slower than an
+    * earlier one is load arriving mid-run, while a decreasing ramp is
+    * physics. A flagged record means per-query comparisons against
+    * history are unreliable for THIS run — re-measure on an idle
+    * machine before calling anything a regression. Whole-run UNIFORM
+    * load (the exact r10 scenario) is invisible intra-run by
+    * construction; that is what the cross-round `sentinel_min`
+    * comparison in [[main]] catches — the sentinel's cost is
+    * machine-constant across rounds, so a min 1.5× above the prior
+    * record is load, whatever this run's internal shape. */
   def contentionOf(samples: Seq[Double]): (Double, Boolean) = {
     val valid = samples.filter(_ > 0)
     if (valid.size < 2) (1.0, false)
     else {
-      val spread = valid.max / valid.min
+      val spread = (for {
+        i <- valid.indices; j <- (i + 1) until valid.size
+      } yield valid(j) / valid(i)).max
       (spread, spread > 1.5)
     }
   }
 
-  /** Per-query times from the newest `BENCH_r*.json` in the working
-    * directory — the prior round's record, used to flag outliers. */
-  private def priorBench(): Map[String, Double] =
+  /** Per-query times and the sentinel-min record from the newest
+    * `BENCH_r*.json` in the working directory — the prior round's
+    * record, used to flag outliers and whole-run load. */
+  private def priorBench(): (Map[String, Double], Option[Double]) =
     try {
       val dir = new java.io.File(".")
       val files = Option(dir.listFiles()).getOrElse(Array.empty)
@@ -62,21 +83,23 @@ object Bench {
           .readTree(f)
         // the round driver wraps the bench line under "parsed"; a raw
         // bench line carries "queries" at top level — accept both
-        Option(node.get("queries"))
-          .orElse(Option(node.get("parsed")).flatMap(p => Option(p.get("queries"))))
-          .map { qn =>
-            import scala.jdk.CollectionConverters._
-            qn.fieldNames().asScala.map(k => k -> qn.get(k).asDouble()).toMap
-          }.getOrElse(Map.empty[String, Double])
-      }.getOrElse(Map.empty)
-    } catch { case _: Exception => Map.empty }
+        val top = Option(node.get("queries")).map(_ => node)
+          .orElse(Option(node.get("parsed"))).getOrElse(node)
+        val qs = Option(top.get("queries")).map { qn =>
+          import scala.jdk.CollectionConverters._
+          qn.fieldNames().asScala.map(k => k -> qn.get(k).asDouble()).toMap
+        }.getOrElse(Map.empty[String, Double])
+        val sMin = Option(top.get("sentinel_min")).map(_.asDouble()).filter(_ > 0)
+        (qs, sMin)
+      }.getOrElse((Map.empty[String, Double], None))
+    } catch { case _: Exception => (Map.empty, None) }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local()
     spark.read.parquet(s"$sfDir/region.parquet").count() // warm-up
     val headline = Registry.allQueries.filter(_.benchmark)
-    val prior = priorBench()
+    val (prior, priorSentinelMin) = priorBench()
     // Discarded warm-up rep + median-of-3 measured reps: the warm-up
     // absorbs codegen compilation, shuffle-file creation and page-cache
     // faults; the median resists the one-off GC pause that min-of-2
@@ -92,11 +115,15 @@ object Bench {
     // once and reports the MIN of the two medians, with both values
     // preserved under "reruns" for the audit trail.
     val reruns = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
-    sentinelOnce(spark) // codegen warm-up, discarded
-    val sentinels = scala.collection.mutable.ArrayBuffer(sentinelOnce(spark))
+    // warm-up, discarded: codegen compiles on run 1, but the fresh JVM
+    // keeps tiering up for several more (measured 3.26/0.33/0.24/0.21/
+    // 0.17 s for runs 1-5 on an idle machine) — sampling before the
+    // ramp flattens would read as phantom contention
+    (1 to 4).foreach(_ => sentinelOnce(spark))
+    val sentinels = scala.collection.mutable.ArrayBuffer(sentinelSample(spark))
     val midpoint = headline.size / 2
     val results = headline.zipWithIndex.map { case (q, qi) =>
-      if (qi == midpoint) sentinels += sentinelOnce(spark)
+      if (qi == midpoint) sentinels += sentinelSample(spark)
       def rep(): Option[Double] =
         try Some(timeNoop(q.run(spark, sfDir)))
         catch { case e: Throwable =>
@@ -118,11 +145,18 @@ object Bench {
       }
       q.name -> fin
     }
-    sentinels += sentinelOnce(spark)
-    val (spread, loaded) = contentionOf(sentinels.toSeq)
+    sentinels += sentinelSample(spark)
+    val (spread, forwardLoaded) = contentionOf(sentinels.toSeq)
+    // whole-run uniform load never shows intra-run: compare this run's
+    // best sentinel against the prior round's record — the workload is
+    // machine-constant, so 1.5× over the record is load, not code
+    val sentinelMin = sentinels.min
+    val vsPrior = priorSentinelMin.map(p => sentinelMin / p)
+    val loaded = forwardLoaded || vsPrior.exists(_ > 1.5)
     if (loaded) System.err.println(f"[bench] CONTENTION: sentinel spread " +
-      f"$spread%.2fx across [${sentinels.map(s => f"$s%.2f").mkString(", ")}] s " +
-      "— this machine was loaded during the run; per-query times are " +
+      f"$spread%.2fx across [${sentinels.map(s => f"$s%.2f").mkString(", ")}] s" +
+      vsPrior.map(r => f", ${r}%.2fx vs prior-round record").getOrElse("") +
+      " — this machine was loaded during the run; per-query times are " +
       "unreliable for regression calls")
     val (ok, failed) = results.partition(_._2 >= 0)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
@@ -149,7 +183,8 @@ object Bench {
     }
     val pipelineTotal = if (pipelineSecs.nonEmpty) pipelineSecs.min else -1.0
     val sent = sentinels.map(s => f"$s%.4f").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"reruns":$rrs,"pipeline_total":$pipelineTotal,"sentinel":$sent,"contention":${f"$spread%.3f"},"contention_flag":$loaded,"sf":"$sfDir"}""")
+    val vsPriorJson = vsPrior.map(r => f"$r%.3f").getOrElse("null")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"reruns":$rrs,"pipeline_total":$pipelineTotal,"sentinel":$sent,"sentinel_min":${f"$sentinelMin%.4f"},"sentinel_vs_prior":$vsPriorJson,"contention":${f"$spread%.3f"},"contention_flag":$loaded,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

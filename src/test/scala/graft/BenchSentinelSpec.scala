@@ -6,12 +6,19 @@ package graft
 class BenchSentinelSpec extends SparkTestBase {
 
   test("contentionOf: idle-like samples do not flag, loaded spread does") {
-    // same-machine noise (max/min 1.08) stays unflagged
+    // same-machine noise (forward 1.08) stays unflagged
     val (s1, f1) = Bench.contentionOf(Seq(0.25, 0.26, 0.27))
     assert(s1 < 1.5 && !f1)
-    // the r10 signature — one window ~1.7x the others — flags
+    // the r10 signature — a LATER window ~1.7x an earlier one — flags
     val (s2, f2) = Bench.contentionOf(Seq(0.25, 0.43, 0.26))
     assert(s2 > 1.5 && f2)
+    // the JIT ramp of a fresh JVM (samples only ever get FASTER on an
+    // idle machine) must NOT flag — the observed false-positive shape
+    val (s3, f3) = Bench.contentionOf(Seq(0.38, 0.30, 0.25))
+    assert(s3 < 1.5 && !f3, s"decreasing ramp flagged: $s3")
+    // load in the LAST window (end sample slower than the warm middle)
+    val (_, f4) = Bench.contentionOf(Seq(0.30, 0.15, 0.27))
+    assert(f4)
   }
 
   test("contentionOf: degenerate inputs are safe and unflagged") {
