@@ -445,8 +445,12 @@ object StarQueries {
     * exactly one integer DC coefficient under all-ones quantization,
     * so the LOSSY pipeline is bit-exact for them and the oracle can
     * recompute every pixel sum arithmetically; every 3rd payload is
-    * truncated to pin corrupt→NULL. With q205 (PNG) and q211 (GIF),
-    * all three image formats now decode for real. */
+    * truncated to pin corrupt→NULL. Round 11: every other document
+    * encodes PROGRESSIVE (SOF2, the 4-scan successive-approximation
+    * script of [[graft.operators.JpegCodec.encodeProgressive]]) — the
+    * majority class of web-scraped JPEGs — and both modes must decode
+    * to the SAME arithmetic the one oracle recomputes. With q205 (PNG)
+    * and q211 (GIF), all three image formats decode for real. */
   val q213JpegPixels = GQuery(
     "q213_jpeg_pixels",
     (s, d) => {
@@ -460,7 +464,10 @@ object StarQueries {
         for (by <- 0 until bh; bx <- 0 until bw; y <- 0 until 8; x <- 0 until 8)
           g((by * 8 + y) * w + bx * 8 + x) =
             ((bx * 37 + by * 91 + id) % 256).toByte
-        val jpg = graft.operators.JpegCodec.encodeGray(w, h, g)
+        val jpg =
+          if ((id / 6) % 2 == 0)
+            graft.operators.JpegCodec.encodeProgressive(w, h, Seq(g))
+          else graft.operators.JpegCodec.encodeGray(w, h, g)
         (id, lang, if (id % 3 == 0) jpg.take(25) else jpg)
       }.toDF("doc_id", "lang", "payload")
       Multimodal.decodePixels(media, "payload")

@@ -210,6 +210,74 @@ class JpegCodecSpec extends SparkTestBase {
     JpegCodec.decode(badHuff) // must not throw
   }
 
+  // --- progressive (SOF2): spectral selection + successive approximation ---
+
+  test("progressive: hand-built constant image decodes to known pixels") {
+    val g = Array.fill[Byte](64)(130.toByte)
+    val prog = JpegCodec.encodeProgressive(8, 8, Seq(g))
+    // really SOF2 with the 4-scan successive-approximation script
+    assert(prog.sliding(2).exists(p => (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc2))
+    val p = JpegCodec.decode(prog).getOrElse(fail("progressive decode failed"))
+    assert(p.width == 8 && p.height == 8 && p.channels == 1)
+    assert(p.data.forall(_ == 130.toByte))
+  }
+
+  test("progressive decode == baseline decode of the same image") {
+    // the scan split is lossless (DC arithmetic-shift + held-back bit,
+    // AC toward-zero halves + sign-aware correction), so both codings
+    // carry IDENTICAL coefficients — pixels must match bit-exactly
+    def check(w: Int, h: Int, f: (Int, Int) => Int): Unit = {
+      val g = Array.tabulate(w * h)(i => (f(i % w, i / w) & 0xff).toByte)
+      val base = JpegCodec.decode(JpegCodec.encodeGray(w, h, g))
+        .getOrElse(fail(s"baseline failed ${w}x$h"))
+      val prog = JpegCodec.decode(JpegCodec.encodeProgressive(w, h, Seq(g)))
+        .getOrElse(fail(s"progressive failed ${w}x$h"))
+      assert(prog.width == base.width && prog.height == base.height)
+      assert(java.util.Arrays.equals(prog.data, base.data),
+        s"${w}x$h progressive != baseline")
+    }
+    check(17, 11, (x, y) => 60 + 9 * x + 5 * y)          // gradient, edge padding
+    check(24, 16, (x, y) => 128 + (((x + y) & 1) * 2 - 1) * 60) // checkerboard: (7,7)-only blocks → 62-zero runs → ZRL paths
+    check(16, 16, (x, y) => if (x % 5 == 0 && y % 3 == 0) 240 else 20) // impulses: dense spectra, odd/even halves
+    check(32, 24, (x, y) => (x * 131 + y * 197 + (x * y) % 7) % 256)   // pseudo-noise: every refine branch
+  }
+
+  test("progressive color: interleaved DC + per-component AC scans") {
+    // constant-per-block planes carry one integer DC coefficient per
+    // block — the progressive pipeline reproduces the plane values
+    // exactly, so expected RGB is the JFIF transform in the test
+    val w = 32; val h = 16
+    def plane(f: (Int, Int) => Int): Array[Byte] =
+      Array.tabulate(w * h)(i => (f((i % w) / 8, (i / w) / 8) & 0xff).toByte)
+    val py = plane((bx, by) => 100 + bx * 20 + by * 10)
+    val pb = plane((bx, by) => 90 + bx * 5)
+    val pr = plane((bx, by) => 150 + by * 8)
+    val p = JpegCodec.decode(JpegCodec.encodeProgressive(w, h, Seq(py, pb, pr)))
+      .getOrElse(fail("progressive color decode failed"))
+    assert(p.channels == 3)
+    def clamp(d: Double): Int = {
+      val v = Math.round(d).toInt
+      if (v < 0) 0 else if (v > 255) 255 else v
+    }
+    var mismatches = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val i = y * w + x
+      val yv = py(i) & 0xff; val bv = pb(i) & 0xff; val rv = pr(i) & 0xff
+      val o = i * 3
+      if ((p.data(o) & 0xff) != clamp(yv + 1.402 * (rv - 128)) ||
+          (p.data(o + 1) & 0xff) != clamp(yv - 0.344136 * (bv - 128) - 0.714136 * (rv - 128)) ||
+          (p.data(o + 2) & 0xff) != clamp(yv + 1.772 * (bv - 128))) mismatches += 1
+    }
+    assert(mismatches == 0, s"$mismatches pixels off the JFIF transform")
+  }
+
+  test("progressive: truncation and missing EOI decode to None") {
+    val g = Array.tabulate(16 * 16)(i => (i * 7 % 256).toByte)
+    val prog = JpegCodec.encodeProgressive(16, 16, Seq(g))
+    assert(JpegCodec.decode(prog.take(prog.length / 3)).isEmpty)
+    assert(JpegCodec.decode(prog.dropRight(2)).isEmpty) // scans ok, no EOI
+  }
+
   test("decodePixels dispatches JPEG alongside PNG and GIF") {
     val (w, h, g) = constBlocks(3, 2)((bx, by) => (bx * 40 + by * 80) % 256)
     val jpg = JpegCodec.encodeGray(w, h, g)
