@@ -32,6 +32,9 @@ object GraftExtensionsProbe {
   def optimizerRules(ext: SparkSessionExtensions, session: SparkSession)
       : Seq[catalyst.rules.Rule[catalyst.plans.logical.LogicalPlan]] =
     ext.buildOptimizerRules(session)
+  def resolutionRules(ext: SparkSessionExtensions, session: SparkSession)
+      : Seq[catalyst.rules.Rule[catalyst.plans.logical.LogicalPlan]] =
+    ext.buildResolutionRules(session)
   def registerFunctions(ext: SparkSessionExtensions,
       reg: catalyst.analysis.FunctionRegistry): catalyst.analysis.FunctionRegistry =
     ext.registerFunctions(reg)

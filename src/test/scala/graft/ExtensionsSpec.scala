@@ -6,12 +6,12 @@ import graft.plans.{GraftExtensions, NativizeCosine}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.functions._
 
-/** The SparkSessionExtensions entry point and the NativizeCosine
-  * optimizer rule. End-to-end runs use `experimental.extraOptimizations`
-  * on a fresh child session (a second `getOrCreate` would just return
-  * the suite's shared session, so the `spark.sql.extensions` config
-  * route can't be exercised inside one test JVM — the extensions object
-  * itself is verified through its public build* surface instead). */
+/** The SparkSessionExtensions entry point and the Nativize* optimizer
+  * rules. Since round 11, `Sessions.local` builds the session WITH
+  * `GraftExtensions`, so the shared suite session itself proves the
+  * injected route; the `extraOptimizations` child-session tests keep
+  * pinning each rule in isolation, and the extensions object's full
+  * surface is verified through its public build* probes. */
 class ExtensionsSpec extends SparkTestBase {
   import spark.implicits._
 
@@ -52,9 +52,12 @@ class ExtensionsSpec extends SparkTestBase {
     assert(!hasNativeCosine(mixed))
   }
 
-  test("rule does not fire on the shared session (no extraOptimizations)") {
+  test("the shared session carries the extensions: cosine nativizes by default") {
+    // Sessions.local builds with GraftExtensions (round 11) — the rule
+    // fires WITHOUT any extraOptimizations opt-in
     val plain = vecs(spark).select(Similarity.cosine(col("a"), col("b")).as("sim"))
-    assert(!hasNativeCosine(plain), "shared session has no extraOptimizations")
+    assert(hasNativeCosine(plain),
+      "Sessions.local session must carry the injected optimizer rules")
   }
 
   private def hasHash60(df: org.apache.spark.sql.DataFrame): Boolean =
@@ -73,8 +76,9 @@ class ExtensionsSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
     val got = declarative.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
     assert(got == expected)
-    // and without the rule, the declarative form stays declarative
-    assert(!hasHash60(Tables.documents(spark, sf).limit(5).select(
+    // the shared extensions-built session also rewrites (same rule,
+    // injected instead of opted into)
+    assert(hasHash60(Tables.documents(spark, sf).limit(5).select(
       graft.functions.TextAnalysis.tokenHash60(col("text")).as("h"))))
   }
 
@@ -93,6 +97,10 @@ class ExtensionsSpec extends SparkTestBase {
     new GraftExtensions()(ext)
     val rules = org.apache.spark.sql.GraftExtensionsProbe.optimizerRules(ext, spark)
     assert(rules.contains(NativizeCosine))
+    // the SQL DML rule rides the resolution batch
+    val res = org.apache.spark.sql.GraftExtensionsProbe.resolutionRules(ext, spark)
+    assert(res.exists(_.isInstanceOf[graft.plans.GraftSqlDmlRule]),
+      "GraftSqlDmlRule missing from injected resolution rules")
     val reg = org.apache.spark.sql.GraftExtensionsProbe.registerFunctions(ext,
       org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin.clone())
     graft.functions.NativeRegistry.builders.foreach { case (name, _) =>
