@@ -81,7 +81,10 @@ class DeltaTableSource(spark: SparkSession, table: String,
 
   /** A version's surfaceable file paths, in the stable order the
     * offsets index. Cached: lists are re-enumerated on every
-    * getOffset/getBatch walk and commit JSONs are immutable. */
+    * getOffset/getBatch walk and commit JSONs are immutable. Entries
+    * below the committed watermark are evicted in [[commit]] — a
+    * long-lived tail over an active table must hold O(uncommitted
+    * window) driver state, not O(history). */
   private val listCache = scala.collection.mutable.HashMap.empty[Long, Seq[String]]
   private def fileList(v: Long): Seq[String] = listCache.getOrElseUpdate(v, {
     if (v == base) {
@@ -156,7 +159,13 @@ class DeltaTableSource(spark: SparkSession, table: String,
     org.apache.spark.sql.graft.StreamingFrames.asStreaming(batch)
   }
 
-  override def commit(end: Offset): Unit = ()
+  override def commit(end: Offset): Unit = {
+    // versions at or below the committed offset can never be asked for
+    // again on THIS instance (restarts build a fresh source) — drop
+    // their file lists; the partially-consumed end version stays
+    val (ev, _) = parse(end)
+    listCache.filterInPlace((v, _) => v >= ev)
+  }
   override def stop(): Unit = ()
   override def toString: String = s"DeltaTableSource[$table]"
 }
