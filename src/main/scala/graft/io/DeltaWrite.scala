@@ -2443,11 +2443,22 @@ object DeltaWrite {
           Some(WriteMapping.Ctx(snap.columnMappingMode, committed, startMax))
         }
       val outCols = committed.fields.toSeq.map(f => col(f.name))
-      // per-source-row clause flags (evaluated once, over source cols)
+      // per-source-row clause flags (evaluated once, over source cols).
+      // NULL conditions coalesce to FALSE — SQL clause semantics (only
+      // TRUE fires); an uncoalesced NULL __m_del would drag the row
+      // into activeKeys via __m_upd yet keep it out of updKeys
+      // (!NULL is NULL), silently DROPPING the matched row from the
+      // rewrite instead of updating or keeping it
       val act = source
-        .withColumn("__m_del", clauses.deleteWhen.getOrElse(lit(false)))
-        .withColumn("__m_upd", clauses.updateWhen.getOrElse(lit(true)))
-        .withColumn("__m_ins", clauses.insertWhen.getOrElse(lit(true)))
+        .withColumn("__m_del",
+          org.apache.spark.sql.functions.coalesce(
+            clauses.deleteWhen.getOrElse(lit(false)), lit(false)))
+        .withColumn("__m_upd",
+          org.apache.spark.sql.functions.coalesce(
+            clauses.updateWhen.getOrElse(lit(true)), lit(false)))
+        .withColumn("__m_ins",
+          org.apache.spark.sql.functions.coalesce(
+            clauses.insertWhen.getOrElse(lit(true)), lit(false)))
       // only delete- or update-active keys can change a target file; a
       // matched row satisfying neither clause is left untouched and
       // must not drag its file into the rewrite
@@ -2778,8 +2789,31 @@ object DeltaWrite {
     * protocol allows). The protocol advances as the feature requires:
     * legacy tables below writer version 4 bump to (reader, 4);
     * feature-form tables gain the `changeDataFeed` writer feature. */
+  /** Configuration keys whose values are WRITER OBLIGATIONS with their
+    * own commit protocols — a bare metaData edit would record the claim
+    * without the machinery (a constraint nobody validated, a mapping
+    * mode whose files still carry the other regime's names, row-
+    * tracking column names no file materializes). Each has a real door:
+    * [[addCheckConstraint]]/[[dropCheckConstraint]],
+    * [[createColumnMapped]]/[[renameColumn]]/[[dropColumn]], and the
+    * row-tracking enablement inside the write path. */
+  private def refuseObligationKeys(keys: Iterable[String], who: String): Unit = {
+    val guarded = Seq("delta.constraints.", "delta.columnMapping.",
+      "delta.rowTracking.")
+    keys.foreach { k =>
+      guarded.find(k.startsWith).foreach { p =>
+        throw new UnsupportedOperationException(
+          s"$who: '$k' is an obligation-bearing key ($p*) — use the " +
+            "dedicated API (addCheckConstraint/dropCheckConstraint, " +
+            "createColumnMapped/renameColumn/dropColumn, or the row-" +
+            "tracking write path), not a raw properties edit")
+      }
+    }
+  }
+
   def setProperties(spark: SparkSession, table: String,
       props: Map[String, String]): Long = {
+    refuseObligationKeys(props.keys, "setProperties")
     var attempt = 0
     while (attempt < 10) {
       val v = DeltaRead.latestVersion(table)
@@ -2808,16 +2842,16 @@ object DeltaWrite {
   }
 
   /** ALTER TABLE UNSET TBLPROPERTIES — metaData-only commit dropping
-    * the named configuration keys. Feature-OBLIGATION keys refuse to
-    * unset this way: removing `delta.enableChangeDataFeed` is legal
-    * (future commits simply stop writing cdc), but constraint keys ride
-    * [[dropCheckConstraint]] so existing-data validation stays in one
-    * place. Unknown keys are ignored (idempotent), matching SQL's
-    * `IF EXISTS` leniency. */
+    * the named configuration keys. Obligation-bearing keys refuse
+    * (see [[refuseObligationKeys]]): removing
+    * `delta.enableChangeDataFeed` is legal (future commits simply stop
+    * writing cdc), but unsetting a constraint skips validation
+    * bookkeeping and unsetting `delta.columnMapping.mode` would claim
+    * logical names over physically-named files. Unknown keys are
+    * ignored (idempotent), matching SQL's `IF EXISTS` leniency. */
   def unsetProperties(spark: SparkSession, table: String,
       keys: Seq[String]): Long = {
-    require(keys.forall(!_.startsWith("delta.constraints.")),
-      "unsetProperties: CHECK constraints are dropped via dropCheckConstraint")
+    refuseObligationKeys(keys, "unsetProperties")
     var attempt = 0
     while (attempt < 10) {
       val v = DeltaRead.latestVersion(table)

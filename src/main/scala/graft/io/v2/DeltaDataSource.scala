@@ -45,7 +45,11 @@ class DeltaDataSource extends RelationProvider
         "the stream's schema is the table's schema")
     val path = parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft-delta source: .load(path) is required — the Delta table root"))
-    val v = parameters.get("startingVersion").map(x => math.max(x.toLong, 0L))
+    // resolve at the SAME version the source's base uses (base = v-1
+    // for an explicit startingVersion) — resolving at v would disagree
+    // with the source when commit v itself changed the schema
+    val v = parameters.get("startingVersion")
+      .map(x => math.max(x.toLong - 1, 0L))
       .getOrElse(DeltaRead.latestVersion(path))
     (shortName(), DeltaRead.readVersion(sqlContext.sparkSession, path, v).schema)
   }

@@ -59,15 +59,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def name(): String = catalogName
 
-  /** `db.t` → `<warehouse>/db/t`, refusing identifier segments that
-    * could escape the warehouse root (path traversal via a crafted
-    * table name is a correctness AND security hole). */
-  private def tableDir(ident: Identifier): Path = {
-    val segs = ident.namespace().toSeq :+ ident.name()
+  /** Refuse identifier/namespace segments that could escape the
+    * warehouse root — path traversal via a crafted name aimed at
+    * `DROP ... CASCADE` is a data-destruction hole, not a nicety. */
+  private def checkSegments(segs: Seq[String]): Unit =
     segs.foreach(s => require(
       s.nonEmpty && !s.contains("/") && !s.contains("\\") && s != "." && s != "..",
       s"GraftCatalog: illegal identifier segment '$s'"))
+
+  /** `db.t` → `<warehouse>/db/t`, traversal-checked. */
+  private def tableDir(ident: Identifier): Path = {
+    val segs = ident.namespace().toSeq :+ ident.name()
+    checkSegments(segs)
     segs.foldLeft(warehouse)(_.resolve(_))
+  }
+
+  /** Namespace → directory, traversal-checked — EVERY namespace-taking
+    * entry point resolves through here. */
+  private def nsDir(namespace: Array[String]): Path = {
+    checkSegments(namespace.toSeq)
+    namespace.foldLeft(warehouse)(_.resolve(_))
   }
 
   private def isTable(dir: Path): Boolean =
@@ -83,8 +94,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftTable(dir.toString, fullName(ident), None)
   }
 
-  /** `VERSION AS OF <v>` — also accepts a timestamp string, mirroring
-    * the `versionAsOf` path option's leniency. */
+  /** `VERSION AS OF <v>` — a commit number; Spark routes timestamp
+    * forms to the `loadTable(ident, timestampMicros)` hook instead. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
@@ -112,10 +123,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       require(p.equalsIgnoreCase("graft-delta"),
         s"GraftCatalog serves graft-delta tables only, got USING $p")
     }
-    // LOCATION makes the table external: data lives (and stays) there
-    val dir = props.get(TableCatalog.PROP_LOCATION)
-      .map(l => Paths.get(l).toAbsolutePath.normalize())
-      .getOrElse(tableDir(ident))
+    // LOCATION makes the table EXTERNAL: data lives (and stays) at the
+    // explicit path, and the identifier resolves through a symbolic
+    // link under the warehouse — without the link, loadTable/INSERT/
+    // DROP would all look under the warehouse and never find the table.
+    // Spark normalizes LOCATION to a URI (`file:/tmp/...`) — resolve
+    // the scheme, never Paths.get the raw string (a CWD-relative
+    // `file:/...` directory is where the data would silently land)
+    val external = props.get(TableCatalog.PROP_LOCATION).map { l =>
+      val uri = java.net.URI.create(l)
+      val p =
+        if (uri.getScheme == null) Paths.get(l)
+        else if (uri.getScheme == "file") Paths.get(uri)
+        else throw new UnsupportedOperationException(
+          s"GraftCatalog: LOCATION scheme '${uri.getScheme}' is not " +
+            "supported offline — local paths only")
+      p.toAbsolutePath.normalize()
+    }
+    val dir = tableDir(ident)
+    val target = external.getOrElse(dir)
     val partitionBy = partitions.toSeq.map {
       case t if t.name == "identity" && t.references().length == 1 =>
         t.references()(0).fieldNames().mkString(".")
@@ -130,7 +156,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val tblProps = props.filterNot { case (k, _) =>
       reserved.contains(k) || k.startsWith(TableCatalog.OPTION_PREFIX)
     }
-    DeltaWrite.createEmpty(spark, dir.toString, schema, partitionBy, tblProps)
+    if (isTable(target)) {
+      // registering EXISTING external data: no new commit; a non-empty
+      // declared schema must agree with the committed one
+      require(external.isDefined, s"GraftCatalog: ${dir} already holds a table")
+      if (schema.fields.nonEmpty) {
+        val committed = DeltaRead.readVersion(spark, target.toString,
+          DeltaRead.latestVersion(target.toString)).schema
+        require(schema.fieldNames.sorted.sameElements(committed.fieldNames.sorted),
+          s"GraftCatalog: declared schema ${schema.simpleString} does not " +
+            s"match the existing table's ${committed.simpleString}")
+      }
+      require(partitionBy.isEmpty && tblProps.isEmpty,
+        "GraftCatalog: PARTITIONED BY / TBLPROPERTIES cannot re-declare an " +
+          "existing external table — alter it after registration")
+    } else {
+      DeltaWrite.createEmpty(spark, target.toString, schema, partitionBy, tblProps)
+    }
+    external.foreach { _ =>
+      Files.createDirectories(dir.getParent)
+      Files.createSymbolicLink(dir, target)
+    }
     new GraftTable(dir.toString, fullName(ident), None)
   }
 
@@ -145,15 +191,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (other.nonEmpty) throw new UnsupportedOperationException(
       s"GraftCatalog: ALTER TABLE supports SET/UNSET TBLPROPERTIES; for " +
         s"schema changes use the Scala writer APIs. Got: ${other.mkString(", ")}")
-    if (sets.nonEmpty) DeltaWrite.setProperties(spark, dir.toString, sets.toMap)
-    if (unsets.nonEmpty) DeltaWrite.unsetProperties(spark, dir.toString, unsets)
+    // CHECK constraints ride their dedicated commit (existing-data
+    // validation + the checkConstraints protocol bump) — a raw
+    // properties edit would record a constraint nobody validated
+    val (constraintSets, plainSets) = sets.partition(
+      _._1.startsWith("delta.constraints."))
+    constraintSets.foreach { case (k, cond) =>
+      DeltaWrite.addCheckConstraint(spark, dir.toString,
+        k.stripPrefix("delta.constraints."), cond)
+    }
+    if (plainSets.nonEmpty)
+      DeltaWrite.setProperties(spark, dir.toString, plainSets.toMap)
+    val (constraintUnsets, plainUnsets) = unsets.partition(
+      _.startsWith("delta.constraints."))
+    constraintUnsets.foreach(k => DeltaWrite.dropCheckConstraint(
+      spark, dir.toString, k.stripPrefix("delta.constraints.")))
+    if (plainUnsets.nonEmpty)
+      DeltaWrite.unsetProperties(spark, dir.toString, plainUnsets)
     loadTable(ident)
   }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)
     if (!isTable(dir)) return false
-    org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    if (Files.isSymbolicLink(dir)) Files.delete(dir) // external: data stays
+    else org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
     true
   }
 
@@ -167,7 +229,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
-    val dir = namespace.foldLeft(warehouse)(_.resolve(_))
+    val dir = nsDir(namespace)
     if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(namespace)
     val st = Files.list(dir)
     try st.iterator().asScala
@@ -191,7 +253,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
     if (namespace.isEmpty) return listNamespaces()
-    val dir = namespace.foldLeft(warehouse)(_.resolve(_))
+    val dir = nsDir(namespace)
     if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(namespace)
     val st = Files.list(dir)
     try st.iterator().asScala
@@ -202,7 +264,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def namespaceExists(namespace: Array[String]): Boolean =
-    namespace.isEmpty || Files.isDirectory(namespace.foldLeft(warehouse)(_.resolve(_)))
+    namespace.isEmpty || Files.isDirectory(nsDir(namespace))
 
   override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
     if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
@@ -211,10 +273,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def createNamespace(namespace: Array[String],
       metadata: util.Map[String, String]): Unit = {
-    namespace.foreach(s => require(
-      s.nonEmpty && !s.contains("/") && !s.contains("\\") && s != "." && s != "..",
-      s"GraftCatalog: illegal namespace segment '$s'"))
-    Files.createDirectories(namespace.foldLeft(warehouse)(_.resolve(_)))
+    Files.createDirectories(nsDir(namespace))
   }
 
   override def alterNamespace(namespace: Array[String],
@@ -223,7 +282,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       "GraftCatalog: namespaces carry no metadata to alter")
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
-    val dir = namespace.foldLeft(warehouse)(_.resolve(_))
+    val dir = nsDir(namespace)
     if (!Files.isDirectory(dir)) return false
     if (!cascade) {
       val st = Files.list(dir)

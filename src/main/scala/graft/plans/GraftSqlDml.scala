@@ -176,7 +176,11 @@ case class GraftSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
 
     // first-match-wins across WHEN MATCHED clauses: each action fires
-    // only where no earlier action's condition held
+    // only where no earlier action's condition held. An earlier
+    // condition evaluating NULL did NOT hold (SQL: only TRUE fires),
+    // so the negation coalesces through false — Not(NULL) is NULL and
+    // would otherwise silently suppress every later clause for that
+    // row instead of falling through
     var updateWhen: Option[Expression] = None
     var deleteWhen: Option[Expression] = None
     var priorNeg: Expression = TrueLiteral
@@ -184,18 +188,20 @@ case class GraftSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case None => priorNeg
       case Some(e) => And(priorNeg, e)
     }
+    def didNotFire(c: Option[Expression]): Expression =
+      Not(Coalesce(Seq(c.getOrElse(TrueLiteral), Literal.FalseLiteral)))
     m.matchedActions.foreach {
       case UpdateAction(c, assigns, _) =>
         if (updateWhen.isDefined) refuse("two WHEN MATCHED UPDATE clauses")
         requireStar(assigns, "WHEN MATCHED UPDATE")
         c.foreach(sourceOnly(_, "WHEN MATCHED UPDATE"))
         updateWhen = Some(guard(c))
-        priorNeg = And(priorNeg, Not(c.getOrElse(TrueLiteral)))
+        priorNeg = And(priorNeg, didNotFire(c))
       case DeleteAction(c) =>
         if (deleteWhen.isDefined) refuse("two WHEN MATCHED DELETE clauses")
         c.foreach(sourceOnly(_, "WHEN MATCHED DELETE"))
         deleteWhen = Some(guard(c))
-        priorNeg = And(priorNeg, Not(c.getOrElse(TrueLiteral)))
+        priorNeg = And(priorNeg, didNotFire(c))
       case other => refuse(s"matched action $other")
     }
     val insertWhen: Option[Expression] = m.notMatchedActions match {

@@ -1,7 +1,6 @@
 package graft.streaming
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
 
 import graft.io.DeltaRead
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -56,12 +55,24 @@ class DeltaTableSource(spark: SparkSession, table: String,
     extends Source {
 
   /** (base version, whether the base contributes its full snapshot) —
-    * resolved once per CHECKPOINT, not per source instance. */
+    * resolved once per CHECKPOINT, not per source instance. The marker
+    * lives under the checkpoint's source-metadata directory, which
+    * Spark hands over as a URI STRING (`file:/...`, `hdfs://...`) — it
+    * must be resolved through the checkpoint's Hadoop filesystem, never
+    * `java.nio.Paths` (which would silently create a CWD-relative
+    * `file:/...` directory and lose the marker on restart from another
+    * working directory or node — exactly the offset-misalignment the
+    * marker exists to prevent). */
   private val (base: Long, baseIsSnapshot: Boolean) = {
-    val f = Paths.get(metadataPath, "graft-table-source")
-    if (Files.exists(f)) {
-      val Array(b, snap) =
-        new String(Files.readAllBytes(f), StandardCharsets.UTF_8).trim.split(",")
+    val dir = new org.apache.hadoop.fs.Path(metadataPath)
+    val f = new org.apache.hadoop.fs.Path(dir, "graft-table-source")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(f)) {
+      val in = fs.open(f)
+      val raw = try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
+      finally in.close()
+      val Array(b, snap) = raw.trim.split(",")
       (b.toLong, snap.toBoolean)
     } else {
       val resolved = startingVersion match {
@@ -70,8 +81,11 @@ class DeltaTableSource(spark: SparkSession, table: String,
         case Some(v) => (v - 1, false)
         case None => (DeltaRead.latestVersion(table), true)
       }
-      Files.createDirectories(f.getParent)
-      Files.write(f, s"${resolved._1},${resolved._2}".getBytes(StandardCharsets.UTF_8))
+      fs.mkdirs(dir)
+      // create-no-overwrite: two racing first starts agree or one fails
+      val out = fs.create(f, false)
+      try out.write(s"${resolved._1},${resolved._2}".getBytes(StandardCharsets.UTF_8))
+      finally out.close()
       resolved
     }
   }

@@ -99,6 +99,14 @@ class DeltaTableStreamSpec extends SparkTestBase {
       assert(resumed == rows(DeltaRead.read(spark, src)),
         "restart must append exactly the new commits: a duplicate means " +
           "a replay, a gap means a skipped commit")
+      // the base-version marker must live INSIDE the checkpoint (Spark
+      // hands metadataPath as a URI; resolving it with java.nio Paths
+      // would strand it in a CWD-relative 'file:' directory and break
+      // resume from any other working directory)
+      assert(Files.exists(java.nio.file.Paths.get(ckpt, "sources", "0",
+        "graft-table-source")), "base marker missing from the checkpoint")
+      assert(!Files.exists(java.nio.file.Paths.get("file:")),
+        "metadataPath URI was resolved as a relative filesystem path")
     } finally cleanup(src, ckpt, out)
   }
 

@@ -181,6 +181,75 @@ class SqlDmlSpec extends SparkTestBase {
     assert(operations(whT).size == operations(scalaT).size)
   }
 
+  test("MERGE: a NULL first-clause condition falls through to later clauses") {
+    val c = freshCatalog()
+    spark.sql(s"CREATE TABLE $c.n (id BIGINT, v BIGINT) USING `graft-delta`")
+    spark.sql(s"INSERT INTO $c.n VALUES (CAST(1 AS BIGINT), CAST(10 AS BIGINT)), " +
+      "(CAST(2 AS BIGINT), CAST(20 AS BIGINT)), (CAST(3 AS BIGINT), CAST(30 AS BIGINT))")
+    // flag: NULL for id=1, 1 for id=2, 0 for id=3 — SQL fires a clause
+    // only on TRUE, so id=1 and id=3 must fall through to the UPDATE
+    spark.sql(
+      s"""MERGE INTO $c.n t
+         |USING (SELECT CAST(id AS BIGINT) AS id, CAST(-1 AS BIGINT) AS v,
+         |              CASE WHEN id = 1 THEN CAST(NULL AS INT)
+         |                   WHEN id = 2 THEN 1 ELSE 0 END AS flag
+         |       FROM range(1, 4)) s
+         |ON t.id = s.id
+         |WHEN MATCHED AND s.flag = 1 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    val out = spark.sql(s"SELECT id, v FROM $c.n ORDER BY id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> -1L, 3L -> -1L),
+      s"id=2 deletes, ids 1 (NULL flag) and 3 (flag=0) must UPDATE: $out")
+  }
+
+  test("external LOCATION tables stay reachable; DROP leaves their data") {
+    val c = freshCatalog()
+    val loc = graft.io.Staging.tempDir("graft_ext_") + "/tbl"
+    spark.sql(s"CREATE TABLE $c.ext (id BIGINT) USING `graft-delta` LOCATION '$loc'")
+    spark.sql(s"INSERT INTO $c.ext SELECT CAST(id AS BIGINT) FROM range(7)")
+    assert(spark.sql(s"SELECT count(*) FROM $c.ext").head.getLong(0) == 7)
+    spark.sql(s"DROP TABLE $c.ext")
+    // external contract: the identifier is gone, the data is not
+    assert(spark.sql(s"SHOW TABLES IN $c").collect().isEmpty)
+    assert(graft.io.DeltaRead.read(spark, loc).count() == 7)
+    // and an existing external table can be re-registered
+    spark.sql(s"CREATE TABLE $c.ext2 USING `graft-delta` LOCATION '$loc'")
+    assert(spark.sql(s"SELECT count(*) FROM $c.ext2").head.getLong(0) == 7)
+  }
+
+  test("namespace traversal is refused; constraints route through their API") {
+    val c = freshCatalog()
+    val wh = spark.conf.get(s"spark.sql.catalog.$c.warehouse")
+    // a marker OUTSIDE the warehouse that a traversal would delete
+    val marker = Paths.get(wh).getParent.resolve(s"marker_$c")
+    Files.createDirectories(marker)
+    intercept[Exception] { spark.sql(s"DROP NAMESPACE $c.`..` CASCADE") }
+    assert(Files.isDirectory(marker), "traversal escaped the warehouse")
+    // SET TBLPROPERTIES with a constraint key must validate existing
+    // rows (addCheckConstraint), not record blindly
+    spark.sql(s"CREATE TABLE $c.ct (id BIGINT) USING `graft-delta`")
+    spark.sql(s"INSERT INTO $c.ct VALUES (CAST(-5 AS BIGINT)), (CAST(3 AS BIGINT))")
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $c.ct SET TBLPROPERTIES " +
+        "('delta.constraints.pos' = 'id > 0')")
+    }
+    spark.sql(s"ALTER TABLE $c.ct SET TBLPROPERTIES " +
+      "('delta.constraints.sane' = 'id > -100')")
+    // recorded AND enforced on the next write
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO $c.ct VALUES (CAST(-200 AS BIGINT))")
+    }
+    assert(e.getMessage.contains("sane") || e.getMessage.contains("-100"))
+    spark.sql(s"ALTER TABLE $c.ct UNSET TBLPROPERTIES ('delta.constraints.sane')")
+    spark.sql(s"INSERT INTO $c.ct VALUES (CAST(-200 AS BIGINT))") // now fine
+    // obligation keys refuse a raw properties edit
+    intercept[UnsupportedOperationException] {
+      spark.sql(s"ALTER TABLE $c.ct SET TBLPROPERTIES " +
+        "('delta.columnMapping.mode' = 'name')")
+    }
+  }
+
   test("refusals: time travel DML, partial merge SET, schema changes") {
     val c = freshCatalog()
     spark.sql(s"CREATE TABLE $c.r (id BIGINT, v BIGINT) USING `graft-delta`")
