@@ -86,11 +86,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private def spark: SparkSession = SparkSession.active
 
-  override def tableExists(ident: Identifier): Boolean = isTable(tableDir(ident))
+  /** A DANGLING external-table link still EXISTS for catalog purposes:
+    * Spark's DROP TABLE checks tableExists before calling dropTable, so
+    * treating the broken registration as absent would make it
+    * un-droppable (and un-recreatable). */
+  override def tableExists(ident: Identifier): Boolean = {
+    val dir = tableDir(ident)
+    isTable(dir) || Files.isSymbolicLink(dir)
+  }
 
   override def loadTable(ident: Identifier): Table = {
     val dir = tableDir(ident)
-    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    if (!isTable(dir)) {
+      if (Files.isSymbolicLink(dir)) throw new IllegalStateException(
+        s"${fullName(ident)}: external table target " +
+          s"${Files.readSymbolicLink(dir)} is gone — DROP TABLE to deregister")
+      throw new NoSuchTableException(ident)
+    }
     new GraftTable(dir.toString, fullName(ident), None)
   }
 
@@ -131,13 +143,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // the scheme, never Paths.get the raw string (a CWD-relative
     // `file:/...` directory is where the data would silently land)
     val external = props.get(TableCatalog.PROP_LOCATION).map { l =>
-      val uri = java.net.URI.create(l)
+      // only URI-parse strings that actually carry a scheme: raw local
+      // paths may hold URI-illegal characters (spaces) that
+      // URI.create would refuse even though the filesystem is fine
       val p =
-        if (uri.getScheme == null) Paths.get(l)
-        else if (uri.getScheme == "file") Paths.get(uri)
-        else throw new UnsupportedOperationException(
-          s"GraftCatalog: LOCATION scheme '${uri.getScheme}' is not " +
-            "supported offline — local paths only")
+        if (!l.matches("[a-zA-Z][a-zA-Z0-9+.-]*:/.*")) Paths.get(l)
+        else {
+          val uri = java.net.URI.create(l)
+          if (uri.getScheme == "file") Paths.get(uri)
+          else throw new UnsupportedOperationException(
+            s"GraftCatalog: LOCATION scheme '${uri.getScheme}' is not " +
+              "supported offline — local paths only")
+        }
       p.toAbsolutePath.normalize()
     }
     val dir = tableDir(ident)
@@ -153,9 +170,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       TableCatalog.PROP_OWNER, TableCatalog.PROP_EXTERNAL,
       TableCatalog.PROP_IS_MANAGED_LOCATION, TableCatalog.PROP_TABLE_TYPE,
       "option.path", "path")
-    val tblProps = props.filterNot { case (k, _) =>
+    val tblProps0 = props.filterNot { case (k, _) =>
       reserved.contains(k) || k.startsWith(TableCatalog.OPTION_PREFIX)
     }
+    // constraint keys route through addCheckConstraint AFTER creation
+    // (trivially valid on an empty table); any other obligation key
+    // must refuse BEFORE any commit lands — refusing inside
+    // setProperties would strand a half-created v0 table
+    val (constraintProps, tblProps) = tblProps0.partition(
+      _._1.startsWith("delta.constraints."))
+    tblProps.keys.find(k => k.startsWith("delta.columnMapping.") ||
+        k.startsWith("delta.rowTracking.")).foreach { k =>
+      throw new UnsupportedOperationException(
+        s"GraftCatalog: TBLPROPERTIES '$k' is an obligation-bearing key — " +
+          "use the dedicated Scala writer APIs (createColumnMapped, row " +
+          "tracking enablement) instead of CREATE TABLE properties")
+    }
+    // (a stale/dangling symlink cannot reach here: tableExists above
+    // reports it and the CREATE throws — DROP TABLE deregisters it)
     if (isTable(target)) {
       // registering EXISTING external data: no new commit; a non-empty
       // declared schema must agree with the committed one
@@ -163,11 +195,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       if (schema.fields.nonEmpty) {
         val committed = DeltaRead.readVersion(spark, target.toString,
           DeltaRead.latestVersion(target.toString)).schema
-        require(schema.fieldNames.sorted.sameElements(committed.fieldNames.sorted),
+        def shape(s: StructType) =
+          s.fields.map(f => (f.name.toLowerCase, f.dataType)).sortBy(_._1).toSeq
+        require(shape(schema) == shape(committed),
           s"GraftCatalog: declared schema ${schema.simpleString} does not " +
-            s"match the existing table's ${committed.simpleString}")
+            s"match the existing table's ${committed.simpleString} " +
+            "(names AND types must agree)")
       }
-      require(partitionBy.isEmpty && tblProps.isEmpty,
+      require(partitionBy.isEmpty && tblProps0.isEmpty,
         "GraftCatalog: PARTITIONED BY / TBLPROPERTIES cannot re-declare an " +
           "existing external table — alter it after registration")
     } else {
@@ -177,9 +212,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       Files.createDirectories(dir.getParent)
       Files.createSymbolicLink(dir, target)
     }
+    // CHECK constraints land through their dedicated commit (trivially
+    // valid against the just-created empty table)
+    constraintProps.foreach { case (k, cond) =>
+      DeltaWrite.addCheckConstraint(spark, dir.toString,
+        k.stripPrefix("delta.constraints."), cond)
+    }
     new GraftTable(dir.toString, fullName(ident), None)
   }
 
+  /** ALTER TABLE SET/UNSET TBLPROPERTIES. Constraint keys route through
+    * [[DeltaWrite.addCheckConstraint]]/[[DeltaWrite.dropCheckConstraint]]
+    * (existing-data validation + protocol bump); everything else is one
+    * metaData commit. NOTE: a statement mixing constraint and plain
+    * keys maps to SUCCESSIVE commits — each commit is atomic, but a
+    * later refusal (e.g. a second constraint the data violates) leaves
+    * the earlier commits in place; issue separate ALTERs when that
+    * matters. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
@@ -213,9 +262,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)
+    // an external table drops its LINK only (data stays) — including a
+    // DANGLING link whose target was deleted out-of-band, which would
+    // otherwise brick the identifier (isTable false forever, re-CREATE
+    // colliding with the stale link)
+    if (Files.isSymbolicLink(dir)) { Files.delete(dir); return true }
     if (!isTable(dir)) return false
-    if (Files.isSymbolicLink(dir)) Files.delete(dir) // external: data stays
-    else org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
     true
   }
 

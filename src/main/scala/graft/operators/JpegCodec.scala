@@ -293,7 +293,7 @@ object JpegCodec {
         }
       }
       None
-    } catch { case e: Exception => if (sys.env.contains("GRAFT_JPEG_DEBUG")) e.printStackTrace(); None }
+    } catch { case _: Exception => None }
   }
 
   /** One progressive scan (T.81 Annex G): DC or AC band, first pass or

@@ -468,7 +468,11 @@ object StarQueries {
           if ((id / 6) % 2 == 0)
             graft.operators.JpegCodec.encodeProgressive(w, h, Seq(g))
           else graft.operators.JpegCodec.encodeGray(w, h, g)
-        (id, lang, if (id % 3 == 0) jpg.take(25) else jpg)
+        // truncation keys off the RANK among selected ids (id/6) — the
+        // ids themselves are all multiples of 6, so `id % 3 == 0` would
+        // be uniformly true and truncate EVERY payload (a vacuously
+        // green query that decodes nothing)
+        (id, lang, if ((id / 6) % 3 == 0) jpg.take(25) else jpg)
       }.toDF("doc_id", "lang", "payload")
       Multimodal.decodePixels(media, "payload")
         .groupBy($"lang")
@@ -480,16 +484,17 @@ object StarQueries {
         .orderBy($"lang")
     },
     Some("""WITH docs AS (
-           |  SELECT doc_id, lang, (doc_id % 4) + 2 AS bw, (doc_id % 3) + 1 AS bh
+           |  SELECT doc_id, lang, (doc_id % 4) + 2 AS bw, (doc_id % 3) + 1 AS bh,
+           |         (doc_id // 6) % 3 AS trunc
            |  FROM documents WHERE doc_id % 6 = 0),
            |base AS (
            |  SELECT lang, count(*) AS n_imgs,
-           |         count(*) FILTER (WHERE doc_id % 3 <> 0) AS n_decoded,
-           |         CAST(sum(bw * 8) FILTER (WHERE doc_id % 3 <> 0) AS BIGINT) AS sum_w,
-           |         CAST(sum(bh * 8) FILTER (WHERE doc_id % 3 <> 0) AS BIGINT) AS sum_h
+           |         count(*) FILTER (WHERE trunc <> 0) AS n_decoded,
+           |         CAST(sum(bw * 8) FILTER (WHERE trunc <> 0) AS BIGINT) AS sum_w,
+           |         CAST(sum(bh * 8) FILTER (WHERE trunc <> 0) AS BIGINT) AS sum_h
            |  FROM docs GROUP BY lang),
            |bs AS (SELECT doc_id, lang, bh, unnest(range(bw)) AS bx
-           |       FROM docs WHERE doc_id % 3 <> 0),
+           |       FROM docs WHERE trunc <> 0),
            |bxy AS (SELECT doc_id, lang, bx, unnest(range(bh)) AS by FROM bs),
            |px AS (SELECT lang,
            |         CAST(sum(64 * ((bx * 37 + by * 91 + doc_id) % 256)) AS BIGINT) AS s0

@@ -82,6 +82,10 @@ class DeltaTableStreamSpec extends SparkTestBase {
     val out = newDir("gdstream_out")
     try {
       DeltaWrite.append((0 until 10).map(i => (i.toLong, s"a$i")).toDF("id", "txt"), src)
+      // pre-fix revisions stranded a CWD-relative 'file:' dir; clear
+      // any stale debris so the no-debris assertion below is about
+      // THIS run, not history
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File("file:"))
       def run(): Unit = {
         val q = spark.readStream.format("graft-delta")
           .option("startingVersion", "0").load(src)

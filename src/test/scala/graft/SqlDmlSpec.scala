@@ -216,6 +216,33 @@ class SqlDmlSpec extends SparkTestBase {
     // and an existing external table can be re-registered
     spark.sql(s"CREATE TABLE $c.ext2 USING `graft-delta` LOCATION '$loc'")
     assert(spark.sql(s"SELECT count(*) FROM $c.ext2").head.getLong(0) == 7)
+    // a DANGLING link (external data deleted out-of-band) must not
+    // brick the identifier: DROP removes the link, re-CREATE works
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(loc))
+    spark.sql(s"DROP TABLE $c.ext2")
+    spark.sql(s"CREATE TABLE $c.ext2 (id BIGINT) USING `graft-delta`")
+    assert(spark.sql(s"SELECT count(*) FROM $c.ext2").head.getLong(0) == 0)
+  }
+
+  test("CREATE TABLE TBLPROPERTIES: constraints route, obligation keys refuse pre-commit") {
+    val c = freshCatalog()
+    // a constraint property at creation is recorded via its dedicated
+    // commit and ENFORCED on the first insert
+    spark.sql(s"CREATE TABLE $c.cc (id BIGINT) USING `graft-delta` " +
+      "TBLPROPERTIES ('delta.constraints.pos' = 'id > 0')")
+    intercept[Exception] {
+      spark.sql(s"INSERT INTO $c.cc VALUES (CAST(-1 AS BIGINT))")
+    }
+    spark.sql(s"INSERT INTO $c.cc VALUES (CAST(1 AS BIGINT))")
+    // an obligation-bearing key refuses BEFORE any commit — no
+    // half-created table left behind
+    intercept[UnsupportedOperationException] {
+      spark.sql(s"CREATE TABLE $c.cm (id BIGINT) USING `graft-delta` " +
+        "TBLPROPERTIES ('delta.columnMapping.mode' = 'name')")
+    }
+    assert(!spark.sql(s"SHOW TABLES IN $c").collect()
+      .map(_.getString(1)).contains("cm"), "half-created table left behind")
+    spark.sql(s"CREATE TABLE $c.cm (id BIGINT) USING `graft-delta`") // now fine
   }
 
   test("namespace traversal is refused; constraints route through their API") {
