@@ -2735,6 +2735,111 @@ object DeltaWrite {
       s"updateWhere: lost $maxRetries commit races on $table")
   }
 
+  /** REPLACE WHERE — `INSERT OVERWRITE t PARTITION (p = 'x')` and
+    * Delta's `replaceWhere` option: ONE commit that deletes every row
+    * matching `predicate` and inserts `df`, the nightly
+    * partition-reload primitive (at 100 TB, reloading one day's
+    * partition must never rewrite — or even scan — the other
+    * partitions). Pass 1 finds the touched files by lineage (for a
+    * partition-aligned predicate, partition pruning makes this a
+    * metadata-sized scan); pass 2 re-reads ONLY those files and keeps
+    * their non-matching rows (three-valued: NULL keeps, like UPDATE);
+    * the commit removes the touched files and adds kept ∪ df. Files
+    * with no matching row are untouched bytes. The incoming frame must
+    * match the committed schema (this is a row-replacement, not the
+    * schema-evolution overwrite); identity tables refuse (inserted
+    * rows would bypass the high-water mark); CDF-obligated tables
+    * record exact delete/insert cdc rows. Returns the committed
+    * version. An empty predicate match with an empty `df` is a no-op
+    * (current version returned). */
+  def replaceWhere(spark: SparkSession, table: String, df: DataFrame,
+      predicate: org.apache.spark.sql.Column, maxRetries: Int = 10): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val v = DeltaRead.latestVersion(table)
+      val snap = DeltaRead.snapshotAt(spark, table, v)
+      validateWriterSupport(table, snap, removesData = true)
+      val committed = snap.schema.getOrElse(throw new IllegalStateException(
+        s"replaceWhere: $table has no committed schema"))
+      if (committed.fields.exists(_.metadata.contains(IdStartKey)))
+        throw new UnsupportedOperationException(
+          s"replaceWhere: $table carries identity columns — use " +
+            "deleteWhere + append (writer-allocated values) instead")
+      require(schemaMatches(committed, df.schema),
+        s"replaceWhere: frame must match the committed schema — " +
+          s"committed ${committed.json}, incoming ${df.schema.json}")
+      val mapCtx =
+        if (!DeltaRead.ColumnMapping.active(snap.columnMappingMode)) None
+        else {
+          val startMax = snap.configuration.get(WriteMapping.MaxIdKey)
+            .flatMap(_.toLongOption).getOrElse(WriteMapping.maxId(committed))
+          Some(WriteMapping.Ctx(snap.columnMappingMode, committed, startMax))
+        }
+      val outCols = committed.fields.toSeq.map(f => col(f.name))
+      val hit = coalesce(predicate, lit(false))
+      val touchedAbs = DeltaRead.readVersionWithLineage(spark, table, v)
+        .where(hit).select(col(DeltaRead.LineageFile)).distinct()
+        .collect().map(_.getString(0)).toSet
+      val newRows = df.select(outCols: _*)
+      if (touchedAbs.isEmpty && newRows.isEmpty) return v
+      val byAbs = snap.files.map(f =>
+        (Paths.get(table, f.path).toAbsolutePath.normalize().toString, f)).toMap
+      val touched = touchedAbs.toSeq.sorted.map(a => byAbs.getOrElse(a,
+        throw new IllegalStateException(
+          s"replaceWhere: lineage path $a not in snapshot")))
+      val matPair: Option[(String, String)] =
+        if (rowTrackingOn(snap))
+          snap.configuration.get(MatRowIdKey).zip(snap.configuration.get(MatRcvKey))
+        else None
+      val matSel = matPair.toSeq.flatMap { case (a, b) => Seq(col(a), col(b)) }
+      val tTouched = matPair match {
+        case Some(_) => DeltaRead.readFilesForRewrite(spark, table, v,
+          touched.map(_.path).toSet)
+        case None => DeltaRead.readFilesWithLineage(spark, table, v,
+          touched.map(_.path).toSet)
+      }
+      val kept = tTouched.where(!hit).select(outCols ++ matSel: _*)
+      // inserted rows of a row-tracking table carry null materialized
+      // ids and resolve positionally against their new file's block
+      val inserts = matPair.fold(newRows) { case (a, b) =>
+        newRows.withColumn(a, lit(null).cast("long"))
+          .withColumn(b, lit(null).cast("long"))
+      }
+      val batch = kept.unionByName(inserts)
+      val wantCdc = cdcEnabled(snap.configuration)
+      val ctCol = DeltaRead.ChangeTypeCol
+      val cdcRows: Option[DataFrame] =
+        if (!wantCdc) None
+        else Some(tTouched.where(hit).select(outCols: _*)
+          .withColumn(ctCol, lit("delete"))
+          .unionByName(newRows.withColumn(ctCol, lit("insert"))))
+      enforceConstraints(batch, snap.configuration, table)
+      enforceInvariants(batch, committed, table)
+      applyGeneratedColumns(batch, committed, table)
+      val stagedDf = mapCtx.map(c => WriteMapping.physicalizeDf(batch, c.schema))
+        .getOrElse(batch)
+      val stagedPartitionBy = mapCtx
+        .map(c => snap.partitionColumns.map(c.physByLogical))
+        .getOrElse(snap.partitionColumns)
+      val staged = shredGuard(spark, Some(snap), stagedDf.schema)(
+        stage(stagedDf, table, stagedPartitionBy))
+      val cdcStaged = shredGuard(spark, Some(snap), stagedDf.schema)(
+        cdcRows.map(stageCdc(_, table, snap)).getOrElse(Nil))
+      val now = System.currentTimeMillis()
+      val lines = Seq(commitInfoAction("REPLACE WHERE", now)) ++
+        touched.map(f => removeAction(f.path, now)) ++
+        staged.map(s => addAction(s)) ++
+        cdcStaged.map(cdcAction)
+      if (publish(table, Some(snap), v + 1, lines)) return v + 1
+      dropStaged(table, staged)
+      dropStaged(table, cdcStaged)
+      attempt += 1 // lost the CAS race: replan against the winner
+    }
+    throw new IllegalStateException(
+      s"replaceWhere: lost $maxRetries commit races on $table")
+  }
+
   /** ALTER TABLE ADD CONSTRAINT: record a CHECK constraint
     * (`delta.constraints.<name>` = a SQL boolean expression over the
     * logical columns) that every future append/overwrite/merge batch

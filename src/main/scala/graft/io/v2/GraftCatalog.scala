@@ -12,7 +12,7 @@ import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.expressions.filter.{AlwaysFalse, AlwaysTrue, And => V2And, Not => V2Not, Or => V2Or, Predicate => V2Predicate}
 import org.apache.spark.sql.connector.expressions.{FieldReference, Literal => V2Literal, NamedReference}
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -386,7 +386,7 @@ class GraftTable(val path: String, ident: String,
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(path, versionForRead, schema)
@@ -515,21 +515,47 @@ private[v2] class GraftScanBuilder(path: String, version: Long,
 }
 
 /** INSERT INTO → transactional append; INSERT OVERWRITE / TRUNCATE →
-  * transactional overwrite. The V1 fallback hands a fully-materialized
-  * batch DataFrame to the same writer entry points the Scala API uses. */
+  * transactional overwrite; `INSERT OVERWRITE ... PARTITION (p = v)` →
+  * [[DeltaWrite.replaceWhere]], ONE commit that replaces only the
+  * matching rows (the nightly partition-reload primitive — untouched
+  * partitions keep their bytes). The V1 fallback hands a
+  * fully-materialized batch DataFrame to the same writer entry points
+  * the Scala API uses. */
 private[v2] class GraftWriteBuilder(path: String) extends WriteBuilder
-    with SupportsTruncate {
-  private var overwrite = false
+    with SupportsOverwrite {
+  /** None = append; Some(None) = full overwrite; Some(Some(c)) =
+    * replace rows matching c. */
+  private var mode: Option[Option[Column]] = None
 
-  override def truncate(): WriteBuilder = { overwrite = true; this }
+  override def truncate(): WriteBuilder = { mode = Some(None); this }
+
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    val meaningful = filters.filterNot(
+      _.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])
+    if (meaningful.isEmpty) mode = Some(None)
+    else {
+      val conds = meaningful.toSeq.map(f => DeltaRelation.toColumn(f)
+        .getOrElse(throw new UnsupportedOperationException(
+          s"graft-delta: cannot translate overwrite filter $f — use the " +
+            "Scala API (DeltaWrite.replaceWhere) for arbitrary predicates")))
+      mode = Some(Some(conds.reduce(_ && _)))
+    }
+    this
+  }
 
   override def build(): Write = new V1Write {
     override def toInsertableRelation: InsertableRelation = {
-      val ow = overwrite
+      val m = mode
       new InsertableRelation {
         override def insert(data: DataFrame, overwriteFlag: Boolean): Unit =
-          if (ow || overwriteFlag) DeltaWrite.overwrite(data, path)
-          else DeltaWrite.append(data, path)
+          m match {
+            case Some(Some(cond)) =>
+              DeltaWrite.replaceWhere(data.sparkSession, path, data, cond)
+            case Some(None) => DeltaWrite.overwrite(data, path)
+            case None =>
+              if (overwriteFlag) DeltaWrite.overwrite(data, path)
+              else DeltaWrite.append(data, path)
+          }
       }
     }
   }

@@ -1752,6 +1752,58 @@ object DatalakeQueries {
            |       CAST(sum(doc_id) AS BIGINT) AS sum_ids, true AS paced
            |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
 
+  /** q224 — REPLACE WHERE / `INSERT OVERWRITE ... PARTITION`
+    * ([[graft.io.DeltaWrite.replaceWhere]] via the catalog's
+    * `SupportsOverwrite` write builder): the nightly partition-reload
+    * primitive — ONE commit replaces exactly one partition's rows with
+    * a reload carrying fewer rows and shifted prices while every other
+    * partition keeps its bytes (`untouched` pins file-level identity,
+    * not just row equality — at 100 TB the point is what is NOT
+    * rewritten). Pure SQL end to end; the oracle recomputes the final
+    * state arithmetically from `orders` with integer-cents revenue. */
+  val q224ReplaceWhere = GQuery(
+    "q224_replace_where",
+    (s, d) => {
+      val cat = freshCatalog(s, "q224")
+      s.read.parquet(s"$d/orders.parquet")
+        .selectExpr("CAST(o_orderkey AS BIGINT) AS o_orderkey",
+          "CAST(o_totalprice AS DOUBLE) AS o_totalprice",
+          "CAST(o_orderkey % 4 AS STRING) AS bucket")
+        .createOrReplaceTempView("q224_src")
+      s.sql(s"""CREATE TABLE $cat.po (o_orderkey BIGINT,
+        o_totalprice DOUBLE, bucket STRING) USING `graft-delta`
+        PARTITIONED BY (bucket)""")
+      s.sql(s"INSERT INTO $cat.po SELECT * FROM q224_src")
+      val wh = s.conf.get(s"spark.sql.catalog.$cat.warehouse") + "/po"
+      val before = graft.io.DeltaRead.snapshot(s, wh).files
+        .filterNot(_.partitionValues.get("bucket").contains("2"))
+        .map(_.path).toSet
+      val v0 = graft.io.DeltaRead.latestVersion(wh)
+      s.sql(s"""INSERT OVERWRITE $cat.po PARTITION (bucket = '2')
+        SELECT o_orderkey, o_totalprice + 100.0
+        FROM q224_src WHERE o_orderkey % 4 = 2 AND o_orderkey % 3 = 0""")
+      val oneCommit = graft.io.DeltaRead.latestVersion(wh) == v0 + 1
+      val after = graft.io.DeltaRead.snapshot(s, wh).files
+        .filterNot(_.partitionValues.get("bucket").contains("2"))
+        .map(_.path).toSet
+      import org.apache.spark.sql.functions.lit
+      s.sql(s"""SELECT bucket, count(*) AS n,
+        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM $cat.po GROUP BY bucket ORDER BY bucket""")
+        .withColumn("untouched", lit(before == after))
+        .withColumn("one_commit", lit(oneCommit))
+    },
+    Some("""WITH fin AS (
+           |  SELECT CAST(o_orderkey % 4 AS VARCHAR) AS bucket,
+           |         CASE WHEN o_orderkey % 4 = 2 THEN o_totalprice + 100.0
+           |              ELSE o_totalprice END AS p
+           |  FROM orders
+           |  WHERE o_orderkey % 4 <> 2 OR o_orderkey % 3 = 0)
+           |SELECT bucket, count(*) AS n,
+           |  CAST(sum(CAST(round(p * 100) AS BIGINT)) AS BIGINT) AS cents,
+           |  true AS untouched, true AS one_commit
+           |FROM fin GROUP BY bucket ORDER BY bucket""".stripMargin))
+
   val all: Seq[GQuery] = Seq(
     q130SnapshotDiff, q131IncrementalAgg, q132SchemaEvolution,
     q133KAnonymity, q134GdprErasure, q147CompactionPlan,
@@ -1763,5 +1815,6 @@ object DatalakeQueries {
     q203CdfWrite, q206CdfReadStream, q207RowTracking, q208TypeWidening,
     q209Variant, q210ClusteredSkip, q215IncrementalView, q216LogCompaction,
     q217ShreddedVariant, q218Collations, q219SqlDatasource,
-    q220SqlDml, q221CatalogSql, q222HllView, q223TableReadStream)
+    q220SqlDml, q221CatalogSql, q222HllView, q223TableReadStream,
+    q224ReplaceWhere)
 }

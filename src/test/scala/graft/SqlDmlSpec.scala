@@ -181,6 +181,28 @@ class SqlDmlSpec extends SparkTestBase {
     assert(operations(whT).size == operations(scalaT).size)
   }
 
+  test("INSERT OVERWRITE PARTITION replaces only the named partition") {
+    val c = freshCatalog()
+    spark.sql(s"CREATE TABLE $c.po (id BIGINT, p STRING) USING `graft-delta` " +
+      "PARTITIONED BY (p)")
+    spark.sql(s"INSERT INTO $c.po SELECT CAST(id AS BIGINT), " +
+      "CAST(id % 3 AS STRING) FROM range(30)")
+    val beforeP0 = graft.io.DeltaRead.snapshot(spark,
+      spark.conf.get(s"spark.sql.catalog.$c.warehouse") + "/po").files
+      .filter(_.partitionValues.get("p").contains("0")).map(_.path).toSet
+    // one commit: partition 1 is replaced by two rows, 0 and 2 untouched
+    spark.sql(s"INSERT OVERWRITE $c.po PARTITION (p = '1') " +
+      "VALUES (CAST(1000 AS BIGINT)), (CAST(1001 AS BIGINT))")
+    val out = spark.sql(s"SELECT p, count(*) AS n, max(id) AS mx FROM $c.po " +
+      "GROUP BY p ORDER BY p").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("0", 10L, 27L), ("1", 2L, 1001L), ("2", 10L, 29L)))
+    val afterP0 = graft.io.DeltaRead.snapshot(spark,
+      spark.conf.get(s"spark.sql.catalog.$c.warehouse") + "/po").files
+      .filter(_.partitionValues.get("p").contains("0")).map(_.path).toSet
+    assert(beforeP0 == afterP0, "untouched partitions must keep their bytes")
+  }
+
   test("MERGE: a NULL first-clause condition falls through to later clauses") {
     val c = freshCatalog()
     spark.sql(s"CREATE TABLE $c.n (id BIGINT, v BIGINT) USING `graft-delta`")
