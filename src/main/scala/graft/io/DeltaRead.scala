@@ -511,6 +511,20 @@ object DeltaRead {
     (adds.result().sorted, removesData)
   }
 
+  /** The schema a commit DECLARED, if it carried a metaData action —
+    * how a streaming tail detects mid-stream schema evolution (a
+    * cross-version union over drifted schemas must refuse, not guess).
+    * Commit JSONs are immutable and small; this is a cheap re-read. */
+  def commitSchemaChange(table: String, version: Long): Option[String] = {
+    val p = logDir(table).resolve(f"$version%020d.json")
+    if (!Files.exists(p)) return None
+    Files.readAllLines(p).asScala.iterator.filter(_.trim.nonEmpty)
+      .map(mapper.readTree)
+      .flatMap(n => Option(n.get("metaData")))
+      .flatMap(m => Option(m.get("schemaString")).map(_.asText()))
+      .toSeq.lastOption
+  }
+
   private def fileEntry(addN: JsonNode): FileEntry = {
     val pv = Option(addN.get("partitionValues")).map { m =>
       m.fieldNames().asScala.map(k =>
@@ -981,6 +995,30 @@ object DeltaRead {
         }
         .nextOption()
       fromInfo.orElse(Some(Files.getLastModifiedTime(p).toMillis))
+    }
+  }
+
+  /** `DESCRIBE HISTORY` surface: (version, commit timestamp millis,
+    * operation) for every SURVIVING JSON commit, newest first. A
+    * checkpoint-truncated prefix simply doesn't appear — the history a
+    * reader can still resolve is the history reported. */
+  def history(table: String): Seq[(Long, Option[Long], String)] = {
+    val ld = logDir(table)
+    if (!Files.isDirectory(ld)) return Nil
+    val st = Files.list(ld)
+    val versions =
+      try st.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.matches("\\d{20}\\.json"))
+        .map(_.stripSuffix(".json").toLong).toSeq.sorted
+      finally st.close()
+    versions.reverse.map { v =>
+      val op = Files.readAllLines(ld.resolve(f"$v%020d.json")).asScala.iterator
+        .map(l => try mapper.readTree(l) catch { case _: Exception => null })
+        .filter(n => n != null && n.has("commitInfo"))
+        .flatMap(n => Option(n.get("commitInfo").get("operation"))
+          .filterNot(_.isNull).map(_.asText()))
+        .nextOption().getOrElse("UNKNOWN")
+      (v, commitTimestamp(table, v), op)
     }
   }
 

@@ -2560,6 +2560,302 @@ object DeltaWrite {
     throw new IllegalStateException(s"merge: lost $maxRetries commit races on $table")
   }
 
+  /** Source-column prefix for [[mergeAdvanced]] clause expressions:
+    * inside matched-clause conditions/assignments the TARGET row's
+    * columns go by their plain names and the SOURCE row's through
+    * [[mergeSrc]] (`__graft_src__<name>`), because the two sides may
+    * share names (they always share the keys). */
+  val MergeSrcPrefix = "__graft_src__"
+  /** The source row's column `name`, for [[mergeAdvanced]] matched
+    * clauses: `mergeSrc("v")` ≡ the SQL `s.v`. */
+  def mergeSrc(name: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.col(MergeSrcPrefix + name)
+
+  /** One WHEN clause of the general merge ([[mergeAdvanced]]). `None`
+    * condition means ALWAYS fires (SQL: a clause without AND) —
+    * uniformly across update/delete/insert, unlike the legacy
+    * [[MergeClauses]] whose deleteWhen None meant never. */
+  sealed trait MergeWhen
+  /** UPDATE SET with a PARTIAL assignment list: named columns take the
+    * assigned expression, every other column keeps its pre-image value;
+    * all RHS evaluate simultaneously over the pre-image (+ source). */
+  final case class MergeUpdateWhen(condition: Option[org.apache.spark.sql.Column],
+      assignments: Seq[(String, org.apache.spark.sql.Column)]) extends MergeWhen
+  final case class MergeDeleteWhen(
+      condition: Option[org.apache.spark.sql.Column]) extends MergeWhen
+  /** INSERT with a PARTIAL column list (unnamed columns → NULL);
+    * condition and values see the SOURCE row by plain column names. */
+  final case class MergeInsertWhen(condition: Option[org.apache.spark.sql.Column],
+      assignments: Seq[(String, org.apache.spark.sql.Column)])
+
+  /** The GENERAL three-population MERGE — everything the star-shaped
+    * [[merge]] refuses: partial `SET col = expr` assignments (the SCD
+    * shape touching 2 of 30 columns), expression-bearing assignments
+    * over BOTH rows, clause conditions referencing the TARGET row,
+    * multiple ordered WHEN clauses (first-match-wins), partial-column
+    * INSERT, and `WHEN NOT MATCHED BY SOURCE` UPDATE/DELETE (the
+    * full-sync shape). Keys join target to source by name (`===`, so
+    * null keys never match — a null-keyed target row is "not matched
+    * by source", per SQL).
+    *
+    * Clause expression namespace: `matched` clauses see target columns
+    * by plain name and source columns via [[mergeSrc]]; `notMatched`
+    * (insert) clauses see the SOURCE row by plain names;
+    * `notMatchedBySource` clauses see the TARGET row by plain names.
+    * Conditions and assignment values must be DETERMINISTIC and
+    * NAME-BASED (they are re-resolved against both planning passes).
+    * Assigned values are store-assigned (cast) to the column's type —
+    * ANSI mode makes a lossy cast throw rather than truncate.
+    *
+    * Execution is the two-pass copy-on-write shape of [[merge]]/
+    * [[updateWhere]], COST O(touched files + source), never O(table) —
+    * except an unguarded BY SOURCE clause, which is inherently
+    * table-wide (every unmatched row fires): pass 1 scans keys (+ the
+    * columns BY SOURCE conditions name) with lineage and collects the
+    * files holding any row a clause could change — every matched key's
+    * file when matched clauses exist (conditions may reference the
+    * target, so activeness cannot be pre-filtered source-side; a file
+    * whose rows all miss their conditions is rewritten byte-identical,
+    * the standard conservative plan), plus every file holding an
+    * unmatched row some BY SOURCE condition accepts. Pass 2 re-reads
+    * ONLY those files, left-joins the prefixed source on the keys
+    * (shuffle on key columns; AQE broadcasts a small source), resolves
+    * each row's fate through the ordered when-chains, and stages
+    * kept ∪ updated ∪ inserted. Inserts anti-join the source against
+    * the global key set from pass 1. Row-tracking ids are preserved
+    * through the rewrite; CDF-obligated tables record exact
+    * update_preimage/update_postimage/delete/insert rows; constraints,
+    * invariants and generated columns are validated on the staged
+    * batch. Duplicate source keys refuse when matched clauses exist
+    * (two source rows updating one target row is nondeterministic).
+    * Returns the committed version. */
+  def mergeAdvanced(spark: SparkSession, table: String, source: DataFrame,
+      keys: Seq[String],
+      matched: Seq[MergeWhen] = Nil,
+      notMatched: Seq[MergeInsertWhen] = Nil,
+      notMatchedBySource: Seq[MergeWhen] = Nil,
+      maxRetries: Int = 10): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, count => fcount, lit, when}
+    import org.apache.spark.sql.Column
+    require(keys.nonEmpty, "mergeAdvanced: keys must be non-empty")
+    require(keys.forall(source.columns.contains),
+      s"mergeAdvanced: keys ${keys.mkString(",")} not all in source columns " +
+        source.columns.mkString(","))
+    require(matched.nonEmpty || notMatched.nonEmpty || notMatchedBySource.nonEmpty,
+      "mergeAdvanced: no WHEN clauses")
+    require(source.columns.forall(!_.startsWith(MergeSrcPrefix)),
+      s"mergeAdvanced: source columns may not start with $MergeSrcPrefix")
+    if (matched.nonEmpty) {
+      val dupKeys = source.groupBy(keys.map(col): _*).agg(fcount(lit(1)).as("n"))
+        .where(col("n") > 1).limit(1).count()
+      require(dupKeys == 0L,
+        s"mergeAdvanced: source has duplicate keys on ${keys.mkString(",")} — " +
+          "two source rows matching one target row have no deterministic update")
+    }
+    val FateCol = "__graft_fate"
+    val PresentCol = MergeSrcPrefix + "__present"
+    def whenChain(actions: Seq[MergeWhen], base: Int): Column =
+      actions.zipWithIndex.foldLeft(when(lit(false), lit(-1))) {
+        case (acc, (a, i)) =>
+          val c = a match {
+            case MergeUpdateWhen(cond, _) => cond
+            case MergeDeleteWhen(cond) => cond
+          }
+          acc.when(coalesce(c.getOrElse(lit(true)), lit(false)), lit(base + i))
+      }
+    def fatesOf(actions: Seq[MergeWhen], base: Int)(
+        pf: PartialFunction[MergeWhen, Unit]): Seq[Int] =
+      actions.zipWithIndex.collect { case (a, i) if pf.isDefinedAt(a) => base + i }
+    val updateFates = fatesOf(matched, 0) { case _: MergeUpdateWhen => () } ++
+      fatesOf(notMatchedBySource, 100) { case _: MergeUpdateWhen => () }
+    val deleteFates = fatesOf(matched, 0) { case _: MergeDeleteWhen => () } ++
+      fatesOf(notMatchedBySource, 100) { case _: MergeDeleteWhen => () }
+    val updateAssigns: Map[Int, Seq[(String, Column)]] =
+      (matched.zipWithIndex.collect {
+        case (MergeUpdateWhen(_, as), i) => i -> as
+      } ++ notMatchedBySource.zipWithIndex.collect {
+        case (MergeUpdateWhen(_, as), i) => (100 + i) -> as
+      }).toMap
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val v = DeltaRead.latestVersion(table)
+      val snap = DeltaRead.snapshotAt(spark, table, v)
+      validateWriterSupport(table, snap, removesData = true)
+      val committed = snap.schema.getOrElse(throw new IllegalStateException(
+        s"mergeAdvanced: $table has no committed schema"))
+      require(committed.fieldNames.forall(!_.startsWith(MergeSrcPrefix)),
+        s"mergeAdvanced: table columns may not start with $MergeSrcPrefix")
+      if (committed.fields.exists(_.metadata.contains(IdStartKey)))
+        throw new UnsupportedOperationException(
+          s"mergeAdvanced: $table carries identity columns — use append " +
+            "(writer-allocated values) and deleteWhere instead")
+      updateAssigns.values.flatten.map(_._1).foreach(n =>
+        require(committed.fieldNames.exists(_.equalsIgnoreCase(n)),
+          s"mergeAdvanced: SET names unknown column '$n'"))
+      notMatched.flatMap(_.assignments.map(_._1)).foreach(n =>
+        require(committed.fieldNames.exists(_.equalsIgnoreCase(n)),
+          s"mergeAdvanced: INSERT names unknown column '$n'"))
+      val mapCtx =
+        if (!DeltaRead.ColumnMapping.active(snap.columnMappingMode)) None
+        else {
+          val startMax = snap.configuration.get(WriteMapping.MaxIdKey)
+            .flatMap(_.toLongOption).getOrElse(WriteMapping.maxId(committed))
+          Some(WriteMapping.Ctx(snap.columnMappingMode, committed, startMax))
+        }
+      val outCols = committed.fields.toSeq.map(f => col(f.name))
+      // --- pass 1: keys with lineage; BY SOURCE clauses widen the scan
+      // to every column (their conditions are opaque Columns over the
+      // target row — and an unmatched-row sweep is table-wide anyway;
+      // the matched-only hot path stays a key-only projection) ---
+      val p1cols =
+        (if (notMatchedBySource.isEmpty) keys.distinct.map(col)
+         else committed.fieldNames.toSeq.map(col)) :+ col(DeltaRead.LineageFile)
+      val p1 = DeltaRead.readVersionWithLineage(spark, table, v).select(p1cols: _*)
+      val srcKeys = source.select(keys.map(col): _*).distinct()
+      val touchedMatched =
+        if (matched.isEmpty) None
+        else Some(p1.join(srcKeys, keys, "left_semi")
+          .select(col(DeltaRead.LineageFile)))
+      val touchedBySource =
+        if (notMatchedBySource.isEmpty) None
+        else {
+          val anyFire = notMatchedBySource.map {
+            case MergeUpdateWhen(c, _) => coalesce(c.getOrElse(lit(true)), lit(false))
+            case MergeDeleteWhen(c) => coalesce(c.getOrElse(lit(true)), lit(false))
+          }.reduce(_ || _)
+          Some(p1.join(srcKeys, keys, "left_anti").where(anyFire)
+            .select(col(DeltaRead.LineageFile)))
+        }
+      val touchedAbs = (touchedMatched.toSeq ++ touchedBySource.toSeq)
+        .reduceOption(_ unionByName _)
+        .map(_.distinct().collect().map(_.getString(0)).toSet)
+        .getOrElse(Set.empty[String])
+      val byAbs = snap.files.map(f =>
+        (Paths.get(table, f.path).toAbsolutePath.normalize().toString, f)).toMap
+      val touched = touchedAbs.toSeq.sorted.map(a => byAbs.getOrElse(a,
+        throw new IllegalStateException(
+          s"mergeAdvanced: lineage path $a not in snapshot")))
+      val matPair: Option[(String, String)] =
+        if (rowTrackingOn(snap))
+          snap.configuration.get(MatRowIdKey).zip(snap.configuration.get(MatRcvKey))
+        else None
+      val matSel = matPair.toSeq.flatMap { case (a, b) => Seq(col(a), col(b)) }
+      // --- inserts: unmatched source rows through the insert chain ---
+      val inserts0Opt: Option[DataFrame] =
+        if (notMatched.isEmpty) None
+        else Some {
+          val targetKeys = p1.select(keys.map(col): _*).distinct()
+          val insFate = notMatched.zipWithIndex
+            .foldLeft(when(lit(false), lit(-1))) { case (acc, (cl, i)) =>
+              acc.when(coalesce(cl.condition.getOrElse(lit(true)), lit(false)), lit(i))
+            }
+          val firing = source.join(targetKeys, keys, "left_anti")
+            .withColumn(FateCol, insFate).where(col(FateCol).isNotNull)
+          def insVal(f: StructField): Column =
+            notMatched.zipWithIndex.foldLeft(
+                lit(null).cast(f.dataType): Column) { case (acc, (cl, i)) =>
+              val value = cl.assignments
+                .collectFirst { case (n, e) if n.equalsIgnoreCase(f.name) => e }
+                .map(_.cast(f.dataType))
+                .getOrElse(lit(null).cast(f.dataType))
+              when(col(FateCol) === i, value).otherwise(acc)
+            }
+          firing.select(committed.fields.toSeq.map(f => insVal(f).as(f.name)): _*)
+        }
+      val haveInserts = inserts0Opt.exists(!_.isEmpty)
+      if (touched.isEmpty && !haveInserts) return v // nothing to do
+      val insertsOpt = inserts0Opt.map { i0 =>
+        matPair.fold(i0) { case (a, b) =>
+          i0.withColumn(a, lit(null).cast("long"))
+            .withColumn(b, lit(null).cast("long"))
+        }
+      }
+      // --- pass 2: rewrite ONLY the touched files through the fates ---
+      val wantCdc = cdcEnabled(snap.configuration)
+      val ctCol = DeltaRead.ChangeTypeCol
+      def tagged(df: DataFrame, ct: String): DataFrame =
+        df.withColumn(ctCol, lit(ct))
+      val (batch, cdcRows: Option[DataFrame]) =
+        if (touched.isEmpty) {
+          (insertsOpt.get,
+            if (wantCdc) Some(tagged(inserts0Opt.get, "insert")) else None)
+        } else {
+          val tTouched = matPair match {
+            case Some(_) => DeltaRead.readFilesForRewrite(spark, table, v,
+              touched.map(_.path).toSet)
+            case None => DeltaRead.readFilesWithLineage(spark, table, v,
+              touched.map(_.path).toSet)
+          }
+          val srcPfx = source.columns.foldLeft(source)((d, c) =>
+            d.withColumnRenamed(c, MergeSrcPrefix + c))
+            .withColumn(PresentCol, lit(true))
+          val joinCond = keys.map(k => col(k) === col(MergeSrcPrefix + k))
+            .reduce(_ && _)
+          val joined = tTouched.join(srcPfx, joinCond, "left_outer")
+            .withColumn(FateCol,
+              when(col(PresentCol).isNotNull, whenChain(matched, 0))
+                .otherwise(whenChain(notMatchedBySource, 100)))
+          val survivors =
+            if (deleteFates.isEmpty) joined
+            else joined.where(col(FateCol).isNull ||
+              !col(FateCol).isin(deleteFates.map(Int.box): _*))
+          def newVal(f: StructField): Column =
+            updateAssigns.toSeq.sortBy(_._1).foldLeft(col(f.name)) {
+              case (acc, (fate, assigns)) =>
+                assigns.collectFirst {
+                  case (n, e) if n.equalsIgnoreCase(f.name) => e
+                } match {
+                  case Some(e) =>
+                    when(col(FateCol) === fate, e.cast(f.dataType)).otherwise(acc)
+                  case None => acc
+                }
+            }
+          val rewritten = survivors.select(
+            committed.fields.toSeq.map(f => newVal(f).as(f.name)) ++ matSel: _*)
+          val cdc =
+            if (!wantCdc) None
+            else {
+              def fateIn(fates: Seq[Int]): DataFrame =
+                if (fates.isEmpty) joined.limit(0)
+                else joined.where(col(FateCol).isin(fates.map(Int.box): _*))
+              val upd = fateIn(updateFates)
+              val del = fateIn(deleteFates)
+              val pre = upd.select(outCols: _*)
+              val post = upd.select(
+                committed.fields.toSeq.map(f => newVal(f).as(f.name)): _*)
+              val cdcBase = tagged(del.select(outCols: _*), "delete")
+                .unionByName(tagged(pre, "update_preimage"))
+                .unionByName(tagged(post, "update_postimage"))
+              Some(inserts0Opt.fold(cdcBase)(i0 =>
+                cdcBase.unionByName(tagged(i0, "insert"))))
+            }
+          (insertsOpt.fold(rewritten)(rewritten.unionByName), cdc)
+        }
+      enforceConstraints(batch, snap.configuration, table)
+      enforceInvariants(batch, committed, table)
+      applyGeneratedColumns(batch, committed, table)
+      val stagedDf = mapCtx.map(c => WriteMapping.physicalizeDf(batch, c.schema))
+        .getOrElse(batch)
+      val stagedPartitionBy = mapCtx.map(c => snap.partitionColumns.map(c.physByLogical))
+        .getOrElse(snap.partitionColumns)
+      val staged = shredGuard(spark, Some(snap), stagedDf.schema)(
+        stage(stagedDf, table, stagedPartitionBy))
+      val cdcStaged = shredGuard(spark, Some(snap), stagedDf.schema)(
+        cdcRows.map(stageCdc(_, table, snap)).getOrElse(Nil))
+      val now = System.currentTimeMillis()
+      val lines = Seq(commitInfoAction("MERGE", now)) ++
+        touched.map(f => removeAction(f.path, now)) ++
+        staged.map(s => addAction(s)) ++
+        cdcStaged.map(cdcAction)
+      if (publish(table, Some(snap), v + 1, lines)) return v + 1
+      dropStaged(table, staged)
+      dropStaged(table, cdcStaged)
+      attempt += 1 // lost the CAS race: replan against the winner
+    }
+    throw new IllegalStateException(
+      s"mergeAdvanced: lost $maxRetries commit races on $table")
+  }
+
   /** Apply one change-data-feed batch ([[DeltaRead.changesBetween]]
     * output: table columns + `_change_type`) to a mirror table as a
     * SINGLE merge commit — updates arrive as delete(old)+insert(new)
@@ -2755,6 +3051,18 @@ object DeltaWrite {
   def replaceWhere(spark: SparkSession, table: String, df: DataFrame,
       predicate: org.apache.spark.sql.Column, maxRetries: Int = 10): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, lit}
+    // every incoming row must SATISFY the predicate (upstream Delta's
+    // default-on replaceWhere constraint check): a reload frame carrying
+    // rows outside the predicate would land them in partitions the
+    // commit claims not to touch — silent duplication in the nightly
+    // partition-reload shape. One limit(1) job, snapshot-independent,
+    // so it runs once before the CAS loop.
+    val offender = df.where(!coalesce(predicate, lit(false))).limit(1).count()
+    require(offender == 0L,
+      s"replaceWhere: the incoming frame has rows NOT matching the " +
+        "replacement predicate — they would silently land in partitions " +
+        "this commit claims to leave untouched. Filter the frame to the " +
+        "predicate (or widen the predicate) first.")
     var attempt = 0
     while (attempt < maxRetries) {
       val v = DeltaRead.latestVersion(table)
@@ -3031,6 +3339,53 @@ object DeltaWrite {
       require(remaining.nonEmpty, s"dropColumn: cannot drop the last column of $table")
       (StructType(remaining), s.partitionColumns)
     }
+
+  /** ALTER TABLE ADD COLUMN — a metaData-only commit appending a
+    * NULLABLE top-level column at the end of the schema. Works on plain
+    * AND column-mapped tables: the reader scans with the LOG's schema
+    * as authority, so files predating the add serve the column as null
+    * (see [[DeltaRead]]'s assemble) — zero data files are touched; at
+    * 100 TB an ADD COLUMN is one JSON line, not a re-ingest. On a
+    * mapped table the new field is stamped with the next mapping id
+    * and a fresh physical name, and `maxColumnId` advances in the same
+    * commit. Only nullable adds are expressible (existing rows have no
+    * value to satisfy NOT NULL); callers wanting defaults backfill
+    * with [[updateWhere]] afterwards. */
+  def addColumn(spark: SparkSession, table: String, name: String,
+      dataType: DataType, comment: Option[String] = None): Long = {
+    require(name.nonEmpty, "addColumn: empty column name")
+    var attempt = 0
+    while (attempt < 10) {
+      val v = DeltaRead.latestVersion(table)
+      val s = DeltaRead.snapshotAt(spark, table, v)
+      validateWriterSupport(table, s, removesData = false)
+      val committed = s.schema.getOrElse(throw new IllegalStateException(
+        s"addColumn: $table has no committed schema"))
+      require(!committed.fieldNames.exists(_.equalsIgnoreCase(name)),
+        s"addColumn: $table already has a column '$name'")
+      val metaB = new MetadataBuilder()
+      comment.foreach(c => metaB.putString("comment", c))
+      val incoming = StructType(committed.fields :+
+        StructField(name, dataType, nullable = true, metaB.build()))
+      val (schema, newConf) =
+        if (!DeltaRead.ColumnMapping.active(s.columnMappingMode))
+          (incoming, s.configuration)
+        else {
+          val startMax = s.configuration.get(WriteMapping.MaxIdKey)
+            .flatMap(_.toLongOption).getOrElse(WriteMapping.maxId(committed))
+          val (mapped, maxId) =
+            WriteMapping.mergeSchema(incoming, Some(committed), startMax)
+          (mapped, s.configuration + (WriteMapping.MaxIdKey -> maxId.toString))
+        }
+      val now = System.currentTimeMillis()
+      val lines = Seq(commitInfoAction("ADD COLUMN", now),
+        metaDataAction(s.metaId.getOrElse(UUID.randomUUID().toString),
+          schema.json, s.partitionColumns, now, newConf))
+      if (publish(table, Some(s), v + 1, lines)) return v + 1
+      attempt += 1
+    }
+    throw new IllegalStateException(s"addColumn: lost 10 commit races on $table")
+  }
 
   /** Shared CAS loop for metaData-only schema commits on mapped
     * tables: resolve the head snapshot, derive the new (schema,

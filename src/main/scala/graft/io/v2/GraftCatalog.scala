@@ -54,6 +54,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     require(w != null && w.nonEmpty,
       s"GraftCatalog '$name': set spark.sql.catalog.$name.warehouse to the " +
         "directory that holds (or will hold) the catalog's tables")
+    // SANDBOX CONSTRAINT, not a design choice: the warehouse resolves
+    // through java.nio (local filesystem only) because the offline test
+    // environment has no remote FS. A deploy against hdfs://s3a:// would
+    // resolve this through Hadoop Path/FileSystem like DeltaTableSource
+    // does — the reader/writer underneath are path-string based and
+    // would follow.
     warehouse = Paths.get(w).toAbsolutePath.normalize()
   }
 
@@ -235,11 +241,51 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val sets = changes.collect { case s: TableChange.SetProperty =>
       s.property() -> s.value() }
     val unsets = changes.collect { case r: TableChange.RemoveProperty => r.property() }
-    val other = changes.filterNot(c => c.isInstanceOf[TableChange.SetProperty] ||
-      c.isInstanceOf[TableChange.RemoveProperty])
-    if (other.nonEmpty) throw new UnsupportedOperationException(
-      s"GraftCatalog: ALTER TABLE supports SET/UNSET TBLPROPERTIES; for " +
-        s"schema changes use the Scala writer APIs. Got: ${other.mkString(", ")}")
+    // --- schema evolution: each change routes to its dedicated writer
+    // commit (ADD COLUMN works on any table; RENAME/DROP need column
+    // mapping and the writer refuses plain tables with guidance) ---
+    def topLevel(names: Array[String], what: String): String = {
+      require(names.length == 1, s"GraftCatalog: $what supports top-level " +
+        s"columns only, got ${names.mkString(".")}")
+      names(0)
+    }
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        val col = topLevel(a.fieldNames(), "ADD COLUMN")
+        require(a.isNullable, s"GraftCatalog: ADD COLUMN $col must be " +
+          "nullable — existing rows have no value to satisfy NOT NULL")
+        require(a.position() == null, s"GraftCatalog: ADD COLUMN $col " +
+          "FIRST/AFTER is not supported — new columns append at the end")
+        require(a.defaultValue() == null, s"GraftCatalog: ADD COLUMN $col " +
+          "DEFAULT is not supported — backfill with UPDATE after the add")
+        DeltaWrite.addColumn(spark, dir.toString, col, a.dataType(),
+          Option(a.comment()))
+      case r: TableChange.RenameColumn =>
+        DeltaWrite.renameColumn(spark, dir.toString,
+          topLevel(r.fieldNames(), "RENAME COLUMN"), r.newName())
+      case del: TableChange.DeleteColumn =>
+        val col = topLevel(del.fieldNames(), "DROP COLUMN")
+        val missing = !DeltaRead.readVersion(spark, dir.toString,
+          DeltaRead.latestVersion(dir.toString)).schema.fieldNames
+          .exists(_.equalsIgnoreCase(col))
+        if (!(missing && del.ifExists() == java.lang.Boolean.TRUE))
+          DeltaWrite.dropColumn(spark, dir.toString, col)
+      case u: TableChange.UpdateColumnType =>
+        DeltaWrite.widenColumnType(spark, dir.toString,
+          topLevel(u.fieldNames(), "ALTER COLUMN TYPE"), u.newDataType())
+      case cb: TableChange.ClusterBy =>
+        // ALTER TABLE ... CLUSTER BY (cols) — declares the clustering
+        // domain (layout enforced on future writes and OPTIMIZE)
+        DeltaWrite.clusterBy(spark, dir.toString,
+          cb.clusteringColumns().toSeq.map(r =>
+            topLevel(r.fieldNames(), "CLUSTER BY")))
+      case _: TableChange.SetProperty | _: TableChange.RemoveProperty => ()
+      case other => throw new UnsupportedOperationException(
+        s"GraftCatalog: unsupported ALTER TABLE change $other — supported: " +
+          "SET/UNSET TBLPROPERTIES, ADD COLUMN (nullable, appended), " +
+          "RENAME/DROP COLUMN (column-mapped tables), ALTER COLUMN TYPE " +
+          "(lossless widenings)")
+    }
     // CHECK constraints ride their dedicated commit (existing-data
     // validation + the checkConstraints protocol bump) — a raw
     // properties edit would record a constraint nobody validated
@@ -362,8 +408,14 @@ class GraftTable(val path: String, ident: String,
     with SupportsRead with SupportsWrite with SupportsDeleteV2 {
   private def spark: SparkSession = SparkSession.active
 
-  /** Reads resolve the head lazily per scan; a pinned table stays put. */
-  private def versionForRead: Long =
+  /** The version this instance serves — resolved ONCE per loadTable
+    * (lazily, at first use), so one analyzed statement sees ONE
+    * snapshot: schema, partitioning, and every newScanBuilder of the
+    * same table reference agree even if a commit lands mid-query
+    * (e.g. a head self-join reading the table twice). Each statement's
+    * analysis calls loadTable afresh, so the next statement sees the
+    * new head. */
+  private lazy val versionForRead: Long =
     pinnedVersion.getOrElse(DeltaRead.latestVersion(path))
 
   override def name(): String =

@@ -111,5 +111,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // placement rewrites the row-level plans before Spark's own
     // SupportsRowLevelOperations machinery would reject them.
     ext.injectResolutionRule(session => GraftSqlDmlRule(session))
+    // OPTIMIZE / VACUUM / RESTORE SQL — non-ANSI statements ride an
+    // injected parser that intercepts exactly those shapes and
+    // delegates everything else (see GraftMaintenanceParser).
+    ext.injectParser((_, delegate) => new GraftMaintenanceParser(delegate))
   }
 }

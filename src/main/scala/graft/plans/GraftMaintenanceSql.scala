@@ -1,0 +1,219 @@
+package graft.plans
+
+import org.apache.spark.sql.{GraftCatalogBridge, Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+
+import graft.io.{DeltaRead, DeltaWrite}
+import graft.io.v2.GraftTable
+
+/** SQL entry points for table MAINTENANCE — the statements a nightly
+  * SQL-only operator runs against the tables the catalog gave them
+  * (the reference's warehouse jobs are all-SQL; without these, graft's
+  * OPTIMIZE/VACUUM/RESTORE existed only behind Scala calls):
+  *
+  * {{{
+  *   OPTIMIZE graft.db.t                            -- bin-pack small files
+  *   OPTIMIZE graft.db.t ZORDER BY (a, b)           -- declare + re-cluster
+  *   VACUUM graft.db.t [RETAIN 168 HOURS]           -- reclaim dead files
+  *   RESTORE TABLE graft.db.t TO VERSION AS OF 3    -- roll back the head
+  * }}}
+  *
+  * None of these are ANSI statements, so they ride an injected parser
+  * ([[GraftMaintenanceParser]], registered by [[GraftExtensions]]) that
+  * intercepts exactly these shapes and delegates EVERYTHING else to
+  * Spark's parser untouched — the same extension door Delta Lake and
+  * Iceberg use for their maintenance SQL. The table may be a catalog
+  * identifier (resolved through the session's catalogs to a
+  * [[GraftTable]]) or a quoted path (`OPTIMIZE '/data/t'`) for
+  * path-addressed tables. Execution delegates to the SAME transactional
+  * entry points as the Scala door ([[DeltaWrite.compact]] /
+  * [[DeltaWrite.vacuum]] / [[DeltaWrite.restore]] /
+  * [[DeltaWrite.clusterBy]]), so the two surfaces cannot drift.
+  */
+class GraftMaintenanceParser(delegate: ParserInterface) extends ParserInterface {
+  import GraftMaintenanceParser._
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    maintenancePlan(sqlText, delegate).getOrElse(delegate.parsePlan(sqlText))
+
+  /** Parameterized SQL never carries maintenance statements (they take
+    * no expression positions), but the delegate must keep seeing the
+    * parameter context for everything else. */
+  override def parsePlanWithParameters(sqlText: String,
+      ctx: org.apache.spark.sql.catalyst.parser.ParameterContext): LogicalPlan =
+    maintenancePlan(sqlText, delegate)
+      .getOrElse(delegate.parsePlanWithParameters(sqlText, ctx))
+
+  override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)
+  override def parseExpression(t: String) = delegate.parseExpression(t)
+  override def parseTableIdentifier(t: String) = delegate.parseTableIdentifier(t)
+  override def parseFunctionIdentifier(t: String) = delegate.parseFunctionIdentifier(t)
+  override def parseMultipartIdentifier(t: String) = delegate.parseMultipartIdentifier(t)
+  override def parseTableSchema(t: String) = delegate.parseTableSchema(t)
+  override def parseDataType(t: String) = delegate.parseDataType(t)
+  override def parseRoutineParam(t: String) = delegate.parseRoutineParam(t)
+}
+
+object GraftMaintenanceParser {
+  /** A table operand: a quoted path or a multipart identifier. */
+  private val Tbl = """('[^']+'|(?:`[^`]+`|[\w$])+(?:\.(?:`[^`]+`|[\w$]+))*)"""
+  private val OptimizeRe =
+    ("""(?is)^\s*OPTIMIZE\s+""" + Tbl +
+      """(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$""").r
+  private val VacuumRe =
+    ("""(?is)^\s*VACUUM\s+""" + Tbl +
+      """(?:\s+RETAIN\s+(\d+)\s+HOURS?)?\s*;?\s*$""").r
+  private val RestoreRe =
+    ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?""" + Tbl +
+      """\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""").r
+  private val HistoryRe =
+    ("""(?is)^\s*(?:DESCRIBE|DESC)\s+HISTORY\s+""" + Tbl +
+      """(?:\s+LIMIT\s+(\d+))?\s*;?\s*$""").r
+
+  private def firstWord(sql: String): String =
+    sql.trim.takeWhile(!_.isWhitespace).toUpperCase(java.util.Locale.ROOT)
+
+  private def tableSpec(tok: String,
+      delegate: ParserInterface): Either[String, Seq[String]] =
+    if (tok.startsWith("'")) Left(tok.stripPrefix("'").stripSuffix("'"))
+    else Right(delegate.parseMultipartIdentifier(tok))
+
+  def maintenancePlan(sqlText: String,
+      delegate: ParserInterface): Option[LogicalPlan] =
+    firstWord(sqlText) match {
+      case "OPTIMIZE" => sqlText match {
+        case OptimizeRe(tok, z) =>
+          val zcols = Option(z).toSeq.flatMap(_.split(",").toSeq)
+            .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
+          Some(GraftOptimizeCommand(tableSpec(tok, delegate), zcols))
+        case _ => None
+      }
+      case "VACUUM" => sqlText match {
+        case VacuumRe(tok, hours) =>
+          Some(GraftVacuumCommand(tableSpec(tok, delegate),
+            Option(hours).map(_.toLong * 3600L * 1000L)))
+        case _ => None
+      }
+      case "RESTORE" => sqlText match {
+        case RestoreRe(tok, v) =>
+          Some(GraftRestoreCommand(tableSpec(tok, delegate), v.toLong))
+        case _ => None
+      }
+      // only DESCRIBE HISTORY is ours — plain DESCRIBE stays Spark's
+      case "DESCRIBE" | "DESC" => sqlText match {
+        case HistoryRe(tok, limit) =>
+          Some(GraftHistoryCommand(tableSpec(tok, delegate),
+            Option(limit).map(_.toInt)))
+        case _ => None
+      }
+      case _ => None
+    }
+
+  /** A quoted path is used as-is (must hold a `_delta_log`); an
+    * identifier resolves through the session's catalogs and must land
+    * on a [[GraftTable]] — maintenance on a foreign table would commit
+    * with this writer's feature set, not its owner's. */
+  private[plans] def resolvePath(spark: SparkSession,
+      table: Either[String, Seq[String]]): String = table match {
+    case Left(path) =>
+      require(DeltaRead.latestVersion(path) >= 0,
+        s"maintenance: $path is not a Delta table (no _delta_log)")
+      path
+    case Right(parts) =>
+      val (plugin, ident) = GraftCatalogBridge.resolve(spark, parts)
+      plugin match {
+        case tc: org.apache.spark.sql.connector.catalog.TableCatalog =>
+          tc.loadTable(ident) match {
+            case g: GraftTable => g.path
+            case other => throw new UnsupportedOperationException(
+              s"maintenance: ${parts.mkString(".")} is not a graft-delta " +
+                s"table (got ${other.getClass.getSimpleName})")
+          }
+        case _ => throw new UnsupportedOperationException(
+          s"maintenance: catalog '${plugin.name()}' is not a table catalog")
+      }
+  }
+}
+
+/** `OPTIMIZE t [ZORDER BY (cols)]` → [[DeltaWrite.compact]], after
+  * declaring the clustering columns when a ZORDER clause names a
+  * different set than the table currently carries (re-declaration is
+  * its own commit; an unchanged declaration is skipped so nightly runs
+  * converge to pure no-ops). Returns the net file-count reduction. */
+case class GraftOptimizeCommand(table: Either[String, Seq[String]],
+    zorderBy: Seq[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("net_files_removed", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftMaintenanceParser.resolvePath(spark, table)
+    if (zorderBy.nonEmpty) {
+      val cur = DeltaWrite.clusteringColumns(DeltaRead.snapshot(spark, path))
+      if (cur != zorderBy) DeltaWrite.clusterBy(spark, path, zorderBy)
+    }
+    Seq(Row(path, DeltaWrite.compact(spark, path)))
+  }
+  override def simpleString(maxFields: Int): String =
+    s"GraftOptimizeCommand $table" +
+      (if (zorderBy.isEmpty) "" else s" ZORDER BY ${zorderBy.mkString(",")}")
+}
+
+/** `VACUUM t [RETAIN n HOURS]` → [[DeltaWrite.vacuum]]. The writer
+  * clamps the horizon to `oldestResolvableVersion`, so an aggressive
+  * RETAIN can never strand a restorable version. */
+case class GraftVacuumCommand(table: Either[String, Seq[String]],
+    retainMs: Option[Long]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("files_deleted", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftMaintenanceParser.resolvePath(spark, table)
+    val n = retainMs.map(ms => DeltaWrite.vacuum(spark, path, ms))
+      .getOrElse(DeltaWrite.vacuum(spark, path))
+    Seq(Row(path, n))
+  }
+  override def simpleString(maxFields: Int): String =
+    s"GraftVacuumCommand $table${retainMs.map(ms => s" RETAIN ${ms}ms").getOrElse("")}"
+}
+
+/** `DESCRIBE HISTORY t [LIMIT n]` → [[DeltaRead.history]]: one row per
+  * surviving commit, newest first — (version, commit timestamp millis,
+  * operation). The audit surface a SQL-only operator reads before
+  * deciding what to RESTORE or VACUUM. */
+case class GraftHistoryCommand(table: Either[String, Seq[String]],
+    limit: Option[Int]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("ts_millis", LongType, nullable = true)(),
+    AttributeReference("operation", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftMaintenanceParser.resolvePath(spark, table)
+    val rows = DeltaRead.history(path)
+      .map { case (v, ts, op) => Row(v, ts.map(Long.box).orNull, op) }
+    limit.fold(rows)(rows.take)
+  }
+  override def simpleString(maxFields: Int): String =
+    s"GraftHistoryCommand $table${limit.map(n => s" LIMIT $n").getOrElse("")}"
+}
+
+/** `RESTORE TABLE t TO VERSION AS OF v` → [[DeltaWrite.restore]]: a
+  * NEW head commit reinstating version v's file set (history is kept —
+  * a restore is itself undoable). */
+case class GraftRestoreCommand(table: Either[String, Seq[String]],
+    version: Long) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("restored_to", LongType, nullable = false)(),
+    AttributeReference("new_version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftMaintenanceParser.resolvePath(spark, table)
+    val newV = DeltaWrite.restore(spark, path, version)
+    Seq(Row(path, version, newV))
+  }
+  override def simpleString(maxFields: Int): String =
+    s"GraftRestoreCommand $table TO VERSION AS OF $version"
+}

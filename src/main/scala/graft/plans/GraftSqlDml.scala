@@ -34,14 +34,18 @@ import graft.io.v2.{DeltaRelation, GraftTable}
   *  - `DELETE FROM t [WHERE cond]` — any deterministic condition.
   *  - `UPDATE t SET c = expr, ... [WHERE cond]` — top-level columns,
   *    expressions over the pre-image row.
-  *  - `MERGE INTO t USING s ON t.k = s.k [AND ...]` with
-  *    `WHEN MATCHED [AND c] THEN UPDATE SET *`,
-  *    `WHEN MATCHED [AND c] THEN DELETE`,
-  *    `WHEN NOT MATCHED [AND c] THEN INSERT *` — the SET-star/INSERT-star
-  *    shape [[DeltaWrite.merge]] implements; clause conditions must
-  *    reference SOURCE columns only, first-match-wins across clauses.
-  *    Partial assignment lists, `NOT MATCHED BY SOURCE`, and
-  *    `WITH SCHEMA EVOLUTION` are refused with guidance.
+  *  - `MERGE INTO t USING s ON t.k = s.k [AND ...]` with ordered
+  *    `WHEN MATCHED [AND c] THEN UPDATE SET .../DELETE`,
+  *    `WHEN NOT MATCHED [AND c] THEN INSERT ...`, and
+  *    `WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE/DELETE` —
+  *    first-match-wins within each population. The star shape
+  *    (`SET *`/`INSERT *`, source-only conditions, no BY SOURCE) keeps
+  *    the dedicated [[DeltaWrite.merge]] path so the SQL and Scala
+  *    doors commit identical logs; partial assignments, expressions
+  *    over both rows, target-referencing conditions, partial-column
+  *    INSERT, and BY SOURCE clauses route to
+  *    [[DeltaWrite.mergeAdvanced]]. `WITH SCHEMA EVOLUTION` is refused
+  *    with guidance.
   *
   * Subqueries inside DML conditions are refused (they would need their
   * own execution against a moving table — run them into a temp view
@@ -99,11 +103,16 @@ case class GraftSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         name -> a.value
       }
       // Spark's assignment alignment (when it ran) pads unmentioned
-      // columns with identity assignments — drop those no-ops
-      val effective = assigns.filterNot { case (n, v) => v match {
+      // columns with identity assignments — drop those no-ops. When the
+      // user's ENTIRE statement is identity (`SET c = c`), keep the
+      // original list: Delta executes such an update for real (rewrite +
+      // CDC pre/post images), and an empty list would instead trip the
+      // writer's 'no assignments' require at runtime.
+      val effective0 = assigns.filterNot { case (n, v) => v match {
         case ar: AttributeReference => ar.name == n
         case _ => false
       }}
+      val effective = if (effective0.nonEmpty) effective0 else assigns
       val condition = cond.getOrElse(TrueLiteral)
       GraftSqlDml.noSubquery(condition, "UPDATE")
       GraftUpdateCommand(path, effective, condition)
@@ -117,18 +126,18 @@ case class GraftSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def refuse(what: String): Nothing =
     throw new UnsupportedOperationException(
-      s"graft-delta MERGE supports WHEN MATCHED [AND c] THEN UPDATE SET * " +
-        "/ DELETE and WHEN NOT MATCHED [AND c] THEN INSERT * (conditions " +
-        s"over source columns); got: $what")
+      s"graft-delta MERGE supports ordered WHEN MATCHED [AND c] THEN " +
+        "UPDATE SET .../DELETE, WHEN NOT MATCHED [AND c] THEN INSERT ..., " +
+        "and WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE/DELETE, over " +
+        s"an equi-join ON of same-named keys; got: $what")
 
   private def buildMerge(path: String, m: MergeIntoTable): LogicalPlan = {
     if (m.withSchemaEvolution) refuse("WITH SCHEMA EVOLUTION")
-    if (m.notMatchedBySourceActions.nonEmpty) refuse("WHEN NOT MATCHED BY SOURCE")
     val targetOut = m.targetTable.outputSet
     val sourceOut = m.sourceTable.outputSet
 
     // ON must be a conjunction of target.k = source.k same-name
-    // equalities — the key-equality contract of the SET-* merge
+    // equalities — the key-equality contract of both merge paths
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case other => Seq(other)
@@ -147,6 +156,115 @@ case class GraftSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         t.name
       case other => refuse(s"ON condition ${other.sql}")
     }
+
+    // the STAR shape keeps its dedicated path (DeltaWrite.merge) so the
+    // SQL and Scala doors commit identical logs for the common upsert;
+    // everything beyond it routes to the general three-population merge
+    def isStarAssigns(assigns: Seq[Assignment]): Boolean = {
+      val assigned = assigns.flatMap { a =>
+        (a.key, a.value) match {
+          case (k: AttributeReference, v: AttributeReference)
+            if sourceOut.contains(v) && k.name.equalsIgnoreCase(v.name) =>
+            Some(k.name)
+          case _ => None
+        }
+      }
+      assigned.size == assigns.size &&
+        m.targetTable.output.map(_.name).forall(n =>
+          assigned.exists(_.equalsIgnoreCase(n)))
+    }
+    def srcOnlyRefs(c: Expression): Boolean = c.references.subsetOf(sourceOut)
+    val starShape =
+      m.notMatchedBySourceActions.isEmpty &&
+        m.matchedActions.count(_.isInstanceOf[UpdateAction]) <= 1 &&
+        m.matchedActions.count(_.isInstanceOf[DeleteAction]) <= 1 &&
+        m.matchedActions.forall {
+          case UpdateAction(c, assigns, _) =>
+            isStarAssigns(assigns) && c.forall(srcOnlyRefs)
+          case DeleteAction(c) => c.forall(srcOnlyRefs)
+          case _ => false
+        } &&
+        (m.notMatchedActions match {
+          case Seq() => true
+          case Seq(InsertAction(c, assigns)) =>
+            isStarAssigns(assigns) && c.forall(srcOnlyRefs)
+          case _ => false
+        })
+    if (starShape) buildStar(path, m, keys) else buildGeneral(path, m, keys)
+  }
+
+  /** The general shape → [[graft.io.DeltaWrite.mergeAdvanced]]: ordered
+    * clauses, partial assignments, target-referencing conditions, and
+    * NOT MATCHED BY SOURCE. Matched-clause expressions are re-anchored
+    * into the joined-frame namespace the writer evaluates them in —
+    * target columns by plain name, source columns behind
+    * [[graft.io.DeltaWrite.MergeSrcPrefix]]; insert clauses see the
+    * plain source, BY SOURCE clauses the plain target. */
+  private def buildGeneral(path: String, m: MergeIntoTable,
+      keys: Seq[String]): LogicalPlan = {
+    val targetOut = m.targetTable.outputSet
+    val sourceOut = m.sourceTable.outputSet
+    def sided(e: Expression): Expression = {
+      GraftSqlDml.noSubquery(e, "MERGE")
+      e.transform {
+        case a: AttributeReference if sourceOut.contains(a) =>
+          UnresolvedAttribute.quoted(graft.io.DeltaWrite.MergeSrcPrefix + a.name)
+        case a: AttributeReference if targetOut.contains(a) =>
+          UnresolvedAttribute.quoted(a.name)
+      }
+    }
+    def plain(e: Expression): Expression = {
+      GraftSqlDml.noSubquery(e, "MERGE")
+      e.transform { case a: AttributeReference => UnresolvedAttribute.quoted(a.name) }
+    }
+    def assignName(a: Assignment): String = a.key match {
+      case ar: AttributeReference => ar.name
+      case other => refuse(s"assignment to ${other.sql} — top-level columns only")
+    }
+    // Spark's alignment pads unmentioned columns with exprId-identical
+    // identity assignments — drop them (they mean "keep"); an
+    // all-identity list the USER wrote stays (a real rewrite + CDC)
+    def dropPadding(assigns: Seq[Assignment]): Seq[Assignment] = {
+      val real = assigns.filterNot { a =>
+        (a.key, a.value) match {
+          case (k: AttributeReference, v: AttributeReference) => k.exprId == v.exprId
+          case _ => false
+        }
+      }
+      if (real.nonEmpty || assigns.isEmpty) real else assigns
+    }
+    val matched = m.matchedActions.map {
+      case UpdateAction(c, assigns, _) =>
+        (c.map(sided), Some(dropPadding(assigns).map(a =>
+          assignName(a) -> sided(a.value))))
+      case DeleteAction(c) => (c.map(sided), None)
+      case other => refuse(s"matched action $other")
+    }
+    val inserts = m.notMatchedActions.map {
+      case InsertAction(c, assigns) =>
+        c.foreach(cc => if (!cc.references.subsetOf(sourceOut)) refuse(
+          s"NOT MATCHED condition ${cc.sql} references target columns"))
+        (c.map(plain), assigns.map(a => assignName(a) -> plain(a.value)))
+      case other => refuse(s"not-matched action $other")
+    }
+    val bySource = m.notMatchedBySourceActions.map {
+      case UpdateAction(c, assigns, _) =>
+        c.foreach(cc => if (!cc.references.subsetOf(targetOut)) refuse(
+          s"NOT MATCHED BY SOURCE condition ${cc.sql} references source columns"))
+        (c.map(plain), Some(dropPadding(assigns).map(a =>
+          assignName(a) -> plain(a.value))))
+      case DeleteAction(c) =>
+        c.foreach(cc => if (!cc.references.subsetOf(targetOut)) refuse(
+          s"NOT MATCHED BY SOURCE condition ${cc.sql} references source columns"))
+        (c.map(plain), None)
+      case other => refuse(s"not-matched-by-source action $other")
+    }
+    GraftMergeAdvancedCommand(path, m.sourceTable, keys, matched, inserts, bySource)
+  }
+
+  private def buildStar(path: String, m: MergeIntoTable,
+      keys: Seq[String]): LogicalPlan = {
+    val sourceOut = m.sourceTable.outputSet
 
     def sourceOnly(cond: Expression, clause: String): Expression = {
       GraftSqlDml.noSubquery(cond, "MERGE")
@@ -280,4 +398,39 @@ case class GraftMergeCommand(path: String, source: LogicalPlan,
   }
   override def simpleString(maxFields: Int): String =
     s"GraftMergeCommand $path ON ${keys.mkString(",")}"
+}
+
+/** The GENERAL merge → [[DeltaWrite.mergeAdvanced]]. Each clause is
+  * `(condition, Some(assignments))` for UPDATE/INSERT or `(condition,
+  * None)` for DELETE; expressions were re-anchored at build time into
+  * the writer's evaluation namespaces (see `buildGeneral`), so run()
+  * just wraps them into Columns. */
+case class GraftMergeAdvancedCommand(path: String, source: LogicalPlan,
+    keys: Seq[String],
+    matched: Seq[(Option[Expression], Option[Seq[(String, Expression)]])],
+    inserts: Seq[(Option[Expression], Seq[(String, Expression)])],
+    bySource: Seq[(Option[Expression], Option[Seq[(String, Expression)]])])
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+  override def run(spark: SparkSession): Seq[Row] = {
+    import graft.io.DeltaWrite
+    val src = GraftColumnBridge.ofRows(spark, source)
+    def c(e: Expression) = GraftColumnBridge.column(e)
+    def when(w: (Option[Expression], Option[Seq[(String, Expression)]])): DeltaWrite.MergeWhen =
+      w match {
+        case (cond, Some(as)) => DeltaWrite.MergeUpdateWhen(cond.map(c),
+          as.map { case (n, e) => n -> c(e) })
+        case (cond, None) => DeltaWrite.MergeDeleteWhen(cond.map(c))
+      }
+    DeltaWrite.mergeAdvanced(spark, path, src, keys,
+      matched = matched.map(when),
+      notMatched = inserts.map { case (cond, as) =>
+        DeltaWrite.MergeInsertWhen(cond.map(c), as.map { case (n, e) => n -> c(e) })
+      },
+      notMatchedBySource = bySource.map(when))
+    Seq.empty
+  }
+  override def simpleString(maxFields: Int): String =
+    s"GraftMergeAdvancedCommand $path ON ${keys.mkString(",")} " +
+      s"[matched=${matched.size}, insert=${inserts.size}, bySource=${bySource.size}]"
 }

@@ -1555,17 +1555,30 @@ object DatalakeQueries {
            |WHERE doc_id % 10 <> 2 AND doc_id > 100 AND lang IS NOT NULL
            |GROUP BY lang ORDER BY lang""".stripMargin))
 
-  /** Register a throwaway [[graft.io.v2.GraftCatalog]] for one query
-    * run. CatalogManager caches instances by name, so each run gets a
-    * unique name + fresh warehouse — results never depend on either. */
-  private def freshCatalog(s: org.apache.spark.sql.SparkSession,
-      tag: String): String = {
+  /** Register a throwaway [[graft.io.v2.GraftCatalog]], run `body`
+    * against it, MATERIALIZE the (small) result, then UNSET the catalog
+    * conf keys. CatalogManager caches instances by name, so each run
+    * gets a unique name + fresh warehouse — and without the unset,
+    * repeated Verify/bench invocations in one long-lived session would
+    * accumulate dead `spark.sql.catalog.*` entries forever.
+    * Materialization is what makes the unset safe: the returned frame
+    * is a local relation over the collected rows (every caller returns
+    * a per-group aggregate, ≤ a dozen rows) and no longer references
+    * the catalog. */
+  private def withFreshCatalog(s: org.apache.spark.sql.SparkSession, tag: String)(
+      body: String => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val name = tag + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
-    s.conf.set(s"spark.sql.catalog.$name",
-      "graft.io.v2.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$name", "graft.io.v2.GraftCatalog")
     s.conf.set(s"spark.sql.catalog.$name.warehouse",
       graft.io.Staging.tempDir(s"graft_${tag}_"))
-    name
+    try {
+      val out = body(name)
+      val rows = out.collect().toSeq
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
+    } finally {
+      s.conf.unset(s"spark.sql.catalog.$name")
+      s.conf.unset(s"spark.sql.catalog.$name.warehouse")
+    }
   }
 
   /** q220 — SQL DML end-to-end ([[graft.plans.GraftSqlDmlRule]] +
@@ -1582,8 +1595,7 @@ object DatalakeQueries {
     * (order-independent, bit-identical across engines). */
   val q220SqlDml = GQuery(
     "q220_sql_dml",
-    (s, d) => {
-      val cat = freshCatalog(s, "q220")
+    (s, d) => withFreshCatalog(s, "q220") { cat =>
       s.read.parquet(s"$d/orders.parquet")
         .selectExpr("CAST(o_orderkey AS BIGINT) AS o_orderkey",
           "o_orderstatus", "CAST(o_totalprice AS DOUBLE) AS o_totalprice")
@@ -1631,8 +1643,7 @@ object DatalakeQueries {
     * `customer`. */
   val q221CatalogSql = GQuery(
     "q221_catalog_sql",
-    (s, d) => {
-      val cat = freshCatalog(s, "q221")
+    (s, d) => withFreshCatalog(s, "q221") { cat =>
       s.read.parquet(s"$d/customer.parquet")
         .createOrReplaceTempView("q221_cust")
       s.sql(s"CREATE NAMESPACE $cat.lake")
@@ -1763,8 +1774,7 @@ object DatalakeQueries {
     * state arithmetically from `orders` with integer-cents revenue. */
   val q224ReplaceWhere = GQuery(
     "q224_replace_where",
-    (s, d) => {
-      val cat = freshCatalog(s, "q224")
+    (s, d) => withFreshCatalog(s, "q224") { cat =>
       s.read.parquet(s"$d/orders.parquet")
         .selectExpr("CAST(o_orderkey AS BIGINT) AS o_orderkey",
           "CAST(o_totalprice AS DOUBLE) AS o_totalprice",
@@ -1804,6 +1814,130 @@ object DatalakeQueries {
            |  true AS untouched, true AS one_commit
            |FROM fin GROUP BY bucket ORDER BY bucket""".stripMargin))
 
+  /** q225 — the GENERAL SQL MERGE ([[graft.plans.GraftSqlDmlRule]] →
+    * [[graft.io.DeltaWrite.mergeAdvanced]]): ordered first-match-wins
+    * clauses, a PARTIAL `SET` whose RHS reads both rows (the SCD shape
+    * the star-only merge refused), target-referencing clause
+    * conditions, a partial-column INSERT (unnamed → NULL), and
+    * `WHEN NOT MATCHED BY SOURCE` (the full-sync shape). The oracle
+    * recomputes the final state arithmetically from `orders`; revenue
+    * compares as integer cents. */
+  val q225MergeGeneral = GQuery(
+    "q225_merge_general",
+    (s, d) => withFreshCatalog(s, "q225") { cat =>
+      s.read.parquet(s"$d/orders.parquet")
+        .selectExpr("CAST(o_orderkey AS BIGINT) AS o_orderkey",
+          "CAST(round(o_totalprice * 100) AS BIGINT) AS cents",
+          "o_orderstatus AS status")
+        .createOrReplaceTempView("q225_src")
+      s.sql(s"""CREATE TABLE $cat.gm (o_orderkey BIGINT, cents BIGINT,
+        status STRING) USING `graft-delta`""")
+      s.sql(s"INSERT INTO $cat.gm SELECT * FROM q225_src")
+      s.sql(s"""MERGE INTO $cat.gm t
+        USING (SELECT o_orderkey, o_orderkey % 100 AS bonus
+               FROM q225_src WHERE o_orderkey % 3 = 0
+               UNION ALL
+               SELECT o_orderkey + 30000000, 7 AS bonus
+               FROM q225_src WHERE o_orderkey % 30 = 0) s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED AND t.cents % 2 = 0 THEN UPDATE SET cents = t.cents + s.bonus
+        WHEN MATCHED THEN DELETE
+        WHEN NOT MATCHED THEN INSERT (o_orderkey, cents) VALUES (s.o_orderkey, s.bonus)
+        WHEN NOT MATCHED BY SOURCE AND t.o_orderkey % 5 = 0
+          THEN UPDATE SET status = 'flagged'""")
+      s.sql(s"""SELECT coalesce(status, 'new') AS status, count(*) AS n,
+        CAST(sum(cents) AS BIGINT) AS cents
+        FROM $cat.gm GROUP BY 1 ORDER BY 1""")
+    },
+    Some("""WITH base AS (
+           |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+           |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+           |         o_orderstatus AS status FROM orders),
+           |fin AS (
+           |  SELECT CASE WHEN k % 3 = 0 AND cents % 2 = 0 THEN cents + (k % 100)
+           |              ELSE cents END AS cents,
+           |         CASE WHEN k % 3 <> 0 AND k % 5 = 0 THEN 'flagged'
+           |              ELSE status END AS status
+           |  FROM base WHERE NOT (k % 3 = 0 AND cents % 2 <> 0)
+           |  UNION ALL
+           |  SELECT 7 AS cents, 'new' AS status FROM base WHERE k % 30 = 0)
+           |SELECT status, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents
+           |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** q226 — SQL SCHEMA EVOLUTION through the catalog
+    * ([[graft.io.v2.GraftCatalog]] `alterTable` →
+    * [[graft.io.DeltaWrite.addColumn]]/`widenColumnType`): ADD COLUMN
+    * is one metaData JSON line (pre-add files serve NULL — at 100 TB a
+    * column add must never re-ingest), ALTER COLUMN TYPE widens
+    * INT→BIGINT log-only, and inserts straddling the evolution land
+    * under the evolved schema. The oracle recomputes from `documents`:
+    * even doc_ids predate the add (NULL quality), odd ones carry
+    * quality = n_chars * 0.5. */
+  val q226SchemaEvolution = GQuery(
+    "q226_sql_schema_evolution",
+    (s, d) => withFreshCatalog(s, "q226") { cat =>
+      s.read.parquet(s"$d/documents.parquet")
+        .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "lang",
+          "CAST(n_chars AS INT) AS n_chars")
+        .createOrReplaceTempView("q226_src")
+      s.sql(s"""CREATE TABLE $cat.ev (doc_id BIGINT, lang STRING,
+        n_chars INT) USING `graft-delta`""")
+      s.sql(s"INSERT INTO $cat.ev SELECT * FROM q226_src WHERE doc_id % 2 = 0")
+      s.sql(s"ALTER TABLE $cat.ev ADD COLUMNS (quality DOUBLE)")
+      s.sql(s"ALTER TABLE $cat.ev ALTER COLUMN n_chars TYPE BIGINT")
+      s.sql(s"""INSERT INTO $cat.ev SELECT doc_id, lang,
+        CAST(n_chars AS BIGINT), n_chars * 0.5
+        FROM q226_src WHERE doc_id % 2 = 1""")
+      s.sql(s"""SELECT lang, count(*) AS n,
+        CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        count(quality) AS n_quality,
+        CAST(sum(CAST(round(coalesce(quality, 0) * 10) AS BIGINT)) AS BIGINT) AS q10
+        FROM $cat.ev GROUP BY lang ORDER BY lang""")
+    },
+    Some("""SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           |  count(*) FILTER (WHERE doc_id % 2 = 1) AS n_quality,
+           |  CAST(sum(CASE WHEN doc_id % 2 = 1
+           |                THEN CAST(round(n_chars * 0.5 * 10) AS BIGINT)
+           |                ELSE 0 END) AS BIGINT) AS q10
+           |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
+
+  /** q227 — SQL MAINTENANCE entry points ([[graft.plans
+    * .GraftMaintenanceParser]]): a pure-SQL nightly — three small
+    * inserts, `OPTIMIZE ... ZORDER BY` (declares clustering, compacts
+    * and re-clusters in `dataChange=false` commits), `RESTORE TABLE ...
+    * TO VERSION AS OF 2` (a NEW head reinstating the two-insert state),
+    * and `VACUUM ... RETAIN 0 HOURS` (reclaims the orphaned rewrites
+    * while live files survive — the writer clamps to the oldest
+    * resolvable version). `compacted` pins that OPTIMIZE really
+    * reduced the file count; the count/sum pin that restore+vacuum
+    * land exactly on the version-2 row set. */
+  val q227SqlMaintenance = GQuery(
+    "q227_sql_maintenance",
+    (s, d) => withFreshCatalog(s, "q227") { cat =>
+      s.read.parquet(s"$d/orders.parquet")
+        .selectExpr("CAST(o_orderkey AS BIGINT) AS o_orderkey",
+          "CAST(round(o_totalprice * 100) AS BIGINT) AS cents")
+        .createOrReplaceTempView("q227_src")
+      s.sql(s"""CREATE TABLE $cat.mx (o_orderkey BIGINT, cents BIGINT)
+        USING `graft-delta`""")
+      (0 to 2).foreach(r => s.sql(
+        s"INSERT INTO $cat.mx SELECT * FROM q227_src WHERE o_orderkey % 3 = $r"))
+      val wh = s.conf.get(s"spark.sql.catalog.$cat.warehouse") + "/mx"
+      val filesBefore = graft.io.DeltaRead.snapshot(s, wh).files.size
+      s.sql(s"OPTIMIZE $cat.mx ZORDER BY (o_orderkey)")
+      val filesAfter = graft.io.DeltaRead.snapshot(s, wh).files.size
+      s.sql(s"RESTORE TABLE $cat.mx TO VERSION AS OF 2")
+      s.sql(s"VACUUM $cat.mx RETAIN 0 HOURS")
+      import org.apache.spark.sql.functions.lit
+      s.sql(s"""SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents
+        FROM $cat.mx""")
+        .withColumn("compacted", lit(filesAfter < filesBefore))
+    },
+    Some("""SELECT CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+           |  true AS compacted
+           |FROM orders WHERE o_orderkey % 3 IN (0, 1)""".stripMargin))
+
   val all: Seq[GQuery] = Seq(
     q130SnapshotDiff, q131IncrementalAgg, q132SchemaEvolution,
     q133KAnonymity, q134GdprErasure, q147CompactionPlan,
@@ -1816,5 +1950,6 @@ object DatalakeQueries {
     q209Variant, q210ClusteredSkip, q215IncrementalView, q216LogCompaction,
     q217ShreddedVariant, q218Collations, q219SqlDatasource,
     q220SqlDml, q221CatalogSql, q222HllView, q223TableReadStream,
-    q224ReplaceWhere)
+    q224ReplaceWhere, q225MergeGeneral, q226SchemaEvolution,
+    q227SqlMaintenance)
 }

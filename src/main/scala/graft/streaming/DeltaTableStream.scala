@@ -54,44 +54,75 @@ class DeltaTableSource(spark: SparkSession, table: String,
     maxFilesPerTrigger: Option[Int], skipChangeCommits: Boolean)
     extends Source {
 
-  /** (base version, whether the base contributes its full snapshot) —
-    * resolved once per CHECKPOINT, not per source instance. The marker
-    * lives under the checkpoint's source-metadata directory, which
-    * Spark hands over as a URI STRING (`file:/...`, `hdfs://...`) — it
-    * must be resolved through the checkpoint's Hadoop filesystem, never
-    * `java.nio.Paths` (which would silently create a CWD-relative
-    * `file:/...` directory and lose the marker on restart from another
-    * working directory or node — exactly the offset-misalignment the
-    * marker exists to prevent). */
-  private val (base: Long, baseIsSnapshot: Boolean) = {
+  /** (base version, whether the base contributes its full snapshot,
+    * the schema the stream was BOOTSTRAPPED with) — resolved once per
+    * CHECKPOINT, not per source instance. The marker lives under the
+    * checkpoint's source-metadata directory, which Spark hands over as
+    * a URI STRING (`file:/...`, `hdfs://...`) — it must be resolved
+    * through the checkpoint's Hadoop filesystem, never `java.nio.Paths`
+    * (which would silently create a CWD-relative `file:/...` directory
+    * and lose the marker on restart from another working directory or
+    * node — exactly the offset-misalignment the marker exists to
+    * prevent).
+    *
+    * The schema rides the marker (line 2, its JSON form) so a RESTART
+    * after the table's schema evolved fails with an actionable refusal
+    * instead of a mid-plan assertion: the restarted query's logical
+    * plan carries the CURRENT head schema (the provider's sourceSchema
+    * can only see the head — it has no checkpoint to consult), while
+    * the checkpointed offsets index files written under the bootstrap
+    * schema; no answer the source could serve satisfies both. */
+  private val (base: Long, baseIsSnapshot: Boolean, schemaAtBase: StructType) = {
     val dir = new org.apache.hadoop.fs.Path(metadataPath)
     val f = new org.apache.hadoop.fs.Path(dir, "graft-table-source")
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    def resolveNow(): (Long, Boolean) = startingVersion match {
+      // startingVersion v = adds from v on, no snapshot: encode as an
+      // empty base at v-1 so the walk naturally starts at v
+      case Some(v) => (v - 1, false)
+      case None => (DeltaRead.latestVersion(table), true)
+    }
+    def schemaOf(b: Long): StructType =
+      DeltaRead.readVersion(spark, table, math.max(b, 0L)).schema
     if (fs.exists(f)) {
       val in = fs.open(f)
       val raw = try new String(
         org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
       finally in.close()
-      val Array(b, snap) = raw.trim.split(",")
-      (b.toLong, snap.toBoolean)
+      val lines = raw.trim.split("\n", 2)
+      val Array(b, snap) = lines(0).trim.split(",")
+      val persisted =
+        if (lines.length > 1 && lines(1).trim.nonEmpty)
+          org.apache.spark.sql.types.DataType.fromJson(lines(1).trim)
+            .asInstanceOf[StructType]
+        else schemaOf(b.toLong) // legacy marker: pre-schema format
+      // the restarted logical plan resolves the schema the same way a
+      // FIRST start would (the provider cannot see this marker) — if
+      // the table's schema moved since bootstrap, the plan and the
+      // checkpointed data disagree and nothing downstream can be trusted
+      val current = schemaOf(resolveNow()._1)
+      if (DeltaTableSource.shapeOf(current) !=
+          DeltaTableSource.shapeOf(persisted)) throw new IllegalStateException(
+        s"graft-delta source: $table schema changed since this " +
+          s"checkpoint was created — was ${persisted.simpleString}, now " +
+          s"${current.simpleString}. An append-only tail cannot migrate " +
+          "mid-checkpoint: re-bootstrap from a NEW checkpoint location " +
+          "(optionally with startingVersion to skip the snapshot).")
+      (b.toLong, snap.toBoolean, persisted)
     } else {
-      val resolved = startingVersion match {
-        // startingVersion v = adds from v on, no snapshot: encode as an
-        // empty base at v-1 so the walk naturally starts at v
-        case Some(v) => (v - 1, false)
-        case None => (DeltaRead.latestVersion(table), true)
-      }
+      val resolved = resolveNow()
+      val schema = schemaOf(resolved._1)
       fs.mkdirs(dir)
       // create-no-overwrite: two racing first starts agree or one fails
       val out = fs.create(f, false)
-      try out.write(s"${resolved._1},${resolved._2}".getBytes(StandardCharsets.UTF_8))
+      try out.write(s"${resolved._1},${resolved._2}\n${schema.json}"
+        .getBytes(StandardCharsets.UTF_8))
       finally out.close()
-      resolved
+      (resolved._1, resolved._2, schema)
     }
   }
 
-  override val schema: StructType =
-    DeltaRead.readVersion(spark, table, math.max(base, 0L)).schema
+  override val schema: StructType = schemaAtBase
 
   /** A version's surfaceable file paths, in the stable order the
     * offsets index. Cached: lists are re-enumerated on every
@@ -105,6 +136,25 @@ class DeltaTableSource(spark: SparkSession, table: String,
       if (!baseIsSnapshot) Nil
       else DeltaRead.snapshotAt(spark, table, base).files.map(_.path).sorted
     } else {
+      // a commit that DECLARED a different schema poisons every later
+      // file list: cross-version unions against the bootstrap schema
+      // would fail (or worse, silently null-fill) — refuse at the first
+      // drifted commit with the re-bootstrap pointer. Width-only
+      // metaData commits (properties, same schema) pass through.
+      DeltaRead.commitSchemaChange(table, v).foreach { json =>
+        val declared = org.apache.spark.sql.types.DataType.fromJson(json)
+          .asInstanceOf[StructType]
+        // compare SHAPE (names + types), not StructType equality: a
+        // commit's declared schema carries writer metadata (identity,
+        // mapping ids) the logical read schema does not — a properties
+        // or constraint commit re-declaring the same columns must pass
+        if (DeltaTableSource.shapeOf(declared) !=
+            DeltaTableSource.shapeOf(schemaAtBase)) throw new IllegalStateException(
+          s"graft-delta source: $table version $v changed the schema " +
+            s"(was ${schemaAtBase.simpleString}, now ${declared.simpleString}) " +
+            "— an append-only tail cannot migrate mid-stream. Re-bootstrap " +
+            "from a new checkpoint (startingVersion >= " + v + ").")
+      }
       val (adds, removesData) = DeltaRead.commitAdds(table, v)
       if (removesData && !skipChangeCommits)
         throw new IllegalStateException(
@@ -182,4 +232,16 @@ class DeltaTableSource(spark: SparkSession, table: String,
   }
   override def stop(): Unit = ()
   override def toString: String = s"DeltaTableSource[$table]"
+}
+
+private[streaming] object DeltaTableSource {
+  /** A schema's user-visible shape: (name, type) per field — what
+    * schema-drift refusal compares. Field metadata (identity marks,
+    * column-mapping ids) and NULLABILITY are excluded: a commit's
+    * declared schema routinely records tighter nullability than the
+    * parquet-scan schema the stream serves (every scan column is
+    * nullable), and an append-only union is indifferent to it — only a
+    * name/type change makes the checkpointed offsets unservable. */
+  def shapeOf(s: StructType): Seq[(String, org.apache.spark.sql.types.DataType)] =
+    s.fields.toSeq.map(f => (f.name, f.dataType))
 }

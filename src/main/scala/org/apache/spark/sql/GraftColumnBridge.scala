@@ -39,3 +39,27 @@ object GraftExtensionsProbe {
       reg: catalyst.analysis.FunctionRegistry): catalyst.analysis.FunctionRegistry =
     ext.registerFunctions(reg)
 }
+
+/** Multipart SQL identifier → the DSv2 (CatalogPlugin, Identifier) it
+  * names — the resolution the maintenance commands (OPTIMIZE / VACUUM /
+  * RESTORE, parsed by graft's injected parser) need OUTSIDE the
+  * analyzer. `CatalogManager` is `private[sql]`; living in Spark's
+  * package to expose exactly this lookup is the same bridge pattern as
+  * [[GraftColumnBridge.ofRows]]. Resolution follows Spark's own rule:
+  * a first part naming a registered catalog wins, otherwise the whole
+  * identifier resolves inside the current catalog (current namespace
+  * for a bare name). */
+object GraftCatalogBridge {
+  import org.apache.spark.sql.connector.catalog.{CatalogPlugin, Identifier}
+
+  def resolve(spark: SparkSession, parts: Seq[String]): (CatalogPlugin, Identifier) = {
+    require(parts.nonEmpty, "empty table identifier")
+    val cm = spark.asInstanceOf[classic.SparkSession].sessionState.catalogManager
+    if (parts.length > 1 && cm.isCatalogRegistered(parts.head))
+      (cm.catalog(parts.head), Identifier.of(parts.tail.init.toArray, parts.last))
+    else if (parts.length > 1)
+      (cm.currentCatalog, Identifier.of(parts.init.toArray, parts.last))
+    else
+      (cm.currentCatalog, Identifier.of(cm.currentNamespace, parts.last))
+  }
+}

@@ -114,6 +114,63 @@ class DeltaTableStreamSpec extends SparkTestBase {
     } finally cleanup(src, ckpt, out)
   }
 
+  test("schema drift since the checkpoint refuses with a re-bootstrap pointer") {
+    val src = newDir("gdstream_drift")
+    val ckpt = newDir("gdstream_dckpt")
+    val out = newDir("gdstream_dout")
+    try {
+      DeltaWrite.append((0 until 5).map(i => (i.toLong, s"a$i")).toDF("id", "txt"), src)
+      def run(): Unit = {
+        val q = spark.readStream.format("graft-delta")
+          .option("startingVersion", "0").load(src)
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt).start()
+        q.processAllAvailable(); q.stop()
+      }
+      run()
+      // the table evolves AFTER the checkpoint bootstrapped: a restarted
+      // query's logical plan resolves the NEW schema while every
+      // checkpointed offset indexes files of the old one — the source
+      // must refuse with the re-bootstrap pointer, not die on an
+      // internal plan assertion (or null-fill its way to wrong answers).
+      // With an explicit startingVersion the MID-STREAM guard catches
+      // the drifted commit (the walk reaches v1's metaData)...
+      DeltaWrite.overwrite((0 until 5).map(i => (i.toLong, s"b$i", i * 2))
+        .toDF("id", "txt", "extra"), src)
+      val e = intercept[Exception] { run() }
+      def chain(t: Throwable): String =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(x => Option(x.getMessage).getOrElse("")).mkString("\n")
+      assert(chain(e).contains("changed the schema") &&
+        chain(e).toLowerCase.contains("re-bootstrap"),
+        s"expected an actionable schema-drift refusal, got: ${chain(e)}")
+      // ...and a DEFAULT-start checkpoint (head snapshot bootstrap)
+      // refuses at RESTART: the marker's persisted schema disagrees
+      // with what the restarted plan resolved at the new head
+      val ckpt2 = newDir("gdstream_dckpt2")
+      val out2 = newDir("gdstream_dout2")
+      try {
+        val src2 = newDir("gdstream_drift2")
+        try {
+          DeltaWrite.append((0 until 5).map(i => (i.toLong, s"a$i")).toDF("id", "txt"), src2)
+          def run2(): Unit = {
+            val q = spark.readStream.format("graft-delta").load(src2)
+              .writeStream.format("parquet").option("path", out2)
+              .option("checkpointLocation", ckpt2).start()
+            q.processAllAvailable(); q.stop()
+          }
+          run2()
+          DeltaWrite.overwrite((0 until 5).map(i => (i.toLong, s"c$i", i * 3))
+            .toDF("id", "txt", "extra"), src2)
+          val e2 = intercept[Exception] { run2() }
+          assert(chain(e2).contains("schema changed since this checkpoint") &&
+            chain(e2).toLowerCase.contains("re-bootstrap"),
+            s"expected a restart-time schema-drift refusal, got: ${chain(e2)}")
+        } finally cleanup(src2)
+      } finally cleanup(ckpt2, out2)
+    } finally cleanup(src, ckpt, out)
+  }
+
   test("data-removing commits refuse loudly; skipChangeCommits opts into skipping") {
     val src = newDir("gdstream_chg")
     try {

@@ -46,6 +46,28 @@ class ReplaceWhereSpec extends SparkTestBase {
     assert(ids == Set(1L, 2L))
   }
 
+  test("rows outside the predicate refuse — never silent duplication") {
+    val t = Staging.tempDir("graft_rw6_")
+    DeltaWrite.append(spark.range(10).select($"id",
+      ($"id" % 3).cast("string").as("p")), t, Seq("p"))
+    val v0 = DeltaRead.latestVersion(t)
+    // the reload frame carries a p=2 row under a p=1 predicate: without
+    // the constraint check it would land in the untouched partition —
+    // silent duplication the commit claims not to make
+    val bad = Seq((100L, "1"), (666L, "2")).toDF("id", "p")
+    val e = intercept[IllegalArgumentException] {
+      DeltaWrite.replaceWhere(spark, t, bad, $"p" === "1")
+    }
+    assert(e.getMessage.contains("NOT matching the replacement predicate"))
+    assert(DeltaRead.latestVersion(t) == v0, "no commit may land")
+    // NULL predicate rows are outside too (they would be KEPT on the
+    // delete side — inserting them under the predicate is the same lie)
+    val nullSide = Seq((5L, null.asInstanceOf[String])).toDF("id", "p")
+    intercept[IllegalArgumentException] {
+      DeltaWrite.replaceWhere(spark, t, nullSide, $"p" === "1")
+    }
+  }
+
   test("CDF tables record exact delete/insert change rows") {
     val t = Staging.tempDir("graft_rw4_")
     DeltaWrite.append(spark.range(4).toDF("id"), t)

@@ -142,6 +142,30 @@ class SqlDmlSpec extends SparkTestBase {
       after(4) == 0 && after(5) == 5 && after.size == 12)
   }
 
+  test("SQL MERGE general: partial SET, ordered clauses, BY SOURCE, partial INSERT") {
+    val c = freshCatalog()
+    spark.sql(s"CREATE TABLE $c.g (id BIGINT, v BIGINT, s STRING) USING `graft-delta`")
+    spark.sql(s"INSERT INTO $c.g SELECT CAST(id AS BIGINT), " +
+      "CAST(id * 10 AS BIGINT), concat('r', id) FROM range(10)")
+    spark.sql(
+      s"""MERGE INTO $c.g t
+         |USING (SELECT CAST(id AS BIGINT) AS id, CAST(id * 100 AS BIGINT) AS bonus
+         |       FROM range(13) WHERE id >= 5) s
+         |ON t.id = s.id
+         |WHEN MATCHED AND t.v >= 80 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET v = t.v + s.bonus
+         |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.bonus)
+         |WHEN NOT MATCHED BY SOURCE AND t.id < 2 THEN DELETE
+         |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET s = 'stale'""".stripMargin)
+    val out = spark.sql(s"SELECT id, v, s FROM $c.g ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).toSeq
+    assert(out == Seq(
+      (2L, 20L, Some("stale")), (3L, 30L, Some("stale")), (4L, 40L, Some("stale")),
+      (5L, 550L, Some("r5")), (6L, 660L, Some("r6")), (7L, 770L, Some("r7")),
+      (10L, 1000L, None), (11L, 1100L, None), (12L, 1200L, None)),
+      s"got $out")
+  }
+
   test("SQL and Scala DML commit identical tables and logs") {
     import spark.implicits._
     val c = freshCatalog()
@@ -299,6 +323,80 @@ class SqlDmlSpec extends SparkTestBase {
     }
   }
 
+  test("SQL schema evolution: ADD COLUMN null-fills, widening, mapped RENAME/DROP") {
+    val c = freshCatalog()
+    spark.sql(s"CREATE TABLE $c.se (id BIGINT, v INT) USING `graft-delta`")
+    spark.sql(s"INSERT INTO $c.se VALUES (CAST(1 AS BIGINT), 10), (CAST(2 AS BIGINT), 20)")
+    // ADD COLUMN is metaData-only: files predating it read as NULL
+    val wh = spark.conf.get(s"spark.sql.catalog.$c.warehouse")
+    val filesBefore = graft.io.DeltaRead.snapshot(spark, s"$wh/se").files.map(_.path).toSet
+    spark.sql(s"ALTER TABLE $c.se ADD COLUMNS (tag STRING)")
+    assert(graft.io.DeltaRead.snapshot(spark, s"$wh/se").files.map(_.path).toSet
+      == filesBefore, "ADD COLUMN must not touch data files")
+    spark.sql(s"INSERT INTO $c.se VALUES (CAST(3 AS BIGINT), 30, 'x')")
+    val tags = spark.sql(s"SELECT tag FROM $c.se ORDER BY id").collect()
+      .map(r => Option(r.getString(0))).toSeq
+    assert(tags == Seq(None, None, Some("x")))
+    // lossless widening, log-only
+    spark.sql(s"ALTER TABLE $c.se ALTER COLUMN v TYPE BIGINT")
+    assert(spark.sql(s"SELECT sum(v) AS s FROM $c.se").head.getLong(0) == 60L)
+    // RENAME/DROP ride column mapping: register a mapped external table
+    import spark.implicits._
+    val ext = graft.io.Staging.tempDir("graft_se_ext")
+    graft.io.DeltaWrite.createColumnMapped(
+      Seq((1L, "a", 5L), (2L, "b", 6L)).toDF("k", "s", "old"), ext)
+    spark.sql(s"CREATE TABLE $c.me (k BIGINT, s STRING, old BIGINT) " +
+      s"USING `graft-delta` LOCATION '$ext'")
+    val extBefore = graft.io.DeltaRead.snapshot(spark, ext).files.map(_.path).toSet
+    spark.sql(s"ALTER TABLE $c.me RENAME COLUMN s TO label")
+    spark.sql(s"ALTER TABLE $c.me DROP COLUMN old")
+    assert(graft.io.DeltaRead.snapshot(spark, ext).files.map(_.path).toSet
+      == extBefore, "mapped RENAME/DROP are one JSON line each, zero rewrites")
+    val out = spark.sql(s"SELECT k, label FROM $c.me ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("SQL maintenance: OPTIMIZE / ZORDER / RESTORE / VACUUM") {
+    val c = freshCatalog()
+    spark.sql(s"CREATE TABLE $c.mt (id BIGINT, v BIGINT) USING `graft-delta`")
+    (0 until 3).foreach(i => spark.sql(s"INSERT INTO $c.mt SELECT " +
+      s"CAST(id + ${i * 10} AS BIGINT), CAST(id AS BIGINT) FROM range(10)"))
+    val o = spark.sql(s"OPTIMIZE $c.mt").collect()
+    assert(o.head.getInt(1) >= 1, "3 small files must bin-pack")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $c.mt").head.getLong(0) == 30)
+    val r = spark.sql(s"RESTORE TABLE $c.mt TO VERSION AS OF 1").collect()
+    assert(r.head.getLong(1) == 1L)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $c.mt").head.getLong(0) == 10,
+      "restore must reinstate the version-1 row set")
+    val vac = spark.sql(s"VACUUM $c.mt RETAIN 0 HOURS").collect()
+    assert(vac.head.getInt(1) >= 1, "the restore orphaned rewrites to reclaim")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $c.mt").head.getLong(0) == 10,
+      "vacuum must never touch live files")
+    // ZORDER declares clustering (one commit) and re-clusters
+    spark.sql(s"INSERT INTO $c.mt SELECT CAST(id + 100 AS BIGINT), " +
+      "CAST(id AS BIGINT) FROM range(10)")
+    spark.sql(s"OPTIMIZE $c.mt ZORDER BY (id)")
+    val wh = spark.conf.get(s"spark.sql.catalog.$c.warehouse")
+    assert(graft.io.DeltaWrite.clusteringColumns(
+      graft.io.DeltaRead.snapshot(spark, s"$wh/mt")) == Seq("id"))
+    assert(spark.sql(s"SELECT count(*) AS n FROM $c.mt").head.getLong(0) == 20)
+    // ALTER TABLE ... CLUSTER BY re-declares the clustering columns
+    spark.sql(s"ALTER TABLE $c.mt CLUSTER BY (v)")
+    assert(graft.io.DeltaWrite.clusteringColumns(
+      graft.io.DeltaRead.snapshot(spark, s"$wh/mt")) == Seq("v"))
+    // DESCRIBE HISTORY: newest-first audit of surviving commits
+    val hist = spark.sql(s"DESCRIBE HISTORY $c.mt").collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    assert(hist.map(_._1).toSeq == hist.map(_._1).toSeq.sorted.reverse)
+    assert(hist.head._2 == "CLUSTER BY")
+    assert(hist.map(_._2).contains("RESTORE") && hist.map(_._2).contains("OPTIMIZE"))
+    val hist2 = spark.sql(s"DESCRIBE HISTORY $c.mt LIMIT 2").collect()
+    assert(hist2.length == 2)
+    // non-maintenance statements pass through the injected parser
+    assert(spark.sql("SELECT 1 AS one").head.getInt(0) == 1)
+  }
+
   test("refusals: time travel DML, partial merge SET, schema changes") {
     val c = freshCatalog()
     spark.sql(s"CREATE TABLE $c.r (id BIGINT, v BIGINT) USING `graft-delta`")
@@ -307,17 +405,25 @@ class SqlDmlSpec extends SparkTestBase {
       spark.sql(s"DELETE FROM $c.r VERSION AS OF 0 WHERE id = 1")
     }
     assert(e1.getMessage != null)
+    // partial SET is now a supported route (mergeAdvanced); a NON-EQUI
+    // ON has no key contract in either path and must refuse
     val e2 = intercept[UnsupportedOperationException] {
       spark.sql(
         s"""MERGE INTO $c.r t
            |USING (SELECT CAST(1 AS BIGINT) AS id, CAST(9 AS BIGINT) AS v) s
-           |ON t.id = s.id
-           |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+           |ON t.id > s.id
+           |WHEN MATCHED THEN DELETE""".stripMargin)
     }
-    assert(e2.getMessage.contains("SET *"))
-    val e3 = intercept[UnsupportedOperationException] {
-      spark.sql(s"ALTER TABLE $c.r ADD COLUMN extra STRING")
+    assert(e2.getMessage.contains("ON condition"))
+    // NOT NULL adds have no value for existing rows; RENAME without
+    // column mapping would mean rewriting every file — both refuse loudly
+    val e3 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $c.r ADD COLUMNS (extra STRING NOT NULL)")
     }
-    assert(e3.getMessage.contains("SET/UNSET TBLPROPERTIES"))
+    assert(e3.getMessage.contains("nullable"))
+    val e4 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $c.r RENAME COLUMN v TO w")
+    }
+    assert(e4.getMessage.contains("column-mapped"))
   }
 }
