@@ -3436,12 +3436,21 @@ object DeltaWrite {
     * partition already covering disjoint key ranges at the minimal
     * file count is recognized and skipped, so repeated OPTIMIZE
     * converges instead of rewriting the table every call. */
-  def compact(spark: SparkSession, table: String, targetBytes: Long = 128L << 20): Int = {
+  /** `partitions` non-empty scopes the pass to partition tuples whose
+    * values agree with every named (column → value) pair — the 100 TB
+    * nightly shape (`OPTIMIZE t WHERE day = X` compacts ONE day's
+    * files; the other 999 days are never listed into groups, let alone
+    * rewritten). Keys must be partition columns (logical names). */
+  def compact(spark: SparkSession, table: String, targetBytes: Long = 128L << 20,
+      partitions: Map[String, String] = Map.empty): Int = {
     var attempt = 0
     while (attempt < 10) {
       val v = DeltaRead.latestVersion(table)
       val s = DeltaRead.snapshotAt(spark, table, v)
       require(s.files.nonEmpty, s"nothing to compact under $table")
+      partitions.keys.foreach(k => require(s.partitionColumns.contains(k),
+        s"compact: '$k' is not a partition column of $table " +
+          s"(${s.partitionColumns.mkString(",")})"))
       // dataChange=false reorganization still COMMITS — a table whose
       // writer features we don't implement must not be touched
       validateWriterSupport(table, s, removesData = false)
@@ -3525,7 +3534,10 @@ object DeltaWrite {
       // target-sized files along the Z-key (pre-splitting into bins
       // would pin each bin to one output file and the split would
       // never engage)
-      val groups = s.files.groupBy(_.partitionValues).toSeq.flatMap { case (pv, fs0) =>
+      val groups = s.files.groupBy(_.partitionValues).toSeq
+        .filter { case (pv, _) =>
+          partitions.forall { case (k, want) => pv.get(k).contains(want) } }
+        .flatMap { case (pv, fs0) =>
         if (clusterCols.nonEmpty) {
           if (fs0.size < 2 && !fs0.exists(_.dv.isDefined)) Nil
           else {
@@ -3772,7 +3784,12 @@ object DeltaWrite {
     deleted
   }
 
-  def vacuum(spark: SparkSession, table: String, retentionMs: Long = 60L * 60 * 1000): Int = {
+  /** `dryRun` reports what a real run WOULD reclaim without touching a
+    * byte — the ops pre-flight before an aggressive RETAIN (SQL:
+    * `VACUUM t ... DRY RUN`). Candidate enumeration is identical to
+    * the destructive path by construction (one code path). */
+  def vacuum(spark: SparkSession, table: String,
+      retentionMs: Long = 60L * 60 * 1000, dryRun: Boolean = false): Int = {
     val v = DeltaRead.latestVersion(table)
     val headSnap = DeltaRead.snapshotAt(spark, table, v)
     // the vacuumProtocolCheck feature's entire contract: VACUUM must
@@ -3800,35 +3817,37 @@ object DeltaWrite {
     // after-the-walk mtime check would spare exactly the abandoned
     // dirs whose contents the walk just reclaimed
     val staleStaging = eligibleStaging(root, cutoff)
-    var deleted = 0
     val st = Files.walk(root)
-    try {
-      st.iterator().asScala
-        .filter { p =>
-          val n = p.getFileName.toString
-          Files.isRegularFile(p) &&
-            !p.startsWith(root.resolve("_delta_log")) &&
-            // cdc files share the JSON log's lifetime (changesBetween
-            // refuses once the commit JSON is gone, and this writer
-            // never truncates surviving commits), so they are not
-            // vacuum's to reclaim — cleanMetadata deletes them in the
-            // same sweep that expires their commit JSON
-            !p.startsWith(root.resolve(CdcDir)) &&
-            !n.startsWith("_") &&
-            ((n.endsWith(".parquet") && !live(p.normalize()) &&
-              !recentlyRemoved(p.normalize())) ||
-              (n.startsWith("deletion_vector_") && n.endsWith(".bin") &&
-                !liveDvs(p.normalize()))) &&
-            Files.getLastModifiedTime(p).toMillis < cutoff
-        }
-        .toList // materialize before deleting out from under the walk
-        .foreach { p => Files.deleteIfExists(p); deleted += 1 }
-    } finally st.close()
-    // reclaim staging dirs a crashed writer abandoned (stage() removes
-    // its own dir on success)
-    staleStaging.foreach(p =>
-      org.apache.commons.io.FileUtils.deleteDirectory(p.toFile))
-    deleted
+    val candidates =
+      try {
+        st.iterator().asScala
+          .filter { p =>
+            val n = p.getFileName.toString
+            Files.isRegularFile(p) &&
+              !p.startsWith(root.resolve("_delta_log")) &&
+              // cdc files share the JSON log's lifetime (changesBetween
+              // refuses once the commit JSON is gone, and this writer
+              // never truncates surviving commits), so they are not
+              // vacuum's to reclaim — cleanMetadata deletes them in the
+              // same sweep that expires their commit JSON
+              !p.startsWith(root.resolve(CdcDir)) &&
+              !n.startsWith("_") &&
+              ((n.endsWith(".parquet") && !live(p.normalize()) &&
+                !recentlyRemoved(p.normalize())) ||
+                (n.startsWith("deletion_vector_") && n.endsWith(".bin") &&
+                  !liveDvs(p.normalize()))) &&
+              Files.getLastModifiedTime(p).toMillis < cutoff
+          }
+          .toList // materialize before deleting out from under the walk
+      } finally st.close()
+    if (!dryRun) {
+      candidates.foreach(Files.deleteIfExists)
+      // reclaim staging dirs a crashed writer abandoned (stage()
+      // removes its own dir on success)
+      staleStaging.foreach(p =>
+        org.apache.commons.io.FileUtils.deleteDirectory(p.toFile))
+    }
+    candidates.size
   }
 
   /** Paths whose `remove` action committed inside the retention window

@@ -63,10 +63,13 @@ object GraftMaintenanceParser {
   private val Tbl = """('[^']+'|(?:`[^`]+`|[\w$])+(?:\.(?:`[^`]+`|[\w$]+))*)"""
   private val OptimizeRe =
     ("""(?is)^\s*OPTIMIZE\s+""" + Tbl +
-      """(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$""").r
+      """(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$""").r
   private val VacuumRe =
     ("""(?is)^\s*VACUUM\s+""" + Tbl +
-      """(?:\s+RETAIN\s+(\d+)\s+HOURS?)?\s*;?\s*$""").r
+      """(?:\s+RETAIN\s+(\d+)\s+HOURS?)?(?:\s+DRY\s+RUN)?\s*;?\s*$""").r
+  private val DryRunRe = """(?is).*\sDRY\s+RUN\s*;?\s*$""".r
+  /** One `col = literal` conjunct of an OPTIMIZE WHERE clause. */
+  private val ConjunctRe = """(?s)^\s*`?([\w$]+)`?\s*=\s*(?:'([^']*)'|(\S+))\s*$""".r
   private val RestoreRe =
     ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?""" + Tbl +
       """\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""").r
@@ -86,16 +89,29 @@ object GraftMaintenanceParser {
       delegate: ParserInterface): Option[LogicalPlan] =
     firstWord(sqlText) match {
       case "OPTIMIZE" => sqlText match {
-        case OptimizeRe(tok, z) =>
+        case OptimizeRe(tok, where, z) =>
           val zcols = Option(z).toSeq.flatMap(_.split(",").toSeq)
             .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
-          Some(GraftOptimizeCommand(tableSpec(tok, delegate), zcols))
+          // WHERE scopes the pass to partitions: a conjunction of
+          // `col = literal` over partition columns — anything else
+          // refuses loudly (a silently ignored predicate would read as
+          // "optimized everything")
+          val parts = Option(where).toSeq
+            .flatMap(_.split("""(?i)\s+AND\s+""").toSeq).map {
+              case ConjunctRe(col, quoted, bare) =>
+                col -> Option(quoted).getOrElse(bare)
+              case other => throw new UnsupportedOperationException(
+                s"OPTIMIZE WHERE supports `partitionCol = literal` " +
+                  s"conjunctions only, got: $other")
+            }.toMap
+          Some(GraftOptimizeCommand(tableSpec(tok, delegate), zcols, parts))
         case _ => None
       }
       case "VACUUM" => sqlText match {
         case VacuumRe(tok, hours) =>
           Some(GraftVacuumCommand(tableSpec(tok, delegate),
-            Option(hours).map(_.toLong * 3600L * 1000L)))
+            Option(hours).map(_.toLong * 3600L * 1000L),
+            dryRun = DryRunRe.matches(sqlText)))
         case _ => None
       }
       case "RESTORE" => sqlText match {
@@ -139,13 +155,17 @@ object GraftMaintenanceParser {
   }
 }
 
-/** `OPTIMIZE t [ZORDER BY (cols)]` → [[DeltaWrite.compact]], after
-  * declaring the clustering columns when a ZORDER clause names a
-  * different set than the table currently carries (re-declaration is
-  * its own commit; an unchanged declaration is skipped so nightly runs
-  * converge to pure no-ops). Returns the net file-count reduction. */
+/** `OPTIMIZE t [WHERE partCol = v [AND ...]] [ZORDER BY (cols)]` →
+  * [[DeltaWrite.compact]], after declaring the clustering columns when
+  * a ZORDER clause names a different set than the table currently
+  * carries (re-declaration is its own commit; an unchanged declaration
+  * is skipped so nightly runs converge to pure no-ops). WHERE scopes
+  * the pass to the named partitions — at 100 TB the nightly OPTIMIZE
+  * touches one day, not the table. Returns the net file-count
+  * reduction. */
 case class GraftOptimizeCommand(table: Either[String, Seq[String]],
-    zorderBy: Seq[String]) extends LeafRunnableCommand {
+    zorderBy: Seq[String],
+    partitions: Map[String, String] = Map.empty) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("path", StringType, nullable = false)(),
     AttributeReference("net_files_removed", IntegerType, nullable = false)())
@@ -155,29 +175,36 @@ case class GraftOptimizeCommand(table: Either[String, Seq[String]],
       val cur = DeltaWrite.clusteringColumns(DeltaRead.snapshot(spark, path))
       if (cur != zorderBy) DeltaWrite.clusterBy(spark, path, zorderBy)
     }
-    Seq(Row(path, DeltaWrite.compact(spark, path)))
+    Seq(Row(path, DeltaWrite.compact(spark, path, partitions = partitions)))
   }
   override def simpleString(maxFields: Int): String =
     s"GraftOptimizeCommand $table" +
+      (if (partitions.isEmpty) "" else s" WHERE $partitions") +
       (if (zorderBy.isEmpty) "" else s" ZORDER BY ${zorderBy.mkString(",")}")
 }
 
-/** `VACUUM t [RETAIN n HOURS]` → [[DeltaWrite.vacuum]]. The writer
-  * clamps the horizon to `oldestResolvableVersion`, so an aggressive
-  * RETAIN can never strand a restorable version. */
+/** `VACUUM t [RETAIN n HOURS] [DRY RUN]` → [[DeltaWrite.vacuum]]. The
+  * writer clamps the horizon to `oldestResolvableVersion`, so an
+  * aggressive RETAIN can never strand a restorable version. DRY RUN
+  * reports the reclaim count without touching a byte — the pre-flight
+  * before an aggressive RETAIN. */
 case class GraftVacuumCommand(table: Either[String, Seq[String]],
-    retainMs: Option[Long]) extends LeafRunnableCommand {
+    retainMs: Option[Long], dryRun: Boolean = false) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("path", StringType, nullable = false)(),
-    AttributeReference("files_deleted", IntegerType, nullable = false)())
+    AttributeReference("files_deleted", IntegerType, nullable = false)(),
+    AttributeReference("dry_run", org.apache.spark.sql.types.BooleanType,
+      nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val path = GraftMaintenanceParser.resolvePath(spark, table)
-    val n = retainMs.map(ms => DeltaWrite.vacuum(spark, path, ms))
-      .getOrElse(DeltaWrite.vacuum(spark, path))
-    Seq(Row(path, n))
+    val n = retainMs.map(ms => DeltaWrite.vacuum(spark, path, ms, dryRun))
+      .getOrElse(DeltaWrite.vacuum(spark, path, dryRun = dryRun))
+    Seq(Row(path, n, dryRun))
   }
   override def simpleString(maxFields: Int): String =
-    s"GraftVacuumCommand $table${retainMs.map(ms => s" RETAIN ${ms}ms").getOrElse("")}"
+    s"GraftVacuumCommand $table" +
+      retainMs.map(ms => s" RETAIN ${ms}ms").getOrElse("") +
+      (if (dryRun) " DRY RUN" else "")
 }
 
 /** `DESCRIBE HISTORY t [LIMIT n]` → [[DeltaRead.history]]: one row per

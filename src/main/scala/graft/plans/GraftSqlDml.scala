@@ -132,7 +132,10 @@ case class GraftSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         s"an equi-join ON of same-named keys; got: $what")
 
   private def buildMerge(path: String, m: MergeIntoTable): LogicalPlan = {
-    if (m.withSchemaEvolution) refuse("WITH SCHEMA EVOLUTION")
+    if (m.withSchemaEvolution) throw new UnsupportedOperationException(
+      "graft-delta MERGE: WITH SCHEMA EVOLUTION is not supported — run " +
+        "ALTER TABLE ... ADD COLUMNS (...) first (a metaData-only commit), " +
+        "then MERGE; the explicit form keeps schema changes auditable")
     val targetOut = m.targetTable.outputSet
     val sourceOut = m.sourceTable.outputSet
 

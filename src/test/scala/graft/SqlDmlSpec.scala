@@ -397,6 +397,38 @@ class SqlDmlSpec extends SparkTestBase {
     assert(spark.sql("SELECT 1 AS one").head.getInt(0) == 1)
   }
 
+  test("SQL maintenance: partition-scoped OPTIMIZE and VACUUM DRY RUN") {
+    val c = freshCatalog()
+    spark.sql(s"CREATE TABLE $c.pm (id BIGINT, p STRING) USING `graft-delta` " +
+      "PARTITIONED BY (p)")
+    (0 until 2).foreach(_ => spark.sql(s"INSERT INTO $c.pm SELECT " +
+      "CAST(id AS BIGINT), CAST(id % 2 AS STRING) FROM range(20)"))
+    val wh = spark.conf.get(s"spark.sql.catalog.$c.warehouse") + "/pm"
+    def filesOf(p: String): Set[String] = graft.io.DeltaRead.snapshot(spark, wh)
+      .files.filter(_.partitionValues.get("p").contains(p)).map(_.path).toSet
+    val before0 = filesOf("0")
+    assert(before0.size >= 2 && filesOf("1").size >= 2)
+    // WHERE scopes the pass: p=1 compacts, p=0 keeps its exact bytes
+    val opt = spark.sql(s"OPTIMIZE $c.pm WHERE p = '1'").collect()
+    assert(opt.head.getInt(1) >= 1)
+    assert(filesOf("0") == before0, "p=0 must not be listed into the rewrite")
+    assert(filesOf("1").size == 1)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $c.pm").head.getLong(0) == 40)
+    // DRY RUN counts without deleting; the real run reclaims the same
+    val dry = spark.sql(s"VACUUM $c.pm RETAIN 0 HOURS DRY RUN").collect()
+    assert(dry.head.getInt(1) >= 1 && dry.head.getBoolean(2))
+    val dry2 = spark.sql(s"VACUUM $c.pm RETAIN 0 HOURS DRY RUN").collect()
+    assert(dry2.head.getInt(1) == dry.head.getInt(1), "dry run must not delete")
+    val real = spark.sql(s"VACUUM $c.pm RETAIN 0 HOURS").collect()
+    assert(real.head.getInt(1) == dry.head.getInt(1) && !real.head.getBoolean(2))
+    assert(spark.sql(s"VACUUM $c.pm RETAIN 0 HOURS DRY RUN").collect()
+      .head.getInt(1) == 0)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $c.pm").head.getLong(0) == 40)
+    // a WHERE naming a non-partition column refuses loudly
+    val e = intercept[Exception] { spark.sql(s"OPTIMIZE $c.pm WHERE id = 1") }
+    assert(e.getMessage.contains("not a partition column"))
+  }
+
   test("refusals: time travel DML, partial merge SET, schema changes") {
     val c = freshCatalog()
     spark.sql(s"CREATE TABLE $c.r (id BIGINT, v BIGINT) USING `graft-delta`")
