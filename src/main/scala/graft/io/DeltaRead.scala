@@ -1001,8 +1001,12 @@ object DeltaRead {
   /** `DESCRIBE HISTORY` surface: (version, commit timestamp millis,
     * operation) for every SURVIVING JSON commit, newest first. A
     * checkpoint-truncated prefix simply doesn't appear — the history a
-    * reader can still resolve is the history reported. */
-  def history(table: String): Seq[(Long, Option[Long], String)] = {
+    * reader can still resolve is the history reported. ONE read per
+    * commit file: operation and timestamp come off the same parsed
+    * commitInfo, with [[commitTimestamp]]'s fallback order (ICT >
+    * recorded timestamp > file mtime). The DataFrame twin below builds
+    * from this, so the two DESCRIBE-HISTORY doors cannot drift. */
+  def history(table: String): Seq[(Long, Option[Long], Option[String])] = {
     val ld = logDir(table)
     if (!Files.isDirectory(ld)) return Nil
     val st = Files.list(ld)
@@ -1012,13 +1016,20 @@ object DeltaRead {
         .map(_.stripSuffix(".json").toLong).toSeq.sorted
       finally st.close()
     versions.reverse.map { v =>
-      val op = Files.readAllLines(ld.resolve(f"$v%020d.json")).asScala.iterator
+      val p = ld.resolve(f"$v%020d.json")
+      val infos = Files.readAllLines(p).asScala.iterator
         .map(l => try mapper.readTree(l) catch { case _: Exception => null })
         .filter(n => n != null && n.has("commitInfo"))
-        .flatMap(n => Option(n.get("commitInfo").get("operation"))
-          .filterNot(_.isNull).map(_.asText()))
-        .nextOption().getOrElse("UNKNOWN")
-      (v, commitTimestamp(table, v), op)
+        .map(_.get("commitInfo")).toSeq
+      val op = infos.iterator.flatMap(ci =>
+        Option(ci.get("operation")).filterNot(_.isNull).map(_.asText()))
+        .nextOption()
+      val ts = infos.iterator.flatMap(ci =>
+        Option(ci.get("inCommitTimestamp")).filterNot(_.isNull).map(_.asLong())
+          .orElse(Option(ci.get("timestamp")).filterNot(_.isNull).map(_.asLong())))
+        .nextOption()
+        .orElse(Some(Files.getLastModifiedTime(p).toMillis))
+      (v, ts, op)
     }
   }
 
@@ -1051,18 +1062,8 @@ object DeltaRead {
     * log the driver already lists). */
   def history(spark: SparkSession, table: String): DataFrame = {
     import org.apache.spark.sql.types.{LongType, StringType, StructField}
-    val rows = (0L to latestVersion(table)).flatMap { v =>
-      val p = logDir(table).resolve(f"$v%020d.json")
-      if (!Files.exists(p)) None
-      else {
-        val op = Files.readAllLines(p).asScala.iterator
-          .map(l => try mapper.readTree(l) catch { case _: Exception => null })
-          .filter(n => n != null && n.has("commitInfo"))
-          .flatMap(n => Option(n.get("commitInfo").get("operation")).map(_.asText()))
-          .nextOption()
-        Some(org.apache.spark.sql.Row(v, commitTimestamp(table, v).getOrElse(0L),
-          op.orNull))
-      }
+    val rows = history(table).reverse.map { case (v, ts, op) =>
+      org.apache.spark.sql.Row(v, ts.getOrElse(0L), op.orNull)
     }
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
       StructType(Seq(StructField("version", LongType),

@@ -539,8 +539,8 @@ object DeltaWrite {
     * `domainMetadata`. Data already written stays where it is (Delta's
     * own contract: clustering is a layout property enforced on future
     * writes and OPTIMIZE, not a rewrite trigger). */
-  def clusterBy(spark: SparkSession, table: String, cols: Seq[String]): Long = {
-    require(cols.nonEmpty, "clusterBy: cols must be non-empty")
+  def clusterBy(spark: SparkSession, table: String, cols0: Seq[String]): Long = {
+    require(cols0.nonEmpty, "clusterBy: cols must be non-empty")
     var attempt = 0
     while (attempt < 10) {
       val v = DeltaRead.latestVersion(table)
@@ -548,8 +548,10 @@ object DeltaWrite {
       validateWriterSupport(table, s, removesData = false)
       val schema = s.schema.getOrElse(throw new IllegalStateException(
         s"clusterBy: $table has no metaData schema"))
-      cols.foreach(c => require(schema.fieldNames.contains(c),
-        s"clusterBy: no column '$c' in ${schema.fieldNames.mkString(",")}"))
+      // SQL identifiers are case-insensitive: record canonical names
+      val cols = cols0.map(c => schema.fieldNames.find(_.equalsIgnoreCase(c))
+        .getOrElse(throw new IllegalArgumentException(
+          s"clusterBy: no column '$c' in ${schema.fieldNames.mkString(",")}")))
       cols.foreach(c => require(!s.partitionColumns.contains(c),
         s"clusterBy: '$c' is a partition column"))
       val now = System.currentTimeMillis()
@@ -2645,12 +2647,19 @@ object DeltaWrite {
       "mergeAdvanced: no WHEN clauses")
     require(source.columns.forall(!_.startsWith(MergeSrcPrefix)),
       s"mergeAdvanced: source columns may not start with $MergeSrcPrefix")
-    if (matched.nonEmpty) {
+    // any clause set that joins target rows to the source (matched
+    // clauses, OR the BY SOURCE rewrite whose touched files still
+    // left_outer-join the source to split matched from unmatched)
+    // multiplies a target row per duplicate source key — a BY-SOURCE-
+    // only merge over a dup-keyed source would silently EMIT the kept
+    // matched rows once per duplicate. Only a pure-insert merge (no
+    // pass-2 join at all) tolerates duplicate source keys, as SQL does.
+    if (matched.nonEmpty || notMatchedBySource.nonEmpty) {
       val dupKeys = source.groupBy(keys.map(col): _*).agg(fcount(lit(1)).as("n"))
         .where(col("n") > 1).limit(1).count()
       require(dupKeys == 0L,
         s"mergeAdvanced: source has duplicate keys on ${keys.mkString(",")} — " +
-          "two source rows matching one target row have no deterministic update")
+          "two source rows matching one target row have no deterministic fate")
     }
     val FateCol = "__graft_fate"
     val PresentCol = MergeSrcPrefix + "__present"
@@ -2760,8 +2769,16 @@ object DeltaWrite {
                 .getOrElse(lit(null).cast(f.dataType))
               when(col(FateCol) === i, value).otherwise(acc)
             }
+          // PERSISTED for the attempt: this frame is acted on up to
+          // three times (the nothing-to-do probe, the staged batch, the
+          // CDC union) and its lineage re-runs the source scan + global
+          // key anti-join each time — on an expensive source that is 3×
+          // the insert-side cost, per CAS attempt. Unpersisted in the
+          // attempt's finally.
           firing.select(committed.fields.toSeq.map(f => insVal(f).as(f.name)): _*)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         }
+      try {
       val haveInserts = inserts0Opt.exists(!_.isEmpty)
       if (touched.isEmpty && !haveInserts) return v // nothing to do
       val insertsOpt = inserts0Opt.map { i0 =>
@@ -2851,6 +2868,7 @@ object DeltaWrite {
       dropStaged(table, staged)
       dropStaged(table, cdcStaged)
       attempt += 1 // lost the CAS race: replan against the winner
+      } finally inserts0Opt.foreach(_.unpersist(blocking = false))
     }
     throw new IllegalStateException(
       s"mergeAdvanced: lost $maxRetries commit races on $table")
@@ -3448,9 +3466,15 @@ object DeltaWrite {
       val v = DeltaRead.latestVersion(table)
       val s = DeltaRead.snapshotAt(spark, table, v)
       require(s.files.nonEmpty, s"nothing to compact under $table")
-      partitions.keys.foreach(k => require(s.partitionColumns.contains(k),
-        s"compact: '$k' is not a partition column of $table " +
-          s"(${s.partitionColumns.mkString(",")})"))
+      // SQL identifiers are case-insensitive: resolve each scope key to
+      // the partition column's canonical spelling before matching the
+      // log's partitionValues (whose keys are canonical)
+      val partScope: Map[String, String] = partitions.map { case (k, v) =>
+        s.partitionColumns.find(_.equalsIgnoreCase(k)).getOrElse(
+          throw new IllegalArgumentException(
+            s"compact: '$k' is not a partition column of $table " +
+              s"(${s.partitionColumns.mkString(",")})")) -> v
+      }
       // dataChange=false reorganization still COMMITS — a table whose
       // writer features we don't implement must not be touched
       validateWriterSupport(table, s, removesData = false)
@@ -3536,7 +3560,7 @@ object DeltaWrite {
       // never engage)
       val groups = s.files.groupBy(_.partitionValues).toSeq
         .filter { case (pv, _) =>
-          partitions.forall { case (k, want) => pv.get(k).contains(want) } }
+          partScope.forall { case (k, want) => pv.get(k).contains(want) } }
         .flatMap { case (pv, fs0) =>
         if (clusterCols.nonEmpty) {
           if (fs0.size < 2 && !fs0.exists(_.dv.isDefined)) Nil

@@ -26,7 +26,11 @@ import graft.io.v2.GraftTable
   * ([[GraftMaintenanceParser]], registered by [[GraftExtensions]]) that
   * intercepts exactly these shapes and delegates EVERYTHING else to
   * Spark's parser untouched — the same extension door Delta Lake and
-  * Iceberg use for their maintenance SQL. The table may be a catalog
+  * Iceberg use for their maintenance SQL. One deliberate ambiguity
+  * comes with that door (Delta makes the same trade): `DESCRIBE
+  * HISTORY x` is CLAIMED, so a table literally named `history` cannot
+  * have its column `x` described via the bare `DESC history x` — use
+  * `DESCRIBE TABLE history x`, which passes through untouched. The table may be a catalog
   * identifier (resolved through the session's catalogs to a
   * [[GraftTable]]) or a quoted path (`OPTIMIZE '/data/t'`) for
   * path-addressed tables. Execution delegates to the SAME transactional
@@ -66,8 +70,7 @@ object GraftMaintenanceParser {
       """(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$""").r
   private val VacuumRe =
     ("""(?is)^\s*VACUUM\s+""" + Tbl +
-      """(?:\s+RETAIN\s+(\d+)\s+HOURS?)?(?:\s+DRY\s+RUN)?\s*;?\s*$""").r
-  private val DryRunRe = """(?is).*\sDRY\s+RUN\s*;?\s*$""".r
+      """(?:\s+RETAIN\s+(\d+)\s+HOURS?)?(\s+DRY\s+RUN)?\s*;?\s*$""").r
   /** One `col = literal` conjunct of an OPTIMIZE WHERE clause. */
   private val ConjunctRe = """(?s)^\s*`?([\w$]+)`?\s*=\s*(?:'([^']*)'|(\S+))\s*$""".r
   private val RestoreRe =
@@ -96,22 +99,34 @@ object GraftMaintenanceParser {
           // `col = literal` over partition columns — anything else
           // refuses loudly (a silently ignored predicate would read as
           // "optimized everything")
-          val parts = Option(where).toSeq
+          val conjuncts = Option(where).toSeq
             .flatMap(_.split("""(?i)\s+AND\s+""").toSeq).map {
               case ConjunctRe(col, quoted, bare) =>
-                col -> Option(quoted).getOrElse(bare)
+                col.toLowerCase(java.util.Locale.ROOT) ->
+                  Option(quoted).getOrElse(bare)
               case other => throw new UnsupportedOperationException(
                 s"OPTIMIZE WHERE supports `partitionCol = literal` " +
                   s"conjunctions only, got: $other")
-            }.toMap
+            }
+          // a column named twice would silently collapse through toMap:
+          // `WHERE p='1' AND p='2'` (selects nothing) must not compact
+          // p=2 — refuse the ambiguity instead
+          conjuncts.groupBy(_._1).foreach { case (c, vs) =>
+            if (vs.map(_._2).distinct.size > 1)
+              throw new UnsupportedOperationException(
+                s"OPTIMIZE WHERE names '$c' twice with different values " +
+                  s"(${vs.map(_._2).mkString(", ")}) — the predicate " +
+                  "selects no partition")
+          }
+          val parts = conjuncts.toMap
           Some(GraftOptimizeCommand(tableSpec(tok, delegate), zcols, parts))
         case _ => None
       }
       case "VACUUM" => sqlText match {
-        case VacuumRe(tok, hours) =>
+        case VacuumRe(tok, hours, dry) =>
           Some(GraftVacuumCommand(tableSpec(tok, delegate),
             Option(hours).map(_.toLong * 3600L * 1000L),
-            dryRun = DryRunRe.matches(sqlText)))
+            dryRun = dry != null))
         case _ => None
       }
       case "RESTORE" => sqlText match {
@@ -216,11 +231,11 @@ case class GraftHistoryCommand(table: Either[String, Seq[String]],
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType, nullable = false)(),
     AttributeReference("ts_millis", LongType, nullable = true)(),
-    AttributeReference("operation", StringType, nullable = false)())
+    AttributeReference("operation", StringType, nullable = true)())
   override def run(spark: SparkSession): Seq[Row] = {
     val path = GraftMaintenanceParser.resolvePath(spark, table)
     val rows = DeltaRead.history(path)
-      .map { case (v, ts, op) => Row(v, ts.map(Long.box).orNull, op) }
+      .map { case (v, ts, op) => Row(v, ts.map(Long.box).orNull, op.orNull) }
     limit.fold(rows)(rows.take)
   }
   override def simpleString(maxFields: Int): String =

@@ -235,13 +235,26 @@ class DeltaTableSource(spark: SparkSession, table: String,
 }
 
 private[streaming] object DeltaTableSource {
-  /** A schema's user-visible shape: (name, type) per field — what
-    * schema-drift refusal compares. Field metadata (identity marks,
-    * column-mapping ids) and NULLABILITY are excluded: a commit's
-    * declared schema routinely records tighter nullability than the
-    * parquet-scan schema the stream serves (every scan column is
-    * nullable), and an append-only union is indifferent to it — only a
-    * name/type change makes the checkpointed offsets unservable. */
+  /** A schema's user-visible shape: (name, nullability-normalized type)
+    * per field — what schema-drift refusal compares. Field metadata
+    * (identity marks, column-mapping ids) and NULLABILITY — at EVERY
+    * nesting level — are excluded: a commit's declared schema routinely
+    * records tighter nullability than the parquet-scan schema the
+    * stream serves (the read side relaxes nullability recursively, so
+    * a struct column's inner fields differ too — a same-schema
+    * metaData commit like enabling CDF must pass), and an append-only
+    * union is indifferent to it. Only a name/type change makes the
+    * checkpointed offsets unservable. */
   def shapeOf(s: StructType): Seq[(String, org.apache.spark.sql.types.DataType)] =
-    s.fields.toSeq.map(f => (f.name, f.dataType))
+    s.fields.toSeq.map(f => (f.name, normalize(f.dataType)))
+
+  import org.apache.spark.sql.types._
+  private def normalize(dt: DataType): DataType = dt match {
+    case st: StructType => StructType(st.fields.map(f =>
+      StructField(f.name, normalize(f.dataType), nullable = true)))
+    case ArrayType(et, _) => ArrayType(normalize(et), containsNull = true)
+    case MapType(k, v, _) =>
+      MapType(normalize(k), normalize(v), valueContainsNull = true)
+    case other => other
+  }
 }

@@ -171,6 +171,26 @@ class DeltaTableStreamSpec extends SparkTestBase {
     } finally cleanup(src, ckpt, out)
   }
 
+  test("same-schema metaData commits pass the drift guard — nested types included") {
+    val src = newDir("gdstream_props")
+    try {
+      // a STRUCT column: the committed schemaString records tight inner
+      // nullability while the scan schema relaxes it at every level —
+      // the guard must normalize nested nullability or a same-schema
+      // properties commit reads as phantom drift
+      DeltaWrite.append(Seq((1L, ("a", 1))).toDF("id", "s"), src)
+      val q = spark.readStream.format("graft-delta")
+        .option("startingVersion", "0").load(src)
+        .writeStream.format("memory").queryName("gd_props").start()
+      q.processAllAvailable()
+      DeltaWrite.setProperties(spark, src, Map("graft.test" -> "1")) // metaData, same schema
+      DeltaWrite.append(Seq((2L, ("b", 2))).toDF("id", "s"), src)
+      q.processAllAvailable(); q.stop()
+      assert(spark.table("gd_props").count() == 2,
+        "a properties commit re-declaring the same columns must stream through")
+    } finally cleanup(src)
+  }
+
   test("data-removing commits refuse loudly; skipChangeCommits opts into skipping") {
     val src = newDir("gdstream_chg")
     try {

@@ -117,6 +117,13 @@ class MergeAdvancedSpec extends SparkTestBase {
         matched = Seq(MergeUpdateWhen(None, Seq("v" -> mergeSrc("d")))))
     }
     assert(e.getMessage.contains("duplicate keys"))
+    // BY-SOURCE-only merges join touched files to the source too: a
+    // duplicate key would EMIT each kept matched row once per duplicate
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaWrite.mergeAdvanced(spark, t, dup, Seq("id"),
+        notMatchedBySource = Seq(MergeUpdateWhen(None, Seq("v" -> lit(0L)))))
+    }
+    assert(e2.getMessage.contains("duplicate keys"))
     // a merge that matches nothing and inserts nothing is a no-op commit-wise
     val v0 = DeltaRead.latestVersion(t)
     val vAfter = DeltaWrite.mergeAdvanced(spark, t,
