@@ -1928,14 +1928,21 @@ object DatalakeQueries {
       val filesAfter = graft.io.DeltaRead.snapshot(s, wh).files.size
       s.sql(s"RESTORE TABLE $cat.mx TO VERSION AS OF 2")
       s.sql(s"VACUUM $cat.mx RETAIN 0 HOURS")
+      // DESCRIBE HISTORY pins the audit surface: CREATE(0) + 3 INSERTs
+      // + CLUSTER BY + OPTIMIZE + RESTORE = 7 commits, newest first
+      // (VACUUM reclaims without committing)
+      val hist = s.sql(s"DESCRIBE HISTORY $cat.mx").collect()
       import org.apache.spark.sql.functions.lit
       s.sql(s"""SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents
         FROM $cat.mx""")
         .withColumn("compacted", lit(filesAfter < filesBefore))
+        .withColumn("n_commits", lit(hist.length.toLong))
+        .withColumn("newest_op", lit(hist.head.getString(2)))
     },
     Some("""SELECT CAST(count(*) AS BIGINT) AS n,
            |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
-           |  true AS compacted
+           |  true AS compacted, CAST(7 AS BIGINT) AS n_commits,
+           |  'RESTORE' AS newest_op
            |FROM orders WHERE o_orderkey % 3 IN (0, 1)""".stripMargin))
 
   val all: Seq[GQuery] = Seq(

@@ -110,6 +110,15 @@ class SqlDmlSpec extends SparkTestBase {
     // after the swap, a>=30 holds only for swapped rows 3 (a=30) and 4 (a=40)
     spark.sql(s"UPDATE $c.u SET s = concat(s, '!') WHERE a >= 30")
     assert(spark.sql(s"SELECT count(*) FROM $c.u WHERE s LIKE '%!'").head.getLong(0) == 2)
+    // an ALL-identity statement (`SET a = a`) is still a REAL update —
+    // Delta rewrites and emits CDC for it; it must not trip the
+    // writer's 'no assignments' require at runtime
+    val wh = spark.conf.get(s"spark.sql.catalog.$c.warehouse") + "/u"
+    val vBefore = graft.io.DeltaRead.latestVersion(wh)
+    spark.sql(s"UPDATE $c.u SET a = a WHERE s = '9'")
+    assert(graft.io.DeltaRead.latestVersion(wh) == vBefore + 1,
+      "SET a = a must commit a rewrite, not throw or no-op")
+    assert(spark.sql(s"SELECT a FROM $c.u WHERE s = '9'").head.getLong(0) == 9)
   }
 
   test("SQL MERGE: upsert, conditional clauses, delete clause") {
