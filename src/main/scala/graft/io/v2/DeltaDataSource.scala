@@ -165,6 +165,32 @@ class DeltaDataSource extends RelationProvider
     val path = parameters.getOrElse("path",
       throw new IllegalArgumentException("graft-delta: 'path' option is required"))
     val spark = sqlContext.sparkSession
+    // readChangeFeed=true — the BATCH change-data-feed door (Delta's
+    // own option shape), so pure SQL can consume exact change rows:
+    //   CREATE TEMP VIEW ch USING `graft-delta` OPTIONS (
+    //     path '...', readChangeFeed 'true',
+    //     startingVersion '2' [, endingVersion '5'])
+    // startingVersion is INCLUSIVE (Delta's batch convention; the
+    // STREAMING cdf source's exclusive sinceVersion stays as
+    // documented there) and required — an unbounded "all history"
+    // default silently explodes on a long-lived table. Ends at the
+    // current head unless endingVersion pins it.
+    if (parameters.get("readChangeFeed").exists(_.equalsIgnoreCase("true"))) {
+      require(!parameters.contains("versionAsOf") &&
+        !parameters.contains("timestampAsOf"),
+        "graft-delta: readChangeFeed and versionAsOf/timestampAsOf are " +
+          "mutually exclusive — the feed is already version-bounded")
+      val start = parameters.get("startingVersion").map(_.toLong).getOrElse(
+        throw new IllegalArgumentException(
+          "graft-delta readChangeFeed: 'startingVersion' is required " +
+            "(inclusive; use 0 for the full surviving history)"))
+      val end = parameters.get("endingVersion").map(_.toLong)
+        .getOrElse(DeltaRead.latestVersion(path))
+      require(start >= 0 && start <= end,
+        s"graft-delta readChangeFeed: startingVersion $start must be in " +
+          s"[0, endingVersion $end]")
+      return new CdfBatchRelation(sqlContext, path, start, end)
+    }
     val pinned = parameters.get("versionAsOf").map(_.toLong)
       .orElse(parameters.get("timestampAsOf").map { ts =>
         DeltaRead.versionAtTime(spark, path, parseTimestampOption(ts))
@@ -198,6 +224,21 @@ class DeltaDataSource extends RelationProvider
           }
       }
     }
+}
+
+/** The batch change-feed relation: versions `[startV, endV]`'s exact
+  * change rows ([[DeltaRead.changesBetween]] — cdc files when the
+  * commit recorded them, add/remove/DV reconstruction otherwise), as a
+  * plain v1 TableScan. The frame is version-bounded at CONSTRUCTION,
+  * so repeated scans of one view are stable even while the table moves
+  * (the SQL-view analogue of the streaming source's offset pinning). */
+private[graft] class CdfBatchRelation(ctx: SQLContext, table: String,
+    startV: Long, endV: Long) extends BaseRelation with TableScan {
+  override def sqlContext: SQLContext = ctx
+  private def frame: org.apache.spark.sql.DataFrame =
+    DeltaRead.changesBetween(ctx.sparkSession, table, startV - 1, endV)
+  override val schema: StructType = frame.schema
+  override def buildScan(): RDD[Row] = frame.rdd
 }
 
 private[graft] class DeltaRelation(ctx: SQLContext, val table: String,

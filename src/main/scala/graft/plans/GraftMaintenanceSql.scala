@@ -79,6 +79,8 @@ object GraftMaintenanceParser {
   private val HistoryRe =
     ("""(?is)^\s*(?:DESCRIBE|DESC)\s+HISTORY\s+""" + Tbl +
       """(?:\s+LIMIT\s+(\d+))?\s*;?\s*$""").r
+  private val DetailRe =
+    ("""(?is)^\s*(?:DESCRIBE|DESC)\s+DETAIL\s+""" + Tbl + """\s*;?\s*$""").r
 
   private def firstWord(sql: String): String =
     sql.trim.takeWhile(!_.isWhitespace).toUpperCase(java.util.Locale.ROOT)
@@ -134,11 +136,13 @@ object GraftMaintenanceParser {
           Some(GraftRestoreCommand(tableSpec(tok, delegate), v.toLong))
         case _ => None
       }
-      // only DESCRIBE HISTORY is ours — plain DESCRIBE stays Spark's
+      // only DESCRIBE HISTORY/DETAIL are ours — plain DESCRIBE stays Spark's
       case "DESCRIBE" | "DESC" => sqlText match {
         case HistoryRe(tok, limit) =>
           Some(GraftHistoryCommand(tableSpec(tok, delegate),
             Option(limit).map(_.toInt)))
+        case DetailRe(tok) =>
+          Some(GraftDetailCommand(tableSpec(tok, delegate)))
         case _ => None
       }
       case _ => None
@@ -240,6 +244,45 @@ case class GraftHistoryCommand(table: Either[String, Seq[String]],
   }
   override def simpleString(maxFields: Int): String =
     s"GraftHistoryCommand $table${limit.map(n => s" LIMIT $n").getOrElse("")}"
+}
+
+/** `DESCRIBE DETAIL t` — the table-level summary an operator reads
+  * before deciding maintenance (Delta's surface of the same name):
+  * head version, live file count and bytes, partitioning, clustering,
+  * protocol versions + features, and the table properties. One
+  * snapshot resolution; file sizes come off the filesystem. */
+case class GraftDetailCommand(table: Either[String, Seq[String]])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("format", StringType, nullable = false)(),
+    AttributeReference("location", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("num_files", LongType, nullable = false)(),
+    AttributeReference("size_bytes", LongType, nullable = false)(),
+    AttributeReference("partition_columns", StringType, nullable = false)(),
+    AttributeReference("clustering_columns", StringType, nullable = false)(),
+    AttributeReference("min_reader_version", IntegerType, nullable = false)(),
+    AttributeReference("min_writer_version", IntegerType, nullable = false)(),
+    AttributeReference("table_features", StringType, nullable = false)(),
+    AttributeReference("properties", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftMaintenanceParser.resolvePath(spark, table)
+    val s = DeltaRead.snapshot(spark, path)
+    val bytes = s.files.map { f =>
+      try java.nio.file.Files.size(java.nio.file.Paths.get(path, f.path))
+      catch { case _: java.io.IOException => 0L }
+    }.sum
+    val features = (s.readerFeatures ++ s.writerFeatures).toSeq.sorted
+    val props = s.configuration.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"$k=$v" }
+    Seq(Row("graft-delta", path, s.version, s.files.size.toLong, bytes,
+      s.partitionColumns.mkString(","),
+      DeltaWrite.clusteringColumns(s).mkString(","),
+      s.minReaderVersion, s.minWriterVersion,
+      features.mkString(","), props.mkString(";")))
+  }
+  override def simpleString(maxFields: Int): String =
+    s"GraftDetailCommand $table"
 }
 
 /** `RESTORE TABLE t TO VERSION AS OF v` → [[DeltaWrite.restore]]: a

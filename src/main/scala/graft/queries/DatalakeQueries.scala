@@ -1945,6 +1945,45 @@ object DatalakeQueries {
            |  'RESTORE' AS newest_op
            |FROM orders WHERE o_orderkey % 3 IN (0, 1)""".stripMargin))
 
+  /** q228 — BATCH change-data-feed through pure SQL
+    * ([[graft.io.v2.CdfBatchRelation]] behind `readChangeFeed 'true'`,
+    * Delta's own option shape): a CDF-enabled documents table takes an
+    * append and a DV delete; a temp view over versions [2, head]
+    * aggregates the exact change rows per `_change_type` — the
+    * incremental-consumer door that needs no Scala and no stream. The
+    * oracle recomputes both populations from `documents` (inserts =
+    * the odd-id append; deletes = the id%10==3 rows, all of which are
+    * odd and therefore present). */
+  val q228CdfBatchSql = GQuery(
+    "q228_cdf_batch_sql",
+    (s, d) => {
+      import s.implicits._
+      val t = graft.io.Staging.tempDir("graft_q228_")
+      val docs = Tables.documents(s, d).select($"doc_id", $"lang", $"n_chars")
+      graft.io.DeltaWrite.append(
+        docs.filter(pmod($"doc_id", lit(2)) === 0).repartition(2), t)  // v0
+      graft.io.DeltaWrite.setProperties(s, t,
+        Map("delta.enableChangeDataFeed" -> "true"))                   // v1
+      graft.io.DeltaWrite.append(
+        docs.filter(pmod($"doc_id", lit(2)) === 1).repartition(2), t)  // v2
+      graft.io.DeltaWrite.deleteWhere(s, t,
+        pmod($"doc_id", lit(10)) === 3)                                // v3
+      s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW q228_ch
+        USING `graft-delta` OPTIONS (path '$t', readChangeFeed 'true',
+        startingVersion '2')""")
+      s.sql("""SELECT _change_type AS ct, count(*) AS n,
+              |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+              |FROM q228_ch GROUP BY 1 ORDER BY 1""".stripMargin)
+    },
+    Some("""SELECT 'delete' AS ct, count(*) AS n,
+           |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+           |FROM documents WHERE doc_id % 10 = 3
+           |UNION ALL
+           |SELECT 'insert' AS ct, count(*) AS n,
+           |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+           |FROM documents WHERE doc_id % 2 = 1
+           |ORDER BY ct""".stripMargin))
+
   val all: Seq[GQuery] = Seq(
     q130SnapshotDiff, q131IncrementalAgg, q132SchemaEvolution,
     q133KAnonymity, q134GdprErasure, q147CompactionPlan,
@@ -1958,5 +1997,5 @@ object DatalakeQueries {
     q217ShreddedVariant, q218Collations, q219SqlDatasource,
     q220SqlDml, q221CatalogSql, q222HllView, q223TableReadStream,
     q224ReplaceWhere, q225MergeGeneral, q226SchemaEvolution,
-    q227SqlMaintenance)
+    q227SqlMaintenance, q228CdfBatchSql)
 }

@@ -157,6 +157,46 @@ class DeltaDataSourceSpec extends SparkTestBase {
     } finally cleanup(t)
   }
 
+  test("readChangeFeed=true: batch CDF through pure SQL views") {
+    val t = Files.createTempDirectory("gd_cdfbatch").toString
+    try {
+      DeltaWrite.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), t)         // v0
+      DeltaWrite.setProperties(spark, t,
+        Map("delta.enableChangeDataFeed" -> "true"))                          // v1
+      DeltaWrite.append(Seq((3L, "c"), (4L, "d")).toDF("id", "s"), t)         // v2
+      DeltaWrite.deleteWhere(spark, t, $"id" === 1L)                          // v3
+      DeltaWrite.updateWhere(spark, t, $"id" === 4L, Seq("s" -> lit("D")))    // v4
+      // startingVersion is INCLUSIVE (Delta's batch convention)
+      spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW gd_ch
+        USING `graft-delta` OPTIONS (path '$t', readChangeFeed 'true',
+        startingVersion '2')""")
+      val got = spark.sql(
+        "SELECT id, s, _change_type AS ct, _commit_version AS v FROM gd_ch")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3))).toSet
+      // the feed folds update pre/post onto delete/insert (readCdc's
+      // documented two-type decomposition)
+      assert(got == Set(
+        (3L, "c", "insert", 2L), (4L, "d", "insert", 2L),
+        (1L, "a", "delete", 3L),
+        (4L, "d", "delete", 4L), (4L, "D", "insert", 4L)))
+      // endingVersion pins the upper bound; the view stays stable while
+      // the table moves (construction-bounded, like a pinned read)
+      spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW gd_ch2
+        USING `graft-delta` OPTIONS (path '$t', readChangeFeed 'true',
+        startingVersion '2', endingVersion '3')""")
+      DeltaWrite.append(Seq((9L, "z")).toDF("id", "s"), t)                    // v5
+      assert(spark.table("gd_ch2").count() == 3)
+      // time travel and the feed are mutually exclusive
+      val e = intercept[Exception] {
+        spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW gd_bad
+          USING `graft-delta` OPTIONS (path '$t', readChangeFeed 'true',
+          startingVersion '0', versionAsOf '1')""")
+      }
+      assert(e.getMessage.contains("mutually exclusive"))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(t))
+  }
+
   test("streaming sink: Delta→Delta through readStream+writeStream is exactly-once") {
     val src = newTable(); val dst = newTable()
     val ckpt = Files.createTempDirectory("gdsink_ckpt").toString

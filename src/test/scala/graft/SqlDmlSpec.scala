@@ -402,6 +402,13 @@ class SqlDmlSpec extends SparkTestBase {
     assert(hist.map(_._2).contains("RESTORE") && hist.map(_._2).contains("OPTIMIZE"))
     val hist2 = spark.sql(s"DESCRIBE HISTORY $c.mt LIMIT 2").collect()
     assert(hist2.length == 2)
+    // DESCRIBE DETAIL: the one-row operator summary
+    val det = spark.sql(s"DESCRIBE DETAIL $c.mt").head
+    assert(det.getString(0) == "graft-delta")
+    assert(det.getLong(3) >= 1 && det.getLong(4) > 0,
+      "live file count and bytes must be positive")
+    assert(det.getString(6) == "v", "clustering columns after ALTER CLUSTER BY")
+    assert(det.getInt(8) >= 2, "min writer version")
     // non-maintenance statements pass through the injected parser
     assert(spark.sql("SELECT 1 AS one").head.getInt(0) == 1)
   }
