@@ -548,10 +548,15 @@ object DeltaWrite {
       validateWriterSupport(table, s, removesData = false)
       val schema = s.schema.getOrElse(throw new IllegalStateException(
         s"clusterBy: $table has no metaData schema"))
-      // SQL identifiers are case-insensitive: record canonical names
+      // SQL identifiers are case-insensitive: record canonical names —
+      // and refuse duplicates AFTER canonicalization (CLUSTER BY
+      // (id, ID) would otherwise record the same column twice in the
+      // domain, a malformed declaration other readers may reject)
       val cols = cols0.map(c => schema.fieldNames.find(_.equalsIgnoreCase(c))
         .getOrElse(throw new IllegalArgumentException(
           s"clusterBy: no column '$c' in ${schema.fieldNames.mkString(",")}")))
+      require(cols.distinct.size == cols.size,
+        s"clusterBy: duplicate clustering columns in ${cols0.mkString(",")}")
       cols.foreach(c => require(!s.partitionColumns.contains(c),
         s"clusterBy: '$c' is a partition column"))
       val now = System.currentTimeMillis()
@@ -2647,14 +2652,13 @@ object DeltaWrite {
       "mergeAdvanced: no WHEN clauses")
     require(source.columns.forall(!_.startsWith(MergeSrcPrefix)),
       s"mergeAdvanced: source columns may not start with $MergeSrcPrefix")
-    // any clause set that joins target rows to the source (matched
-    // clauses, OR the BY SOURCE rewrite whose touched files still
-    // left_outer-join the source to split matched from unmatched)
-    // multiplies a target row per duplicate source key — a BY-SOURCE-
-    // only merge over a dup-keyed source would silently EMIT the kept
-    // matched rows once per duplicate. Only a pure-insert merge (no
-    // pass-2 join at all) tolerates duplicate source keys, as SQL does.
-    if (matched.nonEmpty || notMatchedBySource.nonEmpty) {
+    // matched clauses read SOURCE COLUMNS per matched target row, so a
+    // duplicate source key has no deterministic fate — refuse. Without
+    // matched clauses only key PRESENCE matters: the pass-2 join runs
+    // against the DISTINCT key set instead (see joinSrc below), so
+    // BY-SOURCE-only and insert-only merges accept duplicate-keyed
+    // sources exactly as SQL does.
+    if (matched.nonEmpty) {
       val dupKeys = source.groupBy(keys.map(col): _*).agg(fcount(lit(1)).as("n"))
         .where(col("n") > 1).limit(1).count()
       require(dupKeys == 0L,
@@ -2803,7 +2807,12 @@ object DeltaWrite {
             case None => DeltaRead.readFilesWithLineage(spark, table, v,
               touched.map(_.path).toSet)
           }
-          val srcPfx = source.columns.foldLeft(source)((d, c) =>
+          // without matched clauses no expression reads source columns
+          // — join against the DISTINCT key set, so a duplicate-keyed
+          // source (legal in SQL for BY-SOURCE-only merges) cannot
+          // multiply the kept matched rows
+          val joinSrc = if (matched.nonEmpty) source else srcKeys
+          val srcPfx = joinSrc.columns.foldLeft(joinSrc)((d, c) =>
             d.withColumnRenamed(c, MergeSrcPrefix + c))
             .withColumn(PresentCol, lit(true))
           val joinCond = keys.map(k => col(k) === col(MergeSrcPrefix + k))
@@ -3468,13 +3477,19 @@ object DeltaWrite {
       require(s.files.nonEmpty, s"nothing to compact under $table")
       // SQL identifiers are case-insensitive: resolve each scope key to
       // the partition column's canonical spelling before matching the
-      // log's partitionValues (whose keys are canonical)
+      // log's partitionValues (whose keys are canonical). Two keys
+      // canonicalizing to ONE column (Map("P"->1, "p"->2)) must refuse
+      // — a silent last-wins collapse would compact a partition the
+      // caller's contradictory scope did not select.
       val partScope: Map[String, String] = partitions.map { case (k, v) =>
         s.partitionColumns.find(_.equalsIgnoreCase(k)).getOrElse(
           throw new IllegalArgumentException(
             s"compact: '$k' is not a partition column of $table " +
               s"(${s.partitionColumns.mkString(",")})")) -> v
       }
+      require(partScope.size == partitions.size,
+        s"compact: partition scope names one column twice under " +
+          s"different spellings (${partitions.keys.mkString(",")})")
       // dataChange=false reorganization still COMMITS — a table whose
       // writer features we don't implement must not be touched
       validateWriterSupport(table, s, removesData = false)

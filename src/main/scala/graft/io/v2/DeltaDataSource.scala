@@ -184,8 +184,11 @@ class DeltaDataSource extends RelationProvider
         throw new IllegalArgumentException(
           "graft-delta readChangeFeed: 'startingVersion' is required " +
             "(inclusive; use 0 for the full surviving history)"))
-      val end = parameters.get("endingVersion").map(_.toLong)
-        .getOrElse(DeltaRead.latestVersion(path))
+      val head = DeltaRead.latestVersion(path)
+      val end = parameters.get("endingVersion").map(_.toLong).getOrElse(head)
+      require(end <= head,
+        s"graft-delta readChangeFeed: endingVersion $end is ahead of the " +
+          s"table head $head")
       require(start >= 0 && start <= end,
         s"graft-delta readChangeFeed: startingVersion $start must be in " +
           s"[0, endingVersion $end]")
@@ -235,7 +238,11 @@ class DeltaDataSource extends RelationProvider
 private[graft] class CdfBatchRelation(ctx: SQLContext, table: String,
     startV: Long, endV: Long) extends BaseRelation with TableScan {
   override def sqlContext: SQLContext = ctx
-  private def frame: org.apache.spark.sql.DataFrame =
+  // ONE construction: the range is immutable, and changesBetween's
+  // history replay (snapshot + per-commit JSON parse) must not re-run
+  // per scan — a [2, 500] view queried N times would otherwise replay
+  // ~500 commit parses on the driver N+1 times
+  private val frame: org.apache.spark.sql.DataFrame =
     DeltaRead.changesBetween(ctx.sparkSession, table, startV - 1, endV)
   override val schema: StructType = frame.schema
   override def buildScan(): RDD[Row] = frame.rdd

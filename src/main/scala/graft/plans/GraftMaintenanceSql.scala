@@ -192,7 +192,12 @@ case class GraftOptimizeCommand(table: Either[String, Seq[String]],
     val path = GraftMaintenanceParser.resolvePath(spark, table)
     if (zorderBy.nonEmpty) {
       val cur = DeltaWrite.clusteringColumns(DeltaRead.snapshot(spark, path))
-      if (cur != zorderBy) DeltaWrite.clusterBy(spark, path, zorderBy)
+      // compare case-insensitively, like the writer resolves: a
+      // case-mismatched ZORDER clause must NOT re-commit an identical
+      // CLUSTER BY declaration on every nightly run
+      val same = cur.size == zorderBy.size &&
+        cur.zip(zorderBy).forall { case (a, b) => a.equalsIgnoreCase(b) }
+      if (!same) DeltaWrite.clusterBy(spark, path, zorderBy)
     }
     Seq(Row(path, DeltaWrite.compact(spark, path, partitions = partitions)))
   }
@@ -268,10 +273,11 @@ case class GraftDetailCommand(table: Either[String, Seq[String]])
   override def run(spark: SparkSession): Seq[Row] = {
     val path = GraftMaintenanceParser.resolvePath(spark, table)
     val s = DeltaRead.snapshot(spark, path)
-    val bytes = s.files.map { f =>
-      try java.nio.file.Files.size(java.nio.file.Paths.get(path, f.path))
-      catch { case _: java.io.IOException => 0L }
-    }.sum
+    // a LIVE file missing from disk is table damage, not a detail to
+    // paper over as 0 bytes — the summary exists to inform maintenance
+    // decisions, so it must error rather than under-report
+    val bytes = s.files.map(f =>
+      java.nio.file.Files.size(java.nio.file.Paths.get(path, f.path))).sum
     val features = (s.readerFeatures ++ s.writerFeatures).toSeq.sorted
     val props = s.configuration.toSeq.sortBy(_._1)
       .map { case (k, v) => s"$k=$v" }

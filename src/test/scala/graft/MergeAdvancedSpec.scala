@@ -117,13 +117,15 @@ class MergeAdvancedSpec extends SparkTestBase {
         matched = Seq(MergeUpdateWhen(None, Seq("v" -> mergeSrc("d")))))
     }
     assert(e.getMessage.contains("duplicate keys"))
-    // BY-SOURCE-only merges join touched files to the source too: a
-    // duplicate key would EMIT each kept matched row once per duplicate
-    val e2 = intercept[IllegalArgumentException] {
-      DeltaWrite.mergeAdvanced(spark, t, dup, Seq("id"),
-        notMatchedBySource = Seq(MergeUpdateWhen(None, Seq("v" -> lit(0L)))))
-    }
-    assert(e2.getMessage.contains("duplicate keys"))
+    // BY-SOURCE-only merges read only key PRESENCE, so a duplicate-keyed
+    // source is LEGAL (SQL semantics) — the pass-2 join runs against the
+    // distinct key set, and the kept matched row must appear exactly once
+    DeltaWrite.append(Seq((2L, 20L)).toDF("id", "v"), t)
+    DeltaWrite.mergeAdvanced(spark, t, dup, Seq("id"),
+      notMatchedBySource = Seq(MergeUpdateWhen(None, Seq("v" -> lit(0L)))))
+    val afterBs = DeltaRead.read(spark, t).as[(Long, Long)].collect().toSeq.sorted
+    assert(afterBs == Seq((1L, 10L), (2L, 0L)),
+      "matched row kept ONCE (no dup multiplication); unmatched row updated")
     // a merge that matches nothing and inserts nothing is a no-op commit-wise
     val v0 = DeltaRead.latestVersion(t)
     val vAfter = DeltaWrite.mergeAdvanced(spark, t,
