@@ -1674,11 +1674,15 @@ object DatalakeQueries {
     * BUILT once, FOLDED from the change feed across an append
     * (`hll_union` of the batch sketch, O(changed rows)), and dirtied
     * into a semi-join-pruned recompute by a DV delete (HLL cannot
-    * subtract). `matches_direct` pins the lossless-union property: the
-    * incrementally-maintained sketch's estimate EQUALS a from-scratch
-    * sketch of the head (register-max union); `within_tol` pins the
-    * estimate against the exact distinct count (q60's pattern —
-    * booleans travel to the oracle, engine-specific estimates don't). */
+    * subtract). `matches_direct` pins the lossless-union property at
+    * the REGISTER level: the incrementally-maintained sketch equals a
+    * from-scratch sketch of the head after canonicalizing both
+    * estimates through a self-union — RAW estimates are
+    * build-path-dependent (HIP for streamed sketches, composite for
+    * union-built ones) and diverge once dense mode starts, which sf0.1
+    * reaches; `within_tol` pins the estimate against the exact
+    * distinct count (q60's pattern — booleans travel to the oracle,
+    * engine-specific estimates don't). */
   val q222HllView = GQuery(
     "q222_hll_view",
     (s, d) => {
@@ -1697,12 +1701,25 @@ object DatalakeQueries {
       graft.io.DeltaWrite.deleteWhere(s, base, pmod($"doc_id", lit(11)) === 3) // v2
       graft.views.IncrementalView.refresh(s, base, view, spec) // dirty recompute
       val head = graft.io.DeltaRead.read(s, base)
+      // REGISTER-level comparison through a canonicalizing self-union:
+      // a directly-streamed sketch estimates via DataSketches' HIP
+      // accumulator while any union-built sketch uses the composite
+      // estimator — SAME registers, different numbers once the sketch
+      // leaves exact mode (this bit at sf0.1: per-lang cardinalities
+      // cross into dense mode and 4/5 langs "mismatched" on estimates
+      // whose registers were identical; even two direct builds differ
+      // with partitioning: 595 vs 590 for one 600-distinct set).
+      // hll_union(s, s) invalidates HIP on every path, so equal
+      // canonical estimates ⟺ equal registers — the property the
+      // incremental fold actually guarantees.
+      def canonEst(sketch: org.apache.spark.sql.Column) =
+        hll_sketch_estimate(hll_union(sketch, sketch))
       val direct = head.groupBy($"lang").agg(
         countDistinct($"doc_id").as("exact"),
-        hll_sketch_estimate(hll_sketch_agg($"doc_id")).as("direct_est"))
+        hll_sketch_agg($"doc_id").as("__dsk"))
+        .select($"lang", $"exact", canonEst($"__dsk").as("direct_est"))
       graft.io.DeltaRead.read(s, view)
-        .select($"lang", $"cnt",
-          hll_sketch_estimate($"hll_doc_id").as("est"))
+        .select($"lang", $"cnt", canonEst($"hll_doc_id").as("est"))
         .join(direct, Seq("lang"))
         .select($"lang", $"cnt",
           (abs($"est" - $"exact") <=

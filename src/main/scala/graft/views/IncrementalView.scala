@@ -64,7 +64,15 @@ object IncrementalView {
     * the sketch of the union), while DELETES cannot be subtracted from
     * an HLL and mark the key dirty for a semi-join-pruned recompute,
     * exactly like min/max. Read estimates off the view with
-    * `hll_sketch_estimate(hll_<c>)`. */
+    * `hll_sketch_estimate(hll_<c>)`. NOTE on comparing against a
+    * from-scratch sketch: the fold is lossless at the REGISTER level,
+    * but DataSketches' raw estimate is build-path-dependent — a
+    * directly-streamed sketch uses the HIP accumulator, any
+    * union-built sketch the composite estimator — so once a sketch
+    * leaves exact mode the two can report different numbers over
+    * identical registers. Canonicalize both sides through a self-union
+    * (`hll_sketch_estimate(hll_union(s, s))`) when asserting equality
+    * (see q222). */
   final case class ViewSpec(keys: Seq[String], sums: Seq[String] = Nil,
       minMaxes: Seq[String] = Nil, approxDistincts: Seq[String] = Nil) {
     require(keys.nonEmpty, "ViewSpec: keys must be non-empty")
