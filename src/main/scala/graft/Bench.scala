@@ -74,28 +74,42 @@ object Bench {
     }
   }
 
-  /** Per-query times and the sentinel-min record from the newest
-    * `BENCH_r*.json` in the working directory — the prior round's
-    * record, used to flag outliers and whole-run load. */
-  private def priorBench(): (Map[String, Double], Option[Double]) =
+  /** Per-query times and the sentinel-min record from prior
+    * `BENCH*_r*.json` files in the working directory.
+    *
+    * SF-AWARE: per-query priors come from the newest record whose `sf`
+    * matches THIS run's — an sf1 run compared against sf0.1 priors
+    * "regresses" every query by construction (the exact false flag
+    * BENCH_sf1_r12 recorded). With no same-sf prior, the per-query
+    * gate is skipped and the run leans on the sentinel. The
+    * sentinel-min prior, by contrast, comes from the newest record of
+    * ANY sf — the sentinel workload is machine-constant and
+    * sf-independent by design. */
+  private def priorBench(sfDir: String): (Map[String, Double], Option[Double]) =
     try {
+      import scala.jdk.CollectionConverters._
       val dir = new java.io.File(".")
       val files = Option(dir.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName)
-      files.lastOption.map { f =>
-        val node = new com.fasterxml.jackson.databind.ObjectMapper()
-          .readTree(f)
+        .filter(f => f.getName.matches("BENCH(_[A-Za-z0-9.]+)?_r\\d+\\.json"))
+        .sortBy(f => (f.getName.replaceAll(".*_r(\\d+)\\.json", "$1").toInt,
+          f.getName))
+      def parse(f: java.io.File) = {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
         // the round driver wraps the bench line under "parsed"; a raw
         // bench line carries "queries" at top level — accept both
-        val top = Option(node.get("queries")).map(_ => node)
+        Option(node.get("queries")).map(_ => node)
           .orElse(Option(node.get("parsed"))).getOrElse(node)
-        val qs = Option(top.get("queries")).map { qn =>
-          import scala.jdk.CollectionConverters._
-          qn.fieldNames().asScala.map(k => k -> qn.get(k).asDouble()).toMap
-        }.getOrElse(Map.empty[String, Double])
-        val sMin = Option(top.get("sentinel_min")).map(_.asDouble()).filter(_ > 0)
-        (qs, sMin)
-      }.getOrElse((Map.empty[String, Double], None))
+      }
+      def sfOf(top: com.fasterxml.jackson.databind.JsonNode): Option[String] =
+        Option(top.get("sf")).map(_.asText().stripSuffix("/"))
+      val parsed = files.toSeq.map(parse)
+      val sameSf = parsed.filter(t => sfOf(t).contains(sfDir.stripSuffix("/")))
+      val qs = sameSf.lastOption.flatMap(top => Option(top.get("queries")).map {
+        qn => qn.fieldNames().asScala.map(k => k -> qn.get(k).asDouble()).toMap
+      }).getOrElse(Map.empty[String, Double])
+      val sMin = parsed.lastOption.flatMap(top =>
+        Option(top.get("sentinel_min")).map(_.asDouble()).filter(_ > 0))
+      (qs, sMin)
     } catch { case _: Exception => (Map.empty, None) }
 
   def main(args: Array[String]): Unit = {
@@ -103,7 +117,7 @@ object Bench {
     val spark = Sessions.local()
     spark.read.parquet(s"$sfDir/region.parquet").count() // warm-up
     val headline = Registry.allQueries.filter(_.benchmark)
-    val (prior, priorSentinelMin) = priorBench()
+    val (prior, priorSentinelMin) = priorBench(sfDir)
     // Discarded warm-up rep + median-of-3 measured reps: the warm-up
     // absorbs codegen compilation, shuffle-file creation and page-cache
     // faults; the median resists the one-off GC pause that min-of-2

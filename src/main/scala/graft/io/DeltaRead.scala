@@ -56,7 +56,20 @@ object DeltaRead {
 
   final case class FileEntry(path: String, partitionValues: Map[String, String],
       dv: Option[DeltaDv.Descriptor] = None, stats: Option[String] = None,
-      baseRowId: Option[Long] = None, defaultRowCommitVersion: Option[Long] = None)
+      baseRowId: Option[Long] = None, defaultRowCommitVersion: Option[Long] = None,
+      size: Option[Long] = None) {
+    /** `add.size` from the log (protocol-required on every add), with a
+      * filesystem-stat fallback only for a legacy action that lacked it.
+      * Size-aware paths (compaction planning, DESCRIBE DETAIL, streaming
+      * byte pacing) MUST use this instead of statting per file — on
+      * object storage a per-file HEAD over millions of files is the
+      * difference between a metadata-only plan and an O(files) driver
+      * stall, for a number the log already records. */
+    def sizeOrStat(table: String): Long = size.getOrElse {
+      try java.nio.file.Files.size(java.nio.file.Paths.get(table, path))
+      catch { case _: java.io.IOException => 0L }
+    }
+  }
   final case class DeltaSnapshot(version: Long, files: Seq[FileEntry],
       schema: Option[StructType], partitionColumns: Seq[String],
       metaId: Option[String] = None, txns: Map[String, Long] = Map.empty,
@@ -491,24 +504,31 @@ object DeltaRead {
     * skip, never silently misread as inserts). Maintenance commits
     * (OPTIMIZE / compaction, `dataChange=false` on both sides)
     * contribute nothing on either channel. */
-  def commitAdds(table: String, version: Long): (Seq[String], Boolean) = {
+  def commitAdds(table: String, version: Long): (Seq[(String, Long)], Boolean) = {
     val p = logDir(table).resolve(f"$version%020d.json")
     require(Files.exists(p),
       s"commitAdds: $table commit $version is gone (expired/vacuumed) — " +
         "a consumer this far behind must re-bootstrap from a snapshot")
-    val adds = Seq.newBuilder[String]
+    val adds = Seq.newBuilder[(String, Long)]
     var removesData = false
     Files.readAllLines(p).asScala.filter(_.trim.nonEmpty).foreach { line =>
       val node = mapper.readTree(line)
       val addN = node.get("add"); val remN = node.get("remove")
       if (addN != null &&
-          Option(addN.get("dataChange")).forall(_.asBoolean(true)))
-        adds += decodePath(addN.get("path").asText())
+          Option(addN.get("dataChange")).forall(_.asBoolean(true))) {
+        val rel = decodePath(addN.get("path").asText())
+        // size rides the add action (protocol-required); the stat
+        // fallback covers only a legacy action lacking it
+        val size = Option(addN.get("size")).filterNot(_.isNull).map(_.asLong())
+          .getOrElse(try Files.size(Paths.get(table, rel))
+            catch { case _: java.io.IOException => 0L })
+        adds += ((rel, size))
+      }
       if (remN != null &&
           Option(remN.get("dataChange")).forall(_.asBoolean(true)))
         removesData = true
     }
-    (adds.result().sorted, removesData)
+    (adds.result().sortBy(_._1), removesData)
   }
 
   /** The schema a commit DECLARED, if it carried a metaData action —
@@ -541,7 +561,8 @@ object DeltaRead {
     val stats = Option(addN.get("stats")).filterNot(_.isNull).map(_.asText())
     FileEntry(decodePath(addN.get("path").asText()), pv, dv, stats,
       Option(addN.get("baseRowId")).filterNot(_.isNull).map(_.asLong()),
-      Option(addN.get("defaultRowCommitVersion")).filterNot(_.isNull).map(_.asLong()))
+      Option(addN.get("defaultRowCommitVersion")).filterNot(_.isNull).map(_.asLong()),
+      Option(addN.get("size")).filterNot(_.isNull).map(_.asLong()))
   }
 
   /** Rewrite the top-level column keys of a stats JSON's minValues /
@@ -698,9 +719,11 @@ object DeltaRead {
         else "CAST(NULL AS BIGINT) AS baseRowId",
         if (has("add", "defaultRowCommitVersion")) "add.defaultRowCommitVersion"
         else "CAST(NULL AS BIGINT) AS defaultRowCommitVersion")
+      val sizeExpr =
+        if (has("add", "size")) "add.size" else "CAST(NULL AS BIGINT) AS size"
       cp.where(cp("add").isNotNull)
         .selectExpr(Seq("add.path", "add.partitionValues") ++ dvExprs ++
-          (statsExpr +: rowIdExprs): _*)
+          (statsExpr +: rowIdExprs) :+ sizeExpr: _*)
         .collect().foreach { row =>
           val pv = Option(row.getMap[String, String](1))
             .map(_.toMap.map { case (k, x) => k -> x }).getOrElse(Map.empty[String, String])
@@ -712,7 +735,8 @@ object DeltaRead {
           r.add(FileEntry(decodePath(row.getString(0)), pv, dv,
             Option(row.getString(7)),
             if (row.isNullAt(8)) None else Some(row.getLong(8)),
-            if (row.isNullAt(9)) None else Some(row.getLong(9))))
+            if (row.isNullAt(9)) None else Some(row.getLong(9)),
+            if (row.isNullAt(10)) None else Some(row.getLong(10))))
         }
     }
   }
@@ -1005,8 +1029,16 @@ object DeltaRead {
     * commit file: operation and timestamp come off the same parsed
     * commitInfo, with [[commitTimestamp]]'s fallback order (ICT >
     * recorded timestamp > file mtime). The DataFrame twin below builds
-    * from this, so the two DESCRIBE-HISTORY doors cannot drift. */
-  def history(table: String): Seq[(Long, Option[Long], Option[String])] = {
+    * from this, so the two DESCRIBE-HISTORY doors cannot drift.
+    *
+    * `limit` is a PUSHDOWN, not a post-filter: `DESCRIBE HISTORY t
+    * LIMIT n` on a 10⁵-commit table must parse n commit files, never
+    * the whole log — version listing is one directory scan, then only
+    * the newest n files are opened. `parsedCounter` is a test seam
+    * pinning exactly that. */
+  def history(table: String, limit: Option[Int] = None,
+      parsedCounter: Option[java.util.concurrent.atomic.AtomicInteger] = None)
+      : Seq[(Long, Option[Long], Option[String])] = {
     val ld = logDir(table)
     if (!Files.isDirectory(ld)) return Nil
     val st = Files.list(ld)
@@ -1015,7 +1047,8 @@ object DeltaRead {
         .filter(_.matches("\\d{20}\\.json"))
         .map(_.stripSuffix(".json").toLong).toSeq.sorted
       finally st.close()
-    versions.reverse.map { v =>
+    limit.fold(versions.reverse)(n => versions.reverse.take(math.max(0, n))).map { v =>
+      parsedCounter.foreach(_.incrementAndGet())
       val p = ld.resolve(f"$v%020d.json")
       val infos = Files.readAllLines(p).asScala.iterator
         .map(l => try mapper.readTree(l) catch { case _: Exception => null })

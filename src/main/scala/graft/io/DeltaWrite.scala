@@ -1460,12 +1460,16 @@ object DeltaWrite {
 
   /** Order-insensitive field-level schema equality (names + types).
     * Metadata is stripped at every level — a mapped table's committed
-    * schema carries columnMapping metadata an incoming frame won't. */
+    * schema carries columnMapping metadata an incoming frame won't.
+    * Nullability is normalized away at every level too (the top-level
+    * comparison always ignored it; nested fields must agree): a
+    * literal-built frame carries nullable=false on struct fields where
+    * the committed schema says nullable=true, and that is not drift. */
   private def stripMeta(dt: DataType): DataType = dt match {
     case s: StructType => StructType(s.fields.map(f =>
-      StructField(f.name, stripMeta(f.dataType), f.nullable)))
-    case ArrayType(et, n) => ArrayType(stripMeta(et), n)
-    case MapType(k, v, n) => MapType(stripMeta(k), stripMeta(v), n)
+      StructField(f.name, stripMeta(f.dataType), nullable = true)))
+    case ArrayType(et, _) => ArrayType(stripMeta(et), containsNull = true)
+    case MapType(k, v, _) => MapType(stripMeta(k), stripMeta(v), valueContainsNull = true)
     case other => other
   }
   private def schemaMatches(a: StructType, b: StructType): Boolean =
@@ -2679,15 +2683,19 @@ object DeltaWrite {
     def fatesOf(actions: Seq[MergeWhen], base: Int)(
         pf: PartialFunction[MergeWhen, Unit]): Seq[Int] =
       actions.zipWithIndex.collect { case (a, i) if pf.isDefinedAt(a) => base + i }
+    // BY-SOURCE fate ids start right after the matched block — derived,
+    // not a fixed offset, so no clause count can ever collide two
+    // clause populations onto one id
+    val bySourceBase = matched.size
     val updateFates = fatesOf(matched, 0) { case _: MergeUpdateWhen => () } ++
-      fatesOf(notMatchedBySource, 100) { case _: MergeUpdateWhen => () }
+      fatesOf(notMatchedBySource, bySourceBase) { case _: MergeUpdateWhen => () }
     val deleteFates = fatesOf(matched, 0) { case _: MergeDeleteWhen => () } ++
-      fatesOf(notMatchedBySource, 100) { case _: MergeDeleteWhen => () }
+      fatesOf(notMatchedBySource, bySourceBase) { case _: MergeDeleteWhen => () }
     val updateAssigns: Map[Int, Seq[(String, Column)]] =
       (matched.zipWithIndex.collect {
         case (MergeUpdateWhen(_, as), i) => i -> as
       } ++ notMatchedBySource.zipWithIndex.collect {
-        case (MergeUpdateWhen(_, as), i) => (100 + i) -> as
+        case (MergeUpdateWhen(_, as), i) => (bySourceBase + i) -> as
       }).toMap
     var attempt = 0
     while (attempt < maxRetries) {
@@ -2725,9 +2733,52 @@ object DeltaWrite {
          else committed.fieldNames.toSeq.map(col)) :+ col(DeltaRead.LineageFile)
       val p1 = DeltaRead.readVersionWithLineage(spark, table, v).select(p1cols: _*)
       val srcKeys = source.select(keys.map(col): _*).distinct()
+      // when EVERY matched clause condition reads the SOURCE row only
+      // (references confined to the __graft_src__ namespace, or no
+      // condition at all), a source row whose conditions all miss
+      // cannot change any target row — pre-filter the matched key set
+      // to rows where some clause can fire, so files holding only
+      // non-firing keys are never rewritten (the r12 design note: the
+      // conservative plan rewrote every matched-key file even when all
+      // clause conditions missed). The insert side keeps the FULL key
+      // set — non-firing keys are still "matched" for NOT MATCHED
+      // purposes.
+      def srcOnly(c: org.apache.spark.sql.Column): Boolean = {
+        import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+        import org.apache.spark.sql.catalyst.expressions.AttributeReference
+        // catalystExpression, NOT expression: the lazy wrapper hides its
+        // ColumnNode children from collect and every condition would
+        // read as reference-free (= source-only) — pruning on a
+        // TARGET-referencing condition, which is a correctness bug
+        val refs = org.apache.spark.sql.GraftColumnBridge.catalystExpression(c)
+          .collect {
+            case ua: UnresolvedAttribute => ua.nameParts.head
+            case ar: AttributeReference => ar.name
+          }
+        refs.forall(_.startsWith(MergeSrcPrefix))
+      }
+      def condOf(m: MergeWhen): Option[org.apache.spark.sql.Column] = m match {
+        case MergeUpdateWhen(c, _) => c
+        case MergeDeleteWhen(c) => c
+      }
+      // engage only when some clause actually HAS a condition — with
+      // every clause unconditional the filter keeps everything and the
+      // extra distinct is pure cost
+      val matchedSrcOnly = matched.exists(condOf(_).isDefined) &&
+        matched.forall(m => condOf(m).forall(srcOnly))
+      val matchedKeys =
+        if (!matchedSrcOnly) srcKeys
+        else {
+          val pfx = source.columns.foldLeft(source)((d, c) =>
+            d.withColumnRenamed(c, MergeSrcPrefix + c))
+          val anyFire = matched.map(m =>
+            coalesce(condOf(m).getOrElse(lit(true)), lit(false))).reduce(_ || _)
+          pfx.where(anyFire)
+            .select(keys.map(k => col(MergeSrcPrefix + k).as(k)): _*).distinct()
+        }
       val touchedMatched =
         if (matched.isEmpty) None
-        else Some(p1.join(srcKeys, keys, "left_semi")
+        else Some(p1.join(matchedKeys, keys, "left_semi")
           .select(col(DeltaRead.LineageFile)))
       val touchedBySource =
         if (notMatchedBySource.isEmpty) None
@@ -2820,7 +2871,7 @@ object DeltaWrite {
           val joined = tTouched.join(srcPfx, joinCond, "left_outer")
             .withColumn(FateCol,
               when(col(PresentCol).isNotNull, whenChain(matched, 0))
-                .otherwise(whenChain(notMatchedBySource, 100)))
+                .otherwise(whenChain(notMatchedBySource, bySourceBase)))
           val survivors =
             if (deleteFates.isEmpty) joined
             else joined.where(col(FateCol).isNull ||
@@ -3083,7 +3134,13 @@ object DeltaWrite {
     // rows outside the predicate would land them in partitions the
     // commit claims not to touch — silent duplication in the nightly
     // partition-reload shape. One limit(1) job, snapshot-independent,
-    // so it runs once before the CAS loop.
+    // so it runs once before the CAS loop — the friendly fast-fail for
+    // the common case. The AIRTIGHT check is the assert_true guard
+    // fused into the staging scan below: a non-deterministic or moving
+    // source can pass this pre-check yet materialize different rows in
+    // the staged write, so the guard evaluates the predicate on exactly
+    // the rows being written and aborts the stage (not the commit —
+    // nothing has published) on the first offender.
     val offender = df.where(!coalesce(predicate, lit(false))).limit(1).count()
     require(offender == 0L,
       s"replaceWhere: the incoming frame has rows NOT matching the " +
@@ -3116,7 +3173,16 @@ object DeltaWrite {
       val touchedAbs = DeltaRead.readVersionWithLineage(spark, table, v)
         .where(hit).select(col(DeltaRead.LineageFile)).distinct()
         .collect().map(_.getString(0)).toSet
-      val newRows = df.select(outCols: _*)
+      // assert_true returns NULL when the row satisfies the predicate
+      // and THROWS when it doesn't — as a where clause it survives into
+      // the staging scan (a dropped column would be pruned), so an
+      // out-of-predicate row from a moving source aborts the stage
+      // instead of landing in the batch
+      val newRows = df.select(outCols: _*).where(
+        org.apache.spark.sql.functions.assert_true(hit,
+          lit("replaceWhere: a materialized row does NOT match the " +
+            "replacement predicate — the source frame changed between " +
+            "the pre-check and the staged write")).isNull)
       if (touchedAbs.isEmpty && newRows.isEmpty) return v
       val byAbs = snap.files.map(f =>
         (Paths.get(table, f.path).toAbsolutePath.normalize().toString, f)).toMap
@@ -3379,21 +3445,92 @@ object DeltaWrite {
     * value to satisfy NOT NULL); callers wanting defaults backfill
     * with [[updateWhere]] afterwards. */
   def addColumn(spark: SparkSession, table: String, name: String,
-      dataType: DataType, comment: Option[String] = None): Long = {
-    require(name.nonEmpty, "addColumn: empty column name")
+      dataType: DataType, comment: Option[String] = None): Long =
+    addColumns(spark, table, Seq(AddColSpec(Seq(name), dataType, comment)))
+
+  /** Placement of an added column inside its parent struct: `First`,
+    * `After(sibling)`, or default end-append. Order is purely logical
+    * (schemaString order; parquet resolves by name/field-id), so a
+    * position is one metaData line like any other add. */
+  sealed trait ColPos
+  case object ColFirst extends ColPos
+  final case class ColAfter(sibling: String) extends ColPos
+
+  /** One column of an ADD COLUMNS statement: `path` names nesting
+    * (`Seq("meta", "quality")` adds field `quality` inside existing
+    * struct column `meta`); length 1 is a plain top-level add.
+    * `position` places the new field within its parent (FIRST/AFTER);
+    * None appends at the end. */
+  final case class AddColSpec(path: Seq[String], dataType: DataType,
+      comment: Option[String] = None, position: Option[ColPos] = None)
+
+  /** ALTER TABLE ADD COLUMNS — ONE metaData-only commit appending every
+    * spec'd NULLABLE column, top-level or NESTED inside existing struct
+    * columns (structs only — array elements / map values are not
+    * addressable add targets). The statement is atomic BY CONSTRUCTION:
+    * all specs fold into one schema (each validated against the schema
+    * state the previous specs produced, so an in-statement duplicate
+    * refuses) and publish as a single commit — a mid-statement failure
+    * commits nothing. Works on plain AND column-mapped tables: the
+    * reader scans with the LOG's schema as authority, so files
+    * predating the add serve the new column — nested too (Spark's
+    * parquet reader resolves a missing struct field to null) — as
+    * null; zero data files are touched. At 100 TB an ADD COLUMNS is
+    * one JSON line, not a re-ingest. On a mapped table new fields at
+    * every level are stamped with fresh mapping ids and `maxColumnId`
+    * advances in the same commit. Only nullable adds are expressible
+    * (existing rows have no value to satisfy NOT NULL); callers
+    * wanting defaults backfill with [[updateWhere]] afterwards. */
+  def addColumns(spark: SparkSession, table: String,
+      specs: Seq[AddColSpec]): Long = {
+    require(specs.nonEmpty, "addColumns: no columns to add")
+    specs.foreach { sp =>
+      require(sp.path.nonEmpty && sp.path.forall(_.nonEmpty),
+        s"addColumns: empty column name in ${sp.path.mkString(".")}")
+    }
+    // insert `spec` into `schema`, walking the nesting prefix through
+    // existing STRUCT fields only; the leaf lands at its position
+    // (FIRST / AFTER sibling / default end-append)
+    def insert(schema: StructType, path: Seq[String], spec: AddColSpec): StructType =
+      path match {
+        case Seq(leaf) =>
+          require(!schema.fieldNames.exists(_.equalsIgnoreCase(leaf)),
+            s"addColumns: '${spec.path.mkString(".")}' already exists on $table")
+          val metaB = new MetadataBuilder()
+          spec.comment.foreach(c => metaB.putString("comment", c))
+          val field = StructField(leaf, spec.dataType, nullable = true, metaB.build())
+          val at = spec.position match {
+            case None => schema.fields.length
+            case Some(ColFirst) => 0
+            case Some(ColAfter(sib)) =>
+              val i = schema.fields.indexWhere(_.name.equalsIgnoreCase(sib))
+              require(i >= 0, s"addColumns: AFTER names no column '$sib' " +
+                s"beside '${spec.path.mkString(".")}' on $table")
+              i + 1
+          }
+          StructType((schema.fields.take(at) :+ field) ++ schema.fields.drop(at))
+        case head +: rest =>
+          val i = schema.fields.indexWhere(_.name.equalsIgnoreCase(head))
+          require(i >= 0, s"addColumns: no column '$head' on $table to nest " +
+            s"'${spec.path.mkString(".")}' under")
+          schema.fields(i).dataType match {
+            case st: StructType =>
+              val f = schema.fields(i)
+              StructType(schema.fields.updated(i,
+                f.copy(dataType = insert(st, rest, spec))))
+            case other => throw new IllegalArgumentException(
+              s"addColumns: '$head' is ${other.simpleString}, not a struct — " +
+                s"cannot add nested field '${spec.path.mkString(".")}'")
+          }
+      }
     var attempt = 0
     while (attempt < 10) {
       val v = DeltaRead.latestVersion(table)
       val s = DeltaRead.snapshotAt(spark, table, v)
       validateWriterSupport(table, s, removesData = false)
       val committed = s.schema.getOrElse(throw new IllegalStateException(
-        s"addColumn: $table has no committed schema"))
-      require(!committed.fieldNames.exists(_.equalsIgnoreCase(name)),
-        s"addColumn: $table already has a column '$name'")
-      val metaB = new MetadataBuilder()
-      comment.foreach(c => metaB.putString("comment", c))
-      val incoming = StructType(committed.fields :+
-        StructField(name, dataType, nullable = true, metaB.build()))
+        s"addColumns: $table has no committed schema"))
+      val incoming = specs.foldLeft(committed)((sc, sp) => insert(sc, sp.path, sp))
       val (schema, newConf) =
         if (!DeltaRead.ColumnMapping.active(s.columnMappingMode))
           (incoming, s.configuration)
@@ -3405,13 +3542,14 @@ object DeltaWrite {
           (mapped, s.configuration + (WriteMapping.MaxIdKey -> maxId.toString))
         }
       val now = System.currentTimeMillis()
-      val lines = Seq(commitInfoAction("ADD COLUMN", now),
+      val lines = Seq(commitInfoAction(
+          if (specs.size == 1) "ADD COLUMN" else "ADD COLUMNS", now),
         metaDataAction(s.metaId.getOrElse(UUID.randomUUID().toString),
           schema.json, s.partitionColumns, now, newConf))
       if (publish(table, Some(s), v + 1, lines)) return v + 1
       attempt += 1
     }
-    throw new IllegalStateException(s"addColumn: lost 10 commit races on $table")
+    throw new IllegalStateException(s"addColumns: lost 10 commit races on $table")
   }
 
   /** Shared CAS loop for metaData-only schema commits on mapped
@@ -3490,6 +3628,37 @@ object DeltaWrite {
       require(partScope.size == partitions.size,
         s"compact: partition scope names one column twice under " +
           s"different spellings (${partitions.keys.mkString(",")})")
+      // value matching is TYPED, not raw-string: `WHERE p = 01` must
+      // select the partition the log renders as "1", and a date scope
+      // must match however the writer serialized it — both sides cast
+      // through the partition column's type before comparing (raw
+      // string equality only as the fallback for an uncastable value).
+      // And a non-empty scope matching NO partition tuple in the
+      // snapshot REFUSES instead of reporting "compacted 0 files" —
+      // on a typo'd scope that success is a lie.
+      val partTypes: Map[String, DataType] = s.schema.map(sc =>
+        sc.fields.map(f => f.name -> f.dataType).toMap).getOrElse(Map.empty)
+      def typed(k: String, v: String): Option[Any] =
+        if (v == null) None
+        else partTypes.get(k).flatMap { dt =>
+          import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+          try Option(Cast(Literal(v), dt, Some("UTC")).eval(null))
+          catch { case _: Exception => None }
+        }
+      def scopeMatches(pv: Map[String, String]): Boolean =
+        partScope.forall { case (k, want) =>
+          pv.get(k).exists { stored =>
+            (typed(k, want), typed(k, stored)) match {
+              case (Some(a), Some(b)) => a == b
+              case _                  => stored == want
+            }
+          }
+        }
+      if (partScope.nonEmpty && !s.files.exists(f => scopeMatches(f.partitionValues)))
+        throw new IllegalArgumentException(
+          s"compact: partition scope (${partScope.map { case (k, x) =>
+            s"$k=$x" }.mkString(", ")}) matches no partition of $table " +
+            s"at v$v — refusing to report a vacuous success")
       // dataChange=false reorganization still COMMITS — a table whose
       // writer features we don't implement must not be touched
       validateWriterSupport(table, s, removesData = false)
@@ -3574,13 +3743,15 @@ object DeltaWrite {
       // would pin each bin to one output file and the split would
       // never engage)
       val groups = s.files.groupBy(_.partitionValues).toSeq
-        .filter { case (pv, _) =>
-          partScope.forall { case (k, want) => pv.get(k).contains(want) } }
+        .filter { case (pv, _) => scopeMatches(pv) }
         .flatMap { case (pv, fs0) =>
         if (clusterCols.nonEmpty) {
           if (fs0.size < 2 && !fs0.exists(_.dv.isDefined)) Nil
           else {
-            val totalBytes = fs0.map(f => Files.size(Paths.get(table, f.path))).sum
+            // sizes come from the LOG's add.size (protocol-required),
+            // never a per-file stat — on object storage a stat per
+            // candidate is O(files) sequential driver HEADs
+            val totalBytes = fs0.map(_.sizeOrStat(table)).sum
             if (alreadyClustered(fs0, totalBytes)) Nil
             else Seq((pv, fs0.sortBy(statsMin)(boundOrd), totalBytes))
           }
@@ -3589,7 +3760,7 @@ object DeltaWrite {
           val bins = scala.collection.mutable.ArrayBuffer.empty[
             (scala.collection.mutable.ArrayBuffer[DeltaRead.FileEntry], Long)]
           fs.foreach { f =>
-            val sz = Files.size(Paths.get(table, f.path))
+            val sz = f.sizeOrStat(table)
             bins.indexWhere(_._2 + sz <= targetBytes) match {
               case -1 => bins += ((scala.collection.mutable.ArrayBuffer(f), sz))
               case i  => bins(i) = ((bins(i)._1 += f, bins(i)._2 + sz))

@@ -62,10 +62,13 @@ class DeltaDataSource extends RelationProvider
       "graft-delta source: .load(path) is required — the Delta table root"))
     val maxFiles = parameters.get("maxFilesPerTrigger").map(_.toInt)
     require(maxFiles.forall(_ > 0), "maxFilesPerTrigger must be positive")
+    val maxBytes = parameters.get("maxBytesPerTrigger").map(_.toLong)
+    require(maxBytes.forall(_ > 0), "maxBytesPerTrigger must be positive")
     new graft.streaming.DeltaTableSource(sqlContext.sparkSession, path,
       metadataPath, parameters.get("startingVersion").map(_.toLong), maxFiles,
       skipChangeCommits = parameters.get("skipChangeCommits")
-        .exists(_.equalsIgnoreCase("true")))
+        .exists(_.equalsIgnoreCase("true")),
+      maxBytesPerTrigger = maxBytes)
   }
 
   /** `writeStream.format("graft-delta")` — an EXACTLY-ONCE streaming

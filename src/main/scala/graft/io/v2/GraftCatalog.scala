@@ -227,47 +227,128 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftTable(dir.toString, fullName(ident), None)
   }
 
-  /** ALTER TABLE SET/UNSET TBLPROPERTIES. Constraint keys route through
+  /** ALTER TABLE SET/UNSET TBLPROPERTIES + schema evolution. Every
+    * change is VALIDATED up front against one head snapshot before ANY
+    * commit is issued — a statement like `ADD COLUMNS (a INT, b INT NOT
+    * NULL)` refuses on b BEFORE a lands, so a failed DDL statement
+    * leaves the table untouched. All AddColumn changes of one statement
+    * fold into ONE metaData commit ([[DeltaWrite.addColumns]]) — `ADD
+    * COLUMNS (a INT, b INT)` is one version, atomic by construction,
+    * and nested adds into existing struct columns (`meta.quality
+    * DOUBLE`) are supported. Constraint keys route through
     * [[DeltaWrite.addCheckConstraint]]/[[DeltaWrite.dropCheckConstraint]]
-    * (existing-data validation + protocol bump); everything else is one
-    * metaData commit. NOTE: a statement mixing constraint and plain
-    * keys maps to SUCCESSIVE commits — each commit is atomic, but a
-    * later refusal (e.g. a second constraint the data violates) leaves
-    * the earlier commits in place; issue separate ALTERs when that
-    * matters. */
+    * (existing-data validation + protocol bump); other property edits
+    * are one metaData commit. NOTE: a statement mixing DIFFERENT change
+    * kinds (SQL can't express one, but the DSv2 API can) still maps to
+    * successive commits — the upfront validation closes the
+    * statically-checkable failure modes, while a concurrent writer
+    * racing between validation and a later commit can still surface a
+    * mid-statement refusal; each writer re-validates under its own CAS
+    * loop so no single commit is ever wrong. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
     val sets = changes.collect { case s: TableChange.SetProperty =>
       s.property() -> s.value() }
     val unsets = changes.collect { case r: TableChange.RemoveProperty => r.property() }
-    // --- schema evolution: each change routes to its dedicated writer
-    // commit (ADD COLUMN works on any table; RENAME/DROP need column
-    // mapping and the writer refuses plain tables with guidance) ---
     def topLevel(names: Array[String], what: String): String = {
       require(names.length == 1, s"GraftCatalog: $what supports top-level " +
         s"columns only, got ${names.mkString(".")}")
       names(0)
     }
+    // --- phase 1: validate EVERY change against the head schema; no
+    // commit until the whole statement checks out ---
+    val head = DeltaRead.snapshot(spark, dir.toString)
+    val headSchema = head.schema.getOrElse(throw new IllegalStateException(
+      s"GraftCatalog: ${fullName(ident)} has no committed schema"))
+    def resolveStruct(path: Seq[String], what: String): StructType =
+      path.foldLeft(headSchema) { (st, name) =>
+        st.fields.find(_.name.equalsIgnoreCase(name)) match {
+          case Some(f) => f.dataType match {
+            case s: StructType => s
+            case other => throw new IllegalArgumentException(
+              s"GraftCatalog: $what — '$name' is ${other.simpleString}, not a struct")
+          }
+          case None => throw new IllegalArgumentException(
+            s"GraftCatalog: $what — no column '$name'")
+        }
+      }
+    // duplicate detection across the statement's own adds
+    val seenAdds = scala.collection.mutable.Set.empty[String]
     changes.foreach {
       case a: TableChange.AddColumn =>
-        val col = topLevel(a.fieldNames(), "ADD COLUMN")
-        require(a.isNullable, s"GraftCatalog: ADD COLUMN $col must be " +
+        val path = a.fieldNames().toSeq
+        val shown = path.mkString(".")
+        require(a.isNullable, s"GraftCatalog: ADD COLUMN $shown must be " +
           "nullable — existing rows have no value to satisfy NOT NULL")
-        require(a.position() == null, s"GraftCatalog: ADD COLUMN $col " +
-          "FIRST/AFTER is not supported — new columns append at the end")
-        require(a.defaultValue() == null, s"GraftCatalog: ADD COLUMN $col " +
+        require(a.defaultValue() == null, s"GraftCatalog: ADD COLUMN $shown " +
           "DEFAULT is not supported — backfill with UPDATE after the add")
-        DeltaWrite.addColumn(spark, dir.toString, col, a.dataType(),
-          Option(a.comment()))
+        val parent = resolveStruct(path.init, s"ADD COLUMN $shown")
+        require(!parent.fieldNames.exists(_.equalsIgnoreCase(path.last)),
+          s"GraftCatalog: ADD COLUMN $shown — column already exists")
+        a.position() match {
+          case after: TableChange.After =>
+            require(parent.fieldNames.exists(_.equalsIgnoreCase(after.column())),
+              s"GraftCatalog: ADD COLUMN $shown AFTER ${after.column()} — " +
+                "no such sibling")
+          case _ => () // null (append) or First — always valid
+        }
+        require(seenAdds.add(path.map(_.toLowerCase).mkString(".")),
+          s"GraftCatalog: ADD COLUMNS names '$shown' twice")
+      case r: TableChange.RenameColumn =>
+        val from = topLevel(r.fieldNames(), "RENAME COLUMN")
+        require(headSchema.fieldNames.exists(_.equalsIgnoreCase(from)),
+          s"GraftCatalog: RENAME COLUMN — no column '$from'")
+        require(!headSchema.fieldNames.exists(_.equalsIgnoreCase(r.newName())),
+          s"GraftCatalog: RENAME COLUMN — '${r.newName()}' already exists")
+      case del: TableChange.DeleteColumn =>
+        val col = topLevel(del.fieldNames(), "DROP COLUMN")
+        val exists = headSchema.fieldNames.exists(_.equalsIgnoreCase(col))
+        require(exists || del.ifExists() == java.lang.Boolean.TRUE,
+          s"GraftCatalog: DROP COLUMN — no column '$col'")
+        if (exists) {
+          require(!head.partitionColumns.exists(_.equalsIgnoreCase(col)),
+            s"GraftCatalog: DROP COLUMN — '$col' is a partition column")
+          require(headSchema.fields.length > 1,
+            s"GraftCatalog: DROP COLUMN — cannot drop the last column")
+        }
+      case u: TableChange.UpdateColumnType =>
+        val col = topLevel(u.fieldNames(), "ALTER COLUMN TYPE")
+        require(headSchema.fieldNames.exists(_.equalsIgnoreCase(col)),
+          s"GraftCatalog: ALTER COLUMN TYPE — no column '$col'")
+      case cb: TableChange.ClusterBy =>
+        cb.clusteringColumns().toSeq.foreach { r =>
+          val col = topLevel(r.fieldNames(), "CLUSTER BY")
+          require(headSchema.fieldNames.exists(_.equalsIgnoreCase(col)),
+            s"GraftCatalog: CLUSTER BY — no column '$col'")
+        }
+      case _: TableChange.SetProperty | _: TableChange.RemoveProperty => ()
+      case other => throw new UnsupportedOperationException(
+        s"GraftCatalog: unsupported ALTER TABLE change $other — supported: " +
+          "SET/UNSET TBLPROPERTIES, ADD COLUMNS (nullable, appended, " +
+          "nested-into-struct allowed), RENAME/DROP COLUMN (column-mapped " +
+          "tables), ALTER COLUMN TYPE (lossless widenings)")
+    }
+    // --- phase 2: execute. ALL adds of the statement = ONE commit ---
+    val adds = changes.collect { case a: TableChange.AddColumn =>
+      val pos = a.position() match {
+        case null => None
+        case _: TableChange.First => Some(DeltaWrite.ColFirst)
+        case after: TableChange.After => Some(DeltaWrite.ColAfter(after.column()))
+        case other => throw new UnsupportedOperationException(
+          s"GraftCatalog: unsupported column position $other")
+      }
+      DeltaWrite.AddColSpec(a.fieldNames().toSeq, a.dataType(),
+        Option(a.comment()), pos)
+    }
+    if (adds.nonEmpty) DeltaWrite.addColumns(spark, dir.toString, adds)
+    changes.foreach {
       case r: TableChange.RenameColumn =>
         DeltaWrite.renameColumn(spark, dir.toString,
           topLevel(r.fieldNames(), "RENAME COLUMN"), r.newName())
       case del: TableChange.DeleteColumn =>
         val col = topLevel(del.fieldNames(), "DROP COLUMN")
-        val missing = !DeltaRead.readVersion(spark, dir.toString,
-          DeltaRead.latestVersion(dir.toString)).schema.fieldNames
-          .exists(_.equalsIgnoreCase(col))
+        val missing = !headSchema.fieldNames.exists(_.equalsIgnoreCase(col))
         if (!(missing && del.ifExists() == java.lang.Boolean.TRUE))
           DeltaWrite.dropColumn(spark, dir.toString, col)
       case u: TableChange.UpdateColumnType =>
@@ -279,12 +360,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         DeltaWrite.clusterBy(spark, dir.toString,
           cb.clusteringColumns().toSeq.map(r =>
             topLevel(r.fieldNames(), "CLUSTER BY")))
-      case _: TableChange.SetProperty | _: TableChange.RemoveProperty => ()
-      case other => throw new UnsupportedOperationException(
-        s"GraftCatalog: unsupported ALTER TABLE change $other — supported: " +
-          "SET/UNSET TBLPROPERTIES, ADD COLUMN (nullable, appended), " +
-          "RENAME/DROP COLUMN (column-mapped tables), ALTER COLUMN TYPE " +
-          "(lossless widenings)")
+      case _ => ()
     }
     // CHECK constraints ride their dedicated commit (existing-data
     // validation + the checkConstraints protocol bump) — a raw
@@ -436,9 +512,17 @@ class GraftTable(val path: String, ident: String,
     m
   }
 
+  // AUTOMATIC_SCHEMA_EVOLUTION does NOT auto-evolve every merge: Spark
+  // gates MERGE schema evolution on `withSchemaEvolution && capability`
+  // (MergeIntoTable.schemaEvolutionEnabled), so the capability merely
+  // UNLOCKS the user's explicit `MERGE WITH SCHEMA EVOLUTION`, whose
+  // schema diff the analyzer then commits through alterTable →
+  // DeltaWrite.addColumns (one metaData commit). Nothing else in Spark
+  // 4.1 consults the capability.
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(path, versionForRead, schema)
@@ -546,8 +630,16 @@ private[v2] class GraftScanBuilder(path: String, version: Long,
   override def pushedFilters(): Array[Filter] =
     filters.filter(f => DeltaRelation.toColumn(f).isDefined)
 
+  // TOP-LEVEL pruning only: Spark's nested schema pruning may hand a
+  // narrowed struct (`SELECT meta.quality` → meta: struct<quality>),
+  // but the V1 row scan materializes FULL struct values — declaring the
+  // narrowed type in readSchema would make the row encoder read
+  // struct fields at the wrong positions (a String where it expects
+  // the pruned-to DOUBLE). Keeping the table's full field types in
+  // readSchema makes Spark project the nested field above the scan.
   override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
+    required = StructType(tableSchema.fields.filter(f =>
+      requiredSchema.fieldNames.exists(_.equalsIgnoreCase(f.name))))
 
   override def build(): Scan = new V1Scan {
     override def readSchema(): StructType = required

@@ -96,19 +96,30 @@ object Retrieval {
 
   /** Hard-negative mining for retrieval training (the "dense
     * retrievers need BM25 negatives" recipe — Karpukhin et al. 2020,
-    * DPR): every PROBE document queries the corpus with its own
-    * distinct terms, and its top-k BM25 hits OUTSIDE its own source
-    * (and itself) are emitted as hard negatives — lexically close,
-    * provenance-disjoint. Query terms weigh 1 each (classic
-    * query-side BM25); only terms with df ≤ N·dfCapFrac participate —
-    * the WAND-style posting-list cap that keeps the candidate join
-    * bounded by |probe terms| · N·dfCapFrac instead of
-    * |probes| × |corpus| when a stopword would otherwise fan out.
-    * Ranking runs through the bounded-heap TopKPerKey operator — no
-    * per-probe sort, no single-partition window.
+    * DPR): every PROBE document queries the corpus with its
+    * `termsPerProbe` most DISCRIMINATIVE terms (lowest df, ties broken
+    * by word for a total order), and its top-k BM25 hits OUTSIDE its
+    * own source (and itself) are emitted as hard negatives — lexically
+    * close, provenance-disjoint. Query terms weigh 1 each (classic
+    * query-side BM25).
+    *
+    * Term selection is RELATIVE per probe, not an absolute df cap: an
+    * absolute cap is scale-fragile (a cap that keeps sf1's tail
+    * vocabulary selects NOTHING on a small corpus whose every word is
+    * common — the vacuous-green failure mode) and corpus-fragile (a
+    * chatty corpus blows past it). The rarest-m terms always exist, so
+    * the query never silently degenerates to zero candidates, and the
+    * candidate join stays bounded by |probes| · m posting lists — the
+    * SHORTEST lists the probe has, the WAND intuition. `dfCapFrac`
+    * remains an optional hard valve (default 1.0 = off) for corpora
+    * where even the rarest probe terms are stopword-grade; when it
+    * fires it drops terms, never probes. The per-probe term ranking is
+    * a window partitioned BY PROBE over ≤ |probe's vocab| rows — never
+    * a global window. Ranking runs through the bounded-heap TopKPerKey
+    * operator — no per-probe sort, no single-partition window.
     */
   def hardNegatives(docs: DataFrame, id: Column, text: Column, source: Column,
-      probe: Column, k: Int, dfCapFrac: Double = 0.1,
+      probe: Column, k: Int, termsPerProbe: Int = 8, dfCapFrac: Double = 1.0,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val base = docs.select(id.as("doc_id"), source.as("src"),
       probe.as("is_probe"), text.as("__text"))
@@ -122,12 +133,18 @@ object Retrieval {
         .select(col("doc_id").as("qid"), col("src").as("qsrc")),
         tf("doc_id") === col("qid"))
       .select(col("qid"), col("qsrc"), col("word"))
+    import org.apache.spark.sql.expressions.Window
+    val qTerms = qWords
+      .join(broadcast(dfr), "word")
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("df"), col("word"))))
+      .where(col("__rn") <= termsPerProbe)
+      .drop("__rn")
     val postings = tf.join(base.select(col("doc_id"), col("src")), "doc_id")
     val tfd = col("tf").cast("double")
     val scoreTerm = idfBm25(col("df"), col("n_docs")) * (tfd * (k1 + 1.0)) /
       (tfd + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl")))
-    val scored = qWords
-      .join(broadcast(dfr), "word")
+    val scored = qTerms
       .crossJoin(broadcast(stats))
       .where(col("df").cast("double") <= col("n_docs").cast("double") * dfCapFrac)
       .join(postings, "word")

@@ -243,9 +243,11 @@ case class GraftHistoryCommand(table: Either[String, Seq[String]],
     AttributeReference("operation", StringType, nullable = true)())
   override def run(spark: SparkSession): Seq[Row] = {
     val path = GraftMaintenanceParser.resolvePath(spark, table)
-    val rows = DeltaRead.history(path)
+    // LIMIT pushes into the log read: only the newest n commit files
+    // are parsed (a long-lived table's "check the last 10 operations"
+    // must not replay the whole log on the driver)
+    DeltaRead.history(path, limit)
       .map { case (v, ts, op) => Row(v, ts.map(Long.box).orNull, op.orNull) }
-    limit.fold(rows)(rows.take)
   }
   override def simpleString(maxFields: Int): String =
     s"GraftHistoryCommand $table${limit.map(n => s" LIMIT $n").getOrElse("")}"
@@ -255,7 +257,8 @@ case class GraftHistoryCommand(table: Either[String, Seq[String]],
   * before deciding maintenance (Delta's surface of the same name):
   * head version, live file count and bytes, partitioning, clustering,
   * protocol versions + features, and the table properties. One
-  * snapshot resolution; file sizes come off the filesystem. */
+  * snapshot resolution; file sizes come from the log's `add.size`
+  * (filesystem stat only for a legacy action lacking the field). */
 case class GraftDetailCommand(table: Either[String, Seq[String]])
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
@@ -273,11 +276,14 @@ case class GraftDetailCommand(table: Either[String, Seq[String]])
   override def run(spark: SparkSession): Seq[Row] = {
     val path = GraftMaintenanceParser.resolvePath(spark, table)
     val s = DeltaRead.snapshot(spark, path)
-    // a LIVE file missing from disk is table damage, not a detail to
-    // paper over as 0 bytes — the summary exists to inform maintenance
-    // decisions, so it must error rather than under-report
-    val bytes = s.files.map(f =>
-      java.nio.file.Files.size(java.nio.file.Paths.get(path, f.path))).sum
+    // sizes come from the LOG's add.size (protocol-required on every
+    // add) — a metadata-only answer at any file count. Only a legacy
+    // self-written action lacking the field falls back to a stat, and
+    // THERE a live file missing from disk is table damage, not a
+    // detail to paper over as 0 bytes — it errors rather than
+    // under-report.
+    val bytes = s.files.map(f => f.size.getOrElse(
+      java.nio.file.Files.size(java.nio.file.Paths.get(path, f.path)))).sum
     val features = (s.readerFeatures ++ s.writerFeatures).toSeq.sorted
     val props = s.configuration.toSeq.sortBy(_._1)
       .map { case (k, v) => s"$k=$v" }

@@ -132,10 +132,23 @@ case class GraftSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         s"an equi-join ON of same-named keys; got: $what")
 
   private def buildMerge(path: String, m: MergeIntoTable): LogicalPlan = {
-    if (m.withSchemaEvolution) throw new UnsupportedOperationException(
-      "graft-delta MERGE: WITH SCHEMA EVOLUTION is not supported — run " +
-        "ALTER TABLE ... ADD COLUMNS (...) first (a metaData-only commit), " +
-        "then MERGE; the explicit form keeps schema changes auditable")
+    // WITH SCHEMA EVOLUTION is honored UPSTREAM of this rule: Spark's
+    // ResolveMergeIntoSchemaEvolution computes the source-vs-target
+    // schema diff and applies it through TableCatalog.alterTable — i.e.
+    // GraftCatalog.alterTable → DeltaWrite.addColumns, ONE metaData-only
+    // commit — then re-resolves the merge against the evolved table. By
+    // the time the plan reaches here the target already carries the new
+    // columns, so nothing is left to refuse for catalog-identified
+    // targets. A PATH-based target (`delta`.`/dir`) has no catalog for
+    // the analyzer to alter, so the flag would silently do nothing
+    // there — refuse with the explicit two-statement workaround.
+    if (m.withSchemaEvolution && !EliminateSubqueryAliases(m.targetTable)
+        .collectFirst { case r: DataSourceV2Relation => r }
+        .exists(r => r.catalog.isDefined && r.identifier.isDefined))
+      throw new UnsupportedOperationException(
+        "graft-delta MERGE WITH SCHEMA EVOLUTION needs a catalog table " +
+          "(schema changes commit through the catalog); for a path table " +
+          "run ALTER TABLE ... ADD COLUMNS (...) first, then MERGE")
     val targetOut = m.targetTable.outputSet
     val sourceOut = m.sourceTable.outputSet
 

@@ -2001,6 +2001,60 @@ object DatalakeQueries {
            |FROM documents WHERE doc_id % 2 = 1
            |ORDER BY ct""".stripMargin))
 
+  /** q229 — `MERGE WITH SCHEMA EVOLUTION` in one SQL statement: Spark's
+    * analyzer diffs source vs target and commits the missing column
+    * through [[graft.io.v2.GraftCatalog]] `alterTable` →
+    * [[graft.io.DeltaWrite.addColumns]] (ONE metaData-only commit —
+    * pre-merge rows serve NULL), then the merge runs against the
+    * evolved table. The commit-trail pins make the mechanism auditable:
+    * exactly one ADD COLUMN commit, MERGE as the head — the same log
+    * the explicit two-statement form (q226's ALTER then MERGE) leaves.
+    * The oracle recomputes the final state from `documents`: evens
+    * seeded the table; every multiple of 4 got tagged by the matched
+    * update; odd multiples of 3 arrived via insert WITH the new
+    * column. */
+  val q229MergeSchemaEvolution = GQuery(
+    "q229_merge_schema_evolution",
+    (s, d) => withFreshCatalog(s, "q229") { cat =>
+      s.read.parquet(s"$d/documents.parquet")
+        .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "lang",
+          "CAST(n_chars AS BIGINT) AS n_chars")
+        .createOrReplaceTempView("q229_src")
+      s.sql(s"""CREATE TABLE $cat.me (doc_id BIGINT, n_chars BIGINT)
+        USING `graft-delta`""")
+      s.sql(s"INSERT INTO $cat.me SELECT doc_id, n_chars FROM q229_src " +
+        "WHERE doc_id % 2 = 0")
+      s.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.me t
+        USING (SELECT doc_id, n_chars, lang AS tag FROM q229_src
+               WHERE doc_id % 4 = 0
+               UNION ALL
+               SELECT doc_id, n_chars, lang AS tag FROM q229_src
+               WHERE doc_id % 2 = 1 AND doc_id % 3 = 0) s
+        ON t.doc_id = s.doc_id
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""")
+      val wh = s.conf.get(s"spark.sql.catalog.$cat.warehouse") + "/me"
+      val hist = s.sql(s"DESCRIBE HISTORY $cat.me").collect()
+        .map(_.getString(2)).toSeq
+      import org.apache.spark.sql.functions.lit
+      s.sql(s"""SELECT coalesce(tag, 'none') AS tag, count(*) AS n,
+        CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM $cat.me GROUP BY 1 ORDER BY 1""")
+        .withColumn("add_commits",
+          lit(hist.count(_.startsWith("ADD COLUMN")).toLong))
+        .withColumn("head_op", lit(hist.head))
+    },
+    Some("""WITH fin AS (
+           |  SELECT CASE WHEN doc_id % 4 = 0 THEN lang END AS tag, n_chars
+           |  FROM documents WHERE doc_id % 2 = 0
+           |  UNION ALL
+           |  SELECT lang AS tag, n_chars FROM documents
+           |  WHERE doc_id % 2 = 1 AND doc_id % 3 = 0)
+           |SELECT coalesce(tag, 'none') AS tag, count(*) AS n,
+           |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           |  CAST(1 AS BIGINT) AS add_commits, 'MERGE' AS head_op
+           |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[GQuery] = Seq(
     q130SnapshotDiff, q131IncrementalAgg, q132SchemaEvolution,
     q133KAnonymity, q134GdprErasure, q147CompactionPlan,
@@ -2014,5 +2068,5 @@ object DatalakeQueries {
     q217ShreddedVariant, q218Collations, q219SqlDatasource,
     q220SqlDml, q221CatalogSql, q222HllView, q223TableReadStream,
     q224ReplaceWhere, q225MergeGeneral, q226SchemaEvolution,
-    q227SqlMaintenance, q228CdfBatchSql)
+    q227SqlMaintenance, q228CdfBatchSql, q229MergeSchemaEvolution)
 }

@@ -18,11 +18,21 @@ import org.apache.spark.sql.types.StructType
   * {{{
   *   spark.readStream.format("graft-delta")
   *     .option("maxFilesPerTrigger", "4")   // optional rate limit
+  *     .option("maxBytesPerTrigger", "1g-in-bytes") // optional: byte
+  *                                          //   pacing off add.size —
+  *                                          //   mixed file sizes can't
+  *                                          //   starve or flood a batch
   *     .option("startingVersion", "0")      // optional: no snapshot,
   *                                          //   adds from v0 on
   *     .option("skipChangeCommits", "true") // optional: see below
   *     .load(tablePath)
   * }}}
+  *
+  * Both rate limits may be set; a batch closes at whichever budget
+  * fills first. A single file larger than the whole byte budget is
+  * admitted alone (the floor is one file per batch). Under
+  * `Trigger.AvailableNow` the source drains exactly to the head
+  * captured at query start — in rate-limited batches — then stops.
   *
   * Offsets are FILE-GRANULAR — `{"version": v, "index": i}` = "the
   * first `i` files of version v's file list (and everything before)
@@ -51,8 +61,10 @@ import org.apache.spark.sql.types.StructType
   * option. */
 class DeltaTableSource(spark: SparkSession, table: String,
     metadataPath: String, startingVersion: Option[Long],
-    maxFilesPerTrigger: Option[Int], skipChangeCommits: Boolean)
-    extends Source {
+    maxFilesPerTrigger: Option[Int], skipChangeCommits: Boolean,
+    maxBytesPerTrigger: Option[Long] = None)
+    extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   /** (base version, whether the base contributes its full snapshot,
     * the schema the stream was BOOTSTRAPPED with) — resolved once per
@@ -124,17 +136,21 @@ class DeltaTableSource(spark: SparkSession, table: String,
 
   override val schema: StructType = schemaAtBase
 
-  /** A version's surfaceable file paths, in the stable order the
-    * offsets index. Cached: lists are re-enumerated on every
+  /** A version's surfaceable (file path, size) pairs, in the stable
+    * order the offsets index. Sizes come from the LOG's `add.size`
+    * (what byte pacing budgets against — never a per-file stat at
+    * scale). Cached: lists are re-enumerated on every
     * getOffset/getBatch walk and commit JSONs are immutable. Entries
     * below the committed watermark are evicted in [[commit]] — a
     * long-lived tail over an active table must hold O(uncommitted
     * window) driver state, not O(history). */
-  private val listCache = scala.collection.mutable.HashMap.empty[Long, Seq[String]]
-  private def fileList(v: Long): Seq[String] = listCache.getOrElseUpdate(v, {
+  private val listCache =
+    scala.collection.mutable.HashMap.empty[Long, Seq[(String, Long)]]
+  private def fileList(v: Long): Seq[(String, Long)] = listCache.getOrElseUpdate(v, {
     if (v == base) {
       if (!baseIsSnapshot) Nil
-      else DeltaRead.snapshotAt(spark, table, base).files.map(_.path).sorted
+      else DeltaRead.snapshotAt(spark, table, base).files
+        .map(f => (f.path, f.sizeOrStat(table))).sortBy(_._1)
     } else {
       // a commit that DECLARED a different schema poisons every later
       // file list: cross-version unions against the bootstrap schema
@@ -183,19 +199,58 @@ class DeltaTableSource(spark: SparkSession, table: String,
     * limit advances from here; recovery replays re-teach it. */
   @volatile private var surfaced: (Long, Int) = (base, 0)
 
+  /** `Trigger.AvailableNow` bound, captured ONCE at query start: the
+    * head version at that moment. The paced walk never looks past it,
+    * so the run drains exactly to the start-head (in as many
+    * rate-limited batches as the budgets dictate) and then stops —
+    * commits landing DURING the drain wait for the next run. Spark
+    * calls [[prepareForTriggerAvailableNow]] only under that trigger;
+    * other triggers leave the bound unset and the walk chases the live
+    * head. Implementing [[SupportsTriggerAvailableNow]] directly (the
+    * FileStreamSource pattern) matters: the generic wrapper Spark
+    * would otherwise apply captures the delegate's RATE-LIMITED next
+    * offset as the bound, under-draining a paced source to its first
+    * chunk. */
+  @volatile private var availableNowHead: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowHead = Some(DeltaRead.latestVersion(table))
+  /** Pacing is the source's own options, not engine-imposed. */
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+  /** Admission-control twin of [[getOffset]] — the door Spark actually
+    * calls once a source declares [[SupportsTriggerAvailableNow]]. */
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    getOffset.orNull
+
   override def getOffset: Option[Offset] = {
-    val head = DeltaRead.latestVersion(table)
+    val head = availableNowHead.fold(DeltaRead.latestVersion(table))(
+      b => math.min(b, DeltaRead.latestVersion(table)))
     var (v, i) = surfaced
-    var budget = maxFilesPerTrigger.map(_.toLong).getOrElse(Long.MaxValue)
+    var fileBudget = maxFilesPerTrigger.map(_.toLong).getOrElse(Long.MaxValue)
+    var byteBudget = maxBytesPerTrigger.getOrElse(Long.MaxValue)
     var taken = 0L
     var exhausted = false
-    while (budget > 0 && !exhausted) {
-      val remaining = fileList(v).size - i
-      if (remaining > 0) {
-        val take = math.min(budget, remaining.toLong).toInt
-        i += take; budget -= take; taken += take
+    while (fileBudget > 0 && byteBudget > 0 && !exhausted) {
+      val list = fileList(v)
+      // per-file admission: bytes count against the budget as files are
+      // taken, and a batch never exceeds it EXCEPT a single oversized
+      // file admitted alone (a file larger than the whole budget must
+      // still flow — the floor is one file per batch, like Delta's own
+      // maxBytesPerTrigger)
+      var blocked = false
+      while (!blocked && i < list.size && fileBudget > 0 && byteBudget > 0) {
+        val sz = list(i)._2
+        if (sz <= byteBudget || taken == 0) {
+          i += 1; taken += 1; fileBudget -= 1
+          byteBudget = math.max(0L, byteBudget - sz)
+        } else blocked = true
       }
-      if (budget > 0) {
+      if (blocked) exhausted = true // the next file doesn't fit this batch
+      else if (i >= list.size) {
         if (v < head) { v += 1; i = 0 } else exhausted = true
       }
     }
@@ -212,7 +267,7 @@ class DeltaTableSource(spark: SparkSession, table: String,
       val list = fileList(v)
       val from = if (v == sv) si else 0
       val until = if (v == ev) ei else list.size
-      val slice = list.slice(from, until)
+      val slice = list.slice(from, until).map(_._1)
       if (slice.isEmpty) None
       else Some(DeltaRead.readFilesWithLineage(spark, table, v, slice.toSet)
         .drop(DeltaRead.LineageFile, DeltaRead.LineagePos))

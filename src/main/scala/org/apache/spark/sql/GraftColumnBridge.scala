@@ -12,6 +12,15 @@ object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** STRICT Column → catalyst conversion. [[expression]] returns a lazy
+    * `ColumnNodeExpression` whose children are connect-style
+    * ColumnNodes — invisible to TreeNode traversal, so `collect`-based
+    * reference inspection silently finds NOTHING. Callers that walk the
+    * tree (e.g. mergeAdvanced's source-only-condition detection) must
+    * use this eager converter instead. */
+  def catalystExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
+
   /** `Dataset.ofRows` is `private[sql]`: the door a custom LogicalPlan
     * (graft.plans.TopKPerKey) walks through to become a DataFrame. */
   def ofRows(spark: SparkSession,

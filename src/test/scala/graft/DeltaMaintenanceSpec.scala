@@ -21,6 +21,71 @@ class DeltaMaintenanceSpec extends SparkTestBase {
   private def cleanup(t: String): Unit =
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(t))
 
+  test("DESCRIBE HISTORY LIMIT n parses exactly n commit files") {
+    val t = newTable()
+    try {
+      (0 until 12).foreach(i =>
+        DeltaWrite.append(Seq((i.toLong, s"x$i")).toDF("id", "txt"), t))
+      val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+      val limited = DeltaRead.history(t, Some(2), Some(counter))
+      assert(limited.map(_._1) == Seq(11L, 10L), "newest two commits")
+      assert(counter.get() == 2,
+        s"LIMIT 2 on a 12-commit log must parse 2 files, parsed ${counter.get()}")
+      // unlimited still reads everything, newest first
+      assert(DeltaRead.history(t).map(_._1) == (0L to 11L).reverse)
+    } finally cleanup(t)
+  }
+
+  test("compact scope matches typed values and refuses a zero-match scope") {
+    val t = newTable()
+    try {
+      (0 until 2).foreach(_ => DeltaWrite.append(
+        (0 until 10).map(i => (i.toLong, (i % 2).toLong)).toDF("id", "p"),
+        t, partitionBy = Seq("p")))
+      // '01' is not the log's rendering ("1") — typed comparison must
+      // still select the partition instead of silently matching nothing
+      val reduced = DeltaWrite.compact(spark, t,
+        partitions = Map("p" -> "01"))
+      assert(reduced >= 1, "p = 01 must compact the partition stored as '1'")
+      // a scope matching NO partition refuses: 'compacted 0 files'
+      // on a typo'd scope would be a lie
+      val e = intercept[IllegalArgumentException] {
+        DeltaWrite.compact(spark, t, partitions = Map("p" -> "7"))
+      }
+      assert(e.getMessage.contains("matches no partition"))
+    } finally cleanup(t)
+  }
+
+  test("size-aware paths read add.size from the log, not the filesystem") {
+    val t = newTable()
+    try {
+      DeltaWrite.append((0 until 20).map(i => (i.toLong, s"x$i")).toDF("id", "txt")
+        .repartition(4), t)
+      val snap = DeltaRead.snapshot(spark, t)
+      assert(snap.files.forall(_.size.isDefined),
+        "every add action must surface its size in the snapshot")
+      snap.files.foreach { f =>
+        assert(f.size.get == Files.size(java.nio.file.Paths.get(t, f.path)),
+          s"${f.path}: log size must agree with the physical file")
+      }
+      // the proof the paths are metadata-only: move the data files
+      // aside and the log-derived sizes still serve (a stat would throw)
+      val hidden = Files.createTempDirectory("hidden")
+      snap.files.foreach { f =>
+        Files.move(java.nio.file.Paths.get(t, f.path),
+          hidden.resolve(java.nio.file.Paths.get(f.path).getFileName))
+      }
+      val total = snap.files.map(_.sizeOrStat(t)).sum
+      assert(total > 0 && total == snap.files.flatMap(_.size).sum,
+        "sizes must come from the log when files are unreachable")
+      // restore the files so cleanup paths stay sane
+      snap.files.foreach { f =>
+        Files.move(hidden.resolve(java.nio.file.Paths.get(f.path).getFileName),
+          java.nio.file.Paths.get(t, f.path))
+      }
+    } finally cleanup(t)
+  }
+
   test("first-DV protocol upgrade unions legacy-implied + existing features") {
     val t = newTable()
     try {

@@ -76,6 +76,76 @@ class DeltaTableStreamSpec extends SparkTestBase {
     } finally cleanup(src)
   }
 
+  test("maxBytesPerTrigger paces by add.size; an oversized file flows alone") {
+    val src = newDir("gdstream_bytes")
+    try {
+      DeltaWrite.append((0 until 40).map(i => (i.toLong, s"a$i")).toDF("id", "txt")
+        .repartition(8), src) // 8 ~equal files
+      val sizes = DeltaRead.snapshot(spark, src).files.map(_.size.getOrElse(0L))
+      assert(sizes.forall(_ > 0), "writer must record add.size on every add")
+      // budget fits ONE file but not two → exactly one file per batch,
+      // and the budget is never exceeded except by a solo file
+      val oneFile = sizes.max + (sizes.min / 2)
+      val q = spark.readStream.format("graft-delta")
+        .option("startingVersion", "0")
+        .option("maxBytesPerTrigger", oneFile.toString).load(src)
+        .writeStream.format("memory").queryName("gd_bytes").start()
+      q.processAllAvailable(); q.stop()
+      assert(rows(spark.table("gd_bytes")).size == 40)
+      val nonEmpty = q.recentProgress.filter(_.numInputRows > 0)
+      assert(nonEmpty.length == 8,
+        s"8 files at a one-file byte budget must be exactly 8 batches " +
+          s"(a smaller count means a batch exceeded the budget), got " +
+          s"${nonEmpty.length}")
+      // a budget SMALLER than any file must not starve: each file is
+      // oversized and goes through alone
+      val q2 = spark.readStream.format("graft-delta")
+        .option("startingVersion", "0")
+        .option("maxBytesPerTrigger", "1").load(src)
+        .writeStream.format("memory").queryName("gd_bytes1").start()
+      q2.processAllAvailable(); q2.stop()
+      assert(rows(spark.table("gd_bytes1")).size == 40,
+        "an oversized file must be admitted alone, never starve the stream")
+      assert(q2.recentProgress.count(_.numInputRows > 0) == 8,
+        "byte floor is ONE file per batch")
+    } finally cleanup(src)
+  }
+
+  test("Trigger.AvailableNow drains to the start-head in paced batches, then stops") {
+    val src = newDir("gdstream_avnow")
+    val ckpt = newDir("gdstream_avnow_ckpt")
+    val out = newDir("gdstream_avnow_out")
+    try {
+      DeltaWrite.append((0 until 40).map(i => (i.toLong, s"a$i")).toDF("id", "txt")
+        .repartition(8), src)
+      def drain(): org.apache.spark.sql.streaming.StreamingQuery = {
+        val q = spark.readStream.format("graft-delta")
+          .option("startingVersion", "0")
+          .option("maxFilesPerTrigger", "2").load(src)
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        // AvailableNow must SELF-terminate once the captured head is
+        // drained — a hang here means the bound was never honored
+        assert(q.awaitTermination(120000), "AvailableNow query did not stop")
+        q
+      }
+      val q1 = drain()
+      assert(rows(spark.read.parquet(out)).size == 40,
+        "the drain must reach the start-head, not stop at the first " +
+          "rate-limited chunk (the generic wrapper's under-drain)")
+      assert(q1.recentProgress.count(_.numInputRows > 0) >= 4,
+        "the drain must still honor maxFilesPerTrigger (8 files / 2)")
+      // a second run picks up exactly what landed since — and stops
+      DeltaWrite.append(Seq((99L, "late")).toDF("id", "txt"), src)
+      drain()
+      val resumed = rows(spark.read.parquet(out))
+      assert(resumed.size == 41 && resumed.exists(_._1 == 99L),
+        "restarted AvailableNow must drain exactly the NEW commit")
+    } finally cleanup(src, ckpt, out)
+  }
+
   test("checkpoint restart resumes without replaying surfaced files") {
     val src = newDir("gdstream_resume")
     val ckpt = newDir("gdstream_ckpt")

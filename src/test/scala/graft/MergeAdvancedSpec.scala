@@ -78,6 +78,37 @@ class MergeAdvancedSpec extends SparkTestBase {
     assert(ids == (0L until 40L).map(i => if (i % 4 == 2) i + 1000 else i).toSet)
   }
 
+  test("source-only matched conditions prune pass 1 to keys that can fire") {
+    val t = Staging.tempDir("graft_ma6_")
+    // one file per id-range: ids 0-4 in file A, 5-9 in file B
+    DeltaWrite.append(spark.range(0, 5).select($"id", $"id".as("v")), t)
+    DeltaWrite.append(spark.range(5, 10).select($"id", $"id".as("v")), t)
+    val before = DeltaRead.snapshot(spark, t).files.map(_.path).toSet
+    // every id matches, but the SOURCE-ONLY condition fires for ids
+    // 5..9 only — file A holds exclusively non-firing keys and must
+    // keep its exact bytes (the conservative plan rewrote it)
+    val src = spark.range(10).select($"id", ($"id" * 10).as("d"))
+    DeltaWrite.mergeAdvanced(spark, t, src, Seq("id"),
+      matched = Seq(MergeUpdateWhen(Some(mergeSrc("d") >= 50),
+        Seq("v" -> mergeSrc("d")))))
+    val after = DeltaRead.snapshot(spark, t).files.map(_.path).toSet
+    assert(before.intersect(after).nonEmpty,
+      "the all-miss file must keep its path (no rewrite)")
+    assert((before -- after).nonEmpty, "the firing file must be rewritten")
+    val out = DeltaRead.read(spark, t).as[(Long, Long)].collect().toMap
+    assert((0L to 4L).forall(i => out(i) == i), "non-firing rows unchanged")
+    assert((5L to 9L).forall(i => out(i) == i * 10), "firing rows updated")
+    // a TARGET-referencing condition must NOT prune (it cannot be
+    // evaluated on the source alone) — same shape, condition on v
+    val t2 = Staging.tempDir("graft_ma6b_")
+    DeltaWrite.append(spark.range(0, 5).select($"id", $"id".as("v")), t2)
+    DeltaWrite.mergeAdvanced(spark, t2, src, Seq("id"),
+      matched = Seq(MergeUpdateWhen(Some(col("v") >= 3),
+        Seq("v" -> mergeSrc("d")))))
+    val out2 = DeltaRead.read(spark, t2).as[(Long, Long)].collect().toMap
+    assert(out2 == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 30L, 4L -> 40L))
+  }
+
   test("CDF tables record exact pre/post/delete/insert change rows") {
     val t = Staging.tempDir("graft_ma5_")
     DeltaWrite.append(Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v"), t)

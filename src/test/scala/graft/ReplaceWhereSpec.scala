@@ -68,6 +68,35 @@ class ReplaceWhereSpec extends SparkTestBase {
     }
   }
 
+  test("a source that moves between the pre-check and the write aborts the stage") {
+    val t = Staging.tempDir("graft_rw7_")
+    DeltaWrite.append(spark.range(6).select($"id",
+      ($"id" % 3).cast("string").as("p")), t, Seq("p"))
+    val v0 = DeltaRead.latestVersion(t)
+    // a nondeterministic source: first full evaluation yields p='1'
+    // (passing the friendly pre-check), later evaluations yield p='2'
+    // (outside the predicate). Without the in-write assert_true guard
+    // the staged batch would carry the p='2' row into a commit that
+    // claims to only touch p='1'.
+    ReplaceWhereSpec.flips.set(0)
+    val flip = udf { () =>
+      if (ReplaceWhereSpec.flips.getAndIncrement() == 0) "1" else "2"
+    }.asNondeterministic()
+    val moving = Seq(100L).toDF("id").withColumn("p", flip())
+    val e = intercept[Throwable] {
+      DeltaWrite.replaceWhere(spark, t, moving, $"p" === "1")
+    }
+    // the guard fires inside a Spark job — unwrap to the message
+    def messages(x: Throwable): Seq[String] =
+      Option(x).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(e).exists(_.contains("does NOT match the replacement")),
+      s"expected the staged-write guard, got: ${messages(e).mkString(" | ")}")
+    assert(DeltaRead.latestVersion(t) == v0, "no commit may land")
+    val out = DeltaRead.read(spark, t).where($"id" === 100L).count()
+    assert(out == 0, "the moving row must not have been committed")
+  }
+
   test("CDF tables record exact delete/insert change rows") {
     val t = Staging.tempDir("graft_rw4_")
     DeltaWrite.append(spark.range(4).toDF("id"), t)
@@ -95,4 +124,9 @@ class ReplaceWhereSpec extends SparkTestBase {
         DeltaRead.read(spark, ti).limit(0), lit(true))
     }
   }
+}
+
+object ReplaceWhereSpec {
+  /** Shared by the moving-source UDF — local mode keeps one JVM. */
+  val flips = new java.util.concurrent.atomic.AtomicInteger(0)
 }

@@ -474,4 +474,100 @@ class SqlDmlSpec extends SparkTestBase {
     }
     assert(e4.getMessage.contains("column-mapped"))
   }
+
+  test("ALTER TABLE ADD COLUMNS is atomic: one commit, all-or-nothing") {
+    val c = freshCatalog()
+    spark.sql(s"CREATE TABLE $c.at (id BIGINT) USING `graft-delta`")
+    spark.sql(s"INSERT INTO $c.at VALUES (CAST(1 AS BIGINT))")
+    val wh = spark.conf.get(s"spark.sql.catalog.$c.warehouse") + "/at"
+    val vBefore = graft.io.DeltaRead.latestVersion(wh)
+    // two adds = ONE metaData commit
+    spark.sql(s"ALTER TABLE $c.at ADD COLUMNS (a INT, b INT)")
+    assert(graft.io.DeltaRead.latestVersion(wh) == vBefore + 1,
+      "ADD COLUMNS (a, b) must be one commit, not one per column")
+    assert(spark.sql(s"SELECT id, a, b FROM $c.at").columns.toSeq
+      == Seq("id", "a", "b"))
+    // a statement with a later-invalid change commits NOTHING: c would
+    // be addable but d is NOT NULL — validation precedes any commit
+    val v2 = graft.io.DeltaRead.latestVersion(wh)
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $c.at ADD COLUMNS (c INT, d INT NOT NULL)")
+    }
+    assert(e.getMessage.contains("nullable"))
+    assert(graft.io.DeltaRead.latestVersion(wh) == v2,
+      "a refused ADD COLUMNS must leave zero commits behind")
+    assert(!spark.sql(s"SELECT * FROM $c.at").columns.contains("c"),
+      "column c must not exist after the refused statement")
+    // naming one column twice in a statement refuses
+    val e2 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $c.at ADD COLUMNS (e INT, e STRING)")
+    }
+    assert(graft.io.DeltaRead.latestVersion(wh) == v2)
+    // FIRST/AFTER place the column logically — still one metaData line
+    spark.sql(s"ALTER TABLE $c.at ADD COLUMNS (z INT FIRST, y INT AFTER id)")
+    assert(spark.sql(s"SELECT * FROM $c.at").columns.toSeq
+      == Seq("z", "id", "y", "a", "b"),
+      "FIRST/AFTER must order the schema")
+    assert(graft.io.DeltaRead.latestVersion(wh) == v2 + 1)
+    // AFTER naming a missing sibling refuses with zero commits
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $c.at ADD COLUMNS (w INT AFTER nope)")
+    }
+    assert(graft.io.DeltaRead.latestVersion(wh) == v2 + 1)
+  }
+
+  test("ALTER TABLE ADD COLUMNS nested into struct: pre-add rows serve NULL") {
+    val c = freshCatalog()
+    spark.sql(s"CREATE TABLE $c.ns (id BIGINT, meta STRUCT<lang: STRING>) " +
+      "USING `graft-delta`")
+    spark.sql(s"INSERT INTO $c.ns VALUES (CAST(1 AS BIGINT), named_struct('lang', 'en'))")
+    val wh = spark.conf.get(s"spark.sql.catalog.$c.warehouse") + "/ns"
+    val filesBefore = graft.io.DeltaRead.snapshot(spark, wh).files.map(_.path).toSet
+    spark.sql(s"ALTER TABLE $c.ns ADD COLUMNS (meta.quality DOUBLE)")
+    assert(graft.io.DeltaRead.snapshot(spark, wh).files.map(_.path).toSet
+      == filesBefore, "a nested ADD is one JSON line, zero data files")
+    // the pre-add row serves the nested field as NULL
+    val r0 = spark.sql(s"SELECT meta.quality FROM $c.ns WHERE id = 1").head
+    assert(r0.isNullAt(0))
+    spark.sql(s"INSERT INTO $c.ns VALUES (CAST(2 AS BIGINT), " +
+      "named_struct('lang', 'fr', 'quality', CAST(0.9 AS DOUBLE)))")
+    val r1 = spark.sql(s"SELECT meta.quality FROM $c.ns WHERE id = 2").head
+    assert(r1.getDouble(0) == 0.9)
+    // a nested path through a non-struct refuses
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $c.ns ADD COLUMNS (id.sub INT)")
+    }
+    assert(e.getMessage.contains("not a struct"))
+  }
+
+  test("MERGE WITH SCHEMA EVOLUTION: source's new column lands via one ADD commit") {
+    val c = freshCatalog()
+    spark.sql(s"CREATE TABLE $c.ev (id BIGINT, v BIGINT) USING `graft-delta`")
+    spark.sql(s"INSERT INTO $c.ev VALUES (CAST(1 AS BIGINT), CAST(10 AS BIGINT)), " +
+      "(CAST(2 AS BIGINT), CAST(20 AS BIGINT))")
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO $c.ev t
+         |USING (SELECT CAST(2 AS BIGINT) AS id, CAST(99 AS BIGINT) AS v,
+         |              'fresh' AS tag
+         |        UNION ALL
+         |       SELECT CAST(3 AS BIGINT), CAST(30 AS BIGINT), 'new') s
+         |ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val out = spark.sql(s"SELECT id, v, tag FROM $c.ev ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).toSeq
+    assert(out == Seq((1L, 10L, None), (2L, 99L, Some("fresh")),
+      (3L, 30L, Some("new"))),
+      s"evolved merge state wrong: ${out.mkString(",")}")
+    // the commit trail: the evolution is ONE metaData ADD commit, then
+    // the merge — auditable, exactly the two-statement form would leave
+    val wh = spark.conf.get(s"spark.sql.catalog.$c.warehouse") + "/ev"
+    val ops = operations(wh)
+    val addIdx = ops.indexWhere(_.startsWith("ADD COLUMN"))
+    assert(addIdx >= 0, s"no ADD COLUMN commit in ${ops.mkString(",")}")
+    assert(ops.count(_.startsWith("ADD COLUMN")) == 1,
+      "schema evolution must be one metaData commit")
+    assert(ops.drop(addIdx + 1).exists(_.startsWith("MERGE")),
+      s"merge must follow the evolution commit: ${ops.mkString(",")}")
+  }
 }
