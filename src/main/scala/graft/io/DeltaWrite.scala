@@ -927,7 +927,45 @@ object DeltaWrite {
         s"$table: invariant on column '${f.name}' ($cond) violated by the " +
           "incoming batch")
     }
+    // nullable=false is the protocol's IMPLICIT invariant — but only
+    // where the user DECLARED it (SET NOT NULL / NOT NULL DDL, marked
+    // NotNullDeclared). Enforcing raw StructField nullability would
+    // refuse half of real-world appends: Scala-built frames infer
+    // nullable=false for every primitive column, so tables created
+    // from them would reject NULLs nobody ever asked to forbid.
+    val declared = notNullDeclaredPaths(schema)
+    if (declared.nonEmpty) {
+      import org.apache.spark.sql.functions.col
+      val viol = declared.map { path =>
+        val guard = path.init.inits.toSeq.reverse.drop(1)
+          .map(p => col(quotedPath(p)).isNotNull)
+          .foldLeft(lit(true))(_ && _)
+        guard && col(quotedPath(path)).isNull
+      }.reduce(_ || _)
+      val bad = df.where(viol).limit(1).count()
+      if (bad > 0) throw new IllegalStateException(
+        s"$table: NOT NULL on ${declared.map(_.mkString(".")).mkString(", ")} " +
+          "violated by the incoming batch")
+    }
   }
+
+  /** Field metadata mark for an EXPLICIT NOT NULL declaration — set by
+    * [[updateColumnNullability]] (SET NOT NULL). Only marked fields are
+    * write-enforced; see the note in enforceInvariants. */
+  private[io] val NotNullDeclaredKey = "graft.notNullDeclared"
+
+  private def notNullDeclaredPaths(schema: StructType,
+      prefix: Seq[String] = Nil): Seq[Seq[String]] =
+    schema.fields.toSeq.flatMap { f =>
+      val here =
+        if (!f.nullable && f.metadata.contains(NotNullDeclaredKey))
+          Seq(prefix :+ f.name)
+        else Nil
+      here ++ (f.dataType match {
+        case st: StructType => notNullDeclaredPaths(st, prefix :+ f.name)
+        case _ => Nil
+      })
+    }
 
   /** Compute `sqlExpr` as column `name` AND mark it GENERATED ALWAYS
     * AS — the creation story for generated columns: append a frame
@@ -1141,6 +1179,92 @@ object DeltaWrite {
       attempt += 1
     }
     throw new IllegalStateException(s"widenColumnType: lost 10 commit races on $table")
+  }
+
+  /** ALTER COLUMN ... COMMENT — metaData-only commit updating the
+    * field's `comment` metadata; `path` may name a nested field. */
+  def updateColumnComment(spark: SparkSession, table: String,
+      path: Seq[String], comment: Option[String]): Long = {
+    val shown = path.mkString(".")
+    alterSchemaCommit(spark, table, "ALTER COLUMN COMMENT") { s =>
+      rewriteStructAt(s.schema.get, path, "updateColumnComment", table) {
+        (st, leaf) =>
+          val i = st.fields.indexWhere(_.name.equalsIgnoreCase(leaf))
+          require(i >= 0, s"updateColumnComment: $table has no column '$shown'")
+          val f = st.fields(i)
+          val mb = new MetadataBuilder().withMetadata(f.metadata)
+          comment.fold(mb.remove("comment"))(c => mb.putString("comment", c))
+          StructType(st.fields.updated(i, f.copy(metadata = mb.build())))
+      }
+    }
+  }
+
+  /** ALTER COLUMN ... SET / DROP NOT NULL. Relaxing to nullable is
+    * metaData-only and always safe. TIGHTENING validates the head's
+    * data first — a NOT NULL the existing rows violate must refuse,
+    * not record a lie readers would trust. Future writes then enforce
+    * it like any invariant (see enforceInvariants' implicit-invariant
+    * pass). `path` may name a nested field; the nested check guards on
+    * the parent struct being non-null (a NULL struct has no field to
+    * violate). Partition columns follow the same rule as any other. */
+  def updateColumnNullability(spark: SparkSession, table: String,
+      path: Seq[String], nullable: Boolean): Long = {
+    val shown = path.mkString(".")
+    alterSchemaCommit(spark, table,
+      if (nullable) "ALTER COLUMN DROP NOT NULL" else "ALTER COLUMN SET NOT NULL") { s =>
+      if (!nullable) {
+        import org.apache.spark.sql.functions.{col, lit}
+        // the implicit-invariant check future writes will run, applied
+        // once to the existing rows
+        val guarded = path.init.inits.toSeq.reverse.drop(1)
+          .map(p => col(quotedPath(p)).isNotNull)
+          .foldLeft(lit(true))(_ && _)
+        val bad = DeltaRead.readVersion(spark, table, s.version)
+          .where(guarded && col(quotedPath(path)).isNull).limit(1).count()
+        require(bad == 0L, s"updateColumnNullability: $table has rows where " +
+          s"'$shown' IS NULL — SET NOT NULL would record a lie; clean the " +
+          "data first (UPDATE/DELETE), then tighten")
+      }
+      rewriteStructAt(s.schema.get, path, "updateColumnNullability", table) {
+        (st, leaf) =>
+          val i = st.fields.indexWhere(_.name.equalsIgnoreCase(leaf))
+          require(i >= 0, s"updateColumnNullability: $table has no column '$shown'")
+          val f = st.fields(i)
+          val mb = new MetadataBuilder().withMetadata(f.metadata)
+          // the DECLARED mark is what write-enforcement keys on — an
+          // inferred nullable=false (Scala primitive columns) is not a
+          // user contract, an explicit SET NOT NULL is
+          if (nullable) mb.remove(NotNullDeclaredKey)
+          else mb.putBoolean(NotNullDeclaredKey, true)
+          StructType(st.fields.updated(i,
+            f.copy(nullable = nullable, metadata = mb.build())))
+      }
+    }
+  }
+
+  private def quotedPath(path: Seq[String]): String =
+    path.map(p => s"`$p`").mkString(".")
+
+  /** Shared CAS loop for metaData-only schema commits that change no
+    * column NAMES (comments, nullability) — works on plain AND mapped
+    * tables, unlike [[alterMappedSchema]]. */
+  private def alterSchemaCommit(spark: SparkSession, table: String, op: String)(
+      derive: DeltaRead.DeltaSnapshot => StructType): Long = {
+    var attempt = 0
+    while (attempt < 10) {
+      val v = DeltaRead.latestVersion(table)
+      val s = DeltaRead.snapshotAt(spark, table, v)
+      validateWriterSupport(table, s, removesData = false)
+      require(s.schema.isDefined, s"$op: $table has no committed schema")
+      val schema = derive(s)
+      val now = System.currentTimeMillis()
+      val lines = Seq(commitInfoAction(op, now),
+        metaDataAction(s.metaId.getOrElse(UUID.randomUUID().toString),
+          schema.json, s.partitionColumns, now, s.configuration))
+      if (publish(table, Some(s), v + 1, lines)) return v + 1
+      attempt += 1
+    }
+    throw new IllegalStateException(s"$op: lost 10 commit races on $table")
   }
 
   // --- COLUMN DEFAULTS (PROTOCOL.md "Default Columns" /
@@ -3398,40 +3522,85 @@ object DeltaWrite {
     throw new IllegalStateException(s"dropCheckConstraint: lost 10 races on $table")
   }
 
+  /** Apply `leafOp` to the struct containing `path`'s leaf, walking the
+    * nesting prefix through existing STRUCT fields only (shared by the
+    * nested rename/drop — the nested-add twin lives in addColumns). */
+  private def rewriteStructAt(schema: StructType, path: Seq[String],
+      what: String, table: String)(
+      leafOp: (StructType, String) => StructType): StructType = path match {
+    case Seq(leaf) => leafOp(schema, leaf)
+    case head +: rest =>
+      val i = schema.fields.indexWhere(_.name.equalsIgnoreCase(head))
+      require(i >= 0, s"$what: no column '$head' on $table")
+      schema.fields(i).dataType match {
+        case st: StructType =>
+          StructType(schema.fields.updated(i, schema.fields(i).copy(
+            dataType = rewriteStructAt(st, rest, what, table)(leafOp))))
+        case other => throw new IllegalArgumentException(
+          s"$what: '$head' is ${other.simpleString}, not a struct")
+      }
+  }
+
+  def renameColumn(spark: SparkSession, table: String, from: String, to: String): Long =
+    renameColumnPath(spark, table, Seq(from), to)
+
   /** Logical column rename on a column-mapped table — the operation
     * the mapping mode exists for: a metaData-only commit that touches
     * ZERO data files (the physical name every parquet file stores is
-    * unchanged; only the logical surface moves). Partition columns
-    * rename cleanly too, because add.partitionValues keys are
-    * physical. On a plain table this would require rewriting every
-    * file, so it's refused with a pointer to [[createColumnMapped]].
-    * At 100 TB: a rename is one JSON line, not a re-ingest. */
-  def renameColumn(spark: SparkSession, table: String, from: String, to: String): Long =
-    alterMappedSchema(spark, table, s"RENAME COLUMN $from TO $to") { s =>
-      require(s.schema.exists(_.fieldNames.contains(from)),
-        s"renameColumn: $table has no column '$from'")
-      require(!s.schema.exists(_.fieldNames.contains(to)),
-        s"renameColumn: $table already has a column '$to'")
-      val schema = StructType(s.schema.get.fields.map(f =>
-        if (f.name == from) f.copy(name = to) else f))
-      (schema, s.partitionColumns.map(c => if (c == from) to else c))
+    * unchanged AT EVERY NESTING LEVEL; only the logical surface
+    * moves — nested fields carry their own mapping metadata, which the
+    * rename preserves). `from` may name a nested field
+    * (`Seq("meta", "lang")`). Partition columns rename cleanly too,
+    * because add.partitionValues keys are physical. On a plain table
+    * this would require rewriting every file, so it's refused with a
+    * pointer to [[createColumnMapped]]. At 100 TB: a rename is one
+    * JSON line, not a re-ingest. */
+  def renameColumnPath(spark: SparkSession, table: String,
+      from: Seq[String], to: String): Long = {
+    val shown = from.mkString(".")
+    alterMappedSchema(spark, table, s"RENAME COLUMN $shown TO $to") { s =>
+      val schema = rewriteStructAt(s.schema.get, from,
+        "renameColumn", table) { (st, leaf) =>
+        val i = st.fields.indexWhere(_.name.equalsIgnoreCase(leaf))
+        require(i >= 0, s"renameColumn: $table has no column '$shown'")
+        require(!st.fieldNames.exists(_.equalsIgnoreCase(to)),
+          s"renameColumn: $table already has a column '$to' beside '$shown'")
+        StructType(st.fields.updated(i, st.fields(i).copy(name = to)))
+      }
+      (schema, s.partitionColumns.map(c =>
+        if (from.length == 1 && c == from.head) to else c))
     }
+  }
+
+  def dropColumn(spark: SparkSession, table: String, name: String): Long =
+    dropColumnPath(spark, table, Seq(name))
 
   /** Logical column drop on a column-mapped table — metaData-only,
-    * like [[renameColumn]]: the bytes stay in the files (readers stop
-    * projecting them; a later vacuum-style rewrite could reclaim).
+    * like [[renameColumnPath]]: the bytes stay in the files (readers
+    * stop projecting them; a later vacuum-style rewrite could reclaim).
+    * `path` may name a nested field; a struct may not lose its last
+    * field (an empty struct is unreadable — drop the column instead).
     * Partition columns cannot be dropped (their values exist ONLY in
     * the log's partitionValues). */
-  def dropColumn(spark: SparkSession, table: String, name: String): Long =
-    alterMappedSchema(spark, table, s"DROP COLUMN $name") { s =>
-      require(s.schema.exists(_.fieldNames.contains(name)),
-        s"dropColumn: $table has no column '$name'")
-      require(!s.partitionColumns.contains(name),
-        s"dropColumn: '$name' is a partition column of $table")
-      val remaining = s.schema.get.fields.filterNot(_.name == name)
-      require(remaining.nonEmpty, s"dropColumn: cannot drop the last column of $table")
-      (StructType(remaining), s.partitionColumns)
+  def dropColumnPath(spark: SparkSession, table: String, path: Seq[String]): Long = {
+    val shown = path.mkString(".")
+    alterMappedSchema(spark, table, s"DROP COLUMN $shown") { s =>
+      if (path.length == 1)
+        require(!s.partitionColumns.contains(path.head),
+          s"dropColumn: '$shown' is a partition column of $table")
+      val schema = rewriteStructAt(s.schema.get, path,
+        "dropColumn", table) { (st, leaf) =>
+        require(st.fieldNames.exists(_.equalsIgnoreCase(leaf)),
+          s"dropColumn: $table has no column '$shown'")
+        val remaining = st.fields.filterNot(_.name.equalsIgnoreCase(leaf))
+        require(remaining.nonEmpty,
+          s"dropColumn: cannot drop the last field of " +
+            (if (path.length == 1) table else s"struct '${path.init.mkString(".")}'"))
+        StructType(remaining)
+      }
+      (schema, s.partitionColumns)
     }
+  }
 
   /** ALTER TABLE ADD COLUMN — a metaData-only commit appending a
     * NULLABLE top-level column at the end of the schema. Works on plain

@@ -201,8 +201,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       if (schema.fields.nonEmpty) {
         val committed = DeltaRead.readVersion(spark, target.toString,
           DeltaRead.latestVersion(target.toString)).schema
+        // compare names + types only, normalized at EVERY nesting level:
+        // a mapped table's committed nested fields carry columnMapping
+        // metadata and possibly tighter nullability than the declared
+        // DDL — neither is a shape mismatch
+        def norm(dt: org.apache.spark.sql.types.DataType)
+            : org.apache.spark.sql.types.DataType = dt match {
+          case st: StructType => StructType(st.fields.map(f =>
+            org.apache.spark.sql.types.StructField(
+              f.name.toLowerCase, norm(f.dataType), nullable = true)))
+          case org.apache.spark.sql.types.ArrayType(et, _) =>
+            org.apache.spark.sql.types.ArrayType(norm(et), containsNull = true)
+          case org.apache.spark.sql.types.MapType(k, v, _) =>
+            org.apache.spark.sql.types.MapType(norm(k), norm(v),
+              valueContainsNull = true)
+          case other => other
+        }
         def shape(s: StructType) =
-          s.fields.map(f => (f.name.toLowerCase, f.dataType)).sortBy(_._1).toSeq
+          s.fields.map(f => (f.name.toLowerCase, norm(f.dataType))).sortBy(_._1).toSeq
         require(shape(schema) == shape(committed),
           s"GraftCatalog: declared schema ${schema.simpleString} does not " +
             s"match the existing table's ${committed.simpleString} " +
@@ -296,26 +312,45 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         require(seenAdds.add(path.map(_.toLowerCase).mkString(".")),
           s"GraftCatalog: ADD COLUMNS names '$shown' twice")
       case r: TableChange.RenameColumn =>
-        val from = topLevel(r.fieldNames(), "RENAME COLUMN")
-        require(headSchema.fieldNames.exists(_.equalsIgnoreCase(from)),
-          s"GraftCatalog: RENAME COLUMN — no column '$from'")
-        require(!headSchema.fieldNames.exists(_.equalsIgnoreCase(r.newName())),
-          s"GraftCatalog: RENAME COLUMN — '${r.newName()}' already exists")
+        val path = r.fieldNames().toSeq
+        val shown = path.mkString(".")
+        val parent = resolveStruct(path.init, s"RENAME COLUMN $shown")
+        require(parent.fieldNames.exists(_.equalsIgnoreCase(path.last)),
+          s"GraftCatalog: RENAME COLUMN — no column '$shown'")
+        require(!parent.fieldNames.exists(_.equalsIgnoreCase(r.newName())),
+          s"GraftCatalog: RENAME COLUMN — '${r.newName()}' already exists " +
+            s"beside '$shown'")
       case del: TableChange.DeleteColumn =>
-        val col = topLevel(del.fieldNames(), "DROP COLUMN")
-        val exists = headSchema.fieldNames.exists(_.equalsIgnoreCase(col))
+        val path = del.fieldNames().toSeq
+        val shown = path.mkString(".")
+        val parent = resolveStruct(path.init, s"DROP COLUMN $shown")
+        val exists = parent.fieldNames.exists(_.equalsIgnoreCase(path.last))
         require(exists || del.ifExists() == java.lang.Boolean.TRUE,
-          s"GraftCatalog: DROP COLUMN — no column '$col'")
+          s"GraftCatalog: DROP COLUMN — no column '$shown'")
         if (exists) {
-          require(!head.partitionColumns.exists(_.equalsIgnoreCase(col)),
-            s"GraftCatalog: DROP COLUMN — '$col' is a partition column")
-          require(headSchema.fields.length > 1,
-            s"GraftCatalog: DROP COLUMN — cannot drop the last column")
+          if (path.length == 1)
+            require(!head.partitionColumns.exists(_.equalsIgnoreCase(path.head)),
+              s"GraftCatalog: DROP COLUMN — '$shown' is a partition column")
+          require(parent.fields.length > 1,
+            s"GraftCatalog: DROP COLUMN — cannot drop the last " +
+              (if (path.length == 1) "column" else s"field of '${path.init.mkString(".")}'"))
         }
       case u: TableChange.UpdateColumnType =>
         val col = topLevel(u.fieldNames(), "ALTER COLUMN TYPE")
         require(headSchema.fieldNames.exists(_.equalsIgnoreCase(col)),
           s"GraftCatalog: ALTER COLUMN TYPE — no column '$col'")
+      case u: TableChange.UpdateColumnNullability =>
+        val path = u.fieldNames().toSeq
+        val shown = path.mkString(".")
+        val parent = resolveStruct(path.init, s"ALTER COLUMN $shown NULLABILITY")
+        require(parent.fieldNames.exists(_.equalsIgnoreCase(path.last)),
+          s"GraftCatalog: ALTER COLUMN NULLABILITY — no column '$shown'")
+      case cm: TableChange.UpdateColumnComment =>
+        val path = cm.fieldNames().toSeq
+        val shown = path.mkString(".")
+        val parent = resolveStruct(path.init, s"ALTER COLUMN $shown COMMENT")
+        require(parent.fieldNames.exists(_.equalsIgnoreCase(path.last)),
+          s"GraftCatalog: ALTER COLUMN COMMENT — no column '$shown'")
       case cb: TableChange.ClusterBy =>
         cb.clusteringColumns().toSeq.foreach { r =>
           val col = topLevel(r.fieldNames(), "CLUSTER BY")
@@ -325,9 +360,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       case _: TableChange.SetProperty | _: TableChange.RemoveProperty => ()
       case other => throw new UnsupportedOperationException(
         s"GraftCatalog: unsupported ALTER TABLE change $other — supported: " +
-          "SET/UNSET TBLPROPERTIES, ADD COLUMNS (nullable, appended, " +
+          "SET/UNSET TBLPROPERTIES, ADD COLUMNS (nullable, FIRST/AFTER, " +
           "nested-into-struct allowed), RENAME/DROP COLUMN (column-mapped " +
-          "tables), ALTER COLUMN TYPE (lossless widenings)")
+          "tables, nested allowed), ALTER COLUMN TYPE (lossless widenings), " +
+          "ALTER COLUMN COMMENT / SET NOT NULL (data-validated) / " +
+          "DROP NOT NULL")
     }
     // --- phase 2: execute. ALL adds of the statement = ONE commit ---
     val adds = changes.collect { case a: TableChange.AddColumn =>
@@ -344,16 +381,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (adds.nonEmpty) DeltaWrite.addColumns(spark, dir.toString, adds)
     changes.foreach {
       case r: TableChange.RenameColumn =>
-        DeltaWrite.renameColumn(spark, dir.toString,
-          topLevel(r.fieldNames(), "RENAME COLUMN"), r.newName())
+        DeltaWrite.renameColumnPath(spark, dir.toString,
+          r.fieldNames().toSeq, r.newName())
       case del: TableChange.DeleteColumn =>
-        val col = topLevel(del.fieldNames(), "DROP COLUMN")
-        val missing = !headSchema.fieldNames.exists(_.equalsIgnoreCase(col))
+        val path = del.fieldNames().toSeq
+        val missing = !path.init.foldLeft(Option(headSchema)) { (sc, n) =>
+          sc.flatMap(_.fields.find(_.name.equalsIgnoreCase(n)))
+            .collect { case f => f.dataType }.collect { case st: StructType => st }
+        }.exists(_.fieldNames.exists(_.equalsIgnoreCase(path.last)))
         if (!(missing && del.ifExists() == java.lang.Boolean.TRUE))
-          DeltaWrite.dropColumn(spark, dir.toString, col)
+          DeltaWrite.dropColumnPath(spark, dir.toString, path)
       case u: TableChange.UpdateColumnType =>
         DeltaWrite.widenColumnType(spark, dir.toString,
           topLevel(u.fieldNames(), "ALTER COLUMN TYPE"), u.newDataType())
+      case u: TableChange.UpdateColumnNullability =>
+        DeltaWrite.updateColumnNullability(spark, dir.toString,
+          u.fieldNames().toSeq, u.nullable())
+      case cm: TableChange.UpdateColumnComment =>
+        DeltaWrite.updateColumnComment(spark, dir.toString,
+          cm.fieldNames().toSeq, Option(cm.newComment()).filter(_.nonEmpty))
       case cb: TableChange.ClusterBy =>
         // ALTER TABLE ... CLUSTER BY (cols) — declares the clustering
         // domain (layout enforced on future writes and OPTIMIZE)

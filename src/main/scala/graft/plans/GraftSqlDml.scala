@@ -122,6 +122,29 @@ case class GraftSqlDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case Target(path) => buildMerge(path, m)
         case _ => m
       }
+
+    // ALTER COLUMN ... SET NOT NULL: Spark's analyzer refuses
+    // nullable→non-nullable for any DSv2 table ("Cannot change nullable
+    // column to non-nullable") because IT cannot know whether the data
+    // qualifies — but graft's writer CAN: updateColumnNullability
+    // validates the head's rows before committing the tightened schema.
+    // Intercept the resolved plan before CheckAnalysis, exactly like
+    // the DML rewrites. Only pure nullability specs are taken; mixed
+    // specs (type+nullability in one ALTER) stay on Spark's path.
+    case ac: org.apache.spark.sql.catalyst.plans.logical.AlterColumns
+        if ac.table.isInstanceOf[org.apache.spark.sql.catalyst.analysis.ResolvedTable] &&
+          ac.table.asInstanceOf[org.apache.spark.sql.catalyst.analysis.ResolvedTable]
+            .table.isInstanceOf[GraftTable] &&
+          ac.specs.nonEmpty && ac.specs.forall(s =>
+            s.newNullability.contains(false) && s.newDataType.isEmpty &&
+              s.newComment.isEmpty && s.newPosition.isEmpty &&
+              s.column.isInstanceOf[org.apache.spark.sql.catalyst.analysis.ResolvedFieldName]) =>
+      val path = ac.table.asInstanceOf[org.apache.spark.sql.catalyst.analysis.ResolvedTable]
+        .table.asInstanceOf[GraftTable].path
+      GraftSetNotNullCommand(path, ac.specs.map { s =>
+        val f = s.column.asInstanceOf[org.apache.spark.sql.catalyst.analysis.ResolvedFieldName]
+        f.path :+ f.field.name
+      })
   }
 
   private def refuse(what: String): Nothing =
@@ -367,6 +390,22 @@ private[plans] object GraftSqlDml {
         s"graft-delta $stmt: subqueries in DML conditions are not " +
           "supported — materialize the subquery into a temp view and " +
           "reference it, or use the Scala API (deleteIn for key sets)")
+}
+
+/** `ALTER TABLE t ALTER COLUMN c SET NOT NULL` → the data-validated
+  * tighten ([[DeltaWrite.updateColumnNullability]]): existing rows are
+  * checked for NULLs before the metaData commit, and future writes
+  * enforce the declared contract. One commit per column, in statement
+  * order. */
+case class GraftSetNotNullCommand(path: String, columns: Seq[Seq[String]])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    columns.foreach(c =>
+      DeltaWrite.updateColumnNullability(spark, path, c, nullable = false))
+    Seq.empty
+  }
+  override def simpleString(maxFields: Int): String =
+    s"GraftSetNotNullCommand $path (${columns.map(_.mkString(".")).mkString(", ")})"
 }
 
 /** `DELETE FROM t WHERE cond` → deletion-vector delete at the head. */

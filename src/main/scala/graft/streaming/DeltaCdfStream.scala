@@ -82,7 +82,8 @@ object DeltaCdfSource {
   * surfaces the full history, v surfaces `(v, head]` — matching the
   * `sinceVersion` convention of `changesBetween`. */
 class DeltaCdfSource(spark: SparkSession, table: String,
-    startingVersion: Long, maxVersionsPerTrigger: Option[Long]) extends Source {
+    startingVersion: Long, maxVersionsPerTrigger: Option[Long]) extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   override val schema: StructType = DeltaCdfSource.feedSchema(spark, table)
 
@@ -92,6 +93,24 @@ class DeltaCdfSource(spark: SparkSession, table: String,
     * new ones, and getBatch advances the mark. */
   @volatile private var surfaced: Long = startingVersion
 
+  /** `Trigger.AvailableNow` bound captured once at query start — the
+    * rate-limited walk drains exactly to THIS head and stops, in as
+    * many batches as `maxVersionsPerTrigger` dictates. Implemented
+    * directly (like [[DeltaTableSource]]) because Spark's generic
+    * wrapper captures the delegate's rate-limited NEXT offset as the
+    * run bound and would under-drain a paced feed to its first chunk. */
+  @volatile private var availableNowHead: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowHead = Some(DeltaRead.latestVersion(table))
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    getOffset.orNull
+
   private def version(o: Offset): Long = o match {
     case l: LongOffset => l.offset
     case s: SerializedOffset => LongOffset(s).offset
@@ -99,11 +118,12 @@ class DeltaCdfSource(spark: SparkSession, table: String,
   }
 
   override def getOffset: Option[Offset] = {
-    val head = DeltaRead.latestVersion(table)
+    val head = availableNowHead.fold(DeltaRead.latestVersion(table))(
+      b => math.min(b, DeltaRead.latestVersion(table)))
     val capped = maxVersionsPerTrigger
       .map(m => math.min(head, math.max(surfaced, startingVersion) + m))
       .getOrElse(head)
-    if (capped <= startingVersion) None
+    if (capped <= startingVersion || capped <= surfaced) None
     else { surfaced = math.max(surfaced, capped); Some(LongOffset(capped)) }
   }
 

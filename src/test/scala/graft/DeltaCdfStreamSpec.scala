@@ -90,6 +90,30 @@ class DeltaCdfStreamSpec extends SparkTestBase {
     } finally { cleanup(src) }
   }
 
+  test("Trigger.AvailableNow drains the paced feed to the start-head, then stops") {
+    val src = newTable()
+    val ckpt = Files.createTempDirectory("cdf_avnow_ckpt").toString
+    val out = Files.createTempDirectory("cdf_avnow_out").toString
+    try {
+      history(src) // v0..v3
+      val q = spark.readStream.format("graft-delta-cdf")
+        .option("maxVersionsPerTrigger", "1").load(src)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000), "AvailableNow query did not stop")
+      val drained = feed(spark.read.parquet(out))
+      val batch = feed(DeltaRead.changesBetween(spark, src, -1L,
+        DeltaRead.latestVersion(src)))
+      assert(drained == batch,
+        "the drain must cover every version to the start-head, not stop " +
+          "at the first rate-limited chunk")
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+        "the drain must still pace one version per batch")
+    } finally { cleanup(src); cleanup(ckpt); cleanup(out) }
+  }
+
   test("startingVersion skips history; schema carries the change columns") {
     val src = newTable()
     try {

@@ -540,6 +540,65 @@ class SqlDmlSpec extends SparkTestBase {
     assert(e.getMessage.contains("not a struct"))
   }
 
+  test("ALTER COLUMN COMMENT and SET/DROP NOT NULL: metaData-only, data-validated") {
+    val c = freshCatalog()
+    spark.sql(s"CREATE TABLE $c.nn (id BIGINT, v BIGINT) USING `graft-delta`")
+    spark.sql(s"INSERT INTO $c.nn VALUES (CAST(1 AS BIGINT), CAST(10 AS BIGINT)), " +
+      "(CAST(2 AS BIGINT), NULL)")
+    val wh = spark.conf.get(s"spark.sql.catalog.$c.warehouse") + "/nn"
+    // COMMENT is one metaData line
+    spark.sql(s"ALTER TABLE $c.nn ALTER COLUMN v COMMENT 'cents'")
+    val committed = graft.io.DeltaRead.snapshot(spark, wh).schema.get
+    assert(committed("v").metadata.getString("comment") == "cents")
+    // SET NOT NULL on a column with NULL rows refuses — recording it
+    // would be a lie readers trust
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $c.nn ALTER COLUMN v SET NOT NULL")
+    }
+    assert(e.getMessage.contains("IS NULL"))
+    // clean the data, tighten, and the contract is then WRITE-ENFORCED
+    spark.sql(s"DELETE FROM $c.nn WHERE v IS NULL")
+    spark.sql(s"ALTER TABLE $c.nn ALTER COLUMN v SET NOT NULL")
+    assert(!graft.io.DeltaRead.snapshot(spark, wh).schema.get("v").nullable)
+    val e2 = intercept[Exception] {
+      spark.sql(s"INSERT INTO $c.nn VALUES (CAST(3 AS BIGINT), NULL)")
+    }
+    assert(e2.getMessage != null)
+    assert(spark.sql(s"SELECT count(*) FROM $c.nn").head.getLong(0) == 1)
+    // DROP NOT NULL relaxes; the same insert then lands
+    spark.sql(s"ALTER TABLE $c.nn ALTER COLUMN v DROP NOT NULL")
+    spark.sql(s"INSERT INTO $c.nn VALUES (CAST(3 AS BIGINT), NULL)")
+    assert(spark.sql(s"SELECT count(*) FROM $c.nn").head.getLong(0) == 2)
+  }
+
+  test("nested RENAME/DROP on a mapped table: metaData-only, values survive") {
+    val c = freshCatalog()
+    import spark.implicits._
+    val ext = graft.io.Staging.tempDir("graft_nested_map")
+    graft.io.DeltaWrite.createColumnMapped(
+      Seq((1L, ("en", 5L)), (2L, ("fr", 6L))).toDF("id", "meta")
+        .selectExpr("id", "named_struct('lang', meta._1, 'old', meta._2) AS meta"),
+      ext)
+    spark.sql(s"CREATE TABLE $c.nm (id BIGINT, " +
+      "meta STRUCT<lang: STRING, old: BIGINT>) " +
+      s"USING `graft-delta` LOCATION '$ext'")
+    val filesBefore = graft.io.DeltaRead.snapshot(spark, ext).files.map(_.path).toSet
+    spark.sql(s"ALTER TABLE $c.nm RENAME COLUMN meta.lang TO language")
+    spark.sql(s"ALTER TABLE $c.nm DROP COLUMN meta.old")
+    assert(graft.io.DeltaRead.snapshot(spark, ext).files.map(_.path).toSet
+      == filesBefore, "nested RENAME/DROP are one JSON line each, zero rewrites")
+    val out = spark.sql(s"SELECT id, meta.language FROM $c.nm ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq((1L, "en"), (2L, "fr")),
+      "renamed nested field must keep serving the stored values")
+    assert(!spark.sql(s"SELECT meta.* FROM $c.nm").columns.contains("old"))
+    // a struct may not lose its last field
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $c.nm DROP COLUMN meta.language")
+    }
+    assert(e.getMessage.contains("last"))
+  }
+
   test("MERGE WITH SCHEMA EVOLUTION: source's new column lands via one ADD commit") {
     val c = freshCatalog()
     spark.sql(s"CREATE TABLE $c.ev (id BIGINT, v BIGINT) USING `graft-delta`")
