@@ -80,11 +80,13 @@ object Bench {
     * SF-AWARE: per-query priors come from the newest record whose `sf`
     * matches THIS run's — an sf1 run compared against sf0.1 priors
     * "regresses" every query by construction (the exact false flag
-    * BENCH_sf1_r12 recorded). With no same-sf prior, the per-query
-    * gate is skipped and the run leans on the sentinel. The
-    * sentinel-min prior, by contrast, comes from the newest record of
-    * ANY sf — the sentinel workload is machine-constant and
-    * sf-independent by design. */
+    * BENCH_sf1_r12 recorded). With no same-sf prior, both gates are
+    * skipped. The sentinel-min prior is same-sf too: the WORKLOAD is
+    * machine-constant, but its measured floor tracks run length (a
+    * long sf1 bench JIT-tiers the sentinel deeper — r12 measured
+    * 0.057 s on the sf1 run vs 0.091 s on the sf0.1 run of the same
+    * build), so a cross-sf sentinel comparison manufactures phantom
+    * load flags exactly like cross-sf query priors did. */
   private def priorBench(sfDir: String): (Map[String, Double], Option[Double]) =
     try {
       import scala.jdk.CollectionConverters._
@@ -107,7 +109,7 @@ object Bench {
       val qs = sameSf.lastOption.flatMap(top => Option(top.get("queries")).map {
         qn => qn.fieldNames().asScala.map(k => k -> qn.get(k).asDouble()).toMap
       }).getOrElse(Map.empty[String, Double])
-      val sMin = parsed.lastOption.flatMap(top =>
+      val sMin = sameSf.lastOption.flatMap(top =>
         Option(top.get("sentinel_min")).map(_.asDouble()).filter(_ > 0))
       (qs, sMin)
     } catch { case _: Exception => (Map.empty, None) }

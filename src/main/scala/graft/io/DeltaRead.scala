@@ -64,11 +64,12 @@ object DeltaRead {
       * byte pacing) MUST use this instead of statting per file — on
       * object storage a per-file HEAD over millions of files is the
       * difference between a metadata-only plan and an O(files) driver
-      * stall, for a number the log already records. */
-    def sizeOrStat(table: String): Long = size.getOrElse {
-      try java.nio.file.Files.size(java.nio.file.Paths.get(table, path))
-      catch { case _: java.io.IOException => 0L }
-    }
+      * stall, for a number the log already records. The fallback stat
+      * FAILS LOUDLY on a missing file: a legacy add whose data file is
+      * gone is table damage, not a 0-byte detail for bin-packing math
+      * to silently plan around. */
+    def sizeOrStat(table: String): Long = size.getOrElse(
+      java.nio.file.Files.size(java.nio.file.Paths.get(table, path)))
   }
   final case class DeltaSnapshot(version: Long, files: Seq[FileEntry],
       schema: Option[StructType], partitionColumns: Seq[String],
@@ -518,10 +519,11 @@ object DeltaRead {
           Option(addN.get("dataChange")).forall(_.asBoolean(true))) {
         val rel = decodePath(addN.get("path").asText())
         // size rides the add action (protocol-required); the stat
-        // fallback covers only a legacy action lacking it
+        // fallback covers only a legacy action lacking it, and fails
+        // LOUDLY on a missing file — a 0-byte stand-in would make the
+        // byte pacer admit a file the batch read is about to die on
         val size = Option(addN.get("size")).filterNot(_.isNull).map(_.asLong())
-          .getOrElse(try Files.size(Paths.get(table, rel))
-            catch { case _: java.io.IOException => 0L })
+          .getOrElse(Files.size(Paths.get(table, rel)))
         adds += ((rel, size))
       }
       if (remN != null &&

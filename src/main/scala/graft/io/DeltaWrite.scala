@@ -3567,8 +3567,11 @@ object DeltaWrite {
           s"renameColumn: $table already has a column '$to' beside '$shown'")
         StructType(st.fields.updated(i, st.fields(i).copy(name = to)))
       }
+      // case-INSENSITIVE like the leaf lookup above — a case-variant
+      // rename that moved the field but left partitionColumns naming
+      // the old spelling would commit metadata no reader can resolve
       (schema, s.partitionColumns.map(c =>
-        if (from.length == 1 && c == from.head) to else c))
+        if (from.length == 1 && c.equalsIgnoreCase(from.head)) to else c))
     }
   }
 
@@ -3585,8 +3588,10 @@ object DeltaWrite {
   def dropColumnPath(spark: SparkSession, table: String, path: Seq[String]): Long = {
     val shown = path.mkString(".")
     alterMappedSchema(spark, table, s"DROP COLUMN $shown") { s =>
+      // case-INSENSITIVE like the leaf lookup below — a case-variant
+      // name must not slip past the guard and drop a partition column
       if (path.length == 1)
-        require(!s.partitionColumns.contains(path.head),
+        require(!s.partitionColumns.exists(_.equalsIgnoreCase(path.head)),
           s"dropColumn: '$shown' is a partition column of $table")
       val schema = rewriteStructAt(s.schema.get, path,
         "dropColumn", table) { (st, leaf) =>

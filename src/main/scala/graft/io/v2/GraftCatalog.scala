@@ -272,13 +272,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         s"columns only, got ${names.mkString(".")}")
       names(0)
     }
-    // --- phase 1: validate EVERY change against the head schema; no
-    // commit until the whole statement checks out ---
+    // --- phase 1: validate EVERY change by FOLDING a SIMULATED schema
+    // through the statement in order — intra-statement references
+    // resolve (`ADD COLUMNS (a INT, b INT AFTER a)`), duplicates
+    // refuse, and SEQUENCE effects surface before any commit (`DROP
+    // COLUMNS (meta.a, meta.b)` on a two-field struct refuses on b's
+    // last-field rule instead of half-applying). Each validated change
+    // contributes a thunk to the execution plan, so phase 2 never
+    // re-derives decisions against a stale schema. ---
     val head = DeltaRead.snapshot(spark, dir.toString)
     val headSchema = head.schema.getOrElse(throw new IllegalStateException(
       s"GraftCatalog: ${fullName(ident)} has no committed schema"))
-    def resolveStruct(path: Seq[String], what: String): StructType =
-      path.foldLeft(headSchema) { (st, name) =>
+    var sim: StructType = headSchema
+    def simParent(path: Seq[String], what: String): StructType =
+      path.foldLeft(sim) { (st, name) =>
         st.fields.find(_.name.equalsIgnoreCase(name)) match {
           case Some(f) => f.dataType match {
             case s: StructType => s
@@ -289,8 +296,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
             s"GraftCatalog: $what — no column '$name'")
         }
       }
-    // duplicate detection across the statement's own adds
-    val seenAdds = scala.collection.mutable.Set.empty[String]
+    def simUpdate(path: Seq[String], what: String)(
+        leafOp: (StructType, String) => StructType): Unit = {
+      def go(st: StructType, p: Seq[String]): StructType = p match {
+        case Seq(leaf) => leafOp(st, leaf)
+        case h +: rest =>
+          val i = st.fields.indexWhere(_.name.equalsIgnoreCase(h))
+          require(i >= 0, s"GraftCatalog: $what — no column '$h'")
+          st.fields(i).dataType match {
+            case inner: StructType => StructType(st.fields.updated(i,
+              st.fields(i).copy(dataType = go(inner, rest))))
+            case other => throw new IllegalArgumentException(
+              s"GraftCatalog: $what — '$h' is ${other.simpleString}, not a struct")
+          }
+      }
+      sim = go(sim, path)
+    }
+    val adds = Seq.newBuilder[DeltaWrite.AddColSpec]
+    val exec = Seq.newBuilder[() => Unit]
     changes.foreach {
       case a: TableChange.AddColumn =>
         val path = a.fieldNames().toSeq
@@ -299,31 +322,52 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           "nullable — existing rows have no value to satisfy NOT NULL")
         require(a.defaultValue() == null, s"GraftCatalog: ADD COLUMN $shown " +
           "DEFAULT is not supported — backfill with UPDATE after the add")
-        val parent = resolveStruct(path.init, s"ADD COLUMN $shown")
+        val parent = simParent(path.init, s"ADD COLUMN $shown")
         require(!parent.fieldNames.exists(_.equalsIgnoreCase(path.last)),
-          s"GraftCatalog: ADD COLUMN $shown — column already exists")
-        a.position() match {
+          s"GraftCatalog: ADD COLUMN $shown — column already exists (or the " +
+            "statement names it twice)")
+        val pos = a.position() match {
+          case null => None
+          case _: TableChange.First => Some(DeltaWrite.ColFirst)
           case after: TableChange.After =>
             require(parent.fieldNames.exists(_.equalsIgnoreCase(after.column())),
               s"GraftCatalog: ADD COLUMN $shown AFTER ${after.column()} — " +
                 "no such sibling")
-          case _ => () // null (append) or First — always valid
+            Some(DeltaWrite.ColAfter(after.column()))
+          case other => throw new UnsupportedOperationException(
+            s"GraftCatalog: unsupported column position $other")
         }
-        require(seenAdds.add(path.map(_.toLowerCase).mkString(".")),
-          s"GraftCatalog: ADD COLUMNS names '$shown' twice")
+        adds += DeltaWrite.AddColSpec(path, a.dataType(), Option(a.comment()), pos)
+        simUpdate(path, s"ADD COLUMN $shown") { (st, leaf) =>
+          val field = org.apache.spark.sql.types.StructField(
+            leaf, a.dataType(), nullable = true)
+          val at = pos match {
+            case None => st.fields.length
+            case Some(DeltaWrite.ColFirst) => 0
+            case Some(DeltaWrite.ColAfter(sib)) =>
+              st.fields.indexWhere(_.name.equalsIgnoreCase(sib)) + 1
+          }
+          StructType((st.fields.take(at) :+ field) ++ st.fields.drop(at))
+        }
       case r: TableChange.RenameColumn =>
         val path = r.fieldNames().toSeq
         val shown = path.mkString(".")
-        val parent = resolveStruct(path.init, s"RENAME COLUMN $shown")
+        val parent = simParent(path.init, s"RENAME COLUMN $shown")
         require(parent.fieldNames.exists(_.equalsIgnoreCase(path.last)),
           s"GraftCatalog: RENAME COLUMN — no column '$shown'")
         require(!parent.fieldNames.exists(_.equalsIgnoreCase(r.newName())),
           s"GraftCatalog: RENAME COLUMN — '${r.newName()}' already exists " +
             s"beside '$shown'")
+        simUpdate(path, s"RENAME COLUMN $shown") { (st, leaf) =>
+          val i = st.fields.indexWhere(_.name.equalsIgnoreCase(leaf))
+          StructType(st.fields.updated(i, st.fields(i).copy(name = r.newName())))
+        }
+        exec += (() => DeltaWrite.renameColumnPath(spark, dir.toString,
+          path, r.newName()))
       case del: TableChange.DeleteColumn =>
         val path = del.fieldNames().toSeq
         val shown = path.mkString(".")
-        val parent = resolveStruct(path.init, s"DROP COLUMN $shown")
+        val parent = simParent(path.init, s"DROP COLUMN $shown")
         val exists = parent.fieldNames.exists(_.equalsIgnoreCase(path.last))
         require(exists || del.ifExists() == java.lang.Boolean.TRUE,
           s"GraftCatalog: DROP COLUMN — no column '$shown'")
@@ -334,29 +378,42 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           require(parent.fields.length > 1,
             s"GraftCatalog: DROP COLUMN — cannot drop the last " +
               (if (path.length == 1) "column" else s"field of '${path.init.mkString(".")}'"))
-        }
+          simUpdate(path, s"DROP COLUMN $shown") { (st, leaf) =>
+            StructType(st.fields.filterNot(_.name.equalsIgnoreCase(leaf)))
+          }
+          exec += (() => DeltaWrite.dropColumnPath(spark, dir.toString, path))
+        } // ifExists + missing: validated no-op, nothing to execute
       case u: TableChange.UpdateColumnType =>
         val col = topLevel(u.fieldNames(), "ALTER COLUMN TYPE")
-        require(headSchema.fieldNames.exists(_.equalsIgnoreCase(col)),
+        require(sim.fieldNames.exists(_.equalsIgnoreCase(col)),
           s"GraftCatalog: ALTER COLUMN TYPE — no column '$col'")
+        exec += (() => DeltaWrite.widenColumnType(spark, dir.toString,
+          col, u.newDataType()))
       case u: TableChange.UpdateColumnNullability =>
         val path = u.fieldNames().toSeq
         val shown = path.mkString(".")
-        val parent = resolveStruct(path.init, s"ALTER COLUMN $shown NULLABILITY")
+        val parent = simParent(path.init, s"ALTER COLUMN $shown NULLABILITY")
         require(parent.fieldNames.exists(_.equalsIgnoreCase(path.last)),
           s"GraftCatalog: ALTER COLUMN NULLABILITY — no column '$shown'")
+        exec += (() => DeltaWrite.updateColumnNullability(spark, dir.toString,
+          path, u.nullable()))
       case cm: TableChange.UpdateColumnComment =>
         val path = cm.fieldNames().toSeq
         val shown = path.mkString(".")
-        val parent = resolveStruct(path.init, s"ALTER COLUMN $shown COMMENT")
+        val parent = simParent(path.init, s"ALTER COLUMN $shown COMMENT")
         require(parent.fieldNames.exists(_.equalsIgnoreCase(path.last)),
           s"GraftCatalog: ALTER COLUMN COMMENT — no column '$shown'")
+        exec += (() => DeltaWrite.updateColumnComment(spark, dir.toString,
+          path, Option(cm.newComment()).filter(_.nonEmpty)))
       case cb: TableChange.ClusterBy =>
-        cb.clusteringColumns().toSeq.foreach { r =>
-          val col = topLevel(r.fieldNames(), "CLUSTER BY")
-          require(headSchema.fieldNames.exists(_.equalsIgnoreCase(col)),
-            s"GraftCatalog: CLUSTER BY — no column '$col'")
-        }
+        val cols = cb.clusteringColumns().toSeq.map(r =>
+          topLevel(r.fieldNames(), "CLUSTER BY"))
+        cols.foreach(col => require(
+          sim.fieldNames.exists(_.equalsIgnoreCase(col)),
+          s"GraftCatalog: CLUSTER BY — no column '$col'"))
+        // ALTER TABLE ... CLUSTER BY (cols) — declares the clustering
+        // domain (layout enforced on future writes and OPTIMIZE)
+        exec += (() => DeltaWrite.clusterBy(spark, dir.toString, cols))
       case _: TableChange.SetProperty | _: TableChange.RemoveProperty => ()
       case other => throw new UnsupportedOperationException(
         s"GraftCatalog: unsupported ALTER TABLE change $other — supported: " +
@@ -366,48 +423,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           "ALTER COLUMN COMMENT / SET NOT NULL (data-validated) / " +
           "DROP NOT NULL")
     }
-    // --- phase 2: execute. ALL adds of the statement = ONE commit ---
-    val adds = changes.collect { case a: TableChange.AddColumn =>
-      val pos = a.position() match {
-        case null => None
-        case _: TableChange.First => Some(DeltaWrite.ColFirst)
-        case after: TableChange.After => Some(DeltaWrite.ColAfter(after.column()))
-        case other => throw new UnsupportedOperationException(
-          s"GraftCatalog: unsupported column position $other")
-      }
-      DeltaWrite.AddColSpec(a.fieldNames().toSeq, a.dataType(),
-        Option(a.comment()), pos)
-    }
-    if (adds.nonEmpty) DeltaWrite.addColumns(spark, dir.toString, adds)
-    changes.foreach {
-      case r: TableChange.RenameColumn =>
-        DeltaWrite.renameColumnPath(spark, dir.toString,
-          r.fieldNames().toSeq, r.newName())
-      case del: TableChange.DeleteColumn =>
-        val path = del.fieldNames().toSeq
-        val missing = !path.init.foldLeft(Option(headSchema)) { (sc, n) =>
-          sc.flatMap(_.fields.find(_.name.equalsIgnoreCase(n)))
-            .collect { case f => f.dataType }.collect { case st: StructType => st }
-        }.exists(_.fieldNames.exists(_.equalsIgnoreCase(path.last)))
-        if (!(missing && del.ifExists() == java.lang.Boolean.TRUE))
-          DeltaWrite.dropColumnPath(spark, dir.toString, path)
-      case u: TableChange.UpdateColumnType =>
-        DeltaWrite.widenColumnType(spark, dir.toString,
-          topLevel(u.fieldNames(), "ALTER COLUMN TYPE"), u.newDataType())
-      case u: TableChange.UpdateColumnNullability =>
-        DeltaWrite.updateColumnNullability(spark, dir.toString,
-          u.fieldNames().toSeq, u.nullable())
-      case cm: TableChange.UpdateColumnComment =>
-        DeltaWrite.updateColumnComment(spark, dir.toString,
-          cm.fieldNames().toSeq, Option(cm.newComment()).filter(_.nonEmpty))
-      case cb: TableChange.ClusterBy =>
-        // ALTER TABLE ... CLUSTER BY (cols) — declares the clustering
-        // domain (layout enforced on future writes and OPTIMIZE)
-        DeltaWrite.clusterBy(spark, dir.toString,
-          cb.clusteringColumns().toSeq.map(r =>
-            topLevel(r.fieldNames(), "CLUSTER BY")))
-      case _ => ()
-    }
+    // --- phase 2: execute the validated plan. ALL adds = ONE commit ---
+    val addSpecs = adds.result()
+    if (addSpecs.nonEmpty) DeltaWrite.addColumns(spark, dir.toString, addSpecs)
+    exec.result().foreach(_())
     // CHECK constraints ride their dedicated commit (existing-data
     // validation + the checkConstraints protocol bump) — a raw
     // properties edit would record a constraint nobody validated

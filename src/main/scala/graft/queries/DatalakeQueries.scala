@@ -2033,7 +2033,6 @@ object DatalakeQueries {
         ON t.doc_id = s.doc_id
         WHEN MATCHED THEN UPDATE SET *
         WHEN NOT MATCHED THEN INSERT *""")
-      val wh = s.conf.get(s"spark.sql.catalog.$cat.warehouse") + "/me"
       val hist = s.sql(s"DESCRIBE HISTORY $cat.me").collect()
         .map(_.getString(2)).toSeq
       import org.apache.spark.sql.functions.lit

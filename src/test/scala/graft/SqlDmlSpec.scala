@@ -514,6 +514,37 @@ class SqlDmlSpec extends SparkTestBase {
       spark.sql(s"ALTER TABLE $c.at ADD COLUMNS (w INT AFTER nope)")
     }
     assert(graft.io.DeltaRead.latestVersion(wh) == v2 + 1)
+    // intra-statement references resolve: the AFTER sibling is added
+    // by the SAME statement (validation folds a simulated schema)
+    spark.sql(s"ALTER TABLE $c.at ADD COLUMNS (p INT, q INT AFTER p)")
+    val cols = spark.sql(s"SELECT * FROM $c.at").columns.toSeq
+    assert(cols.indexOf("q") == cols.indexOf("p") + 1,
+      "q must land right after the p added by the same statement")
+    assert(graft.io.DeltaRead.latestVersion(wh) == v2 + 2)
+  }
+
+  test("multi-DROP sequence effects refuse before any commit") {
+    val c = freshCatalog()
+    spark.sql(s"CREATE TABLE $c.sq (id BIGINT, " +
+      "meta STRUCT<a: INT, b: INT>) USING `graft-delta`")
+    import spark.implicits._
+    val ext = graft.io.Staging.tempDir("graft_seq_map")
+    graft.io.DeltaWrite.createColumnMapped(
+      Seq((1L, (1, 2))).toDF("id", "m")
+        .selectExpr("id", "named_struct('a', m._1, 'b', m._2) AS meta"), ext)
+    spark.sql(s"CREATE TABLE $c.sm (id BIGINT, meta STRUCT<a: INT, b: INT>) " +
+      s"USING `graft-delta` LOCATION '$ext'")
+    val v0 = graft.io.DeltaRead.latestVersion(ext)
+    // dropping BOTH fields would leave meta empty: the statement must
+    // refuse on the SEQUENCE effect, with ZERO commits — not drop a
+    // and then die on b
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $c.sm DROP COLUMNS (meta.a, meta.b)")
+    }
+    assert(e.getMessage.contains("last"))
+    assert(graft.io.DeltaRead.latestVersion(ext) == v0,
+      "a refused multi-DROP must leave zero commits behind")
+    assert(spark.sql(s"SELECT meta.a FROM $c.sm").head.getInt(0) == 1)
   }
 
   test("ALTER TABLE ADD COLUMNS nested into struct: pre-add rows serve NULL") {
