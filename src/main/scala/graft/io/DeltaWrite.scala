@@ -3948,7 +3948,17 @@ object DeltaWrite {
       }
       if (groups.isEmpty) return 0
       val now = System.currentTimeMillis()
-      val staged: Seq[(Seq[Staged], Seq[DeltaRead.FileEntry])] = groups.map {
+      // groups stage CONCURRENTLY (bounded pool): each group's rewrite
+      // is an independent Spark job over its own immutable input files
+      // into its own UUID-named staging dir, and Spark schedules
+      // concurrent jobs across the same executors — a nightly OPTIMIZE
+      // over many partition groups is wall-clocked by the SLOWEST
+      // group, not the sum (driver-side serial submission was the only
+      // serializer; variant staging stays correct because shredGuard
+      // owns its lock). The commit below is still ONE atomic publish
+      // of every group's removes+adds.
+      def stageGroup(g: (Map[String, String], Seq[DeltaRead.FileEntry], Long))
+          : (Seq[Staged], Seq[DeltaRead.FileEntry]) = g match {
         case (pv, fs, groupBytes) =>
         // row-tracking tables preserve each surviving row's stable id
         // through the rewrite by MATERIALIZING it (the config-named
@@ -4008,6 +4018,18 @@ object DeltaWrite {
         org.apache.commons.io.FileUtils.deleteDirectory(tmpDir.toFile)
         (outs, fs)
       }
+      val staged: Seq[(Seq[Staged], Seq[DeltaRead.FileEntry])] =
+        if (groups.size <= 1) groups.map(stageGroup)
+        else {
+          import scala.collection.parallel.CollectionConverters._
+          val par = groups.par
+          val pool = new java.util.concurrent.ForkJoinPool(
+            math.min(groups.size, 8))
+          par.tasksupport =
+            new scala.collection.parallel.ForkJoinTaskSupport(pool)
+          try par.map(stageGroup).seq
+          finally pool.shutdown()
+        }
       val lines = Seq(commitInfoAction("OPTIMIZE", now)) ++
         staged.flatMap(_._2).map(f => removeAction(f.path, now, dataChange = false)) ++
         staged.flatMap(_._1).map(st => addAction(st, dataChange = false))
