@@ -57,7 +57,7 @@ object DeltaRead {
   final case class FileEntry(path: String, partitionValues: Map[String, String],
       dv: Option[DeltaDv.Descriptor] = None, stats: Option[String] = None,
       baseRowId: Option[Long] = None, defaultRowCommitVersion: Option[Long] = None,
-      size: Option[Long] = None) {
+      size: Option[Long] = None, modificationTime: Option[Long] = None) {
     /** `add.size` from the log (protocol-required on every add), with a
       * filesystem-stat fallback only for a legacy action that lacked it.
       * Size-aware paths (compaction planning, DESCRIBE DETAIL, streaming
@@ -69,7 +69,7 @@ object DeltaRead {
       * gone is table damage, not a 0-byte detail for bin-packing math
       * to silently plan around. */
     def sizeOrStat(table: String): Long = size.getOrElse(
-      java.nio.file.Files.size(java.nio.file.Paths.get(table, path)))
+      java.nio.file.Files.size(DeltaRead.dataPath(table, path)))
   }
   final case class DeltaSnapshot(version: Long, files: Seq[FileEntry],
       schema: Option[StructType], partitionColumns: Seq[String],
@@ -218,6 +218,19 @@ object DeltaRead {
     * percent escapes (never `+`-as-space — that is form encoding). */
   private[io] def decodePath(p: String): String =
     try new java.net.URI(p).getPath catch { case _: Exception => p }
+
+  /** A log action's (decoded) path resolved to a concrete data file.
+    * The protocol allows TWO shapes: relative to the table root (the
+    * writer's own files) and ABSOLUTE (what SHALLOW CLONE commits —
+    * add actions pointing into the SOURCE table's directory). Every
+    * consumer of `FileEntry.path` must come through here; a bare
+    * `Paths.get(table, path)` silently mis-joins an absolute path
+    * UNDER the table root (`Paths.get` treats every later segment as
+    * relative) and the scan would read a nonexistent file. */
+  private[graft] def dataPath(table: String, path: String): Path = {
+    val p = Paths.get(path)
+    if (p.isAbsolute) p else Paths.get(table, path)
+  }
 
   /** `<v>.checkpoint.<part>.<of>.parquet` — what large writers emit
     * when one checkpoint parquet would be too big. */
@@ -523,7 +536,7 @@ object DeltaRead {
         // LOUDLY on a missing file — a 0-byte stand-in would make the
         // byte pacer admit a file the batch read is about to die on
         val size = Option(addN.get("size")).filterNot(_.isNull).map(_.asLong())
-          .getOrElse(Files.size(Paths.get(table, rel)))
+          .getOrElse(Files.size(dataPath(table, rel)))
         adds += ((rel, size))
       }
       if (remN != null &&
@@ -564,7 +577,8 @@ object DeltaRead {
     FileEntry(decodePath(addN.get("path").asText()), pv, dv, stats,
       Option(addN.get("baseRowId")).filterNot(_.isNull).map(_.asLong()),
       Option(addN.get("defaultRowCommitVersion")).filterNot(_.isNull).map(_.asLong()),
-      Option(addN.get("size")).filterNot(_.isNull).map(_.asLong()))
+      Option(addN.get("size")).filterNot(_.isNull).map(_.asLong()),
+      Option(addN.get("modificationTime")).filterNot(_.isNull).map(_.asLong()))
   }
 
   /** Rewrite the top-level column keys of a stats JSON's minValues /
@@ -723,9 +737,12 @@ object DeltaRead {
         else "CAST(NULL AS BIGINT) AS defaultRowCommitVersion")
       val sizeExpr =
         if (has("add", "size")) "add.size" else "CAST(NULL AS BIGINT) AS size"
+      val mtimeExpr =
+        if (has("add", "modificationTime")) "add.modificationTime"
+        else "CAST(NULL AS BIGINT) AS modificationTime"
       cp.where(cp("add").isNotNull)
         .selectExpr(Seq("add.path", "add.partitionValues") ++ dvExprs ++
-          (statsExpr +: rowIdExprs) :+ sizeExpr: _*)
+          (statsExpr +: rowIdExprs) ++ Seq(sizeExpr, mtimeExpr): _*)
         .collect().foreach { row =>
           val pv = Option(row.getMap[String, String](1))
             .map(_.toMap.map { case (k, x) => k -> x }).getOrElse(Map.empty[String, String])
@@ -738,7 +755,8 @@ object DeltaRead {
             Option(row.getString(7)),
             if (row.isNullAt(8)) None else Some(row.getLong(8)),
             if (row.isNullAt(9)) None else Some(row.getLong(9)),
-            if (row.isNullAt(10)) None else Some(row.getLong(10))))
+            if (row.isNullAt(10)) None else Some(row.getLong(10)),
+            if (row.isNullAt(11)) None else Some(row.getLong(11))))
         }
     }
   }
@@ -957,7 +975,7 @@ object DeltaRead {
     val physByLogical = ColumnMapping.physByLogical(dataSchema)
     val out = entries.groupBy(_._2).toSeq.map { case (pv, es) =>
       val scan = spark.read.schema(scanSchema)
-        .parquet(es.map(e => Paths.get(table, e._1).toString): _*)
+        .parquet(es.map(e => dataPath(table, e._1).toString): _*)
       val renamed =
         if (!mapped) scan
         else scan.select(dataSchema.fields.toSeq.map(f =>
@@ -1075,6 +1093,34 @@ object DeltaRead {
     * checkpoint still works). Non-monotonic wall clocks resolve to the
     * HIGHEST eligible version, matching Delta's adjusted-timestamp
     * behavior. */
+  /** Time-travel timestamp literal → epoch millis: accepts epoch
+    * millis, a zoned instant (`...T12:00:00Z`), a LOCAL date-time with
+    * `T` or space (read as UTC), or a bare date (UTC midnight) —
+    * refusing loudly on anything else rather than time-traveling
+    * somewhere surprising. One parser for every door (DSv2
+    * `timestampAsOf`, SQL SHALLOW CLONE `TIMESTAMP AS OF`). */
+  def parseTimestampMillis(ts: String): Long =
+    ts.toLongOption.getOrElse {
+      val norm = ts.trim.replace(' ', 'T')
+      try java.time.Instant.parse(norm).toEpochMilli
+      catch {
+        case _: java.time.format.DateTimeParseException =>
+          try java.time.LocalDateTime.parse(norm)
+            .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+          catch {
+            case _: java.time.format.DateTimeParseException =>
+              try java.time.LocalDate.parse(norm).atStartOfDay()
+                .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+              catch {
+                case _: java.time.format.DateTimeParseException =>
+                  throw new IllegalArgumentException(
+                    s"graft-delta: unparseable timestamp '$ts' — use epoch " +
+                      "millis, 'yyyy-MM-dd[ HH:mm:ss]' (UTC), or an ISO instant")
+              }
+          }
+      }
+    }
+
   def versionAtTime(spark: SparkSession, table: String, tsMillis: Long): Long = {
     val known = (0L to latestVersion(table)).flatMap(v =>
       commitTimestamp(table, v).map(v -> _))
@@ -1193,7 +1239,7 @@ object DeltaRead {
     val sch = StructType(Seq(StructField(LineageFile, StringType),
       StructField(RtBase, LongType), StructField(RtRcv, LongType)))
     val rows = files.map { f =>
-      Row(Paths.get(table, f.path).toAbsolutePath.normalize().toString,
+      Row(dataPath(table, f.path).toAbsolutePath.normalize().toString,
         f.baseRowId.getOrElse(throw new IllegalStateException(
           s"$table: ${f.path} carries no baseRowId — row tracking not (fully) enabled")),
         f.defaultRowCommitVersion.getOrElse(throw new IllegalStateException(
@@ -1281,7 +1327,7 @@ object DeltaRead {
     val sch = StructType(dataFields ++
       Seq(StructField(matId, LongType), StructField(matRcv, LongType)))
     val scan = spark.read.schema(sch)
-      .parquet(files.map(f => Paths.get(table, f.path).toString): _*)
+      .parquet(files.map(f => dataPath(table, f.path).toString): _*)
       .withColumn(LineageFile, normalizedUriPath(col("_metadata.file_path")))
       .withColumn(LineagePos, col("_metadata.row_index"))
     val dvFiles = files.filter(_.dv.isDefined)
@@ -1516,7 +1562,7 @@ object DeltaRead {
     * under the files' stored (physical) names. */
   private[io] def maskedRawScan(spark: SparkSession, table: String,
       files: Seq[FileEntry]): DataFrame = {
-    val scan = spark.read.parquet(files.map(f => Paths.get(table, f.path).toString): _*)
+    val scan = spark.read.parquet(files.map(f => dataPath(table, f.path).toString): _*)
     val dvFiles = files.filter(_.dv.isDefined)
     if (dvFiles.isEmpty) scan
     else maskDeleted(spark, table,
@@ -1533,7 +1579,7 @@ object DeltaRead {
   private def maskDeleted(spark: SparkSession, table: String,
       scan: DataFrame, dvFiles: Seq[FileEntry]): DataFrame = {
     val specs = dvFiles.map { f =>
-      (Paths.get(table, f.path).toAbsolutePath.normalize().toString, f.dv.get,
+      (dataPath(table, f.path).toAbsolutePath.normalize().toString, f.dv.get,
         Option.empty[DeltaDv.Descriptor])
     }
     scan.join(dvRowsFrame(spark, table, specs), Seq(LineageFile, LineagePos), "left_anti")
@@ -1548,7 +1594,7 @@ object DeltaRead {
       keepLineage: Boolean = false,
       dvSelect: Option[Map[String, Option[DeltaDv.Descriptor]]] = None,
       extraDataFields: Seq[org.apache.spark.sql.types.StructField] = Nil): DataFrame = {
-    def abs(e: FileEntry) = Paths.get(table, e.path).toString
+    def abs(e: FileEntry) = dataPath(table, e.path).toString
     val mapped = ColumnMapping.active(s.columnMappingMode)
     // data columns only — partition columns live in the log, never the files
     val dataSchema = s.schema.map(sc => StructType(
@@ -1563,7 +1609,7 @@ object DeltaRead {
     val idResolved: Option[StructType] =
       if (!(mapped && s.columnMappingMode == "id" && s.files.nonEmpty)) None
       else try {
-        val first = Paths.get(table, s.files.head.path)
+        val first = dataPath(table, s.files.head.path)
         val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
           new org.apache.hadoop.fs.Path(first.toUri),
           new org.apache.hadoop.conf.Configuration())
@@ -1622,7 +1668,7 @@ object DeltaRead {
           .withColumn(LineagePos, col("_metadata.row_index"))
         val specs = fs.map { f =>
           require(f.dv.isDefined, s"dvSelect: ${f.path} carries no deletion vector")
-          (Paths.get(table, f.path).toAbsolutePath.normalize().toString, f.dv.get,
+          (dataPath(table, f.path).toAbsolutePath.normalize().toString, f.dv.get,
             oldBy.getOrElse(f.path, None))
         }
         relogical(withMeta
@@ -1681,7 +1727,7 @@ object DeltaRead {
         val pvSchema = StructType(StructField("__graft_path", StringType) +:
           s.partitionColumns.map(c => StructField(c, StringType, nullable = true)))
         val pvRows = s.files.map { f =>
-          Row.fromSeq(Paths.get(table, f.path).toAbsolutePath.normalize().toString +:
+          Row.fromSeq(dataPath(table, f.path).toAbsolutePath.normalize().toString +:
             s.partitionColumns.map(c => f.partitionValues.get(c).orNull))
         }
         val pvDf = spark.createDataFrame(

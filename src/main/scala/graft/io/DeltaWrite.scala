@@ -471,7 +471,7 @@ object DeltaWrite {
       val now = System.currentTimeMillis()
       var hwm = rowIdHighWaterMark(s)
       val reAdds = s.files.filterNot(_.baseRowId.isDefined).map { f =>
-        val p = Paths.get(table, f.path)
+        val p = DeltaRead.dataPath(table, f.path)
         val staged = Staged(f.path, f.partitionValues, Files.size(p),
           Files.getLastModifiedTime(p).toMillis, f.stats)
         val n = numRecordsOfStats(f.stats.getOrElse(throw new IllegalStateException(
@@ -1683,7 +1683,9 @@ object DeltaWrite {
   private def commit(df0: DataFrame, table: String, partitionBy: Seq[String],
       replaceExisting: Boolean, txn: Option[(String, Long)],
       maxRetries: Int = 10, createMapping: Option[String] = None,
-      identitySeed: Option[StructField] = None): Option[Long] = {
+      identitySeed: Option[StructField] = None,
+      extraActions: Option[DeltaRead.DeltaSnapshot] => Seq[String] = _ => Nil,
+      opName: Option[String] = None): Option[Long] = {
     val spark = df0.sparkSession
     // cheap pre-check: a replayed batch skips before staging anything
     txn.foreach { case (appId, ver) =>
@@ -1771,7 +1773,7 @@ object DeltaWrite {
     // any rejection below (drift, race exhaustion) must not leak the
     // staged files into the table root until a vacuum sweeps them
     try commitStaged(df, table, partBy, replaceExisting, txn, staged,
-      maxRetries, mapCtx, createMapping, identityMeta)
+      maxRetries, mapCtx, createMapping, identityMeta, extraActions, opName)
     catch { case e: Throwable => dropStaged(table, staged); throw e }
   }
 
@@ -1780,7 +1782,9 @@ object DeltaWrite {
       staged: Seq[Staged], maxRetries: Int,
       mapCtx: Option[WriteMapping.Ctx] = None,
       createMapping: Option[String] = None,
-      identityMeta: Option[(Option[String], StructType)] = None): Option[Long] = {
+      identityMeta: Option[(Option[String], StructType)] = None,
+      extraActions: Option[DeltaRead.DeltaSnapshot] => Seq[String] = _ => Nil,
+      opName: Option[String] = None): Option[Long] = {
     val spark = df.sparkSession
     var attempt = 0
     while (attempt < maxRetries) {
@@ -1919,7 +1923,7 @@ object DeltaWrite {
           Seq(metaDataAction(snap.flatMap(_.metaId).getOrElse(UUID.randomUUID().toString),
               schemaJson, partitionBy, now,
               mappedConf(snap.map(_.configuration).getOrElse(Map.empty))))
-        else Seq(commitInfoAction("APPEND", now)) ++
+        else Seq(commitInfoAction(opName.getOrElse("APPEND"), now)) ++
           // an identity append must publish the advanced high-water
           // mark in the SAME commit, or a spec-compliant foreign
           // writer would re-allocate the same range
@@ -1934,7 +1938,7 @@ object DeltaWrite {
         else Nil
       val adds = staged.map(s => addAction(s))
       val txns = txn.map { case (appId, ver) => txnAction(appId, ver, now) }.toSeq
-      val allLines = header ++ txns ++ removes ++ adds
+      val allLines = header ++ txns ++ removes ++ adds ++ extraActions(snap)
       if (publish(table, snap, v, allLines)) return Some(v)
       attempt += 1 // lost the CAS race: re-resolve version and retry
     }
@@ -2157,8 +2161,13 @@ object DeltaWrite {
       if (DeltaRead.ColumnMapping.active(s.columnMappingMode))
         s.schema.map(DeltaRead.ColumnMapping.physByLogical).getOrElse(Map.empty)
       else Map.empty
-    s.files.foreach { f =>
-      val from = Paths.get(source, f.path)
+    // a shallow-cloned SOURCE holds absolute entries — they stay
+    // absolute in the hard-link clone's log too (there is nothing
+    // under the source root to link; linking the external target
+    // would couple the new clone to a THIRD table's vacuum schedule
+    // no differently than the absolute reference already does)
+    s.files.filterNot(f => Paths.get(f.path).isAbsolute).foreach { f =>
+      val from = DeltaRead.dataPath(source, f.path)
       val to = Paths.get(dest, f.path)
       Files.createDirectories(to.getParent)
       Files.createLink(to, from)
@@ -2172,10 +2181,13 @@ object DeltaWrite {
     val schemaJson = s.schema.map(_.json).getOrElse(
       throw new IllegalStateException(s"clone: $source has no metaData schema"))
     val adds = s.files.map { f =>
-      val p = Paths.get(dest, f.path)
+      // sizes/mtimes from the LOG (hard links share them with the
+      // source byte-for-byte); absolute entries have no link under
+      // dest to stat anyway
       val staged = Staged(f.path,
         f.partitionValues.map { case (k, x) => physBy.getOrElse(k, k) -> x },
-        Files.size(p), Files.getLastModifiedTime(p).toMillis,
+        f.sizeOrStat(source),
+        f.modificationTime.getOrElse(now),
         f.stats.map(DeltaRead.renameStatsKeys(_, physBy)))
       // row ids ride through VERBATIM: a clone's rows keep the ids the
       // source assigned (the copied high-water mark keeps future
@@ -2192,6 +2204,322 @@ object DeltaWrite {
     require(publish(dest, Some(s), 0L, lines),
       s"clone: $dest version 0 already exists")
     0L
+  }
+
+  /** Protocol SHALLOW CLONE (Delta's `CREATE TABLE dst SHALLOW CLONE
+    * src [VERSION AS OF v]`): a METADATA-ONLY table whose add actions
+    * carry the ABSOLUTE paths of the source's live data files — zero
+    * bytes moved, zero links made, O(files) log lines at any data
+    * size. The clone pins the source AS OF the cloned version: the
+    * source advancing, compacting, or evolving afterwards never shows
+    * through (the clone's log owns its own file list). Writes to the
+    * clone add files under the CLONE's root; rewrites (merge, update,
+    * OPTIMIZE) tombstone the absolute entries and re-add local files,
+    * progressively localizing the table. VACUUM on the clone never
+    * touches source data — external files live outside the clone's
+    * root, and the root walk is the only deletion surface. The source
+    * must not be VACUUMed past the cloned version's file set (Delta's
+    * own shallow-clone contract; the scan fails loudly, never
+    * silently, when a referenced file is gone).
+    *
+    * `"u"`-typed deletion vectors resolve against the SOURCE root, so
+    * they are re-addressed as `"p"` (absolute) descriptors — same
+    * bitmap, same offset, readable from anywhere. Schema, partitioning,
+    * configuration, protocol features, row ids and user domains carry
+    * over exactly as [[clone]] does; the clone gets a fresh table id.
+    *
+    * `replace = true` re-points an EXISTING table at the source in one
+    * commit (remove head files + re-emit metaData + absolute adds) —
+    * history survives, time travel to pre-replace versions still
+    * works. Refused on a CDF-enabled target: change rows for a
+    * wholesale replace are unrepresentable (same stance as
+    * cross-schema [[restore]]). */
+  def shallowClone(spark: SparkSession, source: String, dest: String,
+      version: Option[Long] = None, replace: Boolean = false): Long = {
+    val v = version.getOrElse(DeltaRead.latestVersion(source))
+    val s = DeltaRead.snapshotAt(spark, source, v)
+    val schemaJson = s.schema.map(_.json).getOrElse(throw new IllegalStateException(
+      s"shallowClone: $source@$v has no metaData schema"))
+    val physBy: Map[String, String] =
+      if (DeltaRead.ColumnMapping.active(s.columnMappingMode))
+        s.schema.map(DeltaRead.ColumnMapping.physByLogical).getOrElse(Map.empty)
+      else Map.empty
+    val now = System.currentTimeMillis()
+    val adds = s.files.map { f =>
+      val abs = DeltaRead.dataPath(source, f.path).toAbsolutePath.normalize()
+      // size from the LOG (protocol-required on every add) — cloning a
+      // million-file table must not stat a million files
+      val staged = Staged(abs.toString,
+        f.partitionValues.map { case (k, x) => physBy.getOrElse(k, k) -> x },
+        f.sizeOrStat(source), f.modificationTime.getOrElse(now),
+        f.stats.map(DeltaRead.renameStatsKeys(_, physBy)))
+      val dv = f.dv.map {
+        case d if d.storageType == "u" =>
+          d.copy(storageType = "p",
+            pathOrInlineDv =
+              DeltaDv.dvFile(source, d).toAbsolutePath.normalize().toString)
+        case d => d // "p" stays absolute; "i" rides inline
+      }
+      addAction(staged, dataChange = true, dv = dv,
+        rowIds = f.baseRowId.zip(f.defaultRowCommitVersion))
+    }
+    def lines(domains: Seq[String], extraRemoves: Seq[String]) =
+      (Seq(commitInfoAction("CLONE", now), protocolActionFull(s),
+        metaDataAction(UUID.randomUUID().toString, schemaJson,
+          s.partitionColumns, now, s.configuration)) ++
+        extraRemoves ++ adds ++ domains)
+    if (!replace || !tableExists(dest)) {
+      require(!tableExists(dest), s"shallowClone: $dest is already a table " +
+        "(pass replace = true to re-point it)")
+      Files.createDirectories(Paths.get(dest))
+      val domainLines = s.liveDomains.toSeq.sortBy(_._1).map { case (d, c) =>
+        domainMetadataAction(d, c, removed = false)
+      }
+      require(publish(dest, Some(s), 0L, lines(domainLines, Nil)),
+        s"shallowClone: $dest version 0 already exists")
+      return 0L
+    }
+    // REPLACE: one commit on top of the existing head
+    var attempt = 0
+    while (attempt < 10) {
+      val head = DeltaRead.latestVersion(dest)
+      val cur = DeltaRead.snapshotAt(spark, dest, head)
+      validateWriterSupport(dest, cur, removesData = true)
+      if (cdcEnabled(cur.configuration) || cdcEnabled(s.configuration))
+        throw new UnsupportedOperationException(
+          s"shallowClone: $dest enables change data feed — change rows " +
+            "for a wholesale clone-replace are unrepresentable; DROP and " +
+            "re-create, or merge the source in instead")
+      val removes = cur.files.map(f => removeAction(f.path, now))
+      // the union of both tables' row-id marks keeps every id ever
+      // allocated on EITHER side unique across the replaced table's
+      // future — the clone carries source ids, history carries dest's
+      val domainLines = {
+        val merged = (s.liveDomains.get(RowTrackingDomain),
+            cur.liveDomains.get(RowTrackingDomain)) match {
+          case (Some(_), Some(_)) =>
+            val hwm = math.max(rowIdHighWaterMark(s), rowIdHighWaterMark(cur))
+            s.liveDomains + (RowTrackingDomain ->
+              s"""{"rowIdHighWaterMark":$hwm}""")
+          case _ => s.liveDomains
+        }
+        merged.toSeq.sortBy(_._1).map { case (d, c) =>
+          domainMetadataAction(d, c, removed = false)
+        }
+      }
+      if (publish(dest, Some(s), head + 1, lines(domainLines, removes)))
+        return head + 1
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"shallowClone: lost the commit race on $dest $attempt times — giving up")
+  }
+
+  /** CONVERT TO DELTA — put a Delta log OVER an existing parquet
+    * directory IN PLACE: no data read, no data moved, no rewrite.
+    * Version 0 `add`s every visible `.parquet` under `dir` (relative
+    * paths, Hive `k=v` partition dirs decoded into partitionValues),
+    * with per-file `size`, `modificationTime` and footer-derived
+    * `add.stats` — so data skipping works from commit zero. At 100 TB
+    * this is the migration door: the alternative (read + re-append)
+    * rewrites the corpus to change nothing but metadata.
+    *
+    * Partitioned layouts must DECLARE the partition schema
+    * (`PARTITIONED BY (p INT)` / `partitionSchema`) exactly as Delta
+    * requires: directory names alone cannot distinguish `p=1` the INT
+    * from `p=1` the STRING, and guessing wrong silently corrupts every
+    * partition-pruned read thereafter. The declared names must match
+    * the layout's `k=` segments (refused loudly otherwise); the data
+    * schema is taken from the parquet footers via Spark's reader.
+    * Refuses a directory that already has a `_delta_log`. */
+  def convertToDelta(spark: SparkSession, dir: String,
+      partitionSchema: Option[StructType] = None): Long = {
+    val root = Paths.get(dir).toAbsolutePath.normalize()
+    require(Files.isDirectory(root), s"convertToDelta: $dir is not a directory")
+    require(!Files.exists(root.resolve("_delta_log")),
+      s"convertToDelta: $dir already has a _delta_log")
+    val st = Files.walk(root)
+    val files =
+      try st.iterator().asScala.filter { p =>
+        Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet") &&
+          !root.relativize(p).iterator().asScala.exists { seg =>
+            val s0 = seg.toString; s0.startsWith("_") || s0.startsWith(".")
+          }
+      }.toList
+      finally st.close()
+    require(files.nonEmpty, s"convertToDelta: no parquet files under $dir")
+    val partCols = partitionSchema.map(_.fields.toSeq).getOrElse(Nil)
+    val adds = files.map { p =>
+      val rel = root.relativize(p)
+      val segs = rel.iterator().asScala.map(_.toString).toSeq.dropRight(1)
+      val pv: Map[String, String] = segs.map { seg =>
+        val eq = seg.indexOf('=')
+        require(eq > 0, s"convertToDelta: directory segment '$seg' is not " +
+          "k=v — a partitioned layout converts with PARTITIONED BY, " +
+          "flat layouts must not nest plain directories")
+        val raw = seg.substring(eq + 1)
+        seg.substring(0, eq) ->
+          (if (raw == NullPartition) null else decodeHiveValue(raw))
+      }.toMap
+      require(pv.keySet == partCols.map(_.name).toSet,
+        s"convertToDelta: file $rel sits under partitions " +
+          s"(${pv.keys.mkString(",")}) but PARTITIONED BY declares " +
+          s"(${partCols.map(_.name).mkString(",")})")
+      Staged(rel.toString, pv, Files.size(p),
+        Files.getLastModifiedTime(p).toMillis, parquetStats(p))
+    }
+    // data schema from the footers (partition columns are NOT in the
+    // files — they are directory metadata, appended as declared)
+    val dataSchema = spark.read.parquet(files.map(_.toString): _*).schema
+    require(partCols.forall(pc => !dataSchema.fieldNames.exists(
+      _.equalsIgnoreCase(pc.name))),
+      "convertToDelta: partition column also present in the parquet " +
+        "data — a converted table must keep one source of truth per column")
+    val fullSchema = StructType(dataSchema.fields ++ partCols)
+    val now = System.currentTimeMillis()
+    val lines = Seq(commitInfoAction("CONVERT", now), protocolAction,
+      metaDataAction(UUID.randomUUID().toString, fullSchema.json,
+        partCols.map(_.name), now)) ++
+      adds.map(a => addAction(a))
+    require(publish(root.toString, None, 0L, lines),
+      s"convertToDelta: $dir version 0 already exists")
+    0L
+  }
+
+  /** One COPY INTO outcome: `version` is None when nothing new was
+    * found (no commit made). */
+  final case class CopyIntoResult(table: String, version: Option[Long],
+    filesLoaded: Int, rowsLoaded: Long)
+
+  /** Idempotent bulk file ingestion (Delta's `COPY INTO` shape): load
+    * every data file under `sourceDir` that has NOT been loaded by a
+    * previous call, append the rows through the NORMAL commit path
+    * (schema-drift refusal, constraints, generated columns, identity —
+    * all write obligations apply), and advance a per-source ledger in
+    * the SAME commit so re-runs are exactly-once at the table level.
+    *
+    * The ledger is O(1) at scale, not O(ingested files): a MTIME
+    * WATERMARK plus the exact file names AT the watermark (the tie
+    * set), stored in a `graft.copyInto.<key>` domain. A file is new
+    * iff `mtime > watermark` or (`mtime == watermark` and its name is
+    * not in the tie set). Steady-state drops keep the tie set at the
+    * files sharing the newest millisecond — effectively constant; a
+    * coarse-mtime filesystem inflates it transiently until a newer
+    * batch arrives. DOCUMENTED TRADE (same as listing-based loaders):
+    * a file that lands with an mtime BELOW the watermark — a `cp -p`
+    * of an old file after later batches loaded — is treated as
+    * already-loaded and skipped; `force = true` re-ingests everything
+    * listed (and still advances the ledger). The ledger is
+    * per-source-DIRECTORY (not per pattern): a later call with a
+    * BROADER pattern does not resurrect older files an earlier
+    * narrower pattern excluded — `force` is the recovery door there
+    * too.
+    *
+    * Concurrency is exact, not best-effort: the commit carries a
+    * SetTransaction whose version is the ledger GENERATION
+    * (`snapshot.txns` high-water mark for this source). Two racing
+    * copies of the same source both stage against generation g and
+    * race to commit g+1 — the loser's txn guard skips its commit
+    * entirely, and the retry re-reads the advanced ledger, re-lists,
+    * and loads only what remains. */
+  def copyInto(spark: SparkSession, table: String, sourceDir: String,
+      format: String = "parquet", pattern: Option[String] = None,
+      force: Boolean = false, maxRetries: Int = 10): CopyIntoResult = {
+    require(tableExists(table),
+      s"copyInto: $table is not a Delta table — CREATE it first (COPY INTO " +
+        "appends; it does not infer a table)")
+    require(Set("parquet", "json", "csv")(format),
+      s"copyInto: unsupported FILEFORMAT '$format' (parquet/json/csv)")
+    val srcRoot = Paths.get(sourceDir).toAbsolutePath.normalize()
+    require(Files.isDirectory(srcRoot) || Files.isRegularFile(srcRoot),
+      s"copyInto: source $srcRoot does not exist")
+    val matcher = pattern.map(p =>
+      java.nio.file.FileSystems.getDefault.getPathMatcher("glob:" + p))
+    // one source = one ledger; the key must be stable across sessions
+    // and filesystem-safe, so it is a digest of the canonical dir
+    val key = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(srcRoot.toString.getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+    val domain = s"graft.copyInto.$key"
+    val appId = s"graft-copy-into:$key"
+    def listFiles(): Seq[(String, Path, Long)] = {
+      if (Files.isRegularFile(srcRoot))
+        return Seq((srcRoot.getFileName.toString, srcRoot,
+          Files.getLastModifiedTime(srcRoot).toMillis))
+      val st = Files.walk(srcRoot)
+      try st.iterator().asScala.filter { p =>
+        val rel = srcRoot.relativize(p)
+        Files.isRegularFile(p) &&
+          !rel.iterator().asScala.exists { seg =>
+            val s0 = seg.toString; s0.startsWith("_") || s0.startsWith(".")
+          } &&
+          matcher.forall(_.matches(rel))
+      }.map(p => (srcRoot.relativize(p).toString, p,
+        Files.getLastModifiedTime(p).toMillis)).toList
+      finally st.close()
+    }
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val snap = DeltaRead.snapshot(spark, table)
+      val gen = snap.txns.getOrElse(appId, 0L)
+      val (wm, ties) = snap.liveDomains.get(domain).map { c =>
+        val n = mapper.readTree(c)
+        (Option(n.get("watermark")).map(_.asLong()).getOrElse(Long.MinValue),
+          Option(n.get("atWatermark")).map(_.elements().asScala
+            .map(_.asText()).toSet).getOrElse(Set.empty[String]))
+      }.getOrElse((Long.MinValue, Set.empty[String]))
+      val all = listFiles()
+      val fresh =
+        if (force) all
+        else all.filter { case (n, _, m) => m > wm || (m == wm && !ties(n)) }
+      if (fresh.isEmpty) return CopyIntoResult(table, None, 0, 0L)
+      val committed = snap.schema.getOrElse(throw new IllegalStateException(
+        s"copyInto: $table has no committed schema"))
+      val paths = fresh.map(_._2.toString)
+      // parquet is self-describing (drift still refuses in the commit);
+      // csv/json read UNDER the committed schema — a header-only match
+      // would silently retype every column
+      val df = format match {
+        case "parquet" => spark.read.parquet(paths: _*)
+        case "json" => spark.read.schema(committed).json(paths: _*)
+        case "csv" => spark.read.option("header", "true")
+          .schema(committed).csv(paths: _*)
+      }
+      val newWm = math.max(wm, fresh.map(_._3).max)
+      val newTies = ((if (newWm == wm) ties else Set.empty[String]) ++
+        fresh.collect { case (n, _, m) if m == newWm => n }).toSeq.sorted
+      val ledger = {
+        val root = mapper.createObjectNode()
+        root.put("sourceDir", srcRoot.toString)
+        root.put("watermark", newWm)
+        val arr = root.putArray("atWatermark")
+        newTies.foreach(arr.add)
+        mapper.writeValueAsString(root)
+      }
+      val extra = (s: Option[DeltaRead.DeltaSnapshot]) =>
+        s.toSeq.flatMap { s0 =>
+          if (s0.minWriterVersion >= 7 && s0.writerFeatures.contains("domainMetadata")) Nil
+          else Seq(upgradeProtocolAction(table, s0, Set.empty, Set("domainMetadata")))
+        } :+ domainMetadataAction(domain, ledger, removed = false)
+      commit(df, table, Nil, replaceExisting = false,
+        txn = Some((appId, gen + 1)), extraActions = extra,
+        opName = Some("COPY INTO")) match {
+        case Some(v) =>
+          // row count from the commit's own add.stats — no second scan
+          val rows = Files.readAllLines(commitPath(table, v)).asScala
+            .flatMap { line =>
+              val a = mapper.readTree(line).get("add")
+              if (a == null) None
+              else Option(a.get("stats")).filterNot(_.isNull).flatMap(st =>
+                Option(mapper.readTree(st.asText()).get("numRecords"))
+                  .map(_.asLong()))
+            }.sum
+          return CopyIntoResult(table, Some(v), fresh.size, rows)
+        case None => attempt += 1 // a racing copy advanced the ledger
+      }
+    }
+    throw new IllegalStateException(
+      s"copyInto: lost the ledger race on $table $maxRetries times — giving up")
   }
 
   /** RESTORE the table to an earlier version — time travel made
@@ -2226,7 +2554,7 @@ object DeltaWrite {
       val removes = cur.files.filterNot(f => targetKeys(key(f)))
       val adds = target.files.filterNot(f => curKeys(key(f)))
       adds.foreach { f =>
-        require(Files.exists(Paths.get(table, f.path)),
+        require(Files.exists(DeltaRead.dataPath(table, f.path)),
           s"restore: data file ${f.path} was vacuumed — version $version " +
             "is no longer restorable")
         f.dv.filter(d => d.storageType == "u" || d.storageType == "p").foreach(d =>
@@ -2303,7 +2631,7 @@ object DeltaWrite {
       val lines = Seq(commitInfoAction("RESTORE", now)) ++ metaLine ++
         removes.map(f => removeAction(f.path, now)) ++
         adds.map { f =>
-          val p = Paths.get(table, f.path)
+          val p = DeltaRead.dataPath(table, f.path)
           val staged = Staged(f.path,
             f.partitionValues.map { case (k, x) => physBy.getOrElse(k, k) -> x },
             Files.size(p), Files.getLastModifiedTime(p).toMillis,
@@ -2397,7 +2725,7 @@ object DeltaWrite {
           snap.schema.map(DeltaRead.ColumnMapping.physByLogical).getOrElse(Map.empty)
         else Map.empty
       val byAbs = snap.files.map(f =>
-        (Paths.get(table, f.path).toAbsolutePath.normalize().toString, f)).toMap
+        (DeltaRead.dataPath(table, f.path).toAbsolutePath.normalize().toString, f)).toMap
       val oldDvByAbs: Map[String, DeltaDv.Descriptor] =
         byAbs.collect { case (p, f) if f.dv.isDefined => (p, f.dv.get) }
       val doomed = select(DeltaRead.readVersionWithLineage(spark, table, v))
@@ -2443,7 +2771,7 @@ object DeltaWrite {
       val fileLines = descs.toSeq.flatMap { case (abs, pid, off, size, card) =>
         val f = byAbs(abs)
         val d = dvOf(pid, off, size, card)
-        val p = Paths.get(table, f.path)
+        val p = DeltaRead.dataPath(table, f.path)
         // a DV covering every physical row = the file is logically
         // empty: drop it from the table instead of masking 100% of it
         val numRecords = f.stats.flatMap(s =>
@@ -2606,7 +2934,7 @@ object DeltaWrite {
         .select(col(DeltaRead.LineageFile)).distinct()
         .collect().map(_.getString(0)).toSet // one path per touched file
       val byAbs = snap.files.map(f =>
-        (Paths.get(table, f.path).toAbsolutePath.normalize().toString, f)).toMap
+        (DeltaRead.dataPath(table, f.path).toAbsolutePath.normalize().toString, f)).toMap
       val touched = touchedAbs.toSeq.sorted.map(a => byAbs.getOrElse(a,
         throw new IllegalStateException(s"merge: lineage path $a not in snapshot")))
       // a row-tracking table's rewrite must PRESERVE the stable ids of
@@ -2919,7 +3247,7 @@ object DeltaWrite {
         .map(_.distinct().collect().map(_.getString(0)).toSet)
         .getOrElse(Set.empty[String])
       val byAbs = snap.files.map(f =>
-        (Paths.get(table, f.path).toAbsolutePath.normalize().toString, f)).toMap
+        (DeltaRead.dataPath(table, f.path).toAbsolutePath.normalize().toString, f)).toMap
       val touched = touchedAbs.toSeq.sorted.map(a => byAbs.getOrElse(a,
         throw new IllegalStateException(
           s"mergeAdvanced: lineage path $a not in snapshot")))
@@ -3174,7 +3502,7 @@ object DeltaWrite {
         .collect().map(_.getString(0)).toSet
       if (touchedAbs.isEmpty) return v // no row matches: no empty commit
       val byAbs = snap.files.map(f =>
-        (Paths.get(table, f.path).toAbsolutePath.normalize().toString, f)).toMap
+        (DeltaRead.dataPath(table, f.path).toAbsolutePath.normalize().toString, f)).toMap
       val touched = touchedAbs.toSeq.sorted.map(a => byAbs.getOrElse(a,
         throw new IllegalStateException(
           s"updateWhere: lineage path $a not in snapshot")))
@@ -3309,7 +3637,7 @@ object DeltaWrite {
             "the pre-check and the staged write")).isNull)
       if (touchedAbs.isEmpty && newRows.isEmpty) return v
       val byAbs = snap.files.map(f =>
-        (Paths.get(table, f.path).toAbsolutePath.normalize().toString, f)).toMap
+        (DeltaRead.dataPath(table, f.path).toAbsolutePath.normalize().toString, f)).toMap
       val touched = touchedAbs.toSeq.sorted.map(a => byAbs.getOrElse(a,
         throw new IllegalStateException(
           s"replaceWhere: lineage path $a not in snapshot")))
@@ -4005,7 +4333,24 @@ object DeltaWrite {
             .filter(_.getFileName.toString.endsWith(".parquet"))
             .toList.sortBy(_.getFileName.toString)
           finally ls.close()
-        val partDir = fs.head.path.split('/').dropRight(1)
+        // output layout: keep the group's partition subdir — EXCEPT for
+        // ABSOLUTE entries (a shallow clone's adds point into the
+        // SOURCE table), whose parent is another table's directory.
+        // Deriving the dir from such a path would `resolve` to the
+        // absolute parent and MOVE the rewrite into the source's root:
+        // a foreign file the source's vacuum later reclaims, breaking
+        // the clone. Absolute groups re-derive the Hive dir from the
+        // partition values instead — this is how OPTIMIZE localizes a
+        // clone.
+        val partDir: Seq[String] =
+          if (!Paths.get(fs.head.path).isAbsolute)
+            fs.head.path.split('/').dropRight(1).toSeq
+          else s.partitionColumns.map { c =>
+            val v = pv.get(c).orNull
+            physBy.getOrElse(c, c) + "=" + (if (v == null) NullPartition
+              else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+                .escapePathName(v))
+          }
         val outs = parts.map { part =>
           val relPath = (partDir :+ s"part-${UUID.randomUUID()}.parquet").mkString("/")
           val dest = Paths.get(table).resolve(relPath)
@@ -4204,7 +4549,7 @@ object DeltaWrite {
     // bitmaps it cannot see as referenced)
     validateWriterSupport(table, headSnap, removesData = false)
     val headFiles = headSnap.files
-    val live = headFiles.map(f => Paths.get(table, f.path).normalize()).toSet
+    val live = headFiles.map(f => DeltaRead.dataPath(table, f.path).normalize()).toSet
     val cutoff = System.currentTimeMillis() - retentionMs
     // deletion-vector bitmaps superseded by a later DELETE (or whose
     // file was dropped) are garbage too — same retention contract as
@@ -4275,7 +4620,8 @@ object DeltaWrite {
           // DeltaRead.decodePath: the SAME decoding the reader applies,
           // so vacuum's protected set can never diverge from what a
           // reader resolves
-          Some(Paths.get(table, DeltaRead.decodePath(r.get("path").asText)).normalize())
+          Some(DeltaRead.dataPath(table,
+            DeltaRead.decodePath(r.get("path").asText)).normalize())
         else None
       }.toSet
     finally st.close()
@@ -4375,10 +4721,19 @@ object DeltaWrite {
         s.partitionColumns, s.configuration, System.currentTimeMillis()),
       null, null, null)
     val addRows = s.files.map { f =>
-      val p = Paths.get(table, f.path)
-      val (size, mtime) =
-        if (Files.exists(p)) (Files.size(p), Files.getLastModifiedTime(p).toMillis)
-        else (0L, 0L)
+      // size/mtime come from the LOG (protocol-required on every add) —
+      // checkpointing a million-file table must not stat a million
+      // files. The FS fallback covers only legacy actions lacking the
+      // fields, tolerating a moved-aside file as (0, 0) like before.
+      val (size, mtime) = (f.size, f.modificationTime) match {
+        case (Some(sz), Some(mt)) => (sz, mt)
+        case (sz, mt) =>
+          val p = DeltaRead.dataPath(table, f.path)
+          if (Files.exists(p))
+            (sz.getOrElse(Files.size(p)),
+              mt.getOrElse(Files.getLastModifiedTime(p).toMillis))
+          else (sz.getOrElse(0L), mt.getOrElse(0L))
+      }
       // stats keys were translated to logical at snapshot resolution;
       // the persisted form must be physical again, like partitionValues.
       // DELETION VECTORS persist verbatim — a checkpoint without them

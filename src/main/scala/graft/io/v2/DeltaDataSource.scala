@@ -205,31 +205,10 @@ class DeltaDataSource extends RelationProvider
     new DeltaRelation(sqlContext, path, version, pinned = pinned.isDefined)
   }
 
-  /** `timestampAsOf` accepts epoch millis, a zoned instant
-    * (`...T12:00:00Z`), a LOCAL date-time with `T` or space (read as
-    * UTC), or a bare date (UTC midnight) — refusing loudly on anything
-    * else rather than time-traveling somewhere surprising. */
+  /** `timestampAsOf` parsing lives in [[DeltaRead.parseTimestampMillis]]
+    * so the SQL doors (clone, restore) resolve timestamps identically. */
   private def parseTimestampOption(ts: String): Long =
-    ts.toLongOption.getOrElse {
-      val norm = ts.trim.replace(' ', 'T')
-      try java.time.Instant.parse(norm).toEpochMilli
-      catch {
-        case _: java.time.format.DateTimeParseException =>
-          try java.time.LocalDateTime.parse(norm)
-            .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
-          catch {
-            case _: java.time.format.DateTimeParseException =>
-              try java.time.LocalDate.parse(norm).atStartOfDay()
-                .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
-              catch {
-                case _: java.time.format.DateTimeParseException =>
-                  throw new IllegalArgumentException(
-                    s"graft-delta: unparseable timestampAsOf '$ts' — use epoch " +
-                      "millis, 'yyyy-MM-dd[ HH:mm:ss]' (UTC), or an ISO instant")
-              }
-          }
-      }
-    }
+    DeltaRead.parseTimestampMillis(ts)
 }
 
 /** The batch change-feed relation: versions `[startV, endV]`'s exact

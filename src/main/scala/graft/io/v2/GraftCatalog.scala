@@ -73,6 +73,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       s.nonEmpty && !s.contains("/") && !s.contains("\\") && s != "." && s != "..",
       s"GraftCatalog: illegal identifier segment '$s'"))
 
+  /** Where `ident` lives (or would live) under the warehouse — the
+    * creation-side twin of [[loadTable]]'s resolution, for commands
+    * that materialize a NEW table at a catalog identifier (SQL
+    * `CREATE TABLE dst SHALLOW CLONE src` runs outside Spark's
+    * createTable hook and needs the destination directory up front). */
+  private[graft] def dirForIdent(ident: Identifier): Path = tableDir(ident)
+
   /** `db.t` → `<warehouse>/db/t`, traversal-checked. */
   private def tableDir(ident: Identifier): Path = {
     val segs = ident.namespace().toSeq :+ ident.name()

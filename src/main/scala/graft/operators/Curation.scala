@@ -59,4 +59,58 @@ object Curation {
     * string when none) — the key for per-domain corpus accounting. */
   def domain(c: Column): Column =
     regexp_extract(c, "https?://([A-Za-z0-9.-]+)", 1)
+
+  /** Sliding word n-grams (space-joined) — the unit of the Gopher
+    * repetition signals below. Empty array when the text has fewer
+    * than `n` tokens. */
+  def wordNgrams(textCol: Column, n: Int): Column = {
+    val t = TextAnalysis.tokens(textCol)
+    when(size(t) >= n,
+      transform(sequence(lit(0), size(t) - n),
+        i => array_join(slice(t, i + 1, lit(n)), " ")))
+      .otherwise(array().cast(ArrayType(StringType)))
+  }
+
+  /** GOPHER-style repetition signals (Rae et al. 2021 §A1.1, the
+    * public quality-filter recipe): per document,
+    *
+    *  - `top_frac`  — fraction of the text's characters covered by
+    *    occurrences of the MOST FREQUENT `topN`-gram
+    *    (`count * length(gram) / length(text)`; ties break to the
+    *    lexicographically LARGEST gram, pinned so the oracle's window
+    *    and Spark's `max_by` agree);
+    *  - `dup_frac`  — fraction of characters inside `dupN`-grams that
+    *    occur at least twice (`Σ count*length(gram) / length(text)`
+    *    over repeated grams; >1 is possible for overlapping grams and
+    *    fine — the signal thresholds, it doesn't normalize).
+    *
+    * Docs too short for a gram get 0.0 on both. 100 TB shape: one
+    * explode + `(id, gram)` hash aggregation with map-side partials,
+    * then an `(id)`-keyed reduce — no window over the corpus, no
+    * driver state; the gram space is bounded by total token count.
+    * Returns `(id, top_frac, dup_frac)` under the caller's id name. */
+  def repetitionSignals(df: org.apache.spark.sql.DataFrame, idName: String,
+      textCol: Column, topN: Int = 2, dupN: Int = 3): org.apache.spark.sql.DataFrame = {
+    val id = col(idName)
+    val base = df.select(id.as(idName), length(textCol).as("__len"),
+      textCol.as("__text"))
+    def gramCounts(n: Int) = base
+      .select(id, col("__len"), explode(wordNgrams(col("__text"), n)).as("__g"))
+      .groupBy(id, col("__len"), col("__g"))
+      .agg(count(lit(1)).as("__cnt"))
+    val top = gramCounts(topN)
+      .groupBy(id)
+      .agg((max_by(col("__cnt") * length(col("__g")),
+        struct(col("__cnt"), col("__g"))) / max(col("__len"))).as("top_frac"))
+    val dup = gramCounts(dupN)
+      .groupBy(id)
+      .agg((coalesce(sum(when(col("__cnt") >= 2,
+        col("__cnt") * length(col("__g")))), lit(0L)) / max(col("__len")))
+        .as("dup_frac"))
+    base.select(id)
+      .join(top, Seq(idName), "left")
+      .join(dup, Seq(idName), "left")
+      .select(id, coalesce(col("top_frac"), lit(0.0)).as("top_frac"),
+        coalesce(col("dup_frac"), lit(0.0)).as("dup_frac"))
+  }
 }

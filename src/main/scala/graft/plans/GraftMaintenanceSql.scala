@@ -75,12 +75,26 @@ object GraftMaintenanceParser {
   private val ConjunctRe = """(?s)^\s*`?([\w$]+)`?\s*=\s*(?:'([^']*)'|(\S+))\s*$""".r
   private val RestoreRe =
     ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?""" + Tbl +
-      """\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""").r
+      """\s+TO\s+(?:VERSION\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+'([^']+)')""" +
+      """\s*;?\s*$""").r
   private val HistoryRe =
     ("""(?is)^\s*(?:DESCRIBE|DESC)\s+HISTORY\s+""" + Tbl +
       """(?:\s+LIMIT\s+(\d+))?\s*;?\s*$""").r
   private val DetailRe =
     ("""(?is)^\s*(?:DESCRIBE|DESC)\s+DETAIL\s+""" + Tbl + """\s*;?\s*$""").r
+  private val CloneRe =
+    ("""(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?""" +
+      Tbl + """\s+SHALLOW\s+CLONE\s+""" + Tbl +
+      """(?:\s+VERSION\s+AS\s+OF\s+(\d+)|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?""" +
+      """\s*;?\s*$""").r
+  private val CopyIntoRe =
+    ("""(?is)^\s*COPY\s+INTO\s+""" + Tbl + """\s+FROM\s+'([^']+)'""" +
+      """\s+FILEFORMAT\s*=\s*(\w+)""" +
+      """(?:\s+PATTERN\s*=\s*'([^']+)')?""" +
+      """(?:\s+FORCE\s*=\s*(true|false))?\s*;?\s*$""").r
+  private val ConvertRe =
+    ("""(?is)^\s*CONVERT\s+TO\s+DELTA\s+'([^']+)'""" +
+      """(?:\s+PARTITIONED\s+BY\s*\(([^)]+)\))?\s*;?\s*$""").r
 
   private def firstWord(sql: String): String =
     sql.trim.takeWhile(!_.isWhitespace).toUpperCase(java.util.Locale.ROOT)
@@ -132,8 +146,9 @@ object GraftMaintenanceParser {
         case _ => None
       }
       case "RESTORE" => sqlText match {
-        case RestoreRe(tok, v) =>
-          Some(GraftRestoreCommand(tableSpec(tok, delegate), v.toLong))
+        case RestoreRe(tok, v, ts) =>
+          Some(GraftRestoreCommand(tableSpec(tok, delegate),
+            Option(v).map(_.toLong), Option(ts)))
         case _ => None
       }
       // only DESCRIBE HISTORY/DETAIL are ours — plain DESCRIBE stays Spark's
@@ -143,6 +158,32 @@ object GraftMaintenanceParser {
             Option(limit).map(_.toInt)))
         case DetailRe(tok) =>
           Some(GraftDetailCommand(tableSpec(tok, delegate)))
+        case _ => None
+      }
+      case "CONVERT" => sqlText match {
+        case ConvertRe(path, parts) =>
+          Some(GraftConvertCommand(path,
+            Option(parts).map(delegate.parseTableSchema)))
+        case _ => None
+      }
+      case "COPY" => sqlText match {
+        case CopyIntoRe(tok, from, fmt, pat, force) =>
+          Some(GraftCopyIntoCommand(tableSpec(tok, delegate), from,
+            fmt.toLowerCase(java.util.Locale.ROOT), Option(pat),
+            force = force != null && force.equalsIgnoreCase("true")))
+        case _ => None
+      }
+      // ONLY the SHALLOW CLONE form is claimed — every other CREATE
+      // (tables, views, functions, namespaces) stays Spark's
+      case "CREATE" => sqlText match {
+        case CloneRe(orReplace, ifNotExists, dstTok, srcTok, v, ts) =>
+          require(orReplace == null || ifNotExists == null,
+            "CREATE TABLE ... SHALLOW CLONE: OR REPLACE and IF NOT " +
+              "EXISTS cannot be combined")
+          Some(GraftCloneCommand(tableSpec(dstTok, delegate),
+            tableSpec(srcTok, delegate), Option(v).map(_.toLong),
+            replace = orReplace != null, ifNotExists = ifNotExists != null,
+            timestamp = Option(ts)))
         case _ => None
       }
       case _ => None
@@ -170,6 +211,26 @@ object GraftMaintenanceParser {
           }
         case _ => throw new UnsupportedOperationException(
           s"maintenance: catalog '${plugin.name()}' is not a table catalog")
+      }
+  }
+
+  /** Like [[resolvePath]] but for a table that may not EXIST yet (the
+    * clone destination): a quoted path is used as-is; an identifier
+    * resolves to where a [[graft.io.v2.GraftCatalog]] would place it —
+    * existing or not — so the created directory is discoverable by
+    * `loadTable` the moment the clone commits (the catalog is
+    * directory-backed; no separate registration step). */
+  private[plans] def resolveCreatePath(spark: SparkSession,
+      table: Either[String, Seq[String]]): String = table match {
+    case Left(path) => path
+    case Right(parts) =>
+      val (plugin, ident) = GraftCatalogBridge.resolve(spark, parts)
+      plugin match {
+        case gc: graft.io.v2.GraftCatalog => gc.dirForIdent(ident).toString
+        case other => throw new UnsupportedOperationException(
+          s"SHALLOW CLONE: destination catalog '${other.name()}' is not a " +
+            "GraftCatalog — clone to a quoted path or a graft catalog " +
+            "identifier")
       }
   }
 }
@@ -282,8 +343,7 @@ case class GraftDetailCommand(table: Either[String, Seq[String]])
     // THERE a live file missing from disk is table damage, not a
     // detail to paper over as 0 bytes — it errors rather than
     // under-report.
-    val bytes = s.files.map(f => f.size.getOrElse(
-      java.nio.file.Files.size(java.nio.file.Paths.get(path, f.path)))).sum
+    val bytes = s.files.map(_.sizeOrStat(path)).sum
     val features = (s.readerFeatures ++ s.writerFeatures).toSeq.sorted
     val props = s.configuration.toSeq.sortBy(_._1)
       .map { case (k, v) => s"$k=$v" }
@@ -301,16 +361,101 @@ case class GraftDetailCommand(table: Either[String, Seq[String]])
   * NEW head commit reinstating version v's file set (history is kept —
   * a restore is itself undoable). */
 case class GraftRestoreCommand(table: Either[String, Seq[String]],
-    version: Long) extends LeafRunnableCommand {
+    version: Option[Long], timestamp: Option[String] = None)
+    extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("path", StringType, nullable = false)(),
     AttributeReference("restored_to", LongType, nullable = false)(),
     AttributeReference("new_version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val path = GraftMaintenanceParser.resolvePath(spark, table)
-    val newV = DeltaWrite.restore(spark, path, version)
-    Seq(Row(path, version, newV))
+    val v = version
+      .orElse(timestamp.map(ts => DeltaRead.versionAtTime(spark, path,
+        DeltaRead.parseTimestampMillis(ts))))
+      .getOrElse(throw new IllegalArgumentException(
+        "RESTORE needs VERSION AS OF or TIMESTAMP AS OF"))
+    val newV = DeltaWrite.restore(spark, path, v)
+    Seq(Row(path, v, newV))
   }
   override def simpleString(maxFields: Int): String =
-    s"GraftRestoreCommand $table TO VERSION AS OF $version"
+    s"GraftRestoreCommand $table TO " +
+      version.map(v => s"VERSION AS OF $v")
+        .getOrElse(s"TIMESTAMP AS OF ${timestamp.getOrElse("?")}")
+}
+
+/** `CREATE [OR REPLACE] TABLE [IF NOT EXISTS] dst SHALLOW CLONE src
+  * [VERSION AS OF v]` → [[DeltaWrite.shallowClone]]: a metadata-only
+  * table whose add actions point (absolutely) at the SOURCE's live
+  * data files as of the cloned version — the zero-copy dev/test
+  * snapshot of a 100 TB table. `IF NOT EXISTS` no-ops (source_version
+  * −1) when the destination already is a table; `OR REPLACE`
+  * re-points an existing table in one commit, history intact. */
+case class GraftCloneCommand(dest: Either[String, Seq[String]],
+    source: Either[String, Seq[String]], version: Option[Long],
+    replace: Boolean, ifNotExists: Boolean,
+    timestamp: Option[String] = None) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("source_path", StringType, nullable = false)(),
+    AttributeReference("source_version", LongType, nullable = false)(),
+    AttributeReference("committed_version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = GraftMaintenanceParser.resolvePath(spark, source)
+    val dst = GraftMaintenanceParser.resolveCreatePath(spark, dest)
+    val dstExists = java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(dst, "_delta_log"))
+    if (ifNotExists && dstExists) return Seq(Row(dst, src, -1L, -1L))
+    val v = version
+      .orElse(timestamp.map(ts => DeltaRead.versionAtTime(spark, src,
+        DeltaRead.parseTimestampMillis(ts))))
+      .getOrElse(DeltaRead.latestVersion(src))
+    val committed = DeltaWrite.shallowClone(spark, src, dst, Some(v), replace)
+    Seq(Row(dst, src, v, committed))
+  }
+  override def simpleString(maxFields: Int): String =
+    s"GraftCloneCommand $dest SHALLOW CLONE $source" +
+      version.map(v => s" VERSION AS OF $v").getOrElse("")
+}
+
+/** `COPY INTO t FROM '/dir' FILEFORMAT = PARQUET [PATTERN = '*.parquet']
+  * [FORCE = true]` → [[DeltaWrite.copyInto]]: idempotent bulk file
+  * ingestion — re-running the statement loads only files that arrived
+  * since the last run (exactly-once under racing copies via the
+  * ledger's SetTransaction generation). */
+case class GraftCopyIntoCommand(table: Either[String, Seq[String]],
+    from: String, format: String, pattern: Option[String],
+    force: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = true)(),
+    AttributeReference("files_loaded", IntegerType, nullable = false)(),
+    AttributeReference("rows_loaded", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftMaintenanceParser.resolvePath(spark, table)
+    val r = DeltaWrite.copyInto(spark, path, from, format, pattern, force)
+    Seq(Row(path, r.version.map(Long.box).orNull, r.filesLoaded, r.rowsLoaded))
+  }
+  override def simpleString(maxFields: Int): String =
+    s"GraftCopyIntoCommand $table FROM $from FILEFORMAT $format" +
+      pattern.map(p => s" PATTERN $p").getOrElse("") +
+      (if (force) " FORCE" else "")
+}
+
+/** `CONVERT TO DELTA '/dir' [PARTITIONED BY (p INT, ...)]` →
+  * [[DeltaWrite.convertToDelta]]: a Delta log over an existing parquet
+  * directory in place — no data read or moved, footer stats harvested
+  * so data skipping works from version 0. The 100 TB migration door. */
+case class GraftConvertCommand(path: String,
+    partitionSchema: Option[org.apache.spark.sql.types.StructType])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("files", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    DeltaWrite.convertToDelta(spark, path, partitionSchema)
+    Seq(Row(path, DeltaRead.snapshot(spark, path).files.size.toLong))
+  }
+  override def simpleString(maxFields: Int): String =
+    s"GraftConvertCommand $path" +
+      partitionSchema.map(s => s" PARTITIONED BY ${s.simpleString}").getOrElse("")
 }

@@ -1106,7 +1106,62 @@ object CurationQueries {
     },
     Some("SELECT 50 AS k, true AS size_ok, true AS overlap_ok"))
 
+  /** q233 — GOPHER repetition signals ([[graft.operators.Curation
+    * .repetitionSignals]], Rae et al. 2021 §A1.1): per document, the
+    * character fraction covered by the most frequent word 2-gram and
+    * the fraction inside repeated 3-grams, thresholded per language —
+    * the quality-filter block every public LLM corpus recipe applies
+    * between langid and dedup. Flags compare the SAME double division
+    * both engines compute (cnt·len(gram) / len(text)), so parity is
+    * bit-exact; no floating sums cross the oracle boundary. */
+  val q233GopherRepetition = GQuery(
+    "q233_gopher_repetition",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).select($"doc_id", $"lang", $"text")
+      val sig = graft.operators.Curation
+        .repetitionSignals(docs, "doc_id", $"text")
+      docs.select($"doc_id", $"lang").join(sig, Seq("doc_id"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"top_frac" > 0.2, 1L).otherwise(0L)).as("top_gt20"),
+          sum(when($"top_frac" > 0.5, 1L).otherwise(0L)).as("top_gt50"),
+          sum(when($"dup_frac" > 0.1, 1L).otherwise(0L)).as("dup_gt10"),
+          sum(when($"dup_frac" > 0.3, 1L).otherwise(0L)).as("dup_gt30"))
+        .orderBy($"lang")
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, lang, length(text) AS L,
+           |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ts
+           |  FROM documents),
+           |g2 AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] AS g
+           |       FROM toks, UNNEST(generate_series(1, len(ts) - 1)) AS u(i)),
+           |c2 AS (SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY 1, 2),
+           |t2 AS (SELECT doc_id, cnt * length(g) AS chars,
+           |              row_number() OVER (PARTITION BY doc_id
+           |                                 ORDER BY cnt DESC, g DESC) AS rn
+           |       FROM c2),
+           |top AS (SELECT doc_id, chars FROM t2 WHERE rn = 1),
+           |g3 AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
+           |       FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS u(i)),
+           |c3 AS (SELECT doc_id, g, count(*) AS cnt FROM g3 GROUP BY 1, 2),
+           |dup AS (SELECT doc_id,
+           |               sum(CASE WHEN cnt >= 2 THEN cnt * length(g) END) AS chars
+           |        FROM c3 GROUP BY 1),
+           |f AS (SELECT toks.doc_id, lang,
+           |             coalesce(top.chars, 0) / CAST(L AS DOUBLE) AS top_frac,
+           |             coalesce(dup.chars, 0) / CAST(L AS DOUBLE) AS dup_frac
+           |      FROM toks LEFT JOIN top USING (doc_id)
+           |                LEFT JOIN dup USING (doc_id))
+           |SELECT lang, count(*) AS n_docs,
+           |  CAST(sum(CASE WHEN top_frac > 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS top_gt20,
+           |  CAST(sum(CASE WHEN top_frac > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS top_gt50,
+           |  CAST(sum(CASE WHEN dup_frac > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_gt10,
+           |  CAST(sum(CASE WHEN dup_frac > 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS dup_gt30
+           |FROM f GROUP BY lang ORDER BY lang""".stripMargin))
+
   val all: Seq[GQuery] = Seq(
+    q233GopherRepetition,
     q117ChunkDedup, q118PiiRedaction, q119Contamination, q120DomainStats,
     q121WeightedResample, q122VocabCoverage, q123TrainingOrder, q135BigramLm,
     q150DupNgrams, q151AdaptiveQuality, q152BpePairs, q169DataMixing,

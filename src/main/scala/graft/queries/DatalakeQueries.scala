@@ -2054,7 +2054,201 @@ object DatalakeQueries {
            |  CAST(1 AS BIGINT) AS add_commits, 'MERGE' AS head_op
            |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** q230 — SHALLOW CLONE through pure SQL ([[graft.plans
+    * .GraftCloneCommand]] → [[graft.io.DeltaWrite.shallowClone]]): a
+    * seeded table takes two inserts; `CREATE TABLE c SHALLOW CLONE s
+    * VERSION AS OF 1` pins the FIRST insert with ZERO data files
+    * copied (the `zero_copy` pin counts parquet under the clone's
+    * root); the source then diverges (third insert) without showing
+    * through; the clone takes a deletion-vector DELETE — the bitmap
+    * masks rows in the SOURCE's files, read through absolute add
+    * paths — and an OPTIMIZE that LOCALIZES the clone (the
+    * `localized` pin asserts no absolute entry survives). The oracle
+    * recomputes both sides from `orders`. */
+  val q230ShallowClone = GQuery(
+    "q230_shallow_clone",
+    (s, d) => withFreshCatalog(s, "q230") { cat =>
+      s.read.parquet(s"$d/orders.parquet")
+        .selectExpr("CAST(o_orderkey AS BIGINT) AS o_orderkey",
+          "CAST(round(o_totalprice * 100) AS BIGINT) AS cents")
+        .createOrReplaceTempView("q230_src")
+      s.sql(s"""CREATE TABLE $cat.s (o_orderkey BIGINT, cents BIGINT)
+        USING `graft-delta`""")                                        // v0
+      s.sql(s"INSERT INTO $cat.s SELECT * FROM q230_src WHERE o_orderkey % 3 = 0")
+      s.sql(s"INSERT INTO $cat.s SELECT * FROM q230_src WHERE o_orderkey % 3 = 1")
+      s.sql(s"CREATE TABLE $cat.c SHALLOW CLONE $cat.s VERSION AS OF 1")
+      val whC = s.conf.get(s"spark.sql.catalog.$cat.warehouse") + "/c"
+      val copied = {
+        val st = java.nio.file.Files.walk(java.nio.file.Paths.get(whC))
+        try {
+          import scala.jdk.CollectionConverters._
+          st.iterator().asScala.count(p =>
+            p.getFileName.toString.endsWith(".parquet") &&
+              !p.startsWith(java.nio.file.Paths.get(whC, "_delta_log")))
+        } finally st.close()
+      }
+      // the source diverging must not show through the pinned clone
+      s.sql(s"INSERT INTO $cat.s SELECT * FROM q230_src WHERE o_orderkey % 3 = 2")
+      // a DV delete on the clone masks rows inside the SOURCE's files
+      s.sql(s"DELETE FROM $cat.c WHERE o_orderkey % 5 = 0")
+      s.sql(s"OPTIMIZE $cat.c")
+      val localized = graft.io.DeltaRead.snapshot(s, whC).files
+        .forall(f => !java.nio.file.Paths.get(f.path).isAbsolute)
+      import org.apache.spark.sql.functions.lit
+      s.sql(s"""SELECT 'clone' AS side, count(*) AS n,
+          CAST(sum(cents) AS BIGINT) AS cents FROM $cat.c
+        UNION ALL
+        SELECT 'source' AS side, count(*) AS n,
+          CAST(sum(cents) AS BIGINT) AS cents FROM $cat.s
+        ORDER BY side""")
+        .withColumn("zero_copy", lit(copied == 0))
+        .withColumn("localized", lit(localized))
+    },
+    Some("""WITH src AS (
+           |  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           |  FROM orders)
+           |SELECT 'clone' AS side, count(*) AS n,
+           |  CAST(sum(cents) AS BIGINT) AS cents,
+           |  true AS zero_copy, true AS localized
+           |FROM src WHERE o_orderkey % 3 = 0 AND o_orderkey % 5 <> 0
+           |UNION ALL
+           |SELECT 'source' AS side, count(*) AS n,
+           |  CAST(sum(cents) AS BIGINT) AS cents,
+           |  true AS zero_copy, true AS localized
+           |FROM src
+           |ORDER BY side""".stripMargin))
+
+  /** q231 — COPY INTO through pure SQL ([[graft.plans
+    * .GraftCopyIntoCommand]] → [[graft.io.DeltaWrite.copyInto]]): two
+    * parquet drops land under a staging dir; the first COPY loads
+    * both, the second is an exact no-op (0 files, NO commit), a third
+    * drop arriving later loads alone on the next COPY — the
+    * mtime-watermark + tie-set ledger (a `graft.copyInto.*` domain +
+    * SetTransaction generation) doing idempotent ingestion with O(1)
+    * state. The oracle recomputes the final row set from `orders`. */
+  val q231CopyInto = GQuery(
+    "q231_copy_into",
+    (s, d) => withFreshCatalog(s, "q231") { cat =>
+      val src = graft.io.Staging.tempDir("graft_q231_src_")
+      val orders = s.read.parquet(s"$d/orders.parquet")
+        .selectExpr("CAST(o_orderkey AS BIGINT) AS o_orderkey",
+          "CAST(round(o_totalprice * 100) AS BIGINT) AS cents")
+      orders.filter("o_orderkey % 3 = 0").coalesce(1)
+        .write.parquet(s"$src/drop_a")
+      orders.filter("o_orderkey % 3 = 1").coalesce(1)
+        .write.parquet(s"$src/drop_b")
+      s.sql(s"""CREATE TABLE $cat.t (o_orderkey BIGINT, cents BIGINT)
+        USING `graft-delta`""")
+      val r1 = s.sql(s"COPY INTO $cat.t FROM '$src' FILEFORMAT = PARQUET")
+        .collect().head
+      val r2 = s.sql(s"COPY INTO $cat.t FROM '$src' FILEFORMAT = PARQUET")
+        .collect().head
+      Thread.sleep(5) // a strictly newer mtime for the late drop
+      orders.filter("o_orderkey % 3 = 2").coalesce(1)
+        .write.parquet(s"$src/drop_c")
+      val r3 = s.sql(s"COPY INTO $cat.t FROM '$src' FILEFORMAT = PARQUET")
+        .collect().head
+      import org.apache.spark.sql.functions.lit
+      s.sql(s"""SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents,
+        CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys FROM $cat.t""")
+        .withColumn("first_files", lit(r1.getInt(2).toLong))
+        .withColumn("noop_files", lit(r2.getInt(2).toLong))
+        .withColumn("late_files", lit(r3.getInt(2).toLong))
+    },
+    Some("""SELECT CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+           |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+           |  CAST(2 AS BIGINT) AS first_files,
+           |  CAST(0 AS BIGINT) AS noop_files,
+           |  CAST(1 AS BIGINT) AS late_files
+           |FROM orders""".stripMargin))
+
+  /** q232 — NESTED schema evolution through pure SQL
+    * ([[graft.io.v2.GraftCatalog.alterTable]] nested AddColumn →
+    * metaData-only commit): a struct-typed table takes pre-add rows,
+    * `ALTER TABLE ... ADD COLUMNS (meta.quality DOUBLE)` lands as ONE
+    * JSON line (the `evo_files` pin counts data files across the
+    * evolution — unchanged), pre-add rows serve the nested field as
+    * NULL, and post-add rows carry real values — the struct-first
+    * engine's natural DDL ask (variant shredding and multimodal
+    * metadata are struct columns). Oracle recomputes from
+    * `documents`. */
+  val q232NestedAddSql = GQuery(
+    "q232_nested_add_sql",
+    (s, d) => withFreshCatalog(s, "q232") { cat =>
+      s.read.parquet(s"$d/documents.parquet")
+        .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "lang",
+          "CAST(n_chars AS BIGINT) AS n_chars")
+        .createOrReplaceTempView("q232_src")
+      s.sql(s"""CREATE TABLE $cat.n (doc_id BIGINT,
+        meta STRUCT<lang: STRING, n_chars: BIGINT>) USING `graft-delta`""")
+      s.sql(s"""INSERT INTO $cat.n SELECT doc_id,
+        named_struct('lang', lang, 'n_chars', n_chars)
+        FROM q232_src WHERE doc_id % 2 = 0""")
+      val whN = s.conf.get(s"spark.sql.catalog.$cat.warehouse") + "/n"
+      val filesBefore = graft.io.DeltaRead.snapshot(s, whN).files.size
+      s.sql(s"ALTER TABLE $cat.n ADD COLUMNS (meta.quality DOUBLE)")
+      val filesAfter = graft.io.DeltaRead.snapshot(s, whN).files.size
+      s.sql(s"""INSERT INTO $cat.n SELECT doc_id,
+        named_struct('lang', lang, 'n_chars', n_chars,
+          'quality', CAST(n_chars AS DOUBLE) / 100.0)
+        FROM q232_src WHERE doc_id % 2 = 1""")
+      import org.apache.spark.sql.functions.lit
+      s.sql(s"""SELECT (meta.quality IS NULL) AS pre_add, count(*) AS n,
+          CAST(sum(meta.n_chars) AS BIGINT) AS sum_chars,
+          CAST(round(coalesce(sum(meta.quality), 0) * 100) AS BIGINT) AS q100
+        FROM $cat.n GROUP BY 1 ORDER BY 1""")
+        .withColumn("metadata_only", lit(filesBefore == filesAfter))
+    },
+    Some("""SELECT (doc_id % 2 = 0) AS pre_add, count(*) AS n,
+           |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           |  CAST(round(coalesce(sum(CASE WHEN doc_id % 2 = 1
+           |    THEN CAST(n_chars AS DOUBLE) / 100.0 END), 0) * 100) AS BIGINT) AS q100,
+           |  true AS metadata_only
+           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** q234 — CONVERT TO DELTA through pure SQL
+    * ([[graft.plans.GraftConvertCommand]] →
+    * [[graft.io.DeltaWrite.convertToDelta]]): a Hive-partitioned plain
+    * parquet directory becomes a Delta table IN PLACE (no data read or
+    * moved; footer stats harvested at version 0), then proves itself a
+    * full citizen — a DV DELETE lands through a `graft-delta` temp
+    * view and the final per-bucket aggregate reads through the log.
+    * The oracle recomputes from `orders`. */
+  val q234ConvertToDelta = GQuery(
+    "q234_convert_to_delta",
+    (s, d) => {
+      val t = graft.io.Staging.tempDir("graft_q234_")
+      val dir = s"$t/plain"
+      s.read.parquet(s"$d/orders.parquet")
+        .selectExpr("CAST(o_orderkey AS BIGINT) AS o_orderkey",
+          "CAST(round(o_totalprice * 100) AS BIGINT) AS cents",
+          "CAST(o_orderkey % 4 AS INT) AS bucket")
+        .write.partitionBy("bucket").parquet(dir)
+      val conv = s.sql(
+        s"CONVERT TO DELTA '$dir' PARTITIONED BY (bucket INT)").collect().head
+      s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW q234_t
+        USING `graft-delta` OPTIONS (path '$dir')""")
+      s.sql("DELETE FROM q234_t WHERE bucket = 3")
+      import org.apache.spark.sql.functions.{col, count, lit, sum}
+      // fresh relation: the temp view resolved its snapshot at CREATE
+      // VIEW time (statement-pinned reads); the post-DELETE state needs
+      // a new resolution
+      s.read.format("graft-delta").load(dir)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents")).cast("long").as("cents"))
+        .withColumn("converted_files_gt0", lit(conv.getLong(1) > 0))
+        .orderBy(col("bucket"))
+    },
+    Some("""SELECT CAST(o_orderkey % 4 AS INT) AS bucket, count(*) AS n,
+           |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+           |  true AS converted_files_gt0
+           |FROM orders WHERE o_orderkey % 4 <> 3
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[GQuery] = Seq(
+    q234ConvertToDelta,
     q130SnapshotDiff, q131IncrementalAgg, q132SchemaEvolution,
     q133KAnonymity, q134GdprErasure, q147CompactionPlan,
     q148ZorderLayout, q149ColumnStats, q160PruningSim,
@@ -2067,5 +2261,6 @@ object DatalakeQueries {
     q217ShreddedVariant, q218Collations, q219SqlDatasource,
     q220SqlDml, q221CatalogSql, q222HllView, q223TableReadStream,
     q224ReplaceWhere, q225MergeGeneral, q226SchemaEvolution,
-    q227SqlMaintenance, q228CdfBatchSql, q229MergeSchemaEvolution)
+    q227SqlMaintenance, q228CdfBatchSql, q229MergeSchemaEvolution,
+    q230ShallowClone, q231CopyInto, q232NestedAddSql)
 }

@@ -660,4 +660,19 @@ class SqlDmlSpec extends SparkTestBase {
     assert(ops.drop(addIdx + 1).exists(_.startsWith("MERGE")),
       s"merge must follow the evolution commit: ${ops.mkString(",")}")
   }
+
+  test("RESTORE TO TIMESTAMP AS OF resolves through the same parser as reads") {
+    val c = freshCatalog()
+    spark.sql(s"CREATE TABLE $c.rt (id BIGINT) USING `graft-delta`")
+    spark.sql(s"INSERT INTO $c.rt VALUES (1), (2)")
+    Thread.sleep(20)
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(20)
+    spark.sql(s"INSERT INTO $c.rt VALUES (3), (4), (5)")
+    val r = spark.sql(s"RESTORE TABLE $c.rt TO TIMESTAMP AS OF '$t1'")
+      .collect().head
+    assert(r.getLong(1) == 1L, "t1 sits between the inserts -> version 1")
+    assert(spark.sql(s"SELECT count(*) FROM $c.rt").head.getLong(0) == 2)
+    spark.sql(s"DROP TABLE $c.rt")
+  }
 }
