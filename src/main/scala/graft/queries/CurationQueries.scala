@@ -1160,8 +1160,103 @@ object CurationQueries {
            |  CAST(sum(CASE WHEN dup_frac > 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS dup_gt30
            |FROM f GROUP BY lang ORDER BY lang""".stripMargin))
 
+  /** q235 — the CURATION FUNNEL (FineWeb/RefinedWeb-shaped): raw →
+    * langid gate → Gopher repetition gate → composite quality gate →
+    * exact dedup (min doc_id per fingerprint), with (n_docs,
+    * sum_chars) pinned AT EVERY STAGE — the end-to-end recipe a
+    * pretraining pipeline runs, each block already individually
+    * oracle-pinned (q37 langid, q233 repetition, q36 quality, q38
+    * fingerprint), here composed so stage INTERACTIONS are pinned
+    * too. Every gate compares values both engines compute through
+    * identical IEEE operations (single divisions, the q36-proven
+    * formula order, integer counts), so the funnel is exact at any
+    * scale. 100 TB shape: three scan-side filters, one (id,gram)
+    * aggregation, one fingerprint hash-shuffle — no windows over the
+    * corpus, no driver state. */
+  val q235CurationFunnel = GQuery(
+    "q235_curation_funnel",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).select($"doc_id", $"text", $"n_chars")
+      val en = docs.filter(TextAnalysis.langId($"text") === "en")
+      val sig = graft.operators.Curation.repetitionSignals(en, "doc_id", $"text")
+      val gop = en.join(
+        sig.filter($"top_frac" <= 0.2 && $"dup_frac" <= 0.3).select($"doc_id"),
+        Seq("doc_id"))
+      val qual = gop.filter(TextAnalysis.qualityScore($"text") >= 0.5)
+      val kept = qual.withColumn("fp", TextAnalysis.fingerprint($"text"))
+        .groupBy($"fp")
+        .agg(min($"doc_id").as("doc_id"),
+          min_by($"n_chars", $"doc_id").as("n_chars"))
+      def stage(name: String, df: org.apache.spark.sql.DataFrame) =
+        df.groupBy().agg(count(lit(1)).as("n_docs"),
+            coalesce(sum($"n_chars"), lit(0L)).cast("long").as("sum_chars"))
+          .select(lit(name).as("stage"), $"n_docs", $"sum_chars")
+      stage("1_raw", docs)
+        .unionByName(stage("2_lang", en))
+        .unionByName(stage("3_gopher", gop))
+        .unionByName(stage("4_quality", qual))
+        .unionByName(stage("5_dedup", kept))
+        .orderBy($"stage")
+    },
+    Some(s"""WITH toks AS (
+           |  SELECT doc_id, text, n_chars, length(text) AS L,
+           |         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ts
+           |  FROM documents),
+           |hits AS (
+           |  SELECT *,
+           |    len(regexp_extract_all(lower(text), ' (the|and|of|to|is) ')) AS en_hits,
+           |    len(regexp_extract_all(lower(text), ' (der|die|das|und|ist) ')) AS de_hits,
+           |    len(regexp_extract_all(lower(text), ' (el|la|los|de|es) ')) AS es_hits
+           |  FROM toks),
+           |lang AS (
+           |  SELECT doc_id, text, n_chars, L, ts FROM hits
+           |  WHERE de_hits <= en_hits AND es_hits <= greatest(en_hits, de_hits)),
+           |g2 AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] AS g
+           |       FROM lang, UNNEST(generate_series(1, len(ts) - 1)) AS u(i)),
+           |c2 AS (SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY 1, 2),
+           |t2 AS (SELECT doc_id, cnt * length(g) AS chars,
+           |              row_number() OVER (PARTITION BY doc_id
+           |                                 ORDER BY cnt DESC, g DESC) AS rn
+           |       FROM c2),
+           |top AS (SELECT doc_id, chars FROM t2 WHERE rn = 1),
+           |g3 AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
+           |       FROM lang, UNNEST(generate_series(1, len(ts) - 2)) AS u(i)),
+           |c3 AS (SELECT doc_id, g, count(*) AS cnt FROM g3 GROUP BY 1, 2),
+           |dup AS (SELECT doc_id,
+           |               sum(CASE WHEN cnt >= 2 THEN cnt * length(g) END) AS chars
+           |        FROM c3 GROUP BY 1),
+           |gop AS (
+           |  SELECT lang.* FROM lang
+           |  LEFT JOIN top USING (doc_id) LEFT JOIN dup USING (doc_id)
+           |  WHERE coalesce(top.chars, 0) / CAST(L AS DOUBLE) <= 0.2
+           |    AND coalesce(dup.chars, 0) / CAST(L AS DOUBLE) <= 0.3),
+           |qual AS (
+           |  SELECT * FROM gop WHERE round(
+           |    0.4 * (len(list_distinct(ts)) / CAST(len(ts) AS DOUBLE))
+           |    + 0.3 * least((len(list_filter(ts, x -> lower(x) IN (${TextAnalysis.Stopwords.map("'" + _ + "'").mkString(",")}))) / CAST(len(ts) AS DOUBLE)) * 5.0, 1.0)
+           |    + 0.3 * least(CAST(len(ts) AS DOUBLE) / 100.0, 1.0), 4) >= 0.5),
+           |kept AS (
+           |  SELECT min(doc_id) AS doc_id,
+           |         min_by(n_chars, doc_id) AS n_chars
+           |  FROM (SELECT doc_id, n_chars,
+           |          md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+           |        FROM qual)
+           |  GROUP BY fp)
+           |SELECT '1_raw' AS stage, count(*) AS n_docs,
+           |  CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS sum_chars FROM documents
+           |UNION ALL SELECT '2_lang', count(*),
+           |  CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM lang
+           |UNION ALL SELECT '3_gopher', count(*),
+           |  CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM gop
+           |UNION ALL SELECT '4_quality', count(*),
+           |  CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM qual
+           |UNION ALL SELECT '5_dedup', count(*),
+           |  CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM kept
+           |ORDER BY stage""".stripMargin))
+
   val all: Seq[GQuery] = Seq(
-    q233GopherRepetition,
+    q233GopherRepetition, q235CurationFunnel,
     q117ChunkDedup, q118PiiRedaction, q119Contamination, q120DomainStats,
     q121WeightedResample, q122VocabCoverage, q123TrainingOrder, q135BigramLm,
     q150DupNgrams, q151AdaptiveQuality, q152BpePairs, q169DataMixing,

@@ -120,4 +120,24 @@ class CurationSpec extends SparkTestBase {
     assert(naive >= bucketedWaste - 1e-9,
       s"naive $naive should be >= bucketed $bucketedWaste")
   }
+
+  test("repetitionSignals: Gopher fractions, short-doc zeros, tie-break") {
+    val docs = Seq(
+      (1L, "spam spam spam spam"),        // one 2-gram "spam spam" x3
+      (2L, "all distinct words here now"),
+      (3L, "x"),                          // too short for any 2-gram
+      (4L, "")                            // empty
+    ).toDF("doc_id", "text")
+    val sig = Curation.repetitionSignals(docs, "doc_id", $"text")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    // doc 1: top 2-gram "spam spam" (9 chars) occurs 3x over len 19
+    assert(math.abs(sig(1L)._1 - 3.0 * 9 / 19) < 1e-12)
+    // doc 1: 3-gram "spam spam spam" (14 chars) occurs 2x over len 19
+    assert(math.abs(sig(1L)._2 - 2.0 * 14 / 19) < 1e-12)
+    // doc 2: every 2-gram unique -> top covers exactly one occurrence
+    assert(sig(2L)._1 > 0.0 && sig(2L)._2 == 0.0)
+    // short/empty docs: defined, zero
+    assert(sig(3L) == ((0.0, 0.0)) && sig(4L) == ((0.0, 0.0)))
+  }
 }
