@@ -2303,9 +2303,18 @@ object DeltaWrite {
               s"""{"rowIdHighWaterMark":$hwm}""")
           case _ => s.liveDomains
         }
+        // domains REPLAY cumulatively (absent action = old value
+        // survives), so dest domains the source does not carry must be
+        // TOMBSTONED or they describe the replaced content — e.g. a
+        // stale graft.copyInto ledger would make the next COPY INTO
+        // skip files the replace just removed. The row-tracking domain
+        // is the one deliberate survivor (id-uniqueness is forever).
+        val stale = (cur.liveDomains.keySet -- merged.keySet)
+          .filterNot(_.startsWith("delta.")) // system domains stay feature-owned
+          .toSeq.sorted.map(d => domainMetadataAction(d, "", removed = true))
         merged.toSeq.sortBy(_._1).map { case (d, c) =>
           domainMetadataAction(d, c, removed = false)
-        }
+        } ++ stale
       }
       if (publish(dest, Some(s), head + 1, lines(domainLines, removes)))
         return head + 1
@@ -2369,8 +2378,13 @@ object DeltaWrite {
         Files.getLastModifiedTime(p).toMillis, parquetStats(p))
     }
     // data schema from the footers (partition columns are NOT in the
-    // files — they are directory metadata, appended as declared)
-    val dataSchema = spark.read.parquet(files.map(_.toString): _*).schema
+    // files — they are directory metadata, appended as declared).
+    // mergeSchema: a directory whose older files lack a later-added
+    // column must convert under the UNION schema, or the committed
+    // metaData silently drops the column for every reader — footers
+    // only, still no data read
+    val dataSchema = spark.read.option("mergeSchema", "true")
+      .parquet(files.map(_.toString): _*).schema
     require(partCols.forall(pc => !dataSchema.fieldNames.exists(
       _.equalsIgnoreCase(pc.name))),
       "convertToDelta: partition column also present in the parquet " +

@@ -122,6 +122,31 @@ class CopyIntoSpec extends SparkTestBase {
     } finally { cleanup(srcDir); cleanup(Paths.get(t).getParent.toString) }
   }
 
+  test("clone-replace tombstones the COPY INTO ledger: files reload") {
+    val srcDir = newDir(); val t = newDir() + "/t"; val o = newDir() + "/o"
+    try {
+      dropFile(srcDir, "a.parquet", 1, 10)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType)))
+      DeltaWrite.createEmpty(spark, t, schema)
+      assert(DeltaWrite.copyInto(spark, t, srcDir).filesLoaded == 1)
+      // an (empty) other table replaces t wholesale — the ledger now
+      // describes content the table no longer holds, so the replace
+      // must tombstone it or the next copy silently skips a.parquet
+      DeltaWrite.createEmpty(spark, o, schema)
+      DeltaWrite.shallowClone(spark, o, t, replace = true)
+      assert(DeltaRead.read(spark, t).count() == 0)
+      val r = DeltaWrite.copyInto(spark, t, srcDir)
+      assert(r.filesLoaded == 1,
+        "a replaced table's stale copy ledger must not suppress reloads")
+      assert(DeltaRead.read(spark, t).count() == 10)
+    } finally {
+      cleanup(srcDir); cleanup(Paths.get(t).getParent.toString)
+      cleanup(Paths.get(o).getParent.toString)
+    }
+  }
+
   test("SQL door: COPY INTO ... FILEFORMAT = PARQUET is idempotent") {
     val srcDir = newDir()
     val wh = graft.io.Staging.tempDir("graft_copy_cat")
