@@ -2400,6 +2400,46 @@ object DeltaWrite {
     0L
   }
 
+  /** FSCK REPAIR TABLE — tombstone every live add whose data file (or
+    * deletion-vector bitmap) is GONE from storage, so scans stop dying
+    * on files an operator deleted out-of-band. The repair is a single
+    * `remove`-only commit (`dataChange = true`: rows genuinely
+    * disappeared from the table's visible state); `dryRun` reports the
+    * damage without committing, sharing the destructive path's
+    * candidate enumeration so the pre-flight cannot lie (the VACUUM
+    * DRY RUN precedent). A file present but with a MISSING DV bitmap
+    * removes too — serving the file un-masked would resurrect deleted
+    * rows, which is worse than losing the file's survivors. Existence
+    * checks resolve through [[DeltaRead.dataPath]], so shallow-clone
+    * entries validate against their absolute source paths. Returns the
+    * removed FileEntry list. */
+  def fsck(spark: SparkSession, table: String,
+      dryRun: Boolean = false): Seq[DeltaRead.FileEntry] = {
+    var attempt = 0
+    while (attempt < 10) {
+      val v = DeltaRead.latestVersion(table)
+      val snap = DeltaRead.snapshotAt(spark, table, v)
+      validateWriterSupport(table, snap, removesData = true)
+      val missing = snap.files.filter { f =>
+        !Files.exists(DeltaRead.dataPath(table, f.path)) ||
+          f.dv.exists(d => (d.storageType == "u" || d.storageType == "p") &&
+            !Files.exists(DeltaDv.dvFile(table, d)))
+      }
+      if (missing.isEmpty || dryRun) return missing
+      val now = System.currentTimeMillis()
+      if (cdcEnabled(snap.configuration))
+        throw new UnsupportedOperationException(
+          s"fsck: $table enables change data feed — the lost rows cannot " +
+            "be emitted as change data (the files are gone); disable CDF " +
+            "or RESTORE to a version whose files survive")
+      val lines = Seq(commitInfoAction("FSCK", now)) ++
+        missing.map(f => removeAction(f.path, now))
+      if (publish(table, Some(snap), v + 1, lines)) return missing
+      attempt += 1
+    }
+    throw new IllegalStateException(s"fsck: lost 10 commit races on $table")
+  }
+
   /** One COPY INTO outcome: `version` is None when nothing new was
     * found (no commit made). */
   final case class CopyIntoResult(table: String, version: Option[Long],

@@ -95,6 +95,9 @@ object GraftMaintenanceParser {
   private val ConvertRe =
     ("""(?is)^\s*CONVERT\s+TO\s+DELTA\s+'([^']+)'""" +
       """(?:\s+PARTITIONED\s+BY\s*\(([^)]+)\))?\s*;?\s*$""").r
+  private val FsckRe =
+    ("""(?is)^\s*FSCK\s+REPAIR\s+TABLE\s+""" + Tbl +
+      """(\s+DRY\s+RUN)?\s*;?\s*$""").r
 
   private def firstWord(sql: String): String =
     sql.trim.takeWhile(!_.isWhitespace).toUpperCase(java.util.Locale.ROOT)
@@ -158,6 +161,11 @@ object GraftMaintenanceParser {
             Option(limit).map(_.toInt)))
         case DetailRe(tok) =>
           Some(GraftDetailCommand(tableSpec(tok, delegate)))
+        case _ => None
+      }
+      case "FSCK" => sqlText match {
+        case FsckRe(tok, dry) =>
+          Some(GraftFsckCommand(tableSpec(tok, delegate), dryRun = dry != null))
         case _ => None
       }
       case "CONVERT" => sqlText match {
@@ -458,4 +466,24 @@ case class GraftConvertCommand(path: String,
   override def simpleString(maxFields: Int): String =
     s"GraftConvertCommand $path" +
       partitionSchema.map(s => s" PARTITIONED BY ${s.simpleString}").getOrElse("")
+}
+
+/** `FSCK REPAIR TABLE t [DRY RUN]` → [[DeltaWrite.fsck]]: tombstone
+  * live adds whose data files (or DV bitmaps) were deleted out-of-band
+  * so scans stop dying on them; DRY RUN reports one row per missing
+  * file without committing (shared candidate enumeration). */
+case class GraftFsckCommand(table: Either[String, Seq[String]],
+    dryRun: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("removed_file", StringType, nullable = false)(),
+    AttributeReference("dry_run", org.apache.spark.sql.types.BooleanType,
+      nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftMaintenanceParser.resolvePath(spark, table)
+    DeltaWrite.fsck(spark, path, dryRun)
+      .map(f => Row(path, f.path, dryRun))
+  }
+  override def simpleString(maxFields: Int): String =
+    s"GraftFsckCommand $table" + (if (dryRun) " DRY RUN" else "")
 }

@@ -189,6 +189,35 @@ class DeltaCloneSpec extends SparkTestBase {
     } finally { cleanup(src); cleanup(Paths.get(dst).getParent.toString) }
   }
 
+  test("UPDATE and MERGE on a clone rewrite locally, source untouched") {
+    val src = newDir(); val dst = newDir() + "/c"
+    try {
+      DeltaWrite.append((1L to 40L).map(i => (i, i * 10)).toDF("id", "v"), src)
+      DeltaWrite.shallowClone(spark, src, dst)
+      // copy-on-write UPDATE: touched absolute files tombstone, the
+      // rewrite lands under the CLONE's root
+      DeltaWrite.updateWhere(spark, dst, col("id") <= 5,
+        Seq("v" -> (col("v") + 1)))
+      val afterUpdate = DeltaRead.read(spark, dst)
+      assert(afterUpdate.filter(col("id") === 1).head.getLong(1) == 11)
+      assert(DeltaRead.read(spark, src).filter(col("id") === 1)
+        .head.getLong(1) == 10, "UPDATE on the clone must not touch the source")
+      assert(parquetUnder(dst).nonEmpty, "the rewrite is clone-local")
+      // MERGE upsert through the general path
+      import spark.implicits._
+      val updates = Seq((2L, 999L), (100L, 1000L)).toDF("id", "v")
+      DeltaWrite.merge(spark, dst, updates, Seq("id"))
+      val m = DeltaRead.read(spark, dst)
+      assert(m.filter(col("id") === 2).head.getLong(1) == 999)
+      assert(m.filter(col("id") === 100).head.getLong(1) == 1000)
+      assert(m.count() == 41)
+      assert(DeltaRead.read(spark, src).count() == 40)
+      // every file the source owns is still byte-identical in place
+      assert(DeltaRead.read(spark, src).agg(sum(col("v"))).head.getLong(0)
+        == (1L to 40L).map(_ * 10).sum)
+    } finally { cleanup(src); cleanup(Paths.get(dst).getParent.toString) }
+  }
+
   test("clone survives checkpoint resolution; clone-of-clone passes through") {
     val src = newDir(); val dst = newDir() + "/c"
     try {

@@ -236,4 +236,39 @@ class DeltaMaintenanceSpec extends SparkTestBase {
       assert(byA.size == 1, "a-bounds survive the trim on both files")
     } finally cleanup(t)
   }
+
+  test("FSCK REPAIR TABLE tombstones missing files; DRY RUN only reports") {
+    val t = newTable()
+    try {
+      (0 until 3).foreach(i =>
+        DeltaWrite.append(Seq((i.toLong, s"v$i")).toDF("id", "s"), t))
+      // delete one data file out-of-band
+      val victim = DeltaRead.snapshot(spark, t).files.head
+      Files.delete(DeltaRead.dataPath(t, victim.path))
+      intercept[Exception](DeltaRead.read(spark, t).count()) // scans die
+      // DRY RUN reports the damage without committing
+      val v0 = DeltaRead.latestVersion(t)
+      val dry = spark.sql(s"FSCK REPAIR TABLE '$t' DRY RUN").collect()
+      assert(dry.length == 1 && dry.head.getString(1) == victim.path)
+      assert(DeltaRead.latestVersion(t) == v0, "DRY RUN must not commit")
+      // the repair tombstones exactly the missing file
+      val fixed = spark.sql(s"FSCK REPAIR TABLE '$t'").collect()
+      assert(fixed.length == 1)
+      assert(DeltaRead.latestVersion(t) == v0 + 1)
+      assert(DeltaRead.read(spark, t).count() == 2, "survivors still serve")
+      // idempotent: nothing more to repair, no commit
+      assert(spark.sql(s"FSCK REPAIR TABLE '$t'").collect().isEmpty)
+      assert(DeltaRead.latestVersion(t) == v0 + 1)
+      // a missing DV bitmap removes its file too (unmasked rows must
+      // never resurrect) — a multi-row file, so the delete masks
+      // instead of dropping the whole file
+      DeltaWrite.append((10L to 15L).map(i => (i, s"v$i")).toDF("id", "s")
+        .coalesce(1), t)
+      DeltaWrite.deleteWhere(spark, t, org.apache.spark.sql.functions.col("id") === 10L)
+      val dvf = DeltaRead.snapshot(spark, t).files.find(_.dv.isDefined).get
+      Files.delete(graft.io.DeltaDv.dvFile(t, dvf.dv.get))
+      val r2 = DeltaWrite.fsck(spark, t)
+      assert(r2.map(_.path) == Seq(dvf.path))
+    } finally cleanup(t)
+  }
 }
