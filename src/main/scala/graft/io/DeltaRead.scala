@@ -1086,13 +1086,6 @@ object DeltaRead {
     }
   }
 
-  /** TIMESTAMP AS OF resolution: the newest version whose commit
-    * landed at or before `tsMillis`. Only versions whose JSON commit
-    * survives are resolvable — a checkpoint-truncated prefix bounds
-    * how far back timestamp travel reaches (version travel through the
-    * checkpoint still works). Non-monotonic wall clocks resolve to the
-    * HIGHEST eligible version, matching Delta's adjusted-timestamp
-    * behavior. */
   /** Time-travel timestamp literal → epoch millis: accepts epoch
     * millis, a zoned instant (`...T12:00:00Z`), a LOCAL date-time with
     * `T` or space (read as UTC), or a bare date (UTC midnight) —
@@ -1121,6 +1114,13 @@ object DeltaRead {
       }
     }
 
+  /** TIMESTAMP AS OF resolution: the newest version whose commit
+    * landed at or before `tsMillis`. Only versions whose JSON commit
+    * survives are resolvable — a checkpoint-truncated prefix bounds
+    * how far back timestamp travel reaches (version travel through the
+    * checkpoint still works). Non-monotonic wall clocks resolve to the
+    * HIGHEST eligible version, matching Delta's adjusted-timestamp
+    * behavior. */
   def versionAtTime(spark: SparkSession, table: String, tsMillis: Long): Long = {
     val known = (0L to latestVersion(table)).flatMap(v =>
       commitTimestamp(table, v).map(v -> _))

@@ -2189,10 +2189,22 @@ object DeltaWrite {
         f.sizeOrStat(source),
         f.modificationTime.getOrElse(now),
         f.stats.map(DeltaRead.renameStatsKeys(_, physBy)))
+      // an ABSOLUTE entry's "u" bitmap resolves against the table
+      // root it was written under (the SOURCE here) — there is no
+      // linked copy under dest to resolve, so it re-addresses as "p"
+      // exactly like shallowClone does; relative entries keep "u"
+      // (their bitmaps were hard-linked above)
+      val dv = f.dv.map {
+        case d if d.storageType == "u" && Paths.get(f.path).isAbsolute =>
+          d.copy(storageType = "p",
+            pathOrInlineDv =
+              DeltaDv.dvFile(source, d).toAbsolutePath.normalize().toString)
+        case d => d
+      }
       // row ids ride through VERBATIM: a clone's rows keep the ids the
       // source assigned (the copied high-water mark keeps future
       // allocations disjoint)
-      addAction(staged, dataChange = true, dv = f.dv,
+      addAction(staged, dataChange = true, dv = dv,
         rowIds = f.baseRowId.zip(f.defaultRowCommitVersion))
     }
     val domainLines = s.liveDomains.toSeq.sortBy(_._1).map { case (d, c) =>

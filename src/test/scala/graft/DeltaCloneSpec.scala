@@ -237,11 +237,18 @@ class DeltaCloneSpec extends SparkTestBase {
       assert(hasCp, "checkpointInterval=2 must have produced a checkpoint")
       assert(DeltaRead.read(spark, dst).count() == 50,
         "checkpoint-resolved clone must still serve the absolute entries")
+      // a DV on an ABSOLUTE entry: the bitmap lives under the FIRST
+      // clone's root ("u"-typed), so the hard-link clone below must
+      // re-address it — resolving "u" against the new root would read
+      // a missing bitmap (or worse, silently unmask)
+      DeltaWrite.deleteWhere(spark, dst, col("id") === 7L)
       // hard-link clone OF a shallow clone: absolute entries pass
       // through verbatim (nothing under the source root to link)
       val dst2 = newDir() + "/cc"
       DeltaWrite.clone(spark, dst, dst2)
-      assert(DeltaRead.read(spark, dst2).count() == 50)
+      assert(DeltaRead.read(spark, dst2).count() == 49)
+      assert(DeltaRead.read(spark, dst2).filter(col("id") === 7).count() == 0,
+        "the absolute entry's deletion vector must still mask")
       // the shallow-clone's own (relative) files DID link; the
       // absolute ones stayed references into the original source
       val snap2 = DeltaRead.snapshot(spark, dst2)
