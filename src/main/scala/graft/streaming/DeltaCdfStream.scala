@@ -15,8 +15,14 @@ import org.apache.spark.sql.types.StructType
   *   spark.readStream.format("graft-delta-cdf")
   *     .option("startingVersion", "-1")      // -1 = full history (default)
   *     .option("maxVersionsPerTrigger", "1") // optional rate limit
+  *     .option("maxBytesPerTrigger", "...")  // optional: byte pacing off
+  *                                           //   the commits' add.size
   *     .load(tablePath)
   * }}}
+  *
+  * Both rate limits may be set; a batch closes at whichever budget
+  * fills first. A single version whose adds exceed the whole byte
+  * budget is admitted alone (a version is this source's atom).
   *
   * The `Source` API's `getBatch(start, end)` returns a DataFrame, so the
   * COMPLETE batch change-feed read path — cdc-file preference, DV
@@ -64,7 +70,9 @@ class DeltaCdfStreamProvider extends StreamSourceProvider with DataSourceRegiste
     val starting = parameters.get("startingVersion").map(_.toLong).getOrElse(-1L)
     val maxPer = parameters.get("maxVersionsPerTrigger").map(_.toLong)
     require(maxPer.forall(_ > 0), "maxVersionsPerTrigger must be positive")
-    new DeltaCdfSource(sqlContext.sparkSession, path, starting, maxPer)
+    val maxBytes = parameters.get("maxBytesPerTrigger").map(_.toLong)
+    require(maxBytes.forall(_ > 0), "maxBytesPerTrigger must be positive")
+    new DeltaCdfSource(sqlContext.sparkSession, path, starting, maxPer, maxBytes)
   }
 }
 
@@ -82,7 +90,8 @@ object DeltaCdfSource {
   * surfaces the full history, v surfaces `(v, head]` — matching the
   * `sinceVersion` convention of `changesBetween`. */
 class DeltaCdfSource(spark: SparkSession, table: String,
-    startingVersion: Long, maxVersionsPerTrigger: Option[Long]) extends Source
+    startingVersion: Long, maxVersionsPerTrigger: Option[Long],
+    maxBytesPerTrigger: Option[Long] = None) extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   override val schema: StructType = DeltaCdfSource.feedSchema(spark, table)
@@ -120,9 +129,28 @@ class DeltaCdfSource(spark: SparkSession, table: String,
   override def getOffset: Option[Offset] = {
     val head = availableNowHead.fold(DeltaRead.latestVersion(table))(
       b => math.min(b, DeltaRead.latestVersion(table)))
-    val capped = maxVersionsPerTrigger
-      .map(m => math.min(head, math.max(surfaced, startingVersion) + m))
-      .getOrElse(head)
+    val from = math.max(surfaced, startingVersion)
+    val versionCap = maxVersionsPerTrigger
+      .map(m => math.min(head, from + m)).getOrElse(head)
+    // BYTE pacing (parity with the table source): versions admit until
+    // their cumulative add.size exceeds the budget — whichever limit
+    // fills first closes the batch; a single oversized version is
+    // admitted alone (the floor is one version per batch, since a
+    // version is this source's atom). Sizes come from the LOG, so the
+    // walk is metadata-only.
+    val capped = maxBytesPerTrigger match {
+      case None => versionCap
+      case Some(budget) =>
+        var v = from
+        var spent = 0L
+        var full = false
+        while (v < versionCap && !full) {
+          val next = DeltaRead.commitAdds(table, v + 1)._1.map(_._2).sum
+          if (spent > 0L && spent + next > budget) full = true
+          else { spent += next; v += 1 }
+        }
+        v
+    }
     if (capped <= startingVersion || capped <= surfaced) None
     else { surfaced = math.max(surfaced, capped); Some(LongOffset(capped)) }
   }

@@ -90,6 +90,33 @@ class DeltaCdfStreamSpec extends SparkTestBase {
     } finally { cleanup(src) }
   }
 
+  test("maxBytesPerTrigger paces by the commits' add.size; oversized version rides alone") {
+    val src = newTable()
+    try {
+      // four same-shaped appends (~equal bytes per version) then one
+      // big one — a budget of ~2.5 versions groups 2+2, and the big
+      // version exceeds the whole budget but is admitted alone
+      (0 until 4).foreach(i =>
+        DeltaWrite.append((1L to 50L).map(_ + i * 50).map(j => (j, s"v$j"))
+          .toDF("id", "txt").coalesce(1), src))                       // v0..v3
+      DeltaWrite.append((1000L to 3000L).map(j => (j, s"v$j"))
+        .toDF("id", "txt").coalesce(1), src)                          // v4 (big)
+      val perVersion = DeltaRead.snapshot(spark, src).files
+        .map(_.sizeOrStat(src))
+      val small = perVersion.min
+      val q = spark.readStream.format("graft-delta-cdf")
+        .option("maxBytesPerTrigger", (small * 5 / 2).toString).load(src)
+        .writeStream.format("memory").queryName("cdf_bytes").start()
+      q.processAllAvailable()
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      q.stop()
+      assert(batches.length == 3,
+        s"2+2+oversized-alone should be 3 micro-batches, got ${batches.length}")
+      assert(feed(spark.table("cdf_bytes")) ==
+        feed(DeltaRead.changesBetween(spark, src, -1L, 4L)))
+    } finally { cleanup(src) }
+  }
+
   test("Trigger.AvailableNow drains the paced feed to the start-head, then stops") {
     val src = newTable()
     val ckpt = Files.createTempDirectory("cdf_avnow_ckpt").toString
