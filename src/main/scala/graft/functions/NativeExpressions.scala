@@ -267,6 +267,38 @@ object NativeHelpers {
     new GenericArrayData(out)
   }
 
+  /** POSITIONAL word n-gram STRINGS, stride 1 (the Gopher repetition
+    * signals need the gram text itself: char lengths and a
+    * lexicographic tie-break, not just a hash). Bit-identical to the
+    * declarative `transform(sequence(0, size(t)-n), i ->
+    * array_join(slice(t, i+1, n), ' '))` over whitespace tokens;
+    * < n tokens → empty array; null → null. Native for the same
+    * reason as [[ngramHashes]]: the declarative form allocates a
+    * slice array + runs an interpreted lambda per window inside the
+    * corpus-sized explode. */
+  def wordNgrams(text: UTF8String, n: Int): ArrayData = {
+    if (text == null) return null
+    val raw = Whitespace.split(text.toString, -1)
+    var nTok = 0
+    var i = 0
+    while (i < raw.length) { if (!raw(i).isEmpty) nTok += 1; i += 1 }
+    if (nTok < n) return new GenericArrayData(Array.empty[Any])
+    val toks = new Array[String](nTok)
+    var j = 0; i = 0
+    while (i < raw.length) { if (!raw(i).isEmpty) { toks(j) = raw(i); j += 1 }; i += 1 }
+    val m = nTok - n + 1
+    val out = new Array[Any](m)
+    var g = 0
+    while (g < m) {
+      val sb = new java.lang.StringBuilder(toks(g))
+      var k = 1
+      while (k < n) { sb.append(' ').append(toks(g + k)); k += 1 }
+      out(g) = UTF8String.fromString(sb.toString)
+      g += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** SimHash (32-bit majority vote over distinct-token hashes) —
     * bit-identical to the declarative nested-aggregate form: bit j of
     * h tested as ((h >>> j) & 1) (== `(h % 2^(j+1)) >= 2^j` for these
@@ -573,6 +605,25 @@ case class NgramHashExpr(child: Expression, n: Int, stride: Int) extends UnaryEx
     copy(child = newChild)
 }
 
+/** Codegen'd positional n-gram STRING array:
+  * `word_ngrams_native(text, n)` — see NativeHelpers.wordNgrams. */
+case class WordNgramsExpr(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"word_ngrams_native: n must be >= 1, got $n")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "word_ngrams_native"
+
+  override protected def nullSafeEval(input: Any): Any =
+    NativeHelpers.wordNgrams(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.NativeHelpers.wordNgrams($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgramsExpr =
+    copy(child = newChild)
+}
+
 /** Codegen'd MinHash signature: `minhash_native(array<long>, numHashes)`
   * — see NativeHelpers.minhash. */
 case class MinhashSignatureExpr(child: Expression, coeffA: Seq[Long], coeffB: Seq[Long],
@@ -715,6 +766,8 @@ object Natives {
     toCol(ShingleHashExpr(toExpr(c), n, NativeHelpers.MinhashP))
   def ngramHashes(c: Column, n: Int, stride: Int = 1): Column =
     toCol(NgramHashExpr(toExpr(c), n, stride))
+  def wordNgrams(c: Column, n: Int): Column =
+    toCol(WordNgramsExpr(toExpr(c), n))
   def hash60(c: Column): Column = toCol(Hash60Expr(toExpr(c)))
   def minhash(hashes: Column, numHashes: Int): Column =
     toCol(MinhashSignatureExpr(toExpr(hashes),
@@ -776,6 +829,9 @@ object NativeRegistry {
       ((exprs: Seq[Expression]) => NgramHashExpr(exprs(0),
         litInt("ngram_hash_native", exprs, 1),
         litInt("ngram_hash_native", exprs, 2))),
+    "word_ngrams_native" ->
+      ((exprs: Seq[Expression]) => WordNgramsExpr(exprs(0),
+        litInt("word_ngrams_native", exprs, 1))),
     "hyperplane_bucket_native" ->
       ((exprs: Seq[Expression]) => HyperplaneBucketExpr(exprs(0),
         litInt("hyperplane_bucket_native", exprs, 1),

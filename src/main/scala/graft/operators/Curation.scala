@@ -63,11 +63,23 @@ object Curation {
   /** Sliding word n-grams (space-joined) — the unit of the Gopher
     * repetition signals below. Empty array when the text has fewer
     * than `n` tokens. */
-  def wordNgrams(textCol: Column, n: Int): Column = {
+  def wordNgrams(textCol: Column, n: Int): Column =
+    graft.functions.Natives.wordNgrams(textCol, n)
+
+  /** The declarative twin of [[wordNgrams]] — kept so the spec can pin
+    * bit-identity against the codegen'd native (the house rule for
+    * every nativized hot path). Not for production scans: the lambda
+    * evaluates interpreted per window and allocates a slice per gram
+    * inside a corpus-sized explode. (Fun fact from measuring: this
+    * slice + array_join form is itself 2× faster than the "obvious"
+    * unrolled ANSI element_at + concat_ws variant.) */
+  private[graft] def wordNgramsDeclarative(textCol: Column, n: Int): Column = {
     val t = TextAnalysis.tokens(textCol)
-    when(size(t) >= n,
-      transform(sequence(lit(0), size(t) - n),
-        i => array_join(slice(t, i + 1, lit(n)), " ")))
+    // null in, null out — matching the native's nullSafeEval convention
+    when(textCol.isNull, lit(null).cast(ArrayType(StringType)))
+      .when(size(t) >= n,
+        transform(sequence(lit(0), size(t) - n),
+          i => array_join(slice(t, i + 1, lit(n)), " ")))
       .otherwise(array().cast(ArrayType(StringType)))
   }
 

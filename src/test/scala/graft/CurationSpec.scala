@@ -121,6 +121,25 @@ class CurationSpec extends SparkTestBase {
       s"naive $naive should be >= bucketed $bucketedWaste")
   }
 
+  test("wordNgrams native == declarative twin on real documents") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").limit(300)
+    Seq(2, 3).foreach { n =>
+      val diff = docs.select(
+        Curation.wordNgrams($"text", n).as("a"),
+        Curation.wordNgramsDeclarative($"text", n).as("b"))
+        .where(!($"a" <=> $"b")).count()
+      assert(diff == 0, s"native $n-grams must be bit-identical")
+    }
+    // edge shapes: empty, whitespace-only, exactly n tokens, null
+    val edge = Seq("", "   ", "a b", "a  b   c", null).toDF("text")
+    val diff = edge.select(
+      Curation.wordNgrams($"text", 2).as("a"),
+      Curation.wordNgramsDeclarative($"text", 2).as("b"))
+      .where(!($"a" <=> $"b")).count()
+    assert(diff == 0)
+  }
+
   test("repetitionSignals: Gopher fractions, short-doc zeros, tie-break") {
     val docs = Seq(
       (1L, "spam spam spam spam"),        // one 2-gram "spam spam" x3
