@@ -73,6 +73,25 @@ object GraftDeltaTable {
   def isDeltaTable(path: String): Boolean =
     java.nio.file.Files.isDirectory(java.nio.file.Paths.get(path, "_delta_log"))
 
+  /** Handle for a CATALOG identifier (`cat.db.t`) — resolved through
+    * the session's catalogs to a [[graft.io.v2.GraftTable]], exactly
+    * like the SQL maintenance door resolves its operands. */
+  def forName(spark: SparkSession, name: String): GraftDeltaTable = {
+    val parts = spark.sessionState.sqlParser.parseMultipartIdentifier(name)
+    val (plugin, ident) = org.apache.spark.sql.GraftCatalogBridge.resolve(spark, parts)
+    plugin match {
+      case tc: org.apache.spark.sql.connector.catalog.TableCatalog =>
+        tc.loadTable(ident) match {
+          case g: graft.io.v2.GraftTable => new GraftDeltaTable(spark, g.path)
+          case other => throw new UnsupportedOperationException(
+            s"GraftDeltaTable.forName: $name is not a graft-delta table " +
+              s"(got ${other.getClass.getSimpleName})")
+        }
+      case _ => throw new UnsupportedOperationException(
+        s"GraftDeltaTable.forName: catalog '${plugin.name()}' is not a table catalog")
+    }
+  }
+
   /** [[DeltaWrite.convertToDelta]] then hand back the handle. */
   def convertToDelta(spark: SparkSession, dir: String,
       partitionSchema: Option[org.apache.spark.sql.types.StructType] = None)

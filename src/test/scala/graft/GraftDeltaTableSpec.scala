@@ -86,6 +86,25 @@ class GraftDeltaTableSpec extends SparkTestBase {
     } finally cleanup(java.nio.file.Paths.get(t).getParent.toString)
   }
 
+  test("forName resolves catalog identifiers to the same handle") {
+    val wh = graft.io.Staging.tempDir("graft_gdt_cat")
+    spark.conf.set("spark.sql.catalog.gdt",
+      classOf[graft.io.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gdt.warehouse", wh)
+    try {
+      spark.sql("CREATE TABLE gdt.t (id BIGINT) USING `graft-delta`")
+      spark.sql("INSERT INTO gdt.t VALUES (1), (2), (3)")
+      val dt = GraftDeltaTable.forName(spark, "gdt.t")
+      assert(dt.toDF.count() == 3)
+      dt.delete(col("id") === 2L)
+      assert(spark.sql("SELECT count(*) FROM gdt.t").head.getLong(0) == 2,
+        "the handle and the SQL door see one table")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gdt.t")
+      cleanup(wh)
+    }
+  }
+
   test("shallowCloneTo and convertToDelta round through the facade") {
     val t = newDir() + "/t"; val c = newDir() + "/c"; val p = newDir() + "/p"
     try {
