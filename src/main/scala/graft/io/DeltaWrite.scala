@@ -2499,6 +2499,13 @@ object DeltaWrite {
     val srcRoot = Paths.get(sourceDir).toAbsolutePath.normalize()
     require(Files.isDirectory(srcRoot) || Files.isRegularFile(srcRoot),
       s"copyInto: source $srcRoot does not exist")
+    // a Delta table's directory holds DEAD versions' parquet alongside
+    // live files — a raw file walk would ingest both and the "copy"
+    // would double rows invisibly. Loud refusal with the right doors.
+    require(!Files.isDirectory(srcRoot.resolve("_delta_log")),
+      s"copyInto: $srcRoot is a Delta table — its directory holds dead " +
+        "versions' files too; use shallowClone (zero-copy) or INSERT " +
+        "INTO ... SELECT (snapshot rows) instead")
     val matcher = pattern.map(p =>
       java.nio.file.FileSystems.getDefault.getPathMatcher("glob:" + p))
     // one source = one ledger; the key must be stable across sessions

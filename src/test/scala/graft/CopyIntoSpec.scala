@@ -122,6 +122,37 @@ class CopyIntoSpec extends SparkTestBase {
     } finally { cleanup(srcDir); cleanup(Paths.get(t).getParent.toString) }
   }
 
+  test("csv and json load under the committed schema; Delta source refuses") {
+    val srcDir = newDir(); val t = newDir() + "/t"
+    try {
+      Files.write(Paths.get(srcDir, "a.csv"),
+        "id,name\n1,alpha\n2,beta\n".getBytes("UTF-8"))
+      Files.write(Paths.get(srcDir, "b.json"),
+        """{"id": 3, "name": "gamma"}""".getBytes("UTF-8"))
+      DeltaWrite.createEmpty(spark, t,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("name",
+            org.apache.spark.sql.types.StringType))))
+      // csv: header matched, values typed by the COMMITTED schema
+      val rc = DeltaWrite.copyInto(spark, t, srcDir, format = "csv",
+        pattern = Some("*.csv"))
+      assert(rc.filesLoaded == 1 && rc.rowsLoaded == 2)
+      // json: same table, same schema discipline
+      val rj = DeltaWrite.copyInto(spark, t, srcDir, format = "json",
+        pattern = Some("*.json"))
+      assert(rj.filesLoaded == 1 && rj.rowsLoaded == 1)
+      val rows = DeltaRead.read(spark, t).orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(rows == Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")))
+      // copying FROM a Delta table refuses loudly (dead versions)
+      val e = intercept[IllegalArgumentException](
+        DeltaWrite.copyInto(spark, t, t))
+      assert(e.getMessage.contains("Delta table"))
+    } finally { cleanup(srcDir); cleanup(Paths.get(t).getParent.toString) }
+  }
+
   test("clone-replace tombstones the COPY INTO ledger: files reload") {
     val srcDir = newDir(); val t = newDir() + "/t"; val o = newDir() + "/o"
     try {
