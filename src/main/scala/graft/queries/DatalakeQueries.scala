@@ -2247,8 +2247,67 @@ object DatalakeQueries {
            |FROM orders WHERE o_orderkey % 4 <> 3
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** q236 — the FLUENT handle API end-to-end
+    * ([[graft.io.GraftDeltaTable]]): seed → ordered-clause merge
+    * builder (conditional DELETE, partial UPDATE, INSERT, NOT MATCHED
+    * BY SOURCE tag) → optimize().executeCompaction() → history — the
+    * third door (Scala writer, SQL, fluent handle) exercised through
+    * the registry with the SAME oracle discipline as the other two.
+    * The oracle recomputes the final state from `orders`. */
+  val q236FluentApi = GQuery(
+    "q236_fluent_api",
+    (s, d) => {
+      import org.apache.spark.sql.functions.{col, lit}
+      val t = graft.io.Staging.tempDir("graft_q236_") + "/t"
+      val orders = s.read.parquet(s"$d/orders.parquet")
+        .selectExpr("CAST(o_orderkey AS BIGINT) AS o_orderkey",
+          "CAST(round(o_totalprice * 100) AS BIGINT) AS cents",
+          "o_orderstatus AS status")
+      graft.io.DeltaWrite.append(
+        orders.filter("o_orderkey % 2 = 0").repartition(4), t)
+      val dt = graft.io.GraftDeltaTable.forPath(s, t)
+      val src = orders.filter("o_orderkey % 3 = 0")
+      dt.merge(src, Seq("o_orderkey"))
+        // matched multiples of 6: tiny sources purge, others re-tag
+        .whenMatched(graft.io.DeltaWrite.mergeSrc("cents") < 100000L).delete()
+        .whenMatched().update(Map("status" -> lit("M")))
+        .whenNotMatched().insertAll()
+        .whenNotMatchedBySource(col("o_orderkey") % 10 === 4L)
+          .update(Map("status" -> lit("S")))
+        .execute()
+      dt.optimize().executeCompaction()
+      val ops = dt.history().map(_._3.getOrElse("?"))
+      dt.toDF.groupBy(col("status")).agg(
+          org.apache.spark.sql.functions.count(lit(1)).as("n"),
+          org.apache.spark.sql.functions.sum(col("cents")).cast("long").as("cents"))
+        .withColumn("n_commits", lit(ops.length.toLong))
+        .withColumn("head_op", lit(ops.head))
+        .orderBy(col("status"))
+    },
+    Some("""WITH src AS (
+           |  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+           |         o_orderstatus AS status
+           |  FROM orders),
+           |seeded AS (SELECT * FROM src WHERE o_orderkey % 2 = 0),
+           |fin AS (
+           |  -- matched (even AND %3): cents<100000 deleted, else status='M'
+           |  SELECT o_orderkey, cents, 'M' AS status FROM seeded
+           |  WHERE o_orderkey % 3 = 0 AND cents >= 100000
+           |  UNION ALL
+           |  -- unmatched-by-source evens (not %3): %10=4 re-tagged 'S'
+           |  SELECT o_orderkey, cents,
+           |         CASE WHEN o_orderkey % 10 = 4 THEN 'S' ELSE status END
+           |  FROM seeded WHERE o_orderkey % 3 <> 0
+           |  UNION ALL
+           |  -- inserts: odd multiples of 3 arrive whole
+           |  SELECT o_orderkey, cents, status FROM src
+           |  WHERE o_orderkey % 3 = 0 AND o_orderkey % 2 = 1)
+           |SELECT status, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents,
+           |  CAST(3 AS BIGINT) AS n_commits, 'OPTIMIZE' AS head_op
+           |FROM fin GROUP BY status ORDER BY status""".stripMargin))
+
   val all: Seq[GQuery] = Seq(
-    q234ConvertToDelta,
+    q234ConvertToDelta, q236FluentApi,
     q130SnapshotDiff, q131IncrementalAgg, q132SchemaEvolution,
     q133KAnonymity, q134GdprErasure, q147CompactionPlan,
     q148ZorderLayout, q149ColumnStats, q160PruningSim,
