@@ -2452,6 +2452,50 @@ object DeltaWrite {
     throw new IllegalStateException(s"fsck: lost 10 commit races on $table")
   }
 
+  /** GENERATE symlink_format_manifest — the Presto/Trino/Athena
+    * interop door: materialize the HEAD snapshot's live file list as
+    * `_symlink_format_manifest/[<partition dirs>/]manifest` text files
+    * (one absolute `file:` URI per line), the layout Hive's
+    * SymlinkTextInputFormat reads. The whole tree is REGENERATED each
+    * call (stale partition manifests from dropped partitions are
+    * removed — a leftover manifest would resurrect deleted rows for
+    * external readers). Deletion-vector tables refuse: an external
+    * reader consumes the listed parquet whole and would see masked
+    * rows — run a compact (which purges DVs) first, as Delta's own
+    * GENERATE requires. Shallow-clone entries list their ABSOLUTE
+    * source paths, which is exactly what an external reader needs.
+    * Returns the number of manifest files written. */
+  def generateSymlinkManifest(spark: SparkSession, table: String): Int = {
+    val s = DeltaRead.snapshot(spark, table)
+    require(s.files.forall(_.dv.isEmpty),
+      s"generateSymlinkManifest: $table has live deletion vectors — an " +
+        "external reader would see deleted rows; OPTIMIZE (DV-purging " +
+        "compaction) first")
+    val root = Paths.get(table, "_symlink_format_manifest")
+    if (Files.isDirectory(root))
+      org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+    val byPartition = s.files.groupBy { f =>
+      // the manifest tree mirrors the Hive layout of the RELATIVE
+      // entries; absolute (cloned) entries group by partitionValues
+      // rendered Hive-style, same as compact's localization dirs
+      s.partitionColumns.map { c =>
+        val v = f.partitionValues.get(c).orNull
+        c + "=" + (if (v == null) NullPartition
+          else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .escapePathName(v))
+      }
+    }
+    byPartition.foreach { case (dirs, fs) =>
+      val dir = dirs.foldLeft(root)(_.resolve(_))
+      Files.createDirectories(dir)
+      val lines = fs.map(f =>
+        DeltaRead.dataPath(table, f.path).toAbsolutePath.normalize().toUri.toString)
+        .sorted
+      Files.write(dir.resolve("manifest"), lines.asJava)
+    }
+    byPartition.size
+  }
+
   /** One COPY INTO outcome: `version` is None when nothing new was
     * found (no commit made). */
   final case class CopyIntoResult(table: String, version: Option[Long],

@@ -98,6 +98,9 @@ object GraftMaintenanceParser {
   private val FsckRe =
     ("""(?is)^\s*FSCK\s+REPAIR\s+TABLE\s+""" + Tbl +
       """(\s+DRY\s+RUN)?\s*;?\s*$""").r
+  private val GenerateRe =
+    ("""(?is)^\s*GENERATE\s+symlink_format_manifest\s+FOR\s+TABLE\s+""" +
+      Tbl + """\s*;?\s*$""").r
 
   private def firstWord(sql: String): String =
     sql.trim.takeWhile(!_.isWhitespace).toUpperCase(java.util.Locale.ROOT)
@@ -161,6 +164,11 @@ object GraftMaintenanceParser {
             Option(limit).map(_.toInt)))
         case DetailRe(tok) =>
           Some(GraftDetailCommand(tableSpec(tok, delegate)))
+        case _ => None
+      }
+      case "GENERATE" => sqlText match {
+        case GenerateRe(tok) =>
+          Some(GraftGenerateCommand(tableSpec(tok, delegate)))
         case _ => None
       }
       case "FSCK" => sqlText match {
@@ -486,4 +494,20 @@ case class GraftFsckCommand(table: Either[String, Seq[String]],
   }
   override def simpleString(maxFields: Int): String =
     s"GraftFsckCommand $table" + (if (dryRun) " DRY RUN" else "")
+}
+
+/** `GENERATE symlink_format_manifest FOR TABLE t` →
+  * [[DeltaWrite.generateSymlinkManifest]]: the Presto/Trino/Athena
+  * interop manifest tree, regenerated whole. */
+case class GraftGenerateCommand(table: Either[String, Seq[String]])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("manifests_written", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftMaintenanceParser.resolvePath(spark, table)
+    Seq(Row(path, DeltaWrite.generateSymlinkManifest(spark, path)))
+  }
+  override def simpleString(maxFields: Int): String =
+    s"GraftGenerateCommand $table"
 }

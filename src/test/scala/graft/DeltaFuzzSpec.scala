@@ -376,4 +376,66 @@ class DeltaFuzzSpec extends SparkTestBase {
       .select($"id", $"g", $"v").as[(Long, Long, Long)].collect().sorted.toSeq
     assert(foldRows == liveRows, s"feed fold diverged at version $head")
   }
+
+  test("seeded fuzz: a shallow clone and a deep copy stay op-for-op identical") {
+    val rnd = new scala.util.Random(20260816L)
+    val src = newTable()
+    val shallow = newTable() + "/s"; val deep = newTable() + "/d"
+    try {
+      var nextId = 0L
+      def batch(n: Int) = {
+        val rows = (0 until n).map(i => (nextId + i, rnd.nextInt(1000).toLong))
+        nextId += n
+        rows.toDF("id", "v")
+      }
+      (0 until 3).foreach(_ => DeltaWrite.append(batch(40).repartition(2), src))
+      // two tables with the SAME logical start: a metadata-only shallow
+      // clone and a fully materialized deep copy
+      DeltaWrite.shallowClone(spark, src, shallow)
+      DeltaWrite.append(DeltaRead.read(spark, src).repartition(3), deep)
+      def stateOf(t: String) = DeltaRead.read(spark, t)
+        .select($"id", $"v").as[(Long, Long)].collect().sorted.toSeq
+      // the SAME seeded op sequence hits both; after every op the two
+      // tables must read identically — absolute-path entries must be
+      // semantically invisible
+      (0 until 12).foreach { step =>
+        rnd.nextInt(5) match {
+          case 0 =>
+            val b = batch(15)
+            DeltaWrite.append(b, shallow); DeltaWrite.append(b, deep)
+          case 1 =>
+            val k = rnd.nextInt(nextId.toInt).toLong
+            DeltaWrite.deleteWhere(spark, shallow, $"id" % 7 === k % 7)
+            DeltaWrite.deleteWhere(spark, deep, $"id" % 7 === k % 7)
+          case 2 =>
+            val m = batch(10)
+            DeltaWrite.merge(spark, shallow, m, Seq("id"))
+            DeltaWrite.merge(spark, deep, m, Seq("id"))
+          case 3 =>
+            val c = rnd.nextInt(1000).toLong
+            DeltaWrite.updateWhere(spark, shallow, $"v" < 100, Seq("v" -> lit(c)))
+            DeltaWrite.updateWhere(spark, deep, $"v" < 100, Seq("v" -> lit(c)))
+          case 4 =>
+            DeltaWrite.compact(spark, shallow); DeltaWrite.compact(spark, deep)
+        }
+        assert(stateOf(shallow) == stateOf(deep),
+          s"clone and deep copy diverged after step $step")
+      }
+      // source untouched by twelve rounds of clone-side mutation
+      assert(DeltaRead.read(spark, src).count() == 120)
+      // and the clone is progressively localizing, never growing
+      // references: every surviving absolute path is one of the
+      // SOURCE's ORIGINAL files
+      val srcFiles = DeltaRead.snapshot(spark, src).files
+        .map(f => DeltaRead.dataPath(src, f.path).toString).toSet
+      val danglingOk = DeltaRead.snapshot(spark, shallow).files
+        .filter(f => java.nio.file.Paths.get(f.path).isAbsolute)
+        .forall(f => srcFiles(f.path))
+      assert(danglingOk, "clone must never mint new absolute references")
+    } finally {
+      cleanup(src)
+      cleanup(java.nio.file.Paths.get(shallow).getParent.toString)
+      cleanup(java.nio.file.Paths.get(deep).getParent.toString)
+    }
+  }
 }

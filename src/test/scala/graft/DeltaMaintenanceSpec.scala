@@ -271,4 +271,43 @@ class DeltaMaintenanceSpec extends SparkTestBase {
       assert(r2.map(_.path) == Seq(dvf.path))
     } finally cleanup(t)
   }
+
+  test("GENERATE symlink_format_manifest lists live files; DVs refuse") {
+    val t = newTable()
+    try {
+      DeltaWrite.append((1L to 40L).map(i => (i, (i % 2).toString))
+        .toDF("id", "p"), t, partitionBy = Seq("p"))
+      DeltaWrite.append((41L to 60L).map(i => (i, (i % 2).toString))
+        .toDF("id", "p"), t, partitionBy = Seq("p"))
+      val n = spark.sql(s"GENERATE symlink_format_manifest FOR TABLE '$t'")
+        .collect().head.getInt(1)
+      assert(n == 2, "one manifest per partition")
+      def listed(part: String): Seq[String] = {
+        val m = java.nio.file.Paths.get(t, "_symlink_format_manifest", s"p=$part", "manifest")
+        scala.jdk.CollectionConverters.ListHasAsScala(
+          Files.readAllLines(m)).asScala.toSeq
+      }
+      val live = DeltaRead.snapshot(spark, t).files
+        .map(f => DeltaRead.dataPath(t, f.path).toAbsolutePath.normalize().toUri.toString)
+        .toSet
+      assert((listed("0") ++ listed("1")).toSet == live,
+        "manifests must list exactly the live files, as absolute URIs")
+      assert(listed("0").forall(_.startsWith("file:")), "URI form")
+      // compaction changes the file set; REGENERATION follows it
+      DeltaWrite.compact(spark, t)
+      spark.sql(s"GENERATE symlink_format_manifest FOR TABLE '$t'")
+      val live2 = DeltaRead.snapshot(spark, t).files
+        .map(f => DeltaRead.dataPath(t, f.path).toAbsolutePath.normalize().toUri.toString)
+        .toSet
+      assert((listed("0") ++ listed("1")).toSet == live2)
+      // a DV'd table refuses: external readers can't apply the masks
+      DeltaWrite.deleteWhere(spark, t, org.apache.spark.sql.functions.col("id") === 2L)
+      val e = intercept[IllegalArgumentException](
+        DeltaWrite.generateSymlinkManifest(spark, t))
+      assert(e.getMessage.contains("deletion vectors"))
+      // compaction purges the DVs and GENERATE works again
+      DeltaWrite.compact(spark, t)
+      assert(DeltaWrite.generateSymlinkManifest(spark, t) == 2)
+    } finally cleanup(t)
+  }
 }
