@@ -2471,6 +2471,13 @@ object DeltaWrite {
       s"generateSymlinkManifest: $table has live deletion vectors — an " +
         "external reader would see deleted rows; OPTIMIZE (DV-purging " +
         "compaction) first")
+    // a mapped table's parquet stores col-<uuid> physical names that a
+    // manifest-reading engine resolves against the HIVE schema — every
+    // column would come back null; Delta's own GENERATE refuses too
+    require(!DeltaRead.ColumnMapping.active(s.columnMappingMode),
+      s"generateSymlinkManifest: $table uses column mapping " +
+        s"('${s.columnMappingMode}') — external symlink readers resolve " +
+        "columns by name against the physical files and would read nulls")
     val root = Paths.get(table, "_symlink_format_manifest")
     if (Files.isDirectory(root))
       org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)

@@ -308,6 +308,15 @@ class DeltaMaintenanceSpec extends SparkTestBase {
       // compaction purges the DVs and GENERATE works again
       DeltaWrite.compact(spark, t)
       assert(DeltaWrite.generateSymlinkManifest(spark, t) == 2)
+      // column-mapped tables refuse: physical col-<uuid> names would
+      // read as all-null columns through an external engine's schema
+      val m = newTable()
+      DeltaWrite.createColumnMapped(
+        (1L to 5L).map(i => (i, s"v$i")).toDF("id", "txt"), m)
+      val em = intercept[IllegalArgumentException](
+        DeltaWrite.generateSymlinkManifest(spark, m))
+      assert(em.getMessage.contains("column mapping"))
+      cleanup(m)
     } finally cleanup(t)
   }
 }
