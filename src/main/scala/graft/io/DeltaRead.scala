@@ -150,9 +150,12 @@ object DeltaRead {
       * every level, field metadata stripped (it would be noise in the
       * scan schema). */
     def physicalize(dt: DataType): DataType = dt match {
+      // metadata rides along: EXISTS_DEFAULT on the SCAN schema is what
+      // makes the parquet reader serve a defaulted column for files
+      // predating its add (ADD COLUMN ... DEFAULT's read half)
       case st: StructType => StructType(st.fields.map(f =>
         org.apache.spark.sql.types.StructField(
-          physField(f), physicalize(f.dataType), f.nullable)))
+          physField(f), physicalize(f.dataType), f.nullable, f.metadata)))
       case org.apache.spark.sql.types.ArrayType(et, n) =>
         org.apache.spark.sql.types.ArrayType(physicalize(et), n)
       case org.apache.spark.sql.types.MapType(k, v, n) =>
@@ -1314,16 +1317,24 @@ object DeltaRead {
     * (no partition-column re-attachment: the output goes straight back
     * into files), but the scan runs under the LOG schema + the two
     * materialized columns so mixed inputs (some already materialized,
-    * some not) resolve uniformly. Row-tracking tables are never
-    * column-mapped (the writer refuses the combination), so raw names
-    * are logical names. */
+    * some not) resolve uniformly. On a column-mapped table the data
+    * fields scan under their PHYSICAL names (what the files store —
+    * the raw output goes straight back into files, so no re-logical
+    * rename happens); the materialized columns are physical-only
+    * passengers either way. */
   private[io] def maskedRawScanWithRowIds(spark: SparkSession, table: String,
       s: DeltaSnapshot, files: Seq[FileEntry]): DataFrame = {
     import org.apache.spark.sql.types.{LongType, StructField}
     val (matId, matRcv) = matColNames(table, s)
-    val dataFields = s.schema.getOrElse(throw new IllegalStateException(
-      s"$table: no schema")).fields
-      .filterNot(f => s.partitionColumns.contains(f.name))
+    val logical = s.schema.getOrElse(throw new IllegalStateException(
+      s"$table: no schema"))
+    // filter partition columns on LOGICAL names first (that is what
+    // partitionColumns records), physicalize the survivors after
+    val logicalData = StructType(logical.fields
+      .filterNot(f => s.partitionColumns.contains(f.name)))
+    val dataFields = (if (ColumnMapping.active(s.columnMappingMode))
+        ColumnMapping.physicalize(logicalData).asInstanceOf[StructType]
+      else logicalData).fields
     val sch = StructType(dataFields ++
       Seq(StructField(matId, LongType), StructField(matRcv, LongType)))
     val scan = spark.read.schema(sch)

@@ -225,6 +225,103 @@ object DeltaWrite {
     staged.toSeq
   }
 
+  // --- AUTO OPTIMIZE (the Databricks table properties, honored for
+  // real): `delta.autoOptimize.optimizeWrite` right-sizes a batch's
+  // output file count before staging — Catalyst's plan-stats size
+  // estimate ÷ target file size, discounted by a parquet compression
+  // factor — so a 200-task tiny append lands as one file, not 200.
+  // `delta.autoOptimize.autoCompact` follows a successful append with
+  // an OPTIMIZE pass over EXACTLY the touched partitions once one
+  // accumulates [[AutoCompactMinFiles]] under-target files (override:
+  // `graft.autoCompact.minNumFiles`, the table-property analog of
+  // OSS delta's spark.databricks.delta.autoCompact.minNumFiles conf).
+  // Together they are the small-files answer at 100 TB, where file
+  // count is its own bottleneck: listing pressure, per-file open cost,
+  // tiny row groups defeating stats-based skipping.
+
+  private[io] val OptimizeWriteKey = "delta.autoOptimize.optimizeWrite"
+  private[io] val AutoCompactKey = "delta.autoOptimize.autoCompact"
+  private[io] val TargetFileSizeKey = "delta.targetFileSize"
+  private[io] val MinFilesKey = "graft.autoCompact.minNumFiles"
+  private[io] val AutoCompactMinFiles = 50
+  // in-memory plan bytes → parquet bytes (dictionary + RLE + snappy)
+  private val ParquetCompressionFactor = 0.35
+
+  /** `delta.targetFileSize` accepts plain bytes or b/kb/mb/gb suffixes. */
+  private[graft] def parseByteSize(s: String): Long = {
+    val t = s.trim.toLowerCase(java.util.Locale.ROOT)
+    val (num, mult) =
+      if (t.endsWith("gb")) (t.dropRight(2), 1L << 30)
+      else if (t.endsWith("mb")) (t.dropRight(2), 1L << 20)
+      else if (t.endsWith("kb")) (t.dropRight(2), 1L << 10)
+      else if (t.endsWith("b")) (t.dropRight(1), 1L)
+      else (t, 1L)
+    num.trim.toLongOption.map(_ * mult).getOrElse(throw new IllegalArgumentException(
+      s"$TargetFileSizeKey: cannot parse '$s' (use bytes or kb/mb/gb)"))
+  }
+
+  private def targetFileBytes(conf: Map[String, String]): Long =
+    conf.get(TargetFileSizeKey).map(parseByteSize).getOrElse(128L << 20)
+
+  /** The optimizeWrite repartition: estimate the batch's parquet bytes
+    * from Catalyst plan statistics, coalesce to ceil(est/target) tasks
+    * — hash-partitioned ON the partition columns when there are any,
+    * so each Hive partition's rows land in ONE task → one file per
+    * partition per batch. An unknown/absurd estimate (> 16 TB for one
+    * batch) skips the reshape rather than planning a garbage shuffle. */
+  private def applyOptimizeWrite(df: DataFrame, conf: Map[String, String],
+      stagedPartitionBy: Seq[String]): DataFrame = {
+    if (!conf.get(OptimizeWriteKey).exists(_.equalsIgnoreCase("true"))) return df
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (!est.isValidLong || est.toLong <= 0 || est.toLong > (1L << 44)) return df
+    val bytes = (est.toLong * ParquetCompressionFactor).toLong
+    val n = math.max(1L, (bytes + targetFileBytes(conf) - 1) / targetFileBytes(conf))
+      .min(100000L).toInt
+    if (stagedPartitionBy.nonEmpty)
+      df.repartition(n, stagedPartitionBy.map(org.apache.spark.sql.functions.col): _*)
+    else df.repartition(n)
+  }
+
+  /** The autoCompact follow-on: after a commit adds files, OPTIMIZE any
+    * TOUCHED partition that now holds >= minNumFiles under-target live
+    * files — its own commit, exactly like Databricks' post-write pass.
+    * Partition scope keys translate back to LOGICAL names for
+    * [[compact]]; null-valued partition tuples are left to the nightly
+    * full OPTIMIZE (scope matching on the null partition is not worth
+    * the edge). Never throws into the caller's successful commit. */
+  private def maybeAutoCompact(spark: SparkSession, table: String,
+      conf: Map[String, String], staged: Seq[Staged]): Unit = {
+    if (!conf.get(AutoCompactKey).exists(_.equalsIgnoreCase("true"))) return
+    val minFiles = conf.get(MinFilesKey).flatMap(_.toIntOption)
+      .getOrElse(AutoCompactMinFiles)
+    val target = targetFileBytes(conf)
+    try {
+      val head = DeltaRead.snapshot(spark, table)
+      val physToLogical: Map[String, String] =
+        if (!DeltaRead.ColumnMapping.active(head.columnMappingMode)) Map.empty
+        else head.schema.map(sc =>
+          DeltaRead.ColumnMapping.physByLogical(sc).map(_.swap)).getOrElse(Map.empty)
+      // staged tuples carry PHYSICAL keys (the staging dir layout);
+      // the snapshot's partitionValues are logical after translation —
+      // translate BEFORE the lookup or mapped tables never match
+      val byPv = head.files.groupBy(_.partitionValues)
+      staged.map(_.partitionValues.map { case (k, x) =>
+          physToLogical.getOrElse(k, k) -> x }).distinct
+        .filter(_.valuesIterator.forall(_ != null))
+        .foreach { pv =>
+          val small = byPv.getOrElse(pv, Nil)
+            .filter(f => f.sizeOrStat(table) < target)
+          if (small.size >= minFiles)
+            compact(spark, table, target, partitions = pv)
+        }
+    } catch {
+      case e: Exception =>
+        // the append COMMITTED; a failed follow-on pass must not turn
+        // success into an exception — the nightly OPTIMIZE catches up
+        System.err.println(s"[graft] autoCompact on $table skipped: ${e.getMessage}")
+    }
+  }
+
   /** Directory cdc files land under (PROTOCOL.md "Add CDC File"). */
   private[io] val CdcDir = "_change_data"
 
@@ -455,18 +552,18 @@ object DeltaWrite {
     * enablement + materialized-column names in the table config,
     * re-adds every live file with a freshly allocated `baseRowId`
     * block (dataChange=false — byte-identical content), and publishes
-    * the high-water mark. Idempotent. Column-mapped tables are
-    * refused: the rewrite paths materialize preserved ids under
-    * physical-only column names this writer does not also map. */
+    * the high-water mark. Idempotent. Works on column-mapped tables
+    * too (the Databricks-default combination): the materialized id
+    * columns are PHYSICAL-ONLY passengers with their own stable names
+    * — never logical schema fields — so the mapping never applies to
+    * them; rewrite paths carry them via physicalizeDf's passthrough
+    * and restampFieldIds' unknown-column passthrough. */
   def enableRowTracking(spark: SparkSession, table: String): Long = {
     var attempt = 0
     while (attempt < 10) {
       val v = DeltaRead.latestVersion(table)
       val s = DeltaRead.snapshotAt(spark, table, v)
       validateWriterSupport(table, s, removesData = false)
-      if (DeltaRead.ColumnMapping.active(s.columnMappingMode))
-        throw new UnsupportedOperationException(
-          s"enableRowTracking: $table is column-mapped — unsupported combination")
       if (rowTrackingOn(s) && s.files.forall(_.baseRowId.isDefined)) return v
       val now = System.currentTimeMillis()
       var hwm = rowIdHighWaterMark(s)
@@ -1062,14 +1159,11 @@ object DeltaWrite {
         s.configuration.get("delta.appendOnly").exists(_.equalsIgnoreCase("true")))
       throw new UnsupportedOperationException(
         s"$table is delta.appendOnly — removing or replacing rows is forbidden")
-    // row tracking under column mapping would require materializing
-    // preserved ids under MAPPED physical names on every rewrite —
-    // untested territory this writer refuses rather than silently
-    // mis-materializes (same posture as identity × mapping)
-    if (rowTrackingOn(s) && DeltaRead.ColumnMapping.active(s.columnMappingMode))
-      throw new UnsupportedOperationException(
-        s"$table combines row tracking with column mapping — unsupported " +
-          "combination; this writer will not touch the table")
+    // row tracking × column mapping is SUPPORTED (the
+    // Databricks-default combination): the materialized id columns are
+    // physical-only passengers outside the mapping (see
+    // enableRowTracking), so rewrites preserve ids on mapped tables
+    // exactly as on plain ones — RowTrackingSpec pins the composition
     // invariants, generated columns and the change data feed are NOT
     // gated here: the first two are upheld per batch
     // (enforceInvariants / applyGeneratedColumns), and CDF-obligated
@@ -1270,11 +1364,27 @@ object DeltaWrite {
   // --- COLUMN DEFAULTS (PROTOCOL.md "Default Columns" /
   // allowColumnDefaults): a field's CURRENT_DEFAULT metadata holds a
   // SQL expression inserts may omit the column in favor of; the writer
-  // obligation is to evaluate it per batch. Delta forbids ADD COLUMN
-  // with a default (no EXISTS_DEFAULT read semantics to honor), so the
-  // read side stays plain null-filling for pre-column files.
+  // obligation is to evaluate it per batch. ADD COLUMN ... DEFAULT
+  // additionally stamps EXISTS_DEFAULT with the expression FOLDED TO A
+  // LITERAL at alter time (Spark's own two-key contract): the parquet
+  // reader serves that literal — not null — for files predating the
+  // add, so one metadata commit gives every pre-add row the default
+  // with zero data files rewritten (ExistsDefaultProbeSpec pins the
+  // reader contract; files that HAVE the column still serve their
+  // stored values, explicit nulls included).
 
   private[io] val DefaultKey = "CURRENT_DEFAULT"
+  private[io] val ExistsDefaultKey = "EXISTS_DEFAULT"
+
+  /** Fold `sql` to the literal SQL text EXISTS_DEFAULT stores: the
+    * expression is evaluated ONCE here (so `current_date()` pins the
+    * alter-time value — Spark's semantics) and must be constant
+    * (column references fail analysis, the right refusal). */
+  private def foldDefaultLiteral(spark: SparkSession, sql: String,
+      dataType: DataType): String = {
+    val v = spark.sql(s"SELECT CAST(($sql) AS ${dataType.sql})").collect()(0).get(0)
+    org.apache.spark.sql.catalyst.expressions.Literal.create(v, dataType).sql
+  }
 
   /** Fill every committed column the batch omits from its
     * CURRENT_DEFAULT expression (evaluated against the batch — a
@@ -1764,7 +1874,13 @@ object DeltaWrite {
         val (mappedSchema, maxIdV) = WriteMapping.mergeSchema(df.schema, None, 0L)
         WriteMapping.Ctx(m, mappedSchema, maxIdV)
       }
-    val stagedDf = mapCtx.map(c => WriteMapping.physicalizeDf(df, c.schema)).getOrElse(df)
+    val stagedDf0 = mapCtx.map(c => WriteMapping.physicalizeDf(df, c.schema)).getOrElse(df)
+    // delta.autoOptimize.optimizeWrite: right-size the batch's output
+    // file count BEFORE staging (the write-side half of the
+    // small-files answer; [[maybeAutoCompact]] is the read-side half)
+    val stagedDf = applyOptimizeWrite(stagedDf0,
+      preSnap.map(_.configuration).getOrElse(Map.empty),
+      mapCtx.map(c => partBy.map(c.physByLogical)).getOrElse(partBy))
     val stagedPartitionBy = mapCtx.map(c => partBy.map(c.physByLogical))
       .getOrElse(partBy)
     val staged = shredGuard(spark,
@@ -1939,7 +2055,12 @@ object DeltaWrite {
       val adds = staged.map(s => addAction(s))
       val txns = txn.map { case (appId, ver) => txnAction(appId, ver, now) }.toSeq
       val allLines = header ++ txns ++ removes ++ adds ++ extraActions(snap)
-      if (publish(table, snap, v, allLines)) return Some(v)
+      if (publish(table, snap, v, allLines)) {
+        // post-commit half of auto optimize — its own commit(s), never
+        // a failure of the append that just landed
+        snap.foreach(s0 => maybeAutoCompact(spark, table, s0.configuration, staged))
+        return Some(v)
+      }
       attempt += 1 // lost the CAS race: re-resolve version and retry
     }
     // caller (commit) drops the staged files on any throw
@@ -2247,7 +2368,26 @@ object DeltaWrite {
     * wholesale replace are unrepresentable (same stance as
     * cross-schema [[restore]]). */
   def shallowClone(spark: SparkSession, source: String, dest: String,
-      version: Option[Long] = None, replace: Boolean = false): Long = {
+      version: Option[Long] = None, replace: Boolean = false): Long =
+    cloneImpl(spark, source, dest, version, replace, deep = false)
+
+  /** DEEP CLONE — the materializing sibling of [[shallowClone]]: the
+    * same one-commit contract (schema, partitioning, configuration,
+    * protocol, domains, row ids and stats carried verbatim; version 0
+    * or one replace-commit), but every live data file and DV bitmap is
+    * COPIED into `dest`, so the clone is fully self-contained: it
+    * survives the source's vacuum/drop, relocates with a plain `mv`,
+    * and works across filesystems. Copies run on a bounded pool
+    * (wall-clock = slowest file, not the sum, same discipline as
+    * OPTIMIZE's staging); stats/sizes come from the LOG, so the only
+    * per-file work is the byte copy itself — which is the operation's
+    * irreducible cost and the reason SHALLOW stays the default. */
+  def deepClone(spark: SparkSession, source: String, dest: String,
+      version: Option[Long] = None, replace: Boolean = false): Long =
+    cloneImpl(spark, source, dest, version, replace, deep = true)
+
+  private def cloneImpl(spark: SparkSession, source: String, dest: String,
+      version: Option[Long], replace: Boolean, deep: Boolean): Long = {
     val v = version.getOrElse(DeltaRead.latestVersion(source))
     val s = DeltaRead.snapshotAt(spark, source, v)
     val schemaJson = s.schema.map(_.json).getOrElse(throw new IllegalStateException(
@@ -2257,7 +2397,7 @@ object DeltaWrite {
         s.schema.map(DeltaRead.ColumnMapping.physByLogical).getOrElse(Map.empty)
       else Map.empty
     val now = System.currentTimeMillis()
-    val adds = s.files.map { f =>
+    def shallowAdds() = s.files.map { f =>
       val abs = DeltaRead.dataPath(source, f.path).toAbsolutePath.normalize()
       // size from the LOG (protocol-required on every add) — cloning a
       // million-file table must not stat a million files
@@ -2275,6 +2415,66 @@ object DeltaWrite {
       addAction(staged, dataChange = true, dv = dv,
         rowIds = f.baseRowId.zip(f.defaultRowCommitVersion))
     }
+    def deepAdds() = {
+      Files.createDirectories(Paths.get(dest))
+      def materialize(f: DeltaRead.FileEntry): String = {
+        val src = DeltaRead.dataPath(source, f.path)
+        // fresh Hive layout derived from partitionValues (covers
+        // absolute entries of an already-shallow source uniformly)
+        val partDir = s.partitionColumns.map { c =>
+          val x = f.partitionValues.get(c).orNull
+          physBy.getOrElse(c, c) + "=" + (if (x == null) NullPartition
+            else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .escapePathName(x))
+        }
+        val relPath = (partDir :+ s"part-${UUID.randomUUID()}.parquet").mkString("/")
+        val destP = Paths.get(dest).resolve(relPath)
+        Files.createDirectories(destP.getParent)
+        Files.copy(src, destP, StandardCopyOption.COPY_ATTRIBUTES)
+        val dv = f.dv.map {
+          case d if d.storageType == "u" =>
+            // same descriptor, same derived name — copy the bitmap to
+            // the path the descriptor resolves to under DEST. Several
+            // adds may share one bitmap (offset-sharing): first copy
+            // wins via tmp+atomic-move, the rest are no-ops
+            val from = DeltaDv.dvFile(source, d)
+            val to = DeltaDv.dvFile(dest, d)
+            Files.createDirectories(to.getParent)
+            if (!Files.exists(to)) {
+              val tmp = Files.createTempFile(to.getParent, ".dvcopy-", ".tmp")
+              Files.copy(from, tmp, StandardCopyOption.REPLACE_EXISTING)
+              try Files.move(tmp, to, StandardCopyOption.ATOMIC_MOVE)
+              catch { case _: java.nio.file.FileAlreadyExistsException =>
+                Files.deleteIfExists(tmp) }
+            }
+            d
+          case d if d.storageType == "p" =>
+            val to = Paths.get(dest)
+              .resolve(s"deletion_vector_${UUID.randomUUID()}.bin")
+            Files.copy(DeltaDv.dvFile(source, d), to)
+            d.copy(pathOrInlineDv = to.toAbsolutePath.normalize().toString)
+          case d => d // "i" rides inline in the descriptor
+        }
+        addAction(Staged(relPath,
+          f.partitionValues.map { case (k, x) => physBy.getOrElse(k, k) -> x },
+          f.sizeOrStat(source), now,
+          f.stats.map(DeltaRead.renameStatsKeys(_, physBy))),
+          dataChange = true, dv = dv,
+          rowIds = f.baseRowId.zip(f.defaultRowCommitVersion))
+      }
+      if (s.files.size <= 1) s.files.map(materialize)
+      else {
+        import scala.collection.parallel.CollectionConverters._
+        val par = s.files.par
+        val pool = new java.util.concurrent.ForkJoinPool(
+          math.min(s.files.size, 8))
+        par.tasksupport =
+          new scala.collection.parallel.ForkJoinTaskSupport(pool)
+        try par.map(materialize).seq
+        finally pool.shutdown()
+      }
+    }
+    val adds = if (deep) deepAdds() else shallowAdds()
     def lines(domains: Seq[String], extraRemoves: Seq[String]) =
       (Seq(commitInfoAction("CLONE", now), protocolActionFull(s),
         metaDataAction(UUID.randomUUID().toString, schemaJson,
@@ -2456,16 +2656,26 @@ object DeltaWrite {
     * interop door: materialize the HEAD snapshot's live file list as
     * `_symlink_format_manifest/[<partition dirs>/]manifest` text files
     * (one absolute `file:` URI per line), the layout Hive's
-    * SymlinkTextInputFormat reads. The whole tree is REGENERATED each
-    * call (stale partition manifests from dropped partitions are
-    * removed — a leftover manifest would resurrect deleted rows for
-    * external readers). Deletion-vector tables refuse: an external
-    * reader consumes the listed parquet whole and would see masked
-    * rows — run a compact (which purges DVs) first, as Delta's own
-    * GENERATE requires. Shallow-clone entries list their ABSOLUTE
-    * source paths, which is exactly what an external reader needs.
-    * Returns the number of manifest files written. */
-  def generateSymlinkManifest(spark: SparkSession, table: String): Int = {
+    * SymlinkTextInputFormat reads. By default the whole tree is
+    * REGENERATED each call (stale partition manifests from dropped
+    * partitions are removed — a leftover manifest would resurrect
+    * deleted rows for external readers; full regen is also Delta's own
+    * behavior). With `incremental = true` and a prior generation
+    * marker, only partitions whose LIVE FILE SET changed since the
+    * marked version are rewritten and only partitions that vanished
+    * have their manifests removed — on a 10⁵-partition table a
+    * one-partition append rewrites one small file, not 10⁵. The
+    * stale-manifest-removal guarantee is identical in both modes (the
+    * old-vs-new snapshot diff sees every dropped partition); a missing
+    * or future-versioned marker degrades to full regen. Deletion-vector
+    * tables refuse: an external reader consumes the listed parquet
+    * whole and would see masked rows — run a compact (which purges
+    * DVs) first, as Delta's own GENERATE requires. Shallow-clone
+    * entries list their ABSOLUTE source paths, which is exactly what
+    * an external reader needs. Returns the number of manifest files
+    * written. */
+  def generateSymlinkManifest(spark: SparkSession, table: String,
+      incremental: Boolean = false): Int = {
     val s = DeltaRead.snapshot(spark, table)
     require(s.files.forall(_.dv.isEmpty),
       s"generateSymlinkManifest: $table has live deletion vectors — an " +
@@ -2479,9 +2689,8 @@ object DeltaWrite {
         s"('${s.columnMappingMode}') — external symlink readers resolve " +
         "columns by name against the physical files and would read nulls")
     val root = Paths.get(table, "_symlink_format_manifest")
-    if (Files.isDirectory(root))
-      org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
-    val byPartition = s.files.groupBy { f =>
+    val marker = root.resolve("_last_generated_version")
+    def hiveDirs(f: DeltaRead.FileEntry): Seq[String] =
       // the manifest tree mirrors the Hive layout of the RELATIVE
       // entries; absolute (cloned) entries group by partitionValues
       // rendered Hive-style, same as compact's localization dirs
@@ -2491,8 +2700,37 @@ object DeltaWrite {
           else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
             .escapePathName(v))
       }
+    val prevV: Option[Long] =
+      if (!incremental || !Files.isRegularFile(marker)) None
+      else try Some(new String(Files.readAllBytes(marker),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+          .filter(v => v >= 0 && v <= s.version)
+        catch { case _: Exception => None }
+    val byPartition = s.files.groupBy(hiveDirs)
+    val (toWrite, stale) = prevV match {
+      case None =>
+        if (Files.isDirectory(root))
+          org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+        (byPartition, Set.empty[Seq[String]])
+      case Some(pv) =>
+        val old = DeltaRead.snapshotAt(spark, table, pv).files.groupBy(hiveDirs)
+        val changed = byPartition.filter { case (k, fs) =>
+          !old.get(k).map(_.map(_.path).toSet).contains(fs.map(_.path).toSet)
+        }
+        (changed, old.keySet -- byPartition.keySet)
     }
-    byPartition.foreach { case (dirs, fs) =>
+    stale.foreach { dirs =>
+      val dir = dirs.foldLeft(root)(_.resolve(_))
+      Files.deleteIfExists(dir.resolve("manifest"))
+      // prune now-empty partition dirs up to (never including) the root
+      var d = dir
+      while (d != root && Files.isDirectory(d) &&
+          { val ls = Files.list(d); val empty = try !ls.iterator().hasNext
+            finally ls.close(); empty }) {
+        Files.delete(d); d = d.getParent
+      }
+    }
+    toWrite.foreach { case (dirs, fs) =>
       val dir = dirs.foldLeft(root)(_.resolve(_))
       Files.createDirectories(dir)
       val lines = fs.map(f =>
@@ -2500,7 +2738,9 @@ object DeltaWrite {
         .sorted
       Files.write(dir.resolve("manifest"), lines.asJava)
     }
-    byPartition.size
+    Files.createDirectories(root)
+    Files.write(marker, Seq(s.version.toString).asJava)
+    toWrite.size
   }
 
   /** One COPY INTO outcome: `version` is None when nothing new was
@@ -3125,7 +3365,12 @@ object DeltaWrite {
       // merge batches always carry every column: generated ones are
       // validated (never recomputed — the kept rows already conform)
       applyGeneratedColumns(batch, committed, table)
-      val stagedDf = mapCtx.map(c => WriteMapping.physicalizeDf(batch, c.schema))
+      // the materialized row-id columns are PASSENGERS, not schema
+      // columns: under column mapping they ride physicalizeDf's
+      // passthrough (they already carry their final physical-only
+      // names) instead of being select-dropped with the rename
+      val stagedDf = mapCtx.map(c => WriteMapping.physicalizeDf(batch, c.schema,
+          passthrough = matPair.toSeq.flatMap { case (a, b) => Seq(a, b) }))
         .getOrElse(batch)
       val stagedPartitionBy = mapCtx.map(c => snap.partitionColumns.map(c.physByLogical))
         .getOrElse(snap.partitionColumns)
@@ -3487,7 +3732,12 @@ object DeltaWrite {
       enforceConstraints(batch, snap.configuration, table)
       enforceInvariants(batch, committed, table)
       applyGeneratedColumns(batch, committed, table)
-      val stagedDf = mapCtx.map(c => WriteMapping.physicalizeDf(batch, c.schema))
+      // the materialized row-id columns are PASSENGERS, not schema
+      // columns: under column mapping they ride physicalizeDf's
+      // passthrough (they already carry their final physical-only
+      // names) instead of being select-dropped with the rename
+      val stagedDf = mapCtx.map(c => WriteMapping.physicalizeDf(batch, c.schema,
+          passthrough = matPair.toSeq.flatMap { case (a, b) => Seq(a, b) }))
         .getOrElse(batch)
       val stagedPartitionBy = mapCtx.map(c => snap.partitionColumns.map(c.physByLogical))
         .getOrElse(snap.partitionColumns)
@@ -3662,7 +3912,12 @@ object DeltaWrite {
       // generated columns are validated, never silently recomputed: an
       // update that breaks source↔generated consistency is refused
       applyGeneratedColumns(batch, committed, table)
-      val stagedDf = mapCtx.map(c => WriteMapping.physicalizeDf(batch, c.schema))
+      // the materialized row-id columns are PASSENGERS, not schema
+      // columns: under column mapping they ride physicalizeDf's
+      // passthrough (they already carry their final physical-only
+      // names) instead of being select-dropped with the rename
+      val stagedDf = mapCtx.map(c => WriteMapping.physicalizeDf(batch, c.schema,
+          passthrough = matPair.toSeq.flatMap { case (a, b) => Seq(a, b) }))
         .getOrElse(batch)
       val stagedPartitionBy = mapCtx
         .map(c => snap.partitionColumns.map(c.physByLogical))
@@ -3794,7 +4049,12 @@ object DeltaWrite {
       enforceConstraints(batch, snap.configuration, table)
       enforceInvariants(batch, committed, table)
       applyGeneratedColumns(batch, committed, table)
-      val stagedDf = mapCtx.map(c => WriteMapping.physicalizeDf(batch, c.schema))
+      // the materialized row-id columns are PASSENGERS, not schema
+      // columns: under column mapping they ride physicalizeDf's
+      // passthrough (they already carry their final physical-only
+      // names) instead of being select-dropped with the rename
+      val stagedDf = mapCtx.map(c => WriteMapping.physicalizeDf(batch, c.schema,
+          passthrough = matPair.toSeq.flatMap { case (a, b) => Seq(a, b) }))
         .getOrElse(batch)
       val stagedPartitionBy = mapCtx
         .map(c => snap.partitionColumns.map(c.physByLogical))
@@ -4086,9 +4346,13 @@ object DeltaWrite {
     * (`Seq("meta", "quality")` adds field `quality` inside existing
     * struct column `meta`); length 1 is a plain top-level add.
     * `position` places the new field within its parent (FIRST/AFTER);
-    * None appends at the end. */
+    * None appends at the end. `defaultSql` (top-level columns only)
+    * makes it ADD COLUMN ... DEFAULT: pre-add rows serve the
+    * alter-time-folded value, later inserts omitting the column
+    * re-evaluate the expression. */
   final case class AddColSpec(path: Seq[String], dataType: DataType,
-      comment: Option[String] = None, position: Option[ColPos] = None)
+      comment: Option[String] = None, position: Option[ColPos] = None,
+      defaultSql: Option[String] = None)
 
   /** ALTER TABLE ADD COLUMNS — ONE metaData-only commit appending every
     * spec'd NULLABLE column, top-level or NESTED inside existing struct
@@ -4105,15 +4369,29 @@ object DeltaWrite {
     * one JSON line, not a re-ingest. On a mapped table new fields at
     * every level are stamped with fresh mapping ids and `maxColumnId`
     * advances in the same commit. Only nullable adds are expressible
-    * (existing rows have no value to satisfy NOT NULL); callers
-    * wanting defaults backfill with [[updateWhere]] afterwards. */
+    * (existing rows have no value to satisfy NOT NULL — a top-level
+    * `defaultSql` is the exception: pre-add rows serve the alter-time
+    * folded default via EXISTS_DEFAULT, still zero files rewritten). */
   def addColumns(spark: SparkSession, table: String,
       specs: Seq[AddColSpec]): Long = {
     require(specs.nonEmpty, "addColumns: no columns to add")
     specs.foreach { sp =>
       require(sp.path.nonEmpty && sp.path.forall(_.nonEmpty),
         s"addColumns: empty column name in ${sp.path.mkString(".")}")
+      // the parquet reader's existence-default fill is a TOP-LEVEL
+      // contract (a nested default would silently read as null —
+      // refuse rather than half-honor it)
+      require(sp.defaultSql.isEmpty || sp.path.length == 1,
+        s"addColumns: DEFAULT on nested column '${sp.path.mkString(".")}' " +
+          "is not supported — only top-level columns serve existence defaults")
     }
+    // DEFAULTs fold to their alter-time literal ONCE, outside the CAS
+    // loop (re-folding per race attempt could move a current_date()
+    // boundary mid-statement)
+    val foldedBySpec: Map[Seq[String], String] = specs.collect {
+      case sp if sp.defaultSql.isDefined =>
+        sp.path -> foldDefaultLiteral(spark, sp.defaultSql.get, sp.dataType)
+    }.toMap
     // insert `spec` into `schema`, walking the nesting prefix through
     // existing STRUCT fields only; the leaf lands at its position
     // (FIRST / AFTER sibling / default end-append)
@@ -4124,6 +4402,10 @@ object DeltaWrite {
             s"addColumns: '${spec.path.mkString(".")}' already exists on $table")
           val metaB = new MetadataBuilder()
           spec.comment.foreach(c => metaB.putString("comment", c))
+          spec.defaultSql.foreach { d =>
+            metaB.putString(DefaultKey, d)
+            metaB.putString(ExistsDefaultKey, foldedBySpec(spec.path))
+          }
           val field = StructField(leaf, spec.dataType, nullable = true, metaB.build())
           val at = spec.position match {
             case None => schema.fields.length
@@ -4168,10 +4450,19 @@ object DeltaWrite {
           (mapped, s.configuration + (WriteMapping.MaxIdKey -> maxId.toString))
         }
       val now = System.currentTimeMillis()
+      // a defaulted add lists allowColumnDefaults in the SAME commit —
+      // one atomic statement, protocol included (setColumnDefault's
+      // upgrade contract)
+      val proto =
+        if (foldedBySpec.isEmpty ||
+            (s.minWriterVersion >= 7 &&
+              s.writerFeatures.contains("allowColumnDefaults"))) Nil
+        else Seq(upgradeProtocolAction(table, s, Set.empty,
+          Set("allowColumnDefaults")))
       val lines = Seq(commitInfoAction(
-          if (specs.size == 1) "ADD COLUMN" else "ADD COLUMNS", now),
+          if (specs.size == 1) "ADD COLUMN" else "ADD COLUMNS", now)) ++ proto :+
         metaDataAction(s.metaId.getOrElse(UUID.randomUUID().toString),
-          schema.json, s.partitionColumns, now, newConf))
+          schema.json, s.partitionColumns, now, newConf)
       if (publish(table, Some(s), v + 1, lines)) return v + 1
       attempt += 1
     }
@@ -4692,37 +4983,77 @@ object DeltaWrite {
     // after-the-walk mtime check would spare exactly the abandoned
     // dirs whose contents the walk just reclaimed
     val staleStaging = eligibleStaging(root, cutoff)
-    val st = Files.walk(root)
-    val candidates =
-      try {
-        st.iterator().asScala
-          .filter { p =>
-            val n = p.getFileName.toString
-            Files.isRegularFile(p) &&
-              !p.startsWith(root.resolve("_delta_log")) &&
-              // cdc files share the JSON log's lifetime (changesBetween
-              // refuses once the commit JSON is gone, and this writer
-              // never truncates surviving commits), so they are not
-              // vacuum's to reclaim — cleanMetadata deletes them in the
-              // same sweep that expires their commit JSON
-              !p.startsWith(root.resolve(CdcDir)) &&
-              !n.startsWith("_") &&
-              ((n.endsWith(".parquet") && !live(p.normalize()) &&
-                !recentlyRemoved(p.normalize())) ||
-                (n.startsWith("deletion_vector_") && n.endsWith(".bin") &&
-                  !liveDvs(p.normalize()))) &&
-              Files.getLastModifiedTime(p).toMillis < cutoff
-          }
-          .toList // materialize before deleting out from under the walk
-      } finally st.close()
+    // DISTRIBUTED enumeration + deletion: the driver touches only the
+    // TOP-LEVEL listing of the table root (O(partition dirs), bounded);
+    // every subtree below that is walked — and, on a destructive run,
+    // reclaimed — by its own Spark task. This was the engine's last
+    // O(files) driver loop (the stats/compaction/checkpoint seams
+    // closed in r13, `DeltaRead.scala` FileEntry scaladoc states the
+    // rule): on object storage a million-file table's vacuum is now
+    // wall-clocked by the largest partition dir, not the table.
+    // Protected-path sets ride ONE broadcast each, not task closures.
+    val protectedParquet: Set[String] =
+      live.map(_.toString) ++ recentlyRemoved.map(_.toString)
+    val protectedDvs: Set[String] = liveDvs.map(_.toString)
+    val topLs = Files.list(root)
+    val (topDirs, topFiles) =
+      try topLs.iterator().asScala.toList.partition(Files.isDirectory(_))
+      finally topLs.close()
+    // cdc files share the JSON log's lifetime (changesBetween refuses
+    // once the commit JSON is gone, and this writer never truncates
+    // surviving commits), so they are not vacuum's to reclaim —
+    // cleanMetadata deletes them in the same sweep that expires their
+    // commit JSON. _delta_log is likewise cleanMetadata's, not ours.
+    val walkRoots = topDirs.filterNot { p =>
+      val n = p.getFileName.toString
+      n == "_delta_log" || n == CdcDir
+    }
+    val topCandidates = topFiles
+      .filter(vacuumCandidate(_, cutoff, protectedParquet, protectedDvs))
+    val subtreeCount: Long =
+      if (walkRoots.isEmpty) 0L
+      else {
+        val sc = spark.sparkContext
+        val bcParquet = sc.broadcast(protectedParquet)
+        val bcDvs = sc.broadcast(protectedDvs)
+        val doDelete = !dryRun
+        val cut = cutoff
+        try sc.parallelize(walkRoots.map(_.toString), walkRoots.size)
+          .map { dirStr =>
+            val walk = Files.walk(Paths.get(dirStr))
+            val cands = // materialize before deleting out from under the walk
+              try walk.iterator().asScala.filter(
+                vacuumCandidate(_, cut, bcParquet.value, bcDvs.value)).toList
+              finally walk.close()
+            // deleteIfExists: idempotent under task retry
+            if (doDelete) cands.foreach(Files.deleteIfExists)
+            cands.size.toLong
+          }.fold(0L)(_ + _)
+        finally { bcParquet.destroy(); bcDvs.destroy() }
+      }
     if (!dryRun) {
-      candidates.foreach(Files.deleteIfExists)
+      topCandidates.foreach(Files.deleteIfExists)
       // reclaim staging dirs a crashed writer abandoned (stage()
       // removes its own dir on success)
       staleStaging.foreach(p =>
         org.apache.commons.io.FileUtils.deleteDirectory(p.toFile))
     }
-    candidates.size
+    topCandidates.size + subtreeCount.toInt
+  }
+
+  /** The per-file vacuum predicate — ONE code path shared by the
+    * driver's top-level-file check and the distributed subtree walks,
+    * so the two enumeration tiers can never diverge (the same
+    * one-code-path rule `dryRun` holds the destructive path to). */
+  private def vacuumCandidate(p: Path, cutoff: Long,
+      protectedParquet: Set[String], protectedDvs: Set[String]): Boolean = {
+    val n = p.getFileName.toString
+    Files.isRegularFile(p) && !n.startsWith("_") &&
+      ((n.endsWith(".parquet") &&
+        !protectedParquet(p.normalize().toString)) ||
+        (n.startsWith("deletion_vector_") && n.endsWith(".bin") &&
+          !protectedDvs(p.normalize().toString))) &&
+      Files.getLastModifiedTime(p).toMillis < cutoff
   }
 
   /** Paths whose `remove` action committed inside the retention window
@@ -5033,14 +5364,28 @@ object DeltaWrite {
     * checkpoint) or a complete one. [[checkpoint]] dispatches here
     * when `delta.checkpointPolicy=v2`; tables written by graft default
     * to classic (either resolves identically through [[DeltaRead]]). */
-  def checkpointV2(spark: SparkSession, table: String): Long = {
+  def checkpointV2(spark: SparkSession, table: String,
+      sidecars: Int = 1): Long = {
+    require(sidecars >= 1, s"checkpointV2: sidecars must be >= 1, got $sidecars")
     val v = DeltaRead.latestVersion(table)
     val s = DeltaRead.snapshotAt(spark, table, v)
     val state = checkpointStateRows(table, s)
     val (addRows, otherRows) = state.partition(r => !r.isNullAt(2))
-    val sidecarName = s"${UUID.randomUUID()}.parquet"
-    val sidecarDest = logDir(table).resolve("_sidecars").resolve(sidecarName)
-    writeActionParquet(spark, table, addRows, CheckpointSchema, sidecarDest)
+    // file actions shard CONTIGUOUSLY across sidecars (a million-file
+    // table's checkpoint must not be one giant parquet): each sidecar
+    // is independently readable, every one non-empty when the add
+    // count allows it — the multi-part discipline of the classic
+    // writer, in the v2 layout
+    val n = math.max(1, math.min(sidecars, addRows.size))
+    val chunks: Seq[Seq[Row]] =
+      if (n == 1) Seq(addRows)
+      else addRows.grouped((addRows.size + n - 1) / n).toSeq
+    val written = chunks.map { chunk =>
+      val name = s"${UUID.randomUUID()}.parquet"
+      val dest = logDir(table).resolve("_sidecars").resolve(name)
+      writeActionParquet(spark, table, chunk, CheckpointSchema, dest)
+      (name, dest)
+    }
     val manifestSchema = StructType(CheckpointSchema.fields ++ Seq(
       StructField("sidecar", StructType(Seq(
         StructField("path", StringType),
@@ -5050,17 +5395,27 @@ object DeltaWrite {
         StructField("version", LongType))))))
     val pad = otherRows.map(r => Row.fromSeq(r.toSeq ++ Seq(null, null)))
     val nulls5 = Seq(null, null, null, null, null)
-    val sidecarRow = Row.fromSeq(nulls5 ++ Seq(
-      Row(sidecarName, Files.size(sidecarDest),
-        Files.getLastModifiedTime(sidecarDest).toMillis), null))
+    val sidecarRows = written.map { case (name, dest) =>
+      Row.fromSeq(nulls5 ++ Seq(
+        Row(name, Files.size(dest), Files.getLastModifiedTime(dest).toMillis),
+        null))
+    }
     val cpMetaRow = Row.fromSeq(nulls5 ++ Seq(null, Row(v)))
-    val manifestDest = logDir(table)
-      .resolve(f"$v%020d.checkpoint.${UUID.randomUUID()}.parquet")
-    writeActionParquet(spark, table, pad ++ Seq(sidecarRow, cpMetaRow),
+    val manifestName = f"$v%020d.checkpoint.${UUID.randomUUID()}.parquet"
+    val manifestDest = logDir(table).resolve(manifestName)
+    writeActionParquet(spark, table, pad ++ sidecarRows :+ cpMetaRow,
       manifestSchema, manifestDest)
+    // the pointer ADVERTISES the v2 layout: size counts the manifest's
+    // rows (non-file actions + sidecar pointers + checkpointMetadata,
+    // what a pointer-trusting reader finds in the named file),
+    // sizeInBytes/numOfAddFiles are the spec's optional hints, and
+    // v2Checkpoint.path names the manifest so a reader need not list
+    val totalBytes = Files.size(manifestDest) + written.map(w => Files.size(w._2)).sum
     val lcTmp = logDir(table).resolve(s"_last_checkpoint.tmp-${UUID.randomUUID()}")
-    Files.write(lcTmp,
-      Seq(s"""{"version":$v,"size":${state.size + 2}}""").asJava)
+    Files.write(lcTmp, Seq(
+      s"""{"version":$v,"size":${pad.size + sidecarRows.size + 1},""" +
+        s""""sizeInBytes":$totalBytes,"numOfAddFiles":${addRows.size},""" +
+        s""""v2Checkpoint":{"path":"$manifestName"}}""").asJava)
     Files.move(lcTmp, logDir(table).resolve("_last_checkpoint"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     v

@@ -48,6 +48,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private var catalogName: String = _
   private var warehouse: Path = _
 
+  // opt in to DEFAULT clauses (CREATE/ADD COLUMN/ALTER COLUMN SET
+  // DEFAULT) and constraint DDL (ALTER TABLE ADD/DROP CONSTRAINT) —
+  // without these declarations Spark refuses the statements at
+  // analysis before the catalog ever sees the change
+  override def capabilities(): util.Set[TableCatalogCapability] =
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
     val w = options.get("warehouse")
@@ -327,8 +335,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         val shown = path.mkString(".")
         require(a.isNullable, s"GraftCatalog: ADD COLUMN $shown must be " +
           "nullable — existing rows have no value to satisfy NOT NULL")
-        require(a.defaultValue() == null, s"GraftCatalog: ADD COLUMN $shown " +
-          "DEFAULT is not supported — backfill with UPDATE after the add")
+        // DEFAULT rides the add: pre-add rows serve the alter-time
+        // folded value (EXISTS_DEFAULT), later inserts re-evaluate the
+        // expression (CURRENT_DEFAULT) — one metadata commit, zero
+        // files rewritten (DeltaWrite.addColumns)
+        val defaultSql: Option[String] = Option(a.defaultValue()).map { dv =>
+          Option(dv.getSql).getOrElse(dv.getExpression.toString)
+        }
+        require(defaultSql.isEmpty || path.length == 1,
+          s"GraftCatalog: ADD COLUMN $shown DEFAULT on a nested column " +
+            "is not supported — existence defaults are top-level only")
         val parent = simParent(path.init, s"ADD COLUMN $shown")
         require(!parent.fieldNames.exists(_.equalsIgnoreCase(path.last)),
           s"GraftCatalog: ADD COLUMN $shown — column already exists (or the " +
@@ -344,7 +360,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           case other => throw new UnsupportedOperationException(
             s"GraftCatalog: unsupported column position $other")
         }
-        adds += DeltaWrite.AddColSpec(path, a.dataType(), Option(a.comment()), pos)
+        adds += DeltaWrite.AddColSpec(path, a.dataType(), Option(a.comment()),
+          pos, defaultSql)
         simUpdate(path, s"ADD COLUMN $shown") { (st, leaf) =>
           val field = org.apache.spark.sql.types.StructField(
             leaf, a.dataType(), nullable = true)
@@ -412,6 +429,48 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           s"GraftCatalog: ALTER COLUMN COMMENT — no column '$shown'")
         exec += (() => DeltaWrite.updateColumnComment(spark, dir.toString,
           path, Option(cm.newComment()).filter(_.nonEmpty)))
+      case ac: TableChange.AddConstraint =>
+        ac.constraint() match {
+          case chk: org.apache.spark.sql.connector.catalog.constraints.Check =>
+            require(chk.enforced(),
+              s"GraftCatalog: CHECK constraint '${chk.name()}' NOT ENFORCED " +
+                "is not supported — this writer enforces every constraint " +
+                "it records (an unenforced one would be a lie in the log)")
+            // routes through the dedicated commit: existing rows are
+            // VALIDATED and the checkConstraints feature listed — never
+            // a raw properties write
+            exec += (() => DeltaWrite.addCheckConstraint(spark, dir.toString,
+              chk.name(), chk.predicateSql()))
+          case other => throw new UnsupportedOperationException(
+            s"GraftCatalog: only CHECK constraints are enforceable here — " +
+              s"got ${other.toDDL}; UNIQUE/PK/FK are informational in open " +
+              "formats and this writer refuses to record promises it " +
+              "cannot keep")
+        }
+      case dc: TableChange.DropConstraint =>
+        require(dc.mode() != TableChange.DropConstraint.Mode.CASCADE,
+          "GraftCatalog: DROP CONSTRAINT CASCADE has nothing to cascade to " +
+            "for CHECK constraints — use RESTRICT (the default)")
+        val stored = head.configuration.keys
+          .find(k => k.startsWith("delta.constraints.") &&
+            k.stripPrefix("delta.constraints.").equalsIgnoreCase(dc.name()))
+          .map(_.stripPrefix("delta.constraints."))
+        stored match {
+          case Some(n) =>
+            exec += (() => DeltaWrite.dropCheckConstraint(spark, dir.toString, n))
+          case None => require(dc.ifExists(),
+            s"GraftCatalog: DROP CONSTRAINT — no constraint '${dc.name()}'")
+        }
+      case d: TableChange.UpdateColumnDefaultValue =>
+        val col = topLevel(d.fieldNames(), "ALTER COLUMN SET/DROP DEFAULT")
+        require(sim.fieldNames.exists(_.equalsIgnoreCase(col)),
+          s"GraftCatalog: ALTER COLUMN SET DEFAULT — no column '$col'")
+        // empty/null SQL = DROP DEFAULT (Spark encodes both through
+        // this one change); setColumnDefault(null) clears the key
+        val sql = Option(d.newCurrentDefault()).map(dv =>
+          Option(dv.getSql).getOrElse(dv.getExpression.toString))
+          .filter(_.nonEmpty).orNull
+        exec += (() => DeltaWrite.setColumnDefault(spark, dir.toString, col, sql))
       case cb: TableChange.ClusterBy =>
         val cols = cb.clusteringColumns().toSeq.map(r =>
           topLevel(r.fieldNames(), "CLUSTER BY"))
@@ -583,6 +642,18 @@ class GraftTable(val path: String, ident: String,
     m.put("provider", "graft-delta")
     m
   }
+
+  /** Surface `delta.constraints.*` as connector CHECK constraints so
+    * DESCRIBE shows them and ADD CONSTRAINT analysis sees duplicates. */
+  override def constraints():
+      Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    DeltaRead.snapshotAt(spark, path, versionForRead).configuration.toSeq
+      .collect { case (k, v) if k.startsWith("delta.constraints.") =>
+        val b = org.apache.spark.sql.connector.catalog.constraints.Constraint
+          .check(k.stripPrefix("delta.constraints.")).predicateSql(v)
+        b.enforced(true)
+        b.build(): org.apache.spark.sql.connector.catalog.constraints.Constraint
+      }.sortBy(_.name()).toArray
 
   // AUTOMATIC_SCHEMA_EVOLUTION does NOT auto-evolve every merge: Spark
   // gates MERGE schema evolution on `withSchemaEvolution && capability`

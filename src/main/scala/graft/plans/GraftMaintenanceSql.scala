@@ -84,7 +84,7 @@ object GraftMaintenanceParser {
     ("""(?is)^\s*(?:DESCRIBE|DESC)\s+DETAIL\s+""" + Tbl + """\s*;?\s*$""").r
   private val CloneRe =
     ("""(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?""" +
-      Tbl + """\s+SHALLOW\s+CLONE\s+""" + Tbl +
+      Tbl + """\s+(SHALLOW|DEEP)\s+CLONE\s+""" + Tbl +
       """(?:\s+VERSION\s+AS\s+OF\s+(\d+)|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?""" +
       """\s*;?\s*$""").r
   private val CopyIntoRe =
@@ -189,17 +189,18 @@ object GraftMaintenanceParser {
             force = force != null && force.equalsIgnoreCase("true")))
         case _ => None
       }
-      // ONLY the SHALLOW CLONE form is claimed — every other CREATE
-      // (tables, views, functions, namespaces) stays Spark's
+      // ONLY the SHALLOW/DEEP CLONE forms are claimed — every other
+      // CREATE (tables, views, functions, namespaces) stays Spark's
       case "CREATE" => sqlText match {
-        case CloneRe(orReplace, ifNotExists, dstTok, srcTok, v, ts) =>
+        case CloneRe(orReplace, ifNotExists, dstTok, kind, srcTok, v, ts) =>
           require(orReplace == null || ifNotExists == null,
-            "CREATE TABLE ... SHALLOW CLONE: OR REPLACE and IF NOT " +
+            "CREATE TABLE ... CLONE: OR REPLACE and IF NOT " +
               "EXISTS cannot be combined")
           Some(GraftCloneCommand(tableSpec(dstTok, delegate),
             tableSpec(srcTok, delegate), Option(v).map(_.toLong),
             replace = orReplace != null, ifNotExists = ifNotExists != null,
-            timestamp = Option(ts)))
+            timestamp = Option(ts),
+            deep = kind.equalsIgnoreCase("DEEP")))
         case _ => None
       }
       case _ => None
@@ -409,7 +410,8 @@ case class GraftRestoreCommand(table: Either[String, Seq[String]],
 case class GraftCloneCommand(dest: Either[String, Seq[String]],
     source: Either[String, Seq[String]], version: Option[Long],
     replace: Boolean, ifNotExists: Boolean,
-    timestamp: Option[String] = None) extends LeafRunnableCommand {
+    timestamp: Option[String] = None,
+    deep: Boolean = false) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("path", StringType, nullable = false)(),
     AttributeReference("source_path", StringType, nullable = false)(),
@@ -425,11 +427,13 @@ case class GraftCloneCommand(dest: Either[String, Seq[String]],
       .orElse(timestamp.map(ts => DeltaRead.versionAtTime(spark, src,
         DeltaRead.parseTimestampMillis(ts))))
       .getOrElse(DeltaRead.latestVersion(src))
-    val committed = DeltaWrite.shallowClone(spark, src, dst, Some(v), replace)
+    val committed =
+      if (deep) DeltaWrite.deepClone(spark, src, dst, Some(v), replace)
+      else DeltaWrite.shallowClone(spark, src, dst, Some(v), replace)
     Seq(Row(dst, src, v, committed))
   }
   override def simpleString(maxFields: Int): String =
-    s"GraftCloneCommand $dest SHALLOW CLONE $source" +
+    s"GraftCloneCommand $dest ${if (deep) "DEEP" else "SHALLOW"} CLONE $source" +
       version.map(v => s" VERSION AS OF $v").getOrElse("")
 }
 

@@ -2207,6 +2207,48 @@ object DatalakeQueries {
            |  true AS metadata_only
            |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** q237 — ADD COLUMN ... DEFAULT through pure SQL
+    * ([[graft.io.DeltaWrite.addColumns]] with `defaultSql` +
+    * [[graft.io.DeltaRead.ColumnMapping.physicalize]] metadata
+    * carry-through): ONE metadata commit adds a defaulted column —
+    * zero data files rewritten (pinned via the `metadata_only`
+    * column) — and rows predating the add serve the alter-time value
+    * through the parquet reader's EXISTS_DEFAULT fill, not null.
+    * `ALTER COLUMN ... SET DEFAULT` then moves CURRENT_DEFAULT for
+    * future inserts only. The oracle recomputes both default tiers
+    * from `documents`. */
+  val q237AddColumnDefault = GQuery(
+    "q237_add_column_default",
+    (s, d) => withFreshCatalog(s, "q237") { cat =>
+      s.read.parquet(s"$d/documents.parquet")
+        .selectExpr("CAST(doc_id AS BIGINT) AS doc_id",
+          "CAST(n_chars AS BIGINT) AS n_chars")
+        .createOrReplaceTempView("q237_src")
+      s.sql(s"CREATE TABLE $cat.cd (doc_id BIGINT, n_chars BIGINT) " +
+        "USING `graft-delta`")
+      s.sql(s"INSERT INTO $cat.cd SELECT doc_id, n_chars FROM q237_src " +
+        "WHERE doc_id % 2 = 0")
+      val whT = s.conf.get(s"spark.sql.catalog.$cat.warehouse") + "/cd"
+      val filesBefore = graft.io.DeltaRead.snapshot(s, whT).files.map(_.path).toSet
+      s.sql(s"ALTER TABLE $cat.cd ADD COLUMN boost DOUBLE DEFAULT 2.5")
+      val filesAfter = graft.io.DeltaRead.snapshot(s, whT).files.map(_.path).toSet
+      // future inserts re-evaluate CURRENT_DEFAULT; pre-add rows keep
+      // serving the ADD-time 2.5
+      s.sql(s"ALTER TABLE $cat.cd ALTER COLUMN boost SET DEFAULT 7.5")
+      s.sql(s"INSERT INTO $cat.cd (doc_id, n_chars) " +
+        "SELECT doc_id, n_chars FROM q237_src WHERE doc_id % 2 = 1")
+      import org.apache.spark.sql.functions.lit
+      s.sql(s"""SELECT CAST(boost * 10 AS BIGINT) AS boost10,
+          count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM $cat.cd GROUP BY 1 ORDER BY 1""")
+        .withColumn("metadata_only", lit(filesBefore == filesAfter))
+    },
+    Some("""SELECT CAST((CASE WHEN doc_id % 2 = 0 THEN 2.5 ELSE 7.5 END) * 10
+           |    AS BIGINT) AS boost10,
+           |  count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           |  true AS metadata_only
+           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
+
   /** q234 — CONVERT TO DELTA through pure SQL
     * ([[graft.plans.GraftConvertCommand]] →
     * [[graft.io.DeltaWrite.convertToDelta]]): a Hive-partitioned plain
@@ -2321,5 +2363,5 @@ object DatalakeQueries {
     q220SqlDml, q221CatalogSql, q222HllView, q223TableReadStream,
     q224ReplaceWhere, q225MergeGeneral, q226SchemaEvolution,
     q227SqlMaintenance, q228CdfBatchSql, q229MergeSchemaEvolution,
-    q230ShallowClone, q231CopyInto, q232NestedAddSql)
+    q230ShallowClone, q231CopyInto, q232NestedAddSql, q237AddColumnDefault)
 }

@@ -1,0 +1,86 @@
+package graft
+
+import graft.io.{DeltaRead, DeltaWrite}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** AUTO OPTIMIZE (`delta.autoOptimize.optimizeWrite` /
+  * `delta.autoOptimize.autoCompact`, honored as real writer behavior):
+  * optimizeWrite right-sizes a batch's file count BEFORE staging (a
+  * many-task tiny append lands as one file per partition), autoCompact
+  * follows an append with an OPTIMIZE over exactly the touched
+  * partitions once one crosses the small-file threshold — and a failed
+  * follow-on never turns a committed append into an error. The
+  * small-files discipline at 100 TB, driven by table properties a
+  * Databricks-authored table already carries. */
+class AutoOptimizeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def newTable(): String =
+    Files.createTempDirectory("autoopt").toString
+
+  private def cleanup(t: String): Unit =
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(t))
+
+  test("optimizeWrite coalesces a many-task tiny append to one file per partition") {
+    val t = newTable()
+    try {
+      val df = (1 to 60).map(i => (i.toLong, (i % 3).toString)).toDF("id", "p")
+      DeltaWrite.append(df.repartition(16), t, partitionBy = Seq("p")) // v0: no property yet
+      val v0Files = DeltaRead.snapshot(spark, t).files.size
+      assert(v0Files > 3, s"without the property a 16-task append fragments: $v0Files")
+      DeltaWrite.setProperties(spark, t,
+        Map("delta.autoOptimize.optimizeWrite" -> "true"))
+      DeltaWrite.append(df.repartition(16), t, partitionBy = Seq("p"))
+      val added = DeltaRead.snapshot(spark, t).files.size - v0Files
+      assert(added == 3,
+        s"optimizeWrite must land one file per touched partition, added $added")
+      assert(DeltaRead.read(spark, t).count() == 120)
+    } finally cleanup(t)
+  }
+
+  test("parseByteSize accepts bytes and kb/mb/gb; refuses garbage") {
+    assert(DeltaWrite.parseByteSize("134217728") == 128L << 20)
+    assert(DeltaWrite.parseByteSize("128mb") == 128L << 20)
+    assert(DeltaWrite.parseByteSize("4KB") == 4096L)
+    assert(DeltaWrite.parseByteSize("1gb") == 1L << 30)
+    assert(DeltaWrite.parseByteSize("77b") == 77L)
+    intercept[IllegalArgumentException](DeltaWrite.parseByteSize("fast"))
+  }
+
+  test("autoCompact OPTIMIZEs exactly the touched partition at the threshold") {
+    val t = newTable()
+    try {
+      DeltaWrite.append(
+        (1 to 10).map(i => (i.toLong, (i % 2).toString)).toDF("id", "p")
+          .coalesce(1),
+        t, partitionBy = Seq("p"))
+      DeltaWrite.setProperties(spark, t, Map(
+        "delta.autoOptimize.autoCompact" -> "true",
+        "graft.autoCompact.minNumFiles" -> "5"))
+      val p0Before = DeltaRead.snapshot(spark, t).files
+        .filter(_.partitionValues.get("p").contains("0")).map(_.path).toSet
+      // feed ONLY p=1 with small appends until the threshold trips
+      (1 to 5).foreach(k => DeltaWrite.append(
+        Seq((100L + k, "1")).toDF("id", "p"), t, partitionBy = Seq("p")))
+      val s = DeltaRead.snapshot(spark, t)
+      val p1 = s.files.filter(_.partitionValues.get("p").contains("1"))
+      val p0 = s.files.filter(_.partitionValues.get("p").contains("0"))
+      // the threshold trips at the 4th append (1 seed + 4 small = 5);
+      // that pass folds p=1 to one file, the 5th append adds one more —
+      // steady state never exceeds minNumFiles
+      assert(p1.size == 2,
+        s"p=1 must be {compacted file, newest append}, got ${p1.map(_.path)}")
+      assert(p1.exists(_.stats.exists(_.contains("\"numRecords\":9"))),
+        s"one of p=1's files must be the 9-row compaction output: ${p1.map(_.stats)}")
+      assert(p0.map(_.path).toSet == p0Before,
+        s"p=0 was never touched and must keep its exact file set")
+      // the pass is its own commit with the OPTIMIZE operation marker
+      val ops = DeltaRead.history(t).flatMap(_._3)
+      assert(ops.contains("OPTIMIZE"), s"expected an OPTIMIZE commit in $ops")
+      val got = DeltaRead.read(spark, t)
+      assert(got.count() == 15 && got.where($"p" === "1").count() == 10,
+        "auto compaction must preserve every row")
+    } finally cleanup(t)
+  }
+}

@@ -270,4 +270,66 @@ class DeltaCloneSpec extends SparkTestBase {
       assert(e.getMessage.contains("change data feed"))
     } finally { cleanup(src); cleanup(Paths.get(dst).getParent.toString) }
   }
+
+  test("DEEP CLONE materializes a self-contained table that survives source destruction") {
+    val src = newDir(); val dst = newDir() + "/d"
+    try {
+      val df = (1L to 60L).map(i => (i, (i % 3).toString, s"v$i"))
+        .toDF("id", "p", "txt")
+      DeltaWrite.append(df, src, partitionBy = Seq("p"))           // v0
+      DeltaWrite.enableRowTracking(spark, src)                     // v1
+      DeltaWrite.deleteWhere(spark, src, $"id" % 7 === 0)          // v2: DVs
+      val srcIds = DeltaRead.readWithRowIds(spark, src)
+        .select($"id", col(DeltaRead.RowIdCol))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val v = DeltaWrite.deepClone(spark, src, dst)
+      assert(v == 0L)
+      // every add is RELATIVE (self-contained) and physically present
+      val s = DeltaRead.snapshot(spark, dst)
+      assert(s.files.nonEmpty &&
+        s.files.forall(f => !Paths.get(f.path).isAbsolute),
+        "deep clone adds must be table-relative")
+      assert(parquetUnder(dst).nonEmpty, "deep clone must copy bytes")
+      assert(s.files.forall(_.partitionValues.keySet == Set("p")))
+      // stats carried from the log (no re-harvest): still prunable
+      assert(s.files.forall(_.stats.isDefined))
+      // row ids verbatim; DV masking intact
+      val dstIds = DeltaRead.readWithRowIds(spark, dst)
+        .select($"id", col(DeltaRead.RowIdCol))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(dstIds == srcIds)
+      // the proof of self-containment: DESTROY the source entirely
+      cleanup(src)
+      assert(DeltaRead.read(spark, dst).count() == 60 - 8,
+        "deep clone must read whole with the source gone")
+      assert(DeltaRead.read(spark, dst).where($"id" % 7 === 0).count() == 0,
+        "deletion vectors must mask in the clone with the source gone")
+    } finally {
+      if (Files.exists(Paths.get(src))) cleanup(src)
+      cleanup(Paths.get(dst).getParent.toString)
+    }
+  }
+
+  test("SQL: CREATE TABLE ... DEEP CLONE localizes a shallow clone's absolute entries") {
+    val src = newDir(); val mid = newDir() + "/m"; val dst = newDir() + "/d2"
+    try {
+      DeltaWrite.append((1L to 40L).toDF("id"), src)
+      DeltaWrite.shallowClone(spark, src, mid)
+      assert(DeltaRead.snapshot(spark, mid).files
+        .forall(f => Paths.get(f.path).isAbsolute))
+      val row = spark.sql(
+        s"CREATE TABLE '$dst' DEEP CLONE '$mid'").collect().head
+      assert(row.getString(0) == dst && row.getLong(3) == 0L)
+      // the deep clone of a shallow clone owns LOCAL copies
+      val s = DeltaRead.snapshot(spark, dst)
+      assert(s.files.forall(f => !Paths.get(f.path).isAbsolute))
+      cleanup(src); cleanup(Paths.get(mid).getParent.toString)
+      assert(DeltaRead.read(spark, dst).agg(sum($"id")).head.getLong(0) ==
+        (1L to 40L).sum)
+    } finally {
+      if (Files.exists(Paths.get(src))) cleanup(src)
+      if (Files.exists(Paths.get(mid).getParent)) cleanup(Paths.get(mid).getParent.toString)
+      cleanup(Paths.get(dst).getParent.toString)
+    }
+  }
 }

@@ -4,6 +4,7 @@ import graft.io.{DeltaDv, DeltaRead, DeltaWrite}
 import org.apache.spark.sql.functions._
 import java.nio.file.Files
 import java.nio.file.attribute.FileTime
+import scala.jdk.CollectionConverters._
 
 /** Hardening of the Delta maintenance surface: protocol upgrades UNION
   * existing + legacy-implied feature lists (never overwrite them),
@@ -317,6 +318,107 @@ class DeltaMaintenanceSpec extends SparkTestBase {
         DeltaWrite.generateSymlinkManifest(spark, m))
       assert(em.getMessage.contains("column mapping"))
       cleanup(m)
+    } finally cleanup(t)
+  }
+
+  test("incremental GENERATE rewrites exactly the changed partition; stale manifests removed") {
+    val t = newTable()
+    try {
+      import java.nio.file.Paths
+      val df = (1 to 30).map(i => (i.toLong, (i % 3).toString)).toDF("id", "p")
+      DeltaWrite.append(df, t, partitionBy = Seq("p"))                     // v0
+      assert(DeltaWrite.generateSymlinkManifest(spark, t) == 3, "full regen")
+      val root = Paths.get(t, "_symlink_format_manifest")
+      val manifests = Seq("p=0", "p=1", "p=2")
+        .map(d => d -> root.resolve(d).resolve("manifest")).toMap
+      manifests.values.foreach(m =>
+        Files.setLastModifiedTime(m, FileTime.fromMillis(1000L)))
+      // an append touching ONLY p=1 must rewrite exactly that manifest
+      DeltaWrite.append(Seq((100L, "1")).toDF("id", "p"), t,
+        partitionBy = Seq("p"))                                            // v1
+      assert(DeltaWrite.generateSymlinkManifest(spark, t, incremental = true) == 1)
+      assert(Files.getLastModifiedTime(manifests("p=0")).toMillis == 1000L &&
+        Files.getLastModifiedTime(manifests("p=2")).toMillis == 1000L,
+        "untouched partitions' manifests must not be rewritten")
+      assert(Files.getLastModifiedTime(manifests("p=1")).toMillis > 1000L)
+      assert(Files.readAllLines(manifests("p=1")).size() ==
+        DeltaRead.snapshot(spark, t).files.count(_.partitionValues.get("p").contains("1")),
+        "the rewritten manifest must list the partition's full live set")
+      // a partition that vanishes (RESTORE past its birth) loses its
+      // manifest — the stale-removal guarantee, incremental included
+      DeltaWrite.append(Seq((200L, "9")).toDF("id", "p"), t,
+        partitionBy = Seq("p"))                                            // v2
+      assert(DeltaWrite.generateSymlinkManifest(spark, t, incremental = true) == 1)
+      assert(Files.exists(root.resolve("p=9").resolve("manifest")))
+      DeltaWrite.restore(spark, t, 1)                                      // v3
+      assert(DeltaWrite.generateSymlinkManifest(spark, t, incremental = true) == 0,
+        "restore to v1 changes no surviving partition's file set")
+      assert(!Files.exists(root.resolve("p=9")),
+        "a dropped partition's manifest would resurrect deleted rows")
+    } finally cleanup(t)
+  }
+
+  test("vacuum enumerates + reclaims distributed: one task per top-level dir, semantics unchanged") {
+    val t = newTable()
+    try {
+      val df = (1 to 40).map(i => (i.toLong, s"x$i", (i % 4).toString))
+        .toDF("id", "txt", "p")
+      DeltaWrite.append(df, t, partitionBy = Seq("p"))    // v0
+      DeltaWrite.overwrite(df, t, partitionBy = Seq("p")) // v1 orphans v0's files
+      // a crashed writer's abandoned staging dir, aged past any window
+      val staging = java.nio.file.Paths.get(t, "_staging-test-abandoned")
+      Files.createDirectories(staging)
+      val junk = staging.resolve("part-junk.parquet")
+      Files.write(junk, Array[Byte](1, 2, 3))
+      Files.setLastModifiedTime(junk, FileTime.fromMillis(1000L))
+      Files.setLastModifiedTime(staging, FileTime.fromMillis(1000L))
+      val orphans = DeltaRead.snapshotAt(spark, t, 0).files
+        .map(f => java.nio.file.Paths.get(t, f.path))
+      val liveFiles = DeltaRead.snapshot(spark, t).files
+        .map(f => java.nio.file.Paths.get(t, f.path))
+      // the walk units the driver hands to Spark: every top-level dir
+      // except the log and the CDC mirror
+      val rootLs = Files.list(java.nio.file.Paths.get(t))
+      val expectedTasks =
+        try rootLs.iterator().asScala.count(p => Files.isDirectory(p) &&
+          p.getFileName.toString != "_delta_log" &&
+          p.getFileName.toString != "_change_data")
+        finally rootLs.close()
+      assert(expectedTasks >= 5, s"4 partition dirs + staging, got $expectedTasks")
+      // dry run: identical enumeration, zero deletion
+      val wouldReclaim = DeltaWrite.vacuum(spark, t,
+        retentionMs = -60000, dryRun = true)
+      assert(orphans.forall(Files.exists(_)), "dry run must not delete")
+      assert(wouldReclaim == orphans.size + 1, // + the staging junk parquet
+        s"dry run expected ${orphans.size + 1} candidates, got $wouldReclaim")
+      // the SEAM: candidate enumeration must run as a Spark job with one
+      // task per walk root — the driver performs no per-file walk
+      val stageSizes = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          stageSizes.add(sc.stageInfo.numTasks)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val reclaimed =
+        try {
+          val n = DeltaWrite.vacuum(spark, t, retentionMs = -60000)
+          // listener delivery is async; poll until the walk stage lands
+          val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+          while (!stageSizes.contains(expectedTasks) &&
+            System.nanoTime() < deadline) Thread.sleep(50)
+          n
+        } finally spark.sparkContext.removeSparkListener(listener)
+      assert(stageSizes.contains(expectedTasks),
+        s"expected a $expectedTasks-task walk stage, saw ${stageSizes.toArray.mkString(",")}")
+      assert(reclaimed == wouldReclaim,
+        "destructive run must reclaim exactly what the dry run enumerated")
+      orphans.foreach(p => assert(!Files.exists(p), s"orphan survived: $p"))
+      liveFiles.foreach(p => assert(Files.exists(p), s"live file reclaimed: $p"))
+      assert(!Files.exists(staging), "abandoned staging dir must be reclaimed")
+      val got = DeltaRead.read(spark, t)
+      assert(got.count() == 40 && got.where($"id" === 17L).count() == 1,
+        "head snapshot must read whole after vacuum")
     } finally cleanup(t)
   }
 }

@@ -141,6 +141,36 @@ class ProtocolFeaturesSpec extends SparkTestBase {
         .select($"id", col(DeltaRead.RowIdCol))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(afterIds == beforeIds)
+      // the pointer advertises the v2 layout (manifest name + hints)
+      val lc = new String(Files.readAllBytes(
+        Paths.get(t, "_delta_log", "_last_checkpoint")), "UTF-8")
+      assert(lc.contains("\"v2Checkpoint\"") && lc.contains(".checkpoint.") &&
+        lc.contains("\"numOfAddFiles\""), s"pointer must advertise v2: $lc")
+    } finally cleanup(t)
+  }
+
+  test("checkpointV2 shards file actions across sidecars; replay resolves the full set") {
+    val t = newTable()
+    try {
+      val df = (1L to 60L).map(i => (i, s"p${i % 5}", i)).toDF("id", "part", "v")
+      DeltaWrite.append(df, t, partitionBy = Seq("part"))
+      DeltaWrite.append(df.where($"id" <= 10), t, partitionBy = Seq("part"))
+      val before = DeltaRead.snapshot(spark, t)
+      assert(before.files.size >= 6, "need several adds to shard")
+      val cv = DeltaWrite.checkpointV2(spark, t, sidecars = 3)
+      val sc = Files.list(Paths.get(t, "_delta_log", "_sidecars"))
+      val sidecarFiles = try sc.iterator().asScala.toList finally sc.close()
+      assert(sidecarFiles.size == 3, s"expected 3 sidecars, got ${sidecarFiles.size}")
+      // every sidecar non-empty (contiguous split discipline)
+      sidecarFiles.foreach(p => assert(
+        spark.read.parquet(p.toString).where(col("add").isNotNull).count() > 0,
+        s"empty sidecar $p"))
+      (0L to cv).foreach(v =>
+        Files.deleteIfExists(Paths.get(t, "_delta_log", f"$v%020d.json")))
+      val after = DeltaRead.snapshot(spark, t)
+      assert(after.files.map(_.path).toSet == before.files.map(_.path).toSet,
+        "replay from sharded sidecars must resolve the full file set")
+      assert(DeltaRead.read(spark, t).count() == 70)
     } finally cleanup(t)
   }
 

@@ -187,14 +187,51 @@ class RowTrackingSpec extends SparkTestBase {
     } finally cleanup(t)
   }
 
-  test("row tracking x column mapping is refused loudly") {
+  test("row tracking x column mapping composes: ids survive merge/update/compact/clone") {
     val t = newTable()
     try {
+      // a Databricks-default-shaped table: column-mapped AND row-tracked
       DeltaWrite.createColumnMapped(
-        (1L to 5L).map(i => (i, i)).toDF("id", "v"), t, mode = "name")
-      intercept[UnsupportedOperationException] {
-        DeltaWrite.enableRowTracking(spark, t)
-      }
+        (1L to 40L).map(i => (i, s"v$i")).toDF("id", "txt"), t, mode = "name")
+      DeltaWrite.enableRowTracking(spark, t)
+      val s0 = DeltaRead.snapshot(spark, t)
+      assert(s0.writerFeatures.contains("rowTracking") &&
+        s0.writerFeatures.contains("columnMapping"))
+      assert(s0.files.forall(_.baseRowId.isDefined))
+      val before = idsByKey(t)
+      assert(before.size == 40 && before.values.toSeq.distinct.size == 40)
+      // MERGE: updated rows keep their ids (materialized through the
+      // rewrite under PHYSICAL data names), inserts get fresh ones
+      DeltaWrite.merge(spark, t,
+        Seq((2L, "upd2"), (41L, "new41")).toDF("id", "txt"), Seq("id"))
+      val afterMerge = idsByKey(t)
+      assert(afterMerge(2L) == before(2L), "updated row must keep its stable id")
+      assert(!before.values.toSet.contains(afterMerge(41L)),
+        "inserted row must get a fresh id past the high-water mark")
+      (1L to 40L).filter(_ != 2L).foreach(k =>
+        assert(afterMerge(k) == before(k), s"untouched row $k re-identified"))
+      // UPDATE rewrite preserves ids
+      DeltaWrite.updateWhere(spark, t, $"id" === 7L, Seq("txt" -> lit("upd7")))
+      assert(idsByKey(t)(7L) == before(7L), "update must keep the row's id")
+      // DV delete + COMPACT (DV purge rewrite) preserve survivors' ids
+      DeltaWrite.deleteWhere(spark, t, $"id" % 10L === 0L)
+      DeltaWrite.compact(spark, t)
+      val afterCompact = idsByKey(t)
+      afterCompact.keys.foreach(k =>
+        assert(afterCompact(k) == afterMerge(k), s"compaction re-identified $k"))
+      // physical-name stats keys still translate: the log-side schema
+      // stays mapped, reads resolve, and a fresh append allocates past
+      // every id ever assigned
+      DeltaWrite.append(Seq((100L, "x")).toDF("id", "txt"), t)
+      val all = idsByKey(t)
+      assert(all(100L) > afterMerge.values.max - 1, "fresh block past the hwm")
+      // CLONE copies ids verbatim
+      val c = newTable() + "/clone"
+      DeltaWrite.shallowClone(spark, t, c)
+      val cloned = DeltaRead.readWithRowIds(spark, c)
+        .select($"id", col(DeltaRead.RowIdCol))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(cloned == all, "shallow clone must carry row ids verbatim")
     } finally cleanup(t)
   }
 

@@ -366,6 +366,82 @@ class SqlDmlSpec extends SparkTestBase {
     assert(out == Seq((1L, "a"), (2L, "b")))
   }
 
+  test("ALTER TABLE ADD/DROP CONSTRAINT: the SQL door reaches real enforcement") {
+    val c = freshCatalog()
+    spark.sql(s"CREATE TABLE $c.cc (id BIGINT, v BIGINT) USING `graft-delta`")
+    spark.sql(s"INSERT INTO $c.cc VALUES (CAST(1 AS BIGINT), CAST(10 AS BIGINT))")
+    spark.sql(s"ALTER TABLE $c.cc ADD CONSTRAINT pos CHECK (v > 0)")
+    val wh = spark.conf.get(s"spark.sql.catalog.$c.warehouse")
+    val s = graft.io.DeltaRead.snapshot(spark, s"$wh/cc")
+    assert(s.configuration.get("delta.constraints.pos").exists(_.contains("v > 0")),
+      s"constraint must land in the log config: ${s.configuration}")
+    assert(s.writerFeatures.contains("checkConstraints") || s.minWriterVersion >= 3,
+      "the ADD must ride the protocol-upgrading commit, not a raw property")
+    // a violating INSERT refuses; the table stays at one row
+    val e = intercept[Exception](spark.sql(
+      s"INSERT INTO $c.cc VALUES (CAST(2 AS BIGINT), CAST(-5 AS BIGINT))"))
+    assert(e.getMessage.contains("pos") || e.getMessage.toLowerCase.contains("check"),
+      s"unexpected refusal: ${e.getMessage}")
+    assert(spark.sql(s"SELECT count(*) FROM $c.cc").head.getLong(0) == 1)
+    // a constraint EXISTING data violates refuses at ADD time
+    val e2 = intercept[Exception](spark.sql(
+      s"ALTER TABLE $c.cc ADD CONSTRAINT big CHECK (v > 100)"))
+    assert(e2.getMessage.contains("big") ||
+      e2.getMessage.toLowerCase.contains("violated"))
+    // DROP re-opens the door; IF EXISTS tolerates absence, bare DROP refuses
+    spark.sql(s"ALTER TABLE $c.cc DROP CONSTRAINT pos")
+    spark.sql(s"INSERT INTO $c.cc VALUES (CAST(2 AS BIGINT), CAST(-5 AS BIGINT))")
+    assert(spark.sql(s"SELECT count(*) FROM $c.cc").head.getLong(0) == 2)
+    spark.sql(s"ALTER TABLE $c.cc DROP CONSTRAINT IF EXISTS nope")
+    val e3 = intercept[Exception](
+      spark.sql(s"ALTER TABLE $c.cc DROP CONSTRAINT nope"))
+    assert(e3.getMessage.contains("nope"))
+  }
+
+  test("ADD COLUMN ... DEFAULT: one metadata commit, pre-add rows serve it, inserts fill it") {
+    val c = freshCatalog()
+    spark.sql(s"CREATE TABLE $c.cd (id BIGINT, s STRING) USING `graft-delta`")
+    spark.sql(s"INSERT INTO $c.cd VALUES (CAST(1 AS BIGINT), 'a'), (CAST(2 AS BIGINT), 'b')")
+    val wh = spark.conf.get(s"spark.sql.catalog.$c.warehouse")
+    val filesBefore = graft.io.DeltaRead.snapshot(spark, s"$wh/cd").files.map(_.path).toSet
+    val commitsBefore = operations(s"$wh/cd").size
+    spark.sql(s"ALTER TABLE $c.cd ADD COLUMN score DOUBLE DEFAULT 2.5")
+    val snap = graft.io.DeltaRead.snapshot(spark, s"$wh/cd")
+    assert(snap.files.map(_.path).toSet == filesBefore,
+      "a defaulted add is metadata-only — zero data files rewritten")
+    assert(operations(s"$wh/cd").size == commitsBefore + 1,
+      "ADD COLUMN DEFAULT must land as ONE commit (protocol included)")
+    assert(snap.minWriterVersion == 7 &&
+      snap.writerFeatures.contains("allowColumnDefaults"),
+      s"the same commit must list allowColumnDefaults: ${snap.writerFeatures}")
+    // pre-add rows serve the alter-time default, not null
+    def scores(): Map[Long, Option[Double]] =
+      spark.sql(s"SELECT id, score FROM $c.cd").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(scores() == Map(1L -> Some(2.5), 2L -> Some(2.5)), s"got ${scores()}")
+    // an insert omitting the column evaluates CURRENT_DEFAULT; an
+    // explicit NULL stays NULL (default ≠ not-null coercion)
+    spark.sql(s"INSERT INTO $c.cd (id, s) VALUES (CAST(3 AS BIGINT), 'c')")
+    spark.sql(s"INSERT INTO $c.cd VALUES (CAST(4 AS BIGINT), 'd', NULL)")
+    assert(scores() == Map(1L -> Some(2.5), 2L -> Some(2.5),
+      3L -> Some(2.5), 4L -> None), s"got ${scores()}")
+    // SET DEFAULT changes only FUTURE inserts; DROP DEFAULT ends them;
+    // rows that pre-date the column keep serving the ADD-time value
+    spark.sql(s"ALTER TABLE $c.cd ALTER COLUMN score SET DEFAULT 7.5")
+    spark.sql(s"INSERT INTO $c.cd (id, s) VALUES (CAST(5 AS BIGINT), 'e')")
+    spark.sql(s"ALTER TABLE $c.cd ALTER COLUMN score DROP DEFAULT")
+    spark.sql(s"INSERT INTO $c.cd (id, s) VALUES (CAST(6 AS BIGINT), 'f')")
+    assert(scores() == Map(1L -> Some(2.5), 2L -> Some(2.5), 3L -> Some(2.5),
+      4L -> None, 5L -> Some(7.5), 6L -> None), s"got ${scores()}")
+    // a nested defaulted add refuses loudly (existence defaults are a
+    // top-level reader contract)
+    spark.sql(s"ALTER TABLE $c.cd ADD COLUMN meta STRUCT<a: BIGINT>")
+    val e = intercept[Exception](
+      spark.sql(s"ALTER TABLE $c.cd ADD COLUMN meta.b BIGINT DEFAULT 9"))
+    assert(e.getMessage.contains("top-level") || e.getMessage.contains("nested"),
+      s"unexpected refusal shape: ${e.getMessage}")
+  }
+
   test("SQL maintenance: OPTIMIZE / ZORDER / RESTORE / VACUUM") {
     val c = freshCatalog()
     spark.sql(s"CREATE TABLE $c.mt (id BIGINT, v BIGINT) USING `graft-delta`")
