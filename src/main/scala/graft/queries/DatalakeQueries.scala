@@ -2249,6 +2249,99 @@ object DatalakeQueries {
            |  true AS metadata_only
            |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** q238 — DEEP CLONE through pure SQL ([[graft.plans
+    * .GraftCloneCommand]] → [[graft.io.DeltaWrite.deepClone]]): clone a
+    * live table, then DESTROY the source entirely — the deep clone must
+    * serve the full row set from its own copied files (relative adds,
+    * bounded-pool copy). The oracle recomputes the aggregate from
+    * `orders` directly. */
+  val q238DeepClone = GQuery(
+    "q238_deep_clone",
+    (s, d) => {
+      val base = graft.io.Staging.tempDir("graft_q238_")
+      val src = s"$base/src"; val dst = s"$base/dst"
+      s.read.parquet(s"$d/orders.parquet")
+        .selectExpr("CAST(o_orderkey AS BIGINT) AS o_orderkey",
+          "o_orderstatus AS status",
+          "CAST(round(o_totalprice * 100) AS BIGINT) AS cents",
+          "CAST(o_orderkey % 3 AS STRING) AS bucket")
+        .createOrReplaceTempView("q238_src")
+      graft.io.DeltaWrite.append(s.table("q238_src"), src, partitionBy = Seq("bucket"))
+      val row = s.sql(s"CREATE TABLE '$dst' DEEP CLONE '$src'").collect().head
+      require(row.getLong(3) == 0L, "deep clone must land as version 0")
+      // the proof: the source is gone, the clone serves everything
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(src))
+      import org.apache.spark.sql.functions.lit
+      val relative = graft.io.DeltaRead.snapshot(s, dst).files
+        .forall(f => !java.nio.file.Paths.get(f.path).isAbsolute)
+      s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW q238_c USING `graft-delta`
+        OPTIONS (path '$dst')""")
+      s.sql("""SELECT status, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents
+        FROM q238_c GROUP BY status ORDER BY status""")
+        .withColumn("self_contained", lit(relative))
+    },
+    Some("""SELECT o_orderstatus AS status, count(*) AS n,
+           |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+           |  true AS self_contained
+           |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** q239 — AUTO OPTIMIZE honored as writer behavior
+    * ([[graft.io.DeltaWrite]] `delta.autoOptimize.optimizeWrite` /
+    * `autoCompact`): a deliberately fragmented 16-task append lands as
+    * one file per partition under optimizeWrite, and a drip-feed of
+    * single-row appends keeps each partition's live file count at the
+    * compaction floor instead of growing one file per append. File
+    * counts ride literal columns; the oracle recomputes the data. */
+  val q239AutoOptimize = GQuery(
+    "q239_auto_optimize",
+    (s, d) => {
+      val t = graft.io.Staging.tempDir("graft_q239_") + "/t"
+      val src = s.read.parquet(s"$d/orders.parquet")
+        .selectExpr("CAST(o_orderkey AS BIGINT) AS o_orderkey",
+          "CAST(round(o_totalprice * 100) AS BIGINT) AS cents",
+          "CAST(o_orderkey % 2 AS STRING) AS bucket")
+      graft.io.DeltaWrite.append(src.limit(0), t, partitionBy = Seq("bucket"))
+      graft.io.DeltaWrite.setProperties(s, t, Map(
+        "delta.autoOptimize.optimizeWrite" -> "true",
+        "delta.autoOptimize.autoCompact" -> "true",
+        "graft.autoCompact.minNumFiles" -> "4"))
+      graft.io.DeltaWrite.append(src.where("o_orderkey % 7 <> 0").repartition(16),
+        t, partitionBy = Seq("bucket"))
+      val afterBig = graft.io.DeltaRead.snapshot(s, t).files.size
+      // 6 drip appends into bucket 0 (o_orderkey % 7 = 0 rows, % 2 = 0)
+      val drip = src.where("o_orderkey % 7 = 0").orderBy("o_orderkey")
+        .limit(60).collect()
+      drip.grouped(10).zipWithIndex.foreach { case (rows, _) =>
+        import s.implicits._
+        graft.io.DeltaWrite.append(
+          rows.map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+            .toDF("o_orderkey", "cents", "bucket"),
+          t, partitionBy = Seq("bucket"))
+      }
+      val perPartMax = graft.io.DeltaRead.snapshot(s, t).files
+        .groupBy(_.partitionValues).map(_._2.size).max
+      import org.apache.spark.sql.functions.lit
+      graft.io.DeltaRead.read(s, t)
+        .createOrReplaceTempView("q239_t")
+      s.sql("""SELECT bucket, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents
+        FROM q239_t GROUP BY bucket ORDER BY bucket""")
+        .withColumn("optimize_write_one_file_per_bucket", lit(afterBig == 2))
+        .withColumn("auto_compact_bounded", lit(perPartMax <= 4))
+    },
+    Some("""WITH rows AS (
+           |  SELECT CAST(o_orderkey % 2 AS VARCHAR) AS bucket,
+           |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           |  FROM orders WHERE o_orderkey % 7 <> 0
+           |  UNION ALL
+           |  SELECT CAST(o_orderkey % 2 AS VARCHAR) AS bucket,
+           |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           |  FROM (SELECT * FROM orders WHERE o_orderkey % 7 = 0
+           |        ORDER BY o_orderkey LIMIT 60))
+           |SELECT bucket, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents,
+           |  true AS optimize_write_one_file_per_bucket,
+           |  true AS auto_compact_bounded
+           |FROM rows GROUP BY bucket ORDER BY bucket""".stripMargin))
+
   /** q234 — CONVERT TO DELTA through pure SQL
     * ([[graft.plans.GraftConvertCommand]] →
     * [[graft.io.DeltaWrite.convertToDelta]]): a Hive-partitioned plain
@@ -2363,5 +2456,6 @@ object DatalakeQueries {
     q220SqlDml, q221CatalogSql, q222HllView, q223TableReadStream,
     q224ReplaceWhere, q225MergeGeneral, q226SchemaEvolution,
     q227SqlMaintenance, q228CdfBatchSql, q229MergeSchemaEvolution,
-    q230ShallowClone, q231CopyInto, q232NestedAddSql, q237AddColumnDefault)
+    q230ShallowClone, q231CopyInto, q232NestedAddSql, q237AddColumnDefault,
+    q238DeepClone, q239AutoOptimize)
 }
