@@ -774,8 +774,80 @@ object DeltaWrite {
     val l2 = s.map(stampIct(table, _, v, l1)).getOrElse(l1)
     val l3 = applyStatsPolicy(s, l2)
     val ok = tryPublish(table, v, l3)
-    if (ok) { maybeAutoCompactLog(table, s, v); maybeAutoCheckpoint(table, s, v) }
+    if (ok) {
+      writeVersionChecksum(table, s, v, l3)
+      maybeAutoCompactLog(table, s, v); maybeAutoCheckpoint(table, s, v)
+    }
     ok
+  }
+
+  /** VERSION CHECKSUM (`_delta_log/<v>.crc`, the one-line JSON state
+    * digest delta-io's OSS writer emits per commit): tableSizeBytes,
+    * numFiles, numMetadata, numProtocol, txnId. Computed
+    * INCREMENTALLY — the base snapshot's totals adjusted by this
+    * commit's adds/removes, never a log re-replay — and written
+    * best-effort AFTER the commit lands (a failed digest never fails
+    * the publish; the file is advisory). [[verifyChecksum]] is the
+    * consumer: an O(1) corruption tripwire per version that FSCK-style
+    * audits can run without scanning data. cleanMetadata expires each
+    * digest with its commit JSON. */
+  private def writeVersionChecksum(table: String,
+      s: Option[DeltaRead.DeltaSnapshot], v: Long, lines: Seq[String]): Unit = {
+    try {
+      val base: Map[String, Long] = s.map(_.files.map(f =>
+        f.path -> f.size.getOrElse(0L)).toMap).getOrElse(Map.empty)
+      var added = Map.empty[String, Long]
+      var removed = Set.empty[String]
+      lines.foreach { line =>
+        if (line.contains("\"add\"") || line.contains("\"remove\"")) {
+          val node = mapper.readTree(line)
+          Option(node.get("add")).filterNot(_.isNull).foreach { a =>
+            added += DeltaRead.decodePath(a.get("path").asText()) ->
+              Option(a.get("size")).filterNot(_.isNull).map(_.asLong()).getOrElse(0L)
+          }
+          Option(node.get("remove")).filterNot(_.isNull).foreach { r =>
+            removed += DeltaRead.decodePath(r.get("path").asText())
+          }
+        }
+      }
+      val survivors = base -- removed -- added.keys
+      val numFiles = survivors.size + added.size
+      val sizeBytes = survivors.valuesIterator.sum + added.valuesIterator.sum
+      val crc = s"""{"txnId":"${UUID.randomUUID()}","tableSizeBytes":$sizeBytes,""" +
+        s""""numFiles":$numFiles,"numMetadata":1,"numProtocol":1}"""
+      val ld = logDir(table)
+      val tmp = Files.createTempFile(ld, s".crc-$v-", ".tmp")
+      Files.write(tmp, Seq(crc).asJava)
+      Files.move(tmp, ld.resolve(f"$v%020d.crc"),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[graft] version checksum for $table@$v skipped: ${e.getMessage}")
+    }
+  }
+
+  /** Validate `<v>.crc` against the resolved snapshot: None when no
+    * digest exists (foreign writer, pre-feature history), Some(Nil)
+    * when it matches, Some(problems) otherwise. The cheap per-version
+    * tripwire for log corruption — a truncated commit, a hand-edited
+    * add, a lost file entry all surface as a count/size drift. */
+  def verifyChecksum(spark: SparkSession, table: String,
+      version: Option[Long] = None): Option[Seq[String]] = {
+    val v = version.getOrElse(DeltaRead.latestVersion(table))
+    val p = logDir(table).resolve(f"$v%020d.crc")
+    if (!Files.isRegularFile(p)) return None
+    val node = mapper.readTree(Files.readAllBytes(p))
+    val s = DeltaRead.snapshotAt(spark, table, v)
+    val gotFiles = s.files.size.toLong
+    val gotBytes = s.files.map(_.size.getOrElse(0L)).sum
+    val problems = Seq.newBuilder[String]
+    Option(node.get("numFiles")).map(_.asLong()).foreach(exp =>
+      if (exp != gotFiles) problems +=
+        s"numFiles: crc says $exp, snapshot resolves $gotFiles")
+    Option(node.get("tableSizeBytes")).map(_.asLong()).foreach(exp =>
+      if (exp != gotBytes) problems +=
+        s"tableSizeBytes: crc says $exp, snapshot resolves $gotBytes")
+    Some(problems.result())
   }
 
   /** Publish-time stats policy, applied so EVERY write path (append,
@@ -1795,7 +1867,8 @@ object DeltaWrite {
       maxRetries: Int = 10, createMapping: Option[String] = None,
       identitySeed: Option[StructField] = None,
       extraActions: Option[DeltaRead.DeltaSnapshot] => Seq[String] = _ => Nil,
-      opName: Option[String] = None): Option[Long] = {
+      opName: Option[String] = None,
+      layoutPinned: Boolean = false): Option[Long] = {
     val spark = df0.sparkSession
     // cheap pre-check: a replayed batch skips before staging anything
     txn.foreach { case (appId, ver) =>
@@ -1877,10 +1950,15 @@ object DeltaWrite {
     val stagedDf0 = mapCtx.map(c => WriteMapping.physicalizeDf(df, c.schema)).getOrElse(df)
     // delta.autoOptimize.optimizeWrite: right-size the batch's output
     // file count BEFORE staging (the write-side half of the
-    // small-files answer; [[maybeAutoCompact]] is the read-side half)
-    val stagedDf = applyOptimizeWrite(stagedDf0,
-      preSnap.map(_.configuration).getOrElse(Map.empty),
-      mapCtx.map(c => partBy.map(c.physByLogical)).getOrElse(partBy))
+    // small-files answer; [[maybeAutoCompact]] is the read-side half).
+    // An explicitly LAID-OUT batch (appendZOrdered / appendClustered)
+    // is exempt — its range-partitioned z-order IS the point, and a
+    // hash repartition here would shuffle the clustering away.
+    val stagedDf =
+      if (layoutPinned) stagedDf0
+      else applyOptimizeWrite(stagedDf0,
+        preSnap.map(_.configuration).getOrElse(Map.empty),
+        mapCtx.map(c => partBy.map(c.physByLogical)).getOrElse(partBy))
     val stagedPartitionBy = mapCtx.map(c => partBy.map(c.physByLogical))
       .getOrElse(partBy)
     val staged = shredGuard(spark,
@@ -2095,7 +2173,8 @@ object DeltaWrite {
           .sortWithinPartitions("__z")
           .drop("__z")
       }
-    append(laid, table)
+    commit(laid, table, Nil, replaceExisting = false, txn = None,
+      layoutPinned = true).getOrElse(DeltaRead.latestVersion(table))
   }
 
   private val ShredWriteKey = "spark.sql.variant.writeShredding.enabled"
@@ -4900,6 +4979,7 @@ object DeltaWrite {
         case Some(v) if n.endsWith(".json") && !n.contains(".compacted.") =>
           v < b
         case Some(v) if n.contains(".checkpoint.") => v < b
+        case Some(v) if n.endsWith(".crc") => v < b // digests die with their commit
         case Some(_) if n.endsWith(".compacted.json") =>
           // a compaction survives only if its WHOLE span survives
           n.split('.') match {

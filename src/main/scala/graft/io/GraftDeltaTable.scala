@@ -54,8 +54,24 @@ final class GraftDeltaTable private (val spark: SparkSession, val path: String) 
       replace: Boolean = false): Long =
     DeltaWrite.shallowClone(spark, path, target, version, replace)
 
+  /** Materializing DEEP CLONE at `version` (default head): files
+    * copied on a bounded pool; the clone is fully self-contained. */
+  def deepCloneTo(target: String, version: Option[Long] = None,
+      replace: Boolean = false): Long =
+    DeltaWrite.deepClone(spark, path, target, version, replace)
+
   def fsck(dryRun: Boolean = false): Seq[DeltaRead.FileEntry] =
     DeltaWrite.fsck(spark, path, dryRun)
+
+  /** Validate a version's `<v>.crc` digest against its resolved
+    * snapshot: None = no digest, Some(Nil) = matches, Some(problems). */
+  def verifyChecksum(version: Option[Long] = None): Option[Seq[String]] =
+    DeltaWrite.verifyChecksum(spark, path, version)
+
+  /** Regenerate the symlink manifest tree (Presto/Trino/Athena
+    * interop); `incremental = true` rewrites only changed partitions. */
+  def generateManifest(incremental: Boolean = false): Int =
+    DeltaWrite.generateSymlinkManifest(spark, path, incremental)
 
   /** Start a MERGE: `source` rows joined to this table on `keys`. */
   def merge(source: DataFrame, keys: Seq[String]): GraftDeltaTable.MergeBuilder =

@@ -265,6 +265,68 @@ object Dedup {
   def simhash(textCol: Column): Column =
     graft.functions.Natives.simhash(textCol)
 
+  /** INCREMENTAL corpus ingestion with exact dedup against a PERSISTED
+    * fingerprint ledger: the batch-pipeline shape at 100 TB, where
+    * re-fingerprinting the whole corpus per arriving batch is
+    * O(corpus) and this is O(batch + one anti-join against the ledger
+    * table). The ledger is a graft-delta table of
+    * `(fingerprint, <idCol>)`; a batch
+    *
+    *  1. fingerprints its docs (`xxhash64` of the text column),
+    *  2. self-dedups deterministically (smallest id per fingerprint
+    *     wins — stable under replay),
+    *  3. anti-joins the ledger on the 8-byte fingerprint (an
+    *     equi-join that co-locates when both sides bucket by
+    *     fingerprint; never text-vs-text),
+    *  4. appends survivors to `corpusTable` and their fingerprints to
+    *     `ledgerTable`.
+    *
+    * `batchId` makes replays exactly-once per TABLE via Delta
+    * SetTransactions, corpus committed FIRST: a crash between the two
+    * appends replays to convergence because the fresh set is
+    * recomputed against the still-unadvanced ledger (deterministic),
+    * the corpus append skips on its high-water mark, and the ledger
+    * append then lands. The documented trade (same single-stream
+    * assumption as COPY INTO's mtime ledger): two CONCURRENT ingest
+    * streams may both pass the anti-join for the same new text —
+    * serialize batches per corpus. Returns (survivors, duplicates
+    * dropped). */
+  def ingestDeduped(batch: DataFrame, idCol: String, textCol: String,
+      corpusTable: String, ledgerTable: String,
+      batchId: Option[(String, Long)] = None): (Long, Long) = {
+    val spark = batch.sparkSession
+    val withFp = batch.withColumn("fingerprint", xxhash64(col(textCol)))
+    val winners = withFp.join(
+      withFp.groupBy("fingerprint").agg(min(col(idCol)).as(idCol)),
+      Seq("fingerprint", idCol), "left_semi")
+    val ledgerExists =
+      try graft.io.DeltaRead.latestVersion(ledgerTable) >= 0
+      catch { case _: Exception => false }
+    val fresh0 =
+      if (!ledgerExists) winners
+      else winners.join(
+        graft.io.DeltaRead.read(spark, ledgerTable).select(col("fingerprint")),
+        Seq("fingerprint"), "left_anti")
+    val fresh = fresh0.persist()
+    try {
+      val total = withFp.count()
+      val nNew = fresh.count()
+      if (nNew > 0) {
+        val corpus = fresh.drop("fingerprint")
+        val fps = fresh.select(col("fingerprint"), col(idCol))
+        batchId match {
+          case Some((app, ver)) =>
+            graft.io.DeltaWrite.appendOnce(corpus, corpusTable, app, ver)
+            graft.io.DeltaWrite.appendOnce(fps, ledgerTable, s"$app.ledger", ver)
+          case None =>
+            graft.io.DeltaWrite.append(corpus, corpusTable)
+            graft.io.DeltaWrite.append(fps, ledgerTable)
+        }
+      }
+      (nNew, total - nNew)
+    } finally fresh.unpersist(blocking = false)
+  }
+
   /** Declarative twin of [[simhash]]: bit_j(h) tested as
     * (h % 2^(j+1)) >= 2^j — exact long arithmetic, reproducible in any
     * engine (no engine-specific hash/shift). */

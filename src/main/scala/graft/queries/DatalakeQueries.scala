@@ -2342,6 +2342,53 @@ object DatalakeQueries {
            |  true AS auto_compact_bounded
            |FROM rows GROUP BY bucket ORDER BY bucket""".stripMargin))
 
+  /** q240 — VERSION CHECKSUMS end-to-end
+    * ([[graft.io.DeltaWrite]] `writeVersionChecksum` /
+    * [[graft.io.DeltaWrite.verifyChecksum]]): every commit kind
+    * (append, DV delete, compaction, merge) leaves a `<v>.crc` digest
+    * whose numFiles/tableSizeBytes agree with the independently
+    * resolved snapshot, and a doctored digest trips. The verification
+    * outcomes ride literal columns; the oracle recomputes the final
+    * table state from `orders`. */
+  val q240VersionChecksum = GQuery(
+    "q240_version_checksum",
+    (s, d) => {
+      val t = graft.io.Staging.tempDir("graft_q240_") + "/t"
+      s.read.parquet(s"$d/orders.parquet")
+        .selectExpr("CAST(o_orderkey AS BIGINT) AS o_orderkey",
+          "o_orderstatus AS status",
+          "CAST(round(o_totalprice * 100) AS BIGINT) AS cents")
+        .createOrReplaceTempView("q240_src")
+      graft.io.DeltaWrite.append(
+        s.table("q240_src").where("o_orderkey % 2 = 0"), t)          // v0
+      graft.io.DeltaWrite.append(
+        s.table("q240_src").where("o_orderkey % 2 = 1"), t)          // v1
+      import org.apache.spark.sql.functions.{col, lit}
+      graft.io.DeltaWrite.deleteWhere(s, t, col("o_orderkey") % 10 === 0) // v2
+      graft.io.DeltaWrite.compact(s, t)                              // v3
+      val allVerify = (0L to 3L).forall(v =>
+        graft.io.DeltaWrite.verifyChecksum(s, t, Some(v)).contains(Nil))
+      // a doctored digest must trip (then restore it for hygiene)
+      val crc = java.nio.file.Paths.get(t, "_delta_log", f"${3L}%020d.crc")
+      val original = java.nio.file.Files.readAllBytes(crc)
+      java.nio.file.Files.write(crc, new String(original, "UTF-8")
+        .replaceAll(""""numFiles":\d+""", "\"numFiles\":12345")
+        .getBytes("UTF-8"))
+      val tripped = graft.io.DeltaWrite.verifyChecksum(s, t, Some(3L))
+        .exists(_.nonEmpty)
+      java.nio.file.Files.write(crc, original)
+      graft.io.DeltaRead.read(s, t).createOrReplaceTempView("q240_t")
+      s.sql("""SELECT status, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents
+        FROM q240_t GROUP BY status ORDER BY status""")
+        .withColumn("digests_verify", lit(allVerify))
+        .withColumn("tamper_trips", lit(tripped))
+    },
+    Some("""SELECT o_orderstatus AS status, count(*) AS n,
+           |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+           |  true AS digests_verify, true AS tamper_trips
+           |FROM orders WHERE o_orderkey % 10 <> 0
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   /** q234 — CONVERT TO DELTA through pure SQL
     * ([[graft.plans.GraftConvertCommand]] →
     * [[graft.io.DeltaWrite.convertToDelta]]): a Hive-partitioned plain
@@ -2457,5 +2504,5 @@ object DatalakeQueries {
     q224ReplaceWhere, q225MergeGeneral, q226SchemaEvolution,
     q227SqlMaintenance, q228CdfBatchSql, q229MergeSchemaEvolution,
     q230ShallowClone, q231CopyInto, q232NestedAddSql, q237AddColumnDefault,
-    q238DeepClone, q239AutoOptimize)
+    q238DeepClone, q239AutoOptimize, q240VersionChecksum)
 }

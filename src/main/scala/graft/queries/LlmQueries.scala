@@ -51,6 +51,46 @@ object LlmQueries {
            |  min(doc_id) AS keep_id, count(*) AS n_copies
            |FROM documents GROUP BY fp""".stripMargin))
 
+  /** q241 — INCREMENTAL dedup ingestion against a persisted ledger
+    * ([[graft.operators.Dedup.ingestDeduped]]): two overlapping
+    * batches land exactly-once into a corpus Delta table, the second
+    * anti-joined against the fingerprint ledger the first left behind
+    * (O(batch), never O(corpus)); a REPLAY of batch 2 with its batchId
+    * is an end-to-end no-op. The oracle recomputes the union-dedup by
+    * raw text equality. */
+  val q241IncrementalDedup = GQuery(
+    "q241_incremental_dedup",
+    (s, d) => {
+      import s.implicits._
+      val base = graft.io.Staging.tempDir("graft_q241_")
+      val corpus = s"$base/corpus"; val ledger = s"$base/ledger"
+      val docs = Tables.documents(s, d).select($"doc_id", $"text")
+      val b1 = docs.where($"doc_id" % 3 <= 1)
+      val b2 = docs.where($"doc_id" % 3 >= 1)
+      graft.operators.Dedup.ingestDeduped(b1, "doc_id", "text",
+        corpus, ledger, batchId = Some(("q241", 1L)))
+      graft.operators.Dedup.ingestDeduped(b2, "doc_id", "text",
+        corpus, ledger, batchId = Some(("q241", 2L)))
+      val n1 = graft.io.DeltaRead.read(s, corpus).count()
+      val (replNew, _) = graft.operators.Dedup.ingestDeduped(b2, "doc_id",
+        "text", corpus, ledger, batchId = Some(("q241", 2L)))
+      val n2 = graft.io.DeltaRead.read(s, corpus).count()
+      graft.io.DeltaRead.read(s, corpus)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length($"text")).cast("long").as("sum_len"),
+          sum($"doc_id").cast("long").as("sum_ids"))
+        .withColumn("replay_noop", lit(replNew == 0L && n1 == n2))
+    },
+    Some("""WITH b1w AS (SELECT text, min(doc_id) AS doc_id FROM documents
+           |    WHERE doc_id % 3 <= 1 GROUP BY text),
+           |  b2w AS (SELECT text, min(doc_id) AS doc_id FROM documents
+           |    WHERE doc_id % 3 >= 1 GROUP BY text),
+           |  corpus AS (SELECT * FROM b1w UNION ALL
+           |    SELECT * FROM b2w WHERE text NOT IN (SELECT text FROM b1w))
+           |SELECT count(*) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS sum_len,
+           |  CAST(sum(doc_id) AS BIGINT) AS sum_ids, true AS replay_noop
+           |FROM corpus""".stripMargin))
+
   /** MinHash(32) + LSH(8 bands × 4) near-dup detection, verified with
     * exact shingle-Jaccard ≥ 0.9. The corpus plants one duplicate per
     * document (doc_id+100000) so the pipeline provably finds them. */
@@ -1310,7 +1350,8 @@ object LlmQueries {
            |WHERE rn <= 3""".stripMargin))
 
   val all: Seq[GQuery] = Seq(
-    q40DedupExactStats, q41DedupExactKeep, q42MinhashLsh, q43Simhash,
+    q40DedupExactStats, q41DedupExactKeep, q241IncrementalDedup,
+    q42MinhashLsh, q43Simhash,
     q44NgramJaccard, q45CosineTopk, q46Centroids, q47LshBuckets,
     q55BpeTokens, q56IvfAnn, q57SaltedJoin, q77EmbeddingNearDup, q80IvfKmeans,
     q82NearDupMulti, q83NearDupGroups, q84DatasetSplits, q189LeakageSplit,

@@ -39,6 +39,21 @@ class AutoOptimizeSpec extends SparkTestBase {
     } finally cleanup(t)
   }
 
+  test("optimizeWrite never reshapes an explicitly laid-out (z-ordered) batch") {
+    val t = newTable()
+    try {
+      DeltaWrite.append(Seq((0L, 0L)).toDF("x", "y"), t)
+      DeltaWrite.setProperties(spark, t,
+        Map("delta.autoOptimize.optimizeWrite" -> "true"))
+      val before = DeltaRead.snapshot(spark, t).files.size
+      val df = (1 to 400).map(i => (i.toLong, (i * 7 % 400).toLong)).toDF("x", "y")
+      DeltaWrite.appendZOrdered(df, t, Seq("x", "y"), numFiles = 4)
+      val added = DeltaRead.snapshot(spark, t).files.size - before
+      assert(added == 4,
+        s"the z-ordered layout (4 range files) must survive optimizeWrite, added $added")
+    } finally cleanup(t)
+  }
+
   test("parseByteSize accepts bytes and kb/mb/gb; refuses garbage") {
     assert(DeltaWrite.parseByteSize("134217728") == 128L << 20)
     assert(DeltaWrite.parseByteSize("128mb") == 128L << 20)

@@ -526,4 +526,38 @@ class DedupSimilaritySpec extends SparkTestBase {
       bySplit("cluster_aware").map(_.getLong(2)).sum)
   }
 
+  test("ingestDeduped converges after a crash between the corpus and ledger appends") {
+    import spark.implicits._
+    val base = graft.io.Staging.tempDir("ingest_crash")
+    val corpus = s"$base/corpus"; val ledger = s"$base/ledger"
+    val b1 = Seq((1L, "alpha"), (2L, "beta"), (3L, "alpha")).toDF("doc_id", "text")
+    val (n1, d1) = graft.operators.Dedup.ingestDeduped(b1, "doc_id", "text",
+      corpus, ledger, batchId = Some(("crashtest", 1L)))
+    assert(n1 == 2 && d1 == 1, s"in-batch dedup: got ($n1, $d1)")
+    // simulate the crash window of batch 2: its CORPUS append landed
+    // (same appId/version the real ingest would use) but the process
+    // died before the LEDGER append
+    val b2 = Seq((10L, "beta"), (11L, "gamma")).toDF("doc_id", "text")
+    val b2fresh = b2.where($"text" === "gamma") // what the anti-join would keep
+    graft.io.DeltaWrite.appendOnce(b2fresh, corpus, "crashtest", 2L)
+    // the REPLAY: fresh set recomputes identically (ledger still lacks
+    // gamma), the corpus append skips on its high-water mark, the
+    // ledger append lands — converged, no duplicate rows
+    val (n2, d2) = graft.operators.Dedup.ingestDeduped(b2, "doc_id", "text",
+      corpus, ledger, batchId = Some(("crashtest", 2L)))
+    assert(n2 == 1 && d2 == 1, s"replay must recompute the same fresh set: ($n2, $d2)")
+    val rows = graft.io.DeltaRead.read(spark, corpus)
+      .orderBy($"doc_id").as[(Long, String)].collect().toSeq
+    assert(rows == Seq((1L, "alpha"), (2L, "beta"), (11L, "gamma")),
+      s"corpus must hold exactly the first-seen docs once: $rows")
+    val fps = graft.io.DeltaRead.read(spark, ledger).count()
+    assert(fps == 3, s"ledger must hold one fingerprint per distinct text, got $fps")
+    // a THIRD batch re-offering gamma is now fully deduped by the ledger
+    val (n3, d3) = graft.operators.Dedup.ingestDeduped(
+      Seq((20L, "gamma")).toDF("doc_id", "text"), "doc_id", "text",
+      corpus, ledger, batchId = Some(("crashtest", 3L)))
+    assert(n3 == 0 && d3 == 1)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+  }
+
 }

@@ -122,4 +122,25 @@ class GraftDeltaTableSpec extends SparkTestBase {
       cleanup(java.nio.file.Paths.get(p).getParent.toString)
     }
   }
+
+  test("deepCloneTo, verifyChecksum and generateManifest round through the facade") {
+    val t = newDir() + "/t"; val d = newDir() + "/d"
+    try {
+      DeltaWrite.append((1L to 30L).map(i => (i, (i % 2).toString))
+        .toDF("id", "p"), t, partitionBy = Seq("p"))
+      val dt = GraftDeltaTable.forPath(spark, t)
+      assert(dt.verifyChecksum().contains(Nil), "fresh commit digest must verify")
+      dt.deepCloneTo(d)
+      cleanup(java.nio.file.Paths.get(t).getParent.toString)
+      assert(GraftDeltaTable.forPath(spark, d).toDF.count() == 30,
+        "deep clone must survive source destruction")
+      assert(GraftDeltaTable.forPath(spark, d).generateManifest() == 2)
+      assert(GraftDeltaTable.forPath(spark, d)
+        .generateManifest(incremental = true) == 0, "unchanged → nothing rewritten")
+    } finally {
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(t).getParent))
+        cleanup(java.nio.file.Paths.get(t).getParent.toString)
+      cleanup(java.nio.file.Paths.get(d).getParent.toString)
+    }
+  }
 }
