@@ -3463,7 +3463,12 @@ object DeltaWrite {
         touched.map(f => removeAction(f.path, now)) ++
         staged.map(s => addAction(s)) ++
         cdcStaged.map(cdcAction)
-      if (publish(table, Some(snap), v + 1, lines)) return v + 1
+      if (publish(table, Some(snap), v + 1, lines)) {
+        // post-commit half of auto optimize (Databricks applies it to
+        // ANY file-adding write, row rewrites included)
+        maybeAutoCompact(spark, table, snap.configuration, staged)
+        return v + 1
+      }
       dropStaged(table, staged)
       dropStaged(table, cdcStaged)
       attempt += 1 // lost the CAS race: replan against the winner
@@ -3829,7 +3834,12 @@ object DeltaWrite {
         touched.map(f => removeAction(f.path, now)) ++
         staged.map(s => addAction(s)) ++
         cdcStaged.map(cdcAction)
-      if (publish(table, Some(snap), v + 1, lines)) return v + 1
+      if (publish(table, Some(snap), v + 1, lines)) {
+        // post-commit half of auto optimize (Databricks applies it to
+        // ANY file-adding write, row rewrites included)
+        maybeAutoCompact(spark, table, snap.configuration, staged)
+        return v + 1
+      }
       dropStaged(table, staged)
       dropStaged(table, cdcStaged)
       attempt += 1 // lost the CAS race: replan against the winner
@@ -4010,7 +4020,12 @@ object DeltaWrite {
         touched.map(f => removeAction(f.path, now)) ++
         staged.map(s => addAction(s)) ++
         cdcStaged.map(cdcAction)
-      if (publish(table, Some(snap), v + 1, lines)) return v + 1
+      if (publish(table, Some(snap), v + 1, lines)) {
+        // post-commit half of auto optimize (Databricks applies it to
+        // ANY file-adding write, row rewrites included)
+        maybeAutoCompact(spark, table, snap.configuration, staged)
+        return v + 1
+      }
       dropStaged(table, staged)
       dropStaged(table, cdcStaged)
       attempt += 1 // lost the CAS race: replan against the winner
@@ -4147,7 +4162,12 @@ object DeltaWrite {
         touched.map(f => removeAction(f.path, now)) ++
         staged.map(s => addAction(s)) ++
         cdcStaged.map(cdcAction)
-      if (publish(table, Some(snap), v + 1, lines)) return v + 1
+      if (publish(table, Some(snap), v + 1, lines)) {
+        // post-commit half of auto optimize (Databricks applies it to
+        // ANY file-adding write, row rewrites included)
+        maybeAutoCompact(spark, table, snap.configuration, staged)
+        return v + 1
+      }
       dropStaged(table, staged)
       dropStaged(table, cdcStaged)
       attempt += 1 // lost the CAS race: replan against the winner

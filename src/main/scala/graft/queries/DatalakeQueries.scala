@@ -1342,6 +1342,59 @@ object DatalakeQueries {
     * this is the difference between a nightly full-scan rebuild of
     * every gold table and a minutely fold of one commit's files
     * (reference gold loads: loader_NeonDB.py:682-882 recompute). */
+  /** q242 — CONTINUOUSLY MAINTAINED VIEW
+    * ([[graft.views.IncrementalView.maintainStream]]): a Structured
+    * Streaming query tails the base's change feed and folds every
+    * arrival into the view; a CHECKPOINT-LOSS restart (fresh
+    * checkpoint, feed replayed from genesis) is absorbed by the view's
+    * own SetTransaction mark — exactly-once end to end without
+    * trusting the offset log. The oracle recomputes the final grouped
+    * aggregate from `documents`. */
+  val q242ViewMaintainStream = GQuery(
+    "q242_view_maintain_stream",
+    (s, d) => {
+      import s.implicits._
+      val base = graft.io.Staging.tempDir("graft_q242b_")
+      val view = graft.io.Staging.tempDir("graft_q242v_")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(view))
+      val docs = Tables.documents(s, d).select($"doc_id", $"lang", $"n_chars")
+      val spec = graft.views.IncrementalView.ViewSpec(
+        Seq("lang"), sums = Seq("n_chars"))
+      graft.io.DeltaWrite.append(
+        docs.filter(pmod($"doc_id", lit(2)) === 0).repartition(2), base) // v0
+      graft.views.IncrementalView.build(s, base, view, spec)
+      graft.io.DeltaWrite.append(
+        docs.filter(pmod($"doc_id", lit(2)) === 1).repartition(2), base) // v1
+      graft.io.DeltaWrite.deleteWhere(s, base,
+        pmod($"doc_id", lit(10)) === 6)                                  // v2
+      def drain(ck: String): Unit = {
+        val q = graft.views.IncrementalView.maintainStream(
+          s, base, view, spec, ck, availableNow = true)
+        q.awaitTermination(120000); q.stop()
+      }
+      drain(graft.io.Staging.tempDir("graft_q242c1_"))
+      val afterFirst = graft.io.DeltaRead.read(s, view)
+        .agg(sum($"cnt")).head.getLong(0)
+      // more commits, then a CHECKPOINT-LOSS restart: fresh checkpoint
+      // replays the whole feed; the mark absorbs it
+      graft.io.DeltaWrite.merge(s, base,
+        docs.filter(pmod($"doc_id", lit(10)) === 7)
+          .withColumn("n_chars", $"n_chars" + 1000L), Seq("doc_id"))     // v3
+      drain(graft.io.Staging.tempDir("graft_q242c2_"))
+      val n = graft.io.DeltaRead.read(s, view).agg(sum($"cnt")).head.getLong(0)
+      graft.io.DeltaRead.read(s, view)
+        .select($"lang", $"cnt", $"sum_n_chars")
+        .withColumn("no_double_count", lit(n == afterFirst))
+        .orderBy($"lang")
+    },
+    Some("""WITH fin AS (
+           |  SELECT lang,
+           |    CASE WHEN doc_id % 10 = 7 THEN n_chars + 1000 ELSE n_chars END AS nc
+           |  FROM documents WHERE doc_id % 10 <> 6)
+           |SELECT lang, count(*) AS cnt, CAST(sum(nc) AS BIGINT) AS sum_n_chars,
+           |       true AS no_double_count
+           |FROM fin GROUP BY lang ORDER BY lang""".stripMargin))
+
   val q215IncrementalView = GQuery(
     "q215_incremental_view",
     (s, d) => {
@@ -2504,5 +2557,6 @@ object DatalakeQueries {
     q224ReplaceWhere, q225MergeGeneral, q226SchemaEvolution,
     q227SqlMaintenance, q228CdfBatchSql, q229MergeSchemaEvolution,
     q230ShallowClone, q231CopyInto, q232NestedAddSql, q237AddColumnDefault,
-    q238DeepClone, q239AutoOptimize, q240VersionChecksum)
+    q238DeepClone, q239AutoOptimize, q240VersionChecksum,
+    q242ViewMaintainStream)
 }

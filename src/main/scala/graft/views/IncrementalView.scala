@@ -241,4 +241,28 @@ object IncrementalView {
       txn = Some((app, head)))
     Some(head)
   }
+
+  /** CONTINUOUS view maintenance: tail `base`'s change feed as a
+    * Structured Streaming query and fold every arrival into `view`
+    * with [[refresh]]. The micro-batch content is only the WAKE-UP
+    * SIGNAL — the fold itself reads the exact log range past the
+    * view's own SetTransaction mark, so the maintenance loop is
+    * exactly-once END TO END independent of the stream checkpoint: a
+    * restarted stream, a lost checkpoint, or an overlapping manual
+    * refresh() all replay to no-ops instead of double-counting (the
+    * mark, not the offset log, is the source of truth). One merge
+    * commit per trigger at most; `availableNow = true` drains the
+    * backlog and stops (the batch-job-shaped catch-up). */
+  def maintainStream(spark: SparkSession, base: String, view: String,
+      spec: ViewSpec, checkpoint: String, availableNow: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.streaming.Trigger
+    val feed = spark.readStream.format("graft-delta-cdf").load(base)
+    val w = feed.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        refresh(spark, base, view, spec); ()
+      }
+    (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
+  }
 }

@@ -54,6 +54,28 @@ class AutoOptimizeSpec extends SparkTestBase {
     } finally cleanup(t)
   }
 
+  test("autoCompact also follows row rewrites: merge inserts trip the pass") {
+    val t = newTable()
+    try {
+      DeltaWrite.append(
+        Seq((1L, "0"), (2L, "1")).toDF("id", "p").coalesce(1),
+        t, partitionBy = Seq("p"))
+      DeltaWrite.setProperties(spark, t, Map(
+        "delta.autoOptimize.autoCompact" -> "true",
+        "graft.autoCompact.minNumFiles" -> "3"))
+      // three merges, each inserting fresh keys into p=1 only
+      (1 to 3).foreach(k => DeltaWrite.merge(spark, t,
+        Seq((100L + k, "1")).toDF("id", "p"), Seq("id")))
+      val p1 = DeltaRead.snapshot(spark, t).files
+        .filter(_.partitionValues.get("p").contains("1"))
+      assert(p1.size <= 3,
+        s"merge-fed partition must stay at the compaction floor, got ${p1.size}")
+      assert(DeltaRead.history(t).flatMap(_._3).contains("OPTIMIZE"),
+        "a merge past the threshold must trigger the follow-on OPTIMIZE")
+      assert(DeltaRead.read(spark, t).count() == 5)
+    } finally cleanup(t)
+  }
+
   test("parseByteSize accepts bytes and kb/mb/gb; refuses garbage") {
     assert(DeltaWrite.parseByteSize("134217728") == 128L << 20)
     assert(DeltaWrite.parseByteSize("128mb") == 128L << 20)

@@ -25,6 +25,12 @@ class DeltaFuzzSpec extends SparkTestBase {
 
   private def foldEqualsSnapshot(t: String, useCdc: Boolean = true): Unit = {
     val head = DeltaRead.latestVersion(t)
+    // the incremental <v>.crc digest must agree with the independently
+    // replayed snapshot after ANY op interleaving — the system-level
+    // pin on writeVersionChecksum's add/remove arithmetic
+    val crc = DeltaWrite.verifyChecksum(spark, t, Some(head))
+    assert(crc.forall(_.isEmpty),
+      s"version checksum diverged from snapshot at $head: $crc")
     val feed = DeltaRead.changesBetween(spark, t, -1L, head, useCdc = useCdc)
     val folded = feed.groupBy($"id", $"v")
       .agg(sum(when($"_change_type" === "insert", 1).otherwise(-1)).as("net"))
@@ -236,7 +242,14 @@ class DeltaFuzzSpec extends SparkTestBase {
       DeltaWrite.setProperties(spark, t, Map(
         "graft.logCompaction.interval" -> "4",
         "delta.checkpointInterval" -> "5",
-        "delta.dataSkippingNumIndexedCols" -> "2"))                      // v1
+        "delta.dataSkippingNumIndexedCols" -> "2",
+        // the r14 automations join the composition: write-side file
+        // right-sizing and post-append partition compaction must keep
+        // every invariant below (view == full agg, fold == snapshot,
+        // skipping sound, crc digests exact) while firing mid-fuzz
+        "delta.autoOptimize.optimizeWrite" -> "true",
+        "delta.autoOptimize.autoCompact" -> "true",
+        "graft.autoCompact.minNumFiles" -> "6"))                         // v1
       val spec = IncrementalView.ViewSpec(Seq("g"),
         sums = Seq("v"), minMaxes = Seq("v"))
       IncrementalView.build(spark, t, vw, spec)
@@ -390,9 +403,10 @@ class DeltaFuzzSpec extends SparkTestBase {
       }
       (0 until 3).foreach(_ => DeltaWrite.append(batch(40).repartition(2), src))
       // two tables with the SAME logical start: a metadata-only shallow
-      // clone and a fully materialized deep copy
+      // clone and a DEEP CLONE (files materialized) — the same op
+      // sequence must keep the two clone flavors op-for-op identical
       DeltaWrite.shallowClone(spark, src, shallow)
-      DeltaWrite.append(DeltaRead.read(spark, src).repartition(3), deep)
+      DeltaWrite.deepClone(spark, src, deep)
       def stateOf(t: String) = DeltaRead.read(spark, t)
         .select($"id", $"v").as[(Long, Long)].collect().sorted.toSeq
       // the SAME seeded op sequence hits both; after every op the two

@@ -156,14 +156,10 @@ class IncrementalViewSpec extends SparkTestBase {
       // the CDF stream is the TRIGGER; refresh() reads the
       // authoritative feed itself and its SetTransaction mark makes
       // re-triggers (including checkpoint replays) idempotent
-      def run(): Unit = {
-        val q = spark.readStream.format("graft-delta-cdf").load(base)
-          .writeStream
-          .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) =>
-            IncrementalView.refresh(spark, base, view, vspec); ()
-          }
-          .option("checkpointLocation", ckpt).start()
-        q.processAllAvailable(); q.stop()
+      def run(checkpoint: String = ckpt): Unit = {
+        val q = IncrementalView.maintainStream(spark, base, view, vspec,
+          checkpoint, availableNow = true)
+        q.awaitTermination(60000); q.stop()
       }
       run()
       assertViewMatches(base, view)
@@ -172,6 +168,13 @@ class IncrementalViewSpec extends SparkTestBase {
       DeltaWrite.append(Seq(("d", 3L)).toDF("k", "v"), base)
       run()
       assertViewMatches(base, view)
+      // CHECKPOINT LOSS: a fresh checkpoint replays the feed from
+      // genesis, but the view's own mark absorbs the replay — then
+      // folds the genuinely new commit exactly once
+      DeltaWrite.append(Seq(("e", 11L)).toDF("k", "v"), base)
+      val ckpt2 = newDir("ivckpt2"); cleanup(ckpt2)
+      try { run(ckpt2); assertViewMatches(base, view) }
+      finally cleanup(ckpt2)
     } finally cleanup(base, view, ckpt)
   }
 
