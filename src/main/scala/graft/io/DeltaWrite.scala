@@ -5385,9 +5385,18 @@ object DeltaWrite {
     val v = DeltaRead.latestVersion(table)
     val s = DeltaRead.snapshotAt(spark, table, v)
     // a table whose checkpoint policy is v2 gets the v2 layout — a
-    // classic checkpoint would violate the policy foreign writers set
-    if (s.configuration.get("delta.checkpointPolicy").contains("v2"))
-      return checkpointV2(spark, table)
+    // classic checkpoint would violate the policy foreign writers set.
+    // The sidecar count scales with the LIVE FILE COUNT (default one
+    // sidecar per 100k adds, `graft.checkpoint.filesPerSidecar` to
+    // tune): a million-file table's checkpoint shards into ~10
+    // independently-readable parquets instead of one giant file
+    if (s.configuration.get("delta.checkpointPolicy").contains("v2")) {
+      val perSidecar = s.configuration.get("graft.checkpoint.filesPerSidecar")
+        .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(100000)
+      return checkpointV2(spark, table,
+        sidecars = math.max(1,
+          ((s.files.size + perSidecar - 1) / perSidecar)))
+    }
     val rows = checkpointStateRows(table, s)
     // contiguous split across parts; every part non-empty when the
     // action count allows it

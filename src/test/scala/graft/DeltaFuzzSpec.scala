@@ -306,6 +306,14 @@ class DeltaFuzzSpec extends SparkTestBase {
     val t = newTable()
     try {
       DeltaWrite.append(Seq((-1L, 0L)).toDF("id", "v"), t) // genesis
+      // auto optimize ON while four writers and a maintenance thread
+      // race: the post-append compactions add MORE commit contention
+      // (each rides its own CAS) and must never change row content or
+      // break linearization
+      DeltaWrite.setProperties(spark, t, Map(
+        "delta.autoOptimize.optimizeWrite" -> "true",
+        "delta.autoOptimize.autoCompact" -> "true",
+        "graft.autoCompact.minNumFiles" -> "5"))
       def retry[A](what: String)(op: => A): A = {
         var attempts = 0
         while (true) {

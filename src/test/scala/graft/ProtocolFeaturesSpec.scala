@@ -171,6 +171,19 @@ class ProtocolFeaturesSpec extends SparkTestBase {
       assert(after.files.map(_.path).toSet == before.files.map(_.path).toSet,
         "replay from sharded sidecars must resolve the full file set")
       assert(DeltaRead.read(spark, t).count() == 70)
+      // the DISPATCHER scales the shard count with the live file count
+      // (filesPerSidecar): ceil(nFiles / 3) sidecars on the next pass
+      DeltaWrite.setProperties(spark, t, Map(
+        "delta.checkpointPolicy" -> "v2",
+        "graft.checkpoint.filesPerSidecar" -> "3"))
+      val scBefore = Files.list(Paths.get(t, "_delta_log", "_sidecars"))
+      val nBefore = try scBefore.iterator().asScala.size finally scBefore.close()
+      DeltaWrite.checkpoint(spark, t)
+      val scAfter = Files.list(Paths.get(t, "_delta_log", "_sidecars"))
+      val nAfter = try scAfter.iterator().asScala.size finally scAfter.close()
+      val nFiles = DeltaRead.snapshot(spark, t).files.size
+      assert(nAfter - nBefore == (nFiles + 2) / 3,
+        s"auto-shard: expected ceil($nFiles/3) new sidecars, got ${nAfter - nBefore}")
     } finally cleanup(t)
   }
 
