@@ -247,7 +247,10 @@ object DeltaWrite {
   // in-memory plan bytes → parquet bytes (dictionary + RLE + snappy)
   private val ParquetCompressionFactor = 0.35
 
-  /** `delta.targetFileSize` accepts plain bytes or b/kb/mb/gb suffixes. */
+  /** `delta.targetFileSize` accepts plain bytes or b/kb/mb/gb suffixes.
+    * A non-positive or Long-overflowing value would silently disable
+    * optimizeWrite sizing (n computes to garbage), so both fail as
+    * loudly as an unparsable one. */
   private[graft] def parseByteSize(s: String): Long = {
     val t = s.trim.toLowerCase(java.util.Locale.ROOT)
     val (num, mult) =
@@ -256,8 +259,15 @@ object DeltaWrite {
       else if (t.endsWith("kb")) (t.dropRight(2), 1L << 10)
       else if (t.endsWith("b")) (t.dropRight(1), 1L)
       else (t, 1L)
-    num.trim.toLongOption.map(_ * mult).getOrElse(throw new IllegalArgumentException(
+    val n = num.trim.toLongOption.getOrElse(throw new IllegalArgumentException(
       s"$TargetFileSizeKey: cannot parse '$s' (use bytes or kb/mb/gb)"))
+    val v = try Math.multiplyExact(n, mult) catch {
+      case _: ArithmeticException => throw new IllegalArgumentException(
+        s"$TargetFileSizeKey: '$s' overflows a byte count")
+    }
+    if (v < 1) throw new IllegalArgumentException(
+      s"$TargetFileSizeKey: '$s' — a byte size must be >= 1")
+    v
   }
 
   private def targetFileBytes(conf: Map[String, String]): Long =
@@ -267,19 +277,43 @@ object DeltaWrite {
     * from Catalyst plan statistics, coalesce to ceil(est/target) tasks
     * — hash-partitioned ON the partition columns when there are any,
     * so each Hive partition's rows land in ONE task → one file per
-    * partition per batch. An unknown/absurd estimate (> 16 TB for one
-    * batch) skips the reshape rather than planning a garbage shuffle. */
+    * partition per batch. When the batch is big enough that a single
+    * Hive partition would overshoot the target file size (estimated
+    * per-partition bytes > target), a deterministic salt column joins
+    * the shuffle key so one partition CAN split across
+    * ceil(partitionBytes/target) tasks — otherwise a skewed or
+    * single-partition append emits one arbitrarily large file and
+    * `delta.targetFileSize` is silently ignored. The distinct-tuple
+    * count this needs is an extra (column-pruned) job, charged only
+    * when the estimate already exceeds one target file. An
+    * unknown/absurd estimate (> 16 TB for one batch) skips the
+    * reshape rather than planning a garbage shuffle. */
   private def applyOptimizeWrite(df: DataFrame, conf: Map[String, String],
       stagedPartitionBy: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, hash, pmod, lit}
     if (!conf.get(OptimizeWriteKey).exists(_.equalsIgnoreCase("true"))) return df
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
     if (!est.isValidLong || est.toLong <= 0 || est.toLong > (1L << 44)) return df
     val bytes = (est.toLong * ParquetCompressionFactor).toLong
     val n = math.max(1L, (bytes + targetFileBytes(conf) - 1) / targetFileBytes(conf))
       .min(100000L).toInt
-    if (stagedPartitionBy.nonEmpty)
-      df.repartition(n, stagedPartitionBy.map(org.apache.spark.sql.functions.col): _*)
-    else df.repartition(n)
+    if (stagedPartitionBy.isEmpty) return df.repartition(n)
+    val partCols = stagedPartitionBy.map(col)
+    val splits =
+      if (n <= 1) 1
+      else {
+        val nParts = math.max(1L, df.select(partCols: _*).distinct().count())
+        // assume uniform spread; skew beyond uniform still lands in one
+        // task per (partition, salt) cell — strictly no worse than the
+        // unsalted shape, and autoCompact repairs the residue
+        math.min(n.toLong,
+          (bytes / nParts + targetFileBytes(conf) - 1) / targetFileBytes(conf)).toInt
+      }
+    if (splits <= 1) df.repartition(n, partCols: _*)
+    else {
+      val salt = pmod(hash(df.columns.map(col): _*), lit(splits))
+      df.repartition(n, partCols :+ salt: _*)
+    }
   }
 
   /** The autoCompact follow-on: after a commit adds files, OPTIMIZE any
@@ -292,8 +326,12 @@ object DeltaWrite {
   private def maybeAutoCompact(spark: SparkSession, table: String,
       conf: Map[String, String], staged: Seq[Staged]): Unit = {
     if (!conf.get(AutoCompactKey).exists(_.equalsIgnoreCase("true"))) return
-    val minFiles = conf.get(MinFilesKey).flatMap(_.toIntOption)
-      .getOrElse(AutoCompactMinFiles)
+    // 0/negative would trigger compaction on EVERY append — a misconfig,
+    // refused loudly (outside the operational-failure try below)
+    val minFiles = conf.get(MinFilesKey).map { raw =>
+      raw.toIntOption.filter(_ >= 1).getOrElse(throw new IllegalArgumentException(
+        s"$MinFilesKey: '$raw' must be a positive integer"))
+    }.getOrElse(AutoCompactMinFiles)
     val target = targetFileBytes(conf)
     try {
       val head = DeltaRead.snapshot(spark, table)
@@ -2785,14 +2823,22 @@ object DeltaWrite {
           java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
           .filter(v => v >= 0 && v <= s.version)
         catch { case _: Exception => None }
+    // a marker pointing below the oldest replayable version (its log
+    // JSONs expired by cleanMetadata) must DEGRADE to full regeneration
+    // exactly like the missing/future-marker cases — resolving it
+    // throws, and failing here would wedge every incremental call
+    val prevSnap = prevV.flatMap { pv =>
+      try Some(DeltaRead.snapshotAt(spark, table, pv))
+      catch { case _: Exception => None }
+    }
     val byPartition = s.files.groupBy(hiveDirs)
-    val (toWrite, stale) = prevV match {
+    val (toWrite, stale) = prevSnap match {
       case None =>
         if (Files.isDirectory(root))
           org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
         (byPartition, Set.empty[Seq[String]])
-      case Some(pv) =>
-        val old = DeltaRead.snapshotAt(spark, table, pv).files.groupBy(hiveDirs)
+      case Some(oldSnap) =>
+        val old = oldSnap.files.groupBy(hiveDirs)
         val changed = byPartition.filter { case (k, fs) =>
           !old.get(k).map(_.map(_.path).toSet).contains(fs.map(_.path).toSet)
         }
@@ -5514,15 +5560,18 @@ object DeltaWrite {
     val manifestDest = logDir(table).resolve(manifestName)
     writeActionParquet(spark, table, pad ++ sidecarRows :+ cpMetaRow,
       manifestSchema, manifestDest)
-    // the pointer ADVERTISES the v2 layout: size counts the manifest's
-    // rows (non-file actions + sidecar pointers + checkpointMetadata,
-    // what a pointer-trusting reader finds in the named file),
-    // sizeInBytes/numOfAddFiles are the spec's optional hints, and
-    // v2Checkpoint.path names the manifest so a reader need not list
+    // the pointer ADVERTISES the v2 layout: size carries the
+    // conventional "total actions in the checkpoint" reading — manifest
+    // rows (non-file actions + sidecar pointers + checkpointMetadata)
+    // PLUS the add actions sharded into sidecars, so a reader treating
+    // size as the action count never sees an undercount (numOfAddFiles
+    // separately carries the sidecar add total); sizeInBytes spans
+    // manifest + sidecars, and v2Checkpoint.path names the manifest so
+    // a reader need not list
     val totalBytes = Files.size(manifestDest) + written.map(w => Files.size(w._2)).sum
     val lcTmp = logDir(table).resolve(s"_last_checkpoint.tmp-${UUID.randomUUID()}")
     Files.write(lcTmp, Seq(
-      s"""{"version":$v,"size":${pad.size + sidecarRows.size + 1},""" +
+      s"""{"version":$v,"size":${pad.size + sidecarRows.size + 1 + addRows.size},""" +
         s""""sizeInBytes":$totalBytes,"numOfAddFiles":${addRows.size},""" +
         s""""v2Checkpoint":{"path":"$manifestName"}}""").asJava)
     Files.move(lcTmp, logDir(table).resolve("_last_checkpoint"),

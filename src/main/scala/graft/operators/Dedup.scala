@@ -270,12 +270,16 @@ object Dedup {
     * re-fingerprinting the whole corpus per arriving batch is
     * O(corpus) and this is O(batch + one anti-join against the ledger
     * table). The ledger is a graft-delta table of
-    * `(fingerprint, <idCol>)`; a batch
+    * `(fingerprint, fingerprint2, <idCol>)` — a 128-bit pair of
+    * independent xxhash64s, because a single 64-bit key collides at the
+    * birthday bound once the corpus reaches billions of docs; a batch
     *
-    *  1. fingerprints its docs (`xxhash64` of the text column),
-    *  2. self-dedups deterministically (smallest id per fingerprint
-    *     wins — stable under replay),
-    *  3. anti-joins the ledger on the 8-byte fingerprint (an
+    *  1. fingerprints its docs (two `xxhash64`s of the text column),
+    *  2. self-dedups deterministically (smallest id per distinct TEXT
+    *     wins — the raw text rides the window partition key, so even a
+    *     double hash collision cannot merge distinct texts; row_number,
+    *     not a min-id semi-join, so duplicate ids cannot all survive),
+    *  3. anti-joins the ledger on the 16-byte fingerprint pair (an
     *     equi-join that co-locates when both sides bucket by
     *     fingerprint; never text-vs-text),
     *  4. appends survivors to `corpusTable` and their fingerprints to
@@ -290,30 +294,50 @@ object Dedup {
     * assumption as COPY INTO's mtime ledger): two CONCURRENT ingest
     * streams may both pass the anti-join for the same new text —
     * serialize batches per corpus. Returns (survivors, duplicates
-    * dropped). */
+    * dropped); the dropped count lumps batch-internal dups and
+    * ledger-known dups together. */
   def ingestDeduped(batch: DataFrame, idCol: String, textCol: String,
       corpusTable: String, ledgerTable: String,
       batchId: Option[(String, Long)] = None): (Long, Long) = {
     val spark = batch.sparkSession
-    val withFp = batch.withColumn("fingerprint", xxhash64(col(textCol)))
-    val winners = withFp.join(
-      withFp.groupBy("fingerprint").agg(min(col(idCol)).as(idCol)),
-      Seq("fingerprint", idCol), "left_semi")
+    // a 64-bit fingerprint alone collides at the birthday bound (real at
+    // billions of docs) and would silently drop a distinct text as a
+    // duplicate; the ledger key is therefore a 128-bit PAIR of
+    // independent xxhash64s — collision odds ~2^-128-scale, without
+    // persisting corpus text into the ledger (which would double
+    // storage). Within the batch the raw text itself rides the window
+    // partition key, so even a double collision cannot merge two
+    // distinct texts there.
+    val withFp = batch
+      .withColumn("fingerprint", xxhash64(col(textCol)))
+      .withColumn("fingerprint2", xxhash64(lit("graft.fp2"), col(textCol)))
+    // row_number, not a (fingerprint, min-id) semi-join: two rows
+    // sharing both fingerprint and the min id value would BOTH survive
+    // a semi-join; exactly one row per distinct text survives here
+    val selfW = Window.partitionBy(col("fingerprint"), col("fingerprint2"),
+      col(textCol)).orderBy(col(idCol))
+    val winners = withFp.withColumn("__graft_rn", row_number().over(selfW))
+      .where(col("__graft_rn") === 1).drop("__graft_rn")
     val ledgerExists =
       try graft.io.DeltaRead.latestVersion(ledgerTable) >= 0
       catch { case _: Exception => false }
     val fresh0 =
       if (!ledgerExists) winners
-      else winners.join(
-        graft.io.DeltaRead.read(spark, ledgerTable).select(col("fingerprint")),
-        Seq("fingerprint"), "left_anti")
+      else {
+        val ledger = graft.io.DeltaRead.read(spark, ledgerTable)
+        // a ledger written before the pair key existed anti-joins on the
+        // single fingerprint it has (old behavior, documented odds)
+        val keys = if (ledger.columns.contains("fingerprint2"))
+          Seq("fingerprint", "fingerprint2") else Seq("fingerprint")
+        winners.join(ledger.select(keys.map(col): _*), keys, "left_anti")
+      }
     val fresh = fresh0.persist()
     try {
       val total = withFp.count()
       val nNew = fresh.count()
       if (nNew > 0) {
-        val corpus = fresh.drop("fingerprint")
-        val fps = fresh.select(col("fingerprint"), col(idCol))
+        val corpus = fresh.drop("fingerprint", "fingerprint2")
+        val fps = fresh.select(col("fingerprint"), col("fingerprint2"), col(idCol))
         batchId match {
           case Some((app, ver)) =>
             graft.io.DeltaWrite.appendOnce(corpus, corpusTable, app, ver)

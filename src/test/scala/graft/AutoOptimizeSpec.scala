@@ -83,6 +83,49 @@ class AutoOptimizeSpec extends SparkTestBase {
     assert(DeltaWrite.parseByteSize("1gb") == 1L << 30)
     assert(DeltaWrite.parseByteSize("77b") == 77L)
     intercept[IllegalArgumentException](DeltaWrite.parseByteSize("fast"))
+    // a negative, zero, or Long-overflowing size would silently disable
+    // optimizeWrite sizing — refused as loudly as garbage
+    intercept[IllegalArgumentException](DeltaWrite.parseByteSize("-5mb"))
+    intercept[IllegalArgumentException](DeltaWrite.parseByteSize("0"))
+    intercept[IllegalArgumentException](DeltaWrite.parseByteSize("99999999999gb"))
+  }
+
+  test("autoCompact refuses a non-positive minNumFiles loudly") {
+    val t = newTable()
+    try {
+      DeltaWrite.append(Seq((1L, "0")).toDF("id", "p"), t, partitionBy = Seq("p"))
+      DeltaWrite.setProperties(spark, t, Map(
+        "delta.autoOptimize.autoCompact" -> "true",
+        "graft.autoCompact.minNumFiles" -> "0"))
+      val e = intercept[IllegalArgumentException](DeltaWrite.append(
+        Seq((2L, "0")).toDF("id", "p"), t, partitionBy = Seq("p")))
+      assert(e.getMessage.contains("minNumFiles"))
+    } finally cleanup(t)
+  }
+
+  test("optimizeWrite splits an oversized single Hive partition across tasks") {
+    val t = newTable()
+    try {
+      DeltaWrite.append(Seq((0L, "0", "x")).toDF("id", "p", "pad"), t,
+        partitionBy = Seq("p"))
+      // one partition whose PLAN estimate (~200 rows × schema-default
+      // widths ≈ 11 KB, × the parquet factor) spans several 1 KB target
+      // files: the unsalted shape would emit a single oversized file;
+      // the salt lets the partition split toward
+      // ceil(partitionBytes/target) files
+      DeltaWrite.setProperties(spark, t, Map(
+        "delta.autoOptimize.optimizeWrite" -> "true",
+        "delta.targetFileSize" -> "1kb"))
+      val pad = "abcdefghij" * 100
+      val df = (1 to 200).map(i => (i.toLong, "1", pad + i)).toDF("id", "p", "pad")
+      val before = DeltaRead.snapshot(spark, t).files.size
+      DeltaWrite.append(df.repartition(8), t, partitionBy = Seq("p"))
+      val p1 = DeltaRead.snapshot(spark, t).files
+        .filter(_.partitionValues.get("p").contains("1"))
+      assert(p1.size > 1,
+        s"a partition estimated far above targetFileSize must split, got ${p1.size} file(s)")
+      assert(DeltaRead.read(spark, t).where($"p" === "1").count() == 200)
+    } finally cleanup(t)
   }
 
   test("autoCompact OPTIMIZEs exactly the touched partition at the threshold") {

@@ -358,6 +358,39 @@ class DeltaMaintenanceSpec extends SparkTestBase {
     } finally cleanup(t)
   }
 
+  test("incremental GENERATE degrades to full regen when the marker version expired") {
+    val t = newTable()
+    try {
+      import java.nio.file.Paths
+      DeltaWrite.append((1 to 10).map(i => (i.toLong, (i % 2).toString))
+        .toDF("id", "p"), t, partitionBy = Seq("p"))                      // v0
+      assert(DeltaWrite.generateSymlinkManifest(spark, t, incremental = true) == 2)
+      // expire the log past the marker: the marked version (v0) becomes
+      // unresolvable, which must mean FULL regeneration, not a wedge
+      DeltaWrite.append(Seq((100L, "1")).toDF("id", "p"), t,
+        partitionBy = Seq("p"))                                           // v1
+      DeltaWrite.setProperties(spark, t,
+        Map("delta.logRetentionDuration" -> "interval 0 seconds"))        // v2
+      DeltaWrite.checkpoint(spark, t)
+      DeltaWrite.append(Seq((101L, "0")).toDF("id", "p"), t,
+        partitionBy = Seq("p"))                                           // v3
+      assert(DeltaWrite.cleanMetadata(spark, t) > 0)
+      intercept[Exception](DeltaRead.snapshotAt(spark, t, 0L)) // marker is gone
+      assert(DeltaWrite.generateSymlinkManifest(spark, t, incremental = true) == 2,
+        "unresolvable marker must fall back to regenerating every partition")
+      val root = Paths.get(t, "_symlink_format_manifest")
+      Seq("0", "1").foreach { part =>
+        val listed = Files.readAllLines(
+          root.resolve(s"p=$part").resolve("manifest")).asScala.toSet
+        val live = DeltaRead.snapshot(spark, t).files
+          .filter(_.partitionValues.get("p").contains(part))
+          .map(f => DeltaRead.dataPath(t, f.path).toAbsolutePath.normalize().toUri.toString)
+          .toSet
+        assert(listed == live, s"p=$part manifest must match the live set")
+      }
+    } finally cleanup(t)
+  }
+
   test("vacuum enumerates + reclaims distributed: one task per top-level dir, semantics unchanged") {
     val t = newTable()
     try {
