@@ -1,7 +1,7 @@
 package graft.io
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{broadcast, coalesce, col, input_file_name, lit, regexp_replace, url_decode}
 import org.apache.spark.sql.types.{DataType, StructType}
 import java.nio.file.{Files, Path, Paths}
@@ -71,7 +71,46 @@ object DeltaRead {
     def sizeOrStat(table: String): Long = size.getOrElse(
       java.nio.file.Files.size(DeltaRead.dataPath(table, path)))
   }
-  final case class DeltaSnapshot(version: Long, files: Seq[FileEntry],
+  /** Snapshot FILE STATE, tiered for the 100 TB regime. Below
+    * [[DatasetThresholdKey]] files the state is a driver-held Seq (the
+    * fast path every small-table code path keeps); above it the
+    * checkpoint's add rows STAY a Spark DataFrame — the checkpoint
+    * parquet is already columnar — reconciled with the JSON tail in a
+    * window, so the driver holds O(tail actions), never O(table
+    * files). Consumers that genuinely need every entry on the driver
+    * (`seq`) still can — the scan planner's path list is driver-side
+    * in Spark regardless (InMemoryFileIndex) — but the metadata-plane
+    * consumers (data skipping, vacuum's protected sets, merge's
+    * touched-file lookup, DESCRIBE DETAIL) route through
+    * [[filterEntries]]/aggregates and never materialize the list. */
+  sealed trait FileIndex {
+    /** Every live entry, driver-materialized, in deterministic commit
+      * order. On a [[DatasetIndex]] this runs a Spark job and collects
+      * O(table files) — memoized, and the [[onDatasetMaterialize]]
+      * seam fires so tests can pin which consumers avoid it. */
+    def seq: Seq[FileEntry]
+    def count: Long
+    def isEmpty: Boolean
+    /** Entries satisfying `pred` (which must be serializable — on the
+      * large tier it evaluates EXECUTOR-side), driver-materialized in
+      * deterministic commit order. O(survivors) on the driver. */
+    def filterEntries(pred: FileEntry => Boolean): Seq[FileEntry]
+    /** [[filterEntries]] under the shared [[statsAdmit]] predicate —
+      * file-level data skipping without materializing the full list. */
+    def admitted(preds: Seq[StatRange]): Seq[FileEntry] =
+      if (preds.isEmpty) seq else filterEntries(statsAdmit(_, preds))
+  }
+
+  /** The small-tier file state: exactly the pre-tier driver Seq. */
+  final case class SeqIndex(entries: Seq[FileEntry]) extends FileIndex {
+    def seq: Seq[FileEntry] = entries
+    def count: Long = entries.size.toLong
+    def isEmpty: Boolean = entries.isEmpty
+    def filterEntries(pred: FileEntry => Boolean): Seq[FileEntry] =
+      entries.filter(pred)
+  }
+
+  final case class DeltaSnapshot(version: Long, index: FileIndex,
       schema: Option[StructType], partitionColumns: Seq[String],
       metaId: Option[String] = None, txns: Map[String, Long] = Map.empty,
       configuration: Map[String, String] = Map.empty,
@@ -79,6 +118,10 @@ object DeltaRead {
       readerFeatures: Set[String] = Set.empty,
       writerFeatures: Set[String] = Set.empty,
       domains: Map[String, (String, Boolean)] = Map.empty) {
+    /** Driver-materialized entries (see [[FileIndex.seq]]). */
+    def files: Seq[FileEntry] = index.seq
+    /** This snapshot with an explicit (already-pruned) entry list. */
+    def withFiles(fs: Seq[FileEntry]): DeltaSnapshot = copy(index = SeqIndex(fs))
     /** `delta.columnMapping.mode` — `none` (default), `name`, or `id`. */
     def columnMappingMode: String =
       configuration.getOrElse("delta.columnMapping.mode", "none")
@@ -89,6 +132,228 @@ object DeltaRead {
       * are invisible here. */
     def liveDomains: Map[String, String] =
       domains.collect { case (d, (conf, false)) => d -> conf }
+  }
+
+  /** Canonical columnar shape of one live-file entry — the schema of
+    * [[DatasetIndex.df]] and of [[canonicalAddFrame]]'s projection.
+    * `pv` keys are logical once the index applies column mapping;
+    * `stats` keys stay PHYSICAL in the frame (the JSON rekey is JVM
+    * work, applied when an entry materializes). */
+  private[graft] val CanonicalFileSchema: StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("path",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("pv",
+      org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.StringType)),
+    org.apache.spark.sql.types.StructField("dvStorageType",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("dvPathOrInlineDv",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("dvOffset",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("dvSizeInBytes",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("dvCardinality",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("stats",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("baseRowId",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("defaultRowCommitVersion",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("size",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("modificationTime",
+      org.apache.spark.sql.types.LongType)))
+
+  /** One [[CanonicalFileSchema]]-shaped row → a [[FileEntry]] (path
+    * taken as-is — callers decode where the source was encoded).
+    * Extra columns (ordering) are ignored; lookup is by name. */
+  private[graft] def rowToFileEntry(row: org.apache.spark.sql.Row): FileEntry = {
+    def optLong(name: String): Option[Long] = {
+      val i = row.fieldIndex(name)
+      if (row.isNullAt(i)) None else Some(row.getLong(i))
+    }
+    val pvI = row.fieldIndex("pv")
+    val pv =
+      if (row.isNullAt(pvI)) Map.empty[String, String]
+      else row.getMap[String, String](pvI).toMap
+    val dv = Option(row.getAs[String]("dvStorageType")).map { st =>
+      val offI = row.fieldIndex("dvOffset")
+      DeltaDv.Descriptor(st, row.getAs[String]("dvPathOrInlineDv"),
+        if (row.isNullAt(offI)) None else Some(row.getInt(offI)),
+        row.getAs[Int]("dvSizeInBytes"), row.getAs[Long]("dvCardinality"))
+    }
+    FileEntry(row.getAs[String]("path"), pv, dv,
+      Option(row.getAs[String]("stats")),
+      optLong("baseRowId"), optLong("defaultRowCommitVersion"),
+      optLong("size"), optLong("modificationTime"))
+  }
+
+  /** Session conf: file count at which snapshot resolution switches to
+    * the Dataset tier (decided from `_last_checkpoint`'s advertised
+    * `numOfAddFiles`, so small tables pay zero extra I/O). */
+  private[graft] val DatasetThresholdKey = "spark.graft.snapshot.datasetThreshold"
+  private def datasetThreshold(spark: SparkSession): Long =
+    spark.conf.getOption(DatasetThresholdKey).flatMap(_.toLongOption)
+      .getOrElse(100000L)
+
+  /** TEST SEAM: fires (with the table path) whenever a [[DatasetIndex]]
+    * materializes its full entry list on the driver — the
+    * large-fixture spec pins that the ported metadata consumers never
+    * trigger it. */
+  private[graft] var onDatasetMaterialize: Option[String => Unit] = None
+
+  /** Large-tier file state (see [[FileIndex]]): checkpoint add frames
+    * (never collected) + the bounded tail journal, reconciled
+    * remove-over-add in one window keyed on the decoded path. Ordering
+    * ties to the journal sequence; checkpoint rows rank below every
+    * tail action (a checkpoint holds each path at most once, so the
+    * shared -1 rank is unambiguous). Materialization order is
+    * (last-action sequence, path) — deterministic, though not
+    * bit-identical to the Seq tier's LinkedHashMap order when a tail
+    * commit re-adds a checkpointed path. */
+  final class DatasetIndex private[io] (spark: SparkSession, val table: String,
+      cpFrames: Seq[DataFrame], journal: Seq[Replay.JEntry],
+      logicalByPhys: Map[String, String]) extends FileIndex {
+    import org.apache.spark.sql.functions.{element_at, lit => flit,
+      row_number, transform_keys, try_url_decode, typedlit}
+    import org.apache.spark.sql.Row
+
+    private val SeqCol = "__graft_seq"
+    private val AddCol = "__graft_is_add"
+
+    /** Live rows in [[CanonicalFileSchema]] + [[SeqCol]]. The SQL-side
+      * path decode matches [[decodePath]] for every path this writer
+      * emits (percent-encoded segments; '+' is literal, protected
+      * before url_decode; an undecodable path passes through raw) —
+      * scheme-ful absolute URIs would diverge and never occur in
+      * graft-written logs. */
+    private lazy val reconciled: DataFrame = {
+      def decode(c: Column): Column =
+        coalesce(try_url_decode(regexp_replace(c, "\\+", "%2B")), c)
+      val cps = cpFrames.map(f => f
+        .withColumn("path", decode(col("path")))
+        .withColumn(AddCol, flit(true)).withColumn(SeqCol, flit(-1L)))
+      val jdf =
+        if (journal.isEmpty) Nil
+        else {
+          val rows = journal.map {
+            case Replay.JAdd(sq, e) => Row(
+              e.path, e.partitionValues,
+              e.dv.map(_.storageType).orNull, e.dv.map(_.pathOrInlineDv).orNull,
+              e.dv.flatMap(_.offset).map(Int.box).orNull,
+              e.dv.map(d => Int.box(d.sizeInBytes)).orNull,
+              e.dv.map(d => Long.box(d.cardinality)).orNull,
+              e.stats.orNull, e.baseRowId.map(Long.box).orNull,
+              e.defaultRowCommitVersion.map(Long.box).orNull,
+              e.size.map(Long.box).orNull,
+              e.modificationTime.map(Long.box).orNull,
+              Boolean.box(true), Long.box(sq))
+            case Replay.JRemove(sq, p) => Row(p, null, null, null, null, null,
+              null, null, null, null, null, null, Boolean.box(false), Long.box(sq))
+          }
+          val sch = StructType(CanonicalFileSchema.fields ++ Seq(
+            org.apache.spark.sql.types.StructField(AddCol,
+              org.apache.spark.sql.types.BooleanType),
+            org.apache.spark.sql.types.StructField(SeqCol,
+              org.apache.spark.sql.types.LongType)))
+          Seq(spark.createDataFrame(
+            spark.sparkContext.parallelize(rows,
+              math.max(1, rows.size / 100000)), sch))
+        }
+      val all = (cps ++ jdf) match {
+        case Nil => // degenerate: a checkpoint with no add column at all
+          val sch = StructType(CanonicalFileSchema.fields ++ Seq(
+            org.apache.spark.sql.types.StructField(AddCol,
+              org.apache.spark.sql.types.BooleanType),
+            org.apache.spark.sql.types.StructField(SeqCol,
+              org.apache.spark.sql.types.LongType)))
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sch)
+        case fs => fs.reduce(_.unionByName(_))
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("path").orderBy(col(SeqCol).desc)
+      val live = all.withColumn("__graft_rn", row_number().over(w))
+        .where(col("__graft_rn") === 1 && col(AddCol))
+        .drop("__graft_rn", AddCol)
+      if (logicalByPhys.isEmpty) live
+      else {
+        val renameMap = typedlit(logicalByPhys)
+        live.withColumn("pv",
+          transform_keys(col("pv"), (k, _) => coalesce(element_at(renameMap, k), k)))
+      }
+    }
+
+    /** The canonical live-file frame ([[CanonicalFileSchema]]). */
+    def df: DataFrame = reconciled.drop(SeqCol)
+
+    private def finish(e: FileEntry): FileEntry =
+      if (logicalByPhys.isEmpty) e
+      else e.copy(stats = e.stats.map(renameStatsKeys(_, logicalByPhys)))
+
+    override lazy val count: Long = reconciled.count()
+    override def isEmpty: Boolean = count == 0L
+
+    override lazy val seq: Seq[FileEntry] = {
+      onDatasetMaterialize.foreach(_(table))
+      reconciled.orderBy(col(SeqCol), col("path"))
+        .collect().toSeq.map(r => finish(rowToFileEntry(r)))
+    }
+
+    override def filterEntries(pred: FileEntry => Boolean): Seq[FileEntry] = {
+      val rename = logicalByPhys
+      val kept = reconciled.mapPartitions { it =>
+        it.filter { row =>
+          val e0 = rowToFileEntry(row)
+          val e = if (rename.isEmpty) e0
+            else e0.copy(stats = e0.stats.map(renameStatsKeys(_, rename)))
+          pred(e)
+        }
+      }(org.apache.spark.sql.Encoders.row(reconciled.schema))
+      kept.orderBy(col(SeqCol), col("path"))
+        .collect().toSeq.map(r => finish(rowToFileEntry(r)))
+    }
+
+    /** (file count, total bytes) as one executor-side aggregate — the
+      * DESCRIBE DETAIL path; a legacy add lacking `size` stats its
+      * file in the task, never on the driver. */
+    lazy val countAndBytes: (Long, Long) = {
+      val t = table
+      val enc = org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong)
+      df.mapPartitions { it =>
+        var n = 0L; var b = 0L
+        it.foreach { row => n += 1L; b += rowToFileEntry(row).sizeOrStat(t) }
+        Iterator((n, b))
+      }(enc).collect()
+        .foldLeft((0L, 0L)) { case ((an, ab), (n, b)) => (an + n, ab + b) }
+    }
+
+    /** Normalized live data-file paths (same normalization the vacuum
+      * walk applies) — the anti-join build side. */
+    def livePathsDf: org.apache.spark.sql.Dataset[String] = {
+      val t = table
+      df.select("path").mapPartitions(_.map(r =>
+        dataPath(t, r.getString(0)).normalize().toString))(
+        org.apache.spark.sql.Encoders.STRING)
+    }
+
+    /** Normalized live deletion-vector FILE paths (u/p storage only). */
+    def liveDvPathsDf: org.apache.spark.sql.Dataset[String] = {
+      val t = table
+      df.select("dvStorageType", "dvPathOrInlineDv", "dvOffset",
+        "dvSizeInBytes", "dvCardinality")
+        .where(col("dvStorageType").isin("u", "p"))
+        .mapPartitions(_.map { r =>
+          val d = DeltaDv.Descriptor(r.getString(0), r.getString(1),
+            if (r.isNullAt(2)) None else Some(r.getInt(2)),
+            r.getInt(3), r.getLong(4))
+          DeltaDv.dvFile(t, d).normalize().toString
+        })(org.apache.spark.sql.Encoders.STRING)
+    }
   }
 
   /** Reader features this implementation actually honors. Anything
@@ -408,10 +673,36 @@ object DeltaRead {
     }
   }
 
+  private[io] object Replay {
+    /** What a replay TRACKS, so one replay engine serves three scale
+      * profiles without three reimplementations of the action grammar. */
+    sealed trait Mode
+    /** Full driver-held file state (the small tier). */
+    case object Full extends Mode
+    /** Only dv-BEARING entries (vacuum's DV-window guard): an add
+      * without a dv clears its path — a rewrite dropped the bitmap —
+      * so driver state is O(dv-carrying files), not O(table files). */
+    case object DvOnly extends Mode
+    /** No driver file state at all: checkpoint add frames are recorded
+      * as DataFrames and the tail as a bounded journal, feeding a
+      * [[DatasetIndex]]. */
+    case object Dataset extends Mode
+
+    sealed trait JEntry { def seq: Long }
+    final case class JAdd(seq: Long, e: FileEntry) extends JEntry
+    final case class JRemove(seq: Long, path: String) extends JEntry
+  }
+
   /** Replay state: insertion-ordered so output file order is the
     * commit order (deterministic reads). */
-  private final class Replay {
+  private final class Replay(val mode: Replay.Mode = Replay.Full) {
     val files = new scala.collection.mutable.LinkedHashMap[String, FileEntry]
+    /** Dataset mode: the checkpoint's add projections, uncollected. */
+    val cpAddFrames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    /** Dataset mode: every post-checkpoint file action, in order. */
+    val journal = scala.collection.mutable.ArrayBuffer.empty[Replay.JEntry]
+    private var seqCounter = 0L
+    private def nextSeq(): Long = { val s = seqCounter; seqCounter += 1; s }
     var schema: Option[StructType] = None
     var partitionColumns: Seq[String] = Nil
     var metaId: Option[String] = None
@@ -444,8 +735,16 @@ object DeltaRead {
       minWriterVersion = minWriter
       writerFeatures = wFeatures
     }
-    def add(e: FileEntry): Unit = files.put(e.path, e)
-    def remove(path: String): Unit = files.remove(path)
+    def add(e: FileEntry): Unit = mode match {
+      case Replay.Full => files.put(e.path, e)
+      case Replay.DvOnly =>
+        if (e.dv.isDefined) files.put(e.path, e) else files.remove(e.path)
+      case Replay.Dataset => journal += Replay.JAdd(nextSeq(), e)
+    }
+    def remove(path: String): Unit = mode match {
+      case Replay.Dataset => journal += Replay.JRemove(nextSeq(), path)
+      case _ => files.remove(path)
+    }
 
     /** Refuse any table whose correct interpretation needs a feature
       * this reader does not implement — the alternative is silently
@@ -723,45 +1022,63 @@ object DeltaRead {
     if (cols("add")) {
       // checkpoint state holds only LIVE adds (tombstoned removes are
       // retained for vacuum only and carry no reader-visible files)
-      val dvExprs =
-        if (has("add", "deletionVector")) Seq(
-          "add.deletionVector.storageType", "add.deletionVector.pathOrInlineDv",
-          "add.deletionVector.offset", "add.deletionVector.sizeInBytes",
-          "add.deletionVector.cardinality")
-        else Seq("CAST(NULL AS STRING) AS storageType",
-          "CAST(NULL AS STRING) AS pathOrInlineDv", "CAST(NULL AS INT) AS offset",
-          "CAST(NULL AS INT) AS sizeInBytes", "CAST(NULL AS BIGINT) AS cardinality")
-      val statsExpr =
-        if (has("add", "stats")) "add.stats" else "CAST(NULL AS STRING) AS stats"
-      val rowIdExprs = Seq(
-        if (has("add", "baseRowId")) "add.baseRowId"
-        else "CAST(NULL AS BIGINT) AS baseRowId",
-        if (has("add", "defaultRowCommitVersion")) "add.defaultRowCommitVersion"
-        else "CAST(NULL AS BIGINT) AS defaultRowCommitVersion")
-      val sizeExpr =
-        if (has("add", "size")) "add.size" else "CAST(NULL AS BIGINT) AS size"
-      val mtimeExpr =
-        if (has("add", "modificationTime")) "add.modificationTime"
-        else "CAST(NULL AS BIGINT) AS modificationTime"
-      cp.where(cp("add").isNotNull)
-        .selectExpr(Seq("add.path", "add.partitionValues") ++ dvExprs ++
-          (statsExpr +: rowIdExprs) ++ Seq(sizeExpr, mtimeExpr): _*)
-        .collect().foreach { row =>
-          val pv = Option(row.getMap[String, String](1))
-            .map(_.toMap.map { case (k, x) => k -> x }).getOrElse(Map.empty[String, String])
-          val dv = Option(row.getString(2)).map { st =>
-            DeltaDv.Descriptor(st, row.getString(3),
-              if (row.isNullAt(4)) None else Some(row.getInt(4)),
-              row.getInt(5), row.getLong(6))
+      r.mode match {
+        case Replay.Dataset =>
+          // the large tier's whole point: the add rows NEVER collect —
+          // the projection itself becomes the index's backing frame
+          r.cpAddFrames += canonicalAddFrame(cp)
+        case Replay.DvOnly =>
+          // dv-bearing rows only — the collect is O(dv-carrying files)
+          canonicalAddFrame(cp).where(col("dvStorageType").isNotNull)
+            .collect().foreach { row =>
+              val e = rowToFileEntry(row)
+              r.add(e.copy(path = decodePath(e.path)))
+            }
+        case Replay.Full =>
+          canonicalAddFrame(cp).collect().foreach { row =>
+            val e = rowToFileEntry(row)
+            r.add(e.copy(path = decodePath(e.path)))
           }
-          r.add(FileEntry(decodePath(row.getString(0)), pv, dv,
-            Option(row.getString(7)),
-            if (row.isNullAt(8)) None else Some(row.getLong(8)),
-            if (row.isNullAt(9)) None else Some(row.getLong(9)),
-            if (row.isNullAt(10)) None else Some(row.getLong(10)),
-            if (row.isNullAt(11)) None else Some(row.getLong(11))))
-        }
+      }
     }
+  }
+
+  /** The [[CanonicalFileSchema]]-shaped projection of an action
+    * frame's `add` rows (path still ENCODED as logged — consumers
+    * decode driver-side via [[decodePath]] or SQL-side in
+    * [[DatasetIndex]]). Optional protocol fields a foreign writer
+    * omitted project as typed nulls. */
+  private[io] def canonicalAddFrame(cp: DataFrame): DataFrame = {
+    def struct(name: String) = cp.schema(name).dataType.asInstanceOf[StructType]
+    def has(field: String) = struct("add").fieldNames.contains(field)
+    val dvExprs =
+      if (has("deletionVector")) Seq(
+        "add.deletionVector.storageType AS dvStorageType",
+        "add.deletionVector.pathOrInlineDv AS dvPathOrInlineDv",
+        "CAST(add.deletionVector.offset AS INT) AS dvOffset",
+        "CAST(add.deletionVector.sizeInBytes AS INT) AS dvSizeInBytes",
+        "CAST(add.deletionVector.cardinality AS BIGINT) AS dvCardinality")
+      else Seq("CAST(NULL AS STRING) AS dvStorageType",
+        "CAST(NULL AS STRING) AS dvPathOrInlineDv",
+        "CAST(NULL AS INT) AS dvOffset", "CAST(NULL AS INT) AS dvSizeInBytes",
+        "CAST(NULL AS BIGINT) AS dvCardinality")
+    val statsExpr =
+      if (has("stats")) "add.stats AS stats" else "CAST(NULL AS STRING) AS stats"
+    val rowIdExprs = Seq(
+      if (has("baseRowId")) "add.baseRowId AS baseRowId"
+      else "CAST(NULL AS BIGINT) AS baseRowId",
+      if (has("defaultRowCommitVersion"))
+        "add.defaultRowCommitVersion AS defaultRowCommitVersion"
+      else "CAST(NULL AS BIGINT) AS defaultRowCommitVersion")
+    val sizeExpr =
+      if (has("size")) "CAST(add.size AS BIGINT) AS size"
+      else "CAST(NULL AS BIGINT) AS size"
+    val mtimeExpr =
+      if (has("modificationTime")) "CAST(add.modificationTime AS BIGINT) AS modificationTime"
+      else "CAST(NULL AS BIGINT) AS modificationTime"
+    cp.where(cp("add").isNotNull)
+      .selectExpr(Seq("add.path AS path", "add.partitionValues AS pv") ++
+        dvExprs ++ (statsExpr +: rowIdExprs) ++ Seq(sizeExpr, mtimeExpr): _*)
   }
 
   /** The live state at `version`: checkpoint (if any) + JSON tail.
@@ -769,9 +1086,30 @@ object DeltaRead {
     * physical → logical here, ONCE — every consumer downstream
     * ([[assemble]]'s partition re-attachment, [[readVersionWhere]]'s
     * `keep` predicate) sees logical names only. */
+  /** `_last_checkpoint`'s advertised `numOfAddFiles`, only when the
+    * pointer names exactly this checkpoint version — the zero-extra-IO
+    * signal the tier decision reads (a stale or absent pointer means
+    * the small tier, which is always correct). */
+  private def advertisedAddCount(table: String, cpV: Long): Option[Long] =
+    try {
+      val p = logDir(table).resolve("_last_checkpoint")
+      if (!Files.exists(p)) None
+      else {
+        val node = mapper.readTree(Files.readAllBytes(p))
+        if (Option(node.get("version")).exists(_.asLong() == cpV))
+          Option(node.get("numOfAddFiles")).filterNot(_.isNull).map(_.asLong())
+        else None
+      }
+    } catch { case _: Exception => None }
+
   def snapshotAt(spark: SparkSession, table: String, version: Long): DeltaSnapshot = {
-    val r = new Replay
     val cp = checkpointAtOrBelow(table, version)
+    // TIER DECISION: past the threshold the checkpoint's add rows stay
+    // a DataFrame (see [[FileIndex]]) — resolution itself is then
+    // O(tail) on the driver instead of O(table files)
+    val datasetTier = cp.exists(v =>
+      advertisedAddCount(table, v).exists(_ >= datasetThreshold(spark)))
+    val r = new Replay(if (datasetTier) Replay.Dataset else Replay.Full)
     cp.foreach(v => applyCheckpoint(spark, table, v, r))
     // tail replay prefers minor log compactions ({x}.{y}.compacted.json,
     // the protocol's reconciled form of commits x..y): one file read
@@ -790,19 +1128,26 @@ object DeltaRead {
       }
     }
     r.validateSupported(table)
-    val snap = DeltaSnapshot(version, r.files.values.toSeq, r.schema,
-      r.partitionColumns, r.metaId, r.txns.toMap, r.configuration,
-      r.minReaderVersion, r.minWriterVersion, r.readerFeatures, r.writerFeatures,
-      r.domains.toMap)
-    if (!ColumnMapping.active(snap.columnMappingMode)) snap
-    else {
-      val logicalByPhys = snap.schema
-        .map(ColumnMapping.physByLogical(_).map(_.swap)).getOrElse(Map.empty)
-      snap.copy(files = snap.files.map(f => f.copy(
+    val mappingActive = ColumnMapping.active(
+      r.configuration.getOrElse("delta.columnMapping.mode", "none"))
+    val logicalByPhys: Map[String, String] =
+      if (!mappingActive) Map.empty
+      else r.schema.map(ColumnMapping.physByLogical(_).map(_.swap)).getOrElse(Map.empty)
+    val index: FileIndex =
+      if (datasetTier)
+        // mapping (pv rekey in the frame, stats rekey at entry
+        // materialization) is the index's own concern on this tier
+        new DatasetIndex(spark, table, r.cpAddFrames.toSeq, r.journal.toSeq,
+          logicalByPhys)
+      else if (!mappingActive) SeqIndex(r.files.values.toSeq)
+      else SeqIndex(r.files.values.toSeq.map(f => f.copy(
         partitionValues =
           f.partitionValues.map { case (k, v) => logicalByPhys.getOrElse(k, k) -> v },
         stats = f.stats.map(renameStatsKeys(_, logicalByPhys)))))
-    }
+    DeltaSnapshot(version, index, r.schema,
+      r.partitionColumns, r.metaId, r.txns.toMap, r.configuration,
+      r.minReaderVersion, r.minWriterVersion, r.readerFeatures, r.writerFeatures,
+      r.domains.toMap)
   }
 
   def snapshot(spark: SparkSession, table: String): DeltaSnapshot =
@@ -856,11 +1201,17 @@ object DeltaRead {
     * `insert` — the same lossless decomposition reconstruction emits.
     * `useCdc = false` forces reconstruction everywhere (the
     * equivalence of the two paths is spec-tested). */
+  /** TEST SEAM: fires on every LOG-derived change-feed read — the
+    * single-read-per-trigger pin for stream-maintained views counts
+    * these. */
+  private[graft] var onLogChangesRead: Option[(String, Long, Long) => Unit] = None
+
   def changesBetween(spark: SparkSession, table: String,
       sinceVersion: Long, untilVersion: Long,
       useCdc: Boolean = true): DataFrame = {
     require(sinceVersion <= untilVersion,
       s"changesBetween: since $sinceVersion > until $untilVersion")
+    onLogChangesRead.foreach(_(table, sinceVersion, untilVersion))
     val snap = snapshotAt(spark, table, untilVersion) // schema + mapping context
     val logicalByPhys = snap.schema.filter(_ => ColumnMapping.active(snap.columnMappingMode))
       .map(ColumnMapping.physByLogical(_).map(_.swap)).getOrElse(Map.empty)
@@ -930,12 +1281,12 @@ object DeltaRead {
           }
         }
         val dels = fullDeletes.result(); val ins = fullInserts.result()
-        if (dels.nonEmpty) frames += tag(assemble(spark, table, snap.copy(files = dels)), "delete")
-        if (ins.nonEmpty) frames += tag(assemble(spark, table, snap.copy(files = ins)), "insert")
+        if (dels.nonEmpty) frames += tag(assemble(spark, table, snap.withFiles(dels)), "delete")
+        if (ins.nonEmpty) frames += tag(assemble(spark, table, snap.withFiles(ins)), "insert")
         diffSel.groupBy(_._3).toSeq.sortBy(_._1).foreach { case (ct, group) =>
           val oldBy = group.map(x => (x._1.path, x._2)).toMap
           frames += tag(assemble(spark, table,
-            snap.copy(files = group.map(_._1).toSeq), dvSelect = Some(oldBy)), ct)
+            snap.withFiles(group.map(_._1).toSeq), dvSelect = Some(oldBy)), ct)
         }
       }
       // roll state forward with EVERY action, dataChange or not — an
@@ -944,7 +1295,7 @@ object DeltaRead {
       adds.foreach { case (path, (e, _)) => state.put(path, e) }
     }
     frames.result().reduceOption(_ unionByName _).getOrElse {
-      assemble(spark, table, snap.copy(files = Nil))
+      assemble(spark, table, snap.withFiles(Nil))
         .withColumn(ChangeTypeCol, lit(null).cast(org.apache.spark.sql.types.StringType))
         .withColumn(CommitVersionCol, lit(null).cast(org.apache.spark.sql.types.LongType))
     }
@@ -1180,7 +1531,10 @@ object DeltaRead {
         // travel anyway, so they are outside the protectable window.
         val start = math.max(oldestResolvableVersion(table), vMin - 1)
         val out = scala.collection.mutable.HashSet.empty[Path]
-        val r = new Replay
+        // DvOnly: driver state is O(dv-carrying files) — a 10⁷-file
+        // table with a handful of DVs no longer replays its whole
+        // inventory into driver memory just to guard the bitmaps
+        val r = new Replay(Replay.DvOnly)
         val cp = checkpointAtOrBelow(table, start)
         cp.foreach(v => applyCheckpoint(spark, table, v, r))
         ((cp.map(_ + 1).getOrElse(0L)) to start).foreach(v => applyJsonCommit(table, v, r))
@@ -1219,7 +1573,7 @@ object DeltaRead {
   def readFilesWithLineage(spark: SparkSession, table: String, version: Long,
       relPaths: Set[String]): DataFrame = {
     val s = snapshotAt(spark, table, version)
-    assemble(spark, table, s.copy(files = s.files.filter(f => relPaths(f.path))),
+    assemble(spark, table, s.withFiles(s.index.filterEntries(f => relPaths(f.path))),
       keepLineage = true)
   }
 
@@ -1300,10 +1654,10 @@ object DeltaRead {
       version: Long, relPaths: Set[String]): DataFrame = {
     import org.apache.spark.sql.types.{LongType, StructField}
     val s = snapshotAt(spark, table, version)
-    val files = s.files.filter(f => relPaths(f.path))
+    val files = s.index.filterEntries(f => relPaths(f.path))
     val (matId, matRcv) = matColNames(table, s)
     val extras = Seq(StructField(matId, LongType), StructField(matRcv, LongType))
-    val df = assemble(spark, table, s.copy(files = files), keepLineage = true,
+    val df = assemble(spark, table, s.withFiles(files), keepLineage = true,
       extraDataFields = extras)
     if (files.isEmpty) return df.drop(LineageFile, LineagePos)
     df.join(broadcast(fileIdFrame(spark, table, files)), Seq(LineageFile), "left")
@@ -1360,7 +1714,7 @@ object DeltaRead {
   def readVersionWhere(spark: SparkSession, table: String, version: Long)(
       keep: Map[String, String] => Boolean): DataFrame = {
     val s = snapshotAt(spark, table, version)
-    assemble(spark, table, s.copy(files = s.files.filter(f => keep(f.partitionValues))))
+    assemble(spark, table, s.withFiles(s.index.filterEntries(f => keep(f.partitionValues))))
   }
 
   /** One conjunct of a data-skipping predicate: `col` ∈ [lo, hi]
@@ -1399,7 +1753,9 @@ object DeltaRead {
       preds: Seq[StatRange]): Seq[FileEntry] = {
     val s = snapshotAt(spark, table, version)
     val skip = collatedCols(s.schema)
-    s.files.filter(statsAdmit(_, preds.filterNot(p => skip(p.col))))
+    // index-routed: on the Dataset tier the SAME statsAdmit predicate
+    // evaluates executor-side and only survivors reach the driver
+    s.index.admitted(preds.filterNot(p => skip(p.col)))
   }
 
   /** [[readVersion]] with [[filesAfterSkipping]] applied to the file
@@ -1409,12 +1765,63 @@ object DeltaRead {
       preds: Seq[StatRange]): DataFrame = {
     val s = snapshotAt(spark, table, version)
     val skip = collatedCols(s.schema)
-    assemble(spark, table, s.copy(files =
-      s.files.filter(statsAdmit(_, preds.filterNot(p => skip(p.col))))))
+    assemble(spark, table,
+      s.withFiles(s.index.admitted(preds.filterNot(p => skip(p.col)))))
   }
 
-  /** Can any row of `f` satisfy every conjunct? Missing evidence ⇒ yes. */
-  private def statsAdmit(f: FileEntry, preds: Seq[StatRange]): Boolean = {
+  /** TEST SEAM: fires with (table, files kept, files total) whenever
+    * point-set skipping runs — the dedup-ledger probe's pruning pin. */
+  private[graft] var onPointSkipping: Option[(String, Int, Int) => Unit] = None
+
+  /** [[readVersion]] restricted to the files whose [min,max] bounds
+    * for LONG column `column` intersect ANY of `sortedPoints` — the
+    * POINT-SET form of data skipping. The motivating consumer is the
+    * incremental-dedup ledger: appends land SORTED by fingerprint, so
+    * each ledger file covers a disjoint slice of the hash space, and a
+    * batch of B probe keys can only hit min(B, files) of them —
+    * O(batch) ledger files read per ingest, not O(corpus history).
+    * Sound like every skipping path: a file with no usable bounds for
+    * the column is admitted. */
+  def readVersionWherePoints(spark: SparkSession, table: String, version: Long,
+      column: String, sortedPoints: Array[Long]): DataFrame = {
+    val s = snapshotAt(spark, table, version)
+    val colName = column
+    val pts = sortedPoints
+    val kept = s.index.filterEntries { f =>
+      statsLongBounds(f, colName) match {
+        case Some((lo, hi)) =>
+          var i = java.util.Arrays.binarySearch(pts, lo)
+          if (i < 0) i = -i - 1
+          i < pts.length && pts(i) <= hi
+        case None => true
+      }
+    }
+    onPointSkipping.foreach(h => h(table, kept.size, s.index.count.toInt))
+    assemble(spark, table, s.withFiles(kept))
+  }
+
+  /** `column`'s numeric [min,max] from a file's stats, when both
+    * bounds are present and numeric. */
+  private[graft] def statsLongBounds(f: FileEntry, column: String): Option[(Long, Long)] =
+    f.stats.flatMap { js =>
+      try {
+        val n = mapper.readTree(js)
+        val mn = Option(n.get("minValues")).flatMap(m => Option(m.get(column)))
+          .filterNot(_.isNull)
+        val mx = Option(n.get("maxValues")).flatMap(m => Option(m.get(column)))
+          .filterNot(_.isNull)
+        (mn, mx) match {
+          case (Some(a), Some(b)) if a.isNumber && b.isNumber =>
+            Some((a.asLong(), b.asLong()))
+          case _ => None
+        }
+      } catch { case _: Exception => None }
+    }
+
+  /** Can any row of `f` satisfy every conjunct? Missing evidence ⇒ yes.
+    * ONE implementation for both tiers — the Dataset tier ships this
+    * exact predicate to executors, so skipping can never diverge. */
+  private[io] def statsAdmit(f: FileEntry, preds: Seq[StatRange]): Boolean = {
     lazy val node = f.stats.flatMap(js =>
       try Some(mapper.readTree(js)) catch { case _: Exception => None })
     lazy val minN = node.flatMap(n => Option(n.get("minValues")))
@@ -1522,7 +1929,7 @@ object DeltaRead {
     * delete/insert change rows from this. */
   private[io] def readEntriesRows(spark: SparkSession, table: String,
       snap: DeltaSnapshot, files: Seq[FileEntry]): DataFrame =
-    assemble(spark, table, snap.copy(files = files))
+    assemble(spark, table, snap.withFiles(files))
 
   /** The rows each entry's deletion vector SELECTS, minus the rows of
     * `subtractByPath(path)` — the "rows newly deleted by this DV
@@ -1531,7 +1938,7 @@ object DeltaRead {
   private[io] def readDvDiffRows(spark: SparkSession, table: String,
       snap: DeltaSnapshot, files: Seq[FileEntry],
       subtractByPath: Map[String, Option[DeltaDv.Descriptor]]): DataFrame =
-    assemble(spark, table, snap.copy(files = files), dvSelect = Some(subtractByPath))
+    assemble(spark, table, snap.withFiles(files), dvSelect = Some(subtractByPath))
 
   /** A file-source URI column (`input_file_name()`, `_metadata
     * .file_path`) normalized to the on-disk absolute path: strip the

@@ -360,11 +360,16 @@ case class GraftDetailCommand(table: Either[String, Seq[String]])
     // THERE a live file missing from disk is table damage, not a
     // detail to paper over as 0 bytes — it errors rather than
     // under-report.
-    val bytes = s.files.map(_.sizeOrStat(path)).sum
+    // index-routed: the Dataset tier answers (count, bytes) as one
+    // executor-side aggregate — the driver never materializes entries
+    val (nFiles, bytes) = s.index match {
+      case idx: DeltaRead.DatasetIndex => idx.countAndBytes
+      case _ => (s.files.size.toLong, s.files.map(_.sizeOrStat(path)).sum)
+    }
     val features = (s.readerFeatures ++ s.writerFeatures).toSeq.sorted
     val props = s.configuration.toSeq.sortBy(_._1)
       .map { case (k, v) => s"$k=$v" }
-    Seq(Row("graft-delta", path, s.version, s.files.size.toLong, bytes,
+    Seq(Row("graft-delta", path, s.version, nFiles, bytes,
       s.partitionColumns.mkString(","),
       DeltaWrite.clusteringColumns(s).mkString(","),
       s.minReaderVersion, s.minWriterVersion,

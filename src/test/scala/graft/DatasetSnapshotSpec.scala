@@ -1,0 +1,252 @@
+package graft
+
+import graft.io.{DeltaRead, DeltaWrite}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+import java.nio.file.attribute.FileTime
+import scala.jdk.CollectionConverters._
+
+/** The Dataset-tier snapshot file state (the engine's last 100 TB
+  * driver ceiling, VERDICT r14 top item): past
+  * `spark.graft.snapshot.datasetThreshold` advertised add-files, the
+  * checkpoint's add rows stay a Spark DataFrame reconciled with the
+  * JSON tail in a window — the driver holds O(tail), not O(table
+  * files). Pins, on a synthetic 120 000-file log:
+  *
+  *  - the resolved state equals the Seq tier row-for-row;
+  *  - resolution, data skipping, count/bytes aggregates, and vacuum
+  *    NEVER materialize the full entry list on the driver (the
+  *    [[DeltaRead.onDatasetMaterialize]] seam stays silent);
+  *
+  * and, on a real table pushed over a lowered threshold: reads,
+  * deletes (DV masking), MERGE, DESCRIBE DETAIL, and vacuum all
+  * behave byte-identically to the Seq tier. */
+class DatasetSnapshotSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def newTable(): String =
+    Files.createTempDirectory("dsindex").toString
+  private def cleanup(t: String): Unit =
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(t))
+
+  private val ThresholdKey = DeltaRead.DatasetThresholdKey
+  private def withThreshold[A](n: Long)(body: => A): A = {
+    val prior = spark.conf.getOption(ThresholdKey)
+    spark.conf.set(ThresholdKey, n.toString)
+    try body
+    finally prior match {
+      case Some(v) => spark.conf.set(ThresholdKey, v)
+      case None => spark.conf.unset(ThresholdKey)
+    }
+  }
+  private def withSeam[A](counter: java.util.concurrent.atomic.AtomicInteger)(
+      body: => A): A = {
+    DeltaRead.onDatasetMaterialize = Some(_ => counter.incrementAndGet())
+    try body finally DeltaRead.onDatasetMaterialize = None
+  }
+
+  /** A synthetic log: one classic checkpoint carrying `n` adds (with
+    * stats and sizes) + an advertising `_last_checkpoint` + a JSON
+    * tail (one remove, one replacing re-add, one fresh add). Metadata
+    * only — no data files, which is all resolution needs. */
+  private def writeBigLog(t: String, n: Int): Unit = {
+    val ld = Paths.get(t, "_delta_log")
+    Files.createDirectories(ld)
+    val schemaJson = new org.apache.spark.sql.types.StructType()
+      .add("id", "long").add("v", "string").json
+    val addType = "STRUCT<path:STRING,partitionValues:MAP<STRING,STRING>," +
+      "size:BIGINT,modificationTime:BIGINT,stats:STRING>"
+    val metaType = "STRUCT<id:STRING,schemaString:STRING,partitionColumns:ARRAY<STRING>>"
+    val adds = spark.range(n).selectExpr(
+      s"""CAST(named_struct(
+         |  'path', concat('part-', lpad(cast(id AS STRING), 7, '0'), '.parquet'),
+         |  'partitionValues', cast(map() AS MAP<STRING,STRING>),
+         |  'size', id + 10L,
+         |  'modificationTime', 1000L,
+         |  'stats', concat('{"numRecords":1,"minValues":{"id":',
+         |    CAST(id * 10 AS STRING),
+         |    '},"maxValues":{"id":', CAST(id * 10 + 9 AS STRING), '}}')
+         |) AS $addType) AS add""".stripMargin,
+      s"CAST(NULL AS $metaType) AS metaData")
+    val meta = spark.range(1).selectExpr(
+      s"CAST(NULL AS $addType) AS add",
+      s"CAST(named_struct('id', 'fixture', 'schemaString', '$schemaJson', " +
+        s"'partitionColumns', CAST(array() AS ARRAY<STRING>)) AS $metaType) AS metaData")
+    val staged = Files.createTempDirectory("cpstage").toString
+    adds.unionByName(meta).coalesce(1).write.mode("overwrite").parquet(staged)
+    val part = new java.io.File(staged).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.move(part.toPath, ld.resolve(f"${0L}%020d.checkpoint.parquet"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(staged))
+    Files.write(ld.resolve("_last_checkpoint"), Seq(
+      s"""{"version":0,"size":${n + 1},"numOfAddFiles":$n}""").asJava)
+    // the tail: v1 removes one checkpointed file, REPLACES another
+    // (remove + re-add with a new size — the window's add-wins case),
+    // and adds a fresh one
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def add(p: String, size: Long, lo: Long, hi: Long): String = {
+      val root = mapper.createObjectNode(); val a = root.putObject("add")
+      a.put("path", p).put("size", size).put("modificationTime", 2000L)
+        .put("dataChange", true)
+        .put("stats", s"""{"numRecords":1,"minValues":{"id":$lo},"maxValues":{"id":$hi}}""")
+      a.putObject("partitionValues")
+      mapper.writeValueAsString(root)
+    }
+    def rem(p: String): String = {
+      val root = mapper.createObjectNode()
+      root.putObject("remove").put("path", p).put("dataChange", true)
+      mapper.writeValueAsString(root)
+    }
+    Files.write(ld.resolve(f"${1L}%020d.json"), Seq(
+      rem("part-0000000.parquet"),
+      rem("part-0000001.parquet"), add("part-0000001.parquet", 777L, 5L, 6L),
+      add("tail-fresh.parquet", 42L, 9000000L, 9000010L)).asJava)
+  }
+
+  test("120k-file log: Dataset tier equals the Seq tier row-for-row; resolution never collects") {
+    val t = newTable()
+    val n = 120000
+    try {
+      writeBigLog(t, n)
+      val fired = new java.util.concurrent.atomic.AtomicInteger(0)
+      val (dsEntries, seqEntries) = withSeam(fired) {
+        val ds = withThreshold(100000L) {
+          val s = DeltaRead.snapshot(spark, t)
+          assert(s.index.isInstanceOf[DeltaRead.DatasetIndex],
+            "an advertising 120k-add checkpoint must choose the Dataset tier")
+          assert(fired.get == 0, "resolution alone must not materialize")
+          assert(s.index.count == n.toLong,
+            "live = n checkpointed − 1 removed (one replaced in place) + 1 fresh")
+          assert(fired.get == 0, "count is an aggregate, not a collect")
+          s.files // NOW materialize deliberately — the seam must fire once
+        }
+        assert(fired.get == 1, "explicit .files must trip the seam exactly once")
+        val sq = withThreshold(Long.MaxValue) {
+          val s = DeltaRead.snapshot(spark, t)
+          assert(s.index.isInstanceOf[DeltaRead.SeqIndex])
+          s.files
+        }
+        (ds, sq)
+      }
+      assert(dsEntries.size == seqEntries.size,
+        s"tiers disagree on live count: ${dsEntries.size} vs ${seqEntries.size}")
+      val dsByPath = dsEntries.sortBy(_.path)
+      val seqByPath = seqEntries.sortBy(_.path)
+      dsByPath.zip(seqByPath).foreach { case (a, b) =>
+        assert(a == b, s"entry mismatch:\n  dataset $a\n  seq     $b")
+      }
+      // the replaced file carries the TAIL's version of the entry
+      assert(dsByPath.find(_.path == "part-0000001.parquet")
+        .exists(_.size.contains(777L)), "re-add must win over the checkpoint row")
+      assert(!dsByPath.exists(_.path == "part-0000000.parquet"), "removed stays removed")
+      assert(dsByPath.exists(_.path == "tail-fresh.parquet"))
+    } finally cleanup(t)
+  }
+
+  test("120k-file log: data skipping runs executor-side and returns only survivors") {
+    val t = newTable()
+    try {
+      writeBigLog(t, 120000)
+      val fired = new java.util.concurrent.atomic.AtomicInteger(0)
+      withSeam(fired) {
+        withThreshold(100000L) {
+          // id ∈ [500, 509] lives in exactly one checkpointed file
+          // (file k covers [10k, 10k+9] → k=50)
+          val surv = DeltaRead.filesAfterSkipping(spark, t, 1L, Seq(
+            DeltaRead.StatRange("id", Some(500L), Some(509L))))
+          assert(surv.map(_.path) == Seq("part-0000050.parquet"),
+            s"skipping must isolate the one overlapping file, got ${surv.map(_.path)}")
+          assert(fired.get == 0, "skipping must never materialize the full list")
+          // an unbounded predicate set admits everything — that IS a
+          // full-scan plan, and the only case seq-materialization is due
+          val open = DeltaRead.filesAfterSkipping(spark, t, 1L, Nil)
+          assert(open.size == 120000)
+        }
+      }
+    } finally cleanup(t)
+  }
+
+  test("real table over a lowered threshold: reads, DV deletes, MERGE, DESCRIBE DETAIL agree") {
+    val t = newTable()
+    try {
+      (0 until 6).foreach(k => DeltaWrite.append(
+        Seq((k.toLong, s"r$k")).toDF("id", "s").coalesce(1), t))
+      DeltaWrite.checkpoint(spark, t) // _last_checkpoint advertises 6 adds
+      withThreshold(5L) {
+        val s = DeltaRead.snapshot(spark, t)
+        assert(s.index.isInstanceOf[DeltaRead.DatasetIndex],
+          "6 advertised adds over a threshold of 5 must tier up")
+        // full read through the Dataset tier
+        assert(DeltaRead.read(spark, t).as[(Long, String)].collect().sorted.toSeq ==
+          (0 until 6).map(k => (k.toLong, s"r$k")))
+        // a DV delete rides the tier (descriptor survives the frame)
+        DeltaWrite.deleteWhere(spark, t, col("id") === 2L)
+        assert(DeltaRead.read(spark, t).agg(sum($"id")).as[Long].head() == 13L)
+        // MERGE: touched-file lookup is filterEntries, not a full map
+        DeltaWrite.merge(spark, t,
+          Seq((3L, "updated"), (100L, "fresh")).toDF("id", "s"), Seq("id"))
+        val after = DeltaRead.read(spark, t).as[(Long, String)].collect().toMap
+        assert(after(3L) == "updated" && after(100L) == "fresh" && !after.contains(2L))
+        // DESCRIBE DETAIL aggregates executor-side — numbers must match
+        // the Seq tier's exactly
+        val fired = new java.util.concurrent.atomic.AtomicInteger(0)
+        val (nDs, bDs) = withSeam(fired) {
+          val d = spark.sql(s"DESCRIBE DETAIL '$t'").collect()(0)
+          (d.getAs[Long]("num_files"), d.getAs[Long]("size_bytes"))
+        }
+        assert(fired.get == 0, "DESCRIBE DETAIL must not materialize entries")
+        val (nSq, bSq) = withThreshold(Long.MaxValue) {
+          val d = spark.sql(s"DESCRIBE DETAIL '$t'").collect()(0)
+          (d.getAs[Long]("num_files"), d.getAs[Long]("size_bytes"))
+        }
+        assert((nDs, bDs) == (nSq, bSq),
+          s"tiers disagree on detail: ($nDs,$bDs) vs ($nSq,$bSq)")
+      }
+    } finally cleanup(t)
+  }
+
+  test("vacuum over the threshold: anti-join tier reclaims exactly what the Set tier would") {
+    val t = newTable()
+    try {
+      val df = (1 to 24).map(i => (i.toLong, s"x$i", (i % 3).toString))
+        .toDF("id", "txt", "p")
+      DeltaWrite.append(df, t, partitionBy = Seq("p"))    // v0
+      DeltaWrite.checkpoint(spark, t)                      // advertises the head
+      DeltaWrite.overwrite(df, t, partitionBy = Seq("p")) // v2 orphans v0's files
+      val orphan = Paths.get(t, "orphan-loose.parquet")
+      Files.write(orphan, Array[Byte](9, 9, 9))
+      Files.setLastModifiedTime(orphan, FileTime.fromMillis(1000L))
+      val deadFiles = DeltaRead.snapshotAt(spark, t, 0).files
+        .map(f => Paths.get(t, f.path))
+      val liveFiles = DeltaRead.snapshot(spark, t).files
+        .map(f => Paths.get(t, f.path))
+      // both tiers must ENUMERATE identically (dry run)
+      val wantSeq = withThreshold(Long.MaxValue) {
+        assert(DeltaRead.snapshot(spark, t).index.isInstanceOf[DeltaRead.SeqIndex])
+        DeltaWrite.vacuum(spark, t, retentionMs = -60000, dryRun = true)
+      }
+      val fired = new java.util.concurrent.atomic.AtomicInteger(0)
+      withThreshold(3L) {
+        assert(DeltaRead.snapshot(spark, t).index.isInstanceOf[DeltaRead.DatasetIndex])
+        val wantDs = withSeam(fired) {
+          DeltaWrite.vacuum(spark, t, retentionMs = -60000, dryRun = true)
+        }
+        assert(fired.get == 0, "Dataset-tier vacuum must not materialize entries")
+        assert(wantDs == wantSeq,
+          s"tier enumeration diverged: dataset $wantDs vs set $wantSeq")
+        assert(wantDs == deadFiles.size + 1, // + the loose orphan
+          s"expected ${deadFiles.size + 1} candidates, got $wantDs")
+        assert(deadFiles.forall(Files.exists(_)), "dry run must not delete")
+        // destructive run on the Dataset tier: byte-identical outcome
+        val got = withSeam(fired) {
+          DeltaWrite.vacuum(spark, t, retentionMs = -60000)
+        }
+        assert(got == wantSeq)
+        deadFiles.foreach(p => assert(!Files.exists(p), s"dead file survived: $p"))
+        assert(!Files.exists(orphan))
+        liveFiles.foreach(p => assert(Files.exists(p), s"live file reclaimed: $p"))
+        assert(DeltaRead.read(spark, t).count() == 24)
+      }
+    } finally cleanup(t)
+  }
+}
