@@ -25,6 +25,11 @@ import org.apache.spark.sql.types._
   */
 object Dedup {
 
+  /** Largest batch fingerprint set the ledger probe will collect for
+    * point-set file pruning; bigger batches fall back to the full
+    * ledger probe (at that size they'd touch most files anyway). */
+  private val LedgerProbeCap = 100000
+
   /** Universe prime + coefficients live in NativeHelpers (shared with
     * the codegen'd expressions); mirrored into the DuckDB oracle as
     * literals — see LlmQueries. */
@@ -186,6 +191,65 @@ object Dedup {
       .filter(col("bucket_size") > maxBucketSize)
   }
 
+  /** HAMMING near-dup candidate pairs over a 64-bit hash column (the
+    * perceptual-image tier: [[Multimodal.dhashImages]] keys). The hash
+    * splits into `bands` contiguous bit slices; rows sharing any
+    * (band, slice) value become candidates, then EXACT Hamming
+    * distance (`bit_count(a ^ b)`) verifies `<= maxHamming`. Recall is
+    * DETERMINISTIC, not probabilistic: with `maxHamming <= bands - 1`,
+    * a qualifying pair differs in fewer bits than there are bands, so
+    * by pigeonhole at least one band is untouched and the equi-join
+    * finds it — enforced by the require. Same scale discipline as the
+    * text tier: banded equi-join (never all-pairs), [[capBuckets]]
+    * hot-bucket valve, [[hammingDroppedBuckets]] accounting ledger.
+    * Returns distinct (id_a, id_b), id_a < id_b. */
+  def hammingNearDupPairs(df: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int = 3, bands: Int = 4,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= bands - 1,
+      s"hammingNearDupPairs: maxHamming $maxHamming needs > $maxHamming bands " +
+        "for the pigeonhole recall guarantee — raise bands or lower the radius")
+    val banded = hammingBanded(df, idCol, hashCol, bands)
+    val guarded = capBuckets(banded, "__bk", maxBucketSize)
+    guarded.alias("a")
+      .join(guarded.alias("b"),
+        col("a.__bk") === col("b.__bk") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        col(s"a.$hashCol").as("__ha"), col(s"b.$hashCol").as("__hb"))
+      .distinct()
+      .where(bit_count(col("__ha").bitwiseXOR(col("__hb"))) <= maxHamming)
+      .select(col("id_a"), col("id_b"))
+  }
+
+  /** Accounting twin of [[hammingNearDupPairs]]'s hot-bucket valve:
+    * the (band_key, bucket_size) rows a given cap WOULD drop, so a
+    * capped image-dedup run leaves a ledger instead of silently
+    * reporting "no duplicates". */
+  def hammingDroppedBuckets(df: DataFrame, idCol: String, hashCol: String,
+      bands: Int = 4, maxBucketSize: Int = Int.MaxValue): DataFrame =
+    hammingBanded(df, idCol, hashCol, bands)
+      .groupBy(col("__bk").as("band_key"))
+      .agg(count(lit(1)).as("bucket_size"))
+      .filter(col("bucket_size") > maxBucketSize)
+      .select(col("band_key"), col("bucket_size"))
+
+  /** (id, band-key) exploded rows: band key = band index tagged onto
+    * the band's bit slice (literal shifts — stays in codegen). */
+  private def hammingBanded(df: DataFrame, idCol: String, hashCol: String,
+      bands: Int): DataFrame = {
+    require(bands >= 1 && bands <= 64 && 64 % bands == 0,
+      s"hammingNearDupPairs: bands must divide 64, got $bands")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1L
+    val keys = (0 until bands).map { b =>
+      // tag the band index above the slice bits (b=0 when width=64,
+      // so the degenerate single-band case tags 0)
+      lit(if (width == 64) 0L else b.toLong << width).bitwiseOR(
+        shiftrightunsigned(col(hashCol), b * width).bitwiseAND(lit(mask)))
+    }
+    df.select(col(idCol), col(hashCol), explode(array(keys: _*)).as("__bk"))
+  }
+
   /** Exact shingle-set Jaccard for verification of candidate pairs:
     * |A∩B| / (|A|+|B|-|A∩B|), inputs assumed distinct arrays. */
   def jaccard(a: Column, b: Column): Column = {
@@ -318,26 +382,56 @@ object Dedup {
       col(textCol)).orderBy(col(idCol))
     val winners = withFp.withColumn("__graft_rn", row_number().over(selfW))
       .where(col("__graft_rn") === 1).drop("__graft_rn")
-    val ledgerExists =
-      try graft.io.DeltaRead.latestVersion(ledgerTable) >= 0
-      catch { case _: Exception => false }
-    val fresh0 =
-      if (!ledgerExists) winners
-      else {
-        val ledger = graft.io.DeltaRead.read(spark, ledgerTable)
+    val ledgerHead =
+      try Some(graft.io.DeltaRead.latestVersion(ledgerTable)).filter(_ >= 0)
+      catch { case _: Exception => None }
+    val fresh0 = ledgerHead match {
+      case None => winners
+      case Some(head) =>
+        // PRUNED PROBE: ledger appends land SORTED by fingerprint
+        // (below), so each ledger file covers a disjoint hash-space
+        // slice — a batch of B keys can only hit min(B, files) of
+        // them. Point-set skipping reads exactly those, so per-batch
+        // probe cost is O(batch), not O(corpus history) (the r14
+        // shape anti-joined the FULL ledger every ingest). Batches
+        // past the collect cap fall back to the full probe — at that
+        // size they would touch most files anyway.
+        val fpsSorted: Option[Array[Long]] = {
+          val capped = winners.select(col("fingerprint")).distinct()
+            .limit(LedgerProbeCap + 1).collect()
+          if (capped.length > LedgerProbeCap) None
+          else Some(capped.map(_.getLong(0)).sorted)
+        }
+        val ledger = fpsSorted match {
+          case Some(points) => graft.io.DeltaRead.readVersionWherePoints(
+            spark, ledgerTable, head, "fingerprint", points)
+          case None => graft.io.DeltaRead.read(spark, ledgerTable)
+        }
         // a ledger written before the pair key existed anti-joins on the
         // single fingerprint it has (old behavior, documented odds)
         val keys = if (ledger.columns.contains("fingerprint2"))
           Seq("fingerprint", "fingerprint2") else Seq("fingerprint")
         winners.join(ledger.select(keys.map(col): _*), keys, "left_anti")
-      }
+    }
     val fresh = fresh0.persist()
     try {
       val total = withFp.count()
       val nNew = fresh.count()
       if (nNew > 0) {
         val corpus = fresh.drop("fingerprint", "fingerprint2")
+        // SORTED ledger layout: the range shuffle gives every written
+        // file a disjoint fingerprint [min,max], which is what the
+        // pruned probe above skips on. The partition count is pinned
+        // explicitly (AQE coalesces un-pinned sorts to one partition at
+        // small sizes, which would leave one wide-range file per batch
+        // and nothing to prune).
+        val rowsPerFile = spark.conf.getOption("spark.graft.dedup.ledgerRowsPerFile")
+          .flatMap(_.toLongOption).filter(_ >= 1).getOrElse(500000L)
+        val nParts = math.max(1L, (nNew + rowsPerFile - 1) / rowsPerFile)
+          .min(10000L).toInt
         val fps = fresh.select(col("fingerprint"), col("fingerprint2"), col(idCol))
+          .repartitionByRange(nParts, col("fingerprint"))
+          .sortWithinPartitions(col("fingerprint"))
         batchId match {
           case Some((app, ver)) =>
             graft.io.DeltaWrite.appendOnce(corpus, corpusTable, app, ver)

@@ -124,17 +124,43 @@ object IncrementalView {
 
   /** Fold everything `base` committed since the last build/refresh
     * into `view` as ONE exactly-once merge commit. Returns the base
-    * head version now reflected, or None when already current. */
+    * head version now reflected, or None when already current.
+    *
+    * `microBatch` is [[maintainStream]]'s fold path: the rows a CDF
+    * micro-batch ALREADY read (feed schema — data columns + the two
+    * change metadata columns) fold directly, so each commit's files
+    * are read once per trigger instead of twice (the r14 shape
+    * re-read the same range from the log and used the batch as a
+    * doorbell). The view's SetTransaction mark stays the source of
+    * truth: batch rows at or below the mark are dropped (checkpoint
+    * -loss replays fold to no-ops), and a batch whose window STARTS
+    * past mark+1 — a stream attached after the mark fell behind —
+    * falls back to the authoritative log read rather than skip
+    * versions. */
   def refresh(spark: SparkSession, base: String, view: String,
-      spec: ViewSpec): Option[Long] = {
+      spec: ViewSpec, microBatch: Option[DataFrame] = None): Option[Long] = {
     val app = appId(base)
-    val head = DeltaRead.latestVersion(base)
     val from = DeltaWrite.lastTxnVersion(spark, view, app).getOrElse(
       throw new IllegalStateException(
         s"refresh: $view carries no resume mark for $base — build() first"))
-    if (head <= from) return None
+    val vc = col(DeltaRead.CommitVersionCol)
+    val (head, changes) = microBatch match {
+      case Some(b) =>
+        val bounds = b.agg(min(vc), max(vc)).collect()(0)
+        if (bounds.isNullAt(1)) return None // empty trigger — nothing to fold
+        val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+        if (hi <= from) return None // pure replay — the mark absorbed it
+        if (lo > from + 1)
+          // the batch window starts past the mark: folding it alone
+          // would skip (from, lo) — read the authoritative log instead
+          (hi, DeltaRead.changesBetween(spark, base, from, hi))
+        else (hi, b.where(vc > from))
+      case None =>
+        val h = DeltaRead.latestVersion(base)
+        if (h <= from) return None
+        (h, DeltaRead.changesBetween(spark, base, from, h))
+    }
     val ct = col(DeltaRead.ChangeTypeCol)
-    val changes = DeltaRead.changesBetween(spark, base, from, head)
     requireKeysNotNull(changes, spec, "refresh")
     // per-key deltas over the whole range at once: count and sum
     // deltas commute across versions, and min/max dirtiness only needs
@@ -243,16 +269,17 @@ object IncrementalView {
   }
 
   /** CONTINUOUS view maintenance: tail `base`'s change feed as a
-    * Structured Streaming query and fold every arrival into `view`
-    * with [[refresh]]. The micro-batch content is only the WAKE-UP
-    * SIGNAL — the fold itself reads the exact log range past the
-    * view's own SetTransaction mark, so the maintenance loop is
-    * exactly-once END TO END independent of the stream checkpoint: a
-    * restarted stream, a lost checkpoint, or an overlapping manual
-    * refresh() all replay to no-ops instead of double-counting (the
-    * mark, not the offset log, is the source of truth). One merge
-    * commit per trigger at most; `availableNow = true` drains the
-    * backlog and stops (the batch-job-shaped catch-up). */
+    * Structured Streaming query and fold every micro-batch into `view`
+    * with [[refresh]]. The batch's ROWS are the fold input — each
+    * commit's files are read once per trigger, not re-read from the
+    * log — while the view's own SetTransaction mark (not the stream
+    * checkpoint) stays the exactly-once source of truth: a restarted
+    * stream, a lost checkpoint, or an overlapping manual refresh()
+    * all replay to no-ops instead of double-counting, and a batch
+    * window that starts past the mark falls back to the authoritative
+    * log read inside [[refresh]]. One merge commit per trigger at
+    * most; `availableNow = true` drains the backlog and stops (the
+    * batch-job-shaped catch-up). */
   def maintainStream(spark: SparkSession, base: String, view: String,
       spec: ViewSpec, checkpoint: String, availableNow: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery = {
@@ -260,8 +287,8 @@ object IncrementalView {
     val feed = spark.readStream.format("graft-delta-cdf").load(base)
     val w = feed.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (_: DataFrame, _: Long) =>
-        refresh(spark, base, view, spec); ()
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        refresh(spark, base, view, spec, microBatch = Some(batch)); ()
       }
     (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
   }

@@ -560,4 +560,61 @@ class DedupSimilaritySpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
   }
 
+  test("ingestDeduped probes O(batch) ledger files, not the whole sorted ledger") {
+    import spark.implicits._
+    val base = graft.io.Staging.tempDir("ingest_prune")
+    val corpus = s"$base/corpus"; val ledger = s"$base/ledger"
+    try {
+      // seed a corpus whose sorted ledger spans many files (the range
+      // shuffle writes one file per range; rows-per-file lowered so the
+      // fixture doesn't need half a million rows)
+      spark.conf.set("spark.graft.dedup.ledgerRowsPerFile", "500")
+      val b1 = (0 until 4000).map(i => (i.toLong, s"seed text $i"))
+        .toDF("doc_id", "text")
+      val (n1, _) =
+        try graft.operators.Dedup.ingestDeduped(b1, "doc_id", "text",
+          corpus, ledger, batchId = Some(("prune", 1L)))
+        finally spark.conf.unset("spark.graft.dedup.ledgerRowsPerFile")
+      assert(n1 == 4000)
+      val ledgerFiles = graft.io.DeltaRead.snapshot(spark, ledger).files
+      assert(ledgerFiles.size >= 8,
+        s"fixture needs a multi-file ledger, got ${ledgerFiles.size}")
+      // every ledger file must carry disjoint fingerprint bounds — the
+      // property the probe prunes on
+      val bounds = ledgerFiles.flatMap(f =>
+        graft.io.DeltaRead.statsLongBounds(f, "fingerprint"))
+      assert(bounds.size == ledgerFiles.size, "sorted ledger files need fp stats")
+      val sortedB = bounds.sortBy(_._1)
+      sortedB.sliding(2).foreach {
+        case Seq((_, hi), (lo2, _)) => assert(hi < lo2,
+          s"ledger files must cover disjoint ranges: $sortedB")
+        case _ => ()
+      }
+      // a tiny second batch (2 new + 1 known) must probe only the files
+      // its fingerprints can hit
+      val probed = new java.util.concurrent.atomic.AtomicReference[(Int, Int)]()
+      graft.io.DeltaRead.onPointSkipping =
+        Some((t, kept, total) => if (t == ledger) probed.set((kept, total)))
+      val (n2, d2) =
+        try graft.operators.Dedup.ingestDeduped(
+          Seq((9001L, "fresh one"), (9002L, "fresh two"), (9003L, "seed text 7"))
+            .toDF("doc_id", "text"),
+          "doc_id", "text", corpus, ledger, batchId = Some(("prune", 2L)))
+        finally graft.io.DeltaRead.onPointSkipping = None
+      assert(n2 == 2 && d2 == 1, s"got ($n2, $d2)")
+      val (kept, total) = probed.get()
+      assert(total == ledgerFiles.size)
+      assert(kept <= 3 && kept < total,
+        s"3 probe points must prune the ledger scan: read $kept of $total files")
+      // replay stays a no-op end to end
+      val (r2, _) = graft.operators.Dedup.ingestDeduped(
+        Seq((9001L, "fresh one"), (9002L, "fresh two"), (9003L, "seed text 7"))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", corpus, ledger, batchId = Some(("prune", 2L)))
+      assert(r2 == 0)
+      assert(graft.io.DeltaRead.read(spark, corpus).count() == 4002)
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+  }
+
 }

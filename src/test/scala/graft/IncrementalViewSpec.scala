@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -176,6 +178,62 @@ class IncrementalViewSpec extends SparkTestBase {
       try { run(ckpt2); assertViewMatches(base, view) }
       finally cleanup(ckpt2)
     } finally cleanup(base, view, ckpt)
+  }
+
+  test("maintainStream folds the batch ROWS: one log change-read per range, never two") {
+    val base = newDir("ivbase"); val view = newDir("ivview"); cleanup(view)
+    val ckpt = newDir("ivckpt"); cleanup(ckpt)
+    val reads = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    try {
+      DeltaWrite.append(Seq(("a", 1L), ("b", 2L)).toDF("k", "v"), base)
+      IncrementalView.build(spark, base, view, vspec)
+      DeltaWrite.append(Seq(("a", 5L), ("c", 7L)).toDF("k", "v"), base)
+      DeltaWrite.deleteWhere(spark, base, $"k" === "b")
+      DeltaRead.onLogChangesRead = Some { (t, since, until) =>
+        // the schema probe is an empty (head, head] range — not a read
+        if (t == base && since < until) reads.add((since, until)); ()
+      }
+      val q = IncrementalView.maintainStream(spark, base, view, vspec,
+        ckpt, availableNow = true)
+      q.awaitTermination(60000); q.stop()
+      assertViewMatches(base, view)
+      val got = reads.asScala.toList
+      // the r14 shape read every range TWICE (the CDF source builds the
+      // batch, then refresh() re-read the same range as the fold input);
+      // the fold now consumes the batch rows, so each range reads once
+      assert(got.nonEmpty, "the source itself must have read the feed")
+      assert(got.distinct.size == got.size,
+        s"a repeated range means the fold re-read what the batch carried: $got")
+    } finally {
+      DeltaRead.onLogChangesRead = None
+      cleanup(base, view, ckpt)
+    }
+  }
+
+  test("a stream checkpoint AHEAD of the view's mark falls back to the log, skipping nothing") {
+    val base = newDir("ivbase")
+    val viewA = newDir("ivviewa"); val viewB = newDir("ivviewb")
+    cleanup(viewA, viewB)
+    val ckpt = newDir("ivckpt"); cleanup(ckpt)
+    try {
+      DeltaWrite.append(Seq(("a", 1L)).toDF("k", "v"), base)
+      // B's mark freezes here; A keeps consuming through the checkpoint
+      IncrementalView.build(spark, base, viewB, vspec)
+      IncrementalView.build(spark, base, viewA, vspec)
+      DeltaWrite.append(Seq(("b", 2L)).toDF("k", "v"), base)
+      def run(view: String): Unit = {
+        val q = IncrementalView.maintainStream(spark, base, view, vspec,
+          ckpt, availableNow = true)
+        q.awaitTermination(60000); q.stop()
+      }
+      run(viewA) // checkpoint now consumed the ("b",2) commit
+      DeltaWrite.append(Seq(("c", 3L)).toDF("k", "v"), base)
+      // the checkpoint resumes past ("b",2), but B never folded it: the
+      // batch window starts past B's mark + 1 → refresh must read the
+      // log for the full (mark, head] range, not fold the partial batch
+      run(viewB)
+      assertViewMatches(base, viewB)
+    } finally cleanup(base, viewA, viewB, ckpt)
   }
 
   test("null group keys refuse loudly; out-of-band view edits refuse on fold") {
