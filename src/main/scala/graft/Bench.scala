@@ -74,6 +74,25 @@ object Bench {
     }
   }
 
+  /** PER-QUERY window attribution: each query (keyed by its position
+    * in the run order) gets the sentinel sample taken NEAREST to it.
+    * The r14 driver window spiked mid-run between the start/mid/end
+    * samples and the old 3-point sentinel could not see it — with a
+    * sample every ~10 queries, the sample bracketing the spike labels
+    * exactly the queries it could have contaminated. */
+  def attachWindows(names: Seq[String],
+      samplesAt: Seq[(Int, Double)]): Seq[(String, Double)] =
+    names.zipWithIndex.map { case (n, i) =>
+      n -> samplesAt.minBy { case (p, _) => math.abs(p - i) }._2
+    }
+
+  /** Queries whose window sentinel ran >1.5× the run's sentinel FLOOR —
+    * per-query contention labels, so one loaded window taints its own
+    * queries instead of the whole run (or nothing). */
+  def contendedQueries(windows: Seq[(String, Double)], floor: Double): Seq[String] =
+    if (floor <= 0) Nil
+    else windows.collect { case (n, v) if v > 1.5 * floor => n }
+
   /** Per-query times and the sentinel-min record from prior
     * `BENCH*_r*.json` files in the working directory.
     *
@@ -140,10 +159,14 @@ object Bench {
     // 0.17 s for runs 1-5 on an idle machine) — sampling before the
     // ramp flattens would read as phantom contention
     (1 to 4).foreach(_ => sentinelOnce(spark))
-    val sentinels = scala.collection.mutable.ArrayBuffer(sentinelSample(spark))
-    val midpoint = headline.size / 2
+    // boundary samples are full (min-of-3); the interleaved every-10
+    // samples are light (min-of-2) — post-warmup the JIT ramp is flat,
+    // and the per-query contention gate below tolerates single-sample
+    // noise by keying off the run FLOOR
+    val samplesAt = scala.collection.mutable.ArrayBuffer((0, sentinelSample(spark)))
     val results = headline.zipWithIndex.map { case (q, qi) =>
-      if (qi == midpoint) sentinels += sentinelSample(spark)
+      if (qi > 0 && qi % 10 == 0)
+        samplesAt += ((qi, math.min(sentinelOnce(spark), sentinelOnce(spark))))
       def rep(): Option[Double] =
         try Some(timeNoop(q.run(spark, sfDir)))
         catch { case e: Throwable =>
@@ -165,7 +188,9 @@ object Bench {
       }
       q.name -> fin
     }
-    sentinels += sentinelSample(spark)
+    samplesAt += ((headline.size, sentinelSample(spark)))
+    val sentinels = samplesAt.map(_._2)
+    val windows = attachWindows(results.map(_._1), samplesAt.toSeq)
     val (spread, forwardLoaded) = contentionOf(sentinels.toSeq)
     // whole-run uniform load never shows intra-run: compare this run's
     // best sentinel against the prior round's record — the workload is
@@ -216,8 +241,15 @@ object Bench {
     }
     val pipelineTotal = if (pipelineSecs.nonEmpty) pipelineSecs.min else -1.0
     val sent = sentinels.map(s => f"$s%.4f").mkString("[", ",", "]")
+    val sentAt = samplesAt.map { case (p, v) => "\"" + p + "\":" + f"$v%.4f" }
+      .mkString("{", ",", "}")
+    val contended = contendedQueries(windows, sentinelMin)
+    if (contended.nonEmpty) System.err.println(
+      s"[bench] per-window contention: ${contended.mkString(", ")} ran inside " +
+        "a loaded sentinel window — treat their times as suspect")
+    val contendedJson = contended.map("\"" + _ + "\"").mkString("[", ",", "]")
     val vsPriorJson = vsPrior.map(r => f"$r%.3f").getOrElse("null")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"reruns":$rrs,"pipeline_total":$pipelineTotal,"sentinel":$sent,"sentinel_min":${f"$sentinelMin%.4f"},"sentinel_vs_prior":$vsPriorJson,"contention":${f"$spread%.3f"},"contention_flag":$loaded,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"reruns":$rrs,"pipeline_total":$pipelineTotal,"sentinel":$sent,"sentinel_at":$sentAt,"contended_queries":$contendedJson,"sentinel_min":${f"$sentinelMin%.4f"},"sentinel_vs_prior":$vsPriorJson,"contention":${f"$spread%.3f"},"contention_flag":$loaded,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

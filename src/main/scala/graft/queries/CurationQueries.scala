@@ -1255,6 +1255,67 @@ object CurationQueries {
            |  CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM kept
            |ORDER BY stage""".stripMargin))
 
+  /** q244 — BPE ENCODE ([[graft.operators.Bpe]]): apply a learned
+    * merge list for real — the other half of q152's training
+    * statistics. The 2000 most frequent alphabetic words encode under
+    * the pinned 18-merge table (classic Sennrich batch apply: lowest
+    * applicable rank, all non-overlapping occurrences fused left to
+    * right, repeat), then corpus-weighted token frequencies come from
+    * joining the encoded WORD TABLE back — encode cost scales with
+    * vocabulary, never corpus. The DuckDB oracle replays the exact
+    * merge sequence with a recursive CTE over a bracketed token string
+    * (`(t)(h)(e)` → `(th)(e)` → `(the)`; `replace()`'s left-to-right
+    * non-overlap IS the batch fusion rule), so the procedural Scala
+    * apply is pinned end to end — token accounting (chunking, packing,
+    * mixing) can now run on real BPE counts instead of
+    * whitespace/regex proxies. */
+  val q244BpeEncode = GQuery(
+    "q244_bpe_encode",
+    (s, d) => {
+      import s.implicits._
+      val words = Tables.documents(s, d)
+        .select(explode(transform(TextAnalysis.tokens($"text"), lower(_))).as("w"))
+        .where($"w".rlike("^[a-z]+$"))
+        .groupBy($"w").agg(count(lit(1)).as("wc"))
+        .orderBy($"wc".desc, $"w".asc).limit(2000)
+      graft.operators.Bpe.encodeWords(words, "w", graft.operators.Bpe.EnglishMerges)
+        .select($"wc", explode($"bpe").as("tok"))
+        .groupBy($"tok").agg(sum($"wc").cast("long").as("n"))
+        .orderBy($"n".desc, $"tok".asc).limit(25)
+    },
+    Some(s"""WITH RECURSIVE
+            |merges(rank, l, r) AS (VALUES (1,'t','h'),(2,'th','e'),(3,'i','n'),
+            |  (4,'a','n'),(5,'an','d'),(6,'e','r'),(7,'o','n'),(8,'r','e'),
+            |  (9,'in','g'),(10,'o','r'),(11,'e','n'),(12,'a','t'),(13,'e','s'),
+            |  (14,'o','u'),(15,'t','o'),(16,'s','t'),(17,'a','r'),(18,'o','f')),
+            |words AS (
+            |  SELECT w, wc FROM (
+            |    SELECT w, count(*) AS wc FROM (
+            |      SELECT unnest(list_transform($toksSql, x -> lower(x))) AS w
+            |      FROM documents)
+            |    WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY w)
+            |  ORDER BY wc DESC, w LIMIT 2000),
+            |enc AS (
+            |  SELECT w, '(' || array_to_string(list_transform(range(length(w)),
+            |    i -> w[CAST(i AS INT)+1]), ')(') || ')' AS s
+            |  FROM words
+            |  UNION ALL
+            |  SELECT e.w,
+            |    replace(e.s, '(' || m.l || ')(' || m.r || ')',
+            |      '(' || m.l || m.r || ')')
+            |  FROM enc e JOIN merges m ON m.rank = (
+            |    SELECT min(m2.rank) FROM merges m2
+            |    WHERE contains(e.s, '(' || m2.l || ')(' || m2.r || ')'))),
+            |final_enc AS (
+            |  SELECT w, s FROM enc e WHERE NOT EXISTS (
+            |    SELECT 1 FROM merges m
+            |    WHERE contains(e.s, '(' || m.l || ')(' || m.r || ')'))),
+            |toks AS (SELECT w, unnest(string_split(trim(s, '()'), ')(')) AS tok
+            |         FROM final_enc)
+            |SELECT tok, CAST(sum(wc) AS BIGINT) AS n
+            |FROM toks JOIN words USING (w)
+            |GROUP BY tok ORDER BY n DESC, tok LIMIT 25""".stripMargin))
+
   val all: Seq[GQuery] = Seq(
     q233GopherRepetition, q235CurationFunnel,
     q117ChunkDedup, q118PiiRedaction, q119Contamination, q120DomainStats,
@@ -1262,5 +1323,5 @@ object CurationQueries {
     q150DupNgrams, q151AdaptiveQuality, q152BpePairs, q169DataMixing,
     q172CorpusRelease, q173VocabOverlap, q182PplBuckets, q185ClassifierGate,
     q187Calibration, q188PaddingWaste, q190ClassifierKappa, q191DsirSelection,
-    q192TokenFertility, q204DsirThreshold)
+    q192TokenFertility, q204DsirThreshold, q244BpeEncode)
 }

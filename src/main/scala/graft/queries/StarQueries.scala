@@ -715,11 +715,106 @@ object StarQueries {
             |GROUP BY tag_nombre""".stripMargin),
     benchmark = true)
 
+  /** q243 — PERCEPTUAL image near-dup (dHash + Hamming-LSH banding;
+    * [[Multimodal.dhashImages]] + [[graft.operators.Dedup
+    * .hammingNearDupPairs]]): per document, TWO real images of the
+    * same 8×9-cell luma pattern — an 18×16 grayscale PNG (2×2 blocks)
+    * and its RESIZED, RE-ENCODED 9×8 GIF copy (different bytes,
+    * different format, different dimensions). Byte-level dedup can
+    * only pair bit-identical payloads; the dHash tier pairs the
+    * copies because the pooled luma grid — hence the 64-bit gradient
+    * hash — is identical by construction. Every 4th document's
+    * payloads are truncated (corrupt → NULL accounting), and the
+    * capped run (maxBucketSize 8) shows the hot-bucket valve's
+    * dropped-work ledger. The oracle recomputes EVERYTHING from the
+    * construction arithmetic — dHash bits, band slices, bucket caps —
+    * without decoding a byte, so the decode→pool→hash→band pipeline
+    * is pinned end to end. */
+  val q243ImageNearDup = GQuery(
+    "q243_image_neardup",
+    (s, d) => {
+      import s.implicits._
+      import graft.operators.{Dedup, GifCodec, PngCodec}
+      val docs = Tables.documents(s, d).select($"doc_id").as[Long]
+        .filter(id => id % 7 == 0 && id < 20000)
+      val grayPalette = Array.tabulate(256 * 3)(i => (i / 3).toByte)
+      val media = docs.flatMap { id =>
+        def pat(r: Int, c: Int): Int = ((id * 37 + r * 11 + c * 7) % 256).toInt
+        val gA = Array.tabulate(18 * 16) { i =>
+          val y = i / 18; val x = i % 18; pat(y / 2, x / 2).toByte
+        }
+        val png = PngCodec.encode(18, 16, 1, gA)
+        val gB = Array.tabulate(9 * 8)(i => pat(i / 9, i % 9).toByte)
+        val gif = GifCodec.encode(9, 8, grayPalette, gB)
+        val corrupt = (id / 7) % 4 == 0
+        Seq((id, if (corrupt) png.take(10) else png),
+          (id + 1000000L, if (corrupt) gif.take(10) else gif))
+      }.toDF("img_id", "payload")
+      val hashed = Multimodal.dhashImages(media, "payload")
+      val ok = hashed.where($"dhash".isNotNull).persist()
+      val nImgs = media.count()
+      val nDecoded = ok.count()
+      val nPairs = Dedup.hammingNearDupPairs(ok, "img_id", "dhash",
+        maxHamming = 0, bands = 4).count()
+      val nBytePairs = ok.groupBy(md5($"payload")).agg(count(lit(1)).as("k"))
+        .agg(coalesce(sum($"k" * ($"k" - 1) / 2), lit(0L)).cast("long"))
+        .as[Long].head()
+      val nPairsCapped = Dedup.hammingNearDupPairs(ok, "img_id", "dhash",
+        maxHamming = 0, bands = 4, maxBucketSize = 8).count()
+      val nDroppedBuckets = Dedup.hammingDroppedBuckets(ok, "img_id", "dhash",
+        bands = 4, maxBucketSize = 8).count()
+      ok.unpersist()
+      Seq((nImgs, nDecoded, nPairs, nBytePairs, nPairsCapped, nDroppedBuckets))
+        .toDF("n_imgs", "n_decoded", "n_dhash_pairs", "n_byte_pairs",
+          "n_pairs_capped", "n_dropped_buckets")
+    },
+    Some("""WITH ids AS (
+           |  SELECT doc_id AS id FROM documents
+           |  WHERE doc_id % 7 = 0 AND doc_id < 20000),
+           |imgs AS (
+           |  SELECT id, v.v, id + v.v * 1000000 AS img_id,
+           |         ((id // 7) % 4 = 0) AS corrupt
+           |  FROM ids, (VALUES (0), (1)) AS v(v)),
+           |rows_ok AS (SELECT * FROM imgs WHERE NOT corrupt),
+           |bitsrc AS (
+           |  SELECT i.id, r.r, c.c,
+           |    CASE WHEN ((i.id*37 + r.r*11 + c.c*7) % 256) >
+           |              ((i.id*37 + r.r*11 + (c.c+1)*7) % 256)
+           |         THEN '1' ELSE '0' END AS b
+           |  FROM ids i, range(8) AS r(r), range(8) AS c(c)),
+           |dh AS (SELECT id, string_agg(b, '' ORDER BY r, c) AS dh
+           |       FROM bitsrc GROUP BY id),
+           |hrows AS (SELECT o.img_id, o.v, o.id % 256 AS m, dh.dh
+           |          FROM rows_ok o JOIN dh ON o.id = dh.id),
+           |grp AS (SELECT dh, count(*) AS k FROM hrows GROUP BY dh),
+           |byteg AS (SELECT v, m, count(*) AS k FROM hrows GROUP BY v, m),
+           |bandrows AS (
+           |  SELECT img_id, dh, b.b AS band, substr(dh, b.b*16 + 1, 16) AS slice
+           |  FROM hrows, range(4) AS b(b)),
+           |bucket AS (SELECT band, slice, count(*) AS bsz
+           |           FROM bandrows GROUP BY band, slice),
+           |surv AS (SELECT br.img_id, br.dh, br.band, br.slice FROM bandrows br
+           |         JOIN bucket USING (band, slice) WHERE bsz <= 8),
+           |capped AS (
+           |  SELECT DISTINCT a.img_id AS ia, b.img_id AS ib
+           |  FROM surv a JOIN surv b
+           |    ON a.band = b.band AND a.slice = b.slice AND a.img_id < b.img_id
+           |  WHERE a.dh = b.dh)
+           |SELECT
+           |  (SELECT count(*) FROM imgs) AS n_imgs,
+           |  (SELECT count(*) FROM rows_ok) AS n_decoded,
+           |  CAST((SELECT coalesce(sum(k*(k-1)//2), 0) FROM grp) AS BIGINT)
+           |    AS n_dhash_pairs,
+           |  CAST((SELECT coalesce(sum(k*(k-1)//2), 0) FROM byteg) AS BIGINT)
+           |    AS n_byte_pairs,
+           |  (SELECT count(*) FROM capped) AS n_pairs_capped,
+           |  (SELECT count(*) FROM bucket WHERE bsz > 8) AS n_dropped_buckets""".stripMargin))
+
   val all: Seq[GQuery] = Seq(
     q32DimCustomer, q33FactOrders, q34StarAgg, q39ValidationReport,
     q48FlagshipPipeline, q50MultimodalMeta, q51WindowTumbling,
     q52NestedJson, q53NestedExplode, q54SeedCatalog,
     q65TagBridge, q66BridgeOrderPart, q67FactMetricas, q68TagRevenue,
     q76MultimodalPlans, q176ImageHeaders, q205PngPixels, q211GifPixels,
-    q212WavAudio, q213JpegPixels, q214VideoMeta)
+    q212WavAudio, q213JpegPixels, q214VideoMeta, q243ImageNearDup)
 }

@@ -51,4 +51,27 @@ class BenchSentinelSpec extends SparkTestBase {
     assert(flagged, f"4x-oversubscribed run must flag: idle $idle%.3fs, " +
       f"loaded $loadedSample%.3fs, spread $spread%.2fx")
   }
+
+  test("per-window attribution labels exactly the queries inside a loaded window") {
+    // 25 queries (run indices 0..24), samples at 0/10/20/25; the
+    // 10-sample spiked 2x — r14's exact failure mode (mid-run
+    // interference invisible to the start/mid/end triple).
+    // Nearest-sample attribution (ties → earlier sample): indices
+    // 6..15 → the spike, 16..22 → sample@20, the rest idle.
+    val names = (1 to 25).map(i => f"q$i%02d")
+    val samples = Seq((0, 0.10), (10, 0.24), (20, 0.11), (25, 0.10))
+    val windows = Bench.attachWindows(names, samples)
+    val wm = windows.toMap
+    assert(wm("q01") == 0.10 && wm("q08") == 0.24 &&
+      wm("q13") == 0.24 && wm("q19") == 0.11 && wm("q25") == 0.10)
+    val contended = Bench.contendedQueries(windows, floor = 0.10)
+    assert(contended == (7 to 16).map(i => f"q$i%02d"),
+      s"exactly the spike window's queries must flag, got $contended")
+    // an idle run labels nothing
+    assert(Bench.contendedQueries(
+      Bench.attachWindows(names, Seq((0, 0.10), (10, 0.11), (20, 0.10), (25, 0.10))),
+      floor = 0.10).isEmpty)
+    // a zero floor (all sentinel reps failed) never divides
+    assert(Bench.contendedQueries(windows, floor = 0.0).isEmpty)
+  }
 }

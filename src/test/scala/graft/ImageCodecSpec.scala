@@ -302,4 +302,59 @@ class ImageCodecSpec extends SparkTestBase {
     val sumR = idxs.map(ix => pal((ix & 0xff) * 3) & 0xff).map(_.toLong).sum
     assert(got == Set((1L, 4, 3, sumR), (2L, null, null, null)))
   }
+
+  test("dHash: pooled-luma gradient hash is exact on block fixtures, invariant to resize/re-encode") {
+    import graft.operators.{Dedup, GifCodec, PngCodec}
+    def pat(seed: Long)(r: Int, c: Int): Int = ((seed * 37 + r * 11 + c * 7) % 256).toInt
+    // expected bits straight from the construction arithmetic
+    def expectedHash(seed: Long): Long = {
+      var bits = 0L
+      for (r <- 0 until 8; c <- 0 until 8)
+        if (pat(seed)(r, c) > pat(seed)(r, c + 1)) bits |= 1L << (r * 8 + c)
+      bits
+    }
+    val grayPalette = Array.tabulate(256 * 3)(i => (i / 3).toByte)
+    def png2x(seed: Long): Array[Byte] = PngCodec.encode(18, 16, 1,
+      Array.tabulate(18 * 16)(i => pat(seed)(i / 18 / 2, i % 18 / 2).toByte))
+    def gif1x(seed: Long): Array[Byte] = GifCodec.encode(9, 8, grayPalette,
+      Array.tabulate(9 * 8)(i => pat(seed)(i / 9, i % 9).toByte))
+    val media = Seq(
+      (1L, png2x(5L)), (2L, gif1x(5L)),      // resized re-encoded copies
+      (3L, png2x(12L)), (4L, gif1x(12L)),    // a second pattern
+      (5L, png2x(5L).take(10))               // corrupt -> NULL
+    ).toDF("img_id", "payload")
+    val hashed = Multimodal.dhashImages(media, "payload")
+      .select($"img_id", $"dhash").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(hashed(1L).contains(expectedHash(5L)), "decode+pool must equal the arithmetic")
+    assert(hashed(2L) == hashed(1L), "GIF 9x8 re-encode must hash like the PNG 18x16")
+    assert(hashed(3L).contains(expectedHash(12L)) && hashed(4L) == hashed(3L))
+    assert(hashed(1L) != hashed(3L), "distinct patterns must not collide here")
+    assert(hashed(5L).isEmpty, "corrupt payload -> NULL, never a task failure")
+    // RGB luma path: a 3-channel gray PNG hashes identically to 1-channel
+    val rgb = PngCodec.encode(18, 16, 3, Array.tabulate(18 * 16 * 3)(i =>
+      pat(5L)((i / 3) / 18 / 2, (i / 3) % 18 / 2).toByte))
+    val rgbHash = Multimodal.dhashImages(Seq((9L, rgb)).toDF("img_id", "payload"),
+      "payload").select($"dhash").as[Long].head()
+    assert(rgbHash == expectedHash(5L), "299/587/114 luma of gray RGB is the gray value")
+    // Hamming pairing: copies pair, distinct patterns only if hashes tie
+    val ok = Multimodal.dhashImages(media, "payload").where($"dhash".isNotNull)
+    val pairs = Dedup.hammingNearDupPairs(ok, "img_id", "dhash", maxHamming = 0)
+      .as[(Long, Long)].collect().toSet
+    val expectCross = expectedHash(5L) == expectedHash(12L)
+    assert(pairs.contains((1L, 2L)) && pairs.contains((3L, 4L)))
+    assert(expectCross || pairs == Set((1L, 2L), (3L, 4L)), s"unexpected pairs: $pairs")
+    // one-bit neighbors pair under maxHamming 1 (pigeonhole recall), not 0
+    val nbr = Seq((1L, expectedHash(5L)), (2L, expectedHash(5L) ^ 1L))
+      .toDF("img_id", "dhash")
+    assert(Dedup.hammingNearDupPairs(nbr, "img_id", "dhash", maxHamming = 0).count() == 0)
+    assert(Dedup.hammingNearDupPairs(nbr, "img_id", "dhash", maxHamming = 1)
+      .count() == 1)
+    // the valve: a hot hash bucket drops, and the ledger records it
+    val flood = (1L to 20L).map(i => (i, 0x1234L)).toDF("img_id", "dhash")
+    assert(Dedup.hammingNearDupPairs(flood, "img_id", "dhash", 0, 4,
+      maxBucketSize = 8).count() == 0)
+    assert(Dedup.hammingDroppedBuckets(flood, "img_id", "dhash", 4,
+      maxBucketSize = 8).count() == 4, "all 4 band buckets of the flood hash drop")
+  }
 }
