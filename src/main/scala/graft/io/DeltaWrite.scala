@@ -5386,15 +5386,45 @@ object DeltaWrite {
     * and row-tracking ids included), SetTransaction high-water marks,
     * and domain metadata (removed tombstones retained, as the protocol
     * requires). Shared by the classic and v2 checkpoint writers. */
-  private def checkpointStateRows(table: String,
-      s: DeltaRead.DeltaSnapshot): Seq[Row] = {
-    // the snapshot's partitionValues keys were translated to LOGICAL
-    // names by the reader; a mapped table's checkpoint must persist
-    // PHYSICAL keys, so translate back at emission
-    val physBy: Map[String, String] =
-      if (DeltaRead.ColumnMapping.active(s.columnMappingMode))
-        s.schema.map(DeltaRead.ColumnMapping.physByLogical).getOrElse(Map.empty)
-      else Map.empty
+  /** logical→physical partition/stat key map for checkpoint emission. */
+  private def checkpointPhysBy(s: DeltaRead.DeltaSnapshot): Map[String, String] =
+    if (DeltaRead.ColumnMapping.active(s.columnMappingMode))
+      s.schema.map(DeltaRead.ColumnMapping.physByLogical).getOrElse(Map.empty)
+    else Map.empty
+
+  /** One add action as a [[CheckpointSchema]] row. `f` carries LOGICAL
+    * pv keys and either logical or physical stats keys (the rename map
+    * passes already-physical keys through untouched). size/mtime come
+    * from the LOG; the FS fallback covers only legacy actions lacking
+    * the fields — executor-safe, and a moved-aside file tolerates as
+    * (0, 0) like before. */
+  private def addStateRow(table: String, f: DeltaRead.FileEntry,
+      physBy: Map[String, String]): Row = {
+    val (size, mtime) = (f.size, f.modificationTime) match {
+      case (Some(sz), Some(mt)) => (sz, mt)
+      case (sz, mt) =>
+        val p = DeltaRead.dataPath(table, f.path)
+        if (Files.exists(p))
+          (sz.getOrElse(Files.size(p)),
+            mt.getOrElse(Files.getLastModifiedTime(p).toMillis))
+        else (sz.getOrElse(0L), mt.getOrElse(0L))
+    }
+    // DELETION VECTORS persist verbatim — a checkpoint without them
+    // would resurrect every masked row for checkpoint-resolved readers
+    val dvRow = f.dv.map(d => Row(d.storageType, d.pathOrInlineDv,
+      d.offset.map(Integer.valueOf).orNull, d.sizeInBytes, d.cardinality)).orNull
+    Row(null, null, Row(f.path.split('/').map(encodeSegment).mkString("/"),
+      f.partitionValues.map { case (k, x) => physBy.getOrElse(k, k) -> x },
+      size, mtime, true,
+      f.stats.map(DeltaRead.renameStatsKeys(_, physBy)).orNull, dvRow,
+      f.baseRowId.map(java.lang.Long.valueOf).orNull,
+      f.defaultRowCommitVersion.map(java.lang.Long.valueOf).orNull), null, null)
+  }
+
+  /** The NON-FILE checkpoint rows: (protocol+metaData head, txn+domain
+    * tail) — O(1)/O(apps+domains), always driver-small. */
+  private def nonFileStateRows(table: String,
+      s: DeltaRead.DeltaSnapshot): (Seq[Row], Seq[Row]) = {
     val schemaJson = s.schema.map(_.json).getOrElse(
       throw new IllegalStateException(
         s"$table@${s.version} has no metaData to checkpoint"))
@@ -5413,33 +5443,6 @@ object DeltaWrite {
       Row(s.metaId.getOrElse("graft"), Row("parquet"), schemaJson,
         s.partitionColumns, s.configuration, System.currentTimeMillis()),
       null, null, null)
-    val addRows = s.files.map { f =>
-      // size/mtime come from the LOG (protocol-required on every add) —
-      // checkpointing a million-file table must not stat a million
-      // files. The FS fallback covers only legacy actions lacking the
-      // fields, tolerating a moved-aside file as (0, 0) like before.
-      val (size, mtime) = (f.size, f.modificationTime) match {
-        case (Some(sz), Some(mt)) => (sz, mt)
-        case (sz, mt) =>
-          val p = DeltaRead.dataPath(table, f.path)
-          if (Files.exists(p))
-            (sz.getOrElse(Files.size(p)),
-              mt.getOrElse(Files.getLastModifiedTime(p).toMillis))
-          else (sz.getOrElse(0L), mt.getOrElse(0L))
-      }
-      // stats keys were translated to logical at snapshot resolution;
-      // the persisted form must be physical again, like partitionValues.
-      // DELETION VECTORS persist verbatim — a checkpoint without them
-      // would resurrect every masked row for checkpoint-resolved readers
-      val dvRow = f.dv.map(d => Row(d.storageType, d.pathOrInlineDv,
-        d.offset.map(Integer.valueOf).orNull, d.sizeInBytes, d.cardinality)).orNull
-      Row(null, null, Row(f.path.split('/').map(encodeSegment).mkString("/"),
-        f.partitionValues.map { case (k, x) => physBy.getOrElse(k, k) -> x },
-        size, mtime, true,
-        f.stats.map(DeltaRead.renameStatsKeys(_, physBy)).orNull, dvRow,
-        f.baseRowId.map(java.lang.Long.valueOf).orNull,
-        f.defaultRowCommitVersion.map(java.lang.Long.valueOf).orNull), null, null)
-    }
     // SetTransaction high-water marks survive checkpointing — a
     // streaming sink's replay guard must not reset when history is
     // truncated past the last checkpoint
@@ -5452,7 +5455,58 @@ object DeltaWrite {
     val domainRows = s.domains.toSeq.sortBy(_._1).map { case (d, (conf, rm)) =>
       Row(null, null, null, null, Row(d, conf, rm))
     }
-    Seq(protoRow, metaRow) ++ addRows ++ txnRows ++ domainRows
+    (Seq(protoRow, metaRow), txnRows ++ domainRows)
+  }
+
+  /** The add rows of a Dataset-tier snapshot as a [[CheckpointSchema]]
+    * DataFrame — the checkpoint WRITER's half of the tier: state goes
+    * frame → parquet entirely executor-side, the driver never holds
+    * the inventory it is persisting. */
+  private def addStateFrame(table: String, s: DeltaRead.DeltaSnapshot,
+      idx: DeltaRead.DatasetIndex): DataFrame = {
+    val physBy = checkpointPhysBy(s)
+    val t = table
+    idx.df.mapPartitions { it =>
+      it.map(row => addStateRow(t, DeltaRead.rowToFileEntry(row), physBy))
+    }(org.apache.spark.sql.Encoders.row(CheckpointSchema))
+  }
+
+  /** Write `df` (already [[CheckpointSchema]]-shaped or wider) as up to
+    * `parts` parquet files via same-filesystem staging, then move each
+    * found part to `destFor(index, found)` (1-based; `found` may be
+    * below `parts` — Spark emits no file for an empty partition).
+    * Returns the destinations in order. */
+  private def writeFrameParts(table: String, df: DataFrame, parts: Int,
+      destFor: (Int, Int) => Path): Seq[Path] = {
+    val stagedDir = Paths.get(table, s"_staging-${UUID.randomUUID()}")
+    df.repartition(parts).write.mode("overwrite").parquet(stagedDir.toString)
+    val ls = Files.list(stagedDir)
+    val found =
+      try ls.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".parquet")).toSeq.sorted
+      finally ls.close()
+    require(found.nonEmpty, "checkpoint write produced no parquet")
+    val dests = found.zipWithIndex.map { case (name, i) =>
+      val dest = destFor(i + 1, found.size)
+      Files.createDirectories(dest.getParent)
+      Files.move(stagedDir.resolve(name), dest,
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      dest
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(stagedDir.toFile)
+    dests
+  }
+
+  private def checkpointStateRows(table: String,
+      s: DeltaRead.DeltaSnapshot): Seq[Row] = {
+    // the snapshot's partitionValues keys were translated to LOGICAL
+    // names by the reader; a mapped table's checkpoint must persist
+    // PHYSICAL keys, so translate back at emission — composed from the
+    // same helpers the Dataset-tier frame writer uses, so the two
+    // emission paths cannot drift
+    val physBy: Map[String, String] = checkpointPhysBy(s)
+    val (head, tail) = nonFileStateRows(table, s)
+    head ++ s.files.map(f => addStateRow(table, f, physBy)) ++ tail
   }
 
   /** MINOR LOG COMPACTION (PROTOCOL.md "Log Compaction Files"): write
@@ -5532,8 +5586,16 @@ object DeltaWrite {
       val perSidecar = s.configuration.get("graft.checkpoint.filesPerSidecar")
         .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(100000)
       return checkpointV2(spark, table,
-        sidecars = math.max(1,
-          ((s.files.size + perSidecar - 1) / perSidecar)))
+        sidecars = math.max(1L,
+          ((s.index.count + perSidecar - 1) / perSidecar)).toInt)
+    }
+    s.index match {
+      // Dataset tier: the WRITER half of the tiered snapshot — state
+      // goes frame → parquet executor-side; the driver never holds the
+      // inventory it persists
+      case idx: DeltaRead.DatasetIndex =>
+        return checkpointDataset(spark, table, v, s, idx, parts)
+      case _ => ()
     }
     val rows = checkpointStateRows(table, s)
     // contiguous split across parts; every part non-empty when the
@@ -5586,6 +5648,42 @@ object DeltaWrite {
   /** Write one parquet of `rows` under `schema` and atomically move it
     * to `dest` (same-filesystem staging inside the table root, like
     * the classic checkpoint writer). */
+  /** Maximum add rows per checkpoint part on the Dataset tier — a
+    * 10M-file table's classic checkpoint shards into ~10 parts. */
+  private val AddsPerCheckpointPart = 1000000L
+
+  /** Classic checkpoint written FROM the Dataset tier ([[DeltaRead
+    * .DatasetIndex]]): non-file rows stay driver-small, add rows flow
+    * frame → staged parquet → protocol part names without ever
+    * collecting. The part count is max(caller's `parts`,
+    * ceil(adds / [[AddsPerCheckpointPart]])); a partition Spark left
+    * empty simply yields fewer parts (the found count names the set). */
+  private def checkpointDataset(spark: SparkSession, table: String, v: Long,
+      s: DeltaRead.DeltaSnapshot, idx: DeltaRead.DatasetIndex,
+      parts: Int): Long = {
+    val (head, tail) = nonFileStateRows(table, s)
+    val nonFile = spark.createDataFrame(
+      spark.sparkContext.parallelize(head ++ tail, 1), CheckpointSchema)
+    val nAdds = idx.count
+    val partsEff = math.max(parts.toLong,
+      (nAdds + AddsPerCheckpointPart - 1) / AddsPerCheckpointPart).max(1L).toInt
+    def destFor(i: Int, of: Int): Path =
+      if (of == 1) logDir(table).resolve(f"$v%020d.checkpoint.parquet")
+      else logDir(table).resolve(
+        f"$v%020d.checkpoint.$i%010d.$of%010d.parquet")
+    val dests = writeFrameParts(table,
+      nonFile.unionByName(addStateFrame(table, s, idx)), partsEff, destFor)
+    val k = dests.size
+    val lcTmp = logDir(table).resolve(s"_last_checkpoint.tmp-${UUID.randomUUID()}")
+    val partsField = if (k == 1) "" else s""","parts":$k"""
+    Files.write(lcTmp,
+      Seq(s"""{"version":$v,"size":${head.size + tail.size + nAdds},""" +
+        s""""numOfAddFiles":$nAdds$partsField}""").asJava)
+    Files.move(lcTmp, logDir(table).resolve("_last_checkpoint"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    v
+  }
+
   private def writeActionParquet(spark: SparkSession, table: String,
       rows: Seq[Row], schema: StructType, dest: Path): Unit = {
     val stagedDir = Paths.get(table, s"_staging-${UUID.randomUUID()}")
@@ -5620,6 +5718,21 @@ object DeltaWrite {
     require(sidecars >= 1, s"checkpointV2: sidecars must be >= 1, got $sidecars")
     val v = DeltaRead.latestVersion(table)
     val s = DeltaRead.snapshotAt(spark, table, v)
+    s.index match {
+      // Dataset tier: sidecars written frame-side, like the classic
+      // writer's checkpointDataset — the driver holds only the
+      // manifest's non-file rows and the sidecar names
+      case idx: DeltaRead.DatasetIndex =>
+        val (head, tail) = nonFileStateRows(table, s)
+        val nAdds = idx.count
+        val n = math.min(sidecars.toLong, math.max(nAdds, 1L)).max(1L).toInt
+        val dests = writeFrameParts(table, addStateFrame(table, s, idx), n,
+          (_, _) => logDir(table).resolve("_sidecars")
+            .resolve(s"${UUID.randomUUID()}.parquet"))
+        return writeV2Manifest(spark, table, v, head ++ tail,
+          dests.map(d => (d.getFileName.toString, d)), nAdds)
+      case _ => ()
+    }
     val state = checkpointStateRows(table, s)
     val (addRows, otherRows) = state.partition(r => !r.isNullAt(2))
     // file actions shard CONTIGUOUSLY across sidecars (a million-file
@@ -5637,6 +5750,13 @@ object DeltaWrite {
       writeActionParquet(spark, table, chunk, CheckpointSchema, dest)
       (name, dest)
     }
+    writeV2Manifest(spark, table, v, otherRows, written, addRows.size.toLong)
+  }
+
+  /** The v2 manifest + `_last_checkpoint` publication, shared by both
+    * tiers' sidecar writers. */
+  private def writeV2Manifest(spark: SparkSession, table: String, v: Long,
+      otherRows: Seq[Row], written: Seq[(String, Path)], nAdds: Long): Long = {
     val manifestSchema = StructType(CheckpointSchema.fields ++ Seq(
       StructField("sidecar", StructType(Seq(
         StructField("path", StringType),
@@ -5667,8 +5787,8 @@ object DeltaWrite {
     val totalBytes = Files.size(manifestDest) + written.map(w => Files.size(w._2)).sum
     val lcTmp = logDir(table).resolve(s"_last_checkpoint.tmp-${UUID.randomUUID()}")
     Files.write(lcTmp, Seq(
-      s"""{"version":$v,"size":${pad.size + sidecarRows.size + 1 + addRows.size},""" +
-        s""""sizeInBytes":$totalBytes,"numOfAddFiles":${addRows.size},""" +
+      s"""{"version":$v,"size":${pad.size + sidecarRows.size + 1 + nAdds},""" +
+        s""""sizeInBytes":$totalBytes,"numOfAddFiles":$nAdds,""" +
         s""""v2Checkpoint":{"path":"$manifestName"}}""").asJava)
     Files.move(lcTmp, logDir(table).resolve("_last_checkpoint"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)

@@ -205,6 +205,58 @@ class DatasetSnapshotSpec extends SparkTestBase {
     } finally cleanup(t)
   }
 
+  test("120k-file log: the checkpoint WRITER runs frame-side — classic and v2") {
+    val t = newTable()
+    val n = 120000
+    try {
+      writeBigLog(t, n)
+      val fired = new java.util.concurrent.atomic.AtomicInteger(0)
+      withSeam(fired) {
+        withThreshold(100000L) {
+          val before = DeltaRead.snapshot(spark, t)
+          assert(before.index.isInstanceOf[DeltaRead.DatasetIndex])
+          // CLASSIC checkpoint at head (v1): written from the frame
+          assert(DeltaWrite.checkpoint(spark, t) == 1L)
+          assert(fired.get == 0, "checkpoint writing must not collect the inventory")
+          val lc = new String(Files.readAllBytes(
+            Paths.get(t, "_delta_log", "_last_checkpoint")), "UTF-8")
+          assert(lc.contains("\"version\":1") &&
+            lc.contains(s"""\"numOfAddFiles\":$n"""), s"pointer: $lc")
+          // resolution from the NEW checkpoint (tail JSONs gone) equals
+          // the pre-checkpoint state
+          Files.delete(Paths.get(t, "_delta_log", f"${1L}%020d.json"))
+          val after = DeltaRead.snapshot(spark, t)
+          assert(after.index.isInstanceOf[DeltaRead.DatasetIndex],
+            "the advertising pointer keeps the table on the Dataset tier")
+          assert(after.index.count == before.index.count)
+          val a = after.files.sortBy(_.path)
+          assert(fired.get == 1)
+          val b = before.files.sortBy(_.path)
+          assert(fired.get == 2)
+          a.zip(b).foreach { case (x, y) =>
+            assert(x == y, s"checkpoint roundtrip mismatch:\n  $x\n  $y") }
+          // V2 checkpoint from the same tier: sidecars frame-written
+          assert(DeltaWrite.checkpointV2(spark, t, sidecars = 3) == 1L)
+          assert(fired.get == 2, "v2 sidecar writing must not collect either")
+          val lc2 = new String(Files.readAllBytes(
+            Paths.get(t, "_delta_log", "_last_checkpoint")), "UTF-8")
+          assert(lc2.contains("\"v2Checkpoint\"") &&
+            lc2.contains(s"""\"numOfAddFiles\":$n"""))
+          // drop the classic file so resolution must go through the v2
+          // manifest + its frame-written sidecars
+          Files.delete(Paths.get(t, "_delta_log",
+            f"${1L}%020d.checkpoint.parquet"))
+          val sc = Files.list(Paths.get(t, "_delta_log", "_sidecars"))
+          val nSidecars = try sc.iterator().asScala.size finally sc.close()
+          assert(nSidecars == 3, s"expected 3 frame-written sidecars, got $nSidecars")
+          val viaV2 = DeltaRead.snapshot(spark, t)
+          assert(viaV2.index.isInstanceOf[DeltaRead.DatasetIndex])
+          assert(viaV2.index.count == before.index.count)
+        }
+      }
+    } finally cleanup(t)
+  }
+
   test("vacuum over the threshold: anti-join tier reclaims exactly what the Set tier would") {
     val t = newTable()
     try {
