@@ -1218,8 +1218,24 @@ object DeltaRead {
     // live file state rolled forward from `since`, so each commit's
     // removes and DV transitions resolve against their predecessor
     val state = scala.collection.mutable.LinkedHashMap.empty[String, FileEntry]
-    if (sinceVersion >= 0)
-      snapshotAt(spark, table, sinceVersion).files.foreach(f => state.put(f.path, f))
+    if (sinceVersion >= 0) {
+      val sinceSnap = snapshotAt(spark, table, sinceVersion)
+      sinceSnap.index match {
+        case idx: DatasetIndex =>
+          // BOUNDED base state: only paths the range's commits TOUCH
+          // can ever be looked up, so fetch exactly those entries from
+          // the frame — O(range actions) driver work per call, never
+          // O(table files). This is the CDF stream's per-micro-batch
+          // path; materializing a 10M-file inventory per trigger would
+          // undo the tier.
+          val touched = touchedPathsInRange(table, sinceVersion + 1, untilVersion)
+          if (touched.nonEmpty)
+            idx.filterEntries(f => touched(f.path))
+              .foreach(f => state.put(f.path, f))
+        case _ =>
+          sinceSnap.files.foreach(f => state.put(f.path, f))
+      }
+    }
     val frames = Seq.newBuilder[DataFrame]
     ((sinceVersion + 1) to untilVersion).foreach { v =>
       val p = logDir(table).resolve(f"$v%020d.json")
@@ -1299,6 +1315,26 @@ object DeltaRead {
         .withColumn(ChangeTypeCol, lit(null).cast(org.apache.spark.sql.types.StringType))
         .withColumn(CommitVersionCol, lit(null).cast(org.apache.spark.sql.types.LongType))
     }
+  }
+
+  /** Decoded add/remove paths across a JSON commit range — the
+    * pre-scan that bounds [[changesBetween]]'s base state on the
+    * Dataset tier. Missing commits are skipped here; the main loop's
+    * require still reports them loudly. */
+  private def touchedPathsInRange(table: String, fromV: Long, toV: Long): Set[String] = {
+    val out = scala.collection.mutable.HashSet.empty[String]
+    (fromV to toV).foreach { v =>
+      val p = logDir(table).resolve(f"$v%020d.json")
+      if (Files.exists(p))
+        Files.readAllLines(p).asScala.filter(_.trim.nonEmpty).foreach { line =>
+          val node = mapper.readTree(line)
+          Option(node.get("add")).filterNot(_.isNull)
+            .foreach(a => out += decodePath(a.get("path").asText()))
+          Option(node.get("remove")).filterNot(_.isNull)
+            .foreach(r => out += decodePath(r.get("path").asText()))
+        }
+    }
+    out.toSet
   }
 
   /** Read one commit's `cdc` files as a change frame: the files store

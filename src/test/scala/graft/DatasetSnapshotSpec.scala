@@ -201,6 +201,19 @@ class DatasetSnapshotSpec extends SparkTestBase {
         }
         assert((nDs, bDs) == (nSq, bSq),
           s"tiers disagree on detail: ($nDs,$bDs) vs ($nSq,$bSq)")
+        // CDF reconstruction over the tier: the rolled-forward base
+        // state fetches only TOUCHED entries — per-micro-batch cost on
+        // a streaming tail, so it must not materialize the inventory
+        val f2 = new java.util.concurrent.atomic.AtomicInteger(0)
+        val byType = withSeam(f2) {
+          DeltaRead.changesBetween(spark, t, 5L, DeltaRead.latestVersion(t))
+            .groupBy(col(DeltaRead.ChangeTypeCol)).count().collect()
+            .map(r => r.getString(0) -> r.getLong(1)).toMap
+        }
+        assert(f2.get == 0, "CDF base state must fetch only touched entries")
+        assert(byType.getOrElse("delete", 0L) >= 2L &&
+          byType.getOrElse("insert", 0L) >= 2L,
+          s"DV delete + merge rewrite must surface: $byType")
       }
     } finally cleanup(t)
   }
