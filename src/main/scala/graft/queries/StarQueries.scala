@@ -730,26 +730,59 @@ object StarQueries {
     * construction arithmetic — dHash bits, band slices, bucket caps —
     * without decoding a byte, so the decode→pool→hash→band pipeline
     * is pinned end to end. */
+  /** q243/q245's shared image corpus: per selected document, an 18×16
+    * grayscale PNG (2×2 blocks of the seed pattern) and its RESIZED
+    * 9×8 GIF re-encode; every 4th document's payloads truncated. */
+  private def imageCorpus(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    import graft.operators.{GifCodec, PngCodec}
+    val docs = Tables.documents(s, d).select($"doc_id").as[Long]
+      .filter(id => id % 7 == 0 && id < 20000)
+    val grayPalette = Array.tabulate(256 * 3)(i => (i / 3).toByte)
+    docs.flatMap { id =>
+      def pat(r: Int, c: Int): Int = ((id * 37 + r * 11 + c * 7) % 256).toInt
+      val gA = Array.tabulate(18 * 16) { i =>
+        val y = i / 18; val x = i % 18; pat(y / 2, x / 2).toByte
+      }
+      val png = PngCodec.encode(18, 16, 1, gA)
+      val gB = Array.tabulate(9 * 8)(i => pat(i / 9, i % 9).toByte)
+      val gif = GifCodec.encode(9, 8, grayPalette, gB)
+      val corrupt = (id / 7) % 4 == 0
+      Seq((id, if (corrupt) png.take(10) else png),
+        (id + 1000000L, if (corrupt) gif.take(10) else gif))
+    }.toDF("img_id", "payload")
+  }
+
+  /** The oracle's arithmetic twin of [[imageCorpus]] + dHash: CTEs
+    * ending in `hrows(img_id, v, m, dh)` — decodable image rows with
+    * their bit-string hash recomputed from the construction pattern. */
+  private val ImageHrowsSql =
+    """ids AS (
+      |  SELECT doc_id AS id FROM documents
+      |  WHERE doc_id % 7 = 0 AND doc_id < 20000),
+      |imgs AS (
+      |  SELECT id, v.v, id + v.v * 1000000 AS img_id,
+      |         ((id // 7) % 4 = 0) AS corrupt
+      |  FROM ids, (VALUES (0), (1)) AS v(v)),
+      |rows_ok AS (SELECT * FROM imgs WHERE NOT corrupt),
+      |bitsrc AS (
+      |  SELECT i.id, r.r, c.c,
+      |    CASE WHEN ((i.id*37 + r.r*11 + c.c*7) % 256) >
+      |              ((i.id*37 + r.r*11 + (c.c+1)*7) % 256)
+      |         THEN '1' ELSE '0' END AS b
+      |  FROM ids i, range(8) AS r(r), range(8) AS c(c)),
+      |dh AS (SELECT id, string_agg(b, '' ORDER BY r, c) AS dh
+      |       FROM bitsrc GROUP BY id),
+      |hrows AS (SELECT o.img_id, o.v, o.id % 256 AS m, dh.dh
+      |          FROM rows_ok o JOIN dh ON o.id = dh.id)""".stripMargin
+
   val q243ImageNearDup = GQuery(
     "q243_image_neardup",
     (s, d) => {
       import s.implicits._
-      import graft.operators.{Dedup, GifCodec, PngCodec}
-      val docs = Tables.documents(s, d).select($"doc_id").as[Long]
-        .filter(id => id % 7 == 0 && id < 20000)
-      val grayPalette = Array.tabulate(256 * 3)(i => (i / 3).toByte)
-      val media = docs.flatMap { id =>
-        def pat(r: Int, c: Int): Int = ((id * 37 + r * 11 + c * 7) % 256).toInt
-        val gA = Array.tabulate(18 * 16) { i =>
-          val y = i / 18; val x = i % 18; pat(y / 2, x / 2).toByte
-        }
-        val png = PngCodec.encode(18, 16, 1, gA)
-        val gB = Array.tabulate(9 * 8)(i => pat(i / 9, i % 9).toByte)
-        val gif = GifCodec.encode(9, 8, grayPalette, gB)
-        val corrupt = (id / 7) % 4 == 0
-        Seq((id, if (corrupt) png.take(10) else png),
-          (id + 1000000L, if (corrupt) gif.take(10) else gif))
-      }.toDF("img_id", "payload")
+      import graft.operators.Dedup
+      val media = imageCorpus(s, d)
       val hashed = Multimodal.dhashImages(media, "payload")
       val ok = hashed.where($"dhash".isNotNull).persist()
       val nImgs = media.count()
@@ -768,24 +801,7 @@ object StarQueries {
         .toDF("n_imgs", "n_decoded", "n_dhash_pairs", "n_byte_pairs",
           "n_pairs_capped", "n_dropped_buckets")
     },
-    Some("""WITH ids AS (
-           |  SELECT doc_id AS id FROM documents
-           |  WHERE doc_id % 7 = 0 AND doc_id < 20000),
-           |imgs AS (
-           |  SELECT id, v.v, id + v.v * 1000000 AS img_id,
-           |         ((id // 7) % 4 = 0) AS corrupt
-           |  FROM ids, (VALUES (0), (1)) AS v(v)),
-           |rows_ok AS (SELECT * FROM imgs WHERE NOT corrupt),
-           |bitsrc AS (
-           |  SELECT i.id, r.r, c.c,
-           |    CASE WHEN ((i.id*37 + r.r*11 + c.c*7) % 256) >
-           |              ((i.id*37 + r.r*11 + (c.c+1)*7) % 256)
-           |         THEN '1' ELSE '0' END AS b
-           |  FROM ids i, range(8) AS r(r), range(8) AS c(c)),
-           |dh AS (SELECT id, string_agg(b, '' ORDER BY r, c) AS dh
-           |       FROM bitsrc GROUP BY id),
-           |hrows AS (SELECT o.img_id, o.v, o.id % 256 AS m, dh.dh
-           |          FROM rows_ok o JOIN dh ON o.id = dh.id),
+    Some(s"""WITH $ImageHrowsSql,
            |grp AS (SELECT dh, count(*) AS k FROM hrows GROUP BY dh),
            |byteg AS (SELECT v, m, count(*) AS k FROM hrows GROUP BY v, m),
            |bandrows AS (
@@ -810,11 +826,48 @@ object StarQueries {
            |  (SELECT count(*) FROM capped) AS n_pairs_capped,
            |  (SELECT count(*) FROM bucket WHERE bsz > 8) AS n_dropped_buckets""".stripMargin))
 
+  /** q245 — transitive IMAGE dup groups + keep policy: the multimodal
+    * twin of q83. dHash pairs (Hamming 0, banded) feed the pointer-
+    * jumping [[graft.operators.Dedup.connectedComponents]]; each
+    * component keeps its smallest img_id and drops the rest — the
+    * end-to-end image dedup decision (find → group → keep-one) with
+    * the same candidate-bounded machinery as the text tier. At
+    * Hamming 0 the components are exactly the dHash equality classes,
+    * so the oracle derives them from the construction arithmetic and
+    * pins the whole Spark composition (decode → hash → band-join →
+    * CC → keep) against plain grouping. */
+  val q245ImageDedupGroups = GQuery(
+    "q245_image_dedup_groups",
+    (s, d) => {
+      import s.implicits._
+      import graft.operators.Dedup
+      val hashed = Multimodal.dhashImages(imageCorpus(s, d), "payload")
+        .where($"dhash".isNotNull)
+      val pairs = Dedup.hammingNearDupPairs(hashed, "img_id", "dhash",
+        maxHamming = 0, bands = 4)
+      val labels = Dedup.connectedComponents(pairs)
+      val groups = labels.groupBy($"label").agg(count(lit(1)).as("k"))
+      groups.agg(
+        count(lit(1)).cast("long").as("n_groups"),
+        sum($"k").cast("long").as("n_members"),
+        (sum($"k") - count(lit(1))).cast("long").as("n_dropped"),
+        sum($"label").cast("long").as("sum_keep_ids"))
+    },
+    Some(s"""WITH $ImageHrowsSql,
+           |g AS (SELECT dh, count(*) AS k, min(img_id) AS lab
+           |      FROM hrows GROUP BY dh HAVING count(*) >= 2)
+           |SELECT count(*) AS n_groups,
+           |  CAST(sum(k) AS BIGINT) AS n_members,
+           |  CAST(sum(k) - count(*) AS BIGINT) AS n_dropped,
+           |  CAST(sum(lab) AS BIGINT) AS sum_keep_ids
+           |FROM g""".stripMargin))
+
   val all: Seq[GQuery] = Seq(
     q32DimCustomer, q33FactOrders, q34StarAgg, q39ValidationReport,
     q48FlagshipPipeline, q50MultimodalMeta, q51WindowTumbling,
     q52NestedJson, q53NestedExplode, q54SeedCatalog,
     q65TagBridge, q66BridgeOrderPart, q67FactMetricas, q68TagRevenue,
     q76MultimodalPlans, q176ImageHeaders, q205PngPixels, q211GifPixels,
-    q212WavAudio, q213JpegPixels, q214VideoMeta, q243ImageNearDup)
+    q212WavAudio, q213JpegPixels, q214VideoMeta, q243ImageNearDup,
+    q245ImageDedupGroups)
 }
