@@ -86,12 +86,28 @@ object Bench {
       n -> samplesAt.minBy { case (p, _) => math.abs(p - i) }._2
     }
 
-  /** Queries whose window sentinel ran >1.5× the run's sentinel FLOOR —
-    * per-query contention labels, so one loaded window taints its own
-    * queries instead of the whole run (or nothing). */
-  def contendedQueries(windows: Seq[(String, Double)], floor: Double): Seq[String] =
-    if (floor <= 0) Nil
-    else windows.collect { case (n, v) if v > 1.5 * floor => n }
+  /** Queries inside a LOADED window: a sample is loaded when it runs
+    * >1.5× the minimum of all EARLIER samples — forward-only, same
+    * physics as [[contentionOf]]: a fresh JVM only gets faster on an
+    * idle machine (JIT tiering), so an early-high sample is warm-up
+    * while a later spike is load arriving mid-run (comparing against
+    * the whole-run floor instead mislabeled the first window's queries
+    * on every idle run). Start-of-run load is invisible here by
+    * construction; the cross-round `sentinel_vs_prior` gate owns that
+    * case. Each query maps to its NEAREST sample ([[attachWindows]]). */
+  def contendedQueries(names: Seq[String],
+      samplesAt: Seq[(Int, Double)]): Seq[String] = {
+    val loadedPositions = samplesAt.indices.filter { j =>
+      val prior = samplesAt.take(j).map(_._2).filter(_ > 0)
+      j > 0 && samplesAt(j)._2 > 0 && prior.nonEmpty &&
+        samplesAt(j)._2 > 1.5 * prior.min
+    }.map(samplesAt(_)._1).toSet
+    if (loadedPositions.isEmpty) Nil
+    else names.zipWithIndex.collect {
+      case (n, i) if loadedPositions(
+        samplesAt.minBy { case (p, _) => math.abs(p - i) }._1) => n
+    }
+  }
 
   /** Per-query times and the sentinel-min record from prior
     * `BENCH*_r*.json` files in the working directory.
@@ -190,7 +206,6 @@ object Bench {
     }
     samplesAt += ((headline.size, sentinelSample(spark)))
     val sentinels = samplesAt.map(_._2)
-    val windows = attachWindows(results.map(_._1), samplesAt.toSeq)
     val (spread, forwardLoaded) = contentionOf(sentinels.toSeq)
     // whole-run uniform load never shows intra-run: compare this run's
     // best sentinel against the prior round's record — the workload is
@@ -243,7 +258,7 @@ object Bench {
     val sent = sentinels.map(s => f"$s%.4f").mkString("[", ",", "]")
     val sentAt = samplesAt.map { case (p, v) => "\"" + p + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
-    val contended = contendedQueries(windows, sentinelMin)
+    val contended = contendedQueries(results.map(_._1), samplesAt.toSeq)
     if (contended.nonEmpty) System.err.println(
       s"[bench] per-window contention: ${contended.mkString(", ")} ran inside " +
         "a loaded sentinel window — treat their times as suspect")

@@ -64,14 +64,25 @@ class BenchSentinelSpec extends SparkTestBase {
     val wm = windows.toMap
     assert(wm("q01") == 0.10 && wm("q08") == 0.24 &&
       wm("q13") == 0.24 && wm("q19") == 0.11 && wm("q25") == 0.10)
-    val contended = Bench.contendedQueries(windows, floor = 0.10)
+    val contended = Bench.contendedQueries(names, samples)
     assert(contended == (7 to 16).map(i => f"q$i%02d"),
       s"exactly the spike window's queries must flag, got $contended")
     // an idle run labels nothing
-    assert(Bench.contendedQueries(
-      Bench.attachWindows(names, Seq((0, 0.10), (10, 0.11), (20, 0.10), (25, 0.10))),
-      floor = 0.10).isEmpty)
-    // a zero floor (all sentinel reps failed) never divides
-    assert(Bench.contendedQueries(windows, floor = 0.0).isEmpty)
+    assert(Bench.contendedQueries(names,
+      Seq((0, 0.10), (10, 0.11), (20, 0.10), (25, 0.10))).isEmpty)
+    // FORWARD-ONLY: a decreasing ramp (fresh-JVM JIT tiering, the
+    // idle-run shape measured in r15: 0.21/0.12/0.11/0.12) is physics,
+    // not load — the old whole-run-floor rule mislabeled the first
+    // window's queries on every idle run
+    assert(Bench.contendedQueries(names,
+      Seq((0, 0.24), (10, 0.12), (20, 0.11), (25, 0.11))).isEmpty)
+    // ...but a genuine LATE spike after the ramp still flags its window
+    val lateSpike = Bench.contendedQueries(names,
+      Seq((0, 0.24), (10, 0.12), (20, 0.30), (25, 0.12)))
+    assert(lateSpike == (17 to 23).map(i => f"q$i%02d"),
+      s"the late window's queries must flag, got $lateSpike")
+    // failed sentinel reps (<= 0) neither flag nor divide
+    assert(Bench.contendedQueries(names,
+      Seq((0, -1.0), (10, 0.12), (20, 0.11), (25, 0.11))).isEmpty)
   }
 }
