@@ -27,14 +27,17 @@ import scala.jdk.CollectionConverters._
   *
   * Resolution is checkpoint-then-tail: start from the newest
   * single-part checkpoint at or below the target version, then apply
-  * the JSON tail. The checkpoint is read as parquet but its actions
-  * COLLECT to the driver: snapshot resolution is O(table file count)
-  * in driver memory — the same class as Spark's own
-  * InMemoryFileIndex, which holds every file status on the driver
-  * anyway, and what manifest listing buys over filesystem listing is
-  * one sequential read instead of a recursive LIST (the win on object
-  * stores); a fully driver-free inventory would need the add-set
-  * joined into the scan plan, which this reader does not do.
+  * the JSON tail. FILE STATE IS TIERED ([[FileIndex]]): below the
+  * [[DatasetThresholdKey]] file count the checkpoint's actions collect
+  * to a driver Seq (the fast path — same driver-memory class as
+  * Spark's own InMemoryFileIndex); above it the add rows STAY a Spark
+  * DataFrame reconciled with the tail in a window, and the
+  * metadata-plane consumers (data skipping, vacuum's protected sets,
+  * merge's touched-file lookup, DESCRIBE DETAIL, the change feed's
+  * rolled-forward base state, and the checkpoint WRITER) run
+  * frame-side — the driver holds O(tail actions), never O(table
+  * files). Only planning an actual SCAN still materializes a path
+  * list, which Spark's file index requires regardless.
   * Partitioned tables re-attach
   * partition columns from each add's `partitionValues`, cast to the
   * types in `metaData.schemaString` — Delta files do not store

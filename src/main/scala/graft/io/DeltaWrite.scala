@@ -2749,10 +2749,14 @@ object DeltaWrite {
       val v = DeltaRead.latestVersion(table)
       val snap = DeltaRead.snapshotAt(spark, table, v)
       validateWriterSupport(table, snap, removesData = true)
-      val missing = snap.files.filter { f =>
-        !Files.exists(DeltaRead.dataPath(table, f.path)) ||
+      // index-routed: per-file existence checks run EXECUTOR-side on
+      // the Dataset tier — the driver receives only the missing
+      // entries, never a 10M-file inventory to stat one by one
+      val tbl = table
+      val missing = snap.index.filterEntries { f =>
+        !Files.exists(DeltaRead.dataPath(tbl, f.path)) ||
           f.dv.exists(d => (d.storageType == "u" || d.storageType == "p") &&
-            !Files.exists(DeltaDv.dvFile(table, d)))
+            !Files.exists(DeltaDv.dvFile(tbl, d)))
       }
       if (missing.isEmpty || dryRun) return missing
       val now = System.currentTimeMillis()
