@@ -319,6 +319,16 @@ object DeltaRead {
         .collect().toSeq.map(r => finish(rowToFileEntry(r)))
     }
 
+    /** (file count, Σ log-recorded `size` with absent→0) as ONE
+      * metadata aggregate — the version-checksum arithmetic's base
+      * facts (crc semantics treat a missing size as 0, never a stat). */
+    lazy val loggedCountAndBytes: (Long, Long) = {
+      import org.apache.spark.sql.functions.{count => fcount, lit => flit, sum => fsum}
+      val r = df.agg(fcount(flit(1)), fsum(coalesce(col("size"), flit(0L))))
+        .collect()(0)
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
     /** (file count, total bytes) as one executor-side aggregate — the
       * DESCRIBE DETAIL path; a legacy add lacking `size` stats its
       * file in the task, never on the driver. */

@@ -832,8 +832,6 @@ object DeltaWrite {
   private def writeVersionChecksum(table: String,
       s: Option[DeltaRead.DeltaSnapshot], v: Long, lines: Seq[String]): Unit = {
     try {
-      val base: Map[String, Long] = s.map(_.files.map(f =>
-        f.path -> f.size.getOrElse(0L)).toMap).getOrElse(Map.empty)
       var added = Map.empty[String, Long]
       var removed = Set.empty[String]
       lines.foreach { line =>
@@ -848,9 +846,26 @@ object DeltaWrite {
           }
         }
       }
-      val survivors = base -- removed -- added.keys
-      val numFiles = survivors.size + added.size
-      val sizeBytes = survivors.valuesIterator.sum + added.valuesIterator.sum
+      // base facts, index-routed: the digest needs only the base
+      // (count, bytes) plus the entries this commit TOUCHES — on the
+      // Dataset tier both come frame-side, so the per-commit digest
+      // never materializes the inventory it is summarizing
+      val touched: Set[String] = removed ++ added.keys
+      val (baseCount, baseBytes, touchedBase) = s match {
+        case None => (0L, 0L, Seq.empty[DeltaRead.FileEntry])
+        case Some(snap) => snap.index match {
+          case idx: DeltaRead.DatasetIndex =>
+            val (c, b) = idx.loggedCountAndBytes
+            (c, b, idx.filterEntries(f => touched(f.path)))
+          case _ =>
+            val fs = snap.files
+            (fs.size.toLong, fs.map(_.size.getOrElse(0L)).sum,
+              fs.filter(f => touched(f.path)))
+        }
+      }
+      val numFiles = baseCount - touchedBase.size + added.size
+      val sizeBytes = baseBytes -
+        touchedBase.map(_.size.getOrElse(0L)).sum + added.valuesIterator.sum
       val crc = s"""{"txnId":"${UUID.randomUUID()}","tableSizeBytes":$sizeBytes,""" +
         s""""numFiles":$numFiles,"numMetadata":1,"numProtocol":1}"""
       val ld = logDir(table)
@@ -876,8 +891,10 @@ object DeltaWrite {
     if (!Files.isRegularFile(p)) return None
     val node = mapper.readTree(Files.readAllBytes(p))
     val s = DeltaRead.snapshotAt(spark, table, v)
-    val gotFiles = s.files.size.toLong
-    val gotBytes = s.files.map(_.size.getOrElse(0L)).sum
+    val (gotFiles, gotBytes) = s.index match {
+      case idx: DeltaRead.DatasetIndex => idx.loggedCountAndBytes
+      case _ => (s.files.size.toLong, s.files.map(_.size.getOrElse(0L)).sum)
+    }
     val problems = Seq.newBuilder[String]
     Option(node.get("numFiles")).map(_.asLong()).foreach(exp =>
       if (exp != gotFiles) problems +=
@@ -4694,7 +4711,7 @@ object DeltaWrite {
     while (attempt < 10) {
       val v = DeltaRead.latestVersion(table)
       val s = DeltaRead.snapshotAt(spark, table, v)
-      require(s.files.nonEmpty, s"nothing to compact under $table")
+      require(!s.index.isEmpty, s"nothing to compact under $table")
       // SQL identifiers are case-insensitive: resolve each scope key to
       // the partition column's canonical spelling before matching the
       // log's partitionValues (whose keys are canonical). Two keys
@@ -4736,11 +4753,17 @@ object DeltaWrite {
             }
           }
         }
-      if (partScope.nonEmpty && !s.files.exists(f => scopeMatches(f.partitionValues)))
+      def vacuousScope(): Nothing =
         throw new IllegalArgumentException(
           s"compact: partition scope (${partScope.map { case (k, x) =>
             s"$k=$x" }.mkString(", ")}) matches no partition of $table " +
             s"at v$v — refusing to report a vacuous success")
+      if (partScope.nonEmpty && (s.index match {
+        // Dataset tier: deferred to the pre-filtered candidate pass
+        // below — one frame scan instead of two
+        case _: DeltaRead.DatasetIndex => false
+        case _ => !s.files.exists(f => scopeMatches(f.partitionValues))
+      })) vacuousScope()
       // dataChange=false reorganization still COMMITS — a table whose
       // writer features we don't implement must not be touched
       validateWriterSupport(table, s, removesData = false)
@@ -4818,14 +4841,39 @@ object DeltaWrite {
         sorted.zip(sorted.drop(1)).forall { case ((_, hi), (lo, _)) =>
           boundOrd.lteq(hi, lo) }
       }
+      // CANDIDATE SELECTION, index-routed on non-clustered tables: a
+      // non-DV file at or above the target can never join a rewrite
+      // bin (the greedy fill below can't fit anything beside it), so
+      // the Dataset tier filters executor-side and the driver holds
+      // only the sub-target/DV candidates — compaction PLANNING on a
+      // 10M-file table is O(what gets rewritten), not O(table).
+      // Clustered tables rewrite whole partition tuples (the
+      // re-cluster needs every file), so they keep the full listing.
+      val preFiltered: Seq[DeltaRead.FileEntry] = s.index match {
+        case idx: DeltaRead.DatasetIndex if clusterCols.isEmpty =>
+          val tgt = targetBytes; val tbl = table
+          idx.filterEntries(f => scopeMatches(f.partitionValues) &&
+            (f.dv.isDefined || f.sizeOrStat(tbl) < tgt))
+        case _ => s.files.filter(f => scopeMatches(f.partitionValues))
+      }
+      if (partScope.nonEmpty && preFiltered.isEmpty) s.index match {
+        case idx: DeltaRead.DatasetIndex =>
+          // the pre-filter can hide scope-matching AT-target files —
+          // distinguish "scope matches nothing" (refuse) from "scope
+          // matches, nothing to rewrite" (0); scoped listings are
+          // partition-sized
+          if (idx.filterEntries(f => scopeMatches(f.partitionValues)).isEmpty)
+            vacuousScope()
+          else return 0
+        case _ => () // Seq tier already refused above
+      }
       // bin-pack per partition tuple: greedy fill in commit order.
       // CLUSTERED tables instead take the WHOLE tuple as one rewrite
       // unit — the re-cluster below range-splits it back into
       // target-sized files along the Z-key (pre-splitting into bins
       // would pin each bin to one output file and the split would
       // never engage)
-      val groups = s.files.groupBy(_.partitionValues).toSeq
-        .filter { case (pv, _) => scopeMatches(pv) }
+      val groups = preFiltered.groupBy(_.partitionValues).toSeq
         .flatMap { case (pv, fs0) =>
         if (clusterCols.nonEmpty) {
           if (fs0.size < 2 && !fs0.exists(_.dv.isDefined)) Nil

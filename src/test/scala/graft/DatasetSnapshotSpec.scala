@@ -270,6 +270,67 @@ class DatasetSnapshotSpec extends SparkTestBase {
     } finally cleanup(t)
   }
 
+  test("OPTIMIZE plans O(candidates) on the Dataset tier: no inventory materialization") {
+    val t = newTable()
+    try {
+      import spark.implicits._
+      (0 until 6).foreach(k => DeltaWrite.append(
+        Seq((k.toLong, s"r$k")).toDF("id", "s").coalesce(1), t))
+      DeltaWrite.checkpoint(spark, t)
+      withThreshold(5L) {
+        assert(DeltaRead.snapshot(spark, t).index.isInstanceOf[DeltaRead.DatasetIndex])
+        val fired = new java.util.concurrent.atomic.AtomicInteger(0)
+        val n = withSeam(fired) { DeltaWrite.compact(spark, t) }
+        assert(fired.get == 0,
+          "compaction planning must pre-filter candidates executor-side")
+        assert(n == 5, s"six tiny files fold to one (net 5 removed), got $n")
+        assert(DeltaRead.snapshot(spark, t).files.size == 1)
+        assert(DeltaRead.read(spark, t).count() == 6)
+        // a typo'd scope still refuses on the tier (no vacuous success)
+        val e = intercept[IllegalArgumentException](
+          DeltaWrite.compact(spark, t, partitions = Map("id" -> "1")))
+        assert(e.getMessage.contains("not a partition column"))
+      }
+    } finally cleanup(t)
+  }
+
+  test("column mapping composes with the Dataset tier: logical pv keys, rekeyed stats, reads agree") {
+    val t = newTable()
+    try {
+      import spark.implicits._
+      val df = (1 to 12).map(i => (i.toLong, s"v$i", (i % 2).toString))
+        .toDF("id", "txt", "lang")
+      DeltaWrite.createColumnMapped(df.repartition(6), t,
+        partitionBy = Seq("lang"))
+      DeltaWrite.checkpoint(spark, t) // advertises the add count
+      withThreshold(3L) {
+        val s = DeltaRead.snapshot(spark, t)
+        assert(s.index.isInstanceOf[DeltaRead.DatasetIndex],
+          "a mapped table past the threshold must tier up too")
+        // entries materialize in LOGICAL key space on both tiers
+        val ds = s.files.sortBy(_.path)
+        val sq = withThreshold(Long.MaxValue) {
+          DeltaRead.snapshot(spark, t).files.sortBy(_.path)
+        }
+        ds.zip(sq).foreach { case (a, b) =>
+          assert(a == b, s"mapped-tier entry mismatch:\n  $a\n  $b") }
+        assert(ds.forall(_.partitionValues.keySet == Set("lang")),
+          "pv keys must be the LOGICAL names after the frame rekey")
+        assert(ds.forall(_.stats.exists(_.contains("\"id\""))),
+          "stats keys must rekey to logical names at materialization")
+        // reads + stats skipping behave identically through the tier
+        assert(DeltaRead.read(spark, t).as[(Long, String, String)]
+          .collect().sortBy(_._1).toSeq ==
+          (1 to 12).map(i => (i.toLong, s"v$i", (i % 2).toString)))
+        val surv = DeltaRead.filesAfterSkipping(spark, t,
+          DeltaRead.latestVersion(t), Seq(
+            DeltaRead.StatRange("id", Some(1L), Some(2L))))
+        assert(surv.nonEmpty && surv.size < ds.size,
+          s"logical-column skipping must prune mapped stats: ${surv.size}/${ds.size}")
+      }
+    } finally cleanup(t)
+  }
+
   test("vacuum over the threshold: anti-join tier reclaims exactly what the Set tier would") {
     val t = newTable()
     try {
