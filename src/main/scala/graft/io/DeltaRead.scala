@@ -228,14 +228,25 @@ object DeltaRead {
     private val AddCol = "__graft_is_add"
 
     /** Live rows in [[CanonicalFileSchema]] + [[SeqCol]]. The SQL-side
-      * path decode matches [[decodePath]] for every path this writer
-      * emits (percent-encoded segments; '+' is literal, protected
-      * before url_decode; an undecodable path passes through raw) —
-      * scheme-ful absolute URIs would diverge and never occur in
-      * graft-written logs. */
+      * path decode matches [[decodePath]] (= `URI.getPath`):
+      * percent-encoded segments decode, '+' is literal (protected
+      * before url_decode), an undecodable path passes through raw,
+      * and a scheme-ful URI — which foreign writers and SHALLOW CLONE
+      * logs legitimately carry as ABSOLUTE add paths — drops its
+      * `scheme:` / `scheme://authority` prefix exactly as
+      * `URI.getPath` does. Without the strip, the Dataset tier would
+      * keep the scheme while driver-decoded tail removes don't, so
+      * remove-over-add reconciliation on `path` would silently miss
+      * and [[dataPath]] would misresolve the scheme-ful string. */
     private lazy val reconciled: DataFrame = {
-      def decode(c: Column): Column =
-        coalesce(try_url_decode(regexp_replace(c, "\\+", "%2B")), c)
+      def decode(c: Column): Column = {
+        // lookahead keeps the strip to HIERARCHICAL URIs (a '/' path
+        // follows) — an opaque `a:b` form has no URI path and is not
+        // a resolvable data file either way
+        val noScheme =
+          regexp_replace(c, "^[a-zA-Z][A-Za-z0-9+.-]*:(//[^/]*)?(?=/)", "")
+        coalesce(try_url_decode(regexp_replace(noScheme, "\\+", "%2B")), noScheme)
+      }
       val cps = cpFrames.map(f => f
         .withColumn("path", decode(col("path")))
         .withColumn(AddCol, flit(true)).withColumn(SeqCol, flit(-1L)))

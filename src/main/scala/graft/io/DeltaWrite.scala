@@ -311,8 +311,27 @@ object DeltaWrite {
       }
     if (splits <= 1) df.repartition(n, partCols: _*)
     else {
-      val salt = pmod(hash(df.columns.map(col): _*), lit(splits))
-      df.repartition(n, partCols :+ salt: _*)
+      // Spark 4 refuses hash() over Map (and Variant) inputs
+      // (spark.sql.legacy.allowHashOnMapType=false), so the salt is
+      // built only from hash-supported columns — otherwise a
+      // partitioned append of a map-bearing schema that crosses the
+      // split threshold would fail where the unsalted shape wrote
+      // fine. A schema with NO hashable column keeps the unsalted
+      // repartition (one oversized file, repaired by autoCompact)
+      // rather than failing the append.
+      def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+        case _: MapType => false
+        case v if v.typeName == "variant" => false
+        case s: StructType => s.fields.forall(f => hashable(f.dataType))
+        case a: ArrayType => hashable(a.elementType)
+        case _ => true
+      }
+      val saltIn = df.schema.fields.filter(f => hashable(f.dataType)).map(f => col(f.name))
+      if (saltIn.isEmpty) df.repartition(n, partCols: _*)
+      else {
+        val salt = pmod(hash(saltIn.toSeq: _*), lit(splits))
+        df.repartition(n, partCols :+ salt: _*)
+      }
     }
   }
 
@@ -1904,6 +1923,25 @@ object DeltaWrite {
       partitionBy: Seq[String] = Nil): Option[Long] =
     commit(df, table, partitionBy, replaceExisting = false,
       txn = Some((appId, version)))
+
+  /** [[append]]/[[appendOnce]] with the batch's physical layout
+    * PINNED — exempt from the `delta.autoOptimize.optimizeWrite`
+    * repartition, like [[appendZOrdered]]. For callers whose layout
+    * IS the contract: the dedup ledger's range-sorted
+    * disjoint-fingerprint files, which a hash repartition would
+    * silently destroy — skipping stays SOUND (it admits on missing
+    * evidence) so nothing would flag that every probe degraded back
+    * to reading most ledger files. */
+  def appendLayoutPinned(df: DataFrame, table: String,
+      partitionBy: Seq[String] = Nil): Long =
+    commit(df, table, partitionBy, replaceExisting = false, txn = None,
+      layoutPinned = true).get
+
+  /** See [[appendLayoutPinned]]. */
+  def appendOnceLayoutPinned(df: DataFrame, table: String, appId: String,
+      version: Long, partitionBy: Seq[String] = Nil): Option[Long] =
+    commit(df, table, partitionBy, replaceExisting = false,
+      txn = Some((appId, version)), layoutPinned = true)
 
   /** The table's recorded SetTransaction high-water mark for `appId`. */
   def lastTxnVersion(spark: SparkSession, table: String, appId: String): Option[Long] =

@@ -385,6 +385,15 @@ object Dedup {
     val ledgerHead =
       try Some(graft.io.DeltaRead.latestVersion(ledgerTable)).filter(_ >= 0)
       catch { case _: Exception => None }
+    // A ledger written before the pair key existed has only the single
+    // `fingerprint` column. Compat must hold on BOTH sides of the
+    // probe: reads anti-join on the key(s) the ledger actually has,
+    // and appends must NOT widen the ledger schema mid-stream —
+    // DeltaWrite.commit's strict schema check rightly refuses drift,
+    // so a 3-column append into a 2-column legacy ledger would fail
+    // the first ingest that carries new docs. Legacy ledgers keep the
+    // old single-key behavior (documented odds) end to end.
+    var legacyLedger = false
     val fresh0 = ledgerHead match {
       case None => winners
       case Some(head) =>
@@ -407,10 +416,9 @@ object Dedup {
             spark, ledgerTable, head, "fingerprint", points)
           case None => graft.io.DeltaRead.read(spark, ledgerTable)
         }
-        // a ledger written before the pair key existed anti-joins on the
-        // single fingerprint it has (old behavior, documented odds)
-        val keys = if (ledger.columns.contains("fingerprint2"))
-          Seq("fingerprint", "fingerprint2") else Seq("fingerprint")
+        legacyLedger = !ledger.columns.contains("fingerprint2")
+        val keys = if (legacyLedger) Seq("fingerprint")
+          else Seq("fingerprint", "fingerprint2")
         winners.join(ledger.select(keys.map(col): _*), keys, "left_anti")
     }
     val fresh = fresh0.persist()
@@ -429,16 +437,23 @@ object Dedup {
           .flatMap(_.toLongOption).filter(_ >= 1).getOrElse(500000L)
         val nParts = math.max(1L, (nNew + rowsPerFile - 1) / rowsPerFile)
           .min(10000L).toInt
-        val fps = fresh.select(col("fingerprint"), col("fingerprint2"), col(idCol))
+        val fpCols =
+          if (legacyLedger) Seq(col("fingerprint"), col(idCol))
+          else Seq(col("fingerprint"), col("fingerprint2"), col(idCol))
+        // ledger appends go through the LAYOUT-PINNED door: if anyone
+        // enables delta.autoOptimize.optimizeWrite on the ledger table,
+        // its hash repartition would silently flatten the disjoint
+        // per-file fingerprint ranges this probe prunes on
+        val fps = fresh.select(fpCols: _*)
           .repartitionByRange(nParts, col("fingerprint"))
           .sortWithinPartitions(col("fingerprint"))
         batchId match {
           case Some((app, ver)) =>
             graft.io.DeltaWrite.appendOnce(corpus, corpusTable, app, ver)
-            graft.io.DeltaWrite.appendOnce(fps, ledgerTable, s"$app.ledger", ver)
+            graft.io.DeltaWrite.appendOnceLayoutPinned(fps, ledgerTable, s"$app.ledger", ver)
           case None =>
             graft.io.DeltaWrite.append(corpus, corpusTable)
-            graft.io.DeltaWrite.append(fps, ledgerTable)
+            graft.io.DeltaWrite.appendLayoutPinned(fps, ledgerTable)
         }
       }
       (nNew, total - nNew)

@@ -128,6 +128,33 @@ class AutoOptimizeSpec extends SparkTestBase {
     } finally cleanup(t)
   }
 
+  test("optimizeWrite salt skips map columns (Spark 4 refuses hash on MapType)") {
+    val t = newTable()
+    try {
+      DeltaWrite.append(
+        Seq((0L, "0", Map("k" -> "v"))).toDF("id", "p", "m"), t,
+        partitionBy = Seq("p"))
+      DeltaWrite.setProperties(spark, t, Map(
+        "delta.autoOptimize.optimizeWrite" -> "true",
+        "delta.targetFileSize" -> "1kb"))
+      // one Hive partition far above targetFileSize, schema carrying a
+      // MapType: the split-salt must build from the hashable columns
+      // only — hash() over the map would throw AnalysisException and
+      // fail an append that wrote fine unsalted
+      val pad = "abcdefghij" * 100
+      val df = (1 to 200).map(i => (i.toLong, "1", Map("pad" -> (pad + i))))
+        .toDF("id", "p", "m")
+      val before = DeltaRead.snapshot(spark, t).files.size
+      DeltaWrite.append(df.repartition(8), t, partitionBy = Seq("p"))
+      val p1 = DeltaRead.snapshot(spark, t).files
+        .filter(_.partitionValues.get("p").contains("1"))
+      assert(p1.size > 1,
+        s"the non-map salt must still split the oversized partition: ${p1.size}")
+      assert(DeltaRead.read(spark, t).where($"p" === "1").count() == 200)
+      assert(before >= 1)
+    } finally cleanup(t)
+  }
+
   test("autoCompact OPTIMIZEs exactly the touched partition at the threshold") {
     val t = newTable()
     try {

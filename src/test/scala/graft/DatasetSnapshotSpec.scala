@@ -375,4 +375,74 @@ class DatasetSnapshotSpec extends SparkTestBase {
       }
     } finally cleanup(t)
   }
+
+  test("scheme-ful (clone-style) checkpoint paths decode like the driver: tail removes reconcile") {
+    val t = newTable()
+    try {
+      // a checkpoint the way a foreign writer / SHALLOW CLONE leaves
+      // it: two ABSOLUTE scheme-ful adds pointing into a source table,
+      // one with a percent-encoded segment, plus two normal relative
+      // adds — then a tail that REMOVES one clone entry via its
+      // driver-decoded path. Pre-fix, the Dataset tier kept the scheme
+      // on the checkpoint row, the remove missed, and the dead clone
+      // path stayed live (and unresolvable).
+      val ld = Paths.get(t, "_delta_log")
+      Files.createDirectories(ld)
+      val schemaJson = new org.apache.spark.sql.types.StructType()
+        .add("id", "long").json
+      val addType = "STRUCT<path:STRING,partitionValues:MAP<STRING,STRING>," +
+        "size:BIGINT,modificationTime:BIGINT,stats:STRING>"
+      val metaType = "STRUCT<id:STRING,schemaString:STRING,partitionColumns:ARRAY<STRING>>"
+      def addRow(p: String, size: Long) =
+        s"""named_struct('path', '$p',
+           |  'partitionValues', cast(map() AS MAP<STRING,STRING>),
+           |  'size', ${size}L, 'modificationTime', 1000L,
+           |  'stats', CAST(NULL AS STRING))""".stripMargin
+      val paths = Seq(
+        "rel-a.parquet" -> 1L,
+        "rel-b.parquet" -> 2L,
+        "s3://src-bucket/tbl/clone-dead.parquet" -> 3L,
+        "file:///ext/tbl/clone%20live.parquet" -> 4L)
+      val rows = paths.map { case (p, sz) =>
+        spark.range(1).selectExpr(
+          s"CAST(${addRow(p, sz)} AS $addType) AS add",
+          s"CAST(NULL AS $metaType) AS metaData")
+      }
+      val meta = spark.range(1).selectExpr(
+        s"CAST(NULL AS $addType) AS add",
+        s"CAST(named_struct('id', 'fixture', 'schemaString', '$schemaJson', " +
+          s"'partitionColumns', CAST(array() AS ARRAY<STRING>)) AS $metaType) AS metaData")
+      val staged = Files.createTempDirectory("cpstage2").toString
+      rows.reduce(_.unionByName(_)).unionByName(meta)
+        .coalesce(1).write.mode("overwrite").parquet(staged)
+      val part = new java.io.File(staged).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, ld.resolve(f"${0L}%020d.checkpoint.parquet"))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(staged))
+      Files.write(ld.resolve("_last_checkpoint"), Seq(
+        """{"version":0,"size":5,"numOfAddFiles":4}""").asJava)
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = mapper.createObjectNode()
+      root.putObject("remove")
+        .put("path", "s3://src-bucket/tbl/clone-dead.parquet")
+        .put("dataChange", true)
+      Files.write(ld.resolve(f"${1L}%020d.json"),
+        Seq(mapper.writeValueAsString(root)).asJava)
+
+      val seqPaths = withThreshold(Long.MaxValue) {
+        val s = DeltaRead.snapshot(spark, t)
+        assert(s.index.isInstanceOf[DeltaRead.SeqIndex])
+        s.files.map(_.path).sorted
+      }
+      val dsPaths = withThreshold(1L) {
+        val s = DeltaRead.snapshot(spark, t)
+        assert(s.index.isInstanceOf[DeltaRead.DatasetIndex])
+        s.files.map(_.path).sorted
+      }
+      assert(dsPaths == seqPaths,
+        s"tiers must decode identically:\n  dataset $dsPaths\n  seq     $seqPaths")
+      assert(dsPaths == Seq("/ext/tbl/clone live.parquet", "rel-a.parquet", "rel-b.parquet"),
+        s"scheme stripped, percent decoded, dead clone reconciled away: $dsPaths")
+    } finally cleanup(t)
+  }
 }

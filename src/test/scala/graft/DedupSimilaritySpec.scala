@@ -617,4 +617,73 @@ class DedupSimilaritySpec extends SparkTestBase {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
   }
 
+  test("ingestDeduped keeps appending into a pre-pair-key (legacy) ledger") {
+    import spark.implicits._
+    val base = graft.io.Staging.tempDir("ingest_legacy")
+    val corpus = s"$base/corpus"; val ledger = s"$base/ledger"
+    try {
+      // hand-build a LEGACY ledger: single 64-bit fingerprint + id —
+      // exactly what a pre-upgrade ingest persisted
+      val legacy = Seq((100L, "alpha"), (101L, "beta")).toDF("doc_id", "text")
+        .withColumn("fingerprint", xxhash64($"text"))
+        .select($"fingerprint", $"doc_id")
+      graft.io.DeltaWrite.append(legacy, ledger)
+      graft.io.DeltaWrite.append(
+        Seq((100L, "alpha"), (101L, "beta")).toDF("doc_id", "text"), corpus)
+      // first post-upgrade ingest carrying NEW docs: must dedup against
+      // the single-key ledger AND append without widening its schema
+      // (DeltaWrite's drift check would refuse a 3-column append)
+      val (n, d) = graft.operators.Dedup.ingestDeduped(
+        Seq((1L, "alpha"), (2L, "gamma")).toDF("doc_id", "text"),
+        "doc_id", "text", corpus, ledger)
+      assert(n == 1 && d == 1, s"got ($n, $d)")
+      val cols = graft.io.DeltaRead.read(spark, ledger).columns.toSeq.sorted
+      assert(cols == Seq("doc_id", "fingerprint"),
+        s"legacy ledger must keep its 2-column schema: $cols")
+      assert(graft.io.DeltaRead.read(spark, ledger).count() == 3)
+      // the next ingest dedups on everything the legacy ledger now holds
+      val (n2, d2) = graft.operators.Dedup.ingestDeduped(
+        Seq((3L, "gamma"), (4L, "beta")).toDF("doc_id", "text"),
+        "doc_id", "text", corpus, ledger)
+      assert(n2 == 0 && d2 == 2, s"got ($n2, $d2)")
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+  }
+
+  test("ledger layout survives optimizeWrite enabled on the ledger table") {
+    import spark.implicits._
+    val base = graft.io.Staging.tempDir("ingest_pinned")
+    val corpus = s"$base/corpus"; val ledger = s"$base/ledger"
+    try {
+      spark.conf.set("spark.graft.dedup.ledgerRowsPerFile", "500")
+      val (n1, _) = graft.operators.Dedup.ingestDeduped(
+        (0 until 2000).map(i => (i.toLong, s"seed text $i")).toDF("doc_id", "text"),
+        "doc_id", "text", corpus, ledger)
+      assert(n1 == 2000)
+      // someone enables auto-optimize on the ledger table — its hash
+      // repartition must NOT reach the ledger's pinned range layout
+      graft.io.DeltaWrite.setProperties(spark, ledger,
+        Map("delta.autoOptimize.optimizeWrite" -> "true"))
+      val before = graft.io.DeltaRead.snapshot(spark, ledger).files.map(_.path).toSet
+      val (n2, _) = graft.operators.Dedup.ingestDeduped(
+        (5000 until 7000).map(i => (i.toLong, s"late text $i")).toDF("doc_id", "text"),
+        "doc_id", "text", corpus, ledger)
+      assert(n2 == 2000)
+      val added = graft.io.DeltaRead.snapshot(spark, ledger).files
+        .filterNot(f => before(f.path))
+      assert(added.size >= 3, s"fixture needs a multi-file ledger append: ${added.size}")
+      val bounds = added.flatMap(f =>
+        graft.io.DeltaRead.statsLongBounds(f, "fingerprint"))
+      assert(bounds.size == added.size, "pinned ledger files need fp stats")
+      bounds.sortBy(_._1).sliding(2).foreach {
+        case Seq((_, hi), (lo2, _)) => assert(hi < lo2,
+          "ledger files written under optimizeWrite must stay range-disjoint")
+        case _ => ()
+      }
+    } finally {
+      spark.conf.unset("spark.graft.dedup.ledgerRowsPerFile")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+    }
+  }
+
 }
