@@ -1623,6 +1623,28 @@ object DeltaRead {
     * row-level DELETE (deletion-vector writes) and MERGE build on:
     * "which files hold matching rows, and at which indexes" without
     * any content-based re-identification. */
+  /** The READ schema of `table@version`, resolved WITHOUT enumerating
+    * the snapshot's files when possible. For an unpartitioned table
+    * with a declared schema, the assembled read schema is fully
+    * determined by the log: the scan is schema-pinned to the declared
+    * fields (file-source relations surface them nullable), so the
+    * declared schema `.asNullable` IS the read schema — no file-list
+    * materialization. Partitioned tables fall back to the full
+    * assemble: partition columns re-attach AFTER the data columns and
+    * their nullability follows the live partition VALUES. The
+    * streaming bootstrap is the motivating consumer — resolving a
+    * schema at stream (re)start must not cost a full FileEntry
+    * collect on a 100 TB table. */
+  def readVersionSchema(spark: SparkSession, table: String,
+      version: Long): StructType = {
+    val s = snapshotAt(spark, table, version)
+    s.schema match {
+      case Some(sch) if s.partitionColumns.isEmpty =>
+        relaxNullable(sch).asInstanceOf[StructType]
+      case _ => assemble(spark, table, s).schema
+    }
+  }
+
   def readVersionWithLineage(spark: SparkSession, table: String, version: Long): DataFrame =
     assemble(spark, table, snapshotAt(spark, table, version), keepLineage = true)
 

@@ -3255,6 +3255,34 @@ object DeltaWrite {
     deleteRows(spark, table, _.join(kr, keys, "left_semi"))
   }
 
+  /** Resolve a lineage-derived set of ABSOLUTE data-file paths to
+    * their snapshot entries, INDEX-ROUTED: the small tier builds the
+    * abs-path driver map it always did; the Dataset tier filters
+    * executor-side so the driver only ever holds the TOUCHED entries —
+    * never an O(table-files) map. Row-level DML (DELETE / UPDATE /
+    * MERGE / replaceWhere) is the RECURRING write path of a lakehouse:
+    * one SQL UPDATE on a 10M-file table must not re-open the metadata
+    * ceiling the tiered snapshot closed. */
+  private def touchedEntries(table: String, snap: DeltaRead.DeltaSnapshot,
+      touchedAbs: Set[String], op: String): Seq[DeltaRead.FileEntry] = {
+    def absOf(f: DeltaRead.FileEntry): String =
+      DeltaRead.dataPath(table, f.path).toAbsolutePath.normalize().toString
+    snap.index match {
+      case idx: DeltaRead.DatasetIndex =>
+        val want = touchedAbs
+        val tbl = table
+        val found = idx.filterEntries(f =>
+          want(DeltaRead.dataPath(tbl, f.path).toAbsolutePath.normalize().toString))
+        require(found.size == touchedAbs.size, s"$op: lineage paths " +
+          s"${touchedAbs -- found.map(absOf).toSet} not in snapshot")
+        found.sortBy(absOf)
+      case _ =>
+        val byAbs = snap.files.map(f => (absOf(f), f)).toMap
+        touchedAbs.toSeq.sorted.map(a => byAbs.getOrElse(a,
+          throw new IllegalStateException(s"$op: lineage path $a not in snapshot")))
+    }
+  }
+
   /** Shared DV-delete core: `select` names the doomed rows on the
     * lineage-bearing snapshot read. */
   private def deleteRows(spark: SparkSession, table: String,
@@ -3272,26 +3300,46 @@ object DeltaWrite {
         if (DeltaRead.ColumnMapping.active(snap.columnMappingMode))
           snap.schema.map(DeltaRead.ColumnMapping.physByLogical).getOrElse(Map.empty)
         else Map.empty
-      val byAbs = snap.files.map(f =>
-        (DeltaRead.dataPath(table, f.path).toAbsolutePath.normalize().toString, f)).toMap
-      val oldDvByAbs: Map[String, DeltaDv.Descriptor] =
-        byAbs.collect { case (p, f) if f.dv.isDefined => (p, f.dv.get) }
       val doomed = select(DeltaRead.readVersionWithLineage(spark, table, v))
+      // PERSISTED for the attempt: the lineage positions feed both the
+      // touched-path collect and the per-file DV job — re-running the
+      // doomed scan per consumer would double the select's cost
       val matched = doomed
         .select(org.apache.spark.sql.functions.col(DeltaRead.LineageFile).as[String],
           org.apache.spark.sql.functions.col(DeltaRead.LineagePos).as[Long])
-      // one DV file per touched parquet file, written TASK-side; the
-      // lineage scan already excluded previously-deleted rows, so the
-      // new indexes merge disjointly with the existing bitmap
-      val descs = matched.groupByKey(_._1).mapGroups { (file, it) =>
-        val fresh = it.map(_._2).toArray
-        val old = oldDvByAbs.get(file)
-          .map(d => DeltaDv.deletedRows(table, d)).getOrElse(Array.empty[Long])
-        val rows = (old ++ fresh).sorted
-        val d = DeltaDv.writeDvFile(table, rows.toIndexedSeq)
-        (file, d.pathOrInlineDv, d.offset.getOrElse(-1), d.sizeInBytes, d.cardinality)
-      }.collect()
-      if (descs.isEmpty) return v
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val descs = try {
+        // pass 1: touched paths only, resolved to entries index-routed
+        // — the prior shape built abs-path/DV maps over snap.files,
+        // which on a tiered table is a full driver materialization
+        val touchedAbs = matched.map(_._1).distinct()
+          .collect().toSet
+        if (touchedAbs.isEmpty) return v
+        val touched = touchedEntries(table, snap, touchedAbs, "DELETE")
+        val oldDvByAbs: Map[String, DeltaDv.Descriptor] = touched.collect {
+          case f if f.dv.isDefined =>
+            (DeltaRead.dataPath(table, f.path).toAbsolutePath.normalize().toString,
+              f.dv.get)
+        }.toMap
+        // one DV file per touched parquet file, written TASK-side; the
+        // lineage scan already excluded previously-deleted rows, so the
+        // new indexes merge disjointly with the existing bitmap — the
+        // broadcast map is bounded by the TOUCHED file count
+        val byAbsT = touched.map(f =>
+          (DeltaRead.dataPath(table, f.path).toAbsolutePath.normalize().toString, f))
+          .toMap
+        val d0 = matched.groupByKey(_._1).mapGroups { (file, it) =>
+          val fresh = it.map(_._2).toArray
+          val old = oldDvByAbs.get(file)
+            .map(d => DeltaDv.deletedRows(table, d)).getOrElse(Array.empty[Long])
+          val rows = (old ++ fresh).sorted
+          val d = DeltaDv.writeDvFile(table, rows.toIndexedSeq)
+          (file, d.pathOrInlineDv, d.offset.getOrElse(-1), d.sizeInBytes, d.cardinality)
+        }.collect()
+        (d0, byAbsT)
+      } finally matched.unpersist(blocking = false)
+      val (dvDescs, byAbs) = descs
+      if (dvDescs.isEmpty) return v
       def dvOf(pid: String, off: Int, size: Int, card: Long) =
         DeltaDv.Descriptor("u", pid, if (off < 0) None else Some(off), size, card)
       // CDF-obligated tables record the erased rows as `_change_data`
@@ -3316,7 +3364,7 @@ object DeltaWrite {
         else Seq(upgradeProtocolAction(table, snap,
           extraReader = Set("deletionVectors"),
           extraWriter = Set("deletionVectors")))
-      val fileLines = descs.toSeq.flatMap { case (abs, pid, off, size, card) =>
+      val fileLines = dvDescs.toSeq.flatMap { case (abs, pid, off, size, card) =>
         val f = byAbs(abs)
         val d = dvOf(pid, off, size, card)
         val p = DeltaRead.dataPath(table, f.path)
@@ -3342,7 +3390,7 @@ object DeltaWrite {
         fileLines ++ cdcStaged.map(cdcAction)
       if (publish(table, Some(snap), v + 1, lines)) return v + 1
       // lost the CAS race: reclaim this attempt's DV + cdc files, replan
-      descs.foreach { case (_, pid, off, size, card) =>
+      dvDescs.foreach { case (_, pid, off, size, card) =>
         Files.deleteIfExists(DeltaDv.dvFile(table, dvOf(pid, off, size, card)))
       }
       dropStaged(table, cdcStaged)
@@ -3481,26 +3529,8 @@ object DeltaWrite {
       val touchedAbs = targetKeys.join(activeKeys, keys, "left_semi")
         .select(col(DeltaRead.LineageFile)).distinct()
         .collect().map(_.getString(0)).toSet // one path per touched file
-      // touched-entry lookup is index-routed: the small tier builds the
-      // abs-path map it always did; the Dataset tier filters
-      // executor-side so the driver holds only the TOUCHED entries,
-      // never an O(table files) map
-      def absOf(f: DeltaRead.FileEntry): String =
-        DeltaRead.dataPath(table, f.path).toAbsolutePath.normalize().toString
-      val touched: Seq[DeltaRead.FileEntry] = snap.index match {
-        case idx: DeltaRead.DatasetIndex =>
-          val want = touchedAbs
-          val tbl = table
-          val found = idx.filterEntries(f =>
-            want(DeltaRead.dataPath(tbl, f.path).toAbsolutePath.normalize().toString))
-          require(found.size == touchedAbs.size, "merge: lineage paths " +
-            s"${touchedAbs -- found.map(absOf).toSet} not in snapshot")
-          found.sortBy(absOf)
-        case _ =>
-          val byAbs = snap.files.map(f => (absOf(f), f)).toMap
-          touchedAbs.toSeq.sorted.map(a => byAbs.getOrElse(a,
-            throw new IllegalStateException(s"merge: lineage path $a not in snapshot")))
-      }
+      val touched: Seq[DeltaRead.FileEntry] =
+        touchedEntries(table, snap, touchedAbs, "merge")
       // a row-tracking table's rewrite must PRESERVE the stable ids of
       // kept/updated rows (materialized columns); inserted rows carry
       // null and resolve positionally against their new file's block
@@ -3820,11 +3850,7 @@ object DeltaWrite {
         .reduceOption(_ unionByName _)
         .map(_.distinct().collect().map(_.getString(0)).toSet)
         .getOrElse(Set.empty[String])
-      val byAbs = snap.files.map(f =>
-        (DeltaRead.dataPath(table, f.path).toAbsolutePath.normalize().toString, f)).toMap
-      val touched = touchedAbs.toSeq.sorted.map(a => byAbs.getOrElse(a,
-        throw new IllegalStateException(
-          s"mergeAdvanced: lineage path $a not in snapshot")))
+      val touched = touchedEntries(table, snap, touchedAbs, "mergeAdvanced")
       val matPair: Option[(String, String)] =
         if (rowTrackingOn(snap))
           snap.configuration.get(MatRowIdKey).zip(snap.configuration.get(MatRcvKey))
@@ -4085,11 +4111,7 @@ object DeltaWrite {
         .where(hit).select(col(DeltaRead.LineageFile)).distinct()
         .collect().map(_.getString(0)).toSet
       if (touchedAbs.isEmpty) return v // no row matches: no empty commit
-      val byAbs = snap.files.map(f =>
-        (DeltaRead.dataPath(table, f.path).toAbsolutePath.normalize().toString, f)).toMap
-      val touched = touchedAbs.toSeq.sorted.map(a => byAbs.getOrElse(a,
-        throw new IllegalStateException(
-          s"updateWhere: lineage path $a not in snapshot")))
+      val touched = touchedEntries(table, snap, touchedAbs, "updateWhere")
       val matPair: Option[(String, String)] =
         if (rowTrackingOn(snap))
           snap.configuration.get(MatRowIdKey).zip(snap.configuration.get(MatRcvKey))
@@ -4230,11 +4252,7 @@ object DeltaWrite {
             "replacement predicate — the source frame changed between " +
             "the pre-check and the staged write")).isNull)
       if (touchedAbs.isEmpty && newRows.isEmpty) return v
-      val byAbs = snap.files.map(f =>
-        (DeltaRead.dataPath(table, f.path).toAbsolutePath.normalize().toString, f)).toMap
-      val touched = touchedAbs.toSeq.sorted.map(a => byAbs.getOrElse(a,
-        throw new IllegalStateException(
-          s"replaceWhere: lineage path $a not in snapshot")))
+      val touched = touchedEntries(table, snap, touchedAbs, "replaceWhere")
       val matPair: Option[(String, String)] =
         if (rowTrackingOn(snap))
           snap.configuration.get(MatRowIdKey).zip(snap.configuration.get(MatRcvKey))

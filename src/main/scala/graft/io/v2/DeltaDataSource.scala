@@ -51,7 +51,7 @@ class DeltaDataSource extends RelationProvider
     val v = parameters.get("startingVersion")
       .map(x => math.max(x.toLong - 1, 0L))
       .getOrElse(DeltaRead.latestVersion(path))
-    (shortName(), DeltaRead.readVersion(sqlContext.sparkSession, path, v).schema)
+    (shortName(), DeltaRead.readVersionSchema(sqlContext.sparkSession, path, v))
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,

@@ -95,7 +95,7 @@ class DeltaTableSource(spark: SparkSession, table: String,
       case None => (DeltaRead.latestVersion(table), true)
     }
     def schemaOf(b: Long): StructType =
-      DeltaRead.readVersion(spark, table, math.max(b, 0L)).schema
+      DeltaRead.readVersionSchema(spark, table, math.max(b, 0L))
     if (fs.exists(f)) {
       val in = fs.open(f)
       val raw = try new String(
@@ -149,8 +149,24 @@ class DeltaTableSource(spark: SparkSession, table: String,
   private def fileList(v: Long): Seq[(String, Long)] = listCache.getOrElseUpdate(v, {
     if (v == base) {
       if (!baseIsSnapshot) Nil
-      else DeltaRead.snapshotAt(spark, table, base).files
-        .map(f => (f.path, f.sizeOrStat(table))).sortBy(_._1)
+      else DeltaRead.snapshotAt(spark, table, base).index match {
+        // Dataset tier: the bootstrap needs only the (path, size)
+        // pacing pair, so it enumerates straight from the frame —
+        // materializing full FileEntries (stats JSON, DV descriptors,
+        // partition maps) for the whole base snapshot is exactly the
+        // driver ceiling the tier exists to avoid, and it is the first
+        // thing a 100 TB tail would do
+        case idx: DeltaRead.DatasetIndex =>
+          import org.apache.spark.sql.functions.col
+          idx.df.select(col("path"), col("size"))
+            .orderBy(col("path")).collect()
+            .map(r => (r.getString(0),
+              if (r.isNullAt(1))
+                java.nio.file.Files.size(DeltaRead.dataPath(table, r.getString(0)))
+              else r.getLong(1))).toSeq
+        case idx =>
+          idx.seq.map(f => (f.path, f.sizeOrStat(table))).sortBy(_._1)
+      }
     } else {
       // a commit that DECLARED a different schema poisons every later
       // file list: cross-version unions against the bootstrap schema

@@ -376,6 +376,71 @@ class DatasetSnapshotSpec extends SparkTestBase {
     } finally cleanup(t)
   }
 
+  test("tiered row-level DML: delete/update/mergeAdvanced/replaceWhere resolve touched entries index-routed") {
+    val t = newTable()
+    try {
+      (0 until 8).foreach(k => DeltaWrite.append(
+        Seq((k.toLong, s"r$k", k % 2)).toDF("id", "s", "grp").coalesce(1), t))
+      DeltaWrite.checkpoint(spark, t) // advertises 8 adds
+      withThreshold(5L) {
+        assert(DeltaRead.snapshot(spark, t).index
+          .isInstanceOf[DeltaRead.DatasetIndex])
+        // Each op's ONLY permitted materialization is its full-table
+        // lineage scan (a parquet scan needs the path list — inherent);
+        // the TOUCHED-ENTRY resolution must go through filterEntries.
+        // Pre-fix, every op below also built a full snap.files →
+        // byAbs driver map: one extra seam fire each, O(table-files)
+        // driver memory on a 10M-file table.
+        val fired = new java.util.concurrent.atomic.AtomicInteger(0)
+        withSeam(fired) {
+          DeltaWrite.deleteWhere(spark, t, col("id") === 6L)
+        }
+        assert(fired.get == 1,
+          s"DELETE must materialize only its lineage scan, fired ${fired.get}")
+        fired.set(0)
+        withSeam(fired) {
+          DeltaWrite.updateWhere(spark, t, col("id") === 3L,
+            Seq("s" -> lit("upd")))
+        }
+        assert(fired.get == 1,
+          s"UPDATE must materialize only its lineage scan, fired ${fired.get}")
+        assert(DeltaRead.read(spark, t).where($"id" === 3L)
+          .select($"s").as[String].head() == "upd")
+        fired.set(0)
+        withSeam(fired) {
+          DeltaWrite.mergeAdvanced(spark, t,
+            Seq((1L, "m1", 1), (50L, "m50", 0)).toDF("id", "s", "grp"), Seq("id"),
+            matched = Seq(DeltaWrite.MergeUpdateWhen(None,
+              Seq("s" -> DeltaWrite.mergeSrc("s")))),
+            notMatched = Seq(DeltaWrite.MergeInsertWhen(None,
+              Seq("id" -> col("id"), "s" -> col("s"), "grp" -> col("grp")))))
+        }
+        assert(fired.get <= 2,
+          s"MERGE must not materialize beyond its scans, fired ${fired.get}")
+        assert(DeltaRead.read(spark, t).where($"id" === 1L)
+          .select($"s").as[String].head() == "m1")
+        fired.set(0)
+        withSeam(fired) {
+          DeltaWrite.replaceWhere(spark, t,
+            Seq((100L, "rw", 1)).toDF("id", "s", "grp"), col("grp") === 1)
+        }
+        assert(fired.get == 1,
+          s"replaceWhere must materialize only its lineage scan, fired ${fired.get}")
+        // end state: all four rewrites composed correctly on the tier.
+        // grp=1 rows (1,3,5,7 — including the updated and merged ones)
+        // were replaced wholesale by (100,"rw",1); grp=0 keeps the
+        // delete (id 6 gone) and the merge insert (id 50).
+        val rows = DeltaRead.read(spark, t).as[(Long, String, Int)]
+          .collect().sortBy(_._1).toSeq
+        assert(rows.filter(_._3 == 1) == Seq((100L, "rw", 1)),
+          s"replaceWhere must have replaced every grp=1 row: $rows")
+        assert(rows.filter(_._3 == 0).map(r => (r._1, r._2)) ==
+          Seq((0L, "r0"), (2L, "r2"), (4L, "r4"), (50L, "m50")),
+          s"grp=0 must keep the DELETE and the MERGE insert: $rows")
+      }
+    } finally cleanup(t)
+  }
+
   test("scheme-ful (clone-style) checkpoint paths decode like the driver: tail removes reconcile") {
     val t = newTable()
     try {

@@ -286,4 +286,37 @@ class DeltaTableStreamSpec extends SparkTestBase {
       assert(got.size == 11 && got.exists(_._1 == 1L) && got.exists(_._1 == 50L))
     } finally cleanup(src)
   }
+
+  test("tiered table: stream bootstrap enumerates the base snapshot from the frame") {
+    val src = newDir("gdstream_tier")
+    val thresholdKey = DeltaRead.DatasetThresholdKey
+    try {
+      (0 until 8).foreach(k => DeltaWrite.append(
+        Seq((k.toLong, s"a$k")).toDF("id", "txt").coalesce(1), src))
+      DeltaWrite.checkpoint(spark, src) // _last_checkpoint advertises 8 adds
+      spark.conf.set(thresholdKey, "5")
+      assert(DeltaRead.snapshot(spark, src).index
+        .isInstanceOf[DeltaRead.DatasetIndex])
+      // Seam QUIET through the whole first start: the base FILE LIST
+      // rides the frame (pre-fix, fileList(base) collected full
+      // FileEntries for the whole snapshot — a 100 TB tail's first
+      // act), and BOTH schema resolutions (provider sourceSchema +
+      // the persisted bootstrap marker) resolve from the declared log
+      // schema, not a full assemble.
+      val fired = new java.util.concurrent.atomic.AtomicInteger(0)
+      DeltaRead.onDatasetMaterialize = Some(_ => fired.incrementAndGet())
+      try {
+        val q = spark.readStream.format("graft-delta").load(src)
+          .writeStream.format("memory").queryName("gd_tier").start()
+        q.processAllAvailable(); q.stop()
+      } finally DeltaRead.onDatasetMaterialize = None
+      assert(fired.get == 0,
+        s"bootstrap must not materialize the base snapshot, fired ${fired.get}")
+      assert(rows(spark.table("gd_tier")) == rows(DeltaRead.read(spark, src)),
+        "tiered bootstrap must surface exactly the base snapshot")
+    } finally {
+      spark.conf.unset(thresholdKey)
+      cleanup(src)
+    }
+  }
 }
