@@ -101,8 +101,35 @@ object TxLog {
     * manifest to a temp name, then hard-link it to the version path —
     * link(2) fails with EEXIST atomically on POSIX; a Hadoop
     * deployment swaps this seam for HDFS rename (same contract). */
+  /** SCALE ADJUDICATION: TxLog is the SMALL-TABLE / bootstrap commit
+    * tier BY FORMAT DESIGN — every manifest lists the complete live
+    * file set, so commit cost and snapshot state are O(table files)
+    * no matter how the in-memory side is tiered (contrast
+    * [[DeltaRead]]'s checkpoint-plus-tail log, whose Dataset tier
+    * keeps the driver at O(tail)). That is the right trade below
+    * ~100k files: one fsync-able text file, zero format dependencies,
+    * trivially auditable. Past the threshold the 100 TB exit is the
+    * Delta writer ([[DeltaWrite]]) via [[DeltaBridge.exportTxLog]] —
+    * a zero-copy log rewrite. Crossing the threshold WARNS loudly
+    * instead of failing (a working pipeline must not break the day it
+    * grows), once per commit, with the migration pointer. */
+  private[graft] var scaleWarnFiles: Int = 100000
+  /** TEST SEAM: fires with (table, live-file count) whenever a commit
+    * crosses [[scaleWarnFiles]]. */
+  private[graft] var onScaleWarning: Option[(String, Int) => Unit] = None
+  private def warnScale(table: String, n: Int): Unit =
+    if (n >= scaleWarnFiles) {
+      onScaleWarning.foreach(_(table, n))
+      System.err.println(s"[graft] TxLog manifest for $table lists $n live " +
+        s"files (threshold $scaleWarnFiles). TxLog rewrites the FULL live " +
+        "list per commit — it is the small-table tier. Migrate to the " +
+        "Delta writer (graft.io.DeltaWrite) via DeltaBridge.exportTxLog " +
+        "for O(delta) commits and a tiered metadata plane.")
+    }
+
   def tryCommit(table: String, expectedVersion: Long, files: Seq[String],
       schemaJson: String = ""): Boolean = {
+    warnScale(table, files.size)
     val ld = logDir(table)
     Files.createDirectories(ld)
     val tmp = ld.resolve(s".tmp-${UUID.randomUUID()}")

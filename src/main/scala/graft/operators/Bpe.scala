@@ -68,6 +68,84 @@ object Bpe {
     scala.collection.immutable.ArraySeq.unsafeWrapArray(toks)
   }
 
+  /** One learned merge: the fused pair, its weighted adjacent-pair
+    * count at selection time, and the vocab's total weighted token
+    * count AFTER applying it (strictly decreasing — the training
+    * progress curve). */
+  final case class LearnedMerge(l: String, r: String, pairCount: Long,
+      tokensAfter: Long)
+
+  /** BPE TRAINING — learn `k` merges from a (word, count) vocabulary
+    * (Sennrich et al. '16): iterate k times — count every adjacent
+    * token pair weighted by word frequency, fuse the argmax pair
+    * (ties: count desc, then pair lexicographic) across the whole
+    * vocab left-to-right non-overlapping, repeat on the new
+    * tokenization. Closes the loop with [[encodeWords]]: q152 computes
+    * one round of these statistics; this runs the full course and the
+    * learned table feeds the encoder.
+    *
+    * Scale shape: everything runs on the DEDUPLICATED word table
+    * (vocabulary-scaled, never corpus-scaled); per round, one
+    * pair-count aggregation plus a ONE-ROW argmax collect reach the
+    * driver — k rows total, the k-means-centroids discipline. Each
+    * round ends in an eager localCheckpoint: the fold-apply doubles
+    * the plan per round otherwise.
+    *
+    * The per-round single-merge application is a left-to-right greedy
+    * fold: a fused token never equals the merge's own LEFT element
+    * (products are strictly longer), so the fold cannot spuriously
+    * re-fuse its own output — making it equivalent to scan-and-skip,
+    * which is what the DuckDB oracle replays with `replace()`. */
+  def learnMerges(words: DataFrame, wordCol: String, countCol: String,
+      k: Int): Seq[LearnedMerge] = {
+    import org.apache.spark.sql.functions._
+    require(k >= 1, s"learnMerges: k must be >= 1, got $k")
+    var cur = words
+      .select(col(countCol).cast("long").as("wc"),
+        split(col(wordCol), "").as("toks"))
+      .localCheckpoint(true)
+    val out = scala.collection.mutable.ArrayBuffer.empty[LearnedMerge]
+    var round = 0
+    while (round < k) {
+      val pairs = cur.where(size(col("toks")) >= 2)
+        .select(col("wc"), explode(transform(
+          sequence(lit(0), size(col("toks")) - 2),
+          i => struct(element_at(col("toks"), i + 1).as("l"),
+            element_at(col("toks"), i + 2).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("wc")).as("n"))
+        .orderBy(col("n").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      require(pairs.nonEmpty,
+        s"learnMerges: vocabulary exhausted after ${out.size} merges (asked $k)")
+      val (l, r, n) = (pairs(0).getString(0), pairs(0).getString(1),
+        pairs(0).getLong(2))
+      cur = cur.withColumn("toks", applyOneMerge(col("toks"), l, r))
+        .localCheckpoint(true)
+      val toksAfter = cur
+        .agg(sum(col("wc") * size(col("toks"))).cast("long")).collect()(0).getLong(0)
+      out += LearnedMerge(l, r, n, toksAfter)
+      round += 1
+    }
+    out.toSeq
+  }
+
+  /** Fuse every left-to-right non-overlapping adjacent (l, r) in a
+    * token array — one training round's application, as a fold (see
+    * [[learnMerges]] for why the fold is equivalent to scan-and-skip). */
+  private[graft] def applyOneMerge(toks: org.apache.spark.sql.Column,
+      l: String, r: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    // size==0 branches FIRST: ANSI mode makes element_at(acc, -1)
+    // throw on an empty array, and CaseWhen is the sanctioned
+    // short-circuit
+    aggregate(toks, array().cast("array<string>"), (acc, t) =>
+      when(size(acc) === 0, array(t))
+        .when(element_at(acc, -1) === lit(l) && t === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(t))))
+  }
+
   /** Appends `out` (array&lt;string&gt; of BPE tokens) for `wordCol`.
     * Runs over the (deduplicated) word table — encode-then-join-back
     * is the corpus shape. */

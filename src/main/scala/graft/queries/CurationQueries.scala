@@ -1316,6 +1316,127 @@ object CurationQueries {
             |FROM toks JOIN words USING (w)
             |GROUP BY tok ORDER BY n DESC, tok LIMIT 25""".stripMargin))
 
+  /** q247/q248 share q244's vocabulary (top-2000 lowercase [a-z]+
+    * words by corpus frequency, fully tie-broken). */
+  private def bpeVocab(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(explode(transform(TextAnalysis.tokens($"text"), lower(_))).as("w"))
+      .where($"w".rlike("^[a-z]+$"))
+      .groupBy($"w").agg(count(lit(1)).as("wc"))
+      .orderBy($"wc".desc, $"w".asc).limit(2000)
+  }
+
+  private val BpeVocabSql =
+    s"""words AS MATERIALIZED (
+       |  SELECT w, wc FROM (
+       |    SELECT w, count(*) AS wc FROM (
+       |      SELECT unnest(list_transform($toksSql, x -> lower(x))) AS w
+       |      FROM documents)
+       |    WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY w)
+       |  ORDER BY wc DESC, w LIMIT 2000)""".stripMargin
+
+  private val BpeLearnK = 8
+
+  /** The oracle's UNROLLED training course: per round j, pair counts
+    * p{j} from the previous tokenization, argmax m{j} (count desc,
+    * pair lexicographic), application t{j} via `replace` on the
+    * parenthesized token string (left-to-right non-overlapping —
+    * exactly [[graft.operators.Bpe.applyOneMerge]]'s fold). No
+    * recursion-with-aggregation needed: K is a fixed constant, so the
+    * course unrolls into plain chained CTEs. */
+  private def bpeLearnCtes(k: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """t0 AS MATERIALIZED (
+        |  SELECT w, wc, '(' || array_to_string(list_transform(range(length(w)),
+        |    i -> w[CAST(i AS INT)+1]), ')(') || ')' AS s
+        |  FROM words)""".stripMargin)
+    for (j <- 1 to k) {
+      sb.append(s""",
+                   |tk${j - 1} AS MATERIALIZED (
+                   |  SELECT w, wc, string_split(trim(s, '()'), ')(') AS toks
+                   |  FROM t${j - 1}),
+                   |p$j AS (
+                   |  SELECT pr['l'] AS l, pr['r'] AS r, CAST(sum(wc) AS BIGINT) AS n
+                   |  FROM (
+                   |    SELECT wc, unnest(list_transform(range(len(toks)-1),
+                   |      q -> {'l': toks[CAST(q AS INT)+1],
+                   |            'r': toks[CAST(q AS INT)+2]})) AS pr
+                   |    FROM tk${j - 1} WHERE len(toks) >= 2)
+                   |  GROUP BY 1, 2),
+                   |m$j AS MATERIALIZED (SELECT l, r, n FROM p$j ORDER BY n DESC, l, r LIMIT 1),
+                   |t$j AS MATERIALIZED (SELECT w, wc, replace(s,
+                   |  '(' || (SELECT l FROM m$j) || ')(' || (SELECT r FROM m$j) || ')',
+                   |  '(' || (SELECT l || r FROM m$j) || ')') AS s FROM t${j - 1})""".stripMargin)
+    }
+    sb.toString
+  }
+
+  /** q247 — BPE TRAINING, the other half of q152's counting kernel
+    * and the feeder of q244's encoder: learn K merges over the corpus
+    * vocabulary ([[graft.operators.Bpe.learnMerges]] — per round one
+    * vocabulary-scaled pair count + a one-row argmax collect). Output
+    * is the full training course: each merge with its selection-time
+    * pair count AND the vocab's weighted token count after applying
+    * it — so the oracle (an unrolled K-stage replay in plain SQL)
+    * pins not just which pairs win but that each application fused
+    * exactly the right occurrences. */
+  val q247BpeLearn = GQuery(
+    "q247_bpe_learn",
+    (s, d) => {
+      import s.implicits._
+      val learned = graft.operators.Bpe.learnMerges(
+        bpeVocab(s, d), "w", "wc", BpeLearnK)
+      learned.zipWithIndex.map { case (m, i) =>
+        (i + 1, m.l, m.r, m.pairCount, m.tokensAfter)
+      }.toDF("mrank", "l", "r", "pair_n", "toks_after")
+    },
+    Some {
+      val rows = (1 to BpeLearnK).map { j =>
+        s"""SELECT $j AS mrank, (SELECT l FROM m$j) AS l,
+           |  (SELECT r FROM m$j) AS r,
+           |  (SELECT n FROM m$j) AS pair_n,
+           |  (SELECT CAST(sum(wc * len(string_split(trim(s, '()'), ')(')))
+           |     AS BIGINT) FROM t$j) AS toks_after""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $BpeVocabSql,
+         |${bpeLearnCtes(BpeLearnK)}
+         |SELECT * FROM ($rows) ORDER BY mrank""".stripMargin
+    })
+
+  /** q248 — the CLOSED train→encode loop: learn K merges (q247's
+    * course), hand them to [[graft.operators.Bpe.encodeWords]] as a
+    * rank-ordered merge table, and report the encoded vocabulary's
+    * top token counts (q244's shape, under LEARNED merges instead of
+    * the pinned English table). The oracle takes the unrolled
+    * training's FINAL tokenization t{K} — classic BPE's invariant
+    * that rank-greedy encoding replays training on the training
+    * vocabulary — so a divergence in either the learner, the encoder,
+    * or their agreement turns the row red. */
+  val q248BpeLearnedEncode = GQuery(
+    "q248_bpe_learned_encode",
+    (s, d) => {
+      import s.implicits._
+      val words = bpeVocab(s, d).persist()
+      val learned = graft.operators.Bpe.learnMerges(words, "w", "wc", BpeLearnK)
+        .map(m => (m.l, m.r))
+      val out = graft.operators.Bpe.encodeWords(words, "w", learned)
+        .select($"wc", explode($"bpe").as("tok"))
+        .groupBy($"tok").agg(sum($"wc").cast("long").as("n"))
+        .orderBy($"n".desc, $"tok".asc).limit(25)
+      val materialized = out.collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
+      words.unpersist()
+      materialized.toDF("tok", "n")
+    },
+    Some(s"""WITH $BpeVocabSql,
+            |${bpeLearnCtes(BpeLearnK)}
+            |SELECT tok, CAST(sum(wc) AS BIGINT) AS n FROM (
+            |  SELECT wc, unnest(string_split(trim(s, '()'), ')(')) AS tok
+            |  FROM t$BpeLearnK)
+            |GROUP BY tok ORDER BY n DESC, tok LIMIT 25""".stripMargin))
+
   val all: Seq[GQuery] = Seq(
     q233GopherRepetition, q235CurationFunnel,
     q117ChunkDedup, q118PiiRedaction, q119Contamination, q120DomainStats,
@@ -1323,5 +1444,6 @@ object CurationQueries {
     q150DupNgrams, q151AdaptiveQuality, q152BpePairs, q169DataMixing,
     q172CorpusRelease, q173VocabOverlap, q182PplBuckets, q185ClassifierGate,
     q187Calibration, q188PaddingWaste, q190ClassifierKappa, q191DsirSelection,
-    q192TokenFertility, q204DsirThreshold, q244BpeEncode)
+    q192TokenFertility, q204DsirThreshold, q244BpeEncode, q247BpeLearn,
+    q248BpeLearnedEncode)
 }

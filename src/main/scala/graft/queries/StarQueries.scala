@@ -862,6 +862,118 @@ object StarQueries {
            |  CAST(sum(lab) AS BIGINT) AS sum_keep_ids
            |FROM g""".stripMargin))
 
+  /** q246 — Hamming-RADIUS recall, oracle-pinned end to end: the
+    * pigeonhole guarantee is [[graft.operators.Dedup
+    * .hammingNearDupPairs]]'s selling point (q243/q245 exercise only
+    * Hamming 0), so this corpus PLANTS images at exact dHash distances
+    * 1, 2 and 3 from a base image by flipping pooled LEFTMOST-column
+    * cells (a column-0 cell feeds exactly ONE gradient bit, so each
+    * flip moves the hash by at most one deterministic bit). The
+    * operator runs at `maxHamming = 2, bands = 4` (radius < bands →
+    * deterministic recall) and at radius 1; the oracle recomputes
+    * every variant's 64-bit hash from the construction arithmetic and
+    * takes TRUE all-pairs `bit_count(xor) <= radius` as ground truth —
+    * so the banded join's recall, the exact-verify rejection of the
+    * distance-3 plants, and the pair identities (sum of ids) are all
+    * pinned against an oracle that never bands. */
+  private def flippedImageCorpus(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    import graft.operators.PngCodec
+    val docs = Tables.documents(s, d).select($"doc_id").as[Long]
+      .filter(id => id % 7 == 0 && id < 20000)
+    docs.flatMap { id =>
+      def pat(r: Int, c: Int): Int = ((id * 37 + r * 11 + c * 7) % 256).toInt
+      // flipping grid cell (r, 0) toward 0/255 reverses (or pins, when
+      // the right neighbor is saturated — the oracle mirrors the CASE)
+      // the single gradient bit (r, 0)
+      def flipVal(r: Int): Int = if (pat(r, 0) > pat(r, 1)) 0 else 255
+      val flipRows = Seq(
+        Seq.empty[Int],                                        // v0: base
+        Seq((id % 8).toInt),                                   // v1: 1 bit
+        Seq((id % 8).toInt, ((id + 3) % 8).toInt),             // v2: 2 bits
+        Seq((id % 8).toInt, ((id + 3) % 8).toInt, ((id + 5) % 8).toInt)) // v3: 3
+      flipRows.zipWithIndex.map { case (rows, v) =>
+        val g = Array.tabulate(18 * 16) { i =>
+          val gr = (i / 18) / 2; val gc = (i % 18) / 2
+          (if (gc == 0 && rows.contains(gr)) flipVal(gr) else pat(gr, gc)).toByte
+        }
+        (id + v * 1000000L, PngCodec.encode(18, 16, 1, g))
+      }
+    }.toDF("img_id", "payload")
+  }
+
+  val q246HammingRecall = GQuery(
+    "q246_image_hamming_recall",
+    (s, d) => {
+      import s.implicits._
+      import graft.operators.Dedup
+      val hashed = Multimodal.dhashImages(flippedImageCorpus(s, d), "payload")
+        .where($"dhash".isNotNull).persist()
+      val ha = hashed.select($"img_id".as("id_a"), $"dhash".as("__ha"))
+      val hb = hashed.select($"img_id".as("id_b"), $"dhash".as("__hb"))
+      val pairs2 = Dedup.hammingNearDupPairs(hashed, "img_id", "dhash",
+        maxHamming = 2, bands = 4)
+        .join(ha, "id_a").join(hb, "id_b")
+        .withColumn("dist", bit_count($"__ha".bitwiseXOR($"__hb")))
+      val nPairs1 = Dedup.hammingNearDupPairs(hashed, "img_id", "dhash",
+        maxHamming = 1, bands = 4).count()
+      val nImgs = hashed.count()
+      val agg = pairs2.agg(
+        count(lit(1)).cast("long"),
+        count(when($"dist" === 0, 1)).cast("long"),
+        count(when($"dist" === 1, 1)).cast("long"),
+        count(when($"dist" === 2, 1)).cast("long"),
+        coalesce(sum($"id_a" + $"id_b"), lit(0L)).cast("long")).collect()(0)
+      hashed.unpersist()
+      Seq((nImgs, agg.getLong(0), nPairs1, agg.getLong(1), agg.getLong(2),
+        agg.getLong(3), agg.getLong(4)))
+        .toDF("n_imgs", "n_pairs_h2", "n_pairs_h1", "n_d0", "n_d1", "n_d2",
+          "sum_pair_ids")
+    },
+    Some("""WITH ids AS (
+           |  SELECT doc_id AS id FROM documents
+           |  WHERE doc_id % 7 = 0 AND doc_id < 20000),
+           |gval AS (
+           |  SELECT i.id, v.v, r.r, c.c,
+           |    CASE WHEN c.c = 0 AND (
+           |           (v.v >= 1 AND r.r = i.id % 8) OR
+           |           (v.v >= 2 AND r.r = (i.id + 3) % 8) OR
+           |           (v.v >= 3 AND r.r = (i.id + 5) % 8))
+           |      THEN CASE WHEN ((i.id*37 + r.r*11) % 256) >
+           |                     ((i.id*37 + r.r*11 + 7) % 256)
+           |                THEN 0 ELSE 255 END
+           |      ELSE (i.id*37 + r.r*11 + c.c*7) % 256 END AS g
+           |  FROM ids i, (VALUES (0),(1),(2),(3)) AS v(v),
+           |       range(8) AS r(r), range(9) AS c(c)),
+           |hashes AS (
+           |  -- bit 63 lands as -2^63 in HUGEINT space (DuckDB refuses
+           |  -- the overflowing 1<<63), so the BIGINT cast reproduces
+           |  -- the exact two's-complement pattern
+           |  SELECT a.id, a.v, a.id + a.v * 1000000 AS img_id,
+           |    CAST(sum(CASE WHEN a.g > b.g THEN
+           |        CASE WHEN a.r*8 + a.c = 63 THEN (-9223372036854775808)::HUGEINT
+           |             ELSE (1::BIGINT << CAST(a.r*8 + a.c AS INT))::HUGEINT END
+           |      ELSE 0::HUGEINT END) AS BIGINT) AS h
+           |  FROM gval a JOIN gval b
+           |    ON a.id = b.id AND a.v = b.v AND a.r = b.r AND b.c = a.c + 1
+           |  WHERE a.c < 8
+           |  GROUP BY a.id, a.v),
+           |pairs AS (
+           |  SELECT a.img_id AS ia, b.img_id AS ib,
+           |         bit_count(xor(a.h, b.h)) AS d
+           |  FROM hashes a JOIN hashes b ON a.img_id < b.img_id
+           |  WHERE bit_count(xor(a.h, b.h)) <= 2)
+           |SELECT
+           |  (SELECT count(*) FROM hashes) AS n_imgs,
+           |  (SELECT count(*) FROM pairs) AS n_pairs_h2,
+           |  (SELECT count(*) FROM pairs WHERE d <= 1) AS n_pairs_h1,
+           |  (SELECT count(*) FROM pairs WHERE d = 0) AS n_d0,
+           |  (SELECT count(*) FROM pairs WHERE d = 1) AS n_d1,
+           |  (SELECT count(*) FROM pairs WHERE d = 2) AS n_d2,
+           |  CAST((SELECT coalesce(sum(ia + ib), 0) FROM pairs) AS BIGINT)
+           |    AS sum_pair_ids""".stripMargin))
+
   val all: Seq[GQuery] = Seq(
     q32DimCustomer, q33FactOrders, q34StarAgg, q39ValidationReport,
     q48FlagshipPipeline, q50MultimodalMeta, q51WindowTumbling,
@@ -869,5 +981,5 @@ object StarQueries {
     q65TagBridge, q66BridgeOrderPart, q67FactMetricas, q68TagRevenue,
     q76MultimodalPlans, q176ImageHeaders, q205PngPixels, q211GifPixels,
     q212WavAudio, q213JpegPixels, q214VideoMeta, q243ImageNearDup,
-    q245ImageDedupGroups)
+    q245ImageDedupGroups, q246HammingRecall)
 }

@@ -55,4 +55,54 @@ class BpeSpec extends SparkTestBase {
       .as[(String, Long)].collect().toMap
     assert(counts("the") == 10L && counts("a") == 3L && counts("ing") == 3L)
   }
+
+  test("learnMerges: hand-computed course on a toy vocabulary") {
+    // vocab: low*5, lower*2, newest*6, widest*3
+    // round 1 pairs: (l,o)=7, (o,w)=7, (w,e)=8(2 lower + 3 widest... )
+    // — let the assertions carry the exact arithmetic:
+    //   es: newest 6 + widest 3 = 9  <- argmax round 1
+    //   st: 6 + 3 = 9 ties es; tie-break pair asc: (e,s) < (s,t)
+    val words = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+      .toDF("w", "wc")
+    val learned = Bpe.learnMerges(words, "w", "wc", 3)
+    assert(learned(0).l == "e" && learned(0).r == "s" && learned(0).pairCount == 9L,
+      s"round 1 must fuse (e,s) on count 9 (tie with st broken lexicographically): $learned")
+    // tokens before: low 3*5 + lower 5*2 + newest 6*6 + widest 6*3 = 79
+    // round 1 fuses one es per newest/widest occurrence: 79 - 9 = 70
+    assert(learned(0).tokensAfter == 70L, s"got $learned")
+    // round 2: (es,t): 6+3=9 wins (l,o)/(o,w)=7
+    assert(learned(1).l == "es" && learned(1).r == "t" && learned(1).pairCount == 9L)
+    assert(learned(1).tokensAfter == 61L)
+    // round 3: (l,o)=7 and (o,w)=7 tie; (l,o) < (o,w)
+    assert(learned(2).l == "l" && learned(2).r == "o" && learned(2).pairCount == 7L)
+    assert(learned(2).tokensAfter == 54L)
+  }
+
+  test("learnMerges overlapping-pair accounting: counts are pair counts, fusions are fewer") {
+    // "aaaa"*1: round-1 pair (a,a) counts 3 ADJACENCIES but fuses only
+    // 2 non-overlapping occurrences -> tokensAfter = 4 - 2 = 2, not 1
+    val words = Seq(("aaaa", 1L)).toDF("w", "wc")
+    val learned = Bpe.learnMerges(words, "w", "wc", 1)
+    assert(learned(0).l == "a" && learned(0).r == "a" && learned(0).pairCount == 3L)
+    assert(learned(0).tokensAfter == 2L,
+      s"batch fusion is greedy non-overlapping: $learned")
+  }
+
+  test("train->encode closure: encodeWords under learned merges replays the training tokenization") {
+    // rank-greedy encoding reproduces training's tokenization on the
+    // training vocabulary (the classic BPE invariant q248 pins
+    // corpus-scale): verify on a vocab where merges chain and tie
+    val words = Seq(("low", 5L), ("lower", 2L), ("newest", 6L),
+      ("widest", 3L), ("lowest", 4L), ("aaaa", 2L)).toDF("w", "wc")
+    val learned = Bpe.learnMerges(words, "w", "wc", 6)
+    // training tokenization: re-apply the course one merge at a time
+    var cur = words.select($"w", split($"w", "").as("toks"))
+    learned.foreach(m =>
+      cur = cur.withColumn("toks", Bpe.applyOneMerge($"toks", m.l, m.r)))
+    val trained = cur.as[(String, Seq[String])].collect().toMap
+    val encoded = Bpe.encodeWords(words, "w", learned.map(m => (m.l, m.r)))
+      .select($"w", $"bpe").as[(String, Seq[String])].collect().toMap
+    assert(encoded == trained,
+      s"encode must replay training:\n  enc $encoded\n  trn $trained")
+  }
 }

@@ -183,4 +183,32 @@ class TxLogSpec extends SparkTestBase {
       assert(TxLog.read(spark, t).count() == 10)
     } finally cleanup(t)
   }
+
+  test("scale guard: a manifest past the threshold warns loudly with the Delta exit") {
+    val t = tmpTable()
+    val prior = TxLog.scaleWarnFiles
+    val fired = new java.util.concurrent.atomic.AtomicReference[(String, Int)]()
+    try {
+      TxLog.scaleWarnFiles = 2
+      TxLog.onScaleWarning = Some((tbl, n) => fired.set((tbl, n)))
+      // below threshold: silent (the staged anti-join lands one file)
+      TxLog.appendNew((1 to 20).map(i => (i.toLong, "a")).toDF("id", "v"),
+        t, Seq("id"))
+      assert(fired.get == null, "below-threshold commits must stay silent")
+      // a commit whose manifest lists >= threshold LIVE files: the seam
+      // fires with the live count — working pipeline, loud operator
+      // signal, never a failure
+      val snap = TxLog.appendNew(
+        (21 to 60).map(i => (i.toLong, "b")).toDF("id", "v"), t, Seq("id"))
+      assert(snap.files.size >= 2, s"fixture needs >=2 live files: ${snap.files.size}")
+      val got = fired.get
+      assert(got != null && got._1 == t && got._2 == snap.files.size,
+        s"threshold crossing must warn with the live count, got $got")
+      assert(TxLog.read(spark, t).count() == 60, "the commit itself must succeed")
+    } finally {
+      TxLog.scaleWarnFiles = prior
+      TxLog.onScaleWarning = None
+      cleanup(t)
+    }
+  }
 }
