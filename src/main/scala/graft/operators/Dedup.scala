@@ -234,9 +234,10 @@ object Dedup {
       .select(col("band_key"), col("bucket_size"))
 
   /** (id, band-key) exploded rows: band key = band index tagged onto
-    * the band's bit slice (literal shifts — stays in codegen). */
+    * the band's bit slice (literal shifts — stays in codegen).
+    * `extra` columns ride along (the clip tier's frame index). */
   private def hammingBanded(df: DataFrame, idCol: String, hashCol: String,
-      bands: Int): DataFrame = {
+      bands: Int, extra: Seq[String] = Nil): DataFrame = {
     require(bands >= 1 && bands <= 64 && 64 % bands == 0,
       s"hammingNearDupPairs: bands must divide 64, got $bands")
     val width = 64 / bands
@@ -247,8 +248,59 @@ object Dedup {
       lit(if (width == 64) 0L else b.toLong << width).bitwiseOR(
         shiftrightunsigned(col(hashCol), b * width).bitwiseAND(lit(mask)))
     }
-    df.select(col(idCol), col(hashCol), explode(array(keys: _*)).as("__bk"))
+    df.select(col(idCol) +: col(hashCol) +: extra.map(col) :+
+      explode(array(keys: _*)).as("__bk"): _*)
   }
+
+  /** VIDEO-CLIP perceptual near-dup over per-frame dHashes — the clip
+    * extension of [[hammingNearDupPairs]]: input is one row per
+    * (clip, sampled frame index, 64-bit frame hash) (the shape
+    * [[Multimodal.frameSamplePlan]]'s grid + [[Multimodal
+    * .dhashImages]] produce), candidates band WITHIN a frame index —
+    * the banded key is (frame_idx, band, slice), so a re-encoded or
+    * lightly-edited copy collides where its frames agree and nothing
+    * ever compares across different positions in the sampling grid —
+    * then exact per-frame Hamming verification and a per-pair
+    * matched-frame count. A pair surfaces when at least
+    * `minMatchedFrames` of the grid verified within `maxHamming`.
+    * Per-frame recall is the same pigeonhole guarantee as the image
+    * tier; the clip verdict is exact given the frame hashes. Same
+    * scale shape: banded equi-join (never all-pairs across clips),
+    * [[capBuckets]] valve on the (frame, band) bucket, ledger via
+    * [[clipDroppedBuckets]]. Output: (id_a, id_b, matched_frames),
+    * id_a < id_b. */
+  def clipNearDupPairs(frames: DataFrame, clipCol: String, frameCol: String,
+      hashCol: String, maxHamming: Int = 2, bands: Int = 4,
+      minMatchedFrames: Int = 1, maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= bands - 1,
+      s"clipNearDupPairs: maxHamming $maxHamming needs > $maxHamming bands " +
+        "for the per-frame pigeonhole recall guarantee")
+    require(minMatchedFrames >= 1, "clipNearDupPairs: minMatchedFrames >= 1")
+    val banded = hammingBanded(frames, clipCol, hashCol, bands, Seq(frameCol))
+      .withColumn("__fbk", struct(col(frameCol), col("__bk")))
+    val guarded = capBuckets(banded, "__fbk", maxBucketSize)
+    guarded.alias("a")
+      .join(guarded.alias("b"),
+        col("a.__fbk") === col("b.__fbk") && col(s"a.$clipCol") < col(s"b.$clipCol"))
+      .select(col(s"a.$clipCol").as("id_a"), col(s"b.$clipCol").as("id_b"),
+        col(s"a.$frameCol").as("__f"),
+        col(s"a.$hashCol").as("__ha"), col(s"b.$hashCol").as("__hb"))
+      .distinct()
+      .where(bit_count(col("__ha").bitwiseXOR(col("__hb"))) <= maxHamming)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("matched_frames"))
+      .where(col("matched_frames") >= minMatchedFrames)
+  }
+
+  /** Accounting twin of [[clipNearDupPairs]]'s valve: the
+    * (frame_idx, band-key, bucket_size) buckets a cap would drop. */
+  def clipDroppedBuckets(frames: DataFrame, clipCol: String, frameCol: String,
+      hashCol: String, bands: Int = 4,
+      maxBucketSize: Int = Int.MaxValue): DataFrame =
+    hammingBanded(frames, clipCol, hashCol, bands, Seq(frameCol))
+      .groupBy(col(frameCol).as("frame_idx"), col("__bk").as("band_key"))
+      .agg(count(lit(1)).as("bucket_size"))
+      .filter(col("bucket_size") > maxBucketSize)
 
   /** Exact shingle-set Jaccard for verification of candidate pairs:
     * |A∩B| / (|A|+|B|-|A∩B|), inputs assumed distinct arrays. */

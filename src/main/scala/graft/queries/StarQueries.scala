@@ -974,6 +974,123 @@ object StarQueries {
            |  CAST((SELECT coalesce(sum(ia + ib), 0) FROM pairs) AS BIGINT)
            |    AS sum_pair_ids""".stripMargin))
 
+  /** q249's clip corpus: per selected document, FOUR 4-frame clips of
+    * real PNG frames — v0 the 9×8 original, v1 the same content
+    * re-encoded at 2× resolution (per-frame dHash identical by
+    * pooling), v2 with a single pooled-cell flip on frames 1 and 3
+    * (per-frame distance ≤ 1 where the flip lands), v3 unrelated
+    * content (seed id+999, never a selected id since 999 % 7 ≠ 0).
+    * clip_id = doc_id·4 + variant. */
+  private def clipCorpus(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    import graft.operators.PngCodec
+    val docs = Tables.documents(s, d).select($"doc_id").as[Long]
+      .filter(id => id % 7 == 0 && id < 20000)
+    docs.flatMap { id =>
+      def pat(seed: Long, f: Int, r: Int, c: Int): Int =
+        ((seed * 37 + f * 131 + r * 11 + c * 7) % 256).toInt
+      (0 until 4).flatMap { f =>
+        def base(r: Int, c: Int): Int = pat(id, f, r, c)
+        val flipRow = ((id + f) % 8).toInt
+        val flipVal = if (base(flipRow, 0) > base(flipRow, 1)) 0 else 255
+        val v0 = Array.tabulate(9 * 8)(i => base(i / 9, i % 9).toByte)
+        val v1 = Array.tabulate(18 * 16) { i =>
+          val y = i / 18; val x = i % 18; base(y / 2, x / 2).toByte
+        }
+        val v2 = Array.tabulate(9 * 8) { i =>
+          val r = i / 9; val c = i % 9
+          (if (c == 0 && (f == 1 || f == 3) && r == flipRow) flipVal
+           else base(r, c)).toByte
+        }
+        val v3 = Array.tabulate(9 * 8)(i => pat(id + 999, f, i / 9, i % 9).toByte)
+        Seq((id * 4 + 0L, f, PngCodec.encode(9, 8, 1, v0)),
+          (id * 4 + 1L, f, PngCodec.encode(18, 16, 1, v1)),
+          (id * 4 + 2L, f, PngCodec.encode(9, 8, 1, v2)),
+          (id * 4 + 3L, f, PngCodec.encode(9, 8, 1, v3)))
+      }
+    }.toDF("clip_id", "frame_idx", "payload")
+  }
+
+  /** q249 — VIDEO-CLIP perceptual near-dup ([[graft.operators.Dedup
+    * .clipNearDupPairs]]): frame-sampled dHash sequences banded
+    * per (frame_idx, slice), exact per-frame Hamming verify, clip
+    * verdict by matched-frame count. The resolution-doubled copy
+    * matches on every frame at radius 0; the flipped copy needs
+    * radius 1 (or a 2-of-4 frame threshold at radius 0); unrelated
+    * clips never pair. The oracle recomputes every frame hash from
+    * the construction arithmetic and aggregates TRUE all-pairs
+    * per-frame distances — banding recall, verify rejection and the
+    * matched-frame thresholds are all pinned. */
+  val q249ClipNearDup = GQuery(
+    "q249_clip_neardup",
+    (s, d) => {
+      import s.implicits._
+      import graft.operators.Dedup
+      val hashed = Multimodal.dhashImages(clipCorpus(s, d), "payload")
+        .where($"dhash".isNotNull).persist()
+      val h1m4 = Dedup.clipNearDupPairs(hashed, "clip_id", "frame_idx",
+        "dhash", maxHamming = 1, bands = 4, minMatchedFrames = 4).persist()
+      val h0m2 = Dedup.clipNearDupPairs(hashed, "clip_id", "frame_idx",
+        "dhash", maxHamming = 0, bands = 4, minMatchedFrames = 2).persist()
+      val nClips = hashed.select($"clip_id").distinct().count()
+      val a1 = h1m4.agg(count(lit(1)).cast("long"),
+        coalesce(sum($"id_a" + $"id_b"), lit(0L)).cast("long")).collect()(0)
+      val nH0m4 = h0m2.where($"matched_frames" === 4).count()
+      val a0 = h0m2.agg(count(lit(1)).cast("long"),
+        coalesce(sum($"matched_frames"), lit(0L)).cast("long")).collect()(0)
+      hashed.unpersist(); h1m4.unpersist(); h0m2.unpersist()
+      Seq((nClips, a1.getLong(0), a1.getLong(1), nH0m4, a0.getLong(0),
+        a0.getLong(1)))
+        .toDF("n_clips", "n_pairs_h1_m4", "sum_ids_h1_m4", "n_pairs_h0_m4",
+          "n_pairs_h0_m2", "sum_matched_h0_m2")
+    },
+    Some("""WITH ids AS (
+           |  SELECT doc_id AS id FROM documents
+           |  WHERE doc_id % 7 = 0 AND doc_id < 20000),
+           |gval AS (
+           |  SELECT i.id, v.v, f.f, r.r, c.c,
+           |    CASE WHEN c.c = 0 AND v.v = 2 AND (f.f = 1 OR f.f = 3)
+           |              AND r.r = (i.id + f.f) % 8
+           |      THEN CASE WHEN ((i.id*37 + f.f*131 + r.r*11) % 256) >
+           |                     ((i.id*37 + f.f*131 + r.r*11 + 7) % 256)
+           |                THEN 0 ELSE 255 END
+           |      ELSE (CASE WHEN v.v = 3 THEN (i.id + 999)*37
+           |                 ELSE i.id*37 END
+           |            + f.f*131 + r.r*11 + c.c*7) % 256 END AS g
+           |  FROM ids i, (VALUES (0),(1),(2),(3)) AS v(v),
+           |       range(4) AS f(f), range(8) AS r(r), range(9) AS c(c)),
+           |hashes AS (
+           |  SELECT a.id, a.v, a.f, a.id*4 + a.v AS clip_id,
+           |    CAST(sum(CASE WHEN a.g > b.g THEN
+           |        CASE WHEN a.r*8 + a.c = 63 THEN (-9223372036854775808)::HUGEINT
+           |             ELSE (1::BIGINT << CAST(a.r*8 + a.c AS INT))::HUGEINT END
+           |      ELSE 0::HUGEINT END) AS BIGINT) AS h
+           |  FROM gval a JOIN gval b
+           |    ON a.id = b.id AND a.v = b.v AND a.f = b.f AND a.r = b.r
+           |   AND b.c = a.c + 1
+           |  WHERE a.c < 8
+           |  GROUP BY a.id, a.v, a.f),
+           |fp AS (
+           |  SELECT a.clip_id AS ca, b.clip_id AS cb,
+           |         bit_count(xor(a.h, b.h)) AS dist
+           |  FROM hashes a JOIN hashes b
+           |    ON a.f = b.f AND a.clip_id < b.clip_id),
+           |pp AS (
+           |  SELECT ca, cb,
+           |         count(*) FILTER (WHERE dist <= 1) AS m1,
+           |         count(*) FILTER (WHERE dist = 0) AS m0
+           |  FROM fp GROUP BY ca, cb)
+           |SELECT
+           |  (SELECT count(DISTINCT clip_id) FROM hashes) AS n_clips,
+           |  (SELECT count(*) FROM pp WHERE m1 = 4) AS n_pairs_h1_m4,
+           |  CAST((SELECT coalesce(sum(ca + cb), 0) FROM pp WHERE m1 = 4)
+           |    AS BIGINT) AS sum_ids_h1_m4,
+           |  (SELECT count(*) FROM pp WHERE m0 = 4) AS n_pairs_h0_m4,
+           |  (SELECT count(*) FROM pp WHERE m0 >= 2) AS n_pairs_h0_m2,
+           |  CAST((SELECT coalesce(sum(m0), 0) FROM pp WHERE m0 >= 2)
+           |    AS BIGINT) AS sum_matched_h0_m2""".stripMargin))
+
   val all: Seq[GQuery] = Seq(
     q32DimCustomer, q33FactOrders, q34StarAgg, q39ValidationReport,
     q48FlagshipPipeline, q50MultimodalMeta, q51WindowTumbling,
@@ -981,5 +1098,5 @@ object StarQueries {
     q65TagBridge, q66BridgeOrderPart, q67FactMetricas, q68TagRevenue,
     q76MultimodalPlans, q176ImageHeaders, q205PngPixels, q211GifPixels,
     q212WavAudio, q213JpegPixels, q214VideoMeta, q243ImageNearDup,
-    q245ImageDedupGroups, q246HammingRecall)
+    q245ImageDedupGroups, q246HammingRecall, q249ClipNearDup)
 }

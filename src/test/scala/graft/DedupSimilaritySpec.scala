@@ -617,6 +617,37 @@ class DedupSimilaritySpec extends SparkTestBase {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
   }
 
+  test("clipNearDupPairs: per-frame banding, matched-frame thresholds, valve + ledger") {
+    import spark.implicits._
+    // A(1) == B(2) on all 3 frames; C(3) differs from A by ONE bit on
+    // frame 0 only; D(4) unrelated everywhere
+    val rows = Seq(
+      (1L, 0, 0x0L), (1L, 1, 0xF0L), (1L, 2, 0xFFL),
+      (2L, 0, 0x0L), (2L, 1, 0xF0L), (2L, 2, 0xFFL),
+      (3L, 0, 0x1L), (3L, 1, 0xF0L), (3L, 2, 0xFFL),
+      (4L, 0, 0x123456789ABCDEFL), (4L, 1, 0x7EDCBA9876543210L),
+      (4L, 2, 0x5555555555555555L)).toDF("clip", "f", "h")
+    def run(h: Int, m: Int, cap: Int = Int.MaxValue) =
+      Dedup.clipNearDupPairs(rows, "clip", "f", "h", maxHamming = h,
+        bands = 4, minMatchedFrames = m, maxBucketSize = cap)
+        .as[(Long, Long, Long)].collect().toSet
+    assert(run(0, 3) == Set((1L, 2L, 3L)),
+      "radius 0 all-frames: only the exact copy")
+    assert(run(1, 3) == Set((1L, 2L, 3L), (1L, 3L, 3L), (2L, 3L, 3L)),
+      "radius 1 admits the one-bit frame")
+    assert(run(0, 2) == Set((1L, 2L, 3L), (1L, 3L, 2L), (2L, 3L, 2L)),
+      "2-of-3 frame threshold at radius 0 catches the edited copy")
+    // valve: cap 2 drops every (frame, band) bucket holding {1,2,3} —
+    // f0 bands 1..3 (3 buckets; band 0 separates C's flipped slice),
+    // f1 and f2 all 4 bands each = 11 dropped buckets; the exact-copy
+    // pair survives only through f0's band-0 bucket
+    assert(run(0, 1, cap = 2) == Set((1L, 2L, 1L)))
+    val dropped = Dedup.clipDroppedBuckets(rows, "clip", "f", "h",
+      bands = 4, maxBucketSize = 2)
+    assert(dropped.count() == 11L, "the valve must leave a full ledger")
+    assert(dropped.where($"frame_idx" === 1).count() == 4L)
+  }
+
   test("ingestDeduped keeps appending into a pre-pair-key (legacy) ledger") {
     import spark.implicits._
     val base = graft.io.Staging.tempDir("ingest_legacy")
