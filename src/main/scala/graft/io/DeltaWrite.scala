@@ -360,17 +360,23 @@ object DeltaWrite {
           DeltaRead.ColumnMapping.physByLogical(sc).map(_.swap)).getOrElse(Map.empty)
       // staged tuples carry PHYSICAL keys (the staging dir layout);
       // the snapshot's partitionValues are logical after translation —
-      // translate BEFORE the lookup or mapped tables never match
-      val byPv = head.files.groupBy(_.partitionValues)
-      staged.map(_.partitionValues.map { case (k, x) =>
+      // translate BEFORE the lookup or mapped tables never match.
+      // INDEX-ROUTED: this follow-on runs after EVERY append on an
+      // autoCompact table, so the survivor set must be bounded by the
+      // TOUCHED partitions' small files — never a full-inventory
+      // groupBy on the driver. add.size is protocol-required; a
+      // size-less foreign entry falls to the nightly OPTIMIZE.
+      val touchedPvs = staged.map(_.partitionValues.map { case (k, x) =>
           physToLogical.getOrElse(k, k) -> x }).distinct
-        .filter(_.valuesIterator.forall(_ != null))
-        .foreach { pv =>
-          val small = byPv.getOrElse(pv, Nil)
-            .filter(f => f.sizeOrStat(table) < target)
-          if (small.size >= minFiles)
+        .filter(_.valuesIterator.forall(_ != null)).toSet
+      if (touchedPvs.nonEmpty) {
+        val small = head.index.filterEntries(f =>
+          touchedPvs(f.partitionValues) && f.size.exists(_ < target))
+        small.groupBy(_.partitionValues).foreach { case (pv, fs) =>
+          if (fs.size >= minFiles)
             compact(spark, table, target, partitions = pv)
         }
+      }
     } catch {
       case e: Exception =>
         // the append COMMITTED; a failed follow-on pass must not turn

@@ -441,6 +441,35 @@ class DatasetSnapshotSpec extends SparkTestBase {
     } finally cleanup(t)
   }
 
+  test("tiered append with autoCompact: the follow-on plans from touched-partition survivors") {
+    val t = newTable()
+    try {
+      (0 until 8).foreach(k => DeltaWrite.append(
+        Seq((k.toLong, s"r$k")).toDF("id", "s").coalesce(1), t))
+      DeltaWrite.checkpoint(spark, t)
+      DeltaWrite.setProperties(spark, t, Map(
+        "delta.autoOptimize.autoCompact" -> "true",
+        "graft.autoCompact.minNumFiles" -> "3"))
+      withThreshold(5L) {
+        assert(DeltaRead.snapshot(spark, t).index
+          .isInstanceOf[DeltaRead.DatasetIndex])
+        // pre-fix the follow-on groupBy'd the FULL head inventory on
+        // the driver after every append; now it filterEntries the
+        // touched partitions' small files only
+        val fired = new java.util.concurrent.atomic.AtomicInteger(0)
+        withSeam(fired) {
+          DeltaWrite.append(Seq((100L, "x")).toDF("id", "s").coalesce(1), t)
+        }
+        assert(fired.get == 0,
+          s"autoCompact planning must not materialize the inventory, fired ${fired.get}")
+        // the pass really ran: the small files compacted into one
+        val files = DeltaRead.snapshot(spark, t).files
+        assert(files.size < 9, s"autoCompact must have compacted: ${files.size}")
+        assert(DeltaRead.read(spark, t).count() == 9)
+      }
+    } finally cleanup(t)
+  }
+
   test("scheme-ful (clone-style) checkpoint paths decode like the driver: tail removes reconcile") {
     val t = newTable()
     try {
