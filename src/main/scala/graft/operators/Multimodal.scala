@@ -901,6 +901,79 @@ object Multimodal {
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
+  /** AUDIO perceptual hash over a binary WAV payload column — the
+    * audio member of the perceptual-dedup triad (image
+    * [[dhashImages]], video [[Dedup.clipNearDupPairs]] frames, audio
+    * here). REAL [[WavCodec]] decode, then an energy-contour dHash:
+    * the PCM stream splits into 65 equal-DURATION windows (boundary
+    * `w * frames / 65`, so the same content at any sample rate or
+    * duplication factor lands in the same windows), each window's
+    * energy is the exact integer sum of squared samples across all
+    * channels, and bit `w` (0..63) is set when window `w`'s MEAN
+    * energy exceeds window `w+1`'s — compared cross-multiplied
+    * (`E(w)·n(w+1) > E(w+1)·n(w)`, exact integers, no truncation), so
+    * the hash is invariant under uniform gain scaling (energy scales
+    * by gain² everywhere) and under sample-duplication resampling
+    * (mean energy unchanged), while byte-level fingerprints change
+    * under both. Appends `ahash` (nullable LONG; NULL for
+    * undecodable payloads or streams shorter than 65 frames).
+    *
+    * Pair generation rides [[Dedup.hammingNearDupPairs]] unchanged —
+    * banded equi-join with the pigeonhole recall guarantee, hot-bucket
+    * valve and drop ledger; never an all-pairs scan. At 100 TB this is
+    * one narrow `mapPartitions` pass over the payload scan (decode
+    * dominates; the 64 comparisons are noise) with no shuffle. */
+  def audioEnergyHash(df: DataFrame, payloadCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField("ahash", LongType))
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val v: Any = WavCodec.decode(r.getAs[Array[Byte]](idx)) match {
+          case Some(s) if s.frames >= 65 => Long.box(energyHashOf(s))
+          case _ => null
+        }
+        Row.fromSeq(r.toSeq :+ v)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** The energy-contour hash of one decoded PCM stream. Windowing and
+    * comparison are pure integer arithmetic (BigInt cross-multiply —
+    * a 24-bit stream's window energy can exceed Long range once
+    * multiplied by a window count), so block-constant fixtures are
+    * BIT-EXACT and a SQL oracle recomputes the hash from the
+    * construction arithmetic without decoding anything. */
+  private[graft] def energyHashOf(s: WavCodec.Samples): Long = {
+    val energy = new Array[BigInt](65)
+    val nFrames = new Array[Long](65)
+    var w = 0
+    while (w < 65) {
+      val f0 = w.toLong * s.frames / 65
+      val f1 = (w + 1).toLong * s.frames / 65
+      var e = BigInt(0)
+      var acc = 0L // batch per-sample squares in a Long, spill to BigInt
+      var i = f0 * s.channels
+      val end = f1 * s.channels
+      while (i < end) {
+        val x = s.data(i.toInt).toLong
+        acc += x * x
+        if (acc < 0 || acc > (Long.MaxValue >> 1)) { e += acc; acc = 0L }
+        i += 1
+      }
+      energy(w) = e + acc
+      nFrames(w) = f1 - f0
+      w += 1
+    }
+    var bits = 0L
+    var b = 0
+    while (b < 64) {
+      if (energy(b) * BigInt(nFrames(b + 1)) >
+          energy(b + 1) * BigInt(nFrames(b))) bits |= 1L << b
+      b += 1
+    }
+    bits
+  }
+
   /** REAL video-container decode over a binary payload column
     * ([[Mp4Meta]]): appends (vid_brand, vid_duration_ms,
     * vid_n_video, vid_n_audio, vid_width, vid_height) from the ISO

@@ -1091,6 +1091,125 @@ object StarQueries {
            |  CAST((SELECT coalesce(sum(m0), 0) FROM pp WHERE m0 >= 2)
            |    AS BIGINT) AS sum_matched_h0_m2""".stripMargin))
 
+  /** q250's audio corpus: per selected document, FOUR mono 16-bit
+    * WAV streams whose amplitude is CONSTANT within each of the 65
+    * equal-duration hash windows — v0 the base (520 frames, 8 per
+    * window), v1 the same contour resampled to 2× the rate (1040
+    * frames) at 3× gain (every byte changes; the energy contour's
+    * comparisons don't), v2 with window 0's amplitude replaced so
+    * exactly bit 0 of the hash flips (window 0 feeds only bit 0 —
+    * the audio twin of q246's leftmost-column image flips), v3
+    * unrelated content (seed id+999) — except on every 5th id, where
+    * v3 is a 32-frame stream (< 65) pinning the too-short→NULL
+    * contract. aud_id = doc_id·4 + variant. */
+  private def audioCorpus(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    import graft.operators.WavCodec
+    val docs = Tables.documents(s, d).select($"doc_id").as[Long]
+      .filter(id => id % 7 == 0 && id < 20000)
+    docs.flatMap { id =>
+      // double-mod mixed, NONNEGATIVE amplitudes (energy order ==
+      // amplitude order): contours decorrelate across seeds, so the
+      // d=0 pair count is dominated by the PLANTED v0-v1 copies
+      // (~2% accidental contour collisions, oracle-consistent)
+      def amp(seed: Long, w: Int): Int =
+        (((seed * 1103515245L + w * 12345L + (seed % 65521) * w * w)
+          % 2147483647L) % 181L).toInt
+      val v0 = Array.tabulate(520)(f => amp(id, f / 8))
+      val v1 = Array.tabulate(1040)(f => 3 * amp(id, f / 16))
+      // window 0 feeds only bit 0 (E(0) vs E(1)): replace its
+      // amplitude with 0 (forces the bit off) or 128 (128² > max
+      // amp² = 90², forces it on) — Hamming distance exactly 1
+      val flip0 = if (amp(id, 0) > amp(id, 1)) 0 else 200 // 200 > any amp
+      val v2 = Array.tabulate(520)(f => if (f / 8 == 0) flip0 else amp(id, f / 8))
+      val v3 =
+        if ((id / 7) % 5 == 0) Array.tabulate(32)(f => amp(id + 999, f % 16))
+        else Array.tabulate(520)(f => amp(id + 999, f / 8))
+      Seq((id * 4 + 0L, WavCodec.encode(8000, 1, 16, v0)),
+        (id * 4 + 1L, WavCodec.encode(16000, 1, 16, v1)),
+        (id * 4 + 2L, WavCodec.encode(8000, 1, 16, v2)),
+        (id * 4 + 3L, WavCodec.encode(8000, 1, 16, v3)))
+    }.toDF("aud_id", "payload")
+  }
+
+  /** q250 — AUDIO perceptual near-dup ([[graft.operators.Multimodal
+    * .audioEnergyHash]]): real WAV decode → 65-window energy-contour
+    * dHash → [[graft.operators.Dedup.hammingNearDupPairs]] (banded,
+    * pigeonhole recall, never all-pairs) — the audio member of the
+    * perceptual-dedup triad (image q243/q245/q246, video q249). The
+    * resampled+gain-scaled copy pairs at radius 0 (every byte
+    * differs; the contour doesn't), the bit-0 flip needs radius 1,
+    * unrelated and too-short streams never pair. The oracle
+    * recomputes every window amplitude from the construction
+    * arithmetic, compares squared amplitudes (constant-amplitude
+    * windows make mean-energy order amplitude² order), assembles the
+    * 64-bit hash, and takes TRUE all-pairs `bit_count(xor)` as
+    * ground truth — banding recall, gain/resample invariance, the
+    * planted flip and the NULL contract are all pinned. */
+  val q250AudioNearDup = GQuery(
+    "q250_audio_neardup",
+    (s, d) => {
+      import s.implicits._
+      import graft.operators.Dedup
+      val corpus = audioCorpus(s, d)
+      val hashed = Multimodal.audioEnergyHash(corpus, "payload")
+      val ok = hashed.where($"ahash".isNotNull).persist()
+      val nRows = corpus.count()
+      val nHashed = ok.count()
+      val nP0 = Dedup.hammingNearDupPairs(ok, "aud_id", "ahash",
+        maxHamming = 0, bands = 4).count()
+      val a1 = Dedup.hammingNearDupPairs(ok, "aud_id", "ahash",
+        maxHamming = 1, bands = 4)
+        .agg(count(lit(1)).cast("long"),
+          coalesce(sum($"id_a" + $"id_b"), lit(0L)).cast("long")).collect()(0)
+      ok.unpersist()
+      Seq((nRows, nHashed, nP0, a1.getLong(0), a1.getLong(1)))
+        .toDF("n_rows", "n_hashed", "n_pairs_h0", "n_pairs_h1",
+          "sum_pair_ids")
+    },
+    Some("""WITH ids AS (
+           |  SELECT doc_id AS id FROM documents
+           |  WHERE doc_id % 7 = 0 AND doc_id < 20000),
+           |amp AS (
+           |  SELECT i.id, v.v, w.w,
+           |    CASE WHEN v.v = 2 AND w.w = 0 THEN
+           |      CASE WHEN (i.id*1103515245 % 2147483647) % 181 >
+           |                ((i.id*1103515245 + 12345 + (i.id % 65521))
+           |                 % 2147483647) % 181
+           |        THEN 0 ELSE 200 END
+           |    WHEN v.v = 3 THEN
+           |      ((((i.id + 999)*1103515245 + w.w*12345 +
+           |         ((i.id + 999) % 65521)*w.w*w.w) % 2147483647) % 181)
+           |    ELSE (CASE WHEN v.v = 1 THEN 3 ELSE 1 END) *
+           |         (((i.id*1103515245 + w.w*12345 +
+           |            (i.id % 65521)*w.w*w.w) % 2147483647) % 181)
+           |    END AS a
+           |  FROM ids i, (VALUES (0),(1),(2),(3)) AS v(v), range(65) AS w(w)
+           |  WHERE NOT (v.v = 3 AND (i.id // 7) % 5 = 0)),
+           |hashes AS (
+           |  SELECT a.id, a.v, a.id*4 + a.v AS aud_id,
+           |    CAST(sum(CASE WHEN a.a*a.a > b.a*b.a THEN
+           |        CASE WHEN a.w = 63 THEN (-9223372036854775808)::HUGEINT
+           |             ELSE (1::BIGINT << CAST(a.w AS INT))::HUGEINT END
+           |      ELSE 0::HUGEINT END) AS BIGINT) AS h
+           |  FROM amp a JOIN amp b
+           |    ON a.id = b.id AND a.v = b.v AND b.w = a.w + 1
+           |  WHERE a.w < 64
+           |  GROUP BY a.id, a.v),
+           |pairs AS (
+           |  SELECT a.aud_id AS ia, b.aud_id AS ib,
+           |         bit_count(xor(a.h, b.h)) AS d
+           |  FROM hashes a JOIN hashes b ON a.aud_id < b.aud_id
+           |  WHERE bit_count(xor(a.h, b.h)) <= 1)
+           |SELECT
+           |  (SELECT count(*) * 4 FROM ids) AS n_rows,
+           |  (SELECT count(*) FROM hashes) AS n_hashed,
+           |  (SELECT count(*) FROM pairs WHERE d = 0) AS n_pairs_h0,
+           |  (SELECT count(*) FROM pairs) AS n_pairs_h1,
+           |  CAST((SELECT coalesce(sum(ia + ib), 0) FROM pairs) AS BIGINT)
+           |    AS sum_pair_ids""".stripMargin))
+
   val all: Seq[GQuery] = Seq(
     q32DimCustomer, q33FactOrders, q34StarAgg, q39ValidationReport,
     q48FlagshipPipeline, q50MultimodalMeta, q51WindowTumbling,
@@ -1098,5 +1217,6 @@ object StarQueries {
     q65TagBridge, q66BridgeOrderPart, q67FactMetricas, q68TagRevenue,
     q76MultimodalPlans, q176ImageHeaders, q205PngPixels, q211GifPixels,
     q212WavAudio, q213JpegPixels, q214VideoMeta, q243ImageNearDup,
-    q245ImageDedupGroups, q246HammingRecall, q249ClipNearDup)
+    q245ImageDedupGroups, q246HammingRecall, q249ClipNearDup,
+    q250AudioNearDup)
 }

@@ -74,4 +74,69 @@ class WavCodecSpec extends SparkTestBase {
       .select($"au_channels", $"au_sum1").collect()(0)
     assert(m.getInt(0) == 1 && m.isNullAt(1))
   }
+
+  // window-w-constant amplitude stream: frames per window = rep
+  private def contour(amps: Array[Int], rep: Int, gain: Int = 1): Array[Int] =
+    Array.tabulate(amps.length * rep)(f => gain * amps(f / rep))
+
+  test("audioEnergyHash: hand-computed bits; gain + resample invariance") {
+    val amps = Array.tabulate(65)(w => (w * 29 % 127) - 63)
+    val base = WavCodec.encode(8000, 1, 16, contour(amps, 4))
+    val h = WavCodec.decode(base).map(Multimodal.energyHashOf).get
+    val expect = (0 until 64).foldLeft(0L) { (acc, w) =>
+      if (amps(w).toLong * amps(w) > amps(w + 1).toLong * amps(w + 1))
+        acc | (1L << w) else acc
+    }
+    assert(h == expect, "hash bits must follow the squared-amplitude contour")
+    // 2× sample-duplication at 5× gain: every byte changes, hash doesn't
+    val scaled = WavCodec.encode(16000, 1, 16, contour(amps, 8, gain = 5))
+    assert(!scaled.sameElements(base))
+    assert(WavCodec.decode(scaled).map(Multimodal.energyHashOf).get == h)
+    // stereo duplication of the same contour: energy doubles uniformly
+    val stereo = WavCodec.encode(8000, 2, 16,
+      contour(amps, 4).flatMap(v => Seq(v, v)))
+    assert(WavCodec.decode(stereo).map(Multimodal.energyHashOf).get == h)
+  }
+
+  test("audioEnergyHash: uneven window boundaries cross-multiply exactly") {
+    // 97 frames over 65 windows: floor boundaries give 1- and 2-frame
+    // windows; mean comparison must not truncate (cross-multiplied)
+    val samples = Array.tabulate(97)(f => (f * 53 % 1001) - 500)
+    val s = WavCodec.decode(WavCodec.encode(8000, 1, 16, samples)).get
+    val e = Array.tabulate(65) { w =>
+      val f0 = w * 97 / 65; val f1 = (w + 1) * 97 / 65
+      ((f0 until f1).map(f => samples(f).toLong * samples(f)).sum, f1 - f0)
+    }
+    val expect = (0 until 64).foldLeft(0L) { (acc, w) =>
+      if (e(w)._1 * e(w + 1)._2 > e(w + 1)._1 * e(w)._2) acc | (1L << w) else acc
+    }
+    assert(Multimodal.energyHashOf(s) == expect)
+  }
+
+  test("audioEnergyHash: NULL for corrupt and too-short; planted flip is Hamming 1") {
+    val amps = Array.tabulate(65)(w => (w * 13 % 91) - 45)
+    val base = WavCodec.encode(8000, 1, 16, contour(amps, 2))
+    val short = WavCodec.encode(8000, 1, 16, contour(amps.take(32), 2)) // 64 < 65
+    val flipped = amps.clone()
+    flipped(0) = if (amps(0) * amps(0) > amps(1) * amps(1)) 0 else 127
+    val flip = WavCodec.encode(8000, 1, 16, contour(flipped, 2))
+    val df = Seq((0L, base), (1L, short), (2L, "junk".getBytes), (3L, flip))
+      .toDF("aud_id", "payload")
+    val out = Multimodal.audioEnergyHash(df, "payload")
+      .select($"aud_id", $"ahash").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(out(1L).isEmpty && out(2L).isEmpty)
+    assert(out(0L).isDefined && out(3L).isDefined)
+    assert(java.lang.Long.bitCount(out(0L).get ^ out(3L).get) == 1,
+      "window-0 amplitude replacement must flip exactly bit 0")
+    // 24-bit energies at full scale (accumulator spills to BigInt):
+    // still exact, still gain-invariant vs the same contour at 1/1000
+    val loudAmps = Array.tabulate(65)(w => ((w * 37 % 255) - 127) * 60000)
+    val hLoud = WavCodec.decode(WavCodec.encode(8000, 1, 24,
+      contour(loudAmps, 4))).map(Multimodal.energyHashOf).get
+    val hQuiet = WavCodec.decode(WavCodec.encode(8000, 1, 24,
+      contour(loudAmps.map(_ / 1000), 4))).map(Multimodal.energyHashOf).get
+    assert(hLoud == hQuiet && hLoud != 0L)
+  }
 }
