@@ -512,6 +512,116 @@ object Dedup {
     } finally fresh.unpersist(blocking = false)
   }
 
+  /** INCREMENTAL perceptual ingestion against a persisted BAND-KEY
+    * ledger — the cross-batch form of [[hammingNearDupPairs]], and the
+    * perceptual twin of [[ingestDeduped]]: re-hashing (or worse,
+    * re-pairing) the whole corpus per arriving batch is O(corpus);
+    * this is O(batch + the ledger files the batch's band keys touch).
+    * Input is one row per item with a 64-bit perceptual hash column
+    * ([[Multimodal.dhashImages]] / [[Multimodal.audioEnergyHash]]
+    * keys; the caller filters NULL-hash rows first). A batch
+    *
+    *  1. self-dedups with the ONE-HOP GREEDY policy: banded pairs
+    *     within the batch ([[hammingNearDupPairs]] — pigeonhole
+    *     recall, never all-pairs), then the larger id of every pair
+    *     drops — i.e. a row survives iff it has NO smaller-id
+    *     neighbor. Deterministic and replayable without iteration (an
+    *     external oracle replays it as one NOT EXISTS); the trade: a
+    *     component keeps every local-min vertex, so edges 1~3 and 2~3
+    *     keep both 1 and 2 where transitive grouping keeps only 1
+    *     (batch-graph components want [[connectedComponents]], the
+    *     q245 shape);
+    *  2. probes the ledger: the ledger table holds one row per
+    *     (band_key, hash, id) of every ACCEPTED item — band keys from
+    *     the SAME slicing as pair generation, so cross-batch recall
+    *     keeps the pigeonhole guarantee. Appends land range-sorted by
+    *     band_key (pinned partition count), so each ledger file covers
+    *     a disjoint key slice and [[graft.io.DeltaRead
+    *     .readVersionWherePoints]] reads only the files the batch's
+    *     keys can touch; batches past the collect cap fall back to the
+    *     full probe. A survivor within `maxHamming` of any ledger hash
+    *     drops. (A new item near only a previously-DROPPED duplicate —
+    *     not its kept representative — survives: greedy incremental
+    *     dedup, the standard trade);
+    *  3. appends survivors (with their hash) to `corpusTable` and
+    *     their exploded band rows to `ledgerTable` — through the
+    *     LAYOUT-PINNED door, so table-level optimizeWrite can never
+    *     hash-shuffle away the disjoint per-file key ranges.
+    *
+    * Exactly-once and crash-recovery mirror [[ingestDeduped]]:
+    * `batchId` dedups replays per table via Delta SetTransactions,
+    * corpus committed FIRST (a crash between the appends replays to
+    * convergence because the fresh set recomputes — deterministically —
+    * against the still-unadvanced ledger). Same single-stream
+    * assumption: serialize batches per corpus. Returns (survivors,
+    * dropped — batch-internal and ledger-known lumped together). */
+  def ingestPerceptual(batch: DataFrame, idCol: String, hashCol: String,
+      corpusTable: String, ledgerTable: String,
+      maxHamming: Int = 1, bands: Int = 4,
+      batchId: Option[(String, Long)] = None): (Long, Long) = {
+    require(maxHamming >= 0 && maxHamming <= bands - 1,
+      s"ingestPerceptual: maxHamming $maxHamming needs > $maxHamming bands " +
+        "for the pigeonhole recall guarantee — raise bands or lower the radius")
+    val spark = batch.sparkSession
+    val pairs = hammingNearDupPairs(batch, idCol, hashCol, maxHamming, bands)
+    val selfSurv = batch.join(
+      pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
+    val ledgerHead =
+      try Some(graft.io.DeltaRead.latestVersion(ledgerTable)).filter(_ >= 0)
+      catch { case _: Exception => None }
+    val fresh0 = ledgerHead match {
+      case None => selfSurv
+      case Some(head) =>
+        val banded = hammingBanded(selfSurv, idCol, hashCol, bands)
+        // PRUNED PROBE (the ingestDeduped shape, keyed on band_key):
+        // ledger files are range-sorted by band_key, so point-set
+        // skipping reads only the files this batch's keys can land in
+        val bksSorted: Option[Array[Long]] = {
+          val capped = banded.select(col("__bk")).distinct()
+            .limit(LedgerProbeCap + 1).collect()
+          if (capped.length > LedgerProbeCap) None
+          else Some(capped.map(_.getLong(0)).sorted)
+        }
+        val ledger = bksSorted match {
+          case Some(points) => graft.io.DeltaRead.readVersionWherePoints(
+            spark, ledgerTable, head, "band_key", points)
+          case None => graft.io.DeltaRead.read(spark, ledgerTable)
+        }
+        val hit = banded
+          .join(ledger.select(col("band_key").as("__bk"), col("hash").as("__lh")),
+            "__bk")
+          .where(bit_count(col(hashCol).bitwiseXOR(col("__lh"))) <= maxHamming)
+          .select(col(idCol)).distinct()
+        selfSurv.join(hit, Seq(idCol), "left_anti")
+    }
+    val fresh = fresh0.persist()
+    try {
+      val total = batch.count()
+      val nNew = fresh.count()
+      if (nNew > 0) {
+        val rowsPerFile = spark.conf.getOption("spark.graft.dedup.ledgerRowsPerFile")
+          .flatMap(_.toLongOption).filter(_ >= 1).getOrElse(500000L)
+        val nRows = nNew * bands
+        val nParts = math.max(1L, (nRows + rowsPerFile - 1) / rowsPerFile)
+          .min(10000L).toInt
+        val bandRows = hammingBanded(fresh, idCol, hashCol, bands)
+          .select(col("__bk").as("band_key"), col(hashCol).as("hash"), col(idCol))
+          .repartitionByRange(nParts, col("band_key"))
+          .sortWithinPartitions(col("band_key"))
+        batchId match {
+          case Some((app, ver)) =>
+            graft.io.DeltaWrite.appendOnce(fresh, corpusTable, app, ver)
+            graft.io.DeltaWrite.appendOnceLayoutPinned(
+              bandRows, ledgerTable, s"$app.ledger", ver)
+          case None =>
+            graft.io.DeltaWrite.append(fresh, corpusTable)
+            graft.io.DeltaWrite.appendLayoutPinned(bandRows, ledgerTable)
+        }
+      }
+      (nNew, total - nNew)
+    } finally fresh.unpersist(blocking = false)
+  }
+
   /** Declarative twin of [[simhash]]: bit_j(h) tested as
     * (h % 2^(j+1)) >= 2^j — exact long arithmetic, reproducible in any
     * engine (no engine-specific hash/shift). */

@@ -91,6 +91,115 @@ object LlmQueries {
            |  CAST(sum(doc_id) AS BIGINT) AS sum_ids, true AS replay_noop
            |FROM corpus""".stripMargin))
 
+  /** q251 — INCREMENTAL perceptual ingestion against the persisted
+    * band-key ledger ([[graft.operators.Dedup.ingestPerceptual]]):
+    * the cross-batch form of the Hamming tier (q243/q250 pair within
+    * one corpus; here batch 2 probes the band-key ledger batch 1 left
+    * behind — O(batch), never O(corpus)). Batch 1 carries planted
+    * within-batch 1-bit variants (greedy one-hop drops the larger
+    * id); batch 2 carries 1-bit variants and exact re-hashes of
+    * batch-1 survivors (both drop against the ledger at radius 1)
+    * plus genuinely fresh items (kept). A REPLAY of batch 2 with its
+    * batchId is an end-to-end no-op. Hashes are driver-side mixing
+    * arithmetic (two 31-bit congruential halves packed into 63 bits),
+    * so the oracle replays hashing, the one-hop self policy, the
+    * ledger probe and both appends in plain SQL with TRUE all-pairs
+    * distances — banding recall and the exploded band-row ledger
+    * (4 rows per accepted item) are pinned end to end. */
+  val q251PerceptualIngest = GQuery(
+    "q251_perceptual_ingest",
+    (s, d) => {
+      import s.implicits._
+      val base = graft.io.Staging.tempDir("graft_q251_")
+      val corpus = s"$base/corpus"; val ledger = s"$base/ledger"
+      val ids = Tables.documents(s, d).select($"doc_id").as[Long]
+        .filter(id => id % 5 == 0 && id < 30000)
+      def h(i: Long): Long =
+        ((i * 48271) % 2147483647L) * 4294967296L + ((i * 69621) % 2147483647L) * 2
+      def h2(i: Long): Long =
+        ((i * 16807) % 2147483647L) * 4294967296L + ((i * 40692) % 2147483647L) * 2
+      val b1 = ids.flatMap { i =>
+        val baseRow = Seq((i, h(i)))
+        if (i % 2 == 0) baseRow :+ ((i + 500000L, h(i) ^ (1L << ((i * 13) % 63))))
+        else baseRow
+      }.toDF("item_id", "phash")
+      val b2 = ids.flatMap { i =>
+        val fresh = Seq((i + 2000000L, h2(i)))
+        if (i % 3 == 0) fresh :+ ((i + 1000000L, h(i) ^ (1L << ((i * 29) % 63))))
+        else if (i % 3 == 1) fresh :+ ((i + 1500000L, h(i)))
+        else fresh
+      }.toDF("item_id", "phash")
+      val (n1New, n1Drop) = graft.operators.Dedup.ingestPerceptual(
+        b1, "item_id", "phash", corpus, ledger,
+        maxHamming = 1, bands = 4, batchId = Some(("q251", 1L)))
+      val (n2New, n2Drop) = graft.operators.Dedup.ingestPerceptual(
+        b2, "item_id", "phash", corpus, ledger,
+        maxHamming = 1, bands = 4, batchId = Some(("q251", 2L)))
+      val nCorpus1 = graft.io.DeltaRead.read(s, corpus).count()
+      val (replNew, _) = graft.operators.Dedup.ingestPerceptual(
+        b2, "item_id", "phash", corpus, ledger,
+        maxHamming = 1, bands = 4, batchId = Some(("q251", 2L)))
+      val nCorpus2 = graft.io.DeltaRead.read(s, corpus).count()
+      val nLedgerRows = graft.io.DeltaRead.read(s, ledger).count()
+      graft.io.DeltaRead.read(s, corpus)
+        .agg(count(lit(1)).cast("long").as("n_corpus"),
+          sum($"item_id").cast("long").as("sum_ids"))
+        .select(lit(n1New).as("n1_new"), lit(n1Drop).as("n1_drop"),
+          lit(n2New).as("n2_new"), lit(n2Drop).as("n2_drop"),
+          $"n_corpus", $"sum_ids", lit(nLedgerRows).as("n_ledger_rows"),
+          lit(replNew == 0L && nCorpus1 == nCorpus2).as("replay_noop"))
+    },
+    Some("""WITH ids AS (
+           |  SELECT doc_id AS i FROM documents
+           |  WHERE doc_id % 5 = 0 AND doc_id < 30000),
+           |b1 AS (
+           |  SELECT i AS id,
+           |    ((i*48271) % 2147483647) * 4294967296 +
+           |    ((i*69621) % 2147483647) * 2 AS h
+           |  FROM ids
+           |  UNION ALL
+           |  SELECT i + 500000,
+           |    xor(((i*48271) % 2147483647) * 4294967296 +
+           |        ((i*69621) % 2147483647) * 2,
+           |        1::BIGINT << CAST((i*13) % 63 AS INT))
+           |  FROM ids WHERE i % 2 = 0),
+           |b1drop AS (
+           |  SELECT DISTINCT b.id FROM b1 a JOIN b1 b ON a.id < b.id
+           |  WHERE bit_count(xor(a.h, b.h)) <= 1),
+           |s1 AS (SELECT * FROM b1 WHERE id NOT IN (SELECT id FROM b1drop)),
+           |b2 AS (
+           |  SELECT i + 2000000 AS id,
+           |    ((i*16807) % 2147483647) * 4294967296 +
+           |    ((i*40692) % 2147483647) * 2 AS h
+           |  FROM ids
+           |  UNION ALL
+           |  SELECT i + 1000000,
+           |    xor(((i*48271) % 2147483647) * 4294967296 +
+           |        ((i*69621) % 2147483647) * 2,
+           |        1::BIGINT << CAST((i*29) % 63 AS INT))
+           |  FROM ids WHERE i % 3 = 0
+           |  UNION ALL
+           |  SELECT i + 1500000,
+           |    ((i*48271) % 2147483647) * 4294967296 +
+           |    ((i*69621) % 2147483647) * 2
+           |  FROM ids WHERE i % 3 = 1),
+           |b2drop AS (
+           |  SELECT DISTINCT b.id FROM b2 a JOIN b2 b ON a.id < b.id
+           |  WHERE bit_count(xor(a.h, b.h)) <= 1),
+           |s2a AS (SELECT * FROM b2 WHERE id NOT IN (SELECT id FROM b2drop)),
+           |s2 AS (SELECT * FROM s2a WHERE NOT EXISTS (
+           |  SELECT 1 FROM s1 l WHERE bit_count(xor(s2a.h, l.h)) <= 1)),
+           |corpus AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+           |SELECT
+           |  (SELECT count(*) FROM s1) AS n1_new,
+           |  (SELECT count(*) FROM b1) - (SELECT count(*) FROM s1) AS n1_drop,
+           |  (SELECT count(*) FROM s2) AS n2_new,
+           |  (SELECT count(*) FROM b2) - (SELECT count(*) FROM s2) AS n2_drop,
+           |  (SELECT count(*) FROM corpus) AS n_corpus,
+           |  CAST((SELECT sum(id) FROM corpus) AS BIGINT) AS sum_ids,
+           |  (SELECT count(*) FROM corpus) * 4 AS n_ledger_rows,
+           |  true AS replay_noop""".stripMargin))
+
   /** MinHash(32) + LSH(8 bands × 4) near-dup detection, verified with
     * exact shingle-Jaccard ≥ 0.9. The corpus plants one duplicate per
     * document (doc_id+100000) so the pipeline provably finds them. */
@@ -1351,6 +1460,7 @@ object LlmQueries {
 
   val all: Seq[GQuery] = Seq(
     q40DedupExactStats, q41DedupExactKeep, q241IncrementalDedup,
+    q251PerceptualIngest,
     q42MinhashLsh, q43Simhash,
     q44NgramJaccard, q45CosineTopk, q46Centroids, q47LshBuckets,
     q55BpeTokens, q56IvfAnn, q57SaltedJoin, q77EmbeddingNearDup, q80IvfKmeans,

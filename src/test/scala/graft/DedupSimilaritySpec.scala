@@ -717,4 +717,95 @@ class DedupSimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("ingestPerceptual: one-hop self policy, ledger probe, replay no-op") {
+    import spark.implicits._
+    val base = graft.io.Staging.tempDir("pingest")
+    val corpus = s"$base/corpus"; val ledger = s"$base/ledger"
+    try {
+      // b1: (1,2) a d=1 pair → 2 drops; 3 lone; {4,5,6}: edges 4~6 and
+      // 5~6 only (d(4,5)=2) → 6 drops, 4 AND 5 both survive (the
+      // documented local-min policy vs transitive grouping's {4})
+      val b1 = Seq((1L, 0x10L), (2L, 0x11L), (3L, 0x1000L),
+        (4L, 0xF0F0L), (5L, 0xF0F3L), (6L, 0xF0F1L)).toDF("item_id", "phash")
+      val (n1, d1) = graft.operators.Dedup.ingestPerceptual(b1, "item_id",
+        "phash", corpus, ledger, maxHamming = 1, bands = 4,
+        batchId = Some(("pingest", 1L)))
+      assert((n1, d1) == ((4L, 2L)), s"got ($n1, $d1)")
+      // b2 vs the ledger {0x10, 0x1000, 0xF0F0, 0xF0F3}: 11 re-offers
+      // 0x10 (d=0, drops), 12 is d=1 from 0x1000 (drops), 13 = 0x13 is
+      // d=1 from the DROPPED 0x11 but d=2 from kept 0x10 → survives
+      // (greedy incremental dedup's documented trade), 14 fresh
+      val b2 = Seq((11L, 0x10L), (12L, 0x1002L), (13L, 0x13L),
+        (14L, 0xABCDEFL)).toDF("item_id", "phash")
+      val (n2, d2) = graft.operators.Dedup.ingestPerceptual(b2, "item_id",
+        "phash", corpus, ledger, maxHamming = 1, bands = 4,
+        batchId = Some(("pingest", 2L)))
+      assert((n2, d2) == ((2L, 2L)), s"got ($n2, $d2)")
+      val ids = graft.io.DeltaRead.read(spark, corpus)
+        .select($"item_id").as[Long].collect().toSet
+      assert(ids == Set(1L, 3L, 4L, 5L, 13L, 14L))
+      // ledger carries the exploded band rows of every accepted item
+      val lrows = graft.io.DeltaRead.read(spark, ledger)
+      assert(lrows.count() == 6 * 4)
+      assert(lrows.columns.toSeq == Seq("band_key", "hash", "item_id"))
+      // replay of batch 2 is an end-to-end no-op (every survivor is now
+      // d=0 from its own ledger row)
+      val (r2, rd2) = graft.operators.Dedup.ingestPerceptual(b2, "item_id",
+        "phash", corpus, ledger, maxHamming = 1, bands = 4,
+        batchId = Some(("pingest", 2L)))
+      assert(r2 == 0L && rd2 == 4L)
+      assert(graft.io.DeltaRead.read(spark, corpus).count() == 6)
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+  }
+
+  test("ingestPerceptual probes O(batch) ledger files via band-key skipping") {
+    import spark.implicits._
+    val base = graft.io.Staging.tempDir("pingest_prune")
+    val corpus = s"$base/corpus"; val ledger = s"$base/ledger"
+    try {
+      spark.conf.set("spark.graft.dedup.ledgerRowsPerFile", "500")
+      // every 16-bit slice of h(i) equals i: distinct items sit far
+      // apart (d = 4·popcount(i xor j) bits), band keys spread evenly
+      val b1 = (0 until 4000)
+        .map(i => (i.toLong, i.toLong * 0x0001000100010001L))
+        .toDF("item_id", "phash")
+      val (n1, _) =
+        try graft.operators.Dedup.ingestPerceptual(b1, "item_id", "phash",
+          corpus, ledger, maxHamming = 1, bands = 4,
+          batchId = Some(("pprune", 1L)))
+        finally spark.conf.unset("spark.graft.dedup.ledgerRowsPerFile")
+      assert(n1 == 4000)
+      val files = graft.io.DeltaRead.snapshot(spark, ledger).files
+      assert(files.size >= 8, s"fixture needs a multi-file ledger: ${files.size}")
+      val bounds = files.flatMap(f =>
+        graft.io.DeltaRead.statsLongBounds(f, "band_key"))
+      assert(bounds.size == files.size, "sorted ledger files need band_key stats")
+      bounds.sortBy(_._1).sliding(2).foreach {
+        case Seq((_, hi), (lo2, _)) => assert(hi < lo2,
+          "ledger files must cover disjoint band_key ranges")
+        case _ => ()
+      }
+      // a tiny batch (1 known + 2 fresh) probes ≤ 12 point keys
+      val probed = new java.util.concurrent.atomic.AtomicReference[(Int, Int)]()
+      graft.io.DeltaRead.onPointSkipping =
+        Some((t, kept, total) => if (t == ledger) probed.set((kept, total)))
+      val b2 = Seq((9001L, 7L * 0x0001000100010001L),
+        (9002L, 0x4000300020001100L), (9003L, 0x4000300020001103L))
+        .toDF("item_id", "phash")
+      val (n2, d2) =
+        try graft.operators.Dedup.ingestPerceptual(b2, "item_id", "phash",
+          corpus, ledger, maxHamming = 1, bands = 4,
+          batchId = Some(("pprune", 2L)))
+        finally graft.io.DeltaRead.onPointSkipping = None
+      // 9001 drops against the ledger; 9002/9003 are d=2 apart → kept
+      assert((n2, d2) == ((2L, 1L)), s"got ($n2, $d2)")
+      val (kept, total) = probed.get()
+      assert(total == files.size)
+      assert(kept <= 12 && kept < total,
+        s"12 probe points must prune the ledger scan: read $kept of $total files")
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+  }
+
 }
