@@ -517,6 +517,106 @@ object Similarity {
   def nearDupDrops(pairs: DataFrame): DataFrame =
     pairs.select(col("id_b").as("vec_id")).distinct()
 
+  /** INCREMENTAL embedding-cosine ingestion against a persisted
+    * BUCKET ledger — the embedding member of the incremental-dedup
+    * family ([[graft.operators.Dedup.ingestDeduped]] exact,
+    * [[graft.operators.Dedup.ingestPerceptual]] perceptual-hash,
+    * this one cosine): re-pairing the whole corpus per arriving batch
+    * is O(corpus); this is O(batch + the ledger files the batch's
+    * buckets touch). Input is (vec_id, v: array<double>). A batch
+    *
+    *  1. self-dedups with the ONE-HOP GREEDY policy over
+    *     [[nearDupPairs]]'s single-table candidates (bucket equi-join,
+    *     exact cosine ≥ `threshold` verify, hot-bucket valve): a row
+    *     survives iff it has no smaller-id qualifying neighbor —
+    *     deterministic, replayable as one NOT EXISTS;
+    *  2. probes the ledger table, which holds one
+    *     (bucket_key, vec_id, v) row per ACCEPTED vector — the ledger
+    *     carries its own verify payload (≈1× extra embedding storage,
+    *     the standard space-for-IO trade: the probe stays one
+    *     file-pruned scan instead of a second fetch join against the
+    *     corpus). Appends land range-sorted by bucket_key (pinned
+    *     partition count, layout-pinned commit door), so
+    *     [[graft.io.DeltaRead.readVersionWherePoints]] reads only the
+    *     files the batch's bucket values can land in. A survivor
+    *     within `threshold` cosine of any ledger vector in its bucket
+    *     drops. Recall is LSH-probabilistic, NOT the Hamming tier's
+    *     pigeonhole: a near-dup whose sketch differs in ≥1 of `bits`
+    *     signs is missed — same single-table dial as [[nearDupPairs]]
+    *     (fewer bits = coarser buckets = higher recall/cost);
+    *  3. appends survivors to `corpusTable` and their ledger rows to
+    *     `ledgerTable`.
+    *
+    * Exactly-once and crash recovery mirror `ingestDeduped`: `batchId`
+    * dedups replays per table via Delta SetTransactions, corpus
+    * committed FIRST (a crash between the appends replays to
+    * convergence: the fresh set recomputes deterministically against
+    * the still-unadvanced ledger). Same single-stream assumption —
+    * serialize batches per corpus. Returns (survivors, dropped). */
+  def ingestEmbeddings(batch: DataFrame, corpusTable: String,
+      ledgerTable: String, dim: Int, bits: Int, threshold: Double,
+      maxBucketSize: Int = Int.MaxValue,
+      batchId: Option[(String, Long)] = None): (Long, Long) = {
+    val spark = batch.sparkSession
+    val pairs = nearDupPairs(batch, dim, bits, threshold, maxBucketSize)
+    val selfSurv = batch.join(nearDupDrops(pairs), Seq("vec_id"), "left_anti")
+    val ledgerHead =
+      try Some(graft.io.DeltaRead.latestVersion(ledgerTable)).filter(_ >= 0)
+      catch { case _: Exception => None }
+    val fresh0 = ledgerHead match {
+      case None => selfSurv
+      case Some(head) =>
+        val bucketed = selfSurv.select(col("vec_id"), col("v"),
+          graft.functions.Natives.hyperplaneBucket(col("v"), dim, bits)
+            .as("__bucket"))
+        // PRUNED PROBE (the ingestDeduped shape, keyed on bucket_key)
+        val bksSorted: Option[Array[Long]] = {
+          val capped = bucketed.select(col("__bucket")).distinct()
+            .limit(100001).collect()
+          if (capped.length > 100000) None
+          else Some(capped.map(_.getLong(0)).sorted)
+        }
+        val ledger = bksSorted match {
+          case Some(points) => graft.io.DeltaRead.readVersionWherePoints(
+            spark, ledgerTable, head, "bucket_key", points)
+          case None => graft.io.DeltaRead.read(spark, ledgerTable)
+        }
+        val hit = bucketed
+          .join(ledger.select(col("bucket_key").as("__bucket"),
+            col("v").as("__lv")), "__bucket")
+          .where(round(cosineNative(col("v"), col("__lv")), 4) >= threshold)
+          .select(col("vec_id")).distinct()
+        selfSurv.join(hit, Seq("vec_id"), "left_anti")
+    }
+    val fresh = fresh0.persist()
+    try {
+      val total = batch.count()
+      val nNew = fresh.count()
+      if (nNew > 0) {
+        val rowsPerFile = spark.conf.getOption("spark.graft.dedup.ledgerRowsPerFile")
+          .flatMap(_.toLongOption).filter(_ >= 1).getOrElse(500000L)
+        val nParts = math.max(1L, (nNew + rowsPerFile - 1) / rowsPerFile)
+          .min(10000L).toInt
+        val ledgerRows = fresh.select(
+          graft.functions.Natives.hyperplaneBucket(col("v"), dim, bits)
+            .as("bucket_key"),
+          col("vec_id"), col("v"))
+          .repartitionByRange(nParts, col("bucket_key"))
+          .sortWithinPartitions(col("bucket_key"))
+        batchId match {
+          case Some((app, ver)) =>
+            graft.io.DeltaWrite.appendOnce(fresh, corpusTable, app, ver)
+            graft.io.DeltaWrite.appendOnceLayoutPinned(
+              ledgerRows, ledgerTable, s"$app.ledger", ver)
+          case None =>
+            graft.io.DeltaWrite.append(fresh, corpusTable)
+            graft.io.DeltaWrite.appendLayoutPinned(ledgerRows, ledgerTable)
+        }
+      }
+      (nNew, total - nNew)
+    } finally fresh.unpersist(blocking = false)
+  }
+
   /** Multi-table OR-LSH near-dup: `tables` independent `bits`-plane
     * sketches, candidates OR-ed across tables — the standard recall
     * amplifier (a pair is missed only if EVERY table splits it;

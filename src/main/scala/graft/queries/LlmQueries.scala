@@ -609,6 +609,109 @@ object LlmQueries {
     },
     benchmark = true)
 
+  /** q252 — INCREMENTAL embedding-cosine ingestion against the
+    * persisted bucket ledger ([[graft.operators.Similarity
+    * .ingestEmbeddings]]): the embedding member of the incremental
+    * family (q241 exact, q251 perceptual-hash). Batch 1 is q77's
+    * corpus (bases + perturbed copies — the copies drop in-batch
+    * where bucket+cosine catch them, the one-hop greedy policy);
+    * batch 2 re-offers a SECOND perturbation of every base (drops
+    * against the ledger where its sketch agrees — LSH recall, both
+    * engines miss identically) plus sign-flipped vectors (cosine ≈ 0,
+    * kept). A replay of batch 2 is an end-to-end no-op. The oracle
+    * replays the hyperplane sketch (q47's arithmetic), the NOT-EXISTS
+    * self policy, the bucket-equal + round(cosine,4) ≥ τ probe and
+    * both appends. */
+  val q252EmbeddingIngest = GQuery(
+    "q252_embedding_ingest",
+    (s, d) => {
+      import s.implicits._
+      val dir = graft.io.Staging.tempDir("graft_q252_")
+      val corpus = s"$dir/corpus"; val ledger = s"$dir/ledger"
+      val emb = Tables.embeddings(s, d)
+      val base = emb.select($"vec_id", Similarity.asDouble($"embedding").as("v"))
+      // two-step rename: the lateral-alias rule would otherwise bind
+      // the lambda's vec_id to the +100000 alias (q77's lesson)
+      val pert1 = emb.select($"vec_id",
+          transform(Similarity.asDouble($"embedding"),
+            (x, k) => x + (pmod($"vec_id" * 31 + k, lit(7)).cast("double")
+              - lit(3.0)) * lit(0.001)).as("v"))
+        .select(($"vec_id" + 100000).as("vec_id"), $"v")
+      val pert2 = emb.select($"vec_id",
+          transform(Similarity.asDouble($"embedding"),
+            (x, k) => x + (pmod($"vec_id" * 37 + k, lit(9)).cast("double")
+              - lit(4.0)) * lit(0.0008)).as("v"))
+        .select(($"vec_id" + 200000).as("vec_id"), $"v")
+      val flipped = emb.select(($"vec_id" + 300000).as("vec_id"),
+        transform(Similarity.asDouble($"embedding"),
+          (x, k) => when(pmod(k, lit(2)) === 0, x).otherwise(-x)).as("v"))
+      val b1 = base.union(pert1)
+      val b2 = pert2.union(flipped)
+      val (n1New, n1Drop) = Similarity.ingestEmbeddings(b1, corpus, ledger,
+        dim = 64, bits = 12, threshold = 0.99, batchId = Some(("q252", 1L)))
+      val (n2New, n2Drop) = Similarity.ingestEmbeddings(b2, corpus, ledger,
+        dim = 64, bits = 12, threshold = 0.99, batchId = Some(("q252", 2L)))
+      val nCorpus1 = graft.io.DeltaRead.read(s, corpus).count()
+      val (replNew, _) = Similarity.ingestEmbeddings(b2, corpus, ledger,
+        dim = 64, bits = 12, threshold = 0.99, batchId = Some(("q252", 2L)))
+      val nCorpus2 = graft.io.DeltaRead.read(s, corpus).count()
+      val nLedgerRows = graft.io.DeltaRead.read(s, ledger).count()
+      graft.io.DeltaRead.read(s, corpus)
+        .agg(count(lit(1)).cast("long").as("n_corpus"),
+          sum($"vec_id").cast("long").as("sum_ids"))
+        .select(lit(n1New).as("n1_new"), lit(n1Drop).as("n1_drop"),
+          lit(n2New).as("n2_new"), lit(n2Drop).as("n2_drop"),
+          $"n_corpus", $"sum_ids", lit(nLedgerRows).as("n_ledger_rows"),
+          lit(replNew == 0L && nCorpus1 == nCorpus2).as("replay_noop"))
+    },
+    Some {
+      val cos = (a: String, b: String) =>
+        s"""round(
+           |      list_sum(list_transform(range(1, 65), i -> $a.v[i]*$b.v[i])) /
+           |      (sqrt(list_sum(list_transform(range(1, 65), i -> $a.v[i]*$a.v[i]))) *
+           |       sqrt(list_sum(list_transform(range(1, 65), i -> $b.v[i]*$b.v[i])))), 4)""".stripMargin
+      s"""WITH b1 AS (
+         |  $PerturbedCorpusSql),
+         |k1 AS (SELECT vec_id, v, ${bucketSql("v", 12)} AS bucket FROM b1),
+         |d1 AS (SELECT DISTINCT b.vec_id FROM k1 a JOIN k1 b
+         |       ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |       WHERE ${cos("a", "b")} >= 0.99),
+         |s1 AS (SELECT * FROM k1 WHERE vec_id NOT IN (SELECT vec_id FROM d1)),
+         |b2 AS (
+         |  SELECT vid + 200000 AS vec_id, v FROM (
+         |    SELECT vec_id AS vid,
+         |      list_transform(range(0, 64), k ->
+         |        CAST(embedding[k+1] AS DOUBLE) +
+         |        (((vec_id*37 + k) % 9) - 4) * 0.0008) AS v
+         |    FROM embeddings)
+         |  UNION ALL
+         |  SELECT vec_id + 300000,
+         |    list_transform(range(0, 64), k ->
+         |      CASE WHEN k % 2 = 0 THEN CAST(embedding[k+1] AS DOUBLE)
+         |           ELSE -CAST(embedding[k+1] AS DOUBLE) END)
+         |  FROM embeddings),
+         |k2 AS (SELECT vec_id, v, ${bucketSql("v", 12)} AS bucket FROM b2),
+         |d2 AS (SELECT DISTINCT b.vec_id FROM k2 a JOIN k2 b
+         |       ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |       WHERE ${cos("a", "b")} >= 0.99),
+         |s2a AS (SELECT * FROM k2 WHERE vec_id NOT IN (SELECT vec_id FROM d2)),
+         |hits AS (SELECT DISTINCT a.vec_id FROM s2a a JOIN s1 l
+         |         ON l.bucket = a.bucket
+         |         WHERE ${cos("a", "l")} >= 0.99),
+         |s2 AS (SELECT * FROM s2a
+         |       WHERE vec_id NOT IN (SELECT vec_id FROM hits)),
+         |corpus AS (SELECT vec_id FROM s1 UNION ALL SELECT vec_id FROM s2)
+         |SELECT
+         |  (SELECT count(*) FROM s1) AS n1_new,
+         |  (SELECT count(*) FROM b1) - (SELECT count(*) FROM s1) AS n1_drop,
+         |  (SELECT count(*) FROM s2) AS n2_new,
+         |  (SELECT count(*) FROM b2) - (SELECT count(*) FROM s2) AS n2_drop,
+         |  (SELECT count(*) FROM corpus) AS n_corpus,
+         |  CAST((SELECT sum(vec_id) FROM corpus) AS BIGINT) AS sum_ids,
+         |  (SELECT count(*) FROM corpus) AS n_ledger_rows,
+         |  true AS replay_noop""".stripMargin
+    })
+
   /** Transitive near-dup GROUPS over q77's verified pairs: distributed
     * min-label propagation vs a DuckDB recursive-CTE transitive
     * closure. Exact group semantics (the greedy one-hop drop policy
@@ -1460,7 +1563,7 @@ object LlmQueries {
 
   val all: Seq[GQuery] = Seq(
     q40DedupExactStats, q41DedupExactKeep, q241IncrementalDedup,
-    q251PerceptualIngest,
+    q251PerceptualIngest, q252EmbeddingIngest,
     q42MinhashLsh, q43Simhash,
     q44NgramJaccard, q45CosineTopk, q46Centroids, q47LshBuckets,
     q55BpeTokens, q56IvfAnn, q57SaltedJoin, q77EmbeddingNearDup, q80IvfKmeans,

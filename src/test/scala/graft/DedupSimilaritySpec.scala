@@ -759,6 +759,42 @@ class DedupSimilaritySpec extends SparkTestBase {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
   }
 
+  test("ingestEmbeddings: self policy, cosine ledger probe, replay no-op") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val base = graft.io.Staging.tempDir("eingest")
+    val corpus = s"$base/corpus"; val ledger = s"$base/ledger"
+    try {
+      val vA = Seq(0.6, 0.8, 0.0, 0.1)
+      val vB = Seq(-0.7, 0.1, 0.7, 0.0)
+      // b1: 2 is an exact copy of 1 (cosine 1.0, bucket identical by
+      // construction) → drops in-batch; 3 is unrelated → kept
+      val b1 = Seq((1L, vA), (2L, vA), (3L, vB)).toDF("vec_id", "v")
+      val (n1, d1) = Similarity.ingestEmbeddings(b1, corpus, ledger,
+        dim = 4, bits = 6, threshold = 0.99, batchId = Some(("eingest", 1L)))
+      assert((n1, d1) == ((2L, 1L)), s"got ($n1, $d1)")
+      // b2: 11 re-offers vA scaled 2× (cosine exactly 1, same sign
+      // sketch) → drops against the ledger; 12 is the sign-flipped vA
+      // (cosine < 0) → kept
+      val b2 = Seq((11L, vA.map(_ * 2)), (12L, vA.map(-_)))
+        .toDF("vec_id", "v")
+      val (n2, d2) = Similarity.ingestEmbeddings(b2, corpus, ledger,
+        dim = 4, bits = 6, threshold = 0.99, batchId = Some(("eingest", 2L)))
+      assert((n2, d2) == ((1L, 1L)), s"got ($n2, $d2)")
+      val ids = graft.io.DeltaRead.read(spark, corpus)
+        .select($"vec_id").as[Long].collect().toSet
+      assert(ids == Set(1L, 3L, 12L))
+      val lrows = graft.io.DeltaRead.read(spark, ledger)
+      assert(lrows.count() == 3)
+      assert(lrows.columns.toSeq == Seq("bucket_key", "vec_id", "v"))
+      val (r2, rd2) = Similarity.ingestEmbeddings(b2, corpus, ledger,
+        dim = 4, bits = 6, threshold = 0.99, batchId = Some(("eingest", 2L)))
+      assert(r2 == 0L && rd2 == 2L)
+      assert(graft.io.DeltaRead.read(spark, corpus).count() == 3)
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+  }
+
   test("ingestPerceptual probes O(batch) ledger files via band-key skipping") {
     import spark.implicits._
     val base = graft.io.Staging.tempDir("pingest_prune")
