@@ -540,9 +540,11 @@ object Dedup {
     *     .readVersionWherePoints]] reads only the files the batch's
     *     keys can touch; batches past the collect cap fall back to the
     *     full probe. A survivor within `maxHamming` of any ledger hash
-    *     drops. (A new item near only a previously-DROPPED duplicate —
-    *     not its kept representative — survives: greedy incremental
-    *     dedup, the standard trade);
+    *     drops; `maxBucketSize` also valves the PROBE side (hot ledger
+    *     band buckets are skipped — see the in-code note). (A new item
+    *     near only a previously-DROPPED duplicate — not its kept
+    *     representative — survives: greedy incremental dedup, the
+    *     standard trade);
     *  3. appends survivors (with their hash) to `corpusTable` and
     *     their exploded band rows to `ledgerTable` — through the
     *     LAYOUT-PINNED door, so table-level optimizeWrite can never
@@ -558,12 +560,14 @@ object Dedup {
   def ingestPerceptual(batch: DataFrame, idCol: String, hashCol: String,
       corpusTable: String, ledgerTable: String,
       maxHamming: Int = 1, bands: Int = 4,
+      maxBucketSize: Int = Int.MaxValue,
       batchId: Option[(String, Long)] = None): (Long, Long) = {
     require(maxHamming >= 0 && maxHamming <= bands - 1,
       s"ingestPerceptual: maxHamming $maxHamming needs > $maxHamming bands " +
         "for the pigeonhole recall guarantee — raise bands or lower the radius")
     val spark = batch.sparkSession
-    val pairs = hammingNearDupPairs(batch, idCol, hashCol, maxHamming, bands)
+    val pairs = hammingNearDupPairs(batch, idCol, hashCol, maxHamming, bands,
+      maxBucketSize)
     val selfSurv = batch.join(
       pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
     val ledgerHead =
@@ -587,9 +591,22 @@ object Dedup {
             spark, ledgerTable, head, "band_key", points)
           case None => graft.io.DeltaRead.read(spark, ledgerTable)
         }
+        // probe-side valve: the ledger holds only ACCEPTED (mutually
+        // non-near-dup) items, but accepted hashes can still pile into
+        // one band slice (structured corpora pin a slice — constant
+        // image top rows, silence-leading audio), and a hot ledger
+        // bucket makes EVERY future batch compare against it — the
+        // creeping-quadratic shape the valve family exists for.
+        // Capped buckets skip this band's check (other bands still
+        // probe; recall degrades only inside hot buckets — the same
+        // documented trade as the pairing valve). Accounting is a
+        // one-line query on the ledger table itself:
+        // read(ledgerTable).groupBy("band_key").count().filter(> cap).
+        val ledgerCapped = capBuckets(
+          ledger.select(col("band_key").as("__bk"), col("hash").as("__lh")),
+          "__bk", maxBucketSize)
         val hit = banded
-          .join(ledger.select(col("band_key").as("__bk"), col("hash").as("__lh")),
-            "__bk")
+          .join(ledgerCapped, "__bk")
           .where(bit_count(col(hashCol).bitwiseXOR(col("__lh"))) <= maxHamming)
           .select(col(idCol)).distinct()
         selfSurv.join(hit, Seq(idCol), "left_anti")

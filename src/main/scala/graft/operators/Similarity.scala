@@ -540,7 +540,8 @@ object Similarity {
     *     [[graft.io.DeltaRead.readVersionWherePoints]] reads only the
     *     files the batch's bucket values can land in. A survivor
     *     within `threshold` cosine of any ledger vector in its bucket
-    *     drops. Recall is LSH-probabilistic, NOT the Hamming tier's
+    *     drops; `maxBucketSize` also valves the probe side (hot
+    *     ledger buckets are skipped — see the in-code note). Recall is LSH-probabilistic, NOT the Hamming tier's
     *     pigeonhole: a near-dup whose sketch differs in ≥1 of `bits`
     *     signs is missed — same single-table dial as [[nearDupPairs]]
     *     (fewer bits = coarser buckets = higher recall/cost);
@@ -581,9 +582,17 @@ object Similarity {
             spark, ledgerTable, head, "bucket_key", points)
           case None => graft.io.DeltaRead.read(spark, ledgerTable)
         }
+        // probe-side valve (see Dedup.ingestPerceptual): accepted
+        // vectors can pile into one sketch bucket, and a hot ledger
+        // bucket makes every future batch compare against it; capped
+        // buckets skip the probe there (dups admitted — the documented
+        // valve trade). Accounting: read(ledgerTable)
+        //   .groupBy("bucket_key").count().filter(> cap).
+        val ledgerCapped = Dedup.capBuckets(
+          ledger.select(col("bucket_key").as("__bucket"),
+            col("v").as("__lv")), "__bucket", maxBucketSize)
         val hit = bucketed
-          .join(ledger.select(col("bucket_key").as("__bucket"),
-            col("v").as("__lv")), "__bucket")
+          .join(ledgerCapped, "__bucket")
           .where(round(cosineNative(col("v"), col("__lv")), 4) >= threshold)
           .select(col("vec_id")).distinct()
         selfSurv.join(hit, Seq("vec_id"), "left_anti")

@@ -795,6 +795,60 @@ class DedupSimilaritySpec extends SparkTestBase {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
   }
 
+  test("ingest probe valves skip hot ledger buckets (dups admitted, join bounded)") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // PERCEPTUAL: five accepted hashes share band 0's slice (all 0 —
+    // the structured-corpus shape) but are pairwise Hamming ≥ 6; a
+    // radius-3 probe item flips one bit in each of bands 1–3, so ONLY
+    // the hot band-0 bucket can catch it
+    def hp(s: Long): Long = (s << 16) | (s << 32) | (s << 48)
+    val seed = Seq(1L, 2L, 4L, 8L, 16L).zipWithIndex
+      .map { case (s, i) => (i + 1L, hp(s)) }.toDF("item_id", "phash")
+    val probe = Seq((100L, hp(1L) ^ (1L << 16) ^ (1L << 32) ^ (1L << 48)))
+      .toDF("item_id", "phash")
+    def runP(cap: Int): Long = {
+      val base = graft.io.Staging.tempDir("pvalve")
+      try {
+        graft.operators.Dedup.ingestPerceptual(seed, "item_id", "phash",
+          s"$base/c", s"$base/l", maxHamming = 3, bands = 4)
+        val (n, _) = graft.operators.Dedup.ingestPerceptual(probe, "item_id",
+          "phash", s"$base/c", s"$base/l", maxHamming = 3, bands = 4,
+          maxBucketSize = cap)
+        n
+      } finally
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+    }
+    assert(runP(Int.MaxValue) == 0L, "unguarded probe must catch via the hot band")
+    assert(runP(4) == 1L,
+      "cap 4 must skip the 5-row band-0 bucket: dup admitted, join bounded")
+    // EMBEDDING twin at bits = 1: every positive-projection vector
+    // shares bucket 0, so three mutually-dissimilar accepted vectors
+    // make it hot; a true copy of the first is caught only there
+    // all three project NEGATIVE on plane 0 (weights -0.5, -0.0646,
+    // 0.2415, 0.4183) → shared bucket 0, pairwise cosine ≤ 0.1
+    val vs = Seq(Seq(1.0, 0.05, 0.0, 0.0), Seq(0.05, 1.0, 0.0, 0.0),
+      Seq(0.05, 0.0, -1.0, 0.0))
+    def runE(cap: Int): Long = {
+      val base = graft.io.Staging.tempDir("evalve")
+      try {
+        val (n0, _) = Similarity.ingestEmbeddings(
+          vs.zipWithIndex.map { case (v, i) => (i + 1L, v) }.toDF("vec_id", "v"),
+          s"$base/c", s"$base/l", dim = 4, bits = 1, threshold = 0.99)
+        assert(n0 == 3, s"seed vectors must be mutually dissimilar, got $n0")
+        val (n, _) = Similarity.ingestEmbeddings(
+          Seq((100L, vs.head)).toDF("vec_id", "v"),
+          s"$base/c", s"$base/l", dim = 4, bits = 1, threshold = 0.99,
+          maxBucketSize = cap)
+        n
+      } finally
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+    }
+    assert(runE(Int.MaxValue) == 0L, "unguarded probe must catch the exact copy")
+    assert(runE(2) == 1L,
+      "cap 2 must skip the 3-row bucket: dup admitted, join bounded")
+  }
+
   test("ingestPerceptual probes O(batch) ledger files via band-key skipping") {
     import spark.implicits._
     val base = graft.io.Staging.tempDir("pingest_prune")
