@@ -140,12 +140,30 @@ object Dedup {
           .where(size(col("__hs")) > 0)
           .withColumn("__sig", graft.functions.Natives.minhash(col("__hs"), numHashes))
           .select(col(idCol), col("__sig"))
+    lshCandidatesFromSigs(sigTable, idCol, "__sig", numHashes, bands,
+      maxBucketSize)
+  }
+
+  /** Banding + candidate self-join half of [[lshCandidates]], over a
+    * table of PRECOMPUTED MinHash signatures (idCol, sigCol). Exposed
+    * for callers that can amortize the signature computation — e.g. a
+    * corpus whose rows share text under several ids computes one
+    * signature per distinct text and explodes it to the ids, instead
+    * of re-running the shingle/minhash chain per corpus row (and per
+    * plan subtree: a self-join recomputes an unmaterialized signature
+    * table on BOTH sides). Semantics are byte-identical to
+    * [[lshCandidates]] by construction — it IS the tail of it. */
+  def lshCandidatesFromSigs(sigTable: DataFrame, idCol: String, sigCol: String,
+      numHashes: Int = 32, bands: Int = 8,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
     val withBands = sigTable
       // the candidate join shuffles h60(band string) — an 8-byte key
       // instead of a ~40-byte string, the dominant shuffle of the tier.
       // A 60-bit collision can only ADD a spurious candidate, which the
       // downstream exact-Jaccard verification discards.
-      .select(col(idCol), explode(bandKeys(col("__sig"), bands, r)).as("__bks"))
+      .select(col(idCol), explode(bandKeys(col(sigCol), bands, r)).as("__bks"))
       .select(col(idCol), graft.functions.Natives.hash60(col("__bks")).as("__bk"))
     val guarded = capBuckets(withBands, "__bk", maxBucketSize)
     guarded.alias("a")

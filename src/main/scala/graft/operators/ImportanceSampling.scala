@@ -50,15 +50,23 @@ object ImportanceSampling {
     * construction. The ratio is rounded to 6 dp so both engines sum
     * identical summands. */
   def logRatios(feats: DataFrame, isTarget: Column, buckets: Int): DataFrame = {
-    val t = feats.where(isTarget).groupBy("b").agg(count(lit(1)).as("tn"))
-    val r = feats.where(!isTarget).groupBy("b").agg(count(lit(1)).as("rn"))
-    val tTot = t.agg(sum(col("tn")).as("ttot")) // 1 row
-    val rTot = r.agg(sum(col("rn")).as("rtot")) // 1 row
-    r.join(t, Seq("b"), "left")
-      .crossJoin(broadcast(tTot))
-      .crossJoin(broadcast(rTot))
+    // ONE conditional-count pass over the feature stream instead of two
+    // filtered aggregations (target + raw each re-ran the whole
+    // scan→tokenize→explode lineage; plans/r16/q191_dsir_selection
+    // _before.txt shows the doubled subtree). `count(when(...))` per
+    // branch is exactly the filtered count: a bucket unseen by the
+    // target gets tn = 0 — the same value the old left join's
+    // coalesce(tn, 0) produced — and the totals are sums over all
+    // buckets of the same counts, so every lr is bit-identical.
+    val counts = feats.groupBy("b").agg(
+      count(when(isTarget, lit(1))).as("tn"),
+      count(when(!isTarget, lit(1))).as("rn"))
+    val tots = counts.agg(
+      sum(col("tn")).as("ttot"), sum(col("rn")).as("rtot")) // 1 row
+    counts.where(col("rn") > 0) // raw-pool buckets only, as before
+      .crossJoin(broadcast(tots))
       .select(col("b"), round(
-        log((coalesce(col("tn"), lit(0L)).cast("double") + 1.0) /
+        log((col("tn").cast("double") + 1.0) /
           (col("ttot").cast("double") + buckets)) -
           log((col("rn").cast("double") + 1.0) /
             (col("rtot").cast("double") + buckets)), 6).as("lr"))

@@ -330,8 +330,19 @@ object CurationQueries {
           explode(arrays_zip($"uni_cut", $"bi")).as("z"))
         .select($"doc_id", $"source",
           $"z.uni_cut".as("lh"), $"z.bi".as("bh"))
-      val cb = big.groupBy($"bh").agg(count(lit(1)).as("cb"))
-      val cl = big.groupBy($"lh").agg(count(lit(1)).as("cl"))
+      // ONE (bh, lh)-keyed count pass feeds BOTH count tables: bh and
+      // lh ride the same row, so cb = Σ c over lh and cl = Σ c over bh
+      // from the distinct-bigram table are the identical per-key
+      // totals, while the raw position stream is scanned twice (count
+      // + probe) instead of three times. The two roll-ups share the
+      // composite exchange via ReusedExchange (identical subtree), and
+      // the probe keeps the original broadcast-join shape — the
+      // planner, not a hint, still decides from the tables' sizes
+      // (plans/r16/q135_bigram_lm_*.txt).
+      val counts = big.groupBy($"bh", $"lh").agg(count(lit(1)).as("c"))
+        .localCheckpoint(false)
+      val cb = counts.groupBy($"bh").agg(sum($"c").as("cb"))
+      val cl = counts.groupBy($"lh").agg(sum($"c").as("cl"))
       val vocab = docs.select(explode(TextAnalysis.tokens($"text")).as("w"))
         .agg(countDistinct($"w").as("vocab"))
       val docScores = big.join(cb, "bh").join(cl, "lh")
@@ -389,13 +400,25 @@ object CurationQueries {
       // which explode drops — same rows as a size(t) >= 8 filter
       val grams = Tables.documents(s, d).select($"doc_id", $"source",
         explode(graft.functions.Natives.ngramHashes($"text", 8, 1)).as("gh"))
-      val counts = grams.groupBy($"gh").agg(countDistinct($"doc_id").as("nd"))
-      grams.join(counts, "gh")
-        .groupBy($"source")
-        .agg(count(lit(1)).as("n_pos"),
-          count(when($"nd" > 1, 1)).as("n_dup_pos"),
-          round(count(when($"nd" > 1, 1)).cast("double") /
-            count(lit(1)).cast("double"), 4).as("dup_frac"))
+      // Single pass: the count-distinct + join-back form scanned and
+      // hashed the corpus twice and shuffled the raw position stream
+      // twice (plans/r16/q150_dup_ngrams_before.txt). Aggregating to
+      // (gh, doc_id) grain first — positions per doc per window hash —
+      // makes nd a plain count of rows over the gh window partition
+      // (exactly countDistinct(doc_id) per gh, no join back), and the
+      // per-source totals are the same sums of per-position counts.
+      // repartition by gh alone so the (gh, doc_id, source) aggregate
+      // AND the gh window both run off ONE exchange (hash(gh) clusters
+      // both); without it each keys its own shuffle
+      val perDoc = grams.repartition($"gh")
+        .groupBy($"gh", $"doc_id", $"source")
+        .agg(count(lit(1)).as("c"))
+        .withColumn("nd", count(lit(1)).over(Window.partitionBy($"gh")))
+      perDoc.groupBy($"source")
+        .agg(sum($"c").as("n_pos"),
+          coalesce(sum(when($"nd" > 1, $"c")), lit(0L)).as("n_dup_pos"),
+          round(coalesce(sum(when($"nd" > 1, $"c")), lit(0L)).cast("double") /
+            sum($"c").cast("double"), 4).as("dup_frac"))
         .orderBy($"source")
     },
     Some(s"""WITH toks AS (SELECT doc_id, source, $toksSql AS t FROM documents),
@@ -576,13 +599,23 @@ object CurationQueries {
       import s.implicits._
       val docs = Tables.documents(s, d)
       val deduped = graft.operators.Dedup.exact(docs, "text", "doc_id")
-      val scored = deduped.withColumn("q", TextAnalysis.qualityScore($"text"))
+      // NARROW + lazily materialized once: the dedup window + quality
+      // scoring chain previously re-ran for each of its three consumers
+      // (threshold agg, gate join probe, per-source dedup counts) —
+      // 3 full scan→window→score lineages per run
+      // (plans/r16/q172_corpus_release_before.txt). Projecting to the
+      // four consumed columns first keeps `text` out of the
+      // materialized blocks; all downstream stats are unchanged.
+      val scored = deduped
+        .withColumn("q", TextAnalysis.qualityScore($"text"))
         .withColumn("toks", TextAnalysis.tokenCount($"text"))
+        .select($"source", $"lang", $"q", $"toks")
+        .localCheckpoint(false)
       val thr = scored.groupBy($"lang")
         .agg(round(expr("percentile(q, 0.3D)"), 6).as("thr"))
       val gated = scored.join(broadcast(thr), "lang").where($"q" >= $"thr")
       val raw = docs.groupBy($"source").agg(count(lit(1)).as("n_raw"))
-      val dd = deduped.groupBy($"source").agg(count(lit(1)).as("n_dedup"))
+      val dd = scored.groupBy($"source").agg(count(lit(1)).as("n_dedup"))
       val fin = gated.groupBy($"source")
         .agg(count(lit(1)).as("n_final"), sum($"toks").as("tokens_final"))
       raw.join(dd, Seq("source"), "left").join(fin, Seq("source"), "left")

@@ -208,11 +208,25 @@ object LlmQueries {
     (s, d) => {
       import s.implicits._
       val docs = Tables.documents(s, d)
-      val corpus = docs.select($"doc_id".as("id"), $"text")
-        .union(docs.select(($"doc_id" + 100000).as("id"), $"text"))
-      val cand = Dedup.lshCandidates(corpus, "id", "text", numHashes = 32, bands = 8)
-      val sh = corpus.select($"id",
-        Dedup.shingleHashes($"text", 3).as("hs"))
+      // The planted copies (doc_id+100000) share the base text, so the
+      // shingle/minhash chain runs ONCE per base doc and the result is
+      // exploded to both ids — the unioned-corpus form recomputed the
+      // native hash chain per corpus row AND per plan subtree (the
+      // candidate self-join + the two verify joins re-derived it 8×:
+      // plans/r16/q42_minhash_lsh_before.txt). The lazy localCheckpoint
+      // materializes the one hash table inside the timed action and
+      // serves all four consumers. Candidates, jaccard and rows are
+      // byte-identical (same hashes, same band keys, same verify).
+      val hashed = docs
+        .select($"doc_id", Dedup.shingleHashes($"text", 3).as("hs"))
+        .where(size($"hs") > 0)
+        .withColumn("sig", graft.functions.Natives.minhash($"hs", 32))
+        .localCheckpoint(false)
+      def both(c: String) = hashed.select(
+        explode(array($"doc_id", $"doc_id" + 100000)).as("id"), col(c))
+      val cand = Dedup.lshCandidatesFromSigs(both("sig"), "id", "sig",
+        numHashes = 32, bands = 8)
+      val sh = both("hs")
       cand
         .join(sh.select($"id".as("id_a"), $"hs".as("hs_a")), "id_a")
         .join(sh.select($"id".as("id_b"), $"hs".as("hs_b")), "id_b")

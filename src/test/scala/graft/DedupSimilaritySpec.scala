@@ -371,6 +371,26 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(direct.count() > 0)
   }
 
+  test("lshCandidatesFromSigs: precomputed-signature path == direct path") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.select($"doc_id".as("id"), $"text")
+      .union(docs.select(($"doc_id" + 100000).as("id"), $"text"))
+    val direct = graft.operators.Dedup.lshCandidates(corpus, "id", "text")
+    // q42's shape: hash once per base doc, explode the signature to
+    // both ids — must band and pair identically to the direct path
+    val sigs = docs
+      .select($"doc_id", graft.operators.Dedup.shingleHashes($"text", 3).as("hs"))
+      .where(size($"hs") > 0)
+      .select(explode(array($"doc_id", $"doc_id" + 100000)).as("id"),
+        graft.functions.Natives.minhash($"hs", 32).as("sig"))
+    val fromSigs = graft.operators.Dedup.lshCandidatesFromSigs(sigs, "id", "sig")
+    assert(direct.exceptAll(fromSigs).count() == 0 &&
+      fromSigs.exceptAll(direct).count() == 0,
+      "precomputed-signature path must yield identical candidates")
+    assert(direct.count() > 0)
+  }
+
   test("fuzzy-match block guard leaves a ledger: dropped blocks are reported, not silent") {
     import graft.operators.FuzzyMatch
     // one flood block (100 corpus rows under key "hot") + one normal
