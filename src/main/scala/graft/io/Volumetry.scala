@@ -23,7 +23,11 @@ object Volumetry {
   /** Status split + pct-of-total over events (A1/A5). */
   def eventSplit(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.events(spark, sfDir)
+    // materialized once (lazy, tiny): the pct-of-total cross join
+    // consumes `counts` twice, re-scanning the events table for the
+    // broadcast total without it
     val counts = e.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(false)
     counts
       .crossJoin(broadcast(counts.agg(sum(col("n")).as("__tot"))))
       .withColumn("pct", round(lit(100.0) * col("n") / col("__tot"), 2))
@@ -32,8 +36,11 @@ object Volumetry {
 
   /** Relation stats: groups, avg/max group size, top-10 (A2–A4). */
   def relationStats(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    // materialized once (lazy): summary stats and top-10 are separate
+    // actions over the same per-customer aggregate
     val perCustomer = Tables.orders(spark, sfDir)
       .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      .localCheckpoint(false)
     val stats = perCustomer.agg(
       count(lit(1)).as("n_groups"),
       round(avg(col("n_orders")), 2).as("avg_per_group"),

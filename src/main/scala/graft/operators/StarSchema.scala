@@ -304,12 +304,19 @@ object StarSchema {
       Tables.nation(spark, sfDir), Tables.region(spark, sfDir))
   }
 
+  /** Gold table names in build order — lets orchestration iterate the
+    * star WITHOUT forcing every LazyStar entry up front (LazyStar's own
+    * `keys`/`iterator` materialize each frame as they enumerate). */
+  val tableNames: Seq[String] = Seq(
+    "dim_fecha", "dim_customer", "dim_part", "dim_tag",
+    "fact_orders", "bridge_order_part", "bridge_part_tag", "fact_metricas")
+
   def buildFrom(b: Bronze, key: KeyFn): Map[String, DataFrame] = {
     lazy val fecha =
       dimFecha(dateDomain(b.orders -> "o_orderdate", b.lineitem -> "l_shipdate"), key).cache()
     lazy val cust = dimCustomer(b.customer, b.nation, b.region, key).cache()
     lazy val tag = dimTag(b.part, key)
-    new LazyStar(Seq(
+    val thunks = Seq(
       "dim_fecha" -> (() => fecha),
       "dim_customer" -> (() => cust),
       "dim_part" -> (() => dimPart(b.part, key)),
@@ -317,7 +324,9 @@ object StarSchema {
       "fact_orders" -> (() => factOrders(b.orders, fecha, cust)),
       "bridge_order_part" -> (() => bridgeOrderPart(b.lineitem, b.orders, b.part)),
       "bridge_part_tag" -> (() => bridgePartTag(b.part, tag)),
-      "fact_metricas" -> (() => factMetricas(b.lineitem, fecha))))
+      "fact_metricas" -> (() => factMetricas(b.lineitem, fecha)))
+    require(thunks.map(_._1) == tableNames, "tableNames drifted from buildFrom")
+    new LazyStar(thunks)
   }
 
   /** Incremental-safe star: hashKey surrogates, so a dimension row

@@ -823,9 +823,14 @@ object LlmQueries {
       val nPairs = pairs.count()
       val cc = Dedup.connectedComponents(pairs).withColumnRenamed("id", "vec_id")
       val ccHinted = if (cc.count() <= broadcastRows) broadcast(cc) else cc
+      // lazily materialized: asg is consumed three times (split counts
+      // + both sides of the straddle audit) and each consumer re-ran
+      // the corpus scan + label join — 6 corpus derivations inside one
+      // action (plans/r16/q189_leakage_split_before.txt)
       val labeled = corpus.select($"vec_id")
         .join(ccHinted, Seq("vec_id"), "left")
         .select($"vec_id", coalesce($"label", $"vec_id").as("group_label"))
+        .localCheckpoint(false)
       val asg = labeled
         .select(lit("naive").as("scheme"), $"vec_id",
           graft.operators.Sampling.splitAssign($"vec_id", SplitWeights).as("split"))
