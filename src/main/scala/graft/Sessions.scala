@@ -17,20 +17,15 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.compression.codec", "snappy")
-      // 64 MB broadcast ceiling (default 10 MB), env-overridable: the
-      // threshold is size-ADAPTIVE by construction (a side only
-      // broadcasts when its estimate fits), so raising it never
-      // broadcasts big tables — it stops a mid-sized dim (orders at
-      // sf1: ~24 MB projected) from forcing a sort-merge of the fact
-      // side. Matches the repo's existing 64 MB explicit-broadcast
-      // policy (Joins.maybeBroadcast, q189's hinted CC labels).
-      // Measured: q17 1.72→1.43 s at sf1, q16/q68 mildly better,
-      // q130/q181 unchanged; sf0.1 plans unaffected (already under
-      // 10 MB). preferSortMergeJoin=false and the AQE shuffled-hash
-      // threshold were ALSO tried and REJECTED: q181's within-cell
-      // self-join degraded 0.9→4.0 s at sf1.
+      // Broadcast threshold stays at Spark's 10 MB default, but
+      // env-overridable for cluster tuning. MEASURED before settling
+      // (optimization r16): 64m converts only q77/q82's sf1 bucket
+      // self-joins SMJ→BHJ — q77 gained ~0.25 s but q82's vector-array
+      // broadcast build showed 12 s GC spikes; preferSortMergeJoin=
+      // false + the AQE shuffled-hash threshold degraded q181's
+      // within-cell self-join 0.9→4.0 s at sf1. Both rejected.
       .config("spark.sql.autoBroadcastJoinThreshold",
-        sys.env.getOrElse("SPARK_GRAFT_BROADCAST_THRESHOLD", "64m"))
+        sys.env.getOrElse("SPARK_GRAFT_BROADCAST_THRESHOLD", "10m"))
       .config("spark.ui.enabled", "false")
 
   def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {

@@ -39,14 +39,22 @@ object CurationQueries {
       val ch = Tables.documents(s, d)
         .select($"doc_id", $"source",
           explode(graft.functions.Natives.ngramHashes($"text", 10, 10)).as("ch"))
-      val counts = ch.groupBy($"ch").agg(countDistinct($"doc_id").as("n_docs"))
-      ch.join(counts, "ch")
-        .groupBy($"source")
+      // single pass, q150's shape: (ch, doc_id) grain once, then the
+      // distinct-doc count per chunk hash is a plain row count over
+      // the ch window partition — replaces the countDistinct +
+      // join-back that scanned and hashed the corpus twice. One
+      // exchange via repartition(ch) serves both the aggregate and
+      // the window.
+      val perDoc = ch.repartition($"ch")
+        .groupBy($"ch", $"doc_id", $"source")
+        .agg(count(lit(1)).as("c"))
+        .withColumn("nd", count(lit(1)).over(Window.partitionBy($"ch")))
+      perDoc.groupBy($"source")
         .agg(
-          count(lit(1)).as("n_chunks"),
-          count(when($"n_docs" > 1, 1)).as("n_dup_chunks"),
-          round(count(when($"n_docs" > 1, 1)).cast("double") /
-            count(lit(1)).cast("double"), 4).as("dup_frac"))
+          sum($"c").as("n_chunks"),
+          coalesce(sum(when($"nd" > 1, $"c")), lit(0L)).as("n_dup_chunks"),
+          round(coalesce(sum(when($"nd" > 1, $"c")), lit(0L)).cast("double") /
+            sum($"c").cast("double"), 4).as("dup_frac"))
         .orderBy($"source")
     },
     Some(s"""WITH toks AS (SELECT doc_id, source, $toksSql AS t FROM documents),

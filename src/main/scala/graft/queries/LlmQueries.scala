@@ -446,7 +446,12 @@ object LlmQueries {
     (s, d) => {
       import s.implicits._
       val emb = Tables.embeddings(s, d)
+      // ≤ |labels| rows, lazily materialized once: ivfTopK consumes the
+      // centroid table three times (corpus-side cell assignment, probe
+      // assignment, cell count) and each re-ran the full component
+      // aggregation pass without it
       val centroids = Similarity.buildCentroids(emb, "label")
+        .localCheckpoint(false)
       Similarity.ivfTopK(emb.filter($"vec_id" < 5), emb, centroids, k = 5, nprobe = 1000)
     },
     q45CosineTopk.oracle,
@@ -1506,7 +1511,11 @@ object LlmQueries {
     (s, d) => {
       import s.implicits._
       val emb = Tables.embeddings(s, d)
+      // m×codesPerSub rows, lazily materialized once: the codebook agg
+      // pass otherwise re-runs for each consumer (encode broadcast, LUT
+      // broadcast, and pqTopK's two shape-check collects)
       val cb = Similarity.pqCodebooks(emb, "label", m = 8, dim = 64)
+        .localCheckpoint(false)
       val codes = Similarity.pqEncode(emb, cb, m = 8, dim = 64)
       Similarity.pqTopK(emb.filter($"vec_id" < 5), codes, cb,
         k = 5, m = 8, dim = 64, codesPerSub = 10)
