@@ -51,10 +51,19 @@ object Retrieval {
     * see a total, reproducible order (ties → doc_id). */
   def tfidfTopK(docs: DataFrame, id: Column, text: Column,
       terms: Seq[String], k: Int): DataFrame = {
+    // filter to the query terms BEFORE both consumers and lazily
+    // materialize the (tiny) surviving tf rows once: df is only ever
+    // consumed for the query terms, so computing docFrequencies over
+    // the full corpus ran the tokenize+explode+aggregate lineage a
+    // second time for rows the join immediately dropped. df values for
+    // the terms are identical by construction (tf is unique per
+    // (doc, word)).
     val tf = termFrequencies(docs, id, text)
+      .where(col("word").isin(terms: _*))
+      .localCheckpoint(false)
     val df = docFrequencies(tf)
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    tf.where(col("word").isin(terms: _*))
+    tf
       .join(broadcast(df), "word")
       .crossJoin(broadcast(n))
       .groupBy("doc_id")
@@ -73,7 +82,10 @@ object Retrieval {
   def bm25TopK(docs: DataFrame, id: Column, text: Column,
       terms: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // same terms-first filter + one materialization as tfidfTopK
     val tf = termFrequencies(docs, id, text)
+      .where(col("word").isin(terms: _*))
+      .localCheckpoint(false)
     val df = docFrequencies(tf)
     val lens = docs.select(id.as("doc_id"),
       TextAnalysis.tokenCount(text).cast("double").as("dl"))
@@ -84,7 +96,7 @@ object Retrieval {
     val score = idfBm25(col("df"), col("n_docs")) *
       (tfd * (k1 + 1.0)) /
       (tfd + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl")))
-    tf.where(col("word").isin(terms: _*))
+    tf
       .join(broadcast(df), "word")
       .join(lens, "doc_id")
       .crossJoin(broadcast(stats))
