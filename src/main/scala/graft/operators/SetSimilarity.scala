@@ -65,15 +65,20 @@ object SetSimilarity {
 
   /** The dense gate needs BOTH measurements: masks must fit a long
     * (vocab ≤ 62) AND the distinct-set table must stay broadcast- and
-    * O(S²)-sized. Both counts come from ONE pass over the exploded
-    * tokens (the sorted array rides along each token row), so the
-    * gate costs a single scan + aggregate however it decides. */
+    * O(S²)-sized. Two cheap aggregates, deliberately NOT the former
+    * single fused pass: fusing forced the full sorted token ARRAY to
+    * ride along (and group) every exploded token row — |tokens| rows
+    * × an array-valued distinct key, measured 2.7 s warm at sf1 —
+    * while split, the vocab count explodes bare tokens and the set
+    * count groups one array row per doc (optimization r16). */
   private def denseEligible(toks: DataFrame, maxDenseSets: Long): Boolean = {
-    val m = toks
-      .select(array_sort(col("t")).as("st"), explode(col("t")).as("w"))
-      .agg(countDistinct(col("w")).as("vocab"), countDistinct(col("st")).as("nsets"))
-      .collect()(0)
-    m.getLong(0) <= 62L && m.getLong(1) <= maxDenseSets
+    val vocab = toks.select(explode(col("t")).as("w"))
+      .agg(countDistinct(col("w"))).collect()(0).getLong(0)
+    vocab <= 62L && {
+      val nsets = toks.select(array_sort(col("t")).as("st"))
+        .agg(countDistinct(col("st"))).collect()(0).getLong(0)
+      nsets <= maxDenseSets
+    }
   }
 
   /** The strategy the adaptive gate would pick — exposed so specs can
@@ -156,21 +161,30 @@ object SetSimilarity {
       .agg(sum(col("w")).as("n_pairs"), sum(col("jac") * col("w")).as("jac_sum"))
     // distinct smaller-id members: for a cross pair set {a∈A, b∈B},
     // min(a,b) ranges over exactly the members below the OTHER set's
-    // max — Σ(ma+mb) rows, not ma·mb. Doc lists re-attach onto the
-    // QUALIFYING pairs only, via a broadcast lookup on the
-    // checkpointed set table; explode + where stays whole-stage
-    // codegen (an array-filter HOF here would run an interpreted
-    // lambda per pair — measured 2.7× slower on this corpus)
+    // max. COLLAPSE TO (set, band) GRAIN BEFORE EXPLODING (optimization
+    // r16): "d < bmax(B) for SOME qualifying partner B in this band"
+    // ⟺ "d < max over those partners' bmax", so aggregating the
+    // partner max per (set, band) first — map-side combinable, ≤
+    // |sets|×10 rows — and exploding doc lists ONCE per (set, band)
+    // emits Σ|docs| rows instead of once per qualifying PAIR (measured
+    // 86M generated rows and ~8 s per side at sf1; now ~0.5M). The
+    // distinct-da set per band is identical by construction. Doc lists
+    // re-attach via a broadcast lookup on the checkpointed set table;
+    // explode + where stays whole-stage codegen (an array-filter HOF
+    // here would run an interpreted lambda per row — measured 2.7×
+    // slower on this corpus)
     val aDocs = broadcast(sets.select(col("mask").as("ka"), col("docs").as("da_docs")))
     val bDocs = broadcast(sets.select(col("mask").as("kb"), col("docs").as("db_docs")))
-    val crossDa = crossQ.join(aDocs, Seq("ka"))
-        .select(bandOf(col("jac")).as("band"),
-          explode(col("da_docs")).as("da"), col("bmax"))
-        .where(col("da") < col("bmax")).select(col("band"), col("da"))
-      .unionByName(crossQ.join(bDocs, Seq("kb"))
-        .select(bandOf(col("jac")).as("band"),
-          explode(col("db_docs")).as("da"), col("amax"))
-        .where(col("da") < col("amax")).select(col("band"), col("da")))
+    val aPartnerMax = crossQ.groupBy(col("ka"), bandOf(col("jac")).as("band"))
+      .agg(max(col("bmax")).as("pmax"))
+    val bPartnerMax = crossQ.groupBy(col("kb"), bandOf(col("jac")).as("band"))
+      .agg(max(col("amax")).as("pmax"))
+    val crossDa = aPartnerMax.join(aDocs, Seq("ka"))
+        .select(col("band"), explode(col("da_docs")).as("da"), col("pmax"))
+        .where(col("da") < col("pmax")).select(col("band"), col("da"))
+      .unionByName(bPartnerMax.join(bDocs, Seq("kb"))
+        .select(col("band"), explode(col("db_docs")).as("da"), col("pmax"))
+        .where(col("da") < col("pmax")).select(col("band"), col("da")))
     val withinDa = withinQ.select(lit(1.0).as("band"),
       explode(col("docs")).as("da"), col("dmax"))
       .where(col("da") < col("dmax")).select(col("band"), col("da"))
