@@ -87,6 +87,32 @@ object NativeHelpers {
     if (denom == 0.0) null else java.lang.Double.valueOf(dot / denom)
   }
 
+  /** Squared L2 distance over two double arrays — numerically
+    * IDENTICAL to the declarative
+    * `aggregate(zip_with(a,b,(x,y)->(x-y)*(x-y)), 0.0, _+_)` fold
+    * (same left-to-right accumulation), with its exact null
+    * semantics: null element → null, length mismatch → null
+    * (zip_with pads with nulls, which poison the fold), empty
+    * arrays → 0.0. The per-(vector, subspace, code) distance of the
+    * PQ tier (encode, LUT, codebook training) — the HOF form runs an
+    * interpreted lambda per candidate code and breaks the
+    * whole-stage-codegen span exactly where the encode scan is
+    * hottest. */
+  def l2sq(a: ArrayData, b: ArrayData): java.lang.Double = {
+    if (a == null || b == null) return null
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = a.getDouble(i) - b.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
   /** SQ8 scalar quantization to 1-byte codes — the arithmetic twin of
     * `Similarity.sq8Dequantize`'s code computation (w = (hi-lo)/256,
     * code = min(floor((x-lo)/w), 255), same IEEE ops in the same
@@ -496,6 +522,41 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd squared L2 distance: `l2sq_native(array<double>,
+  * array<double>)` — the PQ tier's per-code distance (see
+  * NativeHelpers.l2sq for the exact declarative-fold equivalence). */
+case class L2SquaredExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "l2sq_native"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val r = NativeHelpers.l2sq(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (r == null) null else r.doubleValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aGen = left.genCode(ctx)
+    val bGen = right.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${aGen.code}
+        ${bGen.code}
+        boolean ${ev.isNull} = true;
+        double ${ev.value} = 0.0;
+        if (!${aGen.isNull} && !${bGen.isNull}) {
+          java.lang.Double r = graft.functions.NativeHelpers.l2sq(${aGen.value}, ${bGen.value});
+          if (r != null) { ${ev.isNull} = false; ${ev.value} = r.doubleValue(); }
+        }
+      """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): L2SquaredExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Codegen'd SimHash: `simhash_native(text)` — see NativeHelpers.simhash. */
 case class SimhashExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -762,6 +823,8 @@ object Natives {
   def repairJson(c: Column): Column = toCol(RepairJsonExpr(toExpr(c)))
   def cosine(a: Column, b: Column): Column =
     toCol(CosineSimilarityExpr(toExpr(a), toExpr(b)))
+  def l2sq(a: Column, b: Column): Column =
+    toCol(L2SquaredExpr(toExpr(a), toExpr(b)))
   def shingleHashes(c: Column, n: Int): Column =
     toCol(ShingleHashExpr(toExpr(c), n, NativeHelpers.MinhashP))
   def ngramHashes(c: Column, n: Int, stride: Int = 1): Column =
@@ -811,6 +874,8 @@ object NativeRegistry {
       ((exprs: Seq[Expression]) => RepairJsonExpr(exprs.head)),
     "cosine_native" ->
       ((exprs: Seq[Expression]) => CosineSimilarityExpr(exprs(0), exprs(1))),
+    "l2sq_native" ->
+      ((exprs: Seq[Expression]) => L2SquaredExpr(exprs(0), exprs(1))),
     "shingle_hash_native" ->
       ((exprs: Seq[Expression]) => ShingleHashExpr(exprs(0),
         litInt("shingle_hash_native", exprs, 1), NativeHelpers.MinhashP)),

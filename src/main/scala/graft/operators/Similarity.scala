@@ -295,9 +295,10 @@ object Similarity {
       }.toMap
     for (_ <- 1 to iters) {
       val assigned = subs.join(broadcast(toDf(books)), "sub")
-        .withColumn("__dd", aggregate(
-          zip_with(col("sv"), col("centroid"), (a, b) => (a - b) * (a - b)),
-          lit(0.0), (acc, x) => acc + x))
+        // codegen'd l2sq_native ≡ the aggregate(zip_with(...)) fold
+        // bit-for-bit (NativeL2Spec) — the HOF ran an interpreted
+        // lambda per (vector, sub, code) row
+        .withColumn("__dd", graft.functions.Natives.l2sq(col("sv"), col("centroid")))
         .groupBy(col("vec_id"), col("sub"))
         .agg(min(struct(col("__dd"), col("code"))).as("__m"))
         .select(col("vec_id"), col("sub"), col("__m.code").as("code"))
@@ -328,9 +329,11 @@ object Similarity {
         explode(sequence(lit(0), lit(m - 1))).as("sub"))
       .withColumn("__sv", slice(col("__v"), col("sub") * subDim + 1, lit(subDim)))
       .join(broadcast(codebooks), "sub")
-      .withColumn("__d", aggregate(
-        zip_with(col("__sv"), col("centroid"), (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, x) => acc + x))
+      // codegen'd l2sq_native ≡ the aggregate(zip_with(...)) fold
+      // bit-for-bit (NativeL2Spec); the HOF form ran an interpreted
+      // lambda per (vector, subspace, code) row — m × codesPerSub per
+      // corpus vector, the encode scan's inner loop
+      .withColumn("__d", graft.functions.Natives.l2sq(col("__sv"), col("centroid")))
       .groupBy(col("vec_id"), col("sub"))
       .agg(min(struct(col("__d"), col("code"))).as("__m"))
       .groupBy(col("vec_id"))
@@ -380,9 +383,7 @@ object Similarity {
         explode(sequence(lit(0), lit(m - 1))).as("sub"))
       .withColumn("__qs", slice(col("__qv"), col("sub") * subDim + 1, lit(subDim)))
       .join(broadcast(codebooks), "sub")
-      .withColumn("__ld", aggregate(
-        zip_with(col("__qs"), col("centroid"), (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, x) => acc + x))
+      .withColumn("__ld", graft.functions.Natives.l2sq(col("__qs"), col("centroid")))
       .groupBy(col("qid"))
       .agg(transform(
         array_sort(collect_list(struct(col("sub"), col("code"), col("__ld").as("ld")))),

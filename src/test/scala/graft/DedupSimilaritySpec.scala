@@ -174,6 +174,29 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(ham(m(1L), m(2L)) < ham(m(1L), m(3L)))
   }
 
+  test("l2sq_native == declarative squared-L2 fold bit-for-bit + null edges") {
+    def declL2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    val emb = Tables.embeddings(spark, sf).limit(200)
+      .select($"vec_id", Similarity.asDouble($"embedding").as("v"))
+    val pairs = emb.alias("a").join(emb.alias("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(declL2(col("a.v"), col("b.v")).as("decl"),
+        graft.functions.Natives.l2sq(col("a.v"), col("b.v")).as("nat"))
+    // bit-identical, not approximately equal: same accumulation order
+    assert(pairs.filter($"decl" =!= $"nat").count() == 0)
+    assert(pairs.filter($"decl".isNull =!= $"nat".isNull).count() == 0)
+    assert(pairs.count() > 0)
+    // length mismatch -> null in both forms; empty arrays -> 0.0
+    val edges = Seq(
+      (Seq(1.0, 2.0), Seq(1.0)),
+      (Seq.empty[Double], Seq.empty[Double])).toDF("a", "b")
+      .select(declL2($"a", $"b").as("decl"),
+        graft.functions.Natives.l2sq($"a", $"b").as("nat")).collect()
+    assert(edges(0).isNullAt(0) && edges(0).isNullAt(1))
+    assert(edges(1).getDouble(0) == 0.0 && edges(1).getDouble(1) == 0.0)
+  }
+
   test("cosine_native == declarative cosine bit-for-bit on real embeddings + null edges") {
     val emb = Tables.embeddings(spark, sf).limit(200)
       .select($"vec_id", Similarity.asDouble($"embedding").as("v"))
