@@ -60,8 +60,14 @@ object SetSimilarity {
     * when vocab ≤ 62 and executors have the few-MB broadcast room. */
   def jaccardBands(toks: DataFrame, tau: Double,
       maxDenseSets: Long = 50000L): DataFrame =
-    if (denseEligible(toks, maxDenseSets)) denseBands(toks, tau)
-    else prefixBands(toks, tau)
+    denseGate(toks, maxDenseSets) match {
+      case Some(nsets) =>
+        // duplicate factor from counts the gate already took — no
+        // extra materialization; steers the distinct-doc audit's
+        // physical form inside denseBands
+        denseBands(toks, tau, avgMult = toks.count().toDouble / nsets)
+      case None => prefixBands(toks, tau)
+    }
 
   /** The dense gate needs BOTH measurements: masks must fit a long
     * (vocab ≤ 62) AND the distinct-set table must stay broadcast- and
@@ -71,13 +77,20 @@ object SetSimilarity {
     * × an array-valued distinct key, measured 2.7 s warm at sf1 —
     * while split, the vocab count explodes bare tokens and the set
     * count groups one array row per doc (optimization r16). */
-  private def denseEligible(toks: DataFrame, maxDenseSets: Long): Boolean = {
+  private def denseEligible(toks: DataFrame, maxDenseSets: Long): Boolean =
+    denseGate(toks, maxDenseSets).isDefined
+
+  /** Some(distinct-set count) when the dense path applies, None
+    * otherwise. The set count is reused by [[jaccardBands]] to derive
+    * the duplicate factor without another pass. */
+  private def denseGate(toks: DataFrame, maxDenseSets: Long): Option[Long] = {
     val vocab = toks.select(explode(col("t")).as("w"))
       .agg(countDistinct(col("w"))).collect()(0).getLong(0)
-    vocab <= 62L && {
+    if (vocab > 62L) None
+    else {
       val nsets = toks.select(array_sort(col("t")).as("st"))
         .agg(countDistinct(col("st"))).collect()(0).getLong(0)
-      nsets <= maxDenseSets
+      if (nsets <= maxDenseSets) Some(nsets) else None
     }
   }
 
@@ -96,7 +109,8 @@ object SetSimilarity {
     * in as weights; the only row expansion is per-MEMBER (Σ(mᵢ+mⱼ)
     * over qualifying set pairs) for the distinct-da count, never
     * per doc-pair. */
-  private def denseBands(toks: DataFrame, tau: Double): DataFrame = {
+  private def denseBands(toks: DataFrame, tau: Double,
+      avgMult: Double = 1.0): DataFrame = {
     val spark = toks.sparkSession
     // vocabulary index: ≤ 62 rows, single-partition window is fine
     val vocabIdx = toks.select(explode(col("t")).as("w")).distinct()
@@ -173,18 +187,39 @@ object SetSimilarity {
     // explode + where stays whole-stage codegen (an array-filter HOF
     // here would run an interpreted lambda per row — measured 2.7×
     // slower on this corpus)
-    val aDocs = broadcast(sets.select(col("mask").as("ka"), col("docs").as("da_docs")))
-    val bDocs = broadcast(sets.select(col("mask").as("kb"), col("docs").as("db_docs")))
-    val aPartnerMax = crossQ.groupBy(col("ka"), bandOf(col("jac")).as("band"))
-      .agg(max(col("bmax")).as("pmax"))
-    val bPartnerMax = crossQ.groupBy(col("kb"), bandOf(col("jac")).as("band"))
-      .agg(max(col("amax")).as("pmax"))
-    val crossDa = aPartnerMax.join(aDocs, Seq("ka"))
-        .select(col("band"), explode(col("da_docs")).as("da"), col("pmax"))
+    // ADAPTIVE on the duplicate factor (docs / distinct sets, derived
+    // from counts the dense gate already took): with multiplicities
+    // ≈ 1 the per-pair explode emits ~|qualifying pairs| rows and the
+    // map-side-distinct aggregation absorbs them — cheaper than the
+    // partner-max form's extra union+aggregate (measured +0.7 s at
+    // sf0.1, m≈1.3). With real multiplicities the per-pair explode
+    // emits |pairs|×m rows (measured 86M rows, ~8 s/side at sf1,
+    // m≈12.7) and the (set, band) collapse wins 6×. Both forms emit
+    // the IDENTICAL distinct-da set per band (d < bmax(B) for SOME
+    // qualifying partner ⟺ d < max over those partners' bmax), so
+    // the oracle pins either.
+    val crossDa = if (avgMult <= 2.0) {
+      val aDocs = broadcast(sets.select(col("mask").as("ka"), col("docs").as("da_docs")))
+      val bDocs = broadcast(sets.select(col("mask").as("kb"), col("docs").as("db_docs")))
+      crossQ.join(aDocs, Seq("ka"))
+          .select(bandOf(col("jac")).as("band"),
+            explode(col("da_docs")).as("da"), col("bmax"))
+          .where(col("da") < col("bmax")).select(col("band"), col("da"))
+        .unionByName(crossQ.join(bDocs, Seq("kb"))
+          .select(bandOf(col("jac")).as("band"),
+            explode(col("db_docs")).as("da"), col("amax"))
+          .where(col("da") < col("amax")).select(col("band"), col("da")))
+    } else {
+      val setDocs = broadcast(sets.select(col("mask").as("k"), col("docs")))
+      val partnerMax = crossQ
+        .select(col("ka").as("k"), bandOf(col("jac")).as("band"), col("bmax").as("pm"))
+        .unionByName(crossQ
+          .select(col("kb").as("k"), bandOf(col("jac")).as("band"), col("amax").as("pm")))
+        .groupBy(col("k"), col("band")).agg(max(col("pm")).as("pmax"))
+      partnerMax.join(setDocs, Seq("k"))
+        .select(col("band"), explode(col("docs")).as("da"), col("pmax"))
         .where(col("da") < col("pmax")).select(col("band"), col("da"))
-      .unionByName(bPartnerMax.join(bDocs, Seq("kb"))
-        .select(col("band"), explode(col("db_docs")).as("da"), col("pmax"))
-        .where(col("da") < col("pmax")).select(col("band"), col("da")))
+    }
     val withinDa = withinQ.select(lit(1.0).as("band"),
       explode(col("docs")).as("da"), col("dmax"))
       .where(col("da") < col("dmax")).select(col("band"), col("da"))
@@ -232,9 +267,13 @@ object SetSimilarity {
       .orderBy(col("band"))
   }
 
-  /** Expose both strategies for spec-level equivalence pinning. */
-  private[graft] def denseBandsForTest(toks: DataFrame, tau: Double): DataFrame =
-    denseBands(toks, tau)
+  /** Expose both strategies for spec-level equivalence pinning.
+    * `avgMult` steers the distinct-doc audit's physical form (≤ 2 →
+    * per-pair explode; > 2 → partner-max collapse) so specs can pin
+    * both branches equal. */
+  private[graft] def denseBandsForTest(toks: DataFrame, tau: Double,
+      avgMult: Double = 1.0): DataFrame =
+    denseBands(toks, tau, avgMult)
   private[graft] def prefixBandsForTest(toks: DataFrame, tau: Double): DataFrame =
     prefixBands(toks, tau)
 }
