@@ -58,9 +58,16 @@ object ImportanceSampling {
     // target gets tn = 0 — the same value the old left join's
     // coalesce(tn, 0) produced — and the totals are sums over all
     // buckets of the same counts, so every lr is bit-identical.
+    // The ≤ `buckets`-row count table is materialized ONCE (lazy
+    // localCheckpoint): its two consumers — the totals aggregate and
+    // the per-bucket ratio projection — otherwise each re-ran the
+    // whole feature lineage (plans/r17/q191_dsir_selection_before.txt
+    // nodes 14-22: a third full scan→tokenize→explode pass just for
+    // ttot/rtot).
     val counts = feats.groupBy("b").agg(
       count(when(isTarget, lit(1))).as("tn"),
       count(when(!isTarget, lit(1))).as("rn"))
+      .localCheckpoint(false)
     val tots = counts.agg(
       sum(col("tn")).as("ttot"), sum(col("rn")).as("rtot")) // 1 row
     counts.where(col("rn") > 0) // raw-pool buckets only, as before
@@ -83,9 +90,16 @@ object ImportanceSampling {
   def logWeights(feats: DataFrame, isTarget: Column, ratios: DataFrame): DataFrame =
     feats.where(!isTarget)
       .join(broadcast(ratios), "b")
-      .groupBy(col("doc_id"))
-      .agg(first(col("source")).as("source"),
-        (sum(round(col("lr") * 1e6).cast("long")).cast("double") / 1e6).as("logw"))
+      // source is functionally dependent on doc_id (one row per doc in
+      // every corpus caller), so grouping by BOTH keys returns the same
+      // rows as the old first(source) — but first() is a buffer-typed
+      // aggregate that forced a SortAggregate (two full sorts of the
+      // exploded feature stream flanking the exchange;
+      // plans/r17/q191_dsir_selection_before.txt nodes 29-33); the
+      // pure-key form stays a hash aggregate with map-side partials.
+      .groupBy(col("doc_id"), col("source"))
+      .agg((sum(round(col("lr") * 1e6).cast("long")).cast("double") / 1e6).as("logw"))
+      .select(col("doc_id"), col("source"), col("logw"))
 
   /** Deterministic standard-Gumbel noise per document: u is the salted
     * 60-bit doc hash mapped into (0,1) — the +0.5 shift keeps u off

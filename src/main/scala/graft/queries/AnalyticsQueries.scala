@@ -106,10 +106,29 @@ object AnalyticsQueries {
     "q126_hopping_window",
     (s, d) => {
       import s.implicits._
+      // Same window assignment as `window($"ts", "1 hour", "15 minutes")`
+      // but as LONG microsecond arithmetic: the built-in form expands a
+      // ~40-node struct(start,end) expression tree PER SLOT (4 slots,
+      // each re-deriving the slide-aligned base with its own
+      // precisetimestampconversion chain) and then hash-aggregates on
+      // the 16-byte struct key (plans/r17/q126_hopping_window_before
+      // .txt node 4). Here the slide base is computed once per row,
+      // the 4 starts are base − k·slide (pmod matches the built-in's
+      // negative-timestamp adjustment), the group key is one long, and
+      // date_format runs on the aggregated rows only. Groups and
+      // members are identical, so n/sum_v are unchanged.
+      val slideUs = 900000000L // 15 min
+      val e = unix_micros($"ts")
+      val base = (e - pmod(e, lit(slideUs))).as("base")
       Tables.events(s, d)
-        .groupBy(window($"ts", "1 hour", "15 minutes").as("w"), $"event_type")
+        .where($"ts".isNotNull)
+        .select($"event_type", $"value", base)
+        .select($"event_type", $"value", explode(array(
+          $"base", $"base" - slideUs, $"base" - 2 * slideUs,
+          $"base" - 3 * slideUs)).as("ws_us"))
+        .groupBy($"ws_us", $"event_type")
         .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("sum_v"))
-        .select(date_format($"w.start", "yyyy-MM-dd HH:mm:ss").as("ws"),
+        .select(date_format(timestamp_micros($"ws_us"), "yyyy-MM-dd HH:mm:ss").as("ws"),
           $"event_type", $"n", $"sum_v")
         .orderBy($"ws", $"event_type")
     },
