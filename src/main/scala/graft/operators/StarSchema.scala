@@ -361,10 +361,45 @@ object Validator {
       .agg(count(lit(1)).as("n_bad"))
       .select(lit(name).as("check_name"), col("n_bad"))
 
+  /** One fused validation pass over a table: a single aggregation
+    * emitting several (check_name, n_bad) rows. Uniqueness counters are
+    * `count(*) − count(distinct pk)` as before; each orphan counter is
+    * a null-flag count after a left join against the referenced
+    * table's DISTINCT key set — row-multiplication-free (a duplicate
+    * dim key cannot fan the fact out), so every fact row contributes
+    * exactly once to every counter, same as the old per-check
+    * anti-join. */
+  private def fusedChecks(df: DataFrame,
+      grain: Option[(Seq[String], String)],
+      orphanChecks: Seq[(String, DataFrame, String, String)]): DataFrame = {
+    val joined = orphanChecks.zipWithIndex.foldLeft(df) {
+      case (acc, ((fk, dim, pk, _), i)) =>
+        acc.join(dim.select(col(pk).as(s"__ref_$i")).distinct(),
+          acc(fk) === col(s"__ref_$i"), "left")
+    }
+    val counters =
+      grain.toSeq.map { case (pk, _) =>
+        (count(lit(1)) - countDistinct(col(pk.head), pk.tail.map(col): _*))
+          .as("__uniq") } ++
+      orphanChecks.zipWithIndex.map { case (_, i) =>
+        count(when(col(s"__ref_$i").isNull, lit(1))).as(s"__orph_$i") }
+    val agged = joined.agg(counters.head, counters.tail: _*)
+    val rows =
+      grain.toSeq.map { case (_, name) =>
+        struct(lit(name).as("check_name"), col("__uniq").as("n_bad")) } ++
+      orphanChecks.zipWithIndex.map { case ((_, _, _, name), i) =>
+        struct(lit(name).as("check_name"), col(s"__orph_$i").as("n_bad")) }
+    agged.select(explode(array(rows: _*)).as("__r")).select(col("__r.*"))
+  }
+
   /** Full integrity report over the built star: PK/grain uniqueness for
     * every dim, fact and bridge, plus FK orphans in both directions
     * through the bridges (validator_warehouse.py:72-164 extended to the
-    * 9-table shape). */
+    * 9-table shape). Checks against the same table FUSE into one scan +
+    * one aggregation ([[fusedChecks]]): the old 13-branch union scanned
+    * fact_orders 4× and bridge_order_part 3× — at warehouse scale those
+    * are THE big tables, and each extra pass was a full re-read. The 13
+    * (check_name, n_bad) rows are value-identical. */
   def report(star: Map[String, DataFrame]): DataFrame = {
     val f = star("fact_orders")
     val bop = star("bridge_order_part")
@@ -378,15 +413,16 @@ object Validator {
       uniqueness(star("dim_customer"), "customer_sk", "uniq_dim_customer"),
       uniqueness(star("dim_part"), "part_sk", "uniq_dim_part"),
       uniqueness(star("dim_tag"), "tag_id", "uniq_dim_tag"),
-      uniqueness(f, "o_orderkey", "uniq_fact_orders"),
-      uniquenessMulti(bop, Seq("orderkey", "partkey"), "uniq_bridge_order_part"),
-      uniquenessMulti(bpt, Seq("p_partkey", "tag_id"), "uniq_bridge_part_tag"),
-      orphans(f, "fecha_id", star("dim_fecha"), "fecha_id", "orphan_fact_fecha"),
-      orphans(f, "customer_sk", star("dim_customer"), "customer_sk", "orphan_fact_customer"),
-      orphans(bop, "orderkey", f, "o_orderkey", "orphan_bridge_order"),
-      orphans(bop, "partkey", star("dim_part"), "p_partkey", "orphan_bridge_part"),
-      orphans(bpt, "tag_id", star("dim_tag"), "tag_id", "orphan_bridge_tag"),
-      orphans(fm, "fecha_id", star("dim_fecha"), "fecha_id", "orphan_metricas_fecha")
-    ).reduce(_ union _)
+      fusedChecks(f, Some(Seq("o_orderkey") -> "uniq_fact_orders"), Seq(
+        ("fecha_id", star("dim_fecha"), "fecha_id", "orphan_fact_fecha"),
+        ("customer_sk", star("dim_customer"), "customer_sk", "orphan_fact_customer"))),
+      fusedChecks(bop, Some(Seq("orderkey", "partkey") -> "uniq_bridge_order_part"), Seq(
+        ("orderkey", f, "o_orderkey", "orphan_bridge_order"),
+        ("partkey", star("dim_part"), "p_partkey", "orphan_bridge_part"))),
+      fusedChecks(bpt, Some(Seq("p_partkey", "tag_id") -> "uniq_bridge_part_tag"), Seq(
+        ("tag_id", star("dim_tag"), "tag_id", "orphan_bridge_tag"))),
+      fusedChecks(fm, None, Seq(
+        ("fecha_id", star("dim_fecha"), "fecha_id", "orphan_metricas_fecha")))
+    ).reduce(_ unionByName _)
   }
 }

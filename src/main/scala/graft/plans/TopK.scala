@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, Cast, Expression, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.types.{ByteType, DoubleType, FloatType, IntegerType, LongType, ShortType}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
 
 import scala.collection.mutable
@@ -63,7 +63,20 @@ case class TopKPerKey(
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKey(keys, order, tie, k, child, maxKeys) =>
-      TopKPerKeyExec(keys, order, tie, k, planLater(child), maxKeys) :: Nil
+      // Two-phase, like hash aggregation: a PARTIAL top-k with no
+      // distribution requirement runs map-side, so the exchange the
+      // FINAL node's ClusteredDistribution forces ships at most
+      // k·keys rows per map partition instead of every input row —
+      // top-k is a monoid (topk(A∪B) = topk(topk(A)∪topk(B)), the same
+      // identity the spill path already relies on), so the final
+      // node's output is row-identical. When the child is ALREADY
+      // clustered by the keys no exchange is inserted and the partial
+      // pass degenerates to one extra bounded-heap scan of the
+      // (already ≤k-per-key) rows — measured noise.
+      TopKPerKeyExec(keys, order, tie, k,
+        TopKPerKeyExec(keys, order, tie, k, planLater(child), maxKeys,
+          partial = true),
+        maxKeys) :: Nil
     case _ => Nil
   }
 }
@@ -74,14 +87,20 @@ case class TopKPerKeyExec(
     tie: Expression,
     k: Int,
     child: SparkPlan,
-    maxKeysPerPartition: Int = Int.MaxValue) extends UnaryExecNode {
+    maxKeysPerPartition: Int = Int.MaxValue,
+    partial: Boolean = false) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
+  override def nodeName: String =
+    if (partial) "TopKPerKeyPartial" else "TopKPerKey"
+
   /** All rows of a key must meet in one partition — Catalyst plans the
-    * hash exchange (or reuses a compatible existing partitioning). */
+    * hash exchange (or reuses a compatible existing partitioning). The
+    * PARTIAL phase accepts any distribution: it runs before the
+    * exchange and prunes each map partition to its local top-k. */
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(keys) :: Nil
+    (if (partial) UnspecifiedDistribution else ClusteredDistribution(keys)) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
     val kLocal = k
@@ -126,9 +145,8 @@ case class TopKPerKeyExec(
         if (!ot.isNullAt(0)) {
           // NULL tie = NULLS FIRST under ASC (Long.MinValue = best),
           // matching the window form's `.asc` tie ordering
-          val e = Entry(ot.getDouble(0),
-            if (ot.isNullAt(1)) Long.MinValue else ot.getLong(1),
-            row.asInstanceOf[UnsafeRow].copy())
+          val ord = ot.getDouble(0)
+          val tie = if (ot.isNullAt(1)) Long.MinValue else ot.getLong(1)
           // look up with the TRANSIENT projection result; copy the key
           // only on the miss path — getOrElseUpdate's eager key arg
           // would byte-copy the key row once per INPUT row
@@ -141,8 +159,18 @@ case class TopKPerKeyExec(
               heaps.put(transientKey.copy(), h)
               h
           }
-          if (heap.size < kLocal) heap.enqueue(e)
-          else if (worstFirst.compare(e, heap.head) < 0) { heap.dequeue(); heap.enqueue(e) }
+          // copy the row's bytes ONLY when it actually enters the heap:
+          // in the steady state most rows lose the one comparison
+          // against the held worst (same worstFirst comparator via a
+          // row-less probe, so accept/reject is decided identically)
+          // and an unconditional copy was the dominant per-row cost of
+          // the map-side partial phase
+          if (heap.size < kLocal)
+            heap.enqueue(Entry(ord, tie, row.asInstanceOf[UnsafeRow].copy()))
+          else if (worstFirst.compare(Entry(ord, tie, null), heap.head) < 0) {
+            heap.dequeue()
+            heap.enqueue(Entry(ord, tie, row.asInstanceOf[UnsafeRow].copy()))
+          }
         }
       }
 

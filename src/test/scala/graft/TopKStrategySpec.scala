@@ -40,6 +40,38 @@ class TopKStrategySpec extends SparkTestBase {
       s"ClusteredDistribution should have planned a hash shuffle in:\n$rendered")
   }
 
+  test("two-phase: a map-side partial top-k runs below the exchange") {
+    val df = TopK.perKey(Tables.events(spark, sf),
+      Seq("event_type"), "value", "event_id", 3)
+    df.collect()
+    val rendered = df.queryExecution.executedPlan.toString
+    assert(rendered.contains("TopKPerKeyPartial"),
+      s"missing map-side partial in:\n$rendered")
+    // the partial must sit BELOW the exchange and the final above it
+    val lines = rendered.linesIterator.toSeq
+    val iFinal = lines.indexWhere(l =>
+      l.contains("TopKPerKey") && !l.contains("Partial"))
+    val iEx = lines.indexWhere(_.contains("Exchange hashpartitioning"))
+    val iPartial = lines.indexWhere(_.contains("TopKPerKeyPartial"))
+    assert(iFinal < iEx && iEx < iPartial,
+      s"expected final/exchange/partial order in:\n$rendered")
+  }
+
+  test("partial phase over many input partitions equals the window form") {
+    // rows of one key spread across partitions: each map partition's
+    // local top-k feeds the exchange; the final phase must still pick
+    // the global best-k (the monoid identity at work across 16 tasks)
+    val rows = (1 to 4000).map(i => ("g" + (i % 11), (i % 997).toDouble, i.toLong))
+    val df = scala.util.Random.shuffle(rows).toDF("k", "v", "id").repartition(16)
+    val win = Window.partitionBy($"k").orderBy($"v".desc, $"id".asc)
+    val expected = df.withColumn("rn", row_number().over(win))
+      .filter($"rn" <= 5).drop("rn")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val got = TopK.perKey(df, Seq("k"), "v", "id", 5)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(got == expected)
+  }
+
   test("k >= group size returns every row; NULL order rows never surface") {
     val df = Seq[(String, Option[Double], Long)](
       ("a", Some(1.0), 1L), ("a", Some(2.0), 2L), ("a", None, 3L),
