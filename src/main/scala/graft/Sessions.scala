@@ -26,6 +26,15 @@ object Sessions {
       // within-cell self-join 0.9→4.0 s at sf1. Both rejected.
       .config("spark.sql.autoBroadcastJoinThreshold",
         sys.env.getOrElse("SPARK_GRAFT_BROADCAST_THRESHOLD", "10m"))
+      // localCheckpoint blocks are freed by the ContextCleaner only
+      // after the driver GCs the RDD wrapper; the default periodic-GC
+      // interval (30 min) exceeds a whole Bench/Verify run, so blocks
+      // of long-dead per-query checkpoints can sit in the unified
+      // memory region competing with live execution memory (driver ==
+      // executor in local mode; the same lifecycle governs cluster
+      // executors). 2 min bounds that dead-block residency; it changes
+      // no plan and costs one System.gc() per interval.
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .config("spark.ui.enabled", "false")
 
   def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {

@@ -606,17 +606,31 @@ object CurationQueries {
     (s, d) => {
       import s.implicits._
       val docs = Tables.documents(s, d)
-      val deduped = graft.operators.Dedup.exact(docs, "text", "doc_id")
-      // NARROW + lazily materialized once: the dedup window + quality
-      // scoring chain previously re-ran for each of its three consumers
-      // (threshold agg, gate join probe, per-source dedup counts) —
-      // 3 full scan→window→score lineages per run
-      // (plans/r16/q172_corpus_release_before.txt). Projecting to the
-      // four consumed columns first keeps `text` out of the
-      // materialized blocks; all downstream stats are unchanged.
-      val scored = deduped
-        .withColumn("q", TextAnalysis.qualityScore($"text"))
-        .withColumn("toks", TextAnalysis.tokenCount($"text"))
+      // Score AT THE SCAN, then dedup over narrow rows: the old form
+      // (Dedup.exact first, score survivors) shipped FULL TEXT through
+      // the fingerprint exchange and sorted text-bearing rows in the
+      // window — the guide-§8 anti-pattern of shuffling payloads to
+      // make a decision that needs only metadata. Here every row is
+      // scored scan-side (parallel column math, no shuffle), so the
+      // exchange + window sort carry (fp, doc_id, source, lang, q,
+      // toks) only. Trade: duplicates are scored too — the dup factor
+      // here is ~0.2% (5000→4992 distinct at sf0.1, 50000→49920 at
+      // sf1); even at web-corpus dup factors the scan-side CPU is the
+      // cheap side vs text through a shuffle. Survivor choice (min
+      // doc_id per fingerprint) and per-survivor q/toks are computed
+      // from the same expressions on the same rows — values identical.
+      // The narrow survivor table is still lazily materialized once for
+      // its three consumers (threshold agg, gate probe, dedup counts;
+      // plans/r16/q172_corpus_release_before.txt shows the tripled
+      // lineage this prevents).
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"__fp").orderBy($"doc_id")
+      val scored = docs
+        .select($"doc_id", $"source", $"lang",
+          TextAnalysis.qualityScore($"text").as("q"),
+          TextAnalysis.tokenCount($"text").as("toks"),
+          TextAnalysis.fingerprint($"text").as("__fp"))
+        .withColumn("__rn", row_number().over(w)).filter($"__rn" === 1)
         .select($"source", $"lang", $"q", $"toks")
         .localCheckpoint(false)
       val thr = scored.groupBy($"lang")
