@@ -649,7 +649,13 @@ object Similarity {
         expr(s"shiftright(__all, __t * $bits)").bitwiseAND(lit(mask))).as("__bk"))
     // hot-bucket guard, per table-bucket — see nearDupPairs/Dedup.lshCandidates
     val banded = Dedup.capBuckets(banded0, "__bk", maxBucketSize)
-    val cand = banded.alias("a").join(banded.alias("b"),
+    // SHUFFLE_HASH on the band self-join: the band table is two narrow
+    // columns (vec_id + band key) whose post-window size estimate blows
+    // past the broadcast threshold at scale, so the planner falls back
+    // to sort-merge — two full sorts of the band table for an equi-join
+    // whose per-partition build side is tiny. A hash build on one side
+    // skips both sorts; strategy-only, candidate set unchanged.
+    val cand = banded.alias("a").join(banded.hint("shuffle_hash").alias("b"),
         col("a.__bk") === col("b.__bk") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
       .distinct()

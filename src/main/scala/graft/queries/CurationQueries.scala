@@ -338,6 +338,12 @@ object CurationQueries {
           explode(arrays_zip($"uni_cut", $"bi")).as("z"))
         .select($"doc_id", $"source",
           $"z.uni_cut".as("lh"), $"z.bi".as("bh"))
+        // materialized once (lazy): the position stream feeds the
+        // count pass AND the probe — without this the probe re-ran the
+        // scan→ngram-hash→explode lineage a second time (the narrow
+        // 4-column stream is the cheap thing to hold; the tokenize is
+        // the expensive thing to repeat)
+        .localCheckpoint(false)
       // ONE (bh, lh)-keyed count pass feeds BOTH count tables: bh and
       // lh ride the same row, so cb = Σ c over lh and cl = Σ c over bh
       // from the distinct-bigram table are the identical per-key
