@@ -48,6 +48,11 @@ object DatalakeQueries {
     "q130_snapshot_diff",
     (s, d) => {
       import s.implicits._
+      // NOT checkpointed, measured both ways (optimization r17): base
+      // feeds 3 plan branches, but each is a cheap 3-column pruned scan
+      // and the materialization barrier costs more than it saves
+      // (0.38→0.50 s sf0.1, 0.74→1.0 s sf1 with a lazy checkpoint) —
+      // the q170 lesson again.
       val base = Tables.orders(s, d)
         .select($"o_orderkey".as("k"), $"o_totalprice".as("p"), $"o_orderstatus".as("st"))
       val next = base.where($"k" % 97 =!= 0)
