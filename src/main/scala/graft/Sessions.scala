@@ -31,10 +31,16 @@ object Sessions {
       // interval (30 min) exceeds a whole Bench/Verify run, so blocks
       // of long-dead per-query checkpoints can sit in the unified
       // memory region competing with live execution memory (driver ==
-      // executor in local mode; the same lifecycle governs cluster
-      // executors). 2 min bounds that dead-block residency; it changes
-      // no plan and costs one System.gc() per interval.
-      .config("spark.cleaner.periodicGC.interval", "2min")
+      // executor in local mode). MEASURED before settling (r17): a
+      // 2 min interval injected a full-GC pause into ~3 timed windows
+      // per bench run — sentinel spreads rose from 1.15 to 1.5–2.5 on
+      // the same host — while the reclaimed blocks never measurably
+      // helped (natural young-gen GC already drains the ContextCleaner
+      // queue between queries). Kept at Spark's default, overridable
+      // for long-lived cluster drivers where dead-block residency
+      // actually bites.
+      .config("spark.cleaner.periodicGC.interval",
+        sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "30min"))
       .config("spark.ui.enabled", "false")
 
   def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {

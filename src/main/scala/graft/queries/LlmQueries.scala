@@ -226,13 +226,15 @@ object LlmQueries {
         explode(array($"doc_id", $"doc_id" + 100000)).as("id"), col(c))
       val cand = Dedup.lshCandidatesFromSigs(both("sig"), "id", "sig",
         numHashes = 32, bands = 8)
-      // SHUFFLE_HASH on the verify attach joins: the shingle-set table
-      // carries ~50-element long arrays per row, and the planner's
-      // compressed-bytes estimate happily BROADCASTS it at sf1 — an
-      // ~80 MB in-heap HashedRelation built per join, pure GC pressure.
-      // A hash build on the shuffled side keeps each build partition
-      // 1/32nd of that; join output identical.
-      val sh = both("hs").hint("shuffle_hash")
+      // NO join hint here, measured both ways (optimization r17): a
+      // SHUFFLE_HASH hint on these attach joins looked ~15% better in
+      // isolated reps but blew up 4× inside a full sf1 bench sequence
+      // (AQE coalesces the tiny-estimate shuffle to a couple of
+      // partitions, so ONE task builds the whole ~80 MB array-payload
+      // hash relation in execution memory that the long-lived bench
+      // JVM no longer has to spare). The planner's broadcast choice is
+      // the stable one.
+      val sh = both("hs")
       cand
         .join(sh.select($"id".as("id_a"), $"hs".as("hs_a")), "id_a")
         .join(sh.select($"id".as("id_b"), $"hs".as("hs_b")), "id_b")
