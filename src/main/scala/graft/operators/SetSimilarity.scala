@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Exact Jaccard-threshold set-similarity SELF-join (the recall-1.0
   * complement of MinHash-LSH), with an ADAPTIVE physical strategy —
@@ -60,38 +59,27 @@ object SetSimilarity {
     * when vocab ≤ 62 and executors have the few-MB broadcast room. */
   def jaccardBands(toks: DataFrame, tau: Double,
       maxDenseSets: Long = 50000L): DataFrame =
-    denseGate(toks, maxDenseSets) match {
-      case Some(nsets) =>
-        // duplicate factor from counts the gate already took — no
-        // extra materialization; steers the distinct-doc audit's
-        // physical form inside denseBands
-        denseBands(toks, tau, avgMult = toks.count().toDouble / nsets)
-      case None => prefixBands(toks, tau)
-    }
+    if (denseEligible(toks, maxDenseSets)) denseBands(toks, tau)
+    else prefixBands(toks, tau)
 
   /** The dense gate needs BOTH measurements: masks must fit a long
     * (vocab ≤ 62) AND the distinct-set table must stay broadcast- and
-    * O(S²)-sized. Two cheap aggregates, deliberately NOT the former
-    * single fused pass: fusing forced the full sorted token ARRAY to
-    * ride along (and group) every exploded token row — |tokens| rows
-    * × an array-valued distinct key, measured 2.7 s warm at sf1 —
-    * while split, the vocab count explodes bare tokens and the set
-    * count groups one array row per doc (optimization r16). */
-  private def denseEligible(toks: DataFrame, maxDenseSets: Long): Boolean =
-    denseGate(toks, maxDenseSets).isDefined
-
-  /** Some(distinct-set count) when the dense path applies, None
-    * otherwise. The set count is reused by [[jaccardBands]] to derive
-    * the duplicate factor without another pass. */
-  private def denseGate(toks: DataFrame, maxDenseSets: Long): Option[Long] = {
-    val vocab = toks.select(explode(col("t")).as("w"))
-      .agg(countDistinct(col("w"))).collect()(0).getLong(0)
-    if (vocab > 62L) None
-    else {
-      val nsets = toks.select(array_sort(col("t")).as("st"))
-        .agg(countDistinct(col("st"))).collect()(0).getLong(0)
-      if (nsets <= maxDenseSets) Some(nsets) else None
-    }
+    * O(S²)-sized. Both come from ONE scan+tokenize pass (optimization
+    * r17; the former split form paid two): the set identity rides the
+    * exploded token stream as a 64-bit xxhash of the sorted array —
+    * one long per row, not the array itself (carrying the array was
+    * the r16-measured 2.7 s regression that forced the split). A hash
+    * collision can only UNDERCOUNT nsets, and the count steers only
+    * the strategy choice — both strategies emit identical output — so
+    * the gate tolerates it; at ≤ maxDenseSets=50k sets the 64-bit
+    * birthday term is ~7·10⁻¹¹ anyway. */
+  private def denseEligible(toks: DataFrame, maxDenseSets: Long): Boolean = {
+    val row = toks
+      .select(xxhash64(array_sort(col("t"))).as("fp"), explode(col("t")).as("w"))
+      .agg(countDistinct(col("w")).as("vocab"),
+        countDistinct(col("fp")).as("nsets"))
+      .collect()(0)
+    row.getLong(0) <= 62L && row.getLong(1) <= maxDenseSets
   }
 
   /** The strategy the adaptive gate would pick — exposed so specs can
@@ -109,36 +97,42 @@ object SetSimilarity {
     * in as weights; the only row expansion is per-MEMBER (Σ(mᵢ+mⱼ)
     * over qualifying set pairs) for the distinct-da count, never
     * per doc-pair. */
-  private def denseBands(toks: DataFrame, tau: Double,
-      avgMult: Double = 1.0): DataFrame = {
-    val spark = toks.sparkSession
-    // vocabulary index: ≤ 62 rows, single-partition window is fine
-    val vocabIdx = toks.select(explode(col("t")).as("w")).distinct()
-      .withColumn("idx", row_number().over(Window.orderBy(col("w"))) - 1)
-    // the mask IS the set identity: given the vocab index, mask ↔
-    // token set is a bijection, so grouping and pairing key on it
-    // directly — no string fingerprint, no delimiter-collision risk
-    // for tokens containing whatever join character was chosen
-    val masked = toks
-      .select(col("doc_id"), explode(col("t")).as("w"))
-      .join(broadcast(vocabIdx), "w")
-      .groupBy(col("doc_id"))
-      .agg(sum(expr("shiftleft(1L, CAST(idx AS INT))")).as("mask"))
-    // distinct sets with multiplicity + member list, MATERIALIZED once
-    // (lazy localCheckpoint; gate-bounded ≤ maxDenseSets rows, so the
-    // checkpoint is tiny at any corpus scale). Five consumers derive
-    // from this frame (a/b pairing, within-set stats, two doc
-    // join-backs): without the checkpoint each re-ran the corpus scan
-    // → tokenize → mask chain — ReuseExchange does not bridge the five
-    // differing projection parents, and the recompute measured 2.8 s
-    // vs 1.1 s warm at sf0.1. Like the q181/q189 checkpoints, this
-    // hides the sub-plan from logical audits (the ≤62-row vocab window
-    // below is bounded by the same gate that bounds this frame).
-    val sets = masked.groupBy(col("mask"))
+  private def denseBands(toks: DataFrame, tau: Double): DataFrame = {
+    // ONE corpus pass (optimization r17; formerly three — vocab-index
+    // explode, mask explode+join+groupBy(doc), then groupBy(mask)):
+    // group docs directly by their sorted token set. The distinct-set
+    // table is gate-bounded (≤ maxDenseSets rows), so it is
+    // MATERIALIZED once (lazy localCheckpoint) and everything else —
+    // vocabulary, masks, pairing, join-backs — derives from this tiny
+    // frame without touching the corpus again. Five consumers read it
+    // (a/b pairing, within-set stats, two doc join-backs): without the
+    // checkpoint each re-ran the corpus scan → tokenize → group chain
+    // (measured 2.8 s vs 1.1 s warm at sf0.1). Like the q181/q189
+    // checkpoints, this hides the sub-plan from logical audits.
+    val sets0 = toks
+      .groupBy(array_sort(col("t")).as("st"))
       .agg(count(lit(1)).as("m"),
         collect_list(col("doc_id")).as("docs"), max(col("doc_id")).as("dmax"))
-      .withColumn("n", bit_count(col("mask")).cast("long"))
       .localCheckpoint(false)
+    // vocabulary from the checkpointed set table: ≤ 62 tokens by the
+    // gate, collected as bounded metadata (same adjudication as the
+    // former ≤62-row vocab window). Bit assignment order is free —
+    // ANY token↔bit bijection preserves mask equality and
+    // bit_count(a&b) — but sort anyway so reruns are deterministic.
+    val vocabSeq = sets0.select(explode(col("st")).as("w")).distinct()
+      .orderBy(col("w")).collect().map(_.getString(0))
+    val bitOf = map(vocabSeq.zipWithIndex.flatMap { case (w, i) =>
+      Seq(lit(w), lit(1L << i)) }: _*)
+    // the mask IS the set identity: given the vocab bijection, mask ↔
+    // token set is a bijection, so grouping and pairing key on it
+    // directly. The fold is an interpreted HOF, but it runs over the
+    // gate-bounded set table (≤ 50k rows × ≤ 62 elements), never the
+    // corpus.
+    val sets = sets0
+      .withColumn("mask", aggregate(col("st"), lit(0L),
+        (acc, w) => acc.bitwiseOR(element_at(bitOf, w))))
+      .withColumn("n", size(col("st")).cast("long"))
+      .drop("st")
     // the O(S²) pairing ships ONLY scalars (mask, multiplicity, max
     // doc id, popcount) — doc lists would otherwise ride through every
     // candidate pair; they join back onto the qualifying pairs below
@@ -168,58 +162,54 @@ object SetSimilarity {
       .select(lit(1.0).as("jac"),
         (col("m") * (col("m") - 1) / 2).cast("long").as("w"),
         col("docs"), col("dmax"))
-    // pair counts + jaccard mass, weighted by doc-pair multiplicity
-    val crossStats = crossQ.select(col("jac"), (col("ma") * col("mb")).as("w"))
-    val stats = crossStats.unionByName(withinQ.select(col("jac"), col("w")))
-      .groupBy(bandOf(col("jac")).as("band"))
-      .agg(sum(col("w")).as("n_pairs"), sum(col("jac") * col("w")).as("jac_sum"))
+    // ONE pass over the quadratic pair stream (optimization r17):
+    // stats and the two distinct-doc audit branches each re-ran the
+    // S² join — three evaluations of the BNLJ + popcount over every
+    // candidate pair (crossQ is too large to checkpoint at the gate
+    // cap: up to ~2.5·10⁹ qualifying pairs). Each qualifying pair now
+    // emits its two sides through one explode, and a single
+    // (set, band)-grain aggregation — gate-bounded to ≤ |sets|·10
+    // rows, lazily checkpointed — carries everything every consumer
+    // needs: the pair weights and jaccard mass (tagged onto the
+    // ka side only, so the stats summands remain exactly the per-pair
+    // multiset) and the partner max-doc-id for the distinct-da audit.
+    val pairSides = crossQ
+      .select(bandOf(col("jac")).as("band"), col("jac"),
+        (col("ma") * col("mb")).as("w"),
+        explode(array(
+          struct(col("ka").as("k"), col("bmax").as("pm"), lit(true).as("isa")),
+          struct(col("kb").as("k"), col("amax").as("pm"), lit(false).as("isa"))))
+          .as("s"))
+      .groupBy(col("s.k").as("k"), col("band"))
+      .agg(max(col("s.pm")).as("pmax"),
+        sum(when(col("s.isa"), col("w"))).as("wa"),
+        sum(when(col("s.isa"), col("jac") * col("w"))).as("jwa"))
+      .localCheckpoint(false)
+    // pair counts + jaccard mass, weighted by doc-pair multiplicity;
+    // the coalesced zeros (kb-only groups) add nothing to either sum
+    val stats = pairSides
+      .select(col("band"), coalesce(col("wa"), lit(0L)).as("w"),
+        coalesce(col("jwa"), lit(0.0)).as("jac_sum"))
+      .unionByName(withinQ.select(bandOf(col("jac")).as("band"), col("w"),
+        (col("jac") * col("w")).as("jac_sum")))
+      .groupBy(col("band"))
+      .agg(sum(col("w")).as("n_pairs"), sum(col("jac_sum")).as("jac_sum"))
     // distinct smaller-id members: for a cross pair set {a∈A, b∈B},
     // min(a,b) ranges over exactly the members below the OTHER set's
-    // max. COLLAPSE TO (set, band) GRAIN BEFORE EXPLODING (optimization
-    // r16): "d < bmax(B) for SOME qualifying partner B in this band"
-    // ⟺ "d < max over those partners' bmax", so aggregating the
-    // partner max per (set, band) first — map-side combinable, ≤
-    // |sets|×10 rows — and exploding doc lists ONCE per (set, band)
-    // emits Σ|docs| rows instead of once per qualifying PAIR (measured
-    // 86M generated rows and ~8 s per side at sf1; now ~0.5M). The
-    // distinct-da set per band is identical by construction. Doc lists
-    // re-attach via a broadcast lookup on the checkpointed set table;
-    // explode + where stays whole-stage codegen (an array-filter HOF
-    // here would run an interpreted lambda per row — measured 2.7×
-    // slower on this corpus)
-    // ADAPTIVE on the duplicate factor (docs / distinct sets, derived
-    // from counts the dense gate already took): with multiplicities
-    // ≈ 1 the per-pair explode emits ~|qualifying pairs| rows and the
-    // map-side-distinct aggregation absorbs them — cheaper than the
-    // partner-max form's extra union+aggregate (measured +0.7 s at
-    // sf0.1, m≈1.3). With real multiplicities the per-pair explode
-    // emits |pairs|×m rows (measured 86M rows, ~8 s/side at sf1,
-    // m≈12.7) and the (set, band) collapse wins 6×. Both forms emit
-    // the IDENTICAL distinct-da set per band (d < bmax(B) for SOME
-    // qualifying partner ⟺ d < max over those partners' bmax), so
-    // the oracle pins either.
-    val crossDa = if (avgMult <= 2.0) {
-      val aDocs = broadcast(sets.select(col("mask").as("ka"), col("docs").as("da_docs")))
-      val bDocs = broadcast(sets.select(col("mask").as("kb"), col("docs").as("db_docs")))
-      crossQ.join(aDocs, Seq("ka"))
-          .select(bandOf(col("jac")).as("band"),
-            explode(col("da_docs")).as("da"), col("bmax"))
-          .where(col("da") < col("bmax")).select(col("band"), col("da"))
-        .unionByName(crossQ.join(bDocs, Seq("kb"))
-          .select(bandOf(col("jac")).as("band"),
-            explode(col("db_docs")).as("da"), col("amax"))
-          .where(col("da") < col("amax")).select(col("band"), col("da")))
-    } else {
-      val setDocs = broadcast(sets.select(col("mask").as("k"), col("docs")))
-      val partnerMax = crossQ
-        .select(col("ka").as("k"), bandOf(col("jac")).as("band"), col("bmax").as("pm"))
-        .unionByName(crossQ
-          .select(col("kb").as("k"), bandOf(col("jac")).as("band"), col("amax").as("pm")))
-        .groupBy(col("k"), col("band")).agg(max(col("pm")).as("pmax"))
-      partnerMax.join(setDocs, Seq("k"))
-        .select(col("band"), explode(col("docs")).as("da"), col("pmax"))
-        .where(col("da") < col("pmax")).select(col("band"), col("da"))
-    }
+    // max, and "d < bmax(B) for SOME qualifying partner B in this
+    // band" ⟺ "d < max over those partners' bmax" (the r16
+    // adjudication: the per-pair-explode and partner-max forms emit
+    // the IDENTICAL distinct-da set per band). Doc lists re-attach via
+    // a broadcast lookup on the checkpointed set table and explode
+    // ONCE per (set, band) — Σ|docs| rows, never per qualifying pair
+    // (measured 86M generated rows and ~8 s per side at sf1 for the
+    // per-pair form; now ~0.5M). explode + where stays whole-stage
+    // codegen (an array-filter HOF here would run an interpreted
+    // lambda per row — measured 2.7× slower on this corpus).
+    val setDocs = broadcast(sets.select(col("mask").as("k"), col("docs")))
+    val crossDa = pairSides.join(setDocs, Seq("k"))
+      .select(col("band"), explode(col("docs")).as("da"), col("pmax"))
+      .where(col("da") < col("pmax")).select(col("band"), col("da"))
     val withinDa = withinQ.select(lit(1.0).as("band"),
       explode(col("docs")).as("da"), col("dmax"))
       .where(col("da") < col("dmax")).select(col("band"), col("da"))
@@ -267,13 +257,9 @@ object SetSimilarity {
       .orderBy(col("band"))
   }
 
-  /** Expose both strategies for spec-level equivalence pinning.
-    * `avgMult` steers the distinct-doc audit's physical form (≤ 2 →
-    * per-pair explode; > 2 → partner-max collapse) so specs can pin
-    * both branches equal. */
-  private[graft] def denseBandsForTest(toks: DataFrame, tau: Double,
-      avgMult: Double = 1.0): DataFrame =
-    denseBands(toks, tau, avgMult)
+  /** Expose both strategies for spec-level equivalence pinning. */
+  private[graft] def denseBandsForTest(toks: DataFrame, tau: Double): DataFrame =
+    denseBands(toks, tau)
   private[graft] def prefixBandsForTest(toks: DataFrame, tau: Double): DataFrame =
     prefixBands(toks, tau)
 }

@@ -37,10 +37,6 @@ class SetSimilaritySpec extends SparkTestBase {
       val dense = bands(SetSimilarity.denseBandsForTest(toks, tau))
       val prefix = bands(SetSimilarity.prefixBandsForTest(toks, tau))
       assert(dense == prefix, s"strategy divergence at tau=$tau")
-      // the high-multiplicity audit form (partner-max collapse) must
-      // emit identical bands to the per-pair-explode form
-      val denseHi = bands(SetSimilarity.denseBandsForTest(toks, tau, avgMult = 10.0))
-      assert(denseHi == prefix, s"partner-max audit divergence at tau=$tau")
     }
     // sanity on known pairs at tau=0.6: the exact triple gives 3 pairs
     // at jac 1.0; (1,4),(2,4),(3,4) at 4/6; (6,7) at 2/4 misses
