@@ -400,29 +400,58 @@ object Validator {
     * fact_orders 4× and bridge_order_part 3× — at warehouse scale those
     * are THE big tables, and each extra pass was a full re-read. The 13
     * (check_name, n_bad) rows are value-identical. */
-  def report(star: Map[String, DataFrame]): DataFrame = {
-    val f = star("fact_orders")
-    val bop = star("bridge_order_part")
-    val bpt = star("bridge_part_tag")
-    val fm = star("fact_metricas")
+  def report(star: Map[String, DataFrame]): DataFrame =
+    reportBranches(star).map(_._2()).reduce(_ unionByName _)
+
+  /** The report's (check_name: string, n_bad: long) output schema —
+    * for orchestrators that rebuild the report frame from collected
+    * branch rows. */
+  val reportSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("check_name",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_bad",
+        org.apache.spark.sql.types.LongType, nullable = true)))
+
+  /** [[report]] decomposed into independent branches, each tagged with
+    * the gold tables it reads — so an orchestrator can START each
+    * branch the moment its own input loads finish instead of holding
+    * ALL validation behind the full gold barrier (the dim checks need
+    * one dim each; only the fact_metricas branch needs the longest
+    * load). Thunks, not frames: a branch over a read-back warehouse
+    * must not resolve its parquet paths before the loads it depends on
+    * have written them. `reduce(union)` over the invoked branches is
+    * byte-for-byte the former monolithic report (q39's oracle pin). */
+  def reportBranches(star: String => DataFrame)
+      : Seq[(Seq[String], () => DataFrame)] = {
+    def f = star("fact_orders")
     // no grain-uniqueness check on fact_metricas: the reference table
     // carries only a SERIAL PK (loader_NeonDB.py:234-246) — duplicate
     // (mercado, fecha) metric rows are legal there, and here too
     Seq(
-      uniqueness(star("dim_fecha"), "fecha_id", "uniq_dim_fecha"),
-      uniqueness(star("dim_customer"), "customer_sk", "uniq_dim_customer"),
-      uniqueness(star("dim_part"), "part_sk", "uniq_dim_part"),
-      uniqueness(star("dim_tag"), "tag_id", "uniq_dim_tag"),
-      fusedChecks(f, Some(Seq("o_orderkey") -> "uniq_fact_orders"), Seq(
-        ("fecha_id", star("dim_fecha"), "fecha_id", "orphan_fact_fecha"),
-        ("customer_sk", star("dim_customer"), "customer_sk", "orphan_fact_customer"))),
-      fusedChecks(bop, Some(Seq("orderkey", "partkey") -> "uniq_bridge_order_part"), Seq(
-        ("orderkey", f, "o_orderkey", "orphan_bridge_order"),
-        ("partkey", star("dim_part"), "p_partkey", "orphan_bridge_part"))),
-      fusedChecks(bpt, Some(Seq("p_partkey", "tag_id") -> "uniq_bridge_part_tag"), Seq(
-        ("tag_id", star("dim_tag"), "tag_id", "orphan_bridge_tag"))),
-      fusedChecks(fm, None, Seq(
-        ("fecha_id", star("dim_fecha"), "fecha_id", "orphan_metricas_fecha")))
-    ).reduce(_ unionByName _)
+      Seq("dim_fecha") -> (() =>
+        uniqueness(star("dim_fecha"), "fecha_id", "uniq_dim_fecha")),
+      Seq("dim_customer") -> (() =>
+        uniqueness(star("dim_customer"), "customer_sk", "uniq_dim_customer")),
+      Seq("dim_part") -> (() =>
+        uniqueness(star("dim_part"), "part_sk", "uniq_dim_part")),
+      Seq("dim_tag") -> (() =>
+        uniqueness(star("dim_tag"), "tag_id", "uniq_dim_tag")),
+      Seq("fact_orders", "dim_fecha", "dim_customer") -> (() =>
+        fusedChecks(f, Some(Seq("o_orderkey") -> "uniq_fact_orders"), Seq(
+          ("fecha_id", star("dim_fecha"), "fecha_id", "orphan_fact_fecha"),
+          ("customer_sk", star("dim_customer"), "customer_sk", "orphan_fact_customer")))),
+      Seq("bridge_order_part", "fact_orders", "dim_part") -> (() =>
+        fusedChecks(star("bridge_order_part"),
+          Some(Seq("orderkey", "partkey") -> "uniq_bridge_order_part"), Seq(
+          ("orderkey", f, "o_orderkey", "orphan_bridge_order"),
+          ("partkey", star("dim_part"), "p_partkey", "orphan_bridge_part")))),
+      Seq("bridge_part_tag", "dim_tag") -> (() =>
+        fusedChecks(star("bridge_part_tag"),
+          Some(Seq("p_partkey", "tag_id") -> "uniq_bridge_part_tag"), Seq(
+          ("tag_id", star("dim_tag"), "tag_id", "orphan_bridge_tag")))),
+      Seq("fact_metricas", "dim_fecha") -> (() =>
+        fusedChecks(star("fact_metricas"), None, Seq(
+          ("fecha_id", star("dim_fecha"), "fecha_id", "orphan_metricas_fecha")))))
   }
 }
